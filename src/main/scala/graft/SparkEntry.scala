@@ -1,13 +1,640 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine._
+import graft.model._
+import graft.pipeline._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), each with an
+  * equivalent DuckDB `oracleSql` where SQL-expressible.
+  *
+  * Numeric determinism notes (hash-matched against DuckDB):
+  *  - double SUMs go through the integer-cents trick
+  *    (`round(value*100)::long`) so both engines sum exact integers —
+  *    order-independent — and divide identically at the end;
+  *  - AVGs over integers are exact in double for |sum| < 2^53;
+  *  - time buckets are emitted as DATE; raw timestamps as epoch µs
+  *    BIGINT (Spark truncates parquet ns → µs; DuckDB epoch_us does
+  *    the same floor).
+  */
 object SparkEntry {
+
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+  private val T0 = ts("2024-01-01T00:00:00Z")
+  private val T1 = ts("2024-02-01T00:00:00Z")
+  private val RANGE = QueryTime.Between(T0, T1)
+  private val SQL_RANGE = "ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-02-01 00:00:00'"
+
+  /** Integer-cents projection of a 2-decimal double. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+  private def eventsC(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("v100", cents(col("value")))
+
+  private def day(c: Column): Column = to_date(date_trunc("day", c))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val req = EventSegmentationRequest(
+      time = RANGE, interval = TimeIntervalUnit.Day,
+      events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+      breakdowns = Seq("event_type"))
+    EventSegmentation.run(events(spark, "/root/testdata/sf0.001"), req)
+      .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
+      .orderBy("d", "event_type")
+  }
+
+  // ----------------------------------------------------------------
+  // Query map: name -> (spark, sfDir) => DataFrame
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4 Count: event counts by bucket × breakdown (Query::CountEvents)
+    "q_es_count" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        breakdowns = Seq("event_type"))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
+    }),
+
+    // §2.4 Aggregate (property agg): sum/min/max/avg/count of `value`
+    "q_es_agg" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(
+          NamedQuery(Query.AggregateProperty("v100", AggFn.Sum), "sum_v100"),
+          NamedQuery(Query.AggregateProperty("value", AggFn.Min), "min_value"),
+          NamedQuery(Query.AggregateProperty("value", AggFn.Max), "max_value"),
+          NamedQuery(Query.AggregateProperty("value", AggFn.Count), "cnt_value")))))
+      EventSegmentation.run(eventsC(s, dir), req)
+        .select(day(col("bucket")).as("d"),
+          (col("sum_v100") / 100.0).as("sum_value"),
+          col("min_value"), col("max_value"), col("cnt_value"),
+          (col("sum_v100") * 1.0 / col("cnt_value") / 100.0).as("avg_value"))
+    }),
+
+    // §2.4 distinct groups per bucket (CountUniqueGroups / WAU)
+    "q_es_wau" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Week,
+        events = Seq(EventBlock(None, queries = Seq(
+          NamedQuery(Query.CountUniqueGroups(), "wau")))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("w"), col("wau"))
+    }),
+
+    // §2.4 PartitionedCount: outer agg over per-user event counts
+    "q_es_count_per_group" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(
+          NamedQuery(Query.CountPerGroup(AggFn.Avg), "avg_epu"),
+          NamedQuery(Query.CountPerGroup(AggFn.Min), "min_epu"),
+          NamedQuery(Query.CountPerGroup(AggFn.Max), "max_epu"),
+          NamedQuery(Query.CountUniqueGroups(), "users")))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"),
+          col("avg_epu"), col("min_epu"), col("max_epu"), col("users"))
+    }),
+
+    // §2.4 PartitionedAggregate: outer(inner(prop)) per user
+    "q_es_agg_per_group" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(Some("purchase"), queries = Seq(
+          NamedQuery(Query.AggregatePropertyPerGroup("v100", AggFn.Sum, AggFn.Avg), "avg_user_rev100"),
+          NamedQuery(Query.AggregatePropertyPerGroup("v100", AggFn.Sum, AggFn.Max), "max_user_rev100")))))
+      EventSegmentation.run(eventsC(s, dir), req)
+        .select(day(col("bucket")).as("d"),
+          (col("avg_user_rev100") / 100.0).as("avg_user_rev"),
+          (col("max_user_rev100") / 100.0).as("max_user_rev"))
+    }),
+
+    // §2.4 the reference's unimplemented!() percentiles — implemented
+    "q_es_percentiles" -> ((s, dir) => {
+      events(s, dir)
+        .filter(Exprs.timePredicate(col("ts"), RANGE))
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    }),
+
+    // §2.2 property predicates: Regex + JSON prop + numeric Gt
+    "q_es_filtered" -> ((s, dir) => {
+      val ev = eventsC(s, dir)
+        .withColumn("k_int", get_json_object(col("props"), "$.k").cast("long"))
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None,
+          filters = Seq(
+            PropFilter("event_type", PropOp.Regex, Seq("^(click|view)$")),
+            PropFilter("k_int", PropOp.Gt, Seq(50)),
+            PropFilter("value", PropOp.Lte, Seq(150.0))),
+          queries = Seq(
+            NamedQuery(Query.CountEvents, "cnt"),
+            NamedQuery(Query.AggregateProperty("v100", AggFn.Sum), "sum_v100")))),
+        breakdowns = Seq("event_type"))
+      EventSegmentation.run(ev, req)
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"),
+          (col("sum_v100") / 100.0).as("sum_value"))
+    }),
+
+    // §2.6 segment: having-count users → semi-join (SegmentExpr::Count)
+    "q_segment_count" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        segments = Seq(Segment("buyers", Seq(Seq(
+          SegmentCondition.DidEventCount(Some("purchase"), Nil, PropOp.Gte, 10,
+            SegmentTime.Between(T0, T1)))))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.6 segment with aggregate-property condition + AND composition
+    "q_segment_agg" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        segments = Seq(Segment("whales", Seq(Seq(
+          SegmentCondition.DidEventAggregateProperty(Some("purchase"), Nil,
+            "value", AggFn.Sum, PropOp.Gt, 500.0, SegmentTime.Between(T0, T1)),
+          SegmentCondition.DidEventCount(Some("error"), Nil, PropOp.Gte, 1,
+            SegmentTime.Between(T0, T1)))))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.6 SegmentTime::Each — rolling-window segment
+    "q_segment_each" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        segments = Seq(Segment("burst", Seq(Seq(
+          SegmentCondition.DidEventCount(Some("purchase"), Nil, PropOp.Gte, 3,
+            SegmentTime.Each(7, TimeIntervalUnit.Day)))))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §3.3 event-record search: filter → sort event_id desc → limit
+    "q_records_search" -> ((s, dir) => {
+      Records.searchEvents(events(s, dir), RANGE,
+        eventNames = Seq("purchase", "error"),
+        filters = Seq(PropFilter("value", PropOp.Gt, Seq(100.0))),
+        projection = Seq("event_id", "user_id", "event_type", "value", "ts"),
+        limitN = 100)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+    }),
+
+    // §3.3 property-values listing: distinct → sort → limit
+    "q_prop_values" -> ((s, dir) =>
+      Records.propertyValues(events(s, dir), "event_type")),
+
+    // §2.1 replacing-table semantics: latest row per group id
+    "q_group_latest" -> ((s, dir) => {
+      Records.latestPerGroup(events(s, dir), "user_id", "event_id")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
+    // §2.9 MergeNode: multi-event blocks, schema-merged union + tag col
+    "q_merge_union" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(
+          EventBlock(Some("purchase"), queries = Seq(
+            NamedQuery(Query.AggregateProperty("v100", AggFn.Sum), "sum_v100"))),
+          EventBlock(Some("click"), queries = Seq(
+            NamedQuery(Query.CountEvents, "cnt")))))
+      EventSegmentation.run(eventsC(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("event"),
+          col("cnt"), (col("sum_v100") / 100.0).as("sum_value"))
+    }),
+
+    // §2.10 PivotNode: long → wide over precomputed bucket list
+    "q_pivot" -> ((s, dir) => {
+      val days = Reshape.timeColumns(ts("2024-01-05T00:00:00Z"),
+        ts("2024-01-09T00:00:00Z"), TimeIntervalUnit.Day)
+        .map(t => t.toInstant.toString.substring(0, 10))
+      val long = events(s, dir)
+        .filter(col("ts") >= lit(ts("2024-01-05T00:00:00Z")) &&
+          col("ts") < lit(ts("2024-01-10T00:00:00Z")))
+        .select(col("event_type"), day(col("ts")).cast("string").as("d"))
+        .groupBy("event_type", "d").agg(sum(lit(1)).as("cnt"))
+      Reshape.pivot(long, Seq("event_type"), "d", days, "cnt")
+    }),
+
+    // §2.10 UnpivotNode: wide metrics → (agg_name, value) long form
+    "q_unpivot" -> ((s, dir) => {
+      val wide = eventsC(s, dir)
+        .filter(Exprs.timePredicate(col("ts"), RANGE))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          (sum(col("v100")) / 100.0).as("sum_value"))
+      Reshape.unpivot(wide, Seq("event_type"), Seq("cnt", "sum_value"))
+    }),
+
+    // §2.8+§2.10 AggregateAndSortColumns + LimitGroups: top-k groups
+    "q_limit_groups" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .filter(Exprs.timePredicate(col("ts"), RANGE))
+        .groupBy(col("event_type"), day(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      Reshape.limitGroups(daily, Seq("event_type"), "cnt", 3)
+        .select("d", "event_type", "cnt")
+    }),
+
+    // §2.5 funnel — full state machine (no SQL equivalent; rows-only)
+    "q_funnel" -> ((s, dir) => {
+      Funnel.run(s, events(s, dir), Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = 7L * 24 * 3600 * 1000,
+        count = Funnel.Unique,
+        interval = Some(TimeIntervalUnit.Week)))
+        .select(day(col("bucket")).as("w"), col("step"), col("total"),
+          col("conversion_ratio"), col("dropped_off"), col("drop_off_ratio"))
+    }),
+
+    // §2.5 funnel, no-window unique config — state machine output
+    // hash-matched against a pure-SQL chained-min oracle
+    "q_funnel_oracle" -> ((s, dir) => {
+      Funnel.run(s, events(s, dir), Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Long.MaxValue / 4000L, // effectively unbounded
+        count = Funnel.Unique))
+        .select(col("step"), col("total"), col("conversion_ratio"),
+          col("avg_time_to_convert"), col("avg_time_to_convert_from_start"))
+    }),
+
+    // pipeline: exact dedup by content digest
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("dup_count")).as("n_docs"),
+          sum(col("dup_count") - 1).as("n_dups"))
+    }),
+
+    // pipeline: text stats per source (token/char/long-token counts)
+    "q_text_stats" -> ((s, dir) => {
+      TextAnalysis.withQuality(Tables.documents(s, dir), "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_long_tokens")).as("sum_long_tokens"),
+          (sum(col("n_long_tokens")) * 1.0 / sum(col("n_tokens"))).as("long_ratio"))
+    }),
+
+    // pipeline: language-ID heuristic distribution
+    "q_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // pipeline: bag-of-words fingerprint near-dup groups
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy(col("fp")).agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
+        .filter(col("cnt") > 1)
+    }),
+
+    // pipeline: MinHash+LSH near-dup candidate pairs (rows-only)
+    "q_minhash_dups" -> ((s, dir) => {
+      Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 8, threshold = 0.2)
+    }),
+
+    // pipeline: SimHash fingerprints + near-dup hamming pairs (rows-only)
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhashDupPairs(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("hamming") <= 16)
+    }),
+
+    // pipeline: blocked n-gram Jaccard pairs (rows-only)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.05)
+    }),
+
+    // pipeline: brute-force cosine top-k neighbors
+    "q_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(q, emb, "q_id", "q_vec", "vec_id", "embedding", 3)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // pipeline: LSH-bucketed ANN (scale path; rows-only vs brute force)
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(q, emb, "q_id", "q_vec", "vec_id", "embedding", 3, planes = 4)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    }),
+
+    // TPC-H-flavor Q1: scan-heavy grouped aggregate over lineitem
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(ts("1998-09-02T00:00:00Z")))
+        .withColumn("qty100", cents(col("l_quantity")))
+        .withColumn("price100", cents(col("l_extendedprice")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(col("qty100")) / 100.0).as("sum_qty"),
+          (sum(col("price100")) / 100.0).as("sum_base_price"),
+          count(lit(1)).as("count_order"),
+          (sum(col("qty100")) * 1.0 / count(lit(1)) / 100.0).as("avg_qty"))
+    }),
+
+    // broadcast dimension join: orders × customer by market segment
+    "q_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).withColumn("tp100", cents(col("o_totalprice")))
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("tp100")) / 100.0).as("sum_totalprice"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+    }),
+
+    // 3-way join + top-k (TPC-H Q3 flavor)
+    "q3_topk" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit(ts("1995-03-15T00:00:00Z")))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit(ts("1995-03-15T00:00:00Z")))
+        .withColumn("rev10000",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg((sum(col("rev10000")) / 10000.0).as("revenue"))
+        .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    })
+  )
+
+  // ----------------------------------------------------------------
+  // DuckDB oracle SQL — identical column names AND value computation.
+  // ----------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q_es_count" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE GROUP BY 1, 2""",
+
+    "q_es_agg" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,
+         min(value) AS min_value, max(value) AS max_value,
+         count(value) AS cnt_value,
+         sum(CAST(round(value*100) AS BIGINT)) * 1.0 / count(value) / 100.0 AS avg_value
+         FROM events WHERE $SQL_RANGE GROUP BY 1""",
+
+    "q_es_wau" ->
+      s"""SELECT CAST(date_trunc('week', ts) AS DATE) AS w,
+         count(DISTINCT user_id) AS wau
+         FROM events WHERE $SQL_RANGE GROUP BY 1""",
+
+    "q_es_count_per_group" ->
+      s"""SELECT d, avg(c) AS avg_epu, min(c) AS min_epu, max(c) AS max_epu,
+         count(*) AS users
+         FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id,
+               count(*) AS c FROM events WHERE $SQL_RANGE GROUP BY 1, 2)
+         GROUP BY 1""",
+
+    "q_es_agg_per_group" ->
+      s"""SELECT d, avg(s) / 100.0 AS avg_user_rev, max(s) / 100.0 AS max_user_rev
+         FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id,
+               sum(CAST(round(value*100) AS BIGINT)) AS s
+               FROM events WHERE $SQL_RANGE AND event_type = 'purchase' GROUP BY 1, 2)
+         GROUP BY 1""",
+
+    "q_es_percentiles" ->
+      s"""SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90,
+         round(quantile_cont(value, 0.99), 4) AS p99
+         FROM events WHERE $SQL_RANGE GROUP BY 1""",
+
+    "q_es_filtered" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         count(*) AS cnt,
+         sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
+         FROM events WHERE $SQL_RANGE
+           AND regexp_matches(event_type, '^(click|view)$$')
+           AND CAST(json_extract_string(props, '$$.k') AS BIGINT) > 50
+           AND value <= 150.0
+         GROUP BY 1, 2""",
+
+    "q_segment_count" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND user_id IN (
+           SELECT user_id FROM events
+           WHERE $SQL_RANGE AND event_type = 'purchase'
+           GROUP BY 1 HAVING count(*) >= 10)
+         GROUP BY 1""",
+
+    "q_segment_agg" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND user_id IN (
+           SELECT user_id FROM events
+           WHERE $SQL_RANGE AND event_type = 'purchase'
+           GROUP BY 1 HAVING sum(value) > 500.0
+           INTERSECT
+           SELECT user_id FROM events
+           WHERE $SQL_RANGE AND event_type = 'error'
+           GROUP BY 1 HAVING count(*) >= 1)
+         GROUP BY 1""",
+
+    "q_segment_each" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND user_id IN (
+           SELECT DISTINCT user_id FROM (
+             SELECT user_id, CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT) AS w,
+                    count(*) AS c
+             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+             HAVING count(*) >= 3))
+         GROUP BY 1""",
+
+    "q_records_search" ->
+      s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         FROM events WHERE $SQL_RANGE
+           AND event_type IN ('purchase', 'error') AND value > 100.0
+         ORDER BY event_id DESC LIMIT 100""",
+
+    "q_prop_values" ->
+      """SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+         ORDER BY event_type LIMIT 1000""",
+
+    "q_group_latest" ->
+      """SELECT e.user_id, e.event_id AS last_event_id,
+         e.event_type AS last_event_type, e.value AS last_value
+         FROM events e JOIN (SELECT user_id, max(event_id) AS m FROM events GROUP BY 1) t
+         ON e.user_id = t.user_id AND e.event_id = t.m""",
+
+    "q_merge_union" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, 'purchase' AS event,
+         CAST(NULL AS BIGINT) AS cnt,
+         sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
+         FROM events WHERE $SQL_RANGE AND event_type = 'purchase' GROUP BY 1
+         UNION ALL
+         SELECT CAST(date_trunc('day', ts) AS DATE) AS d, 'click' AS event,
+         count(*) AS cnt, CAST(NULL AS DOUBLE) AS sum_value
+         FROM events WHERE $SQL_RANGE AND event_type = 'click' GROUP BY 1""",
+
+    "q_pivot" ->
+      """SELECT event_type,
+         CAST(sum(CASE WHEN d = DATE '2024-01-05' THEN 1 END) AS BIGINT) AS "2024-01-05",
+         CAST(sum(CASE WHEN d = DATE '2024-01-06' THEN 1 END) AS BIGINT) AS "2024-01-06",
+         CAST(sum(CASE WHEN d = DATE '2024-01-07' THEN 1 END) AS BIGINT) AS "2024-01-07",
+         CAST(sum(CASE WHEN d = DATE '2024-01-08' THEN 1 END) AS BIGINT) AS "2024-01-08",
+         CAST(sum(CASE WHEN d = DATE '2024-01-09' THEN 1 END) AS BIGINT) AS "2024-01-09"
+         FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d
+               FROM events
+               WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-10 00:00:00')
+         GROUP BY 1""",
+
+    "q_unpivot" ->
+      s"""WITH wide AS (
+           SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt,
+                  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
+           FROM events WHERE $SQL_RANGE GROUP BY 1)
+         SELECT event_type, 'cnt' AS agg_name, cnt AS value FROM wide
+         UNION ALL
+         SELECT event_type, 'sum_value' AS agg_name, sum_value AS value FROM wide""",
+
+    "q_limit_groups" ->
+      s"""WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                  count(*) AS cnt
+           FROM events WHERE $SQL_RANGE GROUP BY 1, 2)
+         SELECT d, event_type, cnt FROM daily
+         WHERE event_type IN (
+           SELECT event_type FROM (
+             SELECT event_type, max(cnt) AS m FROM daily GROUP BY 1
+             ORDER BY m DESC, event_type LIMIT 3))""",
+
+    "q_funnel_oracle" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+         j AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+               FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                       LEFT JOIN s3 ON s1.user_id = s3.user_id)
+         SELECT 1 AS step, count(t1) AS total, CAST(100.0 AS DOUBLE) AS conversion_ratio,
+           CAST(0.0 AS DOUBLE) AS avg_time_to_convert, CAST(0.0 AS DOUBLE) AS avg_time_to_convert_from_start FROM j
+         UNION ALL
+         SELECT 2, count(t2),
+           round(count(t2) * 100.0 / count(t1), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(t2), 0), 0.0), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(t2), 0), 0.0), 4) FROM j
+         UNION ALL
+         SELECT 3, count(t3),
+           round(count(t3) * 100.0 / count(t1), 4),
+           round(coalesce(sum(t3 - t2) * 1.0 / nullif(count(t3), 0), 0.0), 4),
+           round(coalesce(sum(t3 - t1) * 1.0 / nullif(count(t3), 0), 0.0), 4) FROM j""",
+
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_groups, CAST(sum(c) AS BIGINT) AS n_docs, CAST(sum(c - 1) AS BIGINT) AS n_dups
+         FROM (SELECT md5(text) AS h, count(*) AS c, min(doc_id) AS doc_id
+               FROM documents GROUP BY 1)""",
+
+    "q_text_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(len(list_filter(string_split(text, ' '), t -> len(t) > 3))) AS BIGINT) AS sum_long_tokens,
+         sum(len(list_filter(string_split(text, ' '), t -> len(t) > 3))) * 1.0
+           / sum(len(string_split(text, ' '))) AS long_ratio
+         FROM documents GROUP BY 1""",
+
+    "q_lang_id" ->
+      """SELECT lang,
+         CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+              WHEN list_contains(string_split(text, ' '), 'le') THEN 'fr'
+              WHEN list_contains(string_split(text, ' '), 'el') THEN 'es'
+              WHEN list_contains(string_split(text, ' '), 'der') THEN 'de'
+              WHEN list_contains(string_split(text, ' '), 'de') THEN 'zh'
+              ELSE 'und' END AS predicted,
+         count(*) AS cnt
+         FROM documents GROUP BY 1, 2""",
+
+    "q_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+         count(*) AS cnt, min(doc_id) AS min_doc
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+
+    "q_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+                    FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[])) /
+             nullif(sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))), 0)
+             AS cos_sim
+           FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+         count(*) AS count_order,
+         sum(CAST(round(l_quantity*100) AS BIGINT)) * 1.0 / count(*) / 100.0 AS avg_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2""",
+
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS sum_totalprice,
+         count(DISTINCT o_custkey) AS n_customers
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+
+    "q3_topk" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+           AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1,0 +1,66 @@
+package graft.engine
+
+import graft.model._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Predicate / expression builders: the Spark analog of the
+  * reference's expr builders (reference query/src/expr.rs:38-391 —
+  * time_expression, event_expression, named_property_expression).
+  * Everything stays a Catalyst `Column` so filters are codegen'd and
+  * pushed down to the parquet scan.
+  */
+object Exprs {
+
+  /** ts-in-range predicate (reference query/src/expr.rs:38-57). */
+  def timePredicate(tsCol: Column, time: QueryTime): Column = time match {
+    case QueryTime.Between(from, to) => tsCol >= lit(from) && tsCol <= lit(to)
+    case QueryTime.From(from)        => tsCol >= lit(from)
+    case QueryTime.Last(n, unit, now) =>
+      val from = new java.sql.Timestamp(now.getTime - n * unit.millis)
+      tsCol >= lit(from) && tsCol <= lit(now)
+  }
+
+  /** Event-name equality. The reference encodes event names to
+    * dictionary keys first (expr.rs:60-115); we store plain strings so
+    * parquet dictionary encoding gives the same effect transparently.
+    */
+  def eventPredicate(eventCol: Column, name: String): Column = eventCol === lit(name)
+
+  /** Property predicate: ops per reference common/src/query.rs:235-262,
+    * multi-value → OR chain (isin), built in expr.rs:299-391.
+    */
+  def propPredicate(f: PropFilter): Column = {
+    val c = col(f.column)
+    def orChain(per: Any => Column): Column =
+      f.values.map(per).reduce(_ || _)
+    f.op match {
+      case PropOp.Eq       => if (f.values.size == 1) c === lit(f.values.head) else c.isin(f.values: _*)
+      case PropOp.Neq      => if (f.values.size == 1) c =!= lit(f.values.head) else !c.isin(f.values: _*)
+      case PropOp.Gt       => orChain(v => c > lit(v))
+      case PropOp.Gte      => orChain(v => c >= lit(v))
+      case PropOp.Lt       => orChain(v => c < lit(v))
+      case PropOp.Lte      => orChain(v => c <= lit(v))
+      case PropOp.True     => c === lit(true)
+      case PropOp.False    => c === lit(false)
+      case PropOp.Exists   => c.isNotNull
+      case PropOp.Empty    => c.isNull
+      case PropOp.Like     => orChain(v => c.like(v.toString))
+      case PropOp.NotLike  => orChain(v => !c.like(v.toString))
+      case PropOp.Regex    => orChain(v => c.rlike(v.toString))
+      case PropOp.NotRegex => orChain(v => !c.rlike(v.toString))
+    }
+  }
+
+  /** Conjunction of all filters, or `true` when empty. */
+  def and(preds: Seq[Column]): Column =
+    if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+
+  /** Time bucket: group key #1 of every segmentation query (reference
+    * event_segmentation.rs:784-799 uses DataFusion's date_trunc UDF;
+    * Spark's built-in date_trunc has identical Monday-start week
+    * semantics, verified in TimeSpec).
+    */
+  def bucket(tsCol: Column, unit: TimeIntervalUnit): Column =
+    date_trunc(unit.truncName, tsCol)
+}

@@ -1,0 +1,298 @@
+package graft.engine
+
+import graft.model.TimeIntervalUnit
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis — the one genuinely custom operator (reference
+  * query/src/physical_plan/expressions/aggregate/partitioned/funnel/
+  * funnel.rs:258-906: a 2128-line per-user state machine over
+  * time-sorted events; logical node query/src/logical_plan/funnel.rs:28-117).
+  *
+  * Spark build (SURVEY.md §2.5): step/exclude predicates are evaluated
+  * BEFORE the shuffle as ordinary codegen'd boolean Columns (mirror of
+  * the reference's batch pre-evaluation, funnel/mod.rs:115-203); the
+  * slim (user, ts, flags) rows are then hash-partitioned by user and
+  * sorted (user, ts) within partitions — Spark's external sort spills
+  * to disk, so the invariant holds at 100 TB — and a `mapPartitions`
+  * state machine emits one row per funnel attempt with O(steps) state
+  * per user. Totals/ratios are a plain groupBy + window projection.
+  *
+  * Semantics pinned from the reference (FunnelSpec holds the golden
+  * cases):
+  *  - steps matched in order (StepOrder::Exact); first match advances;
+  *  - window overflow → flush the partial attempt, restart from the
+  *    CURRENT row (funnel.rs:559-567);
+  *  - exclude-predicate hit mid-funnel → attempt discarded (not
+  *    counted), restart from current row (funnel.rs:554-590);
+  *  - holding-constant mismatch → discard, restart from current row;
+  *  - full match → attempt bucketed by trunc(interval, first-step ts)
+  *    (funnel.rs:208-214); Count::Unique → skip user's remaining rows
+  *    (funnel.rs:637-640); NonUnique → state machine restarts;
+  *  - attempts with 0 completed steps produce nothing (funnel.rs:185);
+  *  - dropped_off[i] = total[i-1] - total[i] (funnel.rs:226-232);
+  *  - conversion_ratio[i] = total[i]/total[0]*100.
+  * The reference computes avg_time_to_convert as total_time/total*100
+  * (funnel.rs:794,807) — the *100 is a carried-over bug from the ratio
+  * code; we compute the true average and document the divergence here.
+  */
+object Funnel {
+
+  sealed trait CountMode
+  case object Unique extends CountMode     // one completed funnel per user
+  case object NonUnique extends CountMode  // every completed sequence
+
+  /** Post-filters over attempts (reference funnel filter DSL). */
+  sealed trait AttemptFilter
+  case object DropOffOnAnyStep extends AttemptFilter
+  /** Completed exactly through step n (0-based) then dropped (funnel.rs:196). */
+  final case class DropOffOnStep(n: Int) extends AttemptFilter
+  /** Fully converted within [a, b] ms (funnel.rs:198-204). */
+  final case class TimeToConvert(minMs: Long, maxMs: Long) extends AttemptFilter
+
+  /** Exclude predicate active while current step in [fromStep, toStep] (0-based). */
+  final case class Exclude(pred: Column, fromStep: Int, toStep: Int)
+
+  final case class Request(
+      steps: Seq[Column],
+      windowMs: Long,
+      exclude: Seq[Exclude] = Nil,
+      constants: Seq[String] = Nil,
+      count: CountMode = Unique,
+      filter: Option[AttemptFilter] = None,
+      interval: Option[TimeIntervalUnit] = None,
+      breakdowns: Seq[String] = Nil,
+      userCol: String = "user_id",
+      tsCol: String = "ts")
+
+  /** Slim shuffled row: flags precomputed, payload minimal. */
+  private[engine] final case class FRow(
+      user: Long, ts: Long, steps: Array[Boolean], excl: Array[Boolean],
+      consts: Array[String], bds: Array[String])
+
+  /** One funnel attempt: stepTs(i) = epoch ms of step i+1 or null. */
+  private[engine] final case class Attempt(
+      bucketMs: Long, bds: Array[String], completed: Int,
+      stepTs: Array[java.lang.Long])
+
+  /** Bucket of a µs timestamp, as epoch ms of the truncated instant. */
+  private[engine] def truncMs(unit: Option[TimeIntervalUnit], tsUs: Long): Long = unit match {
+    case None => 0L
+    case Some(u) =>
+      val zone = java.time.ZoneOffset.UTC
+      val z = java.time.Instant.ofEpochMilli(Math.floorDiv(tsUs, 1000L)).atZone(zone)
+      val t = u match {
+        case TimeIntervalUnit.Second => z.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+        case TimeIntervalUnit.Minute => z.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+        case TimeIntervalUnit.Hour   => z.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        case TimeIntervalUnit.Day    => z.toLocalDate.atStartOfDay(zone)
+        case TimeIntervalUnit.Week   => z.toLocalDate.`with`(java.time.temporal.TemporalAdjusters.previousOrSame(java.time.DayOfWeek.MONDAY)).atStartOfDay(zone)
+        case TimeIntervalUnit.Month  => z.toLocalDate.withDayOfMonth(1).atStartOfDay(zone)
+        case TimeIntervalUnit.Year   => z.toLocalDate.withDayOfYear(1).atStartOfDay(zone)
+      }
+      t.toInstant.toEpochMilli
+  }
+
+  /** The per-user state machine. Emitted attempts accumulate in a
+    * small buffer drained by the caller after every row — state is
+    * O(steps) per user, output is streamed, nothing unbounded. */
+  private[engine] final class Machine(
+      nSteps: Int, windowMs: Long, excludes: Array[(Int, Int)],
+      nConsts: Int, unique: Boolean, interval: Option[TimeIntervalUnit]) {
+
+    private val out = scala.collection.mutable.ArrayBuffer[Attempt]()
+    private var curStep = 0
+    private val stepTs = new Array[Long](nSteps)
+    private var heldConsts: Array[String] = null
+    private var firstBds: Array[String] = null
+    private var userDone = false
+    private var curUser = Long.MinValue
+    private var haveUser = false
+
+    private def reset(): Unit = { curStep = 0; heldConsts = null; firstBds = null }
+
+    private def flush(): Unit = {
+      if (curStep > 0) { // steps_completed==0 → no result (funnel.rs:185)
+        val ts = new Array[java.lang.Long](nSteps)
+        var i = 0
+        while (i < curStep) { ts(i) = stepTs(i); i += 1 }
+        out += Attempt(truncMs(interval, stepTs(0)), firstBds, curStep, ts)
+      }
+      reset()
+    }
+
+    private def sameConsts(a: Array[String], b: Array[String]): Boolean = {
+      var i = 0
+      while (i < nConsts) {
+        if (a(i) == null) { if (b(i) != null) return false }
+        else if (!a(i).equals(b(i))) return false
+        i += 1
+      }
+      true
+    }
+
+    def onRow(r: FRow): Unit = {
+      if (!haveUser || r.user != curUser) { flush(); curUser = r.user; haveUser = true; userDone = false }
+      if (userDone) return
+      var reprocess = true
+      while (reprocess) {
+        reprocess = false
+        if (curStep > 0) {
+          if (r.ts - stepTs(0) > windowMs) { flush(); reprocess = true }
+          else {
+            var i = 0
+            var excluded = false
+            while (i < excludes.length && !excluded) {
+              if (r.excl(i) && curStep >= excludes(i)._1 && curStep <= excludes(i)._2)
+                excluded = true
+              i += 1
+            }
+            if (excluded) { reset(); reprocess = true } // discard, re-process row
+          }
+        }
+        if (!reprocess && curStep < nSteps && r.steps(curStep)) {
+          if (curStep > 0 && nConsts > 0 && !sameConsts(heldConsts, r.consts)) {
+            reset(); reprocess = true // constant violation (funnel.rs:554-590)
+          } else {
+            if (curStep == 0) { heldConsts = r.consts; firstBds = r.bds }
+            stepTs(curStep) = r.ts
+            curStep += 1
+            if (curStep == nSteps) {
+              flush()
+              if (unique) userDone = true
+            }
+          }
+        }
+      }
+    }
+
+    def endOfInput(): Unit = flush()
+
+    def drain(): IndexedSeq[Attempt] =
+      if (out.isEmpty) IndexedSeq.empty
+      else { val r = out.toIndexedSeq; out.clear(); r }
+  }
+
+  /** Attempts stream: input must be sorted (user, ts) per partition
+    * with each user wholly inside one partition. */
+  private def runMachine(
+      it: Iterator[FRow], n: Int, windowMs: Long, excludes: Array[(Int, Int)],
+      nConsts: Int, unique: Boolean, interval: Option[TimeIntervalUnit]): Iterator[Attempt] =
+    new Iterator[Attempt] {
+      private val m = new Machine(n, windowMs, excludes, nConsts, unique, interval)
+      private var buf: IndexedSeq[Attempt] = IndexedSeq.empty
+      private var idx = 0
+      private var ended = false
+      private def advance(): Unit = {
+        while (idx >= buf.length && !ended) {
+          if (it.hasNext) { m.onRow(it.next()); buf = m.drain(); idx = 0 }
+          else { m.endOfInput(); buf = m.drain(); idx = 0; ended = true }
+        }
+      }
+      override def hasNext: Boolean = { advance(); idx < buf.length }
+      override def next(): Attempt = { advance(); val a = buf(idx); idx += 1; a }
+    }
+
+  /** Run the funnel: events → long-form per-step result
+    * (bucket?, breakdowns..., step, total, conversion_ratio,
+    * avg_time_to_convert, avg_time_to_convert_from_start,
+    * time_to_convert, time_to_convert_from_start,
+    * dropped_off, drop_off_ratio). Steps are 1-based in the output. */
+  def run(spark: SparkSession, events: DataFrame, req: Request): DataFrame = {
+    import spark.implicits._
+    val n = req.steps.size
+    require(n >= 1, "funnel needs at least one step")
+
+    def boolArray(cs: Seq[Column]): Column =
+      if (cs.isEmpty) lit(Array.empty[Boolean]) else array(cs.map(c => coalesce(c.cast("boolean"), lit(false))): _*)
+    def strArray(cs: Seq[Column]): Column =
+      if (cs.isEmpty) lit(Array.empty[String]) else array(cs.map(_.cast("string")): _*)
+
+    // Pre-shuffle predicate evaluation (codegen'd), slim payload.
+    val slim = events.select(
+      col(req.userCol).cast("long").as("user"),
+      unix_micros(col(req.tsCol)).as("ts"),
+      boolArray(req.steps).as("steps"),
+      boolArray(req.exclude.map(_.pred)).as("excl"),
+      strArray(req.constants.map(col)).as("consts"),
+      strArray(req.breakdowns.map(col)).as("bds"))
+
+    val excludeRanges = req.exclude.map(e => (e.fromStep, e.toStep)).toArray
+    val interval = req.interval
+    val windowUs =
+      if (req.windowMs > Long.MaxValue / 2000L) Long.MaxValue else req.windowMs * 1000L
+    val unique = req.count == Unique
+    val nConsts = req.constants.size
+
+    val attempts: Dataset[Attempt] = slim.as[FRow]
+      .repartition(col("user"))
+      .sortWithinPartitions(col("user"), col("ts"))
+      .mapPartitions(it => runMachine(it, n, windowUs, excludeRanges, nConsts, unique, interval))
+
+    // Attempt-level post-filters (funnel.rs:196-204).
+    val filtered = req.filter match {
+      case None => attempts.toDF()
+      case Some(DropOffOnAnyStep) => attempts.toDF().filter(col("completed") < n)
+      case Some(DropOffOnStep(s)) =>
+        attempts.toDF().filter(col("completed") === (s + 1) && lit(s + 1) <= n)
+      case Some(TimeToConvert(a, b)) =>
+        attempts.toDF().filter(col("completed") === n &&
+          (element_at(col("stepTs"), n) - element_at(col("stepTs"), 1))
+            .between(a * 1000L, b * 1000L))
+    }
+
+    // One row per (attempt, step); unreached steps carry null ts so
+    // zero-total steps still appear in the output shape (the reference
+    // zero-fills its wide per-step schema, funnel.rs:699-906).
+    val bdCols = req.breakdowns.zipWithIndex.map { case (c, i) =>
+      element_at(col("bds"), i + 1).as(c)
+    }
+    val exploded = filtered
+      .select((Seq(col("bucketMs"), col("stepTs")) ++ bdCols): _*)
+      .select(col("*"), posexplode(col("stepTs")).as(Seq("pos", "step_ts")))
+      .withColumn("step", col("pos") + 1)
+      .withColumn("prev_ts", when(col("pos") > 0, element_at(col("stepTs"), col("pos"))))
+      .withColumn("first_ts", element_at(col("stepTs"), 1))
+
+    val keyNames =
+      (if (req.interval.isDefined) Seq("bucket") else Nil) ++ req.breakdowns
+    val withBucket =
+      if (req.interval.isDefined)
+        exploded.withColumn("bucket", timestamp_millis(col("bucketMs")))
+      else exploded
+    val grouped = withBucket
+      .groupBy((keyNames :+ "step").map(col): _*)
+      .agg(
+        count(col("step_ts")).as("total"),
+        coalesce(sum(when(col("step_ts").isNotNull,
+          col("step_ts") - coalesce(col("prev_ts"), col("step_ts")))), lit(0L))
+          .as("time_to_convert"),
+        coalesce(sum(when(col("step_ts").isNotNull,
+          col("step_ts") - col("first_ts"))), lit(0L))
+          .as("time_to_convert_from_start"))
+
+    val wKeys =
+      if (keyNames.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(keyNames.map(col): _*)
+    val byStep = wKeys.orderBy(col("step"))
+    grouped
+      .withColumn("step0_total",
+        first(col("total")).over(byStep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_total", lag(col("total"), 1).over(byStep))
+      .withColumn("conversion_ratio",
+        round(when(col("step0_total") === 0, 0.0)
+          .otherwise(col("total") * 100.0 / col("step0_total")), 4))
+      .withColumn("avg_time_to_convert",
+        round(when(col("total") === 0, 0.0)
+          .otherwise(col("time_to_convert").cast("double") / col("total")), 4))
+      .withColumn("avg_time_to_convert_from_start",
+        round(when(col("total") === 0, 0.0)
+          .otherwise(col("time_to_convert_from_start").cast("double") / col("total")), 4))
+      .withColumn("dropped_off", coalesce(col("prev_total") - col("total"), lit(0L)))
+      .withColumn("drop_off_ratio",
+        round(when(coalesce(col("prev_total"), lit(0L)) === 0, 0.0)
+          .otherwise(col("dropped_off") * 100.0 / col("prev_total")), 4))
+      .drop("step0_total", "prev_total")
+      .orderBy((keyNames :+ "step").map(col): _*)
+  }
+}

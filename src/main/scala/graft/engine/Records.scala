@@ -1,0 +1,63 @@
+package graft.engine
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record search + property values (reference
+  * query/src/event_records.rs:223-419 build_search_plan,
+  * group_records.rs:220-320, properties.rs:118-195).
+  * All three are filter → project → sort → limit chains; Spark's
+  * TakeOrderedAndProject physical operator executes sort+limit as a
+  * distributed top-k (per-partition heap + driver merge) — no global
+  * sort even at 100 TB.
+  */
+object Records {
+
+  /** Event-record search: filter (time ∧ OR-of-events ∧ props) →
+    * project (+forced event_id) → sort event_id desc → limit. */
+  def searchEvents(
+      events: DataFrame,
+      time: QueryTime,
+      eventNames: Seq[String] = Nil,
+      filters: Seq[PropFilter] = Nil,
+      projection: Seq[String] = Nil,
+      limitN: Int = 100): DataFrame = {
+    val evPred =
+      if (eventNames.isEmpty) lit(true)
+      else eventNames.map(Exprs.eventPredicate(col(EventSegmentation.EventCol), _)).reduce(_ || _)
+    val pred = Exprs.and(
+      Seq(Exprs.timePredicate(col(EventSegmentation.TsCol), time), evPred) ++
+        filters.map(Exprs.propPredicate))
+    val projected =
+      if (projection.isEmpty) events.filter(pred)
+      else events.filter(pred).select((projection :+ "event_id").distinct.map(col): _*)
+    projected.orderBy(col("event_id").desc).limit(limitN)
+  }
+
+  /** Get single record by id (reference event_records.rs:421-492). */
+  def getById(events: DataFrame, id: Long): DataFrame =
+    events.filter(col("event_id") === lit(id))
+
+  /** Group-record (profile) search. Group tables in the reference are
+    * replacing tables (last version wins, cmd/src/lib.rs:270); with
+    * immutable parquet that's dedup-on-read:
+    * row_number over (partition by id order by version desc) = 1
+    * (SURVEY.md §1.4). Here the events table doubles as the profile
+    * source: the latest event per user is its current profile row. */
+  def latestPerGroup(df: DataFrame, idCol: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(versionCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Property-values listing: distinct → optional contains-filter →
+    * sort asc → limit 1000 (reference properties.rs:118-195). */
+  def propertyValues(
+      events: DataFrame, prop: String,
+      contains: Option[String] = None, limitN: Int = 1000): DataFrame = {
+    val base = events.select(col(prop)).filter(col(prop).isNotNull).distinct()
+    val f = contains.fold(base)(s => base.filter(col(prop).contains(s)))
+    f.orderBy(col(prop).asc).limit(limitN)
+  }
+}

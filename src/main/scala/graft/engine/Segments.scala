@@ -1,0 +1,119 @@
+package graft.engine
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Segment (user-set) computation. The reference evaluates a
+  * `SegmentExpr` tree over user-sorted events and emits qualifying
+  * user ids, then each aggregate expression skips non-members
+  * (reference query/src/logical_plan/segment.rs:65-107,
+  * physical_plan/segmented_aggregate.rs:365-399 — effectively a
+  * broadcast left-semi join on user id).
+  *
+  * Spark build: `groupBy(user).agg(...).filter(having).select(user)`
+  * per condition, `intersect`/`union` for And/Or, then a LEFT SEMI
+  * join back onto events. At 100 TB the user-set is small relative to
+  * events, so Catalyst/AQE picks a broadcast semi join — exactly the
+  * reference's HashMap-membership design, but distributed.
+  */
+object Segments {
+
+  private def cmp(c: Column, op: PropOp, v: Any): Column = op match {
+    case PropOp.Eq  => c === lit(v)
+    case PropOp.Neq => c =!= lit(v)
+    case PropOp.Gt  => c > lit(v)
+    case PropOp.Gte => c >= lit(v)
+    case PropOp.Lt  => c < lit(v)
+    case PropOp.Lte => c <= lit(v)
+    case other      => sys.error(s"unsupported segment comparison $other")
+  }
+
+  private def segTimePred(tsCol: Column, t: SegmentTime, reqTime: QueryTime): Column = t match {
+    case SegmentTime.Between(f, to) => tsCol >= lit(f) && tsCol <= lit(to)
+    case SegmentTime.From(f)        => tsCol >= lit(f)
+    case SegmentTime.Last(n, unit)  =>
+      val to = reqTime match {
+        case QueryTime.Between(_, t2) => t2
+        case QueryTime.Last(_, _, now) => now
+        case QueryTime.From(_) => new java.sql.Timestamp(Long.MaxValue / 2)
+      }
+      tsCol >= lit(new java.sql.Timestamp(to.getTime - n * unit.millis)) && tsCol <= lit(to)
+    case SegmentTime.AfterFirstUse  => lit(true) // whole-history default
+    case _: SegmentTime.Each        => lit(true) // handled in userSet (rolling window)
+  }
+
+  /** One condition → DataFrame[user_id] of qualifying users. */
+  def userSet(
+      events: DataFrame, cond: SegmentCondition, reqTime: QueryTime,
+      userCol: String, tsCol: String, eventCol: String): DataFrame = cond match {
+
+    case SegmentCondition.DidEventCount(ev, filters, op, value, SegmentTime.Each(n, unit)) =>
+      // Rolling-window count (reference segmentation/count.rs:29-212 +
+      // time_range.rs `SegmentTime::Each`): qualifies if ANY window of
+      // length n*unit satisfies. Approximated as the reference does —
+      // bucket ts by the window length, count per (user, bucket),
+      // qualify if any bucket satisfies the comparison.
+      val w = n * unit.millis
+      val pred = Exprs.and(
+        ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++ filters.map(Exprs.propPredicate))
+      events.filter(pred)
+        .groupBy(col(userCol), (unix_millis(col(tsCol)) / lit(w)).cast("long").as("__w"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(cmp(col("__c"), op, value))
+        .select(col(userCol)).distinct()
+
+    case SegmentCondition.DidEventCount(ev, filters, op, value, time) =>
+      val pred = Exprs.and(
+        Seq(segTimePred(col(tsCol), time, reqTime)) ++
+          ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+          filters.map(Exprs.propPredicate))
+      events.filter(pred).groupBy(col(userCol))
+        .agg(count(lit(1)).as("__c"))
+        .filter(cmp(col("__c"), op, value))
+        .select(col(userCol))
+
+    case SegmentCondition.DidEventAggregateProperty(ev, filters, prop, fn, op, value, time) =>
+      val pred = Exprs.and(
+        Seq(segTimePred(col(tsCol), time, reqTime)) ++
+          ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+          filters.map(Exprs.propPredicate))
+      val agg = fn match {
+        case AggFn.Count => count(col(prop))
+        case AggFn.Sum   => sum(col(prop))
+        case AggFn.Min   => min(col(prop))
+        case AggFn.Max   => max(col(prop))
+        case AggFn.Avg   => avg(col(prop))
+        case other       => sys.error(s"unsupported segment agg $other")
+      }
+      events.filter(pred).groupBy(col(userCol))
+        .agg(agg.as("__a"))
+        .filter(cmp(col("__a"), op, value))
+        .select(col(userCol))
+
+    case SegmentCondition.HadPropertyValue(prop, op, values) =>
+      events.filter(Exprs.propPredicate(PropFilter(prop, op, values)))
+        .select(col(userCol)).distinct()
+  }
+
+  /** OR of ANDs composition → one user-set (reference
+    * planner/segment.rs And/Or). */
+  def segmentUsers(
+      events: DataFrame, seg: Segment, reqTime: QueryTime,
+      userCol: String, tsCol: String, eventCol: String): DataFrame = {
+    val ands = seg.conditions.map { conj =>
+      conj.map(userSet(events, _, reqTime, userCol, tsCol, eventCol))
+        .reduce(_.intersect(_))
+    }
+    ands.reduce(_.union(_)).distinct()
+  }
+
+  /** Restrict events to a segment's users — LEFT SEMI join, broadcast
+    * by AQE when the user set is small. */
+  def filterToSegment(
+      events: DataFrame, seg: Segment, reqTime: QueryTime,
+      userCol: String, tsCol: String, eventCol: String): DataFrame = {
+    val users = segmentUsers(events, seg, reqTime, userCol, tsCol, eventCol)
+    events.join(users, Seq(userCol), "left_semi")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loading. The reference's storage engine (OptiDB LSM,
+  * storage/src/db.rs) is replaced wholesale by immutable Parquet read
+  * through Spark's vectorized scan — projection pruning and filter
+  * pushdown replace the manual projection indices the reference
+  * computes per-request (reference query/src/event_segmentation.rs:166-237).
+  *
+  * At cluster scale the events table would be written partitioned by
+  * (project_id, date(ts)) so partition pruning handles the tenant and
+  * time filters; the driver-supplied test parquet is a single file, so
+  * here pruning happens via parquet row-group min/max statistics instead.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events stream carries TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects by default; read it as raw ns longs
+    * (legacy.parquet.nanosAsLong) and floor-convert to a µs timestamp
+    * — the same truncation DuckDB's epoch_us applies, so oracles
+    * agree. The conf is dynamic, so this works on any caller session. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+}

@@ -1,0 +1,138 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Request DSL mirroring the reference's JSON query surface
+  * (reference: src/common/src/query.rs — QueryTime, PropValueOperation,
+  * Breakdown, Query enum; src/common/src/funnel.rs — Funnel DSL).
+  * These are plain case classes: the engine compiles them into Spark
+  * DataFrame plans; Catalyst handles all optimization.
+  */
+
+/** Time selector (reference common/src/query.rs:401-422). */
+sealed trait QueryTime
+object QueryTime {
+  /** Closed interval [from, to]. */
+  final case class Between(from: Timestamp, to: Timestamp) extends QueryTime
+  /** Open-ended [from, +inf). */
+  final case class From(from: Timestamp) extends QueryTime
+  /** Last n units ending at `now`. */
+  final case class Last(n: Long, unit: TimeIntervalUnit, now: Timestamp) extends QueryTime
+}
+
+/** Bucketing / window units (reference common/src/query.rs:424-462).
+  * Duration semantics (for funnel windows): Month≈31d, Year≈372d —
+  * calendar semantics are used only for date_trunc bucketing.
+  */
+sealed abstract class TimeIntervalUnit(val truncName: String, val millis: Long)
+object TimeIntervalUnit {
+  case object Second extends TimeIntervalUnit("second", 1000L)
+  case object Minute extends TimeIntervalUnit("minute", 60 * 1000L)
+  case object Hour   extends TimeIntervalUnit("hour", 3600 * 1000L)
+  case object Day    extends TimeIntervalUnit("day", 24 * 3600 * 1000L)
+  case object Week   extends TimeIntervalUnit("week", 7 * 24 * 3600 * 1000L)
+  case object Month  extends TimeIntervalUnit("month", 31 * 24 * 3600 * 1000L)
+  case object Year   extends TimeIntervalUnit("year", 372 * 24 * 3600 * 1000L)
+}
+
+/** Property predicate operations (reference common/src/query.rs:235-262). */
+sealed trait PropOp
+object PropOp {
+  case object Eq       extends PropOp
+  case object Neq      extends PropOp
+  case object Gt       extends PropOp
+  case object Gte      extends PropOp
+  case object Lt       extends PropOp
+  case object Lte      extends PropOp
+  case object True     extends PropOp
+  case object False    extends PropOp
+  case object Exists   extends PropOp
+  case object Empty    extends PropOp
+  case object Like     extends PropOp
+  case object NotLike  extends PropOp
+  case object Regex    extends PropOp
+  case object NotRegex extends PropOp
+}
+
+/** A filter over a (physical) column; multi-value → OR chain
+  * (reference query/src/expr.rs:206-391).
+  */
+final case class PropFilter(column: String, op: PropOp, values: Seq[Any] = Nil)
+
+/** Aggregate function selector (reference common/src/query.rs:27-47). */
+sealed trait AggFn
+object AggFn {
+  case object Count extends AggFn
+  case object Sum   extends AggFn
+  case object Min   extends AggFn
+  case object Max   extends AggFn
+  case object Avg   extends AggFn
+  /** Reference declares these but leaves them unimplemented!(); we
+    * implement them properly (SURVEY.md §2.4). */
+  case object Median extends AggFn
+  final case class Percentile(p: Double) extends AggFn
+  case object DistinctCount extends AggFn
+}
+
+/** Per-event query metric (reference common/src/query.rs Query enum). */
+sealed trait Query
+object Query {
+  case object CountEvents extends Query
+  final case class CountUniqueGroups(unit: Option[TimeIntervalUnit] = None) extends Query
+  final case class AggregateProperty(prop: String, fn: AggFn) extends Query
+  /** Two-level: inner count per group (user), outer agg over groups. */
+  final case class CountPerGroup(outer: AggFn) extends Query
+  /** Two-level: inner agg of prop per group, outer agg over groups. */
+  final case class AggregatePropertyPerGroup(prop: String, inner: AggFn, outer: AggFn) extends Query
+}
+
+final case class NamedQuery(query: Query, name: String)
+
+/** One event block in an event-segmentation request. */
+final case class EventBlock(
+    eventName: Option[String],       // None = all events
+    filters: Seq[PropFilter] = Nil,
+    queries: Seq[NamedQuery] = Nil,
+    breakdowns: Seq[String] = Nil)
+
+/** Breakdown = group-by property (reference only supports Property). */
+final case class Breakdown(column: String)
+
+/** Segment condition DSL (reference common/src/query.rs:313-399). */
+sealed trait SegmentCondition
+object SegmentCondition {
+  /** User did `event` with agg(condition) OP value inside time range. */
+  final case class DidEventCount(
+      eventName: Option[String], filters: Seq[PropFilter],
+      op: PropOp, value: Long, time: SegmentTime) extends SegmentCondition
+  final case class DidEventAggregateProperty(
+      eventName: Option[String], filters: Seq[PropFilter],
+      prop: String, fn: AggFn, op: PropOp, value: Double,
+      time: SegmentTime) extends SegmentCondition
+  final case class HadPropertyValue(
+      prop: String, op: PropOp, values: Seq[Any]) extends SegmentCondition
+}
+
+sealed trait SegmentTime
+object SegmentTime {
+  final case class Between(from: Timestamp, to: Timestamp) extends SegmentTime
+  final case class From(from: Timestamp) extends SegmentTime
+  final case class Last(n: Long, unit: TimeIntervalUnit) extends SegmentTime
+  /** Rolling window: qualifies if ANY window of n units satisfies. */
+  final case class Each(n: Long, unit: TimeIntervalUnit) extends SegmentTime
+  case object AfterFirstUse extends SegmentTime
+}
+
+/** Boolean composition of conditions: OR of ANDs (reference
+  * event_segmentation.rs:456-545 builds And/Or trees). */
+final case class Segment(name: String, conditions: Seq[Seq[SegmentCondition]])
+
+/** The event-segmentation request (reference
+  * platform/src/event_segmentation.rs DTO → common types). */
+final case class EventSegmentationRequest(
+    time: QueryTime,
+    interval: TimeIntervalUnit,
+    events: Seq[EventBlock],
+    filters: Seq[PropFilter] = Nil,
+    breakdowns: Seq[String] = Nil,
+    segments: Seq[Segment] = Nil)

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata structs; decode /
+  * feature-extract / resize / frame-sample run as partition-batched
+  * typed transformations (`mapPartitions` over case classes — the
+  * Scala analog of Python's mapInPandas batching).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): [[StubCodec]] produces deterministic fake decodes
+  * from the payload bytes. The Spark-side contract — schema, batch
+  * shape, partitioning, null handling — is real and tested, so a real
+  * codec drops in by replacing one function.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every binary payload. */
+  final case class MediaMeta(
+      mediaType: String,   // "image" | "audio" | "video"
+      format: String,      // "png", "wav", ...
+      width: Int, height: Int, durationMs: Long)
+
+  final case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  final case class ImageFeatures(
+      id: Long, width: Int, height: Int, channels: Int,
+      meanPixel: Double, features: Array[Float])
+
+  final case class FrameSample(id: Long, frameIdx: Int, frameBytes: Array[Byte])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mediaType", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("durationMs", LongType, nullable = false))), nullable = false)))
+
+  /** Deterministic fake codec: every "decoded" value is a pure
+    * function of the payload bytes. Replace with a real codec
+    * (javax.imageio / ffmpeg bindings) in production. */
+  object StubCodec {
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def decodeImage(payload: Array[Byte], meta: MediaMeta, featureDim: Int): ImageFeatures = {
+      val seed = java.util.Arrays.hashCode(payload).toLong
+      val feats = Array.tabulate(featureDim)(i => (mix(seed + i) % 1000) / 1000.0f)
+      ImageFeatures(0L, meta.width, meta.height, 3,
+        feats.map(_.toDouble).sum / featureDim, feats)
+    }
+    def sampleFrames(payload: Array[Byte], meta: MediaMeta, everyMs: Long): Seq[Array[Byte]] = {
+      val n = math.max(1, (meta.durationMs / math.max(1, everyMs)).toInt)
+      val seed = java.util.Arrays.hashCode(payload).toLong
+      (0 until n).map(i => Array.tabulate(16)(j => (mix(seed + i * 16 + j) & 0xFF).toByte))
+    }
+  }
+
+  /** Decode+featurize images in partition-sized batches. Narrow
+    * transformation: no shuffle, scales with input splits. */
+  def extractImageFeatures(media: Dataset[MediaRow], featureDim: Int = 32): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(r => r.payload != null && r.meta.mediaType == "image").map { r =>
+        StubCodec.decodeImage(r.payload, r.meta, featureDim).copy(id = r.id)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame.
+    * flatMap keeps memory bounded per input row. */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.payload == null || r.meta.mediaType != "video") Iterator.empty
+      else StubCodec.sampleFrames(r.payload, r.meta, everyMs)
+        .iterator.zipWithIndex.map { case (b, i) => FrameSample(r.id, i, b) }
+    }
+  }
+
+  /** Resize metadata transform (pure column op — the pixel work would
+    * live in the codec): clamps dimensions to maxSide preserving
+    * aspect, recorded in the meta struct. */
+  def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = when(greatest(w, h) > maxSide,
+      lit(maxSide).cast("double") / greatest(w, h)).otherwise(lit(1.0))
+    df.withColumn("resized_width", floor(w * scale).cast("int"))
+      .withColumn("resized_height", floor(h * scale).cast("int"))
+  }
+
+  /** Build a MediaRow dataset from any table with a binary-able column
+    * — test harness entry. */
+  def fromBinaryColumn(spark: SparkSession, df: DataFrame, idCol: String,
+                       binCol: String, mediaType: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(binCol).cast("binary").as("payload"),
+      struct(
+        lit(mediaType).as("mediaType"), lit("raw").as("format"),
+        lit(64).as("width"), lit(48).as("height"),
+        lit(5000L).as("durationMs")).as("meta"))
+      .as[MediaRow]
+  }
+}

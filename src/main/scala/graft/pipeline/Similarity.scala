@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: broadcast the (small) query set against
+  *    the corpus — a map-side-only plan, no shuffle of the corpus; the
+  *    top-k is a per-partition heap (row_number over window after a
+  *    shuffle ONLY of the scored pairs, which is |queries|·|corpus|
+  *    rows of 3 columns, not embeddings).
+  *  - LSH (random-hyperplane) buckets: sign-bit signature via seeded
+  *    hash-derived hyperplanes; candidates searched within bucket —
+  *    the 100 TB path, turning all-pairs into per-bucket joins.
+  *  - IVF-style coarse quantization: assign each vector to the nearest
+  *    of k seed centroids (deterministic: corpus rows with lowest ids
+  *    act as seeds), probe only matching cells.
+  *
+  * All dot products run as Catalyst `zip_with`+`aggregate` over
+  * doubles — codegen'd, no UDF (float→double widening is exact).
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two float/double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. `queries` must be small (it is broadcast). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qVec: String, cId: String, cVec: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cos_sim").desc, col(cId).asc)
+    scored
+      .select(col(qId), col(cId), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane,dim):
+    * splitmix64-style avalanche of a seed — reproducible across runs
+    * and engines, no RNG state. Returns a value in {-1.0, +1.0}
+    * (signed random projection / hyperplane LSH). */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val h = xxhash64(lit(plane), dim)
+    when(h.bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)
+  }
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed into a
+    * long. Vectors in the same bucket are near in angle w.h.p. */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: exact cosine within matching buckets only.
+    * Recall < 1 by construction; the scale path for 100 TB corpora. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    val qb = queries.withColumn("__bucket", lshSignature(col(qVec), planes))
+    val cb = corpus.withColumn("__bucket", lshSignature(col(cVec), planes))
+    val scored = cb.join(broadcast(qb), Seq("__bucket"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cos_sim").desc, col(cId).asc)
+    scored.select(col(qId), col(cId), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All near-dup pairs with cosine ≥ threshold, bucketed by LSH so the
+    * pair space never materializes quadratically. */
+  def cosineSelfJoinPairs(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, planes: Int = 6): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", lshSignature(col(vecCol), planes))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim").distinct()
+  }
+
+  /** IVF-style coarse index: the `nCells` lowest-id corpus vectors act
+    * as deterministic seed centroids; every vector is assigned to its
+    * nearest centroid; queries probe only their own cell. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int, nCells: Int = 16): DataFrame = {
+    val centroids = corpus.orderBy(col(cId).asc).limit(nCells)
+      .select(col(cId).as("cell_id"), col(cVec).as("centroid"))
+    def assign(df: DataFrame, vec: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("__d", cosine(col(vec), col("centroid")))
+      val w = Window.partitionBy(df.columns.head).orderBy(col("__d").desc, col("cell_id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__d", "__rn", "centroid")
+    }
+    val qa = assign(queries.select(col(qId), col(qVec)), qVec)
+    val ca = assign(corpus.select(col(cId), col(cVec)), cVec)
+    val scored = ca.join(broadcast(qa), Seq("cell_id"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId).asc)
+    scored.select(col(qId), col(cId), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

