@@ -58,8 +58,11 @@ object TextAnalysis {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
   /** Rolling (polynomial) content hash over tokens — order-sensitive
-    * cousin of [[fingerprint]]; pure Catalyst `aggregate`, no UDF. */
+    * cousin of [[fingerprint]]; pure Catalyst `aggregate`, no UDF.
+    * State is kept below 2^31 so the multiply never overflows under
+    * ANSI mode (Spark 4 default). */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + crc32(t).cast("long"))
+      (acc, t) => (acc * lit(1000003L) + crc32(t).cast("long"))
+        .bitwiseAND(lit(0x7FFFFFFFL)))
 }

@@ -1,0 +1,203 @@
+package graft
+
+import graft.engine.Funnel
+import graft.model.TimeIntervalUnit
+import org.apache.spark.sql.functions._
+
+/** Golden semantics cases for the funnel state machine — each pins one
+  * behavior of the reference's per-user machine (SURVEY.md §2.5 /
+  * reference funnel.rs DebugStep suite):
+  * window-overflow flush+restart, exclude discard+reprocess,
+  * holding-constant discard, Unique skip, NonUnique restart,
+  * dropped_off arithmetic, bucketing by first-step ts.
+  */
+class FunnelSpec extends SparkTestBase {
+
+  private val H = 3600L * 1000 // ms
+  private def steps3 = Seq(
+    col("event_type") === "A", col("event_type") === "B", col("event_type") === "C")
+
+  /** run and index result by step -> (total, dropped_off). */
+  private def run(rows: Seq[(Long, Long, String, String, Double)],
+                  req: Funnel.Request): Map[Int, (Long, Long)] =
+    Funnel.run(spark, eventsDf(rows), req).collect()
+      .map(r => r.getAs[Int]("step") ->
+        (r.getAs[Long]("total"), r.getAs[Long]("dropped_off"))).toMap
+
+  test("simple 3-step completion with times") {
+    val out = Funnel.run(spark, eventsDf(Seq(
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 1000L, "B", "ios", 1.0),
+      (1L, 3000L, "C", "ios", 1.0))),
+      Funnel.Request(steps3, windowMs = 10 * H)).collect()
+    assert(out.length == 3)
+    val byStep = out.map(r => r.getAs[Int]("step") -> r).toMap
+    assert(byStep(1).getAs[Long]("total") == 1)
+    assert(byStep(3).getAs[Long]("total") == 1)
+    assert(byStep(1).getAs[Double]("conversion_ratio") == 100.0)
+    assert(byStep(3).getAs[Double]("conversion_ratio") == 100.0)
+    // times are µs: B-A = 1s, C-B = 2s; from start C-A = 3s
+    assert(byStep(2).getAs[Double]("avg_time_to_convert") == 1e6)
+    assert(byStep(3).getAs[Double]("avg_time_to_convert") == 2e6)
+    assert(byStep(3).getAs[Double]("avg_time_to_convert_from_start") == 3e6)
+  }
+
+  test("window overflow flushes partial and restarts from current row") {
+    // A opens; B arrives outside window -> partial(1 step) flushed, B
+    // re-tested at step0 (no match); nothing else matches.
+    val m = run(Seq(
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 20000L, "B", "ios", 1.0),
+      (1L, 21000L, "C", "ios", 1.0)),
+      Funnel.Request(steps3, windowMs = 10000))
+    assert(m(1) == ((1L, 0L)))
+    assert(m(2) == ((0L, 1L))) // dropped_off = total[0]-total[1]
+    assert(m(3) == ((0L, 0L)))
+  }
+
+  test("restart-from-current-row can begin a new attempt") {
+    // second A both overflows the window AND starts the new attempt
+    val m = run(Seq(
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 20000L, "A", "ios", 1.0),
+      (1L, 21000L, "B", "ios", 1.0),
+      (1L, 22000L, "C", "ios", 1.0)),
+      Funnel.Request(steps3, windowMs = 10000))
+    assert(m(1) == ((2L, 0L))) // partial attempt + completed attempt
+    assert(m(2) == ((1L, 1L)))
+    assert(m(3) == ((1L, 0L)))
+  }
+
+  test("exclude event mid-funnel discards the attempt (not counted)") {
+    val out = Funnel.run(spark, eventsDf(Seq(
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 1000L, "X", "ios", 1.0),
+      (1L, 2000L, "B", "ios", 1.0),
+      (1L, 3000L, "C", "ios", 1.0))),
+      Funnel.Request(steps3, windowMs = 10 * H,
+        exclude = Seq(Funnel.Exclude(col("event_type") === "X", 1, 2))))
+    assert(out.isEmpty) // discarded attempt produces nothing at all
+  }
+
+  test("exclude then a fresh attempt later still completes") {
+    val m = run(Seq(
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 1000L, "X", "ios", 1.0),
+      (1L, 4000L, "A", "ios", 1.0),
+      (1L, 5000L, "B", "ios", 1.0),
+      (1L, 6000L, "C", "ios", 1.0)),
+      Funnel.Request(steps3, windowMs = 10 * H,
+        exclude = Seq(Funnel.Exclude(col("event_type") === "X", 1, 2))))
+    assert(m(1) == ((1L, 0L)))
+    assert(m(3) == ((1L, 0L)))
+  }
+
+  test("holding-constant violation discards the attempt") {
+    val out = Funnel.run(spark, eventsDf(Seq(
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 1000L, "B", "android", 1.0),
+      (1L, 2000L, "C", "ios", 1.0))),
+      Funnel.Request(steps3, windowMs = 10 * H, constants = Seq("device")))
+    assert(out.isEmpty)
+  }
+
+  test("holding-constant satisfied when values match") {
+    val m = run(Seq(
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 1000L, "B", "ios", 1.0),
+      (1L, 2000L, "C", "ios", 1.0)),
+      Funnel.Request(steps3, windowMs = 10 * H, constants = Seq("device")))
+    assert(m(3) == ((1L, 0L)))
+  }
+
+  test("Unique counts one completion per user, NonUnique counts all") {
+    val rows = Seq(
+      (1L, 0L, "A", "ios", 1.0), (1L, 1000L, "B", "ios", 1.0), (1L, 2000L, "C", "ios", 1.0),
+      (1L, 3000L, "A", "ios", 1.0), (1L, 4000L, "B", "ios", 1.0), (1L, 5000L, "C", "ios", 1.0))
+    val uniq = run(rows, Funnel.Request(steps3, windowMs = 10 * H, count = Funnel.Unique))
+    assert(uniq(3) == ((1L, 0L)))
+    val non = run(rows, Funnel.Request(steps3, windowMs = 10 * H, count = Funnel.NonUnique))
+    assert(non(1) == ((2L, 0L)))
+    assert(non(3) == ((2L, 0L)))
+  }
+
+  test("multi-user totals, ratios and dropped_off arithmetic") {
+    // u1 completes, u2 reaches B, u3 only A
+    val m = Funnel.run(spark, eventsDf(Seq(
+      (1L, 0L, "A", "ios", 1.0), (1L, 1L, "B", "ios", 1.0), (1L, 2L, "C", "ios", 1.0),
+      (2L, 0L, "A", "ios", 1.0), (2L, 1L, "B", "ios", 1.0),
+      (3L, 0L, "A", "ios", 1.0))),
+      Funnel.Request(steps3, windowMs = 10 * H)).collect()
+      .map(r => r.getAs[Int]("step") -> r).toMap
+    assert(m(1).getAs[Long]("total") == 3)
+    assert(m(2).getAs[Long]("total") == 2)
+    assert(m(3).getAs[Long]("total") == 1)
+    assert(m(2).getAs[Long]("dropped_off") == 1)
+    assert(m(3).getAs[Long]("dropped_off") == 1)
+    assert(math.abs(m(2).getAs[Double]("conversion_ratio") - 66.6667) < 1e-3)
+    assert(math.abs(m(3).getAs[Double]("drop_off_ratio") - 50.0) < 1e-9)
+  }
+
+  test("bucketing by first-step timestamp day") {
+    val day = 24 * 3600L * 1000
+    val out = Funnel.run(spark, eventsDf(Seq(
+      (1L, 0L, "A", "ios", 1.0), (1L, 1000L, "B", "ios", 1.0), (1L, 2000L, "C", "ios", 1.0),
+      // u2 starts on day 2 (first step ts decides the bucket even if
+      // completion lands on day 3)
+      (2L, day + 5000L, "A", "ios", 1.0),
+      (2L, 2 * day + 1000L, "B", "ios", 1.0),
+      (2L, 2 * day + 2000L, "C", "ios", 1.0))),
+      Funnel.Request(steps3, windowMs = 3 * day, interval = Some(TimeIntervalUnit.Day)))
+      .collect()
+    val buckets = out.map(_.getAs[java.sql.Timestamp]("bucket").toInstant.toString).distinct.sorted.toSeq
+    assert(buckets == Seq("1970-01-01T00:00:00Z", "1970-01-02T00:00:00Z"))
+    assert(out.length == 6) // 2 buckets × 3 steps
+  }
+
+  test("breakdown groups key the result") {
+    val out = Funnel.run(spark, eventsDf(Seq(
+      (1L, 0L, "A", "ios", 1.0), (1L, 1000L, "B", "ios", 1.0), (1L, 2000L, "C", "ios", 1.0),
+      (2L, 0L, "A", "android", 1.0), (2L, 1000L, "B", "android", 1.0))),
+      Funnel.Request(steps3, windowMs = 10 * H, breakdowns = Seq("device")))
+      .collect()
+    val ios = out.filter(_.getAs[String]("device") == "ios")
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("total")).toMap
+    val and = out.filter(_.getAs[String]("device") == "android")
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("total")).toMap
+    assert(ios == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+    assert(and == Map(1 -> 1L, 2 -> 1L, 3 -> 0L))
+  }
+
+  test("DropOffOnStep keeps exactly-n attempts; TimeToConvert windows") {
+    val rows = Seq(
+      (1L, 0L, "A", "ios", 1.0), (1L, 1000L, "B", "ios", 1.0), (1L, 2000L, "C", "ios", 1.0),
+      (2L, 0L, "A", "ios", 1.0), (2L, 1000L, "B", "ios", 1.0))
+    val drop = run(rows, Funnel.Request(steps3, windowMs = 10 * H,
+      filter = Some(Funnel.DropOffOnStep(1))))
+    assert(drop(1) == ((1L, 0L))) // only u2's 2-step attempt survives
+    assert(drop(2) == ((1L, 0L)))
+    assert(drop(3) == ((0L, 1L)))
+    val ttc = run(rows, Funnel.Request(steps3, windowMs = 10 * H,
+      filter = Some(Funnel.TimeToConvert(0, 1500))))
+    assert(ttc.isEmpty) // u1 converts in 2000 ms > 1500
+    val ttc2 = run(rows, Funnel.Request(steps3, windowMs = 10 * H,
+      filter = Some(Funnel.TimeToConvert(0, 2500))))
+    assert(ttc2(3) == ((1L, 0L)))
+  }
+
+  test("input order does not matter (sortWithinPartitions restores time order)") {
+    val m = run(Seq(
+      (1L, 2000L, "C", "ios", 1.0),
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 1000L, "B", "ios", 1.0)),
+      Funnel.Request(steps3, windowMs = 10 * H))
+    assert(m(3) == ((1L, 0L)))
+  }
+
+  test("zero-step users produce no rows at all") {
+    val out = Funnel.run(spark, eventsDf(Seq(
+      (1L, 0L, "Z", "ios", 1.0), (2L, 10L, "B", "ios", 1.0))),
+      Funnel.Request(steps3, windowMs = 10 * H))
+    assert(out.isEmpty)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs(Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"))), "doc_id", Seq("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(d == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingles and jaccard behave") {
+    val df = docs(Seq((1L, "a b c d"))).select(
+      Dedup.shingles(col("text"), 2).as("sh"))
+    val sh = df.collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+  }
+
+  test("minhash LSH finds identical and near-identical docs") {
+    val pairs = Dedup.minhashDupPairs(docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear here in this text"),
+      (4L, "the quick brown fox jumps over the lazy cat today"))),
+      "doc_id", "text", shingleN = 2, numHashes = 16, bands = 8, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash identical docs have hamming 0") {
+    val out = Dedup.simhashDupPairs(docs(Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated content entirely different"))), "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    assert(out((1L, 2L)) == 0)
+  }
+
+  test("ngram jaccard pairs detect overlap within blocks") {
+    val out = Dedup.ngramJaccardPairs(docs(Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a q r s t"))),
+      "doc_id", "text", n = 2, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("text analysis: tokens, quality, fingerprint invariance") {
+    val df = TextAnalysis.withQuality(docs(Seq((1L, "aa b cccc dd"))), "text")
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_long_tokens") == 1) // cccc
+    assert(r.getAs[Double]("mean_token_len") == 9.0 / 4)
+    // fingerprint invariant under word order + duplication
+    val fp = docs(Seq((1L, "a b c"), (2L, "c b a"), (3L, "a a b c c")))
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fp.distinct.length == 1)
+    // rolling hash is order-sensitive
+    val rh = docs(Seq((1L, "a b c"), (2L, "c b a")))
+      .select(TextAnalysis.rollingHash(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(rh(0) != rh(1))
+  }
+
+  test("language id marker chain") {
+    val out = docs(Seq(
+      (1L, "the cat sat"), (2L, "le chat"), (3L, "xyz qqq")))
+      .select(TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "fr", "und"))
+  }
+
+  test("cosine top-k ranks by similarity with id tiebreak") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val out = Similarity.bruteForceTopK(q, corpus, "q_id", "q_vec", "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(out == Seq(4L, 2L)) // 4 is closer to (1,0) than 2; 3 orthogonal
+  }
+
+  test("embedding near-dup pairs via LSH buckets") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.001f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(df, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("multimodal stub plumbing: features deterministic, frames sampled") {
+    import spark.implicits._
+    val media = Multimodal.fromBinaryColumn(spark,
+      docs(Seq((1L, "payload one"), (2L, "payload one"), (3L, "other"))),
+      "doc_id", "text", "image")
+    val feats = Multimodal.extractImageFeatures(media, featureDim = 8).collect()
+    assert(feats.length == 3)
+    val byId = feats.map(f => f.id -> f.features.toSeq).toMap
+    assert(byId(1L) == byId(2L)) // same payload -> same fake decode
+    assert(byId(1L) != byId(3L))
+    val video = Multimodal.fromBinaryColumn(spark,
+      docs(Seq((7L, "vid"))), "doc_id", "text", "video")
+    val frames = Multimodal.sampleVideoFrames(video, everyMs = 1000).collect()
+    assert(frames.length == 5) // 5000 ms / 1000
+    assert(frames.map(_.frameIdx).toSeq == (0 until 5))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.engine._
+import graft.model._
+import org.apache.spark.sql.functions._
+
+class SegmentationSpec extends SparkTestBase {
+
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+  private val range = QueryTime.Between(ts("1970-01-01T00:00:00Z"), ts("1971-01-01T00:00:00Z"))
+  private val day = 24 * 3600L * 1000
+
+  private val rows = Seq(
+    (1L, 0L, "view", "ios", 10.0),
+    (1L, 1000L, "buy", "ios", 100.0),
+    (1L, day + 1000L, "buy", "ios", 50.0),
+    (2L, 2000L, "view", "android", 20.0),
+    (2L, 3000L, "view", "android", 30.0),
+    (3L, day + 500L, "buy", "osx", 70.0))
+
+  test("CountEvents by day with breakdown") {
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+      breakdowns = Seq("event_type"))
+    val out = EventSegmentation.run(eventsDf(rows), req)
+      .select(to_date(col("bucket")).cast("string").as("d"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("1970-01-01", "view")) == 3)
+    assert(out(("1970-01-01", "buy")) == 1)
+    assert(out(("1970-01-02", "buy")) == 2)
+  }
+
+  test("two-level CountPerGroup and AggregatePropertyPerGroup") {
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(EventBlock(None, queries = Seq(
+        NamedQuery(Query.CountPerGroup(AggFn.Avg), "avg_epu"),
+        NamedQuery(Query.AggregatePropertyPerGroup("value", AggFn.Sum, AggFn.Max), "max_user_sum"),
+        NamedQuery(Query.CountUniqueGroups(), "users")))))
+    val out = EventSegmentation.run(eventsDf(rows), req)
+      .select(to_date(col("bucket")).cast("string").as("d"),
+        col("avg_epu"), col("max_user_sum"), col("users"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    // day1: u1 has 2 events (110), u2 has 2 events (50) -> avg 2.0, max 110
+    assert(out("1970-01-01") == ((2.0, 110.0, 2L)))
+    // day2: u1 one event 50, u3 one event 70
+    assert(out("1970-01-02") == ((1.0, 70.0, 2L)))
+  }
+
+  test("event filter + property filter narrow the block") {
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(EventBlock(Some("buy"),
+        filters = Seq(PropFilter("value", PropOp.Gte, Seq(60.0))),
+        queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+    val out = EventSegmentation.run(eventsDf(rows), req)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(out == 2) // 100.0 and 70.0
+  }
+
+  test("segment semi-join keeps only qualifying users") {
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+      segments = Seq(Segment("buyers2", Seq(Seq(
+        SegmentCondition.DidEventCount(Some("buy"), Nil, PropOp.Gte, 2,
+          SegmentTime.Between(ts("1970-01-01T00:00:00Z"), ts("1971-01-01T00:00:00Z"))))))))
+    val out = EventSegmentation.run(eventsDf(rows), req)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(out == 3) // only u1's 3 events
+  }
+
+  test("segment OR composition unions user sets") {
+    val seg = Segment("mix", Seq(
+      Seq(SegmentCondition.DidEventCount(Some("buy"), Nil, PropOp.Gte, 2,
+        SegmentTime.Between(ts("1970-01-01T00:00:00Z"), ts("1971-01-01T00:00:00Z")))),
+      Seq(SegmentCondition.HadPropertyValue("device", PropOp.Eq, Seq("osx")))))
+    val users = Segments.segmentUsers(eventsDf(rows), seg, range,
+      "user_id", "ts", "event_type").collect().map(_.getLong(0)).toSet
+    assert(users == Set(1L, 3L))
+  }
+
+  test("multi-block merge unions by name with missing columns null") {
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(
+        EventBlock(Some("buy"), queries = Seq(NamedQuery(Query.AggregateProperty("value", AggFn.Sum), "sum_v"))),
+        EventBlock(Some("view"), queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+    val out = EventSegmentation.run(eventsDf(rows), req)
+    assert(out.columns.toSet == Set("bucket", "sum_v", "cnt", "event", "segment"))
+    val buyRows = out.filter(col("event") === "buy").collect()
+    assert(buyRows.forall(_.isNullAt(out.columns.indexOf("cnt"))))
+  }
+}
