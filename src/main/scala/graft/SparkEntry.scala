@@ -254,6 +254,31 @@ object SparkEntry {
         .select("d", "event_type", "cnt")
     }),
 
+    // §2.2 custom event: recursive OR-of-members expansion
+    "q_custom_event" -> ((s, dir) => {
+      val engagement = CustomEvent("engagement", Seq(
+        CustomEventMember.Event(Some("click")),
+        CustomEventMember.Custom(CustomEvent("big_view", Seq(
+          CustomEventMember.Event(Some("view"),
+            Seq(PropFilter("value", PropOp.Gt, Seq(100.0)))))))))
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")),
+          customEvent = Some(engagement))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.10 DictionaryDecode: encode to keys, decode via broadcast join
+    "q_dict_decode" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dict = Dictionary.build(ev, "event_type")
+      val enc = Dictionary.encode(ev, dict, "event_type", "ek")
+      val dec = Dictionary.decode(enc, dict, "ek", "event_type")
+      dec.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(dict.select(col("value").as("event_type"), col("key"))), "event_type")
+    }),
+
     // §2.5 funnel — full state machine (no SQL equivalent; rows-only)
     "q_funnel" -> ((s, dir) => {
       Funnel.run(s, events(s, dir), Funnel.Request(
@@ -276,6 +301,30 @@ object SparkEntry {
         count = Funnel.Unique))
         .select(col("step"), col("total"), col("conversion_ratio"),
           col("avg_time_to_convert"), col("avg_time_to_convert_from_start"))
+    }),
+
+    // §2.5 funnel with an any-order step group (StepOrder::Any; rows-only)
+    "q_funnel_any" -> ((s, dir) => {
+      Funnel.run(s, events(s, dir), Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = 7L * 24 * 3600 * 1000,
+        anyOrderGroups = Seq((0, 1)), // view/click in any order, then purchase
+        count = Funnel.Unique))
+        .select(col("step"), col("total"), col("conversion_ratio"))
+    }),
+
+    // §3.1 Regular output format: pivoted time columns + row-average +
+    // top-k groups (rows-only; the pivot itself is oracled by q_pivot)
+    "q_es_pivoted" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = QueryTime.Between(ts("2024-01-05T00:00:00Z"), ts("2024-01-09T23:59:59Z")),
+        interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(
+          NamedQuery(Query.CountEvents, "cnt"),
+          NamedQuery(Query.CountUniqueGroups(), "uniq")))),
+        breakdowns = Seq("event_type"))
+      EventSegmentation.runPivoted(events(s, dir), req, topGroups = 50)
     }),
 
     // pipeline: exact dedup by content digest
@@ -474,6 +523,21 @@ object SparkEntry {
              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
              HAVING count(*) >= 3))
          GROUP BY 1""",
+
+    "q_custom_event" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE
+           AND (event_type = 'click' OR (event_type = 'view' AND value > 100.0))
+         GROUP BY 1""",
+
+    "q_dict_decode" ->
+      """WITH d AS (SELECT event_type AS v,
+                    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS key
+                    FROM (SELECT DISTINCT event_type FROM events
+                          WHERE event_type IS NOT NULL))
+         SELECT v AS event_type, count(*) AS cnt, d.key
+         FROM events JOIN d ON events.event_type = d.v
+         GROUP BY 1, 3""",
 
     "q_records_search" ->
       s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us

@@ -106,6 +106,7 @@ object EventSegmentation {
     val preds =
       Seq(Exprs.timePredicate(col(TsCol), req.time)) ++
         block.eventName.map(Exprs.eventPredicate(col(EventCol), _)).toSeq ++
+        block.customEvent.map(Exprs.customEventPredicate(col(EventCol), _)).toSeq ++
         (req.filters ++ block.filters).map(Exprs.propPredicate)
     val filtered = events.filter(Exprs.and(preds))
     val bucketCol = Exprs.bucket(col(TsCol), req.interval).as("bucket")
@@ -140,8 +141,46 @@ object EventSegmentation {
       (segName, segEvents) <- segmented
       block <- req.events
     } yield eventFrame(segEvents, req, block)
-      .withColumn("event", lit(block.eventName.getOrElse("all")))
+      .withColumn("event", lit(block.customEvent.map(_.name)
+        .orElse(block.eventName).getOrElse("all")))
       .withColumn("segment", lit(segName))
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Materialized time range of a request (for the precomputed pivot
+    * bucket list — reference common/src/query.rs:464-518). */
+  def timeRange(t: QueryTime): (java.sql.Timestamp, java.sql.Timestamp) = t match {
+    case QueryTime.Between(f, to)   => (f, to)
+    case QueryTime.Last(n, u, now)  => (new java.sql.Timestamp(now.getTime - n * u.millis), now)
+    case QueryTime.From(f)          => (f, f) // unbounded: single bucket
+  }
+
+  /** The reference's Regular output format (§3.1 plan tail): long-form
+    * metrics are melted to (agg_name, value), pivoted over the
+    * PRECOMPUTED bucket list of the query range (missing buckets
+    * appear as null columns), a row-average column is appended, rows
+    * sort by it, and only the top-k group tuples survive
+    * (reference Unpivot → Pivot → AggregateAndSortColumns →
+    * LimitGroups(50) → ReorderColumns, event_segmentation.rs:630-730). */
+  def runPivoted(events: DataFrame, req: EventSegmentationRequest,
+                 topGroups: Int = 50): DataFrame = {
+    val long = run(events, req)
+    val bds = (req.breakdowns ++ req.events.flatMap(_.breakdowns)).distinct
+    val idCols = Seq("segment", "event") ++ bds
+    val metricCols = long.columns.toSeq.diff(idCols :+ "bucket")
+    val melted = Reshape.unpivot(long, idCols :+ "bucket", metricCols)
+    val (from, to) = timeRange(req.time)
+    val buckets = Reshape.timeColumns(from, to, req.interval)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    val bucketNames = buckets.map(b => fmt.format(b.toInstant))
+    val wide = Reshape.pivot(
+      melted.withColumn("__b", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss")),
+      idCols :+ "agg_name", "__b", bucketNames, "value")
+    val sorted = Reshape.aggregateAndSortColumns(wide, bucketNames)
+    val limited =
+      if (bds.isEmpty) sorted
+      else Reshape.limitGroups(sorted, bds, "average", topGroups)
+    Reshape.reorderColumns(limited, idCols :+ "agg_name")
   }
 }

@@ -27,6 +27,19 @@ object Exprs {
     */
   def eventPredicate(eventCol: Column, name: String): Column = eventCol === lit(name)
 
+  /** Custom-event predicate: recursive OR over members, each member
+    * ANDed with its own filters (reference expr.rs:60-115 expands
+    * custom events at plan-build time; metadata/src/custom_events.rs
+    * holds the recursive definition). Stays one boolean Column, so it
+    * pushes down to the scan like any other filter. */
+  def customEventPredicate(eventCol: Column, ce: CustomEvent): Column =
+    ce.members.map {
+      case CustomEventMember.Event(name, filters) =>
+        and(name.map(eventPredicate(eventCol, _)).toSeq ++ filters.map(propPredicate))
+      case CustomEventMember.Custom(inner) =>
+        customEventPredicate(eventCol, inner)
+    }.reduce(_ || _)
+
   /** Property predicate: ops per reference common/src/query.rs:235-262,
     * multi-value → OR chain (isin), built in expr.rs:299-391.
     */

@@ -63,6 +63,10 @@ object Funnel {
       filter: Option[AttemptFilter] = None,
       interval: Option[TimeIntervalUnit] = None,
       breakdowns: Seq[String] = Nil,
+      /** Inclusive 0-based slot ranges whose steps may complete in any
+        * order (reference StepOrder::Any(ranges)); slots outside any
+        * range are Exact. Ranges must not overlap. */
+      anyOrderGroups: Seq[(Int, Int)] = Nil,
       userCol: String = "user_id",
       tsCol: String = "ts")
 
@@ -94,30 +98,43 @@ object Funnel {
       t.toInstant.toEpochMilli
   }
 
-  /** The per-user state machine. Emitted attempts accumulate in a
-    * small buffer drained by the caller after every row — state is
-    * O(steps) per user, output is streamed, nothing unbounded. */
+  /** The per-user state machine over (groupOf-labelled) slots. Exact
+    * slots form singleton groups; an any-order group's slots may fill
+    * in any order, and its timestamps are normalized ascending once
+    * the group completes. Emitted attempts accumulate in a small
+    * buffer drained by the caller after every row — state is O(steps)
+    * per user, output is streamed, nothing unbounded. */
   private[engine] final class Machine(
       nSteps: Int, windowMs: Long, excludes: Array[(Int, Int)],
-      nConsts: Int, unique: Boolean, interval: Option[TimeIntervalUnit]) {
+      nConsts: Int, unique: Boolean, interval: Option[TimeIntervalUnit],
+      groupOf: Array[Int]) {
 
     private val out = scala.collection.mutable.ArrayBuffer[Attempt]()
-    private var curStep = 0
     private val stepTs = new Array[Long](nSteps)
+    private val filled = new Array[Boolean](nSteps)
+    private var filledCount = 0
+    private var startTs = 0L
     private var heldConsts: Array[String] = null
     private var firstBds: Array[String] = null
     private var userDone = false
     private var curUser = Long.MinValue
     private var haveUser = false
 
-    private def reset(): Unit = { curStep = 0; heldConsts = null; firstBds = null }
+    private def reset(): Unit = {
+      filledCount = 0; heldConsts = null; firstBds = null
+      java.util.Arrays.fill(filled, false)
+    }
 
     private def flush(): Unit = {
-      if (curStep > 0) { // steps_completed==0 → no result (funnel.rs:185)
+      if (filledCount > 0) { // steps_completed==0 → no result (funnel.rs:185)
+        val tsSorted = new Array[Long](filledCount)
+        var i = 0; var k = 0
+        while (i < nSteps) { if (filled(i)) { tsSorted(k) = stepTs(i); k += 1 }; i += 1 }
+        java.util.Arrays.sort(tsSorted)
         val ts = new Array[java.lang.Long](nSteps)
-        var i = 0
-        while (i < curStep) { ts(i) = stepTs(i); i += 1 }
-        out += Attempt(truncMs(interval, stepTs(0)), firstBds, curStep, ts)
+        i = 0
+        while (i < filledCount) { ts(i) = tsSorted(i); i += 1 }
+        out += Attempt(truncMs(interval, tsSorted(0)), firstBds, filledCount, ts)
       }
       reset()
     }
@@ -132,35 +149,56 @@ object Funnel {
       true
     }
 
+    /** Lowest unfilled slot in the active group matching this row, or
+      * -1. The active group is the group of the first unfilled slot;
+      * Exact slots are singleton groups, so this degenerates to the
+      * classic cur-step check. */
+    private def matchSlot(r: FRow): Int = {
+      var first = 0
+      while (first < nSteps && filled(first)) first += 1
+      if (first == nSteps) return -1
+      val g = groupOf(first)
+      var q = first
+      while (q < nSteps && groupOf(q) == g) {
+        if (!filled(q) && r.steps(q)) return q
+        q += 1
+      }
+      -1
+    }
+
     def onRow(r: FRow): Unit = {
       if (!haveUser || r.user != curUser) { flush(); curUser = r.user; haveUser = true; userDone = false }
       if (userDone) return
       var reprocess = true
       while (reprocess) {
         reprocess = false
-        if (curStep > 0) {
-          if (r.ts - stepTs(0) > windowMs) { flush(); reprocess = true }
+        if (filledCount > 0) {
+          if (r.ts - startTs > windowMs) { flush(); reprocess = true }
           else {
             var i = 0
             var excluded = false
             while (i < excludes.length && !excluded) {
-              if (r.excl(i) && curStep >= excludes(i)._1 && curStep <= excludes(i)._2)
+              if (r.excl(i) && filledCount >= excludes(i)._1 && filledCount <= excludes(i)._2)
                 excluded = true
               i += 1
             }
             if (excluded) { reset(); reprocess = true } // discard, re-process row
           }
         }
-        if (!reprocess && curStep < nSteps && r.steps(curStep)) {
-          if (curStep > 0 && nConsts > 0 && !sameConsts(heldConsts, r.consts)) {
-            reset(); reprocess = true // constant violation (funnel.rs:554-590)
-          } else {
-            if (curStep == 0) { heldConsts = r.consts; firstBds = r.bds }
-            stepTs(curStep) = r.ts
-            curStep += 1
-            if (curStep == nSteps) {
-              flush()
-              if (unique) userDone = true
+        if (!reprocess) {
+          val slot = matchSlot(r)
+          if (slot >= 0) {
+            if (filledCount > 0 && nConsts > 0 && !sameConsts(heldConsts, r.consts)) {
+              reset(); reprocess = true // constant violation (funnel.rs:554-590)
+            } else {
+              if (filledCount == 0) { heldConsts = r.consts; firstBds = r.bds; startTs = r.ts }
+              stepTs(slot) = r.ts
+              filled(slot) = true
+              filledCount += 1
+              if (filledCount == nSteps) {
+                flush()
+                if (unique) userDone = true
+              }
             }
           }
         }
@@ -178,9 +216,10 @@ object Funnel {
     * with each user wholly inside one partition. */
   private def runMachine(
       it: Iterator[FRow], n: Int, windowMs: Long, excludes: Array[(Int, Int)],
-      nConsts: Int, unique: Boolean, interval: Option[TimeIntervalUnit]): Iterator[Attempt] =
+      nConsts: Int, unique: Boolean, interval: Option[TimeIntervalUnit],
+      groupOf: Array[Int]): Iterator[Attempt] =
     new Iterator[Attempt] {
-      private val m = new Machine(n, windowMs, excludes, nConsts, unique, interval)
+      private val m = new Machine(n, windowMs, excludes, nConsts, unique, interval, groupOf)
       private var buf: IndexedSeq[Attempt] = IndexedSeq.empty
       private var idx = 0
       private var ended = false
@@ -225,10 +264,14 @@ object Funnel {
     val unique = req.count == Unique
     val nConsts = req.constants.size
 
+    val groupOf = Array.tabulate(n)(i => i)
+    for ((a, b) <- req.anyOrderGroups; i <- a to b) groupOf(i) = a
+
     val attempts: Dataset[Attempt] = slim.as[FRow]
       .repartition(col("user"))
       .sortWithinPartitions(col("user"), col("ts"))
-      .mapPartitions(it => runMachine(it, n, windowUs, excludeRanges, nConsts, unique, interval))
+      .mapPartitions(it =>
+        runMachine(it, n, windowUs, excludeRanges, nConsts, unique, interval, groupOf))
 
     // Attempt-level post-filters (funnel.rs:196-204).
     val filtered = req.filter match {

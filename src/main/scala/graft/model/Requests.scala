@@ -88,12 +88,25 @@ object Query {
 
 final case class NamedQuery(query: Query, name: String)
 
+/** Custom event: a named OR of member events, each with its own
+  * filters; members may recursively reference other custom events
+  * (reference metadata/src/custom_events.rs:52,294-315 — expansion
+  * happens at plan-build time, query/src/expr.rs:60-115). */
+final case class CustomEvent(name: String, members: Seq[CustomEventMember])
+sealed trait CustomEventMember
+object CustomEventMember {
+  final case class Event(eventName: Option[String], filters: Seq[PropFilter] = Nil)
+    extends CustomEventMember
+  final case class Custom(custom: CustomEvent) extends CustomEventMember
+}
+
 /** One event block in an event-segmentation request. */
 final case class EventBlock(
     eventName: Option[String],       // None = all events
     filters: Seq[PropFilter] = Nil,
     queries: Seq[NamedQuery] = Nil,
-    breakdowns: Seq[String] = Nil)
+    breakdowns: Seq[String] = Nil,
+    customEvent: Option[CustomEvent] = None)
 
 /** Breakdown = group-by property (reference only supports Property). */
 final case class Breakdown(column: String)

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale storage layout. The reference's OptiDB is a
+  * WAL + memtable + leveled-parquet LSM sorted by (project_id, user)
+  * (reference storage/src/db.rs, SURVEY.md §2.1); on Spark the whole
+  * LSM disappears: immutable parquet partitioned by (project, date)
+  * gives partition pruning for the two filters every query carries
+  * (tenant + time range), and in-file sorting by (user, ts) gives
+  * row-group locality for the per-user operators (funnel, two-level
+  * aggs). Compaction ≈ rewrite; replacing tables ≈ dedup-on-read or
+  * periodic [[compactGroupTable]].
+  */
+object Store {
+
+  /** Write events for scale: directory-partitioned by date (and
+    * project when present), sorted by (user, ts) within files so
+    * per-user scans cluster. */
+  def writeEvents(df: DataFrame, path: String,
+                  userCol: String = "user_id", tsCol: String = "ts"): Unit = {
+    val withDate = df.withColumn("event_date", to_date(col(tsCol)))
+    val parts =
+      if (df.columns.contains("project_id")) Seq("project_id", "event_date")
+      else Seq("event_date")
+    withDate
+      .repartition(col("event_date"))
+      .sortWithinPartitions((parts.drop(1) ++ Seq(userCol, tsCol)).map(col): _*)
+      .write
+      .partitionBy(parts: _*)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Replacing-table compaction: keep the latest version per id —
+    * the LSM replace-on-merge of the reference's group tables
+    * (cmd/src/lib.rs:270 is_replacing), as a periodic rewrite. */
+  def compactGroupTable(df: DataFrame, idCols: Seq[String],
+                        versionCol: String): DataFrame = {
+    val w = Window.partitionBy(idCols.map(col): _*).orderBy(col(versionCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.engine._
+import graft.model._
+import graft.sources.Store
+import org.apache.spark.sql.functions._
+
+/** Dictionary, custom events, any-order funnel groups, Regular-format
+  * pivot tail, partitioned store layout. */
+class ExtensionsSpec extends SparkTestBase {
+
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+  private val range = QueryTime.Between(ts("1970-01-01T00:00:00Z"), ts("1971-01-01T00:00:00Z"))
+
+  test("dictionary build/encode/decode roundtrip") {
+    val ev = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 1.0), (2L, 1L, "buy", "ios", 1.0),
+      (3L, 2L, "view", "osx", 1.0)))
+    val dict = Dictionary.build(ev, "event_type")
+    val keys = dict.collect().map(r => r.getAs[String]("value") -> r.getAs[Long]("key")).toMap
+    assert(keys == Map("buy" -> 1L, "view" -> 2L)) // keyed in value order
+    val enc = Dictionary.encode(ev, dict, "event_type", "ek")
+    assert(!enc.columns.contains("event_type"))
+    val dec = Dictionary.decode(enc, dict, "ek", "event_type")
+    assert(dec.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("view" -> 2L, "buy" -> 1L))
+  }
+
+  test("custom event predicate expands recursively with member filters") {
+    val ce = CustomEvent("outer", Seq(
+      CustomEventMember.Event(Some("buy")),
+      CustomEventMember.Custom(CustomEvent("inner", Seq(
+        CustomEventMember.Event(Some("view"), Seq(PropFilter("value", PropOp.Gt, Seq(15.0)))))))))
+    val ev = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 10.0),   // view but value too small
+      (1L, 1L, "view", "ios", 20.0),   // matches inner
+      (1L, 2L, "buy", "ios", 1.0),     // matches outer
+      (1L, 3L, "error", "ios", 99.0))) // no
+    val n = ev.filter(Exprs.customEventPredicate(col("event_type"), ce)).count()
+    assert(n == 2)
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")),
+        customEvent = Some(ce))))
+    val out = EventSegmentation.run(ev, req).collect()
+    assert(out(0).getAs[Long]("cnt") == 2)
+    assert(out(0).getAs[String]("event") == "outer")
+  }
+
+  test("any-order funnel group completes regardless of within-group order") {
+    def m(rows: Seq[(Long, Long, String, String, Double)]) =
+      engine.Funnel.run(spark, eventsDf(rows), engine.Funnel.Request(
+        steps = Seq(col("event_type") === "A", col("event_type") === "B",
+          col("event_type") === "C"),
+        windowMs = 1000000, anyOrderGroups = Seq((0, 1))))
+        .collect().map(r => r.getAs[Int]("step") -> r.getAs[Long]("total")).toMap
+    // B then A then C completes; C before the group completes does not count as C-slot
+    assert(m(Seq((1L, 0L, "B", "i", 1.0), (1L, 1L, "A", "i", 1.0), (1L, 2L, "C", "i", 1.0)))
+      == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+    // A then B then C also completes (exact order still allowed)
+    assert(m(Seq((1L, 0L, "A", "i", 1.0), (1L, 1L, "B", "i", 1.0), (1L, 2L, "C", "i", 1.0)))
+      == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+    // B, C, A: C arrives while the group is open -> ignored; A completes
+    // the group but no later C exists -> 2 of 3
+    assert(m(Seq((1L, 0L, "B", "i", 1.0), (1L, 1L, "C", "i", 1.0), (1L, 2L, "A", "i", 1.0)))
+      == Map(1 -> 1L, 2 -> 1L, 3 -> 0L))
+  }
+
+  test("runPivoted emits precomputed bucket columns, average and top groups") {
+    val day = 24 * 3600L * 1000
+    val ev = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 1.0), (2L, 100L, "view", "ios", 1.0),
+      (1L, day + 1L, "buy", "ios", 1.0)))
+    val req = EventSegmentationRequest(
+      QueryTime.Between(ts("1970-01-01T00:00:00Z"), ts("1970-01-03T00:00:00Z")),
+      TimeIntervalUnit.Day,
+      Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+      breakdowns = Seq("event_type"))
+    val out = EventSegmentation.runPivoted(ev, req)
+    assert(out.columns.toSeq == Seq("segment", "event", "event_type", "agg_name",
+      "1970-01-01 00:00:00", "1970-01-02 00:00:00", "1970-01-03 00:00:00", "average"))
+    val rows = out.collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows("view").getAs[Double]("1970-01-01 00:00:00") == 2.0)
+    assert(rows("view").isNullAt(out.columns.indexOf("1970-01-02 00:00:00")))
+    assert(rows("buy").getAs[Double]("1970-01-02 00:00:00") == 1.0)
+    // average over 3 bucket columns, nulls as 0
+    assert(math.abs(rows("view").getAs[Double]("average") - 2.0 / 3) < 1e-12)
+  }
+
+  test("store writes date-partitioned events and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val day = 24 * 3600L * 1000
+    val ev = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 1.0), (2L, day + 1L, "buy", "ios", 1.0),
+      (3L, 2 * day + 2L, "view", "osx", 1.0)))
+    Store.writeEvents(ev, dir)
+    val back = Store.readEvents(spark, dir)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("event_date") === lit(java.sql.Date.valueOf("1970-01-02")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(pruned.count() == 1)
+    val compacted = Store.compactGroupTable(
+      eventsDf(Seq((1L, 0L, "v1", "i", 1.0), (1L, 5L, "v2", "i", 1.0))),
+      Seq("user_id"), "event_id")
+    assert(compacted.count() == 1)
+    assert(compacted.collect()(0).getAs[String]("event_type") == "v2")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Event, Session, UserTotals}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ev(u: Long, tsMs: Long, t: String, v: Double) =
+    Event(u, new java.sql.Timestamp(tsMs), t, v)
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.windowedCounts(input.toDF(), window = "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        ev(1, 0L, "view", 1.0), ev(2, 1000L, "view", 2.0),
+        ev(1, 3600L * 1000 + 5, "buy", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, cnt, sum_value FROM wc").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(rows("view") == ((2L, 3.0)))
+      assert(rows("buy") == ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("running user totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("rt").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 0L, "view", 1.0), ev(1, 1L, "buy", 10.0))
+      q.processAllAvailable()
+      input.addData(ev(1, 2L, "buy", 5.0), ev(2, 3L, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, max(events) AS e, max(revenue) AS r FROM rt GROUP BY 1")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(rows(1L) == ((3L, 16.0)))
+      assert(rows(2L) == ((1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.sessionize(input.toDS(), gapMs = 60 * 1000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: two events 1s apart; then a 10-minute gap event in
+      // the SAME batch closes it immediately (in-batch gap detection).
+      // Times sit above 0 because the initial watermark is 0 and
+      // stateful ops drop input at-or-before the watermark.
+      val base = 1000L * 1000
+      input.addData(
+        ev(1, base, "view", 1.0), ev(1, base + 1000L, "buy", 10.0),
+        ev(1, base + 600L * 1000, "view", 2.0))
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT * FROM sess").as[Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions(0).events == 2 && sessions(0).revenue == 11.0)
+      assert(sessions(0).startMs == base && sessions(0).endMs == base + 1000L)
+    } finally q.stop()
+  }
+}
