@@ -24,6 +24,11 @@ object Tables {
     * agree. The conf is dynamic, so this works on any caller session. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Make time-range filters on the ns→µs-converted column pushable
+    // (graft.plans.NsTimeFilterPushdown); idempotent registration.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.NsTimeFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.NsTimeFilterPushdown
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
