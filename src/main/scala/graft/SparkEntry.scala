@@ -364,7 +364,7 @@ object SparkEntry {
     // pipeline: MinHash+LSH near-dup candidate pairs (rows-only)
     "q_minhash_dups" -> ((s, dir) => {
       Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 2, numHashes = 16, bands = 4, threshold = 0.2)
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
     }),
 
     // pipeline: SimHash fingerprints + near-dup hamming pairs (rows-only)

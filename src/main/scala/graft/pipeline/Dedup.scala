@@ -40,11 +40,25 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Shingles as 64-bit hashes — the exact-Jaccard payload. A long
-    * array intersects ~10× cheaper than the string shingles, and at
-    * 64 bits collisions are negligible. */
-  def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+  /** n-gram hashes from an ALREADY-MATERIALIZED token-hash column.
+    * `hs` must be an attribute (not an expression subtree): a lambda
+    * body referencing an expression re-evaluates it per element —
+    * O(len²) — while an attribute is an O(1) array access. */
+  def shingleHashesFromTokenHashes(hs: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(0), size(hs) - n),
+        i => xxhash64((1 to n).map(k => element_at(hs, i + k)): _*)))
+
+  /** Stage `out` = 64-bit shingle hashes of textCol: tokens are hashed
+    * once into a materialized column, then consecutive token-hashes
+    * combine arithmetically — no n-gram strings are ever built, and a
+    * long array intersects ~10× cheaper than string shingles
+    * (64-bit collisions are negligible for exact-Jaccard use). */
+  def withShingleHashes(df: DataFrame, textCol: String, n: Int, out: String): DataFrame =
+    df.withColumn("__tokhash",
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))
+      .withColumn(out, shingleHashesFromTokenHashes(col("__tokhash"), n))
+      .drop("__tokhash")
 
   /** MinHash signature: numHashes permutations simulated as
     * xxhash64(seed, shingle); signature(i) = min over shingles.
@@ -67,7 +81,8 @@ object Dedup {
   def lshBands(df: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val hashed = df.select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
+    val hashed = withShingleHashes(df.select(col(idCol), col(textCol)),
+      textCol, shingleN, "__sh").select(col(idCol), col("__sh"))
     val sig = hashed.select(col(idCol), array((0 until numHashes).map { seed =>
       array_min(transform(col("__sh"), h => xxhash64(lit(seed), h)))
     }: _*).as("__sig"))
@@ -78,23 +93,42 @@ object Dedup {
         .as(Seq("band", "band_key")))
   }
 
+  /** Candidate pairs from LSH buckets, generated bucket-locally
+    * (groupBy + in-bucket cross) so the banded signature computes ONCE
+    * — a self-join would execute the signature subplan twice. Buckets
+    * are near-dup clusters, so the in-bucket quadratic is the same
+    * pair set the join would produce. */
+  private def candidatePairs(b: DataFrame, idCol: String): DataFrame =
+    b.groupBy("band", "band_key")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(__ids, x -> transform(__ids, y -> struct(x AS id_a, y AS id_b))))"))
+        .as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+
   /** MinHash-LSH near-dup candidate pairs with exact-Jaccard
     * verification at `threshold`. Output: (id_a, id_b, jaccard).
     * Default 4 bands × 4 rows: candidate probability j^4 per band —
-    * selective enough that the band join stays near-linear. */
+    * selective enough that the band join stays near-linear. The
+    * verify stage melts pairs to one row per (pair, side) and joins
+    * the shingle table ONCE, instead of twice. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.7): DataFrame = {
-    val b = lshBands(df, idCol, textCol, shingleN, numHashes, bands)
-    val l = b.select(col(idCol).as("id_a"), col("band"), col("band_key"))
-    val r = b.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    val cand = l.join(r, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sh = df.select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+    val cand = candidatePairs(lshBands(df, idCol, textCol, shingleN, numHashes, bands), idCol)
+    val sh = withShingleHashes(df.select(col(idCol), col(textCol)),
+      textCol, shingleN, "__sh").select(col(idCol), col("__sh"))
+    val melted = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as(idCol))
+    melted.join(sh, idCol)
+      .withColumn("__sh_a", when(col(idCol) === col("id_a"), col("__sh")))
+      .withColumn("__sh_b", when(col(idCol) === col("id_b"), col("__sh")))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("__sh_a"), ignoreNulls = true).as("sh_a"),
+        first(col("__sh_b"), ignoreNulls = true).as("sh_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -168,10 +202,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val withBlock = df.select(
-      col(idCol), shingleHashes(col(textCol), n).as("__sh"),
-      concat_ws("#", element_at(toks, 1),
-        floor(size(toks) / lit(16)).cast("string")).as("__blk"))
+    val withBlock = withShingleHashes(df.select(col(idCol), col(textCol)),
+      textCol, n, "__sh")
+      .withColumn("__blk", concat_ws("#", element_at(toks, 1),
+        floor(size(toks) / lit(16)).cast("string")))
+      .select(col(idCol), col("__sh"), col("__blk"))
     val l = withBlock.select(col(idCol).as("id_a"), col("__sh").as("sh_a"), col("__blk"))
     val r = withBlock.select(col(idCol).as("id_b"), col("__sh").as("sh_b"), col("__blk"))
     l.join(r, Seq("__blk"))
