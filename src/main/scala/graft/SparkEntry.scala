@@ -254,6 +254,34 @@ object SparkEntry {
         .select("d", "event_type", "cnt")
     }),
 
+    // §2.4 Formula metric over sibling metrics (reference QueryFormula,
+    // unimplemented there)
+    "q_es_formula" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(
+          NamedQuery(Query.CountEvents, "cnt"),
+          NamedQuery(Query.CountUniqueGroups(), "users"),
+          NamedQuery(Query.Formula("cast(cnt as double) / users"), "events_per_user")))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"), col("users"),
+          col("events_per_user"))
+    }),
+
+    // §3.3 get-record-by-id (point lookup)
+    "q_record_by_id" -> ((s, dir) =>
+      Records.getById(events(s, dir), 123L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))),
+
+    // §3.3 group-record search: latest profile per user, sorted by a
+    // property, limited (group_records.rs:220-320)
+    "q_group_search" -> ((s, dir) => {
+      Records.latestPerGroup(events(s, dir), "user_id", "event_id")
+        .select(col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("value").desc, col("user_id").asc)
+        .limit(20)
+    }),
+
     // §2.2 custom event: recursive OR-of-members expansion
     "q_custom_event" -> ((s, dir) => {
       val engagement = CustomEvent("engagement", Seq(
@@ -523,6 +551,23 @@ object SparkEntry {
              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
              HAVING count(*) >= 3))
          GROUP BY 1""",
+
+    "q_es_formula" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt,
+         count(DISTINCT user_id) AS users,
+         count(*) * 1.0 / count(DISTINCT user_id) AS events_per_user
+         FROM events WHERE $SQL_RANGE GROUP BY 1""",
+
+    "q_record_by_id" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_id = 123""",
+
+    "q_group_search" ->
+      """SELECT user_id, event_type, value
+         FROM events e JOIN (SELECT user_id AS u, max(event_id) AS m
+                             FROM events GROUP BY 1) t
+           ON e.user_id = t.u AND e.event_id = t.m
+         ORDER BY value DESC, user_id LIMIT 20""",
 
     "q_custom_event" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt

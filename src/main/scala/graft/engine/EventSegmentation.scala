@@ -56,6 +56,14 @@ object EventSegmentation {
     case _                                                 => false
   }
 
+  /** Formula metrics evaluate after aggregation, over the other named
+    * metric columns (reference QueryFormula — unimplemented there). */
+  private def applyFormulas(df: DataFrame, qs: Seq[NamedQuery]): DataFrame =
+    qs.foldLeft(df) {
+      case (acc, NamedQuery(Query.Formula(e), n)) => acc.withColumn(n, expr(e))
+      case (acc, _)                               => acc
+    }
+
   private def compile(qs: Seq[NamedQuery]): Compiled = {
     val one = qs.map {
       case NamedQuery(Query.CountEvents, n)             => count(lit(1)).as(n)
@@ -113,17 +121,19 @@ object EventSegmentation {
     val bds = (req.breakdowns ++ block.breakdowns).distinct.map(col)
     val keys = bucketCol +: bds
 
-    if (needsInner(block.queries)) {
-      val c = compileTwoLevel(block.queries)
+    val aggQs = block.queries.filterNot(_.query.isInstanceOf[Query.Formula])
+    val aggregated = if (needsInner(aggQs)) {
+      val c = compileTwoLevel(aggQs)
       filtered
         .groupBy((keys :+ col(UserCol)): _*)
         .agg(c.inner.head, c.inner.tail: _*)
         .groupBy(col("bucket") +: bds.map(b => col(b.toString())): _*)
         .agg(c.outer.head, c.outer.tail: _*)
     } else {
-      val c = compile(block.queries)
+      val c = compile(aggQs)
       filtered.groupBy(keys: _*).agg(c.oneLevel.head, c.oneLevel.tail: _*)
     }
+    applyFormulas(aggregated, block.queries)
   }
 
   /** Full request → long-form result:

@@ -84,6 +84,10 @@ object Query {
   final case class CountPerGroup(outer: AggFn) extends Query
   /** Two-level: inner agg of prop per group, outer agg over groups. */
   final case class AggregatePropertyPerGroup(prop: String, inner: AggFn, outer: AggFn) extends Query
+  /** SQL expression over the block's other named metrics, evaluated
+    * after aggregation (the reference declares QueryFormula but leaves
+    * it unimplemented — event_segmentation.rs:885-922). */
+  final case class Formula(expression: String) extends Query
 }
 
 final case class NamedQuery(query: Query, name: String)
