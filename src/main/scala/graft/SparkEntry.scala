@@ -268,6 +268,12 @@ object SparkEntry {
           col("events_per_user"))
     }),
 
+    // §2.4 rolling 7-day active groups (reference WeeklyActiveGroups,
+    // unimplemented there): explode each event into the windows it
+    // covers, one distinct-count per day
+    "q_es_rolling_wau" -> ((s, dir) =>
+      EventSegmentation.rollingActiveGroups(events(s, dir), 7, T0, T1)),
+
     // §3.3 get-record-by-id (point lookup)
     "q_record_by_id" -> ((s, dir) =>
       Records.getById(events(s, dir), 123L)
@@ -557,6 +563,15 @@ object SparkEntry {
          count(DISTINCT user_id) AS users,
          count(*) * 1.0 / count(DISTINCT user_id) AS events_per_user
          FROM events WHERE $SQL_RANGE GROUP BY 1""",
+
+    "q_es_rolling_wau" ->
+      s"""SELECT d, count(DISTINCT user_id) AS active
+         FROM (SELECT user_id,
+                 CAST(date_trunc('day', ts) AS DATE) + CAST(g.n AS INTEGER) AS d
+               FROM events, (SELECT unnest(range(0, 7)) AS n) g
+               WHERE $SQL_RANGE) t
+         WHERE d <= DATE '2024-02-01'
+         GROUP BY 1""",
 
     "q_record_by_id" ->
       """SELECT event_id, user_id, event_type, value FROM events

@@ -41,6 +41,7 @@ object EventSegmentation {
     case AggFn.Median         => median(c)
     case AggFn.Percentile(p)  => percentile_approx(c, lit(p), lit(10000))
     case AggFn.DistinctCount  => count_distinct(c)
+    case AggFn.ApproxDistinctCount(rsd) => approx_count_distinct(c, rsd)
   }
 
   private final case class Compiled(
@@ -64,10 +65,10 @@ object EventSegmentation {
       case (acc, _)                               => acc
     }
 
-  private def compile(qs: Seq[NamedQuery]): Compiled = {
+  private def compile(qs: Seq[NamedQuery], groupCol: String): Compiled = {
     val one = qs.map {
       case NamedQuery(Query.CountEvents, n)             => count(lit(1)).as(n)
-      case NamedQuery(Query.CountUniqueGroups(_), n)    => count_distinct(col(UserCol)).as(n)
+      case NamedQuery(Query.CountUniqueGroups(_), n)    => count_distinct(col(groupCol)).as(n)
       case NamedQuery(Query.AggregateProperty(p, f), n) => aggFn(f, col(p)).as(n)
       case NamedQuery(q, n) => sys.error(s"two-level metric $q/$n in one-level path")
     }
@@ -125,12 +126,12 @@ object EventSegmentation {
     val aggregated = if (needsInner(aggQs)) {
       val c = compileTwoLevel(aggQs)
       filtered
-        .groupBy((keys :+ col(UserCol)): _*)
+        .groupBy((keys :+ col(req.groupCol)): _*)
         .agg(c.inner.head, c.inner.tail: _*)
         .groupBy(col("bucket") +: bds.map(b => col(b.toString())): _*)
         .agg(c.outer.head, c.outer.tail: _*)
     } else {
-      val c = compile(aggQs)
+      val c = compile(aggQs, req.groupCol)
       filtered.groupBy(keys: _*).agg(c.oneLevel.head, c.oneLevel.tail: _*)
     }
     applyFormulas(aggregated, block.queries)
@@ -145,7 +146,7 @@ object EventSegmentation {
     val segmented: Seq[(String, DataFrame)] =
       if (req.segments.isEmpty) Seq(("all", events))
       else req.segments.map { s =>
-        (s.name, Segments.filterToSegment(events, s, req.time, UserCol, TsCol, EventCol))
+        (s.name, Segments.filterToSegment(events, s, req.time, req.groupCol, TsCol, EventCol))
       }
     val frames = for {
       (segName, segEvents) <- segmented
@@ -192,5 +193,26 @@ object EventSegmentation {
       if (bds.isEmpty) sorted
       else Reshape.limitGroups(sorted, bds, "average", topGroups)
     Reshape.reorderColumns(limited, idCols :+ "agg_name")
+  }
+
+  /** Rolling n-day active groups (the reference declares
+    * Weekly/MonthlyActiveGroups and leaves them unimplemented!(),
+    * event_segmentation.rs:641-650). Each event contributes its group
+    * id to the n daily windows that cover it (row amplification ×n),
+    * then one distinct-count per day — no per-day rescan, scales as a
+    * single shuffle on (day, group). */
+  def rollingActiveGroups(events: DataFrame, windowDays: Int,
+                          from: java.sql.Timestamp, to: java.sql.Timestamp,
+                          groupCol: String = UserCol, tsCol: String = TsCol,
+                          outCol: String = "active"): DataFrame = {
+    events
+      .filter(col(tsCol) >= lit(from) && col(tsCol) <= lit(to))
+      .select(col(groupCol),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
+        to_date(date_trunc("day", col(tsCol))).as("__d0"))
+      .select(col(groupCol), date_add(col("__d0"), col("__i")).as("d"))
+      .filter(col("d") <= to_date(lit(to)))
+      .groupBy(col("d"))
+      .agg(count_distinct(col(groupCol)).as(outCol))
   }
 }

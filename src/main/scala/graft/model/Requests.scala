@@ -72,6 +72,9 @@ object AggFn {
   case object Median extends AggFn
   final case class Percentile(p: Double) extends AggFn
   case object DistinctCount extends AggFn
+  /** HLL-sketched distinct — the 100 TB path where exact
+    * count_distinct would shuffle every value. */
+  final case class ApproxDistinctCount(rsd: Double = 0.05) extends AggFn
 }
 
 /** Per-event query metric (reference common/src/query.rs Query enum). */
@@ -152,4 +155,8 @@ final case class EventSegmentationRequest(
     events: Seq[EventBlock],
     filters: Seq[PropFilter] = Nil,
     breakdowns: Seq[String] = Nil,
-    segments: Seq[Segment] = Nil)
+    segments: Seq[Segment] = Nil,
+    /** Which group dimension partitions per-entity metrics — the
+      * reference has 5 (group_0..group_4, group 0 = users,
+      * common/src/lib.rs:16-21). */
+    groupCol: String = "user_id")

@@ -86,6 +86,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(math.abs(rows("view").getAs[Double]("average") - 2.0 / 3) < 1e-12)
   }
 
+  test("rollingActiveGroups counts distinct users over trailing windows") {
+    val day = 24 * 3600L * 1000
+    val ev = eventsDf(Seq(
+      (1L, 0L, "view", "i", 1.0),            // day 0: u1
+      (2L, day + 1L, "view", "i", 1.0),      // day 1: u2
+      (1L, 3 * day + 1L, "view", "i", 1.0))) // day 3: u1
+    val out = EventSegmentation.rollingActiveGroups(ev, 2,
+      ts("1970-01-01T00:00:00Z"), ts("1970-01-05T00:00:00Z"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // window 2 days: day X counts users with events on X-1 or X
+    assert(out == Map(
+      "1970-01-01" -> 1L, // u1(d0)
+      "1970-01-02" -> 2L, // u1(d0) + u2(d1)
+      "1970-01-03" -> 1L, // u2(d1)
+      "1970-01-04" -> 1L, // u1(d3)
+      "1970-01-05" -> 1L  // u1(d3)
+    ))
+  }
+
   test("store writes date-partitioned events and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
     val day = 24 * 3600L * 1000
