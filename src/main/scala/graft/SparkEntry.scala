@@ -457,6 +457,38 @@ object SparkEntry {
           count_distinct(col("o_custkey")).as("n_customers"))
     }),
 
+    // reference Decimal(28,16) fidelity: exact decimal aggregation
+    // (common/src/types.rs:14-17 — DECIMAL_PRECISION 28, SCALE 16)
+    "q_decimal_agg" -> ((s, dir) => {
+      events(s, dir)
+        .filter(Exprs.timePredicate(col("ts"), RANGE))
+        .withColumn("vdec", col("value").cast("decimal(28,16)"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(sum(col("vdec")), 3).cast("double").as("sum_dec"),
+          round(avg(col("vdec")), 3).cast("double").as("avg_dec"))
+    }),
+
+    // 6-way dimension join (TPC-H Q5 flavor): join-order + broadcast
+    // exercise across the whole star schema
+    "q5_join" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).withColumn("rev10000",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("rev10000")) / 10000.0).as("revenue"))
+    }),
+
     // 3-way join + top-k (TPC-H Q3 flavor)
     "q3_topk" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -747,6 +779,24 @@ object SparkEntry {
          count(DISTINCT o_custkey) AS n_customers
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+
+    "q_decimal_agg" ->
+      s"""SELECT event_type,
+         CAST(round(sum(CAST(value AS DECIMAL(28,16))), 3) AS DOUBLE) AS sum_dec,
+         CAST(round(avg(CAST(value AS DECIMAL(28,16))), 3) AS DOUBLE) AS avg_dec
+         FROM events WHERE $SQL_RANGE GROUP BY 1""",
+
+    "q5_join" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+           AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
 
     "q3_topk" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,

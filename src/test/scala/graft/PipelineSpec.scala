@@ -90,6 +90,24 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq(4L, 2L)) // 4 is closer to (1,0) than 2; 3 orthogonal
   }
 
+  test("LSH top-k finds the exact match; IVF probes the right cell") {
+    import spark.implicits._
+    val corpus = (0 until 50).map { i =>
+      val angle = i * 0.12
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq((999L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    // LSH: the nearest corpus vector (id 0, angle 0) shares the bucket
+    // of the query and must surface as rank 1
+    val lsh = Similarity.lshTopK(q, corpus, "q_id", "q_vec", "vec_id", "embedding",
+      k = 1, planes = 4).collect()
+    assert(lsh.nonEmpty && lsh(0).getAs[Long]("vec_id") == 0L)
+    // IVF: same property through coarse quantization
+    val ivf = Similarity.ivfTopK(q, corpus, "q_id", "q_vec", "vec_id", "embedding",
+      k = 1, nCells = 8).collect()
+    assert(ivf.nonEmpty && ivf(0).getAs[Long]("vec_id") == 0L)
+  }
+
   test("embedding near-dup pairs via LSH buckets") {
     import spark.implicits._
     val df = Seq(
