@@ -137,6 +137,24 @@ object EventSegmentation {
     applyFormulas(aggregated, block.queries)
   }
 
+  /** Request normalization (reference `fix_request`,
+    * query/src/event_segmentation.rs:962-997 and
+    * platform/src/event_segmentation.rs:45-95): blocks without metrics
+    * default to CountEvents, breakdowns deduplicate, segments
+    * deduplicate by name. */
+  def fixRequest(req: EventSegmentationRequest): EventSegmentationRequest = {
+    val fixedBlocks = req.events.map { b =>
+      val qs = if (b.queries.isEmpty)
+        Seq(NamedQuery(Query.CountEvents, "count")) else b.queries
+      b.copy(queries = qs, breakdowns = b.breakdowns.distinct)
+    }
+    req.copy(
+      events = fixedBlocks,
+      breakdowns = req.breakdowns.distinct,
+      segments = req.segments
+        .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name))
+  }
+
   /** Full request → long-form result:
     * (segment, event, bucket, breakdowns..., metrics...).
     * Multi-event blocks union by name with missing metric columns null

@@ -77,6 +77,19 @@ class SegmentationSpec extends SparkTestBase {
     assert(users == Set(1L, 3L))
   }
 
+  test("fixRequest normalizes empty metric lists and duplicate breakdowns") {
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(EventBlock(Some("buy"), breakdowns = Seq("device", "device"))),
+      breakdowns = Seq("event_type", "event_type"))
+    val fixed = EventSegmentation.fixRequest(req)
+    assert(fixed.events.head.queries == Seq(NamedQuery(Query.CountEvents, "count")))
+    assert(fixed.events.head.breakdowns == Seq("device"))
+    assert(fixed.breakdowns == Seq("event_type"))
+    // normalized request actually runs
+    val out = EventSegmentation.run(eventsDf(rows), fixed)
+    assert(out.agg(sum("count")).collect()(0).getLong(0) == 3)
+  }
+
   test("multi-block merge unions by name with missing columns null") {
     val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
       Seq(
