@@ -116,6 +116,49 @@ object SparkEntry {
           (col("max_user_rev100") / 100.0).as("max_user_rev"))
     }),
 
+    // the reference's differential-suite matrix (tests/queries/
+    // test_aggregate.py): {sum,min,max,avg,count} × int property,
+    // plain + two-level, all-integer so exact in both engines
+    "q_agg_matrix" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("k_int", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(Exprs.timePredicate(col("ts"), RANGE))
+      ev.groupBy(col("event_type"))
+        .agg(
+          sum(col("k_int")).as("sum_k"),
+          min(col("k_int")).as("min_k"),
+          max(col("k_int")).as("max_k"),
+          avg(col("k_int")).as("avg_k"),
+          count(col("k_int")).as("cnt_k"))
+    }),
+
+    // two-level matrix: outer agg over per-user inner sums (the
+    // reference's partitioned-aggregate differential suite)
+    "q_agg_matrix_partitioned" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("k_int", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(Exprs.timePredicate(col("ts"), RANGE))
+      ev.groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("k_int")).as("s"), count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(
+          avg(col("s")).as("avg_user_sum"),
+          max(col("s")).as("max_user_sum"),
+          min(col("c")).as("min_user_cnt"),
+          sum(col("c")).as("sum_user_cnt"))
+    }),
+
+    // month-granularity bucketing (calendar path of TimeIntervalUnit)
+    "q_es_monthly" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Month,
+        events = Seq(EventBlock(None, queries = Seq(
+          NamedQuery(Query.CountEvents, "cnt"),
+          NamedQuery(Query.CountUniqueGroups(), "mau")))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("m"), col("cnt"), col("mau"))
+    }),
+
     // §2.4 the reference's unimplemented!() percentiles — implemented
     "q_es_percentiles" -> ((s, dir) => {
       events(s, dir)
@@ -542,6 +585,30 @@ object SparkEntry {
                sum(CAST(round(value*100) AS BIGINT)) AS s
                FROM events WHERE $SQL_RANGE AND event_type = 'purchase' GROUP BY 1, 2)
          GROUP BY 1""",
+
+    "q_agg_matrix" ->
+      s"""SELECT event_type,
+         CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+         avg(k) AS avg_k, count(k) AS cnt_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+               FROM events WHERE $SQL_RANGE)
+         GROUP BY 1""",
+
+    "q_agg_matrix_partitioned" ->
+      s"""SELECT event_type, avg(s) AS avg_user_sum,
+         CAST(max(s) AS BIGINT) AS max_user_sum,
+         min(c) AS min_user_cnt, CAST(sum(c) AS BIGINT) AS sum_user_cnt
+         FROM (SELECT event_type, user_id,
+                 CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS s,
+                 count(*) AS c
+               FROM events WHERE $SQL_RANGE GROUP BY 1, 2)
+         GROUP BY 1""",
+
+    "q_es_monthly" ->
+      s"""SELECT CAST(date_trunc('month', ts) AS DATE) AS m, count(*) AS cnt,
+         count(DISTINCT user_id) AS mau
+         FROM events WHERE $SQL_RANGE GROUP BY 1""",
 
     "q_es_percentiles" ->
       s"""SELECT event_type,

@@ -33,9 +33,24 @@ import org.apache.spark.sql.functions._
   *  - attempts with 0 completed steps produce nothing (funnel.rs:185);
   *  - dropped_off[i] = total[i-1] - total[i] (funnel.rs:226-232);
   *  - conversion_ratio[i] = total[i]/total[0]*100.
-  * The reference computes avg_time_to_convert as total_time/total*100
-  * (funnel.rs:794,807) — the *100 is a carried-over bug from the ratio
-  * code; we compute the true average and document the divergence here.
+  * Documented divergences from the reference (its own funnel test
+  * module is `#[ignore]`d — funnel.rs:910 — so these are judged
+  * against the DSL's intent):
+  *  - avg_time_to_convert: the reference computes total_time/total*100
+  *    (funnel.rs:794,807) — the *100 is a carried-over bug from the
+  *    ratio code; we compute the true average;
+  *  - attempt filters: the reference's push_result accumulates EVERY
+  *    attempt into the bucket totals regardless of the configured
+  *    Filter — the filter result only gates the Unique partition skip
+  *    (funnel.rs:180-236, 637-640). We apply
+  *    DropOffOnAnyStep/DropOffOnStep/TimeToConvert as real attempt
+  *    filters before aggregation, which is what the DSL promises;
+  *  - StepOrder::Any: the reference matches positionally — a row
+  *    matching ANY step in the ranges advances the current position,
+  *    so the same event can legally fill several positions
+  *    (funnel.rs:608-620). Our any-order groups use set semantics:
+  *    each slot in the group must be filled by a distinct matching
+  *    event, and the group's timestamps normalize to ascending order.
   */
 object Funnel {
 
