@@ -47,6 +47,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming file sink writes date-partitioned parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val q = Streaming.writeEventsStream(input.toDF(), s"$dir/data", s"$dir/ckpt").start()
+    try {
+      val day = 24 * 3600L * 1000
+      input.addData(ev(1, 1000L, "view", 1.0), ev(2, day + 1000L, "buy", 2.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/data")
+      assert(back.count() == 2)
+      assert(back.select("event_date").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
