@@ -57,6 +57,18 @@ object Funnel {
   sealed trait CountMode
   case object Unique extends CountMode     // one completed funnel per user
   case object NonUnique extends CountMode  // every completed sequence
+  /** One completed funnel per inactivity-gap session — the reference
+    * declares Count::Session and leaves it unimplemented
+    * (common/src/funnel.rs:69); a session ends after gapMs idle. */
+  final case class Session(gapMs: Long) extends CountMode
+
+  /** Which step's row supplies the breakdown values (reference Touch
+    * DSL — the field is carried but never read upstream,
+    * funnel.rs:269-270; implemented for real here). */
+  sealed trait Touch
+  case object TouchFirst extends Touch
+  case object TouchLast extends Touch
+  final case class TouchStep(n: Int) extends Touch
 
   /** Post-filters over attempts (reference funnel filter DSL). */
   sealed trait AttemptFilter
@@ -82,6 +94,7 @@ object Funnel {
         * order (reference StepOrder::Any(ranges)); slots outside any
         * range are Exact. Ranges must not overlap. */
       anyOrderGroups: Seq[(Int, Int)] = Nil,
+      touch: Touch = TouchFirst,
       userCol: String = "user_id",
       tsCol: String = "ts")
 
@@ -121,8 +134,9 @@ object Funnel {
     * per user, output is streamed, nothing unbounded. */
   private[engine] final class Machine(
       nSteps: Int, windowMs: Long, excludes: Array[(Int, Int)],
-      nConsts: Int, unique: Boolean, interval: Option[TimeIntervalUnit],
-      groupOf: Array[Int]) {
+      nConsts: Int, unique: Boolean, sessionGapUs: Long,
+      interval: Option[TimeIntervalUnit], groupOf: Array[Int],
+      touchLast: Boolean, touchStep: Int) {
 
     private val out = scala.collection.mutable.ArrayBuffer[Attempt]()
     private val stepTs = new Array[Long](nSteps)
@@ -132,6 +146,9 @@ object Funnel {
     private var heldConsts: Array[String] = null
     private var firstBds: Array[String] = null
     private var userDone = false
+    private var sessionDone = false
+    private var lastRowTs = 0L
+    private var haveLastTs = false
     private var curUser = Long.MinValue
     private var haveUser = false
 
@@ -182,8 +199,17 @@ object Funnel {
     }
 
     def onRow(r: FRow): Unit = {
-      if (!haveUser || r.user != curUser) { flush(); curUser = r.user; haveUser = true; userDone = false }
-      if (userDone) return
+      if (!haveUser || r.user != curUser) {
+        flush(); curUser = r.user; haveUser = true
+        userDone = false; sessionDone = false; haveLastTs = false
+      }
+      // session boundary: gapMs idle closes the session (flush the
+      // open attempt, allow a new per-session conversion)
+      if (sessionGapUs > 0 && haveLastTs && r.ts - lastRowTs > sessionGapUs) {
+        flush(); sessionDone = false
+      }
+      lastRowTs = r.ts; haveLastTs = true
+      if (userDone || sessionDone) return
       var reprocess = true
       while (reprocess) {
         reprocess = false
@@ -207,12 +233,14 @@ object Funnel {
               reset(); reprocess = true // constant violation (funnel.rs:554-590)
             } else {
               if (filledCount == 0) { heldConsts = r.consts; firstBds = r.bds; startTs = r.ts }
+              if (touchLast || (touchStep >= 0 && slot == touchStep)) firstBds = r.bds
               stepTs(slot) = r.ts
               filled(slot) = true
               filledCount += 1
               if (filledCount == nSteps) {
                 flush()
                 if (unique) userDone = true
+                else if (sessionGapUs > 0) sessionDone = true
               }
             }
           }
@@ -231,10 +259,12 @@ object Funnel {
     * with each user wholly inside one partition. */
   private def runMachine(
       it: Iterator[FRow], n: Int, windowMs: Long, excludes: Array[(Int, Int)],
-      nConsts: Int, unique: Boolean, interval: Option[TimeIntervalUnit],
-      groupOf: Array[Int]): Iterator[Attempt] =
+      nConsts: Int, unique: Boolean, sessionGapUs: Long,
+      interval: Option[TimeIntervalUnit], groupOf: Array[Int],
+      touchLast: Boolean, touchStep: Int): Iterator[Attempt] =
     new Iterator[Attempt] {
-      private val m = new Machine(n, windowMs, excludes, nConsts, unique, interval, groupOf)
+      private val m = new Machine(n, windowMs, excludes, nConsts, unique,
+        sessionGapUs, interval, groupOf, touchLast, touchStep)
       private var buf: IndexedSeq[Attempt] = IndexedSeq.empty
       private var idx = 0
       private var ended = false
@@ -277,6 +307,15 @@ object Funnel {
     val windowUs =
       if (req.windowMs > Long.MaxValue / 2000L) Long.MaxValue else req.windowMs * 1000L
     val unique = req.count == Unique
+    val sessionGapUs = req.count match {
+      case Session(g) => if (g > Long.MaxValue / 2000L) Long.MaxValue else g * 1000L
+      case _          => 0L
+    }
+    val (touchLast, touchStep) = req.touch match {
+      case TouchFirst   => (false, -1)
+      case TouchLast    => (true, -1)
+      case TouchStep(k) => (false, k)
+    }
     val nConsts = req.constants.size
 
     val groupOf = Array.tabulate(n)(i => i)
@@ -286,7 +325,8 @@ object Funnel {
       .repartition(col("user"))
       .sortWithinPartitions(col("user"), col("ts"))
       .mapPartitions(it =>
-        runMachine(it, n, windowUs, excludeRanges, nConsts, unique, interval, groupOf))
+        runMachine(it, n, windowUs, excludeRanges, nConsts, unique, sessionGapUs,
+          interval, groupOf, touchLast, touchStep))
 
     // Attempt-level post-filters (funnel.rs:196-204).
     val filtered = req.filter match {

@@ -2,6 +2,7 @@ package graft.engine
 
 import graft.model._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Segment (user-set) computation. The reference evaluates a
@@ -16,6 +17,11 @@ import org.apache.spark.sql.functions._
   * join back onto events. At 100 TB the user-set is small relative to
   * events, so Catalyst/AQE picks a broadcast semi join — exactly the
   * reference's HashMap-membership design, but distributed.
+  *
+  * The reference leaves `RelativeCount`, `HistoricalCount`,
+  * `HasPropertyValue` and `AfterFirstUse` unimplemented
+  * (common/src/query.rs:313-399, event_segmentation.rs:456-545); the
+  * first and last are implemented here for real.
   */
 object Segments {
 
@@ -29,18 +35,41 @@ object Segments {
     case other      => sys.error(s"unsupported segment comparison $other")
   }
 
-  private def segTimePred(tsCol: Column, t: SegmentTime, reqTime: QueryTime): Column = t match {
-    case SegmentTime.Between(f, to) => tsCol >= lit(f) && tsCol <= lit(to)
-    case SegmentTime.From(f)        => tsCol >= lit(f)
-    case SegmentTime.Last(n, unit)  =>
+  private def cmpCols(a: Column, op: PropOp, b: Column): Column = op match {
+    case PropOp.Eq  => a === b
+    case PropOp.Neq => a =!= b
+    case PropOp.Gt  => a > b
+    case PropOp.Gte => a >= b
+    case PropOp.Lt  => a < b
+    case PropOp.Lte => a <= b
+    case other      => sys.error(s"unsupported segment comparison $other")
+  }
+
+  /** Restrict events to the condition's time scope. `AfterFirstUse`
+    * needs the per-user first event timestamp — one window pass,
+    * shuffled by user, bounded state. */
+  private def timeScoped(events: DataFrame, t: SegmentTime, reqTime: QueryTime,
+                         userCol: String, tsCol: String): DataFrame = t match {
+    case SegmentTime.Between(f, to) =>
+      events.filter(col(tsCol) >= lit(f) && col(tsCol) <= lit(to))
+    case SegmentTime.From(f) =>
+      events.filter(col(tsCol) >= lit(f))
+    case SegmentTime.Last(n, unit) =>
       val to = reqTime match {
-        case QueryTime.Between(_, t2) => t2
+        case QueryTime.Between(_, t2)  => t2
         case QueryTime.Last(_, _, now) => now
-        case QueryTime.From(_) => new java.sql.Timestamp(Long.MaxValue / 2)
+        case QueryTime.From(_)         => new java.sql.Timestamp(Long.MaxValue / 2)
       }
-      tsCol >= lit(new java.sql.Timestamp(to.getTime - n * unit.millis)) && tsCol <= lit(to)
-    case SegmentTime.AfterFirstUse  => lit(true) // whole-history default
-    case _: SegmentTime.Each        => lit(true) // handled in userSet (rolling window)
+      val from = new java.sql.Timestamp(to.getTime - n * unit.millis)
+      events.filter(col(tsCol) >= lit(from) && col(tsCol) <= lit(to))
+    case SegmentTime.AfterFirstUse(within, unit) =>
+      val w = Window.partitionBy(col(userCol))
+      events
+        .withColumn("__first_ts", min(col(tsCol)).over(w))
+        .filter(unix_millis(col(tsCol)) - unix_millis(col("__first_ts")) <=
+          within * unit.millis)
+        .drop("__first_ts")
+    case _: SegmentTime.Each => events // rolling window handled by caller
   }
 
   /** One condition → DataFrame[user_id] of qualifying users. */
@@ -65,18 +94,17 @@ object Segments {
 
     case SegmentCondition.DidEventCount(ev, filters, op, value, time) =>
       val pred = Exprs.and(
-        Seq(segTimePred(col(tsCol), time, reqTime)) ++
-          ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+        ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
           filters.map(Exprs.propPredicate))
-      events.filter(pred).groupBy(col(userCol))
+      timeScoped(events, time, reqTime, userCol, tsCol)
+        .filter(pred).groupBy(col(userCol))
         .agg(count(lit(1)).as("__c"))
         .filter(cmp(col("__c"), op, value))
         .select(col(userCol))
 
     case SegmentCondition.DidEventAggregateProperty(ev, filters, prop, fn, op, value, time) =>
       val pred = Exprs.and(
-        Seq(segTimePred(col(tsCol), time, reqTime)) ++
-          ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+        ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
           filters.map(Exprs.propPredicate))
       val agg = fn match {
         case AggFn.Count => count(col(prop))
@@ -86,9 +114,27 @@ object Segments {
         case AggFn.Avg   => avg(col(prop))
         case other       => sys.error(s"unsupported segment agg $other")
       }
-      events.filter(pred).groupBy(col(userCol))
+      timeScoped(events, time, reqTime, userCol, tsCol)
+        .filter(pred).groupBy(col(userCol))
         .agg(agg.as("__a"))
         .filter(cmp(col("__a"), op, value))
+        .select(col(userCol))
+
+    case SegmentCondition.DidEventRelativeCount(ev, filters, otherEv, otherFilters, op, time) =>
+      // count(A) OP count(B) per user, both counted in one pass over
+      // the time scope with conditional aggregation — no second scan.
+      val predA = Exprs.and(
+        ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+          filters.map(Exprs.propPredicate))
+      val predB = Exprs.and(
+        otherEv.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+          otherFilters.map(Exprs.propPredicate))
+      timeScoped(events, time, reqTime, userCol, tsCol)
+        .groupBy(col(userCol))
+        .agg(
+          count(when(predA, 1)).as("__a"),
+          count(when(predB, 1)).as("__b"))
+        .filter(cmpCols(col("__a"), op, col("__b")))
         .select(col(userCol))
 
     case SegmentCondition.HadPropertyValue(prop, op, values) =>

@@ -131,6 +131,12 @@ object SegmentCondition {
       time: SegmentTime) extends SegmentCondition
   final case class HadPropertyValue(
       prop: String, op: PropOp, values: Seq[Any]) extends SegmentCondition
+  /** count(event) OP count(otherEvent) per user (reference
+    * DidEventAggregate::RelativeCount — unimplemented upstream). */
+  final case class DidEventRelativeCount(
+      eventName: Option[String], filters: Seq[PropFilter],
+      otherEventName: Option[String], otherFilters: Seq[PropFilter],
+      op: PropOp, time: SegmentTime) extends SegmentCondition
 }
 
 sealed trait SegmentTime
@@ -140,7 +146,9 @@ object SegmentTime {
   final case class Last(n: Long, unit: TimeIntervalUnit) extends SegmentTime
   /** Rolling window: qualifies if ANY window of n units satisfies. */
   final case class Each(n: Long, unit: TimeIntervalUnit) extends SegmentTime
-  case object AfterFirstUse extends SegmentTime
+  /** Events within `within` units of the user's first-ever event
+    * (reference common/src/query.rs:324-327). */
+  final case class AfterFirstUse(within: Long, unit: TimeIntervalUnit) extends SegmentTime
 }
 
 /** Boolean composition of conditions: OR of ANDs (reference

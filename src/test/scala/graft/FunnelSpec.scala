@@ -185,6 +185,33 @@ class FunnelSpec extends SparkTestBase {
     assert(ttc2(3) == ((1L, 0L)))
   }
 
+  test("Session counting converts once per inactivity-gap session") {
+    val rows = Seq(
+      // session 1: full conversion, plus a second A-B-C run inside the
+      // SAME session that must NOT count again
+      (1L, 0L, "A", "i", 1.0), (1L, 1000L, "B", "i", 1.0), (1L, 2000L, "C", "i", 1.0),
+      (1L, 3000L, "A", "i", 1.0), (1L, 4000L, "B", "i", 1.0), (1L, 5000L, "C", "i", 1.0),
+      // > 60s gap -> new session: converts again
+      (1L, 100000L, "A", "i", 1.0), (1L, 101000L, "B", "i", 1.0), (1L, 102000L, "C", "i", 1.0))
+    val sess = run(rows, Funnel.Request(steps3, windowMs = 10 * H,
+      count = Funnel.Session(60000)))
+    assert(sess(3) == ((2L, 0L))) // one per session
+    val uniq = run(rows, Funnel.Request(steps3, windowMs = 10 * H, count = Funnel.Unique))
+    assert(uniq(3) == ((1L, 0L)))
+  }
+
+  test("Touch selects which step's row supplies breakdown values") {
+    val rows = Seq(
+      (1L, 0L, "A", "ios", 1.0), (1L, 1000L, "B", "osx", 1.0), (1L, 2000L, "C", "android", 1.0))
+    def device(touch: Funnel.Touch): String =
+      Funnel.run(spark, eventsDf(rows), Funnel.Request(steps3, windowMs = 10 * H,
+        breakdowns = Seq("device"), touch = touch))
+        .filter(col("step") === 3).collect()(0).getAs[String]("device")
+    assert(device(Funnel.TouchFirst) == "ios")
+    assert(device(Funnel.TouchLast) == "android")
+    assert(device(Funnel.TouchStep(1)) == "osx")
+  }
+
   test("input order does not matter (sortWithinPartitions restores time order)") {
     val m = run(Seq(
       (1L, 2000L, "C", "ios", 1.0),

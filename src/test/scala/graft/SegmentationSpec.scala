@@ -77,6 +77,41 @@ class SegmentationSpec extends SparkTestBase {
     assert(users == Set(1L, 3L))
   }
 
+  test("AfterFirstUse scopes to events near the user's first event") {
+    // u1 first event at t=0; second buy lands 25h after first use and
+    // must NOT count with within=1 day
+    val data = Seq(
+      (1L, 0L, "view", "ios", 1.0),
+      (1L, 1000L, "buy", "ios", 1.0),
+      (1L, 25 * 3600L * 1000, "buy", "ios", 1.0),
+      (2L, 0L, "buy", "ios", 1.0))
+    val users = Segments.userSet(eventsDf(data),
+      SegmentCondition.DidEventCount(Some("buy"), Nil, PropOp.Gte, 2,
+        SegmentTime.AfterFirstUse(1, TimeIntervalUnit.Day)),
+      range, "user_id", "ts", "event_type")
+      .collect().map(_.getLong(0)).toSet
+    assert(users == Set.empty[Long])
+    val users2 = Segments.userSet(eventsDf(data),
+      SegmentCondition.DidEventCount(Some("buy"), Nil, PropOp.Gte, 2,
+        SegmentTime.AfterFirstUse(2, TimeIntervalUnit.Day)),
+      range, "user_id", "ts", "event_type")
+      .collect().map(_.getLong(0)).toSet
+    assert(users2 == Set(1L))
+  }
+
+  test("RelativeCount compares two event counts per user") {
+    // u1: 2 views vs 1 buy; u2: 1 view vs 2 buys
+    val data = Seq(
+      (1L, 0L, "view", "i", 1.0), (1L, 1L, "view", "i", 1.0), (1L, 2L, "buy", "i", 1.0),
+      (2L, 0L, "view", "i", 1.0), (2L, 1L, "buy", "i", 1.0), (2L, 2L, "buy", "i", 1.0))
+    val users = Segments.userSet(eventsDf(data),
+      SegmentCondition.DidEventRelativeCount(Some("view"), Nil, Some("buy"), Nil,
+        PropOp.Gt, SegmentTime.From(ts("1970-01-01T00:00:00Z"))),
+      range, "user_id", "ts", "event_type")
+      .collect().map(_.getLong(0)).toSet
+    assert(users == Set(1L))
+  }
+
   test("fixRequest normalizes empty metric lists and duplicate breakdowns") {
     val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
       Seq(EventBlock(Some("buy"), breakdowns = Seq("device", "device"))),
