@@ -140,6 +140,13 @@ object Segments {
     case SegmentCondition.HadPropertyValue(prop, op, values) =>
       events.filter(Exprs.propPredicate(PropFilter(prop, op, values)))
         .select(col(userCol)).distinct()
+
+    case SegmentCondition.HasPropertyValue(prop, op, values, versionCol) =>
+      // CURRENT value = the user's latest row (replacing-table
+      // semantics, dedup-on-read)
+      Records.latestPerGroup(events, userCol, versionCol)
+        .filter(Exprs.propPredicate(PropFilter(prop, op, values)))
+        .select(col(userCol))
   }
 
   /** OR of ANDs composition → one user-set (reference

@@ -131,6 +131,13 @@ object SegmentCondition {
       time: SegmentTime) extends SegmentCondition
   final case class HadPropertyValue(
       prop: String, op: PropOp, values: Seq[Any]) extends SegmentCondition
+  /** User's CURRENT (latest-row) property value matches (reference
+    * SegmentCondition::HasPropertyValue — unimplemented upstream;
+    * "current" = the value on the user's most recent event, the
+    * denormalized stand-in for the replacing group table). */
+  final case class HasPropertyValue(
+      prop: String, op: PropOp, values: Seq[Any],
+      versionCol: String = "event_id") extends SegmentCondition
   /** count(event) OP count(otherEvent) per user (reference
     * DidEventAggregate::RelativeCount — unimplemented upstream). */
   final case class DidEventRelativeCount(

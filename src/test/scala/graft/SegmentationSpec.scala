@@ -99,6 +99,23 @@ class SegmentationSpec extends SparkTestBase {
     assert(users2 == Set(1L))
   }
 
+  test("HasPropertyValue matches only the user's CURRENT value") {
+    // u1 was on ios but is now on osx; u2 still on ios
+    val data = Seq(
+      (1L, 0L, "view", "ios", 1.0), (1L, 5L, "view", "osx", 1.0),
+      (2L, 0L, "view", "ios", 1.0))
+    val now = Segments.userSet(eventsDf(data),
+      SegmentCondition.HasPropertyValue("device", PropOp.Eq, Seq("ios")),
+      range, "user_id", "ts", "event_type")
+      .collect().map(_.getLong(0)).toSet
+    assert(now == Set(2L))
+    val ever = Segments.userSet(eventsDf(data),
+      SegmentCondition.HadPropertyValue("device", PropOp.Eq, Seq("ios")),
+      range, "user_id", "ts", "event_type")
+      .collect().map(_.getLong(0)).toSet
+    assert(ever == Set(1L, 2L))
+  }
+
   test("RelativeCount compares two event counts per user") {
     // u1: 2 views vs 1 buy; u2: 1 view vs 2 buys
     val data = Seq(
