@@ -12,6 +12,12 @@ class ExtensionsSpec extends SparkTestBase {
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
   private val range = QueryTime.Between(ts("1970-01-01T00:00:00Z"), ts("1971-01-01T00:00:00Z"))
 
+  test("driver t1 smoke: entry() answers the flagship query with rows") {
+    val out = graft.SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq == Seq("d", "event_type", "cnt"))
+  }
+
   test("dictionary build/encode/decode roundtrip") {
     val ev = eventsDf(Seq(
       (1L, 0L, "view", "ios", 1.0), (2L, 1L, "buy", "ios", 1.0),
