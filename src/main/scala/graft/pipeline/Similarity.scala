@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product of two float/double arrays. */
+  /** Left-to-right dot product of two float/double arrays — a native
+    * fused Expression (graft.functions.VectorDotProduct) instead of
+    * `aggregate(zip_with(...))`: no intermediate array per row, same
+    * accumulation order, whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
