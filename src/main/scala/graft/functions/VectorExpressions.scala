@@ -81,8 +81,97 @@ final case class VectorDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature as one fused pass: `planes` sign
+  * bits packed into a long. The hyperplane components are ±1 derived
+  * from a splitmix64 avalanche of (plane, dim) — deterministic, no RNG
+  * state, identical in interpreted eval and generated code. Replaces
+  * `planes` separate zip_with+aggregate passes per row.
+  */
+final case class HyperplaneLshSignature(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes >= 1 && planes <= 64, "planes must be in [1, 64]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_signature"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_signature expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = isFloat
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+        proj += xv * VectorExpressions.planeSign(p, i)
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val p = ctx.freshName("p")
+      val i = ctx.freshName("i"); val z = ctx.freshName("z")
+      val proj = ctx.freshName("proj"); val sig = ctx.freshName("sig")
+      // splitmix64 of ((p << 32) | i), inlined so the generated code
+      // needs no external calls; must mirror planeSign exactly
+      s"""
+         |int $n = $a.numElements();
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $z = ((((long)$p) << 32) | (long)$i) + 0x9e3779b97f4a7c15L;
+         |    $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |    $z = $z ^ ($z >>> 31);
+         |    $proj += (double)$a.$get($i) * ((($z & 1L) == 1L) ? 1.0 : -1.0);
+         |  }
+         |  if ($proj > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshSignature =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftColumnBridge
+
+  /** ±1 hyperplane component from a splitmix64 avalanche of
+    * (plane, dim) — the interpreted twin of the generated code. */
+  def planeSign(plane: Int, dim: Int): Double = {
+    var z = ((plane.toLong << 32) | dim.toLong) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
 
   /** Column wrapper: fused dot product of two float/double arrays.
     * (Spark 4's Column wraps a ColumnNode; the bridge adapts catalyst
@@ -90,4 +179,9 @@ object VectorExpressions {
   def vectorDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(VectorDotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column wrapper: packed hyperplane-LSH sign bits. */
+  def lshSignature(v: Column, planes: Int): Column =
+    GraftColumnBridge.column(HyperplaneLshSignature(
+      GraftColumnBridge.expression(v), planes))
 }

@@ -53,27 +53,12 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane,dim):
-    * splitmix64-style avalanche of a seed — reproducible across runs
-    * and engines, no RNG state. Returns a value in {-1.0, +1.0}
-    * (signed random projection / hyperplane LSH). */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val h = xxhash64(lit(plane), dim)
-    when(h.bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)
-  }
-
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
-    * long. Vectors in the same bucket are near in angle w.h.p. */
-  def lshSignature(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * long — a fused native Expression (one pass over the vector,
+    * codegen'd) instead of `planes` zip_with+aggregate passes.
+    * Vectors in the same bucket are near in angle w.h.p. */
+  def lshSignature(vec: Column, planes: Int): Column =
+    graft.functions.VectorExpressions.lshSignature(vec, planes)
 
   /** LSH-bucketed ANN top-k: exact cosine within matching buckets only.
     * Recall < 1 by construction; the scale path for 100 TB corpora. */
