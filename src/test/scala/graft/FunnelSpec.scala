@@ -221,6 +221,21 @@ class FunnelSpec extends SparkTestBase {
     assert(m(3) == ((1L, 0L)))
   }
 
+  test("minute buckets follow the first-step minute (reference test_1min_buckets)") {
+    // reference scenario: steps at 11:10, 11:12, 11:13 within a
+    // 15-minute window, bucketed per minute of the first step
+    val base = 11 * 3600L * 1000 + 10 * 60L * 1000 // 11:10 on day 0
+    val out = Funnel.run(spark, eventsDf(Seq(
+      (1L, base, "A", "i", 1.0),
+      (1L, base + 2 * 60000L, "B", "i", 1.0),
+      (1L, base + 3 * 60000L, "C", "i", 1.0))),
+      Funnel.Request(steps3, windowMs = 15 * 60000L,
+        interval = Some(TimeIntervalUnit.Minute))).collect()
+    val buckets = out.map(_.getAs[java.sql.Timestamp]("bucket").toInstant.toString).distinct.toSeq
+    assert(buckets == Seq("1970-01-01T11:10:00Z"))
+    assert(out.count(_.getAs[Long]("total") == 1) == 3)
+  }
+
   test("zero-step users produce no rows at all") {
     val out = Funnel.run(spark, eventsDf(Seq(
       (1L, 0L, "Z", "ios", 1.0), (2L, 10L, "B", "ios", 1.0))),

@@ -142,6 +142,30 @@ class SegmentationSpec extends SparkTestBase {
     assert(out.agg(sum("count")).collect()(0).getLong(0) == 3)
   }
 
+  test("kitchen-sink request: segments + breakdown + two-level + formula, pivoted") {
+    val req = EventSegmentationRequest(
+      QueryTime.Between(ts("1970-01-01T00:00:00Z"), ts("1970-01-02T23:59:59Z")),
+      TimeIntervalUnit.Day,
+      Seq(EventBlock(None, queries = Seq(
+        NamedQuery(Query.CountEvents, "cnt"),
+        NamedQuery(Query.CountPerGroup(AggFn.Avg), "avg_epu"),
+        NamedQuery(Query.Formula("cast(cnt as double) / avg_epu"), "ratio")))),
+      breakdowns = Seq("event_type"),
+      segments = Seq(Segment("active", Seq(Seq(
+        SegmentCondition.DidEventCount(None, Nil, PropOp.Gte, 2,
+          SegmentTime.From(ts("1970-01-01T00:00:00Z"))))))))
+    val long = EventSegmentation.run(eventsDf(rows), req)
+    assert(long.columns.toSet ==
+      Set("bucket", "event_type", "cnt", "avg_epu", "ratio", "event", "segment"))
+    // u3 has a single event and is excluded by the segment
+    assert(long.agg(sum("cnt")).collect()(0).getLong(0) == 5)
+    val wide = EventSegmentation.runPivoted(eventsDf(rows), req)
+    assert(wide.columns.contains("1970-01-01 00:00:00"))
+    assert(wide.columns.contains("average"))
+    // 3 metrics × event types present for the segment's users
+    assert(wide.select("agg_name").distinct().count() == 3)
+  }
+
   test("multi-block merge unions by name with missing columns null") {
     val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
       Seq(
