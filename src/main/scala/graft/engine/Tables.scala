@@ -38,6 +38,12 @@ object Tables {
       case _ => raw
     }
   }
+  /** CSV source (the reference reads its integration fixtures through
+    * a CSV ListingTable, query/src/lib.rs:701-720). */
+  def loadCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")

@@ -91,6 +91,31 @@ class ReshapeSpec extends SparkTestBase {
     assert(out == Map(1L -> "new", 2L -> "only"))
   }
 
+  test("columnar response serializer tags and rounds like the reference") {
+    import spark.implicits._
+    val df = Seq(("click", 3L, 1.23456), ("view", 2L, 2.0))
+      .toDF("event_type", "cnt", "avg_v")
+    val table = graft.engine.Response.collect(df)
+    val byName = table.columns.map(c => c.name -> c).toMap
+    assert(byName("event_type").kind == graft.engine.Response.Dimension)
+    assert(byName("cnt").kind == graft.engine.Response.Metric)
+    assert(byName("avg_v").values.toSet == Set("1.235", "2")) // 3 digits, zeros trimmed
+    assert(table.toJson.contains(""""name":"cnt","kind":"Metric""""))
+  }
+
+  test("CSV source reads with an explicit schema") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(f, "id,name,v\n1,a,1.5\n2,b,2.5\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val df = graft.engine.Tables.loadCsv(spark, f.toString, schema)
+    assert(df.schema == schema)
+    assert(df.agg(org.apache.spark.sql.functions.sum("v")).collect()(0).getDouble(0) == 4.0)
+  }
+
   test("addStringColumn and reorderColumns") {
     import spark.implicits._
     val df = Seq((1, 2)).toDF("a", "b")
