@@ -96,11 +96,16 @@ object Funnel {
       anyOrderGroups: Seq[(Int, Int)] = Nil,
       touch: Touch = TouchFirst,
       userCol: String = "user_id",
-      tsCol: String = "ts")
+      tsCol: String = "ts",
+      /** Deterministic tiebreaker for same-microsecond events: rows
+        * sort (user, ts, idCol), so equal-ts events process in id
+        * order and MAY advance consecutive steps — pinned to match
+        * the reference, which walks storage order within a batch. */
+      idCol: String = "event_id")
 
   /** Slim shuffled row: flags precomputed, payload minimal. */
   private[engine] final case class FRow(
-      user: Long, ts: Long, steps: Array[Boolean], excl: Array[Boolean],
+      user: Long, ts: Long, seq: Long, steps: Array[Boolean], excl: Array[Boolean],
       consts: Array[String], bds: Array[String])
 
   /** One funnel attempt: stepTs(i) = epoch ms of step i+1 or null. */
@@ -297,6 +302,8 @@ object Funnel {
     val slim = events.select(
       col(req.userCol).cast("long").as("user"),
       unix_micros(col(req.tsCol)).as("ts"),
+      (if (events.columns.contains(req.idCol)) col(req.idCol).cast("long")
+       else monotonically_increasing_id()).as("seq"),
       boolArray(req.steps).as("steps"),
       boolArray(req.exclude.map(_.pred)).as("excl"),
       strArray(req.constants.map(col)).as("consts"),
@@ -323,7 +330,7 @@ object Funnel {
 
     val attempts: Dataset[Attempt] = slim.as[FRow]
       .repartition(col("user"))
-      .sortWithinPartitions(col("user"), col("ts"))
+      .sortWithinPartitions(col("user"), col("ts"), col("seq"))
       .mapPartitions(it =>
         runMachine(it, n, windowUs, excludeRanges, nConsts, unique, sessionGapUs,
           interval, groupOf, touchLast, touchStep))

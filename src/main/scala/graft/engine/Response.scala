@@ -22,10 +22,26 @@ object Response {
   final case class ColumnarTable(columns: Seq[ResponseColumn]) {
     def toJson: String = columns.map { c =>
       val vals = c.values.map(v =>
-        if (v == null) "null" else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        if (v == null) "null" else "\"" + escape(v) + "\"")
         .mkString("[", ",", "]")
-      s"""{"name":"${c.name}","kind":"${c.kind}","values":$vals}"""
+      s"""{"name":"${escape(c.name)}","kind":"${c.kind}","values":$vals}"""
     }.mkString("""{"columns":[""", ",", "]}")
+  }
+
+  /** Full JSON string escaping — backslash, quote, and all control
+    * characters (U+0000–U+001F), per RFC 8259. */
+  private[engine] def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.toString
   }
 
   /** Reference presentation rounding: ≤3 digits, trailing zeros

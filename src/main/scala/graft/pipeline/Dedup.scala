@@ -32,22 +32,30 @@ object Dedup {
       .drop("__digest")
   }
 
-  /** Word n-gram shingles of the token stream. */
+  /** Word n-gram shingles of the token stream. Documents shorter than
+    * n tokens yield an empty array — without the guard,
+    * `sequence(0, size-n)` is descending and the slice start of 0
+    * errors under ANSI mode. */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** n-gram hashes from an ALREADY-MATERIALIZED token-hash column.
     * `hs` must be an attribute (not an expression subtree): a lambda
     * body referencing an expression re-evaluates it per element —
-    * O(len²) — while an attribute is an O(1) array access. */
+    * O(len²) — while an attribute is an O(1) array access.
+    * Short docs (size < n) yield an empty array, same as [[shingles]]. */
   def shingleHashesFromTokenHashes(hs: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), size(hs) - n),
-        i => xxhash64((1 to n).map(k => element_at(hs, i + k)): _*)))
+    when(size(hs) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(hs) - n),
+          i => xxhash64((1 to n).map(k => element_at(hs, i + k)): _*))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Stage `out` = 64-bit shingle hashes of textCol: tokens are hashed
     * once into a materialized column, then consecutive token-hashes

@@ -16,13 +16,17 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * would scan the full table at 100 TB.
   *
   * The conversion is monotonic, so each comparison against a literal
-  * has an exact equivalent on the raw column (with µs→ns boundary
-  * adjustment on the inclusive side):
+  * has an exact equivalent on the raw column. Catalyst's
+  * `IntegralDivide` truncates toward ZERO (not floor), so the ns
+  * boundary for a µs bound `us` depends on its sign:
   *
-  *   micros(a div 1000) >= T  ⇔  a >= us(T)*1000
-  *   micros(a div 1000) >  T  ⇔  a >  us(T)*1000 + 999
-  *   micros(a div 1000) <= T  ⇔  a <= us(T)*1000 + 999
-  *   micros(a div 1000) <  T  ⇔  a <  us(T)*1000
+  *   trunc(a/1000) >= us  ⇔  a >= us*1000           (us >= 1)
+  *                            a >= us*1000 - 999     (us <= 0)
+  *   trunc(a/1000) <= us  ⇔  a <= us*1000 + 999     (us >= 0)
+  *                            a <= us*1000           (us <= -1)
+  *
+  * and strict comparisons reduce to the inclusive form one µs over
+  * (trunc > us ⇔ trunc >= us+1, trunc < us ⇔ trunc <= us-1).
   *
   * The rule ADDS the raw-column conjunct next to the original
   * predicate (semantically implied, so results are unchanged); the
@@ -44,21 +48,32 @@ object NsTimeFilterPushdown extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** ns lower bound implied by `trunc(a/1000) >= us` (truncation
+    * toward zero widens the window by 999 ns on the negative side). */
+  private def nsGte(us: Long): Long = if (us >= 1L) us * 1000L else us * 1000L - 999L
+
+  /** ns upper bound implied by `trunc(a/1000) <= us`. */
+  private def nsLte(us: Long): Long = if (us <= -1L) us * 1000L else us * 1000L + 999L
+
   /** Raw-long conjunct implied by one comparison, if it matches. */
   private def rawConjunct(p: Expression): Option[Expression] = p match {
     case GreaterThanOrEqual(e, lit: Literal) =>
-      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(us * 1000L))
-    case GreaterThan(e, lit: Literal) =>
-      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThan(a, Literal(us * 1000L + 999L))
+      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us)))
+    case GreaterThan(e, lit: Literal) => // trunc > us ⇔ trunc >= us+1
+      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us + 1L)))
     case LessThanOrEqual(e, lit: Literal) =>
-      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(us * 1000L + 999L))
-    case LessThan(e, lit: Literal) =>
-      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThan(a, Literal(us * 1000L))
+      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us)))
+    case LessThan(e, lit: Literal) => // trunc < us ⇔ trunc <= us-1
+      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us - 1L)))
     // mirrored literal-first forms
-    case GreaterThanOrEqual(lit: Literal, e) =>
-      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(us * 1000L + 999L))
-    case LessThanOrEqual(lit: Literal, e) =>
-      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(us * 1000L))
+    case GreaterThanOrEqual(lit: Literal, e) => // lit >= e ⇔ e <= lit
+      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us)))
+    case GreaterThan(lit: Literal, e) => // lit > e ⇔ e < lit
+      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us - 1L)))
+    case LessThanOrEqual(lit: Literal, e) => // lit <= e ⇔ e >= lit
+      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us)))
+    case LessThan(lit: Literal, e) => // lit < e ⇔ e > lit
+      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us + 1L)))
     case _ => None
   }
 

@@ -19,7 +19,8 @@ object Streaming {
 
   final case class UserTotals(user_id: Long, events: Long, revenue: Double)
 
-  final case class SessionState(count: Long, revenue: Double, lastTsMs: Long)
+  final case class SessionState(count: Long, revenue: Double, lastTsMs: Long,
+                                startMs: Long = Long.MinValue)
 
   final case class Session(user_id: Long, events: Long, revenue: Double,
                            startMs: Long, endMs: Long)
@@ -73,18 +74,20 @@ object Streaming {
           val sorted = rows.toSeq.sortBy(_.ts.getTime)
           var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
           val closed = scala.collection.mutable.ArrayBuffer[Session]()
-          var startMs = if (st.count == 0) Long.MinValue else st.lastTsMs - 1 // approx
           for (e <- sorted) {
             val t = e.ts.getTime
             if (st.count > 0 && t - st.lastTsMs > gapMs) {
-              closed += Session(user, st.count, st.revenue, startMs, st.lastTsMs)
+              closed += Session(user, st.count, st.revenue, st.startMs, st.lastTsMs)
               st = SessionState(0L, 0.0, Long.MinValue)
             }
-            if (st.count == 0) startMs = t
-            st = SessionState(st.count + 1, st.revenue + e.value, t)
+            // session start is carried in state so a session spanning
+            // micro-batches (or closed by event-time timeout) reports
+            // its true start, not a reconstruction
+            val start = if (st.count == 0) t else st.startMs
+            st = SessionState(st.count + 1, st.revenue + e.value, t, start)
           }
           if (state.hasTimedOut) {
-            if (st.count > 0) closed += Session(user, st.count, st.revenue, startMs, st.lastTsMs)
+            if (st.count > 0) closed += Session(user, st.count, st.revenue, st.startMs, st.lastTsMs)
             state.remove()
           } else {
             state.update(st)

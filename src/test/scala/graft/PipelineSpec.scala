@@ -24,6 +24,16 @@ class PipelineSpec extends SparkTestBase {
     assert(sh == Seq("a b", "b c", "c d"))
   }
 
+  test("docs shorter than the shingle width yield empty shingles, no errors") {
+    val df = docs(Seq((1L, "one two"), (2L, ""), (3L, "a b c d e")))
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).length)
+    assert(sh.toSeq == Seq(0, 0, 3))
+    // whole near-dup pipelines survive short/empty docs (ANSI mode)
+    assert(Dedup.minhashDupPairs(df, "doc_id", "text", shingleN = 3).collect().length == 0)
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3).count() >= 0)
+  }
+
   test("minhash LSH finds identical and near-identical docs") {
     val pairs = Dedup.minhashDupPairs(docs(Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
