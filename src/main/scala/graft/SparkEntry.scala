@@ -63,6 +63,31 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
     }),
 
+    // §3 JSON query-DSL surface: the same request arriving as the
+    // reference's HTTP JSON body (platform/src/event_segmentation.rs
+    // DTO shape), deserialized by graft.model.JsonDsl and compiled to
+    // the identical plan — hash-matched against a plain SQL oracle.
+    "q_json_es" -> ((s, dir) => {
+      val json = """{
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+        "group": 0,
+        "intervalUnit": "day",
+        "chartType": "line",
+        "analysis": {"type": "linear"},
+        "events": [{
+          "eventType": "regular",
+          "eventName": "view",
+          "filters": [{"type": "property", "propertyType": "event",
+                       "propertyName": "value", "operation": "gt", "value": [10]}],
+          "queries": [{"type": "countEvents", "name": "cnt"},
+                      {"type": "countUniqueGroups", "name": "uniq"}]
+        }],
+        "breakdowns": []
+      }"""
+      JsonApi.eventSegmentation(events(s, dir), json)
+        .select(day(col("bucket")).as("d"), col("cnt"), col("uniq"))
+    }),
+
     // §2.4 Aggregate (property agg): sum/min/max/avg/count of `value`
     "q_es_agg" -> ((s, dir) => {
       val req = EventSegmentationRequest(
@@ -380,6 +405,28 @@ object SparkEntry {
           col("avg_time_to_convert"), col("avg_time_to_convert_from_start"))
     }),
 
+    // §3 JSON funnel request (platform/src/funnel.rs:294-308 DTO
+    // shape) — same config as q_funnel_oracle, arriving as JSON;
+    // hash-matched against the same chained-min SQL oracle.
+    "q_json_funnel" -> ((s, dir) => {
+      val json = """{
+        "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "2100-01-01T00:00:00Z"},
+        "group": 0,
+        "steps": [
+          {"events": [{"eventType": "regular", "eventName": "view"}], "order": {"type": "exact"}},
+          {"events": [{"eventType": "regular", "eventName": "click"}], "order": {"type": "exact"}},
+          {"events": [{"eventType": "regular", "eventName": "purchase"}], "order": {"type": "exact"}}
+        ],
+        "timeWindow": {"n": 1000, "unit": "year"},
+        "chartType": "line",
+        "count": "unique",
+        "touch": {"type": "first"}
+      }"""
+      JsonApi.funnel(s, events(s, dir), json)
+        .select(col("step"), col("total"), col("conversion_ratio"),
+          col("avg_time_to_convert"), col("avg_time_to_convert_from_start"))
+    }),
+
     // §2.5 funnel with an any-order step group (StepOrder::Any; rows-only)
     "q_funnel_any" -> ((s, dir) => {
       Funnel.run(s, events(s, dir), Funnel.Request(
@@ -558,6 +605,12 @@ object SparkEntry {
     "q_es_count" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
          FROM events WHERE $SQL_RANGE GROUP BY 1, 2""",
+
+    "q_json_es" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt,
+         count(DISTINCT user_id) AS uniq
+         FROM events WHERE $SQL_RANGE AND event_type = 'view' AND value > 10
+         GROUP BY 1""",
 
     "q_es_agg" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -758,6 +811,33 @@ object SparkEntry {
              ORDER BY m DESC, event_type LIMIT 3))""",
 
     "q_funnel_oracle" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+         j AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+               FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                       LEFT JOIN s3 ON s1.user_id = s3.user_id)
+         SELECT 1 AS step, count(t1) AS total, CAST(100.0 AS DOUBLE) AS conversion_ratio,
+           CAST(0.0 AS DOUBLE) AS avg_time_to_convert, CAST(0.0 AS DOUBLE) AS avg_time_to_convert_from_start FROM j
+         UNION ALL
+         SELECT 2, count(t2),
+           round(count(t2) * 100.0 / count(t1), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(t2), 0), 0.0), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(t2), 0), 0.0), 4) FROM j
+         UNION ALL
+         SELECT 3, count(t3),
+           round(count(t3) * 100.0 / count(t1), 4),
+           round(coalesce(sum(t3 - t2) * 1.0 / nullif(count(t3), 0), 0.0), 4),
+           round(coalesce(sum(t3 - t1) * 1.0 / nullif(count(t3), 0), 0.0), 4) FROM j""",
+
+    // Same chained-min construction as q_funnel_oracle — the JSON
+    // request compiles to the identical funnel config.
+    "q_json_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
                      WHERE event_type = 'view' GROUP BY 1),
          s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2

@@ -283,6 +283,67 @@ object Funnel {
       override def next(): Attempt = { advance(); val a = buf(idx); idx += 1; a }
     }
 
+  /** Lower a model-level (JSON-decoded) funnel request onto the engine
+    * request and run it. Applies what the engine request itself does
+    * not carry: the time range, request-level property filters, and
+    * segment membership (union over segments, LEFT SEMI join like the
+    * ES path). Step predicate = OR over the step's event alternatives
+    * (reference funnel Step { events } — platform/src/funnel.rs:310).
+    * Count::Session takes the conversion window as the inactivity gap
+    * (the reference leaves Session `unimplemented!()`,
+    * common/src/funnel.rs:69). */
+  def fromModel(spark: SparkSession, events: DataFrame,
+                m: graft.model.FunnelRequestModel): DataFrame = {
+    import graft.model.{FunnelCount, FunnelFilter, FunnelTouch}
+    require(m.steps.nonEmpty, "funnel needs at least one step")
+    val n = m.steps.size
+    val timeScoped = events.filter(Exprs.timePredicate(col("ts"), m.time))
+    val filtered =
+      if (m.filters.isEmpty) timeScoped
+      else timeScoped.filter(Exprs.and(m.filters.map(Exprs.propPredicate)))
+    val scoped =
+      if (m.segments.isEmpty) filtered
+      else {
+        val users = m.segments
+          .map(Segments.segmentUsers(filtered, _, m.time, m.groupCol, "ts", "event_type"))
+          .reduce(_.union(_)).distinct()
+        filtered.join(users, Seq(m.groupCol), "left_semi")
+      }
+    val stepCols = m.steps.map(st =>
+      st.events.map(ev => Exprs.and(
+        ev.eventName.map(Exprs.eventPredicate(col("event_type"), _)).toSeq ++
+          ev.filters.map(Exprs.propPredicate))).reduce(_ || _))
+    val windowMs = m.windowN * m.windowUnit.millis
+    val req = Request(
+      steps = stepCols,
+      windowMs = windowMs,
+      exclude = m.exclude.map(e => Exclude(
+        Exprs.and(e.eventName.map(Exprs.eventPredicate(col("event_type"), _)).toSeq ++
+          e.filters.map(Exprs.propPredicate)),
+        e.fromStep, math.min(e.toStep, n - 1))),
+      constants = m.holdingConstants,
+      count = m.count match {
+        case FunnelCount.Unique    => Unique
+        case FunnelCount.NonUnique => NonUnique
+        case FunnelCount.Session   => Session(windowMs)
+      },
+      filter = m.filter.map {
+        case FunnelFilter.DropOffOnAnyStep   => DropOffOnAnyStep
+        case FunnelFilter.DropOffOnStep(s)   => DropOffOnStep(s)
+        case FunnelFilter.TimeToConvert(a, b) => TimeToConvert(a, b)
+      },
+      interval = m.interval,
+      breakdowns = m.breakdowns,
+      anyOrderGroups = m.anyOrderGroups,
+      touch = m.touch match {
+        case FunnelTouch.First   => TouchFirst
+        case FunnelTouch.Last    => TouchLast
+        case FunnelTouch.Step(k) => TouchStep(k)
+      },
+      userCol = m.groupCol)
+    run(spark, scoped, req)
+  }
+
   /** Run the funnel: events → long-form per-step result
     * (bucket?, breakdowns..., step, total, conversion_ratio,
     * avg_time_to_convert, avg_time_to_convert_from_start,

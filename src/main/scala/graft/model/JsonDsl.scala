@@ -1,0 +1,353 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import Json._
+
+/** JSON request deserialization — the engine's user surface, mirroring
+  * the reference's serde DTOs field-for-field:
+  *
+  *  - event segmentation: reference platform/src/event_segmentation.rs:439-454
+  *    (`EventSegmentationRequest { time, group, intervalUnit, chartType,
+  *    analysis, compare?, events, filters?, breakdowns?, segments? }`)
+  *  - funnel: reference platform/src/funnel.rs:294-308
+  *    (`FunnelRequest { time, group, steps, timeWindow, chartType, count,
+  *    filter?, touch?, holdingConstants?, exclude?, breakdowns?,
+  *    segments?, filters? }`)
+  *
+  * Tagging conventions follow the reference's serde derives: internally
+  * tagged enums use `"type"` (platform/src/lib.rs:719 QueryTime,
+  * :504 PropValueFilter, :801 Breakdown), event refs use `"eventType"`
+  * (:400), property refs use `"propertyType"` and flatten into their
+  * parent (:440), and variant names are camelCase.
+  *
+  * Unknown tags and missing fields raise [[Json.JsonError]] with the
+  * offending fragment — the validation role of the reference's
+  * `validate_request` (platform/src/event_segmentation.rs:497-560).
+  */
+object JsonDsl {
+
+  /** Parse an event-segmentation request.
+    * @param customEvents resolver for `{"eventType":"custom","eventId":N}`
+    *                     refs (the reference resolves ids through its
+    *                     metadata registry, metadata/src/custom_events.rs). */
+  def eventSegmentation(json: String,
+                        customEvents: Map[Long, CustomEvent] = Map.empty): EventSegmentationRequest = {
+    val j = Json.parse(json)
+    EventSegmentationRequest(
+      time = queryTime(j / "time", j.asOpt("now")),
+      interval = intervalUnit(j / "intervalUnit"),
+      events = (j / "events").arr.map(eventBlock(_, customEvents)),
+      filters = j.asOpt("filters").map(groupedFilters).getOrElse(Nil),
+      breakdowns = j.asOpt("breakdowns").map(_.arr.map(breakdown)).getOrElse(Nil),
+      segments = j.asOpt("segments").map(_.arr.map(segment)).getOrElse(Nil),
+      groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)))
+  }
+
+  /** Parse a funnel request (model form; lowered to the engine request
+    * by graft.engine.Funnel.fromModel). */
+  def funnel(json: String): FunnelRequestModel = {
+    val j = Json.parse(json)
+    val stepsJ = (j / "steps").arr
+    val steps = stepsJ.map(s => FunnelStep((s / "events").arr.map(funnelEvent)))
+    // StepOrder::Any ranges: the DTO repeats the order spec per step
+    // (platform/src/funnel.rs:310-312); any step carrying Any
+    // contributes its ranges once.
+    val anyOrder = stepsJ.flatMap(s => s.asOpt("order")).flatMap { o =>
+      (o / "type").str match {
+        case "exact" => Nil
+        case "any" => (o / "steps").arr.map { pair =>
+          val p = pair.arr
+          (p(0).int, p(1).int)
+        }
+        case other => throw JsonError(s"unknown step order '$other'")
+      }
+    }.distinct
+    val tw = j / "timeWindow"
+    FunnelRequestModel(
+      time = queryTime(j / "time", j.asOpt("now")),
+      steps = steps,
+      windowN = (tw / "n").long,
+      windowUnit = intervalUnit(tw / "unit"),
+      count = j.asOpt("count").map(funnelCount).getOrElse(FunnelCount.Unique),
+      filter = j.asOpt("filter").map(funnelFilter),
+      touch = j.asOpt("touch").map(funnelTouch).getOrElse(FunnelTouch.First),
+      holdingConstants = j.asOpt("holdingConstants").map(_.arr.map(propertyName)).getOrElse(Nil),
+      exclude = j.asOpt("exclude").map(_.arr.map(funnelExclude(_, steps.size))).getOrElse(Nil),
+      breakdowns = j.asOpt("breakdowns").map(_.arr.map(breakdown)).getOrElse(Nil),
+      segments = j.asOpt("segments").map(_.arr.map(segment)).getOrElse(Nil),
+      filters = j.asOpt("filters").map(groupedFilters).getOrElse(Nil),
+      anyOrderGroups = anyOrder,
+      interval = j.asOpt("intervalUnit").map(intervalUnit),
+      groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)))
+  }
+
+  // ---------------- shared fragments ----------------
+
+  private def parseTs(j: JValue): Timestamp = {
+    val s = j.str
+    val instant =
+      try java.time.Instant.parse(s)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.OffsetDateTime.parse(s).toInstant
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+                .atZone(java.time.ZoneOffset.UTC).toInstant
+          }
+      }
+    Timestamp.from(instant)
+  }
+
+  private def queryTime(j: JValue, now: Option[JValue]): QueryTime = (j / "type").str match {
+    case "between" => QueryTime.Between(parseTs(j / "from"), parseTs(j / "to"))
+    case "from"    => QueryTime.From(parseTs(j / "from"))
+    case "last" =>
+      // `now` anchors Last deterministically (the reference anchors at
+      // QueryParams.timestamp, falling back to wall clock —
+      // platform/src/event_segmentation.rs:62-64)
+      val anchor = now.map(parseTs).getOrElse(new Timestamp(System.currentTimeMillis()))
+      QueryTime.Last((j / "last").long, intervalUnit(j / "unit"), anchor)
+    case other => throw JsonError(s"unknown time type '$other'")
+  }
+
+  private def intervalUnit(j: JValue): TimeIntervalUnit = j.str match {
+    case "second" => TimeIntervalUnit.Second
+    case "minute" => TimeIntervalUnit.Minute
+    case "hour"   => TimeIntervalUnit.Hour
+    case "day"    => TimeIntervalUnit.Day
+    case "week"   => TimeIntervalUnit.Week
+    case "month"  => TimeIntervalUnit.Month
+    case "year"   => TimeIntervalUnit.Year
+    case other    => throw JsonError(s"unknown interval unit '$other'")
+  }
+
+  private def groupCol(idx: Int): String =
+    if (idx == 0) "user_id"
+    else throw JsonError(s"unknown group index $idx (only group 0 = users has a table)")
+
+  /** Flattened-PropertyRef name: `{"propertyType":"event"|"group",
+    * "propertyName":...}` → physical column. */
+  private def propertyName(j: JValue): String = (j / "propertyType").str match {
+    case "event" | "group" => (j / "propertyName").str
+    case other             => throw JsonError(s"unknown propertyType '$other'")
+  }
+
+  private def propOp(j: JValue): PropOp = j.str match {
+    case "eq"       => PropOp.Eq
+    case "neq"      => PropOp.Neq
+    case "gt"       => PropOp.Gt
+    case "gte"      => PropOp.Gte
+    case "lt"       => PropOp.Lt
+    case "lte"      => PropOp.Lte
+    case "true"     => PropOp.True
+    case "false"    => PropOp.False
+    case "exists"   => PropOp.Exists
+    case "empty"    => PropOp.Empty
+    case "like"     => PropOp.Like
+    case "notLike"  => PropOp.NotLike
+    case "regex"    => PropOp.Regex
+    case "notRegex" => PropOp.NotRegex
+    case other      => throw JsonError(s"unknown operation '$other'")
+  }
+
+  /** PropValueFilter (platform/src/lib.rs:504-515): internally tagged
+    * `property` variant with the PropertyRef flattened in. */
+  private def propFilter(j: JValue): PropFilter = (j / "type").str match {
+    case "property" =>
+      PropFilter(propertyName(j), propOp(j / "operation"),
+        j.asOpt("value").map(_.arr.map(_.scalar)).getOrElse(Nil))
+    case other => throw JsonError(s"unknown filter type '$other'")
+  }
+
+  /** EventGroupedFilters → flat filter list: the reference keeps only
+    * groups[0].filters (platform/src/event_segmentation.rs:467-480). */
+  private def groupedFilters(j: JValue): Seq[PropFilter] = j match {
+    case JObj(_) =>
+      (j / "groups").arr.headOption
+        .map(g => (g / "filters").arr.map(propFilter))
+        .getOrElse(Nil)
+    case JArr(vs) => vs.map(propFilter) // already-flat form
+    case other    => throw JsonError(s"expected filters, got ${other.render}")
+  }
+
+  private def breakdown(j: JValue): String = (j / "type").str match {
+    case "property" => propertyName(j)
+    case other      => throw JsonError(s"unknown breakdown type '$other'")
+  }
+
+  private def aggFn(j: JValue): AggFn = j.str match {
+    case "count"          => AggFn.Count
+    case "sum"            => AggFn.Sum
+    case "min"            => AggFn.Min
+    case "max"            => AggFn.Max
+    case "avg"            => AggFn.Avg
+    case "median"         => AggFn.Median
+    case "distinctCount"  => AggFn.DistinctCount
+    case "approxDistinct" => AggFn.ApproxDistinctCount()
+    case other            => throw JsonError(s"unknown aggregate '$other'")
+  }
+
+  /** ES Query enum (platform/src/event_segmentation.rs:241-261).
+    * `name` is optional; defaults mirror the names the reference's
+    * fix_request assigns (query/src/event_segmentation.rs). */
+  private def namedQuery(j: JValue): NamedQuery = {
+    val (q, defaultName) = (j / "type").str match {
+      case "countEvents"         => (Query.CountEvents, "count")
+      case "countUniqueGroups"   => (Query.CountUniqueGroups(), "count_unique")
+      case "dailyActiveGroups"   => (Query.CountUniqueGroups(Some(TimeIntervalUnit.Day)), "dau")
+      case "weeklyActiveGroups"  => (Query.CountUniqueGroups(Some(TimeIntervalUnit.Week)), "wau")
+      case "monthlyActiveGroups" => (Query.CountUniqueGroups(Some(TimeIntervalUnit.Month)), "mau")
+      case "countPerGroup" =>
+        (Query.CountPerGroup(aggFn(j / "aggregate")), "count_per_group")
+      case "aggregateProperty" =>
+        val p = propertyName(j)
+        (Query.AggregateProperty(p, aggFn(j / "aggregate")),
+          s"${(j / "aggregate").str}_$p")
+      case "aggregatePropertyPerGroup" =>
+        val p = propertyName(j)
+        (Query.AggregatePropertyPerGroup(p,
+          aggFn(j / "aggregatePerGroup"), aggFn(j / "aggregate")),
+          s"${(j / "aggregate").str}_${(j / "aggregatePerGroup").str}_$p")
+      case "formula" => (Query.Formula((j / "formula").str), "formula")
+      case other     => throw JsonError(s"unknown query type '$other'")
+    }
+    NamedQuery(q, j.asOpt("name").map(_.str).getOrElse(defaultName))
+  }
+
+  /** ES event block: flattened EventRef + filters/breakdowns/queries
+    * (platform/src/event_segmentation.rs Event struct). */
+  private def eventBlock(j: JValue, customEvents: Map[Long, CustomEvent]): EventBlock = {
+    val (name, custom) = (j / "eventType").str match {
+      case "regular" => (Some((j / "eventName").str), None)
+      case "all"     => (None, None) // additive: explicit all-events block
+      case "custom" =>
+        j.asOpt("customEvent") match {
+          case Some(ce) => (None, Some(customEventDef(ce)))
+          case None =>
+            val id = (j / "eventId").long
+            (None, Some(customEvents.getOrElse(id,
+              throw JsonError(s"unknown custom event id $id"))))
+        }
+      case other => throw JsonError(s"unknown eventType '$other'")
+    }
+    EventBlock(
+      eventName = name,
+      filters = j.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil),
+      queries = j.asOpt("queries").map(_.arr.map(namedQuery)).getOrElse(Nil),
+      breakdowns = j.asOpt("breakdowns").map(_.arr.map(breakdown)).getOrElse(Nil),
+      customEvent = custom)
+  }
+
+  /** Inline custom-event definition (members recurse like
+    * metadata/src/custom_events.rs:52). */
+  private def customEventDef(j: JValue): CustomEvent =
+    CustomEvent((j / "name").str, (j / "events").arr.map { m =>
+      m.asOpt("customEvent") match {
+        case Some(inner) => CustomEventMember.Custom(customEventDef(inner))
+        case None => CustomEventMember.Event(
+          m.asOpt("eventName").map(_.str),
+          m.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil))
+      }
+    })
+
+  private def segmentTime(j: JValue): SegmentTime = (j / "type").str match {
+    case "between"    => SegmentTime.Between(parseTs(j / "from"), parseTs(j / "to"))
+    case "from"       => SegmentTime.From(parseTs(j / "from"))
+    case "last"       => SegmentTime.Last((j / "last").long, intervalUnit(j / "unit"))
+    case "windowEach" => SegmentTime.Each((j / "n").long, intervalUnit(j / "unit"))
+    case "afterFirstUse" =>
+      SegmentTime.AfterFirstUse((j / "within").long, intervalUnit(j / "unit"))
+    case other => throw JsonError(s"unknown segment time type '$other'")
+  }
+
+  /** SegmentCondition (platform/src/lib.rs:1004-1027) with the
+    * DidEventAggregate variants folded in (lib.rs:869-894). */
+  private def segmentCondition(j: JValue): SegmentCondition = (j / "type").str match {
+    case "hasPropertyValue" =>
+      SegmentCondition.HasPropertyValue(
+        propertyName(j / "property"), propOp(j / "operation"),
+        j.asOpt("value").map(_.arr.map(_.scalar)).getOrElse(Nil))
+    case "hadPropertyValue" =>
+      SegmentCondition.HadPropertyValue(
+        propertyName(j / "property"), propOp(j / "operation"),
+        j.asOpt("value").map(_.arr.map(_.scalar)).getOrElse(Nil))
+    case "didEvent" =>
+      val ev = j.asOpt("eventName").map(_.str)
+      val filters = j.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil)
+      val agg = j / "aggregate"
+      (agg / "type").str match {
+        case "count" =>
+          SegmentCondition.DidEventCount(ev, filters,
+            propOp(agg / "operation"), (agg / "value").long, segmentTime(agg / "time"))
+        case "historicalCount" =>
+          // count over all history (reference lib.rs:890-894)
+          SegmentCondition.DidEventCount(ev, filters,
+            propOp(agg / "operation"), (agg / "value").long,
+            SegmentTime.From(new Timestamp(0L)))
+        case "aggregateProperty" =>
+          SegmentCondition.DidEventAggregateProperty(ev, filters,
+            propertyName(agg), aggFn(agg / "aggregate"),
+            propOp(agg / "operation"), (agg / "value").num, segmentTime(agg / "time"))
+        case "relativeCount" =>
+          SegmentCondition.DidEventRelativeCount(ev, filters,
+            agg.asOpt("eventName").map(_.str),
+            agg.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil),
+            propOp(agg / "operation"), segmentTime(agg / "time"))
+        case other => throw JsonError(s"unknown didEvent aggregate '$other'")
+      }
+    case other => throw JsonError(s"unknown segment condition '$other'")
+  }
+
+  private def segment(j: JValue): Segment =
+    Segment((j / "name").str,
+      (j / "conditions").arr.map(_.arr.map(segmentCondition)))
+
+  // ---------------- funnel fragments ----------------
+
+  private def funnelEvent(j: JValue): FunnelEvent = (j / "eventType").str match {
+    case "regular" => FunnelEvent(Some((j / "eventName").str),
+      j.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil))
+    case "all" => FunnelEvent(None,
+      j.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil))
+    case other => throw JsonError(s"unknown eventType '$other'")
+  }
+
+  private def funnelCount(j: JValue): FunnelCount = j.str match {
+    case "unique"    => FunnelCount.Unique
+    case "nonUnique" => FunnelCount.NonUnique
+    case "session"   => FunnelCount.Session
+    case other       => throw JsonError(s"unknown count '$other'")
+  }
+
+  private def funnelFilter(j: JValue): FunnelFilter = (j / "type").str match {
+    case "dropOffOnAnyStep" => FunnelFilter.DropOffOnAnyStep
+    case "dropOffOnStep"    => FunnelFilter.DropOffOnStep((j / "step").int)
+    case "timeToConvert" =>
+      FunnelFilter.TimeToConvert((j / "from").long, (j / "to").long)
+    case other => throw JsonError(s"unknown funnel filter '$other'")
+  }
+
+  private def funnelTouch(j: JValue): FunnelTouch = (j / "type").str match {
+    case "first" => FunnelTouch.First
+    case "last"  => FunnelTouch.Last
+    case "step"  => FunnelTouch.Step((j / "step").int)
+    case other   => throw JsonError(s"unknown touch '$other'")
+  }
+
+  private def funnelExclude(j: JValue, nSteps: Int): FunnelExcludeModel = {
+    val (from, to) = j.asOpt("steps") match {
+      case None => (0, nSteps - 1)
+      case Some(st) => (st / "type").str match {
+        case "all"     => (0, nSteps - 1)
+        case "between" => ((st / "from").int, (st / "to").int)
+        case other     => throw JsonError(s"unknown exclude steps '$other'")
+      }
+    }
+    FunnelExcludeModel(
+      j.asOpt("eventName").map(_.str),
+      j.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil),
+      from, to)
+  }
+}

@@ -175,3 +175,60 @@ final case class EventSegmentationRequest(
       * reference has 5 (group_0..group_4, group 0 = users,
       * common/src/lib.rs:16-21). */
     groupCol: String = "user_id")
+
+// ----------------------------------------------------------------
+// Funnel request model (reference common/src/funnel.rs DSL; HTTP DTO
+// platform/src/funnel.rs:294-308). Engine lowering lives in
+// graft.engine.Funnel.fromModel — these stay Spark-free.
+// ----------------------------------------------------------------
+
+/** One event alternative inside a funnel step (platform/src/funnel.rs:369). */
+final case class FunnelEvent(eventName: Option[String], filters: Seq[PropFilter] = Nil)
+
+/** A funnel step = OR over its event alternatives (funnel.rs:310). */
+final case class FunnelStep(events: Seq[FunnelEvent])
+
+sealed trait FunnelCount
+object FunnelCount {
+  case object Unique extends FunnelCount
+  case object NonUnique extends FunnelCount
+  case object Session extends FunnelCount
+}
+
+sealed trait FunnelFilter
+object FunnelFilter {
+  case object DropOffOnAnyStep extends FunnelFilter
+  final case class DropOffOnStep(step: Int) extends FunnelFilter
+  final case class TimeToConvert(fromMs: Long, toMs: Long) extends FunnelFilter
+}
+
+sealed trait FunnelTouch
+object FunnelTouch {
+  case object First extends FunnelTouch
+  case object Last extends FunnelTouch
+  final case class Step(step: Int) extends FunnelTouch
+}
+
+/** Exclude predicate active while in steps [fromStep, toStep]
+  * (0-based inclusive; ExcludeSteps::All → full range). */
+final case class FunnelExcludeModel(
+    eventName: Option[String], filters: Seq[PropFilter] = Nil,
+    fromStep: Int = 0, toStep: Int = Int.MaxValue)
+
+final case class FunnelRequestModel(
+    time: QueryTime,
+    steps: Seq[FunnelStep],
+    windowN: Long,
+    windowUnit: TimeIntervalUnit,
+    count: FunnelCount = FunnelCount.Unique,
+    filter: Option[FunnelFilter] = None,
+    touch: FunnelTouch = FunnelTouch.First,
+    holdingConstants: Seq[String] = Nil,
+    exclude: Seq[FunnelExcludeModel] = Nil,
+    breakdowns: Seq[String] = Nil,
+    segments: Seq[Segment] = Nil,
+    filters: Seq[PropFilter] = Nil,
+    /** Inclusive 0-based any-order slot ranges (StepOrder::Any). */
+    anyOrderGroups: Seq[(Int, Int)] = Nil,
+    interval: Option[TimeIntervalUnit] = None,
+    groupCol: String = "user_id")

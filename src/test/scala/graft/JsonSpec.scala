@@ -1,0 +1,205 @@
+package graft
+
+import graft.engine.{EventSegmentation, Funnel, JsonApi}
+import graft.model._
+import org.apache.spark.sql.functions._
+
+class JsonSpec extends SparkTestBase {
+
+  // ---------------- parser ----------------
+
+  test("json parser handles nesting, escapes and numbers") {
+    val j = Json.parse(
+      """{"a": [1, -2.5, 1e3], "s": "q\"\\\nA", "b": true, "n": null, "o": {"x": 7}}""")
+    assert((j / "a").arr.map(_.num) == Seq(1.0, -2.5, 1000.0))
+    assert((j / "s").str == "q\"\\\nA")
+    assert((j / "b").bool)
+    assert(j.asOpt("n").isEmpty) // explicit null reads as absent
+    assert(((j / "o") / "x").int == 7)
+  }
+
+  test("json parser rejects malformed input with offsets") {
+    assertThrows[Json.JsonError](Json.parse("""{"a": }"""))
+    assertThrows[Json.JsonError](Json.parse("""[1, 2"""))
+    assertThrows[Json.JsonError](Json.parse("""{"a": 1} trailing"""))
+    assertThrows[Json.JsonError](Json.parse(""))
+  }
+
+  // ---------------- event segmentation decode ----------------
+
+  test("ES request decodes the reference DTO shape to the model") {
+    val req = JsonDsl.eventSegmentation("""{
+      "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+      "group": 0,
+      "intervalUnit": "week",
+      "chartType": "line",
+      "analysis": {"type": "linear"},
+      "events": [{
+        "eventType": "regular", "eventName": "purchase",
+        "filters": [{"type": "property", "propertyType": "event",
+                     "propertyName": "device", "operation": "eq", "value": ["ios", "android"]}],
+        "queries": [{"type": "countEvents", "name": "cnt"},
+                    {"type": "aggregateProperty", "propertyType": "event",
+                     "propertyName": "value", "aggregate": "sum"}]
+      }],
+      "filters": {"groupsCondition": "and",
+                  "groups": [{"filtersCondition": "and",
+                              "filters": [{"type": "property", "propertyType": "event",
+                                           "propertyName": "value", "operation": "gt", "value": [5]}]}]},
+      "breakdowns": [{"type": "property", "propertyType": "event", "propertyName": "device"}],
+      "segments": [{"name": "payers", "conditions": [[
+        {"type": "didEvent", "eventType": "regular", "eventName": "purchase",
+         "aggregate": {"type": "count", "operation": "gte", "value": 1,
+                       "time": {"type": "from", "from": "2024-01-01T00:00:00Z"}}}]]}]
+    }""")
+    assert(req.interval == TimeIntervalUnit.Week)
+    assert(req.events.head.eventName.contains("purchase"))
+    assert(req.events.head.filters ==
+      Seq(PropFilter("device", PropOp.Eq, Seq("ios", "android"))))
+    assert(req.events.head.queries ==
+      Seq(NamedQuery(Query.CountEvents, "cnt"),
+        NamedQuery(Query.AggregateProperty("value", AggFn.Sum), "sum_value")))
+    assert(req.filters == Seq(PropFilter("value", PropOp.Gt, Seq(5L))))
+    assert(req.breakdowns == Seq("device"))
+    assert(req.segments.head.conditions.head.head ==
+      SegmentCondition.DidEventCount(Some("purchase"), Nil, PropOp.Gte, 1L,
+        SegmentTime.From(java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")))))
+  }
+
+  test("JSON ES request computes the same frame as the hand-built request") {
+    val df = eventsDf(Seq(
+      (1L, 1000L, "view", "ios", 1.0), (1L, 2000L, "buy", "ios", 20.0),
+      (2L, 3000L, "buy", "and", 30.0), (3L, 4000L, "view", "and", 2.0)))
+    val json = """{
+      "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-02T00:00:00Z"},
+      "intervalUnit": "day",
+      "events": [{"eventType": "regular", "eventName": "buy",
+                  "queries": [{"type": "countEvents", "name": "cnt"}]}]
+    }"""
+    val viaJson = JsonApi.eventSegmentation(df, json)
+      .select(col("cnt")).collect().map(_.getLong(0)).toSeq
+    assert(viaJson == Seq(2L))
+  }
+
+  test("ES decode rejects unknown tags and missing fields") {
+    assertThrows[Json.JsonError](JsonDsl.eventSegmentation("""{"time": {"type": "sometime"}}"""))
+    assertThrows[Json.JsonError](JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "fortnight", "events": []}"""))
+    assertThrows[Json.JsonError](JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "day", "events": [{"eventType": "regular"}]}"""))
+    // custom event id without a registry entry
+    assertThrows[Json.JsonError](JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "day",
+         "events": [{"eventType": "custom", "eventId": 42, "queries": []}]}"""))
+  }
+
+  test("ES decode resolves custom events inline and via registry") {
+    val ce = CustomEvent("engagement", Seq(
+      CustomEventMember.Event(Some("view"), Nil),
+      CustomEventMember.Event(Some("click"), Nil)))
+    val viaRegistry = JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "day",
+         "events": [{"eventType": "custom", "eventId": 7, "queries": [{"type": "countEvents"}]}]}""",
+      customEvents = Map(7L -> ce))
+    assert(viaRegistry.events.head.customEvent.contains(ce))
+    val inline = JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "day",
+         "events": [{"eventType": "custom",
+                     "customEvent": {"name": "engagement", "events": [
+                       {"eventName": "view"}, {"eventName": "click"}]},
+                     "queries": [{"type": "countEvents"}]}]}""")
+    assert(inline.events.head.customEvent.contains(ce))
+  }
+
+  // ---------------- funnel decode ----------------
+
+  test("funnel request decodes every DTO field") {
+    val m = JsonDsl.funnel("""{
+      "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+      "group": 0,
+      "steps": [
+        {"events": [{"eventType": "regular", "eventName": "view"},
+                    {"eventType": "regular", "eventName": "open"}], "order": {"type": "exact"}},
+        {"events": [{"eventType": "regular", "eventName": "click"}],
+         "order": {"type": "any", "steps": [[0, 1]]}}
+      ],
+      "timeWindow": {"n": 7, "unit": "day"},
+      "chartType": "line",
+      "count": "nonUnique",
+      "filter": {"type": "dropOffOnStep", "step": 1},
+      "touch": {"type": "step", "step": 1},
+      "holdingConstants": [{"propertyType": "event", "propertyName": "device"}],
+      "exclude": [{"eventType": "regular", "eventName": "refund",
+                   "steps": {"type": "between", "from": 0, "to": 1}}],
+      "breakdowns": [{"type": "property", "propertyType": "event", "propertyName": "device"}],
+      "filters": [{"type": "property", "propertyType": "event",
+                   "propertyName": "value", "operation": "gte", "value": [0]}]
+    }""")
+    assert(m.steps.map(_.events.map(_.eventName.get)) ==
+      Seq(Seq("view", "open"), Seq("click")))
+    assert(m.windowN == 7 && m.windowUnit == TimeIntervalUnit.Day)
+    assert(m.count == FunnelCount.NonUnique)
+    assert(m.filter.contains(FunnelFilter.DropOffOnStep(1)))
+    assert(m.touch == FunnelTouch.Step(1))
+    assert(m.holdingConstants == Seq("device"))
+    assert(m.exclude == Seq(FunnelExcludeModel(Some("refund"), Nil, 0, 1)))
+    assert(m.breakdowns == Seq("device"))
+    assert(m.filters == Seq(PropFilter("value", PropOp.Gte, Seq(0L))))
+    assert(m.anyOrderGroups == Seq((0, 1)))
+  }
+
+  test("JSON funnel matches the hand-built engine funnel") {
+    val h = 3600 * 1000L
+    val df = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 0.0), (1L, h, "click", "ios", 0.0), (1L, 2 * h, "buy", "ios", 0.0),
+      (2L, 0L, "view", "and", 0.0), (2L, h, "click", "and", 0.0),
+      (3L, 0L, "view", "ios", 0.0)))
+    val json = """{
+      "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-02T00:00:00Z"},
+      "steps": [
+        {"events": [{"eventType": "regular", "eventName": "view"}], "order": {"type": "exact"}},
+        {"events": [{"eventType": "regular", "eventName": "click"}], "order": {"type": "exact"}},
+        {"events": [{"eventType": "regular", "eventName": "buy"}], "order": {"type": "exact"}}
+      ],
+      "timeWindow": {"n": 1, "unit": "day"},
+      "count": "unique"
+    }"""
+    val viaJson = JsonApi.funnel(spark, df, json)
+      .select("step", "total").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = Funnel.run(spark, df, Funnel.Request(
+      steps = Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "buy"),
+      windowMs = 24 * h))
+      .select("step", "total").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaJson == direct)
+    assert(viaJson == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel segments restrict to qualifying users via JSON") {
+    val h = 3600 * 1000L
+    val df = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 0.0), (1L, h, "buy", "ios", 50.0),
+      (2L, 0L, "view", "and", 0.0)))
+    // segment: users who did 'buy' at least once — only user 1
+    val json = """{
+      "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-02T00:00:00Z"},
+      "steps": [{"events": [{"eventType": "regular", "eventName": "view"}], "order": {"type": "exact"}}],
+      "timeWindow": {"n": 1, "unit": "day"},
+      "segments": [{"name": "buyers", "conditions": [[
+        {"type": "didEvent", "eventType": "regular", "eventName": "buy",
+         "aggregate": {"type": "count", "operation": "gte", "value": 1,
+                       "time": {"type": "from", "from": "1970-01-01T00:00:00Z"}}}]]}]
+    }"""
+    val out = JsonApi.funnel(spark, df, json)
+      .select("step", "total").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L))
+  }
+
+  test("columnar response serializer escapes control characters") {
+    import graft.engine.Response._
+    val t = ColumnarTable(Seq(ResponseColumn("c", Dimension, Seq("a\nb\u0001", null))))
+    val expected = "{\"columns\":[{\"name\":\"c\",\"kind\":\"Dimension\"," +
+      "\"values\":[\"a\\nb\\u0001\",null]}]}"
+    assert(t.toJson == expected)
+  }
+}
