@@ -1,8 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Dictionary encoding/decoding. The reference stores dictionary-coded
   * string properties as int keys with bidirectional value↔key maps in
@@ -20,13 +20,23 @@ import org.apache.spark.sql.functions._
 object Dictionary {
 
   /** Build a dictionary for a column: distinct values keyed 1..N in
-    * value order (deterministic). At 100 TB this is one shuffle of the
-    * distinct values only; the window runs over that small set. */
+    * value order (deterministic). One shuffle for distinct + one
+    * range-partitioned sort; keys come from `zipWithIndex` over the
+    * sorted partitions — no single-task global window (a
+    * `row_number().over(Window.orderBy(...))` here would funnel every
+    * distinct value through one partition, the scale killer for
+    * high-cardinality columns). */
   def build(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
     val distinct = df.select(col(valueCol).as("value"))
       .filter(col("value").isNotNull).distinct()
-    distinct.withColumn("key",
-      row_number().over(Window.orderBy(col("value"))).cast("long"))
+      .orderBy(col("value"))
+    val valueField = distinct.schema.fields.head
+    // zipWithIndex numbers rows in partition order; the sort above makes
+    // partition order = global value order, so keys are deterministic
+    val keyed = distinct.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i + 1L) }
+    spark.createDataFrame(keyed,
+      StructType(Seq(valueField.copy(name = "value"), StructField("key", LongType))))
   }
 
   /** Replace `valueCol` with its dictionary key (null-safe: unseen /

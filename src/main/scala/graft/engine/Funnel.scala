@@ -421,12 +421,23 @@ object Funnel {
       .withColumn("prev_ts", when(col("pos") > 0, element_at(col("stepTs"), col("pos"))))
       .withColumn("first_ts", element_at(col("stepTs"), 1))
 
+    // A keyless funnel gets a constant-valued grouping key so the
+    // totals window below keeps a real partition spec. It must be
+    // NON-FOLDABLE — `lit(0)` survives the groupBy as a foldable
+    // alias, FoldablePropagation inlines it, and the window collapses
+    // to the warned single-partition plan. `pmod(step, 1)` is always
+    // 0 but derives from a column, so it stays an attribute. The
+    // grouped frame is result-sized (≤ steps × buckets rows) either way.
+    val keyless = req.interval.isEmpty && req.breakdowns.isEmpty
     val keyNames =
-      (if (req.interval.isDefined) Seq("bucket") else Nil) ++ req.breakdowns
-    val withBucket =
+      (if (keyless) Seq("__pk") else Nil) ++
+        (if (req.interval.isDefined) Seq("bucket") else Nil) ++ req.breakdowns
+    val withBucket0 =
       if (req.interval.isDefined)
         exploded.withColumn("bucket", timestamp_millis(col("bucketMs")))
       else exploded
+    val withBucket =
+      if (keyless) withBucket0.withColumn("__pk", pmod(col("step"), lit(1))) else withBucket0
     val grouped = withBucket
       .groupBy((keyNames :+ "step").map(col): _*)
       .agg(
@@ -438,8 +449,7 @@ object Funnel {
           col("step_ts") - col("first_ts"))), lit(0L))
           .as("time_to_convert_from_start"))
 
-    val wKeys =
-      if (keyNames.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(keyNames.map(col): _*)
+    val wKeys = Window.partitionBy(keyNames.map(col): _*)
     val byStep = wKeys.orderBy(col("step"))
     grouped
       .withColumn("step0_total",
@@ -460,5 +470,6 @@ object Funnel {
           .otherwise(col("dropped_off") * 100.0 / col("prev_total")), 4))
       .drop("step0_total", "prev_total")
       .orderBy((keyNames :+ "step").map(col): _*)
+      .drop("__pk")
   }
 }

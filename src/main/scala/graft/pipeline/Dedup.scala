@@ -203,26 +203,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Blocked n-gram Jaccard dedup: compare only pairs sharing a cheap
-    * blocking key (first token + token-count bucket). Near-dups land
-    * in the same bucket unless they straddle a length boundary — the
-    * standard recall/cost tradeoff of blocking. */
+  /** n-gram Jaccard dedup with MinHash-band blocking. An earlier
+    * version blocked on (first token, length bucket) — at web scale a
+    * dominant first token ("the …") recreates the quadratic blow-up
+    * inside one bucket. MinHash banding is the skew-proof blocking
+    * key the repo already owns: bucket population is driven by actual
+    * content similarity, not by any single token's frequency, and the
+    * verification stage computes the same exact Jaccard over 64-bit
+    * shingle hashes. 8 bands × 2 rows → candidate recall
+    * 1-(1-j²)⁸ (≈0.90 at j=0.5, ≈0.99 at j=0.7). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val withBlock = withShingleHashes(df.select(col(idCol), col(textCol)),
-      textCol, n, "__sh")
-      .withColumn("__blk", concat_ws("#", element_at(toks, 1),
-        floor(size(toks) / lit(16)).cast("string")))
-      .select(col(idCol), col("__sh"), col("__blk"))
-    val l = withBlock.select(col(idCol).as("id_a"), col("__sh").as("sh_a"), col("__blk"))
-    val r = withBlock.select(col(idCol).as("id_b"), col("__sh").as("sh_b"), col("__blk"))
-    l.join(r, Seq("__blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+                        n: Int = 3, threshold: Double = 0.5,
+                        numHashes: Int = 16, bands: Int = 8): DataFrame =
+    minhashDupPairs(df, idCol, textCol, shingleN = n,
+      numHashes = numHashes, bands = bands, threshold = threshold)
 
   /** Embedding cosine near-dup pairs (delegates to Similarity). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,

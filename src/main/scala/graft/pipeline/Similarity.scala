@@ -37,20 +37,52 @@ object Similarity {
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
   }
 
+  /** Two-stage global top-k per query over a scored (qId, cId,
+    * cos_sim) frame. A single `Window.partitionBy(qId)` would hold
+    * every scored corpus row for one query in one task — a straggler
+    * at big corpora. Stage 1 keeps k per (scan partition × query) in
+    * a bounded heap, map-side, no shuffle of the scored rows; stage 2
+    * ranks the ≤ partitions×k survivors, which is result-sized.
+    * Ordering (cos desc, id asc) matches the old single-window plan
+    * exactly, so results are identical. */
+  private def topKPerQuery(scored: DataFrame, qId: String, cId: String,
+                           k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val slim = scored.select(
+      col(qId).cast("long"), col(cId).cast("long"), col("cos_sim").cast("double"))
+    // max element under this ordering = current WORST of the kept k
+    // (lowest score, then highest id), so dequeue evicts correctly
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.by { case (s, id) => (-s, id) }
+    val local = slim.as[(Long, Long, Double)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, c, s) =>
+        val h = heaps.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue((s, c))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (s, c) => (q, c, s) }
+      }
+    }.toDF(qId, cId, "cos_sim")
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId).asc)
+    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors. `queries` must be small (it is broadcast). */
+    * corpus vectors. `queries` must be small (it is broadcast); the
+    * corpus is never shuffled — scoring is map-side and the ranking
+    * tail is the two-stage bounded top-k. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(cId).asc)
-    scored
-      .select(col(qId), col(cId), col("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, qId, cId, k)
   }
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
@@ -70,11 +102,7 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("__bucket"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(cId).asc)
-    scored.select(col(qId), col(cId), col("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, qId, cId, k)
   }
 
   /** All near-dup pairs with cosine ≥ threshold, bucketed by LSH so the
@@ -112,9 +140,6 @@ object Similarity {
     val scored = ca.join(broadcast(qa), Seq("cell_id"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId).asc)
-    scored.select(col(qId), col(cId), col("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, qId, cId, k)
   }
 }
