@@ -159,8 +159,34 @@ object EventSegmentation {
     * (segment, event, bucket, breakdowns..., metrics...).
     * Multi-event blocks union by name with missing metric columns null
     * — the Spark analog of the reference's schema-merging MergeNode
-    * (reference query/src/logical_plan/merge.rs:21). */
+    * (reference query/src/logical_plan/merge.rs:21).
+    *
+    * Execution: [[runFused]] whenever block breakdowns allow it — ONE
+    * events scan computes every (segment × block × metric) via
+    * conditional aggregation, and segment membership is one
+    * groupBy(user) flag pass ([[Segments.membershipFlags]]). The
+    * per-(segment × block) scan-and-union fallback remains for blocks
+    * whose private breakdowns change the grouping key. */
   def run(events: DataFrame, req: EventSegmentationRequest): DataFrame = {
+    val sameKeys = req.events.forall(b =>
+      (req.breakdowns ++ b.breakdowns).distinct == req.breakdowns)
+    val anyInner = req.events.exists(b =>
+      needsInner(b.queries.filterNot(_.query.isInstanceOf[Query.Formula])))
+    // mixed mode restriction: a one-level metric re-expressed over the
+    // per-user inner pass supports only count/sum/min/max/avg
+    val mixedOk = !anyInner || req.events.forall(_.queries.forall {
+      case NamedQuery(Query.AggregateProperty(_, f), _) => f match {
+        case AggFn.Count | AggFn.Sum | AggFn.Min | AggFn.Max | AggFn.Avg => true
+        case _                                                           => false
+      }
+      case _ => true
+    })
+    val segsFusible = req.segments.forall(_.conditions.nonEmpty)
+    if (sameKeys && mixedOk && segsFusible) runFused(events, req)
+    else runUnfused(events, req)
+  }
+
+  private def runUnfused(events: DataFrame, req: EventSegmentationRequest): DataFrame = {
     val segmented: Seq[(String, DataFrame)] =
       if (req.segments.isEmpty) Seq(("all", events))
       else req.segments.map { s =>
@@ -174,6 +200,180 @@ object EventSegmentation {
         .orElse(block.eventName).getOrElse("all")))
       .withColumn("segment", lit(segName))
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Stable internal column key for a metric spec, so identical specs
+    * across blocks share one aggregate buffer. */
+  private def fnKey(f: AggFn): String = f match {
+    case AggFn.Percentile(p)           => s"pct${(p * 10000).toLong}"
+    case AggFn.ApproxDistinctCount(r)  => s"adc${(r * 10000).toLong}"
+    case other                         => other.toString.toLowerCase
+  }
+  private def specKey(q: Query): String = q match {
+    case Query.CountEvents                       => "__s_cnt"
+    case Query.CountUniqueGroups(_)              => "__s_du"
+    case Query.AggregateProperty(p, f)           => s"__s_a_${fnKey(f)}_$p"
+    case Query.CountPerGroup(f)                  => s"__s_cpg_${fnKey(f)}"
+    case Query.AggregatePropertyPerGroup(p, i, o) => s"__s_apg_${fnKey(o)}_${fnKey(i)}_$p"
+    case Query.Formula(_)                        => sys.error("formula has no spec")
+  }
+
+  /** Fused execution — ONE events scan for any number of blocks and
+    * segments. Each input row is EXPLODED into the (segment × block)
+    * cells it belongs to before aggregation (amplification ≤ cells,
+    * slim payload, map-side combine), one aggregate runs keyed by
+    * (bucket, breakdowns, cell), and the long-form output shape is a
+    * single projection with per-block when-chains — no union, so the
+    * aggregate subplan is never duplicated by branch pruning. The
+    * reference evaluates all segments/metrics in one pass the same
+    * way (its SegmentedAggregate node). The scan filter keeps the
+    * time range AND the OR of block predicates, so single-block
+    * requests push down exactly what the per-block path did. Segment
+    * membership is one groupBy(user) flag pass
+    * ([[Segments.membershipFlags]]) joined on the group key. */
+  private def runFused(events: DataFrame, req: EventSegmentationRequest): DataFrame = {
+    val blocks = req.events
+    val blockPreds = blocks.map(b => Exprs.and(
+      b.eventName.map(Exprs.eventPredicate(col(EventCol), _)).toSeq ++
+        b.customEvent.map(Exprs.customEventPredicate(col(EventCol), _)).toSeq ++
+        b.filters.map(Exprs.propPredicate)))
+
+    val (withFlags, segFlags, segNames) =
+      if (req.segments.isEmpty) (events, Seq(lit(true)), Seq("all"))
+      else {
+        val flags = Segments.membershipFlags(
+          events, req.segments, req.time, req.groupCol, TsCol, EventCol)
+        (events.join(flags, Seq(req.groupCol)),
+          req.segments.indices.map(i => col(s"__seg_$i")),
+          req.segments.map(_.name))
+      }
+
+    val scanPred = Exprs.and(
+      Seq(Exprs.timePredicate(col(TsCol), req.time)) ++
+        req.filters.map(Exprs.propPredicate) :+
+        blockPreds.reduce(_ || _))
+    val filtered = withFlags.filter(scanPred)
+
+    // explode each row into its matching cells: a group for cell
+    // (si, bi) then exists iff the cell matched ≥1 row — identical to
+    // the per-block path's bucket omission semantics
+    val cellStructs = for {
+      (sf, si) <- segFlags.zipWithIndex
+      (bp, bi) <- blockPreds.zipWithIndex
+    } yield when(sf && bp, struct(lit(si).as("si"), lit(bi).as("bi")))
+    val exploded = filtered
+      .withColumn("__cell",
+        explode(filter(array(cellStructs: _*), c => c.isNotNull)))
+      .withColumn("__si", col("__cell.si"))
+      .withColumn("__bi", col("__cell.bi"))
+
+    val bucketCol = Exprs.bucket(col(TsCol), req.interval).as("bucket")
+    val keys = (bucketCol +: req.breakdowns.map(col)) ++ Seq(col("__si"), col("__bi"))
+    val keyNames = ("bucket" +: req.breakdowns) ++ Seq("__si", "__bi")
+
+    val aggQs = blocks.flatMap(_.queries).map(_.query)
+      .filterNot(_.isInstanceOf[Query.Formula]).distinctBy(specKey)
+    val anyInner = blocks.exists(b =>
+      needsInner(b.queries.filterNot(_.query.isInstanceOf[Query.Formula])))
+
+    val aggregated = if (!anyInner) {
+      val aggCols = aggQs.map { q =>
+        (q match {
+          case Query.CountEvents             => count(lit(1))
+          case Query.CountUniqueGroups(_)    => count_distinct(col(req.groupCol))
+          case Query.AggregateProperty(p, f) => aggFn(f, col(p))
+          case other                         => sys.error(s"unexpected $other")
+        }).as(specKey(q))
+      }
+      exploded.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+    } else {
+      // two-level: one shared per-user inner pass; inner rows exist
+      // only for users that matched the cell, so no guards are needed
+      val inner = scala.collection.mutable.LinkedHashMap[String, Column]()
+      def innerCol(key: String, c: => Column): Column = {
+        inner.getOrElseUpdate(key, c.as(key)); col(key)
+      }
+      val outers = aggQs.map { q =>
+        (q match {
+          case Query.CountEvents =>
+            sum(innerCol("__cnt", count(lit(1))))
+          case Query.CountUniqueGroups(_) =>
+            count(lit(1))
+          case Query.AggregateProperty(p, f) => f match {
+            case AggFn.Count => sum(innerCol(s"__cntnn_$p", count(col(p))))
+            case AggFn.Sum   => sum(innerCol(s"__sum_$p", sum(col(p))))
+            case AggFn.Min   => min(innerCol(s"__min_$p", min(col(p))))
+            case AggFn.Max   => max(innerCol(s"__max_$p", max(col(p))))
+            case AggFn.Avg =>
+              sum(innerCol(s"__sum_$p", sum(col(p)))) /
+                sum(innerCol(s"__cntnn_$p", count(col(p))))
+            case other => sys.error(s"outer-level $other unsupported in fused two-level")
+          }
+          case Query.CountPerGroup(outerFn) =>
+            aggFn(outerFn, innerCol("__cnt", count(lit(1))))
+          case Query.AggregatePropertyPerGroup(p, innerFn, outerFn) =>
+            aggFn(outerFn, innerCol(s"__i_${p}_$innerFn", aggFn(innerFn, col(p))))
+          case other => sys.error(s"unexpected $other")
+        }).as(specKey(q))
+      }
+      exploded
+        .groupBy((keys :+ col(req.groupCol)): _*)
+        .agg(inner.values.head, inner.values.tail.toSeq: _*)
+        .groupBy(keyNames.map(col): _*)
+        .agg(outers.head, outers.tail: _*)
+    }
+
+    // long-form shape via per-block when-chains — one projection, no
+    // union, the aggregate stays a single subplan. An unmatched chain
+    // yields a typed null, the analog of unionByName's missing-column
+    // null.
+    def biChain(perBlock: Seq[(Int, Column)]): Column =
+      perBlock.tail.foldLeft(
+        when(col("__bi") === perBlock.head._1, perBlock.head._2)) {
+        case (acc, (bi, c)) => acc.when(col("__bi") === bi, c)
+      }
+    val metricNames = blocks.flatMap(_.queries.map(_.name)).distinct
+    // non-formula metrics first (formulas reference them by name)
+    val plainCols = metricNames.flatMap { n =>
+      val defs = blocks.zipWithIndex.flatMap { case (b, bi) =>
+        b.queries.find(_.name == n).collect {
+          case NamedQuery(q, _) if !q.isInstanceOf[Query.Formula] => (bi, col(specKey(q)))
+        }
+      }
+      if (defs.isEmpty) None else Some(biChain(defs).as(n))
+    }
+    val eventTag = biChain(blocks.zipWithIndex.map { case (b, bi) =>
+      (bi, lit(b.customEvent.map(_.name).orElse(b.eventName).getOrElse("all")))
+    }).as("event")
+    val segDefs = segNames.zipWithIndex.map { case (n, si) => (si, lit(n)) }
+    val segTag = segDefs.tail.foldLeft(
+      when(col("__si") === segDefs.head._1, segDefs.head._2)) {
+      case (acc, (si, c)) => acc.when(col("__si") === si, c)
+    }.as("segment")
+    val staged = aggregated.select(
+      ("bucket" +: req.breakdowns).map(col) ++ Seq(col("__bi")) ++
+        plainCols ++ Seq(eventTag, segTag): _*)
+    // formulas evaluate over the named metric columns of their block's
+    // rows; a name may be a formula in one block and a plain metric in
+    // another, so unmatched rows fall back to the existing column
+    val withFormulas = metricNames.foldLeft(staged) { (acc, n) =>
+      val fdefs = blocks.zipWithIndex.flatMap { case (b, bi) =>
+        b.queries.find(_.name == n).collect {
+          case NamedQuery(Query.Formula(e), _) => (bi, expr(e))
+        }
+      }
+      if (fdefs.isEmpty) acc
+      else {
+        val fallback: Column =
+          if (acc.columns.contains(n)) col(n) else lit(null)
+        acc.withColumn(n, fdefs.foldRight(fallback) {
+          case ((bi, c), els) => when(col("__bi") === bi, c).otherwise(els)
+        })
+      }
+    }
+    withFormulas
+      .select(("bucket" +: req.breakdowns).map(col) ++
+        metricNames.map(col) ++ Seq(col("event"), col("segment")): _*)
   }
 
   /** Materialized time range of a request (for the precomputed pivot

@@ -43,8 +43,11 @@ object Exprs {
   /** Property predicate: ops per reference common/src/query.rs:235-262,
     * multi-value → OR chain (isin), built in expr.rs:299-391.
     */
-  def propPredicate(f: PropFilter): Column = {
-    val c = col(f.column)
+  def propPredicate(f: PropFilter): Column = propPredicateOn(col(f.column), f)
+
+  /** Same predicate over an arbitrary value expression (e.g. the
+    * `max_by`-derived latest value in a fused segment pass). */
+  def propPredicateOn(c: Column, f: PropFilter): Column = {
     def orChain(per: Any => Column): Column =
       f.values.map(per).reduce(_ || _)
     f.op match {

@@ -149,6 +149,122 @@ object Segments {
         .select(col(userCol))
   }
 
+  // ---------------------------------------------------------------
+  // Fused membership flags: ALL segments' conditions in ONE
+  // groupBy(user) pass. Each fusible condition becomes a boolean
+  // aggregate expression (count/sum/min/max/avg over `when(pred, …)`
+  // with its time scope folded into the predicate); per-segment
+  // membership is then a plain boolean OR-of-ANDs over the condition
+  // flags. The per-condition scan-and-intersect this replaces
+  // multiplied the events scan by the number of conditions.
+  // ---------------------------------------------------------------
+
+  /** Conditions whose flag is expressible as a single per-user
+    * aggregate. `Each` needs a per-window grouping key and
+    * `AfterFirstUse` a first-event pre-pass — both fall back to
+    * [[userSet]] and join into the flag frame. */
+  private def fusible(c: SegmentCondition): Boolean = {
+    def plainTime(t: SegmentTime) = t match {
+      case _: SegmentTime.Each | _: SegmentTime.AfterFirstUse => false
+      case _                                                  => true
+    }
+    c match {
+      case SegmentCondition.DidEventCount(_, _, _, _, t)                => plainTime(t)
+      case SegmentCondition.DidEventAggregateProperty(_, _, _, _, _, _, t) => plainTime(t)
+      case SegmentCondition.DidEventRelativeCount(_, _, _, _, _, t)    => plainTime(t)
+      case _: SegmentCondition.HadPropertyValue                         => true
+      case _: SegmentCondition.HasPropertyValue                         => true
+    }
+  }
+
+  /** SegmentTime → row predicate (same bounds as [[timeScoped]]). */
+  private def timePred(t: SegmentTime, reqTime: QueryTime, tsCol: String): Column = t match {
+    case SegmentTime.Between(f, to) => col(tsCol) >= lit(f) && col(tsCol) <= lit(to)
+    case SegmentTime.From(f)        => col(tsCol) >= lit(f)
+    case SegmentTime.Last(n, unit) =>
+      val to = reqTime match {
+        case QueryTime.Between(_, t2)  => t2
+        case QueryTime.Last(_, _, now) => now
+        case QueryTime.From(_)         => new java.sql.Timestamp(Long.MaxValue / 2)
+      }
+      val from = new java.sql.Timestamp(to.getTime - n * unit.millis)
+      col(tsCol) >= lit(from) && col(tsCol) <= lit(to)
+    case other => sys.error(s"no row predicate for $other")
+  }
+
+  /** One fusible condition → boolean aggregate expression. */
+  private def flagAgg(c: SegmentCondition, reqTime: QueryTime,
+                      tsCol: String, eventCol: String): Column = c match {
+    case SegmentCondition.DidEventCount(ev, filters, op, value, t) =>
+      val g = Exprs.and(
+        ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+          filters.map(Exprs.propPredicate) :+ timePred(t, reqTime, tsCol))
+      cmp(count(when(g, 1)), op, value)
+    case SegmentCondition.DidEventAggregateProperty(ev, filters, prop, fn, op, value, t) =>
+      val g = Exprs.and(
+        ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+          filters.map(Exprs.propPredicate) :+ timePred(t, reqTime, tsCol))
+      val guarded = when(g, col(prop))
+      val agg = fn match {
+        case AggFn.Count => count(guarded)
+        case AggFn.Sum   => sum(guarded)
+        case AggFn.Min   => min(guarded)
+        case AggFn.Max   => max(guarded)
+        case AggFn.Avg   => avg(guarded)
+        case other       => sys.error(s"unsupported segment agg $other")
+      }
+      cmp(agg, op, value)
+    case SegmentCondition.DidEventRelativeCount(ev, filters, otherEv, otherFilters, op, t) =>
+      val scope = timePred(t, reqTime, tsCol)
+      val gA = Exprs.and(
+        ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+          filters.map(Exprs.propPredicate) :+ scope)
+      val gB = Exprs.and(
+        otherEv.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
+          otherFilters.map(Exprs.propPredicate) :+ scope)
+      cmpCols(count(when(gA, 1)), op, count(when(gB, 1)))
+    case SegmentCondition.HadPropertyValue(prop, op, values) =>
+      coalesce(bool_or(Exprs.propPredicate(PropFilter(prop, op, values))), lit(false))
+    case SegmentCondition.HasPropertyValue(prop, op, values, versionCol) =>
+      // CURRENT value = value on the user's highest-version row
+      Exprs.propPredicateOn(max_by(col(prop), col(versionCol)),
+        PropFilter(prop, op, values))
+  }
+
+  /** All segments → (userCol, __seg_0 … __seg_{k-1}) membership
+    * flags, computed in ONE aggregation over events for every fusible
+    * condition; non-fusible conditions compute their [[userSet]]
+    * separately and LEFT-join in as a flag. Only users belonging to
+    * at least one segment survive. */
+  def membershipFlags(
+      events: DataFrame, segments: Seq[Segment], reqTime: QueryTime,
+      userCol: String, tsCol: String, eventCol: String): DataFrame = {
+    require(segments.nonEmpty, "membershipFlags needs segments")
+    val conditions = segments.flatMap(_.conditions.flatten).distinct
+    val condIdx = conditions.zipWithIndex.toMap
+    val (fused, separate) = conditions.partition(fusible)
+    val fusedAggs = fused.map(c =>
+      flagAgg(c, reqTime, tsCol, eventCol).as(s"__c_${condIdx(c)}"))
+    val base =
+      if (fusedAggs.nonEmpty)
+        events.groupBy(col(userCol)).agg(fusedAggs.head, fusedAggs.tail: _*)
+      else events.select(col(userCol)).distinct()
+    val withAll = separate.foldLeft(base) { (acc, c) =>
+      val name = s"__c_${condIdx(c)}"
+      val us = userSet(events, c, reqTime, userCol, tsCol, eventCol)
+        .withColumn(name, lit(true))
+      acc.join(us, Seq(userCol), "left")
+        .withColumn(name, coalesce(col(name), lit(false)))
+    }
+    val segCols = segments.zipWithIndex.map { case (s, i) =>
+      s.conditions.map(conj =>
+        conj.map(c => coalesce(col(s"__c_${condIdx(c)}"), lit(false))).reduce(_ && _))
+        .reduce(_ || _).as(s"__seg_$i")
+    }
+    withAll.select(col(userCol) +: segCols: _*)
+      .filter(segments.indices.map(i => col(s"__seg_$i")).reduce(_ || _))
+  }
+
   /** OR of ANDs composition → one user-set (reference
     * planner/segment.rs And/Or). */
   def segmentUsers(
