@@ -30,6 +30,16 @@ object SparkEntry {
   /** Integer-cents projection of a 2-decimal double. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Deterministic ±1 hyperplanes (fixed seed) for the oracle-checked
+    * LSH query — the SAME literal matrix is embedded in the DuckDB
+    * oracle SQL, so both engines compute identical buckets. */
+  private val lshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(4)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+  private def planeSql(w: Seq[Double]): String =
+    w.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
   private def eventsC(s: SparkSession, dir: String): DataFrame =
@@ -381,12 +391,16 @@ object SparkEntry {
         .join(broadcast(dict.select(col("value").as("event_type"), col("key"))), "event_type")
     }),
 
-    // §2.5 funnel — full state machine (no SQL equivalent; rows-only)
+    // §2.5 funnel state machine, weekly buckets — unbounded window, so
+    // the machine reduces to chained first-match times and a chained-min
+    // SQL oracle hash-checks totals, ratios and drop-offs per bucket
+    // (the bounded-window restart semantics are covered by the
+    // FunnelSpec golden cases)
     "q_funnel" -> ((s, dir) => {
       Funnel.run(s, events(s, dir), Funnel.Request(
         steps = Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"),
-        windowMs = 7L * 24 * 3600 * 1000,
+        windowMs = Long.MaxValue / 4000L,
         count = Funnel.Unique,
         interval = Some(TimeIntervalUnit.Week)))
         .select(day(col("bucket")).as("w"), col("step"), col("total"),
@@ -427,12 +441,14 @@ object SparkEntry {
           col("avg_time_to_convert"), col("avg_time_to_convert_from_start"))
     }),
 
-    // §2.5 funnel with an any-order step group (StepOrder::Any; rows-only)
+    // §2.5 funnel with an any-order step group (StepOrder::Any) —
+    // unbounded window: slots fill at each type's first occurrence, so
+    // set semantics have a closed-form SQL oracle
     "q_funnel_any" -> ((s, dir) => {
       Funnel.run(s, events(s, dir), Funnel.Request(
         steps = Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"),
-        windowMs = 7L * 24 * 3600 * 1000,
+        windowMs = Long.MaxValue / 4000L,
         anyOrderGroups = Seq((0, 1)), // view/click in any order, then purchase
         count = Funnel.Unique))
         .select(col("step"), col("total"), col("conversion_ratio"))
@@ -449,6 +465,21 @@ object SparkEntry {
           NamedQuery(Query.CountUniqueGroups(), "uniq")))),
         breakdowns = Seq("event_type"))
       EventSegmentation.runPivoted(events(s, dir), req, topGroups = 50)
+    }),
+
+    // pipeline: exact all-pairs n-gram Jaccard — the near-dup
+    // VERIFICATION stage, hash-checked against DuckDB list functions
+    // (the banded MinHash queries above are the candidate-generation
+    // scale path; this pins the verification math itself)
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      val l = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
     }),
 
     // pipeline: exact dedup by content digest
@@ -492,8 +523,11 @@ object SparkEntry {
     }),
 
     // pipeline: SimHash fingerprints + near-dup hamming pairs (rows-only)
+    // pipeline: simhash near-dup candidates — 60-bit md5 fingerprints
+    // so the DuckDB oracle computes identical chunks and hamming
+    // (the xxhash typed-pass variant stays the production path)
     "q_simhash" -> ((s, dir) => {
-      Dedup.simhashDupPairs(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashDupPairs60(Tables.documents(s, dir), "doc_id", "text")
         .filter(col("hamming") <= 16)
     }),
 
@@ -513,12 +547,24 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
-    // pipeline: LSH-bucketed ANN (scale path; rows-only vs brute force)
+    // pipeline: LSH-bucketed ANN — hyperplanes are a DETERMINISTIC
+    // literal ±1 matrix shared verbatim with the DuckDB oracle, so
+    // buckets, candidates and ranking hash-match end to end (the
+    // fused xxhash signature expression stays the production path,
+    // exercised by PipelineSpec)
     "q_knn_lsh" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.lshTopK(q, emb, "q_id", "q_vec", "vec_id", "embedding", 3, planes = 4)
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", lshPlanes.zipWithIndex.map { case (w, p) =>
+          when(Similarity.dot(col("v"), array(w.map(lit): _*)) > 0, 1 << p).otherwise(0)
+        }.reduce(_ + _))
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      val scored = b.join(broadcast(q), Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos_sim", Similarity.cosine(col("qv"), col("v")))
+      Similarity.topKPerQuery(
+          scored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 3)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
     }),
 
@@ -834,6 +880,138 @@ object SparkEntry {
            round(count(t3) * 100.0 / count(t1), 4),
            round(coalesce(sum(t3 - t2) * 1.0 / nullif(count(t3), 0), 0.0), 4),
            round(coalesce(sum(t3 - t1) * 1.0 / nullif(count(t3), 0), 0.0), 4) FROM j""",
+
+    // Chained-min per user, bucketed by the week of the first step,
+    // with window-function step0/prev totals for the ratio columns.
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+         j AS (SELECT s1.user_id, t1, t2, t3,
+                 CAST(date_trunc('week', make_timestamp(t1)) AS DATE) AS w
+               FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                       LEFT JOIN s3 ON s1.user_id = s3.user_id),
+         tot AS (
+           SELECT w, 1 AS step, count(t1) AS total FROM j GROUP BY 1
+           UNION ALL SELECT w, 2, count(t2) FROM j GROUP BY 1
+           UNION ALL SELECT w, 3, count(t3) FROM j GROUP BY 1),
+         x AS (SELECT w, step, total,
+                 first_value(total) OVER (PARTITION BY w ORDER BY step) AS s0,
+                 lag(total) OVER (PARTITION BY w ORDER BY step) AS prev
+               FROM tot)
+         SELECT w, step, total,
+           round(CASE WHEN s0 = 0 THEN 0.0 ELSE total * 100.0 / s0 END, 4) AS conversion_ratio,
+           coalesce(prev - total, 0) AS dropped_off,
+           round(CASE WHEN coalesce(prev, 0) = 0 THEN 0.0 ELSE (prev - total) * 100.0 / prev END, 4) AS drop_off_ratio
+         FROM x""",
+
+    // Any-order {view, click} then purchase, unbounded window: slots
+    // fill at each type's first event; purchase counts after the
+    // group's later fill time.
+    "q_funnel_any" ->
+      """WITH ab AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS a,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS b
+           FROM events GROUP BY 1
+           HAVING a IS NOT NULL OR b IS NOT NULL),
+         p AS (
+           SELECT ab.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN ab ON e.user_id = ab.user_id
+           WHERE e.event_type = 'purchase' AND ab.a IS NOT NULL AND ab.b IS NOT NULL
+             AND epoch_us(e.ts) > greatest(ab.a, ab.b)
+           GROUP BY 1),
+         j AS (SELECT ab.user_id, a, b, t3 FROM ab LEFT JOIN p ON ab.user_id = p.user_id)
+         SELECT 1 AS step, count(*) AS total, CAST(100.0 AS DOUBLE) AS conversion_ratio FROM j
+         UNION ALL
+         SELECT 2, count(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 END),
+           round(count(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 END) * 100.0 / count(*), 4) FROM j
+         UNION ALL
+         SELECT 3, count(t3), round(count(t3) * 100.0 / count(*), 4) FROM j""",
+
+    // The reference's Regular output tail: melt, pivot over the
+    // precomputed day buckets, append the row average.
+    "q_es_pivoted" ->
+      """WITH agg AS (
+           SELECT date_trunc('day', ts) AS b, event_type,
+             count(*) AS cnt, count(DISTINCT user_id) AS uniq
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-09 23:59:59'
+           GROUP BY 1, 2),
+         melted AS (
+           SELECT event_type, 'cnt' AS agg_name, b, CAST(cnt AS DOUBLE) AS value FROM agg
+           UNION ALL SELECT event_type, 'uniq', b, CAST(uniq AS DOUBLE) FROM agg),
+         wide AS (
+           SELECT 'all' AS segment, 'all' AS event, event_type, agg_name,
+             max(CASE WHEN b = TIMESTAMP '2024-01-05 00:00:00' THEN value END) AS "2024-01-05 00:00:00",
+             max(CASE WHEN b = TIMESTAMP '2024-01-06 00:00:00' THEN value END) AS "2024-01-06 00:00:00",
+             max(CASE WHEN b = TIMESTAMP '2024-01-07 00:00:00' THEN value END) AS "2024-01-07 00:00:00",
+             max(CASE WHEN b = TIMESTAMP '2024-01-08 00:00:00' THEN value END) AS "2024-01-08 00:00:00",
+             max(CASE WHEN b = TIMESTAMP '2024-01-09 00:00:00' THEN value END) AS "2024-01-09 00:00:00"
+           FROM melted GROUP BY 3, 4)
+         SELECT *,
+           (coalesce("2024-01-05 00:00:00", 0) + coalesce("2024-01-06 00:00:00", 0) +
+            coalesce("2024-01-07 00:00:00", 0) + coalesce("2024-01-08 00:00:00", 0) +
+            coalesce("2024-01-09 00:00:00", 0)) / 5.0 AS average
+         FROM wide""",
+
+    // Same literal ±1 hyperplane matrix as the Spark query; DuckDB's
+    // list_dot_product accumulates left-to-right like VectorDot, so
+    // buckets and cosine ranking agree bit-for-bit.
+    "q_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+           ${lshPlanes.zipWithIndex.map { case (w, p) =>
+             s"(CASE WHEN list_dot_product(v, ${planeSql(w)}) > 0 THEN ${1 << p} ELSE 0 END)"
+           }.mkString(" + ")} AS bucket
+           FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qv, c.v) /
+               nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)), 0) AS cos
+           FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, neighbor_id, rank FROM ranked WHERE rank <= 3""",
+
+    // md5-60-bit simhash recomputed in SQL: per bit, tokens vote ±1;
+    // candidates share one of four 15-bit chunks.
+    "q_simhash" ->
+      """WITH f AS (
+           SELECT doc_id,
+             list_sum(list_transform(range(0, 60), k ->
+               CASE WHEN list_sum(list_transform(string_split(text, ' '),
+                   t -> CASE WHEN (CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) >> k) & 1 = 1
+                        THEN 1 ELSE -1 END)) > 0
+                 THEN 1::BIGINT << k ELSE 0 END)) AS fp
+           FROM documents),
+         c AS (SELECT doc_id, fp, r.c AS chunk, (fp >> (r.c * 15)) & 32767 AS chunk_val
+               FROM f, (SELECT unnest(range(0, 4)) AS c) r),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(CAST(a.fp AS BIGINT), CAST(b.fp AS BIGINT))) AS INT) AS hamming
+           FROM c a JOIN c b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                            AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16""",
+
+    "q_jaccard_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+           FROM documents),
+         scored AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6) AS jaccard
+           FROM t a, t b WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6""",
 
     // Same chained-min construction as q_funnel_oracle — the JSON
     // request compiles to the identical funnel config.

@@ -187,6 +187,41 @@ object Dedup {
       .toDF(idCol, "simhash")
   }
 
+  /** 60-bit md5-based simhash — ENGINE-PORTABLE hashing: md5 is
+    * standardized, so a SQL oracle (DuckDB) computes the identical
+    * fingerprint from the same text; token hash = first 15 hex digits
+    * of md5 as a 60-bit integer. [[simhashed]] (xxhash, one typed
+    * pass) remains the fast production path; this variant exists so
+    * the simhash OPERATOR is hash-checkable end to end. */
+  def simhashed60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(col(idCol),
+      transform(TextAnalysis.tokens(col(textCol)),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__hs"))
+    val fp = (0 until 60).map { k =>
+      when(aggregate(col("__hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
+        shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    staged.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Near-dup candidate pairs over [[simhashed60]] fingerprints: docs
+    * sharing any of the four 15-bit chunks, with the exact hamming
+    * distance attached. */
+  def simhashDupPairs60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSim = simhashed60(df, idCol, textCol)
+    val chunked = withSim.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)).as(Seq("chunk", "chunk_val")))
+    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("sim_a"), col("chunk"), col("chunk_val"))
+    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("sim_b"), col("chunk"), col("chunk_val"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+  }
+
   /** SimHash near-dup candidates: docs whose fingerprints share any of
     * the four 16-bit chunks (≈ hamming distance tolerance). */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {

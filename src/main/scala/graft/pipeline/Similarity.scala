@@ -45,8 +45,8 @@ object Similarity {
     * ranks the ≤ partitions×k survivors, which is result-sized.
     * Ordering (cos desc, id asc) matches the old single-window plan
     * exactly, so results are identical. */
-  private def topKPerQuery(scored: DataFrame, qId: String, cId: String,
-                           k: Int): DataFrame = {
+  def topKPerQuery(scored: DataFrame, qId: String, cId: String,
+                   k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val slim = scored.select(
