@@ -467,6 +467,19 @@ object SparkEntry {
       EventSegmentation.runPivoted(events(s, dir), req, topGroups = 50)
     }),
 
+    // §2.1/§2.3 first-class group profiles: the replacing group table
+    // materialized from the event log (version, bookkeeping, per-prop
+    // last-set value incl. a JSON-extracted dynamic property), then
+    // group-record search (filter + sort + top-k)
+    "q_group_profile" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val profiles = Groups.buildProfiles(ev, "user_id",
+        Seq("event_type", "value", "k"))
+      Groups.search(profiles, Some(col("n_events") >= 3),
+        Seq(("value", false)), "user_id", 20)
+    }),
+
     // pipeline: exact all-pairs n-gram Jaccard — the near-dup
     // VERIFICATION stage, hash-checked against DuckDB list functions
     // (the banded MinHash queries above are the candidate-generation
@@ -979,6 +992,19 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
            FROM scored)
          SELECT q_id, neighbor_id, rank FROM ranked WHERE rank <= 3""",
+
+    "q_group_profile" ->
+      """SELECT * FROM (
+           SELECT user_id, max(event_id) AS version, count(*) AS n_events,
+             min(epoch_us(ts)) AS first_seen_us, max(epoch_us(ts)) AS last_seen_us,
+             arg_max(event_type, CASE WHEN event_type IS NOT NULL THEN event_id END) AS event_type,
+             arg_max(value, CASE WHEN value IS NOT NULL THEN event_id END) AS value,
+             arg_max(CAST(json_extract_string(props, '$.k') AS BIGINT),
+                     CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN event_id END) AS k
+           FROM events GROUP BY 1)
+         WHERE n_events >= 3
+         ORDER BY value DESC, user_id
+         LIMIT 20""",
 
     // md5-60-bit simhash recomputed in SQL: per bit, tokens vote ±1;
     // candidates share one of four 15-bit chunks.
