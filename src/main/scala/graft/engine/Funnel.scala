@@ -97,6 +97,8 @@ object Funnel {
       touch: Touch = TouchFirst,
       userCol: String = "user_id",
       tsCol: String = "ts",
+      /** Tenant id — scopes the scan (vacuous without the column). */
+      projectId: Option[Long] = None,
       /** Deterministic tiebreaker for same-microsecond events: rows
         * sort (user, ts, idCol), so equal-ts events process in id
         * order and MAY advance consecutive steps — pinned to match
@@ -340,7 +342,8 @@ object Funnel {
         case FunnelTouch.Last    => TouchLast
         case FunnelTouch.Step(k) => TouchStep(k)
       },
-      userCol = m.groupCol)
+      userCol = m.groupCol,
+      projectId = m.projectId)
     run(spark, scoped, req)
   }
 
@@ -349,8 +352,9 @@ object Funnel {
     * avg_time_to_convert, avg_time_to_convert_from_start,
     * time_to_convert, time_to_convert_from_start,
     * dropped_off, drop_off_ratio). Steps are 1-based in the output. */
-  def run(spark: SparkSession, events: DataFrame, req: Request): DataFrame = {
+  def run(spark: SparkSession, events0: DataFrame, req: Request): DataFrame = {
     import spark.implicits._
+    val events = Exprs.tenantScope(events0, req.projectId)
     val n = req.steps.size
     require(n >= 1, "funnel needs at least one step")
 

@@ -28,8 +28,10 @@ object Groups {
   /** Materialize the profile table of one group dimension.
     * Output: (groupCol, version, n_events, first_seen_us,
     * last_seen_us, props...). */
-  def buildProfiles(events: DataFrame, groupCol: String, props: Seq[String],
-                    versionCol: String = "event_id", tsCol: String = "ts"): DataFrame = {
+  def buildProfiles(events0: DataFrame, groupCol: String, props: Seq[String],
+                    versionCol: String = "event_id", tsCol: String = "ts",
+                    projectId: Option[Long] = None): DataFrame = {
+    val events = Exprs.tenantScope(events0, projectId)
     val aggs = Seq(
       max(col(versionCol)).as("version"),
       count(lit(1)).as("n_events"),

@@ -18,12 +18,14 @@ object Records {
   /** Event-record search: filter (time ∧ OR-of-events ∧ props) →
     * project (+forced event_id) → sort event_id desc → limit. */
   def searchEvents(
-      events: DataFrame,
+      events0: DataFrame,
       time: QueryTime,
       eventNames: Seq[String] = Nil,
       filters: Seq[PropFilter] = Nil,
       projection: Seq[String] = Nil,
-      limitN: Int = 100): DataFrame = {
+      limitN: Int = 100,
+      projectId: Option[Long] = None): DataFrame = {
+    val events = Exprs.tenantScope(events0, projectId)
     val evPred =
       if (eventNames.isEmpty) lit(true)
       else eventNames.map(Exprs.eventPredicate(col(EventSegmentation.EventCol), _)).reduce(_ || _)

@@ -60,6 +60,71 @@ object Response {
     case other               => other.toString
   }
 
+  // ---------------------------------------------------------------
+  // Funnel nested response (reference query/src/funnel.rs:98-248:
+  // wide per-step columns reshaped into Response{groups,
+  // steps:[Step{step, data:[StepData…]}]} with ROUND_DIGITS=3
+  // presentation rounding). Our engine's long-form frame (one row per
+  // (bucket, breakdowns, step)) regroups by step instead of slicing
+  // wide columns; values are identical.
+  // ---------------------------------------------------------------
+
+  final case class StepData(
+      groups: Option[Seq[String]], ts: Long, total: Long,
+      conversionRatio: String, avgTimeToConvert: String,
+      avgTimeToConvertFromStart: String, droppedOff: Long,
+      dropOffRatio: String, timeToConvert: Long, timeToConvertFromStart: Long)
+  final case class FunnelStep(step: String, data: Seq[StepData])
+  final case class FunnelResponse(groups: Seq[String], steps: Seq[FunnelStep]) {
+    def toJson: String = {
+      def stepJson(s: FunnelStep): String = {
+        val data = s.data.map { d =>
+          val g = d.groups.fold("")(gs =>
+            "\"groups\":" + gs.map(v => "\"" + escape(v) + "\"").mkString("[", ",", "]") + ",")
+          s"""{$g"ts":${d.ts},"total":${d.total},"conversionRatio":"${d.conversionRatio}",""" +
+            s""""avgTimeToConvert":"${d.avgTimeToConvert}","avgTimeToConvertFromStart":"${d.avgTimeToConvertFromStart}",""" +
+            s""""droppedOff":${d.droppedOff},"dropOffRatio":"${d.dropOffRatio}",""" +
+            s""""timeToConvert":${d.timeToConvert},"timeToConvertFromStart":${d.timeToConvertFromStart}}"""
+        }.mkString("[", ",", "]")
+        s"""{"step":"${escape(s.step)}","data":$data}"""
+      }
+      s"""{"groups":${groups.map(g => "\"" + escape(g) + "\"").mkString("[", ",", "]")},""" +
+        s""""steps":${steps.map(stepJson).mkString("[", ",", "]")}}"""
+    }
+  }
+
+  /** Reshape [[Funnel.run]]'s long-form result (small: steps ×
+    * buckets × breakdowns rows) into the reference's nested funnel
+    * response. `stepNames` label the steps 1..n; group labels are the
+    * breakdown values (the reference prepends the segment name —
+    * our engine filters to the segment instead of labeling it). */
+  def funnelResponse(df: DataFrame, stepNames: Seq[String],
+                     breakdowns: Seq[String] = Nil): FunnelResponse = {
+    val hasBucket = df.columns.contains("bucket")
+    val rows = df.collect().toSeq
+    val steps = stepNames.zipWithIndex.map { case (name, i) =>
+      val stepRows = rows.filter(_.getAs[Int]("step") == i + 1)
+      val data = stepRows.map { r =>
+        val groups =
+          if (breakdowns.isEmpty) None
+          else Some(breakdowns.map(b => String.valueOf(r.getAs[Any](b))))
+        StepData(
+          groups = groups,
+          ts = if (hasBucket) r.getAs[java.sql.Timestamp]("bucket").getTime else 0L,
+          total = r.getAs[Long]("total"),
+          conversionRatio = formatNumber(r.getAs[Double]("conversion_ratio")),
+          avgTimeToConvert = formatNumber(r.getAs[Double]("avg_time_to_convert")),
+          avgTimeToConvertFromStart = formatNumber(r.getAs[Double]("avg_time_to_convert_from_start")),
+          droppedOff = r.getAs[Long]("dropped_off"),
+          dropOffRatio = formatNumber(r.getAs[Double]("drop_off_ratio")),
+          timeToConvert = r.getAs[Long]("time_to_convert"),
+          timeToConvertFromStart = r.getAs[Long]("time_to_convert_from_start"))
+      }
+      FunnelStep(name, data)
+    }
+    FunnelResponse(breakdowns, steps)
+  }
+
   /** Collect a (small, post-aggregation) result into the columnar
     * response shape. `metricCols` default: numeric columns are
     * metrics, everything else a dimension — the reference tags by

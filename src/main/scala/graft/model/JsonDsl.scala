@@ -41,7 +41,10 @@ object JsonDsl {
       filters = j.asOpt("filters").map(groupedFilters).getOrElse(Nil),
       breakdowns = j.asOpt("breakdowns").map(_.arr.map(breakdown)).getOrElse(Nil),
       segments = j.asOpt("segments").map(_.arr.map(segment)).getOrElse(Nil),
-      groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)))
+      groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)),
+      // the reference carries the tenant in the URL path; accept it
+      // inline for transportless callers
+      projectId = j.asOpt("projectId").map(_.long))
   }
 
   /** Parse a funnel request (model form; lowered to the engine request
@@ -79,7 +82,8 @@ object JsonDsl {
       filters = j.asOpt("filters").map(groupedFilters).getOrElse(Nil),
       anyOrderGroups = anyOrder,
       interval = j.asOpt("intervalUnit").map(intervalUnit),
-      groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)))
+      groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)),
+      projectId = j.asOpt("projectId").map(_.long))
   }
 
   // ---------------- shared fragments ----------------

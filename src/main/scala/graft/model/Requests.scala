@@ -174,7 +174,10 @@ final case class EventSegmentationRequest(
     /** Which group dimension partitions per-entity metrics — the
       * reference has 5 (group_0..group_4, group 0 = users,
       * common/src/lib.rs:16-21). */
-    groupCol: String = "user_id")
+    groupCol: String = "user_id",
+    /** Tenant id (reference common/src/types.rs:22) — None on
+      * single-project stores. */
+    projectId: Option[Long] = None)
 
 // ----------------------------------------------------------------
 // Funnel request model (reference common/src/funnel.rs DSL; HTTP DTO
@@ -231,4 +234,5 @@ final case class FunnelRequestModel(
     /** Inclusive 0-based any-order slot ranges (StepOrder::Any). */
     anyOrderGroups: Seq[(Int, Int)] = Nil,
     interval: Option[TimeIntervalUnit] = None,
-    groupCol: String = "user_id")
+    groupCol: String = "user_id",
+    projectId: Option[Long] = None)

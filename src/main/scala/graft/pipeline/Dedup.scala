@@ -222,13 +222,40 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash near-dup candidates: docs whose fingerprints share any of
-    * the four 16-bit chunks (≈ hamming distance tolerance). */
-  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Banded-hamming chunk layout sized for the corpus. Pigeonhole: a
+    * pair within hamming distance d differs in ≤ d of the `chunks`
+    * bands, so with `chunks = d+1` full-cover bands it shares at
+    * least one — candidate recall 1 for the budget. Bucket population
+    * is ≈ corpusSize / 2^width, so WIDTH must grow with the corpus or
+    * the in-bucket quadratic explodes (a fixed 16-bit chunk caps out
+    * near 10⁹ docs). When the width needed to keep buckets ≤
+    * `targetBucket` no longer fits `budget+1` bands into 64 bits, the
+    * layout trades budget for width (fewer, wider bands) — the
+    * standard recall/cost dial, now explicit. */
+  def simhashLayout(corpusSize: Long, hammingBudget: Int = 3,
+                    targetBucket: Long = 4096L): (Int, Int) = {
+    val needed = math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, corpusSize / math.max(1L, targetBucket)) - 1))
+    val idealChunks = hammingBudget + 1
+    if (64 / idealChunks >= needed) (idealChunks, 64 / idealChunks)
+    else {
+      val chunks = math.max(1, 64 / needed)
+      (chunks, 64 / chunks)
+    }
+  }
+
+  /** SimHash near-dup candidates: docs whose fingerprints share any
+    * chunk of the layout (pairs within hamming ≤ chunks-1 are always
+    * found; see [[simhashLayout]] for corpus-size-driven sizing). */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      chunks: Int = 4, chunkWidth: Int = 16): DataFrame = {
+    require(chunks >= 1 && chunks * chunkWidth <= 64, s"bad layout $chunks x $chunkWidth")
+    val mask = if (chunkWidth == 64) -1L else (1L << chunkWidth) - 1L
     val withSim = simhashed(df, idCol, textCol)
     val chunked = withSim.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "chunk_val")))
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * chunkWidth).bitwiseAND(mask)): _*)).as(Seq("chunk", "chunk_val")))
     val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("sim_a"), col("chunk"), col("chunk_val"))
     val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("sim_b"), col("chunk"), col("chunk_val"))
     l.join(r, Seq("chunk", "chunk_val"))

@@ -46,6 +46,35 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash layout widens chunks as the corpus grows") {
+    assert(Dedup.simhashLayout(1000L) == ((4, 16)))           // small: budget wins
+    assert(Dedup.simhashLayout(100_000_000L) == ((4, 16)))    // 2^16 buckets still ok
+    val (cBig, wBig) = Dedup.simhashLayout(1_000_000_000_000L) // 10^12 docs
+    assert(wBig > 16 && cBig * wBig <= 64 && cBig >= 1)
+    // budget traded for width, never a zero-chunk layout
+    assert(Dedup.simhashLayout(Long.MaxValue)._1 >= 1)
+  }
+
+  test("pigeonhole: pairs within hamming <= chunks-1 are always candidates") {
+    // near-identical docs differ in few fingerprint bits; the 4x16
+    // layout must surface every pair with hamming <= 3
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docs(Seq(
+      (1L, base), (2L, base), (3L, base + " mu"),
+      (4L, "unrelated words entirely separate content here now")))
+    val sims = Dedup.simhashed(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val expected = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashDupPairs(df, "doc_id", "text")
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(expected.subsetOf(found))
+    assert(expected.contains((1L, 2L)))
+  }
+
   test("simhash identical docs have hamming 0") {
     val out = Dedup.simhashDupPairs(docs(Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

@@ -103,6 +103,30 @@ class ReshapeSpec extends SparkTestBase {
     assert(table.toJson.contains(""""name":"cnt","kind":"Metric""""))
   }
 
+  test("funnel nested response matches the reference shape with 3-digit rounding") {
+    import org.apache.spark.sql.functions._
+    val h = 3600 * 1000L
+    val df = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 0.0), (1L, h, "click", "ios", 0.0),
+      (2L, 0L, "view", "and", 0.0), (2L, h, "click", "and", 0.0),
+      (3L, 0L, "view", "ios", 0.0)))
+    val long = graft.engine.Funnel.run(spark, df, graft.engine.Funnel.Request(
+      steps = Seq(col("event_type") === "view", col("event_type") === "click"),
+      windowMs = 24 * h, breakdowns = Seq("device")))
+    val resp = graft.engine.Response.funnelResponse(long,
+      Seq("view", "click"), breakdowns = Seq("device"))
+    assert(resp.groups == Seq("device"))
+    assert(resp.steps.map(_.step) == Seq("view", "click"))
+    val viewData = resp.steps.head.data.map(d => d.groups.get.head -> d.total).toMap
+    assert(viewData == Map("ios" -> 2L, "and" -> 1L))
+    val clickIos = resp.steps(1).data.find(_.groups.get.head == "ios").get
+    assert(clickIos.total == 1L)
+    assert(clickIos.conversionRatio == "50") // 3 digits, zeros trimmed
+    val json = resp.toJson
+    assert(json.startsWith("""{"groups":["device"],"steps":[{"step":"view""""))
+    assert(json.contains(""""conversionRatio":"50""""))
+  }
+
   test("CSV source reads with an explicit schema") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
