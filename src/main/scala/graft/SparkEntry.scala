@@ -98,6 +98,86 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"), col("uniq"))
     }),
 
+    // §2.2 QueryTime::Last — trailing window anchored at a pinned now
+    "q_time_last" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = QueryTime.Last(7, TimeIntervalUnit.Day, ts("2024-02-01T00:00:00Z")),
+        interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.2 QueryTime::From — open-ended range
+    "q_time_from" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = QueryTime.From(ts("2024-01-20T00:00:00Z")),
+        interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.2 property predicate ops beyond eq/cmp: Like, Exists, Empty
+    // (on a JSON path that is always absent), NotRegex
+    "q_prop_ops" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("m", get_json_object(col("props"), "$.missing"))
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        filters = Seq(
+          PropFilter("event_type", PropOp.Like, Seq("%i%")),
+          PropFilter("props", PropOp.Exists, Nil),
+          PropFilter("m", PropOp.Empty, Nil),
+          PropFilter("event_type", PropOp.NotRegex, Seq("^err"))),
+        breakdowns = Seq("event_type"))
+      EventSegmentation.run(ev, req)
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
+    }),
+
+    // §2.5 funnel attempt filter DropOffOnStep(1): users who reached
+    // step 2 but never the (value-filtered) step 3 — the reference
+    // DSL's promise, applied for real
+    "q_funnel_dropoff" -> ((s, dir) => {
+      Funnel.run(s, events(s, dir), Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase" && col("value") > 180),
+        windowMs = Long.MaxValue / 4000L,
+        count = Funnel.Unique,
+        filter = Some(Funnel.DropOffOnStep(1))))
+        .select(col("step"), col("total"), col("dropped_off"))
+    }),
+
+    // §2.5 funnel attempt filter TimeToConvert: fully converted within
+    // 7 days — totals and the per-step average conversion times
+    "q_funnel_ttc" -> ((s, dir) => {
+      Funnel.run(s, events(s, dir), Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Long.MaxValue / 4000L,
+        count = Funnel.Unique,
+        filter = Some(Funnel.TimeToConvert(0L, 7L * 24 * 3600 * 1000))))
+        .select(col("step"), col("total"),
+          col("avg_time_to_convert"), col("avg_time_to_convert_from_start"))
+    }),
+
+    // §2.9 display-name rename with "Name 2" dedup + column reorder in
+    // a full query tail
+    "q_rename_reorder" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(
+          NamedQuery(Query.CountEvents, "cnt"),
+          NamedQuery(Query.CountUniqueGroups(), "uniq")))),
+        breakdowns = Seq("event_type"))
+      val long = EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"), col("uniq"))
+      Reshape.reorderColumns(
+        Reshape.renameColumns(long, Seq("cnt" -> "Count", "uniq" -> "Count")),
+        Seq("Count", "d"))
+    }),
+
     // §2.4 Aggregate (property agg): sum/min/max/avg/count of `value`
     "q_es_agg" -> ((s, dir) => {
       val req = EventSegmentationRequest(
@@ -673,6 +753,69 @@ object SparkEntry {
          count(DISTINCT user_id) AS uniq
          FROM events WHERE $SQL_RANGE AND event_type = 'view' AND value > 10
          GROUP BY 1""",
+
+    "q_time_last" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+         GROUP BY 1""",
+
+    "q_time_from" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY 1""",
+
+    "q_prop_ops" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
+         FROM events
+         WHERE $SQL_RANGE
+           AND event_type LIKE '%i%' AND props IS NOT NULL
+           AND json_extract_string(props, '$$.missing') IS NULL
+           AND NOT regexp_matches(event_type, '^err')
+         GROUP BY 1, 2""",
+
+    "q_funnel_dropoff" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.value > 180 AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+         j AS (SELECT s1.user_id, t1, t2, t3
+               FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                       LEFT JOIN s3 ON s1.user_id = s3.user_id),
+         d AS (SELECT count(*) AS n FROM j WHERE t2 IS NOT NULL AND t3 IS NULL)
+         SELECT 1 AS step, n AS total, CAST(0 AS BIGINT) AS dropped_off FROM d
+         UNION ALL SELECT 2, n, CAST(0 AS BIGINT) FROM d
+         UNION ALL SELECT 3, CAST(0 AS BIGINT), n FROM d""",
+
+    "q_funnel_ttc" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+         j AS (SELECT s1.user_id, t1, t2, t3
+               FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                       LEFT JOIN s3 ON s1.user_id = s3.user_id),
+         f AS (SELECT * FROM j WHERE t3 IS NOT NULL AND t3 - t1 BETWEEN 0 AND 604800000000)
+         SELECT 1 AS step, count(*) AS total,
+           CAST(0.0 AS DOUBLE) AS avg_time_to_convert,
+           CAST(0.0 AS DOUBLE) AS avg_time_to_convert_from_start FROM f
+         UNION ALL
+         SELECT 2, count(*),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(*), 0), 0.0), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(*), 0), 0.0), 4) FROM f
+         UNION ALL
+         SELECT 3, count(*),
+           round(coalesce(sum(t3 - t2) * 1.0 / nullif(count(*), 0), 0.0), 4),
+           round(coalesce(sum(t3 - t1) * 1.0 / nullif(count(*), 0), 0.0), 4) FROM f""",
+
+    "q_rename_reorder" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         count(*) AS "Count", count(DISTINCT user_id) AS "Count 2"
+         FROM events WHERE $SQL_RANGE GROUP BY 1, 2""",
 
     "q_es_agg" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
