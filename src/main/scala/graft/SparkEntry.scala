@@ -98,6 +98,42 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"), col("uniq"))
     }),
 
+    // §2.1 metadata registry: the JSON request addresses properties by
+    // DISPLAY name ("Revenue", "Platform Event"), resolved through a
+    // registry auto-derived from the table schema; event names
+    // validate against the table's event list
+    "q_registry_es" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val registry = Metadata.fromEvents(ev,
+        display = Map("value" -> "Revenue", "event_type" -> "Platform Event"))
+      val json = """{
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+        "intervalUnit": "day",
+        "events": [{"eventType": "regular", "eventName": "purchase",
+          "filters": [{"type": "property", "propertyType": "event",
+                       "propertyName": "Revenue", "operation": "gt", "value": [50]}],
+          "queries": [{"type": "countEvents", "name": "cnt"}]}],
+        "breakdowns": [{"type": "property", "propertyType": "event",
+                        "propertyName": "Platform Event"}]
+      }"""
+      JsonApi.eventSegmentation(ev, json, registry = registry)
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
+    }),
+
+    // §2.8/§2.9 record-search output tail: dictionary-encoded props
+    // decoded back and display names applied inside the search path
+    // (reference event_records.rs:349-419)
+    "q_records_decoded" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dict = Dictionary.build(ev, "event_type")
+      val enc = Dictionary.encode(ev, dict, "event_type", "ek")
+      val searched = Records.searchEvents(enc, RANGE,
+        projection = Seq("event_id", "user_id", "ek"), limitN = 50)
+      val decoded = Dictionary.decode(searched, dict, "ek", "event_type")
+      Reshape.renameColumns(decoded, Seq(
+        "event_id" -> "ID", "user_id" -> "User", "event_type" -> "Event"))
+    }),
+
     // §2.2 QueryTime::Last — trailing window anchored at a pinned now
     "q_time_last" -> ((s, dir) => {
       val req = EventSegmentationRequest(
@@ -753,6 +789,17 @@ object SparkEntry {
          count(DISTINCT user_id) AS uniq
          FROM events WHERE $SQL_RANGE AND event_type = 'view' AND value > 10
          GROUP BY 1""",
+
+    "q_registry_es" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
+         FROM events
+         WHERE $SQL_RANGE AND event_type = 'purchase' AND value > 50
+         GROUP BY 1, 2""",
+
+    "q_records_decoded" ->
+      s"""SELECT event_id AS "ID", user_id AS "User", event_type AS "Event"
+         FROM events WHERE $SQL_RANGE
+         ORDER BY event_id DESC LIMIT 50""",
 
     "q_time_last" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt

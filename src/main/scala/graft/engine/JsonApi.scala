@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.model.{CustomEvent, JsonDsl}
+import graft.model.{CustomEvent, JsonDsl, Registry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** JSON request entry points — the analog of the reference's HTTP
@@ -12,14 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object JsonApi {
 
-  /** JSON event-segmentation request → long-form result frame. */
+  /** JSON event-segmentation request → long-form result frame.
+    * A strict `registry` resolves display property names to physical
+    * columns and validates event names (Metadata.fromEvents builds
+    * one from the table itself). */
   def eventSegmentation(events: DataFrame, json: String,
-                        customEvents: Map[Long, CustomEvent] = Map.empty): DataFrame =
-    EventSegmentation.run(events, JsonDsl.eventSegmentation(json, customEvents))
+                        customEvents: Map[Long, CustomEvent] = Map.empty,
+                        registry: Registry = Registry.open): DataFrame =
+    EventSegmentation.run(events, JsonDsl.eventSegmentation(json, customEvents, registry))
 
   /** JSON funnel request → long-form per-step result frame. */
-  def funnel(spark: SparkSession, events: DataFrame, json: String): DataFrame =
-    Funnel.fromModel(spark, events, JsonDsl.funnel(json))
+  def funnel(spark: SparkSession, events: DataFrame, json: String,
+             registry: Registry = Registry.open): DataFrame =
+    Funnel.fromModel(spark, events, JsonDsl.funnel(json, registry))
 
   /** Run a JSON request and serialize the result in the reference's
     * columnar response shape (Response.ColumnarTable.toJson). */

@@ -32,12 +32,16 @@ object JsonDsl {
     *                     refs (the reference resolves ids through its
     *                     metadata registry, metadata/src/custom_events.rs). */
   def eventSegmentation(json: String,
-                        customEvents: Map[Long, CustomEvent] = Map.empty): EventSegmentationRequest = {
+                        customEvents: Map[Long, CustomEvent] = Map.empty,
+                        registry: Registry = Registry.open): EventSegmentationRequest = {
+    implicit val reg: Registry = customEvents.foldLeft(registry) {
+      case (r, (id, ce)) => r.withCustomEvent(id, ce)
+    }
     val j = Json.parse(json)
     EventSegmentationRequest(
       time = queryTime(j / "time", j.asOpt("now")),
       interval = intervalUnit(j / "intervalUnit"),
-      events = (j / "events").arr.map(eventBlock(_, customEvents)),
+      events = (j / "events").arr.map(eventBlock),
       filters = j.asOpt("filters").map(groupedFilters).getOrElse(Nil),
       breakdowns = j.asOpt("breakdowns").map(_.arr.map(breakdown)).getOrElse(Nil),
       segments = j.asOpt("segments").map(_.arr.map(segment)).getOrElse(Nil),
@@ -49,7 +53,8 @@ object JsonDsl {
 
   /** Parse a funnel request (model form; lowered to the engine request
     * by graft.engine.Funnel.fromModel). */
-  def funnel(json: String): FunnelRequestModel = {
+  def funnel(json: String, registry: Registry = Registry.open): FunnelRequestModel = {
+    implicit val reg: Registry = registry
     val j = Json.parse(json)
     val stepsJ = (j / "steps").arr
     val steps = stepsJ.map(s => FunnelStep((s / "events").arr.map(funnelEvent)))
@@ -132,11 +137,13 @@ object JsonDsl {
     else throw JsonError(s"unknown group index $idx (only group 0 = users has a table)")
 
   /** Flattened-PropertyRef name: `{"propertyType":"event"|"group",
-    * "propertyName":...}` → physical column. */
-  private def propertyName(j: JValue): String = (j / "propertyType").str match {
-    case "event" | "group" => (j / "propertyName").str
-    case other             => throw JsonError(s"unknown propertyType '$other'")
-  }
+    * "propertyName":...}` → physical column, resolved (and, for
+    * strict registries, validated) through the metadata registry. */
+  private def propertyName(j: JValue)(implicit reg: Registry): String =
+    (j / "propertyType").str match {
+      case "event" | "group" => reg.column((j / "propertyName").str)
+      case other             => throw JsonError(s"unknown propertyType '$other'")
+    }
 
   private def propOp(j: JValue): PropOp = j.str match {
     case "eq"       => PropOp.Eq
@@ -158,7 +165,7 @@ object JsonDsl {
 
   /** PropValueFilter (platform/src/lib.rs:504-515): internally tagged
     * `property` variant with the PropertyRef flattened in. */
-  private def propFilter(j: JValue): PropFilter = (j / "type").str match {
+  private def propFilter(j: JValue)(implicit reg: Registry): PropFilter = (j / "type").str match {
     case "property" =>
       PropFilter(propertyName(j), propOp(j / "operation"),
         j.asOpt("value").map(_.arr.map(_.scalar)).getOrElse(Nil))
@@ -167,7 +174,7 @@ object JsonDsl {
 
   /** EventGroupedFilters → flat filter list: the reference keeps only
     * groups[0].filters (platform/src/event_segmentation.rs:467-480). */
-  private def groupedFilters(j: JValue): Seq[PropFilter] = j match {
+  private def groupedFilters(j: JValue)(implicit reg: Registry): Seq[PropFilter] = j match {
     case JObj(_) =>
       (j / "groups").arr.headOption
         .map(g => (g / "filters").arr.map(propFilter))
@@ -176,7 +183,7 @@ object JsonDsl {
     case other    => throw JsonError(s"expected filters, got ${other.render}")
   }
 
-  private def breakdown(j: JValue): String = (j / "type").str match {
+  private def breakdown(j: JValue)(implicit reg: Registry): String = (j / "type").str match {
     case "property" => propertyName(j)
     case other      => throw JsonError(s"unknown breakdown type '$other'")
   }
@@ -196,7 +203,7 @@ object JsonDsl {
   /** ES Query enum (platform/src/event_segmentation.rs:241-261).
     * `name` is optional; defaults mirror the names the reference's
     * fix_request assigns (query/src/event_segmentation.rs). */
-  private def namedQuery(j: JValue): NamedQuery = {
+  private def namedQuery(j: JValue)(implicit reg: Registry): NamedQuery = {
     val (q, defaultName) = (j / "type").str match {
       case "countEvents"         => (Query.CountEvents, "count")
       case "countUniqueGroups"   => (Query.CountUniqueGroups(), "count_unique")
@@ -222,17 +229,14 @@ object JsonDsl {
 
   /** ES event block: flattened EventRef + filters/breakdowns/queries
     * (platform/src/event_segmentation.rs Event struct). */
-  private def eventBlock(j: JValue, customEvents: Map[Long, CustomEvent]): EventBlock = {
+  private def eventBlock(j: JValue)(implicit reg: Registry): EventBlock = {
     val (name, custom) = (j / "eventType").str match {
-      case "regular" => (Some((j / "eventName").str), None)
+      case "regular" => (Some(reg.validateEvent((j / "eventName").str)), None)
       case "all"     => (None, None) // additive: explicit all-events block
       case "custom" =>
         j.asOpt("customEvent") match {
           case Some(ce) => (None, Some(customEventDef(ce)))
-          case None =>
-            val id = (j / "eventId").long
-            (None, Some(customEvents.getOrElse(id,
-              throw JsonError(s"unknown custom event id $id"))))
+          case None     => (None, Some(reg.customEvent((j / "eventId").long)))
         }
       case other => throw JsonError(s"unknown eventType '$other'")
     }
@@ -246,7 +250,7 @@ object JsonDsl {
 
   /** Inline custom-event definition (members recurse like
     * metadata/src/custom_events.rs:52). */
-  private def customEventDef(j: JValue): CustomEvent =
+  private def customEventDef(j: JValue)(implicit reg: Registry): CustomEvent =
     CustomEvent((j / "name").str, (j / "events").arr.map { m =>
       m.asOpt("customEvent") match {
         case Some(inner) => CustomEventMember.Custom(customEventDef(inner))
@@ -268,7 +272,7 @@ object JsonDsl {
 
   /** SegmentCondition (platform/src/lib.rs:1004-1027) with the
     * DidEventAggregate variants folded in (lib.rs:869-894). */
-  private def segmentCondition(j: JValue): SegmentCondition = (j / "type").str match {
+  private def segmentCondition(j: JValue)(implicit reg: Registry): SegmentCondition = (j / "type").str match {
     case "hasPropertyValue" =>
       SegmentCondition.HasPropertyValue(
         propertyName(j / "property"), propOp(j / "operation"),
@@ -304,14 +308,14 @@ object JsonDsl {
     case other => throw JsonError(s"unknown segment condition '$other'")
   }
 
-  private def segment(j: JValue): Segment =
+  private def segment(j: JValue)(implicit reg: Registry): Segment =
     Segment((j / "name").str,
       (j / "conditions").arr.map(_.arr.map(segmentCondition)))
 
   // ---------------- funnel fragments ----------------
 
-  private def funnelEvent(j: JValue): FunnelEvent = (j / "eventType").str match {
-    case "regular" => FunnelEvent(Some((j / "eventName").str),
+  private def funnelEvent(j: JValue)(implicit reg: Registry): FunnelEvent = (j / "eventType").str match {
+    case "regular" => FunnelEvent(Some(reg.validateEvent((j / "eventName").str)),
       j.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil))
     case "all" => FunnelEvent(None,
       j.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil))
@@ -340,7 +344,7 @@ object JsonDsl {
     case other   => throw JsonError(s"unknown touch '$other'")
   }
 
-  private def funnelExclude(j: JValue, nSteps: Int): FunnelExcludeModel = {
+  private def funnelExclude(j: JValue, nSteps: Int)(implicit reg: Registry): FunnelExcludeModel = {
     val (from, to) = j.asOpt("steps") match {
       case None => (0, nSteps - 1)
       case Some(st) => (st / "type").str match {

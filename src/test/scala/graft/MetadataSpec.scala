@@ -1,0 +1,51 @@
+package graft
+
+import graft.engine.{JsonApi, Metadata}
+import graft.model._
+import org.apache.spark.sql.functions._
+
+class MetadataSpec extends SparkTestBase {
+
+  private def df = eventsDf(Seq(
+    (1L, 1000L, "view", "ios", 5.0), (1L, 2000L, "buy", "ios", 50.0),
+    (2L, 3000L, "view", "and", 2.0)))
+
+  test("registry auto-derives from the schema with display names and flags") {
+    val reg = Metadata.fromEvents(df,
+      display = Map("value" -> "Revenue", "event_type" -> "Event Name"))
+    val rev = reg.property("Revenue")
+    assert(rev.column == "value" && rev.dataType == "double" && !rev.isDictionary)
+    assert(reg.property("event name").column == "event_type") // case-insensitive
+    assert(reg.property("Event Name").isDictionary)           // string → dict-codable
+    assert(reg.property("user_id").isSystem)
+    assert(reg.eventNames == Set("view", "buy"))
+  }
+
+  test("strict registry rejects unknown properties and events") {
+    val reg = Metadata.fromEvents(df)
+    val err = intercept[Json.JsonError](reg.property("no_such"))
+    assert(err.getMessage.contains("known:"))
+    assertThrows[Json.JsonError](reg.validateEvent("no_such_event"))
+    assert(reg.validateEvent("view") == "view")
+    // open registry passes anything through
+    assert(Registry.open.column("whatever") == "whatever")
+  }
+
+  test("JSON requests resolve display names through the registry") {
+    val reg = Metadata.fromEvents(df, display = Map("value" -> "Revenue"))
+    val json = """{
+      "time": {"type": "from", "from": "1970-01-01T00:00:00Z"},
+      "intervalUnit": "day",
+      "events": [{"eventType": "regular", "eventName": "buy",
+        "filters": [{"type": "property", "propertyType": "event",
+                     "propertyName": "Revenue", "operation": "gte", "value": [10]}],
+        "queries": [{"type": "countEvents", "name": "cnt"}]}]
+    }"""
+    val out = JsonApi.eventSegmentation(df, json, registry = reg)
+      .select("cnt").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L))
+    // unknown event name in a strict registry fails at decode time
+    val bad = json.replace("\"buy\"", "\"nope\"")
+    assertThrows[Json.JsonError](JsonDsl.eventSegmentation(bad, registry = reg))
+  }
+}
