@@ -601,10 +601,10 @@ object SparkEntry {
     // (the banded MinHash queries above are the candidate-generation
     // scale path; this pins the verification math itself)
     "q_jaccard_pairs" -> ((s, dir) => {
-      // doc_id < 1000 bounds the exact pair space (≤ ~500k pairs) at
+      // doc_id < 300 bounds the exact pair space (≤ ~45k pairs) at
       // any SF — this query pins verification MATH; candidate
       // generation at scale is the banded MinHash path
-      val d = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
       val l = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val r = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -1224,7 +1224,7 @@ object SparkEntry {
            SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
                i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-           FROM documents WHERE doc_id < 1000),
+           FROM documents WHERE doc_id < 300),
          scored AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              round(len(list_intersect(a.sh, b.sh)) * 1.0 /

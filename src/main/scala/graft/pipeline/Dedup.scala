@@ -194,15 +194,34 @@ object Dedup {
     * pass) remains the fast production path; this variant exists so
     * the simhash OPERATOR is hash-checkable end to end. */
   def simhashed60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val staged = df.select(col(idCol),
-      transform(TextAnalysis.tokens(col(textCol)),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__hs"))
-    val fp = (0 until 60).map { k =>
-      when(aggregate(col("__hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
-        shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    staged.select(col(idCol), fp.as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one typed pass: JVM MessageDigest md5 produces the identical
+    // bytes the SQL md5() does, and the first 15 hex digits are the
+    // top 60 bits of the digest — integer-only, engine-portable
+    df.select(col(idCol).cast("long").as("id"), split(col(textCol), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toks) =>
+          val votes = new Array[Int](60)
+          toks.foreach { t =>
+            val d = md.digest(t.getBytes("UTF-8"))
+            // first 15 hex chars = 7.5 bytes, big-endian
+            var h = 0L
+            var i = 0
+            while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+            h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+            var k = 0
+            while (k < 60) { if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1; k += 1 }
+          }
+          var fp = 0L
+          var k = 0
+          while (k < 60) { if (votes(k) > 0) fp |= (1L << k); k += 1 }
+          (id, fp)
+        }
+      }
+      .toDF(idCol, "simhash")
   }
 
   /** Near-dup candidate pairs over [[simhashed60]] fingerprints: docs
