@@ -134,6 +134,38 @@ object SparkEntry {
         "event_id" -> "ID", "user_id" -> "User", "event_type" -> "Event"))
     }),
 
+    // §2.4 Analysis::Cumulative — running totals per series (declared
+    // in the reference DTO, never computed there; real here)
+    "q_es_cumulative" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        breakdowns = Seq("event_type"),
+        analysis = Analysis.Cumulative)
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
+    }),
+
+    // §2.4 Analysis::RollingAverage over 7 day-buckets
+    "q_es_rolling_avg" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        analysis = Analysis.RollingAverage(7))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.4 Compare — each bucket also reports the value one week back
+    "q_es_compare" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        compare = Some(Compare(7, TimeIntervalUnit.Day)))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"), col("cnt_prev"))
+    }),
+
     // §2.2 QueryTime::Last — trailing window anchored at a pinned now
     "q_time_last" -> ((s, dir) => {
       val req = EventSegmentationRequest(
@@ -800,6 +832,24 @@ object SparkEntry {
       s"""SELECT event_id AS "ID", user_id AS "User", event_type AS "Event"
          FROM events WHERE $SQL_RANGE
          ORDER BY event_id DESC LIMIT 50""",
+
+    "q_es_cumulative" ->
+      s"""SELECT d, event_type,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS cnt
+         FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+               count(*) AS cnt FROM events WHERE $SQL_RANGE GROUP BY 1, 2)""",
+
+    "q_es_rolling_avg" ->
+      s"""SELECT d,
+         avg(cnt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt
+         FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               count(*) AS cnt FROM events WHERE $SQL_RANGE GROUP BY 1)""",
+
+    "q_es_compare" ->
+      s"""WITH base AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS cnt FROM events WHERE $SQL_RANGE GROUP BY 1)
+         SELECT a.d, a.cnt, b.cnt AS cnt_prev
+         FROM base a LEFT JOIN base b ON b.d = a.d - 7""",
 
     "q_time_last" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt

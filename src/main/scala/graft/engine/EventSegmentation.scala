@@ -169,6 +169,53 @@ object EventSegmentation {
     * whose private breakdowns change the grouping key. */
   def run(events0: DataFrame, req: EventSegmentationRequest): DataFrame = {
     val events = Exprs.tenantScope(events0, req.projectId)
+    applyCompare(applyAnalysis(runRaw(events, req), req), req)
+  }
+
+  /** Post-aggregation series transforms over the long-form result —
+    * windows partitioned by (segment, event, breakdowns) ordered by
+    * bucket, all result-sized. The reference's DTO declares Analysis
+    * and Compare but its query crate never computes them; these are
+    * the real implementations. */
+  private def applyAnalysis(df: DataFrame, req: EventSegmentationRequest): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val metricNames = req.events.flatMap(_.queries.map(_.name)).distinct
+      .filter(df.columns.contains)
+    lazy val w = Window
+      .partitionBy((Seq("segment", "event") ++ req.breakdowns).map(col): _*)
+      .orderBy(col("bucket"))
+    req.analysis match {
+      case Analysis.Linear => df
+      case Analysis.Cumulative =>
+        metricNames.foldLeft(df)((acc, n) => acc.withColumn(n,
+          sum(col(n)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      case Analysis.RollingAverage(win) =>
+        metricNames.foldLeft(df)((acc, n) => acc.withColumn(n,
+          avg(col(n)).over(w.rowsBetween(-(win - 1).toLong, Window.currentRow))))
+      case Analysis.Logarithmic =>
+        metricNames.foldLeft(df)((acc, n) => acc.withColumn(n, log(col(n))))
+    }
+  }
+
+  /** Period-over-period: each metric gains a `<name>_prev` column with
+    * its value `offset` units earlier — a self-join of the
+    * result-sized frame on the shifted bucket (unit duration
+    * semantics: Month≈31d, Year≈372d, like funnel windows). */
+  private def applyCompare(df: DataFrame, req: EventSegmentationRequest): DataFrame =
+    req.compare match {
+      case None => df
+      case Some(Compare(offset, unit)) =>
+        val metricNames = req.events.flatMap(_.queries.map(_.name)).distinct
+          .filter(df.columns.contains)
+        val keys = Seq("segment", "event") ++ req.breakdowns
+        val shifted = df.select(
+          (keys.map(col) :+
+            timestamp_millis(unix_millis(col("bucket")) + offset * unit.millis).as("bucket")) ++
+            metricNames.map(n => col(n).as(s"${n}_prev")): _*)
+        df.join(shifted, keys :+ "bucket", "left")
+    }
+
+  private def runRaw(events: DataFrame, req: EventSegmentationRequest): DataFrame = {
     val sameKeys = req.events.forall(b =>
       (req.breakdowns ++ b.breakdowns).distinct == req.breakdowns)
     val anyInner = req.events.exists(b =>

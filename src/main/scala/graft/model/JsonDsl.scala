@@ -48,7 +48,19 @@ object JsonDsl {
       groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)),
       // the reference carries the tenant in the URL path; accept it
       // inline for transportless callers
-      projectId = j.asOpt("projectId").map(_.long))
+      projectId = j.asOpt("projectId").map(_.long),
+      analysis = j.asOpt("analysis").map(analysis).getOrElse(Analysis.Linear),
+      compare = j.asOpt("compare").map(c =>
+        Compare((c / "offset").long, intervalUnit(c / "unit"))))
+  }
+
+  /** Analysis DTO (platform/src/event_segmentation.rs:126-135). */
+  private def analysis(j: JValue): Analysis = (j / "type").str match {
+    case "linear"         => Analysis.Linear
+    case "rollingAverage" => Analysis.RollingAverage((j / "window").int)
+    case "cumulative"     => Analysis.Cumulative
+    case "logarithmic"    => Analysis.Logarithmic
+    case other            => throw JsonError(s"unknown analysis '$other'")
   }
 
   /** Parse a funnel request (model form; lowered to the engine request

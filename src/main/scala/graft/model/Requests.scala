@@ -162,6 +162,24 @@ object SegmentTime {
   * event_segmentation.rs:456-545 builds And/Or trees). */
 final case class Segment(name: String, conditions: Seq[Seq[SegmentCondition]])
 
+/** Post-aggregation series transform (reference DTO
+  * platform/src/event_segmentation.rs:126-135 — declared, carried,
+  * never computed by the reference's query crate; implemented for
+  * real here). */
+sealed trait Analysis
+object Analysis {
+  case object Linear extends Analysis
+  /** Trailing mean over `window` buckets. */
+  final case class RollingAverage(window: Int) extends Analysis
+  case object Cumulative extends Analysis
+  case object Logarithmic extends Analysis
+}
+
+/** Period-over-period comparison: each metric also reports its value
+  * `offset` units earlier (reference DTO Compare{offset, unit} —
+  * carried, never computed upstream). */
+final case class Compare(offset: Long, unit: TimeIntervalUnit)
+
 /** The event-segmentation request (reference
   * platform/src/event_segmentation.rs DTO → common types). */
 final case class EventSegmentationRequest(
@@ -177,7 +195,9 @@ final case class EventSegmentationRequest(
     groupCol: String = "user_id",
     /** Tenant id (reference common/src/types.rs:22) — None on
       * single-project stores. */
-    projectId: Option[Long] = None)
+    projectId: Option[Long] = None,
+    analysis: Analysis = Analysis.Linear,
+    compare: Option[Compare] = None)
 
 // ----------------------------------------------------------------
 // Funnel request model (reference common/src/funnel.rs DSL; HTTP DTO

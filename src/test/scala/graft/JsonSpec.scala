@@ -81,6 +81,20 @@ class JsonSpec extends SparkTestBase {
     assert(viaJson == Seq(2L))
   }
 
+  test("ES decode reads analysis and compare") {
+    val req = JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "day",
+         "analysis": {"type": "rollingAverage", "window": 7, "unit": "day"},
+         "compare": {"offset": 1, "unit": "week"},
+         "events": [{"eventType": "regular", "eventName": "x", "queries": [{"type": "countEvents"}]}]}""")
+    assert(req.analysis == Analysis.RollingAverage(7))
+    assert(req.compare.contains(Compare(1, TimeIntervalUnit.Week)))
+    val cum = JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "day",
+         "analysis": {"type": "cumulative"}, "events": []}""")
+    assert(cum.analysis == Analysis.Cumulative)
+  }
+
   test("ES decode rejects unknown tags and missing fields") {
     assertThrows[Json.JsonError](JsonDsl.eventSegmentation("""{"time": {"type": "sometime"}}"""))
     assertThrows[Json.JsonError](JsonDsl.eventSegmentation(
