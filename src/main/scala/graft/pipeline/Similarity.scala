@@ -122,21 +122,28 @@ object Similarity {
 
   /** IVF-style coarse index: the `nCells` lowest-id corpus vectors act
     * as deterministic seed centroids; every vector is assigned to its
-    * nearest centroid; queries probe only their own cell. */
+    * nearest centroid; queries probe only their own cell. The
+    * centroid set is tiny, so it is collected once and inlined as
+    * literal arrays — assignment becomes a pure narrow argmax
+    * projection (array_max over per-centroid structs) instead of a
+    * cross-join + per-row window that shuffled the whole corpus. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, nCells: Int = 16): DataFrame = {
-    val centroids = corpus.orderBy(col(cId).asc).limit(nCells)
-      .select(col(cId).as("cell_id"), col(cVec).as("centroid"))
-    def assign(df: DataFrame, vec: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("__d", cosine(col(vec), col("centroid")))
-      val w = Window.partitionBy(df.columns.head).orderBy(col("__d").desc, col("cell_id").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .drop("__d", "__rn", "centroid")
+    val cents: Array[(Long, Seq[Double])] = corpus.orderBy(col(cId).asc).limit(nCells)
+      .select(col(cId).cast("long"), col(cVec).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def assign(vec: Column): Column = {
+      // max struct = highest cosine, ties to the LOWEST cell id (-id)
+      val entries = cents.map { case (id, w) =>
+        struct(cosine(vec, array(w.map(lit): _*)).as("c"), lit(-id).as("n"))
+      }
+      -array_max(array(entries.toIndexedSeq: _*)).getField("n")
     }
-    val qa = assign(queries.select(col(qId), col(qVec)), qVec)
-    val ca = assign(corpus.select(col(cId), col(cVec)), cVec)
+    val qa = queries.select(col(qId), col(qVec))
+      .withColumn("cell_id", assign(col(qVec)))
+    val ca = corpus.select(col(cId), col(cVec))
+      .withColumn("cell_id", assign(col(cVec)))
     val scored = ca.join(broadcast(qa), Seq("cell_id"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
