@@ -166,6 +166,19 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"), col("cnt_prev"))
     }),
 
+    // §2.5 funnel Count::Session (the reference declares it and leaves
+    // it unimplemented!(), common/src/funnel.rs:69): one conversion
+    // per 48h-inactivity-gap session, unbounded step window — oracled
+    // as chained-min within SQL-sessionized event runs
+    "q_funnel_session" -> ((s, dir) => {
+      Funnel.run(s, events(s, dir), Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Long.MaxValue / 4000L,
+        count = Funnel.Session(48L * 3600 * 1000)))
+        .select(col("step"), col("total"))
+    }),
+
     // §2.2 QueryTime::Last — trailing window anchored at a pinned now
     "q_time_last" -> ((s, dir) => {
       val req = EventSegmentationRequest(
@@ -850,6 +863,32 @@ object SparkEntry {
              count(*) AS cnt FROM events WHERE $SQL_RANGE GROUP BY 1)
          SELECT a.d, a.cnt, b.cnt AS cnt_prev
          FROM base a LEFT JOIN base b ON b.d = a.d - 7""",
+
+    // Sessions break on >48h idle gaps over ALL the user's events (the
+    // machine measures gaps between consecutive rows, any type);
+    // within a session the unbounded-window funnel is chained-min.
+    "q_funnel_session" ->
+      """WITH e AS (
+           SELECT user_id, event_type, t,
+             sum(CASE WHEN gap > 172800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t, event_id) AS sess
+           FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+                   epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+                 FROM events)),
+         s1 AS (SELECT user_id, sess, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         s2 AS (SELECT e.user_id, e.sess, min(e.t) AS t2
+                FROM e JOIN s1 ON e.user_id = s1.user_id AND e.sess = s1.sess
+                WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, e.sess, min(e.t) AS t3
+                FROM e JOIN s2 ON e.user_id = s2.user_id AND e.sess = s2.sess
+                WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1, 2),
+         j AS (SELECT s1.user_id, s1.sess, t1, t2, t3
+               FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id AND s1.sess = s2.sess
+                       LEFT JOIN s3 ON s1.user_id = s3.user_id AND s1.sess = s3.sess)
+         SELECT 1 AS step, count(t1) AS total FROM j
+         UNION ALL SELECT 2, count(t2) FROM j
+         UNION ALL SELECT 3, count(t3) FROM j""",
 
     "q_time_last" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
