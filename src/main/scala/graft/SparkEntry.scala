@@ -166,6 +166,23 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"), col("cnt_prev"))
     }),
 
+    // §2.3 non-user group dimension (the reference keeps 5 replacing
+    // group tables, group_0=users .. group_4): per-entity metrics
+    // partition by a different group column — here the JSON-derived
+    // `k` plays an organization-like group id
+    "q_es_group_dim" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("k",
+        get_json_object(col("props"), "$.k").cast("long"))
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(
+          NamedQuery(Query.CountUniqueGroups(), "groups"),
+          NamedQuery(Query.CountPerGroup(AggFn.Avg), "avg_events_per_group")))),
+        groupCol = "k")
+      EventSegmentation.run(ev, req)
+        .select(day(col("bucket")).as("d"), col("groups"), col("avg_events_per_group"))
+    }),
+
     // §2.5 funnel Count::Session (the reference declares it and leaves
     // it unimplemented!(), common/src/funnel.rs:69): one conversion
     // per 48h-inactivity-gap session, unbounded step window — oracled
@@ -863,6 +880,14 @@ object SparkEntry {
              count(*) AS cnt FROM events WHERE $SQL_RANGE GROUP BY 1)
          SELECT a.d, a.cnt, b.cnt AS cnt_prev
          FROM base a LEFT JOIN base b ON b.d = a.d - 7""",
+
+    "q_es_group_dim" ->
+      s"""SELECT d, count(*) AS groups, avg(c) AS avg_events_per_group
+         FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+                 count(*) AS c
+               FROM events WHERE $SQL_RANGE GROUP BY 1, 2)
+         GROUP BY 1""",
 
     // Sessions break on >48h idle gaps over ALL the user's events (the
     // machine measures gaps between consecutive rows, any type);

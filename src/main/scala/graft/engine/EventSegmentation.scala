@@ -102,6 +102,7 @@ object EventSegmentation {
         aggFn(outerFn, innerCol("__cnt", count(lit(1)))).as(n)
       case NamedQuery(Query.AggregatePropertyPerGroup(p, innerFn, outerFn), n) =>
         aggFn(outerFn, innerCol(s"__i_${p}_$innerFn", aggFn(innerFn, col(p)))).as(n)
+      case NamedQuery(q, n) => sys.error(s"non-aggregate metric $q/$n in two-level path")
     }
     Compiled(Nil, inner.values.toSeq, outer)
   }
