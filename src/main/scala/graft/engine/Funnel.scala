@@ -306,10 +306,11 @@ object Funnel {
     val scoped =
       if (m.segments.isEmpty) filtered
       else {
-        val users = m.segments
-          .map(Segments.segmentUsers(filtered, _, m.time, m.groupCol, "ts", "event_type"))
-          .reduce(_.union(_)).distinct()
-        filtered.join(users, Seq(m.groupCol), "left_semi")
+        // one groupBy(user) flag pass for every condition (already
+        // filtered to any-member users), same as the ES fused path
+        val members = Segments.membershipFlags(
+          filtered, m.segments, m.time, m.groupCol, "ts", "event_type")
+        filtered.join(members.select(col(m.groupCol)), Seq(m.groupCol), "left_semi")
       }
     val stepCols = m.steps.map(st =>
       st.events.map(ev => Exprs.and(

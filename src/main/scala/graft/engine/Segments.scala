@@ -236,6 +236,23 @@ object Segments {
     * condition; non-fusible conditions compute their [[userSet]]
     * separately and LEFT-join in as a flag. Only users belonging to
     * at least one segment survive. */
+  /** The condition's row-level time scope, when it has one — used to
+    * prune the flag pass's scan to the union of scopes. Conditions
+    * that look at all history (Had/HasPropertyValue) return None. */
+  private def scopePred(c: SegmentCondition, reqTime: QueryTime,
+                        tsCol: String): Option[Column] = {
+    def plain(t: SegmentTime): Option[Column] = t match {
+      case _: SegmentTime.Each | _: SegmentTime.AfterFirstUse => None
+      case t => Some(timePred(t, reqTime, tsCol))
+    }
+    c match {
+      case SegmentCondition.DidEventCount(_, _, _, _, t)                   => plain(t)
+      case SegmentCondition.DidEventAggregateProperty(_, _, _, _, _, _, t) => plain(t)
+      case SegmentCondition.DidEventRelativeCount(_, _, _, _, _, t)        => plain(t)
+      case _                                                               => None
+    }
+  }
+
   def membershipFlags(
       events: DataFrame, segments: Seq[Segment], reqTime: QueryTime,
       userCol: String, tsCol: String, eventCol: String): DataFrame = {
@@ -243,11 +260,19 @@ object Segments {
     val conditions = segments.flatMap(_.conditions.flatten).distinct
     val condIdx = conditions.zipWithIndex.toMap
     val (fused, separate) = conditions.partition(fusible)
+    // when EVERY fused condition carries a time bound, the flag scan
+    // prunes to the union of those bounds (each flag still applies its
+    // own scope predicate); any unbounded condition forces full history
+    val scopes = fused.map(scopePred(_, reqTime, tsCol))
+    val events0 =
+      if (fused.nonEmpty && scopes.forall(_.isDefined))
+        events.filter(scopes.flatten.reduce(_ || _))
+      else events
     val fusedAggs = fused.map(c =>
       flagAgg(c, reqTime, tsCol, eventCol).as(s"__c_${condIdx(c)}"))
     val base =
       if (fusedAggs.nonEmpty)
-        events.groupBy(col(userCol)).agg(fusedAggs.head, fusedAggs.tail: _*)
+        events0.groupBy(col(userCol)).agg(fusedAggs.head, fusedAggs.tail: _*)
       else events.select(col(userCol)).distinct()
     val withAll = separate.foldLeft(base) { (acc, c) =>
       val name = s"__c_${condIdx(c)}"
