@@ -169,9 +169,16 @@ object EventSegmentation {
     * per-(segment × block) scan-and-union fallback remains for blocks
     * whose private breakdowns change the grouping key. */
   def run(events0: DataFrame, req: EventSegmentationRequest): DataFrame = {
+    require(req.events.nonEmpty,
+      "request needs at least one event block (fixRequest defaults empty metrics, not empty blocks)")
     val events = Exprs.tenantScope(events0, req.projectId)
     applyCompare(applyAnalysis(runRaw(events, req), req), req)
   }
+
+  /** Every breakdown column present in the long-form output —
+    * request-level plus block-level (the unfused path emits both). */
+  private def allBreakdowns(req: EventSegmentationRequest): Seq[String] =
+    (req.breakdowns ++ req.events.flatMap(_.breakdowns)).distinct
 
   /** Post-aggregation series transforms over the long-form result —
     * windows partitioned by (segment, event, breakdowns) ordered by
@@ -183,7 +190,7 @@ object EventSegmentation {
     val metricNames = req.events.flatMap(_.queries.map(_.name)).distinct
       .filter(df.columns.contains)
     lazy val w = Window
-      .partitionBy((Seq("segment", "event") ++ req.breakdowns).map(col): _*)
+      .partitionBy((Seq("segment", "event") ++ allBreakdowns(req)).map(col): _*)
       .orderBy(col("bucket"))
     req.analysis match {
       case Analysis.Linear => df
@@ -200,18 +207,26 @@ object EventSegmentation {
 
   /** Period-over-period: each metric gains a `<name>_prev` column with
     * its value `offset` units earlier — a self-join of the
-    * result-sized frame on the shifted bucket (unit duration
-    * semantics: Month≈31d, Year≈372d, like funnel windows). */
+    * result-sized frame on the shifted bucket. Calendar units shift by
+    * calendar arithmetic (a +31d month shift would never land on a
+    * month-truncated bucket); fixed units shift by duration. */
   private def applyCompare(df: DataFrame, req: EventSegmentationRequest): DataFrame =
     req.compare match {
       case None => df
       case Some(Compare(offset, unit)) =>
         val metricNames = req.events.flatMap(_.queries.map(_.name)).distinct
           .filter(df.columns.contains)
-        val keys = Seq("segment", "event") ++ req.breakdowns
+        val keys = Seq("segment", "event") ++ allBreakdowns(req)
+        val shiftedBucket = unit match {
+          case TimeIntervalUnit.Month =>
+            add_months(col("bucket"), offset.toInt).cast("timestamp")
+          case TimeIntervalUnit.Year =>
+            add_months(col("bucket"), offset.toInt * 12).cast("timestamp")
+          case u =>
+            timestamp_millis(unix_millis(col("bucket")) + offset * u.millis)
+        }
         val shifted = df.select(
-          (keys.map(col) :+
-            timestamp_millis(unix_millis(col("bucket")) + offset * unit.millis).as("bucket")) ++
+          (keys.map(col) :+ shiftedBucket.as("bucket")) ++
             metricNames.map(n => col(n).as(s"${n}_prev")): _*)
         df.join(shifted, keys :+ "bucket", "left")
     }

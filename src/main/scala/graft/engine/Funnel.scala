@@ -299,17 +299,22 @@ object Funnel {
     import graft.model.{FunnelCount, FunnelFilter, FunnelTouch}
     require(m.steps.nonEmpty, "funnel needs at least one step")
     val n = m.steps.size
-    val timeScoped = events.filter(Exprs.timePredicate(col("ts"), m.time))
+    // tenant scope FIRST — segment conditions must never see other
+    // projects' events
+    val tenantScoped = Exprs.tenantScope(events, m.projectId)
+    val timeScoped = tenantScoped.filter(Exprs.timePredicate(col("ts"), m.time))
     val filtered =
       if (m.filters.isEmpty) timeScoped
       else timeScoped.filter(Exprs.and(m.filters.map(Exprs.propPredicate)))
     val scoped =
       if (m.segments.isEmpty) filtered
       else {
-        // one groupBy(user) flag pass for every condition (already
-        // filtered to any-member users), same as the ES fused path
+        // one groupBy(user) flag pass for every condition, over the
+        // FULL tenant history (conditions carry their own time scopes
+        // — a last-7-days funnel may segment on all-history facts),
+        // matching the ES path's semantics
         val members = Segments.membershipFlags(
-          filtered, m.segments, m.time, m.groupCol, "ts", "event_type")
+          tenantScoped, m.segments, m.time, m.groupCol, "ts", "event_type")
         filtered.join(members.select(col(m.groupCol)), Seq(m.groupCol), "left_semi")
       }
     val stepCols = m.steps.map(st =>

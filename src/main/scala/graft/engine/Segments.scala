@@ -199,7 +199,10 @@ object Segments {
       val g = Exprs.and(
         ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
           filters.map(Exprs.propPredicate) :+ timePred(t, reqTime, tsCol))
-      cmp(count(when(g, 1)), op, value)
+      // "did event": membership needs ≥1 matching row even for
+      // zero-satisfiable comparisons (Lt/Neq) — same rows the
+      // filter-then-group [[userSet]] path would keep
+      count(when(g, 1)) > 0 && cmp(count(when(g, 1)), op, value)
     case SegmentCondition.DidEventAggregateProperty(ev, filters, prop, fn, op, value, t) =>
       val g = Exprs.and(
         ev.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
@@ -222,7 +225,10 @@ object Segments {
       val gB = Exprs.and(
         otherEv.map(Exprs.eventPredicate(col(eventCol), _)).toSeq ++
           otherFilters.map(Exprs.propPredicate) :+ scope)
-      cmpCols(count(when(gA, 1)), op, count(when(gB, 1)))
+      // user must appear in the condition's time scope at all — the
+      // unfused path groups only time-scoped rows
+      count(when(scope, 1)) > 0 &&
+        cmpCols(count(when(gA, 1)), op, count(when(gB, 1)))
     case SegmentCondition.HadPropertyValue(prop, op, values) =>
       coalesce(bool_or(Exprs.propPredicate(PropFilter(prop, op, values))), lit(false))
     case SegmentCondition.HasPropertyValue(prop, op, values, versionCol) =>

@@ -67,6 +67,20 @@ class SegmentationSpec extends SparkTestBase {
     assert(out == 3) // only u1's 3 events
   }
 
+  test("zero-matching-event users are not members of Lt-count segments") {
+    // u2 never buys: "bought fewer than 2 times" must NOT include them
+    // (did-event semantics need >=1 matching row), in the fused flag
+    // path exactly like the filter-then-group userSet path
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountUniqueGroups(), "users")))),
+      segments = Seq(Segment("light_buyers", Seq(Seq(
+        SegmentCondition.DidEventCount(Some("buy"), Nil, PropOp.Lt, 2,
+          SegmentTime.Between(ts("1970-01-01T00:00:00Z"), ts("1971-01-01T00:00:00Z"))))))))
+    val members = EventSegmentation.run(eventsDf(rows), req)
+      .agg(max("users")).collect()(0).getLong(0)
+    assert(members == 1) // only u3 (one buy); u1 has 2 buys, u2 none
+  }
+
   test("segment OR composition unions user sets") {
     val seg = Segment("mix", Seq(
       Seq(SegmentCondition.DidEventCount(Some("buy"), Nil, PropOp.Gte, 2,

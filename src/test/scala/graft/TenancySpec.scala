@@ -43,6 +43,25 @@ class TenancySpec extends SparkTestBase {
     assert(prof.select("user_id").collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("funnel segment membership never sees other projects' events") {
+    val df = twoProjectEvents()
+    // user 9 clicks only in project 20; a project-10 funnel segmented
+    // on "did click" must exclude them even though they view in 20
+    val json = """{
+      "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-02T00:00:00Z"},
+      "projectId": 10,
+      "steps": [{"events": [{"eventType": "regular", "eventName": "view"}], "order": {"type": "exact"}}],
+      "timeWindow": {"n": 1, "unit": "day"},
+      "segments": [{"name": "clickers", "conditions": [[
+        {"type": "didEvent", "eventType": "regular", "eventName": "click",
+         "aggregate": {"type": "count", "operation": "gte", "value": 1,
+                       "time": {"type": "from", "from": "1970-01-01T00:00:00Z"}}}]]}]
+    }"""
+    val out = graft.engine.JsonApi.funnel(spark, df, json)
+      .select("step", "total").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L)) // only user 1 (clicked in project 10)
+  }
+
   test("project scope is vacuous on single-project stores (no column)") {
     val df = twoProjectEvents().drop("project_id")
     val es = EventSegmentation.run(df, EventSegmentationRequest(
