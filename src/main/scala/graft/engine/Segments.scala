@@ -137,8 +137,9 @@ object Segments {
         .filter(cmpCols(col("__a"), op, col("__b")))
         .select(col(userCol))
 
-    case SegmentCondition.HadPropertyValue(prop, op, values) =>
-      events.filter(Exprs.propPredicate(PropFilter(prop, op, values)))
+    case SegmentCondition.HadPropertyValue(prop, op, values, time) =>
+      val scoped = time.fold(events)(timeScoped(events, _, reqTime, userCol, tsCol))
+      scoped.filter(Exprs.propPredicate(PropFilter(prop, op, values)))
         .select(col(userCol)).distinct()
 
     case SegmentCondition.HasPropertyValue(prop, op, values, versionCol) =>
@@ -172,7 +173,8 @@ object Segments {
       case SegmentCondition.DidEventCount(_, _, _, _, t)                => plainTime(t)
       case SegmentCondition.DidEventAggregateProperty(_, _, _, _, _, _, t) => plainTime(t)
       case SegmentCondition.DidEventRelativeCount(_, _, _, _, _, t)    => plainTime(t)
-      case _: SegmentCondition.HadPropertyValue                         => true
+      case SegmentCondition.HadPropertyValue(_, _, _, t) =>
+        t.forall(plainTime) // Each/AfterFirstUse scopes fall back
       case _: SegmentCondition.HasPropertyValue                         => true
     }
   }
@@ -229,8 +231,11 @@ object Segments {
       // unfused path groups only time-scoped rows
       count(when(scope, 1)) > 0 &&
         cmpCols(count(when(gA, 1)), op, count(when(gB, 1)))
-    case SegmentCondition.HadPropertyValue(prop, op, values) =>
-      coalesce(bool_or(Exprs.propPredicate(PropFilter(prop, op, values))), lit(false))
+    case SegmentCondition.HadPropertyValue(prop, op, values, time) =>
+      val g = Exprs.and(
+        Seq(Exprs.propPredicate(PropFilter(prop, op, values))) ++
+          time.map(timePred(_, reqTime, tsCol)))
+      coalesce(bool_or(g), lit(false))
     case SegmentCondition.HasPropertyValue(prop, op, values, versionCol) =>
       // CURRENT value = value on the user's highest-version row
       Exprs.propPredicateOn(max_by(col(prop), col(versionCol)),

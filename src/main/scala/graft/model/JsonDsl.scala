@@ -292,7 +292,8 @@ object JsonDsl {
     case "hadPropertyValue" =>
       SegmentCondition.HadPropertyValue(
         propertyName(j / "property"), propOp(j / "operation"),
-        j.asOpt("value").map(_.arr.map(_.scalar)).getOrElse(Nil))
+        j.asOpt("value").map(_.arr.map(_.scalar)).getOrElse(Nil),
+        j.asOpt("time").map(segmentTime))
     case "didEvent" =>
       val ev = j.asOpt("eventName").map(_.str)
       val filters = j.asOpt("filters").map(_.arr.map(propFilter)).getOrElse(Nil)

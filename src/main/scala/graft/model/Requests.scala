@@ -130,7 +130,10 @@ object SegmentCondition {
       prop: String, fn: AggFn, op: PropOp, value: Double,
       time: SegmentTime) extends SegmentCondition
   final case class HadPropertyValue(
-      prop: String, op: PropOp, values: Seq[Any]) extends SegmentCondition
+      prop: String, op: PropOp, values: Seq[Any],
+      /** Optional scope: "had the value at some point WITHIN the
+        * range" (reference DTO carries a SegmentTime here). */
+      time: Option[SegmentTime] = None) extends SegmentCondition
   /** User's CURRENT (latest-row) property value matches (reference
     * SegmentCondition::HasPropertyValue — unimplemented upstream;
     * "current" = the value on the user's most recent event, the

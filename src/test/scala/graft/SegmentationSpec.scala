@@ -81,6 +81,22 @@ class SegmentationSpec extends SparkTestBase {
     assert(members == 1) // only u3 (one buy); u1 has 2 buys, u2 none
   }
 
+  test("HadPropertyValue honors its optional time scope") {
+    // u1's only ios rows are on day 1; a day-2+ scope excludes them
+    val scoped = Segment("ios_day2", Seq(Seq(
+      SegmentCondition.HadPropertyValue("device", PropOp.Eq, Seq("ios"),
+        time = Some(SegmentTime.Between(ts("1970-01-02T00:00:00Z"), ts("1971-01-01T00:00:00Z")))))))
+    val users = Segments.segmentUsers(eventsDf(rows), scoped, range,
+      "user_id", "ts", "event_type").collect().map(_.getLong(0)).toSet
+    assert(users == Set(1L)) // u1 buys on day 2 from ios; u2/u3 never ios
+    val fusedReq = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountUniqueGroups(), "users")))),
+      segments = Seq(Segment("ios_never", Seq(Seq(
+        SegmentCondition.HadPropertyValue("device", PropOp.Eq, Seq("ios"),
+          time = Some(SegmentTime.Between(ts("1980-01-01T00:00:00Z"), ts("1981-01-01T00:00:00Z")))))))))
+    assert(EventSegmentation.run(eventsDf(rows), fusedReq).count() == 0) // scope has no rows
+  }
+
   test("segment OR composition unions user sets") {
     val seg = Segment("mix", Seq(
       Seq(SegmentCondition.DidEventCount(Some("buy"), Nil, PropOp.Gte, 2,
