@@ -217,18 +217,29 @@ object EventSegmentation {
         val metricNames = req.events.flatMap(_.queries.map(_.name)).distinct
           .filter(df.columns.contains)
         val keys = Seq("segment", "event") ++ allBreakdowns(req)
+        // calendar interval addition preserves time-of-day (add_months
+        // would cast to DATE and break sub-day intervals)
         val shiftedBucket = unit match {
           case TimeIntervalUnit.Month =>
-            add_months(col("bucket"), offset.toInt).cast("timestamp")
+            col("bucket") + expr(s"INTERVAL $offset MONTH")
           case TimeIntervalUnit.Year =>
-            add_months(col("bucket"), offset.toInt * 12).cast("timestamp")
+            col("bucket") + expr(s"INTERVAL ${offset * 12} MONTH")
           case u =>
             timestamp_millis(unix_millis(col("bucket")) + offset * u.millis)
         }
         val shifted = df.select(
           (keys.map(col) :+ shiftedBucket.as("bucket")) ++
             metricNames.map(n => col(n).as(s"${n}_prev")): _*)
-        df.join(shifted, keys :+ "bucket", "left")
+        // null-safe key equality: block-private breakdown columns are
+        // null on other blocks' rows (and breakdown values may be
+        // null), which a using-column join would never match
+        val l = df.alias("l")
+        val r = shifted.alias("r")
+        val cond = (keys :+ "bucket")
+          .map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+        l.join(r, cond, "left").select(
+          df.columns.map(c => col(s"l.$c")) ++
+            metricNames.map(n => col(s"r.${n}_prev").as(s"${n}_prev")): _*)
     }
 
   private def runRaw(events: DataFrame, req: EventSegmentationRequest): DataFrame = {
@@ -458,7 +469,7 @@ object EventSegmentation {
   def runPivoted(events: DataFrame, req: EventSegmentationRequest,
                  topGroups: Int = 50): DataFrame = {
     val long = run(events, req)
-    val bds = (req.breakdowns ++ req.events.flatMap(_.breakdowns)).distinct
+    val bds = allBreakdowns(req)
     val idCols = Seq("segment", "event") ++ bds
     val metricCols = long.columns.toSeq.diff(idCols :+ "bucket")
     val melted = Reshape.unpivot(long, idCols :+ "bucket", metricCols)

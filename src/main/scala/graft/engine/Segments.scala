@@ -218,7 +218,9 @@ object Segments {
         case AggFn.Avg   => avg(guarded)
         case other       => sys.error(s"unsupported segment agg $other")
       }
-      cmp(agg, op, value)
+      // ≥1 matching row required (count() yields 0, not null, for
+      // zero rows, which would wrongly satisfy Lt/Lte/Neq)
+      count(when(g, 1)) > 0 && cmp(agg, op, value)
     case SegmentCondition.DidEventRelativeCount(ev, filters, otherEv, otherFilters, op, t) =>
       val scope = timePred(t, reqTime, tsCol)
       val gA = Exprs.and(
@@ -242,14 +244,9 @@ object Segments {
         PropFilter(prop, op, values))
   }
 
-  /** All segments → (userCol, __seg_0 … __seg_{k-1}) membership
-    * flags, computed in ONE aggregation over events for every fusible
-    * condition; non-fusible conditions compute their [[userSet]]
-    * separately and LEFT-join in as a flag. Only users belonging to
-    * at least one segment survive. */
   /** The condition's row-level time scope, when it has one — used to
-    * prune the flag pass's scan to the union of scopes. Conditions
-    * that look at all history (Had/HasPropertyValue) return None. */
+    * prune the flag pass's scan to the union of scopes. All-history
+    * conditions (unscoped Had / current-value Has) return None. */
   private def scopePred(c: SegmentCondition, reqTime: QueryTime,
                         tsCol: String): Option[Column] = {
     def plain(t: SegmentTime): Option[Column] = t match {
@@ -260,10 +257,16 @@ object Segments {
       case SegmentCondition.DidEventCount(_, _, _, _, t)                   => plain(t)
       case SegmentCondition.DidEventAggregateProperty(_, _, _, _, _, _, t) => plain(t)
       case SegmentCondition.DidEventRelativeCount(_, _, _, _, _, t)        => plain(t)
+      case SegmentCondition.HadPropertyValue(_, _, _, t)                   => t.flatMap(plain)
       case _                                                               => None
     }
   }
 
+  /** All segments → (userCol, __seg_0 … __seg_{k-1}) membership
+    * flags, computed in ONE aggregation over events for every fusible
+    * condition; non-fusible conditions compute their [[userSet]]
+    * separately and LEFT-join in as a flag. Only users belonging to
+    * at least one segment survive. */
   def membershipFlags(
       events: DataFrame, segments: Seq[Segment], reqTime: QueryTime,
       userCol: String, tsCol: String, eventCol: String): DataFrame = {
@@ -271,12 +274,15 @@ object Segments {
     val conditions = segments.flatMap(_.conditions.flatten).distinct
     val condIdx = conditions.zipWithIndex.toMap
     val (fused, separate) = conditions.partition(fusible)
-    // when EVERY fused condition carries a time bound, the flag scan
-    // prunes to the union of those bounds (each flag still applies its
-    // own scope predicate); any unbounded condition forces full history
+    // when EVERY fused condition carries a time bound AND there are no
+    // non-fusible conditions, the flag scan prunes to the union of
+    // those bounds (each flag still applies its own scope predicate).
+    // A non-fusible condition disables the prune: its users LEFT-join
+    // onto the base, so the base must keep every user with any event
+    // or such users could never become members.
     val scopes = fused.map(scopePred(_, reqTime, tsCol))
     val events0 =
-      if (fused.nonEmpty && scopes.forall(_.isDefined))
+      if (fused.nonEmpty && separate.isEmpty && scopes.forall(_.isDefined))
         events.filter(scopes.flatten.reduce(_ || _))
       else events
     val fusedAggs = fused.map(c =>
