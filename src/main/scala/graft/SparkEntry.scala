@@ -710,10 +710,16 @@ object SparkEntry {
         .filter(col("cnt") > 1)
     }),
 
-    // pipeline: MinHash+LSH near-dup candidate pairs (rows-only)
+    // pipeline: MinHash+LSH near-dup pairs — md5-60-bit portable
+    // banding (hash, seeded permutations, band keys all md5-derived)
+    // so the DuckDB oracle recomputes buckets, candidates and the
+    // verify Jaccard bit for bit; exact dups pre-collapse to star
+    // pairs and buckets are capped (the xxhash path stays the
+    // production variant, exercised by PipelineSpec)
     "q_minhash_dups" -> ((s, dir) => {
-      Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.minhashDupPairsPortable(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
     // pipeline: SimHash fingerprints + near-dup hamming pairs (rows-only)
@@ -725,10 +731,12 @@ object SparkEntry {
         .filter(col("hamming") <= 16)
     }),
 
-    // pipeline: blocked n-gram Jaccard pairs (rows-only)
+    // pipeline: n-gram Jaccard pairs over the same portable banding
+    // (8 bands × 2 rows, bigram shingles) — oracled end to end
     "q_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.ngramJaccardPairsPortable(Tables.documents(s, dir), "doc_id", "text",
         n = 2, threshold = 0.05)
+        .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
     // pipeline: brute-force cosine top-k neighbors
@@ -1345,6 +1353,95 @@ object SparkEntry {
                    nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6) AS jaccard
            FROM t a, t b WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6""",
+
+    // Full md5-portable MinHash-LSH pipeline recomputed in SQL: exact
+    // pre-collapse to star pairs, trigram shingles → md5-60 hashes,
+    // 16 seeded min-hashes, 4 band keys, capped buckets (row_number),
+    // bucket-local candidates, exact-Jaccard verify over the hashes.
+    "q_minhash_dups" ->
+      """WITH reps AS (
+           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         star AS (
+           SELECT r.doc_id AS id_a, d.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+           FROM documents d JOIN reps r ON d.text = r.text AND d.doc_id <> r.doc_id),
+         sh0 AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+           FROM reps),
+         sh AS (SELECT doc_id,
+                  list_transform(sh, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS shh
+                FROM sh0 WHERE len(sh) > 0),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 16), sd ->
+             list_min(list_transform(shh, h ->
+               CAST(('0x' || substring(md5(sd::VARCHAR || ':' || h::VARCHAR), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b.b AS band,
+             CAST(('0x' || substring(md5(array_to_string(
+               list_transform(sig[b.b*4+1 : b.b*4+4], v -> v::VARCHAR), ',')), 1, 15)) AS BIGINT) AS band_key
+           FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+         capped AS (
+           SELECT doc_id, band, band_key,
+             row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+           FROM bands),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           WHERE a.rn <= 1000 AND b.rn <= 1000),
+         near AS (
+           SELECT id_a, id_b,
+             len(list_intersect(sa.shh, sb.shh)) * 1.0 /
+               nullif(len(list_distinct(list_concat(sa.shh, sb.shh))), 0) AS j
+           FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM near WHERE j >= 0.2
+         UNION ALL
+         SELECT id_a, id_b, jaccard FROM star""",
+
+    // Same pipeline at bigram shingles, 8 bands x 2 rows, threshold 0.05.
+    "q_ngram_jaccard" ->
+      """WITH reps AS (
+           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         star AS (
+           SELECT r.doc_id AS id_a, d.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+           FROM documents d JOIN reps r ON d.text = r.text AND d.doc_id <> r.doc_id),
+         sh0 AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS sh
+           FROM reps),
+         sh AS (SELECT doc_id,
+                  list_transform(sh, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS shh
+                FROM sh0 WHERE len(sh) > 0),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 16), sd ->
+             list_min(list_transform(shh, h ->
+               CAST(('0x' || substring(md5(sd::VARCHAR || ':' || h::VARCHAR), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b.b AS band,
+             CAST(('0x' || substring(md5(array_to_string(
+               list_transform(sig[b.b*2+1 : b.b*2+2], v -> v::VARCHAR), ',')), 1, 15)) AS BIGINT) AS band_key
+           FROM sig, (SELECT unnest(range(0, 8)) AS b) b),
+         capped AS (
+           SELECT doc_id, band, band_key,
+             row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+           FROM bands),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           WHERE a.rn <= 1000 AND b.rn <= 1000),
+         near AS (
+           SELECT id_a, id_b,
+             len(list_intersect(sa.shh, sb.shh)) * 1.0 /
+               nullif(len(list_distinct(list_concat(sa.shh, sb.shh))), 0) AS j
+           FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM near WHERE j >= 0.05
+         UNION ALL
+         SELECT id_a, id_b, jaccard FROM star""",
 
     // Same chained-min construction as q_funnel_oracle — the JSON
     // request compiles to the identical funnel config.

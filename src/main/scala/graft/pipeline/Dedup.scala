@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed
@@ -105,10 +106,23 @@ object Dedup {
     * (groupBy + in-bucket cross) so the banded signature computes ONCE
     * — a self-join would execute the signature subplan twice. Buckets
     * are near-dup clusters, so the in-bucket quadratic is the same
-    * pair set the join would produce. */
-  private def candidatePairs(b: DataFrame, idCol: String): DataFrame =
-    b.groupBy("band", "band_key")
-      .agg(collect_list(col(idCol)).as("__ids"))
+    * pair set the join would produce.
+    *
+    * Per-bucket state is BOUNDED: a `row_number` window (sort-based,
+    * spills) keeps only the `maxBucket` lowest ids per bucket before
+    * any list is collected, so a pathological mega-bucket (crawl
+    * boilerplate that survives exact pre-collapse, adversarial
+    * near-dup farms) costs one truncated bucket — deterministic
+    * (lowest ids win), never an O(c) task list or O(c²) pair blast.
+    * The window's hash partitioning on (band, band_key) is reused by
+    * the groupBy — one shuffle total. [[overflowingBuckets]] reports
+    * what a cap dropped. */
+  private def candidatePairs(b: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy("band", "band_key").orderBy(col(idCol))
+    b.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
       .filter(size(col("__ids")) > 1)
       .select(explode(expr(
         "flatten(transform(__ids, x -> transform(__ids, y -> struct(x AS id_a, y AS id_b))))"))
@@ -116,22 +130,57 @@ object Dedup {
       .select(col("__p.id_a"), col("__p.id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
+  }
 
-  /** MinHash-LSH near-dup candidate pairs with exact-Jaccard
-    * verification at `threshold`. Output: (id_a, id_b, jaccard).
-    * Default 4 bands × 4 rows: candidate probability j^4 per band —
-    * selective enough that the band join stays near-linear. The
-    * verify stage melts pairs to one row per (pair, side) and joins
-    * the shingle table ONCE, instead of twice. */
+  /** Monitoring twin of the bucket cap in [[candidatePairs]]: the
+    * buckets whose population exceeds `maxBucket`, with the member
+    * count the cap truncated. Run (and log) alongside a capped dedup
+    * pass so dropped pairs are explicit, not silent. */
+  def overflowingBuckets(b: DataFrame, maxBucket: Int): DataFrame =
+    b.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  /** Exact-duplicate pre-collapse for the LSH paths: group by content
+    * digest (shuffles digest + id only), keep the lowest id as the
+    * cluster representative. Returns (representative docs, star
+    * pairs): each non-representative member pairs with its rep at
+    * jaccard 1.0 — O(cluster) rows, not the O(cluster²) a mega
+    * exact-dup cluster would cost inside an LSH bucket. */
+  def collapseExact(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val digested = df.select(col(idCol), col(textCol), md5(col(textCol)).as("__digest"))
+    val reps = digested.groupBy("__digest").agg(min(col(idCol)).as("__rep"))
+    val joined = digested.join(reps, "__digest")
+    val repDocs = joined.filter(col(idCol) === col("__rep")).select(col(idCol), col(textCol))
+    val starPairs = joined.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("jaccard"))
+    (repDocs, starPairs)
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification at
+    * `threshold`. Output: (id_a, id_b, jaccard).
+    *
+    * Pipeline: exact duplicates collapse FIRST ([[collapseExact]] —
+    * a million-copy boilerplate cluster becomes one representative
+    * plus linear star pairs, never an LSH bucket), representatives go
+    * through banding with a per-bucket cap (`maxBucket`, see
+    * [[candidatePairs]]), and candidates are verified with exact
+    * Jaccard over 64-bit shingle hashes. Default 4 bands × 4 rows:
+    * candidate probability j^4 per band — selective enough that the
+    * band join stays near-linear. The verify stage melts pairs to one
+    * row per (pair, side) and joins the shingle table ONCE, instead
+    * of twice. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.7): DataFrame = {
-    val cand = candidatePairs(lshBands(df, idCol, textCol, shingleN, numHashes, bands), idCol)
-    val sh = withShingleHashes(df.select(col(idCol), col(textCol)),
+                      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val (reps, starPairs) = collapseExact(df, idCol, textCol)
+    val cand = candidatePairs(lshBands(reps, idCol, textCol, shingleN, numHashes, bands),
+      idCol, maxBucket)
+    val sh = withShingleHashes(reps.select(col(idCol), col(textCol)),
       textCol, shingleN, "__sh").select(col(idCol), col("__sh"))
     val melted = cand.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as(idCol))
-    melted.join(sh, idCol)
+    val near = melted.join(sh, idCol)
       .withColumn("__sh_a", when(col(idCol) === col("id_a"), col("__sh")))
       .withColumn("__sh_b", when(col(idCol) === col("id_b"), col("__sh")))
       .groupBy("id_a", "id_b")
@@ -140,6 +189,71 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    near.unionAll(starPairs)
+  }
+
+  /** Engine-portable 60-bit hash: first 15 hex digits of md5 as a
+    * bigint. md5 is standardized, so DuckDB's
+    * `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)` computes the
+    * identical value — the trick that made the simhash operator
+    * hash-checkable ([[simhashed60]]), applied to MinHash banding. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** [[lshBands]] with md5-60-bit hashing end to end — shingle hash,
+    * the `numHashes` seeded "permutations" (md5 of `"seed:" + hash`),
+    * and the band key are all md5-derived, so a SQL oracle recomputes
+    * identical buckets. Emits (id, band, band_key). Docs with no
+    * shingles (fewer than `shingleN` tokens) emit nothing.
+    * xxhash-based [[lshBands]] stays the production path (~4× cheaper
+    * hashing); this variant exists so the banded OPERATOR is
+    * hash-checkable end to end. */
+  def lshBandsPortable(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    // stage each array as a real column: a Catalyst lambda referencing
+    // an expression SUBTREE re-evaluates it per element
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val shh = sh.select(col(idCol),
+      transform(col("__sh"), s => md5Hash60(s)).as("__shh"))
+    val sig = shh.select(col(idCol),
+      array((0 until numHashes).map { seed =>
+        array_min(transform(col("__shh"),
+          h => md5Hash60(concat(lit(seed + ":"), h.cast("string")))))
+      }: _*).as("__sig"))
+    sig.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5Hash60(concat_ws(",",
+            slice(col("__sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
+        .as(Seq("band", "band_key")))
+  }
+
+  /** [[minhashDupPairs]] over the md5-portable banding — identical
+    * structure (exact pre-collapse, capped buckets, melt-join
+    * verify), with every hash md5-derived and the verify Jaccard
+    * computed over md5-60 shingle hashes, so a DuckDB oracle
+    * recomputes the full pipeline bit for bit. */
+  def minhashDupPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val (reps, starPairs) = collapseExact(df, idCol, textCol)
+    val cand = candidatePairs(lshBandsPortable(reps, idCol, textCol, shingleN, numHashes, bands),
+      idCol, maxBucket)
+    val sh = reps.select(col(idCol), shingles(col(textCol), shingleN).as("__s"))
+      .select(col(idCol), transform(col("__s"), s => md5Hash60(s)).as("__sh"))
+    val melted = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as(idCol))
+    val near = melted.join(sh, idCol)
+      .withColumn("__sh_a", when(col(idCol) === col("id_a"), col("__sh")))
+      .withColumn("__sh_b", when(col(idCol) === col("id_b"), col("__sh")))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("__sh_a"), ignoreNulls = true).as("sh_a"),
+        first(col("__sh_b"), ignoreNulls = true).as("sh_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    near.unionAll(starPairs)
   }
 
   /** Exact Jaccard over two arrays — integer counts divided, so the
@@ -295,9 +409,21 @@ object Dedup {
     * 1-(1-j²)⁸ (≈0.90 at j=0.5, ≈0.99 at j=0.7). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        numHashes: Int = 16, bands: Int = 8): DataFrame =
+                        numHashes: Int = 16, bands: Int = 8,
+                        maxBucket: Int = 1000): DataFrame =
     minhashDupPairs(df, idCol, textCol, shingleN = n,
-      numHashes = numHashes, bands = bands, threshold = threshold)
+      numHashes = numHashes, bands = bands, threshold = threshold,
+      maxBucket = maxBucket)
+
+  /** [[ngramJaccardPairs]] over the md5-portable banding — the
+    * hash-checkable twin, same parameterization. */
+  def ngramJaccardPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                                n: Int = 3, threshold: Double = 0.5,
+                                numHashes: Int = 16, bands: Int = 8,
+                                maxBucket: Int = 1000): DataFrame =
+    minhashDupPairsPortable(df, idCol, textCol, shingleN = n,
+      numHashes = numHashes, bands = bands, threshold = threshold,
+      maxBucket = maxBucket)
 
   /** Embedding cosine near-dup pairs (delegates to Similarity). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,

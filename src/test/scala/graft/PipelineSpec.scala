@@ -46,6 +46,58 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("a mega exact-duplicate cluster collapses to linear star pairs, no bucket overflow") {
+    // 5k identical copies: without exact pre-collapse this is one LSH
+    // bucket emitting ~12.5M pairs; with it, one representative plus
+    // 4999 star pairs and NO bucket ever holds more than one member
+    val n = 5000
+    val cluster = (1L to n.toLong).map(i => (i, "the same boilerplate page content repeated everywhere"))
+    val extra = Seq((9001L, "a genuinely unique document body here"),
+      (9002L, "another distinct text with different words"))
+    val out = Dedup.minhashDupPairs(docs(cluster ++ extra), "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+    assert(out.count() == n - 1) // rep 1 paired with each of 2..5000, nothing else
+    assert(out.filter(col("jaccard") === 1.0).count() == n - 1)
+    val (reps, _) = Dedup.collapseExact(docs(cluster ++ extra), "doc_id", "text")
+    val buckets = Dedup.overflowingBuckets(
+      Dedup.lshBands(reps, "doc_id", "text", 2, 16, 4), maxBucket = 1)
+    assert(buckets.count() == 0)
+  }
+
+  test("bucket cap keeps the lowest ids and overflow is reported, not silent") {
+    // 30 DISTINCT texts with IDENTICAL bigram sets (permutations of
+    // "a X a Y a ..." blocks) — exact pre-collapse can't merge them,
+    // every doc computes the same signature and band keys, so all 30
+    // provably share every bucket; cap 5 must keep ids 1..5 only
+    val distinctDocs = Seq("b", "c", "d", "e", "f").permutations.take(30).toSeq
+      .zipWithIndex.map { case (perm, i) =>
+        ((i + 1).toLong, "a " + perm.map(l => s"$l a").mkString(" "))
+      }
+    val pairs = Dedup.minhashDupPairs(docs(distinctDocs), "doc_id", "text",
+      shingleN = 2, threshold = 0.1, maxBucket = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // exactly the pairs among the 5 lowest ids: identical shingle sets
+    // give jaccard 1.0 for every surviving pair
+    assert(pairs.toSet == (for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)).toSet)
+    val over = Dedup.overflowingBuckets(
+      Dedup.lshBands(docs(distinctDocs), "doc_id", "text", 2, 16, 4), maxBucket = 5)
+      .collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("bucket_size") == 30))
+  }
+
+  test("md5-portable minhash path finds the same clear dups as the xxhash path") {
+    val d = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear here in this text"),
+      (4L, "the quick brown fox jumps over the lazy cat today")))
+    val pairs = Dedup.minhashDupPairsPortable(d, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash layout widens chunks as the corpus grows") {
     assert(Dedup.simhashLayout(1000L) == ((4, 16)))           // small: budget wins
     assert(Dedup.simhashLayout(100_000_000L) == ((4, 16)))    // 2^16 buckets still ok
