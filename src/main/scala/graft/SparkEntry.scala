@@ -98,6 +98,95 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"), col("uniq"))
     }),
 
+    // §3 non-user group dimension THROUGH the JSON surface: the same
+    // config as q_es_group_dim arriving as a request with "group": 1,
+    // resolved to the configured column via the registry's group map
+    // (reference keeps 5 fixed group_{N} tables, common/src/lib.rs:16-21;
+    // its DTOs carry the group index end to end)
+    "q_json_group_dim" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("k",
+        get_json_object(col("props"), "$.k").cast("long"))
+      val registry = Registry.open.withGroupColumns(Seq("user_id", "k"))
+      val json = """{
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+        "group": 1,
+        "intervalUnit": "day",
+        "events": [{
+          "eventType": "all",
+          "queries": [{"type": "countUniqueGroups", "name": "groups"},
+                      {"type": "countPerGroup", "aggregate": "avg", "name": "avg_events_per_group"}]
+        }]
+      }"""
+      JsonApi.eventSegmentation(ev, json, registry = registry)
+        .select(day(col("bucket")).as("d"), col("groups"), col("avg_events_per_group"))
+    }),
+
+    // §3.3 event-record search as a JSON request (reference
+    // platform/src/event_records.rs:142-149 DTO) — same config as
+    // q_records_search, hash-matched against the same oracle
+    "q_json_records" -> ((s, dir) => {
+      val json = """{
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+        "events": [
+          {"eventType": "regular", "eventName": "purchase"},
+          {"eventType": "regular", "eventName": "error"}
+        ],
+        "filters": {"groups": [{"filters": [{"type": "property", "propertyType": "event",
+          "propertyName": "value", "operation": "gt", "value": [100.0]}]}]},
+        "properties": [
+          {"propertyType": "event", "propertyName": "event_id"},
+          {"propertyType": "event", "propertyName": "user_id"},
+          {"propertyType": "event", "propertyName": "event_type"},
+          {"propertyType": "event", "propertyName": "value"},
+          {"propertyType": "event", "propertyName": "ts"}],
+        "limit": 100
+      }"""
+      JsonApi.eventRecordsSearch(events(s, dir), json)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+    }),
+
+    // §3.3 property-values listing as a JSON request (reference
+    // platform/src/properties.rs:348-356 — PropertyRef flattened)
+    "q_json_prop_values" -> ((s, dir) =>
+      JsonApi.propertyValues(events(s, dir),
+        """{"propertyType": "event", "propertyName": "event_type"}""")),
+
+    // §3.3 group-record search as a JSON request (reference
+    // platform/src/group_records.rs:215-221 with a SortablePropertyRef)
+    "q_json_group_search" -> ((s, dir) => {
+      val json = """{
+        "group": 0,
+        "properties": [
+          {"propertyType": "event", "propertyName": "user_id"},
+          {"propertyType": "event", "propertyName": "event_type"},
+          {"propertyType": "event", "propertyName": "value"}],
+        "sort": {"propertyType": "event", "propertyName": "value", "direction": "desc"},
+        "limit": 20
+      }"""
+      JsonApi.groupRecordsSearch(events(s, dir), json)
+    }),
+
+    // §3.1 Regular-format routing from JSON: "format": "json" routes
+    // to the pivoted presentation tail (reference Format::Regular;
+    // Compact skips it, event_segmentation.rs:349-350) — same config
+    // as q_es_pivoted, same oracle
+    "q_json_es_pivoted" -> ((s, dir) => {
+      val json = """{
+        "format": "json",
+        "time": {"type": "between", "from": "2024-01-05T00:00:00Z", "to": "2024-01-09T23:59:59Z"},
+        "intervalUnit": "day",
+        "events": [{
+          "eventType": "all",
+          "queries": [{"type": "countEvents", "name": "cnt"},
+                      {"type": "countUniqueGroups", "name": "uniq"}]
+        }],
+        "breakdowns": [{"type": "property", "propertyType": "event",
+                        "propertyName": "event_type"}]
+      }"""
+      JsonApi.eventSegmentationFormatted(events(s, dir), json, topGroups = 50)
+    }),
+
     // §2.1 metadata registry: the JSON request addresses properties by
     // DISPLAY name ("Revenue", "Platform Event"), resolved through a
     // registry auto-derived from the table schema; event names
@@ -865,6 +954,61 @@ object SparkEntry {
          FROM events
          WHERE $SQL_RANGE AND event_type = 'purchase' AND value > 50
          GROUP BY 1, 2""",
+
+    // Identical to q_es_group_dim — the JSON surface compiles to the
+    // same plan.
+    "q_json_group_dim" ->
+      s"""SELECT d, count(*) AS groups, avg(c) AS avg_events_per_group
+         FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+                 count(*) AS c
+               FROM events WHERE $SQL_RANGE GROUP BY 1, 2)
+         GROUP BY 1""",
+
+    // Identical to q_records_search — the JSON DTO compiles to the
+    // same search plan.
+    "q_json_records" ->
+      s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         FROM events WHERE $SQL_RANGE
+           AND event_type IN ('purchase', 'error') AND value > 100.0
+         ORDER BY event_id DESC LIMIT 100""",
+
+    "q_json_prop_values" ->
+      """SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+         ORDER BY event_type LIMIT 1000""",
+
+    "q_json_group_search" ->
+      """SELECT user_id, event_type, value
+         FROM events e JOIN (SELECT user_id AS u, max(event_id) AS m
+                             FROM events GROUP BY 1) t
+           ON e.user_id = t.u AND e.event_id = t.m
+         ORDER BY value DESC, user_id LIMIT 20""",
+
+    // Identical to q_es_pivoted — the JSON format field routes into
+    // the same Regular reshaping tail.
+    "q_json_es_pivoted" ->
+      """WITH agg AS (
+           SELECT date_trunc('day', ts) AS b, event_type,
+             count(*) AS cnt, count(DISTINCT user_id) AS uniq
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-09 23:59:59'
+           GROUP BY 1, 2),
+         melted AS (
+           SELECT event_type, 'cnt' AS agg_name, b, CAST(cnt AS DOUBLE) AS value FROM agg
+           UNION ALL SELECT event_type, 'uniq', b, CAST(uniq AS DOUBLE) FROM agg),
+         wide AS (
+           SELECT 'all' AS segment, 'all' AS event, event_type, agg_name,
+             max(CASE WHEN b = TIMESTAMP '2024-01-05 00:00:00' THEN value END) AS "2024-01-05 00:00:00",
+             max(CASE WHEN b = TIMESTAMP '2024-01-06 00:00:00' THEN value END) AS "2024-01-06 00:00:00",
+             max(CASE WHEN b = TIMESTAMP '2024-01-07 00:00:00' THEN value END) AS "2024-01-07 00:00:00",
+             max(CASE WHEN b = TIMESTAMP '2024-01-08 00:00:00' THEN value END) AS "2024-01-08 00:00:00",
+             max(CASE WHEN b = TIMESTAMP '2024-01-09 00:00:00' THEN value END) AS "2024-01-09 00:00:00"
+           FROM melted GROUP BY 3, 4)
+         SELECT *,
+           (coalesce("2024-01-05 00:00:00", 0) + coalesce("2024-01-06 00:00:00", 0) +
+            coalesce("2024-01-07 00:00:00", 0) + coalesce("2024-01-08 00:00:00", 0) +
+            coalesce("2024-01-09 00:00:00", 0)) / 5.0 AS average
+         FROM wide""",
 
     "q_records_decoded" ->
       s"""SELECT event_id AS "ID", user_id AS "User", event_type AS "Event"

@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.model.{CustomEvent, JsonDsl, Registry}
+import graft.model.{CustomEvent, JsonDsl, Registry, ResponseFormat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** JSON request entry points — the analog of the reference's HTTP
@@ -30,4 +30,53 @@ object JsonApi {
     * columnar response shape (Response.ColumnarTable.toJson). */
   def eventSegmentationJson(events: DataFrame, json: String): String =
     Response.collect(eventSegmentation(events, json)).toJson
+
+  /** Format-routed event segmentation (reference QueryParams.format →
+    * query Context.format; Format::Compact skips the reshaping tail,
+    * event_segmentation.rs:349-350): `"format": "json"` (or absent) →
+    * the Regular pivoted presentation frame, `"jsonCompact"` → the
+    * long-form frame. */
+  def eventSegmentationFormatted(events: DataFrame, json: String,
+                                 customEvents: Map[Long, CustomEvent] = Map.empty,
+                                 registry: Registry = Registry.open,
+                                 topGroups: Int = 50): DataFrame =
+    JsonDsl.format(json) match {
+      case ResponseFormat.Compact => eventSegmentation(events, json, customEvents, registry)
+      case ResponseFormat.Regular =>
+        EventSegmentation.runPivoted(events,
+          JsonDsl.eventSegmentation(json, customEvents, registry), topGroups)
+    }
+
+  /** JSON event-record search (reference
+    * platform/src/http/event_records.rs search route). */
+  def eventRecordsSearch(events: DataFrame, json: String,
+                         registry: Registry = Registry.open): DataFrame =
+    Records.search(events, JsonDsl.eventRecordsSearch(json, registry))
+
+  /** JSON property-values listing (reference
+    * platform/src/http/properties.rs values route). */
+  def propertyValues(events: DataFrame, json: String,
+                     registry: Registry = Registry.open): DataFrame =
+    Records.propertyValues(events, JsonDsl.propertyValues(json, registry))
+
+  /** JSON group-record search (reference
+    * platform/src/http/group_records.rs search route). */
+  def groupRecordsSearch(events: DataFrame, json: String,
+                         registry: Registry = Registry.open): DataFrame =
+    Records.searchGroups(events, JsonDsl.groupRecordsSearch(json, registry))
+
+  /** JSON funnel request → the reference's NESTED response JSON
+    * (parse → run → Response.funnelResponse.toJson — the composition
+    * the reference's handler performs, query/src/funnel.rs:98-248 +
+    * platform/src/http/funnel.rs:32). Steps are labeled by their
+    * first event alternative, like the reference's step names. */
+  def funnelJson(spark: SparkSession, events: DataFrame, json: String,
+                 registry: Registry = Registry.open): String = {
+    val model = JsonDsl.funnel(json, registry)
+    val result = Funnel.fromModel(spark, events, model)
+    val stepNames = model.steps.zipWithIndex.map { case (s, i) =>
+      s.events.headOption.flatMap(_.eventName).getOrElse(s"step ${i + 1}")
+    }
+    Response.funnelResponse(result, stepNames, model.breakdowns).toJson
+  }
 }

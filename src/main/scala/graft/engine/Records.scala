@@ -38,6 +38,28 @@ object Records {
     projected.orderBy(col("event_id").desc).limit(limitN)
   }
 
+  /** Request-model form of [[searchEvents]]: each event block carries
+    * its OWN filters — the predicate is OR over (event ∧ block
+    * filters), matching the reference's build_search_plan
+    * (query/src/event_records.rs:223-419). */
+  def search(events0: DataFrame, req: RecordsSearchRequest): DataFrame = {
+    val events = Exprs.tenantScope(events0, req.projectId)
+    val evPred =
+      if (req.events.isEmpty) lit(true)
+      else req.events.map { e =>
+        Exprs.and(
+          e.eventName.map(Exprs.eventPredicate(col(EventSegmentation.EventCol), _)).toSeq ++
+            e.filters.map(Exprs.propPredicate))
+      }.reduce(_ || _)
+    val pred = Exprs.and(
+      Seq(Exprs.timePredicate(col(EventSegmentation.TsCol), req.time), evPred) ++
+        req.filters.map(Exprs.propPredicate))
+    val projected =
+      if (req.properties.isEmpty) events.filter(pred)
+      else events.filter(pred).select((req.properties :+ "event_id").distinct.map(col): _*)
+    projected.orderBy(col("event_id").desc).limit(req.limit)
+  }
+
   /** Get single record by id (reference event_records.rs:421-492). */
   def getById(events: DataFrame, id: Long): DataFrame =
     events.filter(col("event_id") === lit(id))
@@ -61,5 +83,34 @@ object Records {
     val base = events.select(col(prop)).filter(col(prop).isNotNull).distinct()
     val f = contains.fold(base)(s => base.filter(col(prop).contains(s)))
     f.orderBy(col(prop).asc).limit(limitN)
+  }
+
+  /** Request-model form: optional event scope plus any property-op
+    * value filter (the reference's `Filter{operation, value}`,
+    * platform/src/properties.rs:343-346). */
+  def propertyValues(events0: DataFrame, req: PropertyValuesRequest): DataFrame = {
+    val events = Exprs.tenantScope(events0, req.projectId)
+    val scoped = req.eventName.fold(events)(n =>
+      events.filter(Exprs.eventPredicate(col(EventSegmentation.EventCol), n)))
+    val base = scoped.select(col(req.prop)).filter(col(req.prop).isNotNull).distinct()
+    val filtered = req.filter.fold(base)(f => base.filter(Exprs.propPredicate(f)))
+    filtered.orderBy(col(req.prop).asc).limit(req.limit)
+  }
+
+  /** Group-record search over one group dimension: dedup-on-read
+    * profile rows ([[latestPerGroup]]) → filters → projection → sort
+    * (group id as final tiebreak) → limit (reference
+    * group_records.rs:220-320). */
+  def searchGroups(events0: DataFrame, req: GroupSearchRequest,
+                   versionCol: String = "event_id"): DataFrame = {
+    val events = Exprs.tenantScope(events0, req.projectId)
+    val timed = req.time.fold(events)(t =>
+      events.filter(Exprs.timePredicate(col(EventSegmentation.TsCol), t)))
+    val profiles = latestPerGroup(timed, req.groupCol, versionCol)
+    val filtered = req.filters.foldLeft(profiles)((d, f) => d.filter(Exprs.propPredicate(f)))
+    val projected =
+      if (req.properties.isEmpty) filtered
+      else filtered.select((req.groupCol +: req.properties).distinct.map(col): _*)
+    Groups.search(projected, None, req.sort, req.groupCol, req.limit)
   }
 }

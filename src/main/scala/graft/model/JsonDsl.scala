@@ -103,6 +103,80 @@ object JsonDsl {
       projectId = j.asOpt("projectId").map(_.long))
   }
 
+  /** Response-format routing (reference `QueryParams.format`:
+    * `json` → Format::Regular (reshaped, pivoted time columns),
+    * `jsonCompact` → Format::Compact (skips the reshaping tail —
+    * event_segmentation.rs:349-350). The reference takes it as a
+    * query-string param; accepted in the body envelope here. */
+  def format(json: String): ResponseFormat =
+    Json.parse(json).asOpt("format").map(_.str) match {
+      case None | Some("json") => ResponseFormat.Regular
+      case Some("jsonCompact") => ResponseFormat.Compact
+      case Some(other)         => throw JsonError(s"unknown format '$other'")
+    }
+
+  /** Parse an event-record search request
+    * (platform/src/event_records.rs:142-149). */
+  def eventRecordsSearch(json: String,
+                         registry: Registry = Registry.open): RecordsSearchRequest = {
+    implicit val reg: Registry = registry
+    val j = Json.parse(json)
+    RecordsSearchRequest(
+      time = queryTime(j / "time", j.asOpt("now")),
+      events = j.asOpt("events").map(_.arr.map(funnelEvent)).getOrElse(Nil),
+      filters = j.asOpt("filters").map(groupedFilters).getOrElse(Nil),
+      properties = j.asOpt("properties").map(_.arr.map(propertyName)).getOrElse(Nil),
+      limit = j.asOpt("limit").map(_.int).getOrElse(100),
+      projectId = j.asOpt("projectId").map(_.long))
+  }
+
+  /** Parse a property-values listing request
+    * (platform/src/properties.rs:348-356 — PropertyRef and optional
+    * EventRef flattened into the top level, optional value filter). */
+  def propertyValues(json: String,
+                     registry: Registry = Registry.open): PropertyValuesRequest = {
+    implicit val reg: Registry = registry
+    val j = Json.parse(json)
+    val prop = propertyName(j)
+    val event = j.asOpt("eventType").map(_.str) match {
+      case None            => None
+      case Some("regular") => Some(reg.validateEvent((j / "eventName").str))
+      case Some(other)     => throw JsonError(s"unknown eventType '$other'")
+    }
+    val filter = j.asOpt("filter").map(f =>
+      PropFilter(prop, propOp(f / "operation"),
+        f.asOpt("value").map(_.arr.map(_.scalar)).getOrElse(Nil)))
+    PropertyValuesRequest(prop, event, filter,
+      limit = j.asOpt("limit").map(_.int).getOrElse(1000),
+      projectId = j.asOpt("projectId").map(_.long))
+  }
+
+  /** Parse a group-record search request
+    * (platform/src/group_records.rs:215-221; sort is a
+    * SortablePropertyRef — propertyType-tagged with a direction,
+    * platform/src/lib.rs:451-468). */
+  def groupRecordsSearch(json: String,
+                         registry: Registry = Registry.open): GroupSearchRequest = {
+    implicit val reg: Registry = registry
+    val j = Json.parse(json)
+    val sort = j.asOpt("sort").map { s =>
+      val dir = (s / "direction").str match {
+        case "asc"  => true
+        case "desc" => false
+        case other  => throw JsonError(s"unknown sort direction '$other'")
+      }
+      Seq((propertyName(s), dir))
+    }.getOrElse(Nil)
+    GroupSearchRequest(
+      groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)),
+      time = j.asOpt("time").map(t => queryTime(t, j.asOpt("now"))),
+      filters = j.asOpt("filters").map(groupedFilters).getOrElse(Nil),
+      properties = j.asOpt("properties").map(_.arr.map(propertyName)).getOrElse(Nil),
+      sort = sort,
+      limit = j.asOpt("limit").map(_.int).getOrElse(100),
+      projectId = j.asOpt("projectId").map(_.long))
+  }
+
   // ---------------- shared fragments ----------------
 
   private def parseTs(j: JValue): Timestamp = {
@@ -144,9 +218,12 @@ object JsonDsl {
     case other    => throw JsonError(s"unknown interval unit '$other'")
   }
 
-  private def groupCol(idx: Int): String =
-    if (idx == 0) "user_id"
-    else throw JsonError(s"unknown group index $idx (only group 0 = users has a table)")
+  /** `"group": N` → physical column through the registry's configured
+    * group dimensions (reference common/src/lib.rs:16-21 keeps 5
+    * fixed `group_{N}` tables; deployments configure the columns
+    * here). */
+  private def groupCol(idx: Int)(implicit reg: Registry): String =
+    reg.groupColumn(idx)
 
   /** Flattened-PropertyRef name: `{"propertyType":"event"|"group",
     * "propertyName":...}` → physical column, resolved (and, for

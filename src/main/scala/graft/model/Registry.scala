@@ -21,7 +21,12 @@ final class Registry(
     props: Map[String, PropertyMeta],
     val customEvents: Map[Long, CustomEvent],
     val eventNames: Set[String],
-    strict: Boolean) {
+    strict: Boolean,
+    /** Group-dimension index → physical column. The reference keeps a
+      * fixed five (`group_0..group_4`, group 0 = users —
+      * common/src/lib.rs:16-21 `GROUPS_COUNT`/`group_col`); here the
+      * deployment configures which columns play those roles. */
+    val groupCols: Seq[String] = Seq("user_id")) {
 
   /** Logical name → metadata. Open registries pass unknown names
     * through unchanged (physical addressing keeps working); strict
@@ -44,11 +49,25 @@ final class Registry(
   def customEvent(id: Long): CustomEvent =
     customEvents.getOrElse(id, throw Json.JsonError(s"unknown custom event id $id"))
 
+  /** `"group": N` request field → physical column (reference DTOs
+    * carry the group index end to end). */
+  def groupColumn(idx: Int): String =
+    if (idx >= 0 && idx < groupCols.size) groupCols(idx)
+    else throw Json.JsonError(
+      s"unknown group index $idx (configured groups: 0..${groupCols.size - 1})")
+
   def withProperty(m: PropertyMeta): Registry =
-    new Registry(props + (m.name.toLowerCase -> m), customEvents, eventNames, strict)
+    new Registry(props + (m.name.toLowerCase -> m), customEvents, eventNames, strict, groupCols)
 
   def withCustomEvent(id: Long, ce: CustomEvent): Registry =
-    new Registry(props, customEvents + (id -> ce), eventNames, strict)
+    new Registry(props, customEvents + (id -> ce), eventNames, strict, groupCols)
+
+  /** Configure the group-dimension columns (index 0 stays the user
+    * dimension by convention). */
+  def withGroupColumns(cols: Seq[String]): Registry = {
+    require(cols.nonEmpty, "at least one group dimension (users) is required")
+    new Registry(props, customEvents, eventNames, strict, cols)
+  }
 
   def allProperties: Seq[PropertyMeta] = props.values.toSeq.sortBy(_.name)
 }

@@ -241,6 +241,58 @@ final case class FunnelExcludeModel(
     eventName: Option[String], filters: Seq[PropFilter] = Nil,
     fromStep: Int = 0, toStep: Int = Int.MaxValue)
 
+/** Response format (reference query/src/context.rs `Format`):
+  * Regular = reshaped presentation output (pivoted time columns),
+  * Compact = the long-form frame, skipping the reshaping tail
+  * (event_segmentation.rs:349-350). */
+sealed trait ResponseFormat
+object ResponseFormat {
+  case object Regular extends ResponseFormat
+  case object Compact extends ResponseFormat
+}
+
+// ----------------------------------------------------------------
+// Record-search / property-values / group-records request models
+// (reference HTTP DTOs: platform/src/event_records.rs:142-149
+// EventRecordsSearchRequest, platform/src/properties.rs:348-356
+// ListPropertyValuesRequest, platform/src/group_records.rs:215-221
+// GroupRecordsSearchRequest). The reference carries the result limit
+// in backend config; accepted inline here for transportless callers.
+// ----------------------------------------------------------------
+
+/** Event-record search: time ∧ OR-of-(event ∧ its filters) ∧ global
+  * filters → projection → sort `event_id` desc → limit.
+  * [[FunnelEvent]] doubles as the flattened EventRef+filters struct
+  * the reference uses in both DTOs (event_records.rs:135-140). */
+final case class RecordsSearchRequest(
+    time: QueryTime,
+    events: Seq[FunnelEvent] = Nil,
+    filters: Seq[PropFilter] = Nil,
+    properties: Seq[String] = Nil,
+    limit: Int = 100,
+    projectId: Option[Long] = None)
+
+/** Property-values listing: distinct values of one property, optional
+  * event scope and value filter, sorted, limited. */
+final case class PropertyValuesRequest(
+    prop: String,
+    eventName: Option[String] = None,
+    filter: Option[PropFilter] = None,
+    limit: Int = 1000,
+    projectId: Option[Long] = None)
+
+/** Group-record (profile) search over one group dimension. `sort` is
+  * (column, ascending) pairs; the group id is always the final
+  * tiebreak. */
+final case class GroupSearchRequest(
+    groupCol: String = "user_id",
+    time: Option[QueryTime] = None,
+    filters: Seq[PropFilter] = Nil,
+    properties: Seq[String] = Nil,
+    sort: Seq[(String, Boolean)] = Nil,
+    limit: Int = 100,
+    projectId: Option[Long] = None)
+
 final case class FunnelRequestModel(
     time: QueryTime,
     steps: Seq[FunnelStep],

@@ -209,6 +209,129 @@ class JsonSpec extends SparkTestBase {
     assert(out == Map(1 -> 1L))
   }
 
+  // ---------------- record-search / property-values / group-search DTOs ----------------
+
+  test("event-record search request decodes the reference DTO and runs") {
+    val req = JsonDsl.eventRecordsSearch("""{
+      "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-02T00:00:00Z"},
+      "events": [{"eventType": "regular", "eventName": "buy",
+                  "filters": [{"type": "property", "propertyType": "event",
+                               "propertyName": "value", "operation": "gt", "value": [10]}]},
+                 {"eventType": "regular", "eventName": "view"}],
+      "filters": {"groups": [{"filters": []}]},
+      "properties": [{"propertyType": "event", "propertyName": "user_id"},
+                     {"propertyType": "event", "propertyName": "event_type"}],
+      "limit": 5
+    }""")
+    assert(req.events.map(_.eventName.get) == Seq("buy", "view"))
+    assert(req.events.head.filters == Seq(PropFilter("value", PropOp.Gt, Seq(10L))))
+    assert(req.properties == Seq("user_id", "event_type") && req.limit == 5)
+    // per-event filters OR: cheap buys are excluded, views always match
+    val df = eventsDf(Seq(
+      (1L, 1000L, "buy", "ios", 5.0), (2L, 2000L, "buy", "ios", 50.0),
+      (3L, 3000L, "view", "and", 1.0), (4L, 4000L, "click", "and", 99.0)))
+    val out = graft.engine.Records.search(df, req)
+      .select("event_type").collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("buy", "view"))
+  }
+
+  test("property-values request decodes filter and event scope") {
+    val req = JsonDsl.propertyValues("""{
+      "propertyType": "event", "propertyName": "device",
+      "eventType": "regular", "eventName": "buy",
+      "filter": {"operation": "like", "value": ["io%"]},
+      "limit": 10
+    }""")
+    assert(req.prop == "device" && req.eventName.contains("buy") && req.limit == 10)
+    assert(req.filter.contains(PropFilter("device", PropOp.Like, Seq("io%"))))
+    val df = eventsDf(Seq(
+      (1L, 1000L, "buy", "ios", 1.0), (2L, 2000L, "buy", "and", 1.0),
+      (3L, 3000L, "view", "ion", 1.0)))
+    val out = graft.engine.Records.propertyValues(df, req)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("ios")) // 'ion' is view-scoped out, 'and' fails the filter
+  }
+
+  test("group-record search request decodes sort and group index") {
+    val req = JsonDsl.groupRecordsSearch("""{
+      "group": 0,
+      "properties": [{"propertyType": "event", "propertyName": "user_id"},
+                     {"propertyType": "group", "propertyName": "value"}],
+      "sort": {"propertyType": "event", "propertyName": "value", "direction": "desc"},
+      "limit": 2
+    }""")
+    assert(req.groupCol == "user_id" && req.sort == Seq(("value", false)) && req.limit == 2)
+    val df = eventsDf(Seq(
+      (1L, 1000L, "a", "ios", 5.0), (1L, 2000L, "b", "ios", 50.0),
+      (2L, 3000L, "c", "and", 20.0), (3L, 4000L, "d", "and", 30.0)))
+    val out = graft.engine.Records.searchGroups(df, req)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSeq
+    assert(out == Seq((1L, 50.0), (3L, 30.0))) // latest row per user, sorted desc, top 2
+    assertThrows[Json.JsonError](JsonDsl.groupRecordsSearch(
+      """{"group": 0, "sort": {"propertyType": "event", "propertyName": "v", "direction": "sideways"}}"""))
+  }
+
+  test("group index resolves through configured group columns and rejects unknowns") {
+    val reg = Registry.open.withGroupColumns(Seq("user_id", "org_id"))
+    val req = JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "day",
+         "group": 1, "events": [{"eventType": "all", "queries": [{"type": "countEvents"}]}]}""",
+      registry = reg)
+    assert(req.groupCol == "org_id")
+    assertThrows[Json.JsonError](JsonDsl.eventSegmentation(
+      """{"time": {"type": "from", "from": "2024-01-01T00:00:00Z"}, "intervalUnit": "day",
+         "group": 3, "events": []}""", registry = reg))
+  }
+
+  test("format field routes Regular to the pivoted tail and Compact to long form") {
+    assert(JsonDsl.format("""{"format": "json"}""") == ResponseFormat.Regular)
+    assert(JsonDsl.format("""{}""") == ResponseFormat.Regular)
+    assert(JsonDsl.format("""{"format": "jsonCompact"}""") == ResponseFormat.Compact)
+    assertThrows[Json.JsonError](JsonDsl.format("""{"format": "xml"}"""))
+    val df = eventsDf(Seq(
+      (1L, 1000L, "view", "ios", 1.0), (2L, 50000L, "view", "and", 2.0)))
+    val json = """{
+      "format": "jsonCompact",
+      "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-01T00:01:00Z"},
+      "intervalUnit": "minute",
+      "events": [{"eventType": "all", "queries": [{"type": "countEvents", "name": "cnt"}]}]
+    }"""
+    // Compact = the long-form frame (bucket rows), not pivoted columns
+    val compact = JsonApi.eventSegmentationFormatted(df, json)
+    assert(compact.columns.contains("bucket"))
+    val regular = JsonApi.eventSegmentationFormatted(df,
+      json.replace("jsonCompact", "json"))
+    assert(!regular.columns.contains("bucket"))
+    assert(regular.columns.exists(_.startsWith("1970-01-01")))
+  }
+
+  test("funnel nested response golden through the JSON path") {
+    val h = 3600 * 1000L
+    val df = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 0.0), (1L, h, "buy", "ios", 0.0),
+      (2L, 0L, "view", "and", 0.0)))
+    val json = """{
+      "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-02T00:00:00Z"},
+      "steps": [
+        {"events": [{"eventType": "regular", "eventName": "view"}], "order": {"type": "exact"}},
+        {"events": [{"eventType": "regular", "eventName": "buy"}], "order": {"type": "exact"}}
+      ],
+      "timeWindow": {"n": 1, "unit": "day"},
+      "count": "unique"
+    }"""
+    val out = JsonApi.funnelJson(spark, df, json)
+    // drop-off attributes to the step NOT reached (step 2 lists the
+    // user who stopped after view); time-to-convert totals live on
+    // the converting step
+    val expected =
+      """{"groups":[],"steps":[""" +
+        """{"step":"view","data":[{"ts":0,"total":2,"conversionRatio":"100","avgTimeToConvert":"0",""" +
+        """"avgTimeToConvertFromStart":"0","droppedOff":0,"dropOffRatio":"0","timeToConvert":0,"timeToConvertFromStart":0}]},""" +
+        """{"step":"buy","data":[{"ts":0,"total":1,"conversionRatio":"50","avgTimeToConvert":"3600000000",""" +
+        """"avgTimeToConvertFromStart":"3600000000","droppedOff":1,"dropOffRatio":"50","timeToConvert":3600000000,"timeToConvertFromStart":3600000000}]}]}"""
+    assert(out == expected)
+  }
+
   test("columnar response serializer escapes control characters") {
     import graft.engine.Response._
     val t = ColumnarTable(Seq(ResponseColumn("c", Dimension, Seq("a\nb\u0001", null))))
