@@ -530,6 +530,63 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
 
+    // §2.6 HadPropertyValue with its optional time scope: users who
+    // EVER had value>200 inside the scope window (distinct-user set
+    // over scoped history, then semi-join)
+    "q_segment_had" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        segments = Seq(Segment("had_big", Seq(Seq(
+          SegmentCondition.HadPropertyValue("value", PropOp.Gt, Seq(200.0),
+            Some(SegmentTime.Between(T0, ts("2024-01-08T00:00:00Z")))))))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.6 HasPropertyValue (ref-unimplemented): CURRENT value = the
+    // value on the user's highest-version row (replacing-table
+    // semantics) — membership over FULL history, not the window
+    "q_segment_has" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        segments = Seq(Segment("now_purchasers", Seq(Seq(
+          SegmentCondition.HasPropertyValue("event_type", PropOp.Eq, Seq("purchase")))))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.6 DidEventRelativeCount (ref-unimplemented): count(click) >
+    // count(view) per user inside the scope, one conditional-agg pass
+    "q_segment_relative" -> ((s, dir) => {
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        segments = Seq(Segment("clickier", Seq(Seq(
+          SegmentCondition.DidEventRelativeCount(Some("click"), Nil, Some("view"), Nil,
+            PropOp.Gt, SegmentTime.Between(T0, T1)))))))
+      EventSegmentation.run(events(s, dir), req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // §2.5 funnel Touch::Last (the reference carries the field and
+    // never reads it, funnel.rs:269-270): the LAST filled step's row
+    // supplies the breakdown attribution — unbounded window, so the
+    // filling rows are chained-min and the oracle recomputes the
+    // attribution with arg_min at each step time
+    "q_funnel_touch" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("seg",
+        when(col("value") > 100, "hi").otherwise("lo"))
+      Funnel.run(s, ev, Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "purchase"),
+        windowMs = Long.MaxValue / 4000L,
+        count = Funnel.Unique,
+        breakdowns = Seq("seg"),
+        touch = Funnel.TouchLast))
+        .select(col("seg"), col("step"), col("total"), col("conversion_ratio"))
+    }),
+
     // §3.3 event-record search: filter → sort event_id desc → limit
     "q_records_search" -> ((s, dir) => {
       Records.searchEvents(events(s, dir), RANGE,
@@ -1227,6 +1284,66 @@ object SparkEntry {
              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
              HAVING count(*) >= 3))
          GROUP BY 1""",
+
+    // Had: EVER matched inside the condition's own scope window.
+    "q_segment_had" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND user_id IN (
+           SELECT DISTINCT user_id FROM events
+           WHERE value > 200.0
+             AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+             AND ts <= TIMESTAMP '2024-01-08 00:00:00')
+         GROUP BY 1""",
+
+    // Has: the value on the user's highest-version (max event_id) row,
+    // over FULL history — replacing-table current-value semantics.
+    "q_segment_has" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND user_id IN (
+           SELECT user_id FROM events GROUP BY 1
+           HAVING arg_max(event_type, event_id) = 'purchase')
+         GROUP BY 1""",
+
+    // RelativeCount: count(click) > count(view) per user in scope.
+    "q_segment_relative" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND user_id IN (
+           SELECT user_id FROM events WHERE $SQL_RANGE GROUP BY 1
+           HAVING count(CASE WHEN event_type = 'click' THEN 1 END) >
+                  count(CASE WHEN event_type = 'view' THEN 1 END))
+         GROUP BY 1""",
+
+    // TouchLast attribution: the breakdown value of the LAST filled
+    // step's row; filling rows are chained-min (arg_min at each step
+    // time breaks same-microsecond ties by event_id like the engine).
+    "q_funnel_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             CASE WHEN value > 100.0 THEN 'hi' ELSE 'lo' END AS seg
+           FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         d1 AS (SELECT e.user_id, arg_min(e.seg, e.event_id) AS seg1
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.t = s1.t1 GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.t) AS t2
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.t > s1.t1 GROUP BY 1),
+         d2 AS (SELECT e.user_id, arg_min(e.seg, e.event_id) AS seg2
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.t = s2.t2 GROUP BY 1),
+         u AS (SELECT s1.user_id,
+                 CASE WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS k,
+                 CASE WHEN s2.user_id IS NOT NULL THEN d2.seg2 ELSE d1.seg1 END AS seg
+               FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                       LEFT JOIN d1 ON s1.user_id = d1.user_id
+                       LEFT JOIN d2 ON s2.user_id = d2.user_id),
+         tot AS (
+           SELECT seg, 1 AS step, count(*) AS total FROM u GROUP BY 1
+           UNION ALL
+           SELECT seg, 2, count(CASE WHEN k = 2 THEN 1 END) FROM u GROUP BY 1)
+         SELECT t.seg, t.step, t.total,
+           round(CASE WHEN t1.total = 0 THEN 0.0
+                      ELSE t.total * 100.0 / t1.total END, 4) AS conversion_ratio
+         FROM tot t JOIN (SELECT seg, total FROM tot WHERE step = 1) t1 ON t.seg = t1.seg""",
 
     "q_es_formula" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt,
