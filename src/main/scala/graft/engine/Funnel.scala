@@ -103,7 +103,14 @@ object Funnel {
         * sort (user, ts, idCol), so equal-ts events process in id
         * order and MAY advance consecutive steps — pinned to match
         * the reference, which walks storage order within a batch. */
-      idCol: String = "event_id")
+      idCol: String = "event_id",
+      /** Skew insurance for the per-user shuffle: a user with more
+        * events than this (bots, test rigs) is EXCLUDED before the
+        * repartition — one pathological user otherwise serializes one
+        * task at 100 TB. The reference shares the per-user invariant
+        * and has no cap; None preserves its semantics. Use
+        * [[Funnel.botUsers]] to report what a cap excluded. */
+      maxEventsPerUser: Option[Long] = None)
 
   /** Slim shuffled row: flags precomputed, payload minimal. */
   private[engine] final case class FRow(
@@ -353,6 +360,17 @@ object Funnel {
     run(spark, scoped, req)
   }
 
+  /** Monitoring twin of `Request.maxEventsPerUser`: the users a cap
+    * excludes, with their event counts — run (and log) alongside a
+    * capped funnel so the exclusions are explicit, not silent. */
+  def botUsers(events: DataFrame, cap: Long,
+               userCol: String = "user_id",
+               projectId: Option[Long] = None): DataFrame =
+    Exprs.tenantScope(events, projectId)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > cap)
+
   /** Run the funnel: events → long-form per-step result
     * (bucket?, breakdowns..., step, total, conversion_ratio,
     * avg_time_to_convert, avg_time_to_convert_from_start,
@@ -399,7 +417,18 @@ object Funnel {
     val groupOf = Array.tabulate(n)(i => i)
     for ((a, b) <- req.anyOrderGroups; i <- a to b) groupOf(i) = a
 
-    val attempts: Dataset[Attempt] = slim.as[FRow]
+    // Bot cap: drop whole users over the event limit BEFORE the
+    // per-user shuffle (count agg is map-side-combined; the bot list
+    // is tiny so the anti-join broadcasts).
+    val capped = req.maxEventsPerUser match {
+      case None => slim
+      case Some(cap) =>
+        val bots = slim.groupBy(col("user"))
+          .agg(count(lit(1)).as("__c")).filter(col("__c") > cap).select(col("user"))
+        slim.join(broadcast(bots), Seq("user"), "left_anti")
+    }
+
+    val attempts: Dataset[Attempt] = capped.as[FRow]
       .repartition(col("user"))
       .sortWithinPartitions(col("user"), col("ts"), col("seq"))
       .mapPartitions(it =>

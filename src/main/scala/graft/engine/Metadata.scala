@@ -22,7 +22,14 @@ object Metadata {
   def fromEvents(df: DataFrame, eventCol: String = "event_type",
                  display: Map[String, String] = Map.empty,
                  customEvents: Map[Long, CustomEvent] = Map.empty,
-                 strict: Boolean = true): Registry = {
+                 strict: Boolean = true,
+                 /** Driver-collect guard: event-name cardinality is
+                   * small by design, but a mis-typed column (user ids,
+                   * free text) would pull the full distinct set to the
+                   * driver. Above the cap, name validation is DISABLED
+                   * (unknown names pass) rather than wrongly rejecting
+                   * unseen ones, and a warning is logged. */
+                 maxEventNames: Int = 10000): Registry = {
     val props = df.schema.fields.toSeq.map { f =>
       PropertyMeta(
         name = display.getOrElse(f.name, f.name),
@@ -32,9 +39,16 @@ object Metadata {
         isSystem = SystemCols(f.name))
     }
     val eventNames =
-      if (df.columns.contains(eventCol))
-        df.select(eventCol).distinct().collect().map(_.getString(0)).toSet
-      else Set.empty[String]
+      if (df.columns.contains(eventCol)) {
+        val names = df.select(eventCol).filter(org.apache.spark.sql.functions.col(eventCol).isNotNull)
+          .distinct().limit(maxEventNames + 1).collect().map(_.getString(0)).toSet
+        if (names.size > maxEventNames) {
+          System.err.println(
+            s"[graft] '$eventCol' has more than $maxEventNames distinct values; " +
+              "event-name validation disabled for this registry")
+          Set.empty[String]
+        } else names
+      } else Set.empty[String]
     Registry(props, customEvents, eventNames, strict)
   }
 }

@@ -80,7 +80,20 @@ object Registry {
   def apply(props: Seq[PropertyMeta],
             customEvents: Map[Long, CustomEvent] = Map.empty,
             eventNames: Set[String] = Set.empty,
-            strict: Boolean = true): Registry =
+            strict: Boolean = true): Registry = {
+    // Two columns sharing one display name would silently shadow each
+    // other in the name→column map — a JSON request addressing the
+    // first would resolve to the WRONG column. Reject at construction
+    // (the output-side "Name 2" disambiguation in Reshape is for
+    // result headers, not for addressable metadata).
+    val dups = props.groupBy(_.name.toLowerCase).filter(_._2.size > 1)
+    if (dups.nonEmpty) {
+      val msg = dups.map { case (n, ms) =>
+        s"'$n' (columns ${ms.map(_.column).mkString(", ")})"
+      }.mkString("; ")
+      throw Json.JsonError(s"duplicate display name(s): $msg")
+    }
     new Registry(props.map(m => m.name.toLowerCase -> m).toMap,
       customEvents, eventNames, strict)
+  }
 }

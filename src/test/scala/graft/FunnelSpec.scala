@@ -242,4 +242,21 @@ class FunnelSpec extends SparkTestBase {
       Funnel.Request(steps3, windowMs = 10 * H))
     assert(out.isEmpty)
   }
+
+  test("bot cap excludes pathological users before the per-user shuffle") {
+    // user 1 = bot with 1000 events; user 2 = a normal converter
+    val bot = (0 until 1000).map(i => (1L, i * 1000L, "A", "ios", 1.0))
+    val normal = Seq((2L, 0L, "A", "ios", 1.0), (2L, 1000L, "B", "ios", 1.0),
+      (2L, 2000L, "C", "ios", 1.0))
+    val req = Funnel.Request(steps3, windowMs = 10 * H,
+      maxEventsPerUser = Some(100L))
+    val m = run(bot ++ normal, req)
+    assert(m(1) == ((1L, 0L)) && m(3) == ((1L, 0L))) // only user 2 counted
+    // uncapped, the bot contributes a step-1 attempt
+    assert(run(bot ++ normal, req.copy(maxEventsPerUser = None))(1)._1 == 2L)
+    // the exclusions are reportable, not silent
+    val bots = Funnel.botUsers(eventsDf(bot ++ normal), cap = 100L).collect()
+    assert(bots.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toSeq
+      == Seq(1L -> 1000L))
+  }
 }

@@ -31,6 +31,26 @@ class MetadataSpec extends SparkTestBase {
     assert(Registry.open.column("whatever") == "whatever")
   }
 
+  test("duplicate display names are rejected at construction, not silently shadowed") {
+    // both columns mapped to "Revenue": a request addressing it would
+    // silently resolve to whichever survived the map — reject instead
+    val err = intercept[Json.JsonError](Metadata.fromEvents(df,
+      display = Map("value" -> "Revenue", "device" -> "Revenue")))
+    assert(err.getMessage.contains("duplicate display name"))
+    assert(err.getMessage.contains("value") && err.getMessage.contains("device"))
+    // case-insensitive collision too
+    assertThrows[Json.JsonError](Metadata.fromEvents(df,
+      display = Map("value" -> "Revenue", "device" -> "revenue")))
+  }
+
+  test("event-name collect is bounded; over the cap validation disables instead of misfiring") {
+    val reg = Metadata.fromEvents(df, maxEventNames = 1)
+    assert(reg.eventNames.isEmpty)           // cap exceeded → list dropped
+    assert(reg.validateEvent("anything") == "anything") // validation off, not wrong
+    val regOk = Metadata.fromEvents(df, maxEventNames = 10)
+    assert(regOk.eventNames == Set("view", "buy"))
+  }
+
   test("JSON requests resolve display names through the registry") {
     val reg = Metadata.fromEvents(df, display = Map("value" -> "Revenue"))
     val json = """{
