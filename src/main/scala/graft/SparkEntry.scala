@@ -40,6 +40,68 @@ object SparkEntry {
   private def planeSql(w: Seq[Double]): String =
     w.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
+  /** DuckDB oracle for the full md5-portable MinHash-LSH pipeline
+    * (Dedup.minhashDupPairsPortable): exact pre-collapse to star
+    * pairs, n-gram shingles → md5-60 hashes, the SAME affine
+    * permutation literals mod 2^31-1, arithmetic band-key folds,
+    * capped buckets (row_number), bucket-local candidates, and
+    * exact-Jaccard verify over the full 60-bit hashes. */
+  private def portableMinhashSql(n: Int, numHashes: Int, bands: Int,
+                                 threshold: Double, maxBucket: Int = 1000): String = {
+    val rows = numHashes / bands
+    val M = graft.pipeline.Dedup.PortableMod
+    val perms = graft.pipeline.Dedup.portablePerms(numHashes)
+    val sigExprs = perms.map { case (a, b) =>
+      s"list_min(list_transform(shh, h -> (h * $a + $b) % $M))"
+    }.mkString("[", ",\n               ", "]")
+    val keyFold = (0 until rows).foldLeft("0") { (acc, k) =>
+      s"(($acc * 1000003 + sig[b.b*$rows+${k + 1}]) % $M)"
+    }
+    // shingle hash = arithmetic fold of n consecutive token hashes
+    // (token hash = md5-60 mod M), matching Dedup.portableShingleHashes
+    val shingleFold = (0 until n).foldLeft("0") { (acc, k) =>
+      s"(($acc * 1000003 + th[i+$k]) % $M)"
+    }
+    s"""WITH reps AS (
+           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         star AS (
+           SELECT r.doc_id AS id_a, d.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+           FROM documents d JOIN reps r ON d.text = r.text AND d.doc_id <> r.doc_id),
+         tok AS (
+           SELECT doc_id, list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % $M) AS th
+           FROM reps),
+         sh AS (
+           SELECT doc_id, shh FROM (
+             SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(th) - ${n - 1}, 0) + 1),
+                 i -> $shingleFold)) AS shh
+             FROM tok)
+           WHERE len(shh) > 0),
+         sig AS (
+           SELECT doc_id, $sigExprs AS sig FROM sh),
+         bands AS (
+           SELECT doc_id, b.b AS band, $keyFold AS band_key
+           FROM sig, (SELECT unnest(range(0, $bands)) AS b) b),
+         capped AS (
+           SELECT doc_id, band, band_key,
+             row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+           FROM bands),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           WHERE a.rn <= $maxBucket AND b.rn <= $maxBucket),
+         near AS (
+           SELECT id_a, id_b,
+             len(list_intersect(sa.shh, sb.shh)) * 1.0 /
+               nullif(len(list_distinct(list_concat(sa.shh, sb.shh))), 0) AS j
+           FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM near WHERE j >= $threshold
+         UNION ALL
+         SELECT id_a, id_b, jaccard FROM star"""
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
   private def eventsC(s: SparkSession, dir: String): DataFrame =
@@ -1615,94 +1677,13 @@ object SparkEntry {
            FROM t a, t b WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6""",
 
-    // Full md5-portable MinHash-LSH pipeline recomputed in SQL: exact
-    // pre-collapse to star pairs, trigram shingles → md5-60 hashes,
-    // 16 seeded min-hashes, 4 band keys, capped buckets (row_number),
-    // bucket-local candidates, exact-Jaccard verify over the hashes.
-    "q_minhash_dups" ->
-      """WITH reps AS (
-           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-         star AS (
-           SELECT r.doc_id AS id_a, d.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
-           FROM documents d JOIN reps r ON d.text = r.text AND d.doc_id <> r.doc_id),
-         sh0 AS (
-           SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-           FROM reps),
-         sh AS (SELECT doc_id,
-                  list_transform(sh, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS shh
-                FROM sh0 WHERE len(sh) > 0),
-         sig AS (
-           SELECT doc_id, list_transform(range(0, 16), sd ->
-             list_min(list_transform(shh, h ->
-               CAST(('0x' || substring(md5(sd::VARCHAR || ':' || h::VARCHAR), 1, 15)) AS BIGINT)))) AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b.b AS band,
-             CAST(('0x' || substring(md5(array_to_string(
-               list_transform(sig[b.b*4+1 : b.b*4+4], v -> v::VARCHAR), ',')), 1, 15)) AS BIGINT) AS band_key
-           FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
-         capped AS (
-           SELECT doc_id, band, band_key,
-             row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
-           FROM bands),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM capped a JOIN capped b
-             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           WHERE a.rn <= 1000 AND b.rn <= 1000),
-         near AS (
-           SELECT id_a, id_b,
-             len(list_intersect(sa.shh, sb.shh)) * 1.0 /
-               nullif(len(list_distinct(list_concat(sa.shh, sb.shh))), 0) AS j
-           FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
-         SELECT id_a, id_b, round(j, 6) AS jaccard FROM near WHERE j >= 0.2
-         UNION ALL
-         SELECT id_a, id_b, jaccard FROM star""",
+    // Full md5-portable MinHash-LSH pipeline recomputed in SQL (see
+    // portableMinhashSql): trigram shingles, 16 affine permutations,
+    // 4 bands.
+    "q_minhash_dups" -> portableMinhashSql(n = 3, numHashes = 16, bands = 4, threshold = 0.2),
 
     // Same pipeline at bigram shingles, 8 bands x 2 rows, threshold 0.05.
-    "q_ngram_jaccard" ->
-      """WITH reps AS (
-           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-         star AS (
-           SELECT r.doc_id AS id_a, d.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
-           FROM documents d JOIN reps r ON d.text = r.text AND d.doc_id <> r.doc_id),
-         sh0 AS (
-           SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
-               i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS sh
-           FROM reps),
-         sh AS (SELECT doc_id,
-                  list_transform(sh, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS shh
-                FROM sh0 WHERE len(sh) > 0),
-         sig AS (
-           SELECT doc_id, list_transform(range(0, 16), sd ->
-             list_min(list_transform(shh, h ->
-               CAST(('0x' || substring(md5(sd::VARCHAR || ':' || h::VARCHAR), 1, 15)) AS BIGINT)))) AS sig
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b.b AS band,
-             CAST(('0x' || substring(md5(array_to_string(
-               list_transform(sig[b.b*2+1 : b.b*2+2], v -> v::VARCHAR), ',')), 1, 15)) AS BIGINT) AS band_key
-           FROM sig, (SELECT unnest(range(0, 8)) AS b) b),
-         capped AS (
-           SELECT doc_id, band, band_key,
-             row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
-           FROM bands),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM capped a JOIN capped b
-             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           WHERE a.rn <= 1000 AND b.rn <= 1000),
-         near AS (
-           SELECT id_a, id_b,
-             len(list_intersect(sa.shh, sb.shh)) * 1.0 /
-               nullif(len(list_distinct(list_concat(sa.shh, sb.shh))), 0) AS j
-           FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
-         SELECT id_a, id_b, round(j, 6) AS jaccard FROM near WHERE j >= 0.05
-         UNION ALL
-         SELECT id_a, id_b, jaccard FROM star""",
+    "q_ngram_jaccard" -> portableMinhashSql(n = 2, numHashes = 16, bands = 8, threshold = 0.05),
 
     // Same chained-min construction as q_funnel_oracle — the JSON
     // request compiles to the identical funnel config.

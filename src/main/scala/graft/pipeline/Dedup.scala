@@ -200,39 +200,113 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** [[lshBands]] with md5-60-bit hashing end to end — shingle hash,
-    * the `numHashes` seeded "permutations" (md5 of `"seed:" + hash`),
-    * and the band key are all md5-derived, so a SQL oracle recomputes
-    * identical buckets. Emits (id, band, band_key). Docs with no
-    * shingles (fewer than `shingleN` tokens) emit nothing.
-    * xxhash-based [[lshBands]] stays the production path (~4× cheaper
-    * hashing); this variant exists so the banded OPERATOR is
-    * hash-checkable end to end. */
+  /** 31-bit modulus for the portable min-hash permutations:
+    * `a*h + b` with a, b, h < 2^31 stays under 2^63, so Spark (ANSI)
+    * and DuckDB both compute it exactly in BIGINT — no overflow, no
+    * engine-specific wrap-around. */
+  val PortableMod = 2147483647L // 2^31 - 1
+
+  /** Deterministic affine-permutation constants (a, b) per hash —
+    * fixed seed, so the SAME literals embed in the Spark plan and the
+    * SQL oracle (the literal-constant trick the LSH-plane oracle
+    * uses). */
+  def portablePerms(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(20240801L)
+    Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue - 2).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** (id, distinct portable shingle hashes) in ONE typed pass: token
+    * hash = top 60 bits of md5 mod 2^31-1 (one MessageDigest md5 per
+    * token — the q_simhash cost profile), shingle hash = linear fold
+    * of n consecutive token hashes. A Catalyst formulation of the
+    * same windows is a trap: the optimizer inlines the token-hash
+    * array into the window lambda's element accesses, re-hashing
+    * every token per shingle position — measured O(len²) md5 calls.
+    * The typed pass is O(len), optimizer-proof, and computes exactly
+    * what the SQL oracle's list_transform fold computes. Narrow — no
+    * shuffle. */
+  def portableShingleHashes(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, out: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mod = PortableMod
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          // split(" ", -1) keeps empty tokens like Spark's split() and
+          // DuckDB's string_split
+          val toks = if (text == null) Array("") else text.split(" ", -1)
+          val th = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) {
+            val d = md.digest(toks(i).getBytes("UTF-8"))
+            var h = 0L
+            var j = 0
+            while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+            h = (h << 4) | ((d(7) & 0xf0L) >> 4) // first 15 hex digits = top 60 bits
+            th(i) = h % mod
+            i += 1
+          }
+          val m = toks.length - n + 1
+          val seen = new java.util.LinkedHashSet[java.lang.Long]()
+          var p = 0
+          while (p < m) {
+            var acc = 0L
+            var k = 0
+            while (k < n) { acc = (acc * 1000003L + th(p + k)) % mod; k += 1 }
+            seen.add(acc)
+            p += 1
+          }
+          val outArr = new Array[Long](seen.size)
+          val itr = seen.iterator()
+          var q = 0
+          while (itr.hasNext) { outArr(q) = itr.next(); q += 1 }
+          (id, outArr)
+        }
+      }
+      .toDF(idCol, out)
+  }
+
+  /** [[lshBands]] with engine-portable hashing: the shingle hash is
+    * md5-60 (one md5 per shingle, like the oracled simhash), the
+    * `numHashes` "permutations" are affine maps mod 2^31-1 over that
+    * hash (pure integer codegen — no per-seed rehash), and the band
+    * key is an arithmetic fold of the band's rows. A SQL oracle
+    * recomputes identical buckets from the same literals. Emits
+    * (id, band, band_key); docs with no shingles (fewer than
+    * `shingleN` tokens) emit nothing. xxhash-based [[lshBands]] stays
+    * the production path; this variant exists so the banded OPERATOR
+    * is hash-checkable end to end at production-comparable cost. */
   def lshBandsPortable(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    // stage each array as a real column: a Catalyst lambda referencing
-    // an expression SUBTREE re-evaluates it per element
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-    val shh = sh.select(col(idCol),
-      transform(col("__sh"), s => md5Hash60(s)).as("__shh"))
-    val sig = shh.select(col(idCol),
-      array((0 until numHashes).map { seed =>
-        array_min(transform(col("__shh"),
-          h => md5Hash60(concat(lit(seed + ":"), h.cast("string")))))
-      }: _*).as("__sig"))
-    sig.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => md5Hash60(concat_ws(",",
-            slice(col("__sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
-        .as(Seq("band", "band_key")))
+    val perms = portablePerms(numHashes)
+    // explode to one row per (doc, shingle hash) and compute the
+    // numHashes permutations as SCALAR min-aggregates: scalar column
+    // refs are cheap for the optimizer to duplicate (array lambdas
+    // are not — see portableShingleHashes), and min is
+    // duplicate-insensitive. The groupBy shuffles only
+    // (id, numHashes longs), map-side combined.
+    val ex = portableShingleHashes(df, idCol, textCol, shingleN, "__shh")
+      .select(col(idCol), explode(col("__shh")).as("__h"))
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("__h") * lit(a) + lit(b)) % lit(PortableMod)).as(s"__s$i")
+    }
+    val sig = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bandKeys = (0 until bands).map { bIdx =>
+      (0 until rows).foldLeft(lit(0L): Column) { (acc, k) =>
+        (acc * lit(1000003L) + col(s"__s${bIdx * rows + k}")) % lit(PortableMod)
+      }
+    }
+    sig.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
-  /** [[minhashDupPairs]] over the md5-portable banding — identical
+  /** [[minhashDupPairs]] over the engine-portable banding — identical
     * structure (exact pre-collapse, capped buckets, melt-join
-    * verify), with every hash md5-derived and the verify Jaccard
-    * computed over md5-60 shingle hashes, so a DuckDB oracle
+    * verify), with the shingle hashes md5+arithmetic-derived and the
+    * verify Jaccard computed over the same hashes, so a DuckDB oracle
     * recomputes the full pipeline bit for bit. */
   def minhashDupPairsPortable(df: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
@@ -240,8 +314,7 @@ object Dedup {
     val (reps, starPairs) = collapseExact(df, idCol, textCol)
     val cand = candidatePairs(lshBandsPortable(reps, idCol, textCol, shingleN, numHashes, bands),
       idCol, maxBucket)
-    val sh = reps.select(col(idCol), shingles(col(textCol), shingleN).as("__s"))
-      .select(col(idCol), transform(col("__s"), s => md5Hash60(s)).as("__sh"))
+    val sh = portableShingleHashes(reps, idCol, textCol, shingleN, "__sh")
     val melted = cand.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as(idCol))
     val near = melted.join(sh, idCol)
