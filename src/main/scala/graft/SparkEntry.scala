@@ -580,6 +580,23 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
 
+    // §2.9 multi-block with a BLOCK-PRIVATE breakdown — round-2's one
+    // unfused fallback, now fused to ONE scan by grouping on the
+    // union of breakdowns with per-block null masking (the other
+    // block's rows read null for a breakdown they don't own)
+    "q_es_private_bds" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("kp",
+        (get_json_object(col("props"), "$.k").cast("long") % 2).cast("string"))
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(
+          EventBlock(Some("view"), queries = Seq(NamedQuery(Query.CountEvents, "cnt")),
+            breakdowns = Seq("kp")),
+          EventBlock(Some("purchase"), queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+      EventSegmentation.run(ev, req)
+        .select(day(col("bucket")).as("d"), col("kp"), col("event"), col("cnt"))
+    }),
+
     // §2.6 SegmentTime::Each — rolling-window segment
     "q_segment_each" -> ((s, dir) => {
       val req = EventSegmentationRequest(
@@ -1345,6 +1362,19 @@ object SparkEntry {
                     count(*) AS c
              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
              HAVING count(*) >= 3))
+         GROUP BY 1""",
+
+    // One GROUP BY per block: the 'view' block keys by its private kp
+    // breakdown; 'purchase' rows carry NULL for it.
+    "q_es_private_bds" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+           CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) % 2 AS VARCHAR) AS kp,
+           'view' AS event, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND event_type = 'view'
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT CAST(date_trunc('day', ts) AS DATE), NULL, 'purchase', count(*)
+         FROM events WHERE $SQL_RANGE AND event_type = 'purchase'
          GROUP BY 1""",
 
     // Had: EVER matched inside the condition's own scope window.

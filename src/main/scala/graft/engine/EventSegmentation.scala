@@ -243,8 +243,6 @@ object EventSegmentation {
     }
 
   private def runRaw(events: DataFrame, req: EventSegmentationRequest): DataFrame = {
-    val sameKeys = req.events.forall(b =>
-      (req.breakdowns ++ b.breakdowns).distinct == req.breakdowns)
     val anyInner = req.events.exists(b =>
       needsInner(b.queries.filterNot(_.query.isInstanceOf[Query.Formula])))
     // mixed mode restriction: a one-level metric re-expressed over the
@@ -257,7 +255,7 @@ object EventSegmentation {
       case _ => true
     })
     val segsFusible = req.segments.forall(_.conditions.nonEmpty)
-    if (sameKeys && mixedOk && segsFusible) runFused(events, req)
+    if (mixedOk && segsFusible) runFused(events, req)
     else runUnfused(events, req)
   }
 
@@ -343,8 +341,23 @@ object EventSegmentation {
       .withColumn("__bi", col("__cell.bi"))
 
     val bucketCol = Exprs.bucket(col(TsCol), req.interval).as("bucket")
-    val keys = (bucketCol +: req.breakdowns.map(col)) ++ Seq(col("__si"), col("__bi"))
-    val keyNames = ("bucket" +: req.breakdowns) ++ Seq("__si", "__bi")
+    // union of request + block-private breakdowns, MASKED per cell: a
+    // block groups only by its own breakdowns, so another block's
+    // private breakdown column must read null in this block's cells —
+    // otherwise an unrelated column would split its groups. This is
+    // exactly the null the unfused path's unionByName produced, now
+    // inside one scan.
+    val bds = allBreakdowns(req)
+    val bdKeyCols = bds.map { c =>
+      val owners = blocks.zipWithIndex.collect {
+        case (b, bi) if (req.breakdowns ++ b.breakdowns).contains(c) => bi
+      }
+      val kc = if (owners.size == blocks.size) col(c)
+               else when(col("__bi").isin(owners: _*), col(c))
+      kc.as(c)
+    }
+    val keys = (bucketCol +: bdKeyCols) ++ Seq(col("__si"), col("__bi"))
+    val keyNames = ("bucket" +: bds) ++ Seq("__si", "__bi")
 
     val aggQs = blocks.flatMap(_.queries).map(_.query)
       .filterNot(_.isInstanceOf[Query.Formula]).distinctBy(specKey)
@@ -426,7 +439,7 @@ object EventSegmentation {
       case (acc, (si, c)) => acc.when(col("__si") === si, c)
     }.as("segment")
     val staged = aggregated.select(
-      ("bucket" +: req.breakdowns).map(col) ++ Seq(col("__bi")) ++
+      ("bucket" +: bds).map(col) ++ Seq(col("__bi")) ++
         plainCols ++ Seq(eventTag, segTag): _*)
     // formulas evaluate over the named metric columns of their block's
     // rows; a name may be a formula in one block and a plain metric in
@@ -447,7 +460,7 @@ object EventSegmentation {
       }
     }
     withFormulas
-      .select(("bucket" +: req.breakdowns).map(col) ++
+      .select(("bucket" +: bds).map(col) ++
         metricNames.map(col) ++ Seq(col("event"), col("segment")): _*)
   }
 
