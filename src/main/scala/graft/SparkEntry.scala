@@ -784,6 +784,35 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
 
+    // §2.10 registry-driven dictionary auto-encode: the store keeps
+    // event_type as an int key column; a JSON request filtering and
+    // breaking down on the DISPLAY property has its literals encoded
+    // to keys at plan build (the dictionary flag in the registry is
+    // what routes it), and the key column decodes on the way out
+    "q_dict_autoencode" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dict = Dictionary.build(ev, "event_type")
+      val enc = Dictionary.encode(ev, dict, "event_type", "ek") // storage form
+      val registry = Registry(Seq(
+        PropertyMeta("Platform Event", "ek", "bigint", isDictionary = true)),
+        strict = false)
+      val json = """{
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+        "intervalUnit": "day",
+        "events": [{
+          "eventType": "all",
+          "filters": [{"type": "property", "propertyType": "event",
+                       "propertyName": "Platform Event", "operation": "neq", "value": ["error"]}],
+          "queries": [{"type": "countEvents", "name": "cnt"}]
+        }],
+        "breakdowns": [{"type": "property", "propertyType": "event",
+                        "propertyName": "Platform Event"}]
+      }"""
+      val out = JsonApi.eventSegmentationEncoded(enc, json, registry, Map("ek" -> dict))
+      Dictionary.decode(out, dict, "ek", "event_type")
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
+    }),
+
     // §2.10 DictionaryDecode: encode to keys, decode via broadcast join
     "q_dict_decode" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1468,6 +1497,13 @@ object SparkEntry {
          FROM events WHERE $SQL_RANGE
            AND (event_type = 'click' OR (event_type = 'view' AND value > 100.0))
          GROUP BY 1""",
+
+    // The auto-encode is transparent: the oracle is the plain string
+    // comparison the user asked for.
+    "q_dict_autoencode" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND event_type <> 'error'
+         GROUP BY 1, 2""",
 
     "q_dict_decode" ->
       """WITH d AS (SELECT event_type AS v,

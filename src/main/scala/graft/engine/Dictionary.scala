@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.model.{EventSegmentationRequest, PropFilter, PropOp, Registry}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -53,4 +54,41 @@ object Dictionary {
     df.join(broadcast(dict.select(col("key").as(keyCol), col("value").as(valueCol))),
         Seq(keyCol), "left")
       .drop(keyCol)
+
+  /** Dict key of one literal value — a plan-build-time driver lookup
+    * over the |values|-sized dictionary (the analog of the reference's
+    * per-literal `get_key`, metadata/src/dictionaries.rs). A value the
+    * dictionary has never seen returns -1: no row carries that key,
+    * so Eq matches nothing and Neq keeps every row — the reference's
+    * get_key-miss semantics. */
+  def keyOf(dict: DataFrame, value: Any): Long =
+    dict.filter(col("value") === lit(value)).select(col("key"))
+      .collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+
+  /** Registry-driven filter auto-encode (reference query/src/expr.rs:
+    * 168-204): a filter addressing a dictionary-coded property
+    * compares LITERALS, so the literals — not the column — translate
+    * to dict keys at plan build. The rewritten comparison runs on the
+    * integer key column and pushes down to the parquet scan. Only
+    * equality-class ops encode (Eq/Neq — order and pattern ops need
+    * the decoded string; the reference decodes the column for those,
+    * expr.rs:547-587, and so should callers). */
+  def encodeFilters(filters: Seq[PropFilter], registry: Registry,
+                    dicts: Map[String, DataFrame]): Seq[PropFilter] =
+    filters.map { f =>
+      val isDict = registry.allProperties.exists(m => m.column == f.column && m.isDictionary)
+      dicts.get(f.column) match {
+        case Some(dict) if isDict && (f.op == PropOp.Eq || f.op == PropOp.Neq) =>
+          f.copy(values = f.values.map(keyOf(dict, _)))
+        case _ => f
+      }
+    }
+
+  /** [[encodeFilters]] over every filter position of an
+    * event-segmentation request (request-level and per-block). */
+  def encodeRequest(req: EventSegmentationRequest, registry: Registry,
+                    dicts: Map[String, DataFrame]): EventSegmentationRequest =
+    req.copy(
+      filters = encodeFilters(req.filters, registry, dicts),
+      events = req.events.map(b => b.copy(filters = encodeFilters(b.filters, registry, dicts))))
 }

@@ -47,6 +47,20 @@ object JsonApi {
           JsonDsl.eventSegmentation(json, customEvents, registry), topGroups)
     }
 
+  /** JSON event segmentation over a DICTIONARY-ENCODED store: filter
+    * literals on dictionary-flagged properties translate to dict keys
+    * at plan build (Dictionary.encodeRequest — the reference encodes
+    * the same way, query/src/expr.rs:168-204), so the comparison runs
+    * and pushes down on the integer key column. Callers decode
+    * breakdown key columns on the way out (Dictionary.decode). */
+  def eventSegmentationEncoded(events: DataFrame, json: String,
+                               registry: Registry,
+                               dicts: Map[String, DataFrame],
+                               customEvents: Map[Long, CustomEvent] = Map.empty): DataFrame = {
+    val req = JsonDsl.eventSegmentation(json, customEvents, registry)
+    EventSegmentation.run(events, Dictionary.encodeRequest(req, registry, dicts))
+  }
+
   /** JSON event-record search (reference
     * platform/src/http/event_records.rs search route). */
   def eventRecordsSearch(events: DataFrame, json: String,

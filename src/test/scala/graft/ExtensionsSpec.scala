@@ -32,6 +32,32 @@ class ExtensionsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("view" -> 2L, "buy" -> 1L))
   }
 
+  test("registry-driven filter auto-encode translates literals to keys; misses behave") {
+    val ev = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 1.0), (2L, 1L, "buy", "ios", 1.0),
+      (3L, 2L, "view", "osx", 1.0)))
+    val dict = Dictionary.build(ev, "event_type")
+    val enc = Dictionary.encode(ev, dict, "event_type", "ek")
+    val reg = Registry(Seq(PropertyMeta("Event", "ek", "bigint", isDictionary = true)),
+      strict = false)
+    val dicts = Map("ek" -> dict)
+    // Eq "view" -> key comparison; counts only the 2 view rows
+    val eq = Dictionary.encodeFilters(Seq(PropFilter("ek", PropOp.Eq, Seq("view"))), reg, dicts)
+    assert(eq == Seq(PropFilter("ek", PropOp.Eq, Seq(2L))))
+    assert(enc.filter(Exprs.propPredicate(eq.head)).count() == 2)
+    // unseen value: Eq matches nothing, Neq keeps every row (key -1)
+    val miss = Dictionary.encodeFilters(Seq(PropFilter("ek", PropOp.Eq, Seq("nope"))), reg, dicts)
+    assert(miss == Seq(PropFilter("ek", PropOp.Eq, Seq(-1L))))
+    assert(enc.filter(Exprs.propPredicate(miss.head)).count() == 0)
+    val neqMiss = Dictionary.encodeFilters(Seq(PropFilter("ek", PropOp.Neq, Seq("nope"))), reg, dicts)
+    assert(enc.filter(Exprs.propPredicate(neqMiss.head)).count() == 3)
+    // non-equality ops and non-dict columns pass through unchanged
+    val like = Seq(PropFilter("ek", PropOp.Like, Seq("v%")))
+    assert(Dictionary.encodeFilters(like, reg, dicts) == like)
+    val other = Seq(PropFilter("value", PropOp.Gt, Seq(0.5)))
+    assert(Dictionary.encodeFilters(other, reg, dicts) == other)
+  }
+
   test("custom event predicate expands recursively with member filters") {
     val ce = CustomEvent("outer", Seq(
       CustomEventMember.Event(Some("buy")),
