@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.model.{EventSegmentationRequest, PropFilter, PropOp, Registry}
+import graft.model.{EventSegmentationRequest, PropFilter, PropOp, Registry, Segment, SegmentCondition}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -55,40 +55,102 @@ object Dictionary {
         Seq(keyCol), "left")
       .drop(keyCol)
 
-  /** Dict key of one literal value — a plan-build-time driver lookup
-    * over the |values|-sized dictionary (the analog of the reference's
-    * per-literal `get_key`, metadata/src/dictionaries.rs). A value the
-    * dictionary has never seen returns -1: no row carries that key,
-    * so Eq matches nothing and Neq keeps every row — the reference's
+  /** Dict keys of a set of literals in ONE job (the analog of the
+    * reference's `get_key` lookups, metadata/src/dictionaries.rs —
+    * batched instead of one scan per literal). A value the dictionary
+    * has never seen returns -1: no row carries that key, so Eq
+    * matches nothing and Neq keeps every row — the reference's
     * get_key-miss semantics. */
-  def keyOf(dict: DataFrame, value: Any): Long =
-    dict.filter(col("value") === lit(value)).select(col("key"))
-      .collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+  def keysOf(dict: DataFrame, values: Seq[Any]): Map[Any, Long] =
+    if (values.isEmpty) Map.empty
+    else {
+      val found = dict.filter(col("value").isin(values: _*))
+        .select(col("value"), col("key")).collect()
+        .map(r => (r.get(0): Any) -> r.getLong(1)).toMap
+      values.map(v => v -> found.getOrElse(v, -1L)).toMap
+    }
+
+  def keyOf(dict: DataFrame, value: Any): Long = keysOf(dict, Seq(value))(value)
+
+  private def isEqClass(op: PropOp): Boolean =
+    op == PropOp.Eq || op == PropOp.Neq
+  private def keysWork(op: PropOp): Boolean =
+    // null checks are key-representation-independent
+    op == PropOp.Exists || op == PropOp.Empty
+  private def isDictProp(registry: Registry, column: String): Boolean =
+    registry.allProperties.exists(m => m.column == column && m.isDictionary)
 
   /** Registry-driven filter auto-encode (reference query/src/expr.rs:
     * 168-204): a filter addressing a dictionary-coded property
     * compares LITERALS, so the literals — not the column — translate
-    * to dict keys at plan build. The rewritten comparison runs on the
-    * integer key column and pushes down to the parquet scan. Only
-    * equality-class ops encode (Eq/Neq — order and pattern ops need
-    * the decoded string; the reference decodes the column for those,
-    * expr.rs:547-587, and so should callers). */
+    * to dict keys at plan build; the rewritten comparison runs and
+    * pushes down on the integer key column. Only equality-class ops
+    * encode here — order/pattern ops need the decoded string
+    * ([[encodeStore]] rewrites them to a decoded companion column). */
   def encodeFilters(filters: Seq[PropFilter], registry: Registry,
                     dicts: Map[String, DataFrame]): Seq[PropFilter] =
     filters.map { f =>
-      val isDict = registry.allProperties.exists(m => m.column == f.column && m.isDictionary)
       dicts.get(f.column) match {
-        case Some(dict) if isDict && (f.op == PropOp.Eq || f.op == PropOp.Neq) =>
-          f.copy(values = f.values.map(keyOf(dict, _)))
+        case Some(dict) if isDictProp(registry, f.column) && isEqClass(f.op) =>
+          val keys = keysOf(dict, f.values)
+          f.copy(values = f.values.map(keys))
         case _ => f
       }
     }
 
-  /** [[encodeFilters]] over every filter position of an
-    * event-segmentation request (request-level and per-block). */
-  def encodeRequest(req: EventSegmentationRequest, registry: Registry,
-                    dicts: Map[String, DataFrame]): EventSegmentationRequest =
-    req.copy(
-      filters = encodeFilters(req.filters, registry, dicts),
-      events = req.events.map(b => b.copy(filters = encodeFilters(b.filters, registry, dicts))))
+  /** Full auto-encode of a request against a dictionary-encoded
+    * store. Every filter position — request-level, per-block, and
+    * inside segment conditions — rewrites:
+    *
+    *  - Eq/Neq literals → dict keys (pushed-down int comparison);
+    *  - Exists/Empty → unchanged (null checks work on keys);
+    *  - order/pattern ops (Like/Regex/Gt/…) → the filter re-addresses
+    *    a decoded companion column `<col>__str`, materialized ONCE
+    *    per column via a broadcast dict join — the reference's
+    *    DictionaryDecode for exactly these ops (expr.rs:547-587).
+    *
+    * Returns (events with any needed decode columns, rewritten
+    * request). Event-NAME predicates still address the configured
+    * event column; encoding that dimension is a table-layout choice
+    * (store the decoded event column, or configure EventCol to the
+    * key column and use custom events by key). */
+  def encodeStore(events: DataFrame, req: EventSegmentationRequest,
+                  registry: Registry,
+                  dicts: Map[String, DataFrame]): (DataFrame, EventSegmentationRequest) = {
+    val needsDecode = scala.collection.mutable.LinkedHashSet[String]()
+    def rw(f: PropFilter): PropFilter =
+      dicts.get(f.column) match {
+        case Some(dict) if isDictProp(registry, f.column) =>
+          if (isEqClass(f.op)) {
+            val keys = keysOf(dict, f.values)
+            f.copy(values = f.values.map(keys))
+          } else if (keysWork(f.op)) f
+          else { needsDecode += f.column; f.copy(column = f.column + "__str") }
+        case _ => f
+      }
+    def rwCond(c: SegmentCondition): SegmentCondition = c match {
+      case h: SegmentCondition.HadPropertyValue =>
+        val f = rw(PropFilter(h.prop, h.op, h.values))
+        h.copy(prop = f.column, values = f.values)
+      case h: SegmentCondition.HasPropertyValue =>
+        val f = rw(PropFilter(h.prop, h.op, h.values))
+        h.copy(prop = f.column, values = f.values)
+      case d: SegmentCondition.DidEventCount =>
+        d.copy(filters = d.filters.map(rw))
+      case d: SegmentCondition.DidEventAggregateProperty =>
+        d.copy(filters = d.filters.map(rw))
+      case d: SegmentCondition.DidEventRelativeCount =>
+        d.copy(filters = d.filters.map(rw), otherFilters = d.otherFilters.map(rw))
+    }
+    val req2 = req.copy(
+      filters = req.filters.map(rw),
+      events = req.events.map(b => b.copy(filters = b.filters.map(rw))),
+      segments = req.segments.map(s =>
+        s.copy(conditions = s.conditions.map(_.map(rwCond)))))
+    val events2 = needsDecode.foldLeft(events) { (ev, c) =>
+      ev.join(broadcast(dicts(c).select(col("key").as(c), col("value").as(c + "__str"))),
+        Seq(c), "left")
+    }
+    (events2, req2)
+  }
 }

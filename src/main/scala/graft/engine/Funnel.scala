@@ -362,7 +362,11 @@ object Funnel {
 
   /** Monitoring twin of `Request.maxEventsPerUser`: the users a cap
     * excludes, with their event counts — run (and log) alongside a
-    * capped funnel so the exclusions are explicit, not silent. */
+    * capped funnel so the exclusions are explicit, not silent.
+    * Pass the SAME frame the funnel ran over (after any time/filter
+    * scoping, e.g. what fromModel hands to run) — the in-run cap
+    * counts that frame, and a lifetime count over the raw table would
+    * report different users. */
   def botUsers(events: DataFrame, cap: Long,
                userCol: String = "user_id",
                projectId: Option[Long] = None): DataFrame =
@@ -418,14 +422,16 @@ object Funnel {
     for ((a, b) <- req.anyOrderGroups; i <- a to b) groupOf(i) = a
 
     // Bot cap: drop whole users over the event limit BEFORE the
-    // per-user shuffle (count agg is map-side-combined; the bot list
-    // is tiny so the anti-join broadcasts).
+    // per-user shuffle (count agg is map-side-combined). Join strategy
+    // is left to Catalyst/AQE: the bot list is usually tiny and
+    // broadcasts, but a FORCED broadcast would push an aggressively
+    // low cap's millions of excluded users through the driver.
     val capped = req.maxEventsPerUser match {
       case None => slim
       case Some(cap) =>
         val bots = slim.groupBy(col("user"))
           .agg(count(lit(1)).as("__c")).filter(col("__c") > cap).select(col("user"))
-        slim.join(broadcast(bots), Seq("user"), "left_anti")
+        slim.join(bots, Seq("user"), "left_anti")
     }
 
     val attempts: Dataset[Attempt] = capped.as[FRow]

@@ -58,7 +58,8 @@ object JsonApi {
                                dicts: Map[String, DataFrame],
                                customEvents: Map[Long, CustomEvent] = Map.empty): DataFrame = {
     val req = JsonDsl.eventSegmentation(json, customEvents, registry)
-    EventSegmentation.run(events, Dictionary.encodeRequest(req, registry, dicts))
+    val (ev, encoded) = Dictionary.encodeStore(events, req, registry, dicts)
+    EventSegmentation.run(ev, encoded)
   }
 
   /** JSON event-record search (reference

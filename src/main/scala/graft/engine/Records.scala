@@ -108,9 +108,11 @@ object Records {
       events.filter(Exprs.timePredicate(col(EventSegmentation.TsCol), t)))
     val profiles = latestPerGroup(timed, req.groupCol, versionCol)
     val filtered = req.filters.foldLeft(profiles)((d, f) => d.filter(Exprs.propPredicate(f)))
-    val projected =
-      if (req.properties.isEmpty) filtered
-      else filtered.select((req.groupCol +: req.properties).distinct.map(col): _*)
-    Groups.search(projected, None, req.sort, req.groupCol, req.limit)
+    // sort/limit BEFORE projecting: the sort property need not be in
+    // the requested projection (reference SortablePropertyRef is
+    // independent of `properties`) — projecting first would drop it
+    val sorted = Groups.search(filtered, None, req.sort, req.groupCol, req.limit)
+    if (req.properties.isEmpty) sorted
+    else sorted.select((req.groupCol +: req.properties).distinct.map(col): _*)
   }
 }

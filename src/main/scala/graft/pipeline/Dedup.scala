@@ -148,13 +148,37 @@ object Dedup {
     * jaccard 1.0 — O(cluster) rows, not the O(cluster²) a mega
     * exact-dup cluster would cost inside an LSH bucket. */
   def collapseExact(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
-    val digested = df.select(col(idCol), col(textCol), md5(col(textCol)).as("__digest"))
+    // null text is EXPLICITLY excluded (a null digest would silently
+    // drop from the equi-join anyway): null docs have no shingles, so
+    // they can contribute no pairs — and a SQL oracle's text-equality
+    // join would never group them either
+    val digested = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol), md5(col(textCol)).as("__digest"))
     val reps = digested.groupBy("__digest").agg(min(col(idCol)).as("__rep"))
     val joined = digested.join(reps, "__digest")
     val repDocs = joined.filter(col(idCol) === col("__rep")).select(col(idCol), col(textCol))
     val starPairs = joined.filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("jaccard"))
     (repDocs, starPairs)
+  }
+
+  /** Shared verification tail of both LSH pipelines: melt candidate
+    * pairs to one row per (pair, side), join the shingle table ONCE,
+    * compute exact Jaccard, keep pairs at `threshold`. `sh` must be
+    * (idCol, shingle-hash array). */
+  private def verifiedPairs(cand: DataFrame, sh: DataFrame, idCol: String,
+                            shCol: String, threshold: Double): DataFrame = {
+    val melted = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as(idCol))
+    melted.join(sh, idCol)
+      .withColumn("__sh_a", when(col(idCol) === col("id_a"), col(shCol)))
+      .withColumn("__sh_b", when(col(idCol) === col("id_b"), col(shCol)))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("__sh_a"), ignoreNulls = true).as("sh_a"),
+        first(col("__sh_b"), ignoreNulls = true).as("sh_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification at
@@ -178,18 +202,7 @@ object Dedup {
       idCol, maxBucket)
     val sh = withShingleHashes(reps.select(col(idCol), col(textCol)),
       textCol, shingleN, "__sh").select(col(idCol), col("__sh"))
-    val melted = cand.select(col("id_a"), col("id_b"),
-      explode(array(col("id_a"), col("id_b"))).as(idCol))
-    val near = melted.join(sh, idCol)
-      .withColumn("__sh_a", when(col(idCol) === col("id_a"), col("__sh")))
-      .withColumn("__sh_b", when(col(idCol) === col("id_b"), col("__sh")))
-      .groupBy("id_a", "id_b")
-      .agg(first(col("__sh_a"), ignoreNulls = true).as("sh_a"),
-        first(col("__sh_b"), ignoreNulls = true).as("sh_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    near.unionAll(starPairs)
+    verifiedPairs(cand, sh, idCol, "__sh", threshold).unionAll(starPairs)
   }
 
   /** Engine-portable 60-bit hash: first 15 hex digits of md5 as a
@@ -315,18 +328,7 @@ object Dedup {
     val cand = candidatePairs(lshBandsPortable(reps, idCol, textCol, shingleN, numHashes, bands),
       idCol, maxBucket)
     val sh = portableShingleHashes(reps, idCol, textCol, shingleN, "__sh")
-    val melted = cand.select(col("id_a"), col("id_b"),
-      explode(array(col("id_a"), col("id_b"))).as(idCol))
-    val near = melted.join(sh, idCol)
-      .withColumn("__sh_a", when(col(idCol) === col("id_a"), col("__sh")))
-      .withColumn("__sh_b", when(col(idCol) === col("id_b"), col("__sh")))
-      .groupBy("id_a", "id_b")
-      .agg(first(col("__sh_a"), ignoreNulls = true).as("sh_a"),
-        first(col("__sh_b"), ignoreNulls = true).as("sh_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    near.unionAll(starPairs)
+    verifiedPairs(cand, sh, idCol, "__sh", threshold).unionAll(starPairs)
   }
 
   /** Exact Jaccard over two arrays — integer counts divided, so the

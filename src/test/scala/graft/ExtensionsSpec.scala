@@ -58,6 +58,39 @@ class ExtensionsSpec extends SparkTestBase {
     assert(Dictionary.encodeFilters(other, reg, dicts) == other)
   }
 
+  test("encodeStore decodes pattern-op columns and encodes segment conditions") {
+    val ev = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 1.0), (2L, 1L, "buy", "ios", 1.0),
+      (3L, 2L, "view", "osx", 1.0)))
+    val dict = Dictionary.build(ev, "event_type")
+    val enc = Dictionary.encode(ev, dict, "event_type", "ek")
+    val reg = Registry(Seq(PropertyMeta("Event", "ek", "bigint", isDictionary = true)),
+      strict = false)
+    val req = EventSegmentationRequest(
+      time = QueryTime.From(new java.sql.Timestamp(0L)),
+      interval = TimeIntervalUnit.Day,
+      events = Seq(EventBlock(None,
+        filters = Seq(PropFilter("ek", PropOp.Like, Seq("v%"))),
+        queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+      segments = Seq(Segment("buyers", Seq(Seq(
+        SegmentCondition.HadPropertyValue("ek", PropOp.Eq, Seq("buy")))))))
+    val (ev2, req2) = Dictionary.encodeStore(enc, req, reg, Map("ek" -> dict))
+    // Like rewrote to the decoded companion column, materialized once
+    assert(req2.events.head.filters == Seq(PropFilter("ek__str", PropOp.Like, Seq("v%"))))
+    assert(ev2.columns.contains("ek__str"))
+    // the segment's Eq literal became the dict key
+    assert(req2.segments.head.conditions.head.head ==
+      SegmentCondition.HadPropertyValue("ek", PropOp.Eq, Seq(1L))) // buy -> key 1
+    // end to end: views by user 1 and 3, restricted to the buyer (user 2)... none;
+    // drop the segment and the Like filter keeps the 2 view rows
+    val out = EventSegmentation.run(ev2, req2.copy(segments = Nil))
+      .select("cnt").collect().map(_.getLong(0)).sum
+    assert(out == 2L)
+    val seg = EventSegmentation.run(ev2, req2)
+      .select("cnt").collect().map(_.getLong(0)).sum
+    assert(seg == 0L) // the only buyer (user 2) has no view events
+  }
+
   test("custom event predicate expands recursively with member filters") {
     val ce = CustomEvent("outer", Seq(
       CustomEventMember.Event(Some("buy")),

@@ -267,6 +267,12 @@ class JsonSpec extends SparkTestBase {
     val out = graft.engine.Records.searchGroups(df, req)
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSeq
     assert(out == Seq((1L, 50.0), (3L, 30.0))) // latest row per user, sorted desc, top 2
+    // sorting by a property OUTSIDE the projection works (sort runs
+    // before the projection drops the column)
+    val narrow = req.copy(properties = Seq("user_id"))
+    val ids = graft.engine.Records.searchGroups(df, narrow)
+      .collect().map(_.getAs[Long]("user_id")).toSeq
+    assert(ids == Seq(1L, 3L))
     assertThrows[Json.JsonError](JsonDsl.groupRecordsSearch(
       """{"group": 0, "sort": {"propertyType": "event", "propertyName": "v", "direction": "sideways"}}"""))
   }

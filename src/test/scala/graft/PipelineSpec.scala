@@ -34,6 +34,18 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3).count() >= 0)
   }
 
+  test("null-text documents contribute no pairs and do not crash either pipeline") {
+    import spark.implicits._
+    val d = Seq((1L, Some("the quick brown fox")), (2L, None: Option[String]),
+      (3L, None: Option[String]), (4L, Some("the quick brown fox")))
+      .toDF("doc_id", "text")
+    val xs = Dedup.minhashDupPairs(d, "doc_id", "text", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val ps = Dedup.minhashDupPairsPortable(d, "doc_id", "text", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(xs == Set((1L, 4L)) && ps == Set((1L, 4L))) // null docs never pair
+  }
+
   test("minhash LSH finds identical and near-identical docs") {
     val pairs = Dedup.minhashDupPairs(docs(Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
