@@ -1024,6 +1024,42 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
     }),
 
+    // pipeline: IVF coarse-quantized ANN — the 8 lowest-id vectors act
+    // as deterministic seed centroids; assignment is a narrow argmax
+    // projection over inlined centroid literals, queries probe only
+    // their own cell. The oracle recomputes cells and ranking with
+    // the same centroid set.
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(q, emb, "q_id", "q_vec", "vec_id", "embedding",
+        k = 3, nCells = 8)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // pipeline: embedding cosine near-dup PAIRS, LSH-bucketed — the
+    // literal ±1 plane matrix shared with the oracle bounds the pair
+    // space to within-bucket; every surviving pair is exact-cosine
+    // verified (the production path is Dedup.embeddingDupPairs /
+    // cosineSelfJoinPairs with the fused native signature, unit-tested)
+    "q_embed_dups" -> ((s, dir) => {
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", lshPlanes.zipWithIndex.map { case (w, p) =>
+          when(Similarity.dot(col("v"), array(w.map(lit): _*)) > 0, 1 << p).otherwise(0)
+        }.reduce(_ + _))
+      val l = b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+      val r = b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+      l.join(r, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos_sim") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_r"))
+        .distinct()
+    }),
+
     // TPC-H-flavor Q1: scan-heavy grouped aggregate over lineitem
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1697,6 +1733,23 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, neighbor_id, rank FROM ranked WHERE rank <= 3""",
 
+    // Same plane matrix again: within-bucket pairs, exact-cosine
+    // verified at the threshold.
+    "q_embed_dups" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+           ${lshPlanes.zipWithIndex.map { case (w, p) =>
+             s"(CASE WHEN list_dot_product(v, ${planeSql(w)}) > 0 THEN ${1 << p} ELSE 0 END)"
+           }.mkString(" + ")} AS bucket
+           FROM e),
+         pairs AS (
+           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             list_dot_product(a.v, c.v) /
+               nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)), 0) AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         SELECT DISTINCT id_a, id_b, round(cos, 4) AS cos_r
+         FROM pairs WHERE cos >= 0.35""",
+
     "q_group_profile" ->
       """SELECT * FROM (
            SELECT user_id, max(event_id) AS version, count(*) AS n_events,
@@ -1807,6 +1860,34 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
          count(*) AS cnt, min(doc_id) AS min_doc
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
+
+    // Cells recomputed from the SAME deterministic centroid set (the 8
+    // lowest-id vectors); ranking matches the engine's (cos desc, id).
+    "q_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         a AS (SELECT vec_id, v, cent_id FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                     c.cent_id) AS rn
+                 FROM e, c) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv, cent_id FROM a WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.v) /
+             nullif(sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
+           FROM a JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
 
     "q_knn" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
