@@ -206,4 +206,30 @@ class SegmentationSpec extends SparkTestBase {
     val buyRows = out.filter(col("event") === "buy").collect()
     assert(buyRows.forall(_.isNullAt(out.columns.indexOf("cnt"))))
   }
+
+  test("block-PRIVATE breakdowns fuse: each block groups only by its own keys") {
+    // block 'view' breaks down by device, block 'buy' by a value tier;
+    // request level adds nothing — each block's rows must carry null
+    // for the OTHER block's private breakdown and must NOT be split by it
+    val req = EventSegmentationRequest(range, TimeIntervalUnit.Day,
+      Seq(
+        EventBlock(Some("view"), queries = Seq(NamedQuery(Query.CountEvents, "cnt")),
+          breakdowns = Seq("device")),
+        EventBlock(Some("buy"), queries = Seq(NamedQuery(Query.CountEvents, "cnt")),
+          breakdowns = Seq("tier"))))
+    val ev = eventsDf(rows).withColumn("tier",
+      when(col("value") >= 70, "hi").otherwise("lo"))
+    val out = EventSegmentation.run(ev, req)
+      .select(to_date(col("bucket")).cast("string").as("d"),
+        col("device"), col("tier"), col("event"), col("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+      .toMap
+    assert(out == Map(
+      ("1970-01-01", "ios", null, "view") -> 1L,
+      ("1970-01-01", "android", null, "view") -> 2L,
+      ("1970-01-01", null, "hi", "buy") -> 1L,     // 100.0
+      ("1970-01-02", null, "lo", "buy") -> 1L,     // 50.0
+      ("1970-01-02", null, "hi", "buy") -> 1L))    // 70.0
+  }
 }
