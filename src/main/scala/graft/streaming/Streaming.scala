@@ -97,6 +97,52 @@ object Streaming {
       }
   }
 
+  final case class FunnelState(step: Int, startMs: Long, done: Boolean)
+  final case class Conversion(user_id: Long, started_ms: Long,
+                              converted_ms: Long, duration_ms: Long)
+
+  /** Streaming funnel — the streaming twin of the flagship batch
+    * operator (graft.engine.Funnel), for Exact steps with
+    * Count::Unique: per-user state advances on each step-matching
+    * event inside the conversion window; window overflow restarts
+    * from the current row (the batch machine's flush+reprocess), a
+    * completed sequence emits ONE Conversion row (Append mode) and
+    * marks the user done. State is O(1) per user (step index + start
+    * time), carried across micro-batches; rows sort by event time
+    * within a batch and the watermark bounds cross-batch lateness.
+    * The batch operator remains the full-featured path (excludes,
+    * constants, any-order, sessions, breakdowns). */
+  def funnelConversions(events: Dataset[Event], stepTypes: Seq[String],
+                        windowMs: Long,
+                        watermark: String = "10 minutes"): Dataset[Conversion] = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(FunnelState(0, 0L, done = false))
+          val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+          for (e <- sorted if !st.done) {
+            val t = e.ts.getTime
+            if (st.step > 0 && t - st.startMs > windowMs)
+              st = FunnelState(0, 0L, done = false) // overflow: restart, reprocess row
+            if (e.event_type == stepTypes(st.step)) {
+              val start = if (st.step == 0) t else st.startMs
+              if (st.step == stepTypes.size - 1) {
+                out += Conversion(user, start, t, t - start)
+                st = FunnelState(0, 0L, done = true) // Unique: one conversion per user
+              } else st = FunnelState(st.step + 1, start, done = false)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming sink: append parquet partitioned by event date — the
     * write path that replaces the reference's WAL+memtable+compactor
     * (storage/src/db.rs:702-800): the transaction/commit log of the

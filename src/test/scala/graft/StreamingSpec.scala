@@ -63,6 +63,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel converts across micro-batches, once per user, window restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.funnelConversions(input.toDS(),
+      Seq("view", "click", "buy"), windowMs = 60 * 1000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("fc").outputMode(OutputMode.Append()).start()
+    try {
+      val base = 1000L * 1000
+      // batch 1: user 1 does view+click; user 2 does view then stalls
+      // past the window; user 3 completes view->click->buy in-batch
+      input.addData(
+        ev(1, base, "view", 0.0), ev(1, base + 1000, "click", 0.0),
+        ev(2, base, "view", 0.0),
+        ev(3, base, "view", 0.0), ev(3, base + 500, "click", 0.0), ev(3, base + 900, "buy", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 buys inside the window (cross-batch state);
+      // user 2's click arrives after the 60s window -> restart, no
+      // conversion; user 3 "converts" again -> Unique suppresses it
+      input.addData(
+        ev(1, base + 2000, "buy", 0.0),
+        ev(2, base + 120 * 1000, "click", 0.0),
+        ev(3, base + 5000, "view", 0.0), ev(3, base + 5500, "click", 0.0), ev(3, base + 5900, "buy", 0.0))
+      q.processAllAvailable()
+      val conv = spark.sql("SELECT * FROM fc").as[Streaming.Conversion].collect()
+        .map(c => c.user_id -> c).toMap
+      assert(conv.keySet == Set(1L, 3L))
+      assert(conv(1L).started_ms == base && conv(1L).duration_ms == 2000L)
+      assert(conv(3L).duration_ms == 900L)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
