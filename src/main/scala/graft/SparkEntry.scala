@@ -1865,7 +1865,7 @@ object SparkEntry {
     // lowest-id vectors); ranking matches the engine's (cos desc, id).
     "q_knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         c AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
          a AS (SELECT vec_id, v, cent_id FROM (
                  SELECT e.vec_id, e.v, c.cent_id,
                    row_number() OVER (PARTITION BY e.vec_id ORDER BY

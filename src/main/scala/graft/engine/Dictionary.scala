@@ -64,10 +64,14 @@ object Dictionary {
   def keysOf(dict: DataFrame, values: Seq[Any]): Map[Any, Long] =
     if (values.isEmpty) Map.empty
     else {
+      // isin matches under Catalyst's coercion (a numeric literal
+      // finds the stored string "1"); the driver-side lookup compares
+      // by string form so those coerced matches resolve instead of
+      // silently falling to the -1 miss key
       val found = dict.filter(col("value").isin(values: _*))
         .select(col("value"), col("key")).collect()
-        .map(r => (r.get(0): Any) -> r.getLong(1)).toMap
-      values.map(v => v -> found.getOrElse(v, -1L)).toMap
+        .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+      values.map(v => v -> found.getOrElse(String.valueOf(v), -1L)).toMap
     }
 
   def keyOf(dict: DataFrame, value: Any): Long = keysOf(dict, Seq(value))(value)

@@ -47,12 +47,14 @@ object JsonApi {
           JsonDsl.eventSegmentation(json, customEvents, registry), topGroups)
     }
 
-  /** JSON event segmentation over a DICTIONARY-ENCODED store: filter
-    * literals on dictionary-flagged properties translate to dict keys
-    * at plan build (Dictionary.encodeRequest — the reference encodes
-    * the same way, query/src/expr.rs:168-204), so the comparison runs
-    * and pushes down on the integer key column. Callers decode
-    * breakdown key columns on the way out (Dictionary.decode). */
+  /** JSON event segmentation over a DICTIONARY-ENCODED store
+    * (Dictionary.encodeStore): Eq/Neq literals on dictionary-flagged
+    * properties translate to dict keys at plan build — pushed-down
+    * int comparisons, the reference's encode path
+    * (query/src/expr.rs:168-204) — and pattern/order ops rewrite to a
+    * decoded companion column, its DictionaryDecode path
+    * (expr.rs:547-587). Callers decode breakdown key columns on the
+    * way out (Dictionary.decode). */
   def eventSegmentationEncoded(events: DataFrame, json: String,
                                registry: Registry,
                                dicts: Map[String, DataFrame],

@@ -110,6 +110,13 @@ object Streaming {
     * marks the user done. State is O(1) per user (step index + start
     * time), carried across micro-batches; rows sort by event time
     * within a batch and the watermark bounds cross-batch lateness.
+    *
+    * State is BOUNDED: users with no attempt in flight keep no state,
+    * and an in-flight attempt expires by event-time timeout once the
+    * watermark passes its window end — expiring is exactly the
+    * overflow-restart the machine would perform on the next row.
+    * Converted users keep a done marker (the cost of exact Unique
+    * dedup — the batch operator pays the same per-user memory).
     * The batch operator remains the full-featured path (excludes,
     * constants, any-order, sessions, breakdowns). */
   def funnelConversions(events: Dataset[Event], stepTypes: Seq[String],
@@ -121,25 +128,38 @@ object Streaming {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, Conversion](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user, rows, state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(FunnelState(0, 0L, done = false))
-          val out = scala.collection.mutable.ArrayBuffer[Conversion]()
-          for (e <- sorted if !st.done) {
-            val t = e.ts.getTime
-            if (st.step > 0 && t - st.startMs > windowMs)
-              st = FunnelState(0, 0L, done = false) // overflow: restart, reprocess row
-            if (e.event_type == stepTypes(st.step)) {
-              val start = if (st.step == 0) t else st.startMs
-              if (st.step == stepTypes.size - 1) {
-                out += Conversion(user, start, t, t - start)
-                st = FunnelState(0, 0L, done = true) // Unique: one conversion per user
-              } else st = FunnelState(st.step + 1, start, done = false)
+          if (state.hasTimedOut) {
+            // in-flight attempt aged past its window: dropping the
+            // state = the machine's overflow restart
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(FunnelState(0, 0L, done = false))
+            val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+            for (e <- sorted if !st.done) {
+              val t = e.ts.getTime
+              if (st.step > 0 && t - st.startMs > windowMs)
+                st = FunnelState(0, 0L, done = false) // overflow: restart, reprocess row
+              if (e.event_type == stepTypes(st.step)) {
+                val start = if (st.step == 0) t else st.startMs
+                if (st.step == stepTypes.size - 1) {
+                  out += Conversion(user, start, t, t - start)
+                  st = FunnelState(0, 0L, done = true) // Unique: one conversion per user
+                } else st = FunnelState(st.step + 1, start, done = false)
+              }
             }
+            if (st.done) state.update(st)
+            else if (st.step == 0) { if (state.exists) state.remove() }
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.startMs + windowMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
