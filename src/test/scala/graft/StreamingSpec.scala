@@ -95,6 +95,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel agrees with the batch machine on random streams") {
+    // cross-validation: per-user conversion COUNT must equal the batch
+    // funnel's completed-step total (Unique, same window) for any
+    // stream. Event-time timeouts cannot break this: a state evicted
+    // at watermark W had startMs + window < W, so every later row is
+    // past the window and the batch machine restarts it too.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7L)
+    (1 to 5).foreach { i =>
+      val rows = Seq.fill(40)((rnd.nextInt(4) + 1L,
+        1000000L + rnd.nextInt(100000).toLong,
+        Seq("A", "B", "C", "D")(rnd.nextInt(4)), "dev", 1.0))
+      val batch = graft.engine.Funnel.run(spark, eventsDf(rows),
+        graft.engine.Funnel.Request(
+          steps = Seq(col("event_type") === "A", col("event_type") === "B",
+            col("event_type") === "C"),
+          windowMs = 30000, count = graft.engine.Funnel.Unique)).collect()
+      val completed = batch.filter(_.getAs[Int]("step") == 3)
+        .map(_.getAs[Long]("total")).headOption.getOrElse(0L)
+      val input = MemoryStream[Event]
+      val q = Streaming.funnelConversions(input.toDS(), Seq("A", "B", "C"),
+        windowMs = 30000, watermark = "0 seconds")
+        .writeStream.format("memory").queryName(s"pf$i")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // two micro-batches split by event time (cross-batch state +
+        // timeout eviction both get exercised)
+        val (b1, b2) = rows.partition(_._2 < 1050000L)
+        if (b1.nonEmpty) { input.addData(b1.map(r => ev(r._1, r._2, r._3, r._5)): _*); q.processAllAvailable() }
+        if (b2.nonEmpty) { input.addData(b2.map(r => ev(r._1, r._2, r._3, r._5)): _*); q.processAllAvailable() }
+        val conv = spark.sql(s"SELECT count(*) FROM pf$i").collect()(0).getLong(0)
+        assert(conv == completed, s"case $i: streaming $conv != batch $completed")
+      } finally q.stop()
+    }
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
