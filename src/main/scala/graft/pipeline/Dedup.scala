@@ -154,10 +154,19 @@ object Dedup {
     // join would never group them either
     val digested = df.filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol), md5(col(textCol)).as("__digest"))
-    val reps = digested.groupBy("__digest").agg(min(col(idCol)).as("__rep"))
-    val joined = digested.join(reps, "__digest")
-    val repDocs = joined.filter(col(idCol) === col("__rep")).select(col(idCol), col(textCol))
-    val starPairs = joined.filter(col(idCol) =!= col("__rep"))
+    // reps carry the text THROUGH the aggregate (every text in a
+    // digest group is identical, so first() is deterministic): the
+    // partial aggregation collapses each map partition to one row per
+    // digest, so the full text shuffles once — a join back onto the
+    // raw docs to recover rep text would shuffle the whole corpus's
+    // text a second time
+    val reps = digested.groupBy("__digest")
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+    val repDocs = reps.select(col(idCol), col(textCol))
+    // star pairs join on (digest, id) ONLY — no text payload
+    val starPairs = digested.select(col(idCol), col("__digest"))
+      .join(reps.select(col("__digest"), col(idCol).as("__rep")), "__digest")
+      .filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("jaccard"))
     (repDocs, starPairs)
   }
