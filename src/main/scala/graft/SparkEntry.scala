@@ -109,6 +109,110 @@ object SparkEntry {
 
   private def day(c: Column): Column = to_date(date_trunc("day", c))
 
+  // ----------------------------------------------------------------
+  // Batch-ingestion fixtures (graft.ingest.Ingest). The raw track
+  // feed the reference's HTTP ingester receives is derived
+  // DETERMINISTICALLY from the events table — an external string user
+  // key, a user-agent string and an IPv4 address keyed off user_id —
+  // and the oracle SQL performs the SAME derivation, so the whole
+  // resolve→enrich→denormalize pipeline is hash-checkable.
+  // ----------------------------------------------------------------
+  private val uaTemplates = Seq(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.109 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.144 Mobile Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1")
+
+  /** IPv4 ranges (start, end, country, city); deliberately NOT aligned
+    * to /8 boundaries (the prefix-explosion join must handle partial
+    * buckets) and with one unassigned gap (0xD4123456–0xD4FFFFFF). */
+  private val geoRangeRows = Seq(
+    (0L, 705836117L, "US", "New York"),
+    (705836118L, 1426063359L, "DE", "Berlin"),
+    (1426063360L, 2131899477L, "JP", "Tokyo"),
+    (2131899478L, 2852126719L, "BR", "Sao Paulo"),
+    (2852126720L, 3557962837L, "IN", "Delhi"),
+    (3573547008L, 4294967295L, "FR", "Paris"))
+  private def geoRanges(s: SparkSession): DataFrame =
+    s.createDataFrame(geoRangeRows).toDF("start", "end", "country", "city")
+
+  private def trackFeed(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id").as("seq"),
+      concat(lit("u"), col("user_id").cast("string")).as("user_key"),
+      col("event_type").as("event"),
+      col("ts"),
+      element_at(array(uaTemplates.map(lit): _*),
+        (pmod(col("user_id"), lit(6)) + 1).cast("int")).as("ua"),
+      pmod(col("user_id") * lit(2654435761L), lit(4294967296L)).as("ip"))
+
+  /** Pre-existing identity snapshot: every third user is already
+    * registered, with ids 1..N assigned in key order (the oracle's
+    * `row_number() OVER (ORDER BY user_key)`). */
+  private def existingIdentities(s: SparkSession, dir: String): DataFrame =
+    Dictionary.build(
+      events(s, dir).filter(pmod(col("user_id"), lit(3)) === 0)
+        .select(concat(lit("u"), col("user_id").cast("string")).as("user_key")),
+      "user_key")
+      .select(col("value").as("user_key"), col("key").as("id"))
+
+  // Shared oracle-SQL fragments for the ingestion queries.
+  private def uaListSql: String =
+    uaTemplates.map(t => s"'$t'").mkString("[", ", ", "]")
+  private def feedSql: String =
+    s"""feed AS (
+       SELECT event_id AS seq, concat('u', user_id) AS user_key,
+         event_type AS event, ts,
+         ($uaListSql)[CAST(user_id % 6 AS INT) + 1] AS ua,
+         (user_id * 2654435761) % 4294967296 AS ip
+       FROM events)"""
+  private val existingIdsSql: String =
+    """existing AS (
+       SELECT user_key, row_number() OVER (ORDER BY user_key) AS id
+       FROM (SELECT DISTINCT concat('u', user_id) AS user_key
+             FROM events WHERE user_id % 3 = 0))"""
+  private val identityMappingSql: String =
+    """mapping AS (
+       SELECT user_key, id FROM existing
+       UNION ALL
+       SELECT f.user_key,
+         (SELECT coalesce(max(id), 0) FROM existing)
+           + row_number() OVER (ORDER BY f.first_seq, f.user_key) AS id
+       FROM (SELECT user_key, min(seq) AS first_seq FROM feed GROUP BY 1) f
+       WHERE f.user_key NOT IN (SELECT user_key FROM existing))"""
+  private val uaFamilySql: String =
+    """CASE WHEN contains(ua, 'Edg/') THEN 'Edge'
+       WHEN contains(ua, 'OPR/') THEN 'Opera'
+       WHEN contains(ua, 'Firefox/') THEN 'Firefox'
+       WHEN contains(ua, 'Chrome/') THEN 'Chrome'
+       WHEN contains(ua, 'Version/') AND contains(ua, 'Safari/') THEN 'Safari'
+       ELSE 'Other' END"""
+  private def uaVersionSql(group: Int): String =
+    s"""CASE WHEN contains(ua, 'Edg/') THEN regexp_extract(ua, 'Edg/([0-9]+)\\.([0-9]+)', $group)
+       WHEN contains(ua, 'OPR/') THEN regexp_extract(ua, 'OPR/([0-9]+)\\.([0-9]+)', $group)
+       WHEN contains(ua, 'Firefox/') THEN regexp_extract(ua, 'Firefox/([0-9]+)\\.([0-9]+)', $group)
+       WHEN contains(ua, 'Chrome/') THEN regexp_extract(ua, 'Chrome/([0-9]+)\\.([0-9]+)', $group)
+       WHEN contains(ua, 'Version/') AND contains(ua, 'Safari/')
+         THEN regexp_extract(ua, 'Version/([0-9]+)\\.([0-9]+)', $group)
+       ELSE '' END"""
+  private val uaOsSql: String =
+    """CASE WHEN contains(ua, 'Windows NT') THEN 'Windows'
+       WHEN contains(ua, 'Android') THEN 'Android'
+       WHEN contains(ua, 'iPhone OS') THEN 'iOS'
+       WHEN contains(ua, 'Mac OS X') THEN 'Mac OS X'
+       WHEN contains(ua, 'Linux') THEN 'Linux'
+       ELSE 'Other' END"""
+  private val uaDeviceSql: String =
+    """CASE WHEN contains(ua, 'iPhone') THEN 'iPhone'
+       WHEN contains(ua, 'Android') AND contains(ua, 'Mobile') THEN 'Generic Smartphone'
+       ELSE 'Other' END"""
+  private val geoRangesSql: String =
+    "georanges(ip_start, ip_end, country, city) AS (VALUES " +
+      geoRangeRows.map { case (a, b, co, ci) => s"($a, $b, '$co', '$ci')" }
+        .mkString(", ") + ")"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val req = EventSegmentationRequest(
@@ -1097,6 +1201,82 @@ object SparkEntry {
           round(avg(col("vdec")), 3).cast("double").as("avg_dec"))
     }),
 
+    // Ingester: batch identity resolution (reference
+    // ingester/src/executor.rs:135-185 get_or_create per request →
+    // one anti-join + sorted zipWithIndex per batch). Existing keys
+    // keep their snapshot id; unseen keys get max+rank(first-seen).
+    "q_ingest_identity" -> ((s, dir) => {
+      graft.ingest.Ingest
+        .resolveIdentities(trackFeed(s, dir), existingIdentities(s, dir))
+        .orderBy(col("id"))
+    }),
+
+    // Ingester: user-agent transformer (reference
+    // ingester/src/transformers/user_agent/mod.rs:20-110) — uaparser
+    // rules as a codegen'd when-chain of regexp_extract columns.
+    "q_ingest_ua" -> ((s, dir) => {
+      val feed = trackFeed(s, dir)
+      feed.withColumn("p", graft.ingest.Ingest.parseUserAgent(col("ua")))
+        .select(col("user_key"), col("p.*"))
+        .groupBy(col("client_family"), col("client_version_major"),
+          col("client_version_minor"), col("os_family"), col("device_family"))
+        .agg(count(lit(1)).as("events"), countDistinct(col("user_key")).as("users"))
+        .orderBy(col("client_family"), col("os_family"))
+    }),
+
+    // Ingester: geo transformer (reference
+    // ingester/src/transformers/geo/mod.rs:15-54) — the MaxMind
+    // interval lookup as a broadcast equi-join on exploded /8 prefix
+    // buckets + exact range filter (not a nested-loop theta join).
+    "q_ingest_geo" -> ((s, dir) => {
+      val feed = trackFeed(s, dir)
+      graft.ingest.Ingest.geoEnrich(feed, "ip", geoRanges(s))
+        .select(coalesce(col("country"), lit("unknown")).as("country"),
+          coalesce(col("city"), lit("unknown")).as("city"), col("ip"))
+        .groupBy(col("country"), col("city"))
+        .agg(count(lit(1)).as("events"),
+          min(col("ip")).as("min_ip"), max(col("ip")).as("max_ip"))
+        .orderBy(col("country"))
+    }),
+
+    // Ingester: the full Track executor (reference
+    // ingester/src/executor.rs:120-263) — resolve ids, apply both
+    // transformers, denormalize; aggregated so the oracle pins the
+    // id ASSIGNMENT (sum/min of resolved ids), not just row counts.
+    "q_ingest_denorm" -> ((s, dir) => {
+      val den = graft.ingest.Ingest.executeTrackBatch(
+        trackFeed(s, dir), existingIdentities(s, dir), geoRanges(s))
+      den.select(coalesce(col("country"), lit("unknown")).as("country"),
+          col("client_family"), col("os_family"), col("resolved_user_id"))
+        .groupBy(col("country"), col("client_family"), col("os_family"))
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("resolved_user_id")).as("users"),
+          sum(col("resolved_user_id")).as("id_sum"),
+          min(col("resolved_user_id")).as("min_id"))
+        .orderBy(col("country"), col("client_family"), col("os_family"))
+    }),
+
+    // Ingester: the Identify executor (reference
+    // ingester/src/executor.rs:265-330) — profile upsert with version
+    // bump per applied record; last-set wins, nulls don't overwrite.
+    "q_ingest_identify" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        concat(lit("u"), col("user_id").cast("string")).as("user_key"),
+        col("event_id").as("seq"),
+        col("event_type").as("last_event"),
+        when(col("value") > 50, lit("pro")).as("plan"),
+        col("ts"))
+      val mid = lit(ts("2024-01-15T00:00:00Z"))
+      val base = ev.filter(col("ts") < mid).groupBy(col("user_key")).agg(
+        count(lit(1)).as("version"),
+        max_by(col("plan"), when(col("plan").isNotNull, col("seq"))).as("plan"),
+        max_by(col("last_event"), col("seq")).as("last_event"))
+      val updates = ev.filter(col("ts") >= mid)
+        .select(col("user_key"), col("seq"), col("plan"), col("last_event"))
+      graft.ingest.Ingest.identifyBatch(base, updates, Seq("plan", "last_event"))
+        .orderBy(col("user_key"))
+    }),
+
     // 6-way dimension join (TPC-H Q5 flavor): join-order + broadcast
     // exercise across the whole star schema
     "q5_join" -> ((s, dir) => {
@@ -1929,6 +2109,63 @@ object SparkEntry {
          CAST(round(sum(CAST(value AS DECIMAL(28,16))), 3) AS DOUBLE) AS sum_dec,
          CAST(round(avg(CAST(value AS DECIMAL(28,16))), 3) AS DOUBLE) AS avg_dec
          FROM events WHERE $SQL_RANGE GROUP BY 1""",
+
+    "q_ingest_identity" ->
+      s"""WITH $feedSql, $existingIdsSql, $identityMappingSql
+         SELECT user_key, id FROM mapping ORDER BY id""",
+
+    "q_ingest_ua" ->
+      s"""WITH $feedSql
+         SELECT $uaFamilySql AS client_family,
+           ${uaVersionSql(1)} AS client_version_major,
+           ${uaVersionSql(2)} AS client_version_minor,
+           $uaOsSql AS os_family,
+           $uaDeviceSql AS device_family,
+           count(*) AS events, count(DISTINCT user_key) AS users
+         FROM feed GROUP BY 1, 2, 3, 4, 5 ORDER BY client_family, os_family""",
+
+    "q_ingest_geo" ->
+      s"""WITH $feedSql, $geoRangesSql
+         SELECT coalesce(country, 'unknown') AS country,
+           coalesce(city, 'unknown') AS city,
+           count(*) AS events, min(ip) AS min_ip, max(ip) AS max_ip
+         FROM feed LEFT JOIN georanges ON ip >= ip_start AND ip <= ip_end
+         GROUP BY 1, 2 ORDER BY country""",
+
+    "q_ingest_denorm" ->
+      s"""WITH $feedSql, $existingIdsSql, $identityMappingSql, $geoRangesSql
+         SELECT coalesce(g.country, 'unknown') AS country,
+           $uaFamilySql AS client_family,
+           $uaOsSql AS os_family,
+           count(*) AS events, count(DISTINCT m.id) AS users,
+           sum(m.id) AS id_sum, min(m.id) AS min_id
+         FROM feed f
+         JOIN mapping m USING (user_key)
+         LEFT JOIN georanges g ON f.ip >= g.ip_start AND f.ip <= g.ip_end
+         GROUP BY 1, 2, 3 ORDER BY country, client_family, os_family""",
+
+    "q_ingest_identify" ->
+      """WITH ev AS (
+           SELECT concat('u', user_id) AS user_key, event_id AS seq,
+             event_type AS last_event,
+             CASE WHEN value > 50 THEN 'pro' END AS plan, ts
+           FROM events),
+         base AS (
+           SELECT user_key, count(*) AS version,
+             arg_max(plan, seq) FILTER (WHERE plan IS NOT NULL) AS plan,
+             arg_max(last_event, seq) AS last_event
+           FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+         upd AS (
+           SELECT user_key, count(*) AS n,
+             arg_max(plan, seq) FILTER (WHERE plan IS NOT NULL) AS plan,
+             arg_max(last_event, seq) AS last_event
+           FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1)
+         SELECT user_key,
+           coalesce(b.version, 0) + coalesce(u.n, 0) AS version,
+           coalesce(u.plan, b.plan) AS plan,
+           coalesce(u.last_event, b.last_event) AS last_event
+         FROM base b FULL OUTER JOIN upd u USING (user_key)
+         ORDER BY user_key""",
 
     "q5_join" ->
       """SELECT r_name, n_name, count(*) AS n_items,

@@ -1,0 +1,218 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Batch ingestion — the Spark build of the reference's ingester crate
+  * (reference ingester/src/executor.rs:120-263 `Executor<Track>`,
+  * :265-330 `Executor<Identify>`; transformers
+  * ingester/src/transformers/user_agent/mod.rs:20-110 and
+  * ingester/src/transformers/geo/mod.rs:15-54).
+  *
+  * The reference ingests one HTTP request at a time: resolve the
+  * project by token, get-or-create the user (and each group value) in
+  * RocksDB, create dictionary keys, enrich with user-agent and GeoIP
+  * properties, then insert one denormalized event row. The Spark-first
+  * translation is set-at-a-time: a micro-batch (or backfill) of raw
+  * track records becomes a DataFrame, and every per-record RocksDB
+  * round-trip becomes one distributed join / aggregate over the whole
+  * batch:
+  *
+  *  - get_or_create(user_key)  → one groupBy(first-seen) + anti-join
+  *    against the existing identity snapshot + sorted zipWithIndex id
+  *    assignment (no per-record lock, no global window);
+  *  - uaparser regex lookup    → a codegen'd when-chain of
+  *    `regexp_extract` columns (no UDF);
+  *  - MaxMind range lookup     → a broadcast equi-join on the /8
+  *    prefix bucket each range covers, then the exact range filter —
+  *    the skew-safe, whole-stage-codegen form of an interval join;
+  *  - destination insert       → the denormalized output DataFrame,
+  *    written with `Store` (append) like any other batch.
+  *
+  * At 100 TB the identity snapshot is the only shared state; it is
+  * |users|-sized (ids + keys only), lives as a parquet table, and the
+  * per-batch work is one shuffle of (key, min seq) pairs — the raw
+  * event payload is never shuffled for resolution.
+  */
+object Ingest {
+
+  // ---------------------------------------------------------------
+  // Identity resolution (reference metadata/src/groups.rs:129
+  // get_or_create; executor.rs:135-185 wires it per request)
+  // ---------------------------------------------------------------
+
+  /** Resolve every raw key to a stable numeric id. Keys present in
+    * `existing` (schema: keyCol, id) keep their id; unseen keys are
+    * assigned max(existing.id) + rank over (first-seen sequence, key)
+    * — the deterministic batch analog of the reference's monotonic
+    * RocksDB `next_id` counter. The rank comes from zipWithIndex over
+    * range-sorted partitions, not a single-task global window.
+    * Returns the complete (keyCol, id) mapping. */
+  def resolveIdentities(raw: DataFrame, existing: DataFrame,
+                        keyCol: String = "user_key",
+                        seqCol: String = "seq"): DataFrame = {
+    val spark = raw.sparkSession
+    val existingIds = existing.select(col(keyCol), col("id").cast(LongType).as("id"))
+    val firstSeen = raw.groupBy(col(keyCol))
+      .agg(min(col(seqCol)).as("first_seq"))
+    val newKeys = firstSeen
+      .join(existingIds.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .orderBy(col("first_seq"), col(keyCol))
+    val maxId = existingIds.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0)
+    val keyField = newKeys.schema.fields.head
+    val assigned = spark.createDataFrame(
+      newKeys.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), maxId + i + 1L) },
+      StructType(Seq(keyField, StructField("id", LongType))))
+    existingIds.unionByName(assigned)
+  }
+
+  /** Anonymous-id merge (reference groups.rs:70 `merge_with_anonymous`;
+    * executor.rs:169-178): a record carrying both ids binds the
+    * anonymous key to the real user's id; records carrying only the
+    * anonymous key then resolve through that binding. `bindings` =
+    * rows of (anonCol, keyCol) from the current batch. */
+  def mergeAnonymous(mapping: DataFrame, bindings: DataFrame,
+                     anonCol: String = "anonymous_key",
+                     keyCol: String = "user_key"): DataFrame = {
+    val bound = bindings
+      .groupBy(col(anonCol)).agg(min(col(keyCol)).as(keyCol))
+      .join(mapping, Seq(keyCol))
+      .select(col(anonCol).as(keyCol), col("id"))
+    mapping.unionByName(bound)
+  }
+
+  // ---------------------------------------------------------------
+  // User-agent transformer (reference transformers/user_agent/
+  // mod.rs:20-110 — uaparser regexes → client/os/device properties)
+  // ---------------------------------------------------------------
+
+  /** Parse a user-agent string into the property set the reference's
+    * UA transformer emits (client family/major/minor, os family,
+    * device family). uaparser's regexes.yaml is a large ordered rule
+    * list; this is the compact ordered subset covering the major
+    * engines — each rule is a `contains` guard + `regexp_extract`,
+    * all codegen'd, first match wins (Edge and Opera ship "Chrome/"
+    * in the UA so they must precede it; iPhone UAs contain
+    * "like Mac OS X" so iOS precedes macOS; Android UAs contain
+    * "Linux;" so Android precedes Linux). */
+  def parseUserAgent(ua: Column): Column = {
+    def has(t: String): Column = ua.contains(t)
+    val family =
+      when(has("Edg/"), "Edge")
+        .when(has("OPR/"), "Opera")
+        .when(has("Firefox/"), "Firefox")
+        .when(has("Chrome/"), "Chrome")
+        .when(has("Version/") && has("Safari/"), "Safari")
+        .otherwise("Other")
+    def ver(group: Int): Column =
+      when(has("Edg/"), regexp_extract(ua, "Edg/([0-9]+)\\.([0-9]+)", group))
+        .when(has("OPR/"), regexp_extract(ua, "OPR/([0-9]+)\\.([0-9]+)", group))
+        .when(has("Firefox/"), regexp_extract(ua, "Firefox/([0-9]+)\\.([0-9]+)", group))
+        .when(has("Chrome/"), regexp_extract(ua, "Chrome/([0-9]+)\\.([0-9]+)", group))
+        .when(has("Version/") && has("Safari/"),
+          regexp_extract(ua, "Version/([0-9]+)\\.([0-9]+)", group))
+        .otherwise(lit(""))
+    val os =
+      when(has("Windows NT"), "Windows")
+        .when(has("Android"), "Android")
+        .when(has("iPhone OS"), "iOS")
+        .when(has("Mac OS X"), "Mac OS X")
+        .when(has("Linux"), "Linux")
+        .otherwise("Other")
+    val device =
+      when(has("iPhone"), "iPhone")
+        .when(has("Android") && has("Mobile"), "Generic Smartphone")
+        .otherwise("Other")
+    struct(
+      family.as("client_family"),
+      ver(1).as("client_version_major"),
+      ver(2).as("client_version_minor"),
+      os.as("os_family"),
+      device.as("device_family"))
+  }
+
+  // ---------------------------------------------------------------
+  // Geo transformer (reference transformers/geo/mod.rs:15-54 —
+  // MaxMind city lookup → country/city properties)
+  // ---------------------------------------------------------------
+
+  /** Number of addresses per /8 prefix bucket. */
+  private val PrefixWidth = 16777216L
+
+  /** Explode an IP-range table (start, end, attrs…) into the /8
+    * prefix buckets each range covers, so the lookup becomes a
+    * broadcast EQUI-join on the bucket instead of a nested-loop
+    * interval join. A GeoIP city table is ~3M ranges → ~tens of M
+    * bucket rows of a few slim columns — still broadcastable, and the
+    * per-row probe is a hash lookup + two comparisons. */
+  def explodeRangesToPrefixes(ranges: DataFrame): DataFrame =
+    ranges.withColumn("ip_prefix",
+      explode(sequence(col("start").divide(PrefixWidth).cast(LongType),
+                       col("end").divide(PrefixWidth).cast(LongType))))
+
+  /** Enrich `df` with the attributes of the (non-overlapping) range
+    * containing `ipCol`. The exact bounds check lives in the JOIN
+    * condition, not a post-filter, so an address that shares a bucket
+    * with a range but falls outside it (or in a coverage gap) keeps
+    * null attrs — the reference skips the properties when the MaxMind
+    * lookup misses. */
+  def geoEnrich(df: DataFrame, ipCol: String, ranges: DataFrame): DataFrame = {
+    val pref = broadcast(explodeRangesToPrefixes(ranges))
+    val keyed = df.withColumn("ip_prefix",
+      col(ipCol).divide(PrefixWidth).cast(LongType))
+    keyed.join(pref,
+        keyed("ip_prefix") === pref("ip_prefix") &&
+          keyed(ipCol) >= pref("start") && keyed(ipCol) <= pref("end"),
+        "left")
+      .drop(pref("ip_prefix"))
+      .drop("ip_prefix", "start", "end")
+  }
+
+  // ---------------------------------------------------------------
+  // Track executor (reference executor.rs:120-263): resolve → enrich
+  // → denormalize
+  // ---------------------------------------------------------------
+
+  /** The batch form of `Executor<Track>::execute`: resolve user ids,
+    * apply the UA and geo transformers, and emit the denormalized
+    * event rows a destination would append. `geoRanges` columns:
+    * (start, end, country, city). */
+  def executeTrackBatch(raw: DataFrame, existing: DataFrame, geoRanges: DataFrame,
+                        keyCol: String = "user_key", seqCol: String = "seq",
+                        uaCol: String = "ua", ipCol: String = "ip"): DataFrame = {
+    val mapping = resolveIdentities(raw, existing, keyCol, seqCol)
+    val resolved = raw.join(mapping.withColumnRenamed("id", "resolved_user_id"),
+      Seq(keyCol))
+    val withUa = resolved
+      .withColumn("ua_parsed", parseUserAgent(col(uaCol)))
+      .select((resolved.columns.map(col).toSeq :+ col("ua_parsed.*")): _*)
+    geoEnrich(withUa, ipCol, geoRanges)
+  }
+
+  // ---------------------------------------------------------------
+  // Identify executor (reference executor.rs:265-330): group-profile
+  // upsert with version bump
+  // ---------------------------------------------------------------
+
+  /** Apply a batch of identify records to a profile snapshot. Schema
+    * of `profiles`: (keyCol, version, props…); `updates`: (keyCol,
+    * seqCol, props…). Per the reference's replacing semantics the
+    * LAST update that SET a property wins, null values never
+    * overwrite, and the version bumps once per applied record
+    * (groups.rs get_or_create bumps on every identify). Unseen keys
+    * enter with version = number of their updates. */
+  def identifyBatch(profiles: DataFrame, updates: DataFrame, props: Seq[String],
+                    keyCol: String = "user_key", seqCol: String = "seq"): DataFrame = {
+    val aggs = count(lit(1)).as("n_updates") +:
+      props.map(p => max_by(col(p), when(col(p).isNotNull, col(seqCol))).as(p + "__upd"))
+    val merged = updates.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val joined = profiles.join(merged, Seq(keyCol), "full_outer")
+    joined.select(
+      col(keyCol) +:
+      (coalesce(col("version"), lit(0L)) + coalesce(col("n_updates"), lit(0L))).as("version") +:
+      props.map { p =>
+        coalesce(col(p + "__upd"), col(p)).as(p)
+      }: _*)
+  }
+}

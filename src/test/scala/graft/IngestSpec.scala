@@ -1,0 +1,114 @@
+package graft
+
+import graft.ingest.Ingest
+import org.apache.spark.sql.functions._
+
+/** Batch-ingestion semantics (reference ingester/src/executor.rs:
+  * 120-330 and transformers/) — identity get_or_create, anonymous
+  * merge, UA parsing, geo range lookup, identify version bumps. */
+class IngestSpec extends SparkTestBase {
+
+  private def feed(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("user_key", "seq")
+  }
+  private def snapshot(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("user_key", "id")
+  }
+
+  test("resolveIdentities keeps existing ids and ranks new keys by first-seen") {
+    val raw = feed(Seq(("b", 30L), ("c", 10L), ("a", 20L), ("c", 5L), ("d", 40L)))
+    val existing = snapshot(Seq(("a", 7L), ("z", 9L)))
+    val m = Ingest.resolveIdentities(raw, existing)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a keeps 7; z stays registered; new keys by min(seq): c(5) -> 10, b(30) -> 11, d(40) -> 12
+    assert(m == Map("a" -> 7L, "z" -> 9L, "c" -> 10L, "b" -> 11L, "d" -> 12L))
+  }
+
+  test("resolveIdentities with an empty snapshot starts ids at 1") {
+    val raw = feed(Seq(("x", 2L), ("y", 1L)))
+    val m = Ingest.resolveIdentities(raw, snapshot(Seq.empty))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("y" -> 1L, "x" -> 2L))
+  }
+
+  test("mergeAnonymous binds anonymous keys to the real user's id") {
+    import spark.implicits._
+    val mapping = snapshot(Seq(("u1", 1L), ("u2", 2L)))
+    val bindings = Seq(("anon-9", "u2")).toDF("anonymous_key", "user_key")
+    val m = Ingest.mergeAnonymous(mapping, bindings)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("u1" -> 1L, "u2" -> 2L, "anon-9" -> 2L))
+  }
+
+  test("parseUserAgent classifies the major engines in rule order") {
+    import spark.implicits._
+    val uas = Seq(
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.109 Safari/537.36",
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+      "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+      "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+      "curl/8.4.0")
+    val rows = uas.toDF("ua")
+      .select(Ingest.parseUserAgent(col("ua")).as("p")).select(col("p.*"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3), r.getString(4)))
+    // Edge outranks the Chrome/ token it also carries; iPhone UA is iOS
+    // (not macOS despite "like Mac OS X"); unknown UA falls to Other.
+    assert(rows(0) == ("Chrome", "120", "Windows", "Other"))
+    assert(rows(1) == ("Edge", "120", "Windows", "Other"))
+    assert(rows(2) == ("Safari", "17", "iOS", "iPhone"))
+    assert(rows(3) == ("Firefox", "121", "Linux", "Other"))
+    assert(rows(4) == ("Other", "", "Other", "Other"))
+  }
+
+  test("geoEnrich hits exact range boundaries and leaves gaps null") {
+    import spark.implicits._
+    val ranges = Seq((100L, 199L, "US"), (300L, 399L, "JP"))
+      .toDF("start", "end", "country")
+    val df = Seq((1L, 100L), (2L, 199L), (3L, 250L), (4L, 399L)).toDF("id", "ip")
+    val out = Ingest.geoEnrich(df, "ip", ranges)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("country"))).toMap
+    assert(out == Map(1L -> Some("US"), 2L -> Some("US"), 3L -> None, 4L -> Some("JP")))
+  }
+
+  test("geoEnrich resolves ranges spanning multiple /8 prefix buckets") {
+    import spark.implicits._
+    // range spans prefixes 0..2 with non-aligned edges
+    val ranges = Seq((16777000L, 50331899L, "DE")).toDF("start", "end", "country")
+    val df = Seq((1L, 16776999L), (2L, 16777000L), (3L, 33554432L), (4L, 50331900L))
+      .toDF("id", "ip")
+    val out = Ingest.geoEnrich(df, "ip", ranges)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("country"))).toMap
+    assert(out == Map(1L -> None, 2L -> Some("DE"), 3L -> Some("DE"), 4L -> None))
+  }
+
+  test("identifyBatch bumps versions per update, last-set wins, nulls don't overwrite") {
+    import spark.implicits._
+    val profiles = Seq(("u1", 3L, Some("basic"), Some("view")))
+      .toDF("user_key", "version", "plan", "last_event")
+    val updates = Seq(
+      ("u1", 10L, None: Option[String], Some("click")),
+      ("u1", 11L, Some("pro"), Some("buy")),
+      ("u1", 12L, None: Option[String], Some("view")),
+      ("u2", 13L, None: Option[String], Some("signup")))
+      .toDF("user_key", "seq", "plan", "last_event")
+    val out = Ingest.identifyBatch(profiles, updates, Seq("plan", "last_event"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getString(2)), r.getString(3)))).toMap
+    // u1: 3 base + 3 updates; plan stays "pro" (nulls at seq 10/12 don't
+    // overwrite); last_event = value at max seq. u2 enters at version 1
+    // with no plan ever set.
+    assert(out("u1") == ((6L, Some("pro"), "view")))
+    assert(out("u2") == ((1L, None, "signup")))
+  }
+
+  test("identifyBatch keeps untouched profiles as-is") {
+    import spark.implicits._
+    val profiles = Seq(("u1", 2L, Some("basic"))).toDF("user_key", "version", "plan")
+    val updates = Seq.empty[(String, Long, Option[String])].toDF("user_key", "seq", "plan")
+    val out = Ingest.identifyBatch(profiles, updates, Seq("plan")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L && out(0).getString(2) == "basic")
+  }
+}
