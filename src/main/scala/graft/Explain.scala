@@ -2,25 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-inspection helper: prints the formatted physical plan of the
-  * given queries (default: a scan-heavy, a join, a two-level agg and
-  * the funnel) so scan pruning / pushdown / shuffle structure can be
-  * eyeballed. Not part of the driver contract. */
+/** Plan-audit main: prints the formatted physical plan of the named
+  * driver queries (all of them with no args) so shuffle counts,
+  * PushedFilters, broadcast choices and WholeStageCodegen spans can
+  * be reviewed without running the data. Usage:
+  *   runMain graft.Explain [sfDir] [queryName ...]
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_es_count", "q_join_agg", "q_es_count_per_group", "q_records_search")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    for (name <- names) {
+      println(s"\n========== $name ==========")
+      try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable =>
+        println(s"[explain] $name failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

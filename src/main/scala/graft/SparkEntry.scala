@@ -1277,6 +1277,23 @@ object SparkEntry {
         .orderBy(col("user_key"))
     }),
 
+    // Demo-data generator (reference events-gen/src/generator.rs via
+    // cmd `store`): the shop scenario as a pure hashed projection
+    // over spark.range — no RNG state, no shuffle until this
+    // aggregate. The oracle rebuilds the identical corpus in DuckDB
+    // from the same md5 draws, pinning every generated row.
+    "q_gen_events" -> ((s, dir) => {
+      graft.gen.EventsGen.generate(s, nUsers = 1000)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts_us")).as("min_ts"),
+          max(col("ts_us")).as("max_ts"),
+          sum(col("product_id")).as("product_sum"),
+          coalesce(sum(col("vcents")), lit(0L)).as("vcents_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // 6-way dimension join (TPC-H Q5 flavor): join-order + broadcast
     // exercise across the whole star schema
     "q5_join" -> ((s, dir) => {
@@ -2166,6 +2183,34 @@ object SparkEntry {
            coalesce(u.last_event, b.last_event) AS last_event
          FROM base b FULL OUTER JOIN upd u USING (user_key)
          ORDER BY user_key""",
+
+    "q_gen_events" ->
+      """WITH users AS (SELECT unnest(range(1, 1001)) AS user_id),
+         sess AS (
+           SELECT user_id,
+             unnest(range(0, 1 + CAST(('0x' || substring(md5(concat('s:', user_id)), 1, 15)) AS BIGINT) % 3)) AS session
+           FROM users),
+         base AS (
+           SELECT user_id, session,
+             1704067200000000 + (CAST(('0x' || substring(md5(concat('t:', user_id, ':', session)), 1, 15)) AS BIGINT) % 2592000) * 1000000 AS t0,
+             CAST(('0x' || substring(md5(concat('c:', user_id, ':', session)), 1, 15)) AS BIGINT) % 100 < 60 AS clicks,
+             CAST(('0x' || substring(md5(concat('b:', user_id, ':', session)), 1, 15)) AS BIGINT) % 100 < 30 AS buys,
+             CAST(('0x' || substring(md5(concat('p:', user_id, ':', session)), 1, 15)) AS BIGINT) % 100 AS product_id,
+             CAST(('0x' || substring(md5(concat('v:', user_id, ':', session)), 1, 15)) AS BIGINT) % 10000 AS vcents
+           FROM sess),
+         ev AS (
+           SELECT user_id, 'view' AS event_type, t0 AS ts_us, product_id,
+             CAST(NULL AS BIGINT) AS vcents FROM base
+           UNION ALL
+           SELECT user_id, 'click', t0 + 60000000, product_id, NULL FROM base WHERE clicks
+           UNION ALL
+           SELECT user_id, 'purchase', t0 + 120000000, product_id, vcents
+           FROM base WHERE clicks AND buys)
+         SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           min(ts_us) AS min_ts, max(ts_us) AS max_ts,
+           CAST(sum(product_id) AS BIGINT) AS product_sum,
+           CAST(coalesce(sum(vcents), 0) AS BIGINT) AS vcents_sum
+         FROM ev GROUP BY 1 ORDER BY event_type""",
 
     "q5_join" ->
       """SELECT r_name, n_name, count(*) AS n_items,
