@@ -50,10 +50,14 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     System.err.println("[bench] full precision: " +
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"))
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma decimal separator would corrupt the JSON.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(rs: Seq[(String, Double)], note: String): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$note,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$note,"sf":"$sfDir"}"""
     }
     val full = line(results, "")
     val out =

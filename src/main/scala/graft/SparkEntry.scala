@@ -1221,7 +1221,8 @@ object SparkEntry {
         .groupBy(col("client_family"), col("client_version_major"),
           col("client_version_minor"), col("os_family"), col("device_family"))
         .agg(count(lit(1)).as("events"), countDistinct(col("user_key")).as("users"))
-        .orderBy(col("client_family"), col("os_family"))
+        .orderBy(col("client_family"), col("client_version_major"),
+          col("client_version_minor"), col("os_family"), col("device_family"))
     }),
 
     // Ingester: geo transformer (reference
@@ -1236,7 +1237,7 @@ object SparkEntry {
         .groupBy(col("country"), col("city"))
         .agg(count(lit(1)).as("events"),
           min(col("ip")).as("min_ip"), max(col("ip")).as("max_ip"))
-        .orderBy(col("country"))
+        .orderBy(col("country"), col("city"))
     }),
 
     // Ingester: the full Track executor (reference
@@ -2139,7 +2140,7 @@ object SparkEntry {
            $uaOsSql AS os_family,
            $uaDeviceSql AS device_family,
            count(*) AS events, count(DISTINCT user_key) AS users
-         FROM feed GROUP BY 1, 2, 3, 4, 5 ORDER BY client_family, os_family""",
+         FROM feed GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""",
 
     "q_ingest_geo" ->
       s"""WITH $feedSql, $geoRangesSql
@@ -2147,7 +2148,7 @@ object SparkEntry {
            coalesce(city, 'unknown') AS city,
            count(*) AS events, min(ip) AS min_ip, max(ip) AS max_ip
          FROM feed LEFT JOIN georanges ON ip >= ip_start AND ip <= ip_end
-         GROUP BY 1, 2 ORDER BY country""",
+         GROUP BY 1, 2 ORDER BY country, city""",
 
     "q_ingest_denorm" ->
       s"""WITH $feedSql, $existingIdsSql, $identityMappingSql, $geoRangesSql

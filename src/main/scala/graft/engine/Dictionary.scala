@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.model.{EventSegmentationRequest, PropFilter, PropOp, Registry, Segment, SegmentCondition}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -20,25 +20,35 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Dictionary {
 
+  /** Deterministic dense ranks startAt+1..startAt+N over `df` in
+    * `sortCols` order (which must be a total order), appended as
+    * `idCol`. Ranks come from `zipWithIndex` over the range-sorted
+    * partitions — no single-task global window (a
+    * `row_number().over(Window.orderBy(...))` would funnel every row
+    * through one partition, the scale killer for high-cardinality
+    * inputs). Shared by dictionary builds and batch identity
+    * assignment ([[graft.ingest.Ingest.resolveIdentities]]). */
+  def rankRows(df: DataFrame, sortCols: Seq[Column], idCol: String,
+               startAt: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(sortCols: _*)
+    // zipWithIndex numbers rows in partition order; the sort above
+    // makes partition order = global sort order, so ids are
+    // deterministic
+    val keyed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (startAt + i + 1L))
+    }
+    spark.createDataFrame(keyed,
+      StructType(sorted.schema.fields :+ StructField(idCol, LongType)))
+  }
+
   /** Build a dictionary for a column: distinct values keyed 1..N in
     * value order (deterministic). One shuffle for distinct + one
-    * range-partitioned sort; keys come from `zipWithIndex` over the
-    * sorted partitions — no single-task global window (a
-    * `row_number().over(Window.orderBy(...))` here would funnel every
-    * distinct value through one partition, the scale killer for
-    * high-cardinality columns). */
-  def build(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val distinct = df.select(col(valueCol).as("value"))
-      .filter(col("value").isNotNull).distinct()
-      .orderBy(col("value"))
-    val valueField = distinct.schema.fields.head
-    // zipWithIndex numbers rows in partition order; the sort above makes
-    // partition order = global value order, so keys are deterministic
-    val keyed = distinct.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i + 1L) }
-    spark.createDataFrame(keyed,
-      StructType(Seq(valueField.copy(name = "value"), StructField("key", LongType))))
-  }
+    * range-partitioned sort. */
+  def build(df: DataFrame, valueCol: String): DataFrame =
+    rankRows(
+      df.select(col(valueCol).as("value")).filter(col("value").isNotNull).distinct(),
+      Seq(col("value")), "key")
 
   /** Replace `valueCol` with its dictionary key (null-safe: unseen /
     * null values stay null, mirroring the reference's null handling). */

@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object EventsGen {
 
-  /** 60-bit uniform draw: first 15 md5 hex digits of
-    * "tag:user[:session]" as a non-negative BIGINT — identical in
-    * DuckDB as `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`. */
+  /** 60-bit uniform draw: the engine-portable md5 hash
+    * ([[graft.pipeline.Dedup.md5Hash60]] — identical in DuckDB as
+    * `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`) over
+    * "tag:user[:session]". */
   def draw(tag: String, parts: Column*): Column =
-    conv(substring(md5(concat_ws(":", (lit(tag) +: parts): _*)), 1, 15), 16, 10)
-      .cast("long")
+    graft.pipeline.Dedup.md5Hash60(concat_ws(":", (lit(tag) +: parts): _*))
 
   /** Epoch µs of 2024-01-01T00:00:00Z. */
   private val Base2024Us = 1704067200000000L

@@ -1,8 +1,8 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** Batch ingestion — the Spark build of the reference's ingester crate
   * (reference ingester/src/executor.rs:120-263 `Executor<Track>`,
@@ -52,18 +52,15 @@ object Ingest {
   def resolveIdentities(raw: DataFrame, existing: DataFrame,
                         keyCol: String = "user_key",
                         seqCol: String = "seq"): DataFrame = {
-    val spark = raw.sparkSession
     val existingIds = existing.select(col(keyCol), col("id").cast(LongType).as("id"))
     val firstSeen = raw.groupBy(col(keyCol))
       .agg(min(col(seqCol)).as("first_seq"))
     val newKeys = firstSeen
       .join(existingIds.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .orderBy(col("first_seq"), col(keyCol))
     val maxId = existingIds.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0)
-    val keyField = newKeys.schema.fields.head
-    val assigned = spark.createDataFrame(
-      newKeys.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), maxId + i + 1L) },
-      StructType(Seq(keyField, StructField("id", LongType))))
+    val assigned = graft.engine.Dictionary
+      .rankRows(newKeys, Seq(col("first_seq"), col(keyCol)), "id", startAt = maxId)
+      .select(col(keyCol), col("id"))
     existingIds.unionByName(assigned)
   }
 
@@ -71,7 +68,12 @@ object Ingest {
     * executor.rs:169-178): a record carrying both ids binds the
     * anonymous key to the real user's id; records carrying only the
     * anonymous key then resolve through that binding. `bindings` =
-    * rows of (anonCol, keyCol) from the current batch. */
+    * rows of (anonCol, keyCol) from the current batch; their real
+    * keys must already be in `mapping` (run [[resolveIdentities]]
+    * over the batch first, as [[executeTrackBatch]] does — the
+    * reference likewise creates the group before merging). An
+    * anonymous key that collides with an existing real key keeps the
+    * real key's id (no duplicate mapping rows). */
   def mergeAnonymous(mapping: DataFrame, bindings: DataFrame,
                      anonCol: String = "anonymous_key",
                      keyCol: String = "user_key"): DataFrame = {
@@ -79,6 +81,7 @@ object Ingest {
       .groupBy(col(anonCol)).agg(min(col(keyCol)).as(keyCol))
       .join(mapping, Seq(keyCol))
       .select(col(anonCol).as(keyCol), col("id"))
+      .join(mapping.select(col(keyCol)), Seq(keyCol), "left_anti")
     mapping.unionByName(bound)
   }
 

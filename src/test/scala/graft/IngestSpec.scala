@@ -36,10 +36,13 @@ class IngestSpec extends SparkTestBase {
   test("mergeAnonymous binds anonymous keys to the real user's id") {
     import spark.implicits._
     val mapping = snapshot(Seq(("u1", 1L), ("u2", 2L)))
-    val bindings = Seq(("anon-9", "u2")).toDF("anonymous_key", "user_key")
-    val m = Ingest.mergeAnonymous(mapping, bindings)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(m == Map("u1" -> 1L, "u2" -> 2L, "anon-9" -> 2L))
+    val bindings = Seq(("anon-9", "u2"), ("u1", "u2")).toDF("anonymous_key", "user_key")
+    val rows = Ingest.mergeAnonymous(mapping, bindings)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // anon key resolves to the real id; a colliding "anonymous" key that
+    // already IS a real key keeps its own id (no duplicate mapping rows)
+    assert(rows.length == 3)
+    assert(rows.toMap == Map("u1" -> 1L, "u2" -> 2L, "anon-9" -> 2L))
   }
 
   test("parseUserAgent classifies the major engines in rule order") {
