@@ -177,6 +177,16 @@ object Ingest {
   // → denormalize
   // ---------------------------------------------------------------
 
+  /** Transformer stage shared by the batch and streaming executors:
+    * UA parse + geo range enrichment over already-resolved rows. */
+  private def enrich(resolved: DataFrame, geoRanges: DataFrame,
+                     uaCol: String, ipCol: String): DataFrame = {
+    val withUa = resolved
+      .withColumn("ua_parsed", parseUserAgent(col(uaCol)))
+      .select((resolved.columns.map(col).toSeq :+ col("ua_parsed.*")): _*)
+    geoEnrich(withUa, ipCol, geoRanges)
+  }
+
   /** The batch form of `Executor<Track>::execute`: resolve user ids,
     * apply the UA and geo transformers, and emit the denormalized
     * event rows a destination would append. `geoRanges` columns:
@@ -187,11 +197,52 @@ object Ingest {
     val mapping = resolveIdentities(raw, existing, keyCol, seqCol)
     val resolved = raw.join(mapping.withColumnRenamed("id", "resolved_user_id"),
       Seq(keyCol))
-    val withUa = resolved
-      .withColumn("ua_parsed", parseUserAgent(col(uaCol)))
-      .select((resolved.columns.map(col).toSeq :+ col("ua_parsed.*")): _*)
-    geoEnrich(withUa, ipCol, geoRanges)
+    enrich(resolved, geoRanges, uaCol, ipCol)
   }
+
+  /** Load the persisted identity snapshot, or an empty mapping if
+    * none has been written yet. */
+  def loadSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   keyCol: String = "user_key"): DataFrame = {
+    val exists = {
+      val f = new java.io.File(dir)
+      f.isDirectory && f.listFiles != null && f.listFiles.exists(_.getName.endsWith(".parquet"))
+    }
+    if (exists) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("id", LongType))))
+  }
+
+  /** Streaming Track executor: the reference ingests one HTTP request
+    * at a time (executor.rs:120); here each micro-batch runs the same
+    * resolve→enrich→denormalize pipeline via foreachBatch, with the
+    * identity mapping persisted as a parquet snapshot that grows by
+    * the batch's unseen keys. A retried batch is harmless: its keys
+    * are already in the snapshot, so the anti-join appends nothing
+    * and re-resolution yields the identical ids (ids derive from the
+    * snapshot, never from batch randomness). Production would keep
+    * the snapshot in a transactional table (Delta) for atomic
+    * appends; the resolution math is unchanged.
+    *
+    * Returns a started-able writer; the caller picks trigger/
+    * checkpoint and calls .start(). */
+  def streamingTrack(raw: DataFrame, snapshotDir: String, geoRanges: DataFrame,
+                     keyCol: String = "user_key", seqCol: String = "seq",
+                     uaCol: String = "ua", ipCol: String = "ip")(
+                     sink: (DataFrame, Long) => Unit) =
+    raw.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val existing = loadSnapshot(spark, snapshotDir, keyCol)
+      val mapping = resolveIdentities(batch, existing, keyCol, seqCol)
+      mapping.join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .write.mode("append").parquet(snapshotDir)
+      val resolved = batch.join(
+        mapping.withColumnRenamed("id", "resolved_user_id"), Seq(keyCol))
+      sink(enrich(resolved, geoRanges, uaCol, ipCol), batchId)
+    }
 
   // ---------------------------------------------------------------
   // Identify executor (reference executor.rs:265-330): group-profile

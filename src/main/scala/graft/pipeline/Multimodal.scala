@@ -42,6 +42,75 @@ object Multimodal {
       StructField("height", IntegerType, nullable = false),
       StructField("durationMs", LongType, nullable = false))), nullable = false)))
 
+  /** REAL container-header codec — no media libraries needed: format
+    * sniffing and dimension extraction are pure byte arithmetic over
+    * the container headers (PNG IHDR, GIF logical screen descriptor,
+    * BMP info header, JPEG SOF marker scan). Only the pixel-level
+    * decode remains stubbed ([[StubCodec]]). */
+  object HeaderCodec {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    /** Magic-byte format sniff. */
+    def sniff(b: Array[Byte]): Option[String] =
+      if (b == null) None
+      else if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+        Some("png")
+      else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+        Some("gif")
+      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+      else if (b.length >= 3 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff)
+        Some("jpeg")
+      else None
+
+    /** (width, height) from the container header, None if the payload
+      * is not a recognized/complete image. */
+    def dimensions(b: Array[Byte]): Option[(Int, Int)] = sniff(b).flatMap {
+      case "png" if b.length >= 24 && new String(b, 12, 4, "US-ASCII") == "IHDR" =>
+        Some((be32(b, 16), be32(b, 20)))
+      case "gif" if b.length >= 10 =>
+        Some((le16(b, 6), le16(b, 8)))
+      case "bmp" if b.length >= 26 =>
+        val hdr = le32(b, 14)
+        if (hdr >= 40 && b.length >= 26) Some((le32(b, 18), math.abs(le32(b, 22))))
+        else if (hdr == 12 && b.length >= 24) Some((le16(b, 18), le16(b, 20)))
+        else None
+      case "jpeg" =>
+        // scan markers for a start-of-frame (SOFn except DHT/JPG/DAC)
+        var i = 2
+        var res: Option[(Int, Int)] = None
+        while (res.isEmpty && i + 9 < b.length && u8(b, i) == 0xff) {
+          val m = u8(b, i + 1)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            res = Some((be16(b, i + 7), be16(b, i + 5)))
+          else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2
+          else i += 2 + be16(b, i + 2)
+        }
+        res
+      case _ => None
+    }
+
+    /** Replace each row's meta format/width/height with header-derived
+      * values where the payload parses; unparseable payloads keep
+      * their caller-supplied meta. Narrow typed pass — no shuffle. */
+    def probeMeta(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions(_.map { r =>
+        (sniff(r.payload), dimensions(r.payload)) match {
+          case (Some(f), Some((w, h))) =>
+            r.copy(meta = r.meta.copy(format = f, width = w, height = h))
+          case (Some(f), None) => r.copy(meta = r.meta.copy(format = f))
+          case _ => r
+        }
+      })
+    }
+  }
+
   /** Deterministic fake codec: every "decoded" value is a pure
     * function of the payload bytes. Replace with a real codec
     * (javax.imageio / ffmpeg bindings) in production. */

@@ -106,6 +106,40 @@ class IngestSpec extends SparkTestBase {
     assert(out("u2") == ((1L, None, "signup")))
   }
 
+  test("streamingTrack resolves ids across micro-batches via the persisted snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ranges = Seq((0L, 1000L, "US")).toDF("start", "end", "country")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val input = MemoryStream[(String, Long, String, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    val q = Ingest.streamingTrack(
+      input.toDF().toDF("user_key", "seq", "ua", "ip"),
+      s"$dir/ids", ranges) { (denorm, _) =>
+        seen ++= denorm.select("user_key", "resolved_user_id", "country")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(("b", 2L, "curl/8", 5L), ("a", 1L, "curl/8", 7L))
+      q.processAllAvailable()
+      // batch 1: unseen keys ranked by first-seen seq -> a=1, b=2
+      input.addData(("a", 3L, "curl/8", 9L), ("c", 4L, "curl/8", 2000L))
+      q.processAllAvailable()
+      // batch 2: a keeps its snapshot id; c continues numbering at 3
+      val byKey = seen.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      assert(byKey("a") == Seq(1L), "same user resolves to the same id across batches")
+      assert(byKey("b") == Seq(2L))
+      assert(byKey("c") == Seq(3L))
+      // geo enrichment applied per batch; ip 2000 is outside every range
+      assert(seen.collect { case ("c", _, country) => country } == Seq(null))
+      val snap = Ingest.loadSnapshot(spark, s"$dir/ids")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(snap == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    } finally q.stop()
+  }
+
   test("identifyBatch keeps untouched profiles as-is") {
     import spark.implicits._
     val profiles = Seq(("u1", 2L, Some("basic"))).toDF("user_key", "version", "plan")

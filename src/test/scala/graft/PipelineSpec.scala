@@ -222,6 +222,57 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("header codec parses real PNG/GIF/BMP/JPEG container headers") {
+    import graft.pipeline.Multimodal.HeaderCodec
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33) // big-endian by default
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w); bb.putInt(h)
+      bb.put(8.toByte); bb.put(2.toByte); bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte)
+      bb.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes("US-ASCII"))
+      bb.putShort(w.toShort); bb.putShort(h.toShort)
+      bb.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte)
+      bb.putInt(54); bb.putInt(0); bb.putInt(54)     // file header
+      bb.putInt(40); bb.putInt(w); bb.putInt(-h)      // top-down negative height
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      // SOI, APP0 (4-byte segment), SOF0 with height/width, padding
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00).map(_.toByte))
+      bb.put(Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte))
+      bb.putShort(h.toShort); bb.putShort(w.toShort)
+      bb.array()
+    }
+    assert(HeaderCodec.sniff(png(1, 1)).contains("png"))
+    assert(HeaderCodec.dimensions(png(640, 480)).contains((640, 480)))
+    assert(HeaderCodec.dimensions(gif(320, 200)).contains((320, 200)))
+    assert(HeaderCodec.dimensions(bmp(800, 600)).contains((800, 600)))
+    assert(HeaderCodec.dimensions(jpeg(1024, 768)).contains((1024, 768)))
+    assert(HeaderCodec.dimensions("not an image".getBytes).isEmpty)
+    assert(HeaderCodec.dimensions(null).isEmpty)
+    // probeMeta overrides caller meta where the payload parses
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(12, 34),
+        Multimodal.MediaMeta("image", "raw", 0, 0, 0L)),
+      Multimodal.MediaRow(2L, "junk".getBytes,
+        Multimodal.MediaMeta("image", "raw", 7, 9, 0L))).toDS()
+    val probed = Multimodal.HeaderCodec.probeMeta(rows)
+      .collect().map(r => r.id -> ((r.meta.format, r.meta.width, r.meta.height))).toMap
+    assert(probed(1L) == (("png", 12, 34)))
+    assert(probed(2L) == (("raw", 7, 9)))
+  }
+
   test("multimodal stub plumbing: features deterministic, frames sampled") {
     import spark.implicits._
     val media = Multimodal.fromBinaryColumn(spark,
