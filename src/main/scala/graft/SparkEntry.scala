@@ -264,6 +264,34 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"), col("uniq"))
     }),
 
+    // Saved-report surface (reference metadata/src/reports.rs Report
+    // { typ, query } + platform CRUD): the q_json_es body stored as a
+    // report, retrieved by id, and replayed through the dispatcher —
+    // same plan, same oracle.
+    "q_json_report" -> ((s, dir) => {
+      val json = """{
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+        "group": 0,
+        "intervalUnit": "day",
+        "format": "jsonCompact",
+        "events": [{
+          "eventType": "regular",
+          "eventName": "view",
+          "filters": [{"type": "property", "propertyType": "event",
+                       "propertyName": "value", "operation": "gt", "value": [10]}],
+          "queries": [{"type": "countEvents", "name": "cnt"},
+                      {"type": "countUniqueGroups", "name": "uniq"}]
+        }],
+        "breakdowns": []
+      }"""
+      val store = new graft.model.Reports
+      val saved = store.create(projectId = 1L, name = "daily views",
+        typ = graft.model.ReportType.EventSegmentation, queryJson = json,
+        now = 1700000000000L)
+      JsonApi.runReport(s, events(s, dir), store.get(saved.id).get)
+        .select(day(col("bucket")).as("d"), col("cnt"), col("uniq"))
+    }),
+
     // §3 non-user group dimension THROUGH the JSON surface: the same
     // config as q_es_group_dim arriving as a request with "group": 1,
     // resolved to the configured column via the registry's group map
@@ -1343,6 +1371,13 @@ object SparkEntry {
          FROM events WHERE $SQL_RANGE GROUP BY 1, 2""",
 
     "q_json_es" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt,
+         count(DISTINCT user_id) AS uniq
+         FROM events WHERE $SQL_RANGE AND event_type = 'view' AND value > 10
+         GROUP BY 1""",
+
+    // The saved report replays the q_json_es body — identical plan.
+    "q_json_report" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt,
          count(DISTINCT user_id) AS uniq
          FROM events WHERE $SQL_RANGE AND event_type = 'view' AND value > 10

@@ -82,6 +82,34 @@ object JsonApi {
                          registry: Registry = Registry.open): DataFrame =
     Records.searchGroups(events, JsonDsl.groupRecordsSearch(json, registry))
 
+  /** Run a SAVED report (reference platform/src/reports.rs +
+    * query dispatch on `Type`): the stored JSON body replays through
+    * the matching entry point. Event-segmentation reports honor their
+    * stored format field (Regular/Compact). */
+  def runReport(spark: SparkSession, events: DataFrame, report: graft.model.Report,
+                customEvents: Map[Long, CustomEvent] = Map.empty,
+                registry: Registry = Registry.open): DataFrame =
+    report.typ match {
+      case graft.model.ReportType.EventSegmentation =>
+        eventSegmentationFormatted(events, report.queryJson, customEvents, registry)
+      case graft.model.ReportType.Funnel =>
+        funnel(spark, events, report.queryJson, registry)
+      case other => throw new IllegalArgumentException(s"unknown report type: $other")
+    }
+
+  /** Run every panel of a dashboard (reference dashboards are
+    * panel grids over saved reports). Returns (panel, frame) pairs in
+    * panel order. */
+  def runDashboard(spark: SparkSession, events: DataFrame,
+                   dashboard: graft.model.Dashboard, reports: graft.model.Reports,
+                   customEvents: Map[Long, CustomEvent] = Map.empty,
+                   registry: Registry = Registry.open): Seq[(graft.model.Panel, DataFrame)] =
+    dashboard.panels.map { p =>
+      val r = reports.get(p.reportId)
+        .getOrElse(throw new IllegalArgumentException(s"report ${p.reportId} not found"))
+      p -> runReport(spark, events, r, customEvents, registry)
+    }
+
   /** JSON funnel request → the reference's NESTED response JSON
     * (parse → run → Response.funnelResponse.toJson — the composition
     * the reference's handler performs, query/src/funnel.rs:98-248 +

@@ -345,4 +345,41 @@ class JsonSpec extends SparkTestBase {
       "\"values\":[\"a\\nb\\u0001\",null]}]}"
     assert(t.toJson == expected)
   }
+
+  test("saved reports: CRUD bookkeeping, dispatch, dashboards over panels") {
+    val df = eventsDf(Seq(
+      (1L, 1000L, "view", "ios", 1.0), (1L, 2000L, "buy", "ios", 20.0),
+      (2L, 3000L, "buy", "and", 30.0), (3L, 4000L, "view", "and", 2.0)))
+    val esJson = """{
+      "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-02T00:00:00Z"},
+      "intervalUnit": "day",
+      "format": "jsonCompact",
+      "events": [{"eventType": "regular", "eventName": "buy",
+                  "queries": [{"type": "countEvents", "name": "cnt"}]}]
+    }"""
+    val store = new Reports
+    val r = store.create(1L, "buys", ReportType.EventSegmentation, esJson, now = 100L)
+    assert(r.id == 1L && r.createdAt == 100L && r.updatedAt.isEmpty)
+    // partial update: untouched fields survive, updatedAt records the edit
+    val r2 = store.update(r.id, now = 200L, name = Some("buys v2"))
+    assert(r2.name == "buys v2" && r2.queryJson == esJson && r2.updatedAt.contains(200L))
+    assert(store.list(1L).map(_.id) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      store.create(1L, "bad", "lineChart", esJson, now = 1L)
+    }
+    // dispatch runs the stored body: same result as the direct call
+    val viaReport = JsonApi.runReport(spark, df, store.get(1L).get)
+      .select(col("cnt")).collect().map(_.getLong(0)).toSeq
+    assert(viaReport == Seq(2L))
+    // dashboards validate panel references and run every panel
+    val dash = store.createDashboard(1L, "main", Seq(Panel(reportId = 1L)), now = 300L)
+    val panels = JsonApi.runDashboard(spark, df, dash, store)
+    assert(panels.size == 1 && panels.head._2.collect().nonEmpty)
+    intercept[IllegalArgumentException] {
+      store.createDashboard(1L, "broken", Seq(Panel(reportId = 99L)), now = 1L)
+    }
+    // bookmarks hold an optional ad-hoc body
+    val b = store.createBookmark(1L, ReportType.EventSegmentation, Some(esJson), now = 400L)
+    assert(store.getBookmark(b.id).flatMap(_.queryJson).contains(esJson))
+  }
 }
