@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.functions.{HyperplaneLshSignature, VectorDotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** One-line engine installation via Spark's extension point:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * installs (a) the [[NsTimeFilterPushdown]] optimizer rule, so
+  * time-range filters over ns-long-backed timestamp columns prune
+  * parquet row groups in EVERY query of the session (no per-DataFrame
+  * registration — `Tables.events` remains for callers without the
+  * extension), and (b) the native similarity expressions as SQL
+  * functions, so `spark.sql` text can call the fused codegen kernels:
+  *
+  * {{{
+  *   SELECT vec_dot(a.embedding, b.embedding)            -- fused dot product
+  *   SELECT lsh_signature(embedding, 16)                 -- hyperplane bucket
+  * }}}
+  *
+  * The reference has no SQL surface at all (queries are JSON DSL
+  * bodies); this is the Spark-native bonus the DataFrame API gets for
+  * free once the operators are real Catalyst citizens (SURVEY.md
+  * §7.4's "optional SparkStrategy/TVF" row).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => NsTimeFilterPushdown)
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(arrayA, arrayB) takes two arguments")
+        VectorDotProduct(args.head, args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("lsh_signature"),
+      new ExpressionInfo(classOf[HyperplaneLshSignature].getName, "lsh_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "lsh_signature(vector, planes) takes two arguments")
+        val planes = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_signature planes must be an integer literal, got $other")
+        }
+        HyperplaneLshSignature(args.head, planes)
+      }))
+  }
+}

@@ -189,4 +189,42 @@ class ExtensionsSpec extends SparkTestBase {
     assert(compacted.count() == 1)
     assert(compacted.collect()(0).getAs[String]("event_type") == "v2")
   }
+
+  test("GraftExtensions installs the SQL functions and pushdown rule session-wide") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // the config-string route ("spark.sql.extensions" ->
+      // "graft.plans.GraftExtensions") only applies when the
+      // SparkContext itself starts with it; on the shared test
+      // context the programmatic route installs the same class
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      // native fused expressions callable from SQL text
+      val d = s2.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(d == 11.0)
+      val sig = s2.sql("SELECT lsh_signature(array(1.0D, -2.0D), 4) AS s")
+        .collect()(0).getLong(0)
+      assert(sig >= 0L && sig < 16L)
+      // the SQL function computes the same value as the Column API
+      import org.apache.spark.sql.functions.{array, lit}
+      val viaColumn = s2.range(1).select(
+        graft.functions.VectorExpressions.vectorDot(
+          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d"))
+        .collect()(0).getDouble(0)
+      assert(viaColumn == d)
+      // the ns-timestamp pushdown rule is installed for the session
+      assert(s2.sessionState.optimizer.extendedOperatorOptimizationRules
+        .contains(graft.plans.NsTimeFilterPushdown))
+      intercept[Exception] { s2.sql("SELECT lsh_signature(array(1.0D))").collect() }
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }
