@@ -288,7 +288,7 @@ object SparkEntry {
       val saved = store.create(projectId = 1L, name = "daily views",
         typ = graft.model.ReportType.EventSegmentation, queryJson = json,
         now = 1700000000000L)
-      JsonApi.runReport(s, events(s, dir), store.get(saved.id).get)
+      JsonApi.runReport(s, events(s, dir), store.get(1L, saved.id).get)
         .select(day(col("bucket")).as("d"), col("cnt"), col("uniq"))
     }),
 

@@ -105,7 +105,7 @@ object JsonApi {
                    customEvents: Map[Long, CustomEvent] = Map.empty,
                    registry: Registry = Registry.open): Seq[(graft.model.Panel, DataFrame)] =
     dashboard.panels.map { p =>
-      val r = reports.get(p.reportId)
+      val r = reports.get(dashboard.projectId, p.reportId)
         .getOrElse(throw new IllegalArgumentException(s"report ${p.reportId} not found"))
       p -> runReport(spark, events, r, customEvents, registry)
     }

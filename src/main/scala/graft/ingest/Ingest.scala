@@ -52,6 +52,15 @@ object Ingest {
   def resolveIdentities(raw: DataFrame, existing: DataFrame,
                         keyCol: String = "user_key",
                         seqCol: String = "seq"): DataFrame = {
+    val (mapping, _) = resolveParts(raw, existing, keyCol, seqCol)
+    mapping
+  }
+
+  /** (full mapping, newly-assigned rows only) — the streaming path
+    * appends the second directly instead of re-deriving it with
+    * another anti-join. */
+  private def resolveParts(raw: DataFrame, existing: DataFrame,
+                           keyCol: String, seqCol: String): (DataFrame, DataFrame) = {
     val existingIds = existing.select(col(keyCol), col("id").cast(LongType).as("id"))
     val firstSeen = raw.groupBy(col(keyCol))
       .agg(min(col(seqCol)).as("first_seq"))
@@ -61,7 +70,7 @@ object Ingest {
     val assigned = graft.engine.Dictionary
       .rankRows(newKeys, Seq(col("first_seq"), col(keyCol)), "id", startAt = maxId)
       .select(col(keyCol), col("id"))
-    existingIds.unionByName(assigned)
+    (existingIds.unionByName(assigned), assigned)
   }
 
   /** Anonymous-id merge (reference groups.rs:70 `merge_with_anonymous`;
@@ -201,13 +210,17 @@ object Ingest {
   }
 
   /** Load the persisted identity snapshot, or an empty mapping if
-    * none has been written yet. */
+    * none has been written yet. The existence probe goes through the
+    * Hadoop FileSystem API so snapshot dirs on any supported scheme
+    * (file://, hdfs://, s3a://) behave identically — a local-only
+    * java.io.File check would silently restart id assignment every
+    * batch on object storage. */
   def loadSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
                    keyCol: String = "user_key"): DataFrame = {
-    val exists = {
-      val f = new java.io.File(dir)
-      f.isDirectory && f.listFiles != null && f.listFiles.exists(_.getName.endsWith(".parquet"))
-    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
     if (exists) spark.read.parquet(dir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -236,12 +249,18 @@ object Ingest {
     raw.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val existing = loadSnapshot(spark, snapshotDir, keyCol)
-      val mapping = resolveIdentities(batch, existing, keyCol, seqCol)
-      mapping.join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .write.mode("append").parquet(snapshotDir)
-      val resolved = batch.join(
-        mapping.withColumnRenamed("id", "resolved_user_id"), Seq(keyCol))
-      sink(enrich(resolved, geoRanges, uaCol, ipCol), batchId)
+      val (mapping, assigned0) = resolveParts(batch, existing, keyCol, seqCol)
+      // one resolve per batch: persisting the new assignments means
+      // the snapshot append materializes them AND the mapping's union
+      // arm reuses the cached result — the groupBy/anti-join/rank
+      // pipeline never replays for the sink's join
+      val assigned = assigned0.persist()
+      try {
+        assigned.write.mode("append").parquet(snapshotDir)
+        val resolved = batch.join(
+          mapping.withColumnRenamed("id", "resolved_user_id"), Seq(keyCol))
+        sink(enrich(resolved, geoRanges, uaCol, ipCol), batchId)
+      } finally assigned.unpersist()
     }
 
   // ---------------------------------------------------------------

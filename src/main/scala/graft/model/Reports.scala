@@ -60,11 +60,14 @@ final class Reports {
   }
 
   /** Partial update, reference UpdateReportRequest semantics: absent
-    * fields keep their value; updatedAt records the edit. */
-  def update(id: Long, now: Long, name: Option[String] = None,
+    * fields keep their value; updatedAt records the edit. Like every
+    * accessor here, scoped to the caller's project (the reference's
+    * routes nest ids under /projects/:project_id — an id from another
+    * tenant is "not found", never touched). */
+  def update(projectId: Long, id: Long, now: Long, name: Option[String] = None,
              typ: Option[String] = None, queryJson: Option[String] = None,
              tags: Option[Seq[String]] = None): Report = {
-    val cur = reports.getOrElse(id, sys.error(s"report $id not found"))
+    val cur = get(projectId, id).getOrElse(sys.error(s"report $id not found"))
     typ.foreach(t => require(ReportType.all.contains(t), s"unknown report type: $t"))
     val next = cur.copy(
       name = name.getOrElse(cur.name), typ = typ.getOrElse(cur.typ),
@@ -74,21 +77,36 @@ final class Reports {
     next
   }
 
-  def get(id: Long): Option[Report] = reports.get(id)
+  def get(projectId: Long, id: Long): Option[Report] =
+    reports.get(id).filter(_.projectId == projectId)
   def list(projectId: Long): Seq[Report] =
     reports.values.filter(_.projectId == projectId).toSeq
-  def delete(id: Long): Unit = reports.remove(id)
+
+  /** Refuses to delete a report a dashboard still references —
+    * createDashboard's referential check would otherwise be voided
+    * the moment the report disappears. */
+  def delete(projectId: Long, id: Long): Unit =
+    get(projectId, id).foreach { _ =>
+      val referencing = dashboards.values
+        .filter(_.panels.exists(_.reportId == id)).map(_.id)
+      require(referencing.isEmpty,
+        s"report $id is referenced by dashboard(s) ${referencing.mkString(", ")}")
+      reports.remove(id)
+    }
 
   def createDashboard(projectId: Long, name: String, panels: Seq[Panel],
                       now: Long): Dashboard = {
-    panels.foreach(p => require(reports.contains(p.reportId),
+    panels.foreach(p => require(get(projectId, p.reportId).isDefined,
       s"panel references unknown report ${p.reportId}"))
     nextDashboard += 1
     val d = Dashboard(nextDashboard, projectId, name, panels, createdAt = now)
     dashboards(d.id) = d
     d
   }
-  def getDashboard(id: Long): Option[Dashboard] = dashboards.get(id)
+  def getDashboard(projectId: Long, id: Long): Option[Dashboard] =
+    dashboards.get(id).filter(_.projectId == projectId)
+  def deleteDashboard(projectId: Long, id: Long): Unit =
+    getDashboard(projectId, id).foreach(_ => dashboards.remove(id))
 
   def createBookmark(projectId: Long, typ: String, queryJson: Option[String],
                      now: Long): Bookmark = {
@@ -97,5 +115,6 @@ final class Reports {
     bookmarks(b.id) = b
     b
   }
-  def getBookmark(id: Long): Option[Bookmark] = bookmarks.get(id)
+  def getBookmark(projectId: Long, id: Long): Option[Bookmark] =
+    bookmarks.get(id).filter(_.projectId == projectId)
 }

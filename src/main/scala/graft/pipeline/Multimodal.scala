@@ -81,15 +81,22 @@ object Multimodal {
         else if (hdr == 12 && b.length >= 24) Some((le16(b, 18), le16(b, 20)))
         else None
       case "jpeg" =>
-        // scan markers for a start-of-frame (SOFn except DHT/JPG/DAC)
+        // scan markers for a start-of-frame (SOFn except DHT/JPG/DAC);
+        // consecutive 0xFF bytes are legal fill and must be skipped
+        // one at a time, and the SOF read needs bytes through i+8
         var i = 2
         var res: Option[(Int, Int)] = None
-        while (res.isEmpty && i + 9 < b.length && u8(b, i) == 0xff) {
+        var done = false
+        while (!done && res.isEmpty && i + 1 < b.length && u8(b, i) == 0xff) {
           val m = u8(b, i + 1)
-          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-            res = Some((be16(b, i + 7), be16(b, i + 5)))
+          if (m == 0xff) i += 1
+          else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 9 <= b.length) res = Some((be16(b, i + 7), be16(b, i + 5)))
+            else done = true
+          }
           else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2
-          else i += 2 + be16(b, i + 2)
+          else if (i + 3 < b.length) i += 2 + be16(b, i + 2)
+          else done = true
         }
         res
       case _ => None

@@ -361,25 +361,39 @@ class JsonSpec extends SparkTestBase {
     val r = store.create(1L, "buys", ReportType.EventSegmentation, esJson, now = 100L)
     assert(r.id == 1L && r.createdAt == 100L && r.updatedAt.isEmpty)
     // partial update: untouched fields survive, updatedAt records the edit
-    val r2 = store.update(r.id, now = 200L, name = Some("buys v2"))
+    val r2 = store.update(1L, r.id, now = 200L, name = Some("buys v2"))
     assert(r2.name == "buys v2" && r2.queryJson == esJson && r2.updatedAt.contains(200L))
     assert(store.list(1L).map(_.id) == Seq(1L))
     intercept[IllegalArgumentException] {
       store.create(1L, "bad", "lineChart", esJson, now = 1L)
     }
+    // tenancy: another project cannot see, rewrite or delete the report
+    assert(store.get(2L, r.id).isEmpty)
+    intercept[RuntimeException] { store.update(2L, r.id, now = 1L) }
+    store.delete(2L, r.id)
+    assert(store.get(1L, r.id).isDefined, "cross-project delete is a no-op")
     // dispatch runs the stored body: same result as the direct call
-    val viaReport = JsonApi.runReport(spark, df, store.get(1L).get)
+    val viaReport = JsonApi.runReport(spark, df, store.get(1L, r.id).get)
       .select(col("cnt")).collect().map(_.getLong(0)).toSeq
     assert(viaReport == Seq(2L))
-    // dashboards validate panel references and run every panel
+    // dashboards validate panel references (same project) and run each
     val dash = store.createDashboard(1L, "main", Seq(Panel(reportId = 1L)), now = 300L)
     val panels = JsonApi.runDashboard(spark, df, dash, store)
     assert(panels.size == 1 && panels.head._2.collect().nonEmpty)
     intercept[IllegalArgumentException] {
       store.createDashboard(1L, "broken", Seq(Panel(reportId = 99L)), now = 1L)
     }
-    // bookmarks hold an optional ad-hoc body
+    intercept[IllegalArgumentException] {
+      store.createDashboard(2L, "cross-tenant", Seq(Panel(reportId = 1L)), now = 1L)
+    }
+    // a referenced report refuses deletion until the dashboard goes
+    intercept[IllegalArgumentException] { store.delete(1L, r.id) }
+    store.deleteDashboard(1L, dash.id)
+    store.delete(1L, r.id)
+    assert(store.get(1L, r.id).isEmpty)
+    // bookmarks hold an optional ad-hoc body, project-scoped
     val b = store.createBookmark(1L, ReportType.EventSegmentation, Some(esJson), now = 400L)
-    assert(store.getBookmark(b.id).flatMap(_.queryJson).contains(esJson))
+    assert(store.getBookmark(1L, b.id).flatMap(_.queryJson).contains(esJson))
+    assert(store.getBookmark(2L, b.id).isEmpty)
   }
 }

@@ -258,6 +258,11 @@ class PipelineSpec extends SparkTestBase {
     assert(HeaderCodec.dimensions(gif(320, 200)).contains((320, 200)))
     assert(HeaderCodec.dimensions(bmp(800, 600)).contains((800, 600)))
     assert(HeaderCodec.dimensions(jpeg(1024, 768)).contains((1024, 768)))
+    // 0xFF fill bytes before a marker are legal padding, and a header
+    // truncated exactly after the SOF width must still parse
+    val padded = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x11, 0x08,
+      0x01, 0x00, 0x02, 0x00).map(_.toByte)
+    assert(HeaderCodec.dimensions(padded).contains((512, 256)))
     assert(HeaderCodec.dimensions("not an image".getBytes).isEmpty)
     assert(HeaderCodec.dimensions(null).isEmpty)
     // probeMeta overrides caller meta where the payload parses
