@@ -27,9 +27,16 @@ object JsonApi {
     Funnel.fromModel(spark, events, JsonDsl.funnel(json, registry))
 
   /** Run a JSON request and serialize the result in the reference's
-    * columnar response shape (Response.ColumnarTable.toJson). */
+    * columnar response shape (Response.ColumnarTable.toJson). The
+    * end-to-end request is recorded under the reference's metric tag
+    * (Metrics — parse, plan, execute and serialize, like the
+    * reference's handler-scope histogram); the DataFrame-returning
+    * builders above are lazy, so their timing belongs to whichever
+    * action the caller runs. */
   def eventSegmentationJson(events: DataFrame, json: String): String =
-    Response.collect(eventSegmentation(events, json)).toJson
+    Metrics.timed("event_segmentation") {
+      Response.collect(eventSegmentation(events, json)).toJson
+    }
 
   /** Format-routed event segmentation (reference QueryParams.format →
     * query Context.format; Format::Compact skips the reshaping tail,
@@ -116,12 +123,13 @@ object JsonApi {
     * platform/src/http/funnel.rs:32). Steps are labeled by their
     * first event alternative, like the reference's step names. */
   def funnelJson(spark: SparkSession, events: DataFrame, json: String,
-                 registry: Registry = Registry.open): String = {
-    val model = JsonDsl.funnel(json, registry)
-    val result = Funnel.fromModel(spark, events, model)
-    val stepNames = model.steps.zipWithIndex.map { case (s, i) =>
-      s.events.headOption.flatMap(_.eventName).getOrElse(s"step ${i + 1}")
+                 registry: Registry = Registry.open): String =
+    Metrics.timed("funnel") {
+      val model = JsonDsl.funnel(json, registry)
+      val result = Funnel.fromModel(spark, events, model)
+      val stepNames = model.steps.zipWithIndex.map { case (s, i) =>
+        s.events.headOption.flatMap(_.eventName).getOrElse(s"step ${i + 1}")
+      }
+      Response.funnelResponse(result, stepNames, model.breakdowns).toJson
     }
-    Response.funnelResponse(result, stepNames, model.breakdowns).toJson
-  }
 }
