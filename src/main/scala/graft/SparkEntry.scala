@@ -1051,9 +1051,12 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) => {
       // doc_id < 300 bounds the exact pair space (≤ ~45k pairs) at
       // any SF — this query pins verification MATH; candidate
-      // generation at scale is the banded MinHash path
-      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      // generation at scale is the banded MinHash path. Shingles are
+      // materialized by a typed pass: the Catalyst `shingles` column
+      // gets inlined into BOTH crossJoin sides by CollapseProject and
+      // re-splits the text per shingle window (the r2→r4 drift).
+      val d = Dedup.shingledDocs(
+        Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text", 3)
       val l = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val r = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       l.crossJoin(r).filter(col("id_a") < col("id_b"))
@@ -1359,6 +1362,69 @@ object SparkEntry {
         .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
+    }),
+
+    // Ingester: anonymous-id merge (reference metadata/src/groups.rs:70
+    // merge_with_anonymous; executor.rs:169-178). Records with seq%5==0
+    // carry both ids and bind anon→real; records with seq%5==1 carry
+    // ONLY the anonymous key and must resolve through the binding.
+    "q_ingest_anon" -> ((s, dir) => {
+      val feed = trackFeed(s, dir)
+      val anonKey = concat(lit("a"), expr("substring(user_key, 2)"))
+      val mapping = graft.ingest.Ingest
+        .resolveIdentities(feed, existingIdentities(s, dir))
+      val bindings = feed.filter(col("seq") % 5 === 0)
+        .select(anonKey.as("anonymous_key"), col("user_key"))
+      val merged = graft.ingest.Ingest.mergeAnonymous(mapping, bindings)
+      feed.filter(col("seq") % 5 === 1)
+        .select(anonKey.as("user_key"), col("event"))
+        .join(merged, Seq("user_key"))
+        .groupBy(col("event"))
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("id")).as("users"),
+          sum(col("id")).as("id_sum"),
+          min(col("id")).as("min_id"))
+        .orderBy(col("event"))
+    }),
+
+    // Multimodal: REAL ImageIO pixel decode, oracle-checked end to end.
+    // Deterministic grayscale images (pixel = (id*31+x*7+y*13)%256) are
+    // ENCODED to real PNG/BMP bytes and DECODED back through
+    // javax.imageio; DuckDB computes the same channel sums analytically,
+    // so any decode deviation breaks the hash.
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 24)
+        .select(col("doc_id").cast("long")).distinct()
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        graft.pipeline.Multimodal.MediaRow(id,
+          graft.pipeline.Multimodal.SyntheticImages.encode(id, 8, 8, fmt),
+          graft.pipeline.Multimodal.MediaMeta("image", fmt, 8, 8, 0L))
+      })
+      graft.pipeline.Multimodal.imageStats(media).orderBy("id")
+    }),
+
+    // Persisted dictionary store (reference metadata/src/dictionaries
+    // .rs:40-157 get_key_or_create): two successive batches against a
+    // parquet-backed store must assign stable, gap-free keys — batch 1
+    // keys survive verbatim, batch 2 extends from max(key)+1 in value
+    // order. The store dir is wiped up front so reruns at any SF are
+    // deterministic; the second call replays against batch 1's durable
+    // state, which is exactly what the oracle recomputes.
+    "q_dict_persistent" -> ((s, dir) => {
+      val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-dictstore-" + Integer.toHexString(dir.hashCode))
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(store)
+      val docs = Tables.documents(s, dir)
+        .withColumn("v", concat(lit("v"), (col("doc_id") % 500).cast("string")))
+      Dictionary.getOrCreate(
+        docs.filter(col("doc_id") < 250), "v", store.getAbsolutePath, "0")
+      Dictionary.getOrCreate(docs, "v", store.getAbsolutePath, "1")
+        .orderBy(col("key"))
     })
   )
 
@@ -1962,7 +2028,7 @@ object SparkEntry {
            FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
          ranked AS (
            SELECT q_id, neighbor_id,
-             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
          SELECT q_id, neighbor_id, rank FROM ranked WHERE rank <= 3""",
 
@@ -2191,7 +2257,7 @@ object SparkEntry {
            $uaFamilySql AS client_family,
            $uaOsSql AS os_family,
            count(*) AS events, count(DISTINCT m.id) AS users,
-           sum(m.id) AS id_sum, min(m.id) AS min_id
+           CAST(sum(m.id) AS BIGINT) AS id_sum, min(m.id) AS min_id
          FROM feed f
          JOIN mapping m USING (user_key)
          LEFT JOIN georanges g ON f.ip >= g.ip_start AND f.ip <= g.ip_end
@@ -2271,6 +2337,53 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
          GROUP BY 1, 2
-         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q_ingest_anon" ->
+      s"""WITH $feedSql, $existingIdsSql, $identityMappingSql,
+         bindings AS (
+           SELECT concat('a', substring(user_key, 2)) AS anon_key,
+             min(user_key) AS user_key
+           FROM feed WHERE seq % 5 = 0 GROUP BY 1),
+         merged AS (
+           SELECT user_key, id FROM mapping
+           UNION ALL
+           SELECT b.anon_key AS user_key, m.id
+           FROM bindings b JOIN mapping m USING (user_key)
+           WHERE b.anon_key NOT IN (SELECT user_key FROM mapping))
+         SELECT e.event, count(*) AS events, count(DISTINCT m.id) AS users,
+           CAST(sum(m.id) AS BIGINT) AS id_sum, min(m.id) AS min_id
+         FROM (SELECT concat('a', substring(user_key, 2)) AS user_key, event
+               FROM feed WHERE seq % 5 = 1) e
+         JOIN merged m USING (user_key)
+         GROUP BY 1 ORDER BY event""",
+
+    "q_image_decode" ->
+      """WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 24),
+         px AS (
+           SELECT i.id, (i.id*31 + x.range*7 + y.range*13) % 256 AS v
+           FROM ids i CROSS JOIN range(8) x CROSS JOIN range(8) y)
+         SELECT id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(3*sum(v) AS BIGINT) AS channel_sum,
+           CAST(3*sum(v) AS BIGINT) / (8*8*3*255.0) AS mean_pixel
+         FROM px GROUP BY 1 ORDER BY id""",
+
+    "q_dict_persistent" ->
+      """WITH b1 AS (
+           SELECT DISTINCT concat('v', CAST(doc_id % 500 AS VARCHAR)) AS value
+           FROM documents WHERE doc_id < 250),
+         a1 AS (SELECT value, row_number() OVER (ORDER BY value) AS key FROM b1),
+         b2 AS (
+           SELECT DISTINCT concat('v', CAST(doc_id % 500 AS VARCHAR)) AS value
+           FROM documents),
+         n2 AS (SELECT value FROM b2 WHERE value NOT IN (SELECT value FROM a1)),
+         a2 AS (
+           SELECT value,
+             (SELECT coalesce(max(key), 0) FROM a1)
+               + row_number() OVER (ORDER BY value) AS key
+           FROM n2)
+         SELECT value, key FROM a1
+         UNION ALL SELECT value, key FROM a2 ORDER BY key"""
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -50,6 +50,79 @@ object Dictionary {
       df.select(col(valueCol).as("value")).filter(col("value").isNotNull).distinct(),
       Seq(col("value")), "key")
 
+  /** Load a parquet-persisted dictionary (value, key), or an empty one
+    * if the store has never been written. Same Hadoop-FS existence
+    * probe as [[graft.ingest.Ingest.loadSnapshot]] so any scheme
+    * (file://, hdfs://, s3a://) behaves identically. */
+  def loadStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
+    if (exists) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("value", org.apache.spark.sql.types.StringType),
+        StructField("key", LongType))))
+  }
+
+  /** Durable get_or_create (reference metadata/src/dictionaries.rs:
+    * 40-157 `get_key_or_create` — the RocksDB-backed monotonic key
+    * counter): values already in the store keep their keys; unseen
+    * values get max(key) + rank in value order, appended ATOMICALLY
+    * (Store.atomicAppend — temp write + single-file rename keyed by
+    * `batchTag`, so retries of the same batch converge on identical
+    * keys and a torn write never leaves a partial dictionary). The
+    * assignment machinery is the same anti-join + broadcast-max +
+    * rankRows pipeline as batch identity resolution
+    * ([[graft.ingest.Ingest.resolveIdentities]]): one shuffle of the
+    * batch's distinct values, never the raw rows. Returns the complete
+    * durable (value, key) mapping. */
+  def getOrCreate(df: DataFrame, valueCol: String, dir: String,
+                  batchTag: String): DataFrame = {
+    val spark = df.sparkSession
+    val existing = loadStore(spark, dir)
+    val distinctVals = df.select(col(valueCol).cast("string").as("value"))
+      .filter(col("value").isNotNull).distinct()
+    val newVals = distinctVals
+      .join(existing.select(col("value")), Seq("value"), "left_anti")
+    val maxKeyDf = existing.agg(coalesce(max(col("key")), lit(0L)).as("__max_key"))
+    val assigned = rankRows(newVals, Seq(col("value")), "key", startAt = 0L)
+      .crossJoin(broadcast(maxKeyDf))
+      .select(col("value"), (col("key") + col("__max_key")).as("key"))
+    graft.sources.Store.atomicAppend(assigned, dir, s"batch-$batchTag")
+    loadStore(spark, dir)
+  }
+
+  /** [[encodeStore]] against parquet-PERSISTED dictionaries: every
+    * dictionary-flagged registry property gets its dict get-or-created
+    * from the events themselves at `storeDir/<column>` — ingest-time
+    * key creation (the reference creates dictionary keys while
+    * ingesting, ingester/src/executor.rs:200-230 property_to_value →
+    * dictionaries.get_key_or_create) — then the standard request
+    * auto-encode runs over those durable dicts. Returns the encoded
+    * events, rewritten request, and the dicts for decode-on-exit. */
+  def encodeStorePersistent(events: DataFrame, req: EventSegmentationRequest,
+                            registry: Registry, storeDir: String, batchTag: String)
+      : (DataFrame, EventSegmentationRequest, Map[String, DataFrame]) = {
+    val dictCols = registry.allProperties.filter(_.isDictionary).map(_.column)
+    val dicts = dictCols.map(c =>
+      c -> getOrCreate(events, c, s"$storeDir/$c", batchTag)).toMap
+    // encode each flagged column in place (value → durable key, same
+    // column name) so the key literals encodeStore rewrites to actually
+    // compare against keys — the stored-table layout the reference
+    // writes at ingest
+    val encoded = dictCols.foldLeft(events) { (ev, c) =>
+      val d = dicts(c).select(col("value").as(s"${c}__v"), col("key").as(s"${c}__k"))
+      ev.join(broadcast(d), ev(c).cast("string") === col(s"${c}__v"), "left")
+        .drop(c).drop(s"${c}__v")
+        .withColumnRenamed(s"${c}__k", c)
+    }
+    val (ev, req2) = encodeStore(encoded, req, registry, dicts)
+    (ev, req2, dicts)
+  }
+
   /** Replace `valueCol` with its dictionary key (null-safe: unseen /
     * null values stay null, mirroring the reference's null handling). */
   def encode(df: DataFrame, dict: DataFrame, valueCol: String,

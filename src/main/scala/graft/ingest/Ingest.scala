@@ -66,10 +66,15 @@ object Ingest {
       .agg(min(col(seqCol)).as("first_seq"))
     val newKeys = firstSeen
       .join(existingIds.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val maxId = existingIds.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0)
+    // max(existing.id) folded in as a broadcast single-row join, not a
+    // driver-side .first() — construction stays free of eager actions
+    // beyond rankRows' own zipWithIndex job, and `existing` is not
+    // scanned an extra time at build time.
+    val maxIdDf = existingIds.agg(coalesce(max(col("id")), lit(0L)).as("__max_id"))
     val assigned = graft.engine.Dictionary
-      .rankRows(newKeys, Seq(col("first_seq"), col(keyCol)), "id", startAt = maxId)
-      .select(col(keyCol), col("id"))
+      .rankRows(newKeys, Seq(col("first_seq"), col(keyCol)), "id", startAt = 0L)
+      .crossJoin(broadcast(maxIdDf))
+      .select(col(keyCol), (col("id") + col("__max_id")).as("id"))
     (existingIds.unionByName(assigned), assigned)
   }
 
@@ -168,9 +173,24 @@ object Ingest {
     * condition, not a post-filter, so an address that shares a bucket
     * with a range but falls outside it (or in a coverage gap) keeps
     * null attrs — the reference skips the properties when the MaxMind
-    * lookup misses. */
-  def geoEnrich(df: DataFrame, ipCol: String, ranges: DataFrame): DataFrame = {
-    val pref = broadcast(explodeRangesToPrefixes(ranges))
+    * lookup misses.
+    *
+    * The broadcast hint is GATED: a city-level MaxMind table (~3M
+    * ranges) explodes to tens of millions of bucket rows — hundreds of
+    * MB resident on every executor, past the comfortable broadcast
+    * edge. Above `maxBroadcastRows` exploded rows (one cheap aggregate
+    * over the metadata-sized ranges table) the hint is dropped and the
+    * lookup runs as a shuffle equi-join on the prefix bucket, which
+    * AQE can still convert or skew-split at runtime. */
+  def geoEnrich(df: DataFrame, ipCol: String, ranges: DataFrame,
+                maxBroadcastRows: Long = 5000000L): DataFrame = {
+    val exploded = explodeRangesToPrefixes(ranges)
+    val explodedRows = ranges
+      .agg(coalesce(sum(
+        col("end").divide(PrefixWidth).cast(LongType) -
+          col("start").divide(PrefixWidth).cast(LongType) + 1L), lit(0L)))
+      .first().getLong(0)
+    val pref = if (explodedRows <= maxBroadcastRows) broadcast(exploded) else exploded
     val keyed = df.withColumn("ip_prefix",
       col(ipCol).divide(PrefixWidth).cast(LongType))
     keyed.join(pref,
@@ -236,9 +256,18 @@ object Ingest {
     * the batch's unseen keys. A retried batch is harmless: its keys
     * are already in the snapshot, so the anti-join appends nothing
     * and re-resolution yields the identical ids (ids derive from the
-    * snapshot, never from batch randomness). Production would keep
-    * the snapshot in a transactional table (Delta) for atomic
-    * appends; the resolution math is unchanged.
+    * snapshot, never from batch randomness).
+    *
+    * The snapshot append is ATOMIC per batch: assignments are written
+    * to a temp dir and the single part file renamed into the snapshot
+    * as `batch-<id>.parquet` (rename is atomic on local/HDFS; a torn
+    * write leaves only the temp dir, which the next attempt
+    * overwrites). A retry after a successful rename sees the file
+    * already present and skips — a failure at ANY point yields either
+    * the whole batch's assignments or none, never a partial snapshot
+    * that would shift later ids. Object stores without atomic rename
+    * would use a transactional table (Delta); the resolution math is
+    * unchanged.
     *
     * Returns a started-able writer; the caller picks trigger/
     * checkpoint and calls .start(). */
@@ -256,7 +285,8 @@ object Ingest {
       // pipeline never replays for the sink's join
       val assigned = assigned0.persist()
       try {
-        assigned.write.mode("append").parquet(snapshotDir)
+        // new-key sets are batch-sized (keys + ids only) → one file
+        graft.sources.Store.atomicAppend(assigned, snapshotDir, s"batch-$batchId")
         val resolved = batch.join(
           mapping.withColumnRenamed("id", "resolved_user_id"), Seq(keyCol))
         sink(enrich(resolved, geoRanges, uaCol, ipCol), batchId)

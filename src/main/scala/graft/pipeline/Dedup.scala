@@ -291,6 +291,40 @@ object Dedup {
       .toDF(idCol, out)
   }
 
+  /** (id, distinct string shingles) materialized in one typed pass —
+    * the optimizer-proof twin of [[shingles]] for plans that reuse the
+    * shingle array on both sides of a join. The Catalyst form is a
+    * trap there: CollapseProject inlines the shingle lambda into each
+    * join side, re-splitting the text per shingle window (the
+    * q_jaccard_pairs 2.3→5.6 s runtime drift across r2→r4). Narrow
+    * pass, O(tokens) per doc, no shuffle. */
+  def shingledDocs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        // split(" ", -1) keeps empty tokens like Spark's split()
+        val toks = if (text == null) Array("") else text.split(" ", -1)
+        val sh =
+          if (toks.length >= n) {
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var k = 1
+              while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+              seen.add(sb.toString)
+              i += 1
+            }
+            val arr = new Array[String](seen.size)
+            seen.toArray(arr)
+            arr
+          } else Array.empty[String]
+        (id, sh)
+      })
+      .toDF(idCol, "sh")
+  }
+
   /** [[lshBands]] with engine-portable hashing: the shingle hash is
     * md5-60 (one md5 per shingle, like the oracled simhash), the
     * `numHashes` "permutations" are affine maps mod 2^31-1 over that

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * typed transformations (`mapPartitions` over case classes — the
   * Scala analog of Python's mapInPandas batching).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[StubCodec]] produces deterministic fake decodes
-  * from the payload bytes. The Spark-side contract — schema, batch
-  * shape, partitioning, null handling — is real and tested, so a real
-  * codec drops in by replacing one function.
+  * Image decode is REAL: [[ImageIoCodec]] decodes PNG/GIF/BMP/JPEG
+  * pixels through `javax.imageio` (the JDK's `java.desktop` module —
+  * present in this runtime) and derives mean-pixel + grid features
+  * from actual pixel data. Video frame sampling remains stubbed
+  * ([[StubCodec]] — no ffmpeg in this environment); unreadable or
+  * non-image payloads also fall back to the stub so the pipeline
+  * never throws on junk bytes.
   */
 object Multimodal {
 
@@ -118,9 +120,78 @@ object Multimodal {
     }
   }
 
+  /** Real pixel decode via the JDK's `javax.imageio` (PNG/GIF/BMP/JPEG —
+    * the same formats [[HeaderCodec]] sniffs). Works headless: decode is
+    * pure byte → raster work, no display needed.
+    *
+    * Feature extraction downsamples the image to a `g × g` grid
+    * (`g = ceil(sqrt(featureDim))`): each cell's feature is the mean of
+    * its pixels' RGB channel values scaled to [0,1]. `meanPixel` is the
+    * whole-image mean of the same quantity. Both are single divisions
+    * of exact integer channel sums, so results are bit-deterministic
+    * regardless of pixel iteration order. */
+  object ImageIoCodec {
+    System.setProperty("java.awt.headless", "true")
+
+    /** Decoded pixel stats with exact integer sums (oracle-friendly). */
+    final case class ImageStats(
+        width: Int, height: Int, channels: Int, channelSum: Long)
+
+    def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+    /** Sum of (r+g+b) over all pixels via the sRGB view — exact Long. */
+    def stats(img: java.awt.image.BufferedImage): ImageStats = {
+      val w = img.getWidth; val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(w, h, img.getRaster.getNumBands, sum)
+    }
+
+    def decodeImage(payload: Array[Byte], featureDim: Int): Option[ImageFeatures] =
+      readImage(payload).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val g = math.ceil(math.sqrt(featureDim.toDouble)).toInt max 1
+        val cellSum = new Array[Long](g * g)
+        val cellN = new Array[Long](g * g)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val cy = y * g / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val s = ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+            val c = cy * g + (x * g / w)
+            cellSum(c) += s; cellN(c) += 1; total += s
+            x += 1
+          }
+          y += 1
+        }
+        val feats = Array.tabulate(featureDim) { i =>
+          if (i < g * g && cellN(i) > 0)
+            (cellSum(i) / (cellN(i) * 3.0 * 255.0)).toFloat
+          else 0.0f
+        }
+        ImageFeatures(0L, w, h, img.getRaster.getNumBands,
+          total / (w.toLong * h * 3.0 * 255.0), feats)
+      }
+  }
+
   /** Deterministic fake codec: every "decoded" value is a pure
-    * function of the payload bytes. Replace with a real codec
-    * (javax.imageio / ffmpeg bindings) in production. */
+    * function of the payload bytes. Still used for video frame
+    * sampling (no ffmpeg in this environment) and as the fallback
+    * for payloads `javax.imageio` can't parse. */
   object StubCodec {
     private def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
@@ -142,12 +213,17 @@ object Multimodal {
   }
 
   /** Decode+featurize images in partition-sized batches. Narrow
-    * transformation: no shuffle, scales with input splits. */
+    * transformation: no shuffle, scales with input splits. Payloads
+    * that parse as PNG/GIF/BMP/JPEG get REAL pixel features via
+    * [[ImageIoCodec]]; anything else degrades to the deterministic
+    * stub rather than failing the partition. */
   def extractImageFeatures(media: Dataset[MediaRow], featureDim: Int = 32): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.filter(r => r.payload != null && r.meta.mediaType == "image").map { r =>
-        StubCodec.decodeImage(r.payload, r.meta, featureDim).copy(id = r.id)
+        ImageIoCodec.decodeImage(r.payload, featureDim)
+          .getOrElse(StubCodec.decodeImage(r.payload, r.meta, featureDim))
+          .copy(id = r.id)
       }
     }
   }
@@ -172,6 +248,52 @@ object Multimodal {
       lit(maxSide).cast("double") / greatest(w, h)).otherwise(lit(1.0))
     df.withColumn("resized_width", floor(w * scale).cast("int"))
       .withColumn("resized_height", floor(h * scale).cast("int"))
+  }
+
+  /** Deterministic synthetic images for end-to-end codec validation:
+    * pixel value `v(id,x,y) = (id*31 + x*7 + y*13) % 256` written as a
+    * real grayscale-in-RGB image through `ImageIO.write`. PNG and BMP
+    * are lossless for 24-bit RGB, so decode must reproduce the exact
+    * pixels — and DuckDB can compute the same channel sums analytically,
+    * making a real encode→decode round trip hash-checkable. */
+  object SyntheticImages {
+    def pixel(id: Long, x: Int, y: Int): Int =
+      ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+    def encode(id: Long, w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pixel(id, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Exact decoded pixel stats per media row (rows whose payload
+    * `javax.imageio` can't read are dropped). `channel_sum` is an exact
+    * integer; `mean_pixel` is one division of exact integers, so both
+    * are engine-portable for oracle hashing. Narrow pass, no shuffle. */
+  def imageStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        Option(r.payload).flatMap(ImageIoCodec.readImage).map { img =>
+          val s = ImageIoCodec.stats(img)
+          (r.id, s.width, s.height, s.channels, s.channelSum,
+            s.channelSum / (s.width.toLong * s.height * 3.0 * 255.0))
+        }
+      }
+    }.toDF("id", "width", "height", "channels", "channel_sum", "mean_pixel")
   }
 
   /** Build a MediaRow dataset from any table with a binary-able column

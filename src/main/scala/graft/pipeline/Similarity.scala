@@ -69,7 +69,10 @@ object Similarity {
       }
     }.toDF(qId, cId, "cos_sim")
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId).asc)
-    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // rank as LONG: SQL engines' row_number() is 64-bit (DuckDB BIGINT),
+    // and the driver's typed hash compares arrow schemas of both sides
+    local.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest

@@ -37,6 +37,31 @@ object Store {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Atomically append `df` to the parquet file set at `dir` as
+    * `<name>.parquet`: write to a temp dir, rename the single part
+    * file into place (rename is atomic on local/HDFS), skip when the
+    * target already exists. A torn write leaves only the temp dir, so
+    * readers never see a partial append, and a deterministic `name`
+    * (batch id) makes retries converge on identical state. Intended
+    * for driver-adjacent snapshot tables (identity mappings,
+    * dictionaries) whose per-batch deltas are small; object stores
+    * without atomic rename want a transactional table instead. */
+  def atomicAppend(df: DataFrame, dir: String, name: String): Unit = {
+    val spark = df.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(dirPath, s"$name.parquet")
+    if (!fs.exists(dest)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir-tmp-$name")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.mkdirs(dirPath)
+      fs.rename(part, dest)
+      fs.delete(tmp, true)
+    }
+  }
+
   /** Replacing-table compaction: keep the latest version per id —
     * the LSM replace-on-merge of the reference's group tables
     * (cmd/src/lib.rs:270 is_replacing), as a periodic rewrite. */

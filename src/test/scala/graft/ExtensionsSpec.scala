@@ -91,6 +91,55 @@ class ExtensionsSpec extends SparkTestBase {
     assert(seg == 0L) // the only buyer (user 2) has no view events
   }
 
+  test("persisted dictionary get_or_create: stable gap-free keys across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dictstore").toFile
+    dir.delete() // the store creates it on first append
+    val path = dir.getAbsolutePath
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("value") -> r.getAs[Long]("key")).toMap
+    val b1 = Seq("cherry", "apple", "banana").toDF("v")
+    assert(asMap(Dictionary.getOrCreate(b1, "v", path, "0")) ==
+      Map("apple" -> 1L, "banana" -> 2L, "cherry" -> 3L)) // value order
+    // batch 2: overlaps keep their durable keys; new values extend
+    // from max(key)+1 in value order — the monotonic next_id analog
+    val b2 = Seq("banana", "date", "apple", "apricot", "date").toDF("v")
+    val m2 = asMap(Dictionary.getOrCreate(b2, "v", path, "1"))
+    assert(m2 == Map("apple" -> 1L, "banana" -> 2L, "cherry" -> 3L,
+      "apricot" -> 4L, "date" -> 5L))
+    // a retried batch converges: the atomic append keyed by tag skips,
+    // and every value already resolves — state is unchanged
+    assert(asMap(Dictionary.getOrCreate(b1, "v", path, "0")) == m2)
+    // a fresh reader sees the same durable mapping
+    assert(asMap(Dictionary.loadStore(spark, path)) == m2)
+  }
+
+  test("encodeStorePersistent creates dicts from the store and encodes the request") {
+    val ev = eventsDf(Seq(
+      (1L, 0L, "view", "ios", 1.0), (2L, 1L, "buy", "ios", 1.0),
+      (3L, 2L, "view", "osx", 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dictstore2").toString
+    val reg = Registry(Seq(PropertyMeta("Event", "event_type", "string",
+      isDictionary = true)), strict = false)
+    val req = EventSegmentationRequest(
+      time = QueryTime.From(new java.sql.Timestamp(0L)),
+      interval = TimeIntervalUnit.Day,
+      events = Seq(EventBlock(None,
+        filters = Seq(PropFilter("event_type", PropOp.Eq, Seq("view"))),
+        queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+    val (_, req2, dicts) =
+      Dictionary.encodeStorePersistent(ev, req, reg, dir, "0")
+    // the literal was translated through the freshly persisted dict
+    val key = Dictionary.keyOf(dicts("event_type"), "view")
+    assert(key > 0L)
+    assert(req2.events.head.filters == Seq(PropFilter("event_type", PropOp.Eq, Seq(key))))
+    // second call with new data reuses the durable keys
+    val ev2 = eventsDf(Seq((4L, 3L, "signup", "web", 1.0)))
+    val (_, _, dicts2) = Dictionary.encodeStorePersistent(ev2, req, reg, dir, "1")
+    assert(Dictionary.keyOf(dicts2("event_type"), "view") == key)
+    assert(Dictionary.keyOf(dicts2("event_type"), "signup") > key)
+  }
+
   test("custom event predicate expands recursively with member filters") {
     val ce = CustomEvent("outer", Seq(
       CustomEventMember.Event(Some("buy")),

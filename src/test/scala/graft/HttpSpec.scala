@@ -1,0 +1,156 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.engine.{JsonApi, Response}
+import graft.serve.GraftHttpServer
+import org.apache.spark.sql.functions._
+
+/** End-to-end HTTP transport: a body POSTed to the router must return
+  * byte-identical output to calling JsonApi directly — the server adds
+  * routing and tenancy, never computation. */
+class HttpSpec extends SparkTestBase {
+
+  private def ev = eventsDf(Seq(
+    (1L, 1704067200000L, "view", "ios", 20.0),
+    (1L, 1704067300000L, "click", "ios", 5.0),
+    (1L, 1704067400000L, "purchase", "ios", 99.0),
+    (2L, 1704070000000L, "view", "android", 15.0),
+    (2L, 1704070100000L, "click", "android", 3.0),
+    (3L, 1704080000000L, "view", "web", 50.0)))
+
+  private val esBody = """{
+    "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+    "group": 0,
+    "intervalUnit": "day",
+    "events": [{
+      "eventType": "regular",
+      "eventName": "view",
+      "filters": [{"type": "property", "propertyType": "event",
+                   "propertyName": "value", "operation": "gt", "value": [10]}],
+      "queries": [{"type": "countEvents", "name": "cnt"},
+                  {"type": "countUniqueGroups", "name": "uniq"}]
+    }],
+    "breakdowns": []
+  }"""
+
+  private val funnelBody = """{
+    "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "2100-01-01T00:00:00Z"},
+    "group": 0,
+    "steps": [
+      {"events": [{"eventType": "regular", "eventName": "view"}], "order": {"type": "exact"}},
+      {"events": [{"eventType": "regular", "eventName": "click"}], "order": {"type": "exact"}},
+      {"events": [{"eventType": "regular", "eventName": "purchase"}], "order": {"type": "exact"}}
+    ],
+    "timeWindow": {"n": 1000, "unit": "year"},
+    "chartType": "line",
+    "count": "unique",
+    "touch": {"type": "first"}
+  }"""
+
+  private val client = HttpClient.newHttpClient()
+
+  private def req(port: Int, method: String, path: String,
+                  body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val r = method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case m        => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    val res = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def withServer[A](srv: GraftHttpServer)(f: GraftHttpServer => A): A =
+    try f(srv.start()) finally srv.stop()
+
+  test("query routes return byte-identical JsonApi output") {
+    val events = ev
+    withServer(new GraftHttpServer(spark, events)) { srv =>
+      val (c1, got1) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/event-segmentation", esBody)
+      assert(c1 == 200)
+      assert(got1 == Response.collect(JsonApi.eventSegmentation(events, esBody)).toJson)
+
+      val (c2, got2) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/funnel", funnelBody)
+      assert(c2 == 200)
+      assert(got2 == JsonApi.funnelJson(spark, events, funnelBody))
+      assert(got2.contains("\"steps\""))
+    }
+  }
+
+  test("path project id scopes the query like an inline projectId") {
+    // user 3's events belong to project 2; the same body via the two
+    // project paths must see different slices
+    val events = ev.withColumn("project_id",
+      when(col("user_id") === 3, 2L).otherwise(1L))
+    val countBody = """{
+      "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+      "intervalUnit": "day",
+      "events": [{"eventType": "all", "queries": [{"type": "countEvents", "name": "cnt"}]}]
+    }"""
+    withServer(new GraftHttpServer(spark, events)) { srv =>
+      val (_, p1) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/event-segmentation", countBody)
+      val (_, p2) = req(srv.port, "POST",
+        "/api/v1/projects/2/queries/event-segmentation", countBody)
+      assert(p1 != p2)
+      val direct2 = Response.collect(JsonApi.eventSegmentation(events,
+        countBody.trim.dropRight(1) + ""","projectId": 2}""")).toJson
+      assert(p2 == direct2)
+      // a body that pins its own projectId wins over the path
+      val (_, pinned) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/event-segmentation",
+        countBody.trim.dropRight(1) + ""","projectId": 2}""")
+      assert(pinned == direct2)
+    }
+  }
+
+  test("report CRUD + run, dashboards, and project isolation") {
+    val events = ev
+    withServer(new GraftHttpServer(spark, events,
+      clock = () => 1700000000000L)) { srv =>
+      val create = s"""{"name": "daily views", "type": "eventSegmentation",
+        "query": $esBody, "tags": ["kpi"]}"""
+      val (cc, created) = req(srv.port, "POST", "/api/v1/projects/1/reports", create)
+      assert(cc == 200)
+      assert(created.contains("\"id\":1") && created.contains("\"name\":\"daily views\""))
+
+      val (gl, listed) = req(srv.port, "GET", "/api/v1/projects/1/reports")
+      assert(gl == 200 && listed.startsWith("[") && listed.contains("\"id\":1"))
+
+      // other tenant: invisible
+      assert(req(srv.port, "GET", "/api/v1/projects/2/reports/1")._1 == 404)
+      assert(req(srv.port, "GET", "/api/v1/projects/2/reports")._2 == "[]")
+
+      val (rc, run) = req(srv.port, "POST", "/api/v1/projects/1/reports/1/run")
+      assert(rc == 200)
+      // identical to running the saved body through the dispatcher
+      val store = new graft.model.Reports
+      val r = store.create(1L, "daily views", graft.model.ReportType.EventSegmentation,
+        graft.model.Json.parse(esBody).render, 1700000000000L)
+      assert(run == Response.collect(JsonApi.runReport(spark, events, r)).toJson)
+
+      val (dc, dash) = req(srv.port, "POST", "/api/v1/projects/1/dashboards",
+        """{"name": "main", "panels": [{"reportId": 1, "w": 2}]}""")
+      assert(dc == 200 && dash.contains("\"reportId\":1"))
+      val (drc, drun) = req(srv.port, "POST", "/api/v1/projects/1/dashboards/1/run")
+      assert(drc == 200)
+      assert(drun.startsWith("""{"panels":[{"reportId":1,"result":"""))
+      assert(drun.contains(run))
+    }
+  }
+
+  test("errors: malformed JSON 400, unknown routes 404") {
+    withServer(new GraftHttpServer(spark, ev)) { srv =>
+      assert(req(srv.port, "POST",
+        "/api/v1/projects/1/queries/event-segmentation", "{nope")._1 == 400)
+      assert(req(srv.port, "POST", "/api/v1/projects/1/queries/nope", "{}")._1 == 404)
+      assert(req(srv.port, "GET", "/healthz")._1 == 404)
+      assert(req(srv.port, "POST", "/api/v1/projects/1/reports/99/run")._1 == 404)
+    }
+  }
+}

@@ -86,6 +86,27 @@ class IngestSpec extends SparkTestBase {
     assert(out == Map(1L -> None, 2L -> Some("DE"), 3L -> Some("DE"), 4L -> None))
   }
 
+  test("geoEnrich drops the broadcast hint above the exploded-row threshold") {
+    import spark.implicits._
+    // 40 ranges, each spanning 2 full /8 buckets → 120 exploded rows
+    val ranges = (0 until 40).map { i =>
+      val start = i * 3L * 16777216L
+      (start, start + 2L * 16777216L - 1L, s"C$i")
+    }.toDF("start", "end", "country")
+    val df = (0 until 40).map(i => (i.toLong, i * 3L * 16777216L + 5L))
+      .toDF("id", "ip")
+    val broad = Ingest.geoEnrich(df, "ip", ranges)
+    val shuffled = Ingest.geoEnrich(df, "ip", ranges, maxBroadcastRows = 10L)
+    // the gate drops the hint (AQE may still pick its own strategy at
+    // runtime — the point is we stop FORCING hundreds of MB resident)
+    assert(broad.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!shuffled.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    def m(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("country"))).toMap
+    assert(m(shuffled) == m(broad))
+    assert(m(shuffled)(7L) == Some("C7"))
+  }
+
   test("identifyBatch bumps versions per update, last-set wins, nulls don't overwrite") {
     import spark.implicits._
     val profiles = Seq(("u1", 3L, Some("basic"), Some("view")))

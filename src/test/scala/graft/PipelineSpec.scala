@@ -278,6 +278,55 @@ class PipelineSpec extends SparkTestBase {
     assert(probed(2L) == (("raw", 7, 9)))
   }
 
+  test("ImageIoCodec decodes real PNG/BMP pixels exactly (lossless round trip)") {
+    import graft.pipeline.Multimodal.{ImageIoCodec, SyntheticImages}
+    // pixel v(id,x,y) = (id*31 + x*7 + y*13) % 256, grayscale in RGB
+    def vs(id: Long): Seq[Int] =
+      for { y <- 0 until 8; x <- 0 until 8 } yield SyntheticImages.pixel(id, x, y)
+    for (fmt <- Seq("png", "bmp")) {
+      val st = ImageIoCodec.stats(
+        ImageIoCodec.readImage(SyntheticImages.encode(5L, 8, 8, fmt)).get)
+      assert((st.width, st.height, st.channels) == ((8, 8, 3)), fmt)
+      assert(st.channelSum == vs(5L).map(3L * _).sum, fmt)
+    }
+    // featureDim=4 on 8x8 → 2x2 grid of 4x4-pixel cells; every feature
+    // and meanPixel is an exact integer-sum division over REAL pixels
+    val f = ImageIoCodec.decodeImage(SyntheticImages.encode(5L, 8, 8, "png"), 4).get
+    def cellMean(cx: Int, cy: Int): Float = {
+      val cell = for { y <- cy * 4 until cy * 4 + 4; x <- cx * 4 until cx * 4 + 4 }
+        yield SyntheticImages.pixel(5L, x, y)
+      (cell.map(3L * _).sum / (cell.size * 3.0 * 255.0)).toFloat
+    }
+    assert(f.features.toSeq ==
+      Seq(cellMean(0, 0), cellMean(1, 0), cellMean(0, 1), cellMean(1, 1)))
+    assert(f.meanPixel == vs(5L).map(3L * _).sum / (8L * 8 * 3 * 255.0))
+    assert(f.channels == 3)
+    // jpeg is lossy: dimensions must still decode
+    val j = ImageIoCodec.readImage(SyntheticImages.encode(9L, 8, 8, "jpeg")).get
+    assert(j.getWidth == 8 && j.getHeight == 8)
+    assert(ImageIoCodec.readImage("junk".getBytes).isEmpty)
+  }
+
+  test("extractImageFeatures uses real decode for parseable payloads") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal.{ImageIoCodec, SyntheticImages}
+    val rows = Seq(
+      Multimodal.MediaRow(1L, SyntheticImages.encode(1L, 8, 8, "png"),
+        Multimodal.MediaMeta("image", "png", 8, 8, 0L)),
+      Multimodal.MediaRow(2L, "not an image".getBytes,
+        Multimodal.MediaMeta("image", "raw", 4, 4, 0L))).toDS()
+    val byId = Multimodal.extractImageFeatures(rows, featureDim = 4)
+      .collect().map(f => f.id -> f).toMap
+    // real path: identical to calling the codec directly
+    val direct = ImageIoCodec.decodeImage(SyntheticImages.encode(1L, 8, 8, "png"), 4).get
+    assert(byId(1L).meanPixel == direct.meanPixel)
+    assert(byId(1L).features.toSeq == direct.features.toSeq)
+    // junk falls back to the deterministic stub instead of failing
+    val stub = Multimodal.StubCodec.decodeImage(
+      "not an image".getBytes, Multimodal.MediaMeta("image", "raw", 4, 4, 0L), 4)
+    assert(byId(2L).features.toSeq == stub.features.toSeq)
+  }
+
   test("multimodal stub plumbing: features deterministic, frames sampled") {
     import spark.implicits._
     val media = Multimodal.fromBinaryColumn(spark,

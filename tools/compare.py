@@ -7,6 +7,16 @@ sf dir, and compare sorted rows/columns. Usage:
 import json, math, sys
 import duckdb
 
+def arrow_type_name(t):
+    """Canonical arrow type name, collapsing benign physical variants
+    (large_string vs string, large_binary vs binary) that hash identically."""
+    s = str(t)
+    return {"large_string": "string", "large_binary": "binary"}.get(s, s)
+
+def schema_types(schema):
+    """{column -> canonical arrow type} for an arrow schema."""
+    return {f.name: arrow_type_name(f.type) for f in schema}
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -51,11 +61,28 @@ def main():
             got = table_of(con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
             want = table_of(con.execute(sql))
+            # Typed gate: the driver hashes TYPED values, so a DuckDB
+            # HUGEINT (decimal128) vs Spark int64 mismatch fails remotely
+            # even when the Python-normalized values above agree.  Compare
+            # arrow schemas of both sides (r4 shipped q_ingest_denorm red
+            # because this check was missing).
+            got_types = schema_types(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).arrow().schema)
+            want_types = schema_types(con.execute(sql).arrow().schema)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
             continue
-        if got[0] != want[0]:
+        type_diffs = {c: (got_types.get(c), want_types.get(c))
+                      for c in set(got_types) | set(want_types)
+                      if got_types.get(c) != want_types.get(c)}
+        if type_diffs:
+            print(f"FAIL {name}: arrow type mismatch "
+                  + ", ".join(f"{c}: spark={g} duck={w}"
+                              for c, (g, w) in sorted(type_diffs.items())))
+            failures += 1
+        elif got[0] != want[0]:
             print(f"FAIL {name}: columns {got[0]} != {want[0]}")
             failures += 1
         elif got[1] != want[1]:
