@@ -1099,6 +1099,16 @@ object SparkEntry {
         .filter(col("cnt") > 1)
     }),
 
+    // pipeline: order-SENSITIVE rolling-hash fingerprint near-dup
+    // groups — the polynomial fold distinguishes reorderings the
+    // bag-of-words fingerprint above collapses
+    "q_rolling_fp" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("fp", TextAnalysis.rollingHashPortable(col("text")))
+        .groupBy(col("fp")).agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
+        .filter(col("cnt") > 1)
+    }),
+
     // pipeline: MinHash+LSH near-dup pairs — md5-60-bit portable
     // banding (hash, seeded permutations, band keys all md5-derived)
     // so the DuckDB oracle recomputes buckets, candidates and the
@@ -1425,6 +1435,32 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), "v", store.getAbsolutePath, "0")
       Dictionary.getOrCreate(docs, "v", store.getAbsolutePath, "1")
         .orderBy(col("key"))
+    }),
+
+    // Tenancy/auth in the data path (reference projects.rs:101
+    // get_by_token; ingester executor.rs:123; rbac common/src/rbac.rs):
+    // an ingest token resolves to a project, rbac admits the account,
+    // and the RESOLVED id — never a literal — becomes the plan's tenant
+    // filter. The oracle pins the same slice with the literal id the
+    // registry must produce, so a wrong resolution breaks the hash.
+    "q_auth_scoped" -> ((s, dir) => {
+      val t = new graft.model.Tenancy
+      val owner = t.createAccount("owner@example.com", "Str0ng!pass", None, 0L)
+      val org = t.createOrganization("Acme", owner.id, 0L)
+      t.createProject(org.id, "Alpha", "t_alpha", owner.id, 0L)
+      t.createProject(org.id, "Beta", "t_beta", owner.id, 0L)
+      val pid = t.projectByToken("t_beta")
+        .getOrElse(sys.error("token did not resolve")).id
+      require(t.canExploreProject(owner.id, pid), "rbac must admit the org owner")
+      // single-project test parquet → synthesize the tenant column the
+      // way a partitioned Store layout would carry it
+      val ev = events(s, dir).withColumn("project_id", col("user_id") % 2 + 1)
+      val req = EventSegmentationRequest(
+        time = RANGE, interval = TimeIntervalUnit.Day,
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        projectId = Some(pid))
+      EventSegmentation.run(ev, req)
+        .select(day(col("bucket")).as("d"), col("cnt"))
     })
   )
 
@@ -2160,6 +2196,14 @@ object SparkEntry {
          count(*) AS cnt, min(doc_id) AS min_doc
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
 
+    "q_rolling_fp" ->
+      """SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT))),
+           (acc, h) -> (acc * 1000003 + h) & 2147483647) AS fp,
+         count(*) AS cnt, min(doc_id) AS min_doc
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+
     // Cells recomputed from the SAME deterministic centroid set (the 8
     // lowest-id vectors); ranking matches the engine's (cos desc, id).
     "q_knn_ivf" ->
@@ -2384,6 +2428,13 @@ object SparkEntry {
                + row_number() OVER (ORDER BY value) AS key
            FROM n2)
          SELECT value, key FROM a1
-         UNION ALL SELECT value, key FROM a2 ORDER BY key"""
+         UNION ALL SELECT value, key FROM a2 ORDER BY key""",
+
+    // project 2 = the registry's resolution of token "t_beta" (ids are
+    // assigned 1, 2 in creation order, projects.rs:72 next_seq)
+    "q_auth_scoped" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+         FROM events WHERE $SQL_RANGE AND (user_id % 2) + 1 = 2
+         GROUP BY 1"""
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

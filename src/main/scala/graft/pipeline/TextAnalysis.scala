@@ -65,4 +65,15 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * lit(1000003L) + crc32(t).cast("long"))
         .bitwiseAND(lit(0x7FFFFFFFL)))
+
+  /** Portable variant of [[rollingHash]]: token hash = first 8 md5 hex
+    * digits (DuckDB has no crc32), same polynomial fold — the oracle
+    * replays it bit for bit with list_reduce. Per-token md5 only; no
+    * outer expression subtree enters the lambda, so nothing
+    * re-evaluates per element. */
+  def rollingHashPortable(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * lit(1000003L) +
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        .bitwiseAND(lit(0x7FFFFFFFL)))
 }

@@ -37,6 +37,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - POST group-records/search         → columnar JSON
   *  - POST/GET reports, GET/DELETE reports/:id, POST reports/:id/run
   *  - POST dashboards, POST dashboards/:id/run
+  *
+  * With a [[graft.model.Tenancy]]+[[graft.model.Auth]] attached, the
+  * identity surface comes up too (reference platform/src/http/auth.rs
+  * :210-217, organizations.rs:61-70, projects.rs:61-70; ingester
+  * sources/http/mod.rs:255-256):
+  *  - POST auth/signup | auth/login | auth/refresh-token
+  *  - POST/GET organizations, GET/PUT/DELETE organizations/:id
+  *  - POST/GET projects, GET organizations/:id/projects
+  *  - POST ingest/:token/track — project resolved by ingest token
+  * and every `/projects/:id/…` query route then demands a Bearer
+  * access token whose account may explore that project (the
+  * reference's Context extractor + rbac check). Without an Auth the
+  * server stays open, matching the pre-auth test surface.
   */
 final class GraftHttpServer(
     spark: SparkSession,
@@ -44,7 +57,9 @@ final class GraftHttpServer(
     reports: graft.model.Reports = new graft.model.Reports,
     registry: Registry = Registry.open,
     customEvents: Map[Long, CustomEvent] = Map.empty,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    tenancy: Option[graft.model.Tenancy] = None,
+    auth: Option[graft.model.Auth] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -54,6 +69,14 @@ final class GraftHttpServer(
   def stop(): Unit = server.stop(0)
 
   private val ProjectPath = "/api/v1/projects/([0-9]+)(/.*)".r
+  private val ApiPath = "/api/v1(/.*)".r
+
+  /** Events POSTed to `ingest/:token/track`, buffered request-at-a-time
+    * like the reference ingester's HTTP source feeds its executor
+    * (ingester sources/http/mod.rs:109-135) — drain into
+    * [[graft.ingest.Ingest.executeTrackBatch]] as a micro-batch. */
+  private val trackBuffer = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+  def trackedEvents: Seq[(Long, String)] = trackBuffer.synchronized(trackBuffer.toSeq)
 
   private def handle(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -61,7 +84,14 @@ final class GraftHttpServer(
       try {
         ex.getRequestURI.getPath match {
           case ProjectPath(pid, rest) =>
-            route(ex.getRequestMethod, pid.toLong,
+            authorize(ex, pid.toLong) match {
+              case Some(denied) => denied
+              case None =>
+                route(ex.getRequestMethod, pid.toLong,
+                  rest.split("/").filter(_.nonEmpty).toList, body)
+            }
+          case ApiPath(rest) =>
+            routeIdentity(ex, ex.getRequestMethod,
               rest.split("/").filter(_.nonEmpty).toList, body)
           case _ => 404 -> err("not found")
         }
@@ -150,6 +180,100 @@ final class GraftHttpServer(
 
     case _ => 404 -> err("not found")
   }
+
+  /** Bearer-token gate for `/projects/:id/…` routes — the reference's
+    * Context extractor parses the Authorization header into claims and
+    * the rbac layer checks ExploreProjects (platform/src/context.rs,
+    * common/src/rbac.rs). None = allowed; Some(resp) = denial. Servers
+    * constructed without an Auth stay open. */
+  private def authorize(ex: HttpExchange, pid: Long): Option[(Int, String)] =
+    auth.flatMap { a =>
+      val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (!header.startsWith("Bearer ")) Some(401 -> err("unauthorized"))
+      else a.authenticate(header.stripPrefix("Bearer ")) match {
+        case Left(msg) => Some(401 -> err(msg))
+        case Right(claims) =>
+          if (tenancy.forall(_.canExploreProject(claims.accountId, pid))) None
+          else Some(403 -> err(s"account ${claims.accountId} may not explore project $pid"))
+      }
+    }
+
+  /** Identity-plane routes (reference platform/src/http/auth.rs:210-217,
+    * organizations.rs:61-70, projects.rs:61-70; ingest token routes
+    * ingester/src/sources/http/mod.rs:255-256). Only mounted when a
+    * Tenancy is attached. */
+  private def routeIdentity(ex: HttpExchange, method: String, segs: List[String],
+                            body: String): (Int, String) = {
+    val t = tenancy.getOrElse(return 404 -> err("not found"))
+    def j = Json.parse(body)
+    (method, segs) match {
+      case ("POST", List("auth", "signup")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        val tok = a.signUp((j / "email").str, (j / "password").str,
+          j.asOpt("name").map(_.str))
+        200 -> tokensJson(tok)
+      case ("POST", List("auth", "login")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        try 200 -> tokensJson(a.logIn((j / "email").str, (j / "password").str,
+          j.asOpt("organizationId").map(_.long)))
+        catch { case e: IllegalArgumentException => 401 -> err(e.getMessage) }
+      case ("POST", List("auth", "refresh-token")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        try 200 -> tokensJson(a.refresh((j / "refreshToken").str))
+        catch { case e: IllegalArgumentException => 401 -> err(e.getMessage) }
+
+      case ("POST", List("organizations")) =>
+        val org = t.createOrganization((j / "name").str, (j / "createdBy").long, clock())
+        200 -> orgJson(org)
+      case ("GET", List("organizations")) =>
+        200 -> t.listOrganizations().map(orgJson).mkString("[", ",", "]")
+      case ("GET", List("organizations", IdSeg(id))) =>
+        t.organization(id).map(o => 200 -> orgJson(o))
+          .getOrElse(404 -> err(s"organization $id not found"))
+      case ("GET", List("organizations", IdSeg(id), "projects")) =>
+        200 -> t.listProjects(id).map(projectJson).mkString("[", ",", "]")
+      case ("DELETE", List("organizations", IdSeg(id))) =>
+        t.deleteOrganization(id); 200 -> "{}"
+
+      case ("POST", List("projects")) =>
+        val p = t.createProject((j / "organizationId").long, (j / "name").str,
+          (j / "token").str, (j / "createdBy").long, clock(),
+          sessionDurationSeconds =
+            j.asOpt("sessionDurationSeconds").map(_.long).getOrElse(3600L))
+        200 -> projectJson(p)
+      case ("GET", List("projects", IdSeg(id))) =>
+        t.project(id).map(p => 200 -> projectJson(p))
+          .getOrElse(404 -> err(s"project $id not found"))
+
+      // request-at-a-time ingest, project resolved by its token
+      // (ingester executor.rs:123 get_by_token; 404 on unknown token)
+      case ("POST", List("ingest", token, "track")) =>
+        t.projectByToken(token) match {
+          case None => 404 -> err("project can't be found by token")
+          case Some(p) =>
+            trackBuffer.synchronized(trackBuffer += (p.id -> body))
+            t.incrementEventsCounter(p.id)
+            200 -> s"""{"projectId":${p.id},"buffered":true}"""
+        }
+
+      case _ => 404 -> err("not found")
+    }
+  }
+
+  private def tokensJson(tok: graft.model.Auth.Tokens): String =
+    s"""{"accessToken":${JStr(tok.accessToken).render},"refreshToken":${JStr(tok.refreshToken).render}}"""
+
+  private def orgJson(o: graft.model.Organization): String = {
+    val members = o.members.map { case (id, role) =>
+      s"""{"id":$id,"role":${JStr(role).render}}"""
+    }.mkString("[", ",", "]")
+    s"""{"id":${o.id},"name":${JStr(o.name).render},"createdBy":${o.createdBy},"members":$members}"""
+  }
+
+  private def projectJson(p: graft.model.Project): String =
+    s"""{"id":${p.id},"organizationId":${p.organizationId},"name":${JStr(p.name).render},""" +
+      s""""token":${JStr(p.token).render},"sessionDurationSeconds":${p.sessionDurationSeconds},""" +
+      s""""eventsCount":${p.eventsCount}}"""
 
   /** The reference carries the tenant in the URL path
     * (platform/src/http/event_segmentation.rs:31 `:project_id`); a

@@ -144,6 +144,75 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("identity plane: signup/login, org+project CRUD, Bearer-guarded queries, token ingest") {
+    val tenancy = new graft.model.Tenancy
+    var now = 1000L
+    val auth = new graft.model.Auth(tenancy, "k".getBytes,
+      accessSeconds = 60, clock = () => now)
+    withServer(new GraftHttpServer(spark, ev, clock = () => now * 1000,
+      tenancy = Some(tenancy), auth = Some(auth))) { srv =>
+      // signup → tokens; org + project created over HTTP
+      val (sc, signed) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "o@example.com", "password": "Str0ng!pass", "name": "Owner"}""")
+      assert(sc == 200 && signed.contains("accessToken"))
+      val (oc, org) = req(srv.port, "POST", "/api/v1/organizations",
+        """{"name": "Acme", "createdBy": 1}""")
+      assert(oc == 200 && org.contains("\"id\":1"))
+      val (pc, proj) = req(srv.port, "POST", "/api/v1/projects",
+        """{"organizationId": 1, "name": "Shop", "token": "t_shop", "createdBy": 1}""")
+      assert(pc == 200 && proj.contains("\"token\":\"t_shop\""))
+      assert(req(srv.port, "GET", "/api/v1/organizations/1/projects")._2
+        .contains("\"name\":\"Shop\""))
+
+      // unauthenticated query → 401; valid login token → 200
+      assert(req(srv.port, "POST",
+        "/api/v1/projects/1/queries/event-segmentation", esBody)._1 == 401)
+      val (_, tokens) = req(srv.port, "POST", "/api/v1/auth/login",
+        """{"email": "o@example.com", "password": "Str0ng!pass"}""")
+      val access = graft.model.Json.parse(tokens) match {
+        case j => (j / "accessToken").str
+      }
+      val authed = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.port}/api/v1/projects/1/queries/event-segmentation"))
+        .header("Authorization", s"Bearer $access")
+        .POST(HttpRequest.BodyPublishers.ofString(esBody)).build()
+      val res = client.send(authed, HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() == 200)
+      assert(res.body() == Response.collect(JsonApi.eventSegmentation(ev, esBody)).toJson)
+
+      // a project outside the account's reach → 403 (org owner only sees org 1)
+      val other = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.port}/api/v1/projects/99/queries/event-segmentation"))
+        .header("Authorization", s"Bearer $access")
+        .POST(HttpRequest.BodyPublishers.ofString(esBody)).build()
+      assert(client.send(other, HttpResponse.BodyHandlers.ofString()).statusCode() == 403)
+
+      // expired access token → 401; refresh mints a working pair
+      now += 120
+      assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.port}/api/v1/projects/1/queries/event-segmentation"))
+        .header("Authorization", s"Bearer $access")
+        .POST(HttpRequest.BodyPublishers.ofString(esBody)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 401)
+      val refreshTok = (graft.model.Json.parse(tokens) / "refreshToken").str
+      val (rc2, renewed) = req(srv.port, "POST", "/api/v1/auth/refresh-token",
+        s"""{"refreshToken": "$refreshTok"}""")
+      assert(rc2 == 200 && renewed.contains("accessToken"))
+
+      // token-addressed ingest buffers the event and bumps the counter
+      val (ic, ing) = req(srv.port, "POST", "/api/v1/ingest/t_shop/track",
+        """{"event": "view", "userId": "u1"}""")
+      assert(ic == 200 && ing.contains("\"projectId\":1"))
+      assert(req(srv.port, "POST", "/api/v1/ingest/nope/track", "{}")._1 == 404)
+      assert(srv.trackedEvents == Seq(1L -> """{"event": "view", "userId": "u1"}"""))
+      assert(tenancy.project(1L).get.eventsCount == 1L)
+
+      // bad credentials → 401 with the opaque message
+      assert(req(srv.port, "POST", "/api/v1/auth/login",
+        """{"email": "o@example.com", "password": "wrong"}""")._1 == 401)
+    }
+  }
+
   test("errors: malformed JSON 400, unknown routes 404") {
     withServer(new GraftHttpServer(spark, ev)) { srv =>
       assert(req(srv.port, "POST",
