@@ -1099,14 +1099,18 @@ object SparkEntry {
         .filter(col("cnt") > 1)
     }),
 
-    // pipeline: order-SENSITIVE rolling-hash fingerprint near-dup
-    // groups — the polynomial fold distinguishes reorderings the
-    // bag-of-words fingerprint above collapses
+    // pipeline: order-SENSITIVE rolling-hash fingerprint — the
+    // polynomial fold distinguishes reorderings the bag-of-words
+    // fingerprint above collapses. Emitted PER DOCUMENT (not as
+    // cnt>1 collision groups): the corpus has no order-identical
+    // pair, so a group-form oracle would compare two empty sets and
+    // a hash divergence could pass silently — per-doc rows pin the
+    // fold bit for bit on every document.
     "q_rolling_fp" -> ((s, dir) => {
       Tables.documents(s, dir)
         .withColumn("fp", TextAnalysis.rollingHashPortable(col("text")))
-        .groupBy(col("fp")).agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
-        .filter(col("cnt") > 1)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
     }),
 
     // pipeline: MinHash+LSH near-dup pairs — md5-60-bit portable
@@ -2197,12 +2201,11 @@ object SparkEntry {
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
 
     "q_rolling_fp" ->
-      """SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(text, ' '),
              t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT))),
-           (acc, h) -> (acc * 1000003 + h) & 2147483647) AS fp,
-         count(*) AS cnt, min(doc_id) AS min_doc
-         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+           (acc, h) -> (acc * 1000003 + h) & 2147483647) AS fp
+         FROM documents ORDER BY doc_id""",
 
     // Cells recomputed from the SAME deterministic centroid set (the 8
     // lowest-id vectors); ranking matches the engine's (cos desc, id).

@@ -48,34 +48,51 @@ object Ingest {
     * — the deterministic batch analog of the reference's monotonic
     * RocksDB `next_id` counter. The rank comes from zipWithIndex over
     * range-sorted partitions, not a single-task global window.
-    * Returns the complete (keyCol, id) mapping. */
+    * Returns the complete (keyCol, id) mapping.
+    *
+    * The mapping's shared subplans (`existing`, the rank-assigned new
+    * keys) are persisted for the life of the action — both are
+    * |keys|-sized (keys + ids only, never the raw payload), and
+    * without the cache every downstream reference would re-run the
+    * full upstream chain, because the rank assignment crosses an RDD
+    * boundary that severs Catalyst's common-subplan/exchange reuse.
+    * Long-lived sessions that loop over batches should release the
+    * caches afterwards ([[streamingTrack]] does, per micro-batch). */
   def resolveIdentities(raw: DataFrame, existing: DataFrame,
                         keyCol: String = "user_key",
                         seqCol: String = "seq"): DataFrame = {
-    val (mapping, _) = resolveParts(raw, existing, keyCol, seqCol)
+    val (mapping, _, _) = resolveParts(raw, existing, keyCol, seqCol)
     mapping
   }
 
-  /** (full mapping, newly-assigned rows only) — the streaming path
-    * appends the second directly instead of re-deriving it with
-    * another anti-join. */
+  /** (full mapping, newly-assigned rows only, cached existing ids) —
+    * the streaming path appends the second directly instead of
+    * re-deriving it with another anti-join, and unpersists the second
+    * and third once the micro-batch's action completes. */
   private def resolveParts(raw: DataFrame, existing: DataFrame,
-                           keyCol: String, seqCol: String): (DataFrame, DataFrame) = {
+                           keyCol: String, seqCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // Cache the snapshot: it is referenced by the anti-join AND the
+    // union arm of the mapping (and `existing` is often itself an
+    // expensive derived frame). The one-row eager max both reads the
+    // id high-water mark — the reference's monotonic `next_id`
+    // counter (metadata/src/groups.rs:129) — and materializes the
+    // cache in the same small job, so the whole chain computes ONCE
+    // per batch instead of once per plan reference.
     val existingIds = existing.select(col(keyCol), col("id").cast(LongType).as("id"))
+      .persist()
+    val maxId = existingIds.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0)
     val firstSeen = raw.groupBy(col(keyCol))
       .agg(min(col(seqCol)).as("first_seq"))
     val newKeys = firstSeen
       .join(existingIds.select(col(keyCol)), Seq(keyCol), "left_anti")
-    // max(existing.id) folded in as a broadcast single-row join, not a
-    // driver-side .first() — construction stays free of eager actions
-    // beyond rankRows' own zipWithIndex job, and `existing` is not
-    // scanned an extra time at build time.
-    val maxIdDf = existingIds.agg(coalesce(max(col("id")), lit(0L)).as("__max_id"))
+    // rankRows' RDD boundary makes `assigned` recompute per reference
+    // (union arm + any caller-side joins); cache it too — it holds
+    // only the batch's UNSEEN keys, the smallest frame in the plan.
     val assigned = graft.engine.Dictionary
-      .rankRows(newKeys, Seq(col("first_seq"), col(keyCol)), "id", startAt = 0L)
-      .crossJoin(broadcast(maxIdDf))
-      .select(col(keyCol), (col("id") + col("__max_id")).as("id"))
-    (existingIds.unionByName(assigned), assigned)
+      .rankRows(newKeys, Seq(col("first_seq"), col(keyCol)), "id", startAt = maxId)
+      .select(col(keyCol), col("id"))
+      .persist()
+    (existingIds.unionByName(assigned), assigned, existingIds)
   }
 
   /** Anonymous-id merge (reference groups.rs:70 `merge_with_anonymous`;
@@ -176,21 +193,23 @@ object Ingest {
     * lookup misses.
     *
     * The broadcast hint is GATED: a city-level MaxMind table (~3M
-    * ranges) explodes to tens of millions of bucket rows — hundreds of
-    * MB resident on every executor, past the comfortable broadcast
-    * edge. Above `maxBroadcastRows` exploded rows (one cheap aggregate
-    * over the metadata-sized ranges table) the hint is dropped and the
-    * lookup runs as a shuffle equi-join on the prefix bucket, which
-    * AQE can still convert or skew-split at runtime. */
+    * ranges) resolves to millions of bucket rows — hundreds of MB
+    * resident on every executor, past the comfortable broadcast edge.
+    * The gate reads Catalyst's size ESTIMATE of the ranges table
+    * (`optimizedPlan.stats.sizeInBytes` — parquet footer / local-rows
+    * arithmetic, NO Spark job at plan build; constructing this
+    * DataFrame must stay free of eager actions because every
+    * streaming micro-batch builds it). The estimate is a sound proxy
+    * for the exploded size: non-overlapping IPv4 ranges cross at most
+    * 255 /8 boundaries in total, so explosion adds ≤ 256 rows
+    * regardless of table size. Above `maxBroadcastBytes` the hint is
+    * dropped and the lookup runs as a shuffle equi-join on the prefix
+    * bucket, which AQE can still convert or skew-split at runtime. */
   def geoEnrich(df: DataFrame, ipCol: String, ranges: DataFrame,
-                maxBroadcastRows: Long = 5000000L): DataFrame = {
+                maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val exploded = explodeRangesToPrefixes(ranges)
-    val explodedRows = ranges
-      .agg(coalesce(sum(
-        col("end").divide(PrefixWidth).cast(LongType) -
-          col("start").divide(PrefixWidth).cast(LongType) + 1L), lit(0L)))
-      .first().getLong(0)
-    val pref = if (explodedRows <= maxBroadcastRows) broadcast(exploded) else exploded
+    val rangesBytes = ranges.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pref = if (rangesBytes <= maxBroadcastBytes) broadcast(exploded) else exploded
     val keyed = df.withColumn("ip_prefix",
       col(ipCol).divide(PrefixWidth).cast(LongType))
     keyed.join(pref,
@@ -278,19 +297,20 @@ object Ingest {
     raw.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val existing = loadSnapshot(spark, snapshotDir, keyCol)
-      val (mapping, assigned0) = resolveParts(batch, existing, keyCol, seqCol)
-      // one resolve per batch: persisting the new assignments means
-      // the snapshot append materializes them AND the mapping's union
+      // resolveParts persists both the snapshot and the new
+      // assignments for the duration of the batch: the snapshot
+      // append materializes the assignments AND the mapping's union
       // arm reuses the cached result — the groupBy/anti-join/rank
       // pipeline never replays for the sink's join
-      val assigned = assigned0.persist()
+      val (mapping, assigned, cachedExisting) =
+        resolveParts(batch, existing, keyCol, seqCol)
       try {
         // new-key sets are batch-sized (keys + ids only) → one file
         graft.sources.Store.atomicAppend(assigned, snapshotDir, s"batch-$batchId")
         val resolved = batch.join(
           mapping.withColumnRenamed("id", "resolved_user_id"), Seq(keyCol))
         sink(enrich(resolved, geoRanges, uaCol, ipCol), batchId)
-      } finally assigned.unpersist()
+      } finally { assigned.unpersist(); cachedExisting.unpersist(); () }
     }
 
   // ---------------------------------------------------------------

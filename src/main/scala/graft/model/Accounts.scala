@@ -184,13 +184,22 @@ object Token {
   private def payload(token: String, key: Array[Byte], nowSec: Long): Either[String, Json.JValue] =
     token.split('.') match {
       case Array(h, c, s) =>
-        val body = h + "." + c
-        if (!java.security.MessageDigest.isEqual(
-              Base64.getUrlDecoder.decode(s), hmac(body, key)))
-          Left("invalid signature")
-        else {
-          val j = Json.parse(new String(Base64.getUrlDecoder.decode(c), StandardCharsets.UTF_8))
-          if ((j / "exp").long < nowSec) Left("token expired") else Right(j)
+        // decode/parse failures are a property of the TOKEN, not the
+        // request shape — fold them into the same Left the signature
+        // check produces so callers map every bad token to 401, never
+        // a 400 with a decoder message
+        try {
+          val body = h + "." + c
+          if (!java.security.MessageDigest.isEqual(
+                Base64.getUrlDecoder.decode(s), hmac(body, key)))
+            Left("invalid signature")
+          else {
+            val j = Json.parse(new String(Base64.getUrlDecoder.decode(c), StandardCharsets.UTF_8))
+            if ((j / "exp").long < nowSec) Left("token expired") else Right(j)
+          }
+        } catch {
+          case _: IllegalArgumentException | _: Json.JsonError =>
+            Left("malformed token")
         }
       case _ => Left("malformed token")
     }
@@ -314,6 +323,9 @@ final class Tenancy {
   def listProjects(organizationId: Long): Seq[Project] =
     projects.values.filter(_.organizationId == organizationId).toSeq
 
+  /** All projects across organizations (projects.rs:119-127 list). */
+  def listProjects(): Seq[Project] = projects.values.toSeq
+
   def updateProject(id: Long, updatedBy: Long, now: Long,
                     name: Option[String] = None, token: Option[String] = None,
                     description: Option[Option[String]] = None,
@@ -341,6 +353,14 @@ final class Tenancy {
   def deleteProject(id: Long): Project = {
     val p = projects.getOrElse(id, sys.error(s"project $id not found"))
     projects.remove(id)
+    // scrub mirrored (projectId, role) entries, same cleanup
+    // deleteOrganization does for org memberships — ids are never
+    // reused, but a stale grant must not outlive its project
+    accounts.mapValuesInPlace { (_, a) =>
+      if (a.projects.exists(_._1 == id))
+        a.copy(projects = a.projects.filterNot(_._1 == id))
+      else a
+    }
     p
   }
 

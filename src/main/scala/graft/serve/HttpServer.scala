@@ -48,8 +48,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - POST ingest/:token/track — project resolved by ingest token
   * and every `/projects/:id/…` query route then demands a Bearer
   * access token whose account may explore that project (the
-  * reference's Context extractor + rbac check). Without an Auth the
-  * server stays open, matching the pre-auth test surface.
+  * reference's Context extractor + rbac check). Tenancy MUTATIONS
+  * (create/rename/delete organization, create project) likewise
+  * demand a Bearer token — the acting account is taken from the
+  * token's claims, never the request body — and an org role granting
+  * manage_organization / manage_projects. Without an Auth the server
+  * stays open, matching the pre-auth test surface.
   */
 final class GraftHttpServer(
     spark: SparkSession,
@@ -198,6 +202,52 @@ final class GraftHttpServer(
       }
     }
 
+  /** Actor resolution for identity-plane mutations (the reference's
+    * Context extractor, platform/src/context.rs): with an Auth
+    * attached, the acting account comes from the Bearer access token —
+    * NEVER from the request body; without one the pre-auth test
+    * surface stays open and Right(None) lets callers fall back to
+    * body-supplied ids. */
+  private def actor(ex: HttpExchange): Either[(Int, String), Option[Long]] =
+    auth match {
+      case None => Right(None)
+      case Some(a) =>
+        val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        if (!header.startsWith("Bearer ")) Left(401 -> err("unauthorized"))
+        else a.authenticate(header.stripPrefix("Bearer ")) match {
+          case Left(msg)     => Left(401 -> err(msg))
+          case Right(claims) => Right(Some(claims.accountId))
+        }
+    }
+
+  /** Org-scoped RBAC gate for tenancy mutations (reference
+    * common/src/rbac.rs ORGANIZATION_PERMISSIONS; platform/src/
+    * organizations.rs, projects.rs put their create/delete behind it):
+    * resolve the actor, 404 an unknown org BEFORE the role check (no
+    * membership oracle on missing ids), then demand `permission` of
+    * the actor's role in that org. */
+  private def requireOrgRole(ex: HttpExchange, orgId: Long, permission: String,
+                             bodyActor: => Json.JValue)(
+                             run: Long => (Int, String)): (Int, String) =
+    actor(ex) match {
+      case Left(denied) => denied
+      case Right(acting) =>
+        val t = tenancy.get
+        val org = t.organization(orgId)
+          .getOrElse(return 404 -> err(s"organization $orgId not found"))
+        acting match {
+          case None => run(bodyActor.asOpt("createdBy").map(_.long)
+            .orElse(bodyActor.asOpt("updatedBy").map(_.long))
+            .getOrElse(org.createdBy))
+          case Some(accId) =>
+            org.roleOf(accId).filter(graft.model.Rbac.orgAllows(_, permission)) match {
+              case Some(_) => run(accId)
+              case None => 403 -> err(
+                s"account $accId may not $permission in organization $orgId")
+            }
+        }
+    }
+
   /** Identity-plane routes (reference platform/src/http/auth.rs:210-217,
     * organizations.rs:61-70, projects.rs:61-70; ingest token routes
     * ingester/src/sources/http/mod.rs:255-256). Only mounted when a
@@ -223,8 +273,15 @@ final class GraftHttpServer(
         catch { case e: IllegalArgumentException => 401 -> err(e.getMessage) }
 
       case ("POST", List("organizations")) =>
-        val org = t.createOrganization((j / "name").str, (j / "createdBy").long, clock())
-        200 -> orgJson(org)
+        actor(ex) match {
+          case Left(denied) => denied
+          case Right(acting) =>
+            // any authenticated account may found an org (it becomes
+            // owner, organizations.rs:64); the creator is the token's
+            // account, never a body-supplied id
+            val createdBy = acting.getOrElse((j / "createdBy").long)
+            200 -> orgJson(t.createOrganization((j / "name").str, createdBy, clock()))
+        }
       case ("GET", List("organizations")) =>
         200 -> t.listOrganizations().map(orgJson).mkString("[", ",", "]")
       case ("GET", List("organizations", IdSeg(id))) =>
@@ -232,15 +289,31 @@ final class GraftHttpServer(
           .getOrElse(404 -> err(s"organization $id not found"))
       case ("GET", List("organizations", IdSeg(id), "projects")) =>
         200 -> t.listProjects(id).map(projectJson).mkString("[", ",", "]")
+      case ("PUT", List("organizations", IdSeg(id))) =>
+        requireOrgRole(ex, id, "manage_organization", bodyActor = j) {
+          actorId => 200 -> orgJson(
+            t.renameOrganization(id, (j / "name").str, actorId, clock()))
+        }
       case ("DELETE", List("organizations", IdSeg(id))) =>
-        t.deleteOrganization(id); 200 -> "{}"
+        requireOrgRole(ex, id, "manage_organization", bodyActor = j) { _ =>
+          t.deleteOrganization(id); 200 -> "{}"
+        }
 
       case ("POST", List("projects")) =>
-        val p = t.createProject((j / "organizationId").long, (j / "name").str,
-          (j / "token").str, (j / "createdBy").long, clock(),
-          sessionDurationSeconds =
-            j.asOpt("sessionDurationSeconds").map(_.long).getOrElse(3600L))
-        200 -> projectJson(p)
+        requireOrgRole(ex, (j / "organizationId").long, "manage_projects",
+            bodyActor = j) { actorId =>
+          200 -> projectJson(t.createProject(
+            (j / "organizationId").long, (j / "name").str,
+            (j / "token").str, actorId, clock(),
+            sessionDurationSeconds =
+              j.asOpt("sessionDurationSeconds").map(_.long).getOrElse(3600L)))
+        }
+      case ("GET", List("projects")) =>
+        actor(ex) match {
+          case Left(denied) => denied
+          case Right(_) =>
+            200 -> t.listProjects().map(projectJson).mkString("[", ",", "]")
+        }
       case ("GET", List("projects", IdSeg(id))) =>
         t.project(id).map(p => 200 -> projectJson(p))
           .getOrElse(404 -> err(s"project $id not found"))

@@ -147,6 +147,18 @@ class AuthSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t.addProjectRole(reader.id, 999L, "reader"))
   }
 
+  test("deleteProject scrubs mirrored project roles from accounts") {
+    val (t, owner) = tenancyWithAccount()
+    val org = t.createOrganization("Acme", owner.id, 0L)
+    val p = t.createProject(org.id, "Shop", "t_shop", owner.id, 0L)
+    val reader = t.createAccount("r@example.com", "Str0ng!pass", None, 0L, Some(salt))
+    t.addProjectRole(reader.id, p.id, "reader")
+    t.deleteProject(p.id)
+    // no stale grant survives its project (mirrors deleteOrganization)
+    assert(t.account(reader.id).get.projects.isEmpty)
+    assert(!t.canExploreProject(reader.id, p.id))
+  }
+
   test("account creation validates email, uniqueness, and complexity") {
     val t = new Tenancy
     assertThrows[IllegalArgumentException](

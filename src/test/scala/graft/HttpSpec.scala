@@ -52,8 +52,9 @@ class HttpSpec extends SparkTestBase {
   private val client = HttpClient.newHttpClient()
 
   private def req(port: Int, method: String, path: String,
-                  body: String = ""): (Int, String) = {
-    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+                  body: String = "", bearer: String = ""): (Int, String) = {
+    val b0 = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val b = if (bearer.nonEmpty) b0.header("Authorization", s"Bearer $bearer") else b0
     val r = method match {
       case "GET"    => b.GET()
       case "DELETE" => b.DELETE()
@@ -155,14 +156,49 @@ class HttpSpec extends SparkTestBase {
       val (sc, signed) = req(srv.port, "POST", "/api/v1/auth/signup",
         """{"email": "o@example.com", "password": "Str0ng!pass", "name": "Owner"}""")
       assert(sc == 200 && signed.contains("accessToken"))
+      val signedTok = (graft.model.Json.parse(signed) / "accessToken").str
+
+      // tenancy mutations demand a Bearer token (no body-trusted
+      // createdBy): anonymous create → 401, then the signup token
+      // creates the org and becomes its owner
+      assert(req(srv.port, "POST", "/api/v1/organizations",
+        """{"name": "Acme", "createdBy": 77}""")._1 == 401)
       val (oc, org) = req(srv.port, "POST", "/api/v1/organizations",
-        """{"name": "Acme", "createdBy": 1}""")
+        """{"name": "Acme"}""", bearer = signedTok)
       assert(oc == 200 && org.contains("\"id\":1"))
+      assert(org.contains("\"createdBy\":1"), "creator derives from token claims")
+
+      // project creation needs manage_projects in the org: anonymous →
+      // 401, a non-member account → 403, the org owner → 200
+      assert(req(srv.port, "POST", "/api/v1/projects",
+        """{"organizationId": 1, "name": "Shop", "token": "t_shop"}""")._1 == 401)
+      val (_, signed2) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "m@example.com", "password": "Str0ng!pass2"}""")
+      val memberTok = (graft.model.Json.parse(signed2) / "accessToken").str
+      assert(req(srv.port, "POST", "/api/v1/projects",
+        """{"organizationId": 1, "name": "Shop", "token": "t_shop"}""",
+        bearer = memberTok)._1 == 403)
       val (pc, proj) = req(srv.port, "POST", "/api/v1/projects",
-        """{"organizationId": 1, "name": "Shop", "token": "t_shop", "createdBy": 1}""")
+        """{"organizationId": 1, "name": "Shop", "token": "t_shop"}""",
+        bearer = signedTok)
       assert(pc == 200 && proj.contains("\"token\":\"t_shop\""))
       assert(req(srv.port, "GET", "/api/v1/organizations/1/projects")._2
         .contains("\"name\":\"Shop\""))
+
+      // the documented PUT rename and flat project list are wired
+      val (rc, renamed) = req(srv.port, "PUT", "/api/v1/organizations/1",
+        """{"name": "Acme Corp"}""", bearer = signedTok)
+      assert(rc == 200 && renamed.contains("\"name\":\"Acme Corp\""))
+      assert(req(srv.port, "PUT", "/api/v1/organizations/1",
+        """{"name": "Evil"}""", bearer = memberTok)._1 == 403)
+      val (lc, listed) = req(srv.port, "GET", "/api/v1/projects", bearer = signedTok)
+      assert(lc == 200 && listed.contains("\"name\":\"Shop\""))
+
+      // a syntactically broken Bearer token is a 401, not a 400
+      assert(req(srv.port, "POST", "/api/v1/organizations",
+        """{"name": "X"}""", bearer = "!!not-base64!!.x.y")._1 == 401)
+      assert(req(srv.port, "POST", "/api/v1/projects/1/queries/event-segmentation",
+        esBody, bearer = "a.b")._1 == 401)
 
       // unauthenticated query → 401; valid login token → 200
       assert(req(srv.port, "POST",

@@ -96,7 +96,7 @@ class IngestSpec extends SparkTestBase {
     val df = (0 until 40).map(i => (i.toLong, i * 3L * 16777216L + 5L))
       .toDF("id", "ip")
     val broad = Ingest.geoEnrich(df, "ip", ranges)
-    val shuffled = Ingest.geoEnrich(df, "ip", ranges, maxBroadcastRows = 10L)
+    val shuffled = Ingest.geoEnrich(df, "ip", ranges, maxBroadcastBytes = 10L)
     // the gate drops the hint (AQE may still pick its own strategy at
     // runtime — the point is we stop FORCING hundreds of MB resident)
     assert(broad.queryExecution.analyzed.toString.contains("ResolvedHint"))
@@ -105,6 +105,28 @@ class IngestSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> Option(r.getAs[String]("country"))).toMap
     assert(m(shuffled) == m(broad))
     assert(m(shuffled)(7L) == Some("C7"))
+  }
+
+  test("geoEnrich construction fires no Spark job (gate reads plan stats)") {
+    import spark.implicits._
+    val ranges = Seq((100L, 199L, "US")).toDF("start", "end", "country")
+    val df = Seq((1L, 150L)).toDF("id", "ip")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Ingest.geoEnrich(df, "ip", ranges)
+      // listener delivery is async; a .first() inside geoEnrich would
+      // have blocked until its job ran, so a short drain suffices
+      Thread.sleep(500)
+      assert(jobs == 0,
+        "building the geoEnrich plan must not run a Spark job " +
+          "(every streaming micro-batch constructs it)")
+      assert(out.collect().map(_.getAs[String]("country")).toSeq == Seq("US"))
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("identifyBatch bumps versions per update, last-set wins, nulls don't overwrite") {
