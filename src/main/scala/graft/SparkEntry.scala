@@ -403,6 +403,29 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
     }),
 
+    // Schema CRUD tail: the same request after a copy-on-write
+    // display RENAME (reference platform/src/properties.rs:330-338
+    // UpdatePropertyRequest.display_name) — the new logical name must
+    // resolve to the same physical plan, so the oracle is unchanged.
+    "q_registry_renamed" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val registry = Metadata.fromEvents(ev,
+        display = Map("value" -> "Revenue", "event_type" -> "Platform Event"))
+        .renameProperty("Revenue", "Turnover")
+      val json = """{
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+        "intervalUnit": "day",
+        "events": [{"eventType": "regular", "eventName": "purchase",
+          "filters": [{"type": "property", "propertyType": "event",
+                       "propertyName": "Turnover", "operation": "gt", "value": [50]}],
+          "queries": [{"type": "countEvents", "name": "cnt"}]}],
+        "breakdowns": [{"type": "property", "propertyType": "event",
+                        "propertyName": "Platform Event"}]
+      }"""
+      JsonApi.eventSegmentation(ev, json, registry = registry)
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
+    }),
+
     // §2.8/§2.9 record-search output tail: dictionary-encoded props
     // decoded back and display names applied inside the search path
     // (reference event_records.rs:349-419)
@@ -1490,6 +1513,14 @@ object SparkEntry {
          GROUP BY 1""",
 
     "q_registry_es" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
+         FROM events
+         WHERE $SQL_RANGE AND event_type = 'purchase' AND value > 50
+         GROUP BY 1, 2""",
+
+    // A display rename changes only the logical addressing — the
+    // physical plan and therefore the oracle stay identical.
+    "q_registry_renamed" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
          FROM events
          WHERE $SQL_RANGE AND event_type = 'purchase' AND value > 50

@@ -421,6 +421,23 @@ final class Tenancy {
       viaProject || viaOrg
     }
 
+  /** May `accountId` mutate project schema (rename properties, add
+    * event names)? Project admins/owners carry manage_schema
+    * (rbac.rs PROJECT_PERMISSIONS); org owners and manage_projects
+    * admins inherit it, same walk as [[canExploreProject]]. */
+  def canManageSchema(accountId: Long, projectId: Long): Boolean =
+    projects.get(projectId).exists { p =>
+      val acc = accounts.get(accountId)
+      val viaProject = acc.exists(_.projects.exists { case (pid, role) =>
+        pid == projectId && Rbac.projectAllows(role, "manage_schema")
+      })
+      val viaOrg = acc.exists(_.organizations.exists { case (oid, role) =>
+        oid == p.organizationId &&
+          (Rbac.orgAllows(role, "manage_projects") || role == "owner")
+      })
+      viaProject || viaOrg
+    }
+
   private def mirrorOrgOntoAccount(accountId: Long, orgId: Long, role: String): Unit =
     accounts.get(accountId).foreach { a =>
       require(!a.organizations.exists(_._1 == orgId),

@@ -339,7 +339,9 @@ object JsonDsl {
 
   /** Inline custom-event definition (members recurse like
     * metadata/src/custom_events.rs:52). */
-  private def customEventDef(j: JValue)(implicit reg: Registry): CustomEvent =
+  /** Parse a custom-event definition (also the body of the schema
+    * CRUD route, platform/src/http/custom_events.rs create/update). */
+  def customEventDef(j: JValue)(implicit reg: Registry): CustomEvent =
     CustomEvent((j / "name").str, (j / "events").arr.map { m =>
       m.asOpt("customEvent") match {
         case Some(inner) => CustomEventMember.Custom(customEventDef(inner))

@@ -59,8 +59,41 @@ final class Registry(
   def withProperty(m: PropertyMeta): Registry =
     new Registry(props + (m.name.toLowerCase -> m), customEvents, eventNames, strict, groupCols)
 
-  def withCustomEvent(id: Long, ce: CustomEvent): Registry =
+  /** Drop a property by display name (reference metadata/src/
+    * properties.rs delete — tombstones; immutable registries just
+    * produce a copy without the entry). */
+  def withoutProperty(name: String): Registry =
+    new Registry(props - name.toLowerCase, customEvents, eventNames, strict, groupCols)
+
+  /** Re-display a property: same physical column and flags, new
+    * logical name (the reference's UpdatePropertyRequest.display_name,
+    * platform/src/properties.rs:330-338). Rejects a rename onto an
+    * existing display name — the same shadowing hazard Registry.apply
+    * guards at construction. */
+  def renameProperty(name: String, newName: String): Registry = {
+    val m = props.getOrElse(name.toLowerCase,
+      throw Json.JsonError(s"unknown property '$name'"))
+    if (newName.toLowerCase != name.toLowerCase && props.contains(newName.toLowerCase))
+      throw Json.JsonError(s"display name '$newName' already in use")
+    new Registry(props - name.toLowerCase + (newName.toLowerCase -> m.copy(name = newName)),
+      customEvents, eventNames, strict, groupCols)
+  }
+
+  /** Add / remove a known event name (reference metadata/src/events.rs
+    * create/delete; an empty set disables validation, so removal of
+    * the last name degrades to open rather than rejecting all). */
+  def withEventName(name: String): Registry =
+    new Registry(props, customEvents, eventNames + name, strict, groupCols)
+  def withoutEventName(name: String): Registry =
+    new Registry(props, customEvents, eventNames - name, strict, groupCols)
+
+  def withoutCustomEvent(id: Long): Registry =
+    new Registry(props, customEvents - id, eventNames, strict, groupCols)
+
+  def withCustomEvent(id: Long, ce: CustomEvent): Registry = {
+    Registry.validateCustomEvent(ce)
     new Registry(props, customEvents + (id -> ce), eventNames, strict, groupCols)
+  }
 
   /** Configure the group-dimension columns (index 0 stays the user
     * dimension by convention). */
@@ -76,6 +109,35 @@ object Registry {
   /** No metadata: every name resolves to itself, nothing validates —
     * the single-tenant physical-addressing mode. */
   val open: Registry = new Registry(Map.empty, Map.empty, Set.empty, strict = false)
+
+  /** Reference metadata/src/custom_events.rs:42 `MAX_EVENTS_LEVEL=3`. */
+  val MaxCustomEventLevel = 3
+
+  /** Guard a custom-event definition as it enters the registry
+    * (reference metadata/src/custom_events.rs:75-110 validate_events):
+    * nesting deeper than [[MaxCustomEventLevel]] is rejected, and a
+    * member graph that revisits a custom event — the reference errors
+    * on ANY re-reference, which also covers true cycles (only
+    * constructible here via lazy self-reference, since members embed
+    * definitions by value) — fails fast instead of overflowing the
+    * stack when `Exprs.customEventPredicate` expands it at plan
+    * build. */
+  def validateCustomEvent(ce: CustomEvent): Unit = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[CustomEvent, java.lang.Boolean]())
+    def walk(c: CustomEvent, level: Int): Unit = {
+      if (level > MaxCustomEventLevel)
+        throw Json.JsonError(s"max level exceeded: $MaxCustomEventLevel")
+      if (!seen.add(c))
+        throw Json.JsonError(
+          s"custom event '${c.name}' is referenced more than once (cycle or duplicate)")
+      c.members.foreach {
+        case CustomEventMember.Custom(inner) => walk(inner, level + 1)
+        case _: CustomEventMember.Event      =>
+      }
+    }
+    walk(ce, 0)
+  }
 
   def apply(props: Seq[PropertyMeta],
             customEvents: Map[Long, CustomEvent] = Map.empty,
@@ -93,6 +155,7 @@ object Registry {
       }.mkString("; ")
       throw Json.JsonError(s"duplicate display name(s): $msg")
     }
+    customEvents.values.foreach(validateCustomEvent)
     new Registry(props.map(m => m.name.toLowerCase -> m).toMap,
       customEvents, eventNames, strict)
   }

@@ -37,6 +37,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - POST group-records/search         → columnar JSON
   *  - POST/GET reports, GET/DELETE reports/:id, POST reports/:id/run
   *  - POST dashboards, POST dashboards/:id/run
+  *  - GET schema/event-properties[/name/:name], PUT/DELETE
+  *    schema/event-properties/:name, GET/POST schema/events,
+  *    DELETE schema/events/:name, POST schema/custom-events,
+  *    DELETE schema/custom-events/:id — metadata CRUD over the
+  *    copy-on-write registry; queries see the updated snapshot
   *
   * With a [[graft.model.Tenancy]]+[[graft.model.Auth]] attached, the
   * identity surface comes up too (reference platform/src/http/auth.rs
@@ -65,6 +70,17 @@ final class GraftHttpServer(
     tenancy: Option[graft.model.Tenancy] = None,
     auth: Option[graft.model.Auth] = None) {
 
+  /** Live schema state behind the CRUD routes: the constructor's
+    * registry/customEvents seed copy-on-write snapshots (reference
+    * metadata/src/properties.rs:585-631 update paths mutate RocksDB;
+    * here every mutation swaps an immutable Registry). Queries read
+    * whatever snapshot is current — a rename is visible to the next
+    * request, exactly like the reference's metadata store. */
+  @volatile private var reg: Registry = registry
+  @volatile private var customEventDefs: Map[Long, CustomEvent] = customEvents
+  /** Test/embedding hook: the current schema snapshot. */
+  def currentRegistry: Registry = reg
+
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
@@ -89,10 +105,10 @@ final class GraftHttpServer(
         ex.getRequestURI.getPath match {
           case ProjectPath(pid, rest) =>
             authorize(ex, pid.toLong) match {
-              case Some(denied) => denied
-              case None =>
+              case Left(denied) => denied
+              case Right(acting) =>
                 route(ex.getRequestMethod, pid.toLong,
-                  rest.split("/").filter(_.nonEmpty).toList, body)
+                  rest.split("/").filter(_.nonEmpty).toList, body, acting)
             }
           case ApiPath(rest) =>
             routeIdentity(ex, ex.getRequestMethod,
@@ -105,6 +121,11 @@ final class GraftHttpServer(
         case e: RuntimeException
           if e.getMessage != null && e.getMessage.contains("not found") =>
           404 -> err(e.getMessage)
+        // anything else is a server-side failure: answer 500 rather
+        // than dropping the connection with no bytes (the reference's
+        // axum error layer does the same fold to a status response)
+        case scala.util.control.NonFatal(e) =>
+          500 -> err(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
       }
     val bytes = json.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -114,28 +135,88 @@ final class GraftHttpServer(
   }
 
   private def route(method: String, pid: Long, segs: List[String],
-                    body: String): (Int, String) = (method, segs) match {
+                    body: String, acting: Option[Long]): (Int, String) = (method, segs) match {
     case ("POST", List("queries", "event-segmentation")) =>
       200 -> Metrics.timed("event_segmentation") {
         Response.collect(JsonApi.eventSegmentation(
-          events, withProject(body, pid), customEvents, registry)).toJson
+          events, withProject(body, pid), customEventDefs, reg)).toJson
       }
     case ("POST", List("queries", "funnel")) =>
-      200 -> JsonApi.funnelJson(spark, events, withProject(body, pid), registry)
+      200 -> JsonApi.funnelJson(spark, events, withProject(body, pid), reg)
     case ("POST", List("event-records", "search")) =>
       200 -> Metrics.timed("event_records_search") {
         Response.collect(JsonApi.eventRecordsSearch(
-          events, withProject(body, pid), registry)).toJson
+          events, withProject(body, pid), reg)).toJson
       }
     case ("POST", List("properties", "values")) =>
       200 -> Metrics.timed("property_values") {
         Response.collect(JsonApi.propertyValues(
-          events, withProject(body, pid), registry)).toJson
+          events, withProject(body, pid), reg)).toJson
       }
     case ("POST", List("group-records", "search")) =>
       200 -> Metrics.timed("group_records_search") {
         Response.collect(JsonApi.groupRecordsSearch(
-          events, withProject(body, pid), registry)).toJson
+          events, withProject(body, pid), reg)).toJson
+      }
+
+    // ---- schema CRUD (reference platform/src/http/properties.rs:
+    // 164-176 event-properties routes, events.rs:100-118, custom_
+    // events.rs; mutations demand ManageSchema, rbac.rs
+    // PROJECT_PERMISSIONS) ----
+    case ("GET", List("schema", "event-properties")) =>
+      200 -> reg.allProperties.map(propJson).mkString("[", ",", "]")
+    case ("GET", List("schema", "event-properties", "name", name)) =>
+      reg.allProperties.find(_.name.equalsIgnoreCase(name))
+        .map(m => 200 -> propJson(m))
+        .getOrElse(404 -> err(s"property '$name' not found"))
+    case ("PUT", List("schema", "event-properties", name)) =>
+      schemaGate(pid, acting).getOrElse {
+        val j = Json.parse(body)
+        var next = reg
+        // display rename first (UpdatePropertyRequest.display_name),
+        // then flag updates address the NEW name
+        val finalName = j.asOpt("displayName").map(_.str).getOrElse(name)
+        if (finalName != name) next = next.renameProperty(name, finalName)
+        j.asOpt("isDictionary").map(_.bool).foreach { d =>
+          next = next.withProperty(next.property(finalName).copy(isDictionary = d))
+        }
+        reg = next
+        200 -> propJson(reg.property(finalName))
+      }
+    case ("DELETE", List("schema", "event-properties", name)) =>
+      schemaGate(pid, acting).getOrElse {
+        if (!reg.allProperties.exists(_.name.equalsIgnoreCase(name)))
+          404 -> err(s"property '$name' not found")
+        else { reg = reg.withoutProperty(name); 200 -> "{}" }
+      }
+    case ("GET", List("schema", "events")) =>
+      200 -> reg.eventNames.toSeq.sorted
+        .map(n => JStr(n).render).mkString("[", ",", "]")
+    case ("POST", List("schema", "events")) =>
+      schemaGate(pid, acting).getOrElse {
+        val name = (Json.parse(body) / "name").str
+        reg = reg.withEventName(name)
+        200 -> s"""{"name":${JStr(name).render}}"""
+      }
+    case ("DELETE", List("schema", "events", name)) =>
+      schemaGate(pid, acting).getOrElse {
+        reg = reg.withoutEventName(name); 200 -> "{}"
+      }
+    case ("POST", List("schema", "custom-events")) =>
+      schemaGate(pid, acting).getOrElse {
+        val j = Json.parse(body)
+        val id = (j / "id").long
+        val ce = graft.model.JsonDsl.customEventDef(j / "definition")(reg)
+        Registry.validateCustomEvent(ce)   // cycle/depth guard at entry
+        customEventDefs = customEventDefs + (id -> ce)
+        reg = reg.withCustomEvent(id, ce)
+        200 -> s"""{"id":$id,"name":${JStr(ce.name).render}}"""
+      }
+    case ("DELETE", List("schema", "custom-events", IdSeg(id))) =>
+      schemaGate(pid, acting).getOrElse {
+        customEventDefs = customEventDefs - id
+        reg = reg.withoutCustomEvent(id)
+        200 -> "{}"
       }
 
     case ("POST", List("reports")) =>
@@ -157,7 +238,7 @@ final class GraftHttpServer(
         .map { r =>
           200 -> Metrics.timed("report_run") {
             Response.collect(
-              JsonApi.runReport(spark, events, r, customEvents, registry)).toJson
+              JsonApi.runReport(spark, events, r, customEventDefs, reg)).toJson
           }
         }
         .getOrElse(404 -> err(s"report $id not found"))
@@ -175,7 +256,7 @@ final class GraftHttpServer(
       reports.getDashboard(pid, id)
         .map { d =>
           val results = JsonApi.runDashboard(spark, events, d, reports,
-            customEvents, registry)
+            customEventDefs, reg)
           200 -> results.map { case (p, df) =>
             s"""{"reportId":${p.reportId},"result":${Response.collect(df).toJson}}"""
           }.mkString("""{"panels":[""", ",", "]}")
@@ -188,19 +269,41 @@ final class GraftHttpServer(
   /** Bearer-token gate for `/projects/:id/…` routes — the reference's
     * Context extractor parses the Authorization header into claims and
     * the rbac layer checks ExploreProjects (platform/src/context.rs,
-    * common/src/rbac.rs). None = allowed; Some(resp) = denial. Servers
-    * constructed without an Auth stay open. */
-  private def authorize(ex: HttpExchange, pid: Long): Option[(Int, String)] =
-    auth.flatMap { a =>
-      val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-      if (!header.startsWith("Bearer ")) Some(401 -> err("unauthorized"))
-      else a.authenticate(header.stripPrefix("Bearer ")) match {
-        case Left(msg) => Some(401 -> err(msg))
-        case Right(claims) =>
-          if (tenancy.forall(_.canExploreProject(claims.accountId, pid))) None
-          else Some(403 -> err(s"account ${claims.accountId} may not explore project $pid"))
-      }
+    * common/src/rbac.rs). Right(acting account) = allowed (None when
+    * no Auth is attached — servers constructed without one stay open);
+    * Left = denial. The account flows on to per-route permission
+    * checks (schema mutations demand manage_schema on top of
+    * explore). */
+  private def authorize(ex: HttpExchange, pid: Long): Either[(Int, String), Option[Long]] =
+    auth match {
+      case None => Right(None)
+      case Some(a) =>
+        val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        if (!header.startsWith("Bearer ")) Left(401 -> err("unauthorized"))
+        else a.authenticate(header.stripPrefix("Bearer ")) match {
+          case Left(msg) => Left(401 -> err(msg))
+          case Right(claims) =>
+            if (tenancy.forall(_.canExploreProject(claims.accountId, pid)))
+              Right(Some(claims.accountId))
+            else Left(403 -> err(s"account ${claims.accountId} may not explore project $pid"))
+        }
     }
+
+  /** ManageSchema gate for schema mutations: explore got the caller
+    * through [[authorize]]; writes additionally need manage_schema on
+    * the project (or org-level manage_projects/ownership) — reference
+    * rbac.rs PROJECT_PERMISSIONS, checked by every update/delete
+    * handler in platform/src/properties.rs and events.rs. */
+  private def schemaGate(pid: Long, acting: Option[Long]): Option[(Int, String)] =
+    acting.flatMap { acc =>
+      if (tenancy.forall(_.canManageSchema(acc, pid))) None
+      else Some(403 -> err(s"account $acc may not manage_schema in project $pid"))
+    }
+
+  private def propJson(m: graft.model.PropertyMeta): String =
+    s"""{"name":${JStr(m.name).render},"column":${JStr(m.column).render},""" +
+      s""""dataType":${JStr(m.dataType).render},"isDictionary":${m.isDictionary},""" +
+      s""""isSystem":${m.isSystem}}"""
 
   /** Actor resolution for identity-plane mutations (the reference's
     * Context extractor, platform/src/context.rs): with an Auth

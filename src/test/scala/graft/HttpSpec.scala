@@ -249,6 +249,88 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("schema CRUD: rename/flag properties, event names, custom events; queries follow") {
+    val events = ev
+    val registry = graft.engine.Metadata.fromEvents(events,
+      display = Map("value" -> "Revenue"))
+    withServer(new GraftHttpServer(spark, events, registry = registry)) { srv =>
+      // list + by-name lookup
+      val (lc, props) = req(srv.port, "GET", "/api/v1/projects/1/schema/event-properties")
+      assert(lc == 200 && props.contains("\"name\":\"Revenue\""))
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/schema/event-properties/name/Revenue")._1 == 200)
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/schema/event-properties/name/Nope")._1 == 404)
+
+      // rename Revenue -> Turnover; a query addressing the NEW display
+      // name resolves, the old one no longer does
+      val (uc, upd) = req(srv.port, "PUT",
+        "/api/v1/projects/1/schema/event-properties/Revenue",
+        """{"displayName": "Turnover"}""")
+      assert(uc == 200 && upd.contains("\"name\":\"Turnover\""))
+      assert(srv.currentRegistry.property("Turnover").column == "value")
+      // dictionary flag update on a column the query below doesn't touch
+      val (fc, flagged) = req(srv.port, "PUT",
+        "/api/v1/projects/1/schema/event-properties/device",
+        """{"isDictionary": true}""")
+      assert(fc == 200 && flagged.contains("\"isDictionary\":true"))
+      val esTurnover = esBody.replace(
+        "\"propertyName\": \"value\"", "\"propertyName\": \"Turnover\"")
+      val (qc, got) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/event-segmentation", esTurnover)
+      assert(qc == 200)
+      assert(got == Response.collect(JsonApi.eventSegmentation(
+        events, esTurnover, registry = srv.currentRegistry)).toJson)
+
+      // event-name list + custom-event definition with cycle guard
+      val (ec, _) = req(srv.port, "POST", "/api/v1/projects/1/schema/events",
+        """{"name": "install"}""")
+      assert(ec == 200)
+      assert(req(srv.port, "GET", "/api/v1/projects/1/schema/events")._2
+        .contains("install"))
+      val (cc, ceJson) = req(srv.port, "POST",
+        "/api/v1/projects/1/schema/custom-events",
+        """{"id": 7, "definition": {"name": "engagement", "events": [
+             {"eventName": "view"}, {"eventName": "click"}]}}""")
+      assert(cc == 200 && ceJson.contains("engagement"))
+      assert(srv.currentRegistry.customEvent(7L).name == "engagement")
+      // over-deep definition rejected by the registry guard -> 400
+      assert(req(srv.port, "POST", "/api/v1/projects/1/schema/custom-events",
+        """{"id": 8, "definition": {"name": "l1", "events": [{"customEvent":
+             {"name": "l2", "events": [{"customEvent": {"name": "l3", "events":
+             [{"customEvent": {"name": "l4", "events": [{"customEvent":
+             {"name": "l5", "events": [{"eventName": "view"}]}}]}}]}}]}}]}}""")._1 == 400)
+      assert(req(srv.port, "DELETE",
+        "/api/v1/projects/1/schema/custom-events/7")._1 == 200)
+      assert(req(srv.port, "DELETE",
+        "/api/v1/projects/1/schema/event-properties/Nope")._1 == 404)
+      assert(req(srv.port, "DELETE",
+        "/api/v1/projects/1/schema/event-properties/Turnover")._1 == 200)
+    }
+  }
+
+  test("schema mutations demand manage_schema; readers get 403") {
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    withServer(new GraftHttpServer(spark, ev,
+      tenancy = Some(tenancy), auth = Some(auth))) { srv =>
+      val owner = tenancy.createAccount("o@x.com", "Str0ng!pass", None, 0L)
+      val org = tenancy.createOrganization("Acme", owner.id, 0L)
+      val p = tenancy.createProject(org.id, "Shop", "t", owner.id, 0L)
+      val reader = tenancy.createAccount("r@x.com", "Str0ng!pass2", None, 0L)
+      tenancy.addProjectRole(reader.id, p.id, "reader")
+      val ownerTok = auth.logIn("o@x.com", "Str0ng!pass").accessToken
+      val readerTok = auth.logIn("r@x.com", "Str0ng!pass2").accessToken
+      // reader may LIST schema (view_schema rides explore) but not mutate
+      assert(req(srv.port, "GET", s"/api/v1/projects/${p.id}/schema/events",
+        bearer = readerTok)._1 == 200)
+      assert(req(srv.port, "POST", s"/api/v1/projects/${p.id}/schema/events",
+        """{"name": "x"}""", bearer = readerTok)._1 == 403)
+      assert(req(srv.port, "POST", s"/api/v1/projects/${p.id}/schema/events",
+        """{"name": "x"}""", bearer = ownerTok)._1 == 200)
+    }
+  }
+
   test("errors: malformed JSON 400, unknown routes 404") {
     withServer(new GraftHttpServer(spark, ev)) { srv =>
       assert(req(srv.port, "POST",

@@ -51,6 +51,35 @@ class MetadataSpec extends SparkTestBase {
     assert(regOk.eventNames == Set("view", "buy"))
   }
 
+  test("cyclic or over-deep custom events are rejected at registry entry") {
+    import graft.model.{CustomEvent, CustomEventMember, Registry}
+    // members embed definitions by VALUE (immutable Seq), so a true
+    // pointer cycle is unconstructible — the reference's cycle check
+    // (ids revisited during the walk, custom_events.rs:97-101)
+    // degenerates here to rejecting any re-reference of the same
+    // definition instance, which is what a by-id CRUD layer resolving
+    // into shared objects would produce
+    val shared = CustomEvent("leaf", Seq(CustomEventMember.Event(Some("view"))))
+    val diamond = CustomEvent("diamond", Seq(
+      CustomEventMember.Custom(shared), CustomEventMember.Custom(shared)))
+    assertThrows[graft.model.Json.JsonError](
+      Registry.open.withCustomEvent(1L, diamond))
+    // nesting beyond MAX_EVENTS_LEVEL=3 (reference custom_events.rs:42)
+    val deep = (1 to 4).foldLeft(
+      CustomEvent("leaf", Seq(CustomEventMember.Event(Some("view"))))) {
+      (inner, i) => CustomEvent(s"level$i", Seq(CustomEventMember.Custom(inner)))
+    }
+    assertThrows[graft.model.Json.JsonError](
+      Registry.open.withCustomEvent(2L, deep))
+    // a legal two-level nest still registers (and Registry.apply
+    // validates the construction-time map the same way)
+    val ok = CustomEvent("outer", Seq(CustomEventMember.Custom(
+      CustomEvent("leaf", Seq(CustomEventMember.Event(Some("view")))))))
+    assert(Registry.open.withCustomEvent(3L, ok).customEvent(3L).name == "outer")
+    assertThrows[graft.model.Json.JsonError](
+      Registry(Seq.empty, customEvents = Map(1L -> diamond), strict = false))
+  }
+
   test("JSON requests resolve display names through the registry") {
     val reg = Metadata.fromEvents(df, display = Map("value" -> "Revenue"))
     val json = """{
