@@ -1148,6 +1148,25 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
+    // PRODUCTION variants of the two banded dedup pipelines: same
+    // parameterization as their md5-portable oracle twins above, but
+    // on the xxhash path a user actually runs (codegen'd 64-bit
+    // hashes, no hex-string arithmetic). No SQL oracle — xxhash64
+    // isn't reproducible in DuckDB — so the driver records rows-only;
+    // correctness of the shared banding/verify machinery is pinned by
+    // the portable twins, and these keep the 2x bench gate honest
+    // about the production path (VERDICT r5).
+    "q_minhash_dups_prod" -> ((s, dir) => {
+      Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+    "q_ngram_jaccard_prod" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.05)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
     // pipeline: SimHash fingerprints + near-dup hamming pairs (rows-only)
     // pipeline: simhash near-dup candidates — 60-bit md5 fingerprints
     // so the DuckDB oracle computes identical chunks and hamming
@@ -1323,6 +1342,18 @@ object SparkEntry {
           sum(col("resolved_user_id")).as("id_sum"),
           min(col("resolved_user_id")).as("min_id"))
         .orderBy(col("country"), col("client_family"), col("os_family"))
+    }),
+
+    // Sessionization (reference metadata/src/sessions.rs:75-133): the
+    // per-(project,user) liveness record swept into session-end events
+    // becomes one user-partitioned window + groupBy — gap 1h, emitted
+    // as the sweeper's per-session summary rows.
+    "q_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.ingest.Ingest.sessionEnds(ev, "user_id", "ts_us",
+        gap = 3600000000L)
+        .orderBy(col("user_id"), col("session_seq"))
     }),
 
     // Ingester: the Identify executor (reference
@@ -2340,6 +2371,22 @@ object SparkEntry {
          JOIN mapping m USING (user_key)
          LEFT JOIN georanges g ON f.ip >= g.ip_start AND f.ip <= g.ip_end
          GROUP BY 1, 2, 3 ORDER BY country, client_family, os_family""",
+
+    // Ties in ts are flag-0 rows on both engines, so tie order can't
+    // shift session boundaries; HUGEINT window sums cast to BIGINT.
+    "q_sessionize" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         f AS (SELECT user_id, ts_us,
+                 CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 3600000000
+                      THEN 1 ELSE 0 END AS nb
+               FROM t),
+         s AS (SELECT user_id, ts_us,
+                 CAST(SUM(nb) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_seq
+               FROM f)
+         SELECT user_id, session_seq, min(ts_us) AS session_start,
+           max(ts_us) AS session_end, count(*) AS n_events
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""",
 
     "q_ingest_identify" ->
       """WITH ev AS (

@@ -314,6 +314,50 @@ object Ingest {
     }
 
   // ---------------------------------------------------------------
+  // Sessionization (reference metadata/src/sessions.rs:75-133 — a
+  // RocksDB liveness record per (project,user) bumped on every event,
+  // swept by a callback that emits synthetic session-end events when
+  // the inactivity gap passes)
+  // ---------------------------------------------------------------
+
+  /** Batch sessionization: assign a session id per (user, event) using
+    * the reference's inactivity-gap rule — an event more than `gap`
+    * after the user's previous event starts a new session. `tsCol`
+    * must be NUMERIC in the same unit as `gap` (pass `unix_micros(ts)`
+    * for timestamp data — a timestamp→long cast would silently give
+    * seconds). The set-at-a-time form of the per-event RocksDB bump:
+    * one window over (user, ts) — partitioned BY USER, so at 100 TB
+    * the work is one shuffle on the user key with no single-task
+    * global state — a boundary flag, and a running sum. Returns the
+    * input plus `session_seq` (1-based per user). [[sessionEnds]]
+    * derives the sweeper's synthetic session-end rows from the same
+    * assignment. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 gap: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val newSession =
+      when(col(tsCol) - lag(col(tsCol), 1).over(w) > gap, 1L).otherwise(lit(0L))
+    // first event of a user has a null lag → otherwise(0); the +1
+    // makes the first session 1-based like the reference's counter
+    df.withColumn("session_seq",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)) + 1L)
+  }
+
+  /** Per-session summary rows — what the reference's sweeper callback
+    * emits as "session end" events once a session's inactivity gap
+    * expires (sessions.rs:104-133; the ingester inserts them as
+    * synthetic events). One groupBy on (user, session_seq). */
+  def sessionEnds(df: DataFrame, userCol: String, tsCol: String,
+                  gap: Long): DataFrame =
+    sessionize(df, userCol, tsCol, gap)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
+  // ---------------------------------------------------------------
   // Identify executor (reference executor.rs:265-330): group-profile
   // upsert with version bump
   // ---------------------------------------------------------------

@@ -183,6 +183,24 @@ class IngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize splits on the inactivity gap; sessionEnds summarizes per session") {
+    import spark.implicits._
+    // user 1: events at 0, 50, 200 (gap 100 → sessions [0,50] and [200]);
+    // user 2: single event; tie at t=50 stays in-session
+    val ev = Seq((1L, 0L), (1L, 50L), (1L, 50L), (1L, 200L), (2L, 10L))
+      .toDF("user_id", "ts_us")
+    val s = Ingest.sessionize(ev, "user_id", "ts_us", gap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s((1L, 0L)) == 1L && s((1L, 50L)) == 1L && s((1L, 200L)) == 2L)
+    assert(s((2L, 10L)) == 1L, "first session is 1-based like the reference counter")
+    val ends = Ingest.sessionEnds(ev, "user_id", "ts_us", gap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(ends((1L, 1L)) == ((0L, 50L, 3L)))
+    assert(ends((1L, 2L)) == ((200L, 200L, 1L)))
+    assert(ends((2L, 1L)) == ((10L, 10L, 1L)))
+  }
+
   test("identifyBatch keeps untouched profiles as-is") {
     import spark.implicits._
     val profiles = Seq(("u1", 2L, Some("basic"))).toDF("user_key", "version", "plan")
