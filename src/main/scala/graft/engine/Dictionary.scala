@@ -87,10 +87,14 @@ object Dictionary {
       .filter(col("value").isNotNull).distinct()
     val newVals = distinctVals
       .join(existing.select(col("value")), Seq("value"), "left_anti")
-    val maxKeyDf = existing.agg(coalesce(max(col("key")), lit(0L)).as("__max_key"))
-    val assigned = rankRows(newVals, Seq(col("value")), "key", startAt = 0L)
-      .crossJoin(broadcast(maxKeyDf))
-      .select(col("value"), (col("key") + col("__max_key")).as("key"))
+    // one-row eager max (the monotonic counter read) folded into
+    // rankRows' startAt — same shape as Ingest.resolveParts; the
+    // store is parquet so the anti-join's re-scan is cheap, but a
+    // broadcast-max join arm would re-scan it a THIRD time and sit
+    // in the plan past the atomicAppend action below
+    val maxKey = existing.agg(coalesce(max(col("key")), lit(0L))).first().getLong(0)
+    val assigned = rankRows(newVals, Seq(col("value")), "key", startAt = maxKey)
+      .select(col("value"), col("key"))
     graft.sources.Store.atomicAppend(assigned, dir, s"batch-$batchTag")
     loadStore(spark, dir)
   }
