@@ -51,6 +51,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - POST/GET organizations, GET/PUT/DELETE organizations/:id
   *  - POST/GET projects, GET organizations/:id/projects
   *  - POST ingest/:token/track — project resolved by ingest token
+  *  - GET/PUT /api/v1/admin/settings (with a SettingsProvider —
+  *    partial merge, validated save, secrets write-only)
   * and every `/projects/:id/…` query route then demands a Bearer
   * access token whose account may explore that project (the
   * reference's Context extractor + rbac check). Tenancy MUTATIONS
@@ -68,7 +70,8 @@ final class GraftHttpServer(
     customEvents: Map[Long, CustomEvent] = Map.empty,
     clock: () => Long = () => System.currentTimeMillis(),
     tenancy: Option[graft.model.Tenancy] = None,
-    auth: Option[graft.model.Auth] = None) {
+    auth: Option[graft.model.Auth] = None,
+    settings: Option[graft.model.SettingsProvider] = None) {
 
   /** Live schema state behind the CRUD routes: the constructor's
     * registry/customEvents seed copy-on-write snapshots (reference
@@ -357,7 +360,9 @@ final class GraftHttpServer(
     * Tenancy is attached. */
   private def routeIdentity(ex: HttpExchange, method: String, segs: List[String],
                             body: String): (Int, String) = {
-    val t = tenancy.getOrElse(return 404 -> err("not found"))
+    // lazy: the admin/settings routes mount without a Tenancy; every
+    // tenancy-backed route 404s through the handler's not-found fold
+    def t = tenancy.getOrElse(sys.error("not found"))
     def j = Json.parse(body)
     (method, segs) match {
       case ("POST", List("auth", "signup")) =>
@@ -421,6 +426,25 @@ final class GraftHttpServer(
         t.project(id).map(p => 200 -> projectJson(p))
           .getOrElse(404 -> err(s"project $id not found"))
 
+      // server settings document (reference platform/src/http/
+      // settings.rs:28-30 GET/PUT /api/v1/admin/settings); PUT is a
+      // partial merge onto the current document, validated on save
+      case ("GET", List("admin", "settings")) =>
+        val sp = settings.getOrElse(return 404 -> err("not found"))
+        actor(ex) match {
+          case Left(denied) => denied
+          case Right(_)     => 200 -> settingsJson(sp.load())
+        }
+      case ("PUT", List("admin", "settings")) =>
+        val sp = settings.getOrElse(return 404 -> err("not found"))
+        actor(ex) match {
+          case Left(denied) => denied
+          case Right(_) =>
+            val merged = mergeSettings(sp.load(), j)
+            sp.save(merged)          // IllegalArgumentException → 400
+            200 -> settingsJson(sp.load())
+        }
+
       // request-at-a-time ingest, project resolved by its token
       // (ingester executor.rs:123 get_by_token; 404 on unknown token)
       case ("POST", List("ingest", token, "track")) =>
@@ -435,6 +459,65 @@ final class GraftHttpServer(
       case _ => 404 -> err("not found")
     }
   }
+
+  private def settingsJson(s: graft.model.Settings): String =
+    s"""{"authAccessToken":${JStr(s.authAccessToken).render},""" +
+      s""""authRefreshToken":${JStr(s.authRefreshToken).render},""" +
+      s""""authAdminDefaultPassword":${JStr(s.authAdminDefaultPassword).render},""" +
+      s""""backupEnabled":${s.backupEnabled},""" +
+      s""""backupEncryptionEnabled":${s.backupEncryptionEnabled},""" +
+      s""""backupEncryptionPassword":${JStr(s.backupEncryptionPassword).render},""" +
+      s""""backupCompressionEnabled":${s.backupCompressionEnabled},""" +
+      s""""backupProvider":${JStr(s.backupProvider).render},""" +
+      s""""backupProviderLocalPath":${JStr(s.backupProviderLocalPath).render},""" +
+      s""""backupProviderS3Bucket":${JStr(s.backupProviderS3Bucket).render},""" +
+      s""""backupProviderS3Path":${JStr(s.backupProviderS3Path).render},""" +
+      s""""backupProviderS3Region":${JStr(s.backupProviderS3Region).render},""" +
+      s""""backupProviderGcpBucket":${JStr(s.backupProviderGcpBucket).render},""" +
+      s""""backupProviderGcpPath":${JStr(s.backupProviderGcpPath).render},""" +
+      s""""backupScheduleInterval":${JStr(s.backupScheduleInterval).render},""" +
+      s""""backupScheduleStartHour":${s.backupScheduleStartHour}}"""
+      // secrets (s3 keys, gcp key) deliberately not echoed back —
+      // write-only fields, like any credentials endpoint
+
+  /** Partial update: absent fields keep their current value (the
+    * reference's OptionalProperty DTO semantics). */
+  private def mergeSettings(cur: graft.model.Settings, j: Json.JValue): graft.model.Settings =
+    cur.copy(
+      authAccessToken = j.asOpt("authAccessToken").map(_.str).getOrElse(cur.authAccessToken),
+      authRefreshToken = j.asOpt("authRefreshToken").map(_.str).getOrElse(cur.authRefreshToken),
+      authAdminDefaultPassword = j.asOpt("authAdminDefaultPassword").map(_.str)
+        .getOrElse(cur.authAdminDefaultPassword),
+      backupEnabled = j.asOpt("backupEnabled").map(_.bool).getOrElse(cur.backupEnabled),
+      backupEncryptionEnabled = j.asOpt("backupEncryptionEnabled").map(_.bool)
+        .getOrElse(cur.backupEncryptionEnabled),
+      backupEncryptionPassword = j.asOpt("backupEncryptionPassword").map(_.str)
+        .getOrElse(cur.backupEncryptionPassword),
+      backupCompressionEnabled = j.asOpt("backupCompressionEnabled").map(_.bool)
+        .getOrElse(cur.backupCompressionEnabled),
+      backupProvider = j.asOpt("backupProvider").map(_.str).getOrElse(cur.backupProvider),
+      backupProviderLocalPath = j.asOpt("backupProviderLocalPath").map(_.str)
+        .getOrElse(cur.backupProviderLocalPath),
+      backupProviderS3Bucket = j.asOpt("backupProviderS3Bucket").map(_.str)
+        .getOrElse(cur.backupProviderS3Bucket),
+      backupProviderS3Path = j.asOpt("backupProviderS3Path").map(_.str)
+        .getOrElse(cur.backupProviderS3Path),
+      backupProviderS3Region = j.asOpt("backupProviderS3Region").map(_.str)
+        .getOrElse(cur.backupProviderS3Region),
+      backupProviderS3AccessKey = j.asOpt("backupProviderS3AccessKey").map(_.str)
+        .getOrElse(cur.backupProviderS3AccessKey),
+      backupProviderS3SecretKey = j.asOpt("backupProviderS3SecretKey").map(_.str)
+        .getOrElse(cur.backupProviderS3SecretKey),
+      backupProviderGcpBucket = j.asOpt("backupProviderGcpBucket").map(_.str)
+        .getOrElse(cur.backupProviderGcpBucket),
+      backupProviderGcpPath = j.asOpt("backupProviderGcpPath").map(_.str)
+        .getOrElse(cur.backupProviderGcpPath),
+      backupProviderGcpKey = j.asOpt("backupProviderGcpKey").map(_.str)
+        .getOrElse(cur.backupProviderGcpKey),
+      backupScheduleInterval = j.asOpt("backupScheduleInterval").map(_.str)
+        .getOrElse(cur.backupScheduleInterval),
+      backupScheduleStartHour = j.asOpt("backupScheduleStartHour").map(_.long.toInt)
+        .getOrElse(cur.backupScheduleStartHour))
 
   private def tokensJson(tok: graft.model.Auth.Tokens): String =
     s"""{"accessToken":${JStr(tok.accessToken).render},"refreshToken":${JStr(tok.refreshToken).render}}"""

@@ -331,6 +331,28 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("admin settings: partial PUT merges, validation 400s, secrets not echoed") {
+    val sp = new graft.model.SettingsProvider
+    withServer(new GraftHttpServer(spark, ev, settings = Some(sp))) { srv =>
+      val (gc, defaults) = req(srv.port, "GET", "/api/v1/admin/settings")
+      assert(gc == 200 && defaults.contains("\"backupProvider\":\"local\""))
+      // partial update keeps unmentioned fields; validation rejects an
+      // incomplete s3 config and leaves the stored document untouched
+      assert(req(srv.port, "PUT", "/api/v1/admin/settings",
+        """{"backupProvider": "s3"}""")._1 == 400)
+      assert(sp.load().backupProvider == "local")
+      val (uc, upd) = req(srv.port, "PUT", "/api/v1/admin/settings",
+        """{"backupProvider": "s3", "backupProviderS3Bucket": "b",
+            "backupProviderS3Region": "r", "backupProviderS3AccessKey": "ak",
+            "backupProviderS3SecretKey": "sk", "backupEnabled": true}""")
+      assert(uc == 200 && upd.contains("\"backupEnabled\":true"))
+      assert(!upd.contains("sk"), "secret keys are write-only")
+      assert(sp.load().backupProviderS3SecretKey == "sk")
+      // tenancy routes on a settings-only server are 404, not crashes
+      assert(req(srv.port, "GET", "/api/v1/organizations")._1 == 404)
+    }
+  }
+
   test("errors: malformed JSON 400, unknown routes 404") {
     withServer(new GraftHttpServer(spark, ev)) { srv =>
       assert(req(srv.port, "POST",
