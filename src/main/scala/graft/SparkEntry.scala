@@ -1394,6 +1394,67 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming Track executor, ORACLED end to end: a bounded slice
+    // of the feed (seq < 2000 — fixture-sized, collected once) plays
+    // through Structured Streaming as TWO MemoryStream micro-batches;
+    // each batch runs the full resolve→enrich→denormalize pipeline
+    // with a persisted identity snapshot between batches
+    // (Ingest.streamingTrack). The enrichment output aggregates
+    // id-free (event, country), so DuckDB recomputes it from the same
+    // slice as one batch — identical results prove the micro-batched
+    // path computes the batch semantics (reference ingests request-
+    // at-a-time, executor.rs:120).
+    "q_stream_track" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val feed = trackFeed(s, dir).filter(col("seq") < 2000)
+        .select(col("user_key"), col("seq"), col("ua"), col("ip"), col("event"))
+      val rows = feed.collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      val input = MemoryStream[(String, Long, String, Long, String)]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val q = graft.ingest.Ingest.streamingTrack(
+        input.toDF().toDF("user_key", "seq", "ua", "ip", "event"),
+        s"$tmp/ids", geoRanges(s)) { (denorm, _) =>
+          acc ++= denorm
+            .select(col("event"), coalesce(col("country"), lit("unknown")))
+            .collect().map(r => (r.getString(0), r.getString(1)))
+        }.option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        def tup(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4))
+        val (b1, b2) = rows.partition(_.getLong(1) < 1000)
+        input.addData(b1.map(tup).toSeq); q.processAllAvailable()
+        input.addData(b2.map(tup).toSeq); q.processAllAvailable()
+      } finally q.stop()
+      acc.toSeq.toDF("event", "country")
+        .groupBy(col("event"), col("country"))
+        .agg(count(lit(1)).as("events"))
+        .orderBy(col("event"), col("country"))
+    }),
+
+    // CSV source round-trip (reference reads integration fixtures
+    // through a CSV ListingTable, query/src/lib.rs:701-720): nation
+    // is exported to a single-file CSV, read back through the CSV
+    // source with an explicit schema, and joined/aggregated against
+    // parquet dims — the oracle recomputes from parquet alone, so a
+    // quoting/typing defect in either CSV direction breaks the hash.
+    "q_csv_source" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-csv-" + Integer.toHexString(dir.hashCode))
+      Tables.nation(s, dir).orderBy("n_nationkey").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out.getAbsolutePath)
+      val back = Tables.loadCsv(s, out.getAbsolutePath, Tables.nation(s, dir).schema)
+      back.join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("nations"),
+          sum(col("n_nationkey")).as("key_sum"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy(col("r_name"))
+    }),
+
     // 6-way dimension join (TPC-H Q5 flavor): join-order + broadcast
     // exercise across the whole star schema
     "q5_join" -> ((s, dir) => {
@@ -1548,6 +1609,27 @@ object SparkEntry {
          FROM events
          WHERE $SQL_RANGE AND event_type = 'purchase' AND value > 50
          GROUP BY 1, 2""",
+
+    // Streaming equivalence: DuckDB computes the SAME bounded slice
+    // in one pass; the Spark side produced it across two micro-batches
+    // with snapshot state between them.
+    "q_stream_track" ->
+      s"""WITH $feedSql, $geoRangesSql
+         SELECT f.event, coalesce(g.country, 'unknown') AS country,
+           count(*) AS events
+         FROM feed f LEFT JOIN georanges g
+           ON f.ip >= g.ip_start AND f.ip <= g.ip_end
+         WHERE f.seq < 2000
+         GROUP BY 1, 2 ORDER BY event, country""",
+
+    // CSV round-trip: the oracle never touches the CSV — identical
+    // output proves the export/import pair is lossless.
+    "q_csv_source" ->
+      """SELECT r_name, count(*) AS nations,
+         CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+         min(n_name) AS first_nation
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY r_name""",
 
     // A display rename changes only the logical addressing — the
     // physical plan and therefore the oracle stay identical.
