@@ -81,6 +81,11 @@ final class GraftHttpServer(
     * request, exactly like the reference's metadata store. */
   @volatile private var reg: Registry = registry
   @volatile private var customEventDefs: Map[Long, CustomEvent] = customEvents
+  /** Serializes schema read-modify-write cycles — the JDK server
+    * dispatches handlers concurrently, and two interleaved renames on
+    * the volatile snapshot would silently drop one. Queries stay
+    * lock-free (they read one volatile snapshot). */
+  private val schemaLock = new Object
   /** Test/embedding hook: the current schema snapshot. */
   def currentRegistry: Registry = reg
 
@@ -173,7 +178,7 @@ final class GraftHttpServer(
         .map(m => 200 -> propJson(m))
         .getOrElse(404 -> err(s"property '$name' not found"))
     case ("PUT", List("schema", "event-properties", name)) =>
-      schemaGate(pid, acting).getOrElse {
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
         val j = Json.parse(body)
         var next = reg
         // display rename first (UpdatePropertyRequest.display_name),
@@ -185,28 +190,28 @@ final class GraftHttpServer(
         }
         reg = next
         200 -> propJson(reg.property(finalName))
-      }
+      })
     case ("DELETE", List("schema", "event-properties", name)) =>
-      schemaGate(pid, acting).getOrElse {
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
         if (!reg.allProperties.exists(_.name.equalsIgnoreCase(name)))
           404 -> err(s"property '$name' not found")
         else { reg = reg.withoutProperty(name); 200 -> "{}" }
-      }
+      })
     case ("GET", List("schema", "events")) =>
       200 -> reg.eventNames.toSeq.sorted
         .map(n => JStr(n).render).mkString("[", ",", "]")
     case ("POST", List("schema", "events")) =>
-      schemaGate(pid, acting).getOrElse {
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
         val name = (Json.parse(body) / "name").str
         reg = reg.withEventName(name)
         200 -> s"""{"name":${JStr(name).render}}"""
-      }
+      })
     case ("DELETE", List("schema", "events", name)) =>
-      schemaGate(pid, acting).getOrElse {
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
         reg = reg.withoutEventName(name); 200 -> "{}"
-      }
+      })
     case ("POST", List("schema", "custom-events")) =>
-      schemaGate(pid, acting).getOrElse {
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
         val j = Json.parse(body)
         val id = (j / "id").long
         val ce = graft.model.JsonDsl.customEventDef(j / "definition")(reg)
@@ -214,13 +219,13 @@ final class GraftHttpServer(
         customEventDefs = customEventDefs + (id -> ce)
         reg = reg.withCustomEvent(id, ce)
         200 -> s"""{"id":$id,"name":${JStr(ce.name).render}}"""
-      }
+      })
     case ("DELETE", List("schema", "custom-events", IdSeg(id))) =>
-      schemaGate(pid, acting).getOrElse {
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
         customEventDefs = customEventDefs - id
         reg = reg.withoutCustomEvent(id)
         200 -> "{}"
-      }
+      })
 
     case ("POST", List("reports")) =>
       val j = Json.parse(body)
