@@ -102,6 +102,18 @@ object SparkEntry {
          SELECT id_a, id_b, jaccard FROM star"""
   }
 
+  /** [[portableMinhashSql]] wrapped as a `pairs` CTE, for oracles that
+    * post-process the pair set (e.g. the recursive connected-components
+    * clustering in q_dedup_clusters). */
+  private def portableMinhashPairsCte(n: Int, numHashes: Int, bands: Int,
+                                      threshold: Double): String = {
+    val full = portableMinhashSql(n, numHashes, bands, threshold)
+    // split "WITH <ctes> SELECT <final>" into CTE list + final select
+    val body = full.stripPrefix("WITH ")
+    val idx = body.lastIndexOf("SELECT id_a, id_b, round")
+    s"${body.substring(0, idx).trim.stripSuffix(",")}, pairs AS (${body.substring(idx)})"
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
   private def eventsC(s: SparkSession, dir: String): DataFrame =
@@ -1146,6 +1158,21 @@ object SparkEntry {
       Dedup.minhashDupPairsPortable(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
         .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    // pipeline: connected-components clustering over the (oracled)
+    // minhash pair set — transitive closure turns pairs into keep/drop
+    // groups; the DuckDB oracle recomputes the SAME pairs then walks
+    // reachability with a recursive CTE. Emitted as per-cluster
+    // summaries (rep id, size, member-id sum) so any propagation
+    // error breaks the hash.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashDupPairsPortable(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+      Dedup.dupClusters(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_sum"))
+        .orderBy(col("cluster_id"))
     }),
 
     // PRODUCTION variants of the two banded dedup pipelines: same
@@ -2286,6 +2313,27 @@ object SparkEntry {
 
     // Same pipeline at bigram shingles, 8 bands x 2 rows, threshold 0.05.
     "q_ngram_jaccard" -> portableMinhashSql(n = 2, numHashes = 16, bands = 8, threshold = 0.05),
+
+    // Same pair set as q_minhash_dups, then component labels via
+    // recursive reachability (edges are symmetric, so reachable-min =
+    // component-min, exactly the Spark side's converged label).
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${portableMinhashPairsCte(n = 3, numHashes = 16, bands = 4, threshold = 0.2)},
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b AS a, id_a AS b FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+         comp AS (
+           SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id)
+         SELECT cluster_id, count(*) AS n_members,
+           CAST(sum(id) AS BIGINT) AS id_sum
+         FROM comp GROUP BY 1 ORDER BY cluster_id""",
 
     // Same chained-min construction as q_funnel_oracle — the JSON
     // request compiles to the identical funnel config.

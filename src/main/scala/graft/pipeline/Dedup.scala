@@ -554,4 +554,66 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame =
     Similarity.cosineSelfJoinPairs(df, idCol, vecCol, threshold)
+
+  /** Connected components over near-dup pairs → (id, cluster_id) with
+    * cluster_id = the component's minimum member id. The step a
+    * corpus-dedup pipeline runs AFTER pair generation: transitive
+    * closure turns pairs into keep/drop groups (doc A≈B, B≈C must
+    * collapse to ONE kept doc even though A,C never paired).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own and its neighbors' labels — one equi-join + one
+    * groupBy per round, all shuffles on the node id, no driver-side
+    * graph. Converges in O(component diameter) rounds; near-dup
+    * components are stars/short chains from banded candidate pairs,
+    * so diameters are small by construction. The label frame holds
+    * only nodes that appear in a pair — at 100 TB that is the
+    * duplicate subset, orders of magnitude smaller than the corpus.
+    * (For adversarial long-chain graphs prefer the large-star/
+    * small-star algorithm; dup clusters never look like that.)
+    *
+    * The per-round convergence check is one count on the label frame
+    * (node-set-sized); frames persist across rounds and release as
+    * soon as the next round materializes. */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIter: Int = 30): DataFrame = {
+    val edges = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .unionByName(pairs.select(col(idB).cast("long").as("a"), col(idA).cast("long").as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Keep exactly one document per near-dup cluster (the cluster's
+    * minimum id — deterministic) plus every unpaired document: the
+    * corpus-level dedup filter built from [[dupClusters]]. The drop
+    * set is NOT broadcast-hinted — at web scale duplicates can be a
+    * large fraction of the corpus; the anti-join shuffles on the id
+    * and AQE converts it to broadcast when the set is actually
+    * small. */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val drop = dupClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").cast("long").as(s"__drop_$idCol"))
+    df.join(drop, df(idCol).cast("long") === col(s"__drop_$idCol"), "left_anti")
+  }
 }

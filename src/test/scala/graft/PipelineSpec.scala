@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkTestBase {
 
+  test("dupClusters closes pairs transitively; keepRepresentatives keeps one per cluster") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3 (1,3 never paired);
+    // {7,9}; 5 is unpaired and must survive keepRepresentatives
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    val clusters = graft.pipeline.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"), (7L, "g"), (9L, "i"))
+      .toDF("doc_id", "text")
+    val kept = graft.pipeline.Dedup.keepRepresentatives(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 5L, 7L))
+  }
+
   private def docs(rows: Seq[(Long, String)]) = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
