@@ -576,30 +576,73 @@ object Dedup {
     * (node-set-sized); frames persist across rounds and release as
     * soon as the next round materializes. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxIter: Int = 30): DataFrame = {
-    val edges = pairs
+                  maxIter: Int = 30, smallGraphEdges: Long = 1L << 21): DataFrame = {
+    // materialize the pair set ONCE before anything fans out: the
+    // upstream pair pipeline is the expensive plan, and the symmetric
+    // union below references it twice — uncached, both arms would
+    // re-run the whole banding/verify chain
+    val p = pairs
       .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
-      .unionByName(pairs.select(col(idB).cast("long").as("a"), col(idA).cast("long").as("b")))
+      .persist()
+    val pairCount = p.count()
+    // Small-graph fast path: a dup-pair set under ~2M edges is an
+    // in-memory union-find (a few tens of MB, microseconds) — the
+    // iterative join loop would spend 20+ Spark jobs of pure
+    // scheduling overhead on it (cached plans pin full-width
+    // exchanges; AQE cannot coalesce under a cache — measured 10 s
+    // for 249 edges). The distributed loop below remains the path
+    // for web-scale pair sets the driver cannot hold.
+    if (pairCount <= smallGraphEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // root at the MIN id so cluster_id = component minimum,
+        // matching the propagation loop's converged label
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      p.unpersist()
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "cluster_id")
+    }
+    val edges = p
+      .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+    var cached = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .withColumn("__old", col("lbl")).persist()
+    var labels = cached.select(col("id"), col("lbl"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("min_nbr"))
+      // carry the previous label so ONE count both materializes the
+      // round and detects convergence — no separate compare join
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"),
+          col("lbl").as("__old"))
         .persist()
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("__old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
-    edges.unpersist()
+    p.unpersist(); edges.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

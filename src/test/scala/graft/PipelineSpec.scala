@@ -13,6 +13,11 @@ class PipelineSpec extends SparkTestBase {
     val clusters = graft.pipeline.Dedup.dupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // the distributed propagation loop (smallGraphEdges = 0 forces it)
+    // must converge to the identical labels
+    val distributed = graft.pipeline.Dedup.dupClusters(pairs, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == clusters)
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"), (7L, "g"), (9L, "i"))
       .toDF("doc_id", "text")
     val kept = graft.pipeline.Dedup.keepRepresentatives(docs, pairs, "doc_id")
