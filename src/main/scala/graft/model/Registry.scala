@@ -26,7 +26,14 @@ final class Registry(
       * fixed five (`group_0..group_4`, group 0 = users —
       * common/src/lib.rs:16-21 `GROUPS_COUNT`/`group_col`); here the
       * deployment configures which columns play those roles. */
-    val groupCols: Seq[String] = Seq("user_id")) {
+    val groupCols: Seq[String] = Seq("user_id"),
+    /** Event name → display names of the properties recorded on it —
+      * the reference's event↔property association (events.rs
+      * attach_property/detach_property; the UI reads it to suggest
+      * filterable properties per event). Advisory metadata: the
+      * engine never restricts a filter to attached properties, same
+      * as the reference's query path. */
+    val eventProperties: Map[String, Set[String]] = Map.empty) {
 
   /** Logical name → metadata. Open registries pass unknown names
     * through unchanged (physical addressing keeps working); strict
@@ -57,13 +64,14 @@ final class Registry(
       s"unknown group index $idx (configured groups: 0..${groupCols.size - 1})")
 
   def withProperty(m: PropertyMeta): Registry =
-    new Registry(props + (m.name.toLowerCase -> m), customEvents, eventNames, strict, groupCols)
+    new Registry(props + (m.name.toLowerCase -> m), customEvents, eventNames, strict, groupCols, eventProperties)
 
   /** Drop a property by display name (reference metadata/src/
     * properties.rs delete — tombstones; immutable registries just
     * produce a copy without the entry). */
   def withoutProperty(name: String): Registry =
-    new Registry(props - name.toLowerCase, customEvents, eventNames, strict, groupCols)
+    new Registry(props - name.toLowerCase, customEvents, eventNames, strict,
+      groupCols, eventProperties.view.mapValues(_ - name).toMap)
 
   /** Re-display a property: same physical column and flags, new
     * logical name (the reference's UpdatePropertyRequest.display_name,
@@ -76,30 +84,57 @@ final class Registry(
     if (newName.toLowerCase != name.toLowerCase && props.contains(newName.toLowerCase))
       throw Json.JsonError(s"display name '$newName' already in use")
     new Registry(props - name.toLowerCase + (newName.toLowerCase -> m.copy(name = newName)),
-      customEvents, eventNames, strict, groupCols)
+      customEvents, eventNames, strict, groupCols,
+      eventProperties.view.mapValues(s =>
+        if (s.contains(name)) s - name + newName else s).toMap)
   }
 
   /** Add / remove a known event name (reference metadata/src/events.rs
     * create/delete; an empty set disables validation, so removal of
     * the last name degrades to open rather than rejecting all). */
   def withEventName(name: String): Registry =
-    new Registry(props, customEvents, eventNames + name, strict, groupCols)
+    new Registry(props, customEvents, eventNames + name, strict, groupCols, eventProperties)
   def withoutEventName(name: String): Registry =
-    new Registry(props, customEvents, eventNames - name, strict, groupCols)
+    new Registry(props, customEvents, eventNames - name, strict, groupCols,
+      eventProperties - name)
 
   def withoutCustomEvent(id: Long): Registry =
-    new Registry(props, customEvents - id, eventNames, strict, groupCols)
+    new Registry(props, customEvents - id, eventNames, strict, groupCols, eventProperties)
 
   def withCustomEvent(id: Long, ce: CustomEvent): Registry = {
     Registry.validateCustomEvent(ce)
-    new Registry(props, customEvents + (id -> ce), eventNames, strict, groupCols)
+    new Registry(props, customEvents + (id -> ce), eventNames, strict, groupCols, eventProperties)
+  }
+
+  /** Attach / detach a property to an event (reference events.rs
+    * try_attach_property/try_detach_property — duplicate attach and
+    * detach-of-unattached are errors there too). Both sides must
+    * exist: an association onto a ghost would silently vanish on the
+    * next rename/delete remap. */
+  def withEventProperty(event: String, prop: String): Registry = {
+    if (strict && eventNames.nonEmpty && !eventNames.contains(event))
+      throw Json.JsonError(s"unknown event '$event'")
+    property(prop)  // throws on unknown property in strict registries
+    val cur = eventProperties.getOrElse(event, Set.empty)
+    if (cur.contains(prop))
+      throw Json.JsonError(s"property '$prop' already attached to '$event'")
+    new Registry(props, customEvents, eventNames, strict, groupCols,
+      eventProperties + (event -> (cur + prop)))
+  }
+
+  def withoutEventProperty(event: String, prop: String): Registry = {
+    val cur = eventProperties.getOrElse(event, Set.empty)
+    if (!cur.contains(prop))
+      throw Json.JsonError(s"property '$prop' is not attached to '$event'")
+    new Registry(props, customEvents, eventNames, strict, groupCols,
+      eventProperties + (event -> (cur - prop)))
   }
 
   /** Configure the group-dimension columns (index 0 stays the user
     * dimension by convention). */
   def withGroupColumns(cols: Seq[String]): Registry = {
     require(cols.nonEmpty, "at least one group dimension (users) is required")
-    new Registry(props, customEvents, eventNames, strict, cols)
+    new Registry(props, customEvents, eventNames, strict, cols, eventProperties)
   }
 
   def allProperties: Seq[PropertyMeta] = props.values.toSeq.sortBy(_.name)

@@ -198,8 +198,23 @@ final class GraftHttpServer(
         else { reg = reg.withoutProperty(name); 200 -> "{}" }
       })
     case ("GET", List("schema", "events")) =>
-      200 -> reg.eventNames.toSeq.sorted
-        .map(n => JStr(n).render).mkString("[", ",", "]")
+      200 -> reg.eventNames.toSeq.sorted.map { n =>
+        val ps = reg.eventProperties.getOrElse(n, Set.empty)
+          .toSeq.sorted.map(p => JStr(p).render).mkString("[", ",", "]")
+        s"""{"name":${JStr(n).render},"properties":$ps}"""
+      }.mkString("[", ",", "]")
+    // event↔property association (reference events.rs:111-117
+    // attach_property / detach_property routes)
+    case ("POST", List("schema", "events", "name", event, "properties", prop)) =>
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
+        reg = reg.withEventProperty(event, prop)
+        200 -> s"""{"event":${JStr(event).render},"attached":${JStr(prop).render}}"""
+      })
+    case ("DELETE", List("schema", "events", "name", event, "properties", prop)) =>
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
+        reg = reg.withoutEventProperty(event, prop)
+        200 -> "{}"
+      })
     case ("POST", List("schema", "events")) =>
       schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
         val name = (Json.parse(body) / "name").str

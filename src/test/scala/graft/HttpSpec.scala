@@ -302,6 +302,24 @@ class HttpSpec extends SparkTestBase {
              {"name": "l5", "events": [{"eventName": "view"}]}}]}}]}}]}}]}}""")._1 == 400)
       assert(req(srv.port, "DELETE",
         "/api/v1/projects/1/schema/custom-events/7")._1 == 200)
+
+      // event<->property association: attach, duplicate 400, listed
+      // under the event, detach; association follows a later rename
+      assert(req(srv.port, "POST",
+        "/api/v1/projects/1/schema/events/name/install/properties/device")._1 == 200)
+      assert(req(srv.port, "POST",
+        "/api/v1/projects/1/schema/events/name/install/properties/device")._1 == 400)
+      assert(req(srv.port, "GET", "/api/v1/projects/1/schema/events")._2
+        .contains("""{"name":"install","properties":["device"]}"""))
+      assert(req(srv.port, "PUT",
+        "/api/v1/projects/1/schema/event-properties/device",
+        """{"displayName": "Device Kind"}""")._1 == 200)
+      assert(req(srv.port, "GET", "/api/v1/projects/1/schema/events")._2
+        .contains("\"properties\":[\"Device Kind\"]"), "association renames with the property")
+      assert(req(srv.port, "DELETE",
+        "/api/v1/projects/1/schema/events/name/install/properties/Device%20Kind")._1 == 200)
+      assert(req(srv.port, "DELETE",
+        "/api/v1/projects/1/schema/events/name/install/properties/Device%20Kind")._1 == 400)
       assert(req(srv.port, "DELETE",
         "/api/v1/projects/1/schema/event-properties/Nope")._1 == 404)
       assert(req(srv.port, "DELETE",
