@@ -386,6 +386,26 @@ final class Tenancy {
     accounts.values.find(_.email == email)
   def listAccounts(): Seq[Account] = accounts.values.toSeq
 
+  /** Profile self-service updates (reference auth/provider.rs:152-172
+    * update_name, accounts.rs update paths). */
+  def updateAccountName(accountId: Long, name: String, now: Long): Account = {
+    require(name.nonEmpty, "empty name")
+    val cur = accounts.getOrElse(accountId, sys.error(s"account $accountId not found"))
+    val next = cur.copy(name = Some(name), updatedAt = Some(now))
+    accounts(accountId) = next
+    next
+  }
+
+  def updateAccountEmail(accountId: Long, email: String, now: Long): Account = {
+    require(email.matches("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"), "invalid email")
+    require(!accounts.values.exists(a => a.id != accountId && a.email == email),
+      "account already exists")
+    val cur = accounts.getOrElse(accountId, sys.error(s"account $accountId not found"))
+    val next = cur.copy(email = email, updatedAt = Some(now))
+    accounts(accountId) = next
+    next
+  }
+
   def setPassword(accountId: Long, password: String, now: Long,
                   salt: Option[Array[Byte]] = None): Account = {
     val cur = accounts.getOrElse(accountId, sys.error(s"account $accountId not found"))
@@ -498,6 +518,54 @@ final class Auth(
 
   def authenticate(accessToken: String): Either[String, Token.AccessClaims] =
     Token.parseAccess(accessToken, key, clock())
+
+  // ---- profile self-service (reference auth/provider.rs:141-250;
+  // routes http/auth.rs:217-220) ----
+
+  def profile(accessToken: String): Account =
+    withClaims(accessToken)(claims =>
+      tenancy.account(claims.accountId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"account ${claims.accountId} not found")))
+
+  def updateName(accessToken: String, name: String): Account =
+    withClaims(accessToken)(claims =>
+      tenancy.updateAccountName(claims.accountId, name, clock() * 1000))
+
+  /** Email change demands the CURRENT password (update_email
+    * provider.rs:174-219) and rotates the token pair. */
+  def updateEmail(accessToken: String, email: String, password: String): Tokens =
+    withClaims(accessToken) { claims =>
+      verifyCurrent(claims.accountId, password)
+      tenancy.updateAccountEmail(claims.accountId, email, clock() * 1000)
+      makeTokens(claims.accountId, claims.organizationId)
+    }
+
+  /** Password change verifies the current one, complexity-checks the
+    * new one, and rotates the token pair (provider.rs:221-250). */
+  def updatePassword(accessToken: String, current: String, newPassword: String): Tokens =
+    withClaims(accessToken) { claims =>
+      verifyCurrent(claims.accountId, current)
+      Password.checkComplexity(newPassword, Seq.empty) match {
+        case Left(msg) => throw new IllegalArgumentException(msg)
+        case Right(()) =>
+      }
+      tenancy.setPassword(claims.accountId, newPassword, clock() * 1000)
+      makeTokens(claims.accountId, claims.organizationId)
+    }
+
+  private def withClaims[A](accessToken: String)(f: Token.AccessClaims => A): A =
+    authenticate(accessToken) match {
+      case Right(claims) => f(claims)
+      case Left(msg)     => throw new IllegalArgumentException(msg)
+    }
+
+  private def verifyCurrent(accountId: Long, password: String): Unit = {
+    val acc = tenancy.account(accountId)
+      .getOrElse(throw new IllegalArgumentException(s"account $accountId not found"))
+    if (!Password.verify(password, acc.passwordHash))
+      throw new IllegalArgumentException("invalid password")
+  }
 
   private def makeTokens(accountId: Long, organizationId: Long): Tokens = Tokens(
     Token.makeAccess(accountId, organizationId, clock() + accessSeconds, key),

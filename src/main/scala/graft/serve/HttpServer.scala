@@ -400,6 +400,32 @@ final class GraftHttpServer(
         try 200 -> tokensJson(a.refresh((j / "refreshToken").str))
         catch { case e: IllegalArgumentException => 401 -> err(e.getMessage) }
 
+      // profile self-service (reference http/auth.rs:217-220): the
+      // account comes from the Bearer token; email/password changes
+      // re-verify the CURRENT password and rotate the token pair
+      case ("GET", List("profile")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        withBearer(ex) { tok =>
+          try 200 -> accountJson(a.profile(tok))
+          catch { case e: IllegalArgumentException => 401 -> err(e.getMessage) }
+        }
+      case ("PUT", List("profile", "name")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        withBearer(ex) { tok =>
+          200 -> accountJson(a.updateName(tok, (j / "name").str))
+        }
+      case ("PUT", List("profile", "email")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        withBearer(ex) { tok =>
+          200 -> tokensJson(a.updateEmail(tok, (j / "email").str, (j / "password").str))
+        }
+      case ("PUT", List("profile", "password")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        withBearer(ex) { tok =>
+          200 -> tokensJson(a.updatePassword(tok,
+            (j / "password").str, (j / "newPassword").str))
+        }
+
       case ("POST", List("organizations")) =>
         actor(ex) match {
           case Left(denied) => denied
@@ -478,6 +504,34 @@ final class GraftHttpServer(
 
       case _ => 404 -> err("not found")
     }
+  }
+
+  /** Extract AND authenticate the Bearer token (401 on any token
+    * problem), then hand the validated raw token to the profile
+    * method — remaining failures are request-validation 400s. */
+  private def withBearer(ex: HttpExchange)(f: String => (Int, String)): (Int, String) = {
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!header.startsWith("Bearer ")) 401 -> err("unauthorized")
+    else {
+      val tok = header.stripPrefix("Bearer ")
+      auth.get.authenticate(tok) match {
+        case Left(msg) => 401 -> err(msg)
+        case Right(_)  => f(tok)
+      }
+    }
+  }
+
+  private def accountJson(a: graft.model.Account): String = {
+    val orgs = a.organizations.map { case (id, role) =>
+      s"""{"id":$id,"role":${JStr(role).render}}"""
+    }.mkString("[", ",", "]")
+    val projs = a.projects.map { case (id, role) =>
+      s"""{"id":$id,"role":${JStr(role).render}}"""
+    }.mkString("[", ",", "]")
+    val name = a.name.map(n => JStr(n).render).getOrElse("null")
+    // passwordHash deliberately never serialized
+    s"""{"id":${a.id},"email":${JStr(a.email).render},"name":$name,""" +
+      s""""organizations":$orgs,"projects":$projs}"""
   }
 
   private def settingsJson(s: graft.model.Settings): String =

@@ -349,6 +349,46 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("profile self-service: get, rename, email/password change rotate tokens") {
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    withServer(new GraftHttpServer(spark, ev,
+      tenancy = Some(tenancy), auth = Some(auth))) { srv =>
+      val (_, signed) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "p@example.com", "password": "Str0ng!pass", "name": "Pat"}""")
+      val tok = (graft.model.Json.parse(signed) / "accessToken").str
+
+      assert(req(srv.port, "GET", "/api/v1/profile")._1 == 401)
+      val (gc, prof) = req(srv.port, "GET", "/api/v1/profile", bearer = tok)
+      assert(gc == 200 && prof.contains("\"email\":\"p@example.com\""))
+      assert(!prof.contains("pbkdf2"), "password hash never serialized")
+
+      assert(req(srv.port, "PUT", "/api/v1/profile/name",
+        """{"name": "Patricia"}""", bearer = tok)._2.contains("\"name\":\"Patricia\""))
+
+      // email change demands the CURRENT password; wrong one -> 400
+      assert(req(srv.port, "PUT", "/api/v1/profile/email",
+        """{"email": "new@example.com", "password": "wrong"}""", bearer = tok)._1 == 400)
+      val (ec, rotated) = req(srv.port, "PUT", "/api/v1/profile/email",
+        """{"email": "new@example.com", "password": "Str0ng!pass"}""", bearer = tok)
+      assert(ec == 200 && rotated.contains("accessToken"))
+      assert(tenancy.account(1L).get.email == "new@example.com")
+
+      // password change: wrong current 400, weak new 400, then works
+      assert(req(srv.port, "PUT", "/api/v1/profile/password",
+        """{"password": "nope", "newPassword": "An0ther!pass"}""", bearer = tok)._1 == 400)
+      assert(req(srv.port, "PUT", "/api/v1/profile/password",
+        """{"password": "Str0ng!pass", "newPassword": "weak"}""", bearer = tok)._1 == 400)
+      assert(req(srv.port, "PUT", "/api/v1/profile/password",
+        """{"password": "Str0ng!pass", "newPassword": "An0ther!pass"}""",
+        bearer = tok)._1 == 200)
+      assert(req(srv.port, "POST", "/api/v1/auth/login",
+        """{"email": "new@example.com", "password": "An0ther!pass"}""")._1 == 200)
+      assert(req(srv.port, "POST", "/api/v1/auth/login",
+        """{"email": "new@example.com", "password": "Str0ng!pass"}""")._1 == 401)
+    }
+  }
+
   test("admin settings: partial PUT merges, validation 400s, secrets not echoed") {
     val sp = new graft.model.SettingsProvider
     withServer(new GraftHttpServer(spark, ev, settings = Some(sp))) { srv =>
