@@ -400,6 +400,13 @@ final class GraftHttpServer(
         try 200 -> tokensJson(a.refresh((j / "refreshToken").str))
         catch { case e: IllegalArgumentException => 401 -> err(e.getMessage) }
 
+      case ("POST", List("auth", "switch-organization", IdSeg(orgId))) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        withBearer(ex) { tok =>
+          try 200 -> tokensJson(a.switchOrganization(tok, orgId))
+          catch { case e: IllegalArgumentException => 403 -> err(e.getMessage) }
+        }
+
       // profile self-service (reference http/auth.rs:217-220): the
       // account comes from the Bearer token; email/password changes
       // re-verify the CURRENT password and rotate the token pair

@@ -386,6 +386,17 @@ class HttpSpec extends SparkTestBase {
         """{"email": "new@example.com", "password": "An0ther!pass"}""")._1 == 200)
       assert(req(srv.port, "POST", "/api/v1/auth/login",
         """{"email": "new@example.com", "password": "Str0ng!pass"}""")._1 == 401)
+
+      // switch-organization mints tokens carrying the org; non-member 403
+      val org = tenancy.createOrganization("Solo", 1L, 0L)
+      val (_, fresh) = req(srv.port, "POST", "/api/v1/auth/login",
+        """{"email": "new@example.com", "password": "An0ther!pass"}""")
+      val freshTok = (graft.model.Json.parse(fresh) / "accessToken").str
+      val (swc, swapped) = req(srv.port, "POST",
+        s"/api/v1/auth/switch-organization/${org.id}", bearer = freshTok)
+      assert(swc == 200 && swapped.contains("accessToken"))
+      assert(req(srv.port, "POST",
+        "/api/v1/auth/switch-organization/999", bearer = freshTok)._1 == 403)
     }
   }
 
