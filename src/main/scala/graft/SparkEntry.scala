@@ -1160,6 +1160,33 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
+    // pipeline: benchmark decontamination — per-document fraction of
+    // distinct trigrams shared with a held-out "benchmark" slice
+    // (doc_id < 20 here, so self-overlap rows pin the math at 1.0).
+    // Scale shape: benchmark n-grams dedupe once, corpus grams
+    // equi-join them on the 64-bit hash.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.benchmarkOverlapPortable(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 20), n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: deterministic hash-gate mixture sampling — per-source
+    // keep rates, reproducible across runs/engines (no rand()); the
+    // oracle replays the exact gate arithmetic, so the kept id-set
+    // (count + id_sum per stratum) must match row for row.
+    "q_sample_strata" -> ((s, dir) => {
+      graft.pipeline.Sampling.sampleByStrata(
+          Tables.documents(s, dir), "source", "doc_id",
+          permille = Map("src0" -> 250, "src1" -> 900, "src2" -> 0),
+          defaultPermille = 500)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // pipeline: connected-components clustering over the (oracled)
     // minhash pair set — transitive closure turns pairs into keep/drop
     // groups; the DuckDB oracle recomputes the SAME pairs then walks
@@ -2313,6 +2340,48 @@ object SparkEntry {
 
     // Same pipeline at bigram shingles, 8 bands x 2 rows, threshold 0.05.
     "q_ngram_jaccard" -> portableMinhashSql(n = 2, numHashes = 16, bands = 8, threshold = 0.05),
+
+    // Decontamination: same md5-60 token hashes + trigram folds as the
+    // minhash oracle; per-doc overlap via list_intersect against the
+    // aggregated benchmark gram list. Zero-gram docs stay at 0.0.
+    "q_decontaminate" -> {
+      val M = graft.pipeline.Dedup.PortableMod
+      val shingleFold = (0 until 3).foldLeft("0") { (acc, k) =>
+        s"(($acc * 1000003 + th[i+$k]) % $M)"
+      }
+      s"""WITH tok AS (
+           SELECT doc_id, list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % $M) AS th
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(th) - 2, 0) + 1),
+               i -> $shingleFold)) AS shh
+           FROM tok),
+         bench AS (
+           SELECT list(DISTINCT h) AS lst
+           FROM (SELECT unnest(shh) AS h FROM sh WHERE doc_id < 20)),
+         scored AS (
+           SELECT s.doc_id, len(s.shh) AS n_grams,
+             len(list_intersect(s.shh, b.lst)) AS n_hits
+           FROM sh s, bench b)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(CASE WHEN n_grams = 0 THEN 0.0
+                 ELSE n_hits * 1.0 / n_grams END, 6) AS overlap
+         FROM scored ORDER BY doc_id"""
+    },
+
+    // The hash gate replayed verbatim: md5("source:doc_id") first 8
+    // hex digits mod 1000 under the per-stratum rate.
+    "q_sample_strata" ->
+      """WITH kept AS (
+           SELECT source, doc_id FROM documents
+           WHERE CAST(('0x' || substring(md5(source || ':' || doc_id), 1, 8)) AS BIGINT) % 1000
+             < CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 900
+                           WHEN 'src2' THEN 0 ELSE 500 END)
+         SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY 1 ORDER BY source""",
 
     // Same pair set as q_minhash_dups, then component labels via
     // recursive reachability (edges are symmetric, so reachable-min =

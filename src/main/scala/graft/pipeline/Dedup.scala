@@ -555,6 +555,38 @@ object Dedup {
                         threshold: Double): DataFrame =
     Similarity.cosineSelfJoinPairs(df, idCol, vecCol, threshold)
 
+  /** Benchmark decontamination (standard LLM-pipeline step: flag
+    * training documents sharing n-grams with a held-out eval set so
+    * they can be dropped before training). Returns one row per corpus
+    * document: (idCol, n_grams, n_hits, overlap) where overlap =
+    * fraction of the doc's DISTINCT n-grams present in the benchmark.
+    *
+    * Spark-first shape: benchmark n-grams dedupe to a hash set and the
+    * corpus's exploded n-gram hashes EQUI-JOIN it (one shuffle on the
+    * 64-bit hash; AQE broadcasts a small benchmark side) — never an
+    * array-intersect against a per-row copy of the benchmark, which
+    * would rebuild a |benchmark| hash set per document. explode_outer
+    * keeps zero-gram (short) documents at overlap 0. Hashes are the
+    * md5-portable shingle fold, so a DuckDB oracle recomputes the
+    * overlap bit for bit. */
+  def benchmarkOverlapPortable(docs: DataFrame, idCol: String, textCol: String,
+                               benchmark: DataFrame, n: Int): DataFrame = {
+    val benchGrams = portableShingleHashes(
+        benchmark.select(col(idCol), col(textCol)), idCol, textCol, n, "__sh")
+      .select(explode(col("__sh")).as("__h")).distinct()
+      .withColumn("__hit", lit(1))
+    portableShingleHashes(docs.select(col(idCol), col(textCol)),
+        idCol, textCol, n, "__sh")
+      .select(col(idCol), size(col("__sh")).as("n_grams"),
+        explode_outer(col("__sh")).as("__h"))
+      .join(benchGrams, Seq("__h"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("__hit")).as("n_hits"))
+      .select(col(idCol), col("n_grams").cast("long").as("n_grams"), col("n_hits"),
+        round(when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_grams")), 6).as("overlap"))
+  }
+
   /** Connected components over near-dup pairs → (id, cluster_id) with
     * cluster_id = the component's minimum member id. The step a
     * corpus-dedup pipeline runs AFTER pair generation: transitive

@@ -5,6 +5,42 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkTestBase {
 
+  test("benchmarkOverlapPortable: full, partial, zero, and short-doc overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // grams abc,bcd — both in benchmark -> 1.0
+      (2L, "a b c x y"),      // abc in benchmark, bcx/cxy not -> 1/3
+      (3L, "p q r s"),        // disjoint -> 0.0
+      (4L, "a b")             // shorter than n -> 0 grams, overlap 0
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup
+      .benchmarkOverlapPortable(docs, "doc_id", "text", bench, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((3L, 1L, 0.333333)))
+    assert(out(3L)._3 == 0.0)
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("sampleByStrata: rate 0 and 1000 are exact; gate is deterministic") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def run() = graft.pipeline.Sampling.sampleByStrata(
+      docs, "source", "doc_id", Map("a" -> 0, "b" -> 1000))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val kept = run()
+    assert(kept == (1L to 200L by 2), "rate 0 drops all of a; 1000 keeps all of b")
+    assert(run() == kept, "hash gate is reproducible")
+    // a mid rate keeps a stable strict subset
+    val half = graft.pipeline.Sampling.sampleByStrata(
+      docs, "source", "doc_id", Map("b" -> 500), defaultPermille = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(half.nonEmpty && half.size < 100 + 20 && half.forall(_ % 2 == 1))
+  }
+
   test("dupClusters closes pairs transitively; keepRepresentatives keeps one per cluster") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2, 2-3 (1,3 never paired);
