@@ -1160,6 +1160,24 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
+    // pipeline: PII redaction — deterministic synthetic emails/IPs/
+    // phones injected into every third doc, scrubbed by the ordered
+    // regex chain, and the REDACTED TEXT fingerprinted per doc — any
+    // divergence in pattern semantics between engines breaks the hash.
+    "q_redact_pii" -> ((s, dir) => {
+      val dirty = Tables.documents(s, dir).withColumn("dirty",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@example.com or +1 (555) 01"), (col("doc_id") % 100),
+            lit(" at 10.0."), (col("doc_id") % 256), lit(".7")))
+          .otherwise(col("text")))
+      val red = TextAnalysis.redactPii(col("dirty"))
+      dirty.select(col("doc_id"), md5(red).as("fp"),
+          size(regexp_extract_all(red, lit("<EMAIL>|<IP>|<PHONE>"), lit(0)))
+            .cast("long").as("n_redactions"))
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: benchmark decontamination — per-document fraction of
     // distinct trigrams shared with a held-out "benchmark" slice
     // (doc_id < 20 here, so self-overlap rows pin the math at 1.0).
@@ -2340,6 +2358,24 @@ object SparkEntry {
 
     // Same pipeline at bigram shingles, 8 bands x 2 rows, threshold 0.05.
     "q_ngram_jaccard" -> portableMinhashSql(n = 2, numHashes = 16, bands = 8, threshold = 0.05),
+
+    // PII redaction replayed verbatim (RE2 'g' flag = Java
+    // replace-all); patterns share the engine-portable subset.
+    "q_redact_pii" ->
+      s"""WITH dirty AS (
+           SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN
+             text || ' contact u' || doc_id || '@example.com or +1 (555) 01' ||
+               (doc_id % 100) || ' at 10.0.' || (doc_id % 256) || '.7'
+           ELSE text END AS dirty FROM documents),
+         red AS (
+           SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(dirty,
+             '${graft.pipeline.TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+             '${graft.pipeline.TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+             '${graft.pipeline.TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS r
+           FROM dirty)
+         SELECT doc_id, md5(r) AS fp,
+           len(regexp_extract_all(r, '<EMAIL>|<IP>|<PHONE>')) AS n_redactions
+         FROM red ORDER BY doc_id""",
 
     // Decontamination: same md5-60 token hashes + trigram folds as the
     // minhash oracle; per-doc overlap via list_intersect against the

@@ -24,6 +24,26 @@ object TextAnalysis {
     size(split(text, "[\\s\\p{Punct}]+")) +
       size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
 
+  /** PII redaction — the standard scrub pass a training corpus runs
+    * before anything else: emails, IPv4 addresses, and phone-shaped
+    * number runs collapse to placeholder tokens. Ordered (emails
+    * first: an address contains digit runs a later phone pattern
+    * would otherwise mangle; IPs before phones for the same reason).
+    * Patterns use only character classes + bounded repetition, valid
+    * and IDENTICAL under Java regex and RE2, so the DuckDB oracle
+    * (`regexp_replace(..., 'g')`) reproduces the output byte for
+    * byte. Pure codegen'd narrow op — scales with input splits. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Pattern = "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?"
+  val PhonePattern = "\\+[0-9][0-9()\\- ]{7,14}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Language-ID: marker-stopword n-gram heuristic. First matching
     * marker wins (ordered when-chain ⇒ deterministic, and expressible
     * 1:1 in the SQL oracle as list_contains CASE). */

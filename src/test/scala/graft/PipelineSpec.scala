@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkTestBase {
 
+  test("redactPii scrubs emails, IPs, and phones in order") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail bob.smith+tag@sub.example.org now",
+      "host 192.168.001.1 and 8.8.8.8 up",
+      "call +1 (555) 867-5309 today",
+      // the email's host dots must NOT be re-matched as an IP,
+      // and plain integers / short runs stay untouched
+      "v1.2 x@y.io 42",
+      "clean text only"
+    ).toDF("t")
+    val out = rows.select(graft.pipeline.TextAnalysis.redactPii(col("t")))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "host <IP> and <IP> up")
+    assert(out(2) == "call <PHONE> today")
+    assert(out(3) == "v1.2 <EMAIL> 42")
+    assert(out(4) == "clean text only")
+  }
+
   test("benchmarkOverlapPortable: full, partial, zero, and short-doc overlap") {
     import spark.implicits._
     val docs = Seq(
