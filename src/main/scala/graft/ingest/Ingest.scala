@@ -60,9 +60,21 @@ object Ingest {
     * caches afterwards ([[streamingTrack]] does, per micro-batch). */
   def resolveIdentities(raw: DataFrame, existing: DataFrame,
                         keyCol: String = "user_key",
-                        seqCol: String = "seq"): DataFrame = {
-    val (mapping, _, _) = resolveParts(raw, existing, keyCol, seqCol)
-    mapping
+                        seqCol: String = "seq"): DataFrame =
+    resolveIdentitiesCached(raw, existing, keyCol, seqCol)._1
+
+  /** [[resolveIdentities]] plus a release handle that unpersists the
+    * action-scoped caches. One-shot callers may ignore it (two
+    * |keys|-sized frames linger until session end); anything that
+    * LOOPS over batches — a service, a driver harness — must call it
+    * after each batch's action completes, exactly as
+    * [[streamingTrack]] does per micro-batch. */
+  def resolveIdentitiesCached(raw: DataFrame, existing: DataFrame,
+                              keyCol: String = "user_key",
+                              seqCol: String = "seq"): (DataFrame, () => Unit) = {
+    val (mapping, assigned, cachedExisting) =
+      resolveParts(raw, existing, keyCol, seqCol)
+    (mapping, () => { assigned.unpersist(); cachedExisting.unpersist(); () })
   }
 
   /** (full mapping, newly-assigned rows only, cached existing ids) —
@@ -238,14 +250,23 @@ object Ingest {
   /** The batch form of `Executor<Track>::execute`: resolve user ids,
     * apply the UA and geo transformers, and emit the denormalized
     * event rows a destination would append. `geoRanges` columns:
-    * (start, end, country, city). */
+    * (start, end, country, city). Looping callers should use
+    * [[executeTrackBatchCached]] and release after each batch. */
   def executeTrackBatch(raw: DataFrame, existing: DataFrame, geoRanges: DataFrame,
                         keyCol: String = "user_key", seqCol: String = "seq",
-                        uaCol: String = "ua", ipCol: String = "ip"): DataFrame = {
-    val mapping = resolveIdentities(raw, existing, keyCol, seqCol)
+                        uaCol: String = "ua", ipCol: String = "ip"): DataFrame =
+    executeTrackBatchCached(raw, existing, geoRanges, keyCol, seqCol, uaCol, ipCol)._1
+
+  /** [[executeTrackBatch]] with the identity-cache release handle
+    * (see [[resolveIdentitiesCached]]). */
+  def executeTrackBatchCached(raw: DataFrame, existing: DataFrame, geoRanges: DataFrame,
+                              keyCol: String = "user_key", seqCol: String = "seq",
+                              uaCol: String = "ua", ipCol: String = "ip")
+      : (DataFrame, () => Unit) = {
+    val (mapping, release) = resolveIdentitiesCached(raw, existing, keyCol, seqCol)
     val resolved = raw.join(mapping.withColumnRenamed("id", "resolved_user_id"),
       Seq(keyCol))
-    enrich(resolved, geoRanges, uaCol, ipCol)
+    (enrich(resolved, geoRanges, uaCol, ipCol), release)
   }
 
   /** Load the persisted identity snapshot, or an empty mapping if

@@ -71,7 +71,12 @@ final class Registry(
     * produce a copy without the entry). */
   def withoutProperty(name: String): Registry =
     new Registry(props - name.toLowerCase, customEvents, eventNames, strict,
-      groupCols, eventProperties.view.mapValues(_ - name).toMap)
+      groupCols,
+      // association values hold DISPLAY names but must strip under the
+      // same case-insensitive addressing the props map uses — an
+      // exact-case filter would leave a ghost association behind a
+      // delete addressed as 'revenue' for stored 'Revenue'
+      eventProperties.view.mapValues(_.filterNot(_.equalsIgnoreCase(name))).toMap)
 
   /** Re-display a property: same physical column and flags, new
     * logical name (the reference's UpdatePropertyRequest.display_name,
@@ -86,7 +91,9 @@ final class Registry(
     new Registry(props - name.toLowerCase + (newName.toLowerCase -> m.copy(name = newName)),
       customEvents, eventNames, strict, groupCols,
       eventProperties.view.mapValues(s =>
-        if (s.contains(name)) s - name + newName else s).toMap)
+        if (s.exists(_.equalsIgnoreCase(name)))
+          s.filterNot(_.equalsIgnoreCase(name)) + newName
+        else s).toMap)
   }
 
   /** Add / remove a known event name (reference metadata/src/events.rs

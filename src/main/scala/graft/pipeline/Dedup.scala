@@ -675,6 +675,13 @@ object Dedup {
       iter += 1
     }
     p.unpersist(); edges.unpersist()
+    // no silent caps: labels that stopped short of the fixpoint would
+    // split one transitive cluster into several — fail loudly so the
+    // caller raises maxIter (or the pair set's diameter assumption)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds maxIter")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

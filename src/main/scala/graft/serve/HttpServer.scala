@@ -79,8 +79,11 @@ final class GraftHttpServer(
     * here every mutation swaps an immutable Registry). Queries read
     * whatever snapshot is current — a rename is visible to the next
     * request, exactly like the reference's metadata store. */
-  @volatile private var reg: Registry = registry
-  @volatile private var customEventDefs: Map[Long, CustomEvent] = customEvents
+  // constructor-supplied custom events fold into the registry (and
+  // get the same cycle/depth validation as CRUD entries) so there is
+  // ONE source of truth — query routes read reg.customEvents
+  @volatile private var reg: Registry =
+    customEvents.foldLeft(registry) { case (r, (id, ce)) => r.withCustomEvent(id, ce) }
   /** Serializes schema read-modify-write cycles — the JDK server
     * dispatches handlers concurrently, and two interleaved renames on
     * the volatile snapshot would silently drop one. Queries stay
@@ -147,7 +150,7 @@ final class GraftHttpServer(
     case ("POST", List("queries", "event-segmentation")) =>
       200 -> Metrics.timed("event_segmentation") {
         Response.collect(JsonApi.eventSegmentation(
-          events, withProject(body, pid), customEventDefs, reg)).toJson
+          events, withProject(body, pid), reg.customEvents, reg)).toJson
       }
     case ("POST", List("queries", "funnel")) =>
       200 -> JsonApi.funnelJson(spark, events, withProject(body, pid), reg)
@@ -179,6 +182,12 @@ final class GraftHttpServer(
         .getOrElse(404 -> err(s"property '$name' not found"))
     case ("PUT", List("schema", "event-properties", name)) =>
       schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
+        // existence check BEFORE any update: on an open (non-strict)
+        // registry, property() would otherwise synthesize a passthrough
+        // meta for an unknown name and the flag update would register a
+        // phantom property — the GET-by-name route 404s, so must PUT
+        if (!reg.allProperties.exists(_.name.equalsIgnoreCase(name)))
+          return 404 -> err(s"property '$name' not found")
         val j = Json.parse(body)
         var next = reg
         // display rename first (UpdatePropertyRequest.display_name),
@@ -230,14 +239,11 @@ final class GraftHttpServer(
         val j = Json.parse(body)
         val id = (j / "id").long
         val ce = graft.model.JsonDsl.customEventDef(j / "definition")(reg)
-        Registry.validateCustomEvent(ce)   // cycle/depth guard at entry
-        customEventDefs = customEventDefs + (id -> ce)
-        reg = reg.withCustomEvent(id, ce)
+        reg = reg.withCustomEvent(id, ce)  // validates cycle/depth at entry
         200 -> s"""{"id":$id,"name":${JStr(ce.name).render}}"""
       })
     case ("DELETE", List("schema", "custom-events", IdSeg(id))) =>
       schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
-        customEventDefs = customEventDefs - id
         reg = reg.withoutCustomEvent(id)
         200 -> "{}"
       })
@@ -261,7 +267,7 @@ final class GraftHttpServer(
         .map { r =>
           200 -> Metrics.timed("report_run") {
             Response.collect(
-              JsonApi.runReport(spark, events, r, customEventDefs, reg)).toJson
+              JsonApi.runReport(spark, events, r, reg.customEvents, reg)).toJson
           }
         }
         .getOrElse(404 -> err(s"report $id not found"))
@@ -279,7 +285,7 @@ final class GraftHttpServer(
       reports.getDashboard(pid, id)
         .map { d =>
           val results = JsonApi.runDashboard(spark, events, d, reports,
-            customEventDefs, reg)
+            reg.customEvents, reg)
           200 -> results.map { case (p, df) =>
             s"""{"reportId":${p.reportId},"result":${Response.collect(df).toJson}}"""
           }.mkString("""{"panels":[""", ",", "]}")
@@ -289,26 +295,37 @@ final class GraftHttpServer(
     case _ => 404 -> err("not found")
   }
 
-  /** Bearer-token gate for `/projects/:id/…` routes — the reference's
-    * Context extractor parses the Authorization header into claims and
-    * the rbac layer checks ExploreProjects (platform/src/context.rs,
-    * common/src/rbac.rs). Right(acting account) = allowed (None when
-    * no Auth is attached — servers constructed without one stay open);
-    * Left = denial. The account flows on to per-route permission
-    * checks (schema mutations demand manage_schema on top of
-    * explore). */
+  /** The ONE Bearer parse+verify (the reference's Context extractor,
+    * platform/src/context.rs): header shape and token problems fold to
+    * 401 here; [[authorize]] / [[actor]] / [[withBearer]] all build on
+    * it so token handling cannot diverge between route families. */
+  private def bearerClaims(ex: HttpExchange, a: graft.model.Auth)
+      : Either[(Int, String), (String, graft.model.Token.AccessClaims)] = {
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!header.startsWith("Bearer ")) Left(401 -> err("unauthorized"))
+    else {
+      val tok = header.stripPrefix("Bearer ")
+      a.authenticate(tok) match {
+        case Left(msg)     => Left(401 -> err(msg))
+        case Right(claims) => Right((tok, claims))
+      }
+    }
+  }
+
+  /** Bearer-token gate for `/projects/:id/…` routes — claims + the
+    * rbac ExploreProjects walk (common/src/rbac.rs). Right(acting
+    * account) = allowed (None when no Auth is attached — servers
+    * constructed without one stay open); Left = denial. The account
+    * flows on to per-route permission checks (schema mutations demand
+    * manage_schema on top of explore). */
   private def authorize(ex: HttpExchange, pid: Long): Either[(Int, String), Option[Long]] =
     auth match {
       case None => Right(None)
       case Some(a) =>
-        val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-        if (!header.startsWith("Bearer ")) Left(401 -> err("unauthorized"))
-        else a.authenticate(header.stripPrefix("Bearer ")) match {
-          case Left(msg) => Left(401 -> err(msg))
-          case Right(claims) =>
-            if (tenancy.forall(_.canExploreProject(claims.accountId, pid)))
-              Right(Some(claims.accountId))
-            else Left(403 -> err(s"account ${claims.accountId} may not explore project $pid"))
+        bearerClaims(ex, a).flatMap { case (_, claims) =>
+          if (tenancy.forall(_.canExploreProject(claims.accountId, pid)))
+            Right(Some(claims.accountId))
+          else Left(403 -> err(s"account ${claims.accountId} may not explore project $pid"))
         }
     }
 
@@ -336,14 +353,8 @@ final class GraftHttpServer(
     * body-supplied ids. */
   private def actor(ex: HttpExchange): Either[(Int, String), Option[Long]] =
     auth match {
-      case None => Right(None)
-      case Some(a) =>
-        val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-        if (!header.startsWith("Bearer ")) Left(401 -> err("unauthorized"))
-        else a.authenticate(header.stripPrefix("Bearer ")) match {
-          case Left(msg)     => Left(401 -> err(msg))
-          case Right(claims) => Right(Some(claims.accountId))
-        }
+      case None    => Right(None)
+      case Some(a) => bearerClaims(ex, a).map(c => Some(c._2.accountId))
     }
 
   /** Org-scoped RBAC gate for tenancy mutations (reference
@@ -358,13 +369,21 @@ final class GraftHttpServer(
     actor(ex) match {
       case Left(denied) => denied
       case Right(acting) =>
-        val t = tenancy.get
+        val t = tenancy.getOrElse(return 404 -> err("not found"))
         val org = t.organization(orgId)
           .getOrElse(return 404 -> err(s"organization $orgId not found"))
         acting match {
-          case None => run(bodyActor.asOpt("createdBy").map(_.long)
-            .orElse(bodyActor.asOpt("updatedBy").map(_.long))
-            .getOrElse(org.createdBy))
+          case None =>
+            // open pre-auth surface: the body MAY carry an actor id,
+            // but an empty/malformed body (e.g. a bare DELETE) must
+            // not turn a working mutation into a 400
+            val fromBody =
+              try {
+                val b = bodyActor
+                b.asOpt("createdBy").map(_.long)
+                  .orElse(b.asOpt("updatedBy").map(_.long))
+              } catch { case _: Json.JsonError => None }
+            run(fromBody.getOrElse(org.createdBy))
           case Some(accId) =>
             org.roleOf(accId).filter(graft.model.Rbac.orgAllows(_, permission)) match {
               case Some(_) => run(accId)
@@ -443,13 +462,42 @@ final class GraftHttpServer(
             val createdBy = acting.getOrElse((j / "createdBy").long)
             200 -> orgJson(t.createOrganization((j / "name").str, createdBy, clock()))
         }
+      // reads are scoped to the caller's memberships when an Auth is
+      // attached (the reference lists via the Context's account); an
+      // auth-less server keeps the open pre-auth surface. Tenant
+      // metadata — and above all PROJECT INGEST TOKENS — must never
+      // enumerate cross-tenant.
       case ("GET", List("organizations")) =>
-        200 -> t.listOrganizations().map(orgJson).mkString("[", ",", "]")
+        actor(ex) match {
+          case Left(denied) => denied
+          case Right(acting) =>
+            val visible = acting match {
+              case None      => t.listOrganizations()
+              case Some(acc) => t.listOrganizations().filter(_.isMember(acc))
+            }
+            200 -> visible.map(orgJson).mkString("[", ",", "]")
+        }
       case ("GET", List("organizations", IdSeg(id))) =>
-        t.organization(id).map(o => 200 -> orgJson(o))
-          .getOrElse(404 -> err(s"organization $id not found"))
+        actor(ex) match {
+          case Left(denied) => denied
+          case Right(acting) =>
+            t.organization(id) match {
+              case None => 404 -> err(s"organization $id not found")
+              case Some(o) if acting.forall(o.isMember) => 200 -> orgJson(o)
+              case Some(_) =>
+                403 -> err(s"account ${acting.get} is not a member of organization $id")
+            }
+        }
       case ("GET", List("organizations", IdSeg(id), "projects")) =>
-        200 -> t.listProjects(id).map(projectJson).mkString("[", ",", "]")
+        actor(ex) match {
+          case Left(denied) => denied
+          case Right(acting) =>
+            val visible = acting match {
+              case None      => t.listProjects(id)
+              case Some(acc) => t.listProjects(id).filter(p => t.canExploreProject(acc, p.id))
+            }
+            200 -> visible.map(projectJson).mkString("[", ",", "]")
+        }
       case ("PUT", List("organizations", IdSeg(id))) =>
         requireOrgRole(ex, id, "manage_organization", bodyActor = j) {
           actorId => 200 -> orgJson(
@@ -472,30 +520,39 @@ final class GraftHttpServer(
       case ("GET", List("projects")) =>
         actor(ex) match {
           case Left(denied) => denied
-          case Right(_) =>
-            200 -> t.listProjects().map(projectJson).mkString("[", ",", "]")
+          case Right(acting) =>
+            val visible = acting match {
+              case None      => t.listProjects()
+              case Some(acc) => t.listProjects().filter(p => t.canExploreProject(acc, p.id))
+            }
+            200 -> visible.map(projectJson).mkString("[", ",", "]")
         }
       case ("GET", List("projects", IdSeg(id))) =>
-        t.project(id).map(p => 200 -> projectJson(p))
-          .getOrElse(404 -> err(s"project $id not found"))
+        actor(ex) match {
+          case Left(denied) => denied
+          case Right(acting) =>
+            t.project(id) match {
+              case None => 404 -> err(s"project $id not found")
+              case Some(p) if acting.forall(t.canExploreProject(_, p.id)) =>
+                200 -> projectJson(p)
+              case Some(_) =>
+                403 -> err(s"account ${acting.get} may not explore project $id")
+            }
+        }
 
       // server settings document (reference platform/src/http/
       // settings.rs:28-30 GET/PUT /api/v1/admin/settings); PUT is a
-      // partial merge onto the current document, validated on save
+      // partial merge onto the current document, validated on save.
+      // ADMIN-plane: behind the admin gate, not mere authentication.
       case ("GET", List("admin", "settings")) =>
         val sp = settings.getOrElse(return 404 -> err("not found"))
-        actor(ex) match {
-          case Left(denied) => denied
-          case Right(_)     => 200 -> settingsJson(sp.load())
-        }
+        adminGate(ex).getOrElse(200 -> settingsJson(sp.load()))
       case ("PUT", List("admin", "settings")) =>
         val sp = settings.getOrElse(return 404 -> err("not found"))
-        actor(ex) match {
-          case Left(denied) => denied
-          case Right(_) =>
-            val merged = mergeSettings(sp.load(), j)
-            sp.save(merged)          // IllegalArgumentException → 400
-            200 -> settingsJson(sp.load())
+        adminGate(ex).getOrElse {
+          val merged = mergeSettings(sp.load(), j)
+          sp.save(merged)            // IllegalArgumentException → 400
+          200 -> settingsJson(sp.load())
         }
 
       // request-at-a-time ingest, project resolved by its token
@@ -513,20 +570,13 @@ final class GraftHttpServer(
     }
   }
 
-  /** Extract AND authenticate the Bearer token (401 on any token
-    * problem), then hand the validated raw token to the profile
+  /** Authenticate, then hand the validated raw token to the profile
     * method — remaining failures are request-validation 400s. */
-  private def withBearer(ex: HttpExchange)(f: String => (Int, String)): (Int, String) = {
-    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-    if (!header.startsWith("Bearer ")) 401 -> err("unauthorized")
-    else {
-      val tok = header.stripPrefix("Bearer ")
-      auth.get.authenticate(tok) match {
-        case Left(msg) => 401 -> err(msg)
-        case Right(_)  => f(tok)
-      }
+  private def withBearer(ex: HttpExchange)(f: String => (Int, String)): (Int, String) =
+    bearerClaims(ex, auth.get) match {
+      case Left(denied)    => denied
+      case Right((tok, _)) => f(tok)
     }
-  }
 
   private def accountJson(a: graft.model.Account): String = {
     val orgs = a.organizations.map { case (id, role) =>
@@ -541,13 +591,33 @@ final class GraftHttpServer(
       s""""organizations":$orgs,"projects":$projs}"""
   }
 
+  /** Admin-plane gate for `/admin/…` (reference settings routes sit on
+    * the admin router): with an Auth attached the caller must
+    * authenticate AND — when a Tenancy is attached — own at least one
+    * organization. (Deliberate divergence: the reference carries a
+    * global admin role on the account; this model approximates it with
+    * org ownership, the strongest role it has.) */
+  private def adminGate(ex: HttpExchange): Option[(Int, String)] =
+    auth match {
+      case None => None
+      case Some(a) =>
+        bearerClaims(ex, a) match {
+          case Left(denied) => Some(denied)
+          case Right((_, claims)) =>
+            val isAdmin = tenancy.forall(_.listOrganizations()
+              .exists(_.roleOf(claims.accountId).contains("owner")))
+            if (isAdmin) None
+            else Some(403 -> err(
+              s"account ${claims.accountId} is not an organization owner"))
+        }
+    }
+
   private def settingsJson(s: graft.model.Settings): String =
-    s"""{"authAccessToken":${JStr(s.authAccessToken).render},""" +
-      s""""authRefreshToken":${JStr(s.authRefreshToken).render},""" +
-      s""""authAdminDefaultPassword":${JStr(s.authAdminDefaultPassword).render},""" +
-      s""""backupEnabled":${s.backupEnabled},""" +
+    // every secret — auth token material, admin default password,
+    // backup encryption password, provider keys — is WRITE-ONLY:
+    // stored on PUT, never echoed
+    s"""{"backupEnabled":${s.backupEnabled},""" +
       s""""backupEncryptionEnabled":${s.backupEncryptionEnabled},""" +
-      s""""backupEncryptionPassword":${JStr(s.backupEncryptionPassword).render},""" +
       s""""backupCompressionEnabled":${s.backupCompressionEnabled},""" +
       s""""backupProvider":${JStr(s.backupProvider).render},""" +
       s""""backupProviderLocalPath":${JStr(s.backupProviderLocalPath).render},""" +

@@ -182,8 +182,23 @@ class HttpSpec extends SparkTestBase {
         """{"organizationId": 1, "name": "Shop", "token": "t_shop"}""",
         bearer = signedTok)
       assert(pc == 200 && proj.contains("\"token\":\"t_shop\""))
-      assert(req(srv.port, "GET", "/api/v1/organizations/1/projects")._2
-        .contains("\"name\":\"Shop\""))
+      assert(req(srv.port, "GET", "/api/v1/organizations/1/projects",
+        bearer = signedTok)._2.contains("\"name\":\"Shop\""))
+
+      // tenant listings are SCOPED: a non-member account sees no
+      // foreign org, no foreign project, and above all no ingest
+      // token; direct by-id reads deny rather than leak
+      assert(req(srv.port, "GET", "/api/v1/organizations")._1 == 401)
+      assert(req(srv.port, "GET", "/api/v1/organizations",
+        bearer = memberTok)._2 == "[]")
+      assert(!req(srv.port, "GET", "/api/v1/projects",
+        bearer = memberTok)._2.contains("t_shop"))
+      assert(req(srv.port, "GET", "/api/v1/projects/1",
+        bearer = memberTok)._1 == 403)
+      assert(req(srv.port, "GET", "/api/v1/organizations/1",
+        bearer = memberTok)._1 == 403)
+      assert(req(srv.port, "GET", "/api/v1/organizations/1/projects",
+        bearer = memberTok)._2 == "[]")
 
       // the documented PUT rename and flat project list are wired
       val (rc, renamed) = req(srv.port, "PUT", "/api/v1/organizations/1",
@@ -419,6 +434,48 @@ class HttpSpec extends SparkTestBase {
       assert(sp.load().backupProviderS3SecretKey == "sk")
       // tenancy routes on a settings-only server are 404, not crashes
       assert(req(srv.port, "GET", "/api/v1/organizations")._1 == 404)
+      assert(req(srv.port, "DELETE", "/api/v1/organizations/1")._1 == 404)
+    }
+  }
+
+  test("admin settings behind the admin gate; open org mutations take empty bodies") {
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    val sp = new graft.model.SettingsProvider
+    withServer(new GraftHttpServer(spark, ev, tenancy = Some(tenancy),
+      auth = Some(auth), settings = Some(sp))) { srv =>
+      val (_, s1) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "o@a.com", "password": "Str0ng!pass"}""")
+      val ownerTok = (graft.model.Json.parse(s1) / "accessToken").str
+      val (_, s2) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "m@a.com", "password": "Str0ng!pass2"}""")
+      val plainTok = (graft.model.Json.parse(s2) / "accessToken").str
+      req(srv.port, "POST", "/api/v1/organizations", """{"name": "Acme"}""",
+        bearer = ownerTok)
+
+      // org owner passes the admin gate; a mere account does not;
+      // anonymous is 401 — and secrets never echo even to the admin
+      assert(req(srv.port, "GET", "/api/v1/admin/settings")._1 == 401)
+      assert(req(srv.port, "GET", "/api/v1/admin/settings",
+        bearer = plainTok)._1 == 403)
+      val (ac, admin) = req(srv.port, "GET", "/api/v1/admin/settings",
+        bearer = ownerTok)
+      assert(ac == 200 && !admin.contains("authAdminDefaultPassword"))
+      assert(req(srv.port, "PUT", "/api/v1/admin/settings",
+        """{"authAdminDefaultPassword": "hunter2"}""", bearer = plainTok)._1 == 403)
+      assert(req(srv.port, "PUT", "/api/v1/admin/settings",
+        """{"authAdminDefaultPassword": "hunter2"}""", bearer = ownerTok)._1 == 200)
+      assert(sp.load().authAdminDefaultPassword == "hunter2")
+    }
+
+    // auth-LESS server: the open pre-auth surface must accept a bare
+    // DELETE with no body (the body-actor fallback is best-effort)
+    val open = new graft.model.Tenancy
+    open.createAccount("x@a.com", "Str0ng!pass", None, 0L)
+    open.createOrganization("Solo", 1L, 0L)
+    withServer(new GraftHttpServer(spark, ev, tenancy = Some(open))) { srv =>
+      assert(req(srv.port, "DELETE", "/api/v1/organizations/1")._1 == 200)
+      assert(open.organization(1L).isEmpty)
     }
   }
 

@@ -80,6 +80,17 @@ class MetadataSpec extends SparkTestBase {
       Registry(Seq.empty, customEvents = Map(1L -> diamond), strict = false))
   }
 
+  test("event-property associations follow case-insensitive rename and delete") {
+    import graft.model.{PropertyMeta, Registry}
+    val r = Registry(Seq(PropertyMeta("Revenue", "value", "double")), strict = false)
+      .withEventName("install").withEventProperty("install", "Revenue")
+    // addressing by a different case must remap the association, not
+    // orphan it (props map is case-insensitive; associations must be too)
+    val renamed = r.renameProperty("revenue", "Turnover")
+    assert(renamed.eventProperties("install") == Set("Turnover"))
+    assert(r.withoutProperty("REVENUE").eventProperties("install").isEmpty)
+  }
+
   test("JSON requests resolve display names through the registry") {
     val reg = Metadata.fromEvents(df, display = Map("value" -> "Revenue"))
     val json = """{

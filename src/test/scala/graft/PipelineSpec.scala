@@ -74,6 +74,12 @@ class PipelineSpec extends SparkTestBase {
     val distributed = graft.pipeline.Dedup.dupClusters(pairs, smallGraphEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distributed == clusters)
+    // non-convergence fails LOUDLY, never silently-split clusters: a
+    // 6-node chain needs 5 propagation rounds, maxIter=2 cannot finish
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    assertThrows[IllegalStateException](
+      graft.pipeline.Dedup.dupClusters(chain, maxIter = 2, smallGraphEdges = 0L))
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"), (7L, "g"), (9L, "i"))
       .toDF("doc_id", "text")
     val kept = graft.pipeline.Dedup.keepRepresentatives(docs, pairs, "doc_id")
