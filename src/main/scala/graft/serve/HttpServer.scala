@@ -174,6 +174,26 @@ final class GraftHttpServer(
     // 164-176 event-properties routes, events.rs:100-118, custom_
     // events.rs; mutations demand ManageSchema, rbac.rs
     // PROJECT_PERMISSIONS) ----
+    // group DIMENSIONS (reference platform/src/http/groups.rs —
+    // POST create / GET list under the project; the reference caps at
+    // GROUPS_COUNT=5, common/src/lib.rs:16-21)
+    case ("GET", List("groups")) =>
+      200 -> reg.groupCols.zipWithIndex.map { case (c, i) =>
+        s"""{"id":$i,"column":${JStr(c).render}}"""
+      }.mkString("[", ",", "]")
+    case ("POST", List("groups")) =>
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
+        val column = (Json.parse(body) / "column").str
+        if (reg.groupCols.size >= 5)
+          400 -> err("maximum 5 group dimensions")
+        else if (reg.groupCols.contains(column))
+          400 -> err(s"group dimension '$column' already exists")
+        else {
+          reg = reg.withGroupColumns(reg.groupCols :+ column)
+          200 -> s"""{"id":${reg.groupCols.size - 1},"column":${JStr(column).render}}"""
+        }
+      })
+
     case ("GET", List("schema", "event-properties")) =>
       200 -> reg.allProperties.map(propJson).mkString("[", ",", "]")
     case ("GET", List("schema", "event-properties", "name", name)) =>

@@ -339,6 +339,22 @@ class HttpSpec extends SparkTestBase {
         "/api/v1/projects/1/schema/event-properties/Nope")._1 == 404)
       assert(req(srv.port, "DELETE",
         "/api/v1/projects/1/schema/event-properties/Turnover")._1 == 200)
+
+      // group dimensions: list, add (unique, capped at the fixed 5),
+      // and the new index resolves through the registry
+      assert(req(srv.port, "GET", "/api/v1/projects/1/groups")._2
+        .contains("\"id\":0"))
+      assert(req(srv.port, "POST", "/api/v1/projects/1/groups",
+        """{"column": "company_id"}""")._1 == 200)
+      assert(req(srv.port, "POST", "/api/v1/projects/1/groups",
+        """{"column": "company_id"}""")._1 == 400)
+      assert(srv.currentRegistry.groupColumn(1) == "company_id")
+      Seq("g2", "g3", "g4").foreach { g =>
+        assert(req(srv.port, "POST", "/api/v1/projects/1/groups",
+          s"""{"column": "$g"}""")._1 == 200)
+      }
+      assert(req(srv.port, "POST", "/api/v1/projects/1/groups",
+        """{"column": "g5"}""")._1 == 400, "GROUPS_COUNT=5 cap")
     }
   }
 
