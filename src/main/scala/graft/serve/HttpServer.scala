@@ -39,28 +39,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - POST dashboards, POST dashboards/:id/run
   *  - GET schema/event-properties[/name/:name], PUT/DELETE
   *    schema/event-properties/:name, GET/POST schema/events,
-  *    DELETE schema/events/:name, POST schema/custom-events,
-  *    DELETE schema/custom-events/:id — metadata CRUD over the
-  *    copy-on-write registry; queries see the updated snapshot
+  *    DELETE schema/events/:name, POST/DELETE
+  *    schema/events/name/:event/properties/:prop (associations),
+  *    POST schema/custom-events, DELETE schema/custom-events/:id,
+  *    GET/POST groups (dimensions, capped at 5) — metadata CRUD over
+  *    the copy-on-write registry; queries see the updated snapshot
   *
   * With a [[graft.model.Tenancy]]+[[graft.model.Auth]] attached, the
   * identity surface comes up too (reference platform/src/http/auth.rs
   * :210-217, organizations.rs:61-70, projects.rs:61-70; ingester
   * sources/http/mod.rs:255-256):
-  *  - POST auth/signup | auth/login | auth/refresh-token
+  *  - POST auth/signup | auth/login | auth/refresh-token |
+  *    auth/switch-organization/:org_id
+  *  - GET profile, PUT profile/name | profile/email |
+  *    profile/password (self-service; email/password changes
+  *    re-verify the current password and rotate the token pair)
   *  - POST/GET organizations, GET/PUT/DELETE organizations/:id
   *  - POST/GET projects, GET organizations/:id/projects
   *  - POST ingest/:token/track — project resolved by ingest token
   *  - GET/PUT /api/v1/admin/settings (with a SettingsProvider —
-  *    partial merge, validated save, secrets write-only)
+  *    partial merge, validated save, every secret write-only; behind
+  *    the org-owner admin gate)
   * and every `/projects/:id/…` query route then demands a Bearer
   * access token whose account may explore that project (the
   * reference's Context extractor + rbac check). Tenancy MUTATIONS
   * (create/rename/delete organization, create project) likewise
   * demand a Bearer token — the acting account is taken from the
   * token's claims, never the request body — and an org role granting
-  * manage_organization / manage_projects. Without an Auth the server
-  * stays open, matching the pre-auth test surface.
+  * manage_organization / manage_projects; tenant READS (org/project
+  * listings and by-id gets) filter to the caller's memberships so
+  * ingest tokens never enumerate cross-tenant. Without an Auth the
+  * server stays open, matching the pre-auth test surface.
   */
 final class GraftHttpServer(
     spark: SparkSession,
