@@ -83,6 +83,12 @@ final case class Project(
 
 final case class Account(
     id: Long, email: String, name: Option[String], passwordHash: String,
+    /** GLOBAL role (reference common/src/rbac.rs:63 `PERMISSIONS` —
+      * only Admin exists, granting Permission::All; context.rs
+      * check_permission consults it before any org/project walk).
+      * The first admin is bootstrapped programmatically, like the
+      * reference's init-time admin account. */
+    role: Option[String] = None,
     organizations: Seq[(Long, String)] = Nil,  // (orgId, org role)
     projects: Seq[(Long, String)] = Nil,       // (projectId, project role)
     forceUpdatePassword: Boolean = false, forceUpdateEmail: Boolean = false,
@@ -386,6 +392,30 @@ final class Tenancy {
     accounts.values.find(_.email == email)
   def listAccounts(): Seq[Account] = accounts.values.toSeq
 
+  /** Global role management (reference metadata/src/accounts.rs:253
+    * `role: Option<Role>`; rbac.rs:63 Admin→All). */
+  def setAccountRole(accountId: Long, role: Option[String], now: Long): Account = {
+    role.foreach(r => require(r == "admin", s"unknown global role: $r"))
+    val cur = accounts.getOrElse(accountId, sys.error(s"account $accountId not found"))
+    val next = cur.copy(role = role, updatedAt = Some(now))
+    accounts(accountId) = next
+    next
+  }
+
+  def isGlobalAdmin(accountId: Long): Boolean =
+    accounts.get(accountId).exists(_.role.contains("admin"))
+
+  /** Delete an account and scrub its memberships from every
+    * organization (the mirror of deleteOrganization's cleanup). */
+  def deleteAccount(id: Long): Account = {
+    val a = accounts.getOrElse(id, sys.error(s"account $id not found"))
+    accounts.remove(id)
+    orgs.mapValuesInPlace { (_, o) =>
+      if (o.isMember(id)) o.copy(members = o.members.filterNot(_._1 == id)) else o
+    }
+    a
+  }
+
   /** Profile self-service updates (reference auth/provider.rs:152-172
     * update_name, accounts.rs update paths). */
   def updateAccountName(accountId: Long, name: String, now: Long): Account = {
@@ -430,15 +460,19 @@ final class Tenancy {
     * PROJECT_PERMISSIONS). */
   def canExploreProject(accountId: Long, projectId: Long): Boolean =
     projects.get(projectId).exists { p =>
-      val acc = accounts.get(accountId)
-      val viaProject = acc.exists(_.projects.exists { case (pid, role) =>
-        pid == projectId && Rbac.projectAllows(role, "explore_reports")
-      })
-      val viaOrg = acc.exists(_.organizations.exists { case (oid, role) =>
-        oid == p.organizationId &&
-          (Rbac.orgAllows(role, "manage_projects") || role == "owner")
-      })
-      viaProject || viaOrg
+      // global admin short-circuits every walk (context.rs
+      // check_permission runs before the org/project checks)
+      isGlobalAdmin(accountId) || {
+        val acc = accounts.get(accountId)
+        val viaProject = acc.exists(_.projects.exists { case (pid, role) =>
+          pid == projectId && Rbac.projectAllows(role, "explore_reports")
+        })
+        val viaOrg = acc.exists(_.organizations.exists { case (oid, role) =>
+          oid == p.organizationId &&
+            (Rbac.orgAllows(role, "manage_projects") || role == "owner")
+        })
+        viaProject || viaOrg
+      }
     }
 
   /** May `accountId` mutate project schema (rename properties, add
@@ -447,15 +481,17 @@ final class Tenancy {
     * admins inherit it, same walk as [[canExploreProject]]. */
   def canManageSchema(accountId: Long, projectId: Long): Boolean =
     projects.get(projectId).exists { p =>
-      val acc = accounts.get(accountId)
-      val viaProject = acc.exists(_.projects.exists { case (pid, role) =>
-        pid == projectId && Rbac.projectAllows(role, "manage_schema")
-      })
-      val viaOrg = acc.exists(_.organizations.exists { case (oid, role) =>
-        oid == p.organizationId &&
-          (Rbac.orgAllows(role, "manage_projects") || role == "owner")
-      })
-      viaProject || viaOrg
+      isGlobalAdmin(accountId) || {
+        val acc = accounts.get(accountId)
+        val viaProject = acc.exists(_.projects.exists { case (pid, role) =>
+          pid == projectId && Rbac.projectAllows(role, "manage_schema")
+        })
+        val viaOrg = acc.exists(_.organizations.exists { case (oid, role) =>
+          oid == p.organizationId &&
+            (Rbac.orgAllows(role, "manage_projects") || role == "owner")
+        })
+        viaProject || viaOrg
+      }
     }
 
   private def mirrorOrgOntoAccount(accountId: Long, orgId: Long, role: String): Unit =

@@ -584,6 +584,37 @@ final class GraftHttpServer(
           200 -> settingsJson(sp.load())
         }
 
+      // admin account CRUD (reference platform/src/http/accounts.rs:
+      // 62-63 — create/list, get/update/delete by id, all behind the
+      // global-admin gate). PUT accepts name and role ("admin" sets,
+      // "none" clears — the JSON layer folds null fields away).
+      case ("GET", List("accounts")) =>
+        adminGate(ex).getOrElse(
+          200 -> t.listAccounts().map(accountJson).mkString("[", ",", "]"))
+      case ("GET", List("accounts", IdSeg(id))) =>
+        adminGate(ex).getOrElse(
+          t.account(id).map(a => 200 -> accountJson(a))
+            .getOrElse(404 -> err(s"account $id not found")))
+      case ("POST", List("accounts")) =>
+        adminGate(ex).getOrElse {
+          val a = t.createAccount((j / "email").str, (j / "password").str,
+            j.asOpt("name").map(_.str), now = clock())
+          200 -> accountJson(a)
+        }
+      case ("PUT", List("accounts", IdSeg(id))) =>
+        adminGate(ex).getOrElse {
+          j.asOpt("name").map(_.str)
+            .foreach(n => t.updateAccountName(id, n, clock()))
+          j.asOpt("role").map(_.str).foreach {
+            case "none" => t.setAccountRole(id, None, clock())
+            case r      => t.setAccountRole(id, Some(r), clock())
+          }
+          t.account(id).map(a => 200 -> accountJson(a))
+            .getOrElse(404 -> err(s"account $id not found"))
+        }
+      case ("DELETE", List("accounts", IdSeg(id))) =>
+        adminGate(ex).getOrElse { t.deleteAccount(id); 200 -> "{}" }
+
       // request-at-a-time ingest, project resolved by its token
       // (ingester executor.rs:123 get_by_token; 404 on unknown token)
       case ("POST", List("ingest", token, "track")) =>
@@ -615,17 +646,18 @@ final class GraftHttpServer(
       s"""{"id":$id,"role":${JStr(role).render}}"""
     }.mkString("[", ",", "]")
     val name = a.name.map(n => JStr(n).render).getOrElse("null")
+    val role = a.role.map(r => JStr(r).render).getOrElse("null")
     // passwordHash deliberately never serialized
     s"""{"id":${a.id},"email":${JStr(a.email).render},"name":$name,""" +
-      s""""organizations":$orgs,"projects":$projs}"""
+      s""""role":$role,"organizations":$orgs,"projects":$projs}"""
   }
 
-  /** Admin-plane gate for `/admin/…` (reference settings routes sit on
-    * the admin router): with an Auth attached the caller must
-    * authenticate AND — when a Tenancy is attached — own at least one
-    * organization. (Deliberate divergence: the reference carries a
-    * global admin role on the account; this model approximates it with
-    * org ownership, the strongest role it has.) */
+  /** Admin-plane gate for `/admin/…` and `/accounts` (reference
+    * context.rs check_permission: the account's GLOBAL role, rbac.rs
+    * PERMISSIONS Admin→All, consulted before any org/project walk).
+    * The first admin is bootstrapped programmatically
+    * (Tenancy.setAccountRole), like the reference's init-time admin
+    * account. */
   private def adminGate(ex: HttpExchange): Option[(Int, String)] =
     auth match {
       case None => None
@@ -633,11 +665,8 @@ final class GraftHttpServer(
         bearerClaims(ex, a) match {
           case Left(denied) => Some(denied)
           case Right((_, claims)) =>
-            val isAdmin = tenancy.forall(_.listOrganizations()
-              .exists(_.roleOf(claims.accountId).contains("owner")))
-            if (isAdmin) None
-            else Some(403 -> err(
-              s"account ${claims.accountId} is not an organization owner"))
+            if (tenancy.forall(_.isGlobalAdmin(claims.accountId))) None
+            else Some(403 -> err(s"account ${claims.accountId} is not an admin"))
         }
     }
 

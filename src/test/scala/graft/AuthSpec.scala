@@ -147,6 +147,26 @@ class AuthSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t.addProjectRole(reader.id, 999L, "reader"))
   }
 
+  test("global admin role short-circuits project walks; deleteAccount scrubs orgs") {
+    val (t, owner) = tenancyWithAccount()
+    val org = t.createOrganization("Acme", owner.id, 0L)
+    val p = t.createProject(org.id, "Shop", "t_shop", owner.id, 0L)
+    val outsider = t.createAccount("x@example.com", "Str0ng!pass", None, 0L, Some(salt))
+    assert(!t.canExploreProject(outsider.id, p.id))
+    // admin reaches every project and schema with no membership at all
+    t.setAccountRole(outsider.id, Some("admin"), 0L)
+    assert(t.canExploreProject(outsider.id, p.id))
+    assert(t.canManageSchema(outsider.id, p.id))
+    assertThrows[IllegalArgumentException](
+      t.setAccountRole(outsider.id, Some("sudo"), 0L))
+    t.setAccountRole(outsider.id, None, 0L)
+    assert(!t.canExploreProject(outsider.id, p.id))
+    // deleting a member account removes it from org member lists
+    t.addMember(org.id, outsider.id, "member")
+    t.deleteAccount(outsider.id)
+    assert(t.organization(org.id).exists(!_.isMember(outsider.id)))
+  }
+
   test("deleteProject scrubs mirrored project roles from accounts") {
     val (t, owner) = tenancyWithAccount()
     val org = t.createOrganization("Acme", owner.id, 0L)

@@ -468,8 +468,13 @@ class HttpSpec extends SparkTestBase {
       val plainTok = (graft.model.Json.parse(s2) / "accessToken").str
       req(srv.port, "POST", "/api/v1/organizations", """{"name": "Acme"}""",
         bearer = ownerTok)
+      // the first admin bootstraps programmatically (the reference
+      // creates one at init); org ownership alone does NOT suffice
+      assert(req(srv.port, "GET", "/api/v1/admin/settings",
+        bearer = ownerTok)._1 == 403)
+      tenancy.setAccountRole(1L, Some("admin"), 0L)
 
-      // org owner passes the admin gate; a mere account does not;
+      // global admin passes the gate; a mere account does not;
       // anonymous is 401 — and secrets never echo even to the admin
       assert(req(srv.port, "GET", "/api/v1/admin/settings")._1 == 401)
       assert(req(srv.port, "GET", "/api/v1/admin/settings",
@@ -482,6 +487,23 @@ class HttpSpec extends SparkTestBase {
       assert(req(srv.port, "PUT", "/api/v1/admin/settings",
         """{"authAdminDefaultPassword": "hunter2"}""", bearer = ownerTok)._1 == 200)
       assert(sp.load().authAdminDefaultPassword == "hunter2")
+
+      // admin account CRUD: list shows roles, PUT promotes/demotes,
+      // an admin token reaches any project, DELETE scrubs memberships
+      assert(req(srv.port, "GET", "/api/v1/accounts", bearer = plainTok)._1 == 403)
+      val (lc, accs) = req(srv.port, "GET", "/api/v1/accounts", bearer = ownerTok)
+      assert(lc == 200 && accs.contains("\"role\":\"admin\""))
+      assert(req(srv.port, "PUT", "/api/v1/accounts/2",
+        """{"role": "admin"}""", bearer = ownerTok)._1 == 200)
+      assert(tenancy.isGlobalAdmin(2L))
+      assert(req(srv.port, "PUT", "/api/v1/accounts/2",
+        """{"role": "none"}""", bearer = ownerTok)._1 == 200)
+      assert(!tenancy.isGlobalAdmin(2L))
+      val (cc2, created) = req(srv.port, "POST", "/api/v1/accounts",
+        """{"email": "svc@a.com", "password": "Str0ng!pass3"}""", bearer = ownerTok)
+      assert(cc2 == 200 && created.contains("svc@a.com"))
+      assert(req(srv.port, "DELETE", "/api/v1/accounts/3", bearer = ownerTok)._1 == 200)
+      assert(tenancy.account(3L).isEmpty)
     }
 
     // auth-LESS server: the open pre-auth surface must accept a bare
