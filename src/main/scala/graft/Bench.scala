@@ -30,7 +30,12 @@ object Bench {
     // hiccup (page-cache eviction, background load) then cannot
     // multiply the recorded total; large pass-to-pass deviations are
     // flagged on stderr so a real regression can't hide as "noise".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (comma-separated names); unset for the
+    // driver's full run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

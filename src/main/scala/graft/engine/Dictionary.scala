@@ -43,12 +43,40 @@ object Dictionary {
   }
 
   /** Build a dictionary for a column: distinct values keyed 1..N in
-    * value order (deterministic). One shuffle for distinct + one
-    * range-partitioned sort. */
-  def build(df: DataFrame, valueCol: String): DataFrame =
-    rankRows(
-      df.select(col(valueCol).as("value")).filter(col("value").isNotNull).distinct(),
-      Seq(col("value")), "key")
+    * value order (deterministic).
+    *
+    * Small dictionaries (≤ `maxLocalValues` distinct values — the
+    * normal case for a dictionary-FLAGGED property, which is
+    * low-cardinality by definition) are materialized to a driver-local
+    * relation in ONE sorted-collect job. Every downstream use —
+    * [[encode]]/[[decode]]'s broadcast joins, [[keysOf]]'s literal
+    * lookups — then reads in-memory rows instead of re-executing the
+    * distinct+range-sort+zipWithIndex chain over the source scan per
+    * use (that re-execution was a measured 12.8× regression on the
+    * auto-encode path). High-cardinality columns fall back to the
+    * distributed [[rankRows]] path, persisted and eagerly
+    * materialized so repeated uses still pay the chain once; identity
+    * assignment at user-id scale bypasses `build` entirely and calls
+    * [[rankRows]] directly. */
+  def build(df: DataFrame, valueCol: String,
+            maxLocalValues: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    val distinct =
+      df.select(col(valueCol).as("value")).filter(col("value").isNotNull).distinct()
+    // TakeOrderedAndProject: one job, no full-sort shuffle for the probe
+    val head = distinct.orderBy(col("value")).limit(maxLocalValues + 1).collect()
+    if (head.length <= maxLocalValues) {
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row](head.length)
+      var i = 0
+      while (i < head.length) { rows.add(Row(head(i).get(0), i + 1L)); i += 1 }
+      spark.createDataFrame(rows,
+        StructType(distinct.schema.fields :+ StructField("key", LongType)))
+    } else {
+      val dict = rankRows(distinct, Seq(col("value")), "key").persist()
+      dict.count() // eager: pay the chain once, not per downstream use
+      dict
+    }
+  }
 
   /** Load a parquet-persisted dictionary (value, key), or an empty one
     * if the store has never been written. Same Hadoop-FS existence
