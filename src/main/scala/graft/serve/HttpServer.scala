@@ -414,7 +414,12 @@ final class GraftHttpServer(
               } catch { case _: Json.JsonError => None }
             run(fromBody.getOrElse(org.createdBy))
           case Some(accId) =>
-            org.roleOf(accId).filter(graft.model.Rbac.orgAllows(_, permission)) match {
+            // global admin short-circuits the org-role walk, exactly as
+            // the reference grants Admin→Permission::All before any
+            // org/project check (common/src/rbac.rs:63,
+            // platform/src/context.rs check_permission)
+            if (t.isGlobalAdmin(accId)) run(accId)
+            else org.roleOf(accId).filter(graft.model.Rbac.orgAllows(_, permission)) match {
               case Some(_) => run(accId)
               case None => 403 -> err(
                 s"account $accId may not $permission in organization $orgId")
@@ -501,7 +506,10 @@ final class GraftHttpServer(
           case Left(denied) => denied
           case Right(acting) =>
             val visible = acting match {
-              case None      => t.listOrganizations()
+              case None => t.listOrganizations()
+              // a global admin sees every tenant (reference context.rs
+              // check_permission: Admin→All precedes membership walks)
+              case Some(acc) if t.isGlobalAdmin(acc) => t.listOrganizations()
               case Some(acc) => t.listOrganizations().filter(_.isMember(acc))
             }
             200 -> visible.map(orgJson).mkString("[", ",", "]")
@@ -512,7 +520,8 @@ final class GraftHttpServer(
           case Right(acting) =>
             t.organization(id) match {
               case None => 404 -> err(s"organization $id not found")
-              case Some(o) if acting.forall(o.isMember) => 200 -> orgJson(o)
+              case Some(o) if acting.forall(a => o.isMember(a) || t.isGlobalAdmin(a)) =>
+                200 -> orgJson(o)
               case Some(_) =>
                 403 -> err(s"account ${acting.get} is not a member of organization $id")
             }
@@ -603,9 +612,18 @@ final class GraftHttpServer(
         }
       case ("PUT", List("accounts", IdSeg(id))) =>
         adminGate(ex).getOrElse {
-          j.asOpt("name").map(_.str)
-            .foreach(n => t.updateAccountName(id, n, clock()))
-          j.asOpt("role").map(_.str).foreach {
+          // validate the WHOLE request before applying any of it — a
+          // valid-name + invalid-role PUT must mutate nothing
+          // (reference accounts.rs update is a single atomic put)
+          if (t.account(id).isEmpty)
+            return 404 -> err(s"account $id not found")
+          val name = j.asOpt("name").map(_.str)
+          val role = j.asOpt("role").map(_.str)
+          name.foreach(n => require(n.nonEmpty, "empty name"))
+          role.foreach(r => require(r == "none" || r == "admin",
+            s"unknown global role: $r"))
+          name.foreach(n => t.updateAccountName(id, n, clock()))
+          role.foreach {
             case "none" => t.setAccountRole(id, None, clock())
             case r      => t.setAccountRole(id, Some(r), clock())
           }
@@ -665,7 +683,10 @@ final class GraftHttpServer(
         bearerClaims(ex, a) match {
           case Left(denied) => Some(denied)
           case Right((_, claims)) =>
-            if (tenancy.forall(_.isGlobalAdmin(claims.accountId))) None
+            // tenancy is the ONLY role oracle: a server with auth but
+            // no Tenancy must fail closed, not treat every
+            // authenticated account as admin
+            if (tenancy.exists(_.isGlobalAdmin(claims.accountId))) None
             else Some(403 -> err(s"account ${claims.accountId} is not an admin"))
         }
     }

@@ -517,6 +517,86 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("global admin short-circuits the org plane; adminGate fails closed; PUT accounts atomic") {
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    withServer(new GraftHttpServer(spark, ev,
+      tenancy = Some(tenancy), auth = Some(auth))) { srv =>
+      val (_, s1) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "o@a.com", "password": "Str0ng!pass"}""")
+      val ownerTok = (graft.model.Json.parse(s1) / "accessToken").str
+      val (_, s2) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "root@a.com", "password": "Str0ng!pass2"}""")
+      val rootTok = (graft.model.Json.parse(s2) / "accessToken").str
+      req(srv.port, "POST", "/api/v1/organizations", """{"name": "Acme"}""",
+        bearer = ownerTok)
+      req(srv.port, "POST", "/api/v1/projects",
+        """{"organizationId": 1, "name": "P", "token": "tk1"}""", bearer = ownerTok)
+
+      // account 2 is a member of NOTHING: scoped reads hide the
+      // tenant and org mutations 403 (the pre-admin baseline)
+      assert(req(srv.port, "GET", "/api/v1/organizations", bearer = rootTok)._2 == "[]")
+      assert(req(srv.port, "GET", "/api/v1/organizations/1", bearer = rootTok)._1 == 403)
+      assert(req(srv.port, "GET", "/api/v1/projects", bearer = rootTok)._2 == "[]")
+      assert(req(srv.port, "PUT", "/api/v1/organizations/1",
+        """{"name": "Evil"}""", bearer = rootTok)._1 == 403)
+      assert(req(srv.port, "POST", "/api/v1/projects",
+        """{"organizationId": 1, "name": "Q", "token": "tk2"}""",
+        bearer = rootTok)._1 == 403)
+
+      // promote to global admin: Admin→Permission::All precedes every
+      // org/project walk (reference common/src/rbac.rs:63), so the
+      // SAME requests now succeed without any membership
+      tenancy.setAccountRole(2L, Some("admin"), 0L)
+      val (lo, orgs) = req(srv.port, "GET", "/api/v1/organizations", bearer = rootTok)
+      assert(lo == 200 && orgs.contains("\"name\":\"Acme\""))
+      assert(req(srv.port, "GET", "/api/v1/organizations/1", bearer = rootTok)._1 == 200)
+      val (lp, projs) = req(srv.port, "GET", "/api/v1/projects", bearer = rootTok)
+      assert(lp == 200 && projs.contains("\"name\":\"P\""))
+      assert(req(srv.port, "GET", "/api/v1/organizations/1/projects",
+        bearer = rootTok)._2.contains("\"name\":\"P\""))
+      val (rc, renamed) = req(srv.port, "PUT", "/api/v1/organizations/1",
+        """{"name": "Acme2"}""", bearer = rootTok)
+      assert(rc == 200 && renamed.contains("\"name\":\"Acme2\""))
+      assert(req(srv.port, "POST", "/api/v1/projects",
+        """{"organizationId": 1, "name": "Q", "token": "tk2"}""",
+        bearer = rootTok)._1 == 200)
+
+      // PUT /accounts/:id is atomic: a valid name + invalid role must
+      // mutate NOTHING (validate-then-apply, not apply-as-you-parse)
+      assert(req(srv.port, "PUT", "/api/v1/accounts/1",
+        """{"name": "Mutated", "role": "bogus"}""", bearer = rootTok)._1 == 400)
+      assert(tenancy.account(1L).get.name.isEmpty, "invalid-role PUT leaked the name update")
+      assert(req(srv.port, "PUT", "/api/v1/accounts/999",
+        """{"name": "X"}""", bearer = rootTok)._1 == 404)
+
+      // admin delete of an org it doesn't belong to also passes
+      // (a project-less one — delete still enforces the no-projects
+      // domain constraint regardless of role)
+      req(srv.port, "POST", "/api/v1/organizations", """{"name": "Beta"}""",
+        bearer = ownerTok)
+      assert(req(srv.port, "DELETE", "/api/v1/organizations/1", bearer = rootTok)._1 == 400)
+      assert(req(srv.port, "DELETE", "/api/v1/organizations/2", bearer = rootTok)._1 == 200)
+      assert(tenancy.organization(2L).isEmpty)
+    }
+
+    // auth attached but NO tenancy: the admin plane must fail closed —
+    // an authenticated account is not implicitly an admin
+    val lonely = new graft.model.Tenancy
+    val lonelyAuth = new graft.model.Auth(lonely, "k".getBytes, clock = () => 1000L)
+    val sp = new graft.model.SettingsProvider
+    withServer(new GraftHttpServer(spark, ev,
+      auth = Some(lonelyAuth), settings = Some(sp))) { srv =>
+      val (_, s) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "x@a.com", "password": "Str0ng!pass"}""")
+      val tok = (graft.model.Json.parse(s) / "accessToken").str
+      assert(req(srv.port, "GET", "/api/v1/admin/settings", bearer = tok)._1 == 403)
+      assert(req(srv.port, "PUT", "/api/v1/admin/settings",
+        """{"backupEnabled": true}""", bearer = tok)._1 == 403)
+      assert(!sp.load().backupEnabled)
+    }
+  }
+
   test("errors: malformed JSON 400, unknown routes 404") {
     withServer(new GraftHttpServer(spark, ev)) { srv =>
       assert(req(srv.port, "POST",
