@@ -438,6 +438,36 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
     }),
 
+    // §2.17 PER-GROUP property namespaces (reference platform/src/http/
+    // mod.rs:40-43 PropertiesLayer{groups: Vec<Properties>}; lib.rs:
+    // 440-447 PropertyRef::Group{property_name, group}): BOTH refs
+    // below are display name "Tier", but group 0's namespace maps it
+    // to the numeric `value` column (filter) while group 1's maps it
+    // to `event_type` (breakdown) — homonyms resolve independently.
+    "q_registry_groups" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("k",
+        get_json_object(col("props"), "$.k").cast("long"))
+      val registry = Metadata.fromEvents(ev)
+        .withGroupColumns(Seq("user_id", "k"))
+        .withGroupProperty(0, graft.model.PropertyMeta("Tier", "value", "double"))
+        .withGroupProperty(1, graft.model.PropertyMeta("Tier", "event_type", "string"))
+      val json = """{
+        "time": {"type": "between", "from": "2024-01-01T00:00:00Z", "to": "2024-02-01T00:00:00Z"},
+        "group": 1,
+        "intervalUnit": "day",
+        "events": [{
+          "eventType": "all",
+          "filters": [{"type": "property", "propertyType": "group", "group": 0,
+                       "propertyName": "Tier", "operation": "gt", "value": [50]}],
+          "queries": [{"type": "countEvents", "name": "cnt"}]
+        }],
+        "breakdowns": [{"type": "property", "propertyType": "group", "group": 1,
+                        "propertyName": "Tier"}]
+      }"""
+      JsonApi.eventSegmentation(ev, json, registry = registry)
+        .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
+    }),
+
     // §2.8/§2.9 record-search output tail: dictionary-encoded props
     // decoded back and display names applied inside the search path
     // (reference event_records.rs:349-419)
@@ -1702,6 +1732,14 @@ object SparkEntry {
          min(n_name) AS first_nation
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1 ORDER BY r_name""",
+
+    // Homonym "Tier" resolves per group namespace: the group-0 ref is
+    // the value filter, the group-1 ref is the event_type breakdown.
+    "q_registry_groups" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
+         FROM events
+         WHERE $SQL_RANGE AND value > 50
+         GROUP BY 1, 2""",
 
     // A display rename changes only the logical addressing — the
     // physical plan and therefore the oracle stay identical.

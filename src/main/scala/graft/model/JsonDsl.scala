@@ -227,11 +227,17 @@ object JsonDsl {
 
   /** Flattened-PropertyRef name: `{"propertyType":"event"|"group",
     * "propertyName":...}` → physical column, resolved (and, for
-    * strict registries, validated) through the metadata registry. */
+    * strict registries, validated) through the metadata registry.
+    * Group refs carry the group-dimension index (reference
+    * platform/src/lib.rs:440-447 `PropertyRef::Group { property_name,
+    * group }`) and resolve through THAT group's namespace — two
+    * groups may share a display name and address different columns. */
   private def propertyName(j: JValue)(implicit reg: Registry): String =
     (j / "propertyType").str match {
-      case "event" | "group" => reg.column((j / "propertyName").str)
-      case other             => throw JsonError(s"unknown propertyType '$other'")
+      case "event" => reg.column((j / "propertyName").str)
+      case "group" => reg.groupPropertyColumn(
+        j.asOpt("group").map(_.int).getOrElse(0), (j / "propertyName").str)
+      case other   => throw JsonError(s"unknown propertyType '$other'")
     }
 
   private def propOp(j: JValue): PropOp = j.str match {

@@ -33,7 +33,18 @@ final class Registry(
       * filterable properties per event). Advisory metadata: the
       * engine never restricts a filter to attached properties, same
       * as the reference's query path. */
-    val eventProperties: Map[String, Set[String]] = Map.empty) {
+    val eventProperties: Map[String, Set[String]] = Map.empty,
+    /** Per-group-dimension property NAMESPACES (reference
+      * platform/src/http/mod.rs:40-43 `PropertiesLayer { events,
+      * groups: Vec<Arc<Properties>> }`): groupProps(i) is group i's
+      * own display-name → meta map, so "Plan" can name BOTH a user
+      * property and an org property and resolve independently
+      * (PropertyRef::Group carries the group index,
+      * common/src/query.rs:200-204). A name absent from a group's
+      * namespace falls back to the shared event namespace —
+      * Metadata.fromEvents derives ONE schema for every column, and
+      * group refs addressed that way predate the split. */
+    val groupProps: Seq[Map[String, PropertyMeta]] = Seq.empty) {
 
   /** Logical name → metadata. Open registries pass unknown names
     * through unchanged (physical addressing keeps working); strict
@@ -64,7 +75,7 @@ final class Registry(
       s"unknown group index $idx (configured groups: 0..${groupCols.size - 1})")
 
   def withProperty(m: PropertyMeta): Registry =
-    new Registry(props + (m.name.toLowerCase -> m), customEvents, eventNames, strict, groupCols, eventProperties)
+    new Registry(props + (m.name.toLowerCase -> m), customEvents, eventNames, strict, groupCols, eventProperties, groupProps)
 
   /** Drop a property by display name (reference metadata/src/
     * properties.rs delete — tombstones; immutable registries just
@@ -76,7 +87,8 @@ final class Registry(
       // same case-insensitive addressing the props map uses — an
       // exact-case filter would leave a ghost association behind a
       // delete addressed as 'revenue' for stored 'Revenue'
-      eventProperties.view.mapValues(_.filterNot(_.equalsIgnoreCase(name))).toMap)
+      eventProperties.view.mapValues(_.filterNot(_.equalsIgnoreCase(name))).toMap,
+      groupProps)
 
   /** Re-display a property: same physical column and flags, new
     * logical name (the reference's UpdatePropertyRequest.display_name,
@@ -93,24 +105,25 @@ final class Registry(
       eventProperties.view.mapValues(s =>
         if (s.exists(_.equalsIgnoreCase(name)))
           s.filterNot(_.equalsIgnoreCase(name)) + newName
-        else s).toMap)
+        else s).toMap,
+      groupProps)
   }
 
   /** Add / remove a known event name (reference metadata/src/events.rs
     * create/delete; an empty set disables validation, so removal of
     * the last name degrades to open rather than rejecting all). */
   def withEventName(name: String): Registry =
-    new Registry(props, customEvents, eventNames + name, strict, groupCols, eventProperties)
+    new Registry(props, customEvents, eventNames + name, strict, groupCols, eventProperties, groupProps)
   def withoutEventName(name: String): Registry =
     new Registry(props, customEvents, eventNames - name, strict, groupCols,
-      eventProperties - name)
+      eventProperties - name, groupProps)
 
   def withoutCustomEvent(id: Long): Registry =
-    new Registry(props, customEvents - id, eventNames, strict, groupCols, eventProperties)
+    new Registry(props, customEvents - id, eventNames, strict, groupCols, eventProperties, groupProps)
 
   def withCustomEvent(id: Long, ce: CustomEvent): Registry = {
     Registry.validateCustomEvent(ce)
-    new Registry(props, customEvents + (id -> ce), eventNames, strict, groupCols, eventProperties)
+    new Registry(props, customEvents + (id -> ce), eventNames, strict, groupCols, eventProperties, groupProps)
   }
 
   /** Attach / detach a property to an event (reference events.rs
@@ -126,7 +139,7 @@ final class Registry(
     if (cur.contains(prop))
       throw Json.JsonError(s"property '$prop' already attached to '$event'")
     new Registry(props, customEvents, eventNames, strict, groupCols,
-      eventProperties + (event -> (cur + prop)))
+      eventProperties + (event -> (cur + prop)), groupProps)
   }
 
   def withoutEventProperty(event: String, prop: String): Registry = {
@@ -134,14 +147,73 @@ final class Registry(
     if (!cur.contains(prop))
       throw Json.JsonError(s"property '$prop' is not attached to '$event'")
     new Registry(props, customEvents, eventNames, strict, groupCols,
-      eventProperties + (event -> (cur - prop)))
+      eventProperties + (event -> (cur - prop)), groupProps)
   }
 
   /** Configure the group-dimension columns (index 0 stays the user
-    * dimension by convention). */
+    * dimension by convention). Namespaces for dropped trailing groups
+    * are discarded; new groups start empty. */
   def withGroupColumns(cols: Seq[String]): Registry = {
     require(cols.nonEmpty, "at least one group dimension (users) is required")
-    new Registry(props, customEvents, eventNames, strict, cols, eventProperties)
+    new Registry(props, customEvents, eventNames, strict, cols, eventProperties,
+      groupProps.take(cols.size))
+  }
+
+  // ---- per-group property namespaces (reference properties.rs
+  // attach_group_routes; each group dimension owns an independent
+  // display-name map, so homonyms across groups never collide) ----
+
+  private def requireGroup(idx: Int): Unit =
+    if (idx < 0 || idx >= groupCols.size)
+      throw Json.JsonError(
+        s"unknown group index $idx (configured groups: 0..${groupCols.size - 1})")
+
+  /** Resolve `{"propertyType": "group", "group": idx}` refs: the
+    * group's own namespace wins; unknown names fall back to the shared
+    * event namespace (one table schema backs every dimension here). */
+  def groupProperty(idx: Int, name: String): PropertyMeta = {
+    requireGroup(idx)
+    groupProps.lift(idx).flatMap(_.get(name.toLowerCase)).getOrElse(property(name))
+  }
+
+  def groupPropertyColumn(idx: Int, name: String): String =
+    groupProperty(idx, name).column
+
+  /** Group idx's own namespace entries (NOT the shared fallback) —
+    * what `GET /schema/group-properties/:group_id` lists. */
+  def groupProperties(idx: Int): Seq[PropertyMeta] = {
+    requireGroup(idx)
+    groupProps.lift(idx).map(_.values.toSeq.sortBy(_.name)).getOrElse(Nil)
+  }
+
+  /** Register (or replace) a property in group idx's namespace. */
+  def withGroupProperty(idx: Int, m: PropertyMeta): Registry = {
+    requireGroup(idx)
+    val padded = groupProps.padTo(idx + 1, Map.empty[String, PropertyMeta])
+    new Registry(props, customEvents, eventNames, strict, groupCols, eventProperties,
+      padded.updated(idx, padded(idx) + (m.name.toLowerCase -> m)))
+  }
+
+  def withoutGroupProperty(idx: Int, name: String): Registry = {
+    requireGroup(idx)
+    if (!groupProps.lift(idx).exists(_.contains(name.toLowerCase)))
+      throw Json.JsonError(s"group $idx property '$name' not found")
+    new Registry(props, customEvents, eventNames, strict, groupCols, eventProperties,
+      groupProps.updated(idx, groupProps(idx) - name.toLowerCase))
+  }
+
+  /** Re-display a group property — duplicate display names are only
+    * rejected WITHIN the group's namespace (cross-group homonyms are
+    * the whole point of the split). */
+  def renameGroupProperty(idx: Int, name: String, newName: String): Registry = {
+    requireGroup(idx)
+    val ns = groupProps.lift(idx).getOrElse(Map.empty)
+    val m = ns.getOrElse(name.toLowerCase,
+      throw Json.JsonError(s"group $idx property '$name' not found"))
+    if (newName.toLowerCase != name.toLowerCase && ns.contains(newName.toLowerCase))
+      throw Json.JsonError(s"display name '$newName' already in use in group $idx")
+    new Registry(props, customEvents, eventNames, strict, groupCols, eventProperties,
+      groupProps.updated(idx, ns - name.toLowerCase + (newName.toLowerCase -> m.copy(name = newName))))
   }
 
   def allProperties: Seq[PropertyMeta] = props.values.toSeq.sortBy(_.name)

@@ -203,6 +203,39 @@ final class GraftHttpServer(
         }
       })
 
+    // per-group property namespaces (reference platform/src/http/
+    // properties.rs:149-162 attach_group_routes — each group dimension
+    // owns an independent display-name map under
+    // /schema/group-properties/:group_id)
+    case ("GET", List("schema", "group-properties", IdSeg(gid))) =>
+      200 -> reg.groupProperties(gid.toInt).map(propJson).mkString("[", ",", "]")
+    case ("GET", List("schema", "group-properties", IdSeg(gid), "name", name)) =>
+      reg.groupProperties(gid.toInt).find(_.name.equalsIgnoreCase(name))
+        .map(m => 200 -> propJson(m))
+        .getOrElse(404 -> err(s"group $gid property '$name' not found"))
+    case ("PUT", List("schema", "group-properties", IdSeg(gid), name)) =>
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
+        if (!reg.groupProperties(gid.toInt).exists(_.name.equalsIgnoreCase(name)))
+          return 404 -> err(s"group $gid property '$name' not found")
+        val j = Json.parse(body)
+        var next = reg
+        val finalName = j.asOpt("displayName").map(_.str).getOrElse(name)
+        if (finalName != name)
+          next = next.renameGroupProperty(gid.toInt, name, finalName)
+        j.asOpt("isDictionary").map(_.bool).foreach { d =>
+          next = next.withGroupProperty(gid.toInt,
+            next.groupProperty(gid.toInt, finalName).copy(isDictionary = d))
+        }
+        reg = next
+        200 -> propJson(reg.groupProperty(gid.toInt, finalName))
+      })
+    case ("DELETE", List("schema", "group-properties", IdSeg(gid), name)) =>
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
+        if (!reg.groupProperties(gid.toInt).exists(_.name.equalsIgnoreCase(name)))
+          404 -> err(s"group $gid property '$name' not found")
+        else { reg = reg.withoutGroupProperty(gid.toInt, name); 200 -> "{}" }
+      })
+
     case ("GET", List("schema", "event-properties")) =>
       200 -> reg.allProperties.map(propJson).mkString("[", ",", "]")
     case ("GET", List("schema", "event-properties", "name", name)) =>

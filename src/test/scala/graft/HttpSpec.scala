@@ -358,6 +358,49 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("group-properties routes: per-group namespaces over HTTP") {
+    val events = ev
+    val registry = graft.engine.Metadata.fromEvents(events)
+      .withGroupColumns(Seq("user_id", "device"))
+      .withGroupProperty(0, graft.model.PropertyMeta("Tier", "value", "double"))
+      .withGroupProperty(1, graft.model.PropertyMeta("Tier", "device", "string"))
+    withServer(new GraftHttpServer(spark, events, registry = registry)) { srv =>
+      // each group lists only ITS namespace; homonyms coexist
+      val (l0, g0) = req(srv.port, "GET",
+        "/api/v1/projects/1/schema/group-properties/0")
+      assert(l0 == 200 && g0.contains("\"column\":\"value\""))
+      val (l1, g1) = req(srv.port, "GET",
+        "/api/v1/projects/1/schema/group-properties/1")
+      assert(l1 == 200 && g1.contains("\"column\":\"device\""))
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/schema/group-properties/1/name/Tier")._2
+        .contains("\"column\":\"device\""))
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/schema/group-properties/1/name/Nope")._1 == 404)
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/schema/group-properties/9")._1 == 400)
+
+      // rename in group 1 only — group 0's homonym must not move
+      assert(req(srv.port, "PUT",
+        "/api/v1/projects/1/schema/group-properties/1/Tier",
+        """{"displayName": "Plan"}""")._1 == 200)
+      assert(srv.currentRegistry.groupProperty(1, "Plan").column == "device")
+      assert(srv.currentRegistry.groupProperty(0, "Tier").column == "value")
+      assert(req(srv.port, "PUT",
+        "/api/v1/projects/1/schema/group-properties/1/Tier",
+        """{"displayName": "X"}""")._1 == 404, "old name gone after rename")
+      // flag update addresses the group namespace, then delete empties it
+      assert(req(srv.port, "PUT",
+        "/api/v1/projects/1/schema/group-properties/1/Plan",
+        """{"isDictionary": true}""")._2.contains("\"isDictionary\":true"))
+      assert(req(srv.port, "DELETE",
+        "/api/v1/projects/1/schema/group-properties/1/Plan")._1 == 200)
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/schema/group-properties/1")._2 == "[]")
+      assert(srv.currentRegistry.groupProperty(0, "Tier").column == "value")
+    }
+  }
+
   test("schema mutations demand manage_schema; readers get 403") {
     val tenancy = new graft.model.Tenancy
     val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)

@@ -91,6 +91,46 @@ class MetadataSpec extends SparkTestBase {
     assert(r.withoutProperty("REVENUE").eventProperties("install").isEmpty)
   }
 
+  test("per-group namespaces resolve homonyms independently with shared fallback") {
+    // reference PropertiesLayer{groups: Vec<Properties>} (platform/src/
+    // http/mod.rs:40-43): "Tier" names DIFFERENT columns in group 0
+    // (users → value) and group 1 (orgs → device)
+    val reg = Metadata.fromEvents(df)
+      .withGroupColumns(Seq("user_id", "device"))
+      .withGroupProperty(0, PropertyMeta("Tier", "value", "double"))
+      .withGroupProperty(1, PropertyMeta("Tier", "device", "string"))
+    assert(reg.groupProperty(0, "Tier").column == "value")
+    assert(reg.groupProperty(1, "tier").column == "device") // case-insensitive
+    // a name absent from the group namespace falls back to the shared
+    // event namespace; a name absent from both still errors (strict)
+    assert(reg.groupProperty(1, "event_type").column == "event_type")
+    assertThrows[Json.JsonError](reg.groupProperty(0, "no_such"))
+    assertThrows[Json.JsonError](reg.groupProperty(7, "Tier")) // unknown group
+    // group-scoped rename/delete never leaks across namespaces
+    val renamed = reg.renameGroupProperty(1, "Tier", "Plan")
+    assert(renamed.groupProperty(1, "Plan").column == "device")
+    assert(renamed.groupProperty(0, "Tier").column == "value")
+    assertThrows[Json.JsonError](reg.withoutGroupProperty(0, "nope"))
+    assert(reg.withoutGroupProperty(1, "Tier").groupProperties(1).isEmpty)
+    // namespace survives unrelated copy-on-write mutations
+    assert(reg.withEventName("x").groupProperty(1, "Tier").column == "device")
+
+    // end to end through the JSON DSL: group-0 "Tier" filters value,
+    // group-1 "Tier" breaks down by device — one query, two homonyms
+    val json = """{
+      "time": {"type": "from", "from": "1970-01-01T00:00:00Z"},
+      "intervalUnit": "day",
+      "events": [{"eventType": "all",
+        "filters": [{"type": "property", "propertyType": "group", "group": 0,
+                     "propertyName": "Tier", "operation": "gte", "value": [5]}],
+        "queries": [{"type": "countEvents", "name": "cnt"}]}],
+      "breakdowns": [{"type": "property", "propertyType": "group", "group": 1,
+                      "propertyName": "Tier"}]
+    }"""
+    val out = JsonApi.eventSegmentation(df, json, registry = reg)
+    assert(collectMap(out, "device", "cnt") == Map("ios" -> 2L))
+  }
+
   test("JSON requests resolve display names through the registry") {
     val reg = Metadata.fromEvents(df, display = Map("value" -> "Revenue"))
     val json = """{
