@@ -863,6 +863,43 @@ object SparkEntry {
         .select(col("seg"), col("step"), col("total"), col("conversion_ratio"))
     }),
 
+    // §2.5 exclude semantics (reference funnel.rs:554-590): an 'error'
+    // event while the attempt is open DISCARDS it (no partial credit)
+    // and the machine restarts at the next step-1 match. With an
+    // unbounded window this has a closed form: error rows cut each
+    // user's timeline into segments; the funnel completes in the FIRST
+    // segment containing a clean view<click<purchase chain (greedy
+    // chained-min within a segment), else only the LAST segment's
+    // partial attempt survives (earlier ones died at their closing
+    // error). The oracle mirrors exactly that.
+    "q_funnel_exclude" -> ((s, dir) => {
+      Funnel.run(s, events(s, dir), Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Long.MaxValue / 4000L,
+        exclude = Seq(Funnel.Exclude(col("event_type") === "error", 0, 2)),
+        count = Funnel.Unique))
+        .select(col("step"), col("total"), col("conversion_ratio"),
+          col("avg_time_to_convert"), col("avg_time_to_convert_from_start"))
+    }),
+
+    // §2.5 holding-constants semantics (funnel.rs:554-590): the click
+    // must carry the SAME props.k as the view that opened the attempt;
+    // a mismatched click discards the attempt and the next view
+    // restarts it. The restart chain a_{n+1} = first view after the
+    // mismatched click is a recursive CTE in the oracle.
+    "q_funnel_constants" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("k",
+        get_json_object(col("props"), "$.k"))
+      Funnel.run(s, ev, Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click"),
+        windowMs = Long.MaxValue / 4000L,
+        constants = Seq("k"),
+        count = Funnel.Unique))
+        .select(col("step"), col("total"), col("conversion_ratio"),
+          col("avg_time_to_convert"), col("avg_time_to_convert_from_start"))
+    }),
+
     // §3.3 event-record search: filter → sort event_id desc → limit
     "q_records_search" -> ((s, dir) => {
       Records.searchEvents(events(s, dir), RANGE,
@@ -2094,6 +2131,109 @@ object SparkEntry {
            round(CASE WHEN t1.total = 0 THEN 0.0
                       ELSE t.total * 100.0 / t1.total END, 4) AS conversion_ratio
          FROM tot t JOIN (SELECT seg, total FROM tot WHERE step = 1) t1 ON t.seg = t1.seg""",
+
+    // Exclude semantics, closed form: error rows cut the per-user
+    // timeline into segments (sid = errors strictly before the row in
+    // (ts, event_id) machine order). Within a segment the funnel is the
+    // classic greedy chained min. The machine emits the FIRST
+    // completing segment's attempt (Unique stops there); if none
+    // completes, only the final segment's partial survives — attempts
+    // in earlier segments were discarded by the error that closed them
+    // (reset, not flush — funnel.rs:554-590). last segment = count of
+    // error rows (a user whose trailing rows are all errors emits
+    // nothing).
+    "q_funnel_exclude" ->
+      """WITH seg AS (
+           SELECT user_id, epoch_us(ts) AS t, event_type,
+             coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+           FROM events),
+         nx AS (SELECT user_id, count(*) AS n_x FROM events
+                WHERE event_type = 'error' GROUP BY 1),
+         a AS (SELECT user_id, sid, min(t) AS ta FROM seg
+               WHERE event_type = 'view' GROUP BY 1, 2),
+         b AS (SELECT s.user_id, s.sid, min(s.t) AS tb
+               FROM seg s JOIN a ON s.user_id = a.user_id AND s.sid = a.sid
+               WHERE s.event_type = 'click' AND s.t > a.ta GROUP BY 1, 2),
+         c AS (SELECT s.user_id, s.sid, min(s.t) AS tc
+               FROM seg s JOIN b ON s.user_id = b.user_id AND s.sid = b.sid
+               WHERE s.event_type = 'purchase' AND s.t > b.tb GROUP BY 1, 2),
+         att AS (
+           SELECT a.user_id, a.sid, a.ta, b.tb, c.tc,
+             coalesce(nx.n_x, 0) AS last_sid,
+             min(CASE WHEN c.tc IS NOT NULL THEN a.sid END)
+               OVER (PARTITION BY a.user_id) AS first_complete
+           FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.sid = b.sid
+                  LEFT JOIN c ON a.user_id = c.user_id AND a.sid = c.sid
+                  LEFT JOIN nx ON a.user_id = nx.user_id),
+         pick AS (
+           SELECT user_id, ta AS t1, tb AS t2, tc AS t3 FROM att
+           WHERE (first_complete IS NOT NULL AND sid = first_complete)
+              OR (first_complete IS NULL AND sid = last_sid))
+         SELECT 1 AS step, count(t1) AS total, CAST(100.0 AS DOUBLE) AS conversion_ratio,
+           CAST(0.0 AS DOUBLE) AS avg_time_to_convert,
+           CAST(0.0 AS DOUBLE) AS avg_time_to_convert_from_start FROM pick
+         UNION ALL
+         SELECT 2, count(t2), round(count(t2) * 100.0 / count(t1), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(t2), 0), 0.0), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(t2), 0), 0.0), 4) FROM pick
+         UNION ALL
+         SELECT 3, count(t3), round(count(t3) * 100.0 / count(t1), 4),
+           round(coalesce(sum(t3 - t2) * 1.0 / nullif(count(t3), 0), 0.0), 4),
+           round(coalesce(sum(t3 - t1) * 1.0 / nullif(count(t3), 0), 0.0), 4) FROM pick""",
+
+    // Holding-constants, closed form: the attempt opened at view a
+    // dies iff the first click after it carries a different props.k;
+    // the machine then restarts at the first view AFTER that click
+    // (views in between were ignored while the attempt was open).
+    // The restart chain is the recursive CTE; a user's emitted attempt
+    // is the chain's terminal row — converted (matching click),
+    // partial (no click after), or nothing (mismatch with no later
+    // view: the reset discarded it).
+    "q_funnel_constants" ->
+      """WITH RECURSIVE
+         v AS (SELECT user_id, epoch_us(ts) AS t,
+                 json_extract_string(props, '$.k') AS k
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, epoch_us(ts) AS t,
+                 json_extract_string(props, '$.k') AS k
+               FROM events WHERE event_type = 'click'),
+         att AS (
+           SELECT user_id, min(t) AS ta, arg_min(k, t) AS ka FROM v GROUP BY 1
+           UNION ALL
+           SELECT a.user_id,
+             (SELECT min(t) FROM v WHERE v.user_id = a.user_id AND v.t >
+                (SELECT min(t) FROM c WHERE c.user_id = a.user_id AND c.t > a.ta)),
+             (SELECT arg_min(k, t) FROM v WHERE v.user_id = a.user_id AND v.t >
+                (SELECT min(t) FROM c WHERE c.user_id = a.user_id AND c.t > a.ta))
+           FROM att a
+           WHERE (SELECT min(t) FROM c WHERE c.user_id = a.user_id AND c.t > a.ta)
+                   IS NOT NULL
+             AND (SELECT arg_min(k, t) FROM c
+                  WHERE c.user_id = a.user_id AND c.t > a.ta)
+                   IS DISTINCT FROM a.ka
+             AND (SELECT min(t) FROM v WHERE v.user_id = a.user_id AND v.t >
+                   (SELECT min(t) FROM c WHERE c.user_id = a.user_id AND c.t > a.ta))
+                   IS NOT NULL),
+         term AS (
+           SELECT a.user_id, a.ta, a.ka,
+             (SELECT min(t) FROM c WHERE c.user_id = a.user_id AND c.t > a.ta) AS tb,
+             (SELECT arg_min(k, t) FROM c
+              WHERE c.user_id = a.user_id AND c.t > a.ta) AS kb
+           FROM att a),
+         pick AS (
+           SELECT user_id, ta AS t1,
+             CASE WHEN kb IS NOT DISTINCT FROM ka THEN tb END AS t2
+           FROM term
+           WHERE tb IS NULL OR kb IS NOT DISTINCT FROM ka)
+         SELECT 1 AS step, count(t1) AS total, CAST(100.0 AS DOUBLE) AS conversion_ratio,
+           CAST(0.0 AS DOUBLE) AS avg_time_to_convert,
+           CAST(0.0 AS DOUBLE) AS avg_time_to_convert_from_start FROM pick
+         UNION ALL
+         SELECT 2, count(t2), round(count(t2) * 100.0 / count(t1), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(t2), 0), 0.0), 4),
+           round(coalesce(sum(t2 - t1) * 1.0 / nullif(count(t2), 0), 0.0), 4) FROM pick""",
 
     "q_es_formula" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt,
