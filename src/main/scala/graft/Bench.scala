@@ -26,13 +26,33 @@ object Bench {
     try engine.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
 
+    // Load sentinel: one cheap canonical query timed (min of 3) at run
+    // start and again at run end. Min-of-two per-query passes cannot
+    // correct a WHOLE run on a loaded sandbox (both passes slow
+    // together); diverging sentinels make such a run self-identifying
+    // in the artifact instead of needing post-hoc adjudication.
+    def sentinel(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        engine.Tables.events(spark, sfDir)
+          .filter("event_type = 'view'").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(once(), once(), once()).min
+    }
+    val sentinelStart = sentinel()
+
     // Two timed passes per query, min kept: a one-off environment
     // hiccup (page-cache eviction, background load) then cannot
     // multiply the recorded total; large pass-to-pass deviations are
     // flagged on stderr so a real regression can't hide as "noise".
     // local-iteration filter (comma-separated names); unset for the
-    // driver's full run
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // driver's full run. A blank/empty value is UNSET (Set("") would
+    // silently filter out every query), and an active filter stamps
+    // the JSON line so a partial run can never pass as a full one.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -52,6 +72,7 @@ object Bench {
     // capture, so per-query values are rounded to ms and, if the line
     // would still overflow, the map is trimmed to the slowest queries
     // (the total always covers every query).
+    val sentinelEnd = sentinel()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     System.err.println("[bench] full precision: " +
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"))
@@ -59,10 +80,21 @@ object Bench {
     // and a comma decimal separator would corrupt the JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // >2x sentinel drift = the sandbox's speed changed mid-run; the
+    // recorded numbers are environmentally loaded, not comparable.
+    val reliable =
+      math.max(sentinelStart, sentinelEnd) <= 2 * math.min(sentinelStart, sentinelEnd)
+    if (!reliable)
+      System.err.println(f"[bench] UNRELIABLE run: sentinel drifted " +
+        f"$sentinelStart%.3fs -> $sentinelEnd%.3fs (loaded sandbox?)")
+    val sentinelNote =
+      s""","sentinel_start":${ms(sentinelStart)},"sentinel_end":${ms(sentinelEnd)}""" +
+        s""","reliable":$reliable""" +
+        (if (only.isDefined) s""","only":true""" else "")
     def line(rs: Seq[(String, Double)], note: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$note,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$note$sentinelNote,"sf":"$sfDir"}"""
     }
     val full = line(results, "")
     val out =
