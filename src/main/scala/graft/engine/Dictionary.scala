@@ -45,38 +45,76 @@ object Dictionary {
   /** Build a dictionary for a column: distinct values keyed 1..N in
     * value order (deterministic).
     *
-    * Small dictionaries (≤ `maxLocalValues` distinct values — the
-    * normal case for a dictionary-FLAGGED property, which is
-    * low-cardinality by definition) are materialized to a driver-local
-    * relation in ONE sorted-collect job. Every downstream use —
-    * [[encode]]/[[decode]]'s broadcast joins, [[keysOf]]'s literal
-    * lookups — then reads in-memory rows instead of re-executing the
+    * Small dictionaries (≤ `maxLocalValues` distinct values AND within
+    * the broadcast byte budget — the normal case for a
+    * dictionary-FLAGGED property, which is low-cardinality by
+    * definition) are materialized to a driver-local relation in ONE
+    * sorted-collect job. Every downstream use — [[encode]]/[[decode]]'s
+    * broadcast joins, [[keysOf]]'s literal lookups — then reads
+    * in-memory rows instead of re-executing the
     * distinct+range-sort+zipWithIndex chain over the source scan per
     * use (that re-execution was a measured 12.8× regression on the
-    * auto-encode path). High-cardinality columns fall back to the
-    * distributed [[rankRows]] path, persisted and eagerly
-    * materialized so repeated uses still pay the chain once; identity
-    * assignment at user-id scale bypasses `build` entirely and calls
-    * [[rankRows]] directly. */
+    * auto-encode path). The row cap defaults to 128K — a mis-flagged
+    * column (user ids, free text) must not park a million driver-side
+    * rows that every downstream broadcast re-serializes — and the byte
+    * budget follows `spark.sql.autoBroadcastJoinThreshold`, the same
+    * knob that governs what Spark itself considers broadcast-sized.
+    *
+    * Over either limit the build falls back to the distributed
+    * [[rankRows]] path, persisted MEMORY_AND_DISK and eagerly
+    * materialized so repeated uses still pay the chain once. THE
+    * CALLER OWNS that cached frame: call [[release]] when the query is
+    * done with it, or the block survives for the application lifetime
+    * (MEMORY_AND_DISK + the block manager's LRU is the backstop, not
+    * the plan). Identity assignment at user-id scale bypasses `build`
+    * entirely and calls [[rankRows]] directly. */
   def build(df: DataFrame, valueCol: String,
-            maxLocalValues: Int = 1 << 20): DataFrame = {
+            maxLocalValues: Int = 1 << 17): DataFrame = {
     val spark = df.sparkSession
     val distinct =
       df.select(col(valueCol).as("value")).filter(col("value").isNotNull).distinct()
     // TakeOrderedAndProject: one job, no full-sort shuffle for the probe
     val head = distinct.orderBy(col("value")).limit(maxLocalValues + 1).collect()
-    if (head.length <= maxLocalValues) {
+    val byteBudget = {
+      val b = try {
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      } catch { case _: Exception => 10L << 20 }
+      if (b > 0) b else 10L << 20 // threshold -1 disables broadcast, not dicts
+    }
+    def approxBytes: Long = {
+      var b = 0L
+      var i = 0
+      while (i < head.length) {
+        b += 24L + (head(i).get(0) match {
+          case s: String => 16L + 2L * s.length
+          case _         => 16L
+        })
+        i += 1
+      }
+      b
+    }
+    if (head.length <= maxLocalValues && approxBytes <= byteBudget) {
       val rows: java.util.List[Row] = new java.util.ArrayList[Row](head.length)
       var i = 0
       while (i < head.length) { rows.add(Row(head(i).get(0), i + 1L)); i += 1 }
       spark.createDataFrame(rows,
         StructType(distinct.schema.fields :+ StructField("key", LongType)))
     } else {
-      val dict = rankRows(distinct, Seq(col("value")), "key").persist()
+      val dict = rankRows(distinct, Seq(col("value")), "key")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       dict.count() // eager: pay the chain once, not per downstream use
       dict
     }
   }
+
+  /** Release a dictionary returned by [[build]]: unpersists the
+    * distributed fallback's cached blocks (no-op for the driver-local
+    * path, which holds no executor state). Call when the last plan
+    * using the dict has executed. */
+  def release(dict: DataFrame): Unit =
+    if (dict.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      dict.unpersist(blocking = false)
 
   /** Load a parquet-persisted dictionary (value, key), or an empty one
     * if the store has never been written. Same Hadoop-FS existence
