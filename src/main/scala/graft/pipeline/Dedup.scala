@@ -606,7 +606,12 @@ object Dedup {
     *
     * The per-round convergence check is one count on the label frame
     * (node-set-sized); frames persist across rounds and release as
-    * soon as the next round materializes. */
+    * soon as the next round materializes, INCLUDING the final one —
+    * the distributed path hands back a lineage-cut localCheckpoint of
+    * the converged labels (node-set-sized blocks owned by the returned
+    * frame, context-cleaned when the caller drops it) and leaves no
+    * CacheManager entry behind; the driver fast path returns a plain
+    * local frame. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 30, smallGraphEdges: Long = 1L << 21): DataFrame = {
     // materialize the pair set ONCE before anything fans out: the
@@ -678,11 +683,25 @@ object Dedup {
     // no silent caps: labels that stopped short of the fixpoint would
     // split one transitive cluster into several — fail loudly so the
     // caller raises maxIter (or the pair set's diameter assumption)
-    if (changed > 0)
+    if (changed > 0) {
+      cached.unpersist()
       throw new IllegalStateException(
         s"dupClusters did not converge after $maxIter rounds " +
           s"($changed labels still changing) — component diameter exceeds maxIter")
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    }
+    // Materialize the narrow result OUTSIDE the CacheManager and cut
+    // its lineage (localCheckpoint): a CacheManager persist here would
+    // be recompiled-and-dematerialized the moment the loop frame below
+    // unpersists (uncacheQuery re-plans dependent entries), silently
+    // re-running the whole propagation lineage on the caller's first
+    // action. The checkpoint blocks belong to the returned frame and
+    // are removed by the ContextCleaner when the caller drops it; the
+    // loop's final frame — previously leaked for the application
+    // lifetime — is released right here.
+    val out = labels.select(col("id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 
   /** Keep exactly one document per near-dup cluster (the cluster's
@@ -690,10 +709,16 @@ object Dedup {
     * corpus-level dedup filter built from [[dupClusters]]. The drop
     * set is NOT broadcast-hinted — at web scale duplicates can be a
     * large fraction of the corpus; the anti-join shuffles on the id
-    * and AQE converts it to broadcast when the set is actually
-    * small. */
-  def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
-    val drop = dupClusters(pairs)
+    * and AQE converts it to broadcast when the set is actually small.
+    *
+    * Leak-free by construction: [[dupClusters]] leaves no CacheManager
+    * entries behind — its distributed path returns a lineage-cut
+    * checkpoint frame whose blocks travel with the returned plan and
+    * are context-cleaned when the caller drops it; the driver fast
+    * path holds no executor state at all. Nothing here to release. */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String,
+                          smallGraphEdges: Long = 1L << 21): DataFrame = {
+    val drop = dupClusters(pairs, smallGraphEdges = smallGraphEdges)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").cast("long").as(s"__drop_$idCol"))
     df.join(drop, df(idCol).cast("long") === col(s"__drop_$idCol"), "left_anti")

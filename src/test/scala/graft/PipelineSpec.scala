@@ -87,6 +87,54 @@ class PipelineSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 5L, 7L))
   }
 
+  test("dupClusters leaves no CacheManager entries; result survives lineage-free") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"), (7L, "g"), (9L, "i"))
+      .toDF("doc_id", "text")
+    def cachedIds = sc.getPersistentRDDs.keySet
+    val base = cachedIds
+
+    // driver fast path: nothing persists at any point
+    graft.pipeline.Dedup.dupClusters(pairs).collect()
+    assert((cachedIds -- base).isEmpty, "fast path must not cache")
+
+    // distributed path: every loop frame (p, edges, per-round labels)
+    // is released before return; the only surviving blocks are the
+    // result's own lineage-cut checkpoint, which travels with the
+    // returned frame instead of leaking a CacheManager entry for the
+    // application lifetime
+    val labels = graft.pipeline.Dedup.dupClusters(pairs, smallGraphEdges = 0L)
+    assert((cachedIds -- base).size <= 1,
+      "only the returned frame's own checkpoint may remain")
+    assert(labels.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "no CacheManager entry on the result")
+    assert(labels.queryExecution.optimizedPlan.collect {
+      case p if p.nodeName.contains("InMemoryRelation") => p
+    }.isEmpty, "result must not depend on any cached loop frame")
+    // the result is still correct AFTER everything internal released
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    // the non-convergence throw releases the loop frames too
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val preThrow = cachedIds
+    assertThrows[IllegalStateException](
+      graft.pipeline.Dedup.dupClusters(chain, maxIter = 2, smallGraphEdges = 0L))
+    assert((cachedIds -- preThrow).isEmpty, "failed run must not leak")
+
+    // keepRepresentatives adds no cached state of its own beyond the
+    // drop-set's lineage-cut checkpoint
+    val preKeep = cachedIds
+    val kept = graft.pipeline.Dedup.keepRepresentatives(
+      docs, pairs, "doc_id", smallGraphEdges = 0L)
+    assert((cachedIds -- preKeep).size <= 1,
+      "at most the drop-set's own checkpoint may remain")
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 7L))
+  }
+
   private def docs(rows: Seq[(Long, String)]) = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
