@@ -209,19 +209,36 @@ object Ingest {
     * resident on every executor, past the comfortable broadcast edge.
     * The gate reads Catalyst's size ESTIMATE of the ranges table
     * (`optimizedPlan.stats.sizeInBytes` — parquet footer / local-rows
-    * arithmetic, NO Spark job at plan build; constructing this
-    * DataFrame must stay free of eager actions because every
-    * streaming micro-batch builds it). The estimate is a sound proxy
-    * for the exploded size: non-overlapping IPv4 ranges cross at most
-    * 255 /8 boundaries in total, so explosion adds ≤ 256 rows
-    * regardless of table size. Above `maxBroadcastBytes` the hint is
-    * dropped and the lookup runs as a shuffle equi-join on the prefix
-    * bucket, which AQE can still convert or skew-split at runtime. */
+    * arithmetic, NO Spark job at plan build for any frame with real
+    * stats; every streaming micro-batch builds this DataFrame). The
+    * estimate is padded 4× before the comparison — parquet's on-disk
+    * size understates resident row memory severalfold — and remains a
+    * sound proxy for the exploded size: non-overlapping IPv4 ranges
+    * cross at most 255 /8 boundaries in total, so explosion adds
+    * ≤ 256 rows regardless of table size.
+    *
+    * RDD-backed / checkpointed frames report the `defaultSizeInBytes`
+    * SENTINEL (no estimate at all); treating that as "too big" would
+    * silently drop the hint and shuffle every micro-batch for what is
+    * usually a small static table. Sentinel stats instead fall back
+    * to a row-count gate: one bounded `limit(N+1).count()` over the
+    * un-exploded ranges (N = budget / ~64 B per resident row) decides.
+    * Above either gate the hint is dropped and the lookup runs as a
+    * shuffle equi-join on the prefix bucket, which AQE can still
+    * convert or skew-split at runtime. */
   def geoEnrich(df: DataFrame, ipCol: String, ranges: DataFrame,
                 maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val exploded = explodeRangesToPrefixes(ranges)
-    val rangesBytes = ranges.queryExecution.optimizedPlan.stats.sizeInBytes
-    val pref = if (rangesBytes <= maxBroadcastBytes) broadcast(exploded) else exploded
+    val stats = ranges.queryExecution.optimizedPlan.stats
+    val isSentinel = stats.sizeInBytes >= BigInt(Long.MaxValue) / 2
+    val fits =
+      if (!isSentinel) stats.sizeInBytes * 4 <= maxBroadcastBytes
+      else {
+        val maxRows = maxBroadcastBytes / 64L
+        val probe = math.min(maxRows + 1L, Int.MaxValue.toLong - 1L).toInt.max(1)
+        ranges.limit(probe).count() <= maxRows
+      }
+    val pref = if (fits) broadcast(exploded) else exploded
     val keyed = df.withColumn("ip_prefix",
       col(ipCol).divide(PrefixWidth).cast(LongType))
     keyed.join(pref,

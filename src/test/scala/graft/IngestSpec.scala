@@ -107,6 +107,27 @@ class IngestSpec extends SparkTestBase {
     assert(m(shuffled)(7L) == Some("C7"))
   }
 
+  test("geoEnrich broadcasts derived frames with sentinel stats via the row-count gate") {
+    import spark.implicits._
+    val src = Seq((100L, 199L, "US"), (300L, 399L, "JP"))
+      .toDF("start", "end", "country")
+    // an RDD round-trip loses Catalyst stats: the plan reports the
+    // defaultSizeInBytes sentinel, which must NOT silently lose the
+    // broadcast hint for a 2-row table
+    val derived = spark.createDataFrame(src.rdd, src.schema)
+    assert(derived.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(Long.MaxValue) / 2, "fixture must actually have sentinel stats")
+    val df = Seq((1L, 150L), (2L, 250L)).toDF("id", "ip")
+    val out = Ingest.geoEnrich(df, "ip", derived)
+    assert(out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "sentinel stats fall back to the row-count gate, keeping the hint")
+    assert(out.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("country")))
+      .toMap == Map(1L -> Some("US"), 2L -> None))
+    // a budget too small for even one ~64B row still drops the hint
+    val big = Ingest.geoEnrich(df, "ip", derived, maxBroadcastBytes = 63L)
+    assert(!big.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
   test("geoEnrich construction fires no Spark job (gate reads plan stats)") {
     import spark.implicits._
     val ranges = Seq((100L, 199L, "US")).toDF("start", "end", "country")
@@ -123,8 +144,9 @@ class IngestSpec extends SparkTestBase {
       // have blocked until its job ran, so a short drain suffices
       Thread.sleep(500)
       assert(jobs == 0,
-        "building the geoEnrich plan must not run a Spark job " +
-          "(every streaming micro-batch constructs it)")
+        "building the geoEnrich plan must not run a Spark job when the " +
+          "ranges frame has real stats (every streaming micro-batch " +
+          "constructs it; only the sentinel-stats fallback may count)")
       assert(out.collect().map(_.getAs[String]("country")).toSeq == Seq("US"))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
