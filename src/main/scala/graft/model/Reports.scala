@@ -105,8 +105,27 @@ final class Reports {
   }
   def getDashboard(projectId: Long, id: Long): Option[Dashboard] =
     dashboards.get(id).filter(_.projectId == projectId)
+  def listDashboards(projectId: Long): Seq[Dashboard] =
+    dashboards.values.filter(_.projectId == projectId).toSeq
   def deleteDashboard(projectId: Long, id: Long): Unit =
     getDashboard(projectId, id).foreach(_ => dashboards.remove(id))
+
+  /** Partial dashboard update (reference dashboards.rs update route —
+    * UpdateDashboardRequest's optional name/panels): absent fields
+    * keep their value; replacement panels re-run the same referential
+    * check as creation. */
+  def updateDashboard(projectId: Long, id: Long, now: Long,
+                      name: Option[String] = None,
+                      panels: Option[Seq[Panel]] = None): Dashboard = {
+    val cur = getDashboard(projectId, id)
+      .getOrElse(sys.error(s"dashboard $id not found"))
+    panels.foreach(_.foreach(p => require(get(projectId, p.reportId).isDefined,
+      s"panel references unknown report ${p.reportId}")))
+    val next = cur.copy(name = name.getOrElse(cur.name),
+      panels = panels.getOrElse(cur.panels), updatedAt = Some(now))
+    dashboards(id) = next
+    next
+  }
 
   def createBookmark(projectId: Long, typ: String, queryJson: Option[String],
                      now: Long): Bookmark = {

@@ -32,11 +32,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Routes:
   *  - POST queries/event-segmentation   → columnar JSON
   *  - POST queries/funnel               → nested funnel JSON
-  *  - POST event-records/search         → columnar JSON
+  *  - POST event-records/search, GET event-records/:id → columnar JSON
   *  - POST properties/values            → columnar JSON
   *  - POST group-records/search         → columnar JSON
-  *  - POST/GET reports, GET/DELETE reports/:id, POST reports/:id/run
-  *  - POST dashboards, POST dashboards/:id/run
+  *  - POST/GET reports, GET/PUT/DELETE reports/:id, POST reports/:id/run
+  *  - POST/GET dashboards, GET/PUT/DELETE dashboards/:id,
+  *    POST dashboards/:id/run
+  *  - POST bookmarks, GET bookmarks/:id
   *  - GET schema/event-properties[/name/:name], PUT/DELETE
   *    schema/event-properties/:name, GET/POST schema/events,
   *    DELETE schema/events/:name, POST/DELETE
@@ -333,16 +335,38 @@ final class GraftHttpServer(
           }
         }
         .getOrElse(404 -> err(s"report $id not found"))
+    // partial update (reference reports.rs update route —
+    // UpdateReportRequest's optional fields; absent fields keep their
+    // value, the model records updatedAt)
+    case ("PUT", List("reports", IdSeg(id))) =>
+      val j = Json.parse(body)
+      val r = reports.update(pid, id, clock(),
+        name = j.asOpt("name").map(_.str),
+        typ = j.asOpt("type").map(_.str),
+        queryJson = j.asOpt("query").map(_.render),
+        tags = j.asOpt("tags").map(_.arr.map(_.str)))
+      200 -> reportJson(r)
 
     case ("POST", List("dashboards")) =>
       val j = Json.parse(body)
-      val panels = (j / "panels").arr.map { p =>
-        graft.model.Panel((p / "reportId").long,
-          p.asOpt("x").map(_.int).getOrElse(0), p.asOpt("y").map(_.int).getOrElse(0),
-          p.asOpt("w").map(_.int).getOrElse(1), p.asOpt("h").map(_.int).getOrElse(1))
-      }
-      val d = reports.createDashboard(pid, (j / "name").str, panels, clock())
-      200 -> s"""{"id":${d.id},"projectId":${d.projectId},"name":${JStr(d.name).render},"panels":${panels.map(p => s"""{"reportId":${p.reportId},"x":${p.x},"y":${p.y},"w":${p.w},"h":${p.h}}""").mkString("[", ",", "]")}}"""
+      val d = reports.createDashboard(pid, (j / "name").str,
+        panelsOf(j / "panels"), clock())
+      200 -> dashboardJson(d)
+    // full dashboard CRUD (reference dashboards.rs:69-79 —
+    // POST create / GET list, GET/PUT/DELETE by id)
+    case ("GET", List("dashboards")) =>
+      200 -> reports.listDashboards(pid).map(dashboardJson).mkString("[", ",", "]")
+    case ("GET", List("dashboards", IdSeg(id))) =>
+      reports.getDashboard(pid, id).map(d => 200 -> dashboardJson(d))
+        .getOrElse(404 -> err(s"dashboard $id not found"))
+    case ("PUT", List("dashboards", IdSeg(id))) =>
+      val j = Json.parse(body)
+      val d = reports.updateDashboard(pid, id, clock(),
+        name = j.asOpt("name").map(_.str),
+        panels = j.asOpt("panels").map(panelsOf))
+      200 -> dashboardJson(d)
+    case ("DELETE", List("dashboards", IdSeg(id))) =>
+      reports.deleteDashboard(pid, id); 200 -> "{}"
     case ("POST", List("dashboards", IdSeg(id), "run")) =>
       reports.getDashboard(pid, id)
         .map { d =>
@@ -354,7 +378,52 @@ final class GraftHttpServer(
         }
         .getOrElse(404 -> err(s"dashboard $id not found"))
 
+    // bookmarks: saved ad-hoc queries (reference platform/src/http/
+    // bookmarks.rs — POST create, GET by id; no list/delete upstream)
+    case ("POST", List("bookmarks")) =>
+      val j = Json.parse(body)
+      val typ = j.asOpt("type").map(_.str)
+        .getOrElse(graft.model.ReportType.EventSegmentation)
+      if (!graft.model.ReportType.all.contains(typ))
+        400 -> err(s"unknown report type: $typ")
+      else {
+        val b = reports.createBookmark(pid, typ,
+          j.asOpt("query").map(_.render), clock())
+        200 -> bookmarkJson(b)
+      }
+    case ("GET", List("bookmarks", IdSeg(id))) =>
+      reports.getBookmark(pid, id).map(b => 200 -> bookmarkJson(b))
+        .getOrElse(404 -> err(s"bookmark $id not found"))
+
+    // single event record by id (reference event_records.rs:421-492,
+    // routed at :38-44) — the engine path q_record_by_id exercises,
+    // scoped to the path's project like the search route
+    case ("GET", List("event-records", IdSeg(id))) =>
+      200 -> Metrics.timed("event_record_get") {
+        Response.collect(graft.engine.Records.getById(
+          graft.engine.Exprs.tenantScope(events, Some(pid)), id)).toJson
+      }
+
     case _ => 404 -> err("not found")
+  }
+
+  private def panelsOf(j: Json.JValue): Seq[graft.model.Panel] =
+    j.arr.map { p =>
+      graft.model.Panel((p / "reportId").long,
+        p.asOpt("x").map(_.int).getOrElse(0), p.asOpt("y").map(_.int).getOrElse(0),
+        p.asOpt("w").map(_.int).getOrElse(1), p.asOpt("h").map(_.int).getOrElse(1))
+    }
+
+  private def dashboardJson(d: graft.model.Dashboard): String = {
+    val panels = d.panels.map(p =>
+      s"""{"reportId":${p.reportId},"x":${p.x},"y":${p.y},"w":${p.w},"h":${p.h}}""")
+      .mkString("[", ",", "]")
+    s"""{"id":${d.id},"projectId":${d.projectId},"name":${JStr(d.name).render},"panels":$panels}"""
+  }
+
+  private def bookmarkJson(b: graft.model.Bookmark): String = {
+    val q = b.queryJson.getOrElse("null")
+    s"""{"id":${b.id},"projectId":${b.projectId},"type":${JStr(b.typ).render},"query":$q,"createdAt":${b.createdAt}}"""
   }
 
   /** The ONE Bearer parse+verify (the reference's Context extractor,

@@ -142,6 +142,53 @@ class HttpSpec extends SparkTestBase {
       assert(drc == 200)
       assert(drun.startsWith("""{"panels":[{"reportId":1,"result":"""))
       assert(drun.contains(run))
+
+      // report PUT is a partial update: only the named fields move,
+      // GET round-trips the PUT body byte-identically
+      val (uc, updated) = req(srv.port, "PUT", "/api/v1/projects/1/reports/1",
+        """{"name": "weekly views", "tags": ["kpi", "weekly"]}""")
+      assert(uc == 200 && updated.contains("\"name\":\"weekly views\"")
+        && updated.contains("\"tags\":[\"kpi\",\"weekly\"]")
+        && updated.contains("\"type\":\"eventSegmentation\""))
+      assert(req(srv.port, "GET", "/api/v1/projects/1/reports/1")._2 == updated)
+      assert(req(srv.port, "PUT", "/api/v1/projects/1/reports/1",
+        """{"type": "nope"}""")._1 == 400)
+      assert(req(srv.port, "PUT", "/api/v1/projects/2/reports/1",
+        """{"name": "x"}""")._1 == 404, "cross-tenant PUT is not found")
+
+      // dashboard list/get/update/delete (reference dashboards.rs:69-79)
+      val (dl, dlist) = req(srv.port, "GET", "/api/v1/projects/1/dashboards")
+      assert(dl == 200 && dlist == s"[$dash]")
+      assert(req(srv.port, "GET", "/api/v1/projects/1/dashboards/1")._2 == dash)
+      assert(req(srv.port, "GET", "/api/v1/projects/2/dashboards/1")._1 == 404)
+      val (duc, dupd) = req(srv.port, "PUT", "/api/v1/projects/1/dashboards/1",
+        """{"name": "ops"}""")
+      assert(duc == 200 && dupd.contains("\"name\":\"ops\"")
+        && dupd.contains("\"reportId\":1"), "absent panels keep their value")
+      assert(req(srv.port, "PUT", "/api/v1/projects/1/dashboards/1",
+        """{"panels": [{"reportId": 99}]}""")._1 == 400,
+        "panel referential check applies to updates")
+      assert(req(srv.port, "DELETE", "/api/v1/projects/1/dashboards/1")._1 == 200)
+      assert(req(srv.port, "GET", "/api/v1/projects/1/dashboards/1")._1 == 404)
+      assert(req(srv.port, "GET", "/api/v1/projects/1/dashboards")._2 == "[]")
+
+      // bookmarks: create + get round-trip, tenancy-scoped, 404 unknown
+      val (bc, bk) = req(srv.port, "POST", "/api/v1/projects/1/bookmarks",
+        s"""{"type": "eventSegmentation", "query": $esBody}""")
+      assert(bc == 200 && bk.contains("\"id\":1"))
+      assert(req(srv.port, "GET", "/api/v1/projects/1/bookmarks/1")._2 == bk)
+      assert(req(srv.port, "GET", "/api/v1/projects/2/bookmarks/1")._1 == 404)
+      assert(req(srv.port, "GET", "/api/v1/projects/1/bookmarks/9")._1 == 404)
+      assert(req(srv.port, "POST", "/api/v1/projects/1/bookmarks",
+        """{"type": "nope"}""")._1 == 400)
+
+      // GET event-records/:id matches the engine path byte-identically
+      val someId = events.select("event_id").limit(1).collect()(0).getLong(0)
+      val (ec, rec) = req(srv.port, "GET",
+        s"/api/v1/projects/1/event-records/$someId")
+      assert(ec == 200)
+      assert(rec == Response.collect(
+        graft.engine.Records.getById(events, someId)).toJson)
     }
   }
 
