@@ -26,11 +26,12 @@ object Bench {
     try engine.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
 
-    // Load sentinel: one cheap canonical query timed (min of 3) at run
-    // start and again at run end. Min-of-two per-query passes cannot
-    // correct a WHOLE run on a loaded sandbox (both passes slow
-    // together); diverging sentinels make such a run self-identifying
-    // in the artifact instead of needing post-hoc adjudication.
+    // Load sentinel: one cheap canonical query timed (min of 3, after
+    // a throwaway execution) at run start and again at run end.
+    // Min-of-two per-query passes cannot correct a WHOLE run on a
+    // loaded sandbox (both passes slow together); diverging sentinels
+    // make such a run self-identifying in the artifact instead of
+    // needing post-hoc adjudication.
     def sentinel(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -38,6 +39,7 @@ object Bench {
           .filter("event_type = 'view'").count()
         (System.nanoTime() - t0) / 1e9
       }
+      once() // throwaway: codegen/page-cache warm-up is not "load"
       Seq(once(), once(), once()).min
     }
     val sentinelStart = sentinel()
@@ -80,10 +82,12 @@ object Bench {
     // and a comma decimal separator would corrupt the JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // >2x sentinel drift = the sandbox's speed changed mid-run; the
-    // recorded numbers are environmentally loaded, not comparable.
+    // Direction-aware drift gate: a slower END sentinel means load
+    // arrived mid-run — strict 2x. A slower START sentinel is either
+    // early load or residual JVM warm-up the throwaway couldn't fully
+    // absorb — tolerate 3x before declaring the run poisoned.
     val reliable =
-      math.max(sentinelStart, sentinelEnd) <= 2 * math.min(sentinelStart, sentinelEnd)
+      sentinelEnd <= 2 * sentinelStart && sentinelStart <= 3 * sentinelEnd
     if (!reliable)
       System.err.println(f"[bench] UNRELIABLE run: sentinel drifted " +
         f"$sentinelStart%.3fs -> $sentinelEnd%.3fs (loaded sandbox?)")
