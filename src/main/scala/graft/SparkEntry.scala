@@ -1594,6 +1594,28 @@ object SparkEntry {
         .orderBy(col("r_name"))
     }),
 
+    // §2.1 backup/restore round-trip (reference storage/src/db.rs:
+    // 1348-1513 full_backup/full_restore + platform backups.rs): the
+    // nation table is written as a parquet store, archived through
+    // Backup.create (manifest + bytes + magic footer, deflate),
+    // restored via the validate-then-swap path, and the query runs on
+    // the RESTORED bytes — the oracle recomputes from the original
+    // table, so any archive corruption breaks the hash.
+    "q_backup_restore" -> ((s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-bak-" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val store = s"$tmp/store"
+      Tables.nation(s, dir).write.mode("overwrite").parquet(store)
+      val archive = s"$tmp/full.graftbak"
+      graft.sources.Backup.create(s, store, archive)
+      graft.sources.Backup.restore(s, archive, s"$tmp/restored")
+      s.read.parquet(s"$tmp/restored")
+        .groupBy(col("n_regionkey").as("r"))
+        .agg(count(lit(1)).as("nations"),
+          sum(col("n_nationkey")).as("key_sum"),
+          min(col("n_name")).as("first_nation"))
+    }),
+
     // 6-way dimension join (TPC-H Q5 flavor): join-order + broadcast
     // exercise across the whole star schema
     "q5_join" -> ((s, dir) => {
@@ -1760,6 +1782,14 @@ object SparkEntry {
            ON f.ip >= g.ip_start AND f.ip <= g.ip_end
          WHERE f.seq < 2000
          GROUP BY 1, 2 ORDER BY event, country""",
+
+    // Backup round-trip: the oracle never touches the archive —
+    // identical output proves create→restore is byte-faithful.
+    "q_backup_restore" ->
+      """SELECT n_regionkey AS r, count(*) AS nations,
+         CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+         min(n_name) AS first_nation
+         FROM nation GROUP BY 1""",
 
     // CSV round-trip: the oracle never touches the CSV — identical
     // output proves the export/import pair is lossless.

@@ -128,6 +128,46 @@ final class SettingsProvider {
 }
 
 // ---------------------------------------------------------------
+// Backups (reference platform/src/backups.rs:87-106 Backup{id,
+// created_at, provider, status: Idle|InProgress|…|Failed|Completed};
+// metadata/src/backups.rs persists the records)
+// ---------------------------------------------------------------
+
+final case class BackupRecord(
+    id: Long, createdAtMs: Long, provider: String, path: String,
+    status: String, files: Int = 0, bytes: Long = 0L,
+    updatedAtMs: Option[Long] = None, error: Option[String] = None)
+
+/** Backup run bookkeeping — records move InProgress → Completed or
+  * Failed(error), like the reference's status enum; the archive
+  * itself is [[graft.sources.Backup]]'s job. */
+final class Backups {
+  private var next = 0L
+  private val items = mutable.LinkedHashMap.empty[Long, BackupRecord]
+
+  def start(provider: String, path: String, now: Long): BackupRecord = {
+    next += 1
+    val b = BackupRecord(next, now, provider, path, "inProgress")
+    items(b.id) = b
+    b
+  }
+  def complete(id: Long, files: Int, bytes: Long, now: Long): BackupRecord = {
+    val b = items(id).copy(status = "completed", files = files, bytes = bytes,
+      updatedAtMs = Some(now))
+    items(id) = b
+    b
+  }
+  def fail(id: Long, error: String, now: Long): BackupRecord = {
+    val b = items(id).copy(status = "failed", error = Some(error),
+      updatedAtMs = Some(now))
+    items(id) = b
+    b
+  }
+  def get(id: Long): Option[BackupRecord] = items.get(id)
+  def list(): Seq[BackupRecord] = items.values.toSeq
+}
+
+// ---------------------------------------------------------------
 // Sessions (sessions.rs:28-140)
 // ---------------------------------------------------------------
 

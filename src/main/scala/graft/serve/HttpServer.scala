@@ -62,6 +62,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - GET/PUT /api/v1/admin/settings (with a SettingsProvider —
   *    partial merge, validated save, every secret write-only; behind
   *    the org-owner admin gate)
+  *  - GET /api/v1/admin/backups, POST /admin/backups/backup,
+  *    GET /admin/backups/:id (with a SettingsProvider AND a
+  *    backupStore — archives the store via sources.Backup)
   * and every `/projects/:id/…` query route then demands a Bearer
   * access token whose account may explore that project (the
   * reference's Context extractor + rbac check). Tenancy MUTATIONS
@@ -82,7 +85,15 @@ final class GraftHttpServer(
     clock: () => Long = () => System.currentTimeMillis(),
     tenancy: Option[graft.model.Tenancy] = None,
     auth: Option[graft.model.Auth] = None,
-    settings: Option[graft.model.SettingsProvider] = None) {
+    settings: Option[graft.model.SettingsProvider] = None,
+    /** Store directory the admin backup routes archive (reference
+      * platform/src/http/backups.rs); the routes mount only when both
+      * this and a settings provider are present. */
+    backupStore: Option[String] = None) {
+
+  /** Backup-run records behind `/admin/backups` (reference
+    * metadata/src/backups.rs). */
+  private val backups = new graft.model.Backups
 
   /** Live schema state behind the CRUD routes: the constructor's
     * registry/customEvents seed copy-on-write snapshots (reference
@@ -695,6 +706,40 @@ final class GraftHttpServer(
           200 -> settingsJson(sp.load())
         }
 
+      // admin backups (reference platform/src/http/backups.rs:38-46 —
+      // GET list, POST /backup runs one, GET by id; storage
+      // db.rs:1348-1513 full_backup). The archive lands under the
+      // settings-configured local provider path; failures record a
+      // Failed status like the reference's status enum.
+      case ("GET", List("admin", "backups")) =>
+        if (settings.isEmpty || backupStore.isEmpty) return 404 -> err("not found")
+        adminGate(ex).getOrElse(
+          200 -> backups.list().map(backupJson).mkString("[", ",", "]"))
+      case ("GET", List("admin", "backups", IdSeg(id))) =>
+        if (settings.isEmpty || backupStore.isEmpty) return 404 -> err("not found")
+        adminGate(ex).getOrElse(
+          backups.get(id).map(b => 200 -> backupJson(b))
+            .getOrElse(404 -> err(s"backup $id not found")))
+      case ("POST", List("admin", "backups", "backup")) =>
+        val sp = settings.getOrElse(return 404 -> err("not found"))
+        val store = backupStore.getOrElse(return 404 -> err("not found"))
+        adminGate(ex).getOrElse {
+          val s = sp.load()
+          val base =
+            if (s.backupProviderLocalPath.nonEmpty) s.backupProviderLocalPath
+            else s"$store-backups"
+          val rec = backups.start(s.backupProvider,
+            s"$base/backup-${clock()}.graftbak", clock())
+          try {
+            val m = graft.sources.Backup.create(spark, store, rec.path)
+            200 -> backupJson(backups.complete(rec.id, m.files.size, m.totalBytes, clock()))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              500 -> backupJson(backups.fail(rec.id,
+                Option(e.getMessage).getOrElse(e.getClass.getSimpleName), clock()))
+          }
+        }
+
       // admin account CRUD (reference platform/src/http/accounts.rs:
       // 62-63 — create/list, get/update/delete by id, all behind the
       // global-admin gate). PUT accepts name and role ("admin" sets,
@@ -792,6 +837,15 @@ final class GraftHttpServer(
             else Some(403 -> err(s"account ${claims.accountId} is not an admin"))
         }
     }
+
+  private def backupJson(b: graft.model.BackupRecord): String = {
+    val err0 = b.error.map(e => JStr(e).render).getOrElse("null")
+    val upd = b.updatedAtMs.map(_.toString).getOrElse("null")
+    s"""{"id":${b.id},"createdAt":${b.createdAtMs},"updatedAt":$upd,""" +
+      s""""provider":${JStr(b.provider).render},"path":${JStr(b.path).render},""" +
+      s""""status":${JStr(b.status).render},"files":${b.files},"bytes":${b.bytes},""" +
+      s""""error":$err0}"""
+  }
 
   private def settingsJson(s: graft.model.Settings): String =
     // every secret — auth token material, admin default password,

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Backup
+import org.apache.spark.sql.functions._
+
+/** Backup archive semantics (reference storage/src/db.rs:1348-1513):
+  * byte-faithful round-trip, manifest readback, and — where this
+  * build deliberately diverges from the reference's truncate-first
+  * restore — a corrupt archive must leave the live target untouched. */
+class BackupSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-backup-spec").toString
+
+  private def writeStore(dir: String): Unit =
+    eventsDf(Seq(
+      (1L, 1000L, "view", "ios", 5.0), (2L, 2000L, "buy", "and", 50.0),
+      (3L, 3000L, "view", "web", 2.0)))
+      .write.mode("overwrite").partitionBy("device").parquet(dir)
+
+  test("create -> restore round-trips a partitioned parquet store byte-faithfully") {
+    val root = tmpDir()
+    val store = s"$root/store"
+    writeStore(store)
+    val archive = s"$root/full.graftbak"
+    val m = Backup.create(spark, store, archive)
+    assert(m.files.nonEmpty && m.totalBytes > 0)
+    assert(m.files.forall(e => !e.path.startsWith("_")), "bookkeeping files excluded")
+    assert(Backup.readManifest(spark, archive).files == m.files)
+
+    val restored = s"$root/restored"
+    val m2 = Backup.restore(spark, archive, restored)
+    assert(m2.files == m.files)
+    val a = spark.read.parquet(store).orderBy("user_id")
+      .collect().map(_.toString).toSeq
+    val b = spark.read.parquet(restored).orderBy("user_id")
+      .collect().map(_.toString).toSeq
+    assert(a == b, "restored rows identical (partition columns included)")
+  }
+
+  test("restore replaces an existing target only after full validation") {
+    val root = tmpDir()
+    val store = s"$root/store"
+    writeStore(store)
+    val archive = s"$root/full.graftbak"
+    Backup.create(spark, store, archive)
+
+    // live target with different content
+    val live = s"$root/live"
+    eventsDf(Seq((9L, 9000L, "old", "x", 1.0)))
+      .write.mode("overwrite").parquet(live)
+
+    // truncated archive: restore must throw and leave `live` intact
+    val bytes = Files.readAllBytes(Paths.get(archive))
+    val cut = s"$root/cut.graftbak"
+    Files.write(Paths.get(cut), java.util.Arrays.copyOf(bytes, bytes.length - 8))
+    intercept[Exception](Backup.restore(spark, cut, live))
+    assert(spark.read.parquet(live).select("event_type")
+      .collect().map(_.getString(0)).toSeq == Seq("old"),
+      "corrupt archive must not touch the live store")
+    assert(!Files.list(Paths.get(root)).iterator().asScala()
+      .exists(_.getFileName.toString.startsWith("live.restoring")),
+      "failed restore cleans its temp directory")
+
+    // a valid archive then swaps the live store
+    Backup.restore(spark, archive, live)
+    assert(spark.read.parquet(live).count() == 3)
+  }
+
+  test("garbage bytes are rejected at the header") {
+    val root = tmpDir()
+    val junk = s"$root/junk.graftbak"
+    Files.write(Paths.get(junk), Array.fill[Byte](64)(42))
+    intercept[Exception](Backup.restore(spark, junk, s"$root/out"))
+    assert(!Files.exists(Paths.get(s"$root/out")))
+  }
+
+  test("Backups registry tracks inProgress -> completed/failed") {
+    val reg = new graft.model.Backups
+    val b = reg.start("local", "/tmp/x.graftbak", 100L)
+    assert(b.status == "inProgress" && reg.list().size == 1)
+    val done = reg.complete(b.id, files = 4, bytes = 1234L, now = 200L)
+    assert(done.status == "completed" && done.files == 4 && done.bytes == 1234L)
+    val f = reg.fail(reg.start("local", "/tmp/y.graftbak", 300L).id, "disk full", 400L)
+    assert(f.status == "failed" && f.error.contains("disk full"))
+    assert(reg.get(b.id).exists(_.status == "completed"))
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala(): Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

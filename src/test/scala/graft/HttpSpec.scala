@@ -687,6 +687,45 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("admin backups: POST runs an archive, records round-trip, gate enforced") {
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    val sp = new graft.model.SettingsProvider
+    val root = java.nio.file.Files.createTempDirectory("graft-http-bak").toString
+    val store = s"$root/store"
+    ev.write.mode("overwrite").parquet(store)
+    withServer(new GraftHttpServer(spark, ev, tenancy = Some(tenancy),
+      auth = Some(auth), settings = Some(sp), backupStore = Some(store))) { srv =>
+      val (_, s1) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "a@x.com", "password": "Str0ng!pass"}""")
+      val tok = (graft.model.Json.parse(s1) / "accessToken").str
+      // non-admin 403, anonymous 401
+      assert(req(srv.port, "GET", "/api/v1/admin/backups", bearer = tok)._1 == 403)
+      assert(req(srv.port, "POST", "/api/v1/admin/backups/backup")._1 == 401)
+      tenancy.setAccountRole(1L, Some("admin"), 0L)
+
+      assert(req(srv.port, "GET", "/api/v1/admin/backups", bearer = tok)._2 == "[]")
+      val (bc, made) = req(srv.port, "POST", "/api/v1/admin/backups/backup",
+        bearer = tok)
+      assert(bc == 200 && made.contains("\"status\":\"completed\""))
+      val path = (graft.model.Json.parse(made) / "path").str
+      assert(path.startsWith(s"$store-backups/"), "default path derives from the store")
+      // the archive is real: restore it and read the rows back
+      val m = graft.sources.Backup.restore(spark, path, s"$root/restored")
+      assert(m.totalBytes > 0 && spark.read.parquet(s"$root/restored").count() == ev.count())
+      // records list and resolve by id
+      assert(req(srv.port, "GET", "/api/v1/admin/backups", bearer = tok)._2 == s"[$made]")
+      assert(req(srv.port, "GET", "/api/v1/admin/backups/1", bearer = tok)._2 == made)
+      assert(req(srv.port, "GET", "/api/v1/admin/backups/9", bearer = tok)._1 == 404)
+    }
+
+    // without a store (or settings) the surface is unmounted
+    withServer(new GraftHttpServer(spark, ev, tenancy = Some(tenancy),
+      auth = Some(auth), settings = Some(sp))) { srv =>
+      assert(req(srv.port, "GET", "/api/v1/admin/backups")._1 == 404)
+    }
+  }
+
   test("errors: malformed JSON 400, unknown routes 404") {
     withServer(new GraftHttpServer(spark, ev)) { srv =>
       assert(req(srv.port, "POST",
