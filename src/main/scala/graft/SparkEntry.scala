@@ -1616,6 +1616,27 @@ object SparkEntry {
           min(col("n_name")).as("first_nation"))
     }),
 
+    // §2.1 compactor (reference storage/src/compaction.rs
+    // determine_compaction + config.toml defaults): orders lands as
+    // 12 small L0 parts (12 ingest batches' worth), Compact.run
+    // merges them through the leveled picker, and the query reads the
+    // COMPACTED store through the manifest — the oracle recomputes
+    // from the original table, so any row lost or duplicated by the
+    // merge/commit/sweep protocol breaks the hash.
+    "q_compact_store" -> ((s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-compact-" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val store = s"$tmp/store"
+      Tables.load(s, dir, "orders").repartition(12)
+        .write.mode("overwrite").parquet(store)
+      graft.sources.Compact.run(s, store)
+      graft.sources.Compact.read(s, store)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("orders"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          min(col("o_orderpriority")).as("top_priority"))
+    }),
+
     // 6-way dimension join (TPC-H Q5 flavor): join-order + broadcast
     // exercise across the whole star schema
     "q5_join" -> ((s, dir) => {
@@ -1790,6 +1811,14 @@ object SparkEntry {
          CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
          min(n_name) AS first_nation
          FROM nation GROUP BY 1""",
+
+    // Compaction round-trip: the oracle never touches the compacted
+    // store — identical output proves the merge preserved every row.
+    "q_compact_store" ->
+      """SELECT o_orderstatus AS status, count(*) AS orders,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         min(o_orderpriority) AS top_priority
+         FROM orders GROUP BY 1""",
 
     // CSV round-trip: the oracle never touches the CSV — identical
     // output proves the export/import pair is lossless.

@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import graft.model.Json
+import graft.model.Json._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{SaveMode, SparkSession, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** Leveled small-file compaction for a flat parquet part-file store —
+  * the analog of the reference's background compactor (reference
+  * storage/src/compaction.rs:197-254 `determine_compaction`: L0
+  * compacts when its part COUNT exceeds `l0_max_parts`, level n≥1
+  * when its total SIZE exceeds `l1_max_size_bytes *
+  * level_size_multiplier^(n-1)`, merged parts capped at
+  * `merge_max_l1_part_size_bytes * merge_part_size_multiplier^n`;
+  * defaults from config.toml:18-31 — 7 levels, 4 L0 parts, 10 MB L1,
+  * ×10 per level).
+  *
+  * Differences are deliberate and Spark-first:
+  *  - The LSM merges key-sorted runs and pulls overlapping next-level
+  *    parts into each merge (compaction.rs:244-249). Parquet parts
+  *    here carry no key ranges — row-group stats and directory
+  *    partitioning do the pruning the LSM sort key did — so each
+  *    overflowing level merges into FRESH next-level parts and the
+  *    next level overflows on its own schedule (size-tiered rather
+  *    than strictly leveled). No merge ever rewrites more than one
+  *    level's bytes, which is the property that matters at 100 TB.
+  *  - The reference serializes level state into its table metadata
+  *    file before touching the filesystem (compaction.rs:150-176:
+  *    `write_metadata` then rename/delete ops). Same shape here: a
+  *    versioned `_graft_parts-<v>.json` manifest commits each pass
+  *    atomically (hidden from parquet readers), merged files become
+  *    visible to manifest readers only on commit, and inputs are
+  *    deleted strictly after. A crash at ANY point leaves either
+  *    pre-pass state or committed state: [[read]] serves the latest
+  *    manifest, stale inputs are identified via the superseded
+  *    manifest generation and swept by the next [[run]].
+  *
+  * Single writer assumed (the reference's compactor is one background
+  * thread, compaction.rs:91); readers need no lock. Plain
+  * `spark.read.parquet` on the directory stays correct between runs —
+  * only during the commit window must a reader use [[read]] for
+  * manifest isolation. An object-store deployment without atomic
+  * rename wants a transactional table format instead; the manifest
+  * protocol here is the same idea at the smallest useful size.
+  */
+object Compact {
+
+  /** Reference config.toml defaults. `sortCols` optionally restores
+    * in-file locality (e.g. user,ts — Store.writeEvents' order) on
+    * every merge, which plain appends erode over time. */
+  final case class Options(
+      l0MaxParts: Int = 4,
+      l1PartBytes: Long = 10L << 20,
+      l1MaxLevelBytes: Long = 10L << 20,
+      sizeMultiplier: Int = 10,
+      levels: Int = 7,
+      maxPasses: Int = 8,
+      sortCols: Seq[String] = Nil)
+
+  final case class PartFile(name: String, level: Int, size: Long)
+  final case class State(version: Long, parts: Seq[PartFile])
+  final case class MergePlan(fromLevel: Int, inputs: Seq[PartFile]) {
+    def bytes: Long = inputs.map(_.size).sum
+  }
+  final case class Report(passes: Int, merges: Int,
+      filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long)
+
+  private val ManifestPrefix = "_graft_parts-"
+  private val MergedPrefix = "merged-L"
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Max size of a part written INTO `level` (merge_max_l1 ×
+    * mult^(source level), compaction.rs:215-216). */
+  def partCap(level: Int, o: Options): Long =
+    o.l1PartBytes * math.pow(o.sizeMultiplier, math.max(0, level - 1)).toLong
+
+  /** Size trigger for level n≥1 (l1_max_size ×
+    * mult^(n-1), compaction.rs:217-218). */
+  def levelMaxBytes(level: Int, o: Options): Long =
+    o.l1MaxLevelBytes * math.pow(o.sizeMultiplier, level - 1).toLong
+
+  /** Level a manifest-less file adopts: the lowest whose part cap
+    * holds it, so pre-existing big files are not pointlessly
+    * re-merged. Fresh appends are small and land at 0. */
+  def adoptLevel(size: Long, o: Options): Int = {
+    var lvl = 0
+    var cap = o.l1PartBytes
+    while (lvl < o.levels - 1 && size > cap) { lvl += 1; cap *= o.sizeMultiplier }
+    lvl
+  }
+
+  private def stateJson(s: State): String = {
+    val parts = s.parts.map(p =>
+      s"""{"name":${JStr(p.name).render},"level":${p.level},"size":${p.size}}""")
+      .mkString("[", ",", "]")
+    s"""{"version":${s.version},"parts":$parts}"""
+  }
+
+  private def parseState(s: String): State = {
+    val j = Json.parse(s)
+    State((j / "version").long,
+      (j / "parts").arr.map(p =>
+        PartFile((p / "name").str, (p / "level").long.toInt, (p / "size").long)))
+  }
+
+  private def manifestVersions(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(ManifestPrefix))
+      .flatMap { p =>
+        val v = p.getName.stripPrefix(ManifestPrefix).stripSuffix(".json")
+        v.toLongOption.map(_ -> p)
+      }.sortBy(_._1)
+
+  private def readState(fs: FileSystem, p: Path): State = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      parseState(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  /** Commit a new manifest generation: write hidden tmp, fsync-close,
+    * rename to its versioned name (atomic on file/HDFS). Old
+    * generations are removed by the caller AFTER input deletion so a
+    * crash always leaves a generation that identifies stale files. */
+  private def commitState(fs: FileSystem, dir: Path, s: State): Path = {
+    val tmp = new Path(dir, s".${ManifestPrefix}${s.version}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(stateJson(s).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(dir, s"${ManifestPrefix}${s.version}.json")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"could not commit manifest $dest")
+    dest
+  }
+
+  /** Current live state: latest manifest reconciled with the
+    * directory listing. Files named by a SUPERSEDED generation but
+    * absent from the latest are crash leftovers (inputs whose delete
+    * never ran); unknown `merged-*` files are uncommitted merge
+    * output. Both are returned for sweeping, never served. Unknown
+    * plain parquet files are appends since the last run and adopt
+    * level [[adoptLevel]]. */
+  private def loadState(fs: FileSystem, dir: Path, o: Options): (Option[State], Seq[PartFile], Seq[Path]) = {
+    val listing =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(st => !st.isDirectory)
+        .map(st => st.getPath.getName -> st.getLen)
+        .filter { case (n, _) =>
+          !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet")
+        }
+    val versions = manifestVersions(fs, dir)
+    versions.lastOption match {
+      case None =>
+        val parts = listing.map { case (n, sz) => PartFile(n, adoptLevel(sz, o), sz) }
+        (None, parts, Nil)
+      case Some((v, latest)) =>
+        val state = readState(fs, latest)
+        val live = state.parts.map(_.name).toSet
+        val superseded: Set[String] = versions.dropRight(1)
+          .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet
+        val onDisk = listing.toMap
+        val present = state.parts.filter(p => onDisk.contains(p.name))
+        val stale = listing.collect {
+          case (n, _) if !live.contains(n) &&
+            (superseded.contains(n) || n.startsWith(MergedPrefix)) =>
+            new Path(dir, n)
+        }
+        val appended = listing.collect {
+          case (n, sz) if !live.contains(n) && !superseded.contains(n) &&
+            !n.startsWith(MergedPrefix) =>
+            PartFile(n, adoptLevel(sz, o), sz)
+        }
+        (Some(state.copy(version = v)), present ++ appended, stale)
+    }
+  }
+
+  /** One pass of the reference's picker over the level map. */
+  def plan(parts: Seq[PartFile], o: Options): Seq[MergePlan] = {
+    val byLevel = parts.groupBy(_.level)
+    val l0 = byLevel.getOrElse(0, Nil)
+    val fromL0 =
+      if (l0.size > o.l0MaxParts) Seq(MergePlan(0, l0.sortBy(_.name))) else Nil
+    val fromLn = (1 until o.levels - 1).flatMap { lvl =>
+      val ps = byLevel.getOrElse(lvl, Nil)
+      if (ps.nonEmpty && ps.map(_.size).sum > levelMaxBytes(lvl, o))
+        Seq(MergePlan(lvl, ps.sortBy(_.name)))
+      else Nil
+    }
+    fromL0 ++ fromLn
+  }
+
+  /** Run compaction passes until the level structure is stable (or
+    * `maxPasses`). Returns a report; the store is equivalent
+    * row-for-row before and after (validated per merge before any
+    * commit). */
+  def run(spark: SparkSession, storeDir: String, opts: Options = Options()): Report = {
+    val dir = new Path(storeDir)
+    val fs = fsFor(spark, dir)
+    require(fs.exists(dir), s"store directory $storeDir does not exist")
+
+    var (state0, parts, stale) = loadState(fs, dir, opts)
+    // sweep crash leftovers first: they are invisible to readers and
+    // unreferenced, so deletion is always safe
+    stale.foreach(p => fs.delete(p, false))
+    val before = parts
+    var version = state0.map(_.version).getOrElse(0L)
+    var passes = 0
+    var merges = 0
+
+    var planNow = plan(parts, opts)
+    while (planNow.nonEmpty && passes < opts.maxPasses) {
+      passes += 1
+      planNow.foreach { m =>
+        val target = m.fromLevel + 1
+        val cap = partCap(target, opts)
+        val numParts = math.max(1L, (m.bytes + cap - 1) / cap).toInt
+        val inputPaths = m.inputs.map(p => new Path(dir, p.name).toString)
+        val in = spark.read.parquet(inputPaths: _*)
+        val inCount = in.count()
+        val tmp = new Path(dir, s".compact-$version-$passes-L${m.fromLevel}")
+        val sorted =
+          if (opts.sortCols.nonEmpty)
+            in.repartition(numParts).sortWithinPartitions(opts.sortCols.map(col): _*)
+          else in.repartition(numParts)
+        sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val outCount = spark.read.parquet(tmp.toString).count()
+        require(outCount == inCount,
+          s"compaction would lose rows ($inCount -> $outCount); aborting before commit")
+        // merged parts become visible files now but enter the
+        // manifest only on commit below
+        val written = fs.listStatus(tmp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val merged = written.zipWithIndex.map { case (p, i) =>
+          val name = s"$MergedPrefix$target-$version-$passes-$i-${p.getName.take(16)}.parquet"
+          val dest = new Path(dir, name)
+          if (!fs.rename(p, dest))
+            throw new IllegalStateException(s"could not place merged part $dest")
+          PartFile(name, target, fs.getFileStatus(dest).getLen)
+        }.toSeq
+        fs.delete(tmp, true)
+
+        val inputNames = m.inputs.map(_.name).toSet
+        parts = parts.filterNot(p => inputNames.contains(p.name)) ++ merged
+        version += 1
+        commitState(fs, dir, State(version, parts))
+        // committed: inputs are now stale by manifest, delete them,
+        // then drop superseded manifest generations
+        m.inputs.foreach(p => fs.delete(new Path(dir, p.name), false))
+        manifestVersions(fs, dir).dropRight(1)
+          .foreach { case (_, p) => fs.delete(p, false) }
+        merges += 1
+      }
+      planNow = plan(parts, opts)
+    }
+    if (passes == 0 && state0.isEmpty && parts.nonEmpty) {
+      // adopt a manifest even when nothing merges, so readers gain
+      // manifest isolation from the first run
+      version += 1
+      commitState(fs, dir, State(version, parts))
+    }
+    Report(passes, merges, before.size, parts.size,
+      before.map(_.size).sum, parts.map(_.size).sum)
+  }
+
+  /** Read the store with manifest isolation: latest manifest parts
+    * plus appends since, crash leftovers excluded. Falls back to a
+    * plain directory read when no manifest exists. */
+  def read(spark: SparkSession, storeDir: String,
+           opts: Options = Options()): DataFrame = {
+    val dir = new Path(storeDir)
+    val fs = fsFor(spark, dir)
+    val (state, parts, _) = loadState(fs, dir, opts)
+    if (state.isEmpty) spark.read.parquet(storeDir)
+    else spark.read.parquet(parts.map(p => new Path(dir, p.name).toString): _*)
+  }
+
+  /** Level occupancy for observability (file count + bytes per
+    * level), from the live state. */
+  def levels(spark: SparkSession, storeDir: String,
+             opts: Options = Options()): Map[Int, (Int, Long)] = {
+    val dir = new Path(storeDir)
+    val (_, parts, _) = loadState(fsFor(spark, dir), dir, opts)
+    parts.groupBy(_.level).map { case (l, ps) => l -> (ps.size, ps.map(_.size).sum) }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{Compact, Store}
+import org.apache.spark.sql.functions._
+
+/** Leveled compaction semantics (reference storage/src/compaction.rs
+  * `determine_compaction` + config.toml defaults): L0 count trigger,
+  * level size triggers, row preservation, manifest crash isolation,
+  * and append pickup between runs. */
+class CompactSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-compact-spec").toString
+
+  /** `n` single-file L0 appends, like n ingest batches. */
+  private def appendBatches(dir: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      val df = spark.range(i * 100, i * 100 + 100)
+        .select(col("id"), (col("id") % 7).as("k"))
+      Store.atomicAppend(df, dir, f"batch-$i%05d")
+    }
+
+  test("L0 count trigger merges appends and preserves every row") {
+    val dir = s"${tmpDir()}/store"
+    appendBatches(dir, 12)
+    val r = Compact.run(spark, dir)
+    assert(r.filesBefore == 12 && r.filesAfter < 12)
+    assert(r.merges == 1, "12 L0 parts merge once into L1")
+    val lv = Compact.levels(spark, dir)
+    assert(!lv.contains(0) && lv.contains(1), s"all rows promoted to L1: $lv")
+    val got = Compact.read(spark, dir)
+    assert(got.count() == 1200)
+    // batches cover exactly ids 0..1199, so the sum pins content
+    assert(got.agg(sum("id")).head.getLong(0) == 1199L * 1200 / 2)
+  }
+
+  test("under the L0 threshold nothing merges; run is idempotent") {
+    val dir = s"${tmpDir()}/store"
+    appendBatches(dir, 3)
+    val r1 = Compact.run(spark, dir)
+    assert(r1.merges == 0 && r1.filesAfter == 3)
+    val r2 = Compact.run(spark, dir)
+    assert(r2.merges == 0 && r2.passes == 0, "stable state replans to nothing")
+    assert(Compact.read(spark, dir).count() == 300)
+  }
+
+  test("level size trigger cascades L1 into L2 across passes") {
+    val dir = s"${tmpDir()}/store"
+    appendBatches(dir, 12)
+    // tiny caps: every level overflows immediately, so the single L1
+    // merge output (split across parts by the part cap) must cascade
+    // upward on later passes of the same run
+    val o = Compact.Options(l0MaxParts = 4, l1PartBytes = 2048,
+      l1MaxLevelBytes = 2048, sizeMultiplier = 2)
+    val r = Compact.run(spark, dir, o)
+    assert(r.passes >= 2, s"cascade takes multiple passes: $r")
+    val lv = Compact.levels(spark, dir, o)
+    assert(lv.keys.max >= 2, s"data reached L2+: $lv")
+    assert(Compact.read(spark, dir, o).count() == 1200)
+  }
+
+  test("uncommitted merge leftovers are invisible to read and swept by run") {
+    val dir = s"${tmpDir()}/store"
+    appendBatches(dir, 6)
+    Compact.run(spark, dir)
+    val good = Compact.read(spark, dir).count()
+    // plant a crash leftover: merged-* parquet bytes never committed
+    // to any manifest (copy of a live file under a merged name)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val ghost = new org.apache.hadoop.fs.Path(dir, "merged-L9-ghost.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, ghost, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(Compact.read(spark, dir).count() == good,
+      "uncommitted merge output never double-counts")
+    Compact.run(spark, dir)
+    assert(!fs.exists(ghost), "next run sweeps the leftover")
+  }
+
+  test("appends after compaction are served and adopted by the next run") {
+    val dir = s"${tmpDir()}/store"
+    appendBatches(dir, 6)
+    Compact.run(spark, dir)
+    val df = spark.range(10000, 10100).select(col("id"), (col("id") % 7).as("k"))
+    Store.atomicAppend(df, dir, "batch-late")
+    assert(Compact.read(spark, dir).count() == 700, "append visible without a run")
+    val lv = Compact.levels(spark, dir)
+    assert(lv.getOrElse(0, (0, 0L))._1 == 1, "late append sits at L0")
+    Compact.run(spark, dir)
+    assert(Compact.read(spark, dir).count() == 700)
+  }
+}
