@@ -286,6 +286,37 @@ object Compact {
     else spark.read.parquet(parts.map(p => new Path(dir, p.name).toString): _*)
   }
 
+  /** Compact every leaf partition directory of a
+    * directory-partitioned store ([[Store.writeEvents]]' layout —
+    * `event_date=…/` or `project_id=…/event_date=…/`). Each leaf
+    * compacts independently with its own manifest: at 100 TB the
+    * unit of compaction is the partition, never the table, so one
+    * hot day's small files never force a rewrite of cold history.
+    * Plain `spark.read.parquet(root)` readers see leaf listings, so
+    * after a crash run this again (the per-leaf sweep removes
+    * uncommitted merge output) before trusting directory reads.
+    * Returns per-leaf reports keyed by relative partition path. */
+  def runPartitioned(spark: SparkSession, rootDir: String,
+                     opts: Options = Options()): Map[String, Report] = {
+    val root = new Path(rootDir)
+    val fs = fsFor(spark, root)
+    require(fs.exists(root), s"store directory $rootDir does not exist")
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p).toSeq
+        .filterNot(_.getPath.getName.startsWith("."))
+      val dirs = st.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+    }
+    val base = root.toUri.getPath
+    leaves(root)
+      .filter(l => fs.listStatus(l)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map { l =>
+        val rel = l.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        rel -> run(spark, l.toString, opts)
+      }.toMap
+  }
+
   /** Level occupancy for observability (file count + bytes per
     * level), from the live state. */
   def levels(spark: SparkSession, storeDir: String,

@@ -81,6 +81,33 @@ class CompactSpec extends SparkTestBase {
     assert(!fs.exists(ghost), "next run sweeps the leftover")
   }
 
+  test("runPartitioned compacts each date partition independently") {
+    val root = s"${tmpDir()}/events"
+    // a partitioned store with per-partition small-file buildup:
+    // 6 appended batches in one date dir, 2 in the other
+    val day1 = s"$root/event_date=2026-01-01"
+    val day2 = s"$root/event_date=2026-01-02"
+    (0 until 6).foreach { i =>
+      Store.atomicAppend(
+        spark.range(i * 10, i * 10 + 10).select(col("id"), (col("id") % 3).as("k")),
+        day1, f"b$i%03d")
+    }
+    (0 until 2).foreach { i =>
+      Store.atomicAppend(
+        spark.range(1000 + i * 10, 1000 + i * 10 + 10).select(col("id"), (col("id") % 3).as("k")),
+        day2, f"b$i%03d")
+    }
+    val reports = Compact.runPartitioned(spark, root)
+    assert(reports.keySet == Set("event_date=2026-01-01", "event_date=2026-01-02"))
+    assert(reports("event_date=2026-01-01").merges == 1, "6 L0 parts merge")
+    assert(reports("event_date=2026-01-02").merges == 0, "2 parts stay under the trigger")
+    // partitioned directory read still sees every row with the
+    // partition column attached
+    val all = spark.read.parquet(root)
+    assert(all.count() == 80)
+    assert(all.filter(col("event_date") === "2026-01-01").count() == 60)
+  }
+
   test("appends after compaction are served and adopted by the next run") {
     val dir = s"${tmpDir()}/store"
     appendBatches(dir, 6)
