@@ -1185,6 +1185,22 @@ object SparkEntry {
           (sum(col("n_long_tokens")) * 1.0 / sum(col("n_tokens"))).as("long_ratio"))
     }),
 
+    // pipeline: intra-document repetition signals (Gopher-style
+    // repetition filters) — dup-word count + top-bigram multiplicity
+    // per doc, computed shuffle-free by folding the sorted bigram
+    // array; the oracle recomputes via explode+group-by, so the fold
+    // must agree with the standard formulation exactly.
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.withRepetitionSignals(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          col("dup_words"), col("top_bigram_count"))
+    }),
+
+    // pipeline: corpus vocabulary top-k (tokenizer-prep word counts),
+    // deterministic tie-break on the token
+    "q_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), "text", 100)),
+
     // pipeline: language-ID heuristic distribution
     "q_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2717,6 +2733,31 @@ object SparkEntry {
          sum(len(list_filter(string_split(text, ' '), t -> len(t) > 3))) * 1.0
            / sum(len(string_split(text, ' '))) AS long_ratio
          FROM documents GROUP BY 1""",
+
+    // Repetition signals: the oracle computes the bigram mode the
+    // standard way (explode + group-by + max); the Spark side's
+    // sorted-run fold must produce identical integers.
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (
+           SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+           FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+         ),
+         top AS (
+           SELECT doc_id, max(c) AS top_bigram_count
+           FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+           GROUP BY 1
+         )
+         SELECT t.doc_id, len(w) AS n_words,
+                len(list_distinct(w)) AS n_distinct_words,
+                len(w) - len(list_distinct(w)) AS dup_words,
+                coalesce(top_bigram_count, 0) AS top_bigram_count
+         FROM t LEFT JOIN top USING (doc_id)""",
+
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""",
 
     "q_lang_id" ->
       """SELECT lang,

@@ -70,6 +70,53 @@ object TextAnalysis {
         col("n_long_tokens").cast("double") / col("n_tokens"))
   }
 
+  /** Intra-document repetition signals (the Gopher/RefinedWeb-style
+    * repetition filters a training corpus screens on): duplicate-word
+    * count and the multiplicity of the most repeated word bigram.
+    * All outputs are integer counts, so any engine computes the
+    * identical values. Narrow and shuffle-free: the bigram mode folds
+    * over the SORTED per-doc bigram array (longest equal run = max
+    * multiplicity) instead of explode+groupBy, so nothing leaves the
+    * input split — at 100 TB the alternative shuffles one row per
+    * bigram occurrence. Arrays are staged as real columns first
+    * (lambda-subtree re-evaluation gotcha). */
+  def withRepetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val staged = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__bg_sorted",
+        sort_array(when(size(col("__toks")) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))))
+    staged
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("dup_words", col("n_words") - col("n_distinct_words"))
+      .withColumn("top_bigram_count",
+        aggregate(col("__bg_sorted"),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, b) => {
+            val run = when(acc.getField("prev") === b, acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(b.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")))
+      .drop("__toks", "__bg_sorted")
+  }
+
+  /** Corpus token vocabulary (tokenizer-training prep): global token
+    * frequencies, top `k` by count with the tie broken on the token
+    * so the cut is deterministic. Partial (map-side) aggregation then
+    * a TakeOrdered of k rows — the full vocabulary never concentrates
+    * on one node. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprint: hash of the sorted distinct token set
     * (bag-of-words fingerprint). Identical token multisets — word
     * reorderings, duplicated runs — collide, which is the point:

@@ -303,6 +303,29 @@ class PipelineSpec extends SparkTestBase {
     assert(rh(0) != rh(1))
   }
 
+  test("repetition signals: dup words and top-bigram run fold") {
+    val out = TextAnalysis.withRepetitionSignals(docs(Seq(
+      (1L, "a b a b a"),   // bigrams: "a b","b a","a b","b a" -> mode 2
+      (2L, "x y z"),       // all unique, mode 1
+      (3L, "solo"))),      // 1 word, no bigrams
+      "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_words") == 5 &&
+      out(0).getAs[Long]("dup_words") == 3 &&
+      out(0).getAs[Long]("top_bigram_count") == 2)
+    assert(out(1).getAs[Long]("dup_words") == 0 &&
+      out(1).getAs[Long]("top_bigram_count") == 1)
+    assert(out(2).getAs[Long]("n_words") == 1 &&
+      out(2).getAs[Long]("top_bigram_count") == 0)
+  }
+
+  test("vocabulary ranks by frequency with token tiebreak and caps at k") {
+    val v = TextAnalysis.vocabulary(docs(Seq(
+      (1L, "b a b c"), (2L, "a b d"))), "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v == Seq(("b", 3L), ("a", 2L), ("c", 1L)),
+      "freq desc, then token asc; d cut by k=3")
+  }
+
   test("language id marker chain") {
     val out = docs(Seq(
       (1L, "the cat sat"), (2L, "le chat"), (3L, "xyz qqq")))
