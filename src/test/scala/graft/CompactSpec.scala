@@ -108,6 +108,42 @@ class CompactSpec extends SparkTestBase {
     assert(all.filter(col("event_date") === "2026-01-01").count() == 60)
   }
 
+  test("streaming ingest -> L0 appends -> compaction: the full LSM lifecycle analog") {
+    // The reference's write path is WAL -> memtable -> L0 parts ->
+    // background compaction (storage/src/db.rs). Spark analog run end
+    // to end: streamingTrack micro-batches append atomic L0 parts to
+    // an events store, Compact folds them through the leveled picker,
+    // and every ingested row survives with its enrichment intact.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ranges = Seq((0L, 1000L, "US")).toDF("start", "end", "country")
+    val root = tmpDir()
+    val store = s"$root/events"
+    val input = MemoryStream[(String, Long, String, Long)]
+    val q = graft.ingest.Ingest.streamingTrack(
+      input.toDF().toDF("user_key", "seq", "ua", "ip"),
+      s"$root/ids", ranges) { (denorm, batchId) =>
+        Store.atomicAppend(
+          denorm.select("user_key", "resolved_user_id", "seq", "country"),
+          store, f"batch-$batchId%05d")
+      }
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      (0 until 6).foreach { b =>
+        input.addData((s"u$b", b.toLong, "curl/8", 7L), ("u0", 100L + b, "curl/8", 7L))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val r = Compact.run(spark, store)
+    assert(r.filesBefore == 6 && r.merges == 1, s"6 L0 batches fold: $r")
+    val got = Compact.read(spark, store)
+    assert(got.count() == 12, "every ingested row survives compaction")
+    assert(got.filter(col("user_key") === "u0").count() == 7)
+    assert(got.select("country").distinct().collect().map(_.getString(0)).toSeq == Seq("US"),
+      "enrichment rides through append + merge")
+  }
+
   test("appends after compaction are served and adopted by the next run") {
     val dir = s"${tmpDir()}/store"
     appendBatches(dir, 6)
