@@ -212,8 +212,13 @@ object Compact {
 
     var (state0, parts, stale) = loadState(fs, dir, opts)
     // sweep crash leftovers first: they are invisible to readers and
-    // unreferenced, so deletion is always safe
+    // unreferenced, so deletion is always safe — uncommitted merge
+    // output (stale), torn merge tmp dirs, torn manifest tmps
     stale.foreach(p => fs.delete(p, false))
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith(".compact-") ||
+        (p.getName.startsWith(s".$ManifestPrefix") && p.getName.endsWith(".tmp")))
+      .foreach(p => fs.delete(p, true))
     val before = parts
     var version = state0.map(_.version).getOrElse(0L)
     var passes = 0
