@@ -108,6 +108,32 @@ class CompactSpec extends SparkTestBase {
     assert(all.filter(col("event_date") === "2026-01-01").count() == 60)
   }
 
+  test("randomized: any batch mix under any layout preserves rows and converges") {
+    val rnd = new scala.util.Random(20260813L)
+    (0 until 4).foreach { trial =>
+      val dir = s"${tmpDir()}/store"
+      val sizes = Seq.fill(2 + rnd.nextInt(9))(1 + rnd.nextInt(400))
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        Store.atomicAppend(
+          spark.range(i * 1000, i * 1000 + n).select(col("id"), (col("id") % 5).as("k")),
+          dir, f"b$i%03d")
+      }
+      val o = Compact.Options(
+        l0MaxParts = 1 + rnd.nextInt(5),
+        l1PartBytes = 512L << rnd.nextInt(6),
+        l1MaxLevelBytes = 512L << rnd.nextInt(6),
+        sizeMultiplier = 2 + rnd.nextInt(4))
+      val expected = sizes.sum.toLong
+      Compact.run(spark, dir, o)
+      assert(Compact.read(spark, dir, o).count() == expected,
+        s"trial $trial lost rows (sizes=$sizes opts=$o)")
+      val again = Compact.run(spark, dir, o)
+      assert(again.merges == 0 || again.passes <= o.maxPasses,
+        s"trial $trial did not converge: $again")
+      assert(Compact.read(spark, dir, o).count() == expected)
+    }
+  }
+
   test("streaming ingest -> L0 appends -> compaction: the full LSM lifecycle analog") {
     // The reference's write path is WAL -> memtable -> L0 parts ->
     // background compaction (storage/src/db.rs). Spark analog run end

@@ -318,6 +318,14 @@ class PipelineSpec extends SparkTestBase {
       out(2).getAs[Long]("top_bigram_count") == 0)
   }
 
+  test("repetition signals plan is shuffle-free (no Exchange)") {
+    val plan = TextAnalysis.withRepetitionSignals(
+      docs(Seq((1L, "a b a"))), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sorted-run fold must stay narrow, got:\n$plan")
+  }
+
   test("vocabulary ranks by frequency with token tiebreak and caps at k") {
     val v = TextAnalysis.vocabulary(docs(Seq(
       (1L, "b a b c"), (2L, "a b d"))), "text", 3)
