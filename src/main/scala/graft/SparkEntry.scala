@@ -1589,6 +1589,37 @@ object SparkEntry {
         .orderBy(col("event"), col("country"))
     }),
 
+    // Streaming dedup-on-ingest (additive; batch math shared with
+    // minhashDupPairs): batch 1 seeds the signature store with a doc
+    // slice, batch 2 streams byte-identical copies — every copy must
+    // flag against the store at jaccard exactly 1.0. Threshold 1.0
+    // keeps the result closed-form (identical shingle sets only), so
+    // the oracle recomputes it as a text-equality self-join with no
+    // banding math.
+    "q_stream_dedup" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = Tables.documents(s, dir).filter(col("doc_id") <= 200)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-q").toString
+      val input = MemoryStream[(Long, String)]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = graft.pipeline.StreamingDedup.streamingNearDups(
+        input.toDF().toDF("doc_id", "text"), s"$tmp/sigs", threshold = 1.0) {
+          (dups, _) =>
+            acc ++= dups.collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }.option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        input.addData(docs.toSeq); q.processAllAvailable()
+        input.addData(docs.map { case (id, t) => (id + 10000L, t) }.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      acc.toSeq.toDF("doc_id", "dup_of", "jaccard")
+    }),
+
     // CSV source round-trip (reference reads integration fixtures
     // through a CSV ListingTable, query/src/lib.rs:701-720): nation
     // is exported to a single-file CSV, read back through the CSV
@@ -1819,6 +1850,18 @@ object SparkEntry {
            ON f.ip >= g.ip_start AND f.ip <= g.ip_end
          WHERE f.seq < 2000
          GROUP BY 1, 2 ORDER BY event, country""",
+
+    // Streaming dedup: every shingle-able copy flags against its
+    // origin's store entry; ties (exact-dup text groups) resolve to
+    // the highest origin id, mirroring the max-struct pick.
+    "q_stream_dedup" ->
+      """WITH orig AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id <= 200 AND len(string_split(text, ' ')) >= 3)
+         SELECT c.doc_id + 10000 AS doc_id, max(o.doc_id) AS dup_of,
+                CAST(1.0 AS DOUBLE) AS jaccard
+         FROM orig c JOIN orig o ON o.text = c.text
+         GROUP BY 1""",
 
     // Backup round-trip: the oracle never touches the archive —
     // identical output proves create→restore is byte-faithful.

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.Streaming
 import graft.streaming.Streaming.{Event, Session, UserTotals}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.pipeline.StreamingDedup
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkTestBase {
@@ -153,6 +154,42 @@ class StreamingSpec extends SparkTestBase {
       assert(sessions.length == 1)
       assert(sessions(0).events == 2 && sessions(0).revenue == 11.0)
       assert(sessions(0).startMs == base && sessions(0).endMs == base + 1000L)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup gate flags new docs against the accumulated corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val input = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // 16 hashes / 8 bands of 2 rows: band-match prob 1-(1-j^2)^8 —
+    // ≈0.98 at j=0.625, and the hashing is deterministic anyway
+    val q = StreamingDedup.streamingNearDups(
+      input.toDF().toDF("doc_id", "text"), s"$dir/sigs",
+      bands = 8, threshold = 0.5) { (dups, _) =>
+        flagged ++= dups.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((1L, base),
+        (2L, "completely different words in this unrelated document about spark engines"))
+      q.processAllAvailable()
+      assert(flagged.isEmpty, "first batch has no prior corpus to collide with")
+      input.addData((3L, base),                              // exact cross-batch dup
+        (4L, base.replace("tonight", "today")),              // near-dup
+        (5L, "yet another unrelated piece of text with none of those words present"))
+      q.processAllAvailable()
+      val byId = flagged.groupBy(_._1)
+      assert(byId(3L).head._2 == 1L && byId(3L).head._3 == 1.0,
+        "exact duplicate of a prior doc is flagged at jaccard 1")
+      assert(byId(4L).head._2 == 1L && byId(4L).head._3 >= 0.5 && byId(4L).head._3 < 1.0,
+        s"near-dup flagged against the store: ${byId.get(4L)}")
+      assert(!byId.contains(5L), "unrelated doc admitted")
+      // the store grew by every shingle-able doc across both batches
+      assert(spark.read.parquet(s"$dir/sigs").count() == 5)
     } finally q.stop()
   }
 }
