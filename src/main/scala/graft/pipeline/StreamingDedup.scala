@@ -58,14 +58,17 @@ object StreamingDedup {
   }
 
   /** The accumulated signature store, or an empty frame of the same
-    * schema before the first batch lands. */
+    * schema before the first batch lands. Reads through
+    * [[graft.sources.Compact.read]] so a compaction that crashed
+    * mid-commit on the store can never double-count a signature
+    * (falls back to a plain directory read when no manifest exists). */
   def loadSignatures(spark: SparkSession, dir: String, idCol: String,
                      schemaFrom: DataFrame): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(path) &&
       fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
-    if (exists) spark.read.parquet(dir)
+    if (exists) graft.sources.Compact.read(spark, dir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaFrom.schema)
   }

@@ -108,6 +108,26 @@ class CompactSpec extends SparkTestBase {
     assert(all.filter(col("event_date") === "2026-01-01").count() == 60)
   }
 
+  test("dictionary stores survive compaction: getOrCreate ids are stable across a fold") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/dict"
+    // 6 getOrCreate batches -> 6 atomic appends, like a long-running
+    // ingest assigning dictionary keys
+    (0 until 6).foreach { b =>
+      graft.engine.Dictionary.getOrCreate(
+        Seq.tabulate(4)(i => s"val-$b-$i").toDF("v"), "v", dir, s"t$b")
+    }
+    val before = graft.engine.Dictionary.getOrCreate(
+      Seq("val-0-0", "val-5-3").toDF("v"), "v", dir, "probe1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r = Compact.run(spark, dir)
+    assert(r.merges >= 1 && r.filesAfter < r.filesBefore)
+    val after = graft.engine.Dictionary.getOrCreate(
+      Seq("val-0-0", "val-5-3").toDF("v"), "v", dir, "probe2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before, "every assigned id survives the fold unchanged")
+  }
+
   test("randomized: any batch mix under any layout preserves rows and converges") {
     val rnd = new scala.util.Random(20260813L)
     (0 until 4).foreach { trial =>
