@@ -163,6 +163,11 @@ final class Backups {
     items(id) = b
     b
   }
+  def repath(id: Long, path: String): BackupRecord = {
+    val b = items(id).copy(path = path)
+    items(id) = b
+    b
+  }
   def get(id: Long): Option[BackupRecord] = items.get(id)
   def list(): Seq[BackupRecord] = items.values.toSeq
 }

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * `(id, sh: array<bigint>, bks: array<bigint>)`, shingle hashes plus
   * one band key per band — appended atomically per batch
   * (`batch-<id>.parquet` via [[graft.sources.Store.atomicAppend]]), so
-  * a retried batch converges: the append skips, the sink re-emits the
-  * same flags (at-least-once, like every foreachBatch sink).
+  * a retried batch converges: the append skips, and because the
+  * batch's own ids are excluded from the store side of the join, a
+  * replay that ALREADY appended (crash before the checkpoint commit)
+  * still emits exactly the original flags (at-least-once delivery,
+  * deterministic content).
   * [[graft.sources.Compact.run]] folds the store's batch files when
   * they accumulate.
   *
@@ -62,7 +65,7 @@ object StreamingDedup {
     * [[graft.sources.Compact.read]] so a compaction that crashed
     * mid-commit on the store can never double-count a signature
     * (falls back to a plain directory read when no manifest exists). */
-  def loadSignatures(spark: SparkSession, dir: String, idCol: String,
+  def loadSignatures(spark: SparkSession, dir: String,
                      schemaFrom: DataFrame): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -89,7 +92,14 @@ object StreamingDedup {
       val sig = signatureTable(batch, idCol, textCol, shingleN, numHashes, bands)
         .persist()
       try {
-        val store = loadSignatures(spark, storeDir, idCol, sig)
+        // the batch's own ids are excluded from the store side: a
+        // replayed batch (crash after append, before checkpoint
+        // commit) would otherwise meet its own prior signatures and
+        // emit within-batch flags the first run never emitted — with
+        // the exclusion, replay output is identical to the original
+        // (the broadcast is micro-batch-sized)
+        val store = loadSignatures(spark, storeDir, sig)
+          .join(broadcast(sig.select(col(idCol))), Seq(idCol), "left_anti")
         val newB = sig.select(col(idCol).as("__id_new"), col("sh").as("__sh_new"),
           posexplode(col("bks")).as(Seq("band", "band_key")))
         val oldB = store.select(col(idCol).as("dup_of"), col("sh").as("__sh_old"),

@@ -221,32 +221,32 @@ final class GraftHttpServer(
     // owns an independent display-name map under
     // /schema/group-properties/:group_id)
     case ("GET", List("schema", "group-properties", IdSeg(gid))) =>
-      200 -> reg.groupProperties(gid.toInt).map(propJson).mkString("[", ",", "]")
+      200 -> reg.groupProperties(gidIdx(gid)).map(propJson).mkString("[", ",", "]")
     case ("GET", List("schema", "group-properties", IdSeg(gid), "name", name)) =>
-      reg.groupProperties(gid.toInt).find(_.name.equalsIgnoreCase(name))
+      reg.groupProperties(gidIdx(gid)).find(_.name.equalsIgnoreCase(name))
         .map(m => 200 -> propJson(m))
         .getOrElse(404 -> err(s"group $gid property '$name' not found"))
     case ("PUT", List("schema", "group-properties", IdSeg(gid), name)) =>
       schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
-        if (!reg.groupProperties(gid.toInt).exists(_.name.equalsIgnoreCase(name)))
+        if (!reg.groupProperties(gidIdx(gid)).exists(_.name.equalsIgnoreCase(name)))
           return 404 -> err(s"group $gid property '$name' not found")
         val j = Json.parse(body)
         var next = reg
         val finalName = j.asOpt("displayName").map(_.str).getOrElse(name)
         if (finalName != name)
-          next = next.renameGroupProperty(gid.toInt, name, finalName)
+          next = next.renameGroupProperty(gidIdx(gid), name, finalName)
         j.asOpt("isDictionary").map(_.bool).foreach { d =>
-          next = next.withGroupProperty(gid.toInt,
-            next.groupProperty(gid.toInt, finalName).copy(isDictionary = d))
+          next = next.withGroupProperty(gidIdx(gid),
+            next.groupProperty(gidIdx(gid), finalName).copy(isDictionary = d))
         }
         reg = next
-        200 -> propJson(reg.groupProperty(gid.toInt, finalName))
+        200 -> propJson(reg.groupProperty(gidIdx(gid), finalName))
       })
     case ("DELETE", List("schema", "group-properties", IdSeg(gid), name)) =>
       schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
-        if (!reg.groupProperties(gid.toInt).exists(_.name.equalsIgnoreCase(name)))
+        if (!reg.groupProperties(gidIdx(gid)).exists(_.name.equalsIgnoreCase(name)))
           404 -> err(s"group $gid property '$name' not found")
-        else { reg = reg.withoutGroupProperty(gid.toInt, name); 200 -> "{}" }
+        else { reg = reg.withoutGroupProperty(gidIdx(gid), name); 200 -> "{}" }
       })
 
     case ("GET", List("schema", "event-properties")) =>
@@ -728,8 +728,11 @@ final class GraftHttpServer(
           val base =
             if (s.backupProviderLocalPath.nonEmpty) s.backupProviderLocalPath
             else s"$store-backups"
-          val rec = backups.start(s.backupProvider,
-            s"$base/backup-${clock()}.graftbak", clock())
+          // the record id keys the filename: two same-millisecond
+          // requests must never share (and silently clobber) one file
+          val now = clock()
+          val rec0 = backups.start(s.backupProvider, "", now)
+          val rec = backups.repath(rec0.id, s"$base/backup-$now-${rec0.id}.graftbak")
           try {
             val m = graft.sources.Backup.create(spark, store, rec.path)
             200 -> backupJson(backups.complete(rec.id, m.files.size, m.totalBytes, clock()))
@@ -929,6 +932,12 @@ final class GraftHttpServer(
         JObj(fs :+ ("projectId" -> JNum(pid.toDouble))).render
       case _ => body
     }
+
+  /** Group ids are small registry indexes; a value past Int range can
+    * only reach an existing group by silent truncation, so it maps to
+    * -1 and fails requireGroup's range check (400) instead. */
+  private def gidIdx(gid: Long): Int =
+    if (gid >= 0 && gid <= Int.MaxValue) gid.toInt else -1
 
   private object IdSeg {
     def unapply(s: String): Option[Long] =

@@ -151,6 +151,18 @@ object Backup {
         val mBytes = new Array[Byte](in.readInt())
         in.readFully(mBytes)
         val m = parseManifest(new String(mBytes, StandardCharsets.UTF_8))
+        // manifest paths are UNTRUSTED archive content: a "../" or
+        // absolute entry would write outside the temp dir (and
+        // survive both the failure cleanup and the swap)
+        m.files.foreach { e =>
+          val bad = e.path.isEmpty || e.path.startsWith("/") ||
+            e.path.split("/").contains("..")
+          if (bad) throw new IllegalArgumentException(
+            s"backup manifest entry escapes the restore dir: ${e.path}")
+        }
+        // an empty-store archive restores to an empty dir: the swap's
+        // rename needs tmp to exist even when no file write creates it
+        fs.mkdirs(tmp)
         val buf = new Array[Byte](1 << 16)
         m.files.foreach { e =>
           val out = fs.create(new Path(tmp, e.path), true)
@@ -173,7 +185,9 @@ object Backup {
       } catch {
         case t: Throwable => fs.delete(tmp, true); throw t
       } finally in.close()
-    // archive proven: swap
+    // archive proven: swap (parent must exist or rename fails AFTER
+    // the target delete — the one unrecoverable ordering)
+    Option(target.getParent).foreach(fs.mkdirs)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(tmp, target))
       throw new IllegalStateException(s"could not move restored store into $targetDir")

@@ -163,8 +163,13 @@ object Compact {
     val versions = manifestVersions(fs, dir)
     versions.lastOption match {
       case None =>
-        val parts = listing.map { case (n, sz) => PartFile(n, adoptLevel(sz, o), sz) }
-        (None, parts, Nil)
+        // merged-* output with NO manifest at all is a crash between
+        // the first merge's renames and the first commit — adopting
+        // it would double-count rows alongside its still-present
+        // inputs, so it is stale, exactly as in the Some branch
+        val (orphans, plain) = listing.partition(_._1.startsWith(MergedPrefix))
+        val parts = plain.map { case (n, sz) => PartFile(n, adoptLevel(sz, o), sz) }
+        (None, parts, orphans.map { case (n, _) => new Path(dir, n) })
       case Some((v, latest)) =>
         val state = readState(fs, latest)
         val live = state.parts.map(_.name).toSet
@@ -280,14 +285,15 @@ object Compact {
   }
 
   /** Read the store with manifest isolation: latest manifest parts
-    * plus appends since, crash leftovers excluded. Falls back to a
-    * plain directory read when no manifest exists. */
+    * plus appends since, crash leftovers excluded — including
+    * `merged-*` output orphaned before the FIRST commit, which a
+    * plain directory read would double-count. */
   def read(spark: SparkSession, storeDir: String,
            opts: Options = Options()): DataFrame = {
     val dir = new Path(storeDir)
     val fs = fsFor(spark, dir)
-    val (state, parts, _) = loadState(fs, dir, opts)
-    if (state.isEmpty) spark.read.parquet(storeDir)
+    val (_, parts, _) = loadState(fs, dir, opts)
+    if (parts.isEmpty) spark.read.parquet(storeDir) // surface the reader's own error shape
     else spark.read.parquet(parts.map(p => new Path(dir, p.name).toString): _*)
   }
 

@@ -69,6 +69,48 @@ class BackupSpec extends SparkTestBase {
     assert(spark.read.parquet(live).count() == 3)
   }
 
+  test("an empty-store archive restores without destroying the target") {
+    val root = tmpDir()
+    val store = s"$root/store"
+    java.nio.file.Files.createDirectories(Paths.get(store))
+    val archive = s"$root/empty.graftbak"
+    assert(Backup.create(spark, store, archive).files.isEmpty)
+    // live target that the (valid, empty) archive legitimately replaces
+    val live = s"$root/live"
+    writeStore(live)
+    val m = Backup.restore(spark, archive, live)
+    assert(m.files.isEmpty)
+    assert(Files.exists(Paths.get(live)) &&
+      !Files.list(Paths.get(live)).iterator().hasNext,
+      "target swapped to the empty store, not deleted and lost")
+  }
+
+  test("a manifest entry that escapes the restore dir is rejected before any write") {
+    // craft an archive whose manifest points outside the target —
+    // same stream layout Backup.create writes, hostile path
+    val root = tmpDir()
+    val evil = s"$root/evil.graftbak"
+    val victim = Paths.get(s"$root/victim.txt")
+    val out = new java.io.DataOutputStream(
+      new java.util.zip.DeflaterOutputStream(
+        java.nio.file.Files.newOutputStream(Paths.get(evil))))
+    val payload = "owned".getBytes("UTF-8")
+    out.write("GRFTBAK1".getBytes("UTF-8"))
+    out.writeLong(1L)
+    val manifest =
+      s"""{"version":1,"files":[{"path":"../victim.txt","size":${payload.length}}]}"""
+        .getBytes("UTF-8")
+    out.writeInt(manifest.length)
+    out.write(manifest)
+    out.write(payload)
+    out.write("GRFTEND1".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException](
+      Backup.restore(spark, evil, s"$root/target/store"))
+    assert(e.getMessage.contains("escapes"))
+    assert(!Files.exists(victim), "nothing written outside the restore dir")
+  }
+
   test("garbage bytes are rejected at the header") {
     val root = tmpDir()
     val junk = s"$root/junk.graftbak"

@@ -61,6 +61,26 @@ class CompactSpec extends SparkTestBase {
     assert(Compact.read(spark, dir, o).count() == 1200)
   }
 
+  test("merge output orphaned BEFORE the first-ever commit is stale, not adopted") {
+    // crash window: first run() renamed merged parts in but died
+    // before writing manifest generation 1 — no manifest exists, yet
+    // the merged bytes duplicate their still-present inputs
+    val dir = s"${tmpDir()}/store"
+    appendBatches(dir, 3)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val orphan = new org.apache.hadoop.fs.Path(dir, "merged-L1-orphan.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(Compact.read(spark, dir).count() == 300,
+      "orphan never double-counts even with no manifest yet")
+    Compact.run(spark, dir)
+    assert(!fs.exists(orphan), "first run sweeps it")
+    assert(Compact.read(spark, dir).count() == 300)
+  }
+
   test("uncommitted merge leftovers are invisible to read and swept by run") {
     val dir = s"${tmpDir()}/store"
     appendBatches(dir, 6)

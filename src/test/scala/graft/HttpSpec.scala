@@ -426,6 +426,9 @@ class HttpSpec extends SparkTestBase {
         "/api/v1/projects/1/schema/group-properties/1/name/Nope")._1 == 404)
       assert(req(srv.port, "GET",
         "/api/v1/projects/1/schema/group-properties/9")._1 == 400)
+      // an id past Int range must NOT truncate-alias group 0
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/schema/group-properties/4294967296")._1 == 400)
 
       // rename in group 1 only — group 0's homonym must not move
       assert(req(srv.port, "PUT",
@@ -717,6 +720,13 @@ class HttpSpec extends SparkTestBase {
       assert(req(srv.port, "GET", "/api/v1/admin/backups", bearer = tok)._2 == s"[$made]")
       assert(req(srv.port, "GET", "/api/v1/admin/backups/1", bearer = tok)._2 == made)
       assert(req(srv.port, "GET", "/api/v1/admin/backups/9", bearer = tok)._1 == 404)
+      // a second run — even in the same clock millisecond — must get
+      // its own archive file, never clobber the first record's bytes
+      val (_, made2) = req(srv.port, "POST", "/api/v1/admin/backups/backup",
+        bearer = tok)
+      val p2 = (graft.model.Json.parse(made2) / "path").str
+      assert(p2 != path, "record id keys the filename")
+      assert(new java.io.File(path).length() > 0 && new java.io.File(p2).length() > 0)
     }
 
     // without a store (or settings) the surface is unmounted

@@ -190,6 +190,15 @@ class StreamingSpec extends SparkTestBase {
       assert(!byId.contains(5L), "unrelated doc admitted")
       // the store grew by every shingle-able doc across both batches
       assert(spark.read.parquet(s"$dir/sigs").count() == 5)
+      // replay shape: a doc id already IN the store streams again
+      // (crash-after-append replay). Its own store row is excluded,
+      // so it matches doc 1's identical text — never itself (a
+      // self-match would report dup_of=3, the max-id tie-winner)
+      flagged.clear()
+      input.addData((3L, base))
+      q.processAllAvailable()
+      assert(flagged.map(f => (f._1, f._2, f._3)).toSet == Set((3L, 1L, 1.0)),
+        s"replayed doc matches prior corpus, not its own signature: $flagged")
     } finally q.stop()
   }
 }
