@@ -50,7 +50,15 @@ object Compact {
 
   /** Reference config.toml defaults. `sortCols` optionally restores
     * in-file locality (e.g. user,ts — Store.writeEvents' order) on
-    * every merge, which plain appends erode over time. */
+    * every merge, which plain appends erode over time.
+    *
+    * `replaceOn` turns merges REPLACING, the reference's group-table
+    * mode (cmd/src/lib.rs `is_replacing`; the parquet merger keeps
+    * the newest row per key when streams collide): each merge keeps
+    * one row per key — the highest `versionCol` when given, else an
+    * arbitrary-but-single row. As in the LSM, replacement applies
+    * within a merge's inputs; duplicates split across levels collapse
+    * when those levels eventually merge. */
   final case class Options(
       l0MaxParts: Int = 4,
       l1PartBytes: Long = 10L << 20,
@@ -58,7 +66,9 @@ object Compact {
       sizeMultiplier: Int = 10,
       levels: Int = 7,
       maxPasses: Int = 8,
-      sortCols: Seq[String] = Nil)
+      sortCols: Seq[String] = Nil,
+      replaceOn: Seq[String] = Nil,
+      versionCol: Option[String] = None)
 
   final case class PartFile(name: String, level: Int, size: Long)
   final case class State(version: Long, parts: Seq[PartFile])
@@ -237,7 +247,14 @@ object Compact {
         val cap = partCap(target, opts)
         val numParts = math.max(1L, (m.bytes + cap - 1) / cap).toInt
         val inputPaths = m.inputs.map(p => new Path(dir, p.name).toString)
-        val in = spark.read.parquet(inputPaths: _*)
+        val raw = spark.read.parquet(inputPaths: _*)
+        val in = opts.replaceOn match {
+          case Nil => raw
+          case keys => opts.versionCol match {
+            case Some(v) => Store.compactGroupTable(raw, keys, v)
+            case None    => raw.dropDuplicates(keys)
+          }
+        }
         val inCount = in.count()
         val tmp = new Path(dir, s".compact-$version-$passes-L${m.fromLevel}")
         val sorted =

@@ -128,6 +128,24 @@ class CompactSpec extends SparkTestBase {
     assert(all.filter(col("event_date") === "2026-01-01").count() == 60)
   }
 
+  test("replacing merge keeps the latest version per key, like the reference's group tables") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/groups"
+    // 6 batches re-writing overlapping profile keys at rising versions
+    (0 until 6).foreach { b =>
+      Store.atomicAppend(
+        Seq.tabulate(10)(i => (i.toLong, b.toLong, s"plan-$b")).toDF("gid", "version", "plan"),
+        dir, f"b$b%03d")
+    }
+    val o = Compact.Options(replaceOn = Seq("gid"), versionCol = Some("version"))
+    val r = Compact.run(spark, dir, o)
+    assert(r.merges == 1)
+    val got = Compact.read(spark, dir, o)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 10, "one row per key after the replacing fold")
+    assert(got.values.forall(_ == ((5L, "plan-5"))), "the newest version wins")
+  }
+
   test("dictionary stores survive compaction: getOrCreate ids are stable across a fold") {
     import spark.implicits._
     val dir = s"${tmpDir()}/dict"
