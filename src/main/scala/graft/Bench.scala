@@ -39,8 +39,13 @@ object Bench {
           .filter("event_type = 'view'").count()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // throwaway: codegen/page-cache warm-up is not "load"
-      Seq(once(), once(), once()).min
+      // a dir without a readable events table must degrade the
+      // sentinel (0.0), never kill the run before the contract line —
+      // the same tolerance the warmup pass above has
+      try {
+        once() // throwaway: codegen/page-cache warm-up is not "load"
+        Seq(once(), once(), once()).min
+      } catch { case _: Throwable => 0.0 }
     }
     val sentinelStart = sentinel()
 

@@ -164,11 +164,16 @@ object SparkEntry {
     * registered, with ids 1..N assigned in key order (the oracle's
     * `row_number() OVER (ORDER BY user_key)`). */
   private def existingIdentities(s: SparkSession, dir: String): DataFrame =
-    Dictionary.build(
+    // rankRows, not Dictionary.build: identity keys are user-scale
+    // cardinality, where build's driver-collect probe and cached
+    // fallback are the wrong tools (Dictionary.scala:69-70 says so) —
+    // and build's fallback frame would be a caller-owned cache this
+    // query could never release
+    Dictionary.rankRows(
       events(s, dir).filter(pmod(col("user_id"), lit(3)) === 0)
-        .select(concat(lit("u"), col("user_id").cast("string")).as("user_key")),
-      "user_key")
-      .select(col("value").as("user_key"), col("key").as("id"))
+        .select(concat(lit("u"), col("user_id").cast("string")).as("user_key"))
+        .distinct(),
+      Seq(col("user_key")), "id")
 
   // Shared oracle-SQL fragments for the ingestion queries.
   private def uaListSql: String =

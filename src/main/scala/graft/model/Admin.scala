@@ -140,36 +140,42 @@ final case class BackupRecord(
 
 /** Backup run bookkeeping — records move InProgress → Completed or
   * Failed(error), like the reference's status enum; the archive
-  * itself is [[graft.sources.Backup]]'s job. */
+  * itself is [[graft.sources.Backup]]'s job. Synchronized: the JDK
+  * HTTP server dispatches handlers concurrently, and an unsynchronized
+  * counter would hand two simultaneous runs the same record id. */
 final class Backups {
   private var next = 0L
   private val items = mutable.LinkedHashMap.empty[Long, BackupRecord]
 
-  def start(provider: String, path: String, now: Long): BackupRecord = {
-    next += 1
-    val b = BackupRecord(next, now, provider, path, "inProgress")
-    items(b.id) = b
-    b
-  }
-  def complete(id: Long, files: Int, bytes: Long, now: Long): BackupRecord = {
-    val b = items(id).copy(status = "completed", files = files, bytes = bytes,
-      updatedAtMs = Some(now))
-    items(id) = b
-    b
-  }
-  def fail(id: Long, error: String, now: Long): BackupRecord = {
-    val b = items(id).copy(status = "failed", error = Some(error),
-      updatedAtMs = Some(now))
-    items(id) = b
-    b
-  }
-  def repath(id: Long, path: String): BackupRecord = {
-    val b = items(id).copy(path = path)
-    items(id) = b
-    b
-  }
-  def get(id: Long): Option[BackupRecord] = items.get(id)
-  def list(): Seq[BackupRecord] = items.values.toSeq
+  def start(provider: String, path: String, now: Long): BackupRecord =
+    synchronized {
+      next += 1
+      val b = BackupRecord(next, now, provider, path, "inProgress")
+      items(b.id) = b
+      b
+    }
+  def complete(id: Long, files: Int, bytes: Long, now: Long): BackupRecord =
+    synchronized {
+      val b = items(id).copy(status = "completed", files = files, bytes = bytes,
+        updatedAtMs = Some(now))
+      items(id) = b
+      b
+    }
+  def fail(id: Long, error: String, now: Long): BackupRecord =
+    synchronized {
+      val b = items(id).copy(status = "failed", error = Some(error),
+        updatedAtMs = Some(now))
+      items(id) = b
+      b
+    }
+  def repath(id: Long, path: String): BackupRecord =
+    synchronized {
+      val b = items(id).copy(path = path)
+      items(id) = b
+      b
+    }
+  def get(id: Long): Option[BackupRecord] = synchronized { items.get(id) }
+  def list(): Seq[BackupRecord] = synchronized { items.values.toSeq }
 }
 
 // ---------------------------------------------------------------

@@ -690,16 +690,23 @@ object Dedup {
           s"($changed labels still changing) — component diameter exceeds maxIter")
     }
     // Materialize the narrow result OUTSIDE the CacheManager and cut
-    // its lineage (localCheckpoint): a CacheManager persist here would
-    // be recompiled-and-dematerialized the moment the loop frame below
+    // its lineage: a CacheManager persist here would be
+    // recompiled-and-dematerialized the moment the loop frame below
     // unpersists (uncacheQuery re-plans dependent entries), silently
     // re-running the whole propagation lineage on the caller's first
-    // action. The checkpoint blocks belong to the returned frame and
-    // are removed by the ContextCleaner when the caller drops it; the
-    // loop's final frame — previously leaked for the application
-    // lifetime — is released right here.
-    val out = labels.select(col("id"), col("lbl").as("cluster_id"))
-      .localCheckpoint(true)
+    // action. A RELIABLE checkpoint is used when the session has a
+    // checkpoint dir — localCheckpoint blocks are executor-local and
+    // unrecoverable if an executor is lost (dynamic allocation,
+    // preemption) before the caller's action, exactly the clusters
+    // the big-pair-set path runs on. Blocks/files are removed by the
+    // ContextCleaner when the caller drops the frame; the loop's
+    // final frame — previously leaked for the application lifetime —
+    // is released right here.
+    val narrow = labels.select(col("id"), col("lbl").as("cluster_id"))
+    val out =
+      if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        narrow.checkpoint(true)
+      else narrow.localCheckpoint(true)
     cached.unpersist()
     out
   }

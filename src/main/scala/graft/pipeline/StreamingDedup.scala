@@ -114,7 +114,20 @@ object StreamingDedup {
           .select(col("__id_new").as(idCol),
             col("__m.dup_of").as("dup_of"), col("__m.jaccard").as("jaccard"))
         sink(dups, batchId)
-        graft.sources.Store.atomicAppend(sig, storeDir, f"batch-$batchId%09d")
+        // the hidden .done marker — not the parquet file — is the
+        // replay guard: compaction legitimately deletes the parquet
+        // when it folds the batch into a merged part, and re-appending
+        // then would duplicate every signature row. Markers are
+        // invisible to Compact and to parquet readers. A store folded
+        // with Options(replaceOn = Seq(idCol)) collapses any residual
+        // duplicate on its next merge regardless.
+        val dirPath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(dirPath, f".batch-$batchId%09d.done")
+        if (!fs.exists(marker)) {
+          graft.sources.Store.atomicAppend(sig, storeDir, f"batch-$batchId%09d")
+          fs.create(marker, true).close()
+        }
       } finally { sig.unpersist(); () }
     }
 }

@@ -410,9 +410,15 @@ final class GraftHttpServer(
     // routed at :38-44) — the engine path q_record_by_id exercises,
     // scoped to the path's project like the search route
     case ("GET", List("event-records", IdSeg(id))) =>
-      200 -> Metrics.timed("event_record_get") {
-        Response.collect(graft.engine.Records.getById(
-          graft.engine.Exprs.tenantScope(events, Some(pid)), id)).toJson
+      Metrics.timed("event_record_get") {
+        val table = Response.collect(graft.engine.Records.getById(
+          graft.engine.Exprs.tenantScope(events, Some(pid)), id))
+        // a missing (or other-project) id is 404, like every other
+        // by-id GET and the reference's event_records.rs get route —
+        // never a 200 with empty columns
+        if (table.columns.forall(_.values.isEmpty))
+          404 -> err(s"event record $id not found")
+        else 200 -> table.toJson
       }
 
     case _ => 404 -> err("not found")

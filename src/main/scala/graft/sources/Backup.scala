@@ -125,7 +125,10 @@ object Backup {
       require(java.util.Arrays.equals(magic, Magic), "not a graft backup archive")
       val version = in.readLong()
       require(version == Version, s"unsupported backup version $version")
-      val mBytes = new Array[Byte](in.readInt())
+      val mLen = in.readInt()
+      if (mLen < 0 || mLen > (64 << 20)) throw new IllegalArgumentException(
+        s"not a graft backup archive (manifest length $mLen)")
+      val mBytes = new Array[Byte](mLen)
       in.readFully(mBytes)
       parseManifest(new String(mBytes, StandardCharsets.UTF_8))
     } finally in.close()
@@ -138,7 +141,12 @@ object Backup {
   def restore(spark: SparkSession, archiveFile: String, targetDir: String): Manifest = {
     val target = new Path(targetDir)
     val fs = fsFor(spark, target)
-    val tmp = new Path(targetDir + s".restoring-${System.nanoTime()}")
+    // sibling of the NORMALIZED target — raw string concat would nest
+    // tmp INSIDE a trailing-slash targetDir, and the pre-swap delete
+    // would then destroy the validated restore data with the target
+    val tmpName = s"${target.getName}.restoring-${System.nanoTime()}"
+    val tmp = Option(target.getParent)
+      .map(p => new Path(p, tmpName)).getOrElse(new Path(tmpName))
     val p = new Path(archiveFile)
     val in = new DataInputStream(new InflaterInputStream(fsFor(spark, p).open(p)))
     val manifest =
@@ -148,7 +156,10 @@ object Backup {
         require(java.util.Arrays.equals(magic, Magic), "not a graft backup archive")
         val version = in.readLong()
         require(version == Version, s"unsupported backup version $version")
-        val mBytes = new Array[Byte](in.readInt())
+        val mLen = in.readInt()
+        if (mLen < 0 || mLen > (64 << 20)) throw new IllegalArgumentException(
+          s"not a graft backup archive (manifest length $mLen)")
+        val mBytes = new Array[Byte](mLen)
         in.readFully(mBytes)
         val m = parseManifest(new String(mBytes, StandardCharsets.UTF_8))
         // manifest paths are UNTRUSTED archive content: a "../" or

@@ -75,9 +75,12 @@ object Compact {
   final case class MergePlan(fromLevel: Int, inputs: Seq[PartFile]) {
     def bytes: Long = inputs.map(_.size).sum
   }
+  /** `converged` = false means maxPasses ran out with merges still
+    * planned (no silent caps: the caller sees the truncation). */
   final case class Report(passes: Int, merges: Int,
       filesBefore: Int, filesAfter: Int,
-      bytesBefore: Long, bytesAfter: Long)
+      bytesBefore: Long, bytesAfter: Long,
+      converged: Boolean = true)
 
   private val ManifestPrefix = "_graft_parts-"
   private val MergedPrefix = "merged-L"
@@ -297,8 +300,12 @@ object Compact {
       version += 1
       commitState(fs, dir, State(version, parts))
     }
+    val converged = planNow.isEmpty
+    if (!converged)
+      System.err.println(s"[compact] $storeDir: maxPasses=${opts.maxPasses} " +
+        s"exhausted with ${planNow.size} merge(s) still planned")
     Report(passes, merges, before.size, parts.size,
-      before.map(_.size).sum, parts.map(_.size).sum)
+      before.map(_.size).sum, parts.map(_.size).sum, converged)
   }
 
   /** Read the store with manifest isolation: latest manifest parts

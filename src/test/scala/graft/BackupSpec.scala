@@ -69,6 +69,20 @@ class BackupSpec extends SparkTestBase {
     assert(spark.read.parquet(live).count() == 3)
   }
 
+  test("restore target with a trailing slash still stages the temp dir as a sibling") {
+    val root = tmpDir()
+    val store = s"$root/store"
+    writeStore(store)
+    val archive = s"$root/full.graftbak"
+    Backup.create(spark, store, archive)
+    val live = s"$root/live"
+    writeStore(live)
+    // a trailing slash must not nest the staging dir INSIDE the
+    // target, where the pre-swap delete would destroy it
+    Backup.restore(spark, archive, s"$live/")
+    assert(spark.read.parquet(live).count() == 3)
+  }
+
   test("an empty-store archive restores without destroying the target") {
     val root = tmpDir()
     val store = s"$root/store"

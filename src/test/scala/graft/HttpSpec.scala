@@ -189,6 +189,10 @@ class HttpSpec extends SparkTestBase {
       assert(ec == 200)
       assert(rec == Response.collect(
         graft.engine.Records.getById(events, someId)).toJson)
+      // a missing id is 404 like every other by-id GET, never 200
+      // with empty columns (reference event_records.rs get route)
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/event-records/999999999")._1 == 404)
     }
   }
 
