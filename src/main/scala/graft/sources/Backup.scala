@@ -50,19 +50,32 @@ object Backup {
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Visible files under `dir`, recursively, as store-relative paths
-    * in deterministic order. Hidden/underscore names (_SUCCESS, .crc)
-    * are writer bookkeeping, not data — same set a parquet reader
-    * loads. */
+  /** Hidden/underscore names are writer bookkeeping (_SUCCESS, .crc)
+    * EXCEPT the two that carry store state a restore must preserve:
+    * Compact's versioned part manifests (without them every merged-L*
+    * file restores as an uncommitted-crash orphan and is swept — the
+    * compacted history silently vanishes) and StreamingDedup's batch
+    * replay markers (without them a replayed batch re-appends its
+    * signatures). */
+  private def keep(name: String): Boolean =
+    name.startsWith("_graft_parts-") ||
+      (name.startsWith(".batch-") && name.endsWith(".done")) ||
+      (!name.startsWith(".") && !name.startsWith("_"))
+
+  /** Data + state files under `dir`, recursively, as store-relative
+    * paths in deterministic order. Paths are qualified before the
+    * prefix strip — a relative `dir` against the FS's qualified
+    * listing would otherwise leave absolute prefixes in the entries
+    * and restore into a wrongly nested tree. */
   private def listFiles(fs: FileSystem, dir: Path): Seq[Entry] = {
-    val base = dir.toUri.getPath
+    val base = fs.makeQualified(dir).toUri.getPath
     def walk(p: Path): Seq[Entry] =
       fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
         val name = st.getPath.getName
-        if (name.startsWith(".") || name.startsWith("_")) Nil
-        else if (st.isDirectory) walk(st.getPath)
-        else Seq(Entry(st.getPath.toUri.getPath.stripPrefix(base)
-          .stripPrefix("/"), st.getLen))
+        if (st.isDirectory) { if (keep(name)) walk(st.getPath) else Nil }
+        else if (!keep(name)) Nil
+        else Seq(Entry(fs.makeQualified(st.getPath).toUri.getPath
+          .stripPrefix(base).stripPrefix("/"), st.getLen))
       }
     walk(dir)
   }
@@ -95,6 +108,11 @@ object Backup {
       out.write(Magic)
       out.writeLong(manifest.version)
       val mBytes = manifestJson(manifest).getBytes(StandardCharsets.UTF_8)
+      // enforce the reader's bound at WRITE time: an archive that
+      // restore would reject must fail the backup, not the restore
+      require(mBytes.length <= ManifestMaxBytes,
+        s"store has too many files for one archive (manifest ${mBytes.length} bytes); " +
+          "archive partitions separately")
       out.writeInt(mBytes.length)
       out.write(mBytes)
       val buf = new Array[Byte](1 << 16)
@@ -115,23 +133,30 @@ object Backup {
     manifest
   }
 
+  /** Shared header parse: magic, version, bounded manifest length,
+    * manifest JSON. One copy so the validation can never drift
+    * between readManifest and restore. */
+  private def readHeader(in: DataInputStream): Manifest = {
+    val magic = new Array[Byte](Magic.length)
+    in.readFully(magic)
+    require(java.util.Arrays.equals(magic, Magic), "not a graft backup archive")
+    val version = in.readLong()
+    require(version == Version, s"unsupported backup version $version")
+    val mLen = in.readInt()
+    if (mLen < 0 || mLen > ManifestMaxBytes) throw new IllegalArgumentException(
+      s"not a graft backup archive (manifest length $mLen)")
+    val mBytes = new Array[Byte](mLen)
+    in.readFully(mBytes)
+    parseManifest(new String(mBytes, StandardCharsets.UTF_8))
+  }
+
+  private val ManifestMaxBytes = 64 << 20
+
   /** Read back just the manifest (cheap — stops after the header). */
   def readManifest(spark: SparkSession, archiveFile: String): Manifest = {
     val p = new Path(archiveFile)
     val in = new DataInputStream(new InflaterInputStream(fsFor(spark, p).open(p)))
-    try {
-      val magic = new Array[Byte](Magic.length)
-      in.readFully(magic)
-      require(java.util.Arrays.equals(magic, Magic), "not a graft backup archive")
-      val version = in.readLong()
-      require(version == Version, s"unsupported backup version $version")
-      val mLen = in.readInt()
-      if (mLen < 0 || mLen > (64 << 20)) throw new IllegalArgumentException(
-        s"not a graft backup archive (manifest length $mLen)")
-      val mBytes = new Array[Byte](mLen)
-      in.readFully(mBytes)
-      parseManifest(new String(mBytes, StandardCharsets.UTF_8))
-    } finally in.close()
+    try readHeader(in) finally in.close()
   }
 
   /** Restore `archiveFile` over `targetDir`: unpack into a temp
@@ -151,22 +176,18 @@ object Backup {
     val in = new DataInputStream(new InflaterInputStream(fsFor(spark, p).open(p)))
     val manifest =
       try {
-        val magic = new Array[Byte](Magic.length)
-        in.readFully(magic)
-        require(java.util.Arrays.equals(magic, Magic), "not a graft backup archive")
-        val version = in.readLong()
-        require(version == Version, s"unsupported backup version $version")
-        val mLen = in.readInt()
-        if (mLen < 0 || mLen > (64 << 20)) throw new IllegalArgumentException(
-          s"not a graft backup archive (manifest length $mLen)")
-        val mBytes = new Array[Byte](mLen)
-        in.readFully(mBytes)
-        val m = parseManifest(new String(mBytes, StandardCharsets.UTF_8))
-        // manifest paths are UNTRUSTED archive content: a "../" or
-        // absolute entry would write outside the temp dir (and
-        // survive both the failure cleanup and the swap)
+        val m = readHeader(in)
+        // manifest paths are UNTRUSTED archive content: an absolute,
+        // "..", or scheme-qualified entry ("file:/etc/…" — Hadoop
+        // resolves a child URI carrying a scheme as ABSOLUTE) would
+        // write outside the temp dir and survive both the failure
+        // cleanup and the swap
         m.files.foreach { e =>
+          val scheme =
+            try Option(new java.net.URI(e.path).getScheme)
+            catch { case _: java.net.URISyntaxException => Some("unparseable") }
           val bad = e.path.isEmpty || e.path.startsWith("/") ||
+            e.path.contains("\\") || scheme.isDefined ||
             e.path.split("/").contains("..")
           if (bad) throw new IllegalArgumentException(
             s"backup manifest entry escapes the restore dir: ${e.path}")

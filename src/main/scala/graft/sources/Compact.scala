@@ -189,7 +189,15 @@ object Compact {
         val superseded: Set[String] = versions.dropRight(1)
           .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet
         val onDisk = listing.toMap
-        val present = state.parts.filter(p => onDisk.contains(p.name))
+        // a part the LATEST manifest names but the disk lacks is data
+        // loss (external deletion, partial copy) — serving the rest
+        // silently, then committing a manifest that forgets the file,
+        // would make the corruption permanent AND invisible
+        val missing = state.parts.filterNot(p => onDisk.contains(p.name))
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"store $dir is missing manifest-listed parts: " +
+            missing.map(_.name).mkString(", "))
+        val present = state.parts
         val stale = listing.collect {
           case (n, _) if !live.contains(n) &&
             (superseded.contains(n) || n.startsWith(MergedPrefix)) =>
@@ -251,20 +259,25 @@ object Compact {
         val numParts = math.max(1L, (m.bytes + cap - 1) / cap).toInt
         val inputPaths = m.inputs.map(p => new Path(dir, p.name).toString)
         val raw = spark.read.parquet(inputPaths: _*)
-        val in = opts.replaceOn match {
+        // persisted: the validation count below and the write would
+        // otherwise each run the full (possibly replacing) plan —
+        // double IO and a double shuffle on the store's bulk-rewrite
+        // path
+        val in = (opts.replaceOn match {
           case Nil => raw
           case keys => opts.versionCol match {
             case Some(v) => Store.compactGroupTable(raw, keys, v)
             case None    => raw.dropDuplicates(keys)
           }
-        }
+        }).persist()
         val inCount = in.count()
         val tmp = new Path(dir, s".compact-$version-$passes-L${m.fromLevel}")
         val sorted =
           if (opts.sortCols.nonEmpty)
             in.repartition(numParts).sortWithinPartitions(opts.sortCols.map(col): _*)
           else in.repartition(numParts)
-        sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        try sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        finally in.unpersist()
         val outCount = spark.read.parquet(tmp.toString).count()
         require(outCount == inCount,
           s"compaction would lose rows ($inCount -> $outCount); aborting before commit")
@@ -311,14 +324,26 @@ object Compact {
   /** Read the store with manifest isolation: latest manifest parts
     * plus appends since, crash leftovers excluded — including
     * `merged-*` output orphaned before the FIRST commit, which a
-    * plain directory read would double-count. */
+    * plain directory read would double-count. A replacing store
+    * (`opts.replaceOn`) additionally collapses to one row per key ON
+    * READ — between merges a key updated since the last fold has rows
+    * in two levels, and the LSM contract is that readers see only the
+    * newest (the merge applies the same replacement physically). */
   def read(spark: SparkSession, storeDir: String,
            opts: Options = Options()): DataFrame = {
     val dir = new Path(storeDir)
     val fs = fsFor(spark, dir)
     val (_, parts, _) = loadState(fs, dir, opts)
-    if (parts.isEmpty) spark.read.parquet(storeDir) // surface the reader's own error shape
-    else spark.read.parquet(parts.map(p => new Path(dir, p.name).toString): _*)
+    val union =
+      if (parts.isEmpty) spark.read.parquet(storeDir) // surface the reader's own error shape
+      else spark.read.parquet(parts.map(p => new Path(dir, p.name).toString): _*)
+    opts.replaceOn match {
+      case Nil => union
+      case keys => opts.versionCol match {
+        case Some(v) => Store.compactGroupTable(union, keys, v)
+        case None    => union.dropDuplicates(keys)
+      }
+    }
   }
 
   /** Compact every leaf partition directory of a
@@ -337,17 +362,22 @@ object Compact {
     val fs = fsFor(spark, root)
     require(fs.exists(root), s"store directory $rootDir does not exist")
     def leaves(p: Path): Seq[Path] = {
+      // underscore dirs are writer bookkeeping (_temporary holds an
+      // in-flight job's task files — compacting THOSE would delete a
+      // concurrent write's uncommitted output), same exclusion as
+      // loadState's listing
       val st = fs.listStatus(p).toSeq
-        .filterNot(_.getPath.getName.startsWith("."))
+        .filterNot(s => s.getPath.getName.startsWith(".") ||
+          s.getPath.getName.startsWith("_"))
       val dirs = st.filter(_.isDirectory)
       if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
     }
-    val base = root.toUri.getPath
+    val base = fs.makeQualified(root).toUri.getPath
     leaves(root)
       .filter(l => fs.listStatus(l)
         .exists(_.getPath.getName.endsWith(".parquet")))
       .map { l =>
-        val rel = l.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        val rel = fs.makeQualified(l).toUri.getPath.stripPrefix(base).stripPrefix("/")
         rel -> run(spark, l.toString, opts)
       }.toMap
   }

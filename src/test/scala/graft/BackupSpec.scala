@@ -125,6 +125,50 @@ class BackupSpec extends SparkTestBase {
     assert(!Files.exists(victim), "nothing written outside the restore dir")
   }
 
+  test("a compacted store round-trips WITH its manifest — merged data survives restore") {
+    import graft.sources.{Compact, Store}
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir()
+    val store = s"$root/store"
+    (0 until 6).foreach { i =>
+      Store.atomicAppend(
+        spark.range(i * 10, i * 10 + 10).toDF("id"), store, f"b$i%03d")
+    }
+    Compact.run(spark, store)
+    val archive = s"$root/c.graftbak"
+    val m = Backup.create(spark, store, archive)
+    assert(m.files.exists(_.path.startsWith("_graft_parts-")),
+      "the compaction manifest is part of the store's state")
+    val restored = s"$root/restored"
+    Backup.restore(spark, archive, restored)
+    assert(Compact.read(spark, restored).count() == 60,
+      "merged parts restore as COMMITTED data, not crash orphans")
+    Compact.run(spark, restored) // must not sweep the restored merge output
+    assert(Compact.read(spark, restored).count() == 60)
+  }
+
+  test("scheme-qualified manifest entries are rejected like ../ escapes") {
+    val root = tmpDir()
+    val evil = s"$root/evil.graftbak"
+    val out = new java.io.DataOutputStream(
+      new java.util.zip.DeflaterOutputStream(
+        java.nio.file.Files.newOutputStream(Paths.get(evil))))
+    out.write("GRFTBAK1".getBytes("UTF-8"))
+    out.writeLong(1L)
+    val manifest =
+      s"""{"version":1,"files":[{"path":"file:$root/victim.txt","size":5}]}"""
+        .getBytes("UTF-8")
+    out.writeInt(manifest.length)
+    out.write(manifest)
+    out.write("owned".getBytes("UTF-8"))
+    out.write("GRFTEND1".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException](
+      Backup.restore(spark, evil, s"$root/target"))
+    assert(e.getMessage.contains("escapes"))
+    assert(!Files.exists(Paths.get(s"$root/victim.txt")))
+  }
+
   test("garbage bytes are rejected at the header") {
     val root = tmpDir()
     val junk = s"$root/junk.graftbak"

@@ -146,6 +146,60 @@ class CompactSpec extends SparkTestBase {
     assert(got.values.forall(_ == ((5L, "plan-5"))), "the newest version wins")
   }
 
+  test("a replacing store collapses stale rows on READ before any merge folds them") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/groups"
+    val o = Compact.Options(replaceOn = Seq("gid"), versionCol = Some("version"))
+    (0 until 6).foreach { b =>
+      Store.atomicAppend(
+        Seq.tabulate(5)(i => (i.toLong, b.toLong, s"plan-$b")).toDF("gid", "version", "plan"),
+        dir, f"b$b%03d")
+    }
+    Compact.run(spark, dir, o)
+    // a key updated AFTER the fold: old row lives in L1, new in L0
+    Store.atomicAppend(Seq((0L, 99L, "plan-new")).toDF("gid", "version", "plan"),
+      dir, "late")
+    val got = Compact.read(spark, dir, o)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 5 && got(0L) == "plan-new",
+      "reader sees only the newest row per key, like the LSM contract")
+  }
+
+  test("a manifest-listed part missing on disk fails loudly, never serves silently") {
+    val dir = s"${tmpDir()}/store"
+    appendBatches(dir, 6)
+    Compact.run(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("merged-")).head
+    fs.delete(merged, false) // external corruption
+    val e = intercept[IllegalStateException](Compact.read(spark, dir).count())
+    assert(e.getMessage.contains("missing manifest-listed parts"))
+  }
+
+  test("runPartitioned never descends into _temporary writer bookkeeping") {
+    import spark.implicits._
+    val root = s"${tmpDir()}/events"
+    val day = s"$root/event_date=2026-01-01"
+    (0 until 6).foreach { i =>
+      Store.atomicAppend(spark.range(i * 10, i * 10 + 10).toDF("id"), day, f"b$i%03d")
+    }
+    // a crashed (or in-flight) Spark job's task attempt files
+    val ghost = s"$root/_temporary/0/attempt_0/part-00000.parquet"
+    spark.range(0, 99).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"${tmpDir()}/seed")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_temporary/0/attempt_0"))
+    fs.create(new org.apache.hadoop.fs.Path(ghost), true).close()
+    val reports = Compact.runPartitioned(spark, root)
+    assert(reports.keySet == Set("event_date=2026-01-01"),
+      s"only the real partition compacts: ${reports.keySet}")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ghost)),
+      "writer bookkeeping untouched")
+  }
+
   test("dictionary stores survive compaction: getOrCreate ids are stable across a fold") {
     import spark.implicits._
     val dir = s"${tmpDir()}/dict"
