@@ -64,6 +64,16 @@ object Records {
   def getById(events: DataFrame, id: Long): DataFrame =
     events.filter(col("event_id") === lit(id))
 
+  /** Get one group's current profile row (reference
+    * group_records.rs:38-44 `GET /:group_id/:id` → get_by_id). The
+    * equality filter lands BEFORE the dedup window, so the scan prunes
+    * to the one group's events and the window sorts only those — at
+    * 100 TB that's a pushed-down point lookup, not a full-table
+    * row_number. */
+  def getGroupById(events: DataFrame, groupCol: String, id: Long,
+                   versionCol: String = "event_id"): DataFrame =
+    latestPerGroup(events.filter(col(groupCol) === lit(id)), groupCol, versionCol)
+
   /** Group-record (profile) search. Group tables in the reference are
     * replacing tables (last version wins, cmd/src/lib.rs:270); with
     * immutable parquet that's dedup-on-read:

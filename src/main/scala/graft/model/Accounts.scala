@@ -373,7 +373,9 @@ final class Tenancy {
   // ---- accounts (accounts.rs:64-177) ----
 
   def createAccount(email: String, password: String, name: Option[String],
-                    now: Long, salt: Option[Array[Byte]] = None): Account = {
+                    now: Long, salt: Option[Array[Byte]] = None,
+                    forceUpdatePassword: Boolean = false,
+                    forceUpdateEmail: Boolean = false): Account = {
     require(email.matches("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"), "invalid email")
     require(!accounts.values.exists(_.email == email), "account already exists")
     Password.checkComplexity(password, Seq(email)) match {
@@ -382,9 +384,24 @@ final class Tenancy {
     }
     nextAccount += 1
     val hash = salt.map(Password.hash(password, _)).getOrElse(Password.hash(password))
-    val a = Account(nextAccount, email, name, hash, createdAt = now)
+    val a = Account(nextAccount, email, name, hash, createdAt = now,
+      forceUpdatePassword = forceUpdatePassword, forceUpdateEmail = forceUpdateEmail)
     accounts(a.id) = a
     a
+  }
+
+  /** Flip the first-login force flags (reference metadata
+    * UpdateAccountRequest.force_update_password/email — admin
+    * provisioning sets them, Auth.set_password/set_email clear them). */
+  def setForceUpdateFlags(accountId: Long, password: Option[Boolean],
+                          email: Option[Boolean], now: Long): Account = {
+    val cur = accounts.getOrElse(accountId, sys.error(s"account $accountId not found"))
+    val next = cur.copy(
+      forceUpdatePassword = password.getOrElse(cur.forceUpdatePassword),
+      forceUpdateEmail = email.getOrElse(cur.forceUpdateEmail),
+      updatedAt = Some(now))
+    accounts(accountId) = next
+    next
   }
 
   def account(id: Long): Option[Account] = accounts.get(id)
@@ -507,6 +524,9 @@ final class Tenancy {
   * injected; durations default to the reference's config shape. */
 object Auth {
   final case class Tokens(accessToken: String, refreshToken: String)
+  /** 403-plane failure: the actor is authenticated but the action is
+    * not permitted (reference PlatformError::Forbidden). */
+  final class ForbiddenError(msg: String) extends RuntimeException(msg)
 }
 
 final class Auth(
@@ -587,6 +607,44 @@ final class Auth(
         case Right(()) =>
       }
       tenancy.setPassword(claims.accountId, newPassword, clock() * 1000)
+      makeTokens(claims.accountId, claims.organizationId)
+    }
+
+  /** First-login password set for admin-provisioned accounts
+    * (reference auth/provider.rs:262-295 set_password): permitted ONLY
+    * while the account carries force_update_password — no current
+    * password exists to verify. Setting it clears the flag and rotates
+    * the token pair. */
+  def setPassword(accessToken: String, password: String): Tokens =
+    withClaims(accessToken) { claims =>
+      val acc = tenancy.account(claims.accountId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"account ${claims.accountId} not found"))
+      if (!acc.forceUpdatePassword)
+        throw new Auth.ForbiddenError("forbidden")
+      Password.checkComplexity(password, Seq.empty) match {
+        case Left(msg) => throw new IllegalArgumentException(msg)
+        case Right(()) =>
+      }
+      tenancy.setPassword(claims.accountId, password, clock() * 1000)
+      tenancy.setForceUpdateFlags(claims.accountId,
+        password = Some(false), email = None, now = clock() * 1000)
+      makeTokens(claims.accountId, claims.organizationId)
+    }
+
+  /** First-login email set (provider.rs:297-322 set_email): gated on
+    * force_update_email, clears it, rotates tokens. Email format and
+    * uniqueness are enforced by the tenancy update. */
+  def setEmail(accessToken: String, email: String): Tokens =
+    withClaims(accessToken) { claims =>
+      val acc = tenancy.account(claims.accountId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"account ${claims.accountId} not found"))
+      if (!acc.forceUpdateEmail)
+        throw new Auth.ForbiddenError("forbidden")
+      tenancy.updateAccountEmail(claims.accountId, email, clock() * 1000)
+      tenancy.setForceUpdateFlags(claims.accountId,
+        password = None, email = Some(false), now = clock() * 1000)
       makeTokens(claims.accountId, claims.organizationId)
     }
 

@@ -357,6 +357,55 @@ object JsonDsl {
       }
     })
 
+  /** Render a stored custom-event definition back to the wire shape
+    * `customEventDef` parses (the GET side of custom_events.rs
+    * get_by_id/list). Property refs come back in the registry's
+    * canonical form — the resolved physical column — which re-parses
+    * identically through an open registry. */
+  def customEventJson(ce: CustomEvent): String = {
+    def scalarJson(v: Any): String = v match {
+      case null       => "null"
+      case s: String  => JStr(s).render
+      case b: Boolean => b.toString
+      case n          => n.toString
+    }
+    def filterJson(f: PropFilter): String = {
+      val vs =
+        if (f.values.isEmpty) ""
+        else s""","value":${f.values.map(scalarJson).mkString("[", ",", "]")}"""
+      s"""{"type":"property","propertyType":"event","propertyName":${JStr(f.column).render},""" +
+        s""""operation":${JStr(opName(f.op)).render}$vs}"""
+    }
+    def memberJson(m: CustomEventMember): String = m match {
+      case CustomEventMember.Custom(inner) =>
+        s"""{"customEvent":${customEventJson(inner)}}"""
+      case CustomEventMember.Event(name, filters) =>
+        val n = name.map(s => s""""eventName":${JStr(s).render}""").toSeq
+        val fs = if (filters.isEmpty) Nil
+          else Seq(s""""filters":${filters.map(filterJson).mkString("[", ",", "]")}""")
+        (n ++ fs).mkString("{", ",", "}")
+    }
+    s"""{"name":${JStr(ce.name).render},"events":${ce.members.map(memberJson).mkString("[", ",", "]")}}"""
+  }
+
+  /** Inverse of [[propOp]]. */
+  def opName(op: PropOp): String = op match {
+    case PropOp.Eq       => "eq"
+    case PropOp.Neq      => "neq"
+    case PropOp.Gt       => "gt"
+    case PropOp.Gte      => "gte"
+    case PropOp.Lt       => "lt"
+    case PropOp.Lte      => "lte"
+    case PropOp.True     => "true"
+    case PropOp.False    => "false"
+    case PropOp.Exists   => "exists"
+    case PropOp.Empty    => "empty"
+    case PropOp.Like     => "like"
+    case PropOp.NotLike  => "notLike"
+    case PropOp.Regex    => "regex"
+    case PropOp.NotRegex => "notRegex"
+  }
+
   private def segmentTime(j: JValue): SegmentTime = (j / "type").str match {
     case "between"    => SegmentTime.Between(parseTs(j / "from"), parseTs(j / "to"))
     case "from"       => SegmentTime.From(parseTs(j / "from"))

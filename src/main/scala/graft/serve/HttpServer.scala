@@ -149,6 +149,7 @@ final class GraftHttpServer(
           case _ => 404 -> err("not found")
         }
       } catch {
+        case e: graft.model.Auth.ForbiddenError => 403 -> err(e.getMessage)
         case e: Json.JsonError          => 400 -> err(e.message)
         case e: IllegalArgumentException => 400 -> err(e.getMessage)
         case e: RuntimeException
@@ -190,6 +191,18 @@ final class GraftHttpServer(
       200 -> Metrics.timed("group_records_search") {
         Response.collect(JsonApi.groupRecordsSearch(
           events, withProject(body, pid), reg)).toJson
+      }
+    // one group's current profile row (reference group_records.rs:45
+    // `GET /:group_id/:id` → get_by_id): point-filter the group's
+    // events, then dedup-on-read picks the latest version
+    case ("GET", List("group-records", IdSeg(gid), IdSeg(id))) =>
+      Metrics.timed("group_record_get") {
+        val table = Response.collect(graft.engine.Records.getGroupById(
+          graft.engine.Exprs.tenantScope(events, Some(pid)),
+          reg.groupColumn(gidIdx(gid)), id))
+        if (table.columns.forall(_.values.isEmpty))
+          404 -> err(s"group $gid record $id not found")
+        else 200 -> table.toJson
       }
 
     // ---- schema CRUD (reference platform/src/http/properties.rs:
@@ -287,6 +300,15 @@ final class GraftHttpServer(
           .toSeq.sorted.map(p => JStr(p).render).mkString("[", ",", "]")
         s"""{"name":${JStr(n).render},"properties":$ps}"""
       }.mkString("[", ",", "]")
+    // single event by name (reference events.rs:109
+    // `GET /name/:event_name` → get_by_name)
+    case ("GET", List("schema", "events", "name", name)) =>
+      if (!reg.eventNames.contains(name)) 404 -> err(s"event '$name' not found")
+      else {
+        val ps = reg.eventProperties.getOrElse(name, Set.empty)
+          .toSeq.sorted.map(p => JStr(p).render).mkString("[", ",", "]")
+        200 -> s"""{"name":${JStr(name).render},"properties":$ps}"""
+      }
     // event↔property association (reference events.rs:111-117
     // attach_property / detach_property routes)
     case ("POST", List("schema", "events", "name", event, "properties", prop)) =>
@@ -321,6 +343,29 @@ final class GraftHttpServer(
       schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
         reg = reg.withoutCustomEvent(id)
         200 -> "{}"
+      })
+    // custom-event reads + update (reference custom_events.rs:68-70
+    // `GET /` list, `GET /:id`, `PUT /:id`); definitions render in the
+    // registry's canonical form via JsonDsl.customEventJson
+    case ("GET", List("schema", "custom-events")) =>
+      200 -> reg.customEvents.toSeq.sortBy(_._1).map { case (id, ce) =>
+        s"""{"id":$id,"definition":${graft.model.JsonDsl.customEventJson(ce)}}"""
+      }.mkString("[", ",", "]")
+    case ("GET", List("schema", "custom-events", IdSeg(id))) =>
+      reg.customEvents.get(id)
+        .map(ce => 200 -> s"""{"id":$id,"definition":${graft.model.JsonDsl.customEventJson(ce)}}""")
+        .getOrElse(404 -> err(s"custom event $id not found"))
+    case ("PUT", List("schema", "custom-events", IdSeg(id))) =>
+      schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
+        // update-only: an unknown id 404s rather than upserting, like
+        // the reference's provider.update on a missing key
+        if (!reg.customEvents.contains(id))
+          404 -> err(s"custom event $id not found")
+        else {
+          val ce = graft.model.JsonDsl.customEventDef(Json.parse(body) / "definition")(reg)
+          reg = reg.withCustomEvent(id, ce)  // re-validates cycle/depth
+          200 -> s"""{"id":$id,"name":${JStr(ce.name).render}}"""
+        }
       })
 
     case ("POST", List("reports")) =>
@@ -604,6 +649,19 @@ final class GraftHttpServer(
           200 -> tokensJson(a.updatePassword(tok,
             (j / "password").str, (j / "newPassword").str))
         }
+      // first-login set flows for admin-provisioned accounts
+      // (reference http/auth.rs:221-222 routes, provider.rs:262-322):
+      // gated on the account's force_update flags — 403 otherwise
+      case ("PUT", List("profile", "set-password")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        withBearer(ex) { tok =>
+          200 -> tokensJson(a.setPassword(tok, (j / "password").str))
+        }
+      case ("PUT", List("profile", "set-email")) =>
+        val a = auth.getOrElse(return 404 -> err("not found"))
+        withBearer(ex) { tok =>
+          200 -> tokensJson(a.setEmail(tok, (j / "email").str))
+        }
 
       case ("POST", List("organizations")) =>
         actor(ex) match {
@@ -696,6 +754,34 @@ final class GraftHttpServer(
                 403 -> err(s"account ${acting.get} may not explore project $id")
             }
         }
+      // project update/delete (reference projects.rs:66-69
+      // `PUT/DELETE /:project_id`, behind ManageProjects of the
+      // OWNING org — resolved from the project, never the body)
+      case ("PUT", List("projects", IdSeg(id))) =>
+        val proj = t.project(id).getOrElse(return 404 -> err(s"project $id not found"))
+        requireOrgRole(ex, proj.organizationId, "manage_projects", bodyActor = j) {
+          actorId =>
+            // explicit-null description clears it (partial-update
+            // OptionalProperty semantics); absent leaves it alone.
+            // asOpt folds JNull to None, so read the raw field list
+            val desc = j match {
+              case Json.JObj(fields) => fields.collectFirst {
+                case ("description", Json.JNull) => None
+                case ("description", v)          => Some(v.str)
+              }
+              case _ => None
+            }
+            200 -> projectJson(t.updateProject(id, actorId, clock(),
+              name = j.asOpt("name").map(_.str),
+              token = j.asOpt("token").map(_.str),
+              description = desc,
+              sessionDurationSeconds = j.asOpt("sessionDurationSeconds").map(_.long)))
+        }
+      case ("DELETE", List("projects", IdSeg(id))) =>
+        val proj = t.project(id).getOrElse(return 404 -> err(s"project $id not found"))
+        requireOrgRole(ex, proj.organizationId, "manage_projects", bodyActor = j) { _ =>
+          t.deleteProject(id); 200 -> "{}"
+        }
 
       // server settings document (reference platform/src/http/
       // settings.rs:28-30 GET/PUT /api/v1/admin/settings); PUT is a
@@ -762,8 +848,14 @@ final class GraftHttpServer(
             .getOrElse(404 -> err(s"account $id not found")))
       case ("POST", List("accounts")) =>
         adminGate(ex).getOrElse {
+          // admin provisioning may mark the account for first-login
+          // password/email reset (reference CreateAccountRequest
+          // force_update_password/force_update_email; the profile
+          // set-password/set-email routes consume the flags)
           val a = t.createAccount((j / "email").str, (j / "password").str,
-            j.asOpt("name").map(_.str), now = clock())
+            j.asOpt("name").map(_.str), now = clock(),
+            forceUpdatePassword = j.asOpt("forceUpdatePassword").exists(_.bool),
+            forceUpdateEmail = j.asOpt("forceUpdateEmail").exists(_.bool))
           200 -> accountJson(a)
         }
       case ("PUT", List("accounts", IdSeg(id))) =>
@@ -823,7 +915,9 @@ final class GraftHttpServer(
     val role = a.role.map(r => JStr(r).render).getOrElse("null")
     // passwordHash deliberately never serialized
     s"""{"id":${a.id},"email":${JStr(a.email).render},"name":$name,""" +
-      s""""role":$role,"organizations":$orgs,"projects":$projs}"""
+      s""""role":$role,"organizations":$orgs,"projects":$projs,""" +
+      s""""forceUpdatePassword":${a.forceUpdatePassword},""" +
+      s""""forceUpdateEmail":${a.forceUpdateEmail}}"""
   }
 
   /** Admin-plane gate for `/admin/…` and `/accounts` (reference

@@ -528,6 +528,169 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("provisioned accounts: set-password/set-email consume the force flags") {
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    withServer(new GraftHttpServer(spark, ev,
+      tenancy = Some(tenancy), auth = Some(auth))) { srv =>
+      // bootstrap an admin, then provision an account flagged for
+      // first-login password AND email reset (reference
+      // CreateAccountRequest.force_update_password/email)
+      val (_, s1) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "root@a.com", "password": "Str0ng!pass"}""")
+      val adminTok = (graft.model.Json.parse(s1) / "accessToken").str
+      tenancy.setAccountRole(1L, Some("admin"), 0L)
+      val (cc, created) = req(srv.port, "POST", "/api/v1/accounts",
+        """{"email": "temp@a.com", "password": "Pr0visioned!1",
+            "forceUpdatePassword": true, "forceUpdateEmail": true}""",
+        bearer = adminTok)
+      assert(cc == 200 && created.contains("\"forceUpdatePassword\":true")
+        && created.contains("\"forceUpdateEmail\":true"))
+
+      val (_, li) = req(srv.port, "POST", "/api/v1/auth/login",
+        """{"email": "temp@a.com", "password": "Pr0visioned!1"}""")
+      val tok = (graft.model.Json.parse(li) / "accessToken").str
+
+      // weak replacement 400s and leaves the flag armed
+      assert(req(srv.port, "PUT", "/api/v1/profile/set-password",
+        """{"password": "weak"}""", bearer = tok)._1 == 400)
+      assert(tenancy.account(2L).get.forceUpdatePassword)
+      // set-password needs no current password, clears the flag, and
+      // rotates the token pair (reference auth/provider.rs:262-295)
+      val (pc, ptoks) = req(srv.port, "PUT", "/api/v1/profile/set-password",
+        """{"password": "MyOwn!pass1"}""", bearer = tok)
+      assert(pc == 200 && ptoks.contains("accessToken"))
+      assert(!tenancy.account(2L).get.forceUpdatePassword)
+      assert(req(srv.port, "POST", "/api/v1/auth/login",
+        """{"email": "temp@a.com", "password": "MyOwn!pass1"}""")._1 == 200)
+      // second attempt: the flag is consumed -> 403, not 400
+      assert(req(srv.port, "PUT", "/api/v1/profile/set-password",
+        """{"password": "Another!pass1"}""", bearer = tok)._1 == 403)
+
+      // same lifecycle for the email flag
+      val (ec, etoks) = req(srv.port, "PUT", "/api/v1/profile/set-email",
+        """{"email": "mine@a.com"}""", bearer = tok)
+      assert(ec == 200 && etoks.contains("accessToken"))
+      assert(tenancy.account(2L).get.email == "mine@a.com")
+      assert(!tenancy.account(2L).get.forceUpdateEmail)
+      assert(req(srv.port, "PUT", "/api/v1/profile/set-email",
+        """{"email": "again@a.com"}""", bearer = tok)._1 == 403)
+      // an un-flagged account never passes the gate
+      assert(req(srv.port, "PUT", "/api/v1/profile/set-password",
+        """{"password": "Whatever!pass1"}""", bearer = adminTok)._1 == 403)
+    }
+  }
+
+  test("project update/delete behind manage_projects of the owning org") {
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    withServer(new GraftHttpServer(spark, ev,
+      tenancy = Some(tenancy), auth = Some(auth))) { srv =>
+      val (_, s1) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "o@a.com", "password": "Str0ng!pass"}""")
+      val ownerTok = (graft.model.Json.parse(s1) / "accessToken").str
+      val (_, s2) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "x@a.com", "password": "Str0ng!pass2"}""")
+      val outsiderTok = (graft.model.Json.parse(s2) / "accessToken").str
+      req(srv.port, "POST", "/api/v1/organizations", """{"name": "Acme"}""",
+        bearer = ownerTok)
+      assert(req(srv.port, "POST", "/api/v1/projects",
+        """{"organizationId": 1, "name": "Web", "token": "tk1"}""",
+        bearer = ownerTok)._1 == 200)
+      assert(req(srv.port, "POST", "/api/v1/projects",
+        """{"organizationId": 1, "name": "Mobile", "token": "tk2"}""",
+        bearer = ownerTok)._1 == 200)
+
+      // outsider: no org role -> 403; unknown project 404s first
+      assert(req(srv.port, "PUT", "/api/v1/projects/1",
+        """{"name": "Stolen"}""", bearer = outsiderTok)._1 == 403)
+      assert(req(srv.port, "PUT", "/api/v1/projects/99",
+        """{"name": "Ghost"}""", bearer = ownerTok)._1 == 404)
+
+      // owner updates: rename + description; explicit-null clears it;
+      // a name collision with a sibling 400s and mutates nothing
+      val (uc, upd) = req(srv.port, "PUT", "/api/v1/projects/1",
+        """{"name": "Website", "description": "main site"}""", bearer = ownerTok)
+      assert(uc == 200 && upd.contains("\"name\":\"Website\""))
+      assert(tenancy.project(1L).get.description.contains("main site"))
+      val (nc, cleared) = req(srv.port, "PUT", "/api/v1/projects/1",
+        """{"description": null}""", bearer = ownerTok)
+      assert(nc == 200 && tenancy.project(1L).get.description.isEmpty)
+      assert(cleared.contains("\"name\":\"Website\""), "partial update keeps the name")
+      assert(req(srv.port, "PUT", "/api/v1/projects/1",
+        """{"name": "Mobile"}""", bearer = ownerTok)._1 == 400)
+      assert(tenancy.project(1L).get.name == "Website")
+
+      // a global admin outside the org passes (Admin -> Permission::All)
+      tenancy.setAccountRole(2L, Some("admin"), 0L)
+      assert(req(srv.port, "PUT", "/api/v1/projects/1",
+        """{"sessionDurationSeconds": 7200}""", bearer = outsiderTok)._1 == 200)
+      assert(tenancy.project(1L).get.sessionDurationSeconds == 7200L)
+      tenancy.setAccountRole(2L, None, 0L)
+
+      // delete: outsider 403, owner 200, gone afterwards (and the
+      // ingest token dies with it)
+      assert(req(srv.port, "DELETE", "/api/v1/projects/2",
+        bearer = outsiderTok)._1 == 403)
+      assert(req(srv.port, "DELETE", "/api/v1/projects/2",
+        bearer = ownerTok)._1 == 200)
+      assert(req(srv.port, "GET", "/api/v1/projects/2", bearer = ownerTok)._1 == 404)
+      assert(tenancy.projectByToken("tk2").isEmpty)
+    }
+  }
+
+  test("custom-event reads/update, event get-by-name, group-record by id") {
+    val events = ev
+    val registry = graft.engine.Metadata.fromEvents(events)
+    withServer(new GraftHttpServer(spark, events, registry = registry)) { srv =>
+      val base = "/api/v1/projects/1/schema/custom-events"
+      assert(req(srv.port, "GET", base)._2 == "[]")
+      assert(req(srv.port, "POST", base,
+        """{"id": 3, "definition": {"name": "engagement", "events": [
+             {"eventName": "view", "filters": [{"type": "property",
+              "propertyType": "event", "propertyName": "value",
+              "operation": "gt", "value": [10]}]},
+             {"eventName": "click"}]}}""")._1 == 200)
+
+      // list + by-id render the stored definition; the canonical form
+      // round-trips through PUT (parse(render) == stored)
+      val (lc, listed) = req(srv.port, "GET", base)
+      assert(lc == 200 && listed.contains("\"id\":3")
+        && listed.contains("\"name\":\"engagement\""))
+      val (gc, one) = req(srv.port, "GET", s"$base/3")
+      assert(gc == 200)
+      val defJson = (graft.model.Json.parse(one) / "definition").render
+      assert(req(srv.port, "PUT", s"$base/3",
+        s"""{"definition": $defJson}""")._1 == 200)
+      assert(req(srv.port, "GET", s"$base/3")._2 == one, "render/parse round-trip is stable")
+
+      // update replaces the definition and queries follow it
+      assert(req(srv.port, "PUT", s"$base/3",
+        """{"definition": {"name": "views only", "events": [{"eventName": "view"}]}}""")._1 == 200)
+      assert(srv.currentRegistry.customEvent(3L).name == "views only")
+      assert(srv.currentRegistry.customEvent(3L).members.size == 1)
+      assert(req(srv.port, "PUT", s"$base/99",
+        """{"definition": {"name": "ghost", "events": [{"eventName": "view"}]}}""")._1 == 404)
+      assert(req(srv.port, "GET", s"$base/99")._1 == 404)
+
+      // single event by name (reference events.rs get_by_name)
+      val (ec, evJson) = req(srv.port, "GET",
+        "/api/v1/projects/1/schema/events/name/view")
+      assert(ec == 200 && evJson.contains("\"name\":\"view\""))
+      assert(req(srv.port, "GET",
+        "/api/v1/projects/1/schema/events/name/install")._1 == 404)
+
+      // group-record by id: byte-identical to the engine path; a
+      // missing id 404s like every by-id GET
+      val (rc, rec) = req(srv.port, "GET", "/api/v1/projects/1/group-records/0/2")
+      assert(rc == 200)
+      assert(rec == Response.collect(graft.engine.Records.getGroupById(
+        events, "user_id", 2L)).toJson)
+      assert(rec.contains("click"), "latest event of user 2 is its profile row")
+      assert(req(srv.port, "GET", "/api/v1/projects/1/group-records/0/999")._1 == 404)
+    }
+  }
+
   test("admin settings: partial PUT merges, validation 400s, secrets not echoed") {
     val sp = new graft.model.SettingsProvider
     withServer(new GraftHttpServer(spark, ev, settings = Some(sp))) { srv =>
