@@ -1293,6 +1293,37 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // pipeline: temperature-scaled mixture rebalancing (T=2 → source
+    // shares follow sqrt of their raw shares) — per-source keep rates
+    // derived from corpus counts, realized through the same
+    // deterministic hash gate; the oracle recomputes counts, rates,
+    // and the gate, so the kept id-set must match exactly.
+    "q_mixture_temp" -> ((s, dir) => {
+      graft.pipeline.Sampling.temperatureMixture(
+          Tables.documents(s, dir), "source", "doc_id", temperature = 2.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // pipeline: token-budget shard packing via the distributed
+    // prefix-sum (bucket totals → driver offsets → per-bucket window;
+    // never a single-partition global window). Emitted as per-shard
+    // fill stats; the oracle replays the same total order
+    // (bucket, doc_id) with one ordered window.
+    "q_pack_shards" -> ((s, dir) => {
+      graft.pipeline.Sharding.packShards(
+          Tables.documents(s, dir), "doc_id",
+          size(split(col("text"), " ")).cast("long"),
+          budgetTokens = 2000L, buckets = 8)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("shard_id"))
+    }),
+
     // pipeline: connected-components clustering over the (oracled)
     // minhash pair set — transitive closure turns pairs into keep/drop
     // groups; the DuckDB oracle recomputes the SAME pairs then walks
@@ -2719,6 +2750,44 @@ object SparkEntry {
                            WHEN 'src2' THEN 0 ELSE 500 END)
          SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM kept GROUP BY 1 ORDER BY source""",
+
+    // temperature mixture: per-source counts -> keep rate
+    // floor(1000 * (n_min/n)^(1 - 1/T) + eps) with T=2 -> exponent
+    // 0.5; same md5 gate as q_sample_strata
+    "q_mixture_temp" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         mn AS (SELECT min(n) AS nmin FROM cnt),
+         rate AS (
+           SELECT source,
+                  CAST(floor(1000.0 * pow(CAST((SELECT nmin FROM mn) AS DOUBLE)
+                        / n, 0.5) + 1e-6) AS BIGINT) AS permille
+           FROM cnt),
+         kept AS (
+           SELECT d.source, d.doc_id FROM documents d
+           JOIN rate r ON d.source = r.source
+           WHERE CAST(('0x' || substring(md5(d.source || ':' || d.doc_id), 1, 8)) AS BIGINT) % 1000
+             < r.permille)
+         SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY 1 ORDER BY source""",
+
+    // shard packing: the oracle affords ONE ordered window at its
+    // scale; shard = floor(exclusive running token sum under the
+    // total order (md5-bucket, doc_id) / budget)
+    "q_pack_shards" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS bucket
+           FROM documents),
+         pos AS (
+           SELECT doc_id, n_tok,
+                  COALESCE(sum(n_tok) OVER (ORDER BY bucket, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           FROM t)
+         SELECT CAST(floor(start / 2000.0) AS BIGINT) AS shard_id,
+                count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM pos GROUP BY 1 ORDER BY shard_id""",
 
     // Same pair set as q_minhash_dups, then component labels via
     // recursive reachability (edges are symmetric, so reachable-min =

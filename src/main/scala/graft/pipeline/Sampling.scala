@@ -34,4 +34,37 @@ object Sampling {
     }
     df.filter(hashGate(col(strataCol), col(idCol)) < rate)
   }
+
+  /** Temperature-scaled mixture rebalancing — the multi-source /
+    * multilingual corpus-composition op: resample so source shares
+    * follow `p_s^(1/T)` instead of the raw `p_s`. Realized by
+    * SUBSAMPLING (never replication): source `s` keeps rate
+    * `(n_min / n_s)^(1 - 1/T)`, which is 1 for the smallest source.
+    * `T = 1` keeps everything (no reshaping); `T → ∞` equalizes
+    * expected kept counts across sources at `n_min` each.
+    *
+    * Per-stratum counts come from one partial-aggregated `groupBy` —
+    * #strata rows to the driver (sources/languages are few by
+    * definition); the computed rates feed the same deterministic,
+    * scan-pushed [[hashGate]] as [[sampleByStrata]], so the selection
+    * is reproducible and auditable. The tiny epsilon inside `floor`
+    * absorbs last-ulp `pow` differences between engines so the SQL
+    * oracle lands on identical permille rates.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+                         temperature: Double): DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+      .toMap
+    require(counts.nonEmpty, "empty input: no strata to rebalance")
+    val nMin = counts.values.min
+    val a = 1.0 - 1.0 / temperature
+    val permille = counts.map { case (s, n) =>
+      s -> math.floor(1000.0 * math.pow(nMin.toDouble / n, a) + 1e-6).toInt
+    }
+    sampleByStrata(df, strataCol, idCol, permille, defaultPermille = 0)
+  }
 }

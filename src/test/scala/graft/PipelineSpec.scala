@@ -318,6 +318,74 @@ class PipelineSpec extends SparkTestBase {
       out(2).getAs[Long]("top_bigram_count") == 0)
   }
 
+  test("packShards: budget-sized shards, no doc split, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"src${i % 4}", 10L + (i % 17))).toDF("doc_id", "source", "n_tok")
+    val packed = Sharding.packShards(docs, "doc_id", col("n_tok"),
+      budgetTokens = 300L, buckets = 8)
+
+    // every doc assigned exactly once, schema = input + shard_id
+    assert(packed.count() == 200)
+    assert(packed.columns.toSeq == Seq("doc_id", "source", "n_tok", "shard_id"))
+    assert(packed.select("doc_id").distinct().count() == 200)
+
+    // every shard except the last holds budget ± max_doc_tokens
+    val fills = packed.groupBy("shard_id").agg(sum("n_tok").as("tok"))
+      .orderBy("shard_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val maxTok = 10L + 16L
+    fills.init.foreach { case (sid, tok) =>
+      assert(tok >= 300L - maxTok && tok <= 300L + maxTok,
+        s"shard $sid holds $tok tokens against budget 300")
+    }
+    // shard ids are contiguous from 0 (a doc starts in every window)
+    assert(fills.map(_._1).toSeq == (0L until fills.length).toSeq)
+
+    // deterministic: a different partitioning yields the same packing
+    val repacked = Sharding.packShards(docs.repartition(13), "doc_id",
+      col("n_tok"), budgetTokens = 300L, buckets = 8)
+    assert(repacked.orderBy("doc_id").collect().toSeq ==
+      packed.orderBy("doc_id").collect().toSeq)
+
+    // the plan never funnels the corpus through a global window:
+    // every Window node keeps its partition spec
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-window single partition in plan:\n$plan")
+  }
+
+  test("temperatureMixture: T=1 keeps all; high T equalizes; deterministic subset") {
+    import spark.implicits._
+    // skewed corpus: 160/30/10 docs across three sources
+    val docs = ((1L to 160L).map(i => (i, "big")) ++
+      (161L to 190L).map(i => (i, "mid")) ++
+      (191L to 200L).map(i => (i, "small"))).toDF("doc_id", "source")
+
+    // T=1: exponent 0 -> every source at 1000 permille
+    assert(Sampling.temperatureMixture(docs, "source", "doc_id", 1.0).count() == 200)
+
+    // the smallest source is never subsampled, and kept counts are
+    // monotone in T-flattening: bigger sources lose more
+    val t2 = Sampling.temperatureMixture(docs, "source", "doc_id", 2.0)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t2("small") == 10L, "smallest source keeps rate 1000")
+    assert(t2("big") < 160L && t2("mid") < 30L)
+    // expected kept at T=2: n * sqrt(nmin/n) = sqrt(nmin * n)
+    assert(math.abs(t2("big") - math.sqrt(10.0 * 160.0)) < 15.0)
+
+    // T -> inf: expected kept per source approaches n_min each
+    val flat = Sampling.temperatureMixture(docs, "source", "doc_id", 1e9)
+      .groupBy("source").count().collect().map(r => r.getLong(1))
+    flat.foreach(k => assert(math.abs(k - 10.0) < 8.0,
+      s"high-T kept count $k should sit near n_min=10"))
+
+    // kept set is a deterministic subset (same gate as sampleByStrata)
+    val a = Sampling.temperatureMixture(docs, "source", "doc_id", 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixture(docs.repartition(7), "source", "doc_id", 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("repetition signals plan is shuffle-free (no Exchange)") {
     val plan = TextAnalysis.withRepetitionSignals(
       docs(Seq((1L, "a b a"))), "text")
