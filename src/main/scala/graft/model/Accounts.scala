@@ -622,7 +622,9 @@ final class Auth(
           s"account ${claims.accountId} not found"))
       if (!acc.forceUpdatePassword)
         throw new Auth.ForbiddenError("forbidden")
-      Password.checkComplexity(password, Seq.empty) match {
+      // same personal-information rule as createAccount: the email is
+      // in scope, so a first-login password may not contain it
+      Password.checkComplexity(password, Seq(acc.email)) match {
         case Left(msg) => throw new IllegalArgumentException(msg)
         case Right(()) =>
       }

@@ -359,21 +359,38 @@ object JsonDsl {
 
   /** Render a stored custom-event definition back to the wire shape
     * `customEventDef` parses (the GET side of custom_events.rs
-    * get_by_id/list). Property refs come back in the registry's
-    * canonical form — the resolved physical column — which re-parses
-    * identically through an open registry. */
-  def customEventJson(ce: CustomEvent): String = {
+    * get_by_id/list). A stored [[PropFilter]] carries only the
+    * resolved physical column, so rendering maps it back through the
+    * CURRENT registry: the event namespace's display name if one
+    * addresses the column, else the first group namespace's (emitted
+    * as a `"group"`-typed ref so it re-resolves through the same
+    * namespace), else the raw column — which re-parses via the open
+    * registry's passthrough. This keeps GET output valid as a PUT
+    * body even after property renames on a strict registry. */
+  def customEventJson(ce: CustomEvent)(implicit reg: Registry): String = {
     def scalarJson(v: Any): String = v match {
       case null       => "null"
       case s: String  => JStr(s).render
       case b: Boolean => b.toString
       case n          => n.toString
     }
+    def propRef(column: String): String =
+      reg.allProperties.find(_.column == column) match {
+        case Some(m) =>
+          s""""propertyType":"event","propertyName":${JStr(m.name).render}"""
+        case None =>
+          val fromGroup = reg.groupCols.indices.iterator
+            .flatMap(i => reg.groupProperties(i).find(_.column == column)
+              .map(m => s""""propertyType":"group","group":$i,"propertyName":${JStr(m.name).render}"""))
+            .nextOption()
+          fromGroup.getOrElse(
+            s""""propertyType":"event","propertyName":${JStr(column).render}""")
+      }
     def filterJson(f: PropFilter): String = {
       val vs =
         if (f.values.isEmpty) ""
         else s""","value":${f.values.map(scalarJson).mkString("[", ",", "]")}"""
-      s"""{"type":"property","propertyType":"event","propertyName":${JStr(f.column).render},""" +
+      s"""{"type":"property",${propRef(f.column)},""" +
         s""""operation":${JStr(opName(f.op)).render}$vs}"""
     }
     def memberJson(m: CustomEventMember): String = m match {

@@ -54,7 +54,11 @@ object Sampling {
   def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
                          temperature: Double): DataFrame = {
     require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
-    val counts = df.groupBy(col(strataCol))
+    // null strata never pass the hash gate (md5(null) = null → filter
+    // false), so they are excluded from the rate computation too
+    // rather than NPE-ing on the null group key
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.get(0).toString -> r.getLong(1))

@@ -56,11 +56,16 @@ object Sharding {
                  budgetTokens: Long, buckets: Int = 256): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val temps = Seq("__tok", "__bucket", "__boff", "__start")
+    (temps :+ "shard_id").foreach(c => require(!df.columns.contains(c),
+      s"input already has a column named '$c' — rename it before packing"))
     val spark = df.sparkSession
     import spark.implicits._
 
     val withB = df
-      .withColumn("__tok", tokenCol)
+      // a null token count packs as 0 (the doc still gets a shard);
+      // a null id cannot be ordered or bucketed — fail loudly below
+      .withColumn("__tok", coalesce(tokenCol.cast("long"), lit(0L)))
       .withColumn("__bucket", bucketOf(col(idCol), buckets))
 
     // phase 1+2: per-bucket totals (one partial-agg shuffle, `buckets`
@@ -68,7 +73,11 @@ object Sharding {
     val totals = withB.groupBy(col("__bucket"))
       .agg(sum(col("__tok")).as("__btot"))
       .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"null $idCol in input: documents cannot be deterministically packed")
+        r.getLong(0) -> r.getLong(1)
+      }
       .sortBy(_._1)
     val offsets = totals.map(_._1)
       .zip(totals.scanLeft(0L)(_ + _._2).init)

@@ -349,11 +349,11 @@ final class GraftHttpServer(
     // registry's canonical form via JsonDsl.customEventJson
     case ("GET", List("schema", "custom-events")) =>
       200 -> reg.customEvents.toSeq.sortBy(_._1).map { case (id, ce) =>
-        s"""{"id":$id,"definition":${graft.model.JsonDsl.customEventJson(ce)}}"""
+        s"""{"id":$id,"definition":${graft.model.JsonDsl.customEventJson(ce)(reg)}}"""
       }.mkString("[", ",", "]")
     case ("GET", List("schema", "custom-events", IdSeg(id))) =>
       reg.customEvents.get(id)
-        .map(ce => 200 -> s"""{"id":$id,"definition":${graft.model.JsonDsl.customEventJson(ce)}}""")
+        .map(ce => 200 -> s"""{"id":$id,"definition":${graft.model.JsonDsl.customEventJson(ce)(reg)}}""")
         .getOrElse(404 -> err(s"custom event $id not found"))
     case ("PUT", List("schema", "custom-events", IdSeg(id))) =>
       schemaGate(pid, acting).getOrElse(schemaLock.synchronized {
@@ -1018,10 +1018,13 @@ final class GraftHttpServer(
     s"""{"id":${o.id},"name":${JStr(o.name).render},"createdBy":${o.createdBy},"members":$members}"""
   }
 
-  private def projectJson(p: graft.model.Project): String =
+  private def projectJson(p: graft.model.Project): String = {
+    val desc = p.description.map(d => JStr(d).render).getOrElse("null")
     s"""{"id":${p.id},"organizationId":${p.organizationId},"name":${JStr(p.name).render},""" +
+      s""""description":$desc,""" +
       s""""token":${JStr(p.token).render},"sessionDurationSeconds":${p.sessionDurationSeconds},""" +
       s""""eventsCount":${p.eventsCount}}"""
+  }
 
   /** The reference carries the tenant in the URL path
     * (platform/src/http/event_segmentation.rs:31 `:project_id`); a

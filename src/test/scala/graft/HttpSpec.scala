@@ -612,11 +612,14 @@ class HttpSpec extends SparkTestBase {
       val (uc, upd) = req(srv.port, "PUT", "/api/v1/projects/1",
         """{"name": "Website", "description": "main site"}""", bearer = ownerTok)
       assert(uc == 200 && upd.contains("\"name\":\"Website\""))
+      assert(upd.contains("\"description\":\"main site\""),
+        "the response reflects the field that was just set")
       assert(tenancy.project(1L).get.description.contains("main site"))
       val (nc, cleared) = req(srv.port, "PUT", "/api/v1/projects/1",
         """{"description": null}""", bearer = ownerTok)
       assert(nc == 200 && tenancy.project(1L).get.description.isEmpty)
       assert(cleared.contains("\"name\":\"Website\""), "partial update keeps the name")
+      assert(cleared.contains("\"description\":null"))
       assert(req(srv.port, "PUT", "/api/v1/projects/1",
         """{"name": "Mobile"}""", bearer = ownerTok)._1 == 400)
       assert(tenancy.project(1L).get.name == "Website")
@@ -663,6 +666,22 @@ class HttpSpec extends SparkTestBase {
       assert(req(srv.port, "PUT", s"$base/3",
         s"""{"definition": $defJson}""")._1 == 200)
       assert(req(srv.port, "GET", s"$base/3")._2 == one, "render/parse round-trip is stable")
+
+      // the round-trip survives a property RENAME on this strict
+      // registry: the stored filter's physical column renders under
+      // its CURRENT display name, which the strict parse resolves
+      assert(req(srv.port, "PUT",
+        "/api/v1/projects/1/schema/event-properties/value",
+        """{"displayName": "Amount"}""")._1 == 200)
+      val (rc2, renamed) = req(srv.port, "GET", s"$base/3")
+      assert(rc2 == 200 && renamed.contains("\"propertyName\":\"Amount\""))
+      val renamedDef = (graft.model.Json.parse(renamed) / "definition").render
+      assert(req(srv.port, "PUT", s"$base/3",
+        s"""{"definition": $renamedDef}""")._1 == 200,
+        "rendered definition must re-parse after the rename")
+      assert(req(srv.port, "PUT",
+        "/api/v1/projects/1/schema/event-properties/Amount",
+        """{"displayName": "value"}""")._1 == 200)
 
       // update replaces the definition and queries follow it
       assert(req(srv.port, "PUT", s"$base/3",

@@ -353,6 +353,33 @@ class PipelineSpec extends SparkTestBase {
       s"global-window single partition in plan:\n$plan")
   }
 
+  test("packShards/temperatureMixture degrade cleanly on dirty input") {
+    import spark.implicits._
+    // null token count packs as 0 tokens, doc still lands in a shard
+    val nullable = Seq((1L, Some(50L)), (2L, None), (3L, Some(30L)))
+      .toDF("doc_id", "n_tok")
+    val packed = Sharding.packShards(nullable, "doc_id", col("n_tok"), 100L, 4)
+    assert(packed.count() == 3)
+    // null doc id fails LOUDLY (cannot be ordered deterministically)
+    val nullId = Seq((Some(1L), 10L), (None, 20L)).toDF("doc_id", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      Sharding.packShards(nullId, "doc_id", col("n_tok"), 100L, 4)
+    }
+    assert(e.getMessage.contains("null doc_id"))
+    // reserved temp/output column names are rejected, not clobbered
+    val clash = Seq((1L, 10L)).toDF("doc_id", "__bucket")
+    assert(intercept[IllegalArgumentException] {
+      Sharding.packShards(clash, "doc_id", lit(1L), 100L, 4)
+    }.getMessage.contains("__bucket"))
+
+    // a null stratum neither crashes the rate computation nor passes
+    // the gate — same degradation as sampleByStrata
+    val nullStrata = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureMixture(nullStrata, "source", "doc_id", 1.0)
+    assert(kept.count() == 2 && kept.filter(col("source").isNull).count() == 0)
+  }
+
   test("temperatureMixture: T=1 keeps all; high T equalizes; deterministic subset") {
     import spark.implicits._
     // skewed corpus: 160/30/10 docs across three sources
