@@ -1206,6 +1206,17 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), "text", 100)),
 
+    // pipeline: corpus unigram LM scoring (CCNet-style perplexity
+    // filter signal) — per-token costs pre-quantized to integer
+    // micro-nats on the top-30 vocabulary (rest scores as OOV
+    // singletons), so per-doc sums are exact and order-independent;
+    // the oracle replays vocabulary, quantization, and join verbatim.
+    "q_lm_score" -> ((s, dir) => {
+      TextAnalysis.withLmScore(Tables.documents(s, dir), "doc_id", "text",
+          vocabK = 30)
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: language-ID heuristic distribution
     "q_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2875,6 +2886,27 @@ object SparkEntry {
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""",
+
+    // unigram LM scoring: same top-30 vocabulary cut (freq desc,
+    // token asc), same micro-nat quantization floor(-ln(c/N)*1e6),
+    // OOV = singleton cost floor(-ln(1/N)*1e6)
+    "q_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         n AS (SELECT count(*) AS total FROM toks),
+         vocab AS (
+           SELECT tok AS token, count(*) AS c FROM toks
+           GROUP BY 1 ORDER BY c DESC, token LIMIT 30),
+         lp AS (
+           SELECT token,
+                  CAST(floor(-ln(CAST(c AS DOUBLE) / (SELECT total FROM n)) * 1e6) AS BIGINT) AS lp
+           FROM vocab)
+         SELECT t.doc_id,
+                CAST(sum(COALESCE(l.lp,
+                  (SELECT CAST(floor(-ln(1.0 / total) * 1e6) AS BIGINT) FROM n))) AS BIGINT) AS lp_sum,
+                count(*) AS n_toks
+         FROM toks t LEFT JOIN lp l ON t.tok = l.token
+         GROUP BY 1 ORDER BY doc_id""",
 
     "q_lang_id" ->
       """SELECT lang,

@@ -117,6 +117,46 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Corpus unigram language-model score — the perplexity-filter
+    * signal of CCNet-style pipelines without an external model: token
+    * probability `p(t) = c_t / N` comes from the corpus itself (top-k
+    * vocabulary; out-of-vocabulary tokens score as singletons,
+    * `c = 1`), and a document's score is its mean negative
+    * log-likelihood — high = improbable/noisy text, the filter axis.
+    *
+    * Results are emitted as EXACT integers: each token's cost is
+    * pre-quantized to micro-nats (`floor(-ln(p) * 1e6)`) on the k-row
+    * vocabulary table, and documents sum those longs — bit-stable
+    * under any partitioning or addition order, and replayable
+    * digit-for-digit by a SQL oracle.
+    *
+    * Scale shape: vocabulary is a partial-agg TakeOrdered(k); the
+    * corpus-sized path is explode → BROADCAST join against the k-row
+    * cost table (no shuffle) → one partial-aggregated
+    * `groupBy(doc)` — a single shuffle carrying one (doc, sum, count)
+    * triple per doc per partition.
+    *
+    * Returns (idCol, lp_sum, n_toks); mean micro-nats per token is
+    * `lp_sum / n_toks`.
+    */
+  def withLmScore(df: DataFrame, idCol: String, textCol: String,
+                  vocabK: Int): DataFrame = {
+    val total = df
+      .agg(sum(size(tokens(col(textCol)))).cast("long"))
+      .collect()(0).getLong(0)
+    require(total > 0, "empty corpus: nothing to score")
+    val costs = vocabulary(df, textCol, vocabK)
+      .withColumn("lp",
+        floor(-log(col("freq").cast("double") / total) * 1e6).cast("long"))
+      .select(col("token"), col("lp"))
+    val oovLp = math.floor(-math.log(1.0 / total) * 1e6).toLong
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .join(broadcast(costs), col("__tok") === col("token"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("lp"), lit(oovLp))).as("lp_sum"),
+        count(lit(1)).as("n_toks"))
+  }
+
   /** Document fingerprint: hash of the sorted distinct token set
     * (bag-of-words fingerprint). Identical token multisets — word
     * reorderings, duplicated runs — collide, which is the point:

@@ -353,6 +353,28 @@ class PipelineSpec extends SparkTestBase {
       s"global-window single partition in plan:\n$plan")
   }
 
+  test("withLmScore: probable text scores low, OOV text scores the singleton cost") {
+    import spark.implicits._
+    // corpus: "a" dominates (6 of 12 tokens), "b" rare, rest OOV at k=2
+    val docs = Seq(
+      (1L, "a a a a"),       // all high-probability -> lowest cost
+      (2L, "a b a b"),       // mixed
+      (3L, "x y z q")        // all OOV -> singleton cost each
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withLmScore(docs, "doc_id", "text", vocabK = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val total = 12.0
+    def q(p: Double): Long = math.floor(-math.log(p) * 1e6).toLong
+    // doc 1: 4 tokens of p=6/12; doc 3: 4 singletons p=1/12
+    assert(out(0) == ((1L, 4 * q(6 / total), 4L)))
+    assert(out(1) == ((2L, 2 * q(6 / total) + 2 * q(2 / total), 4L)))
+    assert(out(2) == ((3L, 4 * q(1 / total), 4L)))
+    // the filter axis is ordered: clean < mixed < junk
+    assert(out(0)._2 < out(1)._2 && out(1)._2 < out(2)._2)
+  }
+
   test("packShards/temperatureMixture degrade cleanly on dirty input") {
     import spark.implicits._
     // null token count packs as 0 tokens, doc still lands in a shard
