@@ -1206,6 +1206,16 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), "text", 100)),
 
+    // pipeline: Gopher-style composite quality gate — verdict + first
+    // failing rule per doc, all thresholds as integer cross-products
+    // so the oracle replays them bit-exactly.
+    "q_gopher_filter" -> ((s, dir) => {
+      TextAnalysis.gopherFilter(Tables.documents(s, dir), "text")
+        .groupBy(col("quality_pass"), col("quality_reason"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+
     // pipeline: corpus unigram LM scoring (CCNet-style perplexity
     // filter signal) — per-token costs pre-quantized to integer
     // micro-nats on the top-30 vocabulary (rest scores as OOV
@@ -2886,6 +2896,40 @@ object SparkEntry {
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""",
+
+    // Gopher gate: same integer cross-product thresholds, same rule
+    // precedence as the when-chain; bigram mode via explode+group-by
+    // like the q_repetition oracle
+    "q_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (
+           SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+           FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+         top AS (
+           SELECT doc_id, max(c) AS tbc
+           FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+           GROUP BY 1),
+         m AS (
+           SELECT t.doc_id,
+                  CAST(len(w) AS BIGINT) AS n,
+                  CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup,
+                  CAST(coalesce(tbc, 0) AS BIGINT) AS tbc,
+                  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
+                  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha
+           FROM t LEFT JOIN top USING (doc_id)),
+         v AS (
+           SELECT doc_id,
+                  CASE WHEN n < 20 THEN 'too_short'
+                       WHEN n > 100000 THEN 'too_long'
+                       WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 'mean_word_len'
+                       WHEN alpha * 5 < n * 4 THEN 'alpha_ratio'
+                       WHEN dup * 10 > n * 3 THEN 'dup_words'
+                       WHEN tbc * 5 > n THEN 'top_bigram'
+                       ELSE NULL END AS quality_reason
+           FROM m)
+         SELECT quality_reason IS NULL AS quality_pass, quality_reason,
+                count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM v GROUP BY 1, 2""",
 
     // unigram LM scoring: same top-30 vocabulary cut (freq desc,
     // token asc), same micro-nat quantization floor(-ln(c/N)*1e6),

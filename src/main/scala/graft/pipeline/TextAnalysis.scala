@@ -106,6 +106,43 @@ object TextAnalysis {
       .drop("__toks", "__bg_sorted")
   }
 
+  /** Gopher-style composite quality gate: the document-level filter
+    * rules a training corpus screens on (word-count band, mean word
+    * length band, alphabetic-word ratio, duplicate-word fraction,
+    * top-bigram fraction), folded into one verdict plus the FIRST
+    * failing rule as a machine-readable reason — the audit trail a
+    * filtering pipeline reports ("why was this dropped").
+    *
+    * Every threshold compares INTEGER cross-products (e.g. alpha
+    * ratio ≥ 0.8 is `5 * alpha_words >= 4 * n_words`), never computed
+    * ratios — the verdicts are bit-exact on any engine, so the SQL
+    * oracle replays them verbatim. Narrow and shuffle-free on top of
+    * [[withRepetitionSignals]].
+    *
+    * Adds `quality_reason` (null = clean) and `quality_pass`.
+    */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   minWords: Long = 20L, maxWords: Long = 100000L): DataFrame = {
+    val staged = withRepetitionSignals(df, textCol)
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__sum_len",
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("__alpha_words",
+        size(filter(col("__toks"), t => t.rlike("[a-zA-Z]"))).cast("long"))
+    val n = col("n_words")
+    val reason = when(n < minWords, "too_short")
+      .when(n > maxWords, "too_long")
+      .when(col("__sum_len") < lit(3L) * n || col("__sum_len") > lit(10L) * n,
+        "mean_word_len")                                   // mean ∉ [3, 10]
+      .when(col("__alpha_words") * 5 < n * 4, "alpha_ratio")      // < 0.8
+      .when(col("dup_words") * 10 > n * 3, "dup_words")           // > 0.3
+      .when(col("top_bigram_count") * 5 > n, "top_bigram")        // > 0.2
+    staged
+      .withColumn("quality_reason", reason)
+      .withColumn("quality_pass", reason.isNull)
+      .drop("__toks", "__sum_len", "__alpha_words")
+  }
+
   /** Corpus token vocabulary (tokenizer-training prep): global token
     * frequencies, top `k` by count with the tie broken on the token
     * so the cut is deterministic. Partial (map-side) aggregation then

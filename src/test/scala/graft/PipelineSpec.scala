@@ -353,6 +353,39 @@ class PipelineSpec extends SparkTestBase {
       s"global-window single partition in plan:\n$plan")
   }
 
+  test("gopherFilter: rule precedence and integer thresholds") {
+    import spark.implicits._
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ")   // 30 distinct, len 5-6
+    val docs = Seq(
+      (1L, clean),                                  // passes every rule
+      (2L, "a b c"),                                // 3 words -> too_short
+      (3L, (1 to 25).map(_ => "xx").mkString(" ")), // all dups -> but mean len 2 < 3 fires FIRST
+      (4L, (1 to 10).map(i => s"token$i").mkString(" ") + " " +
+           (1 to 15).map(_ => "wword wword").mkString(" ")) // dup-heavy, len ok
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs, "text")
+      .select("doc_id", "quality_pass", "quality_reason")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+
+    assert(out(1L) == ((true, None)))
+    assert(out(2L) == ((false, Some("too_short"))))
+    assert(out(3L) == ((false, Some("mean_word_len"))),
+      "mean_word_len precedes dup_words in the chain")
+    assert(out(4L)._1 == false && out(4L)._2.contains("dup_words"))
+
+    // boundary exactness: alpha ratio EXACTLY 0.8 passes (>= 0.8 rule
+    // via 5*alpha >= 4*n), one word fewer fails
+    val boundary = Seq(
+      (10L, (1 to 16).map(i => s"word$i").mkString(" ") + " " + (1 to 4).map(_ => "1234").mkString(" ")),
+      (11L, (1 to 15).map(i => s"word$i").mkString(" ") + " " + (1 to 5).map(_ => "1234").mkString(" "))
+    ).toDF("doc_id", "text")
+    val b = TextAnalysis.gopherFilter(boundary, "text")
+      .select("doc_id", "quality_reason")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(b(10L) == None, "alpha 16/20 = 0.8 exactly passes")
+    assert(b(11L) == Some("alpha_ratio"), "alpha 15/20 fails")
+  }
+
   test("withLmScore: probable text scores low, OOV text scores the singleton cost") {
     import spark.implicits._
     // corpus: "a" dominates (6 of 12 tokens), "b" rare, rest OOV at k=2
