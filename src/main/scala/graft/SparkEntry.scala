@@ -1206,6 +1206,16 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), "text", 100)),
 
+    // pipeline: sliding-window chunking (embedding/RAG prep) — 32-token
+    // windows, stride 16; chunk text emitted as md5 so the row stays
+    // narrow while still pinning exact content + boundaries.
+    "q_chunk_docs" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), "text",
+          windowTokens = 32, strideTokens = 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_chunk_tokens"))
+    }),
+
     // pipeline: Gopher-style composite quality gate — verdict + first
     // failing rule per doc, all thresholds as integer cross-products
     // so the oracle replays them bit-exactly.
@@ -2896,6 +2906,20 @@ object SparkEntry {
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""",
+
+    // chunking: same window starts (1, 1+stride, ... <= max(1, n-w+1)),
+    // same clamped tail slice; chunk_idx is 0-based like posexplode
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         starts AS (
+           SELECT doc_id, w,
+                  unnest(range(1,
+                    ((greatest(0, len(w) - 32) + 15) // 16) * 16 + 2, 16)) AS i
+           FROM t)
+         SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS chunk_idx,
+                md5(array_to_string(list_slice(w, i, i + 31), ' ')) AS chunk_md5,
+                CAST(len(list_slice(w, i, i + 31)) AS BIGINT) AS n_chunk_tokens
+         FROM starts""",
 
     // Gopher gate: same integer cross-product thresholds, same rule
     // precedence as the when-chain; bigram mode via explode+group-by

@@ -194,6 +194,42 @@ object TextAnalysis {
         count(lit(1)).as("n_toks"))
   }
 
+  /** Sliding-window document chunking — the embedding/RAG prep step
+    * that cuts long documents into overlapping token windows. Pure
+    * narrow Catalyst (`sequence` of window starts → `transform` +
+    * `slice` → `posexplode`): no shuffle, no UDF, chunk counts scale
+    * with the document, never the corpus. A document shorter than the
+    * window yields exactly one chunk (itself); the final chunk may be
+    * shorter than the window (standard tokenizer-prep semantics).
+    *
+    * Window starts walk 1, 1+stride, … up to the FIRST stride point
+    * whose window reaches the document end — every token lands in at
+    * least one chunk (full coverage), and no start begins past the
+    * last needed window (no degenerate tail chunks).
+    *
+    * Output: input columns + (chunk_idx, chunk_text, n_chunk_tokens).
+    */
+  def chunkDocuments(df: DataFrame, textCol: String,
+                     windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"window must be positive, got $windowTokens")
+    require(strideTokens > 0, s"stride must be positive, got $strideTokens")
+    val staged = df.withColumn("__toks", tokens(col(textCol)))
+    // 1 + ceil(max(0, n-w) / s) * s — exact in doubles for any real
+    // document length, floor'd back to a long
+    val overhang = greatest(lit(0), size(col("__toks")) - windowTokens)
+    val lastStart = (floor((overhang + strideTokens - 1)
+      / strideTokens.toDouble) * strideTokens + 1).cast("int")
+    staged
+      .withColumn("__chunks",
+        transform(sequence(lit(1), lastStart, lit(strideTokens)),
+          start => slice(col("__toks"), start, lit(windowTokens))))
+      .select(staged.columns.map(col) :+
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "__chunk")): _*)
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .withColumn("n_chunk_tokens", size(col("__chunk")).cast("long"))
+      .drop("__toks", "__chunk", "__chunks")
+  }
+
   /** Document fingerprint: hash of the sorted distinct token set
     * (bag-of-words fingerprint). Identical token multisets — word
     * reorderings, duplicated runs — collide, which is the point:

@@ -353,6 +353,33 @@ class PipelineSpec extends SparkTestBase {
       s"global-window single partition in plan:\n$plan")
   }
 
+  test("chunkDocuments: overlap, short-doc, and tail semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, w=4 s=2
+      (2L, "a b"),                                    // shorter than window
+      (3L, (1 to 5).map(i => s"u$i").mkString(" "))   // tail chunk shorter
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "text", 4, 2)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(c => (c._1, c._2))
+
+    // doc 1: starts 1,3,5,7 (last start = 10-4+1=7), all full windows
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(d1.forall(_._4 == 4L))
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    // doc 2: one chunk, the whole (short) doc
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2L)))
+    // doc 3 (n=5): starts 1 and 3 — the stride walk continues until a
+    // window reaches the end, so the tail token u5 IS covered, in a
+    // shorter final chunk
+    assert(out.filter(_._1 == 3L).map(c => (c._3, c._4)).toSeq ==
+      Seq(("u1 u2 u3 u4", 4L), ("u3 u4 u5", 3L)))
+  }
+
   test("gopherFilter: rule precedence and integer thresholds") {
     import spark.implicits._
     val clean = (1 to 30).map(i => s"word$i").mkString(" ")   // 30 distinct, len 5-6
