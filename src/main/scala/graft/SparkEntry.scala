@@ -2925,7 +2925,8 @@ object SparkEntry {
     // precedence as the when-chain; bigram mode via explode+group-by
     // like the q_repetition oracle
     "q_gopher_filter" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, text IS NULL AS no_text,
+                           string_split(text, ' ') AS w FROM documents),
          bg AS (
            SELECT doc_id, w[i] || ' ' || w[i+1] AS b
            FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
@@ -2934,7 +2935,7 @@ object SparkEntry {
            FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
            GROUP BY 1),
          m AS (
-           SELECT t.doc_id,
+           SELECT t.doc_id, no_text,
                   CAST(len(w) AS BIGINT) AS n,
                   CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup,
                   CAST(coalesce(tbc, 0) AS BIGINT) AS tbc,
@@ -2943,7 +2944,8 @@ object SparkEntry {
            FROM t LEFT JOIN top USING (doc_id)),
          v AS (
            SELECT doc_id,
-                  CASE WHEN n < 20 THEN 'too_short'
+                  CASE WHEN no_text THEN 'empty'
+                       WHEN n < 20 THEN 'too_short'
                        WHEN n > 100000 THEN 'too_long'
                        WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 'mean_word_len'
                        WHEN alpha * 5 < n * 4 THEN 'alpha_ratio'

@@ -80,7 +80,12 @@ object TextAnalysis {
     * input split — at 100 TB the alternative shuffles one row per
     * bigram occurrence. Arrays are staged as real columns first
     * (lambda-subtree re-evaluation gotcha). */
-  def withRepetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+  def withRepetitionSignals(df: DataFrame, textCol: String,
+                            /** Retain the staged token array under
+                              * this name so callers layering more
+                              * token signals (gopherFilter) reuse ONE
+                              * split instead of re-tokenizing. */
+                            keepTokens: Option[String] = None): DataFrame = {
     val staged = df
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__bg_sorted",
@@ -103,7 +108,9 @@ object TextAnalysis {
               greatest(acc.getField("best"), run).as("best"))
           },
           acc => acc.getField("best")))
-      .drop("__toks", "__bg_sorted")
+      .drop("__bg_sorted")
+      .withColumnsRenamed(keepTokens.map("__toks" -> _).toMap)
+      .drop((if (keepTokens.isEmpty) Seq("__toks") else Seq.empty[String]): _*)
   }
 
   /** Gopher-style composite quality gate: the document-level filter
@@ -123,14 +130,22 @@ object TextAnalysis {
     */
   def gopherFilter(df: DataFrame, textCol: String,
                    minWords: Long = 20L, maxWords: Long = 100000L): DataFrame = {
-    val staged = withRepetitionSignals(df, textCol)
-      .withColumn("__toks", tokens(col(textCol)))
+    Seq("quality_reason", "quality_pass", "n_words", "n_distinct_words",
+        "dup_words", "top_bigram_count", "__toks", "__sum_len",
+        "__alpha_words").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c' — rename it before filtering"))
+    // ONE tokenization: the repetition stage keeps its staged array
+    val staged = withRepetitionSignals(df, textCol, keepTokens = Some("__toks"))
       .withColumn("__sum_len",
         aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)))
       .withColumn("__alpha_words",
         size(filter(col("__toks"), t => t.rlike("[a-zA-Z]"))).cast("long"))
     val n = col("n_words")
-    val reason = when(n < minWords, "too_short")
+    // a null/absent document must FAIL the gate, not slip through the
+    // when-chain as a null reason (NULL conditions are "false")
+    val reason = when(col(textCol).isNull, "empty")
+      .when(n < minWords, "too_short")
       .when(n > maxWords, "too_long")
       .when(col("__sum_len") < lit(3L) * n || col("__sum_len") > lit(10L) * n,
         "mean_word_len")                                   // mean ∉ [3, 10]
@@ -178,20 +193,45 @@ object TextAnalysis {
     */
   def withLmScore(df: DataFrame, idCol: String, textCol: String,
                   vocabK: Int): DataFrame = {
-    val total = df
-      .agg(sum(size(tokens(col(textCol)))).cast("long"))
-      .collect()(0).getLong(0)
-    require(total > 0, "empty corpus: nothing to score")
-    val costs = vocabulary(df, textCol, vocabK)
-      .withColumn("lp",
-        floor(-log(col("freq").cast("double") / total) * 1e6).cast("long"))
-      .select(col("token"), col("lp"))
-    val oovLp = math.floor(-math.log(1.0 / total) * 1e6).toLong
-    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-      .join(broadcast(costs), col("__tok") === col("token"), "left")
-      .groupBy(col(idCol))
-      .agg(sum(coalesce(col("lp"), lit(oovLp))).as("lp_sum"),
-        count(lit(1)).as("n_toks"))
+    Seq("token", "lp", "__tok", "lp_sum", "n_toks").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c' — rename it before scoring"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE corpus-wide tokenization feeds both the total and the top-k
+    // cut: the frequency aggregate is persisted (vocab-sized rows, far
+    // below corpus size) so its two consumers share the scan
+    val freqs = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totalRow = freqs.agg(sum(col("freq"))).collect()(0)
+      require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+        "empty corpus: nothing to score")
+      val total = totalRow.getLong(0)
+      // micro-nat quantization floor(-ln(c/N)*1e6): ln is evaluated
+      // ONCE, on the driver, over k+1 exact integer ratios — the only
+      // cross-engine exposure left is the oracle's own ln, which
+      // flips a cost only when -ln(p)*1e6 lands within ~1e-9 of an
+      // integer (vanishing for a fixed dataset, and verified by the
+      // oracle run)
+      def lp(c: Long): Long = math.floor(-math.log(c.toDouble / total) * 1e6).toLong
+      val costs = freqs
+        .orderBy(col("freq").desc, col("token").asc).limit(vocabK)
+        .collect().map(r => r.getString(0) -> lp(r.getLong(1))).toSeq
+        .toDF("token", "lp")
+      val oovLp = lp(1L)
+      // explode_outer keeps null/token-less docs in the output with a
+      // zero score instead of silently dropping them
+      df.select(col(idCol), explode_outer(tokens(col(textCol))).as("__tok"))
+        .join(broadcast(costs), col("__tok") === col("token"), "left")
+        .groupBy(col(idCol))
+        .agg(
+          coalesce(sum(when(col("__tok").isNotNull,
+            coalesce(col("lp"), lit(oovLp)))), lit(0L)).as("lp_sum"),
+          count(col("__tok")).as("n_toks"))
+    } finally freqs.unpersist()
   }
 
   /** Sliding-window document chunking — the embedding/RAG prep step
@@ -213,6 +253,13 @@ object TextAnalysis {
                      windowTokens: Int, strideTokens: Int): DataFrame = {
     require(windowTokens > 0, s"window must be positive, got $windowTokens")
     require(strideTokens > 0, s"stride must be positive, got $strideTokens")
+    require(strideTokens <= windowTokens,
+      s"stride $strideTokens > window $windowTokens would skip tokens " +
+        "between windows, breaking the full-coverage invariant")
+    Seq("chunk_idx", "chunk_text", "n_chunk_tokens", "__toks", "__chunks",
+        "__chunk").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c' — rename it before chunking"))
     val staged = df.withColumn("__toks", tokens(col(textCol)))
     // 1 + ceil(max(0, n-w) / s) * s — exact in doubles for any real
     // document length, floor'd back to a long

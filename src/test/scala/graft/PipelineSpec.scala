@@ -353,6 +353,48 @@ class PipelineSpec extends SparkTestBase {
       s"global-window single partition in plan:\n$plan")
   }
 
+  test("text operators reject dirty input loudly and fail null docs") {
+    import spark.implicits._
+    // gopher: a null document FAILS the gate with reason 'empty'
+    val withNull = Seq((1L, (1 to 30).map(i => s"word$i").mkString(" ")),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val g = TextAnalysis.gopherFilter(withNull, "text")
+      .select("doc_id", "quality_pass", "quality_reason")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(g(1L) == ((true, None)))
+    assert(g(2L) == ((false, Some("empty"))), "null text must not pass the quality gate")
+
+    // lm score: null docs are kept with a zero score, not dropped;
+    // empty corpus raises the intended diagnostic, not an NPE
+    val lm = TextAnalysis.withLmScore(withNull, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(lm.contains(2L) && lm(2L) == ((0L, 0L)))
+    val empty = intercept[IllegalArgumentException] {
+      TextAnalysis.withLmScore(
+        Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text", 5)
+    }
+    assert(empty.getMessage.contains("empty corpus"))
+
+    // chunking: stride wider than the window would skip tokens
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(withNull, "text", 4, 10)
+    }.getMessage.contains("full-coverage"))
+    // reserved output names are rejected, not clobbered
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(
+        Seq((1L, "a b", 0)).toDF("doc_id", "text", "chunk_idx"), "text", 4, 2)
+    }.getMessage.contains("chunk_idx"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.gopherFilter(
+        Seq((1L, "a b", 0L)).toDF("doc_id", "text", "n_words"), "text")
+    }.getMessage.contains("n_words"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.withLmScore(
+        Seq((1L, "a b", "x")).toDF("doc_id", "text", "token"), "doc_id", "text", 5)
+    }.getMessage.contains("token"))
+  }
+
   test("chunkDocuments: overlap, short-doc, and tail semantics") {
     import spark.implicits._
     val docs = Seq(
