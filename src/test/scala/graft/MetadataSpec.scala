@@ -131,6 +131,43 @@ class MetadataSpec extends SparkTestBase {
     assert(collectMap(out, "device", "cnt") == Map("ios" -> 2L))
   }
 
+  test("customEventJson maps stored columns back to display names and namespaces") {
+    // a stored PropFilter carries only the physical column; rendering
+    // must recover: (a) the CURRENT event-namespace display name,
+    // (b) a group-typed ref when only a group namespace addresses the
+    // column, (c) the raw column as open-registry passthrough
+    val reg = Metadata.fromEvents(df, display = Map("value" -> "Revenue"))
+      .withGroupColumns(Seq("user_id", "device"))
+      // group-1-only property over a column with no event display name
+      .withoutProperty("device")
+      .withGroupProperty(1, PropertyMeta("Kind", "device", "string"))
+    implicit val r: Registry = reg
+
+    val ce = CustomEvent("mixed", Seq(
+      CustomEventMember.Event(Some("view"), Seq(
+        PropFilter("value", PropOp.Gt, Seq(10L)),       // event ns: Revenue
+        PropFilter("device", PropOp.Eq, Seq("ios"))))))  // group 1 ns: Kind
+    val rendered = JsonDsl.customEventJson(ce)
+    assert(rendered.contains("\"propertyType\":\"event\",\"propertyName\":\"Revenue\""))
+    assert(rendered.contains("\"propertyType\":\"group\",\"group\":1,\"propertyName\":\"Kind\""))
+
+    // and the render re-parses to the SAME stored definition — the
+    // group ref resolves through its namespace back to 'device'
+    val reparsed = JsonDsl.customEventDef(Json.parse(rendered))
+    assert(reparsed == ce)
+
+    // a column no namespace addresses renders raw — re-parseable only
+    // through an OPEN registry's passthrough (a strict one rightly
+    // rejects it, matching its decode-time behavior everywhere else)
+    val ghost = CustomEvent("ghost", Seq(
+      CustomEventMember.Event(Some("view"), Seq(
+        PropFilter("ghost_col", PropOp.Exists)))))
+    val gRendered = JsonDsl.customEventJson(ghost)
+    assert(gRendered.contains("\"propertyType\":\"event\",\"propertyName\":\"ghost_col\""))
+    assert(JsonDsl.customEventDef(Json.parse(gRendered))(Registry.open) == ghost)
+    assertThrows[Json.JsonError](JsonDsl.customEventDef(Json.parse(gRendered)))
+  }
+
   test("JSON requests resolve display names through the registry") {
     val reg = Metadata.fromEvents(df, display = Map("value" -> "Revenue"))
     val json = """{
