@@ -2786,7 +2786,8 @@ object SparkEntry {
     // floor(1000 * (n_min/n)^(1 - 1/T) + eps) with T=2 -> exponent
     // 0.5; same md5 gate as q_sample_strata
     "q_mixture_temp" ->
-      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents
+                      WHERE source IS NOT NULL GROUP BY 1),
          mn AS (SELECT min(n) AS nmin FROM cnt),
          rate AS (
            SELECT source,
@@ -2815,7 +2816,7 @@ object SparkEntry {
                   COALESCE(sum(n_tok) OVER (ORDER BY bucket, doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
            FROM t)
-         SELECT CAST(floor(start / 2000.0) AS BIGINT) AS shard_id,
+         SELECT CAST(start // 2000 AS BIGINT) AS shard_id,
                 count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM pos GROUP BY 1 ORDER BY shard_id""",
@@ -2970,12 +2971,16 @@ object SparkEntry {
          lp AS (
            SELECT token,
                   CAST(floor(-ln(CAST(c AS DOUBLE) / (SELECT total FROM n)) * 1e6) AS BIGINT) AS lp
-           FROM vocab)
-         SELECT t.doc_id,
-                CAST(sum(COALESCE(l.lp,
-                  (SELECT CAST(floor(-ln(1.0 / total) * 1e6) AS BIGINT) FROM n))) AS BIGINT) AS lp_sum,
-                count(*) AS n_toks
-         FROM toks t LEFT JOIN lp l ON t.tok = l.token
+           FROM vocab),
+         scored AS (
+           SELECT t.doc_id,
+                  COALESCE(l.lp,
+                    (SELECT CAST(floor(-ln(1.0 / total) * 1e6) AS BIGINT) FROM n)) AS cost
+           FROM toks t LEFT JOIN lp l ON t.tok = l.token)
+         SELECT d.doc_id,
+                CAST(COALESCE(sum(s.cost), 0) AS BIGINT) AS lp_sum,
+                count(s.cost) AS n_toks
+         FROM documents d LEFT JOIN scored s USING (doc_id)
          GROUP BY 1 ORDER BY doc_id""",
 
     "q_lang_id" ->

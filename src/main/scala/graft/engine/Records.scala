@@ -74,6 +74,24 @@ object Records {
                    versionCol: String = "event_id"): DataFrame =
     latestPerGroup(events.filter(col(groupCol) === lit(id)), groupCol, versionCol)
 
+  /** Route-facing variant: coerce the raw path segment by the group
+    * column's actual type, so string-keyed group dimensions resolve
+    * and numeric ones keep a pushable long-literal predicate (a
+    * `cast(col as string)` comparison would defeat parquet pushdown
+    * AND throw under ANSI on non-numeric strings). A non-numeric
+    * segment against a numeric column raises NumberFormatException
+    * (→ the HTTP 400 plane). */
+  def getGroupByKey(events: DataFrame, groupCol: String, rawId: String,
+                    versionCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val key = events.schema(groupCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => lit(rawId.toLong)
+      case StringType                                    => lit(rawId)
+      case other => lit(rawId).cast(other)
+    }
+    latestPerGroup(events.filter(col(groupCol) === key), groupCol, versionCol)
+  }
+
   /** Group-record (profile) search. Group tables in the reference are
     * replacing tables (last version wins, cmd/src/lib.rs:270); with
     * immutable parquet that's dedup-on-read:

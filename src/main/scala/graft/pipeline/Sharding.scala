@@ -92,8 +92,10 @@ object Sharding {
       .join(broadcast(offsetsDf), "__bucket")
       .withColumn("__start",
         coalesce(sum(col("__tok")).over(w), lit(0L)) + col("__boff"))
-      .withColumn("shard_id",
-        floor(col("__start") / budgetTokens.toDouble).cast("long"))
+      // exact long floor-division (both operands nonnegative): a
+      // double round-trip would lose exactness past 2^53 cumulative
+      // tokens, silently shifting docs across shard boundaries
+      .withColumn("shard_id", expr(s"__start div ${budgetTokens}"))
       .drop("__tok", "__bucket", "__boff", "__start")
   }
 }

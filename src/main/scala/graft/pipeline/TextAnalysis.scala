@@ -86,6 +86,12 @@ object TextAnalysis {
                               * token signals (gopherFilter) reuse ONE
                               * split instead of re-tokenizing. */
                             keepTokens: Option[String] = None): DataFrame = {
+    Seq("__toks", "__bg_sorted").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c' — rename it first"))
+    keepTokens.filter(_ != "__toks").foreach(n =>
+      require(!df.columns.contains(n),
+        s"keepTokens target '$n' collides with an input column"))
     val staged = df
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__bg_sorted",
@@ -131,7 +137,7 @@ object TextAnalysis {
   def gopherFilter(df: DataFrame, textCol: String,
                    minWords: Long = 20L, maxWords: Long = 100000L): DataFrame = {
     Seq("quality_reason", "quality_pass", "n_words", "n_distinct_words",
-        "dup_words", "top_bigram_count", "__toks", "__sum_len",
+        "dup_words", "top_bigram_count", "__toks", "__bg_sorted", "__sum_len",
         "__alpha_words").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a column named '$c' — rename it before filtering"))
@@ -267,9 +273,12 @@ object TextAnalysis {
     val lastStart = (floor((overhang + strideTokens - 1)
       / strideTokens.toDouble) * strideTokens + 1).cast("int")
     staged
+      // a null document has NO chunks (posexplode of the empty array
+      // emits nothing) — not one phantom row of null text
       .withColumn("__chunks",
-        transform(sequence(lit(1), lastStart, lit(strideTokens)),
-          start => slice(col("__toks"), start, lit(windowTokens))))
+        when(col("__toks").isNull, array().cast("array<array<string>>"))
+          .otherwise(transform(sequence(lit(1), lastStart, lit(strideTokens)),
+            start => slice(col("__toks"), start, lit(windowTokens)))))
       .select(staged.columns.map(col) :+
         posexplode(col("__chunks")).as(Seq("chunk_idx", "__chunk")): _*)
       .withColumn("chunk_text", array_join(col("__chunk"), " "))

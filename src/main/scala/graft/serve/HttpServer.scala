@@ -195,13 +195,15 @@ final class GraftHttpServer(
     // one group's current profile row (reference group_records.rs:45
     // `GET /:group_id/:id` → get_by_id): point-filter the group's
     // events, then dedup-on-read picks the latest version
-    case ("GET", List("group-records", IdSeg(gid), IdSeg(id))) =>
+    // the id segment stays RAW: string-keyed group dimensions are
+    // addressable, numeric ones coerce (bad number → 400)
+    case ("GET", List("group-records", IdSeg(gid), rawId)) =>
       Metrics.timed("group_record_get") {
-        val table = Response.collect(graft.engine.Records.getGroupById(
+        val table = Response.collect(graft.engine.Records.getGroupByKey(
           graft.engine.Exprs.tenantScope(events, Some(pid)),
-          reg.groupColumn(gidIdx(gid)), id))
+          reg.groupColumn(gidIdx(gid)), rawId))
         if (table.columns.forall(_.values.isEmpty))
-          404 -> err(s"group $gid record $id not found")
+          404 -> err(s"group $gid record $rawId not found")
         else 200 -> table.toJson
       }
 

@@ -707,6 +707,14 @@ class HttpSpec extends SparkTestBase {
         events, "user_id", 2L)).toJson)
       assert(rec.contains("click"), "latest event of user 2 is its profile row")
       assert(req(srv.port, "GET", "/api/v1/projects/1/group-records/0/999")._1 == 404)
+      // a STRING-keyed group dimension resolves through the raw
+      // segment; a non-numeric id on a numeric dimension is 400
+      assert(req(srv.port, "POST", "/api/v1/projects/1/groups",
+        """{"column": "device"}""")._1 == 200)
+      val (sc, srec) = req(srv.port, "GET", "/api/v1/projects/1/group-records/1/web")
+      assert(sc == 200 && srec.contains("web"))
+      assert(req(srv.port, "GET", "/api/v1/projects/1/group-records/1/nope")._1 == 404)
+      assert(req(srv.port, "GET", "/api/v1/projects/1/group-records/0/abc")._1 == 400)
     }
   }
 

@@ -380,6 +380,9 @@ class PipelineSpec extends SparkTestBase {
     assert(intercept[IllegalArgumentException] {
       TextAnalysis.chunkDocuments(withNull, "text", 4, 10)
     }.getMessage.contains("full-coverage"))
+    // a null document yields ZERO chunks, never a phantom null row
+    assert(TextAnalysis.chunkDocuments(withNull, "text", 4, 2)
+      .filter(col("doc_id") === 2L).count() == 0)
     // reserved output names are rejected, not clobbered
     assert(intercept[IllegalArgumentException] {
       TextAnalysis.chunkDocuments(
