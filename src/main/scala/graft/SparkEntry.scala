@@ -1416,6 +1416,20 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // pipeline: symmetric int8 embedding quantization — per-vector
+    // integer codes summarized exactly (sum/min/max of ints, scale as
+    // exact max|x|*1e9 micro-units); IEEE-only arithmetic, so the
+    // oracle replays it digit for digit.
+    "q_quantize_int8" -> ((s, dir) => {
+      Similarity.withQuantizedInt8(Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"),
+          aggregate(col("q_vec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          array_min(col("q_vec")).as("q_min"),
+          array_max(col("q_vec")).as("q_max"),
+          floor(col("q_vec_scale") * 127.0 * 1e9).cast("long").as("maxabs_nano"))
+        .orderBy(col("vec_id"))
+    }),
+
     // pipeline: LSH-bucketed ANN — hyperplanes are a DETERMINISTIC
     // literal ±1 matrix shared verbatim with the DuckDB oracle, so
     // buckets, candidates and ranking hash-match end to end (the
@@ -3052,6 +3066,29 @@ object SparkEntry {
              round(cos_sim, 4) AS cos_sim_r
            FROM scored)
          SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
+
+    // int8 quantization: identical IEEE op sequence (float→double,
+    // *127/m, +0.5, floor; scale replayed as (m/127)*127*1e9) — no
+    // transcendentals, so every value is bit-exact
+    "q_quantize_int8" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, m,
+                  CASE WHEN m IS NULL OR m = 0
+                       THEN list_transform(embedding, x -> 0)
+                       ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INTEGER))
+                  END AS qv
+           FROM b)
+         SELECT vec_id,
+                CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                CAST(list_min(qv) AS INTEGER) AS q_min,
+                CAST(list_max(qv) AS INTEGER) AS q_max,
+                CAST(floor((COALESCE(m, 0) / 127.0) * 127.0 * 1e9) AS BIGINT) AS maxabs_nano
+         FROM q ORDER BY vec_id""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

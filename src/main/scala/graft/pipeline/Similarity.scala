@@ -37,6 +37,40 @@ object Similarity {
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× embedding-storage
+    * compression step of a large-scale vector pipeline: each float
+    * collapses to `floor(x * 127 / max|x| + 0.5)` with its scale
+    * (`max|x| / 127`) carried alongside for dequantization. The
+    * arithmetic is float→double promotion, IEEE mul/div, and floor —
+    * NO transcendentals — so quantized values are bit-exact across
+    * engines and the SQL oracle replays them verbatim. An all-zero
+    * (or null-element) vector quantizes to zeros with scale 0.
+    *
+    * The max|x| is staged as a real column before it enters the
+    * transform lambda: referencing the SUBTREE inside the lambda
+    * would re-evaluate the array max per element (the O(len²)
+    * lambda-capture gotcha).
+    *
+    * Adds `<outCol>` (array<int>) and `<outCol>_scale` (double). */
+  def withQuantizedInt8(df: DataFrame, vecCol: String,
+                        outCol: String = "q_vec"): DataFrame = {
+    Seq(outCol, s"${outCol}_scale", "__maxabs").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c' — rename it before quantizing"))
+    val staged = df.withColumn("__maxabs",
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+    staged
+      .withColumn(outCol,
+        when(col("__maxabs").isNull || col("__maxabs") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast("double") * lit(127.0) / col("__maxabs") + lit(0.5))
+              .cast("int"))))
+      .withColumn(s"${outCol}_scale",
+        coalesce(col("__maxabs"), lit(0.0)) / 127.0)
+      .drop("__maxabs")
+  }
+
   /** Two-stage global top-k per query over a scored (qId, cId,
     * cos_sim) frame. A single `Window.partitionBy(qId)` would hold
     * every scored corpus row for one query in one task — a straggler

@@ -564,6 +564,38 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq("en", "fr", "und"))
   }
 
+  test("int8 quantization: bounded reconstruction error, zero-vector safe, deterministic") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // all-zero -> zeros, scale 0
+      (3L, Array(3.0f, -2.0f, 0.001f, 1.5f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.withQuantizedInt8(vecs, "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](2), r.getDouble(3)))).toMap
+
+    // codes live in [-127, 127]; the max-magnitude element maps to ±127
+    assert(q(1L)._1 == Seq(64, -127, 32, 0))
+    assert(q(1L)._2 == 1.0 / 127.0)
+    assert(q(2L)._1 == Seq(0, 0, 0, 0) && q(2L)._2 == 0.0)
+    assert(q(3L)._1.head == 127 && q(3L)._1.max <= 127 && q(3L)._1.min >= -127)
+
+    // dequantization error is bounded by half a step
+    val scale3 = q(3L)._2
+    val orig = Array(3.0, -2.0, 0.001, 1.5)
+    q(3L)._1.zip(orig).foreach { case (code, x) =>
+      assert(math.abs(code * scale3 - x) <= scale3 / 2 + 1e-12,
+        s"code $code for $x off by more than half a step")
+    }
+
+    // collision guard
+    assert(intercept[IllegalArgumentException] {
+      Similarity.withQuantizedInt8(
+        vecs.withColumn("q_vec", lit(1)), "embedding")
+    }.getMessage.contains("q_vec"))
+  }
+
   test("cosine top-k ranks by similarity with id tiebreak") {
     import spark.implicits._
     val corpus = Seq(
