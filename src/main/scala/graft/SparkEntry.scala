@@ -114,6 +114,20 @@ object SparkEntry {
     s"${body.substring(0, idx).trim.stripSuffix(",")}, pairs AS (${body.substring(idx)})"
   }
 
+  /** Oracle for [[graft.pipeline.Dedup.prodParityReport]]: DuckDB
+    * recomputes the md5-portable pair count and the star-pair count
+    * end to end; the two xxhash-only integers (`pairs_prod`,
+    * `pairs_common`) are pinned literals measured once per corpus, and
+    * `bad_pairs` pins the 0 the cross-hash-family invariant demands. */
+  private def prodParitySql(n: Int, numHashes: Int, bands: Int, threshold: Double,
+                            pinProd: Long, pinCommon: Long): String =
+    s"""WITH ${portableMinhashPairsCte(n, numHashes, bands, threshold)}
+       SELECT CAST(0 AS BIGINT) AS bad_pairs,
+         CAST($pinCommon AS BIGINT) AS pairs_common,
+         (SELECT count(*) FROM pairs) AS pairs_portable,
+         CAST($pinProd AS BIGINT) AS pairs_prod,
+         (SELECT count(*) FROM star) AS star_pairs"""
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
   private def eventsC(s: SparkSession, dir: String): DataFrame =
@@ -1373,20 +1387,23 @@ object SparkEntry {
     // PRODUCTION variants of the two banded dedup pipelines: same
     // parameterization as their md5-portable oracle twins above, but
     // on the xxhash path a user actually runs (codegen'd 64-bit
-    // hashes, no hex-string arithmetic). No SQL oracle — xxhash64
-    // isn't reproducible in DuckDB — so the driver records rows-only;
-    // correctness of the shared banding/verify machinery is pinned by
-    // the portable twins, and these keep the 2x bench gate honest
-    // about the production path (VERDICT r5).
+    // hashes, no hex-string arithmetic). xxhash64 isn't reproducible
+    // in DuckDB, so instead of the raw pair set these emit
+    // Dedup.prodParityReport's one-row invariant summary: every prod
+    // pair re-verified under the independent md5-60 family (bad_pairs
+    // MUST be 0), the portable twin's count (DuckDB recomputes it end
+    // to end), star pairs (DuckDB recomputes from text digests), and
+    // the xxhash-only counts pinned as literals — a real pass/fail
+    // row instead of a permanent rows-only hole (VERDICT r8 #2). The
+    // full production pipeline still executes, keeping the 2x bench
+    // gate honest about the xxhash path (VERDICT r5).
     "q_minhash_dups_prod" -> ((s, dir) => {
-      Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.prodParityReport(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
-        .withColumn("jaccard", round(col("jaccard"), 6))
     }),
     "q_ngram_jaccard_prod" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 2, threshold = 0.05)
-        .withColumn("jaccard", round(col("jaccard"), 6))
+      Dedup.prodParityReport(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 8, threshold = 0.05)
     }),
 
     // pipeline: SimHash fingerprints + near-dup hamming pairs (rows-only)
@@ -2735,6 +2752,16 @@ object SparkEntry {
 
     // Same pipeline at bigram shingles, 8 bands x 2 rows, threshold 0.05.
     "q_ngram_jaccard" -> portableMinhashSql(n = 2, numHashes = 16, bands = 8, threshold = 0.05),
+
+    // Invariant oracles for the xxhash production twins (see
+    // prodParitySql): portable + star counts recomputed, prod-side
+    // counts pinned at their sf0.01 values, bad_pairs pinned 0.
+    "q_minhash_dups_prod" ->
+      prodParitySql(n = 3, numHashes = 16, bands = 4, threshold = 0.2,
+        pinProd = 25L, pinCommon = 25L),
+    "q_ngram_jaccard_prod" ->
+      prodParitySql(n = 2, numHashes = 16, bands = 8, threshold = 0.05,
+        pinProd = 545L, pinCommon = 40L),
 
     // PII redaction replayed verbatim (RE2 'g' flag = Java
     // replace-all); patterns share the engine-portable subset.
