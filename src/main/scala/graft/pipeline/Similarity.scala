@@ -143,11 +143,27 @@ object Similarity {
   }
 
   /** All near-dup pairs with cosine ≥ threshold, bucketed by LSH so the
-    * pair space never materializes quadratically. */
+    * pair space never materializes quadratically.
+    *
+    * Per-bucket state is BOUNDED, mirroring the banded text-dedup cap
+    * (Dedup.candidatePairs): a `row_number` window (sort-based,
+    * spills) keeps only the `maxBucket` lowest ids per bucket, so one
+    * hot bucket — mass-duplicated embeddings, or too few `planes` for
+    * the corpus — costs a deterministic truncation (lowest ids win),
+    * never an in-bucket O(c²) pair blast. The window's hash
+    * partitioning on `__bucket` is what the self-join keys on, so the
+    * cap rides the join's own shuffle. [[cosineOverflowingBuckets]]
+    * reports what the cap dropped — run it alongside a capped pass so
+    * truncation is explicit, not silent. */
   def cosineSelfJoinPairs(df: DataFrame, idCol: String, vecCol: String,
-                          threshold: Double, planes: Int = 6): DataFrame = {
+                          threshold: Double, planes: Int = 6,
+                          maxBucket: Int = 1000): DataFrame = {
+    val w = Window.partitionBy("__bucket").orderBy(col(idCol))
     val b = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", lshSignature(col(vecCol), planes))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
     val l = b.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__bucket"))
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__bucket"))
     l.join(r, Seq("__bucket"))
@@ -156,6 +172,18 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").distinct()
   }
+
+  /** Monitoring twin of the bucket cap in [[cosineSelfJoinPairs]]:
+    * the LSH buckets whose population exceeds `maxBucket`, with the
+    * member count the cap truncated — the same contract as
+    * Dedup.overflowingBuckets. Returns (bucket, bucket_size). */
+  def cosineOverflowingBuckets(df: DataFrame, idCol: String, vecCol: String,
+                               planes: Int = 6, maxBucket: Int = 1000): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", lshSignature(col(vecCol), planes))
+      .groupBy(col("__bucket").as("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** IVF-style coarse index: the `nCells` lowest-id corpus vectors act
     * as deterministic seed centroids; every vector is assigned to its

@@ -637,6 +637,28 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding self-join bucket cap bounds a mass-duplicated hot bucket") {
+    import spark.implicits._
+    // 500 copies of the same vector land in ONE LSH bucket; uncapped
+    // that is 124,750 pairs — the cap must keep only the maxBucket
+    // lowest ids (deterministic) and the overflow report must name
+    // the truncated bucket with its full population.
+    val hot = (0L until 500L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+    val cold = Seq((900L, Array(0.0f, 1.0f, 0.0f)), (901L, Array(0.0f, 0.999f, 0.001f)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineSelfJoinPairs(df, "vec_id", "embedding",
+      threshold = 0.99, planes = 4, maxBucket = 20).collect()
+    val hotPairs = pairs.filter(_.getAs[Long]("id_a") < 500L)
+    assert(hotPairs.length == 20 * 19 / 2)
+    // lowest ids win: every surviving hot-bucket member is < 20
+    assert(hotPairs.forall(r => r.getAs[Long]("id_b") < 20L))
+    // the small clean bucket is untouched by the cap
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 900L && r.getAs[Long]("id_b") == 901L))
+    val overflow = Similarity.cosineOverflowingBuckets(df, "vec_id", "embedding",
+      planes = 4, maxBucket = 20).collect()
+    assert(overflow.length == 1 && overflow(0).getAs[Long]("bucket_size") == 500L)
+  }
+
   test("header codec parses real PNG/GIF/BMP/JPEG container headers") {
     import graft.pipeline.Multimodal.HeaderCodec
     def png(w: Int, h: Int): Array[Byte] = {
