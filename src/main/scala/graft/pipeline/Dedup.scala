@@ -642,25 +642,31 @@ object Dedup {
     * closure turns pairs into keep/drop groups (doc A≈B, B≈C must
     * collapse to ONE kept doc even though A,C never paired).
     *
-    * Iterative min-label propagation: each round every node takes the
-    * min of its own and its neighbors' labels — one equi-join + one
-    * groupBy per round, all shuffles on the node id, no driver-side
-    * graph. Converges in O(component diameter) rounds; near-dup
-    * components are stars/short chains from banded candidate pairs,
-    * so diameters are small by construction. The label frame holds
-    * only nodes that appear in a pair — at 100 TB that is the
+    * Distributed path: alternating large-star / small-star rounds
+    * (Kiveris et al., SoCC'14) — O(log n) rounds even on adversarial
+    * long-chain pair graphs, where plain min-label propagation needs
+    * O(component diameter). Each round is two groupBy+join steps
+    * shuffled on the node id, no driver-side graph; the edge frame
+    * holds only nodes that appear in a pair — at 100 TB that is the
     * duplicate subset, orders of magnitude smaller than the corpus.
-    * (For adversarial long-chain graphs prefer the large-star/
-    * small-star algorithm; dup clusters never look like that.)
     *
-    * The per-round convergence check is one count on the label frame
-    * (node-set-sized); frames persist across rounds and release as
-    * soon as the next round materializes, INCLUDING the final one —
-    * the distributed path hands back a lineage-cut localCheckpoint of
-    * the converged labels (node-set-sized blocks owned by the returned
-    * frame, context-cleaned when the caller drops it) and leaves no
-    * CacheManager entry behind; the driver fast path returns a plain
-    * local frame. */
+    * The per-round convergence check is one count plus one except on
+    * the edge frame (edge-set-sized); frames persist across rounds
+    * and release as soon as the next round materializes, INCLUDING
+    * the final one — the distributed path hands back a lineage-cut
+    * checkpoint of the converged labels (node-set-sized blocks owned
+    * by the returned frame) and leaves no CacheManager entry behind;
+    * the driver fast path returns a plain local frame.
+    *
+    * Checkpoint retention: with a checkpoint dir configured the result
+    * is a RELIABLE checkpoint; Spark's ContextCleaner removes its
+    * files when the caller drops the frame ONLY if
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false — the files then live until the application exits and the
+    * usual checkpoint-dir cleanup). Set that conf, or point the
+    * checkpoint dir at application-scoped scratch space, if per-call
+    * reclamation matters. localCheckpoint blocks (no checkpoint dir)
+    * are always context-cleaned. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 30, smallGraphEdges: Long = 1L << 21): DataFrame = {
     // materialize the pair set ONCE before anything fans out: the
@@ -702,42 +708,85 @@ object Dedup {
       return parent.keys.toSeq.sorted.map(id => (id, find(id)))
         .toDF("id", "cluster_id")
     }
-    val edges = p
-      .unionByName(p.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
-    var cached = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .withColumn("__old", col("lbl")).persist()
-    var labels = cached.select(col("id"), col("lbl"))
-    var changed = 1L
+    // Alternating large-star / small-star rounds (Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond", SoCC'14 — a
+    // public algorithm): each round flattens component trees toward
+    // the minimum id, converging in O(log n) rounds instead of the
+    // O(component diameter) a plain min-label propagation needs — an
+    // adversarial 5k-node chain finishes in ~14 rounds, not 5k. Each
+    // step is one groupBy(min) + one equi-join, all shuffled on the
+    // node id; nothing driver-side but the per-round convergence
+    // count.
+    //
+    // large-star: every node's strictly LARGER neighbors re-attach to
+    // the minimum of its closed neighborhood. small-star: edges orient
+    // child(larger) -> parent(smaller); every parent and sibling
+    // re-attaches to the group minimum. Fixed point = star per
+    // component, centered on the component minimum.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("__mb"))
+        .select(col("a"), least(col("__mb"), col("a")).as("m"))
+      sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val mins = o.groupBy("a").agg(min(col("b")).as("m"))
+      o.join(mins, "a").select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // Each round's frame is lineage-cut with an EAGER localCheckpoint:
+    // both star steps reference their input several times (sym union,
+    // min join), so an uncut logical plan would grow ~10x per round —
+    // canonicalizing it OOMs the driver long before the data does.
+    // localCheckpoint registers its internal RDD as persistent but
+    // outside the CacheManager, so block release is explicit: the
+    // handle diff below tracks each round's RDD and frees it as soon
+    // as the next round no longer reads it.
+    val sc = pairs.sparkSession.sparkContext
+    def cutEager(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val pre = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint(true)
+      val handles = sc.getPersistentRDDs
+        .collect { case (id, r) if !pre.contains(id) => r }.toSeq
+      (cp, handles)
+    }
+    var (cur, curRdds) = cutEager(p.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct())
+    var curCount = cur.count()
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("min_nbr"))
-      // carry the previous label so ONE count both materializes the
-      // round and detects convergence — no separate compare join
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"),
-          col("lbl").as("__old"))
-        .persist()
-      changed = next.filter(col("lbl") =!= col("__old")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select(col("id"), col("lbl"))
+    while (!converged && iter < maxIter) {
+      val (next, nextRdds) = cutEager(smallStar(largeStar(cur)))
+      val nextCount = next.count()
+      // equal sets <=> equal sizes and an empty one-sided difference
+      converged = nextCount == curCount && next.except(cur).isEmpty
+      curRdds.foreach(_.unpersist(false))
+      cur = next; curRdds = nextRdds
+      curCount = nextCount
       iter += 1
     }
-    p.unpersist(); edges.unpersist()
-    // no silent caps: labels that stopped short of the fixpoint would
-    // split one transitive cluster into several — fail loudly so the
-    // caller raises maxIter (or the pair set's diameter assumption)
-    if (changed > 0) {
-      cached.unpersist()
+    // no silent caps: stopping short of the star fixpoint would split
+    // one transitive cluster into several — fail loudly so the caller
+    // raises maxIter (log-scale rounds: 30 covers ~2^30-node chains)
+    if (!converged) {
+      curRdds.foreach(_.unpersist(false)); p.unpersist()
       throw new IllegalStateException(
-        s"dupClusters did not converge after $maxIter rounds " +
-          s"($changed labels still changing) — component diameter exceeds maxIter")
+        s"dupClusters did not converge after $maxIter large/small-star rounds")
     }
+    // converged star edges: (child, component-min); centers appear
+    // only on the parent side, so nodes without a star edge label
+    // themselves
+    val nodes = p.select(col("a").as("id"))
+      .unionByName(p.select(col("b").as("id"))).distinct()
+    val labels = nodes
+      .join(cur.select(col("a").as("id"), col("b").as("__m")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__m"), col("id")).as("lbl"))
     // Materialize the narrow result OUTSIDE the CacheManager and cut
     // its lineage: a CacheManager persist here would be
     // recompiled-and-dematerialized the moment the loop frame below
@@ -747,16 +796,18 @@ object Dedup {
     // checkpoint dir — localCheckpoint blocks are executor-local and
     // unrecoverable if an executor is lost (dynamic allocation,
     // preemption) before the caller's action, exactly the clusters
-    // the big-pair-set path runs on. Blocks/files are removed by the
-    // ContextCleaner when the caller drops the frame; the loop's
-    // final frame — previously leaked for the application lifetime —
-    // is released right here.
+    // the big-pair-set path runs on. localCheckpoint blocks are
+    // context-cleaned when the caller drops the frame; reliable
+    // checkpoint FILES are only reclaimed per-call under
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (see the
+    // method scaladoc — otherwise they persist until application
+    // exit). The loop's final frame is released right here.
     val narrow = labels.select(col("id"), col("lbl").as("cluster_id"))
     val out =
       if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined)
         narrow.checkpoint(true)
       else narrow.localCheckpoint(true)
-    cached.unpersist()
+    curRdds.foreach(_.unpersist(false)); p.unpersist()
     out
   }
 

@@ -87,6 +87,21 @@ class PipelineSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 5L, 7L))
   }
 
+  test("distributed clustering converges in log rounds on a 4096-node chain") {
+    import spark.implicits._
+    // a path graph is the adversarial diameter case: plain min-label
+    // propagation needs 4095 rounds (old behavior: IllegalStateException
+    // at maxIter=30); alternating large-star/small-star must finish a
+    // 2^12-node chain comfortably inside 30 log-scale rounds AND put
+    // every node in cluster 1
+    val chain = (1L to 4096L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val labels = graft.pipeline.Dedup.dupClusters(chain, smallGraphEdges = 0L)
+      .collect()
+    assert(labels.length == 4096)
+    assert(labels.forall(_.getLong(1) == 1L))
+  }
+
   test("dupClusters leaves no CacheManager entries; result survives lineage-free") {
     import spark.implicits._
     val sc = spark.sparkContext
