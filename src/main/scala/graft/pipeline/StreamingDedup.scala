@@ -118,9 +118,18 @@ object StreamingDedup {
         // replay guard: compaction legitimately deletes the parquet
         // when it folds the batch into a merged part, and re-appending
         // then would duplicate every signature row. Markers are
-        // invisible to Compact and to parquet readers. A store folded
-        // with Options(replaceOn = Seq(idCol)) collapses any residual
-        // duplicate on its next merge regardless.
+        // invisible to Compact and to parquet readers. Marker-AFTER-
+        // append is deliberate: the inverse order would read a crash
+        // between marker and append as "already appended" and silently
+        // LOSE the batch's signatures. The one remaining window —
+        // crash after append but before the marker, AND a compaction
+        // folding the batch file before the stream restarts — re-
+        // appends one batch's rows; that duplication is provably
+        // output-neutral (candidate pairs are dropDuplicates'd per
+        // (new, dup_of) and jaccard is identical per duplicate row)
+        // and is physically collapsed by [[compactSignatures]], which
+        // is why replacing compaction is the REQUIRED maintenance
+        // path for this store, not an optional nicety.
         val dirPath = new org.apache.hadoop.fs.Path(storeDir)
         val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(dirPath, f".batch-$batchId%09d.done")
@@ -130,4 +139,18 @@ object StreamingDedup {
         }
       } finally { sig.unpersist(); () }
     }
+
+  /** The signature store's REQUIRED compaction entry point: replacing
+    * on the doc id, so any signature rows duplicated by the
+    * crash-between-append-and-marker replay window (see the foreachBatch
+    * body) collapse back to one row per document at the next fold.
+    * Callers maintaining the store by hand must pass
+    * `replaceOn = Seq(idCol)` to [[graft.sources.Compact.run]] — this
+    * wrapper exists so the requirement has a name. */
+  def compactSignatures(spark: SparkSession, storeDir: String,
+                        idCol: String = "doc_id",
+                        opts: graft.sources.Compact.Options =
+                          graft.sources.Compact.Options()): graft.sources.Compact.Report =
+    graft.sources.Compact.run(spark, storeDir,
+      opts.copy(replaceOn = Seq(idCol), versionCol = None))
 }

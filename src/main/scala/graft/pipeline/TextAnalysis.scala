@@ -105,7 +105,10 @@ object TextAnalysis {
       .withColumn("n_distinct_words", size(array_distinct(col("__toks"))).cast("long"))
       .withColumn("dup_words", col("n_words") - col("n_distinct_words"))
       .withColumn("top_bigram_count",
-        aggregate(col("__bg_sorted"),
+        // coalesce: a null text has a null token array, and the fold
+        // over it is null — but "no bigrams repeat" is 0, and the SQL
+        // oracle already says 0 for null documents (ADVICE r8)
+        coalesce(aggregate(col("__bg_sorted"),
           struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
           (acc, b) => {
             val run = when(acc.getField("prev") === b, acc.getField("run") + 1L)
@@ -113,7 +116,7 @@ object TextAnalysis {
             struct(b.as("prev"), run.as("run"),
               greatest(acc.getField("best"), run).as("best"))
           },
-          acc => acc.getField("best")))
+          acc => acc.getField("best")), lit(0L)))
       .drop("__bg_sorted")
       .withColumnsRenamed(keepTokens.map("__toks" -> _).toMap)
       .drop((if (keepTokens.isEmpty) Seq("__toks") else Seq.empty[String]): _*)

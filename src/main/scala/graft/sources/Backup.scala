@@ -217,12 +217,26 @@ object Backup {
       } catch {
         case t: Throwable => fs.delete(tmp, true); throw t
       } finally in.close()
-    // archive proven: swap (parent must exist or rename fails AFTER
-    // the target delete — the one unrecoverable ordering)
+    // archive proven: swap. The live store is renamed ASIDE, never
+    // deleted first — a crash or rename failure (cross-filesystem
+    // tmp, quota) after a delete would leave NO live store. The aside
+    // copy is removed only after the new store is in place; a failed
+    // swap rolls the aside back and surfaces the validated tmp path
+    // so recovery is a single rename, not a re-restore.
     Option(target.getParent).foreach(fs.mkdirs)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"could not move restored store into $targetDir")
+    val hadOld = fs.exists(target)
+    val aside = new Path(target.toString + ".replaced-" + System.currentTimeMillis())
+    if (hadOld && !fs.rename(target, aside))
+      throw new IllegalStateException(
+        s"could not move current store aside to $aside; " +
+          s"validated restore preserved at $tmp")
+    if (!fs.rename(tmp, target)) {
+      if (hadOld) fs.rename(aside, target) // roll the live store back
+      throw new IllegalStateException(
+        s"could not move restored store into $targetDir; " +
+          s"validated restore preserved at $tmp")
+    }
+    if (hadOld) fs.delete(aside, true)
     manifest
   }
 }

@@ -331,6 +331,12 @@ class PipelineSpec extends SparkTestBase {
       out(1).getAs[Long]("top_bigram_count") == 1)
     assert(out(2).getAs[Long]("n_words") == 1 &&
       out(2).getAs[Long]("top_bigram_count") == 0)
+    // a NULL text document folds to 0, matching the SQL oracle's
+    // coalesce — it must not surface a null long (ADVICE r8)
+    val nul = TextAnalysis.withRepetitionSignals(
+      docs(Seq((9L, null.asInstanceOf[String]))), "text").collect()(0)
+    assert(!nul.isNullAt(nul.fieldIndex("top_bigram_count")) &&
+      nul.getAs[Long]("top_bigram_count") == 0L)
   }
 
   test("packShards: budget-sized shards, no doc split, deterministic") {
