@@ -88,6 +88,24 @@ object Compact {
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Sum of parquet footer row counts over `paths` — driver-side
+    * metadata reads (O(files), a few KB each), the same source of
+    * truth a parquet `count()` is served from. */
+  private[graft] def footerRowCount(fs: FileSystem, paths: Seq[Path]): Long =
+    paths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, fs.getConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+
+  /** The merge's row-conservation gate: a writer that dropped or
+    * fabricated rows must abort the pass BEFORE any manifest commit.
+    * Separated out so the failure path is directly testable against a
+    * lying writer's output. */
+  private[graft] def validateMergedCount(expected: Long, actual: Long): Unit =
+    require(actual == expected,
+      s"compaction would lose rows ($expected -> $actual); aborting before commit")
+
   /** Max size of a part written INTO `level` (merge_max_l1 ×
     * mult^(source level), compaction.rs:215-216). */
   def partCap(level: Int, o: Options): Long =
@@ -259,28 +277,40 @@ object Compact {
         val numParts = math.max(1L, (m.bytes + cap - 1) / cap).toInt
         val inputPaths = m.inputs.map(p => new Path(dir, p.name).toString)
         val raw = spark.read.parquet(inputPaths: _*)
-        // persisted: the validation count below and the write would
-        // otherwise each run the full (possibly replacing) plan —
-        // double IO and a double shuffle on the store's bulk-rewrite
-        // path
-        val in = (opts.replaceOn match {
-          case Nil => raw
-          case keys => opts.versionCol match {
-            case Some(v) => Store.compactGroupTable(raw, keys, v)
-            case None    => raw.dropDuplicates(keys)
-          }
-        }).persist()
-        val inCount = in.count()
         val tmp = new Path(dir, s".compact-$version-$passes-L${m.fromLevel}")
+        // Row-conservation is validated from parquet FOOTER counts on
+        // the driver (O(files) metadata reads), not a second scan of
+        // the merged output: a parquet count() is footer-served
+        // anyway, so the footer sum proves exactly what a re-reading
+        // count proved, minus one Spark job per merge. Footers are
+        // the read-path authority — a reader yields precisely the
+        // rows the footers describe.
+        val (inCount, writeIn) = opts.replaceOn match {
+          case Nil =>
+            // pure merge conserves rows: the expected count is the
+            // INPUT footer sum — no count job, no persist; the merge
+            // is a single read→write pass
+            (footerRowCount(fs, inputPaths.map(new Path(_))), raw)
+          case keys =>
+            // replacing merge: the expected count only exists after
+            // dedup, so materialize once (count + write share the
+            // cached plan instead of each running the shuffle)
+            val deduped = (opts.versionCol match {
+              case Some(v) => Store.compactGroupTable(raw, keys, v)
+              case None    => raw.dropDuplicates(keys)
+            }).persist()
+            (deduped.count(), deduped)
+        }
         val sorted =
           if (opts.sortCols.nonEmpty)
-            in.repartition(numParts).sortWithinPartitions(opts.sortCols.map(col): _*)
-          else in.repartition(numParts)
+            writeIn.repartition(numParts).sortWithinPartitions(opts.sortCols.map(col): _*)
+          else writeIn.repartition(numParts)
         try sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        finally in.unpersist()
-        val outCount = spark.read.parquet(tmp.toString).count()
-        require(outCount == inCount,
-          s"compaction would lose rows ($inCount -> $outCount); aborting before commit")
+        finally if (opts.replaceOn.nonEmpty) writeIn.unpersist()
+        val outFiles = fs.listStatus(tmp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).toSeq
+        val outCount = footerRowCount(fs, outFiles)
+        validateMergedCount(inCount, outCount)
         // merged parts become visible files now but enter the
         // manifest only on commit below
         val written = fs.listStatus(tmp).map(_.getPath)

@@ -294,4 +294,27 @@ class CompactSpec extends SparkTestBase {
     Compact.run(spark, dir)
     assert(Compact.read(spark, dir).count() == 700)
   }
+
+  test("footer row counts validate merges; a lying writer's output aborts") {
+    import org.apache.hadoop.fs.Path
+    val dir = s"${tmpDir()}/footers"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // footerRowCount agrees with a full read across multiple files
+    spark.range(0, 137).repartition(3).write.parquet(dir)
+    val files = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    assert(files.size == 3)
+    assert(Compact.footerRowCount(fs, files) == 137L)
+    // lying-writer double: output claiming fewer rows than the merge
+    // read must abort before any commit (same gate Compact.run calls
+    // between the tmp write and the manifest commit)
+    val lying = s"${tmpDir()}/lying"
+    spark.range(0, 100).write.parquet(lying)
+    val lyingFiles = fs.listStatus(new Path(lying)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    val short = Compact.footerRowCount(fs, lyingFiles)
+    assert(short == 100L)
+    assertThrows[IllegalArgumentException](
+      Compact.validateMergedCount(expected = 137L, actual = short))
+  }
 }
