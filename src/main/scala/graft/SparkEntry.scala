@@ -1139,6 +1139,22 @@ object SparkEntry {
         .select(col("step"), col("total"), col("conversion_ratio"))
     }),
 
+    // §2.5 the same any-order funnel under the reference's POSITIONAL
+    // matching (funnel.rs:608-620, opt-in parity mode): any view-or-
+    // click row advances the current position, so the 1st and 2nd
+    // view-or-click events fill the group regardless of type; the
+    // oracle ranks those events per user with a row_number window.
+    "q_funnel_any_positional" -> ((s, dir) => {
+      Funnel.run(s, events(s, dir), Funnel.Request(
+        steps = Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Long.MaxValue / 4000L,
+        anyOrderGroups = Seq((0, 1)),
+        anyOrderPositional = true,
+        count = Funnel.Unique))
+        .select(col("step"), col("total"), col("conversion_ratio"))
+    }),
+
     // §3.1 Regular output format: pivoted time columns + row-average +
     // top-k groups (rows-only; the pivot itself is oracled by q_pivot)
     "q_es_pivoted" -> ((s, dir) => {
@@ -2631,6 +2647,33 @@ object SparkEntry {
          UNION ALL
          SELECT 2, count(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 END),
            round(count(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 END) * 100.0 / count(*), 4) FROM j
+         UNION ALL
+         SELECT 3, count(t3), round(count(t3) * 100.0 / count(*), 4) FROM j""",
+
+    // Positional parity twin: the 1st and 2nd view-or-click events per
+    // user fill the group (regardless of type — row_number over the
+    // machine's (ts, event_id) processing order), purchase converts
+    // after the 2nd.
+    "q_funnel_any_positional" ->
+      """WITH vc AS (
+           SELECT user_id, epoch_us(ts) AS t,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE event_type IN ('view', 'click')),
+         s1 AS (SELECT user_id, t AS t1 FROM vc WHERE rn = 1),
+         s2 AS (SELECT user_id, t AS t2 FROM vc WHERE rn = 2),
+         p AS (
+           SELECT s2.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+           GROUP BY 1),
+         j AS (
+           SELECT s1.user_id, t1, t2, t3
+           FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+           LEFT JOIN p ON s1.user_id = p.user_id)
+         SELECT 1 AS step, count(*) AS total, CAST(100.0 AS DOUBLE) AS conversion_ratio FROM j
+         UNION ALL
+         SELECT 2, count(t2), round(count(t2) * 100.0 / count(*), 4) FROM j
          UNION ALL
          SELECT 3, count(t3), round(count(t3) * 100.0 / count(*), 4) FROM j""",
 

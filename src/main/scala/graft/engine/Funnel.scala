@@ -48,9 +48,13 @@ import org.apache.spark.sql.functions._
   *  - StepOrder::Any: the reference matches positionally — a row
   *    matching ANY step in the ranges advances the current position,
   *    so the same event can legally fill several positions
-  *    (funnel.rs:608-620). Our any-order groups use set semantics:
-  *    each slot in the group must be filled by a distinct matching
-  *    event, and the group's timestamps normalize to ascending order.
+  *    (funnel.rs:608-620). Our any-order groups DEFAULT to set
+  *    semantics: each slot in the group must be filled by a distinct
+  *    matching event, and the group's timestamps normalize to
+  *    ascending order. Migration users who need bug-for-bug parity
+  *    opt into the reference behavior with
+  *    `Request.anyOrderPositional = true` (JSON DSL: step order type
+  *    `"any_positional"`).
   */
 object Funnel {
 
@@ -94,6 +98,12 @@ object Funnel {
         * order (reference StepOrder::Any(ranges)); slots outside any
         * range are Exact. Ranges must not overlap. */
       anyOrderGroups: Seq[(Int, Int)] = Nil,
+      /** Opt-in reference parity for any-order groups
+        * (funnel.rs:608-620): a row matching ANY step of the active
+        * range advances the CURRENT position, so one event type may
+        * legally fill several slots. false (default) = set semantics:
+        * each slot needs a distinct matching event. */
+      anyOrderPositional: Boolean = false,
       touch: Touch = TouchFirst,
       userCol: String = "user_id",
       tsCol: String = "ts",
@@ -150,7 +160,8 @@ object Funnel {
       nSteps: Int, windowMs: Long, excludes: Array[(Int, Int)],
       nConsts: Int, unique: Boolean, sessionGapUs: Long,
       interval: Option[TimeIntervalUnit], groupOf: Array[Int],
-      touchLast: Boolean, touchStep: Int) {
+      touchLast: Boolean, touchStep: Int,
+      anyPositional: Boolean = false) {
 
     private val out = scala.collection.mutable.ArrayBuffer[Attempt]()
     private val stepTs = new Array[Long](nSteps)
@@ -198,18 +209,34 @@ object Funnel {
     /** Lowest unfilled slot in the active group matching this row, or
       * -1. The active group is the group of the first unfilled slot;
       * Exact slots are singleton groups, so this degenerates to the
-      * classic cur-step check. */
+      * classic cur-step check.
+      *
+      * `anyPositional` = the reference's positional matching
+      * (funnel.rs:608-620): a row matching ANY step predicate of the
+      * active range fills the CURRENT position (slots stay
+      * prefix-filled), so the same event type may fill several slots.
+      * groupOf maps each member to its range start, so `g` is the
+      * group's first slot. */
     private def matchSlot(r: FRow): Int = {
       var first = 0
       while (first < nSteps && filled(first)) first += 1
       if (first == nSteps) return -1
       val g = groupOf(first)
-      var q = first
-      while (q < nSteps && groupOf(q) == g) {
-        if (!filled(q) && r.steps(q)) return q
-        q += 1
+      if (anyPositional) {
+        var q = g
+        while (q < nSteps && groupOf(q) == g) {
+          if (r.steps(q)) return first
+          q += 1
+        }
+        -1
+      } else {
+        var q = first
+        while (q < nSteps && groupOf(q) == g) {
+          if (!filled(q) && r.steps(q)) return q
+          q += 1
+        }
+        -1
       }
-      -1
     }
 
     def onRow(r: FRow): Unit = {
@@ -275,10 +302,11 @@ object Funnel {
       it: Iterator[FRow], n: Int, windowMs: Long, excludes: Array[(Int, Int)],
       nConsts: Int, unique: Boolean, sessionGapUs: Long,
       interval: Option[TimeIntervalUnit], groupOf: Array[Int],
-      touchLast: Boolean, touchStep: Int): Iterator[Attempt] =
+      touchLast: Boolean, touchStep: Int,
+      anyPositional: Boolean): Iterator[Attempt] =
     new Iterator[Attempt] {
       private val m = new Machine(n, windowMs, excludes, nConsts, unique,
-        sessionGapUs, interval, groupOf, touchLast, touchStep)
+        sessionGapUs, interval, groupOf, touchLast, touchStep, anyPositional)
       private var buf: IndexedSeq[Attempt] = IndexedSeq.empty
       private var idx = 0
       private var ended = false
@@ -350,6 +378,7 @@ object Funnel {
       interval = m.interval,
       breakdowns = m.breakdowns,
       anyOrderGroups = m.anyOrderGroups,
+      anyOrderPositional = m.anyOrderPositional,
       touch = m.touch match {
         case FunnelTouch.First   => TouchFirst
         case FunnelTouch.Last    => TouchLast
@@ -417,6 +446,7 @@ object Funnel {
       case TouchStep(k) => (false, k)
     }
     val nConsts = req.constants.size
+    val anyPositional = req.anyOrderPositional
 
     val groupOf = Array.tabulate(n)(i => i)
     for ((a, b) <- req.anyOrderGroups; i <- a to b) groupOf(i) = a
@@ -439,7 +469,7 @@ object Funnel {
       .sortWithinPartitions(col("user"), col("ts"), col("seq"))
       .mapPartitions(it =>
         runMachine(it, n, windowUs, excludeRanges, nConsts, unique, sessionGapUs,
-          interval, groupOf, touchLast, touchStep))
+          interval, groupOf, touchLast, touchStep, anyPositional))
 
     // Attempt-level post-filters (funnel.rs:196-204).
     val filtered = req.filter match {

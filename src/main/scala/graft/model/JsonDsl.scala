@@ -73,13 +73,19 @@ object JsonDsl {
     // StepOrder::Any ranges: the DTO repeats the order spec per step
     // (platform/src/funnel.rs:310-312); any step carrying Any
     // contributes its ranges once.
+    // "any_positional" = same ranges, but matched with the reference's
+    // positional semantics (bug-for-bug parity opt-in; see
+    // graft.engine.Funnel's StepOrder::Any divergence note)
+    var anyPositional = false
     val anyOrder = stepsJ.flatMap(s => s.asOpt("order")).flatMap { o =>
       (o / "type").str match {
         case "exact" => Nil
-        case "any" => (o / "steps").arr.map { pair =>
-          val p = pair.arr
-          (p(0).int, p(1).int)
-        }
+        case t @ ("any" | "any_positional") =>
+          if (t == "any_positional") anyPositional = true
+          (o / "steps").arr.map { pair =>
+            val p = pair.arr
+            (p(0).int, p(1).int)
+          }
         case other => throw JsonError(s"unknown step order '$other'")
       }
     }.distinct
@@ -98,6 +104,7 @@ object JsonDsl {
       segments = j.asOpt("segments").map(_.arr.map(segment)).getOrElse(Nil),
       filters = j.asOpt("filters").map(groupedFilters).getOrElse(Nil),
       anyOrderGroups = anyOrder,
+      anyOrderPositional = anyPositional,
       interval = j.asOpt("intervalUnit").map(intervalUnit),
       groupCol = groupCol(j.asOpt("group").map(_.int).getOrElse(0)),
       projectId = j.asOpt("projectId").map(_.long))

@@ -308,6 +308,9 @@ final case class FunnelRequestModel(
     filters: Seq[PropFilter] = Nil,
     /** Inclusive 0-based any-order slot ranges (StepOrder::Any). */
     anyOrderGroups: Seq[(Int, Int)] = Nil,
+    /** Opt-in reference-parity positional matching for the any-order
+      * ranges (DSL order type "any_positional"). */
+    anyOrderPositional: Boolean = false,
     interval: Option[TimeIntervalUnit] = None,
     groupCol: String = "user_id",
     projectId: Option[Long] = None)

@@ -259,4 +259,30 @@ class FunnelSpec extends SparkTestBase {
     assert(bots.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toSeq
       == Seq(1L -> 1000L))
   }
+
+  test("any-order golden pair: set semantics vs reference positional matching") {
+    // group {A,B} in any order, then C. User sees A, A, C: under SET
+    // semantics the second A cannot fill B's slot (distinct events per
+    // slot) — the funnel stalls at 1 completed step; under the
+    // reference's POSITIONAL matching (funnel.rs:608-620) any row
+    // matching A-or-B advances the current position, so A fills both
+    // slots and C completes the funnel.
+    val rows = Seq(
+      (1L, 0L, "A", "ios", 1.0),
+      (1L, 1000L, "A", "ios", 1.0),
+      (1L, 2000L, "C", "ios", 1.0))
+    val base = Funnel.Request(steps3, windowMs = 10 * H,
+      anyOrderGroups = Seq((0, 1)))
+    val set = run(rows, base)
+    assert(set(1) == ((1L, 0L)) && set(2) == ((0L, 1L)) && set(3) == ((0L, 0L)))
+    val positional = run(rows, base.copy(anyOrderPositional = true))
+    assert(positional(1) == ((1L, 0L)) && positional(2) == ((1L, 0L)) &&
+      positional(3) == ((1L, 0L)))
+    // a genuinely mixed A,B fill behaves identically in both modes
+    val mixed = Seq(
+      (2L, 0L, "B", "ios", 1.0),
+      (2L, 1000L, "A", "ios", 1.0),
+      (2L, 2000L, "C", "ios", 1.0))
+    assert(run(mixed, base) == run(mixed, base.copy(anyOrderPositional = true)))
+  }
 }
