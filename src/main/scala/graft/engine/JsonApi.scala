@@ -35,7 +35,9 @@ object JsonApi {
     * action the caller runs. */
   def eventSegmentationJson(events: DataFrame, json: String): String =
     Metrics.timed("event_segmentation") {
-      Response.collect(eventSegmentation(events, json)).toJson
+      val table = Response.collect(eventSegmentation(events, json))
+      Metrics.recordRows("event_segmentation", table.rowCount)
+      table.toJson
     }
 
   /** Format-routed event segmentation (reference QueryParams.format →
@@ -130,6 +132,8 @@ object JsonApi {
       val stepNames = model.steps.zipWithIndex.map { case (s, i) =>
         s.events.headOption.flatMap(_.eventName).getOrElse(s"step ${i + 1}")
       }
-      Response.funnelResponse(result, stepNames, model.breakdowns).toJson
+      val resp = Response.funnelResponse(result, stepNames, model.breakdowns)
+      Metrics.recordRows("funnel", resp.steps.map(_.data.size.toLong).sum)
+      resp.toJson
     }
 }

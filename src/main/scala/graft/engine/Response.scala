@@ -20,6 +20,8 @@ object Response {
 
   final case class ResponseColumn(name: String, kind: ColumnKind, values: Seq[String])
   final case class ColumnarTable(columns: Seq[ResponseColumn]) {
+    /** Result rows (every column carries one value per row). */
+    def rowCount: Long = columns.headOption.map(_.values.size.toLong).getOrElse(0L)
     def toJson: String = columns.map { c =>
       val vals = c.values.map(v =>
         if (v == null) "null" else "\"" + escape(v) + "\"")

@@ -132,6 +132,18 @@ final class GraftHttpServer(
   def trackedEvents: Seq[(Long, String)] = trackBuffer.synchronized(trackBuffer.toSeq)
 
   private def handle(ex: HttpExchange): Unit = {
+    // prometheus scrape endpoint (reference platform/src/lib.rs mounts
+    // its recorder at the server root the same way): text exposition,
+    // no auth — counters only, no tenant data
+    if (ex.getRequestMethod == "GET" && ex.getRequestURI.getPath == "/metrics") {
+      val bytes = Metrics.prometheusText.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+      return
+    }
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val (status, json) =
       try {
@@ -172,25 +184,33 @@ final class GraftHttpServer(
                     body: String, acting: Option[Long]): (Int, String) = (method, segs) match {
     case ("POST", List("queries", "event-segmentation")) =>
       200 -> Metrics.timed("event_segmentation") {
-        Response.collect(JsonApi.eventSegmentation(
-          events, withProject(body, pid), reg.customEvents, reg)).toJson
+        val t = Response.collect(JsonApi.eventSegmentation(
+          events, withProject(body, pid), reg.customEvents, reg))
+        Metrics.recordRows("event_segmentation", t.rowCount)
+        t.toJson
       }
     case ("POST", List("queries", "funnel")) =>
       200 -> JsonApi.funnelJson(spark, events, withProject(body, pid), reg)
     case ("POST", List("event-records", "search")) =>
       200 -> Metrics.timed("event_records_search") {
-        Response.collect(JsonApi.eventRecordsSearch(
-          events, withProject(body, pid), reg)).toJson
+        val t = Response.collect(JsonApi.eventRecordsSearch(
+          events, withProject(body, pid), reg))
+        Metrics.recordRows("event_records_search", t.rowCount)
+        t.toJson
       }
     case ("POST", List("properties", "values")) =>
       200 -> Metrics.timed("property_values") {
-        Response.collect(JsonApi.propertyValues(
-          events, withProject(body, pid), reg)).toJson
+        val t = Response.collect(JsonApi.propertyValues(
+          events, withProject(body, pid), reg))
+        Metrics.recordRows("property_values", t.rowCount)
+        t.toJson
       }
     case ("POST", List("group-records", "search")) =>
       200 -> Metrics.timed("group_records_search") {
-        Response.collect(JsonApi.groupRecordsSearch(
-          events, withProject(body, pid), reg)).toJson
+        val t = Response.collect(JsonApi.groupRecordsSearch(
+          events, withProject(body, pid), reg))
+        Metrics.recordRows("group_records_search", t.rowCount)
+        t.toJson
       }
     // one group's current profile row (reference group_records.rs:45
     // `GET /:group_id/:id` → get_by_id): point-filter the group's

@@ -83,6 +83,27 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("GET /metrics serves prometheus text whose counters advance per query") {
+    graft.engine.Metrics.reset()
+    val events = ev
+    def counter(text: String, name: String, tag: String): Long =
+      text.linesIterator
+        .find(_.startsWith(s"""$name{query="$tag"} """))
+        .map(_.split(' ').last.toLong).getOrElse(0L)
+    withServer(new GraftHttpServer(spark, events)) { srv =>
+      val (c0, before) = req(srv.port, "GET", "/metrics")
+      assert(c0 == 200)
+      val q0 = counter(before, "graft_query_queries_total", "event_segmentation")
+      req(srv.port, "POST", "/api/v1/projects/1/queries/event-segmentation", esBody)
+      req(srv.port, "POST", "/api/v1/projects/1/queries/event-segmentation", esBody)
+      val (_, after) = req(srv.port, "GET", "/metrics")
+      assert(counter(after, "graft_query_queries_total", "event_segmentation") == q0 + 2)
+      // the rows counter advances with the collected result size
+      assert(counter(after, "graft_query_rows_total", "event_segmentation") > 0)
+      assert(after.contains("# TYPE graft_query_execution_time_seconds_sum counter"))
+    }
+  }
+
   test("path project id scopes the query like an inline projectId") {
     // user 3's events belong to project 2; the same body via the two
     // project paths must see different slices

@@ -34,5 +34,37 @@ class MetricsSpec extends SparkTestBase {
     val s = Metrics.snapshot
     assert(s("event_segmentation").queries == 1)
     assert(s("event_segmentation").totalSeconds > 0)
+    // the entry point also reports its result-row counter (one bucket
+    // row for the single event)
+    assert(s("event_segmentation").rows == 1)
+  }
+
+  test("prometheus text renders every family, sorted and escaped") {
+    Metrics.reset()
+    Metrics.timed("a\"tag") { () }
+    Metrics.recordRows("a\"tag", 7)
+    Metrics.timed("b") { () }
+    val text = Metrics.prometheusText
+    assert(text.contains("# TYPE graft_query_queries_total counter"))
+    assert(text.contains("graft_query_queries_total{query=\"a\\\"tag\"} 1"))
+    assert(text.contains("graft_query_rows_total{query=\"a\\\"tag\"} 7"))
+    assert(text.contains("graft_query_queries_total{query=\"b\"} 1"))
+    assert(text.contains("graft_query_execution_time_seconds_sum{query=\"b\"}"))
+    // families list tags deterministically (sorted)
+    val qLines = text.linesIterator
+      .filter(_.startsWith("graft_query_queries_total{")).toSeq
+    assert(qLines == qLines.sorted)
+  }
+
+  test("disabled plane records nothing and still runs bodies") {
+    Metrics.reset()
+    Metrics.setEnabled(false)
+    try {
+      var ran = false
+      val out = Metrics.timed("off") { ran = true; 42 }
+      Metrics.recordRows("off", 5)
+      assert(out == 42 && ran)
+      assert(Metrics.snapshot.isEmpty)
+    } finally Metrics.setEnabled(true)
   }
 }
