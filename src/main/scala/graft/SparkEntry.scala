@@ -128,6 +128,91 @@ object SparkEntry {
          CAST($pinProd AS BIGINT) AS pairs_prod,
          (SELECT count(*) FROM star) AS star_pairs"""
 
+  /** Oracle for [[graft.gen.ShopGen.generate]]: DuckDB replays the
+    * whole Markov walk as a recursive CTE over the SAME integer
+    * per-mille transition table and product catalog (embedded as
+    * VALUES from ShopGen's single source of truth), with every draw
+    * the identical md5-60 expression — the corpus is regenerated bit
+    * for bit and compared via per-event aggregates. */
+  private def shopGenSql(nUsers: Int, maxSessions: Int, periodDays: Int,
+                         maxSteps: Int): String = {
+    import graft.gen.ShopGen
+    def draw(parts: String): String =
+      s"CAST(('0x' || substring(md5($parts), 1, 15)) AS BIGINT)"
+    val transRows = ShopGen.integerTable.map(t =>
+      s"('${t.intent}','${t.state}',${t.lo},${t.hi},'${t.next}',${t.waitSec})")
+      .mkString(",\n             ")
+    val productRows = ShopGen.Catalog.map { case (id, _, _, cents) => s"($id,$cents)" }
+      .mkString(",")
+    val eventCase = ShopGen.EventOf.toSeq.sortBy(_._1).map { case (a, e) =>
+      s"WHEN '$a' THEN '$e'"
+    }.mkString(" ")
+    val emitActions = ShopGen.EventOf.keys.toSeq.sorted.map(a => s"'$a'").mkString(",")
+    val nProducts = ShopGen.Catalog.size
+    val periodSec = periodDays * 86400L
+    val wDraw = s"${draw("concat('w:', w.u, ':', w.s, ':', w.step + 1)")} % 1000"
+    s"""WITH RECURSIVE
+         products(product_id, price_cents) AS (VALUES $productRows),
+         trans(intent, state, lo, hi, next, wait_s) AS (VALUES
+             $transRows),
+         users AS (SELECT unnest(range(1, ${nUsers + 1})) AS u),
+         sess0 AS (
+           SELECT u, unnest(range(0,
+             1 + ${draw("concat('s:', u)")} % $maxSessions)) AS s
+           FROM users),
+         sess1 AS (
+           SELECT u, s, ${draw("concat('i:', u, ':', s)")} % 1000 AS di FROM sess0),
+         sessions AS (
+           SELECT u, s,
+             CASE WHEN s = 0 THEN (CASE WHEN di < 800 THEN 'browse' ELSE 'buy' END)
+                  WHEN di < 100 THEN 'refund'
+                  WHEN di < 150 THEN 'browse'
+                  ELSE 'buy' END AS intent,
+             1704067200000000 + (${draw("concat('t:', u, ':', s)")} % $periodSec) * 1000000 AS t0
+           FROM sess1),
+         walk(u, s, intent, step, state, acted, ts, product, cart, revenue,
+              reg, lgn, fresh) AS (
+           SELECT u, s, intent, CAST(0 AS BIGINT), 'ViewIndex', 'ViewIndex', t0,
+             CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             FALSE, FALSE, TRUE
+           FROM sessions
+           UNION ALL
+           SELECT w.u, w.s, w.intent, w.step + 1,
+             CASE WHEN t.next IN ('Register','Login') THEN w.state ELSE t.next END,
+             t.next,
+             w.ts + t.wait_s * 1000000,
+             CASE WHEN t.next IN ('ViewProduct','ViewRelatedProduct')
+               THEN ${draw("concat('p:', w.u, ':', w.s, ':', w.step + 1)")} % $nProducts
+               ELSE w.product END,
+             CASE WHEN t.next = 'AddProductToCart' THEN w.cart + coalesce(p.price_cents, 0)
+                  WHEN t.next = 'CompleteOrder' THEN CAST(0 AS BIGINT)
+                  ELSE w.cart END,
+             CASE WHEN t.next = 'CompleteOrder' THEN w.cart ELSE CAST(0 AS BIGINT) END,
+             w.reg OR t.next = 'Register',
+             w.lgn OR t.next = 'Login',
+             CASE WHEN t.next = 'Register' THEN NOT w.reg
+                  WHEN t.next = 'Login' THEN NOT w.lgn
+                  ELSE TRUE END
+           FROM walk w
+           JOIN trans t ON t.intent = w.intent AND t.state = w.state
+             AND $wDraw >= t.lo AND $wDraw < t.hi
+           LEFT JOIN products p ON p.product_id = w.product
+           WHERE w.step < $maxSteps
+             AND w.acted NOT IN ('Bounce','EndSession','AbandonCart')),
+         ev AS (
+           SELECT u AS user_id, s AS session, step,
+             CASE acted $eventCase END AS event_type,
+             ts AS ts_us, product AS product_id, revenue AS revenue_cents
+           FROM walk WHERE acted IN ($emitActions) AND fresh)
+         SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT user_id * 100 + session) AS n_sessions,
+           CAST(sum(product_id) AS BIGINT) AS product_id_sum,
+           CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(ts_us % 1000000000) AS BIGINT) AS ts_mod_sum
+         FROM ev GROUP BY 1 ORDER BY event_type"""
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
   private def eventsC(s: SparkSession, dir: String): DataFrame =
@@ -1660,6 +1745,25 @@ object SparkEntry {
           max(col("ts_us")).as("max_ts"),
           sum(col("product_id")).as("product_sum"),
           coalesce(sum(col("vcents")), lit(0L)).as("vcents_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Shop-scenario generator (reference events-gen/src/store/
+    // scenario.rs + transitions.rs + coefficients.rs): per-session
+    // intention, then a Markov walk over the reference's transition
+    // graph with md5-60 draws against ShopGen.integerTable's per-mille
+    // ranges. The oracle replays the IDENTICAL walk as a recursive
+    // CTE over the same integer literals, so every event, timestamp,
+    // product choice and order revenue is pinned cross-engine.
+    "q_gen_events_shop" -> ((s, dir) => {
+      graft.gen.ShopGen.generate(s, nUsers = 300)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("user_id") * 100 + col("session")).as("n_sessions"),
+          sum(col("product_id")).as("product_id_sum"),
+          sum(col("revenue_cents")).as("revenue_cents"),
+          sum(pmod(col("ts_us"), lit(1000000000L))).as("ts_mod_sum"))
         .orderBy(col("event_type"))
     }),
 
@@ -3254,6 +3358,9 @@ object SparkEntry {
            coalesce(u.last_event, b.last_event) AS last_event
          FROM base b FULL OUTER JOIN upd u USING (user_key)
          ORDER BY user_key""",
+
+    "q_gen_events_shop" -> shopGenSql(nUsers = 300, maxSessions = 3,
+      periodDays = 30, maxSteps = 25),
 
     "q_gen_events" ->
       """WITH users AS (SELECT unnest(range(1, 1001)) AS user_id),

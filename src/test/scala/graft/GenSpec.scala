@@ -47,4 +47,60 @@ class GenSpec extends SparkTestBase {
     assert(g.filter(col("event_type") =!= "purchase" && col("vcents").isNotNull).count() == 0)
     assert(g.filter(col("event_type") === "purchase" && col("vcents").isNull).count() == 0)
   }
+
+  test("shop transition table covers [0,1000) per live (intent, state)") {
+    import graft.gen.ShopGen
+    ShopGen.integerTable.groupBy(t => (t.intent, t.state)).foreach {
+      case ((intent, state), rows) =>
+        val sorted = rows.sortBy(_.lo)
+        assert(sorted.head.lo == 0 && sorted.last.hi == 1000,
+          s"$intent/$state must span the draw space")
+        sorted.sliding(2).foreach {
+          case Seq(a, b) => assert(a.hi == b.lo, s"$intent/$state has a gap")
+          case _ =>
+        }
+        rows.foreach(r => assert(r.lo < r.hi))
+    }
+    // every non-terminal next state either has outgoing rows for the
+    // intent or is a modal (Register/Login return to the page)
+    val live = ShopGen.integerTable.groupBy(t => (t.intent, t.state)).keySet
+    val terminalish = Set("Bounce", "EndSession", "AbandonCart", "Register", "Login")
+    ShopGen.integerTable.filterNot(t => terminalish.contains(t.next)).foreach { t =>
+      // zero-total states under an intent are legal terminals, but the
+      // BUY intent must keep the full checkout chain alive
+      if (t.intent == "buy")
+        assert(live.contains((t.intent, t.next)), s"buy walk dead-ends at ${t.next}")
+    }
+  }
+
+  test("shop corpus is deterministic and funnel-shaped with real orders") {
+    import graft.gen.ShopGen
+    val a = ShopGen.generate(spark, 150).orderBy("user_id", "session", "step")
+      .collect().toSeq
+    val b = ShopGen.generate(spark, 150).repartition(7)
+      .orderBy("user_id", "session", "step").collect().toSeq
+    assert(a == b, "pure hashed walk: partitioning cannot change the corpus")
+
+    val byType = a.groupBy(_.getString(3)).map { case (k, v) => k -> v.size }
+    // the reference's funnel: views dominate carts dominate checkout
+    // stages dominate completed orders, and every stage is present
+    val chain = Seq("Product Viewed", "Product Added To Cart", "Cart Viewed",
+      "Customer Information Entered", "Shipping Method Entered",
+      "Payment Method Entered", "Order Verified", "Order Completed")
+    chain.foreach(e => assert(byType.getOrElse(e, 0) > 0, s"missing $e"))
+    chain.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(byType(hi) >= byType(lo), s"$hi should outnumber $lo")
+    }
+    // orders drain the cart: every Order Completed carries revenue
+    // equal to some sum of catalog prices (> 0)
+    val orders = a.filter(_.getString(3) == "Order Completed")
+    assert(orders.nonEmpty && orders.forall(_.getLong(6) > 0))
+    // register/login dedup: at most one of each per session
+    val regs = a.filter(r => r.getString(3) == "User Registered")
+      .groupBy(r => (r.getLong(0), r.getLong(1))).values
+    assert(regs.forall(_.size == 1))
+    // refund sessions exist and track the reference's orders page
+    assert(byType.getOrElse("Product Refunded", 0) > 0)
+    assert(byType.getOrElse("Orders Viewed", 0) >= byType("Product Refunded"))
+  }
 }
