@@ -35,6 +35,14 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      // TIMESTAMP_NTZ parquet (isAdjustedToUTC=false): the engine runs
+      // with session tz UTC, so the cast is a pure reinterpretation with
+      // identical epoch-µs values; downstream unix_micros/unix_millis
+      // require TIMESTAMP. NsTimeFilterPushdown re-pushes range filters
+      // through this cast onto the raw NTZ column for parquet stats.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

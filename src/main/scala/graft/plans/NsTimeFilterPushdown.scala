@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst rule: make time-range filters on nanosecond-long event
   * timestamps parquet-pushable.
@@ -43,6 +44,22 @@ object NsTimeFilterPushdown extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** a `cast(attr as timestamp)` over a TIMESTAMP_NTZ attr → the raw
+    * attr, valid only when the session tz is UTC (then the cast maps
+    * epoch-µs values identically, so bounds transfer exactly). */
+  private def ntzAttr(e: Expression): Option[Attribute] = e match {
+    case Cast(a: Attribute, TimestampType, _, _)
+        if a.dataType == TimestampNTZType && utcSession => Some(a)
+    case _ => None
+  }
+
+  private def utcSession: Boolean = {
+    val tz = SQLConf.get.sessionLocalTimeZone
+    tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "Z"
+  }
+
+  private def ntzLit(us: Long): Literal = Literal(us, TimestampNTZType)
+
   private def usOf(l: Literal): Option[Long] = l match {
     case Literal(v: Long, TimestampType) => Some(v) // internal value is epoch µs
     case _ => None
@@ -55,25 +72,35 @@ object NsTimeFilterPushdown extends Rule[LogicalPlan] {
   /** ns upper bound implied by `trunc(a/1000) <= us`. */
   private def nsLte(us: Long): Long = if (us <= -1L) us * 1000L else us * 1000L + 999L
 
-  /** Raw-long conjunct implied by one comparison, if it matches. */
+  /** Raw-column conjunct implied by one comparison, if it matches.
+    * ns longs need the truncation-widened bounds; NTZ casts are exact
+    * under UTC so bounds (and strictness) transfer unchanged. */
   private def rawConjunct(p: Expression): Option[Expression] = p match {
     case GreaterThanOrEqual(e, lit: Literal) =>
-      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us)))
+      (for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us))))
+        .orElse(for (a <- ntzAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, ntzLit(us)))
     case GreaterThan(e, lit: Literal) => // trunc > us ⇔ trunc >= us+1
-      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us + 1L)))
+      (for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us + 1L))))
+        .orElse(for (a <- ntzAttr(e); us <- usOf(lit)) yield GreaterThan(a, ntzLit(us)))
     case LessThanOrEqual(e, lit: Literal) =>
-      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us)))
+      (for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us))))
+        .orElse(for (a <- ntzAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, ntzLit(us)))
     case LessThan(e, lit: Literal) => // trunc < us ⇔ trunc <= us-1
-      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us - 1L)))
+      (for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us - 1L))))
+        .orElse(for (a <- ntzAttr(e); us <- usOf(lit)) yield LessThan(a, ntzLit(us)))
     // mirrored literal-first forms
     case GreaterThanOrEqual(lit: Literal, e) => // lit >= e ⇔ e <= lit
-      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us)))
+      (for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us))))
+        .orElse(for (a <- ntzAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, ntzLit(us)))
     case GreaterThan(lit: Literal, e) => // lit > e ⇔ e < lit
-      for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us - 1L)))
+      (for (a <- nsAttr(e); us <- usOf(lit)) yield LessThanOrEqual(a, Literal(nsLte(us - 1L))))
+        .orElse(for (a <- ntzAttr(e); us <- usOf(lit)) yield LessThan(a, ntzLit(us)))
     case LessThanOrEqual(lit: Literal, e) => // lit <= e ⇔ e >= lit
-      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us)))
+      (for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us))))
+        .orElse(for (a <- ntzAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, ntzLit(us)))
     case LessThan(lit: Literal, e) => // lit < e ⇔ e > lit
-      for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us + 1L)))
+      (for (a <- nsAttr(e); us <- usOf(lit)) yield GreaterThanOrEqual(a, Literal(nsGte(us + 1L))))
+        .orElse(for (a <- ntzAttr(e); us <- usOf(lit)) yield GreaterThan(a, ntzLit(us)))
     case _ => None
   }
 

@@ -3,13 +3,14 @@ package graft
 import graft.engine.{Exprs, Tables}
 import graft.model.QueryTime
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Time filters must reach the parquet scan as pushed predicates —
   * natively when the fixture carries a real timestamp column, and via
   * graft.plans.NsTimeFilterPushdown when the source stores raw ns
-  * longs (TIMESTAMP(NANOS) parquet read with nanosAsLong). Either way
-  * the filter must never change results at window boundaries. */
+  * longs (TIMESTAMP(NANOS) parquet) or TIMESTAMP_NTZ behind the
+  * loader's cast-to-TIMESTAMP. Either way the filter must never
+  * change results at window boundaries. */
 class PushdownSpec extends SparkTestBase {
 
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
@@ -17,55 +18,112 @@ class PushdownSpec extends SparkTestBase {
   private def leafScan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.collectLeaves().head.toString
 
-  test("time filter reaches the parquet scan as pushed bounds") {
+  private def withTempDir[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "pushdown")
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("time filter reaches the parquet scan as pushed bounds with exact literals") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val filtered = ev.filter(Exprs.timePredicate(col("ts"),
       QueryTime.Between(ts("2024-01-05T00:00:00Z"), ts("2024-01-10T00:00:00Z"))))
     val scan = leafScan(filtered)
-    // Both bounds must appear under PushedFilters, whatever the
-    // physical encoding of ts (native timestamp vs raw ns long).
     val pushed = scan.split("PushedFilters:").lift(1).getOrElse("")
     assert(pushed.contains("GreaterThanOrEqual(ts,"), scan)
     assert(pushed.contains("LessThanOrEqual(ts,"), scan)
+    // The bound VALUES must be the requested window, not merely some
+    // bounds (a wrong-but-pushed literal must fail here). Rendering
+    // differs by physical type (ns epoch long vs timestamp string), so
+    // accept either exact encoding of the same instant.
+    val loOk = pushed.contains("GreaterThanOrEqual(ts,1704412800000000000)") ||
+      pushed.contains("GreaterThanOrEqual(ts,2024-01-05T00:00")
+    val hiOk = pushed.contains("LessThanOrEqual(ts,1704844800000000999)") ||
+      pushed.contains("LessThanOrEqual(ts,2024-01-10T00:00")
+    assert(loOk && hiOk, scan)
   }
 
   test("ns-long sources get raw ns bounds via NsTimeFilterPushdown") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("nspush").toString
-    // A raw ns-long ts column, as Tables.events sees TIMESTAMP(NANOS)
-    // parquet under spark.sql.legacy.parquet.nanosAsLong.
-    val base = 1704412800000000000L // 2024-01-05T00:00:00Z in ns
-    (0L until 64L).map(i => (i, base + i * 3600L * 1000000000L))
-      .toDF("event_id", "ts").write.mode("overwrite").parquet(dir)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.NsTimeFilterPushdown))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.NsTimeFilterPushdown
-    val raw = spark.read.parquet(dir)
-    assert(raw.schema("ts").dataType == LongType)
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val filtered = ev.filter(Exprs.timePredicate(col("ts"),
-      QueryTime.Between(ts("2024-01-05T12:00:00Z"), ts("2024-01-06T12:00:00Z"))))
-    val scan = leafScan(filtered)
-    assert(scan.contains("GreaterThanOrEqual(ts,1704456000000000000)"), scan)
-    assert(scan.contains("LessThanOrEqual(ts,1704542400000000999)"), scan)
-    assert(filtered.count() == 25L) // 12:00 .. 12:00 next day, hourly
+    withTempDir { dir =>
+      // A raw ns-long ts column, as Tables.events sees TIMESTAMP(NANOS)
+      // parquet under spark.sql.legacy.parquet.nanosAsLong.
+      val base = 1704412800000000000L // 2024-01-05T00:00:00Z in ns
+      (0L until 64L).map(i => (i, base + i * 3600L * 1000000000L))
+        .toDF("event_id", "ts").write.mode("overwrite").parquet(dir)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.NsTimeFilterPushdown))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.NsTimeFilterPushdown
+      val raw = spark.read.parquet(dir)
+      assert(raw.schema("ts").dataType == LongType)
+      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val filtered = ev.filter(Exprs.timePredicate(col("ts"),
+        QueryTime.Between(ts("2024-01-05T12:00:00Z"), ts("2024-01-06T12:00:00Z"))))
+      val scan = leafScan(filtered)
+      assert(scan.contains("GreaterThanOrEqual(ts,1704456000000000000)"), scan)
+      assert(scan.contains("LessThanOrEqual(ts,1704542400000000999)"), scan)
+      assert(filtered.count() == 25L) // 12:00 .. 12:00 next day, hourly
+    }
+  }
+
+  test("TIMESTAMP_NTZ sources get raw NTZ bounds through the loader cast") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val base = 1704412800000000L // 2024-01-05T00:00:00Z in µs
+      (0L until 64L).map(i => (i, base + i * 3600L * 1000000L))
+        .toDF("event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType)).drop("us")
+        .write.mode("overwrite").parquet(dir)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.NsTimeFilterPushdown))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.NsTimeFilterPushdown
+      val raw = spark.read.parquet(dir)
+      assert(raw.schema("ts").dataType == TimestampNTZType)
+      // Same normalization Tables.events applies for NTZ files.
+      val ev = raw.withColumn("ts", col("ts").cast("timestamp"))
+      val filtered = ev.filter(Exprs.timePredicate(col("ts"),
+        QueryTime.Between(ts("2024-01-05T12:00:00Z"), ts("2024-01-06T12:00:00Z"))))
+      val scan = leafScan(filtered)
+      val pushed = scan.split("PushedFilters:").lift(1).getOrElse("")
+      assert(pushed.contains("GreaterThanOrEqual(ts,2024-01-05T12:00"), scan)
+      assert(pushed.contains("LessThanOrEqual(ts,2024-01-06T12:00"), scan)
+      assert(filtered.count() == 25L)
+      // unix_micros must work on the normalized column (the regression
+      // that silently dropped 15 queries in round 9's verify).
+      val us = ev.select(unix_micros(col("ts")).as("us")).agg(min("us")).head.getLong(0)
+      assert(us == base)
+    }
   }
 
   test("pushdown conjuncts do not change results at boundaries") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val from = ts("2024-01-05T00:00:00Z"); val to = ts("2024-01-10T00:00:00Z")
     val n1 = ev.filter(Exprs.timePredicate(col("ts"), QueryTime.Between(from, to))).count()
-    // Ground truth straight off the raw file, predicate matched to the
-    // physical ts encoding.
+    // Ground truth computed WITHOUT Column comparison semantics: pull
+    // every raw ts as epoch-µs and count in plain Scala against the
+    // window's epoch-µs bounds (inclusive both ends, as the reference's
+    // Between is; ns values floor-truncate to µs first).
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val n2 = (raw.schema("ts").dataType match {
+    val usValues: Seq[Long] = raw.schema("ts").dataType match {
       case LongType =>
-        // ts(µs) <= to ⇔ ns <= (to_ms*1000)*1000 + 999
-        raw.filter(col("ts") >= lit(from.getTime * 1000000L) &&
-          col("ts") <= lit(to.getTime * 1000000L + 999L))
+        raw.select(col("ts")).collect().toSeq.map(r => Math.floorDiv(r.getLong(0), 1000L))
+      case TimestampNTZType =>
+        raw.select(col("ts")).collect().toSeq
+          .map(r => java.time.Duration.between(
+            java.time.LocalDateTime.of(1970, 1, 1, 0, 0),
+            r.getAs[java.time.LocalDateTime](0)).toNanos / 1000L)
       case _ =>
-        raw.filter(col("ts") >= lit(from) && col("ts") <= lit(to))
-    }).count()
-    assert(n1 == n2)
+        raw.select(col("ts")).collect().toSeq
+          .map(r => r.getTimestamp(0).toInstant.toEpochMilli * 1000L +
+            (r.getTimestamp(0).getNanos / 1000L) % 1000L)
+    }
+    val fromUs = from.getTime * 1000L; val toUs = to.getTime * 1000L
+    val n2 = usValues.count(us => us >= fromUs && us <= toUs).toLong
+    assert(n1 == n2 && n1 > 0L)
   }
 }
