@@ -94,11 +94,20 @@ object Dedup {
     * nothing (explode of an empty array), matching the portable
     * variant. */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
-               shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+               shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshBandsFromHashes(
+      withShingleHashes(df.select(col(idCol), col(textCol)), textCol, shingleN, "__sh")
+        .select(col(idCol), col("__sh")),
+      idCol, "__sh", numHashes, bands)
+
+  /** [[lshBands]] over an ALREADY-STAGED (id, shingle-hash array)
+    * frame — the shape the dedup pipelines use so one staged frame
+    * (typically localCheckpointed) feeds both banding and the exact
+    * verify stage instead of hashing the corpus twice. */
+  private def lshBandsFromHashes(sh: DataFrame, idCol: String, shCol: String,
+                                 numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val ex = withShingleHashes(df.select(col(idCol), col(textCol)),
-      textCol, shingleN, "__sh")
-      .select(col(idCol), explode(col("__sh")).as("__h"))
+    val ex = sh.select(col(idCol), explode(col(shCol)).as("__h"))
     val aggs = (0 until numHashes).map { seed =>
       min(xxhash64(lit(seed), col("__h"))).as(s"__s$seed")
     }
@@ -214,10 +223,19 @@ object Dedup {
                       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val (reps, starPairs) = collapseExact(df, idCol, textCol)
-    val cand = candidatePairs(lshBands(reps, idCol, textCol, shingleN, numHashes, bands),
-      idCol, maxBucket)
+    // Stage the shingle-hash frame ONCE: both banding and the exact
+    // verify consume it, and without materialization each consumer
+    // would re-tokenize and re-hash the whole corpus (measured ~2x the
+    // pipeline cost). localCheckpoint keeps only (id, long array) —
+    // far smaller than the corpus text — and its blocks are
+    // ContextCleaner-released when the frame is dropped. Lineage is
+    // cut, so an executor loss mid-pipeline means rerunning the job;
+    // for long-lived clusters point spark.checkpoint.dir at durable
+    // scratch and swap to checkpoint() for fault-tolerant blocks.
     val sh = withShingleHashes(reps.select(col(idCol), col(textCol)),
-      textCol, shingleN, "__sh").select(col(idCol), col("__sh"))
+      textCol, shingleN, "__sh").select(col(idCol), col("__sh")).localCheckpoint()
+    val cand = candidatePairs(lshBandsFromHashes(sh, idCol, "__sh", numHashes, bands),
+      idCol, maxBucket)
     verifiedPairs(cand, sh, idCol, "__sh", threshold).unionAll(starPairs)
   }
 
@@ -343,17 +361,24 @@ object Dedup {
     * the production path; this variant exists so the banded OPERATOR
     * is hash-checkable end to end at production-comparable cost. */
   def lshBandsPortable(df: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+                       shingleN: Int, numHashes: Int, bands: Int): DataFrame =
+    lshBandsPortableFromHashes(
+      portableShingleHashes(df, idCol, textCol, shingleN, "__shh"),
+      idCol, "__shh", numHashes, bands)
+
+  /** [[lshBandsPortable]] over an already-staged (id, md5-60 shingle
+    * hash array) frame — see [[lshBandsFromHashes]] for why staging
+    * matters. Explodes to one row per (doc, shingle hash) and computes
+    * the numHashes permutations as SCALAR min-aggregates: scalar
+    * column refs are cheap for the optimizer to duplicate (array
+    * lambdas are not — see portableShingleHashes), and min is
+    * duplicate-insensitive. The groupBy shuffles only
+    * (id, numHashes longs), map-side combined. */
+  private def lshBandsPortableFromHashes(sh: DataFrame, idCol: String, shCol: String,
+                                         numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val perms = portablePerms(numHashes)
-    // explode to one row per (doc, shingle hash) and compute the
-    // numHashes permutations as SCALAR min-aggregates: scalar column
-    // refs are cheap for the optimizer to duplicate (array lambdas
-    // are not — see portableShingleHashes), and min is
-    // duplicate-insensitive. The groupBy shuffles only
-    // (id, numHashes longs), map-side combined.
-    val ex = portableShingleHashes(df, idCol, textCol, shingleN, "__shh")
-      .select(col(idCol), explode(col("__shh")).as("__h"))
+    val ex = sh.select(col(idCol), explode(col(shCol)).as("__h"))
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("__h") * lit(a) + lit(b)) % lit(PortableMod)).as(s"__s$i")
     }
@@ -375,9 +400,13 @@ object Dedup {
                               shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                               threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val (reps, starPairs) = collapseExact(df, idCol, textCol)
-    val cand = candidatePairs(lshBandsPortable(reps, idCol, textCol, shingleN, numHashes, bands),
-      idCol, maxBucket)
+    // Staged once for banding + verify (see minhashDupPairs) — the
+    // md5-per-token typed pass is this pipeline's dominant cost, so
+    // running it once instead of twice roughly halves the runtime.
     val sh = portableShingleHashes(reps, idCol, textCol, shingleN, "__sh")
+      .localCheckpoint()
+    val cand = candidatePairs(lshBandsPortableFromHashes(sh, idCol, "__sh", numHashes, bands),
+      idCol, maxBucket)
     verifiedPairs(cand, sh, idCol, "__sh", threshold).unionAll(starPairs)
   }
 
@@ -406,10 +435,15 @@ object Dedup {
   def prodParityReport(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int,
                        threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    // The five invariants below reference each pair set 2-3 times; an
+    // unmaterialized frame would re-run the full banding pipeline per
+    // reference (measured ~3x the report cost). Pair sets are tiny
+    // (near-dup subset), so localCheckpoint is cheap and its blocks
+    // release with the frames.
     val prod = minhashDupPairs(df, idCol, textCol, shingleN, numHashes,
-      bands, threshold, maxBucket)
+      bands, threshold, maxBucket).localCheckpoint()
     val portable = minhashDupPairsPortable(df, idCol, textCol, shingleN,
-      numHashes, bands, threshold, maxBucket)
+      numHashes, bands, threshold, maxBucket).localCheckpoint()
     val docs = df.filter(col(textCol).isNotNull).select(col(idCol), col(textCol))
     // re-verify every prod pair under the md5-60 family: threshold -1
     // keeps ALL pairs (jaccard is never negative), so the report sees
