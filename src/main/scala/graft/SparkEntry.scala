@@ -128,6 +128,37 @@ object SparkEntry {
          CAST($pinProd AS BIGINT) AS pairs_prod,
          (SELECT count(*) FROM star) AS star_pairs"""
 
+  /** Oracle for [[graft.pipeline.Dedup.repeatedSubstringSpans]]:
+    * DuckDB replays gram hashing (md5-60 of the k-token gram string),
+    * corpus-wide dup detection (count > 1, intra-doc repeats
+    * included), and the gaps-and-islands span merge. Emitted without
+    * a final ORDER BY so callers can reuse it as a subquery. */
+  private def substringSpansSql(k: Int): String =
+    s"""WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS ts
+         FROM documents WHERE text IS NOT NULL),
+       grams AS (
+         SELECT doc_id, (g).pos AS pos, (g).h AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - ${k - 1}, 0) + 1),
+             i -> struct_pack(pos := i,
+               h := CAST(('0x' || substring(md5(array_to_string(ts[i:i+${k - 1}], ' ')), 1, 15)) AS BIGINT)))) AS g
+           FROM tok)),
+       dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+       duppos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+       isl AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+             THEN 0 ELSE 1 END AS brk
+         FROM duppos),
+       isl2 AS (
+         SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM isl)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + ${k - 1} AS BIGINT) AS span_end,
+         CAST(max(pos) + ${k - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+       FROM isl2 GROUP BY doc_id, island"""
+
   /** Oracle for [[graft.gen.ShopGen.generate]]: DuckDB replays the
     * whole Markov walk as a recursive CTE over the SAME integer
     * per-mille transition table and product catalog (embedded as
@@ -1421,6 +1452,29 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.benchmarkOverlapPortable(docs, "doc_id", "text",
           docs.filter(col("doc_id") < 20), n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: exact repeated-substring spans (Lee et al. 2022) —
+    // maximal token ranges covered by 4-token grams occurring more
+    // than once corpus-wide (gram hash = md5-60 of the gram string,
+    // so the oracle replays hashing, dup detection, and the
+    // gaps-and-islands merge bit for bit). Two shuffles at any scale:
+    // groupBy gram hash, then per-doc window on the dup positions.
+    "q_substring_spans" -> ((s, dir) => {
+      Dedup.repeatedSubstringSpans(Tables.documents(s, dir), "doc_id", "text", k = 4)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("span_tokens").cast("long").as("span_tokens"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // pipeline: per-doc repeated-substring load — the tokens the
+    // Lee et al. pipeline would REMOVE, as count + fraction per doc
+    // (docs with no repeated span report 0 via the left join).
+    "q_substring_stats" -> ((s, dir) => {
+      Dedup.withSubstringDupStats(Tables.documents(s, dir), "doc_id", "text", k = 4)
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"), col("dup_fraction"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2958,6 +3012,29 @@ object SparkEntry {
                  ELSE n_hits * 1.0 / n_grams END, 6) AS overlap
          FROM scored ORDER BY doc_id"""
     },
+
+    // Repeated-substring spans: gram hash = md5-60 of the k-token gram
+    // string, dup detection (count > 1 corpus-wide, intra-doc repeats
+    // included), then the same gaps-and-islands merge (grams at pos p
+    // cover [p, p+k-1]; merge when the next start <= prev end + 1).
+    "q_substring_spans" ->
+      (substringSpansSql(k = 4) + " ORDER BY doc_id, span_start"),
+
+    "q_substring_stats" ->
+      s"""WITH spans AS (${substringSpansSql(k = 4)}),
+         per_doc AS (
+           SELECT doc_id, sum(span_tokens) AS dup_tokens
+           FROM spans GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(CASE WHEN d.text IS NULL THEN 0
+                ELSE len(string_split(d.text, ' ')) END AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CASE WHEN d.text IS NULL OR len(string_split(d.text, ' ')) = 0
+                 THEN 0.0
+                 ELSE coalesce(p.dup_tokens, 0) * 1.0 /
+                   len(string_split(d.text, ' ')) END, 6) AS dup_fraction
+         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // The hash gate replayed verbatim: md5("source:doc_id") first 8
     // hex digits mod 1000 under the per-stratum rate.

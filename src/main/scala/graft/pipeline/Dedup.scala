@@ -670,6 +670,91 @@ object Dedup {
           .otherwise(col("n_hits").cast("double") / col("n_grams")), 6).as("overlap"))
   }
 
+  /** One row per k-token gram occurrence: (idCol, pos, h) with pos the
+    * 1-based token index and h the md5-60 hash of the gram STRING
+    * (k tokens joined by a space). Hashing the string keeps the full
+    * 60-bit space — a 31-bit folded space would saturate by birthday
+    * collision at web-corpus gram counts (10^12 grams vs 2^31 slots),
+    * while 2^60 keeps the false-dup rate ~n²/2^61. Narrow (no
+    * shuffle); null/short docs emit nothing. Tokens stage through a
+    * real column so the gram lambda does O(k) attribute accesses, not
+    * a per-gram re-split (the CollapseProject trap — see
+    * [[shingleHashesFromTokenHashes]]). */
+  private def substringGrams(df: DataFrame, idCol: String, textCol: String,
+                             k: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= k,
+          transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+            i => struct(i.as("pos"),
+              md5Hash60(concat_ws(" ", slice(col("__toks"), i, lit(k)))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("__g"))
+      .select(col(idCol), col("__g.pos").as("pos"), col("__g.h").as("h"))
+
+  /** Maximal repeated-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the exact-substring
+    * half of a dedup pipeline, complementing the near-dup MinHash
+    * paths): every maximal token range [span_start, span_end] covered
+    * by k-token grams that occur MORE THAN ONCE corpus-wide
+    * (including twice within one document — intra-doc boilerplate
+    * counts, as in the paper's suffix-array formulation).
+    *
+    * Spark-first shape, two shuffles total at any scale: gram
+    * occurrences (narrow explode) → groupBy gram hash with map-side
+    * combine to find repeated hashes (shuffle 1: one (h, count)
+    * pair per distinct gram) → equi-join occurrences back on h →
+    * per-document ordered window merges overlapping grams into
+    * maximal spans via gaps-and-islands (shuffle 2: on the doc id;
+    * per-doc state is the doc's own duplicated positions, never the
+    * corpus). A suffix array gives byte-precise spans but needs a
+    * global sort of every suffix; k-gram anchoring is the standard
+    * distributed approximation (spans resolve to k-token granularity).
+    *
+    * Output: (idCol, span_start, span_end, span_tokens), token
+    * positions 1-based inclusive. */
+  def repeatedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 8): DataFrame = {
+    val grams = substringGrams(df, idCol, textCol, k)
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("h"))
+    val dupPos = grams.join(dupHashes, "h").select(col(idCol), col("pos"))
+    // gaps-and-islands: grams at pos p cover [p, p+k-1]; the next gram
+    // merges into the span iff its start is <= prev end + 1 = prev+k.
+    // lag of the first row is null -> NULL <= k is not true -> new island.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dupPos
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("__island", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
+  /** Per-document summary of [[repeatedSubstringSpans]]: every doc with
+    * (n_tokens, dup_tokens, dup_fraction) where dup_tokens counts the
+    * tokens inside repeated spans — the number the Lee et al. pipeline
+    * would REMOVE. Docs with no repeated span (or null text) report 0;
+    * the left join keeps them. dup_fraction rounds to 6 digits so the
+    * division is engine-stable. */
+  def withSubstringDupStats(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8): DataFrame = {
+    val spanTokens = repeatedSubstringSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol)).agg(sum(col("span_tokens")).as("dup_tokens"))
+    df.select(col(idCol),
+        when(col(textCol).isNotNull, size(TextAnalysis.tokens(col(textCol))))
+          .otherwise(0).cast("long").as("n_tokens"))
+      .join(spanTokens, Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_fraction",
+        round(when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("dup_tokens").cast("double") / col("n_tokens")), 6))
+  }
+
   /** Connected components over near-dup pairs → (id, cluster_id) with
     * cluster_id = the component's minimum member id. The step a
     * corpus-dedup pipeline runs AFTER pair generation: transitive

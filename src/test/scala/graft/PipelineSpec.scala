@@ -801,4 +801,54 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.length == 5) // 5000 ms / 1000
     assert(frames.map(_.frameIdx).toSeq == (0 until 5))
   }
+
+  test("repeatedSubstringSpans: cross-doc span, intra-doc repeat, merge, edges") {
+    import spark.implicits._
+    // doc 1 & 2 share the 4-gram "p q r s" (cross-doc dup);
+    // doc 3 repeats "m n o p" twice WITHIN itself (intra-doc dup);
+    // doc 4 shares nothing; doc 5 is shorter than k; doc 6 is null.
+    val docs = Seq(
+      (1L, "a b c p q r s d e"),
+      (2L, "x y p q r s z w v"),
+      (3L, "m n o p k m n o p j"),
+      (4L, "t u 1 2 3 4 5 6 7"),
+      (5L, "q r"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // doc 1: "p q r s" at tokens 4-7; doc 2: at 3-6;
+    // doc 3: "m n o p" at 1-4 and 6-9 (gap of 1 token > merge reach? pos
+    // 1 and 6: 6-1=5 > k=4 -> two islands)
+    assert(spans == Seq(
+      (1L, 4, 7, 4), (2L, 3, 6, 4), (3L, 1, 4, 4), (3L, 6, 9, 4)))
+
+    // overlapping dup grams merge into ONE maximal span: doc 7 and 8
+    // share 6 consecutive tokens -> three overlapping 4-grams -> one
+    // span of 6 tokens each.
+    val docs2 = Seq(
+      (7L, "h i j k l m tail1 x"),
+      (8L, "pre h i j k l m")
+    ).toDF("doc_id", "text")
+    val merged = Dedup.repeatedSubstringSpans(docs2, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(merged == Seq((7L, 1, 6, 6), (8L, 2, 7, 6)))
+  }
+
+  test("withSubstringDupStats: zero for clean/short/null docs, exact fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),     // shares "a b c d" with doc 2
+      (2L, "z a b c d y"),
+      (3L, "only unique words here now"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val stats = Dedup.withSubstringDupStats(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(stats == Seq(
+      (1L, 8L, 4L, 0.5), (2L, 6L, 4L, 0.666667), (3L, 5L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
+  }
 }
