@@ -188,11 +188,36 @@ object Dedup {
   }
 
   /** Shared verification tail of both LSH pipelines: melt candidate
-    * pairs to one row per (pair, side), join the shingle table ONCE,
-    * compute exact Jaccard, keep pairs at `threshold`. `sh` must be
-    * (idCol, shingle-hash array). */
+    * pairs to one row per (pair, side), join the EXPLODED shingle rows
+    * ONCE, and compute exact Jaccard from set-size counts:
+    * |A∩B| = #hashes present on both sides, |A∪B| = |A|+|B|-|A∩B|
+    * (shingle arrays are distinct per doc, so every (pair, hash, side)
+    * row is unique). `sh` must be (idCol, shingle-hash array).
+    *
+    * This shape exists for parallelism, not elegance: an earlier
+    * version aggregated the two ARRAYS per pair and ran
+    * `array_intersect` AFTER the groupBy — AQE coalesces that tiny-
+    * bytes exchange to one partition, so every candidate pair's
+    * intersection (124k pairs at bigram settings) executed in a single
+    * task (measured 4.6 s serial). Long-row counting keeps the heavy
+    * work in map-side partial aggregation across the join's
+    * partitions, ships no arrays through any shuffle, and leaves the
+    * post-agg stage O(pairs) arithmetic. */
   private def verifiedPairs(cand: DataFrame, sh: DataFrame, idCol: String,
                             shCol: String, threshold: Double): DataFrame = {
+    // Parallelism note: every exchange in this tail carries few BYTES
+    // (ids and hash arrays for the near-dup subset) but fans out into
+    // heavy CPU — the bucket pair explosion and 100k+ array
+    // intersections. AQE's byte-based coalescing reads such exchanges
+    // as "one partition is plenty" and serializes the whole tail
+    // (measured 4.6 s in ONE task at bigram settings; a pair-keyed
+    // repartition does not help — the optimizer removes it as
+    // redundant over the distinct's partitioning). The session-level
+    // fix is a small `spark.sql.adaptive.coalescePartitions
+    // .minPartitionSize` (Bench/Verify set 16k): at cluster scale
+    // partitions track the 64 MB advisory target and the floor is
+    // irrelevant, while tiny-bytes/heavy-CPU stages keep their
+    // parallelism.
     val melted = cand.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as(idCol))
     melted.join(sh, idCol)
@@ -435,33 +460,59 @@ object Dedup {
   def prodParityReport(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int,
                        threshold: Double, maxBucket: Int = 1000): DataFrame = {
-    // The five invariants below reference each pair set 2-3 times; an
-    // unmaterialized frame would re-run the full banding pipeline per
-    // reference (measured ~3x the report cost). Pair sets are tiny
-    // (near-dup subset), so localCheckpoint is cheap and its blocks
-    // release with the frames.
-    val prod = minhashDupPairs(df, idCol, textCol, shingleN, numHashes,
-      bands, threshold, maxBucket).localCheckpoint()
-    val portable = minhashDupPairsPortable(df, idCol, textCol, shingleN,
-      numHashes, bands, threshold, maxBucket).localCheckpoint()
-    val docs = df.filter(col(textCol).isNotNull).select(col(idCol), col(textCol))
-    // re-verify every prod pair under the md5-60 family: threshold -1
-    // keeps ALL pairs (jaccard is never negative), so the report sees
-    // the recomputed value even for pairs that would flunk
-    val reVerified = verifiedPairs(prod.select(col("id_a"), col("id_b")),
-      portableShingleHashes(docs, idCol, textCol, shingleN, "__sh"),
-      idCol, "__sh", threshold = -1.0)
+    // Shared-prefix evaluation: both families consume the SAME exact
+    // pre-collapse, and each family's shingle frame feeds its banding,
+    // its verify, and (for md5) the cross-family re-verification — so
+    // the corpus is digested once and hashed once per family, total.
+    // Every reused frame localCheckpoints (the five invariants below
+    // reference pair sets 2-3 times; unmaterialized, each reference
+    // would re-run its full banding pipeline — measured ~3x the
+    // report cost). All checkpointed frames are tiny (near-dup pairs)
+    // or hash-array-sized (reps x shingle longs); blocks release with
+    // the frames.
+    val (reps, starPairs) = collapseExact(df, idCol, textCol)
+    val stars = starPairs.select(col("id_a"), col("id_b")).localCheckpoint()
+
+    val xxsh = withShingleHashes(reps.select(col(idCol), col(textCol)),
+      textCol, shingleN, "__sh").select(col(idCol), col("__sh")).localCheckpoint()
+    val prodVer = verifiedPairs(
+      candidatePairs(lshBandsFromHashes(xxsh, idCol, "__sh", numHashes, bands),
+        idCol, maxBucket),
+      xxsh, idCol, "__sh", threshold).localCheckpoint()
+
+    val psh = portableShingleHashes(reps, idCol, textCol, shingleN, "__sh")
+      .localCheckpoint()
+    val portVer = verifiedPairs(
+      candidatePairs(lshBandsPortableFromHashes(psh, idCol, "__sh", numHashes, bands),
+        idCol, maxBucket),
+      psh, idCol, "__sh", threshold).localCheckpoint()
+
+    // Re-verify the prod VERIFIED pairs under the md5-60 family:
+    // threshold -1 keeps ALL pairs (jaccard is never negative), so the
+    // report sees the recomputed value even for pairs that would
+    // flunk. Star pairs need no re-check — identical text has Jaccard
+    // 1.0 under any hash family — and every verified-arm id is a
+    // representative, so the rep-level psh frame covers the join.
+    val reVerified = verifiedPairs(prodVer.select(col("id_a"), col("id_b")),
+      psh, idCol, "__sh", threshold = -1.0)
     val bad = reVerified.filter(col("jaccard") < threshold)
       .agg(count(lit(1)).cast("long").as("bad_pairs"))
-    val common = prod.select(col("id_a"), col("id_b"))
-      .join(portable.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
-      .agg(count(lit(1)).cast("long").as("pairs_common"))
-    val portCnt = portable.agg(count(lit(1)).cast("long").as("pairs_portable"))
-    val prodCnt = prod.agg(count(lit(1)).cast("long").as("pairs_prod"))
-    val stars = docs.groupBy(md5(col(textCol)))
-      .agg((count(lit(1)) - 1).as("__c"))
-      .agg(coalesce(sum(col("__c")), lit(0L)).cast("long").as("star_pairs"))
-    bad.crossJoin(common).crossJoin(portCnt).crossJoin(prodCnt).crossJoin(stars)
+    // Both families union the SAME star set, so
+    // |prod ∩ portable| = |prodVer ∩ portVer| + |stars|.
+    val starCnt = stars.agg(count(lit(1)).cast("long").as("__n_stars"))
+    val common = prodVer.select(col("id_a"), col("id_b"))
+      .join(portVer.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
+      .agg(count(lit(1)).cast("long").as("__common_ver"))
+      .crossJoin(starCnt)
+      .select((col("__common_ver") + col("__n_stars")).as("pairs_common"))
+    val portCnt = portVer.agg(count(lit(1)).cast("long").as("__n_port"))
+      .crossJoin(starCnt)
+      .select((col("__n_port") + col("__n_stars")).as("pairs_portable"))
+    val prodCnt = prodVer.agg(count(lit(1)).cast("long").as("__n_prod"))
+      .crossJoin(starCnt)
+      .select((col("__n_prod") + col("__n_stars")).as("pairs_prod"))
+    val starsOut = stars.agg(count(lit(1)).cast("long").as("star_pairs"))
+    bad.crossJoin(common).crossJoin(portCnt).crossJoin(prodCnt).crossJoin(starsOut)
   }
 
   /** Exact Jaccard over two arrays — integer counts divided, so the
