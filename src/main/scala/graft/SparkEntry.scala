@@ -40,6 +40,29 @@ object SparkEntry {
   private def planeSql(w: Seq[Double]): String =
     w.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
+  /** Shared `e`/`b` CTE prefix of the embedding-LSH oracles: vectors
+    * cast to double plus the deterministic plane-matrix bucket. */
+  private def embedBucketSql: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, v,
+         ${lshPlanes.zipWithIndex.map { case (w, p) =>
+           s"(CASE WHEN list_dot_product(v, ${planeSql(w)}) > 0 THEN ${1 << p} ELSE 0 END)"
+         }.mkString(" + ")} AS bucket
+         FROM e)"""
+
+  /** Spark twin of [[embedBucketSql]]: embeddings cast to double with
+    * the literal plane-matrix bucket — the shared head of every
+    * oracle-checked embedding-LSH query (the production path is the
+    * fused native lshSignature expression, unit-tested). */
+  private def embedBucketed(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", lshPlanes.zipWithIndex.map { case (w, p) =>
+        when(graft.pipeline.Similarity.dot(col("v"), array(w.map(lit): _*)) > 0,
+          1 << p).otherwise(0)
+      }.reduce(_ + _))
+
   /** DuckDB oracle for the full md5-portable MinHash-LSH pipeline
     * (Dedup.minhashDupPairsPortable): exact pre-collapse to star
     * pairs, n-gram shingles → md5-60 hashes, the SAME affine
@@ -1608,11 +1631,7 @@ object SparkEntry {
     // fused xxhash signature expression stays the production path,
     // exercised by PipelineSpec)
     "q_knn_lsh" -> ((s, dir) => {
-      val b = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", lshPlanes.zipWithIndex.map { case (w, p) =>
-          when(Similarity.dot(col("v"), array(w.map(lit): _*)) > 0, 1 << p).otherwise(0)
-        }.reduce(_ + _))
+      val b = embedBucketed(s, dir)
       val q = b.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
       val scored = b.join(broadcast(q), Seq("bucket"))
@@ -1644,11 +1663,7 @@ object SparkEntry {
     // verified (the production path is Dedup.embeddingDupPairs /
     // cosineSelfJoinPairs with the fused native signature, unit-tested)
     "q_embed_dups" -> ((s, dir) => {
-      val b = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", lshPlanes.zipWithIndex.map { case (w, p) =>
-          when(Similarity.dot(col("v"), array(w.map(lit): _*)) > 0, 1 << p).otherwise(0)
-        }.reduce(_ + _))
+      val b = embedBucketed(s, dir)
       val l = b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
       val r = b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
       l.join(r, Seq("bucket"))
@@ -1657,6 +1672,58 @@ object SparkEntry {
         .filter(col("cos_sim") >= 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_r"))
         .distinct()
+    }),
+
+    // pipeline: SemDeDup (Abbas et al. 2023) — semantic dedup over
+    // embeddings: LSH-bucketed cosine pairs at the threshold feed
+    // connected components; each component keeps its lowest id and
+    // removes the rest. Emitted as per-cluster summaries (rep id =
+    // cluster_id, member count, id sum, removal count) so any
+    // propagation error breaks the hash. The oracle recomputes pairs
+    // from the literal plane matrix and walks reachability with a
+    // recursive CTE.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val b = embedBucketed(s, dir)
+      val l = b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+      val r = b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+      val pairs = l.join(r, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos_sim") >= 0.35)
+        .select(col("id_a"), col("id_b")).distinct()
+      Dedup.dupClusters(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_sum"),
+          (count(lit(1)) - 1).as("n_removed"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // pipeline: ANN quality report — recall@3 of the LSH-bucketed ANN
+    // against brute-force ground truth, per query vector. Both sides
+    // rank in double precision with the (cos DESC, id ASC) tie-break,
+    // so the hit sets are engine-deterministic and the oracle replays
+    // them exactly. The operator a pipeline runs before trusting an
+    // ANN index at scale: recall < 1 is the LSH tradeoff, and this
+    // makes it a measured number instead of a hope.
+    "q_ann_recall" -> ((s, dir) => {
+      val b = embedBucketed(s, dir)
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"), col("bucket"))
+      val truth = Similarity.bruteForceTopK(
+          q.select(col("q_id"), col("q_vec")), b.select(col("vec_id"), col("v")),
+          "q_id", "q_vec", "vec_id", "v", 3)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      val annScored = b.join(broadcast(q), Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos_sim", Similarity.cosine(col("q_vec"), col("v")))
+      val ann = Similarity.topKPerQuery(
+          annScored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 3)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), lit(1).as("__hit"))
+      truth.join(ann, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / 3.0, 6))
+        .orderBy(col("q_id"))
     }),
 
     // TPC-H-flavor Q1: scan-heavy grouped aggregate over lineitem
@@ -2865,12 +2932,7 @@ object SparkEntry {
     // list_dot_product accumulates left-to-right like VectorDot, so
     // buckets and cosine ranking agree bit-for-bit.
     "q_knn_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v,
-           ${lshPlanes.zipWithIndex.map { case (w, p) =>
-             s"(CASE WHEN list_dot_product(v, ${planeSql(w)}) > 0 THEN ${1 << p} ELSE 0 END)"
-           }.mkString(" + ")} AS bucket
-           FROM e),
+      s"""WITH $embedBucketSql,
          q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 20),
          scored AS (
            SELECT q.q_id, c.vec_id AS neighbor_id,
@@ -2886,12 +2948,7 @@ object SparkEntry {
     // Same plane matrix again: within-bucket pairs, exact-cosine
     // verified at the threshold.
     "q_embed_dups" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v,
-           ${lshPlanes.zipWithIndex.map { case (w, p) =>
-             s"(CASE WHEN list_dot_product(v, ${planeSql(w)}) > 0 THEN ${1 << p} ELSE 0 END)"
-           }.mkString(" + ")} AS bucket
-           FROM e),
+      s"""WITH $embedBucketSql,
          pairs AS (
            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              list_dot_product(a.v, c.v) /
@@ -2899,6 +2956,62 @@ object SparkEntry {
            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          SELECT DISTINCT id_a, id_b, round(cos, 4) AS cos_r
          FROM pairs WHERE cos >= 0.35""",
+
+    // SemDeDup: the q_embed_dups pair construction feeds a recursive
+    // reachability walk (same closure as q_dedup_clusters).
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE $embedBucketSql,
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           WHERE list_dot_product(a.v, c.v) /
+             nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)), 0)
+             >= 0.35),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b AS a, id_a AS b FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+         comp AS (
+           SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id)
+         SELECT cluster_id, count(*) AS n_members,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           count(*) - 1 AS n_removed
+         FROM comp GROUP BY 1 ORDER BY cluster_id""",
+
+    // ANN recall@3: brute-force truth vs bucketed ANN, both ranked in
+    // double precision with the (cos DESC, id ASC) tie-break.
+    "q_ann_recall" ->
+      s"""WITH $embedBucketSql,
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+         truth AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q.q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, c.v) /
+                   nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)), 0)
+                 DESC, c.vec_id) AS rnk
+             FROM b c, q WHERE c.vec_id <> q.q_id)
+           WHERE rnk <= 3),
+         ann AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q.q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, c.v) /
+                   nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)), 0)
+                 DESC, c.vec_id) AS rnk
+             FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
+           WHERE rnk <= 3)
+         SELECT t.q_id, count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 6) AS recall
+         FROM truth t LEFT JOIN ann a
+           ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+         GROUP BY t.q_id ORDER BY t.q_id""",
 
     "q_group_profile" ->
       """SELECT * FROM (
