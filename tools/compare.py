@@ -54,6 +54,15 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # Durable per-query failures from graft.Verify (round-9 lesson: a
+    # missing dump dir reads as "not run", not "failed").
+    try:
+        dumped_failures = json.load(open(f"{out_dir}/_failures.json"))
+    except Exception:
+        dumped_failures = {}
+    for name, msg in sorted(dumped_failures.items()):
+        print(f"FAIL {name}: verify-side failure: {msg}")
+        failures += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
