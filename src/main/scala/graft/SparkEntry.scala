@@ -2102,6 +2102,25 @@ object SparkEntry {
       graft.pipeline.Multimodal.imageStats(media).orderBy("id")
     }),
 
+    // Multimodal: REAL WAV codec round trip, oracle-checked end to
+    // end. Deterministic PCM16 (s = ((id*37 + i*17) % 4096) - 2048) is
+    // ENCODED to real RIFF/WAVE bytes and PARSED back through the
+    // chunk-walking codec; per-window integer features (Σ|s|, Σs²,
+    // zero crossings) are recomputed analytically by DuckDB, so any
+    // header/sample/window deviation breaks the hash.
+    "q_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 16)
+        .select(col("doc_id").cast("long")).distinct()
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+        graft.pipeline.Multimodal.MediaRow(id,
+          graft.pipeline.Multimodal.SyntheticAudio.encode(id, n = 800),
+          graft.pipeline.Multimodal.MediaMeta("audio", "wav", 0, 0, 50L))
+      })
+      graft.pipeline.Multimodal.audioFeatures(media, windowSamples = 256)
+        .orderBy(col("id"), col("window_idx"))
+    }),
+
     // Persisted dictionary store (reference metadata/src/dictionaries
     // .rs:40-157 get_key_or_create): two successive batches against a
     // parquet-backed store must assign stable, gap-free keys — batch 1
@@ -3634,6 +3653,29 @@ object SparkEntry {
            CAST(3*sum(v) AS BIGINT) AS channel_sum,
            CAST(3*sum(v) AS BIGINT) / (8*8*3*255.0) AS mean_pixel
          FROM px GROUP BY 1 ORDER BY id""",
+
+    // The audio twin of q_image_decode: per-window integer features of
+    // the synthetic PCM recomputed analytically (window = i // 256,
+    // zero crossing = strict sign flip vs the previous sample within
+    // the window).
+    "q_audio_features" ->
+      """WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 16),
+         s AS (
+           SELECT i.id, x.range AS i,
+             ((i.id*37 + x.range*17) % 4096) - 2048 AS v
+           FROM ids i CROSS JOIN range(800) x),
+         w AS (
+           SELECT id, CAST(i // 256 AS INT) AS window_idx, i % 256 AS wi, v
+           FROM s),
+         c AS (
+           SELECT id, window_idx, v,
+             lag(v) OVER (PARTITION BY id, window_idx ORDER BY wi) AS pv
+           FROM w)
+         SELECT id, window_idx, CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+           CAST(sum(v*v) AS BIGINT) AS sq_sum,
+           CAST(count(*) FILTER (pv IS NOT NULL AND pv*v < 0) AS INT) AS zero_crossings
+         FROM c GROUP BY 1, 2 ORDER BY id, window_idx""",
 
     "q_dict_persistent" ->
       """WITH b1 AS (

@@ -68,6 +68,9 @@ object Multimodal {
       else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
       else if (b.length >= 3 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff)
         Some("jpeg")
+      else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        Some("wav")
       else None
 
     /** (width, height) from the container header, None if the payload
@@ -294,6 +297,119 @@ object Multimodal {
         }
       }
     }.toDF("id", "width", "height", "channels", "channel_sum", "mean_pixel")
+  }
+
+  // ------------------------------------------------------------------
+  // Audio: real RIFF/WAVE codec + integer window features
+  // ------------------------------------------------------------------
+
+  final case class AudioMeta(sampleRate: Int, channels: Int,
+                             bitsPerSample: Int, nSamples: Int)
+
+  /** Minimal-but-real PCM16 WAV codec, pure JVM. The parser walks RIFF
+    * chunks generically (unknown chunks like LIST/INFO are skipped),
+    * so real-world files with metadata chunks parse too; anything not
+    * PCM16 or truncated returns None instead of throwing. */
+  object WavCodec {
+    def encodePcm16Mono(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)             // PCM
+        .putShort(1.toShort)             // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)          // byte rate
+        .putShort(2.toShort)             // block align
+        .putShort(16.toShort)            // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    def parse(payload: Array[Byte]): Option[(AudioMeta, Array[Short])] = {
+      if (payload == null || payload.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      bb.getInt // riff size (trusted only chunk-locally below)
+      if (tag4() != "WAVE") return None
+      var meta: Option[(Int, Int, Int)] = None // rate, channels, bits
+      var data: Option[Array[Byte]] = None
+      while (bb.remaining() >= 8 && (meta.isEmpty || data.isEmpty)) {
+        val tag = tag4(); val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return None
+        tag match {
+          case "fmt " if len >= 16 =>
+            val fmtCode = bb.getShort; val ch = bb.getShort
+            val rate = bb.getInt; bb.getInt; bb.getShort
+            val bits = bb.getShort
+            bb.position(bb.position() + (len - 16))
+            if (fmtCode != 1) return None // PCM only
+            meta = Some((rate, ch.toInt, bits.toInt))
+          case "data" =>
+            val d = new Array[Byte](len); bb.get(d); data = Some(d)
+          case _ => bb.position(bb.position() + len) // skip LIST/INFO/...
+        }
+        if (len % 2 == 1 && bb.remaining() > 0) bb.get // RIFF word padding
+      }
+      for ((rate, ch, bits) <- meta; d <- data; if bits == 16 && ch == 1) yield {
+        val n = d.length / 2
+        val sb = java.nio.ByteBuffer.wrap(d)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        val out = new Array[Short](n); sb.get(out)
+        (AudioMeta(rate, ch, bits, n), out)
+      }
+    }
+  }
+
+  /** Deterministic synthetic PCM for end-to-end codec validation:
+    * sample `s(id, i) = ((id*37 + i*17) % 4096) - 2048`, written as a
+    * REAL PCM16 WAV through [[WavCodec]]. Integer-exact, so DuckDB
+    * recomputes per-window features analytically and any byte-level
+    * codec deviation breaks the hash — the audio twin of
+    * [[SyntheticImages]]. */
+  object SyntheticAudio {
+    def sample(id: Long, i: Int): Int =
+      (((id * 37 + i.toLong * 17) % 4096) - 2048).toInt
+
+    def encode(id: Long, n: Int, sampleRate: Int = 16000): Array[Byte] =
+      WavCodec.encodePcm16Mono(
+        Array.tabulate(n)(i => sample(id, i).toShort), sampleRate)
+  }
+
+  /** Fixed-window integer audio features per media row: for each
+    * window of `windowSamples` samples (last window may be partial) —
+    * sample count, Σ|s| (energy proxy), Σs² (exact RMS numerator) and
+    * the zero-crossing count (strict sign flips, `s[j-1]*s[j] < 0`,
+    * window-local). All integers, so the row is engine-portable for
+    * oracle hashing; unparseable payloads are dropped. Narrow pass —
+    * one task decodes its own partitions' audio, no shuffle. */
+  def audioFeatures(media: Dataset[MediaRow], windowSamples: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        WavCodec.parse(r.payload).toSeq.flatMap { case (_, samples) =>
+          samples.indices.grouped(windowSamples).zipWithIndex.map {
+            case (idx, w) =>
+              var absSum = 0L; var sqSum = 0L; var zc = 0
+              var j = idx.head
+              while (j <= idx.last) {
+                val v = samples(j).toLong
+                absSum += math.abs(v); sqSum += v * v
+                if (j > idx.head && samples(j - 1).toLong * v < 0) zc += 1
+                j += 1
+              }
+              (r.id, w, idx.size, absSum, sqSum, zc)
+          }
+        }
+      }
+    }.toDF("id", "window_idx", "n_samples", "abs_sum", "sq_sum", "zero_crossings")
   }
 
   /** Build a MediaRow dataset from any table with a binary-able column

@@ -802,6 +802,51 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.map(_.frameIdx).toSeq == (0 until 5))
   }
 
+  test("WavCodec: encode/parse round trip, chunk skipping, malformed rejection") {
+    import Multimodal._
+    val samples = Array.tabulate(300)(i => SyntheticAudio.sample(7L, i).toShort)
+    val bytes = WavCodec.encodePcm16Mono(samples, 16000)
+    assert(HeaderCodec.sniff(bytes).contains("wav"))
+    val (meta, parsed) = WavCodec.parse(bytes).get
+    assert(meta == AudioMeta(16000, 1, 16, 300))
+    assert(parsed.toSeq == samples.toSeq)
+
+    // real-world files carry metadata chunks before data: splice a
+    // LIST chunk in — the chunk walker must skip it and still parse
+    val list = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+      .array()
+    val spliced = bytes.take(12) ++ list ++ bytes.drop(12)
+    val (meta2, parsed2) = WavCodec.parse(spliced).get
+    assert(meta2.nSamples == 300 && parsed2.toSeq == samples.toSeq)
+
+    assert(WavCodec.parse(null) == None)
+    assert(WavCodec.parse(Array.fill[Byte](10)(1)) == None)
+    assert(WavCodec.parse("RIFFxxxxJUNK".getBytes ++ Array.fill[Byte](40)(0)) == None)
+    // declared data length beyond the payload must not throw
+    val truncated = bytes.take(60)
+    assert(WavCodec.parse(truncated) == None)
+  }
+
+  test("audioFeatures: hand-computed windows, partial tail, garbage dropped") {
+    import spark.implicits._
+    import Multimodal._
+    // id 1: 5 samples with known sign flips; window of 3 -> windows
+    // [3, -2, 4] and [-1, 0]
+    val s1 = Array[Short](3, -2, 4, -1, 0)
+    val media = Seq(
+      MediaRow(1L, WavCodec.encodePcm16Mono(s1, 8000), MediaMeta("audio", "wav", 0, 0, 0L)),
+      MediaRow(2L, Array.fill[Byte](30)(42), MediaMeta("audio", "wav", 0, 0, 0L))
+    ).toDS()
+    val rows = Multimodal.audioFeatures(media, windowSamples = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).sortBy(t => (t._1, t._2)).toSeq
+    // window 0: |3|+|-2|+|4|=9, 9+4+16=29, flips 3/-2 and -2/4 -> 2
+    // window 1: |-1|+|0|=1, 1, flips: -1*0 not < 0 -> 0
+    assert(rows == Seq((1L, 0, 3, 9L, 29L, 2), (1L, 1, 2, 1L, 1L, 0)))
+  }
+
   test("repeatedSubstringSpans: cross-doc span, intra-doc repeat, merge, edges") {
     import spark.implicits._
     // doc 1 & 2 share the 4-gram "p q r s" (cross-doc dup);
