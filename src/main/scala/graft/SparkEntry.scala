@@ -2102,6 +2102,29 @@ object SparkEntry {
       graft.pipeline.Multimodal.imageStats(media).orderBy("id")
     }),
 
+    // Storage: date-partitioned events store + partition-pruned read.
+    // The sf events rewrite partitioned by event_date (the layout the
+    // streaming sink emits and Compact.runPartitioned maintains), then
+    // a time window queries it through timePredicateWithPartitionPruning
+    // — the derived event_date bounds prune whole day directories from
+    // the listing (PushdownSpec asserts the pruned file set), which at
+    // 100 TB is the difference between touching one day and listing
+    // years. The oracle answers the same window over the FLAT table,
+    // so pruning can never change results.
+    "q_partition_prune" -> ((s, dir) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-partstore-" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Tables.events(s, dir).withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("overwrite").parquet(root)
+      val qt = QueryTime.Between(ts("2024-01-10T00:00:00Z"), ts("2024-01-20T00:00:00Z"))
+      s.read.parquet(root)
+        .filter(Exprs.timePredicateWithPartitionPruning(col("ts"), col("event_date"), qt))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("uid_sum"),
+          min(col("event_id")).as("min_eid"), max(col("event_id")).as("max_eid"))
+        .orderBy(col("event_date"))
+    }),
+
     // Multimodal: REAL WAV codec round trip, oracle-checked end to
     // end. Deterministic PCM16 (s = ((id*37 + i*17) % 4096) - 2048) is
     // ENCODED to real RIFF/WAVE bytes and PARSED back through the
@@ -3653,6 +3676,17 @@ object SparkEntry {
            CAST(3*sum(v) AS BIGINT) AS channel_sum,
            CAST(3*sum(v) AS BIGINT) / (8*8*3*255.0) AS mean_pixel
          FROM px GROUP BY 1 ORDER BY id""",
+
+    // Partition pruning can never change results: the oracle answers
+    // the same window over the flat table.
+    "q_partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS uid_sum,
+           min(event_id) AS min_eid, max(event_id) AS max_eid
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
 
     // The audio twin of q_image_decode: per-window integer features of
     // the synthetic PCM recomputed analytically (window = i // 256,

@@ -21,6 +21,30 @@ object Exprs {
       tsCol >= lit(from) && tsCol <= lit(now)
   }
 
+  /** [[timePredicate]] plus the implied bounds on a DATE partition
+    * column — the conjunct that turns a time filter into PARTITION
+    * PRUNING on a date-partitioned events store (`event_date=…/`, the
+    * layout the streaming sink writes and Compact.runPartitioned
+    * maintains). Row-group statistics prune within files; only a
+    * partition-column predicate prunes whole directories from the
+    * listing, which at 100 TB is the difference between touching one
+    * day and listing three years. Bounds are DATEs of the ts bounds
+    * (inclusive: the partition holding `from`'s midnight-truncation
+    * through the one holding `to`), so results are identical to the
+    * ts predicate alone. */
+  def timePredicateWithPartitionPruning(tsCol: Column, dateCol: Column,
+                                        time: QueryTime): Column = {
+    val dateBounds = time match {
+      case QueryTime.Between(from, to) =>
+        dateCol >= to_date(lit(from)) && dateCol <= to_date(lit(to))
+      case QueryTime.From(from) => dateCol >= to_date(lit(from))
+      case QueryTime.Last(n, unit, now) =>
+        val from = new java.sql.Timestamp(now.getTime - n * unit.millis)
+        dateCol >= to_date(lit(from)) && dateCol <= to_date(lit(now))
+    }
+    timePredicate(tsCol, time) && dateBounds
+  }
+
   /** Event-name equality. The reference encodes event names to
     * dictionary keys first (expr.rs:60-115); we store plain strings so
     * parquet dictionary encoding gives the same effect transparently.

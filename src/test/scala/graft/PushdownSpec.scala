@@ -100,6 +100,44 @@ class PushdownSpec extends SparkTestBase {
     }
   }
 
+  test("date-partitioned stores prune whole partitions from a time filter") {
+    import spark.implicits._
+    withTempDir { dir =>
+      // three day-partitions of hourly events, the layout the
+      // streaming sink writes (event_date=YYYY-MM-DD/)
+      val rows = for {
+        d <- 5 to 7; h <- 0 until 24
+      } yield (s"2024-01-0$d", java.sql.Timestamp.from(
+        java.time.Instant.parse(f"2024-01-0$d%dT$h%02d:00:00Z")))
+      rows.toDF("event_date", "ts")
+        .withColumn("event_date", to_date(col("event_date")))
+        .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+      val ev = spark.read.parquet(dir)
+      val qt = QueryTime.Between(ts("2024-01-06T06:00:00Z"), ts("2024-01-07T06:00:00Z"))
+      val pruned = ev.filter(Exprs.timePredicateWithPartitionPruning(
+        col("ts"), col("event_date"), qt))
+      val scan = leafScan(pruned)
+      val pf = scan.split("PartitionFilters:").lift(1).getOrElse("")
+      assert(pf.contains("event_date"), scan)
+      assert(pf.contains("2024-01-06") || pf.contains("19728"), scan) // rendered or epoch-day
+      // identical results to the plain ts predicate: the date bounds
+      // are implied, never narrowing
+      val plain = ev.filter(Exprs.timePredicate(col("ts"), qt)).count()
+      assert(pruned.count() == plain && plain == 25L)
+      // and the pruned scan must actually read fewer partitions: day 5
+      // cannot appear among the scanned files
+      val files = pruned.queryExecution.executedPlan.collectLeaves()
+        .head.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+        .relation.location.listFiles(
+          pruned.queryExecution.executedPlan.collectLeaves().head
+            .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+            .partitionFilters,
+          Nil)
+        .flatMap(_.files.map(_.getPath.toString))
+      assert(files.nonEmpty && !files.exists(_.contains("event_date=2024-01-05")), files)
+    }
+  }
+
   test("pushdown conjuncts do not change results at boundaries") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val from = ts("2024-01-05T00:00:00Z"); val to = ts("2024-01-10T00:00:00Z")
