@@ -1726,6 +1726,32 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // pipeline: hard-negative mining for contrastive training — per
+    // query vector, the top-2 most-similar corpus vectors with a
+    // DIFFERENT label (the "hard negatives" a contrastive batch
+    // builder pairs against the anchor). Brute-force over the
+    // label-filtered cross join here; at scale the same label filter
+    // composes with the LSH/IVF candidate paths. Double-precision
+    // ranking with the (cos DESC, id ASC) tie-break keeps the result
+    // engine-deterministic.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
+          col("label").as("q_label"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("vec_id") && col("label") =!= col("q_label"))
+        .withColumn("cos_sim", Similarity.cosine(col("q_vec"), col("v")))
+      Similarity.topKPerQuery(
+          scored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 2)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("q_id"), col("vec_id").as("negative_id"), col("rank"),
+          col("label").as("neg_label"), round(col("cos_sim"), 4).as("cos_r"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // TPC-H-flavor Q1: scan-heavy grouped aggregate over lineitem
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -3025,6 +3051,23 @@ object SparkEntry {
            CAST(sum(id) AS BIGINT) AS id_sum,
            count(*) - 1 AS n_removed
          FROM comp GROUP BY 1 ORDER BY cluster_id""",
+
+    // Hard negatives: same double-precision ranking, label-filtered.
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 20),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS negative_id, c.label AS neg_label,
+             list_dot_product(q.qv, c.v) /
+               nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)), 0) AS cos
+           FROM e c, q WHERE c.vec_id <> q.q_id AND c.label <> q.q_label),
+         ranked AS (
+           SELECT q_id, negative_id, neg_label,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, negative_id) AS "rank",
+             round(cos, 4) AS cos_r
+           FROM scored)
+         SELECT q_id, negative_id, "rank", neg_label, cos_r
+         FROM ranked WHERE "rank" <= 2 ORDER BY q_id, "rank"""",
 
     // ANN recall@3: brute-force truth vs bucketed ANN, both ranked in
     // double precision with the (cos DESC, id ASC) tie-break.
