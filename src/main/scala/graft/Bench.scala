@@ -94,6 +94,11 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (g <- windows) {
       for ((name, fn) <- g) timings(name) = time(name, fn)
+      // Release dead localCheckpoint blocks between windows (the
+      // ContextCleaner only reclaims after a GC notices them) so
+      // storage-memory pressure from earlier queries is never billed
+      // to later ones. Outside every timed section.
+      System.gc()
       sentinels += sentinel(passes = 2, warm = true)
     }
 
