@@ -1333,7 +1333,12 @@ object SparkEntry {
       // re-splits the text per shingle window (the r2→r4 drift).
       val d = Dedup.shingledDocs(
         Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text", 3)
+      // The tiny doc file scans as ONE partition, and a crossJoin
+      // inherits the left side's partitioning — without this explicit
+      // repartition (user-pinned count, so AQE keeps it) all ~45k
+      // array intersections run in a single task.
       val l = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .repartition(s.sparkContext.defaultParallelism)
       val r = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       l.crossJoin(r).filter(col("id_a") < col("id_b"))
         .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
