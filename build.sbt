@@ -18,6 +18,18 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// Host-RAM-aware heap default (see javaOptions below): MemTotal from
+// /proc/meminfo when available (Linux), else fall back to 8g.
+val defaultDriverHeap: String = {
+  val memTotalKb =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("MemTotal:") => l.split("\\s+")(1).toLong
+      } finally src.close()
+    } catch { case _: Throwable => None }
+  if (memTotalKb.exists(_ >= 64L * 1024 * 1024)) "24g" else "8g"
+}
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -30,8 +42,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default on the 128 GiB bench host: at 8g the 119-query bench
-  // accumulated localCheckpoint blocks until GC churn added up to 70%
-  // run-to-run swings on the allocation-heavy dedup queries.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Heap default sized to the host: 24g on the 128 GiB bench machine
+  // (at 8g the 119-query bench accumulated localCheckpoint blocks
+  // until GC churn added up to 70% run-to-run swings on the
+  // allocation-heavy dedup queries), but a conservative 8g on smaller
+  // dev hosts so the default invocation can't swap or get OOM-killed.
+  // SPARK_DRIVER_MEM overrides either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverHeap)}",
 )

@@ -4,6 +4,7 @@ import graft.engine._
 import graft.model._
 import graft.pipeline._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -37,6 +38,12 @@ object SparkEntry {
     val rnd = new scala.util.Random(42)
     Seq.fill(4)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
+  /** Per-LSH-bucket population cap for q_semantic_dedup — bounds the
+    * within-bucket self-join (lowest vec_ids win, mirroring
+    * Similarity.cosineSelfJoinPairs); shared with the oracle SQL so a
+    * truncation changes both engines identically. */
+  private val semanticDedupMaxBucket = 500
+
   private def planeSql(w: Seq[Double]): String =
     w.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
@@ -1686,9 +1693,20 @@ object SparkEntry {
     // cluster_id, member count, id sum, removal count) so any
     // propagation error breaks the hash. The oracle recomputes pairs
     // from the literal plane matrix and walks reachability with a
-    // recursive CTE.
+    // recursive CTE. Per-bucket state is BOUNDED exactly like
+    // Similarity.cosineSelfJoinPairs: a row_number cap (riding the
+    // same hash partitioning the self-join keys on) keeps only the
+    // `semanticDedupMaxBucket` lowest ids per bucket, so one hot
+    // bucket of mass-duplicated embeddings — the exact population
+    // SemDeDup targets — costs a deterministic truncation, never an
+    // in-bucket O(c²) pair blast. The oracle applies the SAME ranked
+    // cap, so a truncation can never split the engines.
     "q_semantic_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
       val b = embedBucketed(s, dir)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= semanticDedupMaxBucket)
+        .drop("__rn")
       val l = b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
       val r = b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
       val pairs = l.join(r, Seq("bucket"))
@@ -3034,9 +3052,15 @@ object SparkEntry {
     // reachability walk (same closure as q_dedup_clusters).
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE $embedBucketSql,
+         bc AS (
+           SELECT vec_id, v, bucket FROM (
+             SELECT vec_id, v, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+             FROM b)
+           WHERE rn <= $semanticDedupMaxBucket),
          pairs AS (
            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
            WHERE list_dot_product(a.v, c.v) /
              nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)), 0)
              >= 0.35),

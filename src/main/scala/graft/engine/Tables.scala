@@ -41,6 +41,14 @@ object Tables {
       // require TIMESTAMP. NsTimeFilterPushdown re-pushes range filters
       // through this cast onto the raw NTZ column for parquet stats.
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // The reinterpretation is only epoch-preserving under UTC; a
+        // non-UTC session would silently shift every instant (the same
+        // utcSession guard NsTimeFilterPushdown applies to its bounds).
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(java.time.ZoneId.of(tz).normalized() ==
+          java.time.ZoneOffset.UTC.normalized(),
+          s"events NTZ->TIMESTAMP normalization requires a UTC session " +
+            s"timezone (spark.sql.session.timeZone=$tz would shift instants)")
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw

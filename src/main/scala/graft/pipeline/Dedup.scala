@@ -188,21 +188,19 @@ object Dedup {
   }
 
   /** Shared verification tail of both LSH pipelines: melt candidate
-    * pairs to one row per (pair, side), join the EXPLODED shingle rows
-    * ONCE, and compute exact Jaccard from set-size counts:
-    * |A∩B| = #hashes present on both sides, |A∪B| = |A|+|B|-|A∩B|
-    * (shingle arrays are distinct per doc, so every (pair, hash, side)
-    * row is unique). `sh` must be (idCol, shingle-hash array).
+    * pairs to one row per (pair, side), join the per-doc shingle-hash
+    * ARRAYS once (each doc's array ships to as many pairs as reference
+    * it — the candidate set is the capped near-dup subset, so this is
+    * small), first()-aggregate the two arrays per pair, and compute
+    * exact Jaccard via [[jaccard]] (array_intersect sizes) after the
+    * groupBy. `sh` must be (idCol, shingle-hash array).
     *
-    * This shape exists for parallelism, not elegance: an earlier
-    * version aggregated the two ARRAYS per pair and ran
-    * `array_intersect` AFTER the groupBy — AQE coalesces that tiny-
-    * bytes exchange to one partition, so every candidate pair's
-    * intersection (124k pairs at bigram settings) executed in a single
-    * task (measured 4.6 s serial). Long-row counting keeps the heavy
-    * work in map-side partial aggregation across the join's
-    * partitions, ships no arrays through any shuffle, and leaves the
-    * post-agg stage O(pairs) arithmetic. */
+    * Parallelism here comes from configuration, not shape: the
+    * post-groupBy intersection stage carries few BYTES but heavy CPU,
+    * and AQE's byte-based coalescing once serialized it to a single
+    * task (124k pairs, measured 4.6 s). The fix is the session-level
+    * `spark.sql.adaptive.coalescePartitions.minPartitionSize` floor
+    * (Bench/Verify set 16k) — see the inline note below. */
   private def verifiedPairs(cand: DataFrame, sh: DataFrame, idCol: String,
                             shCol: String, threshold: Double): DataFrame = {
     // Parallelism note: every exchange in this tail carries few BYTES

@@ -680,6 +680,31 @@ class PipelineSpec extends SparkTestBase {
     assert(overflow.length == 1 && overflow(0).getAs[Long]("bucket_size") == 500L)
   }
 
+  test("SemDeDup composition stays bounded on a mass-duplicated hot bucket") {
+    import spark.implicits._
+    // The full semantic-dedup pipeline (capped bucketed pairs →
+    // connected components → keep-lowest-id): a 500-copy embedding
+    // cluster must yield a component of exactly maxBucket members —
+    // the cap's deterministic truncation, never an O(c²) pair blast —
+    // while an untouched near-dup pair clusters normally, and the
+    // overflow twin reports what the cap dropped.
+    val hot = (0L until 500L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+    val cold = Seq((900L, Array(0.0f, 1.0f, 0.0f)), (901L, Array(0.0f, 0.999f, 0.001f)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineSelfJoinPairs(df, "vec_id", "embedding",
+      threshold = 0.99, planes = 4, maxBucket = 20)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.dupClusters(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members")))
+      .toMap
+    assert(clusters == Map(0L -> 20L, 900L -> 2L))
+    val overflow = Similarity.cosineOverflowingBuckets(df, "vec_id", "embedding",
+      planes = 4, maxBucket = 20).collect()
+    assert(overflow.length == 1 && overflow(0).getAs[Long]("bucket_size") == 500L)
+  }
+
   test("header codec parses real PNG/GIF/BMP/JPEG container headers") {
     import graft.pipeline.Multimodal.HeaderCodec
     def png(w: Int, h: Int): Array[Byte] = {
