@@ -7,20 +7,41 @@ import org.apache.spark.sql.SparkSession
   * touches every table first so file-cache/footer reads and codegen
   * warmup are not billed to the first query measured.
   *
-  * Environment-load defense: a cheap canonical sentinel query is timed
-  * between every WINDOW of ~10 benchmarked queries (not just at the
-  * run's endpoints — an endpoint-only gate reads a load hump that
-  * opens AND closes mid-run as "warm-up" and certifies a poisoned run
-  * reliable). The artifact carries the full `sentinels` array plus a
-  * per-window `win_ok` bitmap, so any loaded window is
+  * Environment-load defense — TWO sentinel families, because load
+  * shows up on different resources:
+  *
+  *   - scan sentinel: a filtered count over the events table
+  *     (IO/scan-bound, ~0.1 s idle) — catches page-cache eviction and
+  *     IO contention;
+  *   - CPU sentinel: a fixed-size hash aggregate over spark.range
+  *     with a real exchange (~0.3 s idle) — catches CPU and shuffle
+  *     contention, which round-10 proved can inflate shuffle-heavy
+  *     queries 3-14x while a scan sentinel still reads clean.
+  *
+  * Both are timed between every WINDOW of ~10 benchmarked queries
+  * (not just at the run's endpoints — an endpoint-only gate reads a
+  * load hump that opens AND closes mid-run as "warm-up" and certifies
+  * a poisoned run reliable). The artifact carries the full probe
+  * arrays (`sentinels`, `cpu_sentinels`, `load` from /proc/loadavg)
+  * plus a per-window `win_ok` bitmap and the max pass1/pass2 spread
+  * per window (`spread_max`), so any loaded window is
   * machine-identifiable from the JSON line alone: window i covers
   * queries [i*win_size, (i+1)*win_size) of the alphabetically sorted
-  * query list and is bracketed by sentinels[i] / sentinels[i+1].
-  * Windows whose bracketing sentinels drift >2x above the run's best
-  * sentinel are re-run once after the main pass (keeping per-query
-  * min), so a transient load spike costs a retry, not a round of
-  * phantom regressions. */
+  * query list and is bracketed by probes i / i+1. A window is clean
+  * only when BOTH bracketing probes of BOTH families sit within 2x of
+  * that family's run-best AND the bracketing loadavg stays under the
+  * absolute `load_gate` — the relative gates catch load humps, the
+  * absolute gate catches UNIFORM contention (a run loaded end-to-end
+  * never drifts against its own best; round 10 shipped exactly that
+  * as `reliable:true`). Drifted windows are re-run once after the
+  * main pass (keeping per-query min), so a transient load spike costs
+  * a retry, not a round of phantom regressions; a run that stays
+  * loaded through the retry stamps `reliable:false`. */
 object Bench {
+
+  /** One probe point: scan sentinel, CPU sentinel, 1-min loadavg. */
+  private final case class Probe(scan: Double, cpu: Double, load: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,11 +64,11 @@ object Bench {
     try engine.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
 
-    /** One cheap canonical query, min of `passes` timed executions.
+    /** Scan-bound canonical query, min of `passes` timed executions.
       * A dir without a readable events table must degrade the sentinel
       * (0.0), never kill the run before the contract line — the same
       * tolerance the warmup pass above has. */
-    def sentinel(passes: Int, warm: Boolean): Double = {
+    def scanSentinel(passes: Int, warm: Boolean): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
         engine.Tables.events(spark, sfDir)
@@ -60,10 +81,62 @@ object Bench {
       } catch { case _: Throwable => 0.0 }
     }
 
+    /** CPU+shuffle-bound canonical query: hash-aggregate longs into
+      * 64k groups across an exchange, then reduce and COLLECT the
+      * single reduced row — collect, not count: a count over a global
+      * aggregate is constant-folded to 1 and the whole child subtree
+      * prunes away, which silently turned an earlier version of this
+      * sentinel into a no-op that timed only scheduler overhead. No
+      * data-dir dependence, ~0.3 s idle at local[4] on the bench
+      * host — sized so the 2x relative gate dominates the 150 ms
+      * jitter floor and background CPU load (the round-10 poison,
+      * which inflated shuffle-heavy queries 3-14x while the scan
+      * sentinel read clean) moves it proportionally, while staying
+      * cheap enough to probe between every window. */
+    def cpuSentinel(passes: Int, warm: Boolean): Double = {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 32L * 1000 * 1000, 1, cpus.toInt)
+          .select((col("id") % 65536).as("k"), col("id"))
+          .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("c"))
+          .select(sum("s"), sum("c")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        if (!warm) once()
+        Seq.fill(passes)(once()).min
+      } catch { case _: Throwable => 0.0 }
+    }
+
+    /** 1-minute system load average (0.0 when unreadable, e.g. not
+      * Linux). This is the gate's ABSOLUTE reference: the sentinel
+      * families are relative to the run's own best, so a run that is
+      * uniformly loaded end-to-end never drifts against itself
+      * (measured: 64 spin loops inflated every query ~2.5x while both
+      * sentinel families and their run-bests moved together and the
+      * relative gate read clean). Loadavg counts runnable threads
+      * machine-wide — it cannot be fooled by uniform contention, and
+      * an idle bench (local[4] + GC) keeps it under ~6 on the 32-core
+      * bench host. */
+    def loadAvg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split("\\s+")(0).toDouble
+        finally src.close()
+      } catch { case _: Throwable => 0.0 }
+
+    def probe(passes: Int, warm: Boolean): Probe =
+      Probe(scanSentinel(passes, warm), cpuSentinel(passes, warm), loadAvg())
+
     // Two timed passes per query, min kept: a one-off environment
     // hiccup (page-cache eviction, background load) then cannot
-    // multiply the recorded total; large pass-to-pass deviations are
-    // flagged on stderr so a real regression can't hide as "noise".
+    // multiply the recorded total. The pass1/pass2 spread is KEPT
+    // (max ratio per window goes into the artifact): contention that
+    // hits both passes evenly fools a min, but it cannot fool the
+    // bracketing CPU sentinel, and a spread >3x flags the query on
+    // stderr so a real regression can't hide as "noise".
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -72,9 +145,13 @@ object Bench {
       }
       val a = once()
       val b = once()
-      if (math.max(a, b) > 3 * math.min(a, b) && math.max(a, b) > 1.0)
+      val lo = math.min(a, b)
+      val hi = math.max(a, b)
+      spreads(name) = math.max(spreads.getOrElse(name, 1.0),
+        if (lo > 0) hi / lo else 1.0)
+      if (hi > 3 * lo && hi > 1.0)
         System.err.println(f"[bench] $name unstable: pass1=$a%.2fs pass2=$b%.2fs (keeping min)")
-      math.min(a, b)
+      lo
     }
 
     // local-iteration filter (comma-separated names); unset for the
@@ -89,8 +166,8 @@ object Bench {
 
     val winSize = 10
     val windows = selected.grouped(winSize).toSeq
-    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
-    sentinels += sentinel(passes = 3, warm = false)
+    val probes = scala.collection.mutable.ArrayBuffer[Probe]()
+    probes += probe(passes = 3, warm = false)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (g <- windows) {
       for ((name, fn) <- g) timings(name) = time(name, fn)
@@ -99,49 +176,73 @@ object Bench {
       // storage-memory pressure from earlier queries is never billed
       // to later ones. Outside every timed section.
       System.gc()
-      sentinels += sentinel(passes = 2, warm = true)
+      probes += probe(passes = 2, warm = true)
     }
 
-    // A window is clean when both bracketing sentinels sit within 2x
-    // of the run's best sentinel (plus a 150 ms absolute floor so a
-    // sub-100ms best doesn't turn scheduler jitter into "load").
-    val liveSents = sentinels.filter(_ > 0)
+    // A window is clean when both bracketing probes of BOTH sentinel
+    // families sit within 2x of that family's run-best (plus a 150 ms
+    // absolute floor so a sub-100ms best doesn't turn scheduler
+    // jitter into "load"). A family whose best is 0.0 (unreadable
+    // events dir) degrades to always-ok rather than always-bad — the
+    // OTHER family still gates.
     def gate(best: Double): Double = math.max(2 * best, best + 0.15)
-    def winOk(i: Int, best: Double): Boolean =
-      best == 0.0 ||
-        math.max(sentinels(i), sentinels(i + 1)) <= gate(best)
-    var best = if (liveSents.nonEmpty) liveSents.min else 0.0
-    val firstPassOk = windows.indices.map(winOk(_, best))
+    def bestOf(f: Probe => Double): Double = {
+      val live = probes.map(f).filter(_ > 0)
+      if (live.nonEmpty) live.min else 0.0
+    }
+    def pairOk(a: Probe, b: Probe, f: Probe => Double, best: Double): Boolean =
+      best == 0.0 || math.max(f(a), f(b)) <= gate(best)
+    // Absolute load gate: runnable threads machine-wide must stay
+    // within the bench's own plausible footprint (executor threads +
+    // GC/daemon slack) or half the host's cores, whichever is larger.
+    // Unlike the relative sentinel gates this catches UNIFORM
+    // contention, where the run's own best is already poisoned. A
+    // load probe of 0.0 (no /proc/loadavg) degrades to always-ok.
+    val loadGate = math.max(
+      Runtime.getRuntime.availableProcessors() / 2.0, cpus.toDouble + 8)
+    def loadPairOk(a: Probe, b: Probe): Boolean =
+      math.max(a.load, b.load) <= loadGate
+    var bestScan = bestOf(_.scan)
+    var bestCpu = bestOf(_.cpu)
+    def winOk(i: Int): Boolean =
+      pairOk(probes(i), probes(i + 1), _.scan, bestScan) &&
+        pairOk(probes(i), probes(i + 1), _.cpu, bestCpu) &&
+        loadPairOk(probes(i), probes(i + 1))
+    val firstPassOk = windows.indices.map(winOk)
 
     // Retry pass: re-time every query inside a drifted window (keeping
     // min with the original — min across passes is monotone toward the
-    // true idle cost), bracketed by fresh sentinels appended to the
+    // true idle cost), bracketed by fresh probes appended to the
     // array so the retry block's own cleanliness is also on record.
     val retried = scala.collection.mutable.ArrayBuffer[String]()
-    if (firstPassOk.exists(!_) && best > 0.0) {
+    if (firstPassOk.exists(!_)) {
       val badWindows = windows.indices.filter(i => !firstPassOk(i))
       System.err.println(s"[bench] sentinel drift in windows ${badWindows.mkString(",")}; retrying their queries")
-      sentinels += sentinel(passes = 2, warm = true)
+      probes += probe(passes = 2, warm = true)
       for (i <- badWindows; (name, fn) <- windows(i)) {
         timings(name) = math.min(timings(name), time(name, fn))
         retried += name
       }
-      sentinels += sentinel(passes = 2, warm = true)
-      best = math.min(best, sentinels.takeRight(2).filter(_ > 0).foldLeft(best)(math.min))
+      probes += probe(passes = 2, warm = true)
+      bestScan = bestOf(_.scan)
+      bestCpu = bestOf(_.cpu)
     }
     // Final per-window verdict: a retried window is judged by the
-    // retry block's bracketing sentinels (the last two), not the
+    // retry block's bracketing probes (the last two), not the
     // original loaded ones.
     val retryOk =
-      if (retried.nonEmpty)
-        best == 0.0 || sentinels.takeRight(2).max <= gate(best)
-      else true
+      if (retried.nonEmpty) {
+        val Seq(a, b) = probes.takeRight(2).toSeq
+        pairOk(a, b, _.scan, bestScan) && pairOk(a, b, _.cpu, bestCpu) &&
+          loadPairOk(a, b)
+      } else true
     val windowOk = windows.indices.map { i =>
-      if (firstPassOk(i)) winOk(i, best) else retryOk
+      if (firstPassOk(i)) winOk(i) else retryOk
     }
     val reliable = windowOk.forall(identity)
     if (!reliable)
-      System.err.println(s"[bench] UNRELIABLE run: loaded windows ${windowOk.zipWithIndex.collect { case (false, i) => i }.mkString(",")} (sentinels: ${sentinels.mkString(",")})")
+      System.err.println(s"[bench] UNRELIABLE run: loaded windows ${windowOk.zipWithIndex.collect { case (false, i) => i }.mkString(",")} " +
+        s"(scan: ${probes.map(_.scan).mkString(",")} cpu: ${probes.map(_.cpu).mkString(",")} load: ${probes.map(_.load).mkString(",")})")
 
     val results = timings.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -156,8 +257,21 @@ object Bench {
     // and a comma decimal separator would corrupt the JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // max pass1/pass2 spread among the queries of each window — cheap
+    // corroborating evidence: a clean window has spread ~1, a window
+    // whose queries all ran 2x slower on one pass did not.
+    val spreadMax = windows.map { g =>
+      val ss = g.flatMap { case (n, _) => spreads.get(n) }
+      if (ss.nonEmpty) ss.max else 1.0
+    }
     val sentinelNote =
-      s""","sentinels":[${sentinels.map(ms).mkString(",")}]""" +
+      s""","sentinels":[${probes.map(p => ms(p.scan)).mkString(",")}]""" +
+        s""","cpu_sentinels":[${probes.map(p => ms(p.cpu)).mkString(",")}]""" +
+        s""","load":[${probes.map(p => ms2(p.load)).mkString(",")}]""" +
+        s""","spread_max":[${spreadMax.map(ms2).mkString(",")}]""" +
+        s""","load_gate":${ms2(loadGate)}""" +
         s""","win_size":$winSize""" +
         s""","win_ok":[${windowOk.map(b => if (b) 1 else 0).mkString(",")}]""" +
         s""","retried":${retried.size}""" +
