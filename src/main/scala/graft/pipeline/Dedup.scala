@@ -104,7 +104,7 @@ object Dedup {
     * frame — the shape the dedup pipelines use so one staged frame
     * (typically localCheckpointed) feeds both banding and the exact
     * verify stage instead of hashing the corpus twice. */
-  private def lshBandsFromHashes(sh: DataFrame, idCol: String, shCol: String,
+  private[graft] def lshBandsFromHashes(sh: DataFrame, idCol: String, shCol: String,
                                  numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val ex = sh.select(col(idCol), explode(col(shCol)).as("__h"))
@@ -133,7 +133,7 @@ object Dedup {
     * The window's hash partitioning on (band, band_key) is reused by
     * the groupBy — one shuffle total. [[overflowingBuckets]] reports
     * what a cap dropped. */
-  private def candidatePairs(b: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+  private[graft] def candidatePairs(b: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
     val w = Window.partitionBy("band", "band_key").orderBy(col(idCol))
     b.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucket)
@@ -201,7 +201,7 @@ object Dedup {
     * task (124k pairs, measured 4.6 s). The fix is the session-level
     * `spark.sql.adaptive.coalescePartitions.minPartitionSize` floor
     * (Bench/Verify set 16k) — see the inline note below. */
-  private def verifiedPairs(cand: DataFrame, sh: DataFrame, idCol: String,
+  private[graft] def verifiedPairs(cand: DataFrame, sh: DataFrame, idCol: String,
                             shCol: String, threshold: Double): DataFrame = {
     // Parallelism note: every exchange in this tail carries few BYTES
     // (ids and hash arrays for the near-dup subset) but fans out into
@@ -397,7 +397,7 @@ object Dedup {
     * lambdas are not — see portableShingleHashes), and min is
     * duplicate-insensitive. The groupBy shuffles only
     * (id, numHashes longs), map-side combined. */
-  private def lshBandsPortableFromHashes(sh: DataFrame, idCol: String, shCol: String,
+  private[graft] def lshBandsPortableFromHashes(sh: DataFrame, idCol: String, shCol: String,
                                          numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val perms = portablePerms(numHashes)
@@ -458,59 +458,90 @@ object Dedup {
   def prodParityReport(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int,
                        threshold: Double, maxBucket: Int = 1000): DataFrame = {
-    // Shared-prefix evaluation: both families consume the SAME exact
-    // pre-collapse, and each family's shingle frame feeds its banding,
-    // its verify, and (for md5) the cross-family re-verification — so
-    // the corpus is digested once and hashed once per family, total.
-    // Every reused frame localCheckpoints (the five invariants below
-    // reference pair sets 2-3 times; unmaterialized, each reference
-    // would re-run its full banding pipeline — measured ~3x the
-    // report cost). All checkpointed frames are tiny (near-dup pairs)
-    // or hash-array-sized (reps x shingle longs); blocks release with
-    // the frames.
+    // FUSED evaluation (r11 — the previous shape ran seven sequential
+    // actions: two verifies, a re-verify, and four crossJoined count
+    // aggregates, each its own job; measured at 13.6 s on the sf0.1
+    // bigram settings). Now:
+    //
+    //   1. one combined per-doc hash frame `sh2` = (id, xx shingle
+    //      hashes, md5-60 shingle hashes), checkpointed once;
+    //   2. both families' candidate pairs union into ONE flagged pair
+    //      frame (is_prod / is_port via a max-flag groupBy, which is
+    //      also the cross-family dedup);
+    //   3. ONE melt-join ships both arrays to each pair and computes
+    //      xx-Jaccard (prod candidates) and md5-Jaccard (portable
+    //      candidates + prod pairs that passed xx verify — the
+    //      cross-family re-verification, conditional so no pair pays
+    //      for an intersection nobody reads);
+    //   4. ONE aggregate emits all four pair counts; only the tiny
+    //      star count joins in separately.
+    //
+    // Per-family candidate SETS and verification predicates are
+    // unchanged — the same pairs flow through the same Jaccard at the
+    // same threshold — so all five invariants (and the oracle's pinned
+    // literals) are bit-identical to the unfused shape. The two
+    // banding subtrees are independent inputs of one job, so Spark
+    // schedules their stages CONCURRENTLY instead of back to back.
     val (reps, starPairs) = collapseExact(df, idCol, textCol)
     val stars = starPairs.select(col("id_a"), col("id_b")).localCheckpoint()
 
-    val xxsh = withShingleHashes(reps.select(col(idCol), col(textCol)),
-      textCol, shingleN, "__sh").select(col(idCol), col("__sh")).localCheckpoint()
-    val prodVer = verifiedPairs(
-      candidatePairs(lshBandsFromHashes(xxsh, idCol, "__sh", numHashes, bands),
-        idCol, maxBucket),
-      xxsh, idCol, "__sh", threshold).localCheckpoint()
-
-    val psh = portableShingleHashes(reps, idCol, textCol, shingleN, "__sh")
+    // (id, __xx, __md): the xx pass is pure Catalyst, the md5 pass is
+    // the typed O(len) walker — joined on id (reps-sized: one row per
+    // distinct text) rather than re-tokenizing per consumer.
+    val sh2 = withShingleHashes(reps.select(col(idCol), col(textCol)),
+        textCol, shingleN, "__xx").select(col(idCol), col("__xx"))
+      .join(portableShingleHashes(reps, idCol, textCol, shingleN, "__md"), idCol)
       .localCheckpoint()
-    val portVer = verifiedPairs(
-      candidatePairs(lshBandsPortableFromHashes(psh, idCol, "__sh", numHashes, bands),
-        idCol, maxBucket),
-      psh, idCol, "__sh", threshold).localCheckpoint()
 
-    // Re-verify the prod VERIFIED pairs under the md5-60 family:
-    // threshold -1 keeps ALL pairs (jaccard is never negative), so the
-    // report sees the recomputed value even for pairs that would
-    // flunk. Star pairs need no re-check — identical text has Jaccard
-    // 1.0 under any hash family — and every verified-arm id is a
-    // representative, so the rep-level psh frame covers the join.
-    val reVerified = verifiedPairs(prodVer.select(col("id_a"), col("id_b")),
-      psh, idCol, "__sh", threshold = -1.0)
-    val bad = reVerified.filter(col("jaccard") < threshold)
-      .agg(count(lit(1)).cast("long").as("bad_pairs"))
-    // Both families union the SAME star set, so
-    // |prod ∩ portable| = |prodVer ∩ portVer| + |stars|.
-    val starCnt = stars.agg(count(lit(1)).cast("long").as("__n_stars"))
-    val common = prodVer.select(col("id_a"), col("id_b"))
-      .join(portVer.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
-      .agg(count(lit(1)).cast("long").as("__common_ver"))
-      .crossJoin(starCnt)
-      .select((col("__common_ver") + col("__n_stars")).as("pairs_common"))
-    val portCnt = portVer.agg(count(lit(1)).cast("long").as("__n_port"))
-      .crossJoin(starCnt)
-      .select((col("__n_port") + col("__n_stars")).as("pairs_portable"))
-    val prodCnt = prodVer.agg(count(lit(1)).cast("long").as("__n_prod"))
-      .crossJoin(starCnt)
-      .select((col("__n_prod") + col("__n_stars")).as("pairs_prod"))
-    val starsOut = stars.agg(count(lit(1)).cast("long").as("star_pairs"))
-    bad.crossJoin(common).crossJoin(portCnt).crossJoin(prodCnt).crossJoin(starsOut)
+    val candXx = candidatePairs(
+      lshBandsFromHashes(sh2.select(col(idCol), col("__xx").as("__sh")),
+        idCol, "__sh", numHashes, bands), idCol, maxBucket)
+    val candMd = candidatePairs(
+      lshBandsPortableFromHashes(sh2.select(col(idCol), col("__md").as("__sh")),
+        idCol, "__sh", numHashes, bands), idCol, maxBucket)
+    val cand = candXx.select(col("id_a"), col("id_b"),
+        lit(true).as("is_prod"), lit(false).as("is_port"))
+      .unionAll(candMd.select(col("id_a"), col("id_b"),
+        lit(false).as("is_prod"), lit(true).as("is_port")))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("is_prod")).as("is_prod"), max(col("is_port")).as("is_port"))
+
+    // Melt-join once, carrying BOTH hash arrays per side (see
+    // verifiedPairs for the shape; parallelism note there applies —
+    // the AQE minPartitionSize floor keeps this tail parallel).
+    val melted = cand.select(col("id_a"), col("id_b"), col("is_prod"), col("is_port"),
+      explode(array(col("id_a"), col("id_b"))).as(idCol))
+    val sides = melted.join(sh2, idCol)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("is_prod")).as("is_prod"), max(col("is_port")).as("is_port"),
+        first(when(col(idCol) === col("id_a"), col("__xx")), ignoreNulls = true).as("xx_a"),
+        first(when(col(idCol) === col("id_b"), col("__xx")), ignoreNulls = true).as("xx_b"),
+        first(when(col(idCol) === col("id_a"), col("__md")), ignoreNulls = true).as("md_a"),
+        first(when(col(idCol) === col("id_b"), col("__md")), ignoreNulls = true).as("md_b"))
+    val scored = sides
+      .withColumn("jac_xx", when(col("is_prod"), jaccard(col("xx_a"), col("xx_b"))))
+      .withColumn("prod_ok", col("is_prod") && col("jac_xx") >= threshold)
+      .withColumn("jac_md", when(col("is_port") || col("prod_ok"),
+        jaccard(col("md_a"), col("md_b"))))
+
+    // One aggregate for the four verified-pair counts; stars (shared
+    // by both families at Jaccard 1.0 under any hash family, so never
+    // re-verified) add in from the tiny checkpointed frame.
+    val counts = scored.agg(
+      coalesce(sum(when(col("prod_ok") && col("jac_md") < threshold, 1L)), lit(0L))
+        .as("__bad"),
+      coalesce(sum(when(col("prod_ok") && col("is_port") && col("jac_md") >= threshold, 1L)),
+        lit(0L)).as("__common_ver"),
+      coalesce(sum(when(col("is_port") && col("jac_md") >= threshold, 1L)), lit(0L))
+        .as("__n_port"),
+      coalesce(sum(when(col("prod_ok"), 1L)), lit(0L)).as("__n_prod"))
+    counts
+      .crossJoin(stars.agg(count(lit(1)).cast("long").as("__n_stars")))
+      .select(col("__bad").as("bad_pairs"),
+        (col("__common_ver") + col("__n_stars")).as("pairs_common"),
+        (col("__n_port") + col("__n_stars")).as("pairs_portable"),
+        (col("__n_prod") + col("__n_stars")).as("pairs_prod"),
+        col("__n_stars").as("star_pairs"))
   }
 
   /** Exact Jaccard over two arrays — integer counts divided, so the
