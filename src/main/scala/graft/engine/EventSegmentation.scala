@@ -114,7 +114,7 @@ object EventSegmentation {
       req: EventSegmentationRequest,
       block: EventBlock): DataFrame = {
     val preds =
-      Seq(Exprs.timePredicate(col(TsCol), req.time)) ++
+      Seq(Exprs.timePredicateFor(events, TsCol, req.time)) ++
         block.eventName.map(Exprs.eventPredicate(col(EventCol), _)).toSeq ++
         block.customEvent.map(Exprs.customEventPredicate(col(EventCol), _)).toSeq ++
         (req.filters ++ block.filters).map(Exprs.propPredicate)
@@ -322,7 +322,7 @@ object EventSegmentation {
       }
 
     val scanPred = Exprs.and(
-      Seq(Exprs.timePredicate(col(TsCol), req.time)) ++
+      Seq(Exprs.timePredicateFor(withFlags, TsCol, req.time)) ++
         req.filters.map(Exprs.propPredicate) :+
         blockPreds.reduce(_ || _))
     val filtered = withFlags.filter(scanPred)

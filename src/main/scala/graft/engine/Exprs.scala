@@ -45,6 +45,20 @@ object Exprs {
     timePredicate(tsCol, time) && dateBounds
   }
 
+  /** [[timePredicate]], auto-upgraded to
+    * [[timePredicateWithPartitionPruning]] when the frame carries the
+    * canonical `event_date` partition column
+    * ([[Tables.eventsWithDate]]) — the one choke point that lets
+    * every engine path (segmentation, funnels, records) inherit
+    * directory pruning the moment its input routes through the
+    * date-partitioned layout, with identical results either way (the
+    * date bounds are implied by the ts bounds, never narrowing). */
+  def timePredicateFor(df: org.apache.spark.sql.DataFrame, tsCol: String,
+                       time: QueryTime): Column =
+    if (df.columns.contains("event_date"))
+      timePredicateWithPartitionPruning(col(tsCol), col("event_date"), time)
+    else timePredicate(col(tsCol), time)
+
   /** Event-name equality. The reference encodes event names to
     * dictionary keys first (expr.rs:60-115); we store plain strings so
     * parquet dictionary encoding gives the same effect transparently.

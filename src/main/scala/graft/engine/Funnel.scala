@@ -120,7 +120,13 @@ object Funnel {
         * task at 100 TB. The reference shares the per-user invariant
         * and has no cap; None preserves its semantics. Use
         * [[Funnel.botUsers]] to report what a cap excluded. */
-      maxEventsPerUser: Option[Long] = None)
+      maxEventsPerUser: Option[Long] = None,
+      /** Optional time scope, applied before the state machine via
+        * [[Exprs.timePredicateFor]] — on a date-partitioned input
+        * ([[Tables.eventsWithDate]]) the implied date bounds prune
+        * whole day directories from the scan. None = all history
+        * (the model path, [[fromModel]], scopes time itself). */
+      time: Option[graft.model.QueryTime] = None)
 
   /** Slim shuffled row: flags precomputed, payload minimal. */
   private[engine] final case class FRow(
@@ -337,7 +343,7 @@ object Funnel {
     // tenant scope FIRST — segment conditions must never see other
     // projects' events
     val tenantScoped = Exprs.tenantScope(events, m.projectId)
-    val timeScoped = tenantScoped.filter(Exprs.timePredicate(col("ts"), m.time))
+    val timeScoped = tenantScoped.filter(Exprs.timePredicateFor(tenantScoped, "ts", m.time))
     val filtered =
       if (m.filters.isEmpty) timeScoped
       else timeScoped.filter(Exprs.and(m.filters.map(Exprs.propPredicate)))
@@ -411,7 +417,9 @@ object Funnel {
     * dropped_off, drop_off_ratio). Steps are 1-based in the output. */
   def run(spark: SparkSession, events0: DataFrame, req: Request): DataFrame = {
     import spark.implicits._
-    val events = Exprs.tenantScope(events0, req.projectId)
+    val tenantScoped = Exprs.tenantScope(events0, req.projectId)
+    val events = req.time.fold(tenantScoped)(t =>
+      tenantScoped.filter(Exprs.timePredicateFor(tenantScoped, req.tsCol, t)))
     val n = req.steps.size
     require(n >= 1, "funnel needs at least one step")
 

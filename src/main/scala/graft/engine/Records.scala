@@ -30,7 +30,7 @@ object Records {
       if (eventNames.isEmpty) lit(true)
       else eventNames.map(Exprs.eventPredicate(col(EventSegmentation.EventCol), _)).reduce(_ || _)
     val pred = Exprs.and(
-      Seq(Exprs.timePredicate(col(EventSegmentation.TsCol), time), evPred) ++
+      Seq(Exprs.timePredicateFor(events, EventSegmentation.TsCol, time), evPred) ++
         filters.map(Exprs.propPredicate))
     val projected =
       if (projection.isEmpty) events.filter(pred)
@@ -52,7 +52,7 @@ object Records {
             e.filters.map(Exprs.propPredicate))
       }.reduce(_ || _)
     val pred = Exprs.and(
-      Seq(Exprs.timePredicate(col(EventSegmentation.TsCol), req.time), evPred) ++
+      Seq(Exprs.timePredicateFor(events, EventSegmentation.TsCol, req.time), evPred) ++
         req.filters.map(Exprs.propPredicate))
     val projected =
       if (req.properties.isEmpty) events.filter(pred)
@@ -133,7 +133,7 @@ object Records {
                    versionCol: String = "event_id"): DataFrame = {
     val events = Exprs.tenantScope(events0, req.projectId)
     val timed = req.time.fold(events)(t =>
-      events.filter(Exprs.timePredicate(col(EventSegmentation.TsCol), t)))
+      events.filter(Exprs.timePredicateFor(events, EventSegmentation.TsCol, t)))
     val profiles = latestPerGroup(timed, req.groupCol, versionCol)
     val filtered = req.filters.foldLeft(profiles)((d, f) => d.filter(Exprs.propPredicate(f)))
     // sort/limit BEFORE projecting: the sort property need not be in

@@ -29,6 +29,17 @@ object Tables {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.NsTimeFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.NsTimeFilterPushdown
+    // CANONICAL layout preference: a maintained `events_by_date/`
+    // sibling (the date-partitioned store the streaming sink writes
+    // and Compact.runPartitioned folds) wins over the flat file — the
+    // Spark analog of the reference's (project_id, id)-sorted LSM key
+    // (cmd/src/lib.rs:230 index_cols) that keeps scans on relevant key
+    // ranges. The partition column is dropped so the flat schema is
+    // identical either way; time-filtered paths that want directory
+    // pruning read through [[eventsWithDate]] instead.
+    val sibling = new java.io.File(dir, "events_by_date")
+    if (sibling.isDirectory)
+      return spark.read.parquet(sibling.getAbsolutePath).drop("event_date")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -54,6 +65,54 @@ object Tables {
       case _ => raw
     }
   }
+
+  /** Per-process staged date-partitioned mirrors, keyed by data dir:
+    * the bench/test substitute for a maintained `events_by_date/`
+    * sibling when the source dir is read-only (driver testdata).
+    * Each mirror lives under a UNIQUE temp directory (no cross-process
+    * sharing — two concurrent runs over the same dataset must never
+    * overwrite each other's partitions mid-read) and is deleted on JVM
+    * shutdown. */
+  private val partitionedMirrors =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Root of the canonical date-partitioned events layout for `dir`:
+    * a maintained `events_by_date/` sibling when present, else a
+    * once-per-process temp mirror staged from the flat table. The
+    * partition layout (`event_date=YYYY-MM-DD/`) is what
+    * [[graft.engine.Exprs.timePredicateWithPartitionPruning]] prunes
+    * against — at 100 TB the listing touches only the queried days. */
+  def eventsPartitionedRoot(spark: SparkSession, dir: String): String = {
+    val sibling = new java.io.File(dir, "events_by_date")
+    if (sibling.isDirectory) sibling.getAbsolutePath
+    else partitionedMirrors.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-events-by-date-").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+      events(spark, dir)
+        .withColumn("event_date",
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")))
+        .write.partitionBy("event_date").mode("overwrite")
+        .parquet(root.getAbsolutePath)
+      root.getAbsolutePath
+    })
+  }
+
+  /** Events read THROUGH the date-partitioned layout, with the
+    * `event_date` partition column retained (appended after the flat
+    * columns) so [[Exprs.timePredicateFor]] upgrades time filters to
+    * partition-pruning conjuncts. The ts column was normalized before
+    * the partitioned write, so no NTZ handling applies here. */
+  def eventsWithDate(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(eventsPartitionedRoot(spark, dir))
+
   /** CSV source (the reference reads its integration fixtures through
     * a CSV ListingTable, query/src/lib.rs:701-720). */
   def loadCsv(spark: SparkSession, path: String,

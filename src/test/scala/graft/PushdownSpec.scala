@@ -164,4 +164,68 @@ class PushdownSpec extends SparkTestBase {
     val n2 = usValues.count(us => us >= fromUs && us <= toUs).toLong
     assert(n1 == n2 && n1 > 0L)
   }
+
+  test("engine paths inherit PartitionFilters through the canonical layout") {
+    import graft.model._
+    // The bench-path store: the per-process staged mirror the driver
+    // queries read (q_es_count, q_funnel, q_partition_prune).
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.eventsWithDate(spark, dir)
+    // The segmentation engine's own filter construction must produce a
+    // partition-pruning scan — the same shape q_es_count runs.
+    val req = EventSegmentationRequest(
+      time = QueryTime.Between(ts("2024-01-10T00:00:00Z"), ts("2024-01-12T00:00:00Z")),
+      interval = TimeIntervalUnit.Day,
+      events = Seq(EventBlock(None,
+        queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+    val out = graft.engine.EventSegmentation.run(ev, req)
+    // AQE wraps aggregated plans — walk through AdaptiveSparkPlanExec
+    // to reach the actual file scan.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(out.queryExecution.executedPlan).head
+    val pf = scan.partitionFilters.mkString(";")
+    assert(pf.contains("event_date"), scan.toString)
+    // and the pruned listing must actually touch fewer files: only the
+    // three queried days may appear (inclusive date bounds).
+    val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty, scan.toString)
+    val allowed = Set("2024-01-10", "2024-01-11", "2024-01-12")
+    val days = files.flatMap(f =>
+      "event_date=([0-9-]+)".r.findFirstMatchIn(f).map(_.group(1)))
+    assert(days.nonEmpty && days.forall(allowed), days.toString)
+    // identical results to the flat read
+    val flatReq = out.collect().map(_.toString).sorted.toSeq
+    val flat = graft.engine.EventSegmentation.run(Tables.events(spark, dir), req)
+      .collect().map(_.toString).sorted.toSeq
+    assert(flatReq == flat)
+  }
+
+  test("Tables.events prefers a maintained events_by_date sibling") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val rows = (0 until 48).map(i => (i.toLong, 100L + i,
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-03-${1 + i / 24}%02dT${i % 24}%02d:00:00Z"))))
+      rows.toDF("event_id", "user_id", "ts")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("overwrite")
+        .parquet(new java.io.File(dir, "events_by_date").getAbsolutePath)
+      // no flat events.parquet exists — the sibling IS the table
+      val ev = Tables.events(spark, dir)
+      assert(!ev.columns.contains("event_date")) // flat schema preserved
+      assert(ev.count() == 48L)
+      assert(ev.select(min(col("event_id")), max(col("user_id"))).head ==
+        org.apache.spark.sql.Row(0L, 147L))
+      // and the partitioned road reads the same store
+      assert(Tables.eventsPartitionedRoot(spark, dir)
+        == new java.io.File(dir, "events_by_date").getAbsolutePath)
+    }
+  }
 }
