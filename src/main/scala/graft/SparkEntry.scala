@@ -1774,15 +1774,40 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
           col("label").as("q_label"))
-      val scored = e.crossJoin(broadcast(q))
-        .filter(col("q_id") =!= col("vec_id") && col("label") =!= col("q_label"))
-        .withColumn("cos_sim", Similarity.cosine(col("q_vec"), col("v")))
-      Similarity.topKPerQuery(
-          scored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 2)
-        .join(e.select(col("vec_id"), col("label")), "vec_id")
-        .select(col("q_id"), col("vec_id").as("negative_id"), col("rank"),
-          col("label").as("neg_label"), round(col("cos_sim"), 4).as("cos_r"))
+      Similarity.hardNegatives(q, e, "q_id", "q_vec", "q_label",
+          "vec_id", "v", "label", k = 2, Similarity.Brute)
+        .select(col("q_id"), col("negative_id"), col("rank"), col("neg_label"),
+          round(col("cos_sim"), 4).as("cos_r"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // pipeline: recall report for the ANN-SOURCED hard-negative path —
+    // the same truth-vs-candidates contract as q_ann_recall, but for
+    // Similarity.hardNegatives with a bucketed candidate source: brute
+    // truth top-3 different-label negatives per query vs the
+    // LSH-bucketed variant's top-3 (the oracle-replayable literal
+    // plane matrix stands in for the fused native signature, exactly
+    // as q_knn_lsh/q_ann_recall do). Quantifies what the 100 TB
+    // candidate path loses on this corpus.
+    "q_hard_negatives_ann" -> ((s, dir) => {
+      val e = embedBucketed(s, dir)
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
+          col("label").as("q_label"), col("bucket"))
+      val truth = Similarity.hardNegatives(q.drop("bucket"), e.drop("bucket"),
+          "q_id", "q_vec", "q_label", "vec_id", "v", "label",
+          k = 3, Similarity.Brute)
+        .select(col("q_id"), col("negative_id"))
+      val ann = Similarity.hardNegatives(q, e,
+          "q_id", "q_vec", "q_label", "vec_id", "v", "label",
+          k = 3, Similarity.PreBucketed)
+        .select(col("q_id"), col("negative_id"), lit(1).as("__hit"))
+      truth.join(ann, Seq("q_id", "negative_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / 3.0, 6))
+        .orderBy(col("q_id"))
     }),
 
     // TPC-H-flavor Q1: scan-heavy grouped aggregate over lineitem
@@ -3137,6 +3162,40 @@ object SparkEntry {
            round(count(a.neighbor_id) / 3.0, 6) AS recall
          FROM truth t LEFT JOIN ann a
            ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+         GROUP BY t.q_id ORDER BY t.q_id""",
+
+    // Recall@3 of LSH-sourced hard negatives vs the brute truth, both
+    // ranked in double precision with the (cos DESC, id ASC) tie-break
+    // and the label inequality applied BEFORE ranking.
+    "q_hard_negatives_ann" ->
+      s"""WITH $embedBucketSql,
+         lb AS (SELECT b.vec_id, b.v, b.bucket, raw.label
+                FROM b JOIN embeddings raw ON b.vec_id = raw.vec_id),
+         q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label, bucket
+               FROM lb WHERE vec_id < 20),
+         truth AS (
+           SELECT q_id, negative_id FROM (
+             SELECT q.q_id, c.vec_id AS negative_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, c.v) /
+                   nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)), 0)
+                 DESC, c.vec_id) AS rnk
+             FROM lb c, q WHERE c.vec_id <> q.q_id AND c.label <> q.q_label)
+           WHERE rnk <= 3),
+         ann AS (
+           SELECT q_id, negative_id FROM (
+             SELECT q.q_id, c.vec_id AS negative_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, c.v) /
+                   nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)), 0)
+                 DESC, c.vec_id) AS rnk
+             FROM lb c JOIN q ON c.bucket = q.bucket
+             WHERE c.vec_id <> q.q_id AND c.label <> q.q_label)
+           WHERE rnk <= 3)
+         SELECT t.q_id, count(a.negative_id) AS n_hits,
+           round(count(a.negative_id) / 3.0, 6) AS recall
+         FROM truth t LEFT JOIN ann a
+           ON t.q_id = a.q_id AND t.negative_id = a.negative_id
          GROUP BY t.q_id ORDER BY t.q_id""",
 
     "q_group_profile" ->

@@ -195,16 +195,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, nCells: Int = 16): DataFrame = {
-    val cents: Array[(Long, Seq[Double])] = corpus.orderBy(col(cId).asc).limit(nCells)
-      .select(col(cId).cast("long"), col(cVec).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    def assign(vec: Column): Column = {
-      // max struct = highest cosine, ties to the LOWEST cell id (-id)
-      val entries = cents.map { case (id, w) =>
-        struct(cosine(vec, array(w.map(lit): _*)).as("c"), lit(-id).as("n"))
-      }
-      -array_max(array(entries.toIndexedSeq: _*)).getField("n")
-    }
+    val assign = ivfAssigner(corpus, cId, cVec, nCells)
     val qa = queries.select(col(qId), col(qVec))
       .withColumn("cell_id", assign(col(qVec)))
     val ca = corpus.select(col(cId), col(cVec))
@@ -213,5 +204,75 @@ object Similarity {
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
     topKPerQuery(scored, qId, cId, k)
+  }
+
+  /** Nearest-seed-centroid assignment shared by [[ivfTopK]] and
+    * [[hardNegatives]]: the `nCells` lowest-id corpus vectors are
+    * collected ONCE (tiny) and inlined as literal arrays, so
+    * assignment is a pure narrow argmax projection. */
+  private def ivfAssigner(corpus: DataFrame, cId: String, cVec: String,
+                          nCells: Int): Column => Column = {
+    val cents: Array[(Long, Seq[Double])] = corpus.orderBy(col(cId).asc).limit(nCells)
+      .select(col(cId).cast("long"), col(cVec).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    vec => {
+      // max struct = highest cosine, ties to the LOWEST cell id (-id)
+      val entries = cents.map { case (id, w) =>
+        struct(cosine(vec, array(w.map(lit): _*)).as("c"), lit(-id).as("n"))
+      }
+      -array_max(array(entries.toIndexedSeq: _*)).getField("n")
+    }
+  }
+
+  /** Candidate-generation strategy for [[hardNegatives]] — the same
+    * three sources the ANN top-k family exposes, plus a pre-bucketed
+    * escape hatch for oracle-replayable bucketings. */
+  sealed trait CandidateSource
+  /** Exact: broadcast cross join (queries must be small). */
+  case object Brute extends CandidateSource
+  /** Random-hyperplane LSH buckets (the 100 TB path). */
+  final case class Lsh(planes: Int = 8) extends CandidateSource
+  /** IVF coarse cells seeded from the lowest-id corpus vectors. */
+  final case class Ivf(nCells: Int = 16) extends CandidateSource
+  /** Both frames already carry a `bucket` column to equi-join on. */
+  case object PreBucketed extends CandidateSource
+
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives a contrastive batch builder pairs against the
+    * anchor. The label inequality applies BEFORE ranking, so true
+    * positives can never crowd negatives out of the top-k.
+    *
+    * `source` picks the candidate path: [[Brute]] is exact and
+    * broadcast-bounded; [[Lsh]]/[[Ivf]] are the bucketed scale paths
+    * (identical shape to [[lshTopK]]/[[ivfTopK]]: the corpus is never
+    * shuffled, candidates form per-bucket, recall < 1 by
+    * construction — measure it like q_ann_recall does). Output:
+    * (qId, negative_id, rank, neg_label, cos_sim), rank 1-based with
+    * the deterministic (cos DESC, id ASC) tie-break. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    qId: String, qVec: String, qLabel: String,
+                    cId: String, cVec: String, cLabel: String,
+                    k: Int, source: CandidateSource = Brute): DataFrame = {
+    val cand = source match {
+      case Brute => corpus.crossJoin(broadcast(queries))
+      case Lsh(planes) =>
+        corpus.withColumn("__bucket", lshSignature(col(cVec), planes))
+          .join(broadcast(queries.withColumn("__bucket",
+            lshSignature(col(qVec), planes))), Seq("__bucket"))
+      case Ivf(nCells) =>
+        val assign = ivfAssigner(corpus, cId, cVec, nCells)
+        corpus.withColumn("__cell", assign(col(cVec)))
+          .join(broadcast(queries.withColumn("__cell", assign(col(qVec)))),
+            Seq("__cell"))
+      case PreBucketed => corpus.join(broadcast(queries), Seq("bucket"))
+    }
+    val scored = cand
+      .filter(col(qId) =!= col(cId) && col(cLabel) =!= col(qLabel))
+      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+    topKPerQuery(scored.select(col(qId), col(cId), col("cos_sim")), qId, cId, k)
+      .join(corpus.select(col(cId), col(cLabel)), cId)
+      .select(col(qId), col(cId).as("negative_id"), col("rank"),
+        col(cLabel).as("neg_label"), col("cos_sim"))
   }
 }

@@ -647,6 +647,36 @@ class PipelineSpec extends SparkTestBase {
     assert(ivf.nonEmpty && ivf(0).getAs[Long]("vec_id") == 0L)
   }
 
+  test("hard negatives exclude same-label vectors across all candidate sources") {
+    import spark.implicits._
+    // query (1,0) labeled "a": nearest overall is id 0 (same label —
+    // must be excluded); nearest different-label is id 1.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.99f, 0.14f), "b"),
+      (2L, Array(0.9f, 0.43f), "b"), (3L, Array(0.0f, 1.0f), "c"),
+      (4L, Array(0.95f, 0.31f), "a"))
+      .toDF("vec_id", "v", "label")
+    val q = Seq((100L, Array(1.0f, 0.0f), "a")).toDF("q_id", "q_vec", "q_label")
+    // The bucketed sources trade recall for scale: they may return
+    // FEWER negatives (the query's bucket/cell can miss them — that's
+    // what q_hard_negatives_ann measures), but anything they do return
+    // must be different-label and drawn from the brute truth set.
+    val brute = Similarity.hardNegatives(q, corpus,
+      "q_id", "q_vec", "q_label", "vec_id", "v", "label", k = 2, Similarity.Brute)
+      .orderBy("rank").collect()
+    assert(brute.map(_.getAs[Long]("negative_id")).toSeq == Seq(1L, 2L))
+    assert(brute.forall(_.getAs[String]("neg_label") == "b"))
+    val allNegatives = Set(1L, 2L, 3L) // every different-label corpus id
+    for (src <- Seq[Similarity.CandidateSource](
+        Similarity.Lsh(planes = 3), Similarity.Ivf(nCells = 3))) {
+      val out = Similarity.hardNegatives(q, corpus,
+        "q_id", "q_vec", "q_label", "vec_id", "v", "label", k = 2, src)
+        .collect()
+      assert(out.forall(_.getAs[String]("neg_label") != "a"), s"$src leaked a same-label negative")
+      assert(out.forall(r => allNegatives(r.getAs[Long]("negative_id"))), s"$src: ${out.toSeq}")
+    }
+  }
+
   test("embedding near-dup pairs via LSH buckets") {
     import spark.implicits._
     val df = Seq(
