@@ -472,12 +472,23 @@ object Funnel {
         slim.join(bots, Seq("user"), "left_anti")
     }
 
+    // Per-user grouping + in-group time order as a PLANNER-ENFORCED
+    // requirement (ClusteredDistribution + sort order), not a
+    // hand-rolled repartition+sortWithinPartitions. The hand-rolled
+    // form silently broke under the bot cap: AQE converted the
+    // anti-join to broadcast, elided the user-specified repartition
+    // (the child's pre-join exchange claimed hash(user)), then applied
+    // a LOCAL shuffle read that un-did the hash clustering — each user
+    // ran through the machine once per input split (measured: 4
+    // attempts per user on a 4-split corpus). flatMapSortedGroups'
+    // required distribution is a contract AQE must honor, at any
+    // plan shape.
     val attempts: Dataset[Attempt] = capped.as[FRow]
-      .repartition(col("user"))
-      .sortWithinPartitions(col("user"), col("ts"), col("seq"))
-      .mapPartitions(it =>
-        runMachine(it, n, windowUs, excludeRanges, nConsts, unique, sessionGapUs,
-          interval, groupOf, touchLast, touchStep, anyPositional))
+      .groupByKey(_.user)
+      .flatMapSortedGroups(col("ts"), col("seq")) { (_, rows) =>
+        runMachine(rows, n, windowUs, excludeRanges, nConsts, unique, sessionGapUs,
+          interval, groupOf, touchLast, touchStep, anyPositional)
+      }
 
     // Attempt-level post-filters (funnel.rs:196-204).
     val filtered = req.filter match {

@@ -95,10 +95,15 @@ object Tables {
       val root = java.nio.file.Files
         .createTempDirectory("graft-events-by-date-").toFile
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+      // repartition by the partition column first: every writer task
+      // otherwise emits a file into EVERY day directory (tasks×days
+      // small files, whose per-file open cost then dominates small-SF
+      // reads); one shuffle → one file per day.
       events(spark, dir)
         .withColumn("event_date",
           org.apache.spark.sql.functions.to_date(
             org.apache.spark.sql.functions.col("ts")))
+        .repartition(org.apache.spark.sql.functions.col("event_date"))
         .write.partitionBy("event_date").mode("overwrite")
         .parquet(root.getAbsolutePath)
       root.getAbsolutePath
