@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   * Spark build (SURVEY.md §2.5): step/exclude predicates are evaluated
   * BEFORE the shuffle as ordinary codegen'd boolean Columns (mirror of
   * the reference's batch pre-evaluation, funnel/mod.rs:115-203); the
-  * slim (user, ts, flags) rows are then hash-partitioned by user and
-  * sorted (user, ts) within partitions — Spark's external sort spills
-  * to disk, so the invariant holds at 100 TB — and a `mapPartitions`
-  * state machine emits one row per funnel attempt with O(steps) state
-  * per user. Totals/ratios are a plain groupBy + window projection.
+  * slim (user, ts, flags) rows then flow through
+  * `groupByKey(user).flatMapSortedGroups(ts, seq)` — per-user
+  * clustering and in-group time order as a PLANNER-ENFORCED
+  * requirement (Spark's external sort spills to disk, so the
+  * invariant holds at 100 TB) — and the state machine emits one row
+  * per funnel attempt with O(steps) state per user. Totals/ratios are
+  * a plain groupBy + window projection. (A hand-rolled
+  * repartition+sortWithinPartitions+mapPartitions equivalent is NOT
+  * safe here: AQE may elide the user-specified repartition and apply
+  * a local shuffle read under a broadcast-converted join, silently
+  * breaking co-location — it did, under the bot cap.)
   *
   * Semantics pinned from the reference (FunnelSpec holds the golden
   * cases):

@@ -1,0 +1,165 @@
+package graft
+
+import graft.engine.EventSegmentation
+import graft.model._
+import org.scalacheck.{Gen, rng}
+
+/** Differential fuzzing of the segmentation engine — the working
+  * analog of the reference's (empty-stub) libfuzzer target
+  * (reference src/query/fuzz/fuzz_targets/fuzz_target_1.rs): random
+  * event streams × random requests, every result compared EXACTLY
+  * against an independent plain-Scala model of the request semantics
+  * (time window, event predicate, property filter, day/Monday-week
+  * bucketing, one-level and two-level per-user metrics, breakdowns).
+  * Any divergence between the fused/unfused Spark paths and the model
+  * — wrong bucket, dropped cell, wrong per-user split — fails with
+  * the generating seed printed. (Raw ScalaCheck Gen sampling with a
+  * fixed seed — the scalatestplus bridge isn't available offline.)
+  */
+class EsPropertySpec extends SparkTestBase {
+
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val DayMs = 86400000L
+
+  private val eventGen = for {
+    user <- Gen.choose(1L, 6L)
+    tsOff <- Gen.choose(0L, 4L * DayMs - 1)
+    ev <- Gen.oneOf("A", "B", "C")
+    dev <- Gen.oneOf("ios", "android")
+    v <- Gen.choose(0, 50)
+  } yield (user, T0 + tsOff, ev, dev, v.toDouble)
+
+  private val streamGen = Gen.listOfN(120, eventGen)
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  private val plainFns: Seq[AggFn] =
+    Seq(AggFn.Count, AggFn.Sum, AggFn.Min, AggFn.Max, AggFn.Avg)
+
+  private val queryGen: Gen[Query] = Gen.oneOf(
+    Gen.const(Query.CountEvents),
+    Gen.const(Query.CountUniqueGroups(None)),
+    Gen.oneOf(plainFns).map(f => Query.AggregateProperty("value", f)),
+    Gen.oneOf(Seq[AggFn](AggFn.Sum, AggFn.Max, AggFn.Avg)).map(Query.CountPerGroup),
+    for {
+      i <- Gen.oneOf(plainFns.filterNot(_ == AggFn.Count))
+      o <- Gen.oneOf(Seq[AggFn](AggFn.Sum, AggFn.Min, AggFn.Max))
+    } yield Query.AggregatePropertyPerGroup("value", i, o))
+
+  private val reqGen: Gen[EventSegmentationRequest] = for {
+    nq <- Gen.choose(1, 3)
+    qs <- Gen.listOfN(nq, queryGen)
+    evName <- Gen.option(Gen.oneOf("A", "B", "C"))
+    interval <- Gen.oneOf(TimeIntervalUnit.Day, TimeIntervalUnit.Week)
+    bds <- Gen.oneOf(Seq.empty[String], Seq("device"))
+    fromD <- Gen.choose(0L, 2L)
+    toD <- Gen.choose(2L, 4L)
+    useFilter <- Gen.oneOf(true, false)
+  } yield EventSegmentationRequest(
+    time = QueryTime.Between(ts(T0 + fromD * DayMs), ts(T0 + toD * DayMs)),
+    interval = interval,
+    events = Seq(EventBlock(evName,
+      queries = qs.zipWithIndex.map { case (q, i) => NamedQuery(q, s"m$i") })),
+    filters = if (useFilter) Seq(PropFilter("value", PropOp.Gt, Seq(10.0))) else Nil,
+    breakdowns = bds)
+
+  // ---- independent model ------------------------------------------
+
+  private def truncBucket(ms: Long, unit: TimeIntervalUnit): Long = {
+    val d = java.time.Instant.ofEpochMilli(ms)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDate
+    val b = unit match {
+      case TimeIntervalUnit.Day => d
+      case TimeIntervalUnit.Week => d.`with`(
+        java.time.temporal.TemporalAdjusters.previousOrSame(java.time.DayOfWeek.MONDAY))
+      case other => sys.error(s"unused interval $other")
+    }
+    b.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+  }
+
+  private def aggModel(f: AggFn, xs: Seq[Double]): Double = f match {
+    case AggFn.Count => xs.size.toDouble
+    case AggFn.Sum   => xs.sum
+    case AggFn.Min   => xs.min
+    case AggFn.Max   => xs.max
+    case AggFn.Avg   => xs.sum / xs.size
+    case other       => sys.error(s"unused fn $other")
+  }
+
+  /** (bucketMs, breakdownValues) -> metricName -> value. */
+  private def model(rows: Seq[(Long, Long, String, String, Double)],
+                    req: EventSegmentationRequest)
+      : Map[(Long, Seq[String]), Map[String, Double]] = {
+    val (from, to) = req.time match {
+      case QueryTime.Between(f, t) => (f.getTime, t.getTime)
+      case other => sys.error(s"unused time $other")
+    }
+    val block = req.events.head
+    val kept = rows.filter { case (_, ms, ev, _, v) =>
+      ms >= from && ms <= to &&
+        block.eventName.forall(_ == ev) &&
+        req.filters.forall { case PropFilter("value", PropOp.Gt, Seq(x: Double)) => v > x
+                             case other => sys.error(s"unused filter $other") }
+    }
+    kept.groupBy { case (_, ms, _, dev, _) =>
+      (truncBucket(ms, req.interval),
+        if (req.breakdowns.contains("device")) Seq(dev) else Nil)
+    }.map { case (key, cell) =>
+      val vals = cell.map(_._5)
+      val perUser = cell.groupBy(_._1)
+      val metrics = block.queries.map {
+        case NamedQuery(Query.CountEvents, n) => n -> cell.size.toDouble
+        case NamedQuery(Query.CountUniqueGroups(None), n) =>
+          n -> perUser.size.toDouble
+        case NamedQuery(Query.AggregateProperty("value", f), n) =>
+          n -> aggModel(f, vals)
+        case NamedQuery(Query.CountPerGroup(o), n) =>
+          n -> aggModel(o, perUser.values.map(_.size.toDouble).toSeq)
+        case NamedQuery(Query.AggregatePropertyPerGroup("value", i, o), n) =>
+          n -> aggModel(o, perUser.values.map(g => aggModel(i, g.map(_._5))).toSeq)
+        case other => sys.error(s"unused query $other")
+      }.toMap
+      key -> metrics
+    }
+  }
+
+  private def num(v: Any): Double = v match {
+    case null      => Double.NaN
+    case l: Long   => l.toDouble
+    case i: Int    => i.toDouble
+    case d: Double => d
+    case other     => sys.error(s"unexpected metric type $other")
+  }
+
+  test("random requests match the independent model exactly") {
+    var seed = rng.Seed(20260814L)
+    def sample[A](g: Gen[A]): A = {
+      val v = g.apply(Gen.Parameters.default, seed).getOrElse(sys.error("gen failed"))
+      seed = seed.next
+      v
+    }
+    for (caseNo <- 1 to 8) {
+      val rows = sample(streamGen)
+      val df = eventsDf(rows)
+      for (reqNo <- 1 to 4) {
+        val req = sample(reqGen)
+        val expected = model(rows, req)
+        val got = EventSegmentation.run(df, req).collect().map { r =>
+          val bucket = r.getAs[java.sql.Timestamp]("bucket").getTime
+          val bds = req.breakdowns.map(b => r.getAs[String](b))
+          val metrics = req.events.head.queries
+            .map(q => q.name -> num(r.getAs[Any](q.name))).toMap
+          (bucket, bds) -> metrics
+        }.toMap
+        val ctx = s"case $caseNo.$reqNo req=$req"
+        assert(got.keySet == expected.keySet,
+          s"$ctx\ncells: got ${got.keySet.toSeq.sortBy(_.toString).mkString(",")} expected ${expected.keySet.toSeq.sortBy(_.toString).mkString(",")}")
+        for ((key, exp) <- expected; (m, ev) <- exp) {
+          val gv = got(key)(m)
+          assert(math.abs(gv - ev) <= 1e-9 * math.max(1.0, math.abs(ev)),
+            s"$ctx\ncell $key metric $m: got $gv expected $ev")
+        }
+      }
+    }
+  }
+}
