@@ -203,27 +203,27 @@ object Dedup {
     * (Bench/Verify set 16k) — see the inline note below. */
   private[graft] def verifiedPairs(cand: DataFrame, sh: DataFrame, idCol: String,
                             shCol: String, threshold: Double): DataFrame = {
-    // Parallelism note: every exchange in this tail carries few BYTES
-    // (ids and hash arrays for the near-dup subset) but fans out into
-    // heavy CPU — the bucket pair explosion and 100k+ array
-    // intersections. AQE's byte-based coalescing reads such exchanges
-    // as "one partition is plenty" and serializes the whole tail
-    // (measured 4.6 s in ONE task at bigram settings; a pair-keyed
-    // repartition does not help — the optimizer removes it as
-    // redundant over the distinct's partitioning). The session-level
-    // fix is a small `spark.sql.adaptive.coalescePartitions
-    // .minPartitionSize` (Bench/Verify set 16k): at cluster scale
-    // partitions track the 64 MB advisory target and the floor is
-    // irrelevant, while tiny-bytes/heavy-CPU stages keep their
-    // parallelism.
-    val melted = cand.select(col("id_a"), col("id_b"),
-      explode(array(col("id_a"), col("id_b"))).as(idCol))
-    melted.join(sh, idCol)
-      .withColumn("__sh_a", when(col(idCol) === col("id_a"), col(shCol)))
-      .withColumn("__sh_b", when(col(idCol) === col("id_b"), col(shCol)))
-      .groupBy("id_a", "id_b")
-      .agg(first(col("__sh_a"), ignoreNulls = true).as("sh_a"),
-        first(col("__sh_b"), ignoreNulls = true).as("sh_b"))
+    // Two equi-joins, one per pair side — Catalyst picks broadcast
+    // when the hash table fits (reps × one long array ≈ MBs at bench
+    // scale → the whole verify is map-side, zero shuffles) and
+    // sort-merge above the threshold, where each side's arrays ship
+    // once per pair — the same volume the previous shape
+    // (melt to (pair, side) + groupBy-first reassembly) paid, minus
+    // its extra pair-keyed aggregation exchange.
+    //
+    // Parallelism note: the exchanges here carry few BYTES (ids and
+    // hash arrays for the near-dup subset) but fan out into heavy
+    // CPU — 100k+ array intersections. AQE's byte-based coalescing
+    // reads such exchanges as "one partition is plenty" and serializes
+    // the tail (measured 4.6 s in ONE task at bigram settings). The
+    // session-level fix is a small `spark.sql.adaptive
+    // .coalescePartitions.minPartitionSize` (Bench/Verify set 16k): at
+    // cluster scale partitions track the 64 MB advisory target and the
+    // floor is irrelevant, while tiny-bytes/heavy-CPU stages keep
+    // their parallelism.
+    cand.select(col("id_a"), col("id_b"))
+      .join(sh.select(col(idCol).as("id_a"), col(shCol).as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col(shCol).as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -506,18 +506,14 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(max(col("is_prod")).as("is_prod"), max(col("is_port")).as("is_port"))
 
-    // Melt-join once, carrying BOTH hash arrays per side (see
-    // verifiedPairs for the shape; parallelism note there applies —
-    // the AQE minPartitionSize floor keeps this tail parallel).
-    val melted = cand.select(col("id_a"), col("id_b"), col("is_prod"), col("is_port"),
-      explode(array(col("id_a"), col("id_b"))).as(idCol))
-    val sides = melted.join(sh2, idCol)
-      .groupBy("id_a", "id_b")
-      .agg(max(col("is_prod")).as("is_prod"), max(col("is_port")).as("is_port"),
-        first(when(col(idCol) === col("id_a"), col("__xx")), ignoreNulls = true).as("xx_a"),
-        first(when(col(idCol) === col("id_b"), col("__xx")), ignoreNulls = true).as("xx_b"),
-        first(when(col(idCol) === col("id_a"), col("__md")), ignoreNulls = true).as("md_a"),
-        first(when(col(idCol) === col("id_b"), col("__md")), ignoreNulls = true).as("md_b"))
+    // One join per pair side carrying BOTH hash arrays (see
+    // verifiedPairs for why this beats a melt+groupBy reassembly;
+    // its AQE minPartitionSize parallelism note applies here too).
+    val sides = cand
+      .join(sh2.select(col(idCol).as("id_a"),
+        col("__xx").as("xx_a"), col("__md").as("md_a")), "id_a")
+      .join(sh2.select(col(idCol).as("id_b"),
+        col("__xx").as("xx_b"), col("__md").as("md_b")), "id_b")
     val scored = sides
       .withColumn("jac_xx", when(col("is_prod"), jaccard(col("xx_a"), col("xx_b"))))
       .withColumn("prod_ok", col("is_prod") && col("jac_xx") >= threshold)
