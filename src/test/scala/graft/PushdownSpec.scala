@@ -213,10 +213,11 @@ class PushdownSpec extends SparkTestBase {
       val rows = (0 until 48).map(i => (i.toLong, 100L + i,
         java.sql.Timestamp.from(java.time.Instant.parse(
           f"2024-03-${1 + i / 24}%02dT${i % 24}%02d:00:00Z"))))
-      rows.toDF("event_id", "user_id", "ts")
-        .withColumn("event_date", to_date(col("ts")))
-        .write.partitionBy("event_date").mode("overwrite")
-        .parquet(new java.io.File(dir, "events_by_date").getAbsolutePath)
+      // the INGEST-side writer maintains the sibling (Store.writeEvents
+      // emits exactly the event_date= layout Tables routes to)
+      graft.sources.Store.writeEvents(
+        rows.toDF("event_id", "user_id", "ts"),
+        new java.io.File(dir, "events_by_date").getAbsolutePath)
       // no flat events.parquet exists — the sibling IS the table
       val ev = Tables.events(spark, dir)
       assert(!ev.columns.contains("event_date")) // flat schema preserved
