@@ -57,4 +57,93 @@ class FunnelPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  /** Plain-Scala replay of the Exact-step machine semantics (window
+    * overflow flush+restart, Unique skip, NonUnique restart, partial
+    * flush at end of user) — returns each attempt's completed-step
+    * count. Totals(s) = attempts with completed >= s. */
+  private def modelAttempts(rows: Seq[(Long, String)], steps: Seq[String],
+                            windowMs: Long, unique: Boolean): Seq[Int] = {
+    val n = steps.size
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var filled = 0
+    var startTs = 0L
+    var done = false
+    def flush(): Unit = { if (filled > 0) out += filled; filled = 0 }
+    rows.foreach { case (ts, ev) =>
+      if (!done) {
+        var reprocess = true
+        while (reprocess) {
+          reprocess = false
+          if (filled > 0 && ts - startTs > windowMs) { flush(); reprocess = true }
+          else if (filled < n && ev == steps(filled)) {
+            if (filled == 0) startTs = ts
+            filled += 1
+            if (filled == n) { flush(); if (unique) done = true }
+          }
+        }
+      }
+    }
+    if (!done) flush()
+    out.toSeq
+  }
+
+  test("random streams match a plain-Scala machine model exactly (differential)") {
+    // The differential twin of the invariants test: totals compared
+    // EXACTLY against an independent per-user replay, over random
+    // window sizes, count modes, bot caps, and PARTITION LAYOUTS —
+    // the test class that catches distribution bugs (e.g. AQE
+    // breaking user co-location under the bot-cap anti-join, caught
+    // round 11) rather than semantic ones.
+    val stepNames = Seq("A", "B", "C")
+    var seed = rng.Seed(777L)
+    def sample[A](g: Gen[A]): A = {
+      val v = g.apply(Gen.Parameters.default, seed).getOrElse(sys.error("gen failed"))
+      seed = seed.next
+      v
+    }
+    val caseGen = for {
+      nRows <- Gen.choose(20, 80)
+      rows <- Gen.listOfN(nRows, for {
+        user <- Gen.choose(1L, 5L)
+        ts <- Gen.choose(0L, 60000L)
+        ev <- Gen.oneOf("A", "B", "C", "D")
+      } yield (user, ts, ev))
+      windowMs <- Gen.oneOf(500L, 5000L, 100000L)
+      unique <- Gen.oneOf(true, false)
+      cap <- Gen.oneOf(None, Some(12L), Some(25L))
+      parts <- Gen.choose(1, 4)
+    } yield (rows, windowMs, unique, cap, parts)
+
+    for (caseNo <- 1 to 12) {
+      val (rows0, windowMs, unique, cap, parts) = sample(caseGen)
+      // unique global ts (preserving draw order) so the model never
+      // depends on the engine's same-ts seq tiebreak
+      val rows = rows0.zipWithIndex.map { case ((u, ts, ev), i) =>
+        (u, ts * 1000L + i, ev, "dev", 1.0)
+      }
+      val byUser = rows.groupBy(_._1)
+      val keptUsers = byUser.filter { case (_, rs) =>
+        cap.forall(c => rs.size <= c)
+      }
+      val attempts = keptUsers.values.toSeq.flatMap { rs =>
+        modelAttempts(rs.sortBy(_._2).map(r => (r._2, r._3)), stepNames,
+          windowMs, unique)
+      }
+      val expected = (1 to 3).map(s => attempts.count(_ >= s).toLong)
+
+      val df = eventsDf(rows).repartition(parts) // random physical layout
+      val out = Funnel.run(spark, df, Funnel.Request(
+        steps = stepNames.map(s => col("event_type") === s),
+        windowMs = windowMs, count = if (unique) Funnel.Unique else Funnel.NonUnique,
+        maxEventsPerUser = cap)).collect()
+      val got =
+        if (out.isEmpty) Seq(0L, 0L, 0L)
+        else (1 to 3).map(s => out.find(_.getAs[Int]("step") == s)
+          .map(_.getAs[Long]("total")).getOrElse(0L))
+      assert(got == expected,
+        s"case $caseNo: window=$windowMs unique=$unique cap=$cap parts=$parts\n" +
+          s"got $got expected $expected\nrows=$rows")
+    }
+  }
 }
