@@ -46,6 +46,14 @@ class EsPropertySpec extends SparkTestBase {
       o <- Gen.oneOf(Seq[AggFn](AggFn.Sum, AggFn.Min, AggFn.Max))
     } yield Query.AggregatePropertyPerGroup("value", i, o))
 
+  private val segGen: Gen[Segment] = for {
+    ev <- Gen.oneOf("A", "B", "C")
+    k <- Gen.choose(1L, 5L)
+    op <- Gen.oneOf(PropOp.Gte, PropOp.Lte)
+    name <- Gen.oneOf("hot", "cold")
+  } yield Segment(name, Seq(Seq(SegmentCondition.DidEventCount(
+    Some(ev), Nil, op, k, SegmentTime.Between(ts(T0), ts(T0 + 4 * DayMs))))))
+
   private val reqGen: Gen[EventSegmentationRequest] = for {
     nq <- Gen.choose(1, 3)
     qs <- Gen.listOfN(nq, queryGen)
@@ -55,13 +63,16 @@ class EsPropertySpec extends SparkTestBase {
     fromD <- Gen.choose(0L, 2L)
     toD <- Gen.choose(2L, 4L)
     useFilter <- Gen.oneOf(true, false)
+    nSegs <- Gen.oneOf(0, 0, 1, 2) // segments on ~half the requests
+    segs <- Gen.listOfN(nSegs, segGen)
   } yield EventSegmentationRequest(
     time = QueryTime.Between(ts(T0 + fromD * DayMs), ts(T0 + toD * DayMs)),
     interval = interval,
     events = Seq(EventBlock(evName,
       queries = qs.zipWithIndex.map { case (q, i) => NamedQuery(q, s"m$i") })),
     filters = if (useFilter) Seq(PropFilter("value", PropOp.Gt, Seq(10.0))) else Nil,
-    breakdowns = bds)
+    breakdowns = bds,
+    segments = segs.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name))
 
   // ---- independent model ------------------------------------------
 
@@ -86,10 +97,32 @@ class EsPropertySpec extends SparkTestBase {
     case other       => sys.error(s"unused fn $other")
   }
 
-  /** (bucketMs, breakdownValues) -> metricName -> value. */
+  /** Users qualifying for a segment: DidEventCount over ALL rows
+    * (membership ignores the request's time window and filters),
+    * requiring >=1 matching row even for Lte (the engine's userSet
+    * semantics: "did the event" plus the comparison). */
+  private def segmentMembers(rows: Seq[(Long, Long, String, String, Double)],
+                             seg: Segment): Set[Long] = {
+    val Seq(Seq(SegmentCondition.DidEventCount(Some(ev), Nil, op, k,
+      SegmentTime.Between(f, t)))) = seg.conditions: @unchecked
+    rows.groupBy(_._1).collect { case (u, rs)
+        if {
+          val n = rs.count { case (_, ms, e, _, _) =>
+            e == ev && ms >= f.getTime && ms <= t.getTime }
+          n > 0 && (op match {
+            case PropOp.Gte => n >= k
+            case PropOp.Lte => n <= k
+            case other      => sys.error(s"unused op $other")
+          })
+        } => u
+    }.toSet
+  }
+
+  /** (segmentName, bucketMs, breakdownValues) -> metricName -> value.
+    * segmentName = "all" for segment-free requests. */
   private def model(rows: Seq[(Long, Long, String, String, Double)],
                     req: EventSegmentationRequest)
-      : Map[(Long, Seq[String]), Map[String, Double]] = {
+      : Map[(String, Long, Seq[String]), Map[String, Double]] = {
     val (from, to) = req.time match {
       case QueryTime.Between(f, t) => (f.getTime, t.getTime)
       case other => sys.error(s"unused time $other")
@@ -101,10 +134,19 @@ class EsPropertySpec extends SparkTestBase {
         req.filters.forall { case PropFilter("value", PropOp.Gt, Seq(x: Double)) => v > x
                              case other => sys.error(s"unused filter $other") }
     }
-    kept.groupBy { case (_, ms, _, dev, _) =>
-      (truncBucket(ms, req.interval),
-        if (req.breakdowns.contains("device")) Seq(dev) else Nil)
-    }.map { case (key, cell) =>
+    val segmented: Seq[(String, Seq[(Long, Long, String, String, Double)])] =
+      if (req.segments.isEmpty) Seq(("all", kept))
+      else req.segments.map { s =>
+        val members = segmentMembers(rows, s)
+        (s.name, kept.filter(r => members(r._1)))
+      }
+    (for {
+      (segName, segRows) <- segmented
+      (cellKey, cell) <- segRows.groupBy { case (_, ms, _, dev, _) =>
+        (truncBucket(ms, req.interval),
+          if (req.breakdowns.contains("device")) Seq(dev) else Nil)
+      }
+    } yield {
       val vals = cell.map(_._5)
       val perUser = cell.groupBy(_._1)
       val metrics = block.queries.map {
@@ -119,8 +161,8 @@ class EsPropertySpec extends SparkTestBase {
           n -> aggModel(o, perUser.values.map(g => aggModel(i, g.map(_._5))).toSeq)
         case other => sys.error(s"unused query $other")
       }.toMap
-      key -> metrics
-    }
+      (segName, cellKey._1, cellKey._2) -> metrics
+    }).toMap
   }
 
   private def num(v: Any): Double = v match {
@@ -147,9 +189,10 @@ class EsPropertySpec extends SparkTestBase {
         val got = EventSegmentation.run(df, req).collect().map { r =>
           val bucket = r.getAs[java.sql.Timestamp]("bucket").getTime
           val bds = req.breakdowns.map(b => r.getAs[String](b))
+          val seg = if (req.segments.isEmpty) "all" else r.getAs[String]("segment")
           val metrics = req.events.head.queries
             .map(q => q.name -> num(r.getAs[Any](q.name))).toMap
-          (bucket, bds) -> metrics
+          (seg, bucket, bds) -> metrics
         }.toMap
         val ctx = s"case $caseNo.$reqNo req=$req"
         assert(got.keySet == expected.keySet,
