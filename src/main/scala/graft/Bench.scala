@@ -145,6 +145,14 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
+        // Release the PREVIOUS execution's dead localCheckpoint blocks
+        // before timing, not after: the checkpoint-heavy dedup queries
+        // each pin ~100s of MB until a GC lets the ContextCleaner
+        // reclaim them, and storage pressure from a neighbor (or this
+        // query's own pass 1) otherwise bills to the timed pass
+        // (measured: the dedup family reads ~2x its solo cost inside
+        // the full 120-query suite with only per-window GC).
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
