@@ -65,6 +65,9 @@ class EsPropertySpec extends SparkTestBase {
     useFilter <- Gen.oneOf(true, false)
     nSegs <- Gen.oneOf(0, 0, 1, 2) // segments on ~half the requests
     segs <- Gen.listOfN(nSegs, segGen)
+    analysis <- Gen.oneOf(Analysis.Linear, Analysis.Linear,
+      Analysis.Cumulative, Analysis.RollingAverage(2))
+    compare <- Gen.oneOf(None, None, Some(Compare(1, TimeIntervalUnit.Day)))
   } yield EventSegmentationRequest(
     time = QueryTime.Between(ts(T0 + fromD * DayMs), ts(T0 + toD * DayMs)),
     interval = interval,
@@ -72,7 +75,9 @@ class EsPropertySpec extends SparkTestBase {
       queries = qs.zipWithIndex.map { case (q, i) => NamedQuery(q, s"m$i") })),
     filters = if (useFilter) Seq(PropFilter("value", PropOp.Gt, Seq(10.0))) else Nil,
     breakdowns = bds,
-    segments = segs.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name))
+    segments = segs.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name),
+    analysis = analysis,
+    compare = compare)
 
   // ---- independent model ------------------------------------------
 
@@ -165,6 +170,48 @@ class EsPropertySpec extends SparkTestBase {
     }).toMap
   }
 
+  /** Post-aggregation transforms over the raw model cells, mirroring
+    * applyAnalysis (windows over PRESENT cells, ordered by bucket)
+    * then applyCompare (<name>_prev from the transformed value one
+    * offset earlier, column absent when that cell is missing). */
+  private def transformModel(raw: Map[(String, Long, Seq[String]), Map[String, Double]],
+                             req: EventSegmentationRequest)
+      : Map[(String, Long, Seq[String]), Map[String, Double]] = {
+    val metricNames = req.events.head.queries.map(_.name)
+    val analyzed: Map[(String, Long, Seq[String]), Map[String, Double]] =
+      req.analysis match {
+        case Analysis.Linear => raw
+        case a =>
+          raw.groupBy { case ((seg, _, bds), _) => (seg, bds) }.flatMap {
+            case (_, series) =>
+              val ordered = series.toSeq.sortBy(_._1._2)
+              ordered.zipWithIndex.map { case ((key, _), idx) =>
+                val window = a match {
+                  case Analysis.Cumulative        => ordered.take(idx + 1)
+                  case Analysis.RollingAverage(w) => ordered.slice(idx - (w - 1) max 0, idx + 1)
+                  case other                      => sys.error(s"unused analysis $other")
+                }
+                key -> metricNames.map { n =>
+                  val xs = window.map(_._2(n))
+                  n -> (a match {
+                    case Analysis.Cumulative => xs.sum
+                    case _                   => xs.sum / xs.size
+                  })
+                }.toMap
+              }
+          }
+      }
+    req.compare match {
+      case None => analyzed
+      case Some(Compare(offset, unit)) =>
+        analyzed.map { case (key @ (seg, bucket, bds), m) =>
+          val prev = analyzed.get((seg, bucket - offset * unit.millis, bds))
+          key -> (m ++ prev.toSeq.flatMap(p =>
+            metricNames.map(n => s"${n}_prev" -> p(n))))
+        }
+    }
+  }
+
   private def num(v: Any): Double = v match {
     case null      => Double.NaN
     case l: Long   => l.toDouble
@@ -185,22 +232,31 @@ class EsPropertySpec extends SparkTestBase {
       val df = eventsDf(rows)
       for (reqNo <- 1 to 4) {
         val req = sample(reqGen)
-        val expected = model(rows, req)
+        val expected = transformModel(model(rows, req), req)
+        val prevNames =
+          if (req.compare.isEmpty) Nil
+          else req.events.head.queries.map(q => s"${q.name}_prev")
         val got = EventSegmentation.run(df, req).collect().map { r =>
           val bucket = r.getAs[java.sql.Timestamp]("bucket").getTime
           val bds = req.breakdowns.map(b => r.getAs[String](b))
           val seg = if (req.segments.isEmpty) "all" else r.getAs[String]("segment")
-          val metrics = req.events.head.queries
-            .map(q => q.name -> num(r.getAs[Any](q.name))).toMap
+          val metrics = (req.events.head.queries.map(_.name) ++ prevNames)
+            .flatMap { n =>
+              Option(r.getAs[Any](n)).map(v => n -> num(v)) // absent prev = null
+            }.toMap
           (seg, bucket, bds) -> metrics
         }.toMap
         val ctx = s"case $caseNo.$reqNo req=$req"
         assert(got.keySet == expected.keySet,
           s"$ctx\ncells: got ${got.keySet.toSeq.sortBy(_.toString).mkString(",")} expected ${expected.keySet.toSeq.sortBy(_.toString).mkString(",")}")
-        for ((key, exp) <- expected; (m, ev) <- exp) {
-          val gv = got(key)(m)
-          assert(math.abs(gv - ev) <= 1e-9 * math.max(1.0, math.abs(ev)),
-            s"$ctx\ncell $key metric $m: got $gv expected $ev")
+        for ((key, exp) <- expected) {
+          assert(got(key).keySet == exp.keySet,
+            s"$ctx\ncell $key metric sets: got ${got(key).keySet} expected ${exp.keySet}")
+          for ((m, ev) <- exp) {
+            val gv = got(key)(m)
+            assert(math.abs(gv - ev) <= 1e-9 * math.max(1.0, math.abs(ev)),
+              s"$ctx\ncell $key metric $m: got $gv expected $ev")
+          }
         }
       }
     }
