@@ -34,6 +34,30 @@ object Store {
       .parquet(path)
   }
 
+  /** Append a batch into the SAME canonical layout [[writeEvents]]
+    * creates — the batch-ingest twin of the streaming sink
+    * ([[graft.streaming.Streaming.writeEventsStream]]): dynamic
+    * partition APPEND touches only the days present in the batch (a
+    * daily ingest adds one directory; it never rewrites history), and
+    * the in-batch sort keeps per-user row-group locality inside the
+    * new files. Small-file buildup from frequent batches is
+    * [[graft.sources.Compact.runPartitioned]]'s job — each hot leaf
+    * folds independently. */
+  def appendEvents(df: DataFrame, path: String,
+                   userCol: String = "user_id", tsCol: String = "ts"): Unit = {
+    val withDate = df.withColumn("event_date", to_date(col(tsCol)))
+    val parts =
+      if (df.columns.contains("project_id")) Seq("project_id", "event_date")
+      else Seq("event_date")
+    withDate
+      .repartition(parts.map(col): _*)
+      .sortWithinPartitions((parts.drop(1) ++ Seq(userCol, tsCol)).map(col): _*)
+      .write
+      .partitionBy(parts: _*)
+      .mode(SaveMode.Append)
+      .parquet(path)
+  }
+
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

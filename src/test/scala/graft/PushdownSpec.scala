@@ -229,4 +229,33 @@ class PushdownSpec extends SparkTestBase {
         == new java.io.File(dir, "events_by_date").getAbsolutePath)
     }
   }
+
+  test("appended batches extend the canonical layout without rewriting history") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val store = new java.io.File(dir, "events_by_date").getAbsolutePath
+      def batch(ids: Range, day: Int) = ids.map(i => (i.toLong, 100L + i,
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-03-0${day}%dT${i % 24}%02d:00:00Z")))).toDF("event_id", "user_id", "ts")
+      graft.sources.Store.writeEvents(batch(0 until 24, 1).union(batch(24 until 48, 2)), store)
+      def filesOf(day: Int): Set[String] = {
+        val d = new java.io.File(store, s"event_date=2024-03-0$day")
+        Option(d.listFiles()).map(_.map(_.getName).filter(_.endsWith(".parquet")).toSet)
+          .getOrElse(Set.empty)
+      }
+      val day1Before = filesOf(1)
+      assert(day1Before.nonEmpty)
+      // daily batch: more rows for day 2, a brand-new day 3
+      graft.sources.Store.appendEvents(
+        batch(48 until 60, 2).union(batch(60 until 84, 3)), store)
+      assert(filesOf(1) == day1Before) // cold history untouched
+      assert(filesOf(3).nonEmpty)      // new day appeared
+      assert(Tables.events(spark, dir).count() == 84L)
+      // small-file buildup folds per leaf, readers see the same rows
+      graft.sources.Compact.runPartitioned(spark, store)
+      assert(Tables.events(spark, dir).count() == 84L)
+      assert(Tables.events(spark, dir).select(sum(col("event_id"))).head.getLong(0)
+        == (0L until 84L).sum)
+    }
+  }
 }
