@@ -1397,6 +1397,14 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), "text", 100)),
 
+    // pipeline: per-document salient terms by TF-IDF (keyword
+    // extraction) — micro-nat-quantized idf keeps scores exact
+    // integers, so the per-doc top-3 ranking replays bit-for-bit in
+    // the oracle's SQL (ties broken on the token string).
+    "q_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.topTfidfTerms(Tables.documents(s, dir), "doc_id",
+        "text", topPerDoc = 3)),
+
     // pipeline: sliding-window chunking (embedding/RAG prep) — 32-token
     // windows, stride 16; chunk text emitted as md5 so the row stays
     // narrow while still pinning exact content + boundaries.
@@ -1536,6 +1544,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("kept"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("source"))
+    }),
+
+    // pipeline: deterministic train/validation/test split — the same
+    // md5 gate keyed "split:id" buckets every row; the oracle replays
+    // the gate, so per-split membership (count + id_sum) must match
+    // exactly. 50‰ test, 100‰ validation, rest train.
+    "q_split_assign" -> ((s, dir) => {
+      graft.pipeline.Sampling.assignSplit(
+          Tables.documents(s, dir), "doc_id",
+          valPermille = 100, testPermille = 50)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
     }),
 
     // pipeline: temperature-scaled mixture rebalancing (T=2 → source
@@ -3345,6 +3367,22 @@ object SparkEntry {
          SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM kept GROUP BY 1 ORDER BY source""",
 
+    // split assignment: same md5 gate keyed 'split:id', same
+    // [0,50) test / [50,150) validation / rest train permille ranges
+    "q_split_assign" ->
+      """WITH assigned AS (
+           SELECT doc_id,
+                  CASE
+                    WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 50
+                      THEN 'test'
+                    WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 150
+                      THEN 'validation'
+                    ELSE 'train'
+                  END AS split
+           FROM documents)
+         SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM assigned GROUP BY 1 ORDER BY split""",
+
     // temperature mixture: per-source counts -> keep rate
     // floor(1000 * (n_min/n)^(1 - 1/T) + eps) with T=2 -> exponent
     // 0.5; same md5 gate as q_sample_strata
@@ -3470,6 +3508,33 @@ object SparkEntry {
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""",
+
+    // tf-idf: same tokenization, same floor(ln(N/df)*1e6) micro-nat
+    // quantization, same (score desc, token asc) per-doc ranking
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tfc AS (
+           SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         n AS (SELECT count(*) AS nd FROM documents),
+         idf AS (
+           SELECT token,
+                  CAST(floor(ln(CAST((SELECT nd FROM n) AS DOUBLE)
+                    / count(*)) * 1e6) AS BIGINT) AS idf
+           FROM tfc GROUP BY token),
+         scored AS (
+           SELECT t.doc_id, t.token, t.tf, t.tf * i.idf AS score
+           FROM tfc t JOIN idf i USING (token)),
+         ranked AS (
+           SELECT doc_id, token, tf, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, token) AS rnk
+           FROM scored)
+         SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                CAST(score AS BIGINT) AS score,
+                CAST(rnk AS INTEGER) AS term_rank
+         FROM ranked WHERE rnk <= 3""",
 
     // chunking: same window starts (1, 1+stride, ... <= max(1, n-w+1)),
     // same clamped tail slice; chunk_idx is 0-based like posexplode

@@ -187,20 +187,21 @@ object Dedup {
     (repDocs, starPairs)
   }
 
-  /** Shared verification tail of both LSH pipelines: melt candidate
-    * pairs to one row per (pair, side), join the per-doc shingle-hash
-    * ARRAYS once (each doc's array ships to as many pairs as reference
-    * it — the candidate set is the capped near-dup subset, so this is
-    * small), first()-aggregate the two arrays per pair, and compute
-    * exact Jaccard via [[jaccard]] (array_intersect sizes) after the
-    * groupBy. `sh` must be (idCol, shingle-hash array).
+  /** Shared verification tail of both LSH pipelines: two equi-joins —
+    * one per pair side — attach each doc's shingle-hash ARRAY to the
+    * candidate pairs (each array ships once per pair referencing it;
+    * the candidate set is the capped near-dup subset, so this is
+    * small), then compute exact Jaccard via [[jaccard]]
+    * (array_intersect sizes) as a projection. `sh` must be
+    * (idCol, shingle-hash array).
     *
     * Parallelism here comes from configuration, not shape: the
-    * post-groupBy intersection stage carries few BYTES but heavy CPU,
-    * and AQE's byte-based coalescing once serialized it to a single
-    * task (124k pairs, measured 4.6 s). The fix is the session-level
-    * `spark.sql.adaptive.coalescePartitions.minPartitionSize` floor
-    * (Bench/Verify set 16k) — see the inline note below. */
+    * intersection stage carries few BYTES but heavy CPU, and AQE's
+    * byte-based coalescing once serialized an equivalent stage to a
+    * single task (124k pairs, measured 4.6 s). The fix is the
+    * session-level `spark.sql.adaptive.coalescePartitions
+    * .minPartitionSize` floor (Bench/Verify set 16k) — see the inline
+    * note below. */
   private[graft] def verifiedPairs(cand: DataFrame, sh: DataFrame, idCol: String,
                             shCol: String, threshold: Double): DataFrame = {
     // Two equi-joins, one per pair side — Catalyst picks broadcast

@@ -35,6 +35,31 @@ object Sampling {
     df.filter(hashGate(col(strataCol), col(idCol)) < rate)
   }
 
+  /** Deterministic train/validation/test assignment — the split step
+    * every training pipeline runs before anything touches the data.
+    * Random splits leak across reruns and engines; the standard fix is
+    * the same hash gate as [[sampleByStrata]]: a row's split follows
+    * from `md5("split:" + id) mod 1000` alone, so the assignment is
+    * stable under reprocessing, appends (new rows never reshuffle old
+    * ones), any partitioning, and any engine that can compute md5.
+    * Gate ranges: [0, test) → test, [test, test+val) → validation,
+    * the rest → train. Pure codegen'd projection — no shuffle, no
+    * state, scales with input splits. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  valPermille: Int, testPermille: Int,
+                  splitCol: String = "split"): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"val + test permille must fit in [0, 1000], got $valPermille + $testPermille")
+    require(!df.columns.contains(splitCol),
+      s"input already has a column named '$splitCol'")
+    val gate = hashGate(lit("split"), col(idCol))
+    df.withColumn(splitCol,
+      when(gate < testPermille, "test")
+        .when(gate < testPermille + valPermille, "validation")
+        .otherwise("train"))
+  }
+
   /** Temperature-scaled mixture rebalancing — the multi-source /
     * multilingual corpus-composition op: resample so source shares
     * follow `p_s^(1/T)` instead of the raw `p_s`. Realized by

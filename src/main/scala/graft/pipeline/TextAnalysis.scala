@@ -289,6 +289,54 @@ object TextAnalysis {
       .drop("__toks", "__chunk", "__chunks")
   }
 
+  /** Per-document salient terms by TF-IDF — the keyword-extraction /
+    * topic-tagging pass of a corpus pipeline. Term frequency is the
+    * token's count within the document; inverse document frequency is
+    * `ln(N / df)` over the whole corpus, pre-quantized to micro-nats
+    * (`floor(ln(N/df) * 1e6)` as a long) so scores are exact integers
+    * and the ranking is bit-stable across engines and partitionings
+    * (same quantization contract as [[withLmScore]]; the only
+    * cross-engine exposure is ln's last ulp, which flips a score only
+    * when `ln(N/df)*1e6` lands within ~1e-9 of an integer).
+    *
+    * Fully distributed — no driver state: one tokenization feeds a
+    * `(doc, token)` count (one shuffle), document frequencies are a
+    * partial-aggregated rollup of that frame, the idf table joins
+    * back on token (broadcast when it fits, sort-merge at vocabulary
+    * scale), and the per-document top-k is a `row_number` window
+    * partitioned by document — never a global sort. Ties break on the
+    * token string so the cut is deterministic.
+    *
+    * Returns (idCol, token, tf, score, term_rank), `term_rank` 1-based,
+    * at most `topPerDoc` rows per document. Tokens present in every
+    * document score 0 (idf = 0) but still rank — a document of only
+    * stopwords still reports its terms. */
+  def topTfidfTerms(df: DataFrame, idCol: String, textCol: String,
+                    topPerDoc: Int): DataFrame = {
+    require(topPerDoc > 0, s"topPerDoc must be positive, got $topPerDoc")
+    Seq("token", "tf", "dfreq", "idf", "score", "term_rank").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c' — rename it before scoring"))
+    val nDocs = df.count()
+    require(nDocs > 0, "empty corpus: nothing to score")
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // document frequency = number of (doc, token) rows per token
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+      .withColumn("idf",
+        floor(log(lit(nDocs.toDouble) / col("dfreq")) * 1e6).cast("long"))
+      .select(col("token"), col("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(idf, "token")
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topPerDoc)
+      .select(col(idCol), col("token"), col("tf"), col("score"),
+        col("term_rank"))
+  }
+
   /** Document fingerprint: hash of the sorted distinct token set
     * (bag-of-words fingerprint). Identical token multisets — word
     * reorderings, duplicated runs — collide, which is the point:

@@ -61,6 +61,60 @@ class PipelineSpec extends SparkTestBase {
     assert(half.nonEmpty && half.size < 100 + 20 && half.forall(_ % 2 == 1))
   }
 
+  test("assignSplit: partition is total, deterministic, and append-stable") {
+    import spark.implicits._
+    val docs = (1L to 500L).toDF("doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Sampling.assignSplit(d, "doc_id",
+        valPermille = 100, testPermille = 50)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val splits = run(docs)
+    assert(splits.size == 500, "every row gets exactly one split")
+    assert(splits.values.toSet.subsetOf(Set("train", "validation", "test")))
+    val byName = splits.values.groupBy(identity).view.mapValues(_.size).toMap
+    // expected ~425/50/25; the md5 gate is uniform enough at n=500
+    // that each split lands well inside binomial bounds
+    assert(byName("train") > 350 && byName("validation") > 20 &&
+      byName("test") > 5, s"implausible split sizes: $byName")
+    assert(run(docs) == splits, "assignment is reproducible")
+    // append-stability: assigning a superset never reshuffles old rows
+    val grown = run((1L to 700L).toDF("doc_id"))
+    assert(splits.forall { case (id, s) => grown(id) == s },
+      "existing rows changed split when new rows were appended")
+    // boundary rates: test=0 yields no test rows; val+test=1000 no train
+    val noTest = graft.pipeline.Sampling.assignSplit(docs, "doc_id", 100, 0)
+      .filter(col("split") === "test").count()
+    assert(noTest == 0)
+    val noTrain = graft.pipeline.Sampling.assignSplit(docs, "doc_id", 500, 500)
+      .filter(col("split") === "train").count()
+    assert(noTrain == 0)
+  }
+
+  test("topTfidfTerms ranks document-salient terms above corpus-common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the apple apple banana"),
+      (2L, "the the cherry cherry cherry"),
+      (3L, "the durian")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTfidfTerms(docs, "doc_id", "text", topPerDoc = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // 'the' appears in all 3 docs -> idf 0 -> score 0, always ranked last
+    val idf2 = math.floor(math.log(3.0 / 2) * 1e6).toLong // df=2 terms: none here
+    val idf1 = math.floor(math.log(3.0) * 1e6).toLong     // unique terms
+    assert(out((1L, 1)) == (("apple", 2L, 2 * idf1)))
+    assert(out((1L, 2)) == (("banana", 1L, idf1)))
+    assert(out((2L, 1)) == (("cherry", 3L, 3 * idf1)))
+    assert(out((2L, 2)) == (("the", 2L, 0L)))
+    assert(out((3L, 1)) == (("durian", 1L, idf1)))
+    assert(out((3L, 2)) == (("the", 1L, 0L)))
+    assert(idf2 > 0, "df=2 idf is positive (sanity on the quantization)")
+    // at most topPerDoc rows per doc
+    assert(out.keys.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
   test("dupClusters closes pairs transitively; keepRepresentatives keeps one per cluster") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2, 2-3 (1,3 never paired);
