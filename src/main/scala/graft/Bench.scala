@@ -147,11 +147,18 @@ object Bench {
       def once(): Double = {
         // Release the PREVIOUS execution's dead localCheckpoint blocks
         // before timing, not after: the checkpoint-heavy dedup queries
-        // each pin ~100s of MB until a GC lets the ContextCleaner
-        // reclaim them, and storage pressure from a neighbor (or this
-        // query's own pass 1) otherwise bills to the timed pass
-        // (measured: the dedup family reads ~2x its solo cost inside
-        // the full 120-query suite with only per-window GC).
+        // each pin ~100s of MB until they are reclaimed, and storage
+        // pressure from a neighbor (or this query's own pass 1)
+        // otherwise bills to the timed pass (measured: the dedup
+        // family reads ~2x its solo cost inside the full 120-query
+        // suite with only per-window GC). A GC alone only NOTIFIES the
+        // async ContextCleaner; the explicit blocking unpersist of
+        // every still-registered persistent RDD (localCheckpoint
+        // registers its backing RDD there) frees the blocks NOW. By
+        // this point the previous query's DataFrame is discarded, so
+        // every registered RDD is dead.
+        spark.sparkContext.getPersistentRDDs
+          .valuesIterator.foreach(_.unpersist(blocking = true))
         System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

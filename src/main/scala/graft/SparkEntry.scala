@@ -31,6 +31,28 @@ object SparkEntry {
   /** Integer-cents projection of a 2-decimal double. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Per-process scratch root for queries that stage side stores
+    * (CSV export, backup archive, compactor store, dictionary store).
+    * A fixed tmpdir path keyed only by the data dir would be SHARED
+    * by concurrent processes benchmarking the same dataset — one
+    * run's mode(overwrite) rewrite racing another run's read (the
+    * advisor-flagged q_partition_prune hazard, closed for every
+    * staging query here). Unique per process, deleted on shutdown. */
+  private lazy val scratchRoot: java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch-").toFile
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => del(root)))
+    root
+  }
+
+  /** Scratch subdir for one staging query over one data dir —
+    * memoizable across the bench's two timed passes (same path within
+    * the process), never visible to another process. */
+  private def scratch(name: String, dir: String): java.io.File =
+    new java.io.File(scratchRoot, name + "-" + Integer.toHexString(dir.hashCode))
+
   /** Deterministic ±1 hyperplanes (fixed seed) for the oracle-checked
     * LSH query — the SAME literal matrix is embedded in the DuckDB
     * oracle SQL, so both engines compute identical buckets. */
@@ -2072,8 +2094,7 @@ object SparkEntry {
     // parquet dims — the oracle recomputes from parquet alone, so a
     // quoting/typing defect in either CSV direction breaks the hash.
     "q_csv_source" -> ((s, dir) => {
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-csv-" + Integer.toHexString(dir.hashCode))
+      val out = scratch("csv", dir)
       Tables.nation(s, dir).orderBy("n_nationkey").coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(out.getAbsolutePath)
       val back = Tables.loadCsv(s, out.getAbsolutePath, Tables.nation(s, dir).schema)
@@ -2094,8 +2115,7 @@ object SparkEntry {
     // the RESTORED bytes — the oracle recomputes from the original
     // table, so any archive corruption breaks the hash.
     "q_backup_restore" -> ((s, dir) => {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-bak-" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val tmp = scratch("bak", dir).getAbsolutePath
       val store = s"$tmp/store"
       Tables.nation(s, dir).write.mode("overwrite").parquet(store)
       val archive = s"$tmp/full.graftbak"
@@ -2116,8 +2136,7 @@ object SparkEntry {
     // from the original table, so any row lost or duplicated by the
     // merge/commit/sweep protocol breaks the hash.
     "q_compact_store" -> ((s, dir) => {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-compact-" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val tmp = scratch("compact", dir).getAbsolutePath
       val store = s"$tmp/store"
       Tables.load(s, dir, "orders").repartition(12)
         .write.mode("overwrite").parquet(store)
@@ -2259,8 +2278,7 @@ object SparkEntry {
     // deterministic; the second call replays against batch 1's durable
     // state, which is exactly what the oracle recomputes.
     "q_dict_persistent" -> ((s, dir) => {
-      val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-dictstore-" + Integer.toHexString(dir.hashCode))
+      val store = scratch("dictstore", dir)
       def del(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
       }
