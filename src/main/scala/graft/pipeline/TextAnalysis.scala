@@ -299,13 +299,25 @@ object TextAnalysis {
     * cross-engine exposure is ln's last ulp, which flips a score only
     * when `ln(N/df)*1e6` lands within ~1e-9 of an integer).
     *
-    * Fully distributed — no driver state: one tokenization feeds a
-    * `(doc, token)` count (one shuffle), document frequencies are a
-    * partial-aggregated rollup of that frame, the idf table joins
-    * back on token (broadcast when it fits, sort-merge at vocabulary
+    * Fully distributed — no driver state: the `(doc, token)` count
+    * feeds both the scored side and the document-frequency rollup.
+    * The two consumers each tokenize the corpus (plan audited: two
+    * explode→partial-aggregate subtrees; both combine map-side before
+    * their exchanges, so the second pass is one extra scan, not an
+    * extra shuffle volume) — an explicit localCheckpoint stage was
+    * MEASURED SLOWER at bench scale (eager materialization job +
+    * block I/O > the re-scan); at 100 TB, where scans dominate, stage
+    * the tf frame first via the dedup pipelines' staging pattern
+    * (Dedup.withShingleHashes scaladoc). A window-over-token dfreq
+    * would avoid the second pass but concentrates every occurrence of
+    * a stopword token into one partition — a skew hazard the
+    * partial-aggregated rollup doesn't have. The idf table joins back
+    * on token (broadcast when it fits, sort-merge at vocabulary
     * scale), and the per-document top-k is a `row_number` window
-    * partitioned by document — never a global sort. Ties break on the
-    * token string so the cut is deterministic.
+    * partitioned by document — never a global sort (Spark's
+    * WindowGroupLimit caps each partition at topPerDoc rows before
+    * the final window). Ties break on the token string so the cut is
+    * deterministic.
     *
     * Returns (idCol, token, tf, score, term_rank), `term_rank` 1-based,
     * at most `topPerDoc` rows per document. Tokens present in every
