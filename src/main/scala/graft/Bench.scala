@@ -30,17 +30,25 @@ import org.apache.spark.sql.SparkSession
   * query list and is bracketed by probes i / i+1. A window is clean
   * only when BOTH bracketing probes of BOTH families sit within 2x of
   * that family's run-best AND the bracketing loadavg stays under the
-  * absolute `load_gate` — the relative gates catch load humps, the
-  * absolute gate catches UNIFORM contention (a run loaded end-to-end
-  * never drifts against its own best; round 10 shipped exactly that
-  * as `reliable:true`). Drifted windows are re-run once after the
+  * absolute `load_gate` AND the window's EXTERNAL cpu share (machine
+  * busy jiffies minus this JVM's own, from /proc) stays under
+  * `extGate` — the relative gates catch load humps; the loadavg and
+  * external-cpu gates catch UNIFORM contention (a run loaded
+  * end-to-end never drifts against its own best; round 10 shipped
+  * exactly that as `reliable:true`, and a 24-spinner rehearsal showed
+  * loadavg alone still passing at load 31 on the 32-core host while
+  * queries ran ~1.5x slow). Drifted windows are re-run once after the
   * main pass (keeping per-query min), so a transient load spike costs
   * a retry, not a round of phantom regressions; a run that stays
   * loaded through the retry stamps `reliable:false`. */
 object Bench {
 
-  /** One probe point: scan sentinel, CPU sentinel, 1-min loadavg. */
-  private final case class Probe(scan: Double, cpu: Double, load: Double)
+  /** One probe point: scan sentinel, CPU sentinel, 1-min loadavg,
+    * plus the CUMULATIVE cpu-time counters (machine-wide busy jiffies
+    * and this process's own jiffies, with the wall clock they were
+    * read at) from which per-window EXTERNAL cpu share derives. */
+  private final case class Probe(scan: Double, cpu: Double, load: Double,
+                                 busyJ: Long, selfJ: Long, wallNs: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,8 +140,46 @@ object Bench {
         finally src.close()
       } catch { case _: Throwable => 0.0 }
 
-    def probe(passes: Int, warm: Boolean): Probe =
-      Probe(scanSentinel(passes, warm), cpuSentinel(passes, warm), loadAvg())
+    /** Cumulative (machine busy, this-process) jiffies from /proc —
+      * the gate's DIRECT external-contention measure. Machine busy =
+      * user+nice+system+irq+softirq+steal of the aggregate `cpu `
+      * line (idle and iowait excluded); self = utime+stime of this
+      * JVM (its local[*] executor threads and GC included). Both
+      * advance in USER_HZ ticks, so their difference over a window,
+      * against wall-clock ticks × cores, is the fraction of the
+      * machine SOMEONE ELSE computed on — a uniform background load
+      * moves every relative sentinel and its run-best together and
+      * reads clean, but it cannot hide here. (-1, -1) when /proc is
+      * unreadable (non-Linux) → the external gate degrades to
+      * always-ok and the sentinel families still gate. */
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val statSrc = scala.io.Source.fromFile("/proc/stat")
+        val busy = try {
+          val f = statSrc.getLines()
+            .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+          // cpu user nice system idle iowait irq softirq steal ...
+          Seq(1, 2, 3, 6, 7, 8).map(i =>
+            if (i < f.length) f(i).toLong else 0L).sum
+        } finally statSrc.close()
+        val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
+        val own = try {
+          // utime and stime are fields 14 and 15 (1-based); the comm
+          // field (2) may contain spaces, so split after the closing
+          // paren of comm instead of naive whitespace splitting
+          val line = selfSrc.getLines().next()
+          val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
+          // rest(0) is field 3 (state) → utime = rest(11), stime = rest(12)
+          rest(11).toLong + rest(12).toLong
+        } finally selfSrc.close()
+        (busy, own)
+      } catch { case _: Throwable => (-1L, -1L) }
+
+    def probe(passes: Int, warm: Boolean): Probe = {
+      val (busy, own) = cpuJiffies()
+      Probe(scanSentinel(passes, warm), cpuSentinel(passes, warm), loadAvg(),
+        busy, own, System.nanoTime())
+    }
 
     // Two timed passes per query, min kept: a one-off environment
     // hiccup (page-cache eviction, background load) then cannot
@@ -223,12 +269,34 @@ object Bench {
       Runtime.getRuntime.availableProcessors() / 2.0, cpus.toDouble + 8)
     def loadPairOk(a: Probe, b: Probe): Boolean =
       math.max(a.load, b.load) <= loadGate
+    // External-cpu share of the window [a, b]: busy jiffies someone
+    // OTHER than this JVM burned, over the window's wall capacity.
+    // This is the gate that catches UNIFORM contention dead-on: 24
+    // background spinners on the 32-core host measured load ~31
+    // (under the 40 loadavg gate) and inflated queries ~1.5x while
+    // every relative sentinel read clean — but their ~75% external
+    // share is unhideable. USER_HZ is 100 on every Linux ABI this
+    // runs on (getconf CLK_TCK); cores from the runtime. Negative
+    // counters (no /proc) degrade to 0.0 → always-ok.
+    val extGate = 0.25
+    def extFrac(a: Probe, b: Probe): Double = {
+      if (a.busyJ < 0 || b.busyJ < 0 || a.selfJ < 0 || b.selfJ < 0) 0.0
+      else {
+        val wallTicks = (b.wallNs - a.wallNs) / 1e9 * 100.0
+        val cores = Runtime.getRuntime.availableProcessors()
+        if (wallTicks <= 0) 0.0
+        else math.max(0.0,
+          ((b.busyJ - a.busyJ) - (b.selfJ - a.selfJ)) / (wallTicks * cores))
+      }
+    }
+    def extPairOk(a: Probe, b: Probe): Boolean = extFrac(a, b) <= extGate
     var bestScan = bestOf(_.scan)
     var bestCpu = bestOf(_.cpu)
     def winOk(i: Int): Boolean =
       pairOk(probes(i), probes(i + 1), _.scan, bestScan) &&
         pairOk(probes(i), probes(i + 1), _.cpu, bestCpu) &&
-        loadPairOk(probes(i), probes(i + 1))
+        loadPairOk(probes(i), probes(i + 1)) &&
+        extPairOk(probes(i), probes(i + 1))
     val firstPassOk = windows.indices.map(winOk)
 
     // Retry pass: re-time every query inside a drifted window (keeping
@@ -255,7 +323,7 @@ object Bench {
       if (retried.nonEmpty) {
         val Seq(a, b) = probes.takeRight(2).toSeq
         pairOk(a, b, _.scan, bestScan) && pairOk(a, b, _.cpu, bestCpu) &&
-          loadPairOk(a, b)
+          loadPairOk(a, b) && extPairOk(a, b)
       } else true
     val windowOk = windows.indices.map { i =>
       if (firstPassOk(i)) winOk(i) else retryOk
@@ -263,7 +331,9 @@ object Bench {
     val reliable = windowOk.forall(identity)
     if (!reliable)
       System.err.println(s"[bench] UNRELIABLE run: loaded windows ${windowOk.zipWithIndex.collect { case (false, i) => i }.mkString(",")} " +
-        s"(scan: ${probes.map(_.scan).mkString(",")} cpu: ${probes.map(_.cpu).mkString(",")} load: ${probes.map(_.load).mkString(",")})")
+        s"(scan: ${probes.map(_.scan).mkString(",")} cpu: ${probes.map(_.cpu).mkString(",")} load: ${probes.map(_.load).mkString(",")} " +
+        s"ext: ${probes.indices.dropRight(1).map(i =>
+          f"${extFrac(probes(i), probes(i + 1))}%.2f").mkString(",")})")
 
     val results = timings.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -291,6 +361,8 @@ object Bench {
       s""","sentinels":[${probes.map(p => ms(p.scan)).mkString(",")}]""" +
         s""","cpu_sentinels":[${probes.map(p => ms(p.cpu)).mkString(",")}]""" +
         s""","load":[${probes.map(p => ms2(p.load)).mkString(",")}]""" +
+        s""","ext_cpu":[${probes.indices.dropRight(1).map(i =>
+          ms2(extFrac(probes(i), probes(i + 1)))).mkString(",")}]""" +
         s""","spread_max":[${spreadMax.map(ms2).mkString(",")}]""" +
         s""","load_gate":${ms2(loadGate)}""" +
         s""","win_size":$winSize""" +
