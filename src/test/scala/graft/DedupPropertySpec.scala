@@ -50,6 +50,44 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("randomized corpora: topTfidfTerms matches a sequential tf-idf model exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 4) {
+      val nDocs = 20 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(4)
+      val docs = (0 until nDocs).map { i =>
+        val len = 3 + rnd.nextInt(25)
+        (i.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // sequential model: tf per (doc, token); df per token; quantized
+      // idf; rank by (score desc, token asc) and keep top k
+      val tf = docs.flatMap { case (id, t) =>
+        t.split(" ").groupBy(identity).map { case (tok, os) => (id, tok, os.length.toLong) }
+      }
+      val dfreq = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val idf = dfreq.map { case (tok, c) =>
+        tok -> math.floor(math.log(nDocs.toDouble / c) * 1e6).toLong
+      }
+      val expected = tf.groupBy(_._1).flatMap { case (id, rows) =>
+        rows.map { case (_, tok, c) => (tok, c, c * idf(tok)) }
+          .sortBy { case (tok, _, score) => (-score, tok) }
+          .take(k).zipWithIndex
+          .map { case ((tok, c, score), r) => (id, tok, c, score, r + 1) }
+      }.toSet
+      val got = graft.pipeline.TextAnalysis.topTfidfTerms(
+          docs.toDF("doc_id", "text").repartition(3), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSet
+      assert(got == expected,
+        s"trial $trial (n=$nDocs k=$k): ${got.diff(expected).take(3)} vs " +
+          s"missing ${expected.diff(got).take(3)}")
+    }
+  }
+
   test("randomized corpora: emitted pairs are true near-dups; exact groups complete; runs deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
