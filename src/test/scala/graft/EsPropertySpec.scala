@@ -221,13 +221,18 @@ class EsPropertySpec extends SparkTestBase {
   }
 
   test("random requests match the independent model exactly") {
-    var seed = rng.Seed(20260814L)
+    // Fixed seed/case-count for CI determinism; GRAFT_FUZZ_SEED /
+    // GRAFT_FUZZ_CASES crank a deep exploratory session (any failure
+    // prints the case context, so a found seed can be pinned here).
+    var seed = rng.Seed(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+      .getOrElse(20260814L))
+    val nCases = sys.env.get("GRAFT_FUZZ_CASES").map(_.toInt).getOrElse(8)
     def sample[A](g: Gen[A]): A = {
       val v = g.apply(Gen.Parameters.default, seed).getOrElse(sys.error("gen failed"))
       seed = seed.next
       v
     }
-    for (caseNo <- 1 to 8) {
+    for (caseNo <- 1 to nCases) {
       val rows = sample(streamGen)
       val df = eventsDf(rows)
       for (reqNo <- 1 to 4) {
