@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only per-stage profiler for any driver query: runs the named
+  * SparkEntry queries once warm, once timed, with a stage listener,
+  * and prints each stage's executor task-time sum, record counts, and
+  * the wall total — separating executor compute from driver overhead
+  * (planning, AQE re-optimization, codegen) so optimization targets
+  * the measured hot spot. Not part of the driver contract.
+  *
+  *   runMain graft.tools.StageProfile [sfDir] <query> [query ...]
+  */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val (dirs, qnames) = args.partition(a => new java.io.File(a).isDirectory)
+    val sfDir = dirs.headOption.getOrElse("/root/testdata/sf0.1")
+    require(qnames.nonEmpty, "pass at least one query name")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (name <- qnames) {
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      fn(spark, sfDir).count() // warm: codegen cache, page cache, footers
+      spark.sparkContext.getPersistentRDDs
+        .valuesIterator.foreach(_.unpersist(blocking = true))
+      System.gc()
+
+      val stages = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, Long, Long, Long, Int)]
+      val listener = new SparkListener {
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val m = si.taskMetrics
+          stages += ((si.stageId,
+            si.name.takeWhile(_ != '\n').take(60),
+            m.executorRunTime, m.executorCpuTime / 1000000L,
+            m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten,
+            si.numTasks))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus is async; let completions drain
+      spark.sparkContext.removeSparkListener(listener)
+
+      val runSum = stages.map(_._3).sum / 1e3
+      val cpuSum = stages.map(_._4).sum / 1e3
+      println(f"\n===== $name: wall $wall%.2f s, executor-run sum $runSum%.2f s " +
+        f"(cpu $cpuSum%.2f s), ${stages.size} stages =====")
+      for ((id, nm, run, cpu, recs, nt) <- stages.sortBy(-_._3).take(15))
+        println(f"  stage $id%4d run ${run / 1e3}%6.2f s  cpu ${cpu / 1e3}%6.2f s  " +
+          f"tasks $nt%3d  shufRecs $recs%9d  $nm")
+    }
+    spark.stop()
+  }
+}
