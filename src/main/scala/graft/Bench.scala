@@ -176,9 +176,18 @@ object Bench {
       } catch { case _: Throwable => (-1L, -1L) }
 
     def probe(passes: Int, warm: Boolean): Probe = {
+      // jiffy counters and the wall clock MUST be read at the same
+      // instant — consecutive probes' deltas define each window's
+      // interval, and splitting the reads around the sentinel passes
+      // would make the cpu window and the wall window cover different
+      // spans, skewing extFrac by the sentinels' duration. Reading
+      // BEFORE the sentinels means a window includes its opening
+      // probe's sentinel work; that work is this process's own
+      // (subtracted via selfJ), so the external measure is unaffected.
       val (busy, own) = cpuJiffies()
+      val wall = System.nanoTime()
       Probe(scanSentinel(passes, warm), cpuSentinel(passes, warm), loadAvg(),
-        busy, own, System.nanoTime())
+        busy, own, wall)
     }
 
     // Two timed passes per query, min kept: a one-off environment
@@ -226,8 +235,8 @@ object Bench {
       // recovery sample, not part of the stability diagnostic
       val hi = math.max(a, b)
       spreads(name) = math.max(spreads.getOrElse(name, 1.0),
-        if (lo > 0) hi / lo else 1.0)
-      if (hi > 3 * lo && hi > 1.0)
+        if (lo0 > 0) hi / lo0 else 1.0)
+      if (hi > 3 * lo0 && hi > 1.0)
         System.err.println(f"[bench] $name unstable: pass1=$a%.2fs pass2=$b%.2fs (keeping min)")
       lo
     }
@@ -290,14 +299,27 @@ object Bench {
     // runs on (getconf CLK_TCK); cores from the runtime. Negative
     // counters (no /proc) degrade to 0.0 → always-ok.
     val extGate = 0.25
+    // Cores for the denominator come from /proc/stat's per-cpu lines —
+    // the SAME source as the busy counter. availableProcessors would
+    // reflect a cgroup quota in a container, while the aggregate `cpu `
+    // line counts jiffies across every HOST core: mismatched sources
+    // would overstate external share by host-cores/quota.
+    val statCores: Int = (try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().count(l =>
+        l.startsWith("cpu") && l.length > 3 && l.charAt(3).isDigit)
+      finally src.close()
+    } catch { case _: Throwable => 0 }) match {
+      case 0 => Runtime.getRuntime.availableProcessors()
+      case n => n
+    }
     def extFrac(a: Probe, b: Probe): Double = {
       if (a.busyJ < 0 || b.busyJ < 0 || a.selfJ < 0 || b.selfJ < 0) 0.0
       else {
         val wallTicks = (b.wallNs - a.wallNs) / 1e9 * 100.0
-        val cores = Runtime.getRuntime.availableProcessors()
         if (wallTicks <= 0) 0.0
         else math.max(0.0,
-          ((b.busyJ - a.busyJ) - (b.selfJ - a.selfJ)) / (wallTicks * cores))
+          ((b.busyJ - a.busyJ) - (b.selfJ - a.selfJ)) / (wallTicks * statCores))
       }
     }
     def extPairOk(a: Probe, b: Probe): Boolean = extFrac(a, b) <= extGate

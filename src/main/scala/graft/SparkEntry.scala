@@ -38,12 +38,13 @@ object SparkEntry {
     * run's mode(overwrite) rewrite racing another run's read (the
     * advisor-flagged q_partition_prune hazard, closed for every
     * staging query here). Unique per process, deleted on shutdown. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively)); f.delete(): Unit
+  }
+
   private lazy val scratchRoot: java.io.File = {
     val root = java.nio.file.Files.createTempDirectory("graft-scratch-").toFile
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => del(root)))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
     root
   }
 
@@ -2279,10 +2280,7 @@ object SparkEntry {
     // state, which is exactly what the oracle recomputes.
     "q_dict_persistent" -> ((s, dir) => {
       val store = scratch("dictstore", dir)
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
-      }
-      del(store)
+      deleteRecursively(store)
       val docs = Tables.documents(s, dir)
         .withColumn("v", concat(lit("v"), (col("doc_id") % 500).cast("string")))
       Dictionary.getOrCreate(
@@ -3391,6 +3389,7 @@ object SparkEntry {
       """WITH assigned AS (
            SELECT doc_id,
                   CASE
+                    WHEN doc_id IS NULL THEN NULL
                     WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 50
                       THEN 'test'
                     WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 150

@@ -240,9 +240,9 @@ object Dedup {
     * [[candidatePairs]]), and candidates are verified with exact
     * Jaccard over 64-bit shingle hashes. Default 4 bands × 4 rows:
     * candidate probability j^4 per band — selective enough that the
-    * band join stays near-linear. The verify stage melts pairs to one
-    * row per (pair, side) and joins the shingle table ONCE, instead
-    * of twice. */
+    * band join stays near-linear. The verify stage attaches each
+    * side's shingle-hash array via a per-side equi-join (see
+    * [[verifiedPairs]]). */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
@@ -416,7 +416,7 @@ object Dedup {
   }
 
   /** [[minhashDupPairs]] over the engine-portable banding — identical
-    * structure (exact pre-collapse, capped buckets, melt-join
+    * structure (exact pre-collapse, capped buckets, per-side-join
     * verify), with the shingle hashes md5+arithmetic-derived and the
     * verify Jaccard computed over the same hashes, so a DuckDB oracle
     * recomputes the full pipeline bit for bit. */
@@ -469,7 +469,8 @@ object Dedup {
     //   2. both families' candidate pairs union into ONE flagged pair
     //      frame (is_prod / is_port via a max-flag groupBy, which is
     //      also the cross-family dedup);
-    //   3. ONE melt-join ships both arrays to each pair and computes
+    //   3. ONE pair of per-side equi-joins ships both hash arrays to
+    //      each pair and computes
     //      xx-Jaccard (prod candidates) and md5-Jaccard (portable
     //      candidates + prod pairs that passed xx verify — the
     //      cross-family re-verification, conditional so no pair pays

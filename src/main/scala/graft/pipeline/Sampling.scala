@@ -43,7 +43,11 @@ object Sampling {
     * stable under reprocessing, appends (new rows never reshuffle old
     * ones), any partitioning, and any engine that can compute md5.
     * Gate ranges: [0, test) → test, [test, test+val) → validation,
-    * the rest → train. Pure codegen'd projection — no shuffle, no
+    * the rest → train. A NULL id gets a NULL split (the gate is
+    * undefined without an identity — same convention as
+    * [[sampleByStrata]], where null keys never pass the gate; an
+    * `otherwise("train")` would silently leak every id-less row into
+    * the training set). Pure codegen'd projection — no shuffle, no
     * state, scales with input splits. */
   def assignSplit(df: DataFrame, idCol: String,
                   valPermille: Int, testPermille: Int,
@@ -57,7 +61,7 @@ object Sampling {
     df.withColumn(splitCol,
       when(gate < testPermille, "test")
         .when(gate < testPermille + valPermille, "validation")
-        .otherwise("train"))
+        .when(gate.isNotNull, "train"))
   }
 
   /** Temperature-scaled mixture rebalancing — the multi-source /

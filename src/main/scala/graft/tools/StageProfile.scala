@@ -35,31 +35,44 @@ object StageProfile {
         .valuesIterator.foreach(_.unpersist(blocking = true))
       System.gc()
 
+      // the listener bus delivers on its own thread — synchronize the
+      // buffer and drain below by polling until the count stabilizes,
+      // or late completion events silently vanish from the profile
       val stages = scala.collection.mutable.ArrayBuffer
         .empty[(Int, String, Long, Long, Long, Int)]
       val listener = new SparkListener {
         override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
           val si = e.stageInfo
           val m = si.taskMetrics
-          stages += ((si.stageId,
-            si.name.takeWhile(_ != '\n').take(60),
-            m.executorRunTime, m.executorCpuTime / 1000000L,
-            m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten,
-            si.numTasks))
+          stages.synchronized {
+            stages += ((si.stageId,
+              si.name.takeWhile(_ != '\n').take(60),
+              m.executorRunTime, m.executorCpuTime / 1000000L,
+              m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten,
+              si.numTasks))
+          }
         }
       }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // listener bus is async; let completions drain
+      // drain: poll until no new completion arrives for two checks
+      var seen = -1
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(200)
+        val n = stages.synchronized(stages.size)
+        if (n == seen) stable += 1 else { seen = n; stable = 0 }
+      }
       spark.sparkContext.removeSparkListener(listener)
 
-      val runSum = stages.map(_._3).sum / 1e3
-      val cpuSum = stages.map(_._4).sum / 1e3
+      val snap = stages.synchronized(stages.toVector)
+      val runSum = snap.map(_._3).sum / 1e3
+      val cpuSum = snap.map(_._4).sum / 1e3
       println(f"\n===== $name: wall $wall%.2f s, executor-run sum $runSum%.2f s " +
-        f"(cpu $cpuSum%.2f s), ${stages.size} stages =====")
-      for ((id, nm, run, cpu, recs, nt) <- stages.sortBy(-_._3).take(15))
+        f"(cpu $cpuSum%.2f s), ${snap.size} stages =====")
+      for ((id, nm, run, cpu, recs, nt) <- snap.sortBy(-_._3).take(15))
         println(f"  stage $id%4d run ${run / 1e3}%6.2f s  cpu ${cpu / 1e3}%6.2f s  " +
           f"tasks $nt%3d  shufRecs $recs%9d  $nm")
     }

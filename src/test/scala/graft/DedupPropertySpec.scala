@@ -3,16 +3,22 @@ package graft
 import graft.pipeline.Dedup
 import org.apache.spark.sql.DataFrame
 
-/** Randomized soundness trials for the banded near-dup pipelines: on
-  * random small corpora (forced exact duplicates + single-token
-  * mutations), every pair the pipeline emits must be a TRUE near-dup
-  * pair under a from-first-principles n-gram Jaccard model — banding
-  * is allowed to miss pairs (LSH is a recall sample), but a pair it
-  * emits with a wrong Jaccard, below threshold, or between unrelated
-  * docs is a correctness bug in shingling, banding, capping, or the
-  * verify join. Exact-duplicate groups must always come back complete
-  * (the star-pair path is hash-independent), and the whole pipeline
-  * must be run-to-run deterministic. */
+/** Randomized differential trials for the corpus pipelines.
+  *
+  * Banded near-dup soundness: on random small corpora (forced exact
+  * duplicates + single-token mutations), every pair the pipeline
+  * emits must be a TRUE near-dup pair under a from-first-principles
+  * n-gram Jaccard model — banding is allowed to miss pairs (LSH is a
+  * recall sample), but a pair it emits with a wrong Jaccard, below
+  * threshold, or between unrelated docs is a correctness bug in
+  * shingling, banding, capping, or the verify join. Exact-duplicate
+  * groups must always come back complete (the star-pair path is
+  * hash-independent), and the whole pipeline must be run-to-run
+  * deterministic.
+  *
+  * TF-IDF exactness: [[graft.pipeline.TextAnalysis.topTfidfTerms]]
+  * must agree row-for-row with a sequential tf-idf model (same
+  * quantized idf, same deterministic tie-break) on random corpora. */
 class DedupPropertySpec extends SparkTestBase {
 
   /** Reference n-gram set: sliding windows of n tokens, distinct. */

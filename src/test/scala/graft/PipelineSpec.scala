@@ -88,6 +88,15 @@ class PipelineSpec extends SparkTestBase {
     val noTrain = graft.pipeline.Sampling.assignSplit(docs, "doc_id", 500, 500)
       .filter(col("split") === "train").count()
     assert(noTrain == 0)
+    // a NULL id has no defined gate -> NULL split, never silently
+    // 'train' (training-set contamination); same convention as
+    // sampleByStrata's null-key drop
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id")
+      .union((1L to 3L).toDF("doc_id"))
+    val nullSplit = graft.pipeline.Sampling.assignSplit(withNull, "doc_id", 100, 50)
+      .filter(col("doc_id").isNull).collect()
+    assert(nullSplit.length == 1 && nullSplit(0).isNullAt(1),
+      "null id must yield null split")
   }
 
   test("topTfidfTerms ranks document-salient terms above corpus-common ones") {
