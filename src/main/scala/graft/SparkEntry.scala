@@ -1583,6 +1583,29 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // pipeline: END-TO-END composition — the shape a training-data
+    // user actually runs: Gopher quality gate → exact-duplicate
+    // collapse (digest groupBy, lowest id represents) → deterministic
+    // split assignment → per-split corpus accounting. Every stage is
+    // individually oracled elsewhere; this query pins that they
+    // COMPOSE (column contracts, null conventions, digest/gate
+    // determinism) by replaying the full chain in one SQL oracle.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val gated = TextAnalysis.gopherFilter(Tables.documents(s, dir), "text")
+        .filter(col("quality_pass"))
+      val reps = gated.groupBy(md5(col("text")).as("__digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val kept = gated.select(col("doc_id"), col("n_words")).join(reps, "doc_id")
+      graft.pipeline.Sampling.assignSplit(kept, "doc_id",
+          valPermille = 100, testPermille = 50)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_words")).as("token_sum"))
+        .orderBy(col("split"))
+    }),
+
     // pipeline: temperature-scaled mixture rebalancing (T=2 → source
     // shares follow sqrt of their raw shares) — per-source keep rates
     // derived from corpus counts, realized through the same
@@ -3382,6 +3405,59 @@ object SparkEntry {
                            WHEN 'src2' THEN 0 ELSE 500 END)
          SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM kept GROUP BY 1 ORDER BY source""",
+
+    // end-to-end: gopher gate CTEs (same thresholds as
+    // q_gopher_filter) -> md5-digest exact-dup collapse (min id
+    // represents) -> same split gate as q_split_assign -> accounting
+    "q_pipeline_e2e" ->
+      """WITH t AS (SELECT doc_id, text IS NULL AS no_text,
+                           string_split(text, ' ') AS w FROM documents),
+         bg AS (
+           SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+           FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+         top AS (
+           SELECT doc_id, max(c) AS tbc
+           FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+           GROUP BY 1),
+         m AS (
+           SELECT t.doc_id, no_text,
+                  CAST(len(w) AS BIGINT) AS n,
+                  CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup,
+                  CAST(coalesce(tbc, 0) AS BIGINT) AS tbc,
+                  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
+                  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha
+           FROM t LEFT JOIN top USING (doc_id)),
+         v AS (
+           SELECT doc_id, n,
+                  CASE WHEN no_text THEN 'empty'
+                       WHEN n < 20 THEN 'too_short'
+                       WHEN n > 100000 THEN 'too_long'
+                       WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 'mean_word_len'
+                       WHEN alpha * 5 < n * 4 THEN 'alpha_ratio'
+                       WHEN dup * 10 > n * 3 THEN 'dup_words'
+                       WHEN tbc * 5 > n THEN 'top_bigram'
+                       ELSE NULL END AS quality_reason
+           FROM m),
+         pass AS (
+           SELECT v.doc_id, v.n, md5(d.text) AS dg
+           FROM v JOIN documents d USING (doc_id)
+           WHERE v.quality_reason IS NULL),
+         reps AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY dg),
+         kept AS (SELECT p.doc_id, p.n FROM pass p JOIN reps USING (doc_id)),
+         assigned AS (
+           SELECT doc_id, n,
+                  CASE
+                    WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 50
+                      THEN 'test'
+                    WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 150
+                      THEN 'validation'
+                    ELSE 'train'
+                  END AS split
+           FROM kept)
+         SELECT split, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(n) AS BIGINT) AS token_sum
+         FROM assigned GROUP BY 1 ORDER BY split""",
 
     // split assignment: same md5 gate keyed 'split:id', same
     // [0,50) test / [50,150) validation / rest train permille ranges
