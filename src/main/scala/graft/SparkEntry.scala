@@ -170,16 +170,26 @@ object SparkEntry {
   /** Oracle for [[graft.pipeline.Dedup.prodParityReport]]: DuckDB
     * recomputes the md5-portable pair count and the star-pair count
     * end to end; the two xxhash-only integers (`pairs_prod`,
-    * `pairs_common`) are pinned literals measured once per corpus, and
-    * `bad_pairs` pins the 0 the cross-hash-family invariant demands. */
+    * `pairs_common`) are pinned literals measured once per corpus —
+    * `pins` maps a corpus fingerprint (sum of the documents table's
+    * n_chars, which distinguishes every driver SF) to its measured
+    * (prod, common) pair, so the SAME static oracle hash-matches at
+    * sf0.001/0.01/0.1 (an unknown corpus falls through to -1 and
+    * fails loudly rather than passing on a stale pin). `bad_pairs`
+    * pins the 0 the cross-hash-family invariant demands. */
   private def prodParitySql(n: Int, numHashes: Int, bands: Int, threshold: Double,
-                            pinProd: Long, pinCommon: Long): String =
+                            pins: Map[Long, (Long, Long)]): String = {
+    def caseOver(f: ((Long, Long)) => Long): String =
+      s"""CASE (SELECT sum(n_chars) FROM documents)
+         ${pins.map { case (k, v) => s"WHEN $k THEN CAST(${f(v)} AS BIGINT)" }.mkString(" ")}
+         ELSE CAST(-1 AS BIGINT) END"""
     s"""WITH ${portableMinhashPairsCte(n, numHashes, bands, threshold)}
        SELECT CAST(0 AS BIGINT) AS bad_pairs,
-         CAST($pinCommon AS BIGINT) AS pairs_common,
+         ${caseOver(_._2)} AS pairs_common,
          (SELECT count(*) FROM pairs) AS pairs_portable,
-         CAST($pinProd AS BIGINT) AS pairs_prod,
+         ${caseOver(_._1)} AS pairs_prod,
          (SELECT count(*) FROM star) AS star_pairs"""
+  }
 
   /** Oracle for [[graft.pipeline.Dedup.repeatedSubstringSpans]]:
     * DuckDB replays gram hashing (md5-60 of the k-token gram string),
@@ -3315,13 +3325,16 @@ object SparkEntry {
 
     // Invariant oracles for the xxhash production twins (see
     // prodParitySql): portable + star counts recomputed, prod-side
-    // counts pinned at their sf0.01 values, bad_pairs pinned 0.
+    // counts pinned per corpus (keyed by sum(n_chars): 153156 =
+    // sf0.001, 149174 = sf0.01, 1485576 = sf0.1), bad_pairs pinned 0.
     "q_minhash_dups_prod" ->
       prodParitySql(n = 3, numHashes = 16, bands = 4, threshold = 0.2,
-        pinProd = 25L, pinCommon = 25L),
+        pins = Map(153156L -> ((28L, 28L)), 149174L -> ((25L, 25L)),
+          1485576L -> ((249L, 248L)))),
     "q_ngram_jaccard_prod" ->
       prodParitySql(n = 2, numHashes = 16, bands = 8, threshold = 0.05,
-        pinProd = 545L, pinCommon = 40L),
+        pins = Map(153156L -> ((559L, 52L)), 149174L -> ((545L, 40L)),
+          1485576L -> ((50143L, 2150L)))),
 
     // PII redaction replayed verbatim (RE2 'g' flag = Java
     // replace-all); patterns share the engine-portable subset.

@@ -96,11 +96,15 @@ class DedupPropertySpec extends SparkTestBase {
 
   test("randomized corpora: emitted pairs are true near-dups; exact groups complete; runs deterministic") {
     import spark.implicits._
-    val rnd = new scala.util.Random(20260814L)
+    // GRAFT_FUZZ_SEED / GRAFT_FUZZ_CASES crank deep sessions (same
+    // convention as EsPropertySpec / FunnelPropertySpec)
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L))
+    val nTrials = sys.env.get("GRAFT_FUZZ_CASES").map(_.toInt).getOrElse(5)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
       "eta", "theta", "iota", "kappa", "mu", "nu")
     val n = 3
-    for (trial <- 1 to 5) {
+    for (trial <- 1 to nTrials) {
       val threshold = Seq(0.3, 0.5, 0.8)(rnd.nextInt(3))
       val nBase = 25 + rnd.nextInt(35)
       val base = (0 until nBase).map { i =>
