@@ -59,32 +59,57 @@ class FunnelPropertySpec extends SparkTestBase {
   }
 
   /** Plain-Scala replay of the Exact-step machine semantics (window
-    * overflow flush+restart, Unique skip, NonUnique restart, partial
-    * flush at end of user) — returns each attempt's completed-step
-    * count. Totals(s) = attempts with completed >= s. */
+    * overflow flush+restart, Unique skip, NonUnique restart, Session
+    * counting — an idle gap closes the session and re-allows a
+    * conversion, a completed attempt blocks the rest of the session —
+    * exclude-range reset (mid-attempt discard + reprocess, no attempt
+    * emitted), partial flush at end of user) — returns each attempt's
+    * completed-step count. Totals(s) = attempts with completed >= s.
+    * The exclude event must not also be a step event (mirrors the
+    * generator, which excludes only the non-step "D"). */
   private def modelAttempts(rows: Seq[(Long, String)], steps: Seq[String],
-                            windowMs: Long, unique: Boolean): Seq[Int] = {
+                            windowMs: Long, unique: Boolean,
+                            sessionGapMs: Long = 0L,
+                            exclude: Option[(String, Int, Int)] = None): Seq[Int] = {
     val n = steps.size
     val out = scala.collection.mutable.ArrayBuffer[Int]()
     var filled = 0
     var startTs = 0L
-    var done = false
+    var userDone = false
+    var sessionDone = false
+    var lastTs = 0L
+    var haveLast = false
     def flush(): Unit = { if (filled > 0) out += filled; filled = 0 }
     rows.foreach { case (ts, ev) =>
-      if (!done) {
+      if (sessionGapMs > 0 && haveLast && ts - lastTs > sessionGapMs) {
+        flush(); sessionDone = false
+      }
+      lastTs = ts; haveLast = true
+      if (!userDone && !sessionDone) {
         var reprocess = true
         while (reprocess) {
           reprocess = false
-          if (filled > 0 && ts - startTs > windowMs) { flush(); reprocess = true }
-          else if (filled < n && ev == steps(filled)) {
+          if (filled > 0) {
+            if (ts - startTs > windowMs) { flush(); reprocess = true }
+            else exclude match {
+              case Some((ex, from, to)) if ev == ex && filled >= from && filled <= to =>
+                filled = 0; reprocess = true // discard, re-process row
+              case _ =>
+            }
+          }
+          if (!reprocess && filled < n && ev == steps(filled)) {
             if (filled == 0) startTs = ts
             filled += 1
-            if (filled == n) { flush(); if (unique) done = true }
+            if (filled == n) {
+              flush()
+              if (unique) userDone = true
+              else if (sessionGapMs > 0) sessionDone = true
+            }
           }
         }
       }
     }
-    if (!done) flush()
+    flush()
     out.toSeq
   }
 
@@ -114,13 +139,20 @@ class FunnelPropertySpec extends SparkTestBase {
         ev <- Gen.oneOf("A", "B", "C", "D")
       } yield (user, ts, ev))
       windowMs <- Gen.oneOf(500L, 5000L, 100000L)
-      unique <- Gen.oneOf(true, false)
+      // count mode: Unique, NonUnique, or Session with a random gap
+      mode <- Gen.oneOf(0, 1, 2)
+      gapMs <- Gen.oneOf(800L, 8000L)
+      // optional exclude on the non-step event "D" over a random
+      // steps-completed range (engine checks only mid-attempt)
+      excl <- Gen.oneOf(None, Some((1, 1)), Some((1, 2)), Some((2, 2)))
       cap <- Gen.oneOf(None, Some(12L), Some(25L))
       parts <- Gen.choose(1, 4)
-    } yield (rows, windowMs, unique, cap, parts)
+    } yield (rows, windowMs, mode, gapMs, excl, cap, parts)
 
     for (caseNo <- 1 to nCases) {
-      val (rows0, windowMs, unique, cap, parts) = sample(caseGen)
+      val (rows0, windowMs, mode, gapMs, excl, cap, parts) = sample(caseGen)
+      val unique = mode == 0
+      val sessionGap = if (mode == 2) gapMs else 0L
       // unique global ts (preserving draw order) so the model never
       // depends on the engine's same-ts seq tiebreak
       val rows = rows0.zipWithIndex.map { case ((u, ts, ev), i) =>
@@ -132,21 +164,29 @@ class FunnelPropertySpec extends SparkTestBase {
       }
       val attempts = keptUsers.values.toSeq.flatMap { rs =>
         modelAttempts(rs.sortBy(_._2).map(r => (r._2, r._3)), stepNames,
-          windowMs, unique)
+          windowMs, unique, sessionGap, excl.map { case (f, t) => ("D", f, t) })
       }
       val expected = (1 to 3).map(s => attempts.count(_ >= s).toLong)
 
       val df = eventsDf(rows).repartition(parts) // random physical layout
       val out = Funnel.run(spark, df, Funnel.Request(
         steps = stepNames.map(s => col("event_type") === s),
-        windowMs = windowMs, count = if (unique) Funnel.Unique else Funnel.NonUnique,
+        windowMs = windowMs,
+        count = mode match {
+          case 0 => Funnel.Unique
+          case 1 => Funnel.NonUnique
+          case _ => Funnel.Session(gapMs)
+        },
+        exclude = excl.toSeq.map { case (f, t) =>
+          Funnel.Exclude(col("event_type") === "D", f, t)
+        },
         maxEventsPerUser = cap)).collect()
       val got =
         if (out.isEmpty) Seq(0L, 0L, 0L)
         else (1 to 3).map(s => out.find(_.getAs[Int]("step") == s)
           .map(_.getAs[Long]("total")).getOrElse(0L))
       assert(got == expected,
-        s"case $caseNo: window=$windowMs unique=$unique cap=$cap parts=$parts\n" +
+        s"case $caseNo: window=$windowMs mode=$mode gap=$sessionGap excl=$excl cap=$cap parts=$parts\n" +
           s"got $got expected $expected\nrows=$rows")
     }
   }
