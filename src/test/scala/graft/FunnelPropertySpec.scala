@@ -66,21 +66,26 @@ class FunnelPropertySpec extends SparkTestBase {
     * emitted), partial flush at end of user) — returns each attempt's
     * completed-step count. Totals(s) = attempts with completed >= s.
     * The exclude event must not also be a step event (mirrors the
-    * generator, which excludes only the non-step "D"). */
-  private def modelAttempts(rows: Seq[(Long, String)], steps: Seq[String],
+    * generator, which excludes only the non-step "D"). With
+    * `withConst`, an attempt holds the device of its first step; a
+    * matching row on a different device resets and re-processes
+    * (starting a fresh attempt on the NEW device). */
+  private def modelAttempts(rows: Seq[(Long, String, String)], steps: Seq[String],
                             windowMs: Long, unique: Boolean,
                             sessionGapMs: Long = 0L,
-                            exclude: Option[(String, Int, Int)] = None): Seq[Int] = {
+                            exclude: Option[(String, Int, Int)] = None,
+                            withConst: Boolean = false): Seq[Int] = {
     val n = steps.size
     val out = scala.collection.mutable.ArrayBuffer[Int]()
     var filled = 0
     var startTs = 0L
+    var heldDev: String = null
     var userDone = false
     var sessionDone = false
     var lastTs = 0L
     var haveLast = false
-    def flush(): Unit = { if (filled > 0) out += filled; filled = 0 }
-    rows.foreach { case (ts, ev) =>
+    def flush(): Unit = { if (filled > 0) out += filled; filled = 0; heldDev = null }
+    rows.foreach { case (ts, ev, dev) =>
       if (sessionGapMs > 0 && haveLast && ts - lastTs > sessionGapMs) {
         flush(); sessionDone = false
       }
@@ -93,17 +98,21 @@ class FunnelPropertySpec extends SparkTestBase {
             if (ts - startTs > windowMs) { flush(); reprocess = true }
             else exclude match {
               case Some((ex, from, to)) if ev == ex && filled >= from && filled <= to =>
-                filled = 0; reprocess = true // discard, re-process row
+                filled = 0; heldDev = null; reprocess = true // discard, re-process
               case _ =>
             }
           }
           if (!reprocess && filled < n && ev == steps(filled)) {
-            if (filled == 0) startTs = ts
-            filled += 1
-            if (filled == n) {
-              flush()
-              if (unique) userDone = true
-              else if (sessionGapMs > 0) sessionDone = true
+            if (withConst && filled > 0 && dev != heldDev) {
+              filled = 0; heldDev = null; reprocess = true // constant violation
+            } else {
+              if (filled == 0) { startTs = ts; heldDev = dev }
+              filled += 1
+              if (filled == n) {
+                flush()
+                if (unique) userDone = true
+                else if (sessionGapMs > 0) sessionDone = true
+              }
             }
           }
         }
@@ -147,24 +156,30 @@ class FunnelPropertySpec extends SparkTestBase {
       excl <- Gen.oneOf(None, Some((1, 1)), Some((1, 2)), Some((2, 2)))
       cap <- Gen.oneOf(None, Some(12L), Some(25L))
       parts <- Gen.choose(1, 4)
-    } yield (rows, windowMs, mode, gapMs, excl, cap, parts)
+      // holding constant on the device column: an attempt must stay
+      // on the device it started on (violation = reset + reprocess)
+      withConst <- Gen.oneOf(true, false)
+      devs <- Gen.listOfN(200, Gen.oneOf("d1", "d2"))
+    } yield (rows, windowMs, mode, gapMs, excl, cap, parts, withConst, devs)
 
     for (caseNo <- 1 to nCases) {
-      val (rows0, windowMs, mode, gapMs, excl, cap, parts) = sample(caseGen)
+      val (rows0, windowMs, mode, gapMs, excl, cap, parts, withConst, devs) =
+        sample(caseGen)
       val unique = mode == 0
       val sessionGap = if (mode == 2) gapMs else 0L
       // unique global ts (preserving draw order) so the model never
       // depends on the engine's same-ts seq tiebreak
       val rows = rows0.zipWithIndex.map { case ((u, ts, ev), i) =>
-        (u, ts * 1000L + i, ev, "dev", 1.0)
+        (u, ts * 1000L + i, ev, devs(i % devs.size), 1.0)
       }
       val byUser = rows.groupBy(_._1)
       val keptUsers = byUser.filter { case (_, rs) =>
         cap.forall(c => rs.size <= c)
       }
       val attempts = keptUsers.values.toSeq.flatMap { rs =>
-        modelAttempts(rs.sortBy(_._2).map(r => (r._2, r._3)), stepNames,
-          windowMs, unique, sessionGap, excl.map { case (f, t) => ("D", f, t) })
+        modelAttempts(rs.sortBy(_._2).map(r => (r._2, r._3, r._4)), stepNames,
+          windowMs, unique, sessionGap, excl.map { case (f, t) => ("D", f, t) },
+          withConst)
       }
       val expected = (1 to 3).map(s => attempts.count(_ >= s).toLong)
 
@@ -180,13 +195,15 @@ class FunnelPropertySpec extends SparkTestBase {
         exclude = excl.toSeq.map { case (f, t) =>
           Funnel.Exclude(col("event_type") === "D", f, t)
         },
+        constants = if (withConst) Seq("device") else Nil,
         maxEventsPerUser = cap)).collect()
       val got =
         if (out.isEmpty) Seq(0L, 0L, 0L)
         else (1 to 3).map(s => out.find(_.getAs[Int]("step") == s)
           .map(_.getAs[Long]("total")).getOrElse(0L))
       assert(got == expected,
-        s"case $caseNo: window=$windowMs mode=$mode gap=$sessionGap excl=$excl cap=$cap parts=$parts\n" +
+        s"case $caseNo: window=$windowMs mode=$mode gap=$sessionGap excl=$excl " +
+          s"cap=$cap parts=$parts const=$withConst\n" +
           s"got $got expected $expected\nrows=$rows")
     }
   }
