@@ -69,14 +69,22 @@ class FunnelPropertySpec extends SparkTestBase {
     * generator, which excludes only the non-step "D"). With
     * `withConst`, an attempt holds the device of its first step; a
     * matching row on a different device resets and re-processes
-    * (starting a fresh attempt on the NEW device). */
+    * (starting a fresh attempt on the NEW device). `anyOrder` marks a
+    * slot range fillable in any order; with `anyPositional`, a row
+    * matching ANY of the range's step events fills the CURRENT
+    * position instead (prefix-filled slots, repeats allowed). */
   private def modelAttempts(rows: Seq[(Long, String, String)], steps: Seq[String],
                             windowMs: Long, unique: Boolean,
                             sessionGapMs: Long = 0L,
                             exclude: Option[(String, Int, Int)] = None,
-                            withConst: Boolean = false): Seq[Int] = {
+                            withConst: Boolean = false,
+                            anyOrder: Option[(Int, Int)] = None,
+                            anyPositional: Boolean = false): Seq[Int] = {
     val n = steps.size
+    val groupOf = Array.tabulate(n)(i => i)
+    for ((a, b) <- anyOrder; i <- a to b) groupOf(i) = a
     val out = scala.collection.mutable.ArrayBuffer[Int]()
+    val filledArr = new Array[Boolean](n)
     var filled = 0
     var startTs = 0L
     var heldDev: String = null
@@ -84,7 +92,31 @@ class FunnelPropertySpec extends SparkTestBase {
     var sessionDone = false
     var lastTs = 0L
     var haveLast = false
-    def flush(): Unit = { if (filled > 0) out += filled; filled = 0; heldDev = null }
+    def reset(): Unit = {
+      filled = 0; heldDev = null; java.util.Arrays.fill(filledArr, false)
+    }
+    def flush(): Unit = { if (filled > 0) out += filled; reset() }
+    def matchSlot(ev: String): Int = {
+      var first = 0
+      while (first < n && filledArr(first)) first += 1
+      if (first == n) return -1
+      val g = groupOf(first)
+      if (anyPositional) {
+        var q = g
+        while (q < n && groupOf(q) == g) {
+          if (ev == steps(q)) return first
+          q += 1
+        }
+        -1
+      } else {
+        var q = first
+        while (q < n && groupOf(q) == g) {
+          if (!filledArr(q) && ev == steps(q)) return q
+          q += 1
+        }
+        -1
+      }
+    }
     rows.foreach { case (ts, ev, dev) =>
       if (sessionGapMs > 0 && haveLast && ts - lastTs > sessionGapMs) {
         flush(); sessionDone = false
@@ -98,20 +130,24 @@ class FunnelPropertySpec extends SparkTestBase {
             if (ts - startTs > windowMs) { flush(); reprocess = true }
             else exclude match {
               case Some((ex, from, to)) if ev == ex && filled >= from && filled <= to =>
-                filled = 0; heldDev = null; reprocess = true // discard, re-process
+                reset(); reprocess = true // discard, re-process row
               case _ =>
             }
           }
-          if (!reprocess && filled < n && ev == steps(filled)) {
-            if (withConst && filled > 0 && dev != heldDev) {
-              filled = 0; heldDev = null; reprocess = true // constant violation
-            } else {
-              if (filled == 0) { startTs = ts; heldDev = dev }
-              filled += 1
-              if (filled == n) {
-                flush()
-                if (unique) userDone = true
-                else if (sessionGapMs > 0) sessionDone = true
+          if (!reprocess) {
+            val slot = matchSlot(ev)
+            if (slot >= 0) {
+              if (withConst && filled > 0 && dev != heldDev) {
+                reset(); reprocess = true // constant violation
+              } else {
+                if (filled == 0) { startTs = ts; heldDev = dev }
+                filledArr(slot) = true
+                filled += 1
+                if (filled == n) {
+                  flush()
+                  if (unique) userDone = true
+                  else if (sessionGapMs > 0) sessionDone = true
+                }
               }
             }
           }
@@ -160,11 +196,16 @@ class FunnelPropertySpec extends SparkTestBase {
       // on the device it started on (violation = reset + reprocess)
       withConst <- Gen.oneOf(true, false)
       devs <- Gen.listOfN(200, Gen.oneOf("d1", "d2"))
-    } yield (rows, windowMs, mode, gapMs, excl, cap, parts, withConst, devs)
+      // any-order slot range + the reference's positional variant
+      anyOrder <- Gen.oneOf(None, None, Some((0, 1)), Some((1, 2)))
+      anyPos <- Gen.oneOf(true, false)
+    } yield (rows, windowMs, mode, gapMs, excl, cap, parts, withConst, devs,
+      anyOrder, anyPos)
 
     for (caseNo <- 1 to nCases) {
-      val (rows0, windowMs, mode, gapMs, excl, cap, parts, withConst, devs) =
-        sample(caseGen)
+      val (rows0, windowMs, mode, gapMs, excl, cap, parts, withConst, devs,
+        anyOrder, anyPos0) = sample(caseGen)
+      val anyPos = anyPos0 && anyOrder.isDefined
       val unique = mode == 0
       val sessionGap = if (mode == 2) gapMs else 0L
       // unique global ts (preserving draw order) so the model never
@@ -179,7 +220,7 @@ class FunnelPropertySpec extends SparkTestBase {
       val attempts = keptUsers.values.toSeq.flatMap { rs =>
         modelAttempts(rs.sortBy(_._2).map(r => (r._2, r._3, r._4)), stepNames,
           windowMs, unique, sessionGap, excl.map { case (f, t) => ("D", f, t) },
-          withConst)
+          withConst, anyOrder, anyPos)
       }
       val expected = (1 to 3).map(s => attempts.count(_ >= s).toLong)
 
@@ -196,6 +237,8 @@ class FunnelPropertySpec extends SparkTestBase {
           Funnel.Exclude(col("event_type") === "D", f, t)
         },
         constants = if (withConst) Seq("device") else Nil,
+        anyOrderGroups = anyOrder.toSeq,
+        anyOrderPositional = anyPos,
         maxEventsPerUser = cap)).collect()
       val got =
         if (out.isEmpty) Seq(0L, 0L, 0L)
@@ -203,7 +246,7 @@ class FunnelPropertySpec extends SparkTestBase {
           .map(_.getAs[Long]("total")).getOrElse(0L))
       assert(got == expected,
         s"case $caseNo: window=$windowMs mode=$mode gap=$sessionGap excl=$excl " +
-          s"cap=$cap parts=$parts const=$withConst\n" +
+          s"cap=$cap parts=$parts const=$withConst any=$anyOrder pos=$anyPos\n" +
           s"got $got expected $expected\nrows=$rows")
     }
   }
