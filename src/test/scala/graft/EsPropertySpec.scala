@@ -23,7 +23,11 @@ class EsPropertySpec extends SparkTestBase {
 
   private val eventGen = for {
     user <- Gen.choose(1L, 6L)
-    tsOff <- Gen.choose(0L, 4L * DayMs - 1)
+    // most mass in the first 4 days (dense hour/day buckets), a tail
+    // reaching ~70 days so Month bucketing crosses two boundaries
+    tsOff <- Gen.frequency(
+      3 -> Gen.choose(0L, 4L * DayMs - 1),
+      1 -> Gen.choose(0L, 70L * DayMs - 1))
     ev <- Gen.oneOf("A", "B", "C")
     dev <- Gen.oneOf("ios", "android")
     v <- Gen.choose(0, 50)
@@ -58,10 +62,11 @@ class EsPropertySpec extends SparkTestBase {
     nq <- Gen.choose(1, 3)
     qs <- Gen.listOfN(nq, queryGen)
     evName <- Gen.option(Gen.oneOf("A", "B", "C"))
-    interval <- Gen.oneOf(TimeIntervalUnit.Day, TimeIntervalUnit.Week)
+    interval <- Gen.oneOf(TimeIntervalUnit.Day, TimeIntervalUnit.Day,
+      TimeIntervalUnit.Week, TimeIntervalUnit.Hour, TimeIntervalUnit.Month)
     bds <- Gen.oneOf(Seq.empty[String], Seq("device"))
     fromD <- Gen.choose(0L, 2L)
-    toD <- Gen.choose(2L, 4L)
+    toD <- Gen.oneOf(Gen.choose(2L, 4L), Gen.choose(30L, 70L))
     useFilter <- Gen.oneOf(true, false)
     nSegs <- Gen.oneOf(0, 0, 1, 2) // segments on ~half the requests
     segs <- Gen.listOfN(nSegs, segGen)
@@ -82,12 +87,14 @@ class EsPropertySpec extends SparkTestBase {
   // ---- independent model ------------------------------------------
 
   private def truncBucket(ms: Long, unit: TimeIntervalUnit): Long = {
+    if (unit == TimeIntervalUnit.Hour) return ms - ms % 3600000L
     val d = java.time.Instant.ofEpochMilli(ms)
       .atOffset(java.time.ZoneOffset.UTC).toLocalDate
     val b = unit match {
       case TimeIntervalUnit.Day => d
       case TimeIntervalUnit.Week => d.`with`(
         java.time.temporal.TemporalAdjusters.previousOrSame(java.time.DayOfWeek.MONDAY))
+      case TimeIntervalUnit.Month => d.withDayOfMonth(1)
       case other => sys.error(s"unused interval $other")
     }
     b.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
