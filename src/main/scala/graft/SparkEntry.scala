@@ -191,6 +191,56 @@ object SparkEntry {
          (SELECT count(*) FROM star) AS star_pairs"""
   }
 
+  /** Shared CTE chain of the Gopher-gate oracles (q_gopher_filter and
+    * q_pipeline_e2e): yields CTEs `t, bg, top, m, v` where
+    * `v = (doc_id, n, quality_reason)` — quality_reason NULL = pass.
+    * Thresholds mirror TextAnalysis.gopherFilter; ONE copy so a
+    * threshold change cannot drift between oracles. */
+  private val gopherGateCtes: String =
+    """t AS (SELECT doc_id, text IS NULL AS no_text,
+                    string_split(text, ' ') AS w FROM documents),
+       bg AS (
+         SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+         FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+       top AS (
+         SELECT doc_id, max(c) AS tbc
+         FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+         GROUP BY 1),
+       m AS (
+         SELECT t.doc_id, no_text,
+                CAST(len(w) AS BIGINT) AS n,
+                CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup,
+                CAST(coalesce(tbc, 0) AS BIGINT) AS tbc,
+                CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
+                CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha
+         FROM t LEFT JOIN top USING (doc_id)),
+       v AS (
+         SELECT doc_id, n,
+                CASE WHEN no_text THEN 'empty'
+                     WHEN n < 20 THEN 'too_short'
+                     WHEN n > 100000 THEN 'too_long'
+                     WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 'mean_word_len'
+                     WHEN alpha * 5 < n * 4 THEN 'alpha_ratio'
+                     WHEN dup * 10 > n * 3 THEN 'dup_words'
+                     WHEN tbc * 5 > n THEN 'top_bigram'
+                     ELSE NULL END AS quality_reason
+         FROM m)"""
+
+  /** Split-gate CASE over `idExpr` — the md5 hash gate of
+    * Sampling.assignSplit (NULL id → NULL split), shared by
+    * q_split_assign and q_pipeline_e2e so the two oracles cannot
+    * drift. */
+  private def splitCaseSql(idExpr: String, testPermille: Int,
+                           valPermille: Int): String =
+    s"""CASE
+          WHEN $idExpr IS NULL THEN NULL
+          WHEN CAST(('0x' || substring(md5('split:' || $idExpr), 1, 8)) AS BIGINT) % 1000 < $testPermille
+            THEN 'test'
+          WHEN CAST(('0x' || substring(md5('split:' || $idExpr), 1, 8)) AS BIGINT) % 1000 < ${testPermille + valPermille}
+            THEN 'validation'
+          ELSE 'train'
+        END"""
+
   /** Oracle for [[graft.pipeline.Dedup.repeatedSubstringSpans]]:
     * DuckDB replays gram hashing (md5-60 of the k-token gram string),
     * corpus-wide dup detection (count > 1, intra-doc repeats
@@ -1603,10 +1653,16 @@ object SparkEntry {
     "q_pipeline_e2e" -> ((s, dir) => {
       val gated = TextAnalysis.gopherFilter(Tables.documents(s, dir), "text")
         .filter(col("quality_pass"))
-      val reps = gated.groupBy(md5(col("text")).as("__digest"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val kept = gated.select(col("doc_id"), col("n_words")).join(reps, "doc_id")
+      // representative per distinct text in ONE aggregation: min over
+      // (doc_id, n_words) structs orders on doc_id, so the lowest id
+      // and its token count survive together — no join back against
+      // the gated frame, which would re-run the whole gopher subtree
+      // (tokenization + sorted-bigram fold) a second time.
+      val kept = gated
+        .select(md5(col("text")).as("__digest"),
+          struct(col("doc_id"), col("n_words")).as("__r"))
+        .groupBy(col("__digest")).agg(min(col("__r")).as("__r"))
+        .select(col("__r.doc_id").as("doc_id"), col("__r.n_words").as("n_words"))
       graft.pipeline.Sampling.assignSplit(kept, "doc_id",
           valPermille = 100, testPermille = 50)
         .groupBy(col("split"))
@@ -3423,49 +3479,16 @@ object SparkEntry {
     // q_gopher_filter) -> md5-digest exact-dup collapse (min id
     // represents) -> same split gate as q_split_assign -> accounting
     "q_pipeline_e2e" ->
-      """WITH t AS (SELECT doc_id, text IS NULL AS no_text,
-                           string_split(text, ' ') AS w FROM documents),
-         bg AS (
-           SELECT doc_id, w[i] || ' ' || w[i+1] AS b
-           FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
-         top AS (
-           SELECT doc_id, max(c) AS tbc
-           FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
-           GROUP BY 1),
-         m AS (
-           SELECT t.doc_id, no_text,
-                  CAST(len(w) AS BIGINT) AS n,
-                  CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup,
-                  CAST(coalesce(tbc, 0) AS BIGINT) AS tbc,
-                  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
-                  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha
-           FROM t LEFT JOIN top USING (doc_id)),
-         v AS (
-           SELECT doc_id, n,
-                  CASE WHEN no_text THEN 'empty'
-                       WHEN n < 20 THEN 'too_short'
-                       WHEN n > 100000 THEN 'too_long'
-                       WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 'mean_word_len'
-                       WHEN alpha * 5 < n * 4 THEN 'alpha_ratio'
-                       WHEN dup * 10 > n * 3 THEN 'dup_words'
-                       WHEN tbc * 5 > n THEN 'top_bigram'
-                       ELSE NULL END AS quality_reason
-           FROM m),
+      s"""WITH $gopherGateCtes,
          pass AS (
            SELECT v.doc_id, v.n, md5(d.text) AS dg
            FROM v JOIN documents d USING (doc_id)
            WHERE v.quality_reason IS NULL),
-         reps AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY dg),
-         kept AS (SELECT p.doc_id, p.n FROM pass p JOIN reps USING (doc_id)),
+         kept AS (
+           SELECT min(doc_id) AS doc_id, min(n) AS n FROM pass GROUP BY dg),
          assigned AS (
            SELECT doc_id, n,
-                  CASE
-                    WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 50
-                      THEN 'test'
-                    WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 150
-                      THEN 'validation'
-                    ELSE 'train'
-                  END AS split
+                  ${splitCaseSql("doc_id", 50, 100)} AS split
            FROM kept)
          SELECT split, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum,
@@ -3475,16 +3498,8 @@ object SparkEntry {
     // split assignment: same md5 gate keyed 'split:id', same
     // [0,50) test / [50,150) validation / rest train permille ranges
     "q_split_assign" ->
-      """WITH assigned AS (
-           SELECT doc_id,
-                  CASE
-                    WHEN doc_id IS NULL THEN NULL
-                    WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 50
-                      THEN 'test'
-                    WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 1000 < 150
-                      THEN 'validation'
-                    ELSE 'train'
-                  END AS split
+      s"""WITH assigned AS (
+           SELECT doc_id, ${splitCaseSql("doc_id", 50, 100)} AS split
            FROM documents)
          SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM assigned GROUP BY 1 ORDER BY split""",
@@ -3660,34 +3675,7 @@ object SparkEntry {
     // precedence as the when-chain; bigram mode via explode+group-by
     // like the q_repetition oracle
     "q_gopher_filter" ->
-      """WITH t AS (SELECT doc_id, text IS NULL AS no_text,
-                           string_split(text, ' ') AS w FROM documents),
-         bg AS (
-           SELECT doc_id, w[i] || ' ' || w[i+1] AS b
-           FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
-         top AS (
-           SELECT doc_id, max(c) AS tbc
-           FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
-           GROUP BY 1),
-         m AS (
-           SELECT t.doc_id, no_text,
-                  CAST(len(w) AS BIGINT) AS n,
-                  CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup,
-                  CAST(coalesce(tbc, 0) AS BIGINT) AS tbc,
-                  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
-                  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha
-           FROM t LEFT JOIN top USING (doc_id)),
-         v AS (
-           SELECT doc_id,
-                  CASE WHEN no_text THEN 'empty'
-                       WHEN n < 20 THEN 'too_short'
-                       WHEN n > 100000 THEN 'too_long'
-                       WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 'mean_word_len'
-                       WHEN alpha * 5 < n * 4 THEN 'alpha_ratio'
-                       WHEN dup * 10 > n * 3 THEN 'dup_words'
-                       WHEN tbc * 5 > n THEN 'top_bigram'
-                       ELSE NULL END AS quality_reason
-           FROM m)
+      s"""WITH $gopherGateCtes
          SELECT quality_reason IS NULL AS quality_pass, quality_reason,
                 count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM v GROUP BY 1, 2""",
