@@ -1598,7 +1598,14 @@ object SparkEntry {
     // gaps-and-islands merge bit for bit). Two shuffles at any scale:
     // groupBy gram hash, then per-doc window on the dup positions.
     "q_substring_spans" -> ((s, dir) => {
-      Dedup.repeatedSubstringSpans(Tables.documents(s, dir), "doc_id", "text", k = 4)
+      // the single-row-group doc fixture scans as ONE partition and the
+      // md5-per-gram typed pass would run serial on it (measured 1.4 s
+      // in one task via StageProfile) — same explicit-repartition
+      // pattern as q_jaccard_pairs; at real scale parquet splits
+      // provide this parallelism for free
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.repeatedSubstringSpans(docs, "doc_id", "text", k = 4)
         .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
           col("span_end").cast("long").as("span_end"),
           col("span_tokens").cast("long").as("span_tokens"))
@@ -1609,6 +1616,10 @@ object SparkEntry {
     // Lee et al. pipeline would REMOVE, as count + fraction per doc
     // (docs with no repeated span report 0 via the left join).
     "q_substring_stats" -> ((s, dir) => {
+      // NO explicit repartition here, unlike q_substring_spans: this
+      // pipeline is light enough that the full-corpus shuffle costs
+      // more than the serial gram pass it parallelizes (measured
+      // 0.12 s -> 0.37 s with it)
       Dedup.withSubstringDupStats(Tables.documents(s, dir), "doc_id", "text", k = 4)
         .select(col("doc_id"), col("n_tokens"), col("dup_tokens"), col("dup_fraction"))
         .orderBy(col("doc_id"))
