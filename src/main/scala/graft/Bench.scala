@@ -295,10 +295,23 @@ object Bench {
     // background spinners on the 32-core host measured load ~31
     // (under the 40 loadavg gate) and inflated queries ~1.5x while
     // every relative sentinel read clean — but their ~75% external
-    // share is unhideable. USER_HZ is 100 on every Linux ABI this
-    // runs on (getconf CLK_TCK); cores from the runtime. Negative
+    // share is unhideable. Ticks-per-second comes from the OS
+    // (`getconf CLK_TCK`) rather than a hardcoded USER_HZ=100, so a
+    // kernel/libc with a different CLK_TCK cannot silently mis-scale
+    // the share and shift the 0.25 gate; cores from /proc/stat's
+    // per-cpu lines (same source as the busy counter). Negative
     // counters (no /proc) degrade to 0.0 → always-ok.
     val extGate = 0.25
+    val clkTck: Double = (try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.US_ASCII).trim
+      p.waitFor()
+      out.toDouble
+    } catch { case _: Throwable => 0.0 }) match {
+      case t if t > 0 => t
+      case _          => 100.0
+    }
     // Cores for the denominator come from /proc/stat's per-cpu lines —
     // the SAME source as the busy counter. availableProcessors would
     // reflect a cgroup quota in a container, while the aggregate `cpu `
@@ -316,7 +329,7 @@ object Bench {
     def extFrac(a: Probe, b: Probe): Double = {
       if (a.busyJ < 0 || b.busyJ < 0 || a.selfJ < 0 || b.selfJ < 0) 0.0
       else {
-        val wallTicks = (b.wallNs - a.wallNs) / 1e9 * 100.0
+        val wallTicks = (b.wallNs - a.wallNs) / 1e9 * clkTck
         if (wallTicks <= 0) 0.0
         else math.max(0.0,
           ((b.busyJ - a.busyJ) - (b.selfJ - a.selfJ)) / (wallTicks * statCores))

@@ -50,9 +50,17 @@ object SparkEntry {
 
   /** Scratch subdir for one staging query over one data dir —
     * memoizable across the bench's two timed passes (same path within
-    * the process), never visible to another process. */
-  private def scratch(name: String, dir: String): java.io.File =
-    new java.io.File(scratchRoot, name + "-" + Integer.toHexString(dir.hashCode))
+    * the process), never visible to another process. Keyed by the md5
+    * of the canonical path: a 32-bit hashCode could alias two distinct
+    * data dirs used within one process, cross-contaminating their
+    * overwrite/read cycles. */
+  private def scratch(name: String, dir: String): java.io.File = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    new java.io.File(scratchRoot, name + "-" + key)
+  }
 
   /** Deterministic ±1 hyperplanes (fixed seed) for the oracle-checked
     * LSH query — the SAME literal matrix is embedded in the DuckDB
@@ -2352,6 +2360,39 @@ object SparkEntry {
         .orderBy(col("event_date"))
     }),
 
+    // Storage: tenancy as the LEADING partition dimension. The
+    // canonical layout is project_id=N/event_date=D/ (Tables
+    // .eventsPartitionedRoot — the Spark analog of the reference's
+    // primary sort key (project_id, id), cmd/src/lib.rs:230;
+    // storage/src/table.rs:26-27), so Exprs.tenantScope's equality
+    // predicate prunes whole TENANT subtrees from the file listing
+    // before any day-level pruning — at 100 TB a tenant query lists
+    // only its own directories. A two-tenant store (project =
+    // user_id % 2 + 1, the q_auth_scoped convention) is staged once
+    // per process via Store.writeEvents; the timed body is the
+    // doubly-pruned read (BOTH PartitionFilters — project_id AND
+    // event_date — asserted on this exact shape in PushdownSpec).
+    // The oracle answers the same slice over the flat table, so
+    // pruning can never change results.
+    "q_tenant_prune" -> ((s, dir) => {
+      val store = scratch("tenantstore", dir)
+      if (!new java.io.File(store, "_SUCCESS_GRAFT").exists()) {
+        deleteRecursively(store)
+        graft.sources.Store.writeEvents(
+          events(s, dir).withColumn("project_id", col("user_id") % 2 + 1),
+          store.getAbsolutePath)
+        new java.io.File(store, "_SUCCESS_GRAFT").createNewFile(): Unit
+      }
+      val ev = s.read.parquet(store.getAbsolutePath)
+      val qt = QueryTime.Between(ts("2024-01-10T00:00:00Z"), ts("2024-01-20T00:00:00Z"))
+      Exprs.tenantScope(ev, Some(2L))
+        .filter(Exprs.timePredicateWithPartitionPruning(col("ts"), col("event_date"), qt))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("uid_sum"),
+          min(col("event_id")).as("min_eid"), max(col("event_id")).as("max_eid"))
+        .orderBy(col("event_date"))
+    }),
+
     // Multimodal: REAL WAV codec round trip, oracle-checked end to
     // end. Deterministic PCM16 (s = ((id*37 + i*17) % 4096) - 2048) is
     // ENCODED to real RIFF/WAVE bytes and PARSED back through the
@@ -4040,6 +4081,18 @@ object SparkEntry {
            FROM n2)
          SELECT value, key FROM a1
          UNION ALL SELECT value, key FROM a2 ORDER BY key""",
+
+    // Tenant + date directory pruning can never change results: the
+    // oracle answers the same tenant's slice over the flat table.
+    "q_tenant_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS uid_sum,
+           min(event_id) AS min_eid, max(event_id) AS max_eid
+         FROM events
+         WHERE (user_id % 2) + 1 = 2
+           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
 
     // project 2 = the registry's resolution of token "t_beta" (ids are
     // assigned 1, 2 in creation order, projects.rs:72 next_seq)

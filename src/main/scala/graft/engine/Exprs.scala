@@ -112,11 +112,16 @@ object Exprs {
 
   /** Tenant scope — every reference plan carries a `project_id`
     * (reference common/src/types.rs:22; SURVEY §7.3 keeps it even for
-    * single-project data). On a store written by
-    * [[graft.sources.Store.writeEvents]] the column is a PARTITION
-    * column, so this predicate prunes whole directories; a store
-    * without the column is a single-project deployment and the scope
-    * is vacuously satisfied. */
+    * single-project data), and the reference's primary sort key is
+    * `(project_id, id)` (cmd/src/lib.rs:230) — tenancy is its
+    * first-class scan bound. On the canonical layout
+    * ([[Tables.eventsPartitionedRoot]]'s
+    * `project_id=N/event_date=D/`, and any store written by
+    * [[graft.sources.Store.writeEvents]]) the column is the LEADING
+    * PARTITION column, so this equality predicate prunes whole tenant
+    * subtrees from the file listing before any day-level pruning; a
+    * store without the column is a single-project deployment and the
+    * scope is vacuously satisfied. */
   def tenantScope(df: org.apache.spark.sql.DataFrame, projectId: Option[Long]): org.apache.spark.sql.DataFrame =
     projectId match {
       case Some(p) if df.columns.contains("project_id") =>

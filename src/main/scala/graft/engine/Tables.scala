@@ -82,12 +82,22 @@ object Tables {
     f.delete(): Unit
   }
 
-  /** Root of the canonical date-partitioned events layout for `dir`:
-    * a maintained `events_by_date/` sibling when present, else a
-    * once-per-process temp mirror staged from the flat table. The
-    * partition layout (`event_date=YYYY-MM-DD/`) is what
+  /** Root of the canonical tenant+date-partitioned events layout for
+    * `dir`: a maintained `events_by_date/` sibling when present, else
+    * a once-per-process temp mirror staged from the flat table. The
+    * partition layout is `project_id=N/event_date=YYYY-MM-DD/` —
+    * project_id LEADING, mirroring the reference's primary sort key
+    * `(project_id, id)` (reference cmd/src/lib.rs:230 index_cols;
+    * storage/src/table.rs:26-27), because tenancy is the reference's
+    * first-class scan bound: [[Exprs.tenantScope]]'s equality
+    * predicate lands on the partition column and prunes whole tenant
+    * subtrees from the listing, and
     * [[graft.engine.Exprs.timePredicateWithPartitionPruning]] prunes
-    * against — at 100 TB the listing touches only the queried days. */
+    * day directories within them — at 100 TB the listing touches only
+    * the queried tenant's queried days. A source without a
+    * `project_id` column is a single-project deployment and stages
+    * under `project_id=1/` (the reference's first project id), so the
+    * layout shape is invariant. */
   def eventsPartitionedRoot(spark: SparkSession, dir: String): String = {
     val sibling = new java.io.File(dir, "events_by_date")
     if (sibling.isDirectory) sibling.getAbsolutePath
@@ -95,26 +105,33 @@ object Tables {
       val root = java.nio.file.Files
         .createTempDirectory("graft-events-by-date-").toFile
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
-      // repartition by the partition column first: every writer task
-      // otherwise emits a file into EVERY day directory (tasks×days
+      // repartition by the partition columns first: every writer task
+      // otherwise emits a file into EVERY leaf directory (tasks×leaves
       // small files, whose per-file open cost then dominates small-SF
-      // reads); one shuffle → one file per day.
-      events(spark, dir)
-        .withColumn("event_date",
-          org.apache.spark.sql.functions.to_date(
-            org.apache.spark.sql.functions.col("ts")))
-        .repartition(org.apache.spark.sql.functions.col("event_date"))
-        .write.partitionBy("event_date").mode("overwrite")
+      // reads); one shuffle → one file per (tenant, day).
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      val ev = events(spark, dir)
+      val withTenant =
+        if (ev.columns.contains("project_id")) ev
+        else ev.withColumn("project_id", lit(1L))
+      withTenant
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("project_id"), col("event_date"))
+        .write.partitionBy("project_id", "event_date").mode("overwrite")
         .parquet(root.getAbsolutePath)
       root.getAbsolutePath
     })
   }
 
-  /** Events read THROUGH the date-partitioned layout, with the
-    * `event_date` partition column retained (appended after the flat
-    * columns) so [[Exprs.timePredicateFor]] upgrades time filters to
+  /** Events read THROUGH the canonical partitioned layout, with the
+    * `project_id` and `event_date` partition columns retained
+    * (appended after the flat columns) so [[Exprs.tenantScope]] and
+    * [[Exprs.timePredicateFor]] upgrade tenant and time filters to
     * partition-pruning conjuncts. The ts column was normalized before
-    * the partitioned write, so no NTZ handling applies here. */
+    * the partitioned write, so no NTZ handling applies here. (A
+    * maintained `events_by_date/` sibling written before the tenant
+    * dimension existed carries only `event_date` — tenantScope is
+    * vacuous there, exactly as on the flat table.) */
   def eventsWithDate(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(eventsPartitionedRoot(spark, dir))
 

@@ -26,7 +26,7 @@ object Store {
       if (df.columns.contains("project_id")) Seq("project_id", "event_date")
       else Seq("event_date")
     withDate
-      .repartition(col("event_date"))
+      .repartition(parts.map(col): _*)
       .sortWithinPartitions((parts.drop(1) ++ Seq(userCol, tsCol)).map(col): _*)
       .write
       .partitionBy(parts: _*)

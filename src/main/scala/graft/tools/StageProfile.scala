@@ -74,7 +74,7 @@ object StageProfile {
         f"(cpu $cpuSum%.2f s), ${snap.size} stages =====")
       for ((id, nm, run, cpu, recs, nt) <- snap.sortBy(-_._3).take(15))
         println(f"  stage $id%4d run ${run / 1e3}%6.2f s  cpu ${cpu / 1e3}%6.2f s  " +
-          f"tasks $nt%3d  shufRecs $recs%9d  $nm")
+          f"tasks $nt%3d  outRecs $recs%9d  $nm")
     }
     spark.stop()
   }

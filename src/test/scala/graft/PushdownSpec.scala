@@ -207,6 +207,55 @@ class PushdownSpec extends SparkTestBase {
     assert(flatReq == flat)
   }
 
+  test("tenant is the leading partition dimension: both filters prune directories") {
+    import spark.implicits._
+    withTempDir { dir =>
+      // Two tenants × three days — the q_tenant_prune store shape
+      // (project = user_id % 2 + 1), written through the canonical
+      // writer so the layout is project_id=N/event_date=D/.
+      val rows = for { u <- 0L until 8L; d <- 5 to 7; h <- 0 until 4 }
+        yield (u * 100 + d * 10 + h, u, u % 2 + 1,
+          java.sql.Timestamp.from(java.time.Instant.parse(f"2024-01-0$d%dT$h%02d:00:00Z")))
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      graft.sources.Store.writeEvents(
+        rows.toDF("event_id", "user_id", "project_id", "ts"), store)
+      // leading tenant dirs, day dirs inside them
+      assert(new java.io.File(store, "project_id=1/event_date=2024-01-05").isDirectory)
+      val ev = spark.read.parquet(store)
+      val qt = QueryTime.Between(ts("2024-01-06T00:00:00Z"), ts("2024-01-07T00:00:00Z"))
+      val pruned = graft.engine.Exprs.tenantScope(ev, Some(2L))
+        .filter(Exprs.timePredicateWithPartitionPruning(col("ts"), col("event_date"), qt))
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .head.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      val pf = scan.partitionFilters.mkString(";")
+      assert(pf.contains("project_id") && pf.contains("event_date"), pf)
+      // the listing must touch ONLY tenant 2's queried days
+      val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+        .flatMap(_.files.map(_.getPath.toString))
+      assert(files.nonEmpty, scan.toString)
+      assert(files.forall(_.contains("project_id=2")), files.toString)
+      assert(!files.exists(_.contains("event_date=2024-01-05")), files.toString)
+      // pruning never changes results vs the flat predicates
+      val flat = ev.filter(Exprs.timePredicate(col("ts"), qt))
+        .filter(col("project_id") === 2L).count()
+      assert(pruned.count() == flat && flat > 0L)
+    }
+  }
+
+  test("the staged canonical mirror carries project_id=1 as its leading dimension") {
+    val dir = "/root/testdata/sf0.001"
+    val root = Tables.eventsPartitionedRoot(spark, dir)
+    // single-project source stages under the reference's first
+    // project id, so the layout shape is invariant
+    assert(new java.io.File(root).listFiles().exists(_.getName == "project_id=1"), root)
+    val ev = Tables.eventsWithDate(spark, dir)
+    assert(ev.columns.contains("project_id") && ev.columns.contains("event_date"))
+    // scoping to the only tenant is a no-op on results but lands on
+    // the partition column
+    val scoped = graft.engine.Exprs.tenantScope(ev, Some(1L))
+    assert(scoped.count() == Tables.events(spark, dir).count())
+  }
+
   test("Tables.events prefers a maintained events_by_date sibling") {
     import spark.implicits._
     withTempDir { dir =>
