@@ -134,10 +134,34 @@ object Funnel {
         * (the model path, [[fromModel]], scopes time itself). */
       time: Option[graft.model.QueryTime] = None)
 
-  /** Slim shuffled row: flags precomputed, payload minimal. */
+  /** Slim shuffled row: flags precomputed, payload minimal. Step and
+    * exclude predicate results are PACKED into one Long each (bit i =
+    * predicate i matched; funnels are ≤ 64 steps/excludes by
+    * construction — `run` enforces it) and the holding-constants
+    * tuple into one injectively-encoded string key ([[constKey]]) —
+    * the machine only ever tests equality on it. Versus the previous
+    * (Array[Boolean], Array[Boolean], Array[String]) payload this
+    * cuts the per-row serialization weight of the one per-user
+    * exchange to a fixed 3 longs + 2 refs, which at 100 TB is the
+    * difference between shuffling flags and shuffling structure. */
   private[engine] final case class FRow(
-      user: Long, ts: Long, seq: Long, steps: Array[Boolean], excl: Array[Boolean],
-      consts: Array[String], bds: Array[String])
+      user: Long, ts: Long, seq: Long, stepBits: Long, exclBits: Long,
+      consts: String, bds: Array[String])
+
+  /** Injective single-string encoding of the holding-constants tuple:
+    * each value length-prefixes itself (`<len>:<value>`, null → `N;`)
+    * so every token is self-delimiting and the concatenation is
+    * injective — two rows share a key iff they agree on every
+    * constant (null ≠ "null" ≠ ""). The machine compares only
+    * equality, so one string replaces the previous Array[String]
+    * payload on the per-user exchange. Empty tuple → "". */
+  private[engine] def constKey(cs: Seq[Column]): Column =
+    if (cs.isEmpty) lit("")
+    else concat(cs.map { c0 =>
+      val c = c0.cast("string")
+      when(c.isNull, lit("N;"))
+        .otherwise(concat(length(c).cast("string"), lit(":"), c))
+    }: _*)
 
   /** One funnel attempt: stepTs(i) = epoch ms of step i+1 or null. */
   private[engine] final case class Attempt(
@@ -180,7 +204,7 @@ object Funnel {
     private val filled = new Array[Boolean](nSteps)
     private var filledCount = 0
     private var startTs = 0L
-    private var heldConsts: Array[String] = null
+    private var heldConsts: String = null
     private var firstBds: Array[String] = null
     private var userDone = false
     private var sessionDone = false
@@ -208,15 +232,10 @@ object Funnel {
       reset()
     }
 
-    private def sameConsts(a: Array[String], b: Array[String]): Boolean = {
-      var i = 0
-      while (i < nConsts) {
-        if (a(i) == null) { if (b(i) != null) return false }
-        else if (!a(i).equals(b(i))) return false
-        i += 1
-      }
-      true
-    }
+    // Holding-constants comparison is pure equality on the packed key
+    // ([[Funnel.constKey]] is injective), so no per-column loop.
+    private def sameConsts(a: String, b: String): Boolean =
+      if (a == null) b == null else a.equals(b)
 
     /** Lowest unfilled slot in the active group matching this row, or
       * -1. The active group is the group of the first unfilled slot;
@@ -237,14 +256,14 @@ object Funnel {
       if (anyPositional) {
         var q = g
         while (q < nSteps && groupOf(q) == g) {
-          if (r.steps(q)) return first
+          if (((r.stepBits >>> q) & 1L) == 1L) return first
           q += 1
         }
         -1
       } else {
         var q = first
         while (q < nSteps && groupOf(q) == g) {
-          if (!filled(q) && r.steps(q)) return q
+          if (!filled(q) && ((r.stepBits >>> q) & 1L) == 1L) return q
           q += 1
         }
         -1
@@ -272,7 +291,8 @@ object Funnel {
             var i = 0
             var excluded = false
             while (i < excludes.length && !excluded) {
-              if (r.excl(i) && filledCount >= excludes(i)._1 && filledCount <= excludes(i)._2)
+              if (((r.exclBits >>> i) & 1L) == 1L &&
+                  filledCount >= excludes(i)._1 && filledCount <= excludes(i)._2)
                 excluded = true
               i += 1
             }
@@ -428,9 +448,18 @@ object Funnel {
       tenantScoped.filter(Exprs.timePredicateFor(tenantScoped, req.tsCol, t)))
     val n = req.steps.size
     require(n >= 1, "funnel needs at least one step")
+    require(n <= 64, s"funnel supports at most 64 steps (got $n) — stepBits is a Long")
+    require(req.exclude.size <= 64,
+      s"funnel supports at most 64 exclude predicates (got ${req.exclude.size})")
 
-    def boolArray(cs: Seq[Column]): Column =
-      if (cs.isEmpty) lit(Array.empty[Boolean]) else array(cs.map(c => coalesce(c.cast("boolean"), lit(false))): _*)
+    // Predicate results pack into one Long per family (bit i = pred i
+    // matched) — the machine tests bits, the exchange ships a fixed
+    // 8 bytes instead of a boolean array header + elements.
+    def bitPack(cs: Seq[Column]): Column =
+      if (cs.isEmpty) lit(0L)
+      else cs.zipWithIndex.map { case (c, i) =>
+        when(coalesce(c.cast("boolean"), lit(false)), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
     def strArray(cs: Seq[Column]): Column =
       if (cs.isEmpty) lit(Array.empty[String]) else array(cs.map(_.cast("string")): _*)
 
@@ -440,9 +469,9 @@ object Funnel {
       unix_micros(col(req.tsCol)).as("ts"),
       (if (events.columns.contains(req.idCol)) col(req.idCol).cast("long")
        else monotonically_increasing_id()).as("seq"),
-      boolArray(req.steps).as("steps"),
-      boolArray(req.exclude.map(_.pred)).as("excl"),
-      strArray(req.constants.map(col)).as("consts"),
+      bitPack(req.steps).as("stepBits"),
+      bitPack(req.exclude.map(_.pred)).as("exclBits"),
+      constKey(req.constants.map(col)).as("consts"),
       strArray(req.breakdowns.map(col)).as("bds"))
 
     val excludeRanges = req.exclude.map(e => (e.fromStep, e.toStep)).toArray
@@ -465,17 +494,35 @@ object Funnel {
     val groupOf = Array.tabulate(n)(i => i)
     for ((a, b) <- req.anyOrderGroups; i <- a to b) groupOf(i) = a
 
+    // No-op prefilter: a row matching NO step and NO exclude predicate
+    // cannot change the machine's output under Unique/NonUnique
+    // counting — it only advances time, and the window-overflow check
+    // against the NEXT matching row flushes the identical partial
+    // attempt (flush content derives from filled slots, never from the
+    // triggering row). Dropping such rows BEFORE the per-user exchange
+    // cuts shuffle volume by the predicates' selectivity (a 3-of-N
+    // event funnel ships only those events' rows). Session counting
+    // keeps every row: inactivity gaps are measured between ALL of a
+    // user's events. The bot cap must count the same frame either way
+    // — it counts `slim`, the full event stream, because the cap's
+    // contract (and botUsers' report) is events per user, not
+    // step-matching events per user.
+    val active =
+      if (sessionGapUs == 0L)
+        slim.filter(col("stepBits") =!= 0L || col("exclBits") =!= 0L)
+      else slim
+
     // Bot cap: drop whole users over the event limit BEFORE the
     // per-user shuffle (count agg is map-side-combined). Join strategy
     // is left to Catalyst/AQE: the bot list is usually tiny and
     // broadcasts, but a FORCED broadcast would push an aggressively
     // low cap's millions of excluded users through the driver.
     val capped = req.maxEventsPerUser match {
-      case None => slim
+      case None => active
       case Some(cap) =>
         val bots = slim.groupBy(col("user"))
           .agg(count(lit(1)).as("__c")).filter(col("__c") > cap).select(col("user"))
-        slim.join(bots, Seq("user"), "left_anti")
+        active.join(bots, Seq("user"), "left_anti")
     }
 
     // Per-user grouping + in-group time order as a PLANNER-ENFORCED
@@ -489,8 +536,18 @@ object Funnel {
     // attempts per user on a 4-split corpus). flatMapSortedGroups'
     // required distribution is a contract AQE must honor, at any
     // plan shape.
-    val attempts: Dataset[Attempt] = capped.as[FRow]
-      .groupByKey(_.user)
+    //
+    // The key comes from groupBy(col).as[K, T] — NOT
+    // .as[FRow].groupByKey(_.user): the lambda form plans an
+    // AppendColumns that deserializes every pre-shuffle row into an
+    // FRow just to read back one field, and (worse) breaks
+    // whole-stage codegen between the scan/filter and the exchange.
+    // Keying on the column keeps the entire map side (scan →
+    // predicates → bit-pack → shuffle write) one codegen'd stage;
+    // rows materialize as FRow objects only on the reduce side,
+    // where the machine needs them anyway.
+    val attempts: Dataset[Attempt] = capped
+      .groupBy(col("user")).as[Long, FRow]
       .flatMapSortedGroups(col("ts"), col("seq")) { (_, rows) =>
         runMachine(rows, n, windowUs, excludeRanges, nConsts, unique, sessionGapUs,
           interval, groupOf, touchLast, touchStep, anyPositional)
