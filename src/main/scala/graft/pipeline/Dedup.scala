@@ -103,19 +103,33 @@ object Dedup {
   /** [[lshBands]] over an ALREADY-STAGED (id, shingle-hash array)
     * frame — the shape the dedup pipelines use so one staged frame
     * (typically localCheckpointed) feeds both banding and the exact
-    * verify stage instead of hashing the corpus twice. */
+    * verify stage instead of hashing the corpus twice.
+    *
+    * NARROW: signatures are `array_min(transform(...))` projections
+    * over the staged array — zero shuffle, all codegen — instead of
+    * the old explode → one-row-per-(doc, shingle) → 16-min-agg
+    * groupBy, whose exploded intermediate (shingles × docs rows) and
+    * signature exchange dominated the banding cost (measured: the two
+    * banding subtrees of q_minhash_dups_prod carried 13 s of executor
+    * time at sf0.1, most of it explode+shuffle). Same signatures, same
+    * band keys, same buckets — min over the same element set. `shCol`
+    * MUST be a real attribute (checkpointed/staged), never an
+    * expression alias: a lambda over an expression subtree re-evaluates
+    * it per element and per signature (the CollapseProject trap — see
+    * [[portableShingleHashes]]); every caller here stages first.
+    * Docs with an empty hash array emit nothing, as before. */
   private[graft] def lshBandsFromHashes(sh: DataFrame, idCol: String, shCol: String,
                                  numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val ex = sh.select(col(idCol), explode(col(shCol)).as("__h"))
-    val aggs = (0 until numHashes).map { seed =>
-      min(xxhash64(lit(seed), col("__h"))).as(s"__s$seed")
+    val sigs = (0 until numHashes).map { seed =>
+      array_min(transform(col(shCol), h => xxhash64(lit(seed), h))).as(s"__s$seed")
     }
-    val sig = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val withSig = sh.filter(size(col(shCol)) > 0)
+      .select(col(idCol) +: sigs: _*)
     val bandKeys = (0 until bands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(k => col(s"__s$k")): _*)
     }
-    sig.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    withSig.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
   /** Candidate pairs from LSH buckets, generated bucket-locally
@@ -133,9 +147,10 @@ object Dedup {
     * The window's hash partitioning on (band, band_key) is reused by
     * the groupBy — one shuffle total. [[overflowingBuckets]] reports
     * what a cap dropped. */
-  private[graft] def candidatePairs(b: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+  private[graft] def candidatePairs(b: DataFrame, idCol: String, maxBucket: Int,
+                                    dedup: Boolean = true): DataFrame = {
     val w = Window.partitionBy("band", "band_key").orderBy(col(idCol))
-    b.withColumn("__rn", row_number().over(w))
+    val pairs = b.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucket)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
@@ -145,7 +160,10 @@ object Dedup {
         .as("__p"))
       .select(col("__p.id_a"), col("__p.id_b"))
       .filter(col("id_a") < col("id_b"))
-      .distinct()
+    // dedup=false skips the cross-band distinct's exchange for callers
+    // that dedup downstream anyway (prodParityReport's cross-family
+    // pair groupBy)
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** Monitoring twin of the bucket cap in [[candidatePairs]]: the
@@ -163,7 +181,8 @@ object Dedup {
     * pairs): each non-representative member pairs with its rep at
     * jaccard 1.0 — O(cluster) rows, not the O(cluster²) a mega
     * exact-dup cluster would cost inside an LSH bucket. */
-  def collapseExact(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+  def collapseExact(df: DataFrame, idCol: String, textCol: String,
+                    materialize: Boolean = false): (DataFrame, DataFrame) = {
     // null text is EXPLICITLY excluded (a null digest would silently
     // drop from the equi-join anyway): null docs have no shingles, so
     // they can contribute no pairs — and a SQL oracle's text-equality
@@ -176,8 +195,18 @@ object Dedup {
     // digest, so the full text shuffles once — a join back onto the
     // raw docs to recover rep text would shuffle the whole corpus's
     // text a second time
-    val reps = digested.groupBy("__digest")
+    val reps0 = digested.groupBy("__digest")
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+    // materialize=true: the digest aggregation runs ONCE and both
+    // outputs (and every downstream consumer — banding, verify, star
+    // join) read its localCheckpoint blocks. Lazily, a pipeline that
+    // consumes reps twice (hash staging + star pairs) re-runs the
+    // whole scan+digest+shuffle per consumer — measured as two of the
+    // three reps-sized aggregate stages in q_minhash_dups_prod's
+    // profile. The checkpoint is reps-sized (one row per distinct
+    // text), the same budget the pipelines' hash checkpoint already
+    // accepts; lineage-cut caveats as in [[minhashDupPairs]].
+    val reps = if (materialize) reps0.localCheckpoint() else reps0
     val repDocs = reps.select(col(idCol), col(textCol))
     // star pairs join on (digest, id) ONLY — no text payload
     val starPairs = digested.select(col(idCol), col("__digest"))
@@ -246,7 +275,7 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val (reps, starPairs) = collapseExact(df, idCol, textCol)
+    val (reps, starPairs) = collapseExact(df, idCol, textCol, materialize = true)
     // Stage the shingle-hash frame ONCE: both banding and the exact
     // verify consume it, and without materialization each consumer
     // would re-tokenize and re-hash the whole corpus (measured ~2x the
@@ -391,28 +420,29 @@ object Dedup {
       idCol, "__shh", numHashes, bands)
 
   /** [[lshBandsPortable]] over an already-staged (id, md5-60 shingle
-    * hash array) frame — see [[lshBandsFromHashes]] for why staging
-    * matters. Explodes to one row per (doc, shingle hash) and computes
-    * the numHashes permutations as SCALAR min-aggregates: scalar
-    * column refs are cheap for the optimizer to duplicate (array
-    * lambdas are not — see portableShingleHashes), and min is
-    * duplicate-insensitive. The groupBy shuffles only
-    * (id, numHashes longs), map-side combined. */
+    * hash array) frame — NARROW, like [[lshBandsFromHashes]]: the
+    * numHashes affine permutations are `array_min(transform(...))`
+    * projections over the staged attribute (zero shuffle, identical
+    * min values to the previous explode + scalar-min-agg shape), and
+    * the band keys fold those signature columns arithmetically. Same
+    * attribute-input requirement; docs with no shingles emit
+    * nothing. */
   private[graft] def lshBandsPortableFromHashes(sh: DataFrame, idCol: String, shCol: String,
                                          numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val perms = portablePerms(numHashes)
-    val ex = sh.select(col(idCol), explode(col(shCol)).as("__h"))
-    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("__h") * lit(a) + lit(b)) % lit(PortableMod)).as(s"__s$i")
+    val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col(shCol),
+        h => (h * lit(a) + lit(b)) % lit(PortableMod))).as(s"__s$i")
     }
-    val sig = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val withSig = sh.filter(size(col(shCol)) > 0)
+      .select(col(idCol) +: sigs: _*)
     val bandKeys = (0 until bands).map { bIdx =>
       (0 until rows).foldLeft(lit(0L): Column) { (acc, k) =>
         (acc * lit(1000003L) + col(s"__s${bIdx * rows + k}")) % lit(PortableMod)
       }
     }
-    sig.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    withSig.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
   /** [[minhashDupPairs]] over the engine-portable banding — identical
@@ -423,7 +453,7 @@ object Dedup {
   def minhashDupPairsPortable(df: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                               threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val (reps, starPairs) = collapseExact(df, idCol, textCol)
+    val (reps, starPairs) = collapseExact(df, idCol, textCol, materialize = true)
     // Staged once for banding + verify (see minhashDupPairs) — the
     // md5-per-token typed pass is this pipeline's dominant cost, so
     // running it once instead of twice roughly halves the runtime.
@@ -484,7 +514,7 @@ object Dedup {
     // literals) are bit-identical to the unfused shape. The two
     // banding subtrees are independent inputs of one job, so Spark
     // schedules their stages CONCURRENTLY instead of back to back.
-    val (reps, starPairs) = collapseExact(df, idCol, textCol)
+    val (reps, starPairs) = collapseExact(df, idCol, textCol, materialize = true)
     val stars = starPairs.select(col("id_a"), col("id_b")).localCheckpoint()
 
     // (id, __xx, __md): the xx pass is pure Catalyst, the md5 pass is
@@ -495,12 +525,15 @@ object Dedup {
       .join(portableShingleHashes(reps, idCol, textCol, shingleN, "__md"), idCol)
       .localCheckpoint()
 
+    // per-family distinct skipped (dedup=false): the cross-family
+    // groupBy below collapses band-duplicate pairs anyway, so the two
+    // pre-union exchanges buy nothing
     val candXx = candidatePairs(
       lshBandsFromHashes(sh2.select(col(idCol), col("__xx").as("__sh")),
-        idCol, "__sh", numHashes, bands), idCol, maxBucket)
+        idCol, "__sh", numHashes, bands), idCol, maxBucket, dedup = false)
     val candMd = candidatePairs(
       lshBandsPortableFromHashes(sh2.select(col(idCol), col("__md").as("__sh")),
-        idCol, "__sh", numHashes, bands), idCol, maxBucket)
+        idCol, "__sh", numHashes, bands), idCol, maxBucket, dedup = false)
     val cand = candXx.select(col("id_a"), col("id_b"),
         lit(true).as("is_prod"), lit(false).as("is_port"))
       .unionAll(candMd.select(col("id_a"), col("id_b"),
