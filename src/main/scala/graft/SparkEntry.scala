@@ -1912,6 +1912,36 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // pipeline: MULTI-PROBE ANN recall — q_ann_recall's contract with
+    // the query side probing its own bucket plus every Hamming-1
+    // neighbor (Similarity.withMultiProbe over the oracle-replayable
+    // literal plane buckets; the native path is lshTopKMultiProbe).
+    // Per-query recall is ≥ the single-probe run's by construction
+    // (the probed bucket set is a superset) at (planes+1)× the
+    // candidate volume — the knob measured here instead of assumed.
+    "q_ann_recall_multiprobe" -> ((s, dir) => {
+      val b = embedBucketed(s, dir)
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"), col("bucket"))
+      val probes = Similarity.withMultiProbe(q, "bucket", planes = 4)
+      val truth = Similarity.bruteForceTopK(
+          q.select(col("q_id"), col("q_vec")), b.select(col("vec_id"), col("v")),
+          "q_id", "q_vec", "vec_id", "v", 3)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      val annScored = b.join(broadcast(probes), Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .dropDuplicates("q_id", "vec_id")
+        .withColumn("cos_sim", Similarity.cosine(col("q_vec"), col("v")))
+      val ann = Similarity.topKPerQuery(
+          annScored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 3)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), lit(1).as("__hit"))
+      truth.join(ann, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / 3.0, 6))
+        .orderBy(col("q_id"))
+    }),
+
     // pipeline: hard-negative mining for contrastive training — per
     // query vector, the top-2 most-similar corpus vectors with a
     // DIFFERENT label (the "hard negatives" a contrastive batch
@@ -3336,6 +3366,42 @@ object SparkEntry {
                    nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)), 0)
                  DESC, c.vec_id) AS rnk
              FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
+           WHERE rnk <= 3)
+         SELECT t.q_id, count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 6) AS recall
+         FROM truth t LEFT JOIN ann a
+           ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+         GROUP BY t.q_id ORDER BY t.q_id""",
+
+    // Multi-probe recall@3: the ann side's candidate set is every
+    // corpus vector sharing ANY of the query's 5 probed buckets (own
+    // + 4 Hamming-1 flips), deduped, ranked identically to truth.
+    "q_ann_recall_multiprobe" ->
+      s"""WITH $embedBucketSql,
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+         qp AS (SELECT q_id, qv, unnest([bucket,
+             xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+           FROM q),
+         truth AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q.q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, c.v) /
+                   nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)), 0)
+                 DESC, c.vec_id) AS rnk
+             FROM b c, q WHERE c.vec_id <> q.q_id)
+           WHERE rnk <= 3),
+         cand AS (
+           SELECT DISTINCT q.q_id, q.qv, c.vec_id, c.v
+           FROM b c JOIN qp q ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
+         ann AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY
+                 list_dot_product(qv, v) /
+                   nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)), 0)
+                 DESC, vec_id) AS rnk
+             FROM cand)
            WHERE rnk <= 3)
          SELECT t.q_id, count(a.neighbor_id) AS n_hits,
            round(count(a.neighbor_id) / 3.0, 6) AS recall

@@ -109,14 +109,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The query-side broadcast gate shared by every ANN entry point:
+    * a `broadcast()` hint is a PROMISE that the frame fits executor
+    * memory, and an oversized query set silently taken at its word
+    * OOMs every executor at once. Before hinting, this demands
+    * count-capped evidence (the same stats-gated shape as
+    * Dictionary.build): per-row bytes are estimated from ONE probed
+    * row's vector width, the row count is measured with a
+    * `limit(maxRows+1).count()` that early-exits the scan right past
+    * the budget — so the probe's cost is bounded by the budget
+    * itself, never by the (possibly huge) query set. Over budget →
+    * throw, pointing at the bucketed sources; never a degraded
+    * silent shuffle-join fallback, because the caller chose an
+    * exact/broadcast semantic and a 100 TB corpus shuffle is a worse
+    * failure than a loud one. Budget =
+    * `spark.sql.autoBroadcastJoinThreshold` (10 MB fallback; -1
+    * disables broadcast joins, not this gate's budget). */
+  private[graft] def boundedBroadcast(queries: DataFrame, qVec: String,
+                                      ctx: String): DataFrame = {
+    val spark = queries.sparkSession
+    val budget = {
+      val b = try {
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      } catch { case _: Exception => 10L << 20 }
+      if (b > 0) b else 10L << 20
+    }
+    val probe = queries.select(col(qVec)).limit(1).collect()
+    val vecBytes =
+      if (probe.isEmpty || probe(0).isNullAt(0)) 32L
+      else 32L + 8L * probe(0).getSeq[Any](0).size
+    val perRow = vecBytes + 64L // ids/labels/buckets + row overhead
+    val maxRows = math.min(Int.MaxValue - 2L, math.max(1L, budget / perRow))
+    val rows = queries.limit(maxRows.toInt + 1).count()
+    require(rows <= maxRows,
+      s"$ctx: query side exceeds the broadcast budget — >$maxRows rows at " +
+        s"~$perRow B/row against $budget B (spark.sql.autoBroadcastJoinThreshold). " +
+        "Use the bucketed candidate sources (Similarity.Lsh / Similarity.Ivf, " +
+        "or lshTopK/ivfTopK) instead of the exact broadcast path, or raise the threshold.")
+    broadcast(queries)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors. `queries` must be small (it is broadcast); the
+    * corpus vectors. `queries` must fit the broadcast budget
+    * ([[boundedBroadcast]] enforces it with measured evidence); the
     * corpus is never shuffled — scoring is map-side and the ranking
     * tail is the two-stage bounded top-k. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = corpus.crossJoin(boundedBroadcast(queries, qVec, "bruteForceTopK"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
     topKPerQuery(scored, qId, cId, k)
@@ -136,8 +178,47 @@ object Similarity {
               k: Int, planes: Int = 8): DataFrame = {
     val qb = queries.withColumn("__bucket", lshSignature(col(qVec), planes))
     val cb = corpus.withColumn("__bucket", lshSignature(col(cVec), planes))
-    val scored = cb.join(broadcast(qb), Seq("__bucket"))
+    val scored = cb.join(boundedBroadcast(qb, qVec, "lshTopK"), Seq("__bucket"))
       .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+    topKPerQuery(scored, qId, cId, k)
+  }
+
+  /** Multi-probe expansion of an existing LSH bucket column: one row
+    * per probed bucket — the query's own signature plus every
+    * Hamming-1 neighbor (each of the `planes` sign bits flipped).
+    * The standard recall/cost knob for hyperplane LSH: a near
+    * neighbor that fell on the far side of ONE hyperplane lands in a
+    * Hamming-1 bucket, so probing those recovers most single-probe
+    * misses at (planes+1)× the candidate volume — still bucket-bound,
+    * never the brute cross join. Applies to the QUERY side only (the
+    * corpus stays single-bucketed, so corpus storage and the join's
+    * build side are unchanged). Candidates reached through several
+    * probes must be deduped before ranking ([[lshTopKMultiProbe]]
+    * does). */
+  def withMultiProbe(df: DataFrame, bucketCol: String, planes: Int): DataFrame = {
+    val t = df.schema(bucketCol).dataType
+    df.withColumn(bucketCol, explode(array(
+      col(bucketCol) +:
+        (0 until planes).map(i =>
+          col(bucketCol).bitwiseXOR(lit(1L << i).cast(t))): _*)))
+  }
+
+  /** [[lshTopK]] with Hamming-1 multi-probe on the query side:
+    * recall ≥ single-probe on any corpus (the probed bucket SET is a
+    * superset), cost bounded by (planes+1)× the single-probe
+    * candidate volume. Duplicate candidates (reachable via several
+    * probes) rank once. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+                        qId: String, qVec: String, cId: String, cVec: String,
+                        k: Int, planes: Int = 8): DataFrame = {
+    val cb = corpus.withColumn("__bucket", lshSignature(col(cVec), planes))
+    val qb = withMultiProbe(
+      queries.withColumn("__bucket", lshSignature(col(qVec), planes)),
+      "__bucket", planes)
+    val scored = cb.join(boundedBroadcast(qb, qVec, "lshTopKMultiProbe"), Seq("__bucket"))
+      .filter(col(qId) =!= col(cId))
+      .dropDuplicates(qId, cId)
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
     topKPerQuery(scored, qId, cId, k)
   }
@@ -200,7 +281,7 @@ object Similarity {
       .withColumn("cell_id", assign(col(qVec)))
     val ca = corpus.select(col(cId), col(cVec))
       .withColumn("cell_id", assign(col(cVec)))
-    val scored = ca.join(broadcast(qa), Seq("cell_id"))
+    val scored = ca.join(boundedBroadcast(qa, qVec, "ivfTopK"), Seq("cell_id"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
     topKPerQuery(scored, qId, cId, k)
@@ -254,18 +335,25 @@ object Similarity {
                     qId: String, qVec: String, qLabel: String,
                     cId: String, cVec: String, cLabel: String,
                     k: Int, source: CandidateSource = Brute): DataFrame = {
+    // every source broadcasts the query side — all four run through
+    // the measured-evidence gate, so an oversized query set fails
+    // loudly with the Lsh/Ivf pointer instead of OOMing executors
     val cand = source match {
-      case Brute => corpus.crossJoin(broadcast(queries))
+      case Brute =>
+        corpus.crossJoin(boundedBroadcast(queries, qVec, "hardNegatives(Brute)"))
       case Lsh(planes) =>
         corpus.withColumn("__bucket", lshSignature(col(cVec), planes))
-          .join(broadcast(queries.withColumn("__bucket",
-            lshSignature(col(qVec), planes))), Seq("__bucket"))
+          .join(boundedBroadcast(queries.withColumn("__bucket",
+            lshSignature(col(qVec), planes)), qVec, "hardNegatives(Lsh)"),
+            Seq("__bucket"))
       case Ivf(nCells) =>
         val assign = ivfAssigner(corpus, cId, cVec, nCells)
         corpus.withColumn("__cell", assign(col(cVec)))
-          .join(broadcast(queries.withColumn("__cell", assign(col(qVec)))),
-            Seq("__cell"))
-      case PreBucketed => corpus.join(broadcast(queries), Seq("bucket"))
+          .join(boundedBroadcast(queries.withColumn("__cell", assign(col(qVec))),
+            qVec, "hardNegatives(Ivf)"), Seq("__cell"))
+      case PreBucketed =>
+        corpus.join(boundedBroadcast(queries, qVec, "hardNegatives(PreBucketed)"),
+          Seq("bucket"))
     }
     val scored = cand
       .filter(col(qId) =!= col(cId) && col(cLabel) =!= col(qLabel))

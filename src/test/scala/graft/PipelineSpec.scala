@@ -740,6 +740,91 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multi-probe LSH: superset candidates, recall >= single-probe, bounded volume") {
+    import spark.implicits._
+    val planes = 4
+    val corpus = (0 until 200).map { i =>
+      val angle = i * 0.031
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = (0 until 10).map { i =>
+      val angle = i * 0.6 + 0.015
+      (1000L + i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("q_id", "q_vec")
+    // probe expansion is exactly planes+1 rows per query, own bucket included
+    val qb = q.withColumn("__bucket",
+      Similarity.lshSignature(col("q_vec"), planes))
+    val probes = Similarity.withMultiProbe(qb, "__bucket", planes)
+    assert(probes.count() == q.count() * (planes + 1))
+    val own = qb.select("q_id", "__bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probes.select("q_id", "__bucket").collect().foreach { r =>
+      val d = java.lang.Long.bitCount(r.getLong(1) ^ own(r.getLong(0)))
+      assert(d <= 1, s"probe beyond Hamming-1: $r")
+    }
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val single = hits(Similarity.lshTopK(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3, planes))
+    val multi = hits(Similarity.lshTopKMultiProbe(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3, planes))
+    val truth = hits(Similarity.bruteForceTopK(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3))
+    def recall(ann: Map[Long, Set[Long]]): Double =
+      truth.map { case (qid, t) =>
+        (t & ann.getOrElse(qid, Set.empty)).size.toDouble / t.size
+      }.sum / truth.size
+    assert(recall(multi) >= recall(single),
+      s"single=${recall(single)} multi=${recall(multi)}")
+    // the knob's mechanics, corpus-independent: the multi-probe
+    // candidate volume strictly contains single-probe's (some
+    // Hamming-1 bucket is populated on any non-degenerate corpus),
+    // and is bounded by (planes+1)x the per-bucket volume
+    val cb = corpus.withColumn("__bucket",
+      Similarity.lshSignature(col("embedding"), planes))
+    def candCount(qside: org.apache.spark.sql.DataFrame): Long =
+      cb.join(qside.select("q_id", "__bucket"), Seq("__bucket"))
+        .select("q_id", "vec_id").distinct().count()
+    val nSingle = candCount(qb)
+    val nMulti = candCount(probes)
+    assert(nMulti > nSingle, s"multi candidates $nMulti !> single $nSingle")
+    assert(nMulti <= (planes + 1) * corpus.count() * q.count())
+    // ranked output stays a valid top-k (k rows max, ranks 1..k)
+    assert(multi.values.forall(_.size <= 3))
+  }
+
+  test("broadcast budget gate throws on an oversized query side") {
+    import spark.implicits._
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, Array(i.toFloat, 1.0f), s"l$i")).toDF("vec_id", "v", "label")
+    // 64-dim doubles -> ~600 B/row estimated; a 4 KB budget admits ~6
+    // rows, so 40 queries must trip the gate BEFORE any join executes
+    val q = (100 until 140).map(i =>
+      (i.toLong, Array.fill(64)(i.toFloat), "q")).toDF("q_id", "q_vec", "q_label")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.hardNegatives(q, corpus,
+          "q_id", "q_vec", "q_label", "vec_id", "v", "label",
+          k = 2, Similarity.Brute).collect()
+      }
+      assert(e.getMessage.contains("broadcast budget") &&
+        e.getMessage.contains("Lsh"), e.getMessage)
+      // bruteForceTopK shares the gate
+      intercept[IllegalArgumentException] {
+        Similarity.bruteForceTopK(q.select(col("q_id"), col("q_vec")), corpus,
+          "q_id", "q_vec", "vec_id", "v", k = 1).collect()
+      }
+      // a within-budget query set still runs under the tiny threshold
+      val small = q.limit(3)
+      assert(Similarity.hardNegatives(small, corpus,
+        "q_id", "q_vec", "q_label", "vec_id", "v", "label",
+        k = 2, Similarity.Brute).count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("embedding near-dup pairs via LSH buckets") {
     import spark.implicits._
     val df = Seq(
