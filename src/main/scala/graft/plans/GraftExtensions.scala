@@ -54,5 +54,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneLshSignature(args.head, planes)
       }))
+
+    // Whole-operator SQL surface: the engine's two flagship analyses
+    // as TABLE functions, so the JSON DSL (the reference's native
+    // request format, platform/src/http/*) is drivable from pure SQL:
+    //
+    // {{{
+    //   SELECT * FROM funnel('events_view', '<json funnel request>')
+    //   SELECT * FROM event_segmentation('events_view', '<json es request>')
+    // }}}
+    //
+    // The builder runs at analysis time: it resolves the named table
+    // from the session catalog, compiles the JSON request through the
+    // SAME JsonApi entry points the DataFrame path uses, and splices
+    // the resulting logical plan into the outer query — so the SQL
+    // route is the DataFrame route, byte for byte (SqlSurfaceSpec
+    // pins it), and inherits every optimization (partition pruning,
+    // the planner-enforced funnel distribution) unchanged. Both
+    // arguments must be string literals: the request is a plan-time
+    // artifact, not row data.
+    ext.injectTableFunction((
+      FunctionIdentifier("funnel"),
+      new ExpressionInfo("graft.engine.JsonApi", "funnel"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "funnel(eventsTable, jsonRequest) takes two arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.engine.JsonApi.funnel(spark,
+            spark.table(stringLit(args.head, "funnel eventsTable")),
+            stringLit(args(1), "funnel jsonRequest"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("event_segmentation"),
+      new ExpressionInfo("graft.engine.JsonApi", "event_segmentation"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "event_segmentation(eventsTable, jsonRequest) takes two arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.engine.JsonApi.eventSegmentation(
+            spark.table(stringLit(args.head, "event_segmentation eventsTable")),
+            stringLit(args(1), "event_segmentation jsonRequest"))
+          .queryExecution.logical
+      }))
+  }
+
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL surface (GraftExtensions table functions): a JSON DSL
+  * request run through `spark.sql("SELECT * FROM funnel(...)")` must
+  * be THE SAME PLAN as the DataFrame path — same schema, same rows,
+  * byte for byte — because the TVF builder splices JsonApi's logical
+  * plan into the outer query rather than reimplementing anything. */
+class SqlSurfaceSpec extends SparkTestBase {
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", 2)
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      try f(s2)
+      finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  private def eventsDf(s: SparkSession) = {
+    import s.implicits._
+    val day = 86400L * 1000000L // µs
+    Seq(
+      // user 1 completes view -> click -> purchase inside one day
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 1000000L), (3L, 1L, "purchase", 2000000L),
+      // user 2 stops after click
+      (4L, 2L, "view", day), (5L, 2L, "click", day + 1000000L),
+      // user 3 views only, next day
+      (6L, 3L, "view", 2 * day),
+      // user 4 purchases without the prefix (never counted)
+      (7L, 4L, "purchase", 2 * day + 5000000L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+  }
+
+  private val funnelJson = """{
+    "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-10T00:00:00Z"},
+    "group": 0,
+    "steps": [
+      {"events": [{"eventType": "regular", "eventName": "view"}], "order": {"type": "exact"}},
+      {"events": [{"eventType": "regular", "eventName": "click"}], "order": {"type": "exact"}},
+      {"events": [{"eventType": "regular", "eventName": "purchase"}], "order": {"type": "exact"}}
+    ],
+    "timeWindow": {"n": 1, "unit": "day"},
+    "count": "unique"
+  }"""
+
+  private val esJson = """{
+    "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-10T00:00:00Z"},
+    "intervalUnit": "day",
+    "events": [{"eventType": "regular", "eventName": "view",
+                "queries": [{"type": "countEvents", "name": "cnt"}]}]
+  }"""
+
+  test("funnel TVF is byte-identical to the DataFrame path") {
+    withExtSession { s =>
+      val ev = eventsDf(s)
+      ev.createOrReplaceTempView("ev")
+      val viaSql = s.sql(s"SELECT * FROM funnel('ev', '$funnelJson')")
+      val viaDf = graft.engine.JsonApi.funnel(s, ev, funnelJson)
+      assert(viaSql.schema == viaDf.schema)
+      val a = viaSql.collect().map(_.toString).toSeq
+      val b = viaDf.collect().map(_.toString).toSeq
+      assert(a == b && a.nonEmpty, s"sql=$a df=$b")
+      // sanity on the semantics: 3 steps, totals 3/2/1
+      val totals = viaSql.orderBy("step").collect().map(_.getAs[Long]("total")).toSeq
+      assert(totals == Seq(3L, 2L, 1L), totals.toString)
+      // the SQL route composes like any table: outer filters/aggregates apply
+      val converted = s.sql(
+        s"SELECT total FROM funnel('ev', '$funnelJson') WHERE step = 3")
+        .collect()(0).getLong(0)
+      assert(converted == 1L)
+    }
+  }
+
+  test("event_segmentation TVF is byte-identical to the DataFrame path") {
+    withExtSession { s =>
+      val ev = eventsDf(s)
+      ev.createOrReplaceTempView("ev")
+      val viaSql = s.sql(s"SELECT * FROM event_segmentation('ev', '$esJson')")
+      val viaDf = graft.engine.JsonApi.eventSegmentation(ev, esJson)
+      assert(viaSql.schema == viaDf.schema)
+      val a = viaSql.collect().map(_.toString).sorted.toSeq
+      val b = viaDf.collect().map(_.toString).sorted.toSeq
+      assert(a == b && a.nonEmpty, s"sql=$a df=$b")
+    }
+  }
+
+  test("TVF arguments must be string literals and tables must resolve") {
+    withExtSession { s =>
+      eventsDf(s).createOrReplaceTempView("ev")
+      val e1 = intercept[Exception] {
+        s.sql(s"SELECT * FROM funnel(1, '$funnelJson')").collect()
+      }
+      assert(e1.getMessage.contains("string literal"), e1.getMessage)
+      intercept[Exception] {
+        s.sql(s"SELECT * FROM funnel('no_such_table', '$funnelJson')").collect()
+      }
+    }
+  }
+}
