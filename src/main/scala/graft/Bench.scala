@@ -383,6 +383,69 @@ object Bench {
 
     val results = timings.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+
+    // ---- Per-query baseline manifest + mechanical 2x self-audit ----
+    // BASELINE_QUERIES.json: query -> {time, fp (corpus fingerprint),
+    // scope (SparkEntry.queryScope generation tag)}. On a CLEAN full
+    // run, each query's entry updates to the min time seen under the
+    // SAME (fp, scope); a changed corpus or a bumped scope tag REBASES
+    // the entry instead of comparing against a best that no longer
+    // applies (the stale-baseline adjudications of rounds 10-11, now
+    // mechanical). The audit below compares only within matching
+    // generations and reports the over-2x count on the contract line.
+    val corpusFp: String = try {
+      val files = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}").mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(files.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    } catch { case _: Throwable => "unknown" }
+    final case class Base(time: Double, fp: String, scope: String)
+    val manifestFile = new java.io.File("BASELINE_QUERIES.json")
+    val prior: Map[String, Base] = try {
+      if (!manifestFile.isFile) Map.empty
+      else {
+        val j = graft.model.Json.parse(
+          new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8"))
+        j.obj.map { case (k, v) =>
+          k -> Base((v / "time").num, (v / "fp").str, (v / "scope").str)
+        }.toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not read ${manifestFile}: ${e.getMessage}")
+      Map.empty
+    }
+    val over2x = results.flatMap { case (name, t) =>
+      prior.get(name) match {
+        case Some(b) if b.fp == corpusFp && b.scope == SparkEntry.queryScope(name) &&
+            t > 2 * b.time && t > 0.3 =>
+          System.err.println(f"[bench] 2x-audit: $name $t%.2f s vs baseline ${b.time}%.2f s (same corpus+scope)")
+          Some(name)
+        case _ => None
+      }
+    }
+    // Update only from trustworthy evidence: clean gate, full suite.
+    if (reliable && only.isEmpty && results.nonEmpty) {
+      val updated: Map[String, Base] = prior ++ results.map { case (name, t) =>
+        val scope = SparkEntry.queryScope(name)
+        val next = prior.get(name) match {
+          case Some(b) if b.fp == corpusFp && b.scope == scope =>
+            Base(math.min(b.time, t), corpusFp, scope)
+          case _ => Base(t, corpusFp, scope) // new query, new corpus, or bumped scope
+        }
+        name -> next
+      }
+      try {
+        val body = updated.toSeq.sortBy(_._1).map { case (k, b) =>
+          val t = String.format(java.util.Locale.ROOT, "%.3f", Double.box(b.time))
+          s"""  "$k": {"time": $t, "fp": "${b.fp}", "scope": "${b.scope}"}"""
+        }.mkString("{\n", ",\n", "\n}\n")
+        java.nio.file.Files.write(manifestFile.toPath, body.getBytes("UTF-8")): Unit
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write ${manifestFile}: ${e.getMessage}")
+      }
+    }
     // Full-precision per-query map goes to stderr (local records); the
     // stdout contract line must survive the driver's ~2000-char tail
     // capture, so per-query values are rounded to ms and, if the line
@@ -415,6 +478,8 @@ object Bench {
         s""","win_ok":[${windowOk.map(b => if (b) 1 else 0).mkString(",")}]""" +
         s""","retried":${retried.size}""" +
         s""","reliable":$reliable""" +
+        s""","over2x":${over2x.size}""" +
+        s""","corpus_fp":"$corpusFp"""" +
         (if (only.isDefined) s""","only":true""" else "")
     def line(rs: Seq[(String, Double)], note: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
