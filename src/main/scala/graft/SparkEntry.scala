@@ -1852,6 +1852,22 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // pipeline: IVF with nProbe=2 — the coarse-quantization recall
+    // knob (q_ann_recall_multiprobe's LSH sibling): each query probes
+    // its TWO nearest cells, recovering the classic cell-boundary
+    // miss at 2x the candidate volume. The oracle recomputes the
+    // per-query cell ranking (cos DESC, cent_id) and probes rn <= 2
+    // with the same deterministic top-k tail.
+    "q_knn_ivf_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKMultiProbe(q, emb, "q_id", "q_vec", "vec_id", "embedding",
+        k = 3, nCells = 8, nProbe = 2)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
     // pipeline: embedding cosine near-dup PAIRS, LSH-bucketed — the
     // literal ±1 plane matrix shared with the oracle bounds the pair
     // space to within-bucket; every surviving pair is exact-cosine
@@ -3886,6 +3902,36 @@ object SparkEntry {
              nullif(sqrt(list_dot_product(q.qv, q.qv)) *
                     sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
            FROM a JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
+
+    // IVF nProbe=2: the query side keeps its TWO nearest cells
+    // (rn <= 2 over the same cos DESC, cent_id ordering); corpus
+    // assignment stays rn = 1, so no candidate pair repeats.
+    "q_knn_ivf_multiprobe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         rc AS (SELECT e.vec_id, e.v, c.cent_id,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_dot_product(e.v, c.cv) /
+                    nullif(sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                    c.cent_id) AS rn
+                FROM e, c),
+         a AS (SELECT vec_id, v, cent_id FROM rc WHERE rn = 1),
+         qp AS (SELECT vec_id AS q_id, v AS qv, cent_id
+                FROM rc WHERE vec_id < 10 AND rn <= 2),
+         scored AS (
+           SELECT q.q_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.v) /
+             nullif(sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
+           FROM a JOIN qp q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
          ranked AS (
            SELECT q_id, neighbor_id,
              row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)

@@ -287,15 +287,23 @@ object Similarity {
     topKPerQuery(scored, qId, cId, k)
   }
 
-  /** Nearest-seed-centroid assignment shared by [[ivfTopK]] and
-    * [[hardNegatives]]: the `nCells` lowest-id corpus vectors are
-    * collected ONCE (tiny) and inlined as literal arrays, so
-    * assignment is a pure narrow argmax projection. */
-  private def ivfAssigner(corpus: DataFrame, cId: String, cVec: String,
-                          nCells: Int): Column => Column = {
-    val cents: Array[(Long, Seq[Double])] = corpus.orderBy(col(cId).asc).limit(nCells)
+  /** The `nCells` lowest-id corpus vectors as literal seed centroids —
+    * collected ONCE (tiny) and inlined, so cell assignment and probe
+    * ranking are pure narrow projections. */
+  private def seedCentroids(corpus: DataFrame, cId: String, cVec: String,
+                            nCells: Int): Array[(Long, Seq[Double])] =
+    corpus.orderBy(col(cId).asc).limit(nCells)
       .select(col(cId).cast("long"), col(cVec).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Nearest-seed-centroid assignment shared by [[ivfTopK]] and
+    * [[hardNegatives]]: a pure narrow argmax projection over the
+    * inlined centroid literals. */
+  private def ivfAssigner(corpus: DataFrame, cId: String, cVec: String,
+                          nCells: Int): Column => Column =
+    assignerFromCents(seedCentroids(corpus, cId, cVec, nCells))
+
+  private def assignerFromCents(cents: Array[(Long, Seq[Double])]): Column => Column =
     vec => {
       // max struct = highest cosine, ties to the LOWEST cell id (-id)
       val entries = cents.map { case (id, w) =>
@@ -303,6 +311,40 @@ object Similarity {
       }
       -array_max(array(entries.toIndexedSeq: _*)).getField("n")
     }
+
+  /** Top-`nProbe` nearest cells for a vector (cos DESC, ties to the
+    * lowest cell id — the first element equals [[ivfAssigner]]'s
+    * argmax), as an array of cell ids. Narrow projection: sort the
+    * tiny inlined (−cos, id) struct array, slice, project ids. */
+  private def probeCellsCol(cents: Array[(Long, Seq[Double])],
+                            vec: Column, nProbe: Int): Column = {
+    val entries = cents.map { case (id, w) =>
+      struct((-cosine(vec, array(w.map(lit): _*))).as("nc"), lit(id).as("id"))
+    }
+    transform(slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nProbe),
+      s => s.getField("id"))
+  }
+
+  /** [[ivfTopK]] with `nProbe` cells probed per query — IVF's
+    * recall/cost knob, the coarse-quantization sibling of
+    * [[lshTopKMultiProbe]]: a near neighbor assigned to the query's
+    * SECOND-nearest cell (the classic cell-boundary miss) is found at
+    * nProbe ≥ 2. Corpus vectors stay single-cell (storage and build
+    * side unchanged); probe cells are distinct per query and cells
+    * partition the corpus, so no candidate pair repeats — no dedup
+    * needed before ranking. */
+  def ivfTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+                        qId: String, qVec: String, cId: String, cVec: String,
+                        k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = seedCentroids(corpus, cId, cVec, nCells)
+    val ca = corpus.select(col(cId), col(cVec))
+      .withColumn("cell_id", assignerFromCents(cents)(col(cVec)))
+    val qa = queries.select(col(qId), col(qVec))
+      .withColumn("cell_id", explode(probeCellsCol(cents, col(qVec), nProbe)))
+    val scored = ca.join(boundedBroadcast(qa, qVec, "ivfTopKMultiProbe"), Seq("cell_id"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+    topKPerQuery(scored, qId, cId, k)
   }
 
   /** Candidate-generation strategy for [[hardNegatives]] — the same

@@ -794,6 +794,38 @@ class PipelineSpec extends SparkTestBase {
     assert(multi.values.forall(_.size <= 3))
   }
 
+  test("IVF multi-probe recovers cell-boundary misses; nProbe=1 equals single-cell") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val angle = i * 0.05
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = (0 until 8).map { i =>
+      val angle = i * 0.75 + 0.025
+      (1000L + i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("q_id", "q_vec")
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val single = hits(Similarity.ivfTopK(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3, nCells = 8))
+    val multi1 = hits(Similarity.ivfTopKMultiProbe(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3, nCells = 8, nProbe = 1))
+    // nProbe=1 IS the single-cell path (same argmax ordering)
+    assert(multi1 == single, s"single=$single multi1=$multi1")
+    val multi2 = hits(Similarity.ivfTopKMultiProbe(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2))
+    val truth = hits(Similarity.bruteForceTopK(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3))
+    def recall(ann: Map[Long, Set[Long]]): Double =
+      truth.map { case (qid, t) =>
+        (t & ann.getOrElse(qid, Set.empty)).size.toDouble / t.size
+      }.sum / truth.size
+    assert(recall(multi2) >= recall(single),
+      s"single=${recall(single)} multi2=${recall(multi2)}")
+    assert(multi2.values.forall(_.size <= 3))
+  }
+
   test("broadcast budget gate throws on an oversized query side") {
     import spark.implicits._
     val corpus = (0 until 20).map(i =>
