@@ -114,9 +114,13 @@ object Tables {
       val withTenant =
         if (ev.columns.contains("project_id")) ev
         else ev.withColumn("project_id", lit(1L))
+      // in-file (user, ts) sort — Store.writeEvents' contract — gives
+      // per-user row-group locality for the funnel/two-level paths
+      // and better column compression; row order never changes results
       withTenant
         .withColumn("event_date", to_date(col("ts")))
         .repartition(col("project_id"), col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("user_id"), col("ts"))
         .write.partitionBy("project_id", "event_date").mode("overwrite")
         .parquet(root.getAbsolutePath)
       root.getAbsolutePath

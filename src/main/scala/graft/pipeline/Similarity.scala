@@ -135,6 +135,13 @@ object Similarity {
       } catch { case _: Exception => 10L << 20 }
       if (b > 0) b else 10L << 20
     }
+    // Always MEASURED — no plan-stats fast path: Catalyst's
+    // sizeInBytes assigns array columns a fixed default width, so a
+    // frame of long embedding vectors under-estimates unboundedly and
+    // a stats-trusting shortcut would wave through exactly the
+    // oversized side this gate exists to stop (caught by the
+    // over-budget test when the shortcut was tried). The probe costs
+    // two bounded jobs — noise next to the join it guards.
     val probe = queries.select(col(qVec)).limit(1).collect()
     val vecBytes =
       if (probe.isEmpty || probe(0).isNullAt(0)) 32L
