@@ -135,25 +135,32 @@ object Similarity {
       } catch { case _: Exception => 10L << 20 }
       if (b > 0) b else 10L << 20
     }
-    // Always MEASURED — no plan-stats fast path: Catalyst's
-    // sizeInBytes assigns array columns a fixed default width, so a
-    // frame of long embedding vectors under-estimates unboundedly and
-    // a stats-trusting shortcut would wave through exactly the
+    // Always MEASURED — never Catalyst's stats estimate: sizeInBytes
+    // assigns array columns a fixed default width, so a frame of long
+    // embedding vectors under-estimates unboundedly and a
+    // stats-trusting shortcut would wave through exactly the
     // oversized side this gate exists to stop (caught by the
-    // over-budget test when the shortcut was tried). The probe costs
-    // two bounded jobs — noise next to the join it guards.
-    val probe = queries.select(col(qVec)).limit(1).collect()
-    val vecBytes =
-      if (probe.isEmpty || probe(0).isNullAt(0)) 32L
-      else 32L + 8L * probe(0).getSeq[Any](0).size
-    val perRow = vecBytes + 64L // ids/labels/buckets + row overhead
-    val maxRows = math.min(Int.MaxValue - 2L, math.max(1L, budget / perRow))
-    val rows = queries.limit(maxRows.toInt + 1).count()
-    require(rows <= maxRows,
-      s"$ctx: query side exceeds the broadcast budget — >$maxRows rows at " +
-        s"~$perRow B/row against $budget B (spark.sql.autoBroadcastJoinThreshold). " +
-        "Use the bucketed candidate sources (Similarity.Lsh / Similarity.Ivf, " +
-        "or lshTopK/ivfTopK) instead of the exact broadcast path, or raise the threshold.")
+    // over-budget test when the shortcut was tried). ONE bounded job:
+    // collect per-row VECTOR WIDTHS (ints, not vectors) up to the
+    // minimal-footprint row cap — more rows than budget/64B can never
+    // fit even with empty vectors, so the scan early-exits there; the
+    // summed widths then give the exact per-row byte measure (mixed
+    // widths included, which a probe-one-row estimate would miss).
+    val maxRowsFloor = math.min(Int.MaxValue - 2L, math.max(1L, budget / 64L))
+    val widths = queries
+      .select(coalesce(size(col(qVec)).cast("long"), lit(0L)).as("__w"))
+      .limit(maxRowsFloor.toInt + 1).collect().map(_.getLong(0))
+    def pointer =
+      s"against $budget B (spark.sql.autoBroadcastJoinThreshold). Use the " +
+        "bucketed candidate sources (Similarity.Lsh / Similarity.Ivf, or " +
+        "lshTopK/ivfTopK) instead of the exact broadcast path, or raise the threshold."
+    require(widths.length <= maxRowsFloor,
+      s"$ctx: query side exceeds the broadcast budget — >$maxRowsFloor rows $pointer")
+    // 96 B/row for ids/labels/buckets + object overhead; 8 B/element
+    val bytes = widths.foldLeft(0L)((a, w) => a + 96L + 8L * math.max(0L, w))
+    require(bytes <= budget,
+      s"$ctx: query side exceeds the broadcast budget — ${widths.length} rows, " +
+        s"~$bytes B measured, $pointer")
     broadcast(queries)
   }
 
