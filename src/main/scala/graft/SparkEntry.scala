@@ -2029,6 +2029,26 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // Skew-proof salted aggregation (engine.Skew): the 100-TB pattern
+    // for extreme-frequency grouping keys — phase 1 groups by
+    // (key, salt) so a hot key's rows spread over `buckets` reduce
+    // tasks, phase 2 merges the result-sized salt partials exactly.
+    // Results are salt-invariant (every merge is exact), so the
+    // oracle is the plain one-phase GROUP BY. SkewSpec pins the
+    // two-exchange shape and the per-(key,salt) bound on a synthetic
+    // hot key.
+    "q_salted_agg" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("v100", cents(col("value")))
+      graft.engine.Skew.saltedAggregate(ev, Seq("event_type"),
+        Seq(graft.engine.Skew.count("cnt"),
+          graft.engine.Skew.sum_(col("v100"), "v100_sum"),
+          graft.engine.Skew.min_(col("event_id"), "min_eid"),
+          graft.engine.Skew.max_(col("event_id"), "max_eid")),
+        buckets = 16)
+        .withColumn("avg_v", round(col("v100_sum") * 1.0 / col("cnt") / 100.0, 4))
+        .orderBy(col("event_type"))
+    }),
+
     // TPC-H-flavor Q1: scan-heavy grouped aggregate over lineitem
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -3981,6 +4001,15 @@ object SparkEntry {
                 CAST(list_max(qv) AS INTEGER) AS q_max,
                 CAST(floor((COALESCE(m, 0) / 127.0) * 127.0 * 1e9) AS BIGINT) AS maxabs_nano
          FROM q ORDER BY vec_id""",
+
+    // Salt-invariance makes the plain one-phase GROUP BY the oracle.
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v100_sum,
+         min(event_id) AS min_eid, max(event_id) AS max_eid,
+         round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) * 1.0
+           / count(*) / 100.0, 4) AS avg_v
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
