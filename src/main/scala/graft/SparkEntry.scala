@@ -522,12 +522,18 @@ object SparkEntry {
     // (Tables.eventsWithDate): the time predicate auto-upgrades to a
     // partition-pruning conjunct (Exprs.timePredicateFor), so the scan
     // lists only the queried days — results identical to the flat
-    // read, PushdownSpec pins the PartitionFilters.
+    // read, PushdownSpec pins the PartitionFilters. The request also
+    // carries its tenant scope (projectId = 1, the canonical store's
+    // single-project assignment — reference plans ALWAYS carry one,
+    // common/src/types.rs:22), so the headline plan shows the
+    // project_id partition conjunct too; scoping to the only tenant
+    // can never change results.
     "q_es_count" -> ((s, dir) => {
       val req = EventSegmentationRequest(
         time = RANGE, interval = TimeIntervalUnit.Day,
         events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
-        breakdowns = Seq("event_type"))
+        breakdowns = Seq("event_type"),
+        projectId = Some(1L))
       EventSegmentation.run(Tables.eventsWithDate(s, dir), req)
         .select(day(col("bucket")).as("d"), col("event_type"), col("cnt"))
     }),
