@@ -1354,13 +1354,17 @@ object SparkEntry {
     // shows PartitionFilters — the 100-TB shape where a last-30-days
     // funnel lists 30 day directories, not years.
     "q_funnel" -> ((s, dir) => {
+      // projectId = 1: the canonical store's single-project assignment
+      // — the funnel scan shows the tenant partition conjunct alongside
+      // the date bounds (results untouched, same as q_es_count)
       Funnel.run(s, Tables.eventsWithDate(s, dir), Funnel.Request(
         steps = Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"),
         windowMs = Long.MaxValue / 4000L,
         count = Funnel.Unique,
         interval = Some(TimeIntervalUnit.Week),
-        time = Some(RANGE)))
+        time = Some(RANGE),
+        projectId = Some(1L)))
         .select(day(col("bucket")).as("w"), col("step"), col("total"),
           col("conversion_ratio"), col("dropped_off"), col("drop_off_ratio"))
     }),
