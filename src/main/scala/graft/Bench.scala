@@ -198,6 +198,12 @@ object Bench {
     // bracketing CPU sentinel, and a spread >3x flags the query on
     // stderr so a real regression can't hide as "noise".
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Queries that threw during any timed pass: their elapsed is the
+    // time-to-failure, not a cost — recorded on the contract line as
+    // usual, but excluded from baseline-manifest updates (a transient
+    // failure must never seed a near-zero baseline that trips the 2x
+    // audit once the query works again).
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
         // Release the PREVIOUS execution's dead localCheckpoint blocks
@@ -216,7 +222,8 @@ object Bench {
           .valuesIterator.foreach(_.unpersist(blocking = true))
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count(): Unit }
+        catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()
@@ -418,24 +425,29 @@ object Bench {
     }
     val over2x = results.flatMap { case (name, t) =>
       prior.get(name) match {
-        case Some(b) if b.fp == corpusFp && b.scope == SparkEntry.queryScope(name) &&
+        case Some(b) if !failed.contains(name) &&
+            b.fp == corpusFp && b.scope == SparkEntry.queryScope(name) &&
             t > 2 * b.time && t > 0.3 =>
           System.err.println(f"[bench] 2x-audit: $name $t%.2f s vs baseline ${b.time}%.2f s (same corpus+scope)")
           Some(name)
         case _ => None
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] queries threw during timing (excluded from baselines): ${failed.mkString(", ")}")
     // Update only from trustworthy evidence: clean gate, full suite.
     if (reliable && only.isEmpty && results.nonEmpty) {
-      val updated: Map[String, Base] = prior ++ results.map { case (name, t) =>
-        val scope = SparkEntry.queryScope(name)
-        val next = prior.get(name) match {
-          case Some(b) if b.fp == corpusFp && b.scope == scope =>
-            Base(math.min(b.time, t), corpusFp, scope)
-          case _ => Base(t, corpusFp, scope) // new query, new corpus, or bumped scope
+      val updated: Map[String, Base] = prior ++ results
+        .filterNot { case (name, _) => failed.contains(name) }
+        .map { case (name, t) =>
+          val scope = SparkEntry.queryScope(name)
+          val next = prior.get(name) match {
+            case Some(b) if b.fp == corpusFp && b.scope == scope =>
+              Base(math.min(b.time, t), corpusFp, scope)
+            case _ => Base(t, corpusFp, scope) // new query, new corpus, or bumped scope
+          }
+          name -> next
         }
-        name -> next
-      }
       try {
         val body = updated.toSeq.sortBy(_._1).map { case (k, b) =>
           val t = String.format(java.util.Locale.ROOT, "%.3f", Double.box(b.time))

@@ -254,6 +254,12 @@ class PushdownSpec extends SparkTestBase {
     // the partition column
     val scoped = graft.engine.Exprs.tenantScope(ev, Some(1L))
     assert(scoped.count() == Tables.events(spark, dir).count())
+    // and the canonical store gives tenancy REAL semantics: scoping to
+    // an absent tenant is empty, not vacuous (the flat table, with no
+    // project_id column at all, stays vacuously unscoped)
+    assert(graft.engine.Exprs.tenantScope(ev, Some(2L)).count() == 0L)
+    assert(graft.engine.Exprs.tenantScope(
+      Tables.events(spark, dir), Some(2L)).count() > 0L)
   }
 
   test("Tables.events prefers a maintained events_by_date sibling") {
