@@ -1862,6 +1862,23 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // pipeline: TRAINED IVF — one exact Lloyd step refines the seed
+    // centroids before assignment (per-cell mean over integer-
+    // quantized elements: exact long sums, one double division —
+    // bit-identical on any engine; empty cells keep their seed). The
+    // oracle replays training AND search: seed assignment, the
+    // per-(cell, dim) quantized sums, the refined centroid arrays,
+    // re-assignment, and the ranked top-k.
+    "q_knn_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKTrained(q, emb, "q_id", "q_vec", "vec_id", "embedding",
+        k = 3, nCells = 8, iters = 1)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
     // pipeline: IVF with nProbe=2 — the coarse-quantization recall
     // knob (q_ann_recall_multiprobe's LSH sibling): each query probes
     // its TWO nearest cells, recovering the classic cell-boundary
@@ -3932,6 +3949,54 @@ object SparkEntry {
              nullif(sqrt(list_dot_product(q.qv, q.qv)) *
                     sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
            FROM a JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
+
+    // Trained IVF: seed assignment -> exact quantized per-(cell,dim)
+    // sums -> refined centroid arrays (empty cells keep the seed) ->
+    // re-assignment -> ranked top-k, replayed bit for bit.
+    "q_knn_ivf_trained" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         a0 AS (SELECT vec_id, v, cent_id FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                     c.cent_id) AS rn
+                 FROM e, c0 c) WHERE rn = 1),
+         dimsum AS (
+           SELECT a.cent_id, d.range AS dim,
+             sum(CAST(round(a.v[CAST(d.range AS INT) + 1] * 1048576.0) AS BIGINT)) AS s,
+             count(*) AS n
+           FROM a0 a CROSS JOIN range(64) d
+           GROUP BY 1, 2),
+         c1m AS (
+           SELECT cent_id, list((s / n) / 1048576.0 ORDER BY dim) AS cv
+           FROM dimsum GROUP BY cent_id),
+         c1 AS (SELECT s.cent_id, coalesce(m.cv, s.cv) AS cv
+                FROM c0 s LEFT JOIN c1m m ON s.cent_id = m.cent_id),
+         a1 AS (SELECT vec_id, v, cent_id FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                     c.cent_id) AS rn
+                 FROM e, c1 c) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv, cent_id FROM a1 WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.v) /
+             nullif(sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
+           FROM a1 a JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
          ranked AS (
            SELECT q_id, neighbor_id,
              row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)

@@ -339,6 +339,73 @@ object Similarity {
       s => s.getField("id"))
   }
 
+  /** One EXACT Lloyd refinement step for the IVF coarse quantizer:
+    * assign every corpus vector to its nearest current centroid, then
+    * replace each non-empty cell's centroid with its members' mean.
+    * The mean is computed over INTEGER-QUANTIZED elements
+    * (`round(x * scale)` per dimension, summed exactly as longs, one
+    * double division at the end) — a plain double sum is
+    * order-dependent across partitions and would make the trained
+    * centroids non-deterministic; the quantized form is bit-identical
+    * on any engine at a ~1e-6 quantization cost that is far below
+    * centroid noise. Empty cells keep their previous centroid (the
+    * standard Lloyd fallback). The per-(cell, dim) aggregate shuffles
+    * nCells × dims longs — map-side combined, result tiny — and the
+    * refined centroids come back to the driver to be inlined as
+    * literals for the next assignment pass, exactly like the seeds. */
+  def refineCentroids(corpus: DataFrame, cId: String, cVec: String,
+                      cents: Array[(Long, Seq[Double])],
+                      scale: Long = 1L << 20): Array[(Long, Seq[Double])] = {
+    val assign = assignerFromCents(cents)
+    val sums = corpus
+      .select(col(cVec).cast("array<double>").as("__v"))
+      .withColumn("__cell", assign(col("__v")))
+      .select(col("__cell"),
+        posexplode(transform(col("__v"),
+          x => round(x * scale).cast("long"))).as(Seq("__dim", "__q")))
+      .groupBy("__cell", "__dim")
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byCell = sums.groupBy(_._1)
+    cents.map { case (id, seed) =>
+      byCell.get(id) match {
+        case None => (id, seed) // empty cell keeps its centroid
+        case Some(rows) =>
+          val dim = seed.size
+          val mean = new Array[Double](dim)
+          rows.foreach { case (_, d, s, n) =>
+            mean(d) = (s.toDouble / n.toDouble) / scale.toDouble
+          }
+          (id, mean.toSeq)
+      }
+    }
+  }
+
+  /** [[ivfTopK]] with `iters` Lloyd refinement steps over the seed
+    * centroids before assignment — trained coarse cells track the
+    * data distribution instead of the arbitrary lowest-id seeds, the
+    * standard IVF quality step. Deterministic end to end (exact
+    * quantized means, the usual cos DESC / lowest-id tie-breaks), so
+    * a SQL oracle replays training AND search bit for bit. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qVec: String, cId: String, cVec: String,
+                     k: Int, nCells: Int = 16, iters: Int = 1,
+                     scale: Long = 1L << 20): DataFrame = {
+    var cents = seedCentroids(corpus, cId, cVec, nCells)
+    for (_ <- 0 until iters)
+      cents = refineCentroids(corpus, cId, cVec, cents, scale)
+    val assign = assignerFromCents(cents)
+    val ca = corpus.select(col(cId), col(cVec))
+      .withColumn("cell_id", assign(col(cVec)))
+    val qa = queries.select(col(qId), col(qVec))
+      .withColumn("cell_id", assign(col(qVec)))
+    val scored = ca.join(boundedBroadcast(qa, qVec, "ivfTopKTrained"), Seq("cell_id"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+    topKPerQuery(scored, qId, cId, k)
+  }
+
   /** [[ivfTopK]] with `nProbe` cells probed per query — IVF's
     * recall/cost knob, the coarse-quantization sibling of
     * [[lshTopKMultiProbe]]: a near neighbor assigned to the query's

@@ -826,6 +826,37 @@ class PipelineSpec extends SparkTestBase {
     assert(multi2.values.forall(_.size <= 3))
   }
 
+  test("Lloyd refinement moves centroids to exact quantized cluster means") {
+    import spark.implicits._
+    // two tight clusters; seeds = the two lowest ids, one per cluster
+    val clusterA = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)))
+    val clusterB = Seq((1L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.2f, 0.8f)))
+    val corpus = (clusterA ++ clusterB).toDF("vec_id", "v")
+    val seeds = Array(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val refined = Similarity.refineCentroids(corpus, "vec_id", "v", seeds)
+    // hand-compute the quantized mean of cluster A's first dimension
+    val scale = (1L << 20).toDouble
+    def qmean(xs: Seq[Double]): Double =
+      (xs.map(x => math.round(x * scale)).sum.toDouble / xs.size) / scale
+    val expectA0 = qmean(Seq(1.0f, 0.9f, 0.8f).map(_.toDouble))
+    val gotA = refined.find(_._1 == 0L).get._2
+    assert(gotA(0) == expectA0, s"got ${gotA(0)} expected $expectA0")
+    assert(gotA(1) == qmean(Seq(0.0f, 0.1f, 0.2f).map(_.toDouble)))
+    // empty cell keeps its seed: a third centroid identical to seed 0
+    // loses every tie (lowest cell id wins) and trains nothing
+    val withDup = seeds :+ (9L, Seq(1.0, 0.0))
+    val refined3 = Similarity.refineCentroids(corpus, "vec_id", "v", withDup)
+    assert(refined3.find(_._1 == 9L).get._2 == Seq(1.0, 0.0))
+    // trained end-to-end search returns a valid bounded top-k
+    val q = Seq((100L, Array(0.95f, 0.05f))).toDF("q_id", "q_vec")
+    val out = Similarity.ivfTopKTrained(q, corpus,
+      "q_id", "q_vec", "vec_id", "v", k = 2, nCells = 2, iters = 1).collect()
+    assert(out.nonEmpty && out.length <= 2)
+    // the query lands in cluster A's trained cell: neighbors from A only
+    assert(out.forall(r => Set(0L, 2L, 3L)(r.getAs[Long]("vec_id"))), out.toSeq)
+  }
+
   test("broadcast budget gate throws on an oversized query side") {
     import spark.implicits._
     val corpus = (0 until 20).map(i =>
