@@ -401,10 +401,20 @@ object Bench {
     // mechanical). The audit below compares only within matching
     // generations and reports the over-2x count on the contract line.
     val corpusFp: String = try {
-      val files = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}").mkString(",")
+      // Include DIRECTORY-shaped inputs too (a maintained
+      // events_by_date/ sibling is what eventsWithDate-based queries
+      // actually scan): recurse into subdirectories, fingerprinting
+      // every parquet leaf by its dir-relative path + length, so
+      // regenerating the sibling with different content rebases
+      // baselines instead of comparing against them.
+      val root = new java.io.File(sfDir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+      val files = walk(root)
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => s"${root.toPath.relativize(f.toPath)}:${f.length}")
+        .sorted.mkString(",")
       java.security.MessageDigest.getInstance("MD5")
         .digest(files.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
     } catch { case _: Throwable => "unknown" }

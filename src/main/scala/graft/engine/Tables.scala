@@ -116,11 +116,16 @@ object Tables {
         else ev.withColumn("project_id", lit(1L))
       // in-file (user, ts) sort — Store.writeEvents' contract — gives
       // per-user row-group locality for the funnel/two-level paths
-      // and better column compression; row order never changes results
+      // and better column compression; row order never changes results.
+      // The sort MUST lead with the full partitionBy prefix
+      // (project_id, event_date): FileFormatWriter requires its
+      // ordering on the partition columns and would otherwise insert
+      // its own sort, discarding the (user_id, ts) locality.
       withTenant
         .withColumn("event_date", to_date(col("ts")))
         .repartition(col("project_id"), col("event_date"))
-        .sortWithinPartitions(col("event_date"), col("user_id"), col("ts"))
+        .sortWithinPartitions(col("project_id"), col("event_date"),
+          col("user_id"), col("ts"))
         .write.partitionBy("project_id", "event_date").mode("overwrite")
         .parquet(root.getAbsolutePath)
       root.getAbsolutePath

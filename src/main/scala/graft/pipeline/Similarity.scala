@@ -71,41 +71,24 @@ object Similarity {
       .drop("__maxabs")
   }
 
-  /** Two-stage global top-k per query over a scored (qId, cId,
-    * cos_sim) frame. A single `Window.partitionBy(qId)` would hold
-    * every scored corpus row for one query in one task — a straggler
-    * at big corpora. Stage 1 keeps k per (scan partition × query) in
-    * a bounded heap, map-side, no shuffle of the scored rows; stage 2
-    * ranks the ≤ partitions×k survivors, which is result-sized.
-    * Ordering (cos desc, id asc) matches the old single-window plan
-    * exactly, so results are identical. */
+  /** Global top-k per query over a scored (qId, cId, cos_sim) frame:
+    * one `row_number` window with a `rank <= k` filter. Spark plans
+    * this as WindowGroupLimit(Partial) before the exchange and
+    * WindowGroupLimit(Final) after — i.e. the map side already prunes
+    * each partition to its k best per query in codegen, so only
+    * ≤ partitions×k survivors shuffle. (An earlier hand-rolled
+    * per-partition heap duplicated exactly that pruning at the cost
+    * of a Deserialize/MapPartitions/Serialize object boundary in
+    * every ANN tail — the optimizer's rank-limit pushdown makes it
+    * pure overhead.) */
   def topKPerQuery(scored: DataFrame, qId: String, cId: String,
                    k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
     val slim = scored.select(
       col(qId).cast("long"), col(cId).cast("long"), col("cos_sim").cast("double"))
-    // max element under this ordering = current WORST of the kept k
-    // (lowest score, then highest id), so dequeue evicts correctly
-    val worstFirst: Ordering[(Double, Long)] =
-      Ordering.by { case (s, id) => (-s, id) }
-    val local = slim.as[(Long, Long, Double)].mapPartitions { it =>
-      val heaps = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      it.foreach { case (q, c, s) =>
-        val h = heaps.getOrElseUpdate(q,
-          scala.collection.mutable.PriorityQueue.empty(worstFirst))
-        h.enqueue((s, c))
-        if (h.size > k) h.dequeue()
-      }
-      heaps.iterator.flatMap { case (q, h) =>
-        h.iterator.map { case (s, c) => (q, c, s) }
-      }
-    }.toDF(qId, cId, "cos_sim")
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId).asc)
     // rank as LONG: SQL engines' row_number() is 64-bit (DuckDB BIGINT),
     // and the driver's typed hash compares arrow schemas of both sides
-    local.withColumn("rank", row_number().over(w).cast("long"))
+    slim.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -114,11 +97,12 @@ object Similarity {
     * memory, and an oversized query set silently taken at its word
     * OOMs every executor at once. Before hinting, this demands
     * count-capped evidence (the same stats-gated shape as
-    * Dictionary.build): per-row bytes are estimated from ONE probed
-    * row's vector width, the row count is measured with a
-    * `limit(maxRows+1).count()` that early-exits the scan right past
-    * the budget — so the probe's cost is bounded by the budget
-    * itself, never by the (possibly huge) query set. Over budget →
+    * Dictionary.build): the frame is row-capped at `budget/64 + 1`
+    * (early-exiting the scan right past the budget — the probe's
+    * cost is bounded by the budget itself, never by the possibly
+    * huge query set), materialized ONCE, and its exact per-row
+    * vector widths are summed into the byte measure; the broadcast
+    * ships that same materialization. Over budget →
     * throw, pointing at the bucketed sources; never a degraded
     * silent shuffle-join fallback, because the caller chose an
     * exact/broadcast semantic and a 100 TB corpus shuffle is a worse
@@ -140,16 +124,23 @@ object Similarity {
     // embedding vectors under-estimates unboundedly and a
     // stats-trusting shortcut would wave through exactly the
     // oversized side this gate exists to stop (caught by the
-    // over-budget test when the shortcut was tried). ONE bounded job:
-    // collect per-row VECTOR WIDTHS (ints, not vectors) up to the
-    // minimal-footprint row cap — more rows than budget/64B can never
-    // fit even with empty vectors, so the scan early-exits there; the
-    // summed widths then give the exact per-row byte measure (mixed
-    // widths included, which a probe-one-row estimate would miss).
+    // over-budget test when the shortcut was tried). The measured
+    // frame and the broadcast frame must be the SAME materialization:
+    // probing one evaluation of `queries` and broadcasting another
+    // would let a nondeterministic query frame diverge from its
+    // evidence (and bills the probe's scan twice). So the frame is
+    // capped at the minimal-footprint row bound — more rows than
+    // budget/64B can never fit even with empty vectors, and the limit
+    // early-exits the underlying scan right past it — then
+    // localCheckpoint(eager) materializes those ≤cap rows once
+    // (executor-side, disk-spilling); the width probe reads the
+    // checkpoint, and on success the checkpoint itself is what gets
+    // broadcast.
     val maxRowsFloor = math.min(Int.MaxValue - 2L, math.max(1L, budget / 64L))
-    val widths = queries
+    val capped = queries.limit(maxRowsFloor.toInt + 1).localCheckpoint(true)
+    val widths = capped
       .select(coalesce(size(col(qVec)).cast("long"), lit(0L)).as("__w"))
-      .limit(maxRowsFloor.toInt + 1).collect().map(_.getLong(0))
+      .collect().map(_.getLong(0))
     def pointer =
       s"against $budget B (spark.sql.autoBroadcastJoinThreshold). Use the " +
         "bucketed candidate sources (Similarity.Lsh / Similarity.Ivf, or " +
@@ -161,7 +152,7 @@ object Similarity {
     require(bytes <= budget,
       s"$ctx: query side exceeds the broadcast budget — ${widths.length} rows, " +
         s"~$bytes B measured, $pointer")
-    broadcast(queries)
+    broadcast(capped)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest

@@ -18,7 +18,11 @@ object Store {
 
   /** Write events for scale: directory-partitioned by date (and
     * project when present), sorted by (user, ts) within files so
-    * per-user scans cluster. */
+    * per-user scans cluster. The in-partition sort leads with the
+    * FULL partition-column prefix: FileFormatWriter requires its
+    * ordering on the partition columns, and a sort that omits them
+    * gets replaced by the writer's own (partition-columns-only)
+    * sort — silently discarding the (user, ts) locality. */
   def writeEvents(df: DataFrame, path: String,
                   userCol: String = "user_id", tsCol: String = "ts"): Unit = {
     val withDate = df.withColumn("event_date", to_date(col(tsCol)))
@@ -27,7 +31,7 @@ object Store {
       else Seq("event_date")
     withDate
       .repartition(parts.map(col): _*)
-      .sortWithinPartitions((parts.drop(1) ++ Seq(userCol, tsCol)).map(col): _*)
+      .sortWithinPartitions((parts ++ Seq(userCol, tsCol)).map(col): _*)
       .write
       .partitionBy(parts: _*)
       .mode(SaveMode.Overwrite)
@@ -51,7 +55,7 @@ object Store {
       else Seq("event_date")
     withDate
       .repartition(parts.map(col): _*)
-      .sortWithinPartitions((parts.drop(1) ++ Seq(userCol, tsCol)).map(col): _*)
+      .sortWithinPartitions((parts ++ Seq(userCol, tsCol)).map(col): _*)
       .write
       .partitionBy(parts: _*)
       .mode(SaveMode.Append)

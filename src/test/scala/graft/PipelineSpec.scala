@@ -1162,4 +1162,21 @@ class PipelineSpec extends SparkTestBase {
     assert(stats == Seq(
       (1L, 8L, 4L, 0.5), (2L, 6L, 4L, 0.666667), (3L, 5L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
   }
+
+  test("topKPerQuery plans as WindowGroupLimit, no object boundary") {
+    import spark.implicits._
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array(i.toFloat, 1.0f))).toDF("vec_id", "v")
+    val q = Seq((100L, Array(0.9f, 0.1f)), (101L, Array(0.1f, 0.9f)))
+      .toDF("q_id", "q_vec")
+    val out = Similarity.bruteForceTopK(q, corpus,
+      "q_id", "q_vec", "vec_id", "v", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // map-side partial rank pruning replaces the old per-partition
+    // heap: the plan must carry the codegen'd WindowGroupLimit pair
+    // and no Deserialize/MapPartitions/Serialize sandwich
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("MapPartitions"), plan.take(2000))
+    assert(out.count() == 6)
+  }
 }
