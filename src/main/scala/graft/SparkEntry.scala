@@ -73,12 +73,42 @@ object SparkEntry {
     * (the r10/r11 q_minhash_dups_prod story). Bump a query's tag in
     * the same commit that changes its scope. Queries not listed carry
     * the default tag. */
+  /** Every query that reads the events family — r13 routed ALL of
+    * them through the canonical tenant+date-partitioned layout
+    * ([[events]] → Tables.eventsWithDate), and the partitioned
+    * writer's in-file sort gained the full partition-column prefix
+    * (ADVICE r12), so the scan layout of the whole family changed in
+    * one commit. */
+  private val eventsFamily: Set[String] = Set(
+    "q_agg_matrix", "q_agg_matrix_partitioned", "q_auth_scoped",
+    "q_custom_event", "q_decimal_agg", "q_dict_autoencode", "q_dict_decode",
+    "q_es_agg", "q_es_agg_per_group", "q_es_compare", "q_es_count",
+    "q_es_count_per_group", "q_es_cumulative", "q_es_filtered",
+    "q_es_formula", "q_es_group_dim", "q_es_monthly", "q_es_percentiles",
+    "q_es_pivoted", "q_es_private_bds", "q_es_rolling_avg",
+    "q_es_rolling_wau", "q_es_wau", "q_funnel", "q_funnel_any",
+    "q_funnel_any_positional", "q_funnel_constants", "q_funnel_dropoff",
+    "q_funnel_exclude", "q_funnel_oracle", "q_funnel_session",
+    "q_funnel_touch", "q_funnel_ttc", "q_group_latest", "q_group_profile",
+    "q_group_search", "q_ingest_anon", "q_ingest_denorm", "q_ingest_geo",
+    "q_ingest_identify", "q_ingest_identity", "q_ingest_ua", "q_json_es",
+    "q_json_es_pivoted", "q_json_funnel", "q_json_group_dim",
+    "q_json_group_search", "q_json_prop_values", "q_json_records",
+    "q_json_report", "q_limit_groups", "q_merge_union", "q_partition_prune",
+    "q_pivot", "q_prop_ops", "q_prop_values", "q_record_by_id",
+    "q_records_decoded", "q_records_search", "q_registry_es",
+    "q_registry_groups", "q_registry_renamed", "q_rename_reorder",
+    "q_salted_agg", "q_segment_agg", "q_segment_count", "q_segment_each",
+    "q_segment_had", "q_segment_has", "q_segment_relative", "q_sessionize",
+    "q_stream_track", "q_tenant_prune", "q_time_from", "q_time_last",
+    "q_unpivot")
+
   def queryScope(name: String): String = name match {
     case "q_minhash_dups_prod" | "q_ngram_jaccard_prod" =>
       "parity-report-r10" // raw pair emission -> cross-family parity report
     case "q_semantic_dedup" => "bucket-cap-r11" // judge-mandated row_number cap
-    case "q_funnel"         => "partitioned-scan-r11" // canonical layout + time scope
-    case "q_partition_prune" => "pruned-read-r11" // staging moved out of timed body
+    case n if eventsFamily(n) =>
+      "tenant-partition-r13" // canonical layout for the whole events family
     case _ => "base"
   }
 
@@ -385,8 +415,19 @@ object SparkEntry {
          FROM ev GROUP BY 1 ORDER BY event_type"""
   }
 
+  /** EVERY events-family query reads THROUGH the canonical
+    * tenant+date-partitioned layout ([[Tables.eventsWithDate]],
+    * `project_id=N/event_date=D/` — the Spark analog of the
+    * reference's `(project_id, id)` primary sort key,
+    * cmd/src/lib.rs:230): the frame carries both partition columns,
+    * so [[Exprs.timePredicateFor]] upgrades each query's time filter
+    * to directory pruning and [[Exprs.tenantScope]] prunes tenant
+    * subtrees — at 100 TB a day-ranged query lists only its tenant's
+    * queried days instead of reading the full corpus. Results are
+    * identical to the flat read (same rows; partition columns are
+    * never selected into any query's output), pinned by the oracles. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    Tables.eventsWithDate(s, dir)
   private def eventsC(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("v100", cents(col("value")))
 
@@ -836,7 +877,8 @@ object SparkEntry {
       val req = EventSegmentationRequest(
         time = QueryTime.Last(7, TimeIntervalUnit.Day, ts("2024-02-01T00:00:00Z")),
         interval = TimeIntervalUnit.Day,
-        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        projectId = Some(1L))
       EventSegmentation.run(events(s, dir), req)
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
@@ -846,7 +888,8 @@ object SparkEntry {
       val req = EventSegmentationRequest(
         time = QueryTime.From(ts("2024-01-20T00:00:00Z")),
         interval = TimeIntervalUnit.Day,
-        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))))
+        events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
+        projectId = Some(1L))
       EventSegmentation.run(events(s, dir), req)
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
@@ -1045,7 +1088,8 @@ object SparkEntry {
         events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
         segments = Seq(Segment("buyers", Seq(Seq(
           SegmentCondition.DidEventCount(Some("purchase"), Nil, PropOp.Gte, 10,
-            SegmentTime.Between(T0, T1)))))))
+            SegmentTime.Between(T0, T1)))))),
+        projectId = Some(1L))
       EventSegmentation.run(events(s, dir), req)
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
@@ -1059,7 +1103,8 @@ object SparkEntry {
           SegmentCondition.DidEventAggregateProperty(Some("purchase"), Nil,
             "value", AggFn.Sum, PropOp.Gt, 500.0, SegmentTime.Between(T0, T1)),
           SegmentCondition.DidEventCount(Some("error"), Nil, PropOp.Gte, 1,
-            SegmentTime.Between(T0, T1)))))))
+            SegmentTime.Between(T0, T1)))))),
+        projectId = Some(1L))
       EventSegmentation.run(events(s, dir), req)
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
@@ -1088,7 +1133,8 @@ object SparkEntry {
         events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
         segments = Seq(Segment("burst", Seq(Seq(
           SegmentCondition.DidEventCount(Some("purchase"), Nil, PropOp.Gte, 3,
-            SegmentTime.Each(7, TimeIntervalUnit.Day)))))))
+            SegmentTime.Each(7, TimeIntervalUnit.Day)))))),
+        projectId = Some(1L))
       EventSegmentation.run(events(s, dir), req)
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
@@ -1102,7 +1148,8 @@ object SparkEntry {
         events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
         segments = Seq(Segment("had_big", Seq(Seq(
           SegmentCondition.HadPropertyValue("value", PropOp.Gt, Seq(200.0),
-            Some(SegmentTime.Between(T0, ts("2024-01-08T00:00:00Z")))))))))
+            Some(SegmentTime.Between(T0, ts("2024-01-08T00:00:00Z")))))))),
+        projectId = Some(1L))
       EventSegmentation.run(events(s, dir), req)
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
@@ -1115,7 +1162,8 @@ object SparkEntry {
         time = RANGE, interval = TimeIntervalUnit.Day,
         events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
         segments = Seq(Segment("now_purchasers", Seq(Seq(
-          SegmentCondition.HasPropertyValue("event_type", PropOp.Eq, Seq("purchase")))))))
+          SegmentCondition.HasPropertyValue("event_type", PropOp.Eq, Seq("purchase")))))),
+        projectId = Some(1L))
       EventSegmentation.run(events(s, dir), req)
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
@@ -1128,7 +1176,8 @@ object SparkEntry {
         events = Seq(EventBlock(None, queries = Seq(NamedQuery(Query.CountEvents, "cnt")))),
         segments = Seq(Segment("clickier", Seq(Seq(
           SegmentCondition.DidEventRelativeCount(Some("click"), Nil, Some("view"), Nil,
-            PropOp.Gt, SegmentTime.Between(T0, T1)))))))
+            PropOp.Gt, SegmentTime.Between(T0, T1)))))),
+        projectId = Some(1L))
       EventSegmentation.run(events(s, dir), req)
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
@@ -1193,7 +1242,7 @@ object SparkEntry {
         eventNames = Seq("purchase", "error"),
         filters = Seq(PropFilter("value", PropOp.Gt, Seq(100.0))),
         projection = Seq("event_id", "user_id", "event_type", "value", "ts"),
-        limitN = 100)
+        limitN = 100, projectId = Some(1L))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
     }),
@@ -2174,7 +2223,7 @@ object SparkEntry {
     // becomes one user-partitioned window + groupBy — gap 1h, emitted
     // as the sweeper's per-session summary rows.
     "q_sessionize" -> ((s, dir) => {
-      val ev = events(s, dir)
+      val ev = Exprs.tenantScope(events(s, dir), Some(1L))
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       graft.ingest.Ingest.sessionEnds(ev, "user_id", "ts_us",
         gap = 3600000000L)
