@@ -45,23 +45,44 @@ object Segments {
     case other      => sys.error(s"unsupported segment comparison $other")
   }
 
-  /** Restrict events to the condition's time scope. `AfterFirstUse`
-    * needs the per-user first event timestamp — one window pass,
-    * shuffled by user, bounded state. */
-  private def timeScoped(events: DataFrame, t: SegmentTime, reqTime: QueryTime,
-                         userCol: String, tsCol: String): DataFrame = t match {
-    case SegmentTime.Between(f, to) =>
-      events.filter(col(tsCol) >= lit(f) && col(tsCol) <= lit(to))
-    case SegmentTime.From(f) =>
-      events.filter(col(tsCol) >= lit(f))
+  /** The scope's resolved `[from, to]` ts bounds, for the three
+    * range-shaped scopes (Between/From/Last); None for the
+    * structural scopes (Each/AfterFirstUse). `From` has no upper
+    * bound. */
+  private def tsBounds(t: SegmentTime, reqTime: QueryTime)
+      : Option[(java.sql.Timestamp, Option[java.sql.Timestamp])] = t match {
+    case SegmentTime.Between(f, to) => Some((f, Some(to)))
+    case SegmentTime.From(f)        => Some((f, None))
     case SegmentTime.Last(n, unit) =>
       val to = reqTime match {
         case QueryTime.Between(_, t2)  => t2
         case QueryTime.Last(_, _, now) => now
         case QueryTime.From(_)         => new java.sql.Timestamp(Long.MaxValue / 2)
       }
-      val from = new java.sql.Timestamp(to.getTime - n * unit.millis)
-      events.filter(col(tsCol) >= lit(from) && col(tsCol) <= lit(to))
+      Some((new java.sql.Timestamp(to.getTime - n * unit.millis), Some(to)))
+    case _ => None
+  }
+
+  /** The DATE-partition bounds implied by the scope's ts bounds —
+    * the conjunct that upgrades a segment condition's time scope to
+    * directory pruning on the canonical `event_date=`-partitioned
+    * layout (same construction as
+    * [[Exprs.timePredicateWithPartitionPruning]]: inclusive date
+    * bounds of the ts bounds, so results are identical). */
+  private def dateScopePred(t: SegmentTime, reqTime: QueryTime,
+                            dateCol: Column): Option[Column] =
+    tsBounds(t, reqTime).map { case (from, to) =>
+      to.foldLeft(dateCol >= to_date(lit(from)))((p, t2) =>
+        p && dateCol <= to_date(lit(t2)))
+    }
+
+  /** Restrict events to the condition's time scope. Range scopes on a
+    * date-partitioned frame also carry the implied `event_date`
+    * bounds so the scan prunes directories. `AfterFirstUse` needs the
+    * per-user first event timestamp — one window pass, shuffled by
+    * user, bounded state. */
+  private def timeScoped(events: DataFrame, t: SegmentTime, reqTime: QueryTime,
+                         userCol: String, tsCol: String): DataFrame = t match {
     case SegmentTime.AfterFirstUse(within, unit) =>
       val w = Window.partitionBy(col(userCol))
       events
@@ -70,6 +91,13 @@ object Segments {
           within * unit.millis)
         .drop("__first_ts")
     case _: SegmentTime.Each => events // rolling window handled by caller
+    case ranged =>
+      val p = timePred(ranged, reqTime, tsCol)
+      val withDate =
+        if (events.columns.contains("event_date"))
+          dateScopePred(ranged, reqTime, col("event_date")).map(p && _).getOrElse(p)
+        else p
+      events.filter(withDate)
   }
 
   /** One condition → DataFrame[user_id] of qualifying users. */
@@ -262,6 +290,22 @@ object Segments {
     }
   }
 
+  /** The condition's RANGE-shaped time scope, when it has one (the
+    * SegmentTime behind [[scopePred]]'s predicate). */
+  private def scopeTime(c: SegmentCondition): Option[SegmentTime] = {
+    def plain(t: SegmentTime): Option[SegmentTime] = t match {
+      case _: SegmentTime.Each | _: SegmentTime.AfterFirstUse => None
+      case t => Some(t)
+    }
+    c match {
+      case SegmentCondition.DidEventCount(_, _, _, _, t)                   => plain(t)
+      case SegmentCondition.DidEventAggregateProperty(_, _, _, _, _, _, t) => plain(t)
+      case SegmentCondition.DidEventRelativeCount(_, _, _, _, _, t)        => plain(t)
+      case SegmentCondition.HadPropertyValue(_, _, _, t)                   => t.flatMap(plain)
+      case _                                                               => None
+    }
+  }
+
   /** All segments → (userCol, __seg_0 … __seg_{k-1}) membership
     * flags, computed in ONE aggregation over events for every fusible
     * condition; non-fusible conditions compute their [[userSet]]
@@ -282,9 +326,22 @@ object Segments {
     // or such users could never become members.
     val scopes = fused.map(scopePred(_, reqTime, tsCol))
     val events0 =
-      if (fused.nonEmpty && separate.isEmpty && scopes.forall(_.isDefined))
-        events.filter(scopes.flatten.reduce(_ || _))
-      else events
+      if (fused.nonEmpty && separate.isEmpty && scopes.forall(_.isDefined)) {
+        val tsOr = scopes.flatten.reduce(_ || _)
+        // On the canonical date-partitioned layout, AND in the OR of
+        // each scope's implied event_date bounds as a SEPARATE
+        // conjunct: it references only the partition column, so
+        // Catalyst extracts it as a PartitionFilter (a single OR
+        // mixing ts and event_date would not decompose), and it is
+        // implied by tsOr, so results are identical.
+        val dateOr =
+          if (events.columns.contains("event_date")) {
+            val dps = fused.map(c => scopeTime(c).flatMap(
+              dateScopePred(_, reqTime, col("event_date"))))
+            if (dps.forall(_.isDefined)) Some(dps.flatten.reduce(_ || _)) else None
+          } else None
+        events.filter(dateOr.map(tsOr && _).getOrElse(tsOr))
+      } else events
     val fusedAggs = fused.map(c =>
       flagAgg(c, reqTime, tsCol, eventCol).as(s"__c_${condIdx(c)}"))
     val base =
