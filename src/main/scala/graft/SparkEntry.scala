@@ -106,7 +106,8 @@ object SparkEntry {
   def queryScope(name: String): String = name match {
     case "q_minhash_dups_prod" | "q_ngram_jaccard_prod" =>
       "parity-report-r10" // raw pair emission -> cross-family parity report
-    case "q_semantic_dedup" => "bucket-cap-r11" // judge-mandated row_number cap
+    case "q_semantic_dedup" =>
+      "prenorm-r13" // pre-staged norms + float vectors changed the pair plan
     case n if eventsFamily(n) =>
       "tenant-partition-r13" // canonical layout for the whole events family
     case _ => "base"
@@ -144,8 +145,12 @@ object SparkEntry {
     * fused native lshSignature expression, unit-tested). */
   private def embedBucketed(s: org.apache.spark.sql.SparkSession,
                             dir: String): DataFrame =
+    // v stays array<FLOAT>: VectorDotProduct widens each element to
+    // double exactly like the oracle's CAST(... AS DOUBLE[]), so all
+    // downstream dot/norm/cosine doubles are bit-identical — while
+    // shuffles, broadcasts and the per-pair reads move half the bytes
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", lshPlanes.zipWithIndex.map { case (w, p) =>
         when(graft.pipeline.Similarity.dot(col("v"), array(w.map(lit): _*)) > 0,
           1 << p).otherwise(0)
@@ -1886,11 +1891,14 @@ object SparkEntry {
     // exercised by PipelineSpec)
     "q_knn_lsh" -> ((s, dir) => {
       val b = embedBucketed(s, dir)
-      val q = b.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-      val scored = b.join(broadcast(q), Seq("bucket"))
+      val bn = b.withColumn("__cn", Similarity.norm(col("v")))
+      val q = bn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("__cn").as("__qn"), col("bucket"))
+      val scored = bn.join(broadcast(q), Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
-        .withColumn("cos_sim", Similarity.cosine(col("qv"), col("v")))
+        .withColumn("cos_sim", Similarity.cosinePreNormed(
+          Similarity.dot(col("qv"), col("v")), col("__qn"), col("__cn")))
       Similarity.topKPerQuery(
           scored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 3)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -1951,11 +1959,15 @@ object SparkEntry {
     // cosineSelfJoinPairs with the fused native signature, unit-tested)
     "q_embed_dups" -> ((s, dir) => {
       val b = embedBucketed(s, dir)
-      val l = b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-      val r = b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+        .withColumn("__n", Similarity.norm(col("v")))
+      val l = b.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("__n").as("na"), col("bucket"))
+      val r = b.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("__n").as("nb"), col("bucket"))
       l.join(r, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", Similarity.cosine(col("va"), col("vb")))
+        .withColumn("cos_sim", Similarity.cosinePreNormed(
+          Similarity.dot(col("va"), col("vb")), col("na"), col("nb")))
         .filter(col("cos_sim") >= 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_r"))
         .distinct()
@@ -1982,11 +1994,15 @@ object SparkEntry {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= semanticDedupMaxBucket)
         .drop("__rn")
-      val l = b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-      val r = b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+        .withColumn("__n", Similarity.norm(col("v")))
+      val l = b.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("__n").as("na"), col("bucket"))
+      val r = b.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("__n").as("nb"), col("bucket"))
       val pairs = l.join(r, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", Similarity.cosine(col("va"), col("vb")))
+        .withColumn("cos_sim", Similarity.cosinePreNormed(
+          Similarity.dot(col("va"), col("vb")), col("na"), col("nb")))
         .filter(col("cos_sim") >= 0.35)
         .select(col("id_a"), col("id_b")).distinct()
       Dedup.dupClusters(pairs)
@@ -2011,9 +2027,12 @@ object SparkEntry {
           q.select(col("q_id"), col("q_vec")), b.select(col("vec_id"), col("v")),
           "q_id", "q_vec", "vec_id", "v", 3)
         .select(col("q_id"), col("vec_id").as("neighbor_id"))
-      val annScored = b.join(broadcast(q), Seq("bucket"))
+      val annScored = b.withColumn("__cn", Similarity.norm(col("v")))
+        .join(broadcast(q.withColumn("__qn", Similarity.norm(col("q_vec")))),
+          Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
-        .withColumn("cos_sim", Similarity.cosine(col("q_vec"), col("v")))
+        .withColumn("cos_sim", Similarity.cosinePreNormed(
+          Similarity.dot(col("q_vec"), col("v")), col("__qn"), col("__cn")))
       val ann = Similarity.topKPerQuery(
           annScored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 3)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), lit(1).as("__hit"))
@@ -2040,10 +2059,13 @@ object SparkEntry {
           q.select(col("q_id"), col("q_vec")), b.select(col("vec_id"), col("v")),
           "q_id", "q_vec", "vec_id", "v", 3)
         .select(col("q_id"), col("vec_id").as("neighbor_id"))
-      val annScored = b.join(broadcast(probes), Seq("bucket"))
+      val annScored = b.withColumn("__cn", Similarity.norm(col("v")))
+        .join(broadcast(probes.withColumn("__qn", Similarity.norm(col("q_vec")))),
+          Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
         .dropDuplicates("q_id", "vec_id")
-        .withColumn("cos_sim", Similarity.cosine(col("q_vec"), col("v")))
+        .withColumn("cos_sim", Similarity.cosinePreNormed(
+          Similarity.dot(col("q_vec"), col("v")), col("__qn"), col("__cn")))
       val ann = Similarity.topKPerQuery(
           annScored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 3)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), lit(1).as("__hit"))

@@ -37,6 +37,18 @@ object Similarity {
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
   }
 
+  /** [[cosine]] with PRE-STAGED norms: in any pair join, `cosine`
+    * recomputes both vectors' norms per PAIR — three dot products
+    * where one suffices. Staging `norm(v)` as a real column per SIDE
+    * before the join computes each vector's norm once; the result is
+    * bit-identical (`na * nb` multiplies exactly the doubles
+    * `norm(a)`/`norm(b)` would produce, and the zero guard is the
+    * same), so oracle hashes are unchanged. */
+  def cosinePreNormed(dotAb: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0, 0.0).otherwise(dotAb / d)
+  }
+
   /** Symmetric per-vector int8 quantization — the 4× embedding-storage
     * compression step of a large-scale vector pipeline: each float
     * collapses to `floor(x * 127 / max|x| + 0.5)` with its scale
@@ -131,13 +143,15 @@ object Similarity {
     // evidence (and bills the probe's scan twice). So the frame is
     // capped at the minimal-footprint row bound — more rows than
     // budget/64B can never fit even with empty vectors, and the limit
-    // early-exits the underlying scan right past it — then
-    // localCheckpoint(eager) materializes those ≤cap rows once
-    // (executor-side, disk-spilling); the width probe reads the
-    // checkpoint, and on success the checkpoint itself is what gets
-    // broadcast.
+    // early-exits the underlying scan right past it — then a LAZY
+    // localCheckpoint materializes those ≤cap rows (executor-side,
+    // disk-spilling) as a side effect of the width probe's collect:
+    // probe and checkpoint share ONE job (an eager checkpoint spent a
+    // separate job per gate, which dominated the broadcast-gated ANN
+    // queries' driver time), and on success the checkpoint itself is
+    // what gets broadcast.
     val maxRowsFloor = math.min(Int.MaxValue - 2L, math.max(1L, budget / 64L))
-    val capped = queries.limit(maxRowsFloor.toInt + 1).localCheckpoint(true)
+    val capped = queries.limit(maxRowsFloor.toInt + 1).localCheckpoint(false)
     val widths = capped
       .select(coalesce(size(col(qVec)).cast("long"), lit(0L)).as("__w"))
       .collect().map(_.getLong(0))
@@ -163,9 +177,12 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int): DataFrame = {
-    val scored = corpus.crossJoin(boundedBroadcast(queries, qVec, "bruteForceTopK"))
+    val ca = corpus.withColumn("__cn", norm(col(cVec)))
+    val qa = queries.withColumn("__qn", norm(col(qVec)))
+    val scored = ca.crossJoin(boundedBroadcast(qa, qVec, "bruteForceTopK"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, qId, cId, k)
   }
 
@@ -182,10 +199,13 @@ object Similarity {
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, planes: Int = 8): DataFrame = {
     val qb = queries.withColumn("__bucket", lshSignature(col(qVec), planes))
+      .withColumn("__qn", norm(col(qVec)))
     val cb = corpus.withColumn("__bucket", lshSignature(col(cVec), planes))
+      .withColumn("__cn", norm(col(cVec)))
     val scored = cb.join(boundedBroadcast(qb, qVec, "lshTopK"), Seq("__bucket"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, qId, cId, k)
   }
 
@@ -218,13 +238,16 @@ object Similarity {
                         qId: String, qVec: String, cId: String, cVec: String,
                         k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.withColumn("__bucket", lshSignature(col(cVec), planes))
+      .withColumn("__cn", norm(col(cVec)))
     val qb = withMultiProbe(
-      queries.withColumn("__bucket", lshSignature(col(qVec), planes)),
+      queries.withColumn("__bucket", lshSignature(col(qVec), planes))
+        .withColumn("__qn", norm(col(qVec))),
       "__bucket", planes)
     val scored = cb.join(boundedBroadcast(qb, qVec, "lshTopKMultiProbe"), Seq("__bucket"))
       .filter(col(qId) =!= col(cId))
       .dropDuplicates(qId, cId)
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, qId, cId, k)
   }
 
@@ -250,11 +273,17 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucket)
       .drop("__rn")
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__bucket"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__bucket"))
+      // norm staged ONCE per vector — cosine inside the pair join
+      // would recompute it per pair (the dominant per-pair cost)
+      .withColumn("__n", norm(col(vecCol)))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("__n").as("na"), col("__bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("__n").as("nb"), col("__bucket"))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", cosinePreNormed(dot(col("va"), col("vb")),
+        col("na"), col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").distinct()
   }
@@ -284,11 +313,14 @@ object Similarity {
     val assign = ivfAssigner(corpus, cId, cVec, nCells)
     val qa = queries.select(col(qId), col(qVec))
       .withColumn("cell_id", assign(col(qVec)))
+      .withColumn("__qn", norm(col(qVec)))
     val ca = corpus.select(col(cId), col(cVec))
       .withColumn("cell_id", assign(col(cVec)))
+      .withColumn("__cn", norm(col(cVec)))
     val scored = ca.join(boundedBroadcast(qa, qVec, "ivfTopK"), Seq("cell_id"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, qId, cId, k)
   }
 
@@ -389,11 +421,14 @@ object Similarity {
     val assign = assignerFromCents(cents)
     val ca = corpus.select(col(cId), col(cVec))
       .withColumn("cell_id", assign(col(cVec)))
+      .withColumn("__cn", norm(col(cVec)))
     val qa = queries.select(col(qId), col(qVec))
       .withColumn("cell_id", assign(col(qVec)))
+      .withColumn("__qn", norm(col(qVec)))
     val scored = ca.join(boundedBroadcast(qa, qVec, "ivfTopKTrained"), Seq("cell_id"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, qId, cId, k)
   }
 
@@ -411,11 +446,14 @@ object Similarity {
     val cents = seedCentroids(corpus, cId, cVec, nCells)
     val ca = corpus.select(col(cId), col(cVec))
       .withColumn("cell_id", assignerFromCents(cents)(col(cVec)))
+      .withColumn("__cn", norm(col(cVec)))
     val qa = queries.select(col(qId), col(qVec))
       .withColumn("cell_id", explode(probeCellsCol(cents, col(qVec), nProbe)))
+      .withColumn("__qn", norm(col(qVec)))
     val scored = ca.join(boundedBroadcast(qa, qVec, "ivfTopKMultiProbe"), Seq("cell_id"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, qId, cId, k)
   }
 
@@ -452,26 +490,29 @@ object Similarity {
     // every source broadcasts the query side — all four run through
     // the measured-evidence gate, so an oversized query set fails
     // loudly with the Lsh/Ivf pointer instead of OOMing executors
+    val cn = corpus.withColumn("__cn", norm(col(cVec)))
+    val qn = queries.withColumn("__qn", norm(col(qVec)))
     val cand = source match {
       case Brute =>
-        corpus.crossJoin(boundedBroadcast(queries, qVec, "hardNegatives(Brute)"))
+        cn.crossJoin(boundedBroadcast(qn, qVec, "hardNegatives(Brute)"))
       case Lsh(planes) =>
-        corpus.withColumn("__bucket", lshSignature(col(cVec), planes))
-          .join(boundedBroadcast(queries.withColumn("__bucket",
+        cn.withColumn("__bucket", lshSignature(col(cVec), planes))
+          .join(boundedBroadcast(qn.withColumn("__bucket",
             lshSignature(col(qVec), planes)), qVec, "hardNegatives(Lsh)"),
             Seq("__bucket"))
       case Ivf(nCells) =>
         val assign = ivfAssigner(corpus, cId, cVec, nCells)
-        corpus.withColumn("__cell", assign(col(cVec)))
-          .join(boundedBroadcast(queries.withColumn("__cell", assign(col(qVec))),
+        cn.withColumn("__cell", assign(col(cVec)))
+          .join(boundedBroadcast(qn.withColumn("__cell", assign(col(qVec))),
             qVec, "hardNegatives(Ivf)"), Seq("__cell"))
       case PreBucketed =>
-        corpus.join(boundedBroadcast(queries, qVec, "hardNegatives(PreBucketed)"),
+        cn.join(boundedBroadcast(qn, qVec, "hardNegatives(PreBucketed)"),
           Seq("bucket"))
     }
     val scored = cand
       .filter(col(qId) =!= col(cId) && col(cLabel) =!= col(qLabel))
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored.select(col(qId), col(cId), col("cos_sim")), qId, cId, k)
       .join(corpus.select(col(cId), col(cLabel)), cId)
       .select(col(qId), col(cId).as("negative_id"), col("rank"),
