@@ -113,6 +113,57 @@ object SparkEntry {
     case _ => "base"
   }
 
+  /** DuckDB oracle for `iters` Lloyd refinement steps of trained IVF
+    * (Similarity.ivfTopKTrained): seed centroids (nCells lowest-id
+    * vectors) → per step: assignment (cos DESC, cent_id ties),
+    * per-(cell, dim) INTEGER-QUANTIZED sums, refined centroid list
+    * (empty cells keep the previous centroid) → final assignment →
+    * ranked top-k. Generated so the SAME builder replays any step
+    * count the engine runs — the CTE chain IS the training loop. */
+  private def ivfTrainedSql(nCells: Int, iters: Int, qMax: Int, k: Int): String = {
+    def assign(cIn: String, aOut: String) =
+      s"""$aOut AS (SELECT vec_id, v, cent_id FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                     c.cent_id) AS rn
+                 FROM e, $cIn c) WHERE rn = 1)"""
+    val steps = (0 until iters).map { i =>
+      s"""dimsum$i AS (
+           SELECT a.cent_id, d.range AS dim,
+             sum(CAST(round(a.v[CAST(d.range AS INT) + 1] * 1048576.0) AS BIGINT)) AS s,
+             count(*) AS n
+           FROM a$i a CROSS JOIN range(64) d
+           GROUP BY 1, 2),
+         c${i + 1}m AS (
+           SELECT cent_id, list((s / n) / 1048576.0 ORDER BY dim) AS cv
+           FROM dimsum$i GROUP BY cent_id),
+         c${i + 1} AS (SELECT s.cent_id, coalesce(m.cv, s.cv) AS cv
+                FROM c$i s LEFT JOIN c${i + 1}m m ON s.cent_id = m.cent_id),
+         ${assign(s"c${i + 1}", s"a${i + 1}")}"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT $nCells),
+         ${assign("c0", "a0")},
+         $steps,
+         q AS (SELECT vec_id AS q_id, v AS qv, cent_id FROM a$iters WHERE vec_id < $qMax),
+         scored AS (
+           SELECT q.q_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.v) /
+             nullif(sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
+           FROM a$iters a JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= $k"""
+  }
+
   /** Deterministic ±1 hyperplanes (fixed seed) for the oracle-checked
     * LSH query — the SAME literal matrix is embedded in the DuckDB
     * oracle SQL, so both engines compute identical buckets. */
@@ -1945,6 +1996,45 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopKTrained(q, emb, "q_id", "q_vec", "vec_id", "embedding",
         k = 3, nCells = 8, iters = 1)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // pipeline: trained IVF with TWO Lloyd steps — the convergence
+    // path (Similarity.refineUntilConverged with eps=0 pins the step
+    // count so the oracle's generated two-step CTE chain replays the
+    // identical trajectory). Measured on this corpus: recall@3 vs
+    // brute truth improves over the one-step training (BENCHMARKS.md).
+    "q_knn_ivf_trained2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKTrained(q, emb, "q_id", "q_vec", "vec_id", "embedding",
+        k = 3, nCells = 8, iters = 2)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // pipeline: search THROUGH a persisted IVF index
+    // (Similarity.buildIndex: trained codebook parquet + the corpus
+    // rewritten cell-partitioned). Staged once per process; the timed
+    // body is what a 100 TB deployment runs per query: load the tiny
+    // codebook, rank probe cells, scan ONLY the probed cell
+    // directories (PartitionFilters `cell_id IN (...)`, pinned in
+    // PipelineSpec). Same training determinism as q_knn_ivf_trained,
+    // so the generated one-step oracle replays it bit for bit.
+    "q_knn_ivf_indexed" -> ((s, dir) => {
+      val idx = scratch("ivfindex", dir)
+      if (!new java.io.File(idx, "_SUCCESS_GRAFT").exists()) {
+        deleteRecursively(idx)
+        Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+          idx.getAbsolutePath, nCells = 8, iters = 1)
+        new java.io.File(idx, "_SUCCESS_GRAFT").createNewFile(): Unit
+      }
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
+        "vec_id", "embedding", k = 3, nProbe = 1)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
@@ -4044,50 +4134,17 @@ object SparkEntry {
     // Trained IVF: seed assignment -> exact quantized per-(cell,dim)
     // sums -> refined centroid arrays (empty cells keep the seed) ->
     // re-assignment -> ranked top-k, replayed bit for bit.
-    "q_knn_ivf_trained" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-         a0 AS (SELECT vec_id, v, cent_id FROM (
-                 SELECT e.vec_id, e.v, c.cent_id,
-                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                     list_dot_product(e.v, c.cv) /
-                     nullif(sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
-                     c.cent_id) AS rn
-                 FROM e, c0 c) WHERE rn = 1),
-         dimsum AS (
-           SELECT a.cent_id, d.range AS dim,
-             sum(CAST(round(a.v[CAST(d.range AS INT) + 1] * 1048576.0) AS BIGINT)) AS s,
-             count(*) AS n
-           FROM a0 a CROSS JOIN range(64) d
-           GROUP BY 1, 2),
-         c1m AS (
-           SELECT cent_id, list((s / n) / 1048576.0 ORDER BY dim) AS cv
-           FROM dimsum GROUP BY cent_id),
-         c1 AS (SELECT s.cent_id, coalesce(m.cv, s.cv) AS cv
-                FROM c0 s LEFT JOIN c1m m ON s.cent_id = m.cent_id),
-         a1 AS (SELECT vec_id, v, cent_id FROM (
-                 SELECT e.vec_id, e.v, c.cent_id,
-                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                     list_dot_product(e.v, c.cv) /
-                     nullif(sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
-                     c.cent_id) AS rn
-                 FROM e, c1 c) WHERE rn = 1),
-         q AS (SELECT vec_id AS q_id, v AS qv, cent_id FROM a1 WHERE vec_id < 10),
-         scored AS (
-           SELECT q.q_id, a.vec_id AS neighbor_id,
-             list_dot_product(q.qv, a.v) /
-             nullif(sqrt(list_dot_product(q.qv, q.qv)) *
-                    sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
-           FROM a1 a JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
-         ranked AS (
-           SELECT q_id, neighbor_id,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
-               AS "rank",
-             round(cos_sim, 4) AS cos_sim_r
-           FROM scored)
-         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
+    "q_knn_ivf_trained" -> ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3),
+
+    // Two Lloyd steps: the generated CTE chain replays the engine's
+    // exact two-step training trajectory (assignment -> quantized
+    // sums -> refined centroids, twice) before search.
+    "q_knn_ivf_trained2" -> ivfTrainedSql(nCells = 8, iters = 2, qMax = 10, k = 3),
+
+    // The persisted-index search ranks EXACTLY like one-step trained
+    // IVF with the same codebook — the index is a storage layout, not
+    // a semantic change, so the same generated oracle replays it.
+    "q_knn_ivf_indexed" -> ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3),
 
     // IVF nProbe=2: the query side keeps its TWO nearest cells
     // (rn <= 2 over the same cos DESC, cent_id ordering); corpus

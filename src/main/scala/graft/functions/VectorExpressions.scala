@@ -160,6 +160,123 @@ final case class HyperplaneLshSignature(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** Top-`nProbe` nearest IVF cells of a vector against a CODEBOOK
+  * MATRIX carried as ONE reference object — the scale form of cell
+  * assignment. The previous shape inlined every centroid as literal
+  * array nodes inside an `array_max(array(struct(cosine(...))))`
+  * tree: fine at 16 cells, but a 4-64k-cell codebook becomes a
+  * 100k+-node expression that breaks codegen limits and serializes
+  * per task as plan, not data. Here the matrix rides
+  * `ctx.addReferenceObj` (broadcast to executors inside the task
+  * binary once), the loop is fused codegen, and — critically —
+  * assignment stays a NARROW projection: a broadcast-join + per-row
+  * argmax formulation would have to aggregate |corpus|×nCells joined
+  * rows back to |corpus| (one exchange of the full corpus with its
+  * vectors), which is exactly the shuffle IVF exists to avoid at
+  * 100 TB.
+  *
+  * Semantics are IDENTICAL to the literal tree: per cell
+  * `cos = dot(v, c) / (norm(v) * norm(c))` with the zero guard
+  * (norms accumulated left-to-right; centroid norms precomputed —
+  * same deterministic fold), ranking by (cos DESC, cell id ASC).
+  * Returns `array<long>` of the `nProbe` best cell ids;
+  * `element_at(..., 1)` is the single-cell assignment. */
+final case class NearestCells(child: Expression,
+                              cents: Array[Array[Double]],
+                              ids: Array[Long],
+                              nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty && cents.length == ids.length, "codebook shape")
+  require(nProbe >= 1 && nProbe <= cents.length, "nProbe in [1, nCells]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells expects array<float|double>, got $other")
+  }
+
+  /** sqrt of the left-to-right self-dot — must mirror the row-side
+    * accumulation exactly (it does: same loop order). */
+  private lazy val centNorms: Array[Double] = cents.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Insertion-ranked (cos DESC, id ASC) top-nProbe — the shared
+    * kernel of interpreted eval; generated code mirrors it. */
+  private def rank(x: ArrayData): ArrayData = {
+    val f = isFloat
+    val n = x.numElements()
+    var vAcc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      vAcc += xv * xv; i += 1
+    }
+    val vNorm = math.sqrt(vAcc)
+    val bestCos = new Array[Double](nProbe)
+    val bestId = new Array[Long](nProbe)
+    java.util.Arrays.fill(bestCos, java.lang.Double.NEGATIVE_INFINITY)
+    java.util.Arrays.fill(bestId, Long.MaxValue)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var acc = 0.0; var j = 0
+      while (j < m) {
+        val xv = if (f) x.getFloat(j).toDouble else x.getDouble(j)
+        acc += xv * cent(j); j += 1
+      }
+      val d = vNorm * centNorms(c)
+      val cos = if (d == 0) 0.0 else acc / d
+      val id = ids(c)
+      // insert if better than the current worst kept
+      var k = nProbe - 1
+      if (cos > bestCos(k) || (cos == bestCos(k) && id < bestId(k))) {
+        while (k > 0 && (cos > bestCos(k - 1) ||
+            (cos == bestCos(k - 1) && id < bestId(k - 1)))) {
+          bestCos(k) = bestCos(k - 1); bestId(k) = bestId(k - 1); k -= 1
+        }
+        bestCos(k) = cos; bestId(k) = id
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestId)
+  }
+
+  override def nullSafeEval(v: Any): Any = rank(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the whole kernel (matrix loop + insertion rank) runs through
+    // ONE reference to this expression instance — the matrix ships as
+    // a task-binary reference object either way, and delegating to
+    // the interpreted kernel keeps the two paths impossible to skew
+    val self = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = " +
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $self.kernel($a);")
+  }
+
+  /** public entry for generated code */
+  def kernel(x: ArrayData): ArrayData = rank(x)
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftColumnBridge
 
@@ -184,4 +301,12 @@ object VectorExpressions {
   def lshSignature(v: Column, planes: Int): Column =
     GraftColumnBridge.column(HyperplaneLshSignature(
       GraftColumnBridge.expression(v), planes))
+
+  /** Column wrapper: top-nProbe nearest IVF cell ids against a
+    * codebook matrix (one referenced object, narrow projection). */
+  def nearestCells(v: Column, cents: Array[(Long, Seq[Double])],
+                   nProbe: Int): Column =
+    GraftColumnBridge.column(NearestCells(
+      GraftColumnBridge.expression(v),
+      cents.map(_._2.toArray), cents.map(_._1), nProbe))
 }

@@ -340,27 +340,25 @@ object Similarity {
                           nCells: Int): Column => Column =
     assignerFromCents(seedCentroids(corpus, cId, cVec, nCells))
 
+  /** Single-cell assignment = the first of [[probeCellsCol]]'s
+    * ranking. The codebook rides the fused
+    * [[graft.functions.NearestCells]] expression as ONE reference
+    * object — a 4-64k-cell codebook stays one plan node and one
+    * codegen loop (the earlier literal `array_max(array(struct(…)))`
+    * tree grew ~8 nodes per cell), and assignment stays a NARROW
+    * projection: no corpus shuffle, unlike a broadcast-join + argmax
+    * re-aggregation. Ranking semantics unchanged (cos with zero
+    * guard, cos DESC / lowest-cell-id ties). */
   private def assignerFromCents(cents: Array[(Long, Seq[Double])]): Column => Column =
-    vec => {
-      // max struct = highest cosine, ties to the LOWEST cell id (-id)
-      val entries = cents.map { case (id, w) =>
-        struct(cosine(vec, array(w.map(lit): _*)).as("c"), lit(-id).as("n"))
-      }
-      -array_max(array(entries.toIndexedSeq: _*)).getField("n")
-    }
+    vec => element_at(
+      graft.functions.VectorExpressions.nearestCells(vec, cents, 1), 1)
 
   /** Top-`nProbe` nearest cells for a vector (cos DESC, ties to the
     * lowest cell id — the first element equals [[ivfAssigner]]'s
-    * argmax), as an array of cell ids. Narrow projection: sort the
-    * tiny inlined (−cos, id) struct array, slice, project ids. */
+    * argmax), as an array of cell ids. Narrow projection. */
   private def probeCellsCol(cents: Array[(Long, Seq[Double])],
-                            vec: Column, nProbe: Int): Column = {
-    val entries = cents.map { case (id, w) =>
-      struct((-cosine(vec, array(w.map(lit): _*))).as("nc"), lit(id).as("id"))
-    }
-    transform(slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nProbe),
-      s => s.getField("id"))
-  }
+                            vec: Column, nProbe: Int): Column =
+    graft.functions.VectorExpressions.nearestCells(vec, cents, nProbe)
 
   /** One EXACT Lloyd refinement step for the IVF coarse quantizer:
     * assign every corpus vector to its nearest current centroid, then
@@ -405,19 +403,48 @@ object Similarity {
     }
   }
 
+  /** [[refineCentroids]] iterated to CONVERGENCE: up to `maxIters`
+    * Lloyd steps, stopping early once the largest per-dimension
+    * centroid movement (L∞ over all cells) drops below `eps`. The
+    * movement metric is computed over the integer-quantized means, so
+    * the whole trajectory — including WHERE it stops — is
+    * deterministic on any engine; `eps = 0` disables the early stop
+    * (exactly `maxIters` steps), which is the form a SQL oracle
+    * replays with a fixed CTE chain. Returns the refined centroids
+    * and the number of steps actually run. */
+  def refineUntilConverged(corpus: DataFrame, cId: String, cVec: String,
+                           cents0: Array[(Long, Seq[Double])],
+                           maxIters: Int, eps: Double,
+                           scale: Long = 1L << 20)
+      : (Array[(Long, Seq[Double])], Int) = {
+    var cents = cents0
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIters && (eps <= 0 || moved >= eps)) {
+      val next = refineCentroids(corpus, cId, cVec, cents, scale)
+      moved = cents.zip(next).foldLeft(0.0) { case (m, ((_, a), (_, b))) =>
+        a.zip(b).foldLeft(m)((mm, p) => math.max(mm, math.abs(p._1 - p._2)))
+      }
+      cents = next
+      it += 1
+    }
+    (cents, it)
+  }
+
   /** [[ivfTopK]] with `iters` Lloyd refinement steps over the seed
     * centroids before assignment — trained coarse cells track the
     * data distribution instead of the arbitrary lowest-id seeds, the
     * standard IVF quality step. Deterministic end to end (exact
     * quantized means, the usual cos DESC / lowest-id tie-breaks), so
-    * a SQL oracle replays training AND search bit for bit. */
+    * a SQL oracle replays training AND search bit for bit. `eps > 0`
+    * adds the [[refineUntilConverged]] early stop under the same
+    * determinism. */
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int, nCells: Int = 16, iters: Int = 1,
-                     scale: Long = 1L << 20): DataFrame = {
-    var cents = seedCentroids(corpus, cId, cVec, nCells)
-    for (_ <- 0 until iters)
-      cents = refineCentroids(corpus, cId, cVec, cents, scale)
+                     scale: Long = 1L << 20, eps: Double = 0.0): DataFrame = {
+    val (cents, _) = refineUntilConverged(corpus, cId, cVec,
+      seedCentroids(corpus, cId, cVec, nCells), iters, eps, scale)
     val assign = assignerFromCents(cents)
     val ca = corpus.select(col(cId), col(cVec))
       .withColumn("cell_id", assign(col(cVec)))
@@ -451,6 +478,78 @@ object Similarity {
       .withColumn("cell_id", explode(probeCellsCol(cents, col(qVec), nProbe)))
       .withColumn("__qn", norm(col(qVec)))
     val scored = ca.join(boundedBroadcast(qa, qVec, "ivfTopKMultiProbe"), Seq("cell_id"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
+        col("__qn"), col("__cn")))
+    topKPerQuery(scored, qId, cId, k)
+  }
+
+  /** Build a PERSISTED IVF index at `path`: a trained codebook
+    * (`codebook/` — one tiny parquet of (cell_id, centroid)) plus the
+    * corpus REWRITTEN cell-partitioned (`cells/cell_id=N/`). This is
+    * the artifact that turns IVF from a per-query demo (centroids
+    * recomputed, full corpus scanned) into an operator at 100 TB:
+    * training cost is paid once at build, and a search lists ONLY the
+    * probed cells' directories — the same partition-pruning story as
+    * the tenant+date events layout. Training is
+    * [[refineUntilConverged]] (deterministic quantized means), so the
+    * same SQL oracle that replays [[ivfTopKTrained]] replays a search
+    * through the index bit for bit. */
+  def buildIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
+                 nCells: Int = 16, iters: Int = 1, eps: Double = 0.0,
+                 scale: Long = 1L << 20): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cents, _) = refineUntilConverged(corpus, cId, cVec,
+      seedCentroids(corpus, cId, cVec, nCells), iters, eps, scale)
+    cents.toSeq.toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val assign = assignerFromCents(cents)
+    corpus.select(col(cId), col(cVec))
+      .withColumn("cell_id", assign(col(cVec)))
+      // one shuffle so each cell directory gets one file per cell,
+      // not one per upstream task (same rationale as the events
+      // mirror write)
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(s"$path/cells")
+  }
+
+  /** The persisted codebook, sorted by cell id (tiny: nCells rows). */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[(Long, Seq[Double])] =
+    spark.read.parquet(s"$path/codebook")
+      .select(col("cell_id").cast("long"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+
+  /** ANN top-k THROUGH a [[buildIndex]] artifact, never touching the
+    * raw corpus: queries rank their `nProbe` nearest codebook cells
+    * (narrow, the codebook is driver-side and tiny), the probed cell
+    * SET — bounded by the broadcast-gated query count × nProbe — is
+    * collected once, and the cells store is scanned with a
+    * `cell_id IN (...)` PARTITION filter, so the listing touches only
+    * probed directories. Ranking semantics are identical to
+    * [[ivfTopKTrained]] with the same codebook. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     queries: DataFrame, qId: String, qVec: String,
+                     path: String, cId: String, cVec: String,
+                     k: Int, nProbe: Int = 1): DataFrame = {
+    val cents = loadCodebook(spark, path)
+    val qa = queries.select(col(qId), col(qVec))
+      .withColumn("cell_id", explode(probeCellsCol(cents, col(qVec), nProbe)))
+      .withColumn("__qn", norm(col(qVec)))
+    val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexed")
+    // the broadcast gate above already bounded the query side, so the
+    // distinct probed-cell collect is ≤ min(|queries|·nProbe, nCells)
+    // longs — driver-safe by construction
+    val probed = qb.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val ca = spark.read.parquet(s"$path/cells")
+      .filter(col("cell_id").isin(probed: _*))
+    val scored = ca
+      .withColumn("cell_id", col("cell_id").cast("long"))
+      .withColumn("__cn", norm(col(cVec)))
+      .join(qb, Seq("cell_id"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
         col("__qn"), col("__cn")))

@@ -857,6 +857,107 @@ class PipelineSpec extends SparkTestBase {
     assert(out.forall(r => Set(0L, 2L, 3L)(r.getAs[Long]("vec_id"))), out.toSeq)
   }
 
+  test("IVF scales to a 256-cell codebook as one plan node, not a literal tree") {
+    import spark.implicits._
+    // 300 distinct directions in 2D: ids 0..255 seed 256 cells
+    val corpus = (0 until 300).map { i =>
+      val a = i * 0.01
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    val q = Seq((1000L, Array(math.cos(1.234).toFloat, math.sin(1.234).toFloat)))
+      .toDF("q_id", "q_vec")
+    val out = Similarity.ivfTopK(q, corpus, "q_id", "q_vec", "vec_id", "v",
+      k = 3, nCells = 256)
+    // the assignment must be ONE nearest_cells node per side — the old
+    // literal formulation grew ~8 expression nodes per cell and would
+    // put "array_max" with 256 struct entries in the plan string.
+    // (Checked on the ANALYZED plan: on this tiny local frame the
+    // optimizer constant-folds the projection into a LocalTableScan.)
+    val logical = out.queryExecution.analyzed.toString
+    assert(logical.contains("nearest_cells"), logical.take(1500))
+    assert(logical.length < 100000, s"plan blew up: ${logical.length} chars")
+    // cells partition the corpus and the query side broadcasts —
+    // probe ranking is a broadcast equi-join on cell_id, no shuffle
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin [cell_id"))
+    val rows = out.collect()
+    // vec 123 (angle 1.23) seeds its own cell and is the query's
+    // nearest cell center; its cell-mates are the true nearest vectors
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet.contains(123L), rows.toSeq)
+    // expression ranking == the hand-computed nearest cell
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else d / (na * nb)
+    }
+    val qv = Array(math.cos(1.234).toFloat.toDouble, math.sin(1.234).toFloat.toDouble)
+    val cents = (0 until 256).map { i =>
+      val a = i * 0.01
+      (i.toLong, Array(math.cos(a).toFloat.toDouble, math.sin(a).toFloat.toDouble))
+    }
+    val bestCell = cents.maxBy { case (id, c) => (cos(qv, c), -id) }._1
+    assert(bestCell == 123L)
+  }
+
+  test("persisted IVF index: search scans only probed cell partitions") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toFile
+    try {
+      Similarity.buildIndex(corpus, "vec_id", "v", dir.getAbsolutePath,
+        nCells = 8, iters = 1)
+      // artifact shape: tiny codebook + cell-partitioned corpus dirs
+      assert(Similarity.loadCodebook(spark, dir.getAbsolutePath).length == 8)
+      val cellDirs = new java.io.File(dir, "cells").listFiles()
+        .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+      assert(cellDirs.nonEmpty)
+      val q = Seq((999L, Array(1.0f, 0.05f))).toDF("q_id", "q_vec")
+      val out = Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, nProbe = 1)
+      // the scan must carry the probed-cell PARTITION filter: only the
+      // query's one probed cell directory is listed, not the corpus
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+        plan.take(2000))
+      val rows = out.collect()
+      assert(rows.length == 3)
+      // results equal the non-indexed trained path with the same knobs
+      val direct = Similarity.ivfTopKTrained(q, corpus, "q_id", "q_vec",
+        "vec_id", "v", k = 3, nCells = 8, iters = 1)
+        .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
+      assert(rows.map(r => Seq(r.getAs[Long]("q_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSet == direct)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("refineUntilConverged stops on centroid stability, eps=0 runs all iters") {
+    import spark.implicits._
+    // one tight cluster per seed: the first Lloyd step lands each
+    // centroid on its cluster mean and every later step is a fixpoint
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f))).toDF("vec_id", "v")
+    val seeds = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val (cEps, itEps) = Similarity.refineUntilConverged(
+      corpus, "vec_id", "v", seeds, maxIters = 10, eps = 1e-9)
+    // step 1 computes means (== seeds here), step 2 observes movement
+    // below eps and stops — far short of maxIters
+    assert(itEps <= 2, s"ran $itEps iters")
+    val (cAll, itAll) = Similarity.refineUntilConverged(
+      corpus, "vec_id", "v", seeds, maxIters = 3, eps = 0.0)
+    assert(itAll == 3)
+    assert(cEps.map(_._2).toSeq == cAll.map(_._2).toSeq) // same fixpoint
+  }
+
   test("broadcast budget gate throws on an oversized query side") {
     import spark.implicits._
     val corpus = (0 until 20).map(i =>
