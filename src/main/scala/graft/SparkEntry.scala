@@ -82,7 +82,7 @@ object SparkEntry {
   private val eventsFamily: Set[String] = Set(
     "q_agg_matrix", "q_agg_matrix_partitioned", "q_auth_scoped",
     "q_custom_event", "q_decimal_agg", "q_dict_autoencode", "q_dict_decode",
-    "q_es_agg", "q_es_agg_per_group", "q_es_compare", "q_es_count",
+    "q_es_agg", "q_es_agg_per_group", "q_es_compare", "q_es_count", "q_es_cube",
     "q_es_count_per_group", "q_es_cumulative", "q_es_filtered",
     "q_es_formula", "q_es_group_dim", "q_es_monthly", "q_es_percentiles",
     "q_es_pivoted", "q_es_private_bds", "q_es_rolling_avg",
@@ -1352,6 +1352,24 @@ object SparkEntry {
         .select(col("event_type"), day(col("ts")).cast("string").as("d"))
         .groupBy("event_type", "d").agg(sum(lit(1)).as("cnt"))
       Reshape.pivot(long, Seq("event_type"), "d", days, "cnt")
+    }),
+
+    // §2.4 "free if wanted" (SURVEY): grouping-sets totals — one CUBE
+    // pass emits the (event_type × day) cells PLUS both marginals and
+    // the grand total, each row tagged by grouping_id, instead of
+    // four separate scans+aggregations. Catalyst expands the cube
+    // into a single Expand + HashAggregate — the idiomatic Spark
+    // answer to the reference's absent rollup surface.
+    "q_es_cube" -> ((s, dir) => {
+      val ev0 = eventsC(s, dir)
+      ev0.filter(Exprs.timePredicateFor(ev0, "ts", RANGE))
+        .cube(col("event_type"), day(col("ts")).as("d"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          (sum(col("v100")) / 100.0).as("sum_value"),
+          countDistinct(col("user_id")).as("users"))
+        .select(col("gid"), col("event_type"), col("d"), col("cnt"),
+          col("sum_value"), col("users"))
     }),
 
     // §2.10 UnpivotNode: wide metrics → (agg_name, value) long form
@@ -3371,6 +3389,16 @@ object SparkEntry {
                WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
                  AND ts < TIMESTAMP '2024-01-10 00:00:00')
          GROUP BY 1""",
+
+    "q_es_cube" ->
+      s"""SELECT CAST(GROUPING(event_type, d) AS BIGINT) AS gid, event_type, d,
+           count(*) AS cnt,
+           sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,
+           count(DISTINCT user_id) AS users
+         FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                      value, user_id
+               FROM events WHERE $SQL_RANGE)
+         GROUP BY CUBE(event_type, d)""",
 
     "q_unpivot" ->
       s"""WITH wide AS (
