@@ -418,9 +418,23 @@ object Bench {
       java.security.MessageDigest.getInstance("MD5")
         .digest(files.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
     } catch { case _: Throwable => "unknown" }
+    // cpus is part of the baseline KEY (`name@c<cpus>`): a query whose
+    // parallelism is pinned to defaultParallelism (q_jaccard_pairs'
+    // repartition) runs ~2x slower at local[4] than at the driver's
+    // local[32], so a min recorded under one cpu count must never
+    // gate — or be CLOBBERED by — a run under another (observed: a
+    // 32-cpu driver min false-flagging a 4-cpu local run as over2x;
+    // and a flat key would let local full runs overwrite the driver's
+    // mins, erasing exactly the cross-round audit the manifest
+    // exists for). Pre-existing un-suffixed entries are DEAD WEIGHT
+    // (mixed provenance — exactly the contamination this fixes): they
+    // are never compared against and are dropped as their query is
+    // re-stamped; each cpu context rebases on its next clean full run.
     final case class Base(time: Double, fp: String, scope: String)
+    val cpusNow = cpus.toInt
+    def benchKey(name: String): String = s"$name@c$cpusNow"
     val manifestFile = new java.io.File("BASELINE_QUERIES.json")
-    val prior: Map[String, Base] = try {
+    val priorRaw: Map[String, Base] = try {
       if (!manifestFile.isFile) Map.empty
       else {
         val j = graft.model.Json.parse(
@@ -433,8 +447,9 @@ object Bench {
       System.err.println(s"[bench] could not read ${manifestFile}: ${e.getMessage}")
       Map.empty
     }
+    def priorOf(name: String): Option[Base] = priorRaw.get(benchKey(name))
     val over2x = results.flatMap { case (name, t) =>
-      prior.get(name) match {
+      priorOf(name) match {
         case Some(b) if !failed.contains(name) &&
             b.fp == corpusFp && b.scope == SparkEntry.queryScope(name) &&
             t > 2 * b.time && t > 0.3 =>
@@ -447,17 +462,20 @@ object Bench {
       System.err.println(s"[bench] queries threw during timing (excluded from baselines): ${failed.mkString(", ")}")
     // Update only from trustworthy evidence: clean gate, full suite.
     if (reliable && only.isEmpty && results.nonEmpty) {
-      val updated: Map[String, Base] = prior ++ results
-        .filterNot { case (name, _) => failed.contains(name) }
-        .map { case (name, t) =>
-          val scope = SparkEntry.queryScope(name)
-          val next = prior.get(name) match {
-            case Some(b) if b.fp == corpusFp && b.scope == scope =>
-              Base(math.min(b.time, t), corpusFp, scope)
-            case _ => Base(t, corpusFp, scope) // new query, new corpus, or bumped scope
+      // updates land on the cpu-suffixed key; a dead-weight plain
+      // entry for the same query is dropped as it is stamped
+      val stamped = results.filterNot { case (name, _) => failed.contains(name) }
+      val updated: Map[String, Base] =
+        (priorRaw -- stamped.map(_._1)) ++ stamped
+          .map { case (name, t) =>
+            val scope = SparkEntry.queryScope(name)
+            val next = priorOf(name) match {
+              case Some(b) if b.fp == corpusFp && b.scope == scope =>
+                Base(math.min(b.time, t), corpusFp, scope)
+              case _ => Base(t, corpusFp, scope) // new query/corpus/scope
+            }
+            benchKey(name) -> next
           }
-          name -> next
-        }
       try {
         val body = updated.toSeq.sortBy(_._1).map { case (k, b) =>
           val t = String.format(java.util.Locale.ROOT, "%.3f", Double.box(b.time))
