@@ -515,6 +515,27 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** Append new vectors to an EXISTING [[buildIndex]] artifact: each
+    * batch is assigned against the index's own codebook (centroids
+    * are NOT retrained — the append is cheap and the cell meaning is
+    * stable, the standard IVF maintenance contract; rebuild when
+    * drift warrants it) and written into the same `cells/` layout in
+    * Append mode, so searches see old and new vectors alike and the
+    * probed-cell pruning is unchanged. Many small appends produce
+    * many small files per cell — the same L0-accumulation story as
+    * the events store, foldable by the Compact machinery (or an
+    * occasional [[buildIndex]] rebuild, which also retrains). */
+  def appendToIndex(batch: DataFrame, cId: String, cVec: String,
+                    path: String): Unit = {
+    val cents = loadCodebook(batch.sparkSession, path)
+    val assign = assignerFromCents(cents)
+    batch.select(col(cId), col(cVec))
+      .withColumn("cell_id", assign(col(cVec)))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("append")
+      .parquet(s"$path/cells")
+  }
+
   /** The persisted codebook, sorted by cell id (tiny: nCells rows). */
   def loadCodebook(spark: org.apache.spark.sql.SparkSession,
                    path: String): Array[(Long, Seq[Double])] =

@@ -931,6 +931,16 @@ class PipelineSpec extends SparkTestBase {
         .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
       assert(rows.map(r => Seq(r.getAs[Long]("q_id"),
         r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSet == direct)
+      // incremental append: a new vector essentially identical to the
+      // query is assigned by the EXISTING codebook and must surface as
+      // the new top-1 through the unchanged read path
+      val extra = Seq((500L, Array(1.0f, 0.05f))).toDF("vec_id", "v")
+      Similarity.appendToIndex(extra, "vec_id", "v", dir.getAbsolutePath)
+      val after = Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, nProbe = 1).collect()
+      assert(after.exists(r =>
+        r.getAs[Long]("vec_id") == 500L && r.getAs[Long]("rank") == 1L),
+        after.toSeq)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
