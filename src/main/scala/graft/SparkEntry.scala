@@ -119,8 +119,13 @@ object SparkEntry {
     * per-(cell, dim) INTEGER-QUANTIZED sums, refined centroid list
     * (empty cells keep the previous centroid) → final assignment →
     * ranked top-k. Generated so the SAME builder replays any step
-    * count the engine runs — the CTE chain IS the training loop. */
-  private def ivfTrainedSql(nCells: Int, iters: Int, qMax: Int, k: Int): String = {
+    * count the engine runs — the CTE chain IS the training loop.
+    * `nProbe > 1` ranks each query's cells over the FINAL centroids
+    * and probes the best `nProbe` (the engine's ivfTopKIndexed /
+    * ivfTopKMultiProbe query side); corpus assignment stays rn = 1,
+    * so no candidate pair repeats. */
+  private def ivfTrainedSql(nCells: Int, iters: Int, qMax: Int, k: Int,
+                            nProbe: Int = 1): String = {
     def assign(cIn: String, aOut: String) =
       s"""$aOut AS (SELECT vec_id, v, cent_id FROM (
                  SELECT e.vec_id, e.v, c.cent_id,
@@ -148,7 +153,15 @@ object SparkEntry {
          c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT $nCells),
          ${assign("c0", "a0")},
          $steps,
-         q AS (SELECT vec_id AS q_id, v AS qv, cent_id FROM a$iters WHERE vec_id < $qMax),
+         q AS (SELECT vec_id AS q_id, qv, cent_id FROM (
+                 SELECT e.vec_id, e.v AS qv, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                     c.cent_id) AS rn
+                 FROM e, c$iters c WHERE e.vec_id < $qMax)
+               WHERE rn <= $nProbe),
          scored AS (
            SELECT q.q_id, a.vec_id AS neighbor_id,
              list_dot_product(q.qv, a.v) /
@@ -2053,6 +2066,29 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
         "vec_id", "embedding", k = 3, nProbe = 1)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // pipeline: MULTI-PROBE search through the SAME persisted index —
+    // the recall knob composed with the index read path: each query
+    // probes its two nearest codebook cells, the cells store is
+    // scanned with the union of probed cells as its PartitionFilter,
+    // and ranking stays deterministic. Pins that index storage and
+    // the nProbe semantics compose (the two features' interaction is
+    // exactly where an off-by-one in cell ranking would hide).
+    "q_knn_ivf_indexed_mp" -> ((s, dir) => {
+      val idx = scratch("ivfindex", dir)
+      if (!new java.io.File(idx, "_SUCCESS_GRAFT").exists()) {
+        deleteRecursively(idx)
+        Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+          idx.getAbsolutePath, nCells = 8, iters = 1)
+        new java.io.File(idx, "_SUCCESS_GRAFT").createNewFile(): Unit
+      }
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
+        "vec_id", "embedding", k = 3, nProbe = 2)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
@@ -4173,6 +4209,11 @@ object SparkEntry {
     // IVF with the same codebook — the index is a storage layout, not
     // a semantic change, so the same generated oracle replays it.
     "q_knn_ivf_indexed" -> ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3),
+
+    // Multi-probe through the index: the generated oracle ranks each
+    // query's cells over the final centroids and probes rn <= 2.
+    "q_knn_ivf_indexed_mp" ->
+      ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3, nProbe = 2),
 
     // IVF nProbe=2: the query side keeps its TWO nearest cells
     // (rn <= 2 over the same cos DESC, cent_id ordering); corpus
