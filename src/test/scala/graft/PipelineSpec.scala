@@ -941,6 +941,31 @@ class PipelineSpec extends SparkTestBase {
       assert(after.exists(r =>
         r.getAs[Long]("vec_id") == 500L && r.getAs[Long]("rank") == 1L),
         after.toSeq)
+      // maintenance loop: more small appends accumulate L0 files in
+      // the hot cell; the EXISTING leveled compactor folds each cell
+      // directory independently (runPartitioned is layout-agnostic),
+      // and the search result is unchanged through a plain read
+      for (i <- 501L to 505L)
+        Similarity.appendToIndex(
+          Seq((i, Array(1.0f, 0.04f + 0.001f * i))).toDF("vec_id", "v"),
+          "vec_id", "v", dir.getAbsolutePath)
+      val cellsDir = new java.io.File(dir, "cells")
+      def parquetCount(d: java.io.File): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isFile) Seq(f)
+          else Option(f.listFiles).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+        walk(d).count(_.getName.endsWith(".parquet"))
+      }
+      val before = parquetCount(cellsDir)
+      val reports = graft.sources.Compact.runPartitioned(
+        spark, cellsDir.getAbsolutePath)
+      assert(reports.values.exists(_.merges > 0), reports)
+      assert(parquetCount(cellsDir) < before, s"$before -> ${parquetCount(cellsDir)}")
+      val folded = Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, nProbe = 1).collect()
+      assert(folded.exists(r =>
+        r.getAs[Long]("vec_id") == 500L && r.getAs[Long]("rank") == 1L),
+        folded.toSeq)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
