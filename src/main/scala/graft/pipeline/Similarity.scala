@@ -536,6 +536,55 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** [[appendToIndex]] with PER-BATCH IDEMPOTENCE, the form a
+    * streaming writer needs: the assigned batch lands in a temp dir,
+    * then each cell's single file (repartition by cell → one
+    * partition per cell) is RENAMED to the deterministic name
+    * `cells/cell_id=N/batch-<batchId>.parquet`. Assignment is
+    * deterministic, so a replayed batch rewrites byte-equivalent
+    * files over the same names instead of appending duplicate rows —
+    * a duplicate (id, vec) row would otherwise surface as a duplicate
+    * neighbor in every later top-k. */
+  def appendToIndexAtomic(batch: DataFrame, cId: String, cVec: String,
+                          path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cents = loadCodebook(spark, path)
+    val assign = assignerFromCents(cents)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.tmp-batch-$batchId")
+    val fs = tmp.getFileSystem(hconf)
+    batch.select(col(cId), col(cVec))
+      .withColumn("cell_id", assign(col(cVec)))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(tmp.toString)
+    for (cellDir <- fs.listStatus(tmp).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("cell_id="))) {
+      val parts = fs.listStatus(cellDir.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"expected one file per cell after repartition, got ${parts.length}")
+      val dest = new org.apache.hadoop.fs.Path(
+        s"$path/cells/${cellDir.getPath.getName}/batch-$batchId.parquet")
+      fs.mkdirs(dest.getParent)
+      if (fs.exists(dest)) fs.delete(dest, false) // replay: overwrite
+      require(fs.rename(parts.head.getPath, dest), s"rename to $dest failed")
+    }
+    fs.delete(tmp, true): Unit
+  }
+
+  /** Started-able streaming index maintenance: each micro-batch of
+    * `(cId, cVec)` vectors is assigned by the persisted codebook and
+    * appended idempotently ([[appendToIndexAtomic]]) — the ANN analog
+    * of the streaming ingest→store path; fold accumulated batch files
+    * per cell with `Compact.runPartitioned(cellsDir)` off the hot
+    * path. The caller picks trigger/checkpoint and calls `.start()`. */
+  def streamingIndexAppend(vectors: DataFrame, cId: String, cVec: String,
+                           path: String) =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendToIndexAtomic(batch, cId, cVec, path, batchId)
+    }
+
   /** The persisted codebook, sorted by cell id (tiny: nCells rows). */
   def loadCodebook(spark: org.apache.spark.sql.SparkSession,
                    path: String): Array[(Long, Seq[Double])] =

@@ -201,4 +201,42 @@ class StreamingSpec extends SparkTestBase {
         s"replayed doc matches prior corpus, not its own signature: $flagged")
     } finally q.stop()
   }
+
+  test("streaming IVF index append: idempotent batches grow the searchable index") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sivf").toString
+    // seed index from an initial corpus
+    val corpus = (0 until 60).map { i =>
+      val a = i * 0.1
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    Similarity.buildIndex(corpus, "vec_id", "v", dir, nCells = 4, iters = 1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.streamingIndexAppend(
+      input.toDF().toDF("vec_id", "v"), "vec_id", "v", dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((100L, Array(1.0f, 0.01f)))
+      q.processAllAvailable()
+      input.addData((101L, Array(0.0f, 1.0f)), (102L, Array(0.8f, 0.6f)))
+      q.processAllAvailable()
+      // query aimed exactly along the STREAMED vector's direction —
+      // it must beat the seed corpus's vec 0 at angle 0
+      val qv = Seq((999L, Array(1.0f, 0.01f))).toDF("q_id", "q_vec")
+      val top = Similarity.ivfTopKIndexed(spark, qv, "q_id", "q_vec", dir,
+        "vec_id", "v", k = 1, nProbe = 1).collect()
+      assert(top.head.getAs[Long]("vec_id") == 100L,
+        s"streamed vector is the nearest: ${top.toSeq}")
+      // idempotence: re-running a batch id rewrites the same files —
+      // row count is unchanged, no duplicate neighbors possible
+      val before = spark.read.parquet(s"$dir/cells").count()
+      Similarity.appendToIndexAtomic(
+        Seq((101L, Array(0.0f, 1.0f)), (102L, Array(0.8f, 0.6f)))
+          .toDF("vec_id", "v"), "vec_id", "v", dir, batchId = 1L)
+      assert(spark.read.parquet(s"$dir/cells").count() == before,
+        "replayed batch must not append duplicate rows")
+    } finally q.stop()
+  }
 }
