@@ -62,6 +62,23 @@ object SparkEntry {
     new java.io.File(scratchRoot, name + "-" + key)
   }
 
+  /** Stage an artifact once per (name, dir): `build` runs only when
+    * the marker is absent, so the bench's passes and sibling queries
+    * share one staging. Fold the BUILD KNOBS into `name` (e.g.
+    * "ivfindex-n8i1") — the scratch dir is process-shared, and two
+    * queries demanding different parameters under one name would
+    * silently reuse whichever staged first. */
+  private def stagedOnce(name: String, dir: String)(
+      build: java.io.File => Unit): java.io.File = {
+    val root = scratch(name, dir)
+    if (!new java.io.File(root, "_SUCCESS_GRAFT").exists()) {
+      deleteRecursively(root)
+      build(root)
+      new java.io.File(root, "_SUCCESS_GRAFT").createNewFile(): Unit
+    }
+    root
+  }
+
   /** Scope-generation tag per query for the baseline manifest
     * (BASELINE_QUERIES.json, written by [[graft.Bench]] on clean full
     * runs). The 2x self-audit compares a query's current time ONLY
@@ -555,17 +572,13 @@ object SparkEntry {
     // rankRows, not Dictionary.build: identity keys are user-scale
     // cardinality, where build's driver-collect probe and cached
     // fallback are the wrong tools (Dictionary.scala:69-70 says so).
-    val snap = scratch("identsnap", dir)
-    if (!new java.io.File(snap, "_SUCCESS_GRAFT").exists()) {
-      deleteRecursively(snap)
+    val snap = stagedOnce("identsnap", dir)(root =>
       Dictionary.rankRows(
         events(s, dir).filter(pmod(col("user_id"), lit(3)) === 0)
           .select(concat(lit("u"), col("user_id").cast("string")).as("user_key"))
           .distinct(),
         Seq(col("user_key")), "id")
-        .write.mode("overwrite").parquet(snap.getAbsolutePath)
-      new java.io.File(snap, "_SUCCESS_GRAFT").createNewFile(): Unit
-    }
+        .write.mode("overwrite").parquet(root.getAbsolutePath))
     s.read.parquet(snap.getAbsolutePath)
   }
 
@@ -1093,9 +1106,9 @@ object SparkEntry {
     // test_aggregate.py): {sum,min,max,avg,count} × int property,
     // plain + two-level, all-integer so exact in both engines
     "q_agg_matrix" -> ((s, dir) => {
-      val ev = events(s, dir)
+      val ev0 = events(s, dir)
         .withColumn("k_int", get_json_object(col("props"), "$.k").cast("long"))
-        .filter(Exprs.timePredicate(col("ts"), RANGE))
+      val ev = ev0.filter(Exprs.timePredicateFor(ev0, "ts", RANGE))
       ev.groupBy(col("event_type"))
         .agg(
           sum(col("k_int")).as("sum_k"),
@@ -1108,9 +1121,9 @@ object SparkEntry {
     // two-level matrix: outer agg over per-user inner sums (the
     // reference's partitioned-aggregate differential suite)
     "q_agg_matrix_partitioned" -> ((s, dir) => {
-      val ev = events(s, dir)
+      val ev0 = events(s, dir)
         .withColumn("k_int", get_json_object(col("props"), "$.k").cast("long"))
-        .filter(Exprs.timePredicate(col("ts"), RANGE))
+      val ev = ev0.filter(Exprs.timePredicateFor(ev0, "ts", RANGE))
       ev.groupBy(col("event_type"), col("user_id"))
         .agg(sum(col("k_int")).as("s"), count(lit(1)).as("c"))
         .groupBy(col("event_type"))
@@ -1134,8 +1147,8 @@ object SparkEntry {
 
     // §2.4 the reference's unimplemented!() percentiles — implemented
     "q_es_percentiles" -> ((s, dir) => {
-      events(s, dir)
-        .filter(Exprs.timePredicate(col("ts"), RANGE))
+      val ev = events(s, dir)
+      ev.filter(Exprs.timePredicateFor(ev, "ts", RANGE))
         .groupBy(col("event_type"))
         .agg(
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -1359,9 +1372,17 @@ object SparkEntry {
       val days = Reshape.timeColumns(ts("2024-01-05T00:00:00Z"),
         ts("2024-01-09T00:00:00Z"), TimeIntervalUnit.Day)
         .map(t => t.toInstant.toString.substring(0, 10))
-      val long = events(s, dir)
-        .filter(col("ts") >= lit(ts("2024-01-05T00:00:00Z")) &&
-          col("ts") < lit(ts("2024-01-10T00:00:00Z")))
+      val ev = events(s, dir)
+      val tsPred = col("ts") >= lit(ts("2024-01-05T00:00:00Z")) &&
+        col("ts") < lit(ts("2024-01-10T00:00:00Z"))
+      // implied event_date bounds (half-open ts upper bound ⊆ the
+      // inclusive Jan 10 partition) so the scan prunes directories
+      val long = ev.filter(
+          if (ev.columns.contains("event_date"))
+            tsPred &&
+              col("event_date") >= to_date(lit(ts("2024-01-05T00:00:00Z"))) &&
+              col("event_date") <= to_date(lit(ts("2024-01-10T00:00:00Z")))
+          else tsPred)
         .select(col("event_type"), day(col("ts")).cast("string").as("d"))
         .groupBy("event_type", "d").agg(sum(lit(1)).as("cnt"))
       Reshape.pivot(long, Seq("event_type"), "d", days, "cnt")
@@ -1387,8 +1408,9 @@ object SparkEntry {
 
     // §2.10 UnpivotNode: wide metrics → (agg_name, value) long form
     "q_unpivot" -> ((s, dir) => {
-      val wide = eventsC(s, dir)
-        .filter(Exprs.timePredicate(col("ts"), RANGE))
+      val ev = eventsC(s, dir)
+      val wide = ev
+        .filter(Exprs.timePredicateFor(ev, "ts", RANGE))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).cast("double").as("cnt"),
           (sum(col("v100")) / 100.0).as("sum_value"))
@@ -1397,8 +1419,9 @@ object SparkEntry {
 
     // §2.8+§2.10 AggregateAndSortColumns + LimitGroups: top-k groups
     "q_limit_groups" -> ((s, dir) => {
-      val daily = events(s, dir)
-        .filter(Exprs.timePredicate(col("ts"), RANGE))
+      val ev = events(s, dir)
+      val daily = ev
+        .filter(Exprs.timePredicateFor(ev, "ts", RANGE))
         .groupBy(col("event_type"), day(col("ts")).as("d"))
         .agg(count(lit(1)).as("cnt"))
       Reshape.limitGroups(daily, Seq("event_type"), "cnt", 3)
@@ -2055,13 +2078,9 @@ object SparkEntry {
     // PipelineSpec). Same training determinism as q_knn_ivf_trained,
     // so the generated one-step oracle replays it bit for bit.
     "q_knn_ivf_indexed" -> ((s, dir) => {
-      val idx = scratch("ivfindex", dir)
-      if (!new java.io.File(idx, "_SUCCESS_GRAFT").exists()) {
-        deleteRecursively(idx)
+      val idx = stagedOnce("ivfindex-n8i1", dir)(root =>
         Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
-          idx.getAbsolutePath, nCells = 8, iters = 1)
-        new java.io.File(idx, "_SUCCESS_GRAFT").createNewFile(): Unit
-      }
+          root.getAbsolutePath, nCells = 8, iters = 1))
       val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
@@ -2078,13 +2097,9 @@ object SparkEntry {
     // the nProbe semantics compose (the two features' interaction is
     // exactly where an off-by-one in cell ranking would hide).
     "q_knn_ivf_indexed_mp" -> ((s, dir) => {
-      val idx = scratch("ivfindex", dir)
-      if (!new java.io.File(idx, "_SUCCESS_GRAFT").exists()) {
-        deleteRecursively(idx)
+      val idx = stagedOnce("ivfindex-n8i1", dir)(root =>
         Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
-          idx.getAbsolutePath, nCells = 8, iters = 1)
-        new java.io.File(idx, "_SUCCESS_GRAFT").createNewFile(): Unit
-      }
+          root.getAbsolutePath, nCells = 8, iters = 1))
       val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
@@ -2332,8 +2347,8 @@ object SparkEntry {
     // reference Decimal(28,16) fidelity: exact decimal aggregation
     // (common/src/types.rs:14-17 — DECIMAL_PRECISION 28, SCALE 16)
     "q_decimal_agg" -> ((s, dir) => {
-      events(s, dir)
-        .filter(Exprs.timePredicate(col("ts"), RANGE))
+      val ev = events(s, dir)
+      ev.filter(Exprs.timePredicateFor(ev, "ts", RANGE))
         .withColumn("vdec", col("value").cast("decimal(28,16)"))
         .groupBy(col("event_type"))
         .agg(

@@ -272,26 +272,19 @@ object Segments {
         PropFilter(prop, op, values))
   }
 
-  /** The condition's row-level time scope, when it has one — used to
-    * prune the flag pass's scan to the union of scopes. All-history
-    * conditions (unscoped Had / current-value Has) return None. */
+  /** The condition's row-level time scope predicate, when it has
+    * one — used to prune the flag pass's scan to the union of scopes.
+    * Derived from [[scopeTime]] so the ts predicate and the implied
+    * [[dateScopePred]] date bounds can never disagree per condition
+    * (the fused prefilter's soundness depends on exactly that
+    * agreement). All-history conditions return None. */
   private def scopePred(c: SegmentCondition, reqTime: QueryTime,
-                        tsCol: String): Option[Column] = {
-    def plain(t: SegmentTime): Option[Column] = t match {
-      case _: SegmentTime.Each | _: SegmentTime.AfterFirstUse => None
-      case t => Some(timePred(t, reqTime, tsCol))
-    }
-    c match {
-      case SegmentCondition.DidEventCount(_, _, _, _, t)                   => plain(t)
-      case SegmentCondition.DidEventAggregateProperty(_, _, _, _, _, _, t) => plain(t)
-      case SegmentCondition.DidEventRelativeCount(_, _, _, _, _, t)        => plain(t)
-      case SegmentCondition.HadPropertyValue(_, _, _, t)                   => t.flatMap(plain)
-      case _                                                               => None
-    }
-  }
+                        tsCol: String): Option[Column] =
+    scopeTime(c).map(timePred(_, reqTime, tsCol))
 
   /** The condition's RANGE-shaped time scope, when it has one (the
-    * SegmentTime behind [[scopePred]]'s predicate). */
+    * single source of truth behind [[scopePred]] and the fused pass's
+    * date bounds). */
   private def scopeTime(c: SegmentCondition): Option[SegmentTime] = {
     def plain(t: SegmentTime): Option[SegmentTime] = t match {
       case _: SegmentTime.Each | _: SegmentTime.AfterFirstUse => None

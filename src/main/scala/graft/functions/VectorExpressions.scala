@@ -243,11 +243,19 @@ final case class NearestCells(child: Expression,
       val d = vNorm * centNorms(c)
       val cos = if (d == 0) 0.0 else acc / d
       val id = ids(c)
-      // insert if better than the current worst kept
+      // insert if better than the current worst kept. Comparisons go
+      // through Double.compare — NaN ranks GREATEST (Spark's SQL
+      // ordering), so a garbage vector whose cosines are all NaN
+      // still lands deterministically in the lowest-id cell instead
+      // of silently matching NO cell and vanishing from every result
+      // (primitive <,> are both false against NaN).
+      def beats(cosA: Double, idA: Long, cosB: Double, idB: Long): Boolean = {
+        val cmp = java.lang.Double.compare(cosA, cosB)
+        cmp > 0 || (cmp == 0 && idA < idB)
+      }
       var k = nProbe - 1
-      if (cos > bestCos(k) || (cos == bestCos(k) && id < bestId(k))) {
-        while (k > 0 && (cos > bestCos(k - 1) ||
-            (cos == bestCos(k - 1) && id < bestId(k - 1)))) {
+      if (beats(cos, id, bestCos(k), bestId(k))) {
+        while (k > 0 && beats(cos, id, bestCos(k - 1), bestId(k - 1))) {
           bestCos(k) = bestCos(k - 1); bestId(k) = bestId(k - 1); k -= 1
         }
         bestCos(k) = cos; bestId(k) = id

@@ -548,11 +548,25 @@ object Similarity {
   def appendToIndexAtomic(batch: DataFrame, cId: String, cVec: String,
                           path: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val cents = loadCodebook(spark, path)
-    val assign = assignerFromCents(cents)
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.tmp-batch-$batchId")
     val fs = tmp.getFileSystem(hconf)
+    // the hidden .done marker — not the batch files — is the replay
+    // guard: [[compactIndexCells]] legitimately folds batch files
+    // into merged parts and deletes them, so "file exists" cannot
+    // mean "batch applied". Marker-AFTER-rename is deliberate (the
+    // inverse order would read a crash between marker and renames as
+    // applied and LOSE the batch); the one remaining window — crash
+    // after the renames but before the marker, AND a compaction
+    // folding those files before restart — re-appends one batch's
+    // rows, and that duplication is physically collapsed by the next
+    // [[compactIndexCells]] fold (replacing on the vector id), which
+    // is why it is the REQUIRED maintenance path for this store —
+    // the exact contract of StreamingDedup's signature store.
+    val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
+    if (fs.exists(marker)) return
+    val cents = loadCodebook(spark, path)
+    val assign = assignerFromCents(cents)
     batch.select(col(cId), col(cVec))
       .withColumn("cell_id", assign(col(cVec)))
       .repartition(col("cell_id"))
@@ -570,15 +584,35 @@ object Similarity {
       if (fs.exists(dest)) fs.delete(dest, false) // replay: overwrite
       require(fs.rename(parts.head.getPath, dest), s"rename to $dest failed")
     }
-    fs.delete(tmp, true): Unit
+    fs.delete(tmp, true)
+    fs.create(marker, true).close()
   }
+
+  /** The index cells store's REQUIRED compaction entry point:
+    * replacing on the vector id, so rows duplicated by the
+    * crash-between-rename-and-marker replay window (see
+    * [[appendToIndexAtomic]]) collapse back to one row per vector at
+    * the next fold. Run it as a MAINTENANCE WINDOW, not concurrently
+    * with searches: [[ivfTopKIndexed]] reads the cell directories
+    * plainly (exactly like the events store's readers), and a read
+    * racing a fold's commit could briefly see a merged part alongside
+    * its inputs. */
+  def compactIndexCells(spark: org.apache.spark.sql.SparkSession,
+                        path: String, cId: String,
+                        opts: graft.sources.Compact.Options =
+                          graft.sources.Compact.Options())
+      : Map[String, graft.sources.Compact.Report] =
+    graft.sources.Compact.runPartitioned(spark, s"$path/cells",
+      opts.copy(replaceOn = Seq(cId), versionCol = None))
 
   /** Started-able streaming index maintenance: each micro-batch of
     * `(cId, cVec)` vectors is assigned by the persisted codebook and
-    * appended idempotently ([[appendToIndexAtomic]]) — the ANN analog
-    * of the streaming ingest→store path; fold accumulated batch files
-    * per cell with `Compact.runPartitioned(cellsDir)` off the hot
-    * path. The caller picks trigger/checkpoint and calls `.start()`. */
+    * appended idempotently ([[appendToIndexAtomic]]: deterministic
+    * batch filenames + a replay marker) — the ANN analog of the
+    * streaming ingest→store path; fold accumulated batch files per
+    * cell with [[compactIndexCells]] off the hot path (required, see
+    * its scaladoc). The caller picks trigger/checkpoint and calls
+    * `.start()`. */
   def streamingIndexAppend(vectors: DataFrame, cId: String, cVec: String,
                            path: String) =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -613,7 +647,7 @@ object Similarity {
     // distinct probed-cell collect is ≤ min(|queries|·nProbe, nCells)
     // longs — driver-safe by construction
     val probed = qb.select(col("cell_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
     val ca = spark.read.parquet(s"$path/cells")
       .filter(col("cell_id").isin(probed: _*))
     val scored = ca

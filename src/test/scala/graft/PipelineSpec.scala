@@ -957,8 +957,8 @@ class PipelineSpec extends SparkTestBase {
         walk(d).count(_.getName.endsWith(".parquet"))
       }
       val before = parquetCount(cellsDir)
-      val reports = graft.sources.Compact.runPartitioned(
-        spark, cellsDir.getAbsolutePath)
+      val reports = Similarity.compactIndexCells(
+        spark, dir.getAbsolutePath, "vec_id")
       assert(reports.values.exists(_.merges > 0), reports)
       assert(parquetCount(cellsDir) < before, s"$before -> ${parquetCount(cellsDir)}")
       val folded = Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec",

@@ -229,14 +229,25 @@ class StreamingSpec extends SparkTestBase {
         "vec_id", "v", k = 1, nProbe = 1).collect()
       assert(top.head.getAs[Long]("vec_id") == 100L,
         s"streamed vector is the nearest: ${top.toSeq}")
-      // idempotence: re-running a batch id rewrites the same files —
-      // row count is unchanged, no duplicate neighbors possible
+      // idempotence 1: a replayed batch id is SKIPPED by its .done
+      // marker — compaction may have folded the batch files, so the
+      // marker (not file existence) is the replay guard
       val before = spark.read.parquet(s"$dir/cells").count()
       Similarity.appendToIndexAtomic(
         Seq((101L, Array(0.0f, 1.0f)), (102L, Array(0.8f, 0.6f)))
           .toDF("vec_id", "v"), "vec_id", "v", dir, batchId = 1L)
       assert(spark.read.parquet(s"$dir/cells").count() == before,
         "replayed batch must not append duplicate rows")
+      // idempotence 2: crash-before-marker replay (marker deleted)
+      // rewrites the same deterministic filenames — still no growth
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f".batch-${1L}%09d.done"), false)
+      Similarity.appendToIndexAtomic(
+        Seq((101L, Array(0.0f, 1.0f)), (102L, Array(0.8f, 0.6f)))
+          .toDF("vec_id", "v"), "vec_id", "v", dir, batchId = 1L)
+      assert(spark.read.parquet(s"$dir/cells").count() == before,
+        "crash-before-marker replay overwrites, never appends")
     } finally q.stop()
   }
 }
