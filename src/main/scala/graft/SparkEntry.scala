@@ -1344,11 +1344,13 @@ object SparkEntry {
 
     // §3.3 property-values listing: distinct → sort → limit
     "q_prop_values" -> ((s, dir) =>
-      Records.propertyValues(events(s, dir), "event_type")),
+      Records.propertyValues(
+        Exprs.tenantScope(events(s, dir), Some(1L)), "event_type")),
 
     // §2.1 replacing-table semantics: latest row per group id
     "q_group_latest" -> ((s, dir) => {
-      Records.latestPerGroup(events(s, dir), "user_id", "event_id")
+      Records.latestPerGroup(
+          Exprs.tenantScope(events(s, dir), Some(1L)), "user_id", "event_id")
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"))
     }),
@@ -1450,13 +1452,14 @@ object SparkEntry {
 
     // §3.3 get-record-by-id (point lookup)
     "q_record_by_id" -> ((s, dir) =>
-      Records.getById(events(s, dir), 123L)
+      Records.getById(Exprs.tenantScope(events(s, dir), Some(1L)), 123L)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))),
 
     // §3.3 group-record search: latest profile per user, sorted by a
     // property, limited (group_records.rs:220-320)
     "q_group_search" -> ((s, dir) => {
-      Records.latestPerGroup(events(s, dir), "user_id", "event_id")
+      Records.latestPerGroup(
+          Exprs.tenantScope(events(s, dir), Some(1L)), "user_id", "event_id")
         .select(col("user_id"), col("event_type"), col("value"))
         .orderBy(col("value").desc, col("user_id").asc)
         .limit(20)
