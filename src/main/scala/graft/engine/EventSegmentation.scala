@@ -512,7 +512,10 @@ object EventSegmentation {
                           groupCol: String = UserCol, tsCol: String = TsCol,
                           outCol: String = "active"): DataFrame = {
     events
-      .filter(col(tsCol) >= lit(from) && col(tsCol) <= lit(to))
+      // timePredicateFor: the range filter upgrades to event_date
+      // directory pruning on the canonical layout
+      .filter(Exprs.timePredicateFor(events, tsCol,
+        graft.model.QueryTime.Between(from, to)))
       .select(col(groupCol),
         explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
         to_date(date_trunc("day", col(tsCol))).as("__d0"))
