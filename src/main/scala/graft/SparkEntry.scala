@@ -97,7 +97,8 @@ object SparkEntry {
     * (ADVICE r12), so the scan layout of the whole family changed in
     * one commit. */
   private val eventsFamily: Set[String] = Set(
-    "q_agg_matrix", "q_agg_matrix_partitioned", "q_auth_scoped",
+    "q_agg_matrix", "q_agg_matrix_partitioned", "q_asof_join",
+    "q_attribution", "q_auth_scoped",
     "q_custom_event", "q_decimal_agg", "q_dict_autoencode", "q_dict_decode",
     "q_es_agg", "q_es_agg_per_group", "q_es_compare", "q_es_count", "q_es_cube",
     "q_es_count_per_group", "q_es_cumulative", "q_es_filtered",
@@ -111,8 +112,9 @@ object SparkEntry {
     "q_ingest_identify", "q_ingest_identity", "q_ingest_ua", "q_json_es",
     "q_json_es_pivoted", "q_json_funnel", "q_json_group_dim",
     "q_json_group_search", "q_json_prop_values", "q_json_records",
-    "q_json_report", "q_limit_groups", "q_merge_union", "q_partition_prune",
-    "q_pivot", "q_prop_ops", "q_prop_values", "q_record_by_id",
+    "q_json_report", "q_kmv_distinct", "q_limit_groups", "q_merge_union",
+    "q_partition_prune", "q_pivot", "q_prop_ops", "q_prop_values",
+    "q_record_by_id", "q_retention",
     "q_records_decoded", "q_records_search", "q_registry_es",
     "q_registry_groups", "q_registry_renamed", "q_rename_reorder",
     "q_salted_agg", "q_segment_agg", "q_segment_count", "q_segment_each",
@@ -2820,6 +2822,88 @@ object SparkEntry {
         projectId = Some(pid))
       EventSegmentation.run(ev, req)
         .select(day(col("bucket")).as("d"), col("cnt"))
+    }),
+
+    // ---- temporal operators beyond the reference surface ----------
+
+    // Point-in-time (as-of) join: every view event sees the user's
+    // latest purchase at-or-before its timestamp (Temporal.asofJoin —
+    // one hash shuffle + running window, never a range
+    // cross-product). Aggregated per day so every matched row feeds
+    // the hash through n_matched / sum_prior_cents / max_gap_us.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = eventsC(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ev_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+          col("v100").as("p_cents"))
+      Temporal.asofJoin(views, purchases, Seq("user_id"), "ev_us", "p_us",
+          tolerance = None, tieBreak = Seq("p_cents"))
+        .groupBy(day(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_views"),
+          count(col("asof_ts")).as("n_matched"),
+          sum(col("p_cents")).as("sum_prior_cents"),
+          max(col("ev_us") - col("asof_ts")).as("max_gap_us"))
+        .orderBy(col("d"))
+    }),
+
+    // Last-touch attribution: each purchase attributed to the user's
+    // most recent view/click/signup within a 7-day lookback (the
+    // as-of join's tolerance cut); unmatched conversions stay visible
+    // as the "(none)" channel.
+    "q_attribution" -> ((s, dir) => {
+      val ev = eventsC(s, dir)
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("conv_us"),
+          col("v100").as("rev_cents"))
+      val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_type").as("channel"))
+      Temporal.asofJoin(convs, touches, Seq("user_id"), "conv_us", "t_us",
+          tolerance = Some(7L * 86400000000L), tieBreak = Seq("channel"))
+        .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          sum(col("rev_cents")).as("rev_cents"))
+        .orderBy(col("channel"))
+    }),
+
+    // Weekly cohort retention (Temporal.weeklyRetention): users
+    // bucketed by the Monday week of their first event; counts of
+    // cohort users active at each week offset. The raw stream reduces
+    // to distinct (user, week) before anything else touches it.
+    "q_retention" -> ((s, dir) => {
+      Temporal.weeklyRetention(events(s, dir), "user_id", "ts", maxWeeks = 5)
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // KMV distinct sketch (Sketches): per-event-type k-minimum-values
+    // sketches of distinct event_ids plus their MERGE into a global
+    // "__all" sketch — the mergeable count-distinct a 100 TB pipeline
+    // runs instead of COUNT(DISTINCT). n_exact rides along (one
+    // ROLLUP pass) so the oracle pins estimate AND truth per group.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val ev = events(s, dir).select(
+        col("event_type").as("grp"), col("event_id"))
+      // Stage the per-type sketch rows once (≤ k per group): both the
+      // per-type estimates and the merge read them, and without the
+      // checkpoint each branch would re-run the full scan+top-k.
+      val hashes = Sketches.kmvHashes(ev, Seq("grp"), col("event_id"), k)
+        .localCheckpoint(false)
+      val perType = Sketches.kmvEstimate(hashes, Seq("grp"), k)
+      val merged = Sketches.kmvEstimate(
+        Sketches.kmvHashes(hashes.withColumn("grp", lit("__all")),
+          Seq("grp"), col("kmv_hash"), k, preHashed = true),
+        Seq("grp"), k)
+      val exact = ev.cube(col("grp"))
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+        .select(coalesce(col("grp"), lit("__all")).as("grp"), col("n_exact"))
+      perType.unionByName(merged)
+        .join(exact, Seq("grp"))
+        .select(col("grp"), col("n_exact"), col("n_kept"),
+          col("kth_hash"), col("distinct_est"))
+        .orderBy(col("grp"))
     })
   )
 
@@ -4570,6 +4654,93 @@ object SparkEntry {
     "q_auth_scoped" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
          FROM events WHERE $SQL_RANGE AND (user_id % 2) + 1 = 2
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // as-of join replayed as the same union-window: right rows sort
+    // before left rows at equal time, last_value(... IGNORE NULLS)
+    // over the running frame is the at-or-before match, ties on
+    // (user, t) resolve by the same p_cents order.
+    "q_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, epoch_us(ts) AS t, 1 AS side,
+               CAST(NULL AS BIGINT) AS a_ts, CAST(NULL AS BIGINT) AS p_cents
+             FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, CAST(NULL AS TIMESTAMP) AS ts, epoch_us(ts) AS t, 0 AS side,
+               epoch_us(ts) AS a_ts, CAST(round(value*100) AS BIGINT) AS p_cents
+             FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT * FROM v UNION ALL SELECT * FROM p),
+         m AS (SELECT user_id, ts, t, side,
+               last_value(a_ts IGNORE NULLS) OVER w AS m_ts,
+               last_value(p_cents IGNORE NULLS) OVER w AS m_cents
+             FROM u
+             WINDOW w AS (PARTITION BY user_id ORDER BY t, side, p_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+           count(*) AS n_views, count(m_ts) AS n_matched,
+           CAST(sum(m_cents) AS BIGINT) AS sum_prior_cents,
+           max(t - m_ts) AS max_gap_us
+         FROM m WHERE side = 1 GROUP BY 1 ORDER BY 1""",
+
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS t, 1 AS side,
+               CAST(round(value*100) AS BIGINT) AS rev_cents,
+               CAST(NULL AS BIGINT) AS a_ts, CAST(NULL AS VARCHAR) AS channel
+             FROM events WHERE event_type = 'purchase'),
+         tc AS (SELECT user_id, epoch_us(ts) AS t, 0 AS side,
+               CAST(NULL AS BIGINT) AS rev_cents,
+               epoch_us(ts) AS a_ts, event_type AS channel
+             FROM events WHERE event_type IN ('view', 'click', 'signup')),
+         u AS (SELECT * FROM c UNION ALL SELECT * FROM tc),
+         m AS (SELECT user_id, t, side, rev_cents,
+               last_value(a_ts IGNORE NULLS) OVER w AS m_ts,
+               last_value(channel IGNORE NULLS) OVER w AS m_ch
+             FROM u
+             WINDOW w AS (PARTITION BY user_id ORDER BY t, side, channel
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT CASE WHEN m_ts IS NOT NULL AND m_ts >= t - 604800000000 THEN m_ch
+                ELSE '(none)' END AS channel,
+           count(*) AS n_conv, CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+         FROM m WHERE side = 1 GROUP BY 1 ORDER BY 1""",
+
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS w
+             FROM events),
+         c AS (SELECT user_id, w,
+               min(w) OVER (PARTITION BY user_id) AS cohort_week
+             FROM uw)
+         SELECT cohort_week,
+           CAST(datediff('day', cohort_week, w) / 7 AS INT) AS week_offset,
+           count(*) AS n_users
+         FROM c WHERE datediff('day', cohort_week, w) / 7 <= 5
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // KMV: identical 60-bit md5 hash space (the md5Hash60 trick), the
+    // same k-minima per group, the same union-then-re-top-k merge,
+    // and the same exactly-representable double estimator.
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+               CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS kmv_hash
+             FROM events),
+         sk AS (SELECT grp, kmv_hash FROM (
+               SELECT grp, kmv_hash,
+                 row_number() OVER (PARTITION BY grp ORDER BY kmv_hash) AS rn
+               FROM h) WHERE rn <= 64),
+         mg AS (SELECT grp, kmv_hash FROM (
+               SELECT '__all' AS grp, kmv_hash,
+                 row_number() OVER (ORDER BY kmv_hash) AS rn
+               FROM (SELECT DISTINCT kmv_hash FROM sk)) WHERE rn <= 64),
+         est AS (SELECT grp, count(*) AS n_kept, max(kmv_hash) AS kth_hash
+             FROM (SELECT * FROM sk UNION ALL SELECT * FROM mg) GROUP BY 1),
+         est2 AS (SELECT grp, n_kept, kth_hash,
+               CASE WHEN n_kept < 64 THEN n_kept
+                 ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+               END AS distinct_est
+             FROM est),
+         ex AS (SELECT coalesce(grp, '__all') AS grp,
+               count(DISTINCT event_id) AS n_exact
+             FROM (SELECT event_type AS grp, event_id FROM events)
+             GROUP BY ROLLUP(grp))
+         SELECT e.grp, ex.n_exact, e.n_kept, e.kth_hash, e.distinct_est
+         FROM est2 e JOIN ex ON e.grp = ex.grp ORDER BY e.grp"""
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }
