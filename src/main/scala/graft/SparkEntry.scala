@@ -119,7 +119,7 @@ object SparkEntry {
     "q_registry_groups", "q_registry_renamed", "q_rename_reorder",
     "q_salted_agg", "q_segment_agg", "q_segment_count", "q_segment_each",
     "q_segment_had", "q_segment_has", "q_segment_relative", "q_sessionize",
-    "q_stream_track", "q_tenant_prune", "q_time_from", "q_time_last",
+    "q_stream_kmv", "q_stream_track", "q_tenant_prune", "q_time_from", "q_time_last",
     "q_unpivot")
 
   def queryScope(name: String): String = name match {
@@ -2877,6 +2877,39 @@ object SparkEntry {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Streaming running-distinct (Sketches.streamingKmv): two
+    // micro-batches of a BOUNDED event slice (event_id < 2000, the
+    // driver-side feed is inherent to oracling MemoryStream) merge
+    // per-batch KMV sketches into a persisted store; the emitted rows
+    // are the running estimates after each batch. The oracle
+    // recomputes each batch's PREFIX sketch closed-form — equal by
+    // the KMV merge invariant (union of sketches == sketch of union).
+    "q_stream_kmv" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skmv-q").toString
+      val input = MemoryStream[(Long, String)]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+      val q = Sketches.streamingKmv(input.toDF().toDF("event_id", "grp"),
+          s"$tmp/sk", Seq("grp"), col("event_id"), 64) { (est, bid) =>
+        acc ++= est.collect().map(r => (bid, r.getAs[String]("grp"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"),
+          r.getAs[Long]("distinct_est")))
+      }.option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        // split at 500 so BOTH batches are non-empty at every SF
+        // (sf0.001 has event_ids 0..999)
+        input.addData(ev.filter(_._1 < 500).toSeq); q.processAllAvailable()
+        input.addData(ev.filter(_._1 >= 500).toSeq); q.processAllAvailable()
+      } finally q.stop()
+      acc.toSeq.toDF("batch", "grp", "n_kept", "kth_hash", "distinct_est")
+        .orderBy(col("batch"), col("grp"))
+    }),
+
     // KMV distinct sketch (Sketches): per-event-type k-minimum-values
     // sketches of distinct event_ids plus their MERGE into a global
     // "__all" sketch — the mergeable count-distinct a 100 TB pipeline
@@ -4713,6 +4746,29 @@ object SparkEntry {
            count(*) AS n_users
          FROM c WHERE datediff('day', cohort_week, w) / 7 <= 5
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // running prefix sketches: batch b's estimate is the KMV of every
+    // event fed up to and including batch b (merge invariant)
+    "q_stream_kmv" ->
+      """WITH src AS (SELECT event_id, event_type AS grp FROM events
+             WHERE event_id < 2000),
+         u AS (SELECT CAST(0 AS BIGINT) AS batch, grp, event_id FROM src
+             WHERE event_id < 500
+           UNION ALL SELECT CAST(1 AS BIGINT) AS batch, grp, event_id FROM src),
+         h AS (SELECT DISTINCT batch, grp,
+               CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS kmv_hash
+             FROM u),
+         sk AS (SELECT batch, grp, kmv_hash FROM (
+               SELECT batch, grp, kmv_hash,
+                 row_number() OVER (PARTITION BY batch, grp ORDER BY kmv_hash) AS rn
+               FROM h) WHERE rn <= 64),
+         est AS (SELECT batch, grp, count(*) AS n_kept, max(kmv_hash) AS kth_hash
+             FROM sk GROUP BY 1, 2)
+         SELECT batch, grp, n_kept, kth_hash,
+           CASE WHEN n_kept < 64 THEN n_kept
+             ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+           END AS distinct_est
+         FROM est ORDER BY batch, grp""",
 
     // KMV: identical 60-bit md5 hash space (the md5Hash60 trick), the
     // same k-minima per group, the same union-then-re-top-k merge,

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Mergeable distinct-count sketches — the way COUNT(DISTINCT) is
   * answered at 100 TB: each partition/group keeps a bounded summary,
@@ -64,4 +65,60 @@ object Sketches {
           floor(lit((k - 1).toDouble * 1152921504606846976.0d) /
             col("kth_hash").cast("double")).cast("long")))
   }
+
+  /** Streaming running-distinct: per micro-batch, merge the batch's
+    * KMV sketch into a persisted sketch store and hand `sink` the
+    * post-batch running estimates (groupCols…, n_kept, kth_hash,
+    * distinct_est).
+    *
+    * The store holds sketch ROWS (groupCols…, kmv_hash), ≤ k per
+    * group per appended batch, written atomically per batch with the
+    * marker-after-append replay guard [[StreamingDedup]] established.
+    * KMV makes idempotence trivial where dedup needed an anti-join:
+    * the merge re-sketches through `distinct`, so a replayed append
+    * (crash between append and marker) changes NO estimate — sketch
+    * union is idempotent by construction. [[compactSketches]] folds
+    * the accumulated batch files and collapses those replay
+    * duplicates; the read path is correct either way because every
+    * load re-top-ks.
+    *
+    * Scale: the store side never exceeds k rows × groups × appended
+    * batches between compactions, the batch side is micro-batch
+    * sized, and the merge's shuffle carries only sketch rows — the
+    * raw stream is reduced map-side before anything persistent sees
+    * it. */
+  def streamingKmv(rows: DataFrame, storeDir: String, groupCols: Seq[String],
+                   value: Column, k: Int)(
+                   sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val bs = kmvHashes(batch, groupCols, value, k).persist()
+      try {
+        val store = StreamingDedup.loadSignatures(spark, storeDir, bs)
+        val merged = kmvEstimate(
+          kmvHashes(store.unionByName(bs), groupCols, col("kmv_hash"), k,
+            preHashed = true),
+          groupCols, k)
+        sink(merged, batchId)
+        val dirPath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(dirPath, f".batch-$batchId%09d.done")
+        if (!fs.exists(marker)) {
+          graft.sources.Store.atomicAppend(bs, storeDir, f"batch-$batchId%09d")
+          fs.create(marker, true).close()
+        }
+      } finally { bs.unpersist(); () }
+    }
+
+  /** Sketch-store compaction: fold batch files, collapsing any
+    * replay-duplicated sketch rows on their full key. Bounding the
+    * store back to ≤ k rows per group (dropping hashes a batch pushed
+    * past rank k) is the read path's job — estimates never need it,
+    * so the fold stays a pure row-collapse. */
+  def compactSketches(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                      groupCols: Seq[String],
+                      opts: graft.sources.Compact.Options =
+                        graft.sources.Compact.Options()): graft.sources.Compact.Report =
+    graft.sources.Compact.run(spark, storeDir,
+      opts.copy(replaceOn = groupCols :+ "kmv_hash", versionCol = None))
 }

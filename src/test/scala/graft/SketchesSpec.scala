@@ -49,6 +49,49 @@ class SketchesSpec extends SparkTestBase {
     assert(merged.getAs[Long]("distinct_est") == whole.getAs[Long]("distinct_est"))
   }
 
+  test("streaming KMV: running estimates equal prefix sketches, replay is estimate-neutral") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-skmv").toString
+    val input = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = Sketches.streamingKmv(input.toDF().toDF("g", "v"),
+        s"$dir/sk", Seq("g"), col("v"), K) { (est, bid) =>
+      got ++= est.collect().map(r =>
+        (bid, r.getAs[String]("g"), r.getAs[Long]("distinct_est")))
+    }.option("checkpointLocation", s"$dir/ckpt").start()
+    def prefixEst(vals: Seq[String]): Long = Sketches.kmvEstimate(
+      Sketches.kmvHashes(vals.map(("a", _)).toDF("g", "v"), Seq("g"), col("v"), K),
+      Seq("g"), K).collect().head.getAs[Long]("distinct_est")
+    try {
+      val b0 = (1 to 50).map(i => ("a", s"v$i"))
+      val b1 = (30 to 120).map(i => ("a", s"v$i")) // overlaps b0
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      assert(got.toSeq == Seq(
+        (0L, "a", prefixEst(b0.map(_._2))),
+        (1L, "a", prefixEst((b0 ++ b1).map(_._2).distinct))),
+        s"running estimates must equal closed-form prefix sketches: $got")
+      // crash-window replay: batch file re-appended WITHOUT its
+      // marker — duplicated sketch rows change no estimate, and
+      // compaction collapses them back
+      val dup = spark.read.parquet(s"$dir/sk")
+      val before = dup.count()
+      graft.sources.Store.atomicAppend(
+        dup.filter(col("kmv_hash") % 2 === 0), s"$dir/sk", "batch-replayed")
+      got.clear()
+      input.addData(Seq(("a", "v121"))); q.processAllAvailable()
+      assert(got.head._3 == prefixEst(((b0 ++ b1).map(_._2) :+ "v121").distinct),
+        "estimate unchanged by duplicated store rows (KMV union is idempotent)")
+      val rep = Sketches.compactSketches(spark, s"$dir/sk", Seq("g"),
+        graft.sources.Compact.Options(l0MaxParts = 2))
+      assert(rep.merges > 0, s"compaction folded the batch files: $rep")
+      assert(spark.read.parquet(s"$dir/sk").count() <= before + 1 + K,
+        "replay-duplicated rows collapsed on (g, kmv_hash)")
+    } finally q.stop()
+  }
+
   test("per-group top-k prunes map-side (WindowGroupLimit partial)") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
