@@ -112,7 +112,7 @@ object SparkEntry {
     "q_ingest_identify", "q_ingest_identity", "q_ingest_ua", "q_json_es",
     "q_json_es_pivoted", "q_json_funnel", "q_json_group_dim",
     "q_json_group_search", "q_json_prop_values", "q_json_records",
-    "q_json_report", "q_kmv_distinct", "q_limit_groups", "q_merge_union",
+    "q_json_report", "q_kmv_distinct", "q_kmv_overlap", "q_limit_groups", "q_merge_union",
     "q_partition_prune", "q_pivot", "q_prop_ops", "q_prop_values",
     "q_record_by_id", "q_retention",
     "q_records_decoded", "q_records_search", "q_registry_es",
@@ -2877,6 +2877,25 @@ object SparkEntry {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // KMV set operations (Sketches.kmvOverlap): audience overlap —
+    // how many user-days with a click (or purchase) also had a view —
+    // estimated from the k-minima alone, never joining the raw sets.
+    // Exactly the |A∩B| question a 100 TB audience tool answers from
+    // maintained sketches.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val k = 64
+      val ud = events(s, dir).select(col("event_type"),
+        concat_ws("-", col("user_id"), day(col("ts"))).as("ud"))
+      def sk(t: String, label: String) = Sketches.kmvHashes(
+        ud.filter(col("event_type") === t).withColumn("grp", lit(label)),
+        Seq("grp"), col("ud"), k)
+      val a = sk("click", "click_vs_view")
+        .unionByName(sk("purchase", "purchase_vs_view"))
+      val b = sk("view", "click_vs_view")
+        .unionByName(sk("view", "purchase_vs_view"))
+      Sketches.kmvOverlap(a, b, Seq("grp"), k).orderBy(col("grp"))
+    }),
+
     // Streaming running-distinct (Sketches.streamingKmv): two
     // micro-batches of a BOUNDED event slice (event_id < 2000, the
     // driver-side feed is inherent to oracling MemoryStream) merge
@@ -4746,6 +4765,52 @@ object SparkEntry {
            count(*) AS n_users
          FROM c WHERE datediff('day', cohort_week, w) / 7 <= 5
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // KMV set ops: the same per-type user-day sketches, the union
+    // re-sketch, the common-hash sample capped at the union kth, and
+    // the (sample/kept)*est_union estimator — all integer or
+    // exactly-representable double steps
+    "q_kmv_overlap" ->
+      """WITH ud AS (SELECT DISTINCT event_type,
+               CAST(user_id AS VARCHAR) || '-' ||
+                 CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS ud
+             FROM events),
+         h AS (SELECT event_type,
+               CAST('0x' || substring(md5(ud), 1, 15) AS BIGINT) AS kmv_hash
+             FROM ud),
+         skc AS (SELECT event_type, kmv_hash FROM (
+               SELECT event_type, kmv_hash,
+                 row_number() OVER (PARTITION BY event_type ORDER BY kmv_hash) AS rn
+               FROM h) WHERE rn <= 64),
+         pairs(grp, ta, tb) AS (VALUES
+               ('click_vs_view', 'click', 'view'),
+               ('purchase_vs_view', 'purchase', 'view')),
+         a AS (SELECT p.grp, s.kmv_hash FROM pairs p
+             JOIN skc s ON s.event_type = p.ta),
+         b AS (SELECT p.grp, s.kmv_hash FROM pairs p
+             JOIN skc s ON s.event_type = p.tb),
+         u AS (SELECT grp, kmv_hash FROM (
+               SELECT grp, kmv_hash,
+                 row_number() OVER (PARTITION BY grp ORDER BY kmv_hash) AS rn
+               FROM (SELECT DISTINCT grp, kmv_hash FROM
+                 (SELECT * FROM a UNION ALL SELECT * FROM b)))
+             WHERE rn <= 64),
+         est AS (SELECT grp, count(*) AS n_union_kept, max(kmv_hash) AS union_kth
+             FROM u GROUP BY 1),
+         est2 AS (SELECT grp, n_union_kept, union_kth,
+               CASE WHEN n_union_kept < 64 THEN n_union_kept
+                 ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(union_kth AS DOUBLE)) AS BIGINT)
+               END AS est_union
+             FROM est),
+         ib AS (SELECT grp, kmv_hash FROM a INTERSECT SELECT grp, kmv_hash FROM b),
+         cnt AS (SELECT e.grp, e.n_union_kept, e.union_kth, e.est_union,
+               count(CASE WHEN i.kmv_hash <= e.union_kth THEN 1 END) AS n_inter_sample
+             FROM est2 e LEFT JOIN ib i ON e.grp = i.grp
+             GROUP BY 1, 2, 3, 4)
+         SELECT grp, n_union_kept, union_kth, est_union, n_inter_sample,
+           CAST(floor(CAST(n_inter_sample AS DOUBLE) * CAST(est_union AS DOUBLE) /
+             CAST(n_union_kept AS DOUBLE)) AS BIGINT) AS est_intersection
+         FROM cnt ORDER BY grp""",
 
     // running prefix sketches: batch b's estimate is the KMV of every
     // event fed up to and including batch b (merge invariant)

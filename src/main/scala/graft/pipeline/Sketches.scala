@@ -66,6 +66,43 @@ object Sketches {
             col("kth_hash").cast("double")).cast("long")))
   }
 
+  /** Set operations on two sketches (Beyer et al. 2007): estimate
+    * |A∪B| and |A∩B| from the k-minima alone — the audience-overlap
+    * question ("how many users did BOTH X and Y") answered without
+    * ever joining the raw sets.
+    *
+    * Input: two sketch-row frames (`kmv_hash` plus `groupCols`, built
+    * with the same k). Per group: merge → union sketch (kth hash U,
+    * union estimate as [[kmvEstimate]]); the intersection sample is
+    * the hashes ≤ U present in BOTH sides' sketches, and
+    * |A∩B| ≈ (|sample∩| / n_kept) · est_union — exact when both sides
+    * kept fewer than k (the sketches then ARE the sets). All
+    * arithmetic is engine-portable: integer counts, one double
+    * multiply/divide on exactly-representable inputs, floored.
+    *
+    * Output: (groupCols…, n_union_kept, union_kth, est_union,
+    * n_inter_sample, est_intersection). */
+  def kmvOverlap(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                 k: Int): DataFrame = {
+    val union = kmvEstimate(
+      kmvHashes(a.unionByName(b), groupCols, col("kmv_hash"), k, preHashed = true),
+      groupCols, k)
+      .withColumnRenamed("n_kept", "n_union_kept")
+      .withColumnRenamed("kth_hash", "union_kth")
+      .withColumnRenamed("distinct_est", "est_union")
+    val inBoth = a.select(groupCols.map(col) :+ col("kmv_hash"): _*)
+      .intersect(b.select(groupCols.map(col) :+ col("kmv_hash"): _*))
+    // conditional count, NOT filter-then-group: a group whose common
+    // hashes all rank past the union kth must still emit a 0 row
+    val inter = union.join(inBoth, groupCols, "left")
+      .groupBy((groupCols ++ Seq("n_union_kept", "union_kth", "est_union")).map(col): _*)
+      .agg(count(when(col("kmv_hash") <= col("union_kth"), lit(1)))
+        .as("n_inter_sample"))
+    inter.withColumn("est_intersection",
+      floor(col("n_inter_sample").cast("double") * col("est_union").cast("double") /
+        col("n_union_kept").cast("double")).cast("long"))
+  }
+
   /** Streaming running-distinct: per micro-batch, merge the batch's
     * KMV sketch into a persisted sketch store and hand `sink` the
     * post-batch running estimates (groupCols…, n_kept, kth_hash,

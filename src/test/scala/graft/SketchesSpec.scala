@@ -49,6 +49,33 @@ class SketchesSpec extends SparkTestBase {
     assert(merged.getAs[Long]("distinct_est") == whole.getAs[Long]("distinct_est"))
   }
 
+  test("kmvOverlap: exact below k, bounded error above k, zero-overlap row survives") {
+    import spark.implicits._
+    def sketch(vals: Seq[String], grp: String) = Sketches.kmvHashes(
+      vals.map((grp, _)).toDF("g", "v"), Seq("g"), col("v"), K)
+    // small disjoint + overlapping sets: everything below k -> exact
+    val a1 = (1 to 20).map(i => s"x$i"); val b1 = (11 to 35).map(i => s"x$i")
+    val small = Sketches.kmvOverlap(sketch(a1, "s"), sketch(b1, "s"), Seq("g"), K)
+      .collect().head
+    assert(small.getAs[Long]("est_union") == 35L)
+    assert(small.getAs[Long]("n_inter_sample") == 10L)
+    assert(small.getAs[Long]("est_intersection") == 10L, s"exact below k: $small")
+    // large sets: |A|=2000, |B|=2000, overlap 1000 -> union 3000
+    val a2 = (1 to 2000).map(i => s"big$i"); val b2 = (1001 to 3000).map(i => s"big$i")
+    val big = Sketches.kmvOverlap(sketch(a2, "b"), sketch(b2, "b"), Seq("g"), K)
+      .collect().head
+    val eu = big.getAs[Long]("est_union").toDouble
+    val ei = big.getAs[Long]("est_intersection").toDouble
+    assert(math.abs(eu - 3000) / 3000 < 0.35, s"union est off: $big")
+    assert(ei > 0 && math.abs(ei - 1000) / 1000 < 0.75, s"intersection est off: $big")
+    // disjoint sets: the zero-overlap group must still emit a row
+    val none = Sketches.kmvOverlap(
+      sketch((1 to 500).map(i => s"l$i"), "z"),
+      sketch((1 to 500).map(i => s"r$i"), "z"), Seq("g"), K).collect().head
+    assert(none.getAs[Long]("n_inter_sample") == 0L &&
+      none.getAs[Long]("est_intersection") == 0L, s"disjoint: $none")
+  }
+
   test("streaming KMV: running estimates equal prefix sketches, replay is estimate-neutral") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
