@@ -103,6 +103,7 @@ object SparkEntry {
     "q_es_agg", "q_es_agg_per_group", "q_es_compare", "q_es_count", "q_es_cube",
     "q_es_count_per_group", "q_es_cumulative", "q_es_filtered",
     "q_es_formula", "q_es_group_dim", "q_es_monthly", "q_es_percentiles",
+    "q_hist_quantiles",
     "q_es_pivoted", "q_es_private_bds", "q_es_rolling_avg",
     "q_es_rolling_wau", "q_es_wau", "q_funnel", "q_funnel_any",
     "q_funnel_any_positional", "q_funnel_constants", "q_funnel_dropoff",
@@ -2877,6 +2878,21 @@ object SparkEntry {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Mergeable histogram quantiles (Sketches.histogram/histQuantile):
+    // per-type value p50/p90 from an equi-width cents histogram — the
+    // one-aggregate quantile path at 100 TB where exact percentile
+    // (q_es_percentiles) needs a sort. Deterministic integer buckets,
+    // so the estimates themselves are oracled, not approximated.
+    "q_hist_quantiles" -> ((s, dir) => {
+      val (lo, hi, n) = (0L, 51200L, 64)
+      val ev = eventsC(s, dir).select(col("event_type").as("grp"), col("v100"))
+      val hist = Sketches.histogram(ev, Seq("grp"), col("v100"), lo, hi, n)
+        .localCheckpoint(false) // two quantile reads, one histogram build
+      Sketches.histQuantile(hist, Seq("grp"), lo, hi, n, 0.5)
+        .unionByName(Sketches.histQuantile(hist, Seq("grp"), lo, hi, n, 0.9))
+        .orderBy(col("grp"), col("q"))
+    }),
+
     // KMV set operations (Sketches.kmvOverlap): audience overlap —
     // how many user-days with a click (or purchase) also had a view —
     // estimated from the k-minima alone, never joining the raw sets.
@@ -4765,6 +4781,33 @@ object SparkEntry {
            count(*) AS n_users
          FROM c WHERE datediff('day', cohort_week, w) / 7 <= 5
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same integer bucket arithmetic, cumulative window, ceil-rank
+    // selection and linear interpolation as Sketches.histQuantile
+    "q_hist_quantiles" ->
+      """WITH v AS (SELECT event_type AS grp,
+               CAST(round(value*100) AS BIGINT) AS v100 FROM events),
+         h AS (SELECT grp,
+               LEAST(63, GREATEST(0, CAST(floor((v100 - 0) * 64 / 51200.0) AS BIGINT))) AS bucket,
+               count(*) AS cnt
+             FROM v GROUP BY 1, 2),
+         c AS (SELECT grp, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY grp) AS total
+             FROM h),
+         qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+         r AS (SELECT grp, q, bucket, cnt, cum,
+               CAST(ceil(q * total) AS BIGINT) AS rnk
+             FROM c CROSS JOIN qs),
+         sel AS (SELECT grp, q, arg_min(bucket, bucket) AS bucket,
+               arg_min(cnt, bucket) AS cnt, arg_min(cum, bucket) AS cum,
+               arg_min(rnk, bucket) AS rnk
+             FROM r WHERE cum >= rnk GROUP BY 1, 2)
+         SELECT grp, q, CAST(bucket * 800 +
+             CAST(floor(800.0 * CAST(rnk - cum + cnt AS DOUBLE) /
+               CAST(cnt AS DOUBLE)) AS BIGINT) AS BIGINT) AS est
+         FROM sel ORDER BY grp, q""",
 
     // KMV set ops: the same per-type user-day sketches, the union
     // re-sketch, the common-hash sample capped at the union kth, and

@@ -66,6 +66,54 @@ object Sketches {
             col("kth_hash").cast("double")).cast("long")))
   }
 
+  /** Equi-width histogram sketch over an INTEGER domain — the
+    * mergeable quantile path at 100 TB: each group reduces map-side
+    * to ≤ nBuckets count rows, sketches merge by adding counts, and
+    * quantiles come from the cumulative histogram alone. Integer
+    * bucket arithmetic end to end (the one division is
+    * floor-over-double of exactly-representable longs), so DuckDB
+    * replays it bit-for-bit — a deterministic complement to the exact
+    * `percentile` path (q_es_percentiles), which needs a full sort at
+    * scale where this needs one map-side-combined aggregate.
+    *
+    * Values clamp into the edge buckets (the sketch stays total over
+    * outliers; pick [lo, hi) from domain knowledge). */
+  def histogram(df: DataFrame, groupCols: Seq[String], value: Column,
+                lo: Long, hi: Long, nBuckets: Int): DataFrame = {
+    require(hi > lo && nBuckets > 0 && (hi - lo) % nBuckets == 0,
+      s"[$lo,$hi) must split evenly into $nBuckets buckets")
+    val raw = floor((value - lit(lo)).cast("double") * nBuckets / (hi - lo).toDouble)
+      .cast("long")
+    df.select(groupCols.map(col) :+
+        least(lit(nBuckets - 1L), greatest(lit(0L), raw)).as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One quantile estimate per group from histogram rows: rank =
+    * ceil(q·total); the first bucket whose cumulative count reaches
+    * it, linearly interpolated — (groupCols…, q, est). Everything
+    * after the histogram is ≤ nBuckets rows per group. */
+  def histQuantile(hist: DataFrame, groupCols: Seq[String],
+                   lo: Long, hi: Long, nBuckets: Int, q: Double): DataFrame = {
+    val width = (hi - lo) / nBuckets
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("rank", ceil(lit(q) * sum(col("cnt")).over(wAll)).cast("long"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min_by(struct(col("bucket"), col("cnt"), col("cum"), col("rank")),
+        col("bucket")).as("__b"))
+      .select(groupCols.map(col) ++ Seq(lit(q).as("q"),
+        (lit(lo) + col("__b.bucket") * width +
+          floor(lit(width.toDouble) *
+            (col("__b.rank") - col("__b.cum") + col("__b.cnt")).cast("double") /
+            col("__b.cnt").cast("double")).cast("long")).as("est")): _*)
+  }
+
   /** Set operations on two sketches (Beyer et al. 2007): estimate
     * |A∪B| and |A∩B| from the k-minima alone — the audience-overlap
     * question ("how many users did BOTH X and Y") answered without

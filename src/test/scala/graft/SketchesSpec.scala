@@ -49,6 +49,32 @@ class SketchesSpec extends SparkTestBase {
     assert(merged.getAs[Long]("distinct_est") == whole.getAs[Long]("distinct_est"))
   }
 
+  test("histogram quantiles: merge-additive, estimate within one bucket of truth, edges clamp") {
+    import spark.implicits._
+    val (lo, hi, n) = (0L, 1000L, 20) // width 50
+    val vals = ((1 to 900).map(_.toLong) ++ Seq(-50L, 5000L)) // outliers clamp
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val hist = Sketches.histogram(df, Seq("g"), col("v"), lo, hi, n)
+    // buckets total everything incl. clamped edges
+    assert(hist.agg(sum("cnt")).collect().head.getLong(0) == vals.length)
+    assert(hist.agg(max("bucket")).collect().head.getLong(0) == n - 1L)
+    // merging per-part histograms = histogram of the whole (count addition)
+    val parts = Sketches.histogram(
+      vals.zipWithIndex.map { case (v, i) => (s"p${i % 4}", v) }.toDF("g", "v"),
+      Seq("g"), col("v"), lo, hi, n)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    val whole = hist.select("bucket", "cnt")
+    assert(parts.except(whole).isEmpty && whole.except(parts).isEmpty,
+      "sum of per-part bucket counts == whole-set histogram")
+    // p50 of 1..900 is 450; estimate must land within one bucket width
+    val est = Sketches.histQuantile(hist, Seq("g"), lo, hi, n, 0.5)
+      .collect().head.getAs[Long]("est")
+    assert(math.abs(est - 450L) <= 50L, s"p50 est=$est")
+    val est9 = Sketches.histQuantile(hist, Seq("g"), lo, hi, n, 0.9)
+      .collect().head.getAs[Long]("est")
+    assert(math.abs(est9 - 810L) <= 50L, s"p90 est=$est9")
+  }
+
   test("kmvOverlap: exact below k, bounded error above k, zero-overlap row survives") {
     import spark.implicits._
     def sketch(vals: Seq[String], grp: String) = Sketches.kmvHashes(
