@@ -97,6 +97,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             stringLit(args(1), "event_segmentation jsonRequest"))
           .queryExecution.logical
       }))
+
+    // Point-in-time join as a table function — the SQL spelling of
+    // [[graft.engine.Temporal.asofJoin]] (DuckDB/pandas users expect
+    // an ASOF verb; Spark SQL has none):
+    //
+    // {{{
+    //   SELECT * FROM asof_join('trades', 'quotes', 'sym', 't', 'qt')
+    //   SELECT * FROM asof_join('trades', 'quotes', 'sym', 't', 'qt', 604800000000)
+    // }}}
+    //
+    // Same analysis-time splice as funnel(): the TVF IS the DataFrame
+    // operator's logical plan, so the single-exchange window shape
+    // and its pruned scans carry over unchanged.
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      new ExpressionInfo("graft.engine.Temporal", "asof_join"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5 || args.length == 6,
+          "asof_join(leftTable, rightTable, keysCsv, leftTs, rightTs[, toleranceUs])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val tol = if (args.length == 6) Some(longLit(args(5), "asof_join toleranceUs")) else None
+        graft.engine.Temporal.asofJoin(
+            spark.table(stringLit(args.head, "asof_join leftTable")),
+            spark.table(stringLit(args(1), "asof_join rightTable")),
+            stringLit(args(2), "asof_join keysCsv").split(",").map(_.trim).toSeq,
+            stringLit(args(3), "asof_join leftTs"),
+            stringLit(args(4), "asof_join rightTs"),
+            tolerance = tol)
+          .queryExecution.logical
+      }))
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 
   private def stringLit(e: Expression, what: String): String = e match {

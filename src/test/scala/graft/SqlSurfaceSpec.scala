@@ -101,6 +101,32 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("asof_join TVF is byte-identical to the DataFrame path, tolerance optional") {
+    withExtSession { s =>
+      import s.implicits._
+      Seq((1L, 100L, "e1"), (1L, 250L, "e2"), (2L, 50L, "e3"))
+        .toDF("uid", "t", "tag").createOrReplaceTempView("evs")
+      Seq((1L, 100L, "a"), (1L, 200L, "b"))
+        .toDF("uid", "rt", "name").createOrReplaceTempView("upd")
+      val viaSql = s.sql("SELECT * FROM asof_join('evs', 'upd', 'uid', 't', 'rt')")
+      val viaDf = graft.engine.Temporal.asofJoin(
+        s.table("evs"), s.table("upd"), Seq("uid"), "t", "rt")
+      assert(viaSql.schema == viaDf.schema)
+      val a = viaSql.collect().map(_.toString).sorted.toSeq
+      val b = viaDf.collect().map(_.toString).sorted.toSeq
+      assert(a == b && a.nonEmpty, s"sql=$a df=$b")
+      // semantics: e1 matches the t=100 update, e2 the t=200 one, e3 none
+      val byTag = viaSql.collect()
+        .map(r => r.getAs[String]("tag") -> Option(r.getAs[Any]("name"))).toMap
+      assert(byTag == Map("e1" -> Some("a"), "e2" -> Some("b"), "e3" -> None))
+      // tolerance literal: e2 at 250 is now 50 past the t=200 update
+      val tight = s.sql(
+        "SELECT * FROM asof_join('evs', 'upd', 'uid', 't', 'rt', 40)")
+        .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[Any]("name"))).toMap
+      assert(tight == Map("e1" -> Some("a"), "e2" -> None, "e3" -> None), tight.toString)
+    }
+  }
+
   test("TVF arguments must be string literals and tables must resolve") {
     withExtSession { s =>
       eventsDf(s).createOrReplaceTempView("ev")
