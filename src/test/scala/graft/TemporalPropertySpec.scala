@@ -21,11 +21,17 @@ import org.apache.spark.sql.functions._
   * rather than assumed). */
 class TemporalPropertySpec extends SparkTestBase {
 
-  private val trials = 6
+  // Fixed seed/count for CI; GRAFT_FUZZ_SEED / GRAFT_FUZZ_CASES crank
+  // deep exploratory sessions (same convention as the other
+  // *PropertySpec fuzz suites).
+  private val fuzzSeed =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
+  private val trials =
+    sys.env.get("GRAFT_FUZZ_CASES").map(_.toInt).getOrElse(6)
 
   test("asofJoin agrees with the sequential model on random streams") {
     import spark.implicits._
-    val rnd = new scala.util.Random(20260814L)
+    val rnd = new scala.util.Random(fuzzSeed)
     for (t <- 1 to trials) {
       val nKeys = 1 + rnd.nextInt(4)
       val left = (1 to 60).map { i =>
@@ -61,7 +67,7 @@ class TemporalPropertySpec extends SparkTestBase {
 
   test("kmv: exact below k on random multisets; merge == whole on random splits") {
     import spark.implicits._
-    val rnd = new scala.util.Random(97L)
+    val rnd = new scala.util.Random(fuzzSeed + 97L)
     for (t <- 1 to trials) {
       val k = 16 + rnd.nextInt(48)
       val distinct = 1 + rnd.nextInt(3 * k)
