@@ -2902,13 +2902,18 @@ object SparkEntry {
       val k = 64
       val ud = events(s, dir).select(col("event_type"),
         concat_ws("-", col("user_id"), day(col("ts"))).as("ud"))
-      def sk(t: String, label: String) = Sketches.kmvHashes(
-        ud.filter(col("event_type") === t).withColumn("grp", lit(label)),
-        Seq("grp"), col("ud"), k)
-      val a = sk("click", "click_vs_view")
-        .unionByName(sk("purchase", "purchase_vs_view"))
-      val b = sk("view", "click_vs_view")
-        .unionByName(sk("view", "purchase_vs_view"))
+      // ONE scan + one sketch pass for all types; the pair frames are
+      // relabelings of the staged per-type sketch rows (k per type) —
+      // at 100 TB the corpus is read once, not once per cohort pair.
+      val skc = Sketches.kmvHashes(ud, Seq("event_type"), col("ud"), k)
+        .localCheckpoint(false)
+      def lab(t: String, label: String) = skc
+        .filter(col("event_type") === t)
+        .select(lit(label).as("grp"), col("kmv_hash"))
+      val a = lab("click", "click_vs_view")
+        .unionByName(lab("purchase", "purchase_vs_view"))
+      val b = lab("view", "click_vs_view")
+        .unionByName(lab("view", "purchase_vs_view"))
       Sketches.kmvOverlap(a, b, Seq("grp"), k).orderBy(col("grp"))
     }),
 
