@@ -2825,6 +2825,39 @@ object SparkEntry {
         .select(day(col("bucket")).as("d"), col("cnt"))
     }),
 
+    // Snapshot retention + time travel (Compact.readVersion): the
+    // reproducibility contract a training pipeline needs — "the
+    // dataset exactly as of snapshot v", regardless of every append
+    // and fold since. A store is built from the orders slice, a
+    // snapshot captured, the remainder appended and folded under
+    // retention, and BOTH the pinned snapshot and the current state
+    // are read back; the oracle recomputes each from the raw table.
+    // Rebuilt from scratch per run (no staging memo) so snapshot ids
+    // are deterministic within the run and irrelevant to the output.
+    "q_time_travel" -> ((s, dir) => {
+      val store = scratch("ttravel", dir)
+      deleteRecursively(store)
+      val retain = graft.sources.Compact.Options(retainGenerations = 8)
+      val orders = Tables.load(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 3 =!= 0).repartition(6)
+        .write.mode("overwrite").parquet(store.getAbsolutePath)
+      graft.sources.Compact.run(s, store.getAbsolutePath, retain)
+      val v1 = graft.sources.Compact
+        .snapshotVersions(s, store.getAbsolutePath).last
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(6)
+        .write.mode("append").parquet(store.getAbsolutePath)
+      graft.sources.Compact.run(s, store.getAbsolutePath, retain)
+      def summarize(df: DataFrame, tag: String) = df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+        .select(lit(tag).as("snap"), col("n_rows"), col("key_sum"), col("n_status"))
+      summarize(graft.sources.Compact.readVersion(s, store.getAbsolutePath, v1), "v1")
+        .unionByName(summarize(
+          graft.sources.Compact.read(s, store.getAbsolutePath), "latest"))
+        .orderBy(col("snap"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -4728,6 +4761,19 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
          FROM events WHERE $SQL_RANGE AND (user_id % 2) + 1 = 2
          GROUP BY 1""",
+
+    // the snapshot is the pre-append slice, the latest is everything;
+    // both recomputed from the raw table
+    "q_time_travel" ->
+      """SELECT 'v1' AS snap, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           count(DISTINCT o_orderstatus) AS n_status
+         FROM orders WHERE o_orderkey % 3 <> 0
+         UNION ALL
+         SELECT 'latest', count(*), CAST(sum(o_orderkey) AS BIGINT),
+           count(DISTINCT o_orderstatus)
+         FROM orders
+         ORDER BY snap""",
 
     // as-of join replayed as the same union-window: right rows sort
     // before left rows at equal time, last_value(... IGNORE NULLS)

@@ -68,7 +68,16 @@ object Compact {
       maxPasses: Int = 8,
       sortCols: Seq[String] = Nil,
       replaceOn: Seq[String] = Nil,
-      versionCol: Option[String] = None)
+      versionCol: Option[String] = None,
+      /** How many SUPERSEDED manifest generations to retain as
+        * readable snapshots ([[readVersion]] — time travel for
+        * reproducible training runs). 0 = delete inputs and old
+        * manifests as soon as a merge commits (the reference LSM's
+        * behavior). With R > 0 the last R superseded generations and
+        * every part file any of them references stay on disk; each
+        * [[run]] enforces the horizon, so retention is a rolling
+        * window, not unbounded growth. */
+      retainGenerations: Int = 0)
 
   final case class PartFile(name: String, level: Int, size: Long)
   final case class State(version: Long, parts: Seq[PartFile])
@@ -206,6 +215,12 @@ object Compact {
         val live = state.parts.map(_.name).toSet
         val superseded: Set[String] = versions.dropRight(1)
           .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet
+        // files a retained snapshot still references are NOT crash
+        // leftovers — the sweep must leave them for readVersion
+        val retained: Set[String] =
+          if (o.retainGenerations <= 0) Set.empty
+          else versions.dropRight(1).takeRight(o.retainGenerations)
+            .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet
         val onDisk = listing.toMap
         // a part the LATEST manifest names but the disk lacks is data
         // loss (external deletion, partial copy) — serving the rest
@@ -217,7 +232,7 @@ object Compact {
             missing.map(_.name).mkString(", "))
         val present = state.parts
         val stale = listing.collect {
-          case (n, _) if !live.contains(n) &&
+          case (n, _) if !live.contains(n) && !retained.contains(n) &&
             (superseded.contains(n) || n.startsWith(MergedPrefix)) =>
             new Path(dir, n)
         }
@@ -328,11 +343,28 @@ object Compact {
         parts = parts.filterNot(p => inputNames.contains(p.name)) ++ merged
         version += 1
         commitState(fs, dir, State(version, parts))
-        // committed: inputs are now stale by manifest, delete them,
-        // then drop superseded manifest generations
-        m.inputs.foreach(p => fs.delete(new Path(dir, p.name), false))
-        manifestVersions(fs, dir).dropRight(1)
-          .foreach { case (_, p) => fs.delete(p, false) }
+        // committed: inputs are now stale by manifest. With no
+        // retention, delete them and every superseded manifest; with
+        // retention R, the last R superseded generations stay
+        // readable, so (a) a file any kept generation references
+        // survives, and (b) generations falling off the horizon take
+        // their exclusively-referenced files with them. File deletion
+        // stays strictly BEFORE manifest deletion so a crash always
+        // leaves a generation identifying what is stale.
+        val allGens = manifestVersions(fs, dir)
+        val kept = allGens.takeRight(opts.retainGenerations + 1)
+        val protectedNames: Set[String] = parts.map(_.name).toSet ++
+          (if (opts.retainGenerations <= 0) Set.empty[String]
+           else kept.dropRight(1)
+             .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet)
+        m.inputs.filterNot(p => protectedNames.contains(p.name))
+          .foreach(p => fs.delete(new Path(dir, p.name), false))
+        allGens.dropRight(opts.retainGenerations + 1).foreach { case (_, p) =>
+          readState(fs, p).parts.map(_.name)
+            .filterNot(protectedNames.contains)
+            .foreach(n => fs.delete(new Path(dir, n), false))
+          fs.delete(p, false)
+        }
         merges += 1
       }
       planNow = plan(parts, opts)
@@ -367,6 +399,45 @@ object Compact {
     val union =
       if (parts.isEmpty) spark.read.parquet(storeDir) // surface the reader's own error shape
       else spark.read.parquet(parts.map(p => new Path(dir, p.name).toString): _*)
+    opts.replaceOn match {
+      case Nil => union
+      case keys => opts.versionCol match {
+        case Some(v) => Store.compactGroupTable(union, keys, v)
+        case None    => union.dropDuplicates(keys)
+      }
+    }
+  }
+
+  /** Manifest generations currently readable, oldest first. */
+  def snapshotVersions(spark: SparkSession, storeDir: String): Seq[Long] = {
+    val dir = new Path(storeDir)
+    manifestVersions(fsFor(spark, dir), dir).map(_._1)
+  }
+
+  /** Time-travel read: exactly the parts a COMMITTED generation
+    * names — the reproducibility contract a training pipeline needs
+    * ("the dataset as of snapshot v", regardless of every append and
+    * merge since). Requires the generation to be within the store's
+    * `retainGenerations` horizon (or the latest); a missing part is
+    * data loss and throws rather than serving a partial snapshot.
+    * Appends newer than the generation are invisible by definition —
+    * a snapshot is a manifest, not a directory listing. */
+  def readVersion(spark: SparkSession, storeDir: String, version: Long,
+                  opts: Options = Options()): DataFrame = {
+    val dir = new Path(storeDir)
+    val fs = fsFor(spark, dir)
+    val gens = manifestVersions(fs, dir)
+    val manifest = gens.collectFirst { case (v, p) if v == version => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"store $storeDir has no snapshot $version; readable: " +
+          gens.map(_._1).mkString(", ")))
+    val state = readState(fs, manifest)
+    val missing = state.parts.filterNot(p => fs.exists(new Path(dir, p.name)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"snapshot $version of $storeDir is missing parts: " +
+        missing.map(_.name).mkString(", "))
+    val union = spark.read.parquet(
+      state.parts.map(p => new Path(dir, p.name).toString): _*)
     opts.replaceOn match {
       case Nil => union
       case keys => opts.versionCol match {

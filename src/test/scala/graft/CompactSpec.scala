@@ -295,6 +295,45 @@ class CompactSpec extends SparkTestBase {
     assert(Compact.read(spark, dir).count() == 700)
   }
 
+  test("retention keeps superseded snapshots readable; the horizon expires them") {
+    val dir = s"${tmpDir()}/store"
+    val retain = Compact.Options(retainGenerations = 8)
+    appendBatches(dir, 6)                       // ids 0..599
+    assert(Compact.run(spark, dir, retain).merges == 1)
+    val v1 = Compact.snapshotVersions(spark, dir).last
+    appendBatches(dir, 6)                       // same ids again: 1200 rows
+    assert(Compact.run(spark, dir, retain).merges >= 1)
+    val v2 = Compact.snapshotVersions(spark, dir).last
+    assert(v2 > v1)
+    // superseded generations read EXACTLY their committed rows
+    val snap = Compact.readVersion(spark, dir, v1)
+    assert(snap.count() == 600 &&
+      snap.agg(sum("id")).head.getLong(0) == 599L * 600 / 2)
+    assert(Compact.readVersion(spark, dir, v2).count() == 1200)
+    assert(Compact.read(spark, dir).count() == 1200)
+    // cascade the L1 files into L2: v1/v2's parts are now inputs of a
+    // committed merge — alive ONLY because retention protects them
+    Compact.run(spark, dir, retain.copy(l1MaxLevelBytes = 1))
+    assert(Compact.readVersion(spark, dir, v1).count() == 600,
+      "retention must protect a superseded generation's merged-away inputs")
+    // and a further plain run()'s crash-leftover sweep must not
+    // reclassify those retained files as stale
+    Compact.run(spark, dir, retain)
+    assert(Compact.readVersion(spark, dir, v1).count() == 600)
+    assert(Compact.read(spark, dir).count() == 1200)
+    // shrink the horizon to 1: old generations AND their exclusive
+    // files expire, the latest read never regresses
+    appendBatches(dir, 6)
+    Compact.run(spark, dir, retain.copy(retainGenerations = 1))
+    val versions = Compact.snapshotVersions(spark, dir)
+    assert(!versions.contains(v1), s"v1=$v1 expired, readable: $versions")
+    assert(versions.length <= 2)
+    intercept[IllegalArgumentException] {
+      Compact.readVersion(spark, dir, v1)
+    }
+    assert(Compact.read(spark, dir).count() == 1800)
+  }
+
   test("footer row counts validate merges; a lying writer's output aborts") {
     import org.apache.hadoop.fs.Path
     val dir = s"${tmpDir()}/footers"
