@@ -2858,6 +2858,39 @@ object SparkEntry {
         .orderBy(col("snap"))
     }),
 
+    // Table-level snapshot over the PARTITIONED layout
+    // (Compact.snapshotPartitioned / readSnapshotPartitioned): a
+    // consistent cut across every leaf's manifest generation, pinned
+    // against the retention horizon while compaction keeps folding
+    // underneath (retain=0 here — ONLY the pin keeps the cut alive).
+    // Partition columns are restored from the directory layout; the
+    // per-status groups prove it.
+    "q_table_snapshot" -> ((s, dir) => {
+      val store = scratch("tsnap", dir)
+      deleteRecursively(store)
+      val o = graft.sources.Compact.Options(l0MaxParts = 2)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      orders.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
+        .write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(store.getAbsolutePath)
+      graft.sources.Compact.runPartitioned(s, store.getAbsolutePath, o)
+      val snap = graft.sources.Compact.snapshotPartitioned(s, store.getAbsolutePath)
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(4)
+        .write.partitionBy("o_orderstatus").mode("append")
+        .parquet(store.getAbsolutePath)
+      graft.sources.Compact.runPartitioned(s, store.getAbsolutePath, o)
+      def summarize(df: DataFrame, tag: String) =
+        df.groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("key_sum"))
+          .select(lit(tag).as("snap"), col("status"), col("n_rows"), col("key_sum"))
+      summarize(graft.sources.Compact
+          .readSnapshotPartitioned(s, store.getAbsolutePath, snap), "cut")
+        .unionByName(summarize(s.read.parquet(store.getAbsolutePath), "latest"))
+        .orderBy(col("snap"), col("status"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -4761,6 +4794,16 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
          FROM events WHERE $SQL_RANGE AND (user_id % 2) + 1 = 2
          GROUP BY 1""",
+
+    "q_table_snapshot" ->
+      """SELECT 'cut' AS snap, o_orderstatus AS status, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 2
+         UNION ALL
+         SELECT 'latest', o_orderstatus, count(*),
+           CAST(sum(o_orderkey) AS BIGINT)
+         FROM orders GROUP BY 2
+         ORDER BY snap, status""",
 
     // the snapshot is the pre-append slice, the latest is everything;
     // both recomputed from the raw table

@@ -77,7 +77,13 @@ object Compact {
         * every part file any of them references stay on disk; each
         * [[run]] enforces the horizon, so retention is a rolling
         * window, not unbounded growth. */
-      retainGenerations: Int = 0)
+      retainGenerations: Int = 0,
+      /** Generations protected from expiry REGARDLESS of the rolling
+        * horizon — a table-level snapshot ([[snapshotPartitioned]])
+        * pins one generation per leaf, and [[runPartitioned]] routes
+        * each leaf's pins here so compaction can never reclaim a
+        * pinned snapshot's files. */
+      pinnedGenerations: Set[Long] = Set.empty)
 
   final case class PartFile(name: String, level: Int, size: Long)
   final case class State(version: Long, parts: Seq[PartFile])
@@ -215,12 +221,16 @@ object Compact {
         val live = state.parts.map(_.name).toSet
         val superseded: Set[String] = versions.dropRight(1)
           .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet
-        // files a retained snapshot still references are NOT crash
-        // leftovers — the sweep must leave them for readVersion
-        val retained: Set[String] =
-          if (o.retainGenerations <= 0) Set.empty
-          else versions.dropRight(1).takeRight(o.retainGenerations)
+        // files a retained or pinned snapshot still references are
+        // NOT crash leftovers — the sweep must leave them for
+        // readVersion
+        val retained: Set[String] = {
+          val horizon = versions.dropRight(1).takeRight(math.max(0, o.retainGenerations))
+          val pinned = versions.dropRight(1)
+            .filter { case (ver, _) => o.pinnedGenerations.contains(ver) }
+          (horizon ++ pinned).distinct
             .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet
+        }
         val onDisk = listing.toMap
         // a part the LATEST manifest names but the disk lacks is data
         // loss (external deletion, partial copy) — serving the rest
@@ -352,19 +362,21 @@ object Compact {
         // stays strictly BEFORE manifest deletion so a crash always
         // leaves a generation identifying what is stale.
         val allGens = manifestVersions(fs, dir)
-        val kept = allGens.takeRight(opts.retainGenerations + 1)
+        val horizonVs = allGens.takeRight(opts.retainGenerations + 1).map(_._1).toSet
+        val keepVs = horizonVs ++ opts.pinnedGenerations
+        val kept = allGens.filter { case (ver, _) => keepVs.contains(ver) }
         val protectedNames: Set[String] = parts.map(_.name).toSet ++
-          (if (opts.retainGenerations <= 0) Set.empty[String]
-           else kept.dropRight(1)
-             .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet)
+          kept.dropRight(1)
+            .flatMap { case (_, p) => readState(fs, p).parts.map(_.name) }.toSet
         m.inputs.filterNot(p => protectedNames.contains(p.name))
           .foreach(p => fs.delete(new Path(dir, p.name), false))
-        allGens.dropRight(opts.retainGenerations + 1).foreach { case (_, p) =>
-          readState(fs, p).parts.map(_.name)
-            .filterNot(protectedNames.contains)
-            .foreach(n => fs.delete(new Path(dir, n), false))
-          fs.delete(p, false)
-        }
+        allGens.filterNot { case (ver, _) => keepVs.contains(ver) }
+          .foreach { case (_, p) =>
+            readState(fs, p).parts.map(_.name)
+              .filterNot(protectedNames.contains)
+              .foreach(n => fs.delete(new Path(dir, n), false))
+            fs.delete(p, false)
+          }
         merges += 1
       }
       planNow = plan(parts, opts)
@@ -474,13 +486,149 @@ object Compact {
       if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
     }
     val base = fs.makeQualified(root).toUri.getPath
+    // table-level snapshots pin one generation per leaf; every pinned
+    // generation joins that leaf's protected set so per-leaf
+    // compaction can never reclaim a snapshot the table still serves
+    val pins: Map[String, Set[Long]] = snapshotStates(fs, root)
+      .flatMap { case (_, ls) => ls }
+      .groupBy(_._1).map { case (rel, vs) => rel -> vs.map(_._2).toSet }
     leaves(root)
       .filter(l => fs.listStatus(l)
         .exists(_.getPath.getName.endsWith(".parquet")))
       .map { l =>
         val rel = fs.makeQualified(l).toUri.getPath.stripPrefix(base).stripPrefix("/")
-        rel -> run(spark, l.toString, opts)
+        rel -> run(spark, l.toString, opts.copy(pinnedGenerations =
+          opts.pinnedGenerations ++ pins.getOrElse(rel, Set.empty)))
       }.toMap
+  }
+
+  // ---- table-level snapshots over a partitioned store --------------
+
+  private val SnapshotPrefix = "_graft_snapshot-"
+
+  private def snapshotStates(fs: FileSystem, root: Path): Seq[(Long, Seq[(String, Long)])] = {
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(SnapshotPrefix))
+      .flatMap { p =>
+        val id = p.getName.stripPrefix(SnapshotPrefix).stripSuffix(".json")
+        id.toLongOption.map { v =>
+          val j = Json.parse(readFully(fs, p))
+          v -> (j / "leaves").arr.map(e => ((e / "leaf").str, (e / "gen").long))
+        }
+      }.sortBy(_._1)
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Pin the CURRENT generation of every leaf of a partitioned store
+    * as one table-level snapshot and return its id. A snapshot is a
+    * consistent cut: the set of (leaf → manifest generation) pairs at
+    * capture time, committed atomically at the root. Leaves must
+    * carry manifests (run [[runPartitioned]] once first) — a
+    * manifest-less leaf has no committed generation to pin, and
+    * pinning a directory listing would not be a snapshot.
+    * [[runPartitioned]] protects pinned generations from the
+    * retention horizon until [[dropSnapshotPartitioned]] releases
+    * them. */
+  def snapshotPartitioned(spark: SparkSession, rootDir: String): Long = {
+    val root = new Path(rootDir)
+    val fs = fsFor(spark, root)
+    require(fs.exists(root), s"store directory $rootDir does not exist")
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith(".") ||
+          s.getPath.getName.startsWith("_"))
+      val dirs = st.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+    }
+    val base = fs.makeQualified(root).toUri.getPath
+    val entries = leaves(root)
+      .filter(l => fs.listStatus(l)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map { l =>
+        val rel = fs.makeQualified(l).toUri.getPath.stripPrefix(base).stripPrefix("/")
+        val gens = manifestVersions(fs, l)
+        require(gens.nonEmpty,
+          s"leaf $rel has parquet but no manifest; runPartitioned first")
+        rel -> gens.last._1
+      }
+    require(entries.nonEmpty, s"store $rootDir has no leaves to snapshot")
+    val id = snapshotStates(fs, root).lastOption.map(_._1).getOrElse(0L) + 1L
+    val body = entries.map { case (rel, gen) =>
+      s"""{"leaf":${JStr(rel).render},"gen":$gen}"""
+    }.mkString("[", ",", "]")
+    val tmp = new Path(root, s".$SnapshotPrefix$id.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"id":$id,"leaves":$body}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(root, s"$SnapshotPrefix$id.json")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"could not commit snapshot $dest")
+    id
+  }
+
+  /** Table-level snapshot ids currently committed, oldest first. */
+  def partitionedSnapshots(spark: SparkSession, rootDir: String): Seq[Long] = {
+    val root = new Path(rootDir)
+    snapshotStates(fsFor(spark, root), root).map(_._1)
+  }
+
+  /** Release a table-level snapshot: its per-leaf generations lose
+    * their pin and expire with the normal retention horizon at the
+    * next [[runPartitioned]]. */
+  def dropSnapshotPartitioned(spark: SparkSession, rootDir: String, id: Long): Unit = {
+    val root = new Path(rootDir)
+    val fs = fsFor(spark, root)
+    val p = new Path(root, s"$SnapshotPrefix$id.json")
+    require(fs.exists(p), s"store $rootDir has no snapshot $id")
+    fs.delete(p, false): Unit
+  }
+
+  /** Read a partitioned store exactly as of a table-level snapshot:
+    * the union of every leaf's pinned generation, with partition
+    * columns restored from the directory layout (basePath read).
+    * Missing manifest or part = loud failure, never a partial
+    * snapshot. */
+  def readSnapshotPartitioned(spark: SparkSession, rootDir: String, id: Long,
+                              opts: Options = Options()): DataFrame = {
+    val root = new Path(rootDir)
+    val fs = fsFor(spark, root)
+    val snap = snapshotStates(fs, root).collectFirst { case (v, ls) if v == id => ls }
+      .getOrElse(throw new IllegalArgumentException(
+        s"store $rootDir has no snapshot $id; readable: " +
+          snapshotStates(fs, root).map(_._1).mkString(", ")))
+    val files = snap.flatMap { case (rel, gen) =>
+      val leaf = new Path(root, rel)
+      val manifest = manifestVersions(fs, leaf)
+        .collectFirst { case (v, p) if v == gen => p }
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot $id of $rootDir pins generation $gen of leaf $rel, " +
+            "but that manifest is gone"))
+      val state = readState(fs, manifest)
+      val missing = state.parts.filterNot(p => fs.exists(new Path(leaf, p.name)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"snapshot $id of $rootDir is missing parts of leaf $rel: " +
+          missing.map(_.name).mkString(", "))
+      state.parts.map(p => new Path(leaf, p.name).toString)
+    }
+    val union = spark.read.option("basePath", rootDir).parquet(files: _*)
+    opts.replaceOn match {
+      case Nil => union
+      case keys => opts.versionCol match {
+        case Some(v) => Store.compactGroupTable(union, keys, v)
+        case None    => union.dropDuplicates(keys)
+      }
+    }
   }
 
   /** Level occupancy for observability (file count + bytes per

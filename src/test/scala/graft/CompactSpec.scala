@@ -334,6 +334,48 @@ class CompactSpec extends SparkTestBase {
     assert(Compact.read(spark, dir).count() == 1800)
   }
 
+  test("table-level snapshots: consistent cut across leaves, pins survive compaction, drop releases") {
+    val root = s"${tmpDir()}/table"
+    def appendLeaf(k: String, lo: Int, n: Int): Unit =
+      (0 until n).foreach { i =>
+        val df = spark.range(lo + i * 100, lo + i * 100 + 100)
+          .select(col("id"))
+        Store.atomicAppend(df, s"$root/k=$k", f"batch-$k-${lo + i}%06d")
+      }
+    val o = Compact.Options(retainGenerations = 0, l0MaxParts = 2)
+    appendLeaf("a", 0, 6); appendLeaf("b", 10000, 6)
+    Compact.runPartitioned(spark, root, o)
+    val snap = Compact.snapshotPartitioned(spark, root)
+    // table grows and folds AFTER the cut — with retain=0 ONLY the
+    // pin keeps the cut's generations alive
+    appendLeaf("a", 1000, 6); appendLeaf("b", 20000, 6)
+    Compact.runPartitioned(spark, root, o)
+    val cut = Compact.readSnapshotPartitioned(spark, root, snap)
+    assert(cut.count() == 1200, "the cut sees exactly the pre-append rows")
+    // partition column restored from the layout
+    assert(cut.filter(col("k") === "a").count() == 600)
+    assert(cut.agg(sum("id")).head.getLong(0) ==
+      (0L until 600).sum + (10000L until 10600).sum)
+    // current read sees everything
+    val now = spark.read.parquet(root)
+    assert(now.count() == 2400)
+    // a second capture pins the new state; ids are monotonic
+    val snap2 = Compact.snapshotPartitioned(spark, root)
+    assert(snap2 > snap)
+    assert(Compact.partitionedSnapshots(spark, root) == Seq(snap, snap2))
+    // dropping the first pin releases its generations: after more
+    // folds the old cut's manifests expire and the read fails loudly
+    Compact.dropSnapshotPartitioned(spark, root, snap)
+    appendLeaf("a", 2000, 6); appendLeaf("b", 30000, 6)
+    Compact.runPartitioned(spark, root, o)
+    intercept[Exception] {
+      Compact.readSnapshotPartitioned(spark, root, snap).count()
+    }
+    // but the still-pinned snapshot remains exact
+    assert(Compact.readSnapshotPartitioned(spark, root, snap2).count() == 2400)
+    assert(spark.read.parquet(root).count() == 3600)
+  }
+
   test("footer row counts validate merges; a lying writer's output aborts") {
     import org.apache.hadoop.fs.Path
     val dir = s"${tmpDir()}/footers"
