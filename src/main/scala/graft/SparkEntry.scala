@@ -2891,6 +2891,40 @@ object SparkEntry {
         .orderBy(col("snap"), col("status"))
     }),
 
+    // Manifest-stats data skipping (Compact.Options.statsCols +
+    // clusterByRange + readPruned): the staged store receives appends
+    // that each span the FULL user range (worst case for skipping),
+    // then one range-clustering compaction; the pruned read then
+    // touches only parts whose manifest (user_id) bounds overlap the
+    // predicate — the layer ABOVE row-group pruning that decides
+    // which files Spark ever lists. The oracle recomputes the same
+    // filter over the raw table; CompactSpec carries the
+    // skipped-file-count evidence.
+    "q_store_prune" -> ((s, dir) => {
+      val o = graft.sources.Compact.Options(
+        l0MaxParts = 2, l1PartBytes = 256L << 10,
+        sortCols = Seq("user_id", "ts"), clusterByRange = true,
+        statsCols = Seq("user_id", "ts"))
+      val root = stagedOnce("prunestore-v1", dir) { f =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        (0 until 4).foreach { i =>
+          ev.filter(col("event_id") % 4 === i).repartition(2)
+            .write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(f.getAbsolutePath)
+        }
+        graft.sources.Compact.run(s, f.getAbsolutePath, o): Unit
+      }
+      graft.sources.Compact.readPruned(s, root.getAbsolutePath,
+          Seq(graft.sources.Compact.PartRange("user_id", Some(3L), Some(7L))), o)
+        .groupBy(col("event_type").as("event"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -4794,6 +4828,13 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
          FROM events WHERE $SQL_RANGE AND (user_id % 2) + 1 = 2
          GROUP BY 1""",
+
+    "q_store_prune" ->
+      """SELECT event_type AS event, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+           count(DISTINCT user_id) AS users
+         FROM events WHERE user_id BETWEEN 3 AND 7
+         GROUP BY 1 ORDER BY 1""",
 
     "q_table_snapshot" ->
       """SELECT 'cut' AS snap, o_orderstatus AS status, count(*) AS n_rows,

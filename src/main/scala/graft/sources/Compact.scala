@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions.col
   *
   * Differences are deliberate and Spark-first:
   *  - The LSM merges key-sorted runs and pulls overlapping next-level
-  *    parts into each merge (compaction.rs:244-249). Parquet parts
-  *    here carry no key ranges — row-group stats and directory
-  *    partitioning do the pruning the LSM sort key did — so each
-  *    overflowing level merges into FRESH next-level parts and the
-  *    next level overflows on its own schedule (size-tiered rather
-  *    than strictly leveled). No merge ever rewrites more than one
-  *    level's bytes, which is the property that matters at 100 TB.
+  *    parts into each merge (compaction.rs:244-249). Key ranges here
+  *    live in the MANIFEST instead ([[Options.statsCols]] min/max
+  *    from parquet footers; [[readPruned]] skips parts before Spark
+  *    lists them) — row-group stats and directory partitioning do the
+  *    finer pruning the LSM sort key did — so each overflowing level
+  *    merges into FRESH next-level parts ([[Options.clusterByRange]]
+  *    makes them near-disjoint in key space) and the next level
+  *    overflows on its own schedule (size-tiered rather than strictly
+  *    leveled). No merge ever rewrites more than one level's bytes,
+  *    which is the property that matters at 100 TB.
   *  - The reference serializes level state into its table metadata
   *    file before touching the filesystem (compaction.rs:150-176:
   *    `write_metadata` then rename/delete ops). Same shape here: a
@@ -83,9 +86,49 @@ object Compact {
         * pins one generation per leaf, and [[runPartitioned]] routes
         * each leaf's pins here so compaction can never reclaim a
         * pinned snapshot's files. */
-      pinnedGenerations: Set[Long] = Set.empty)
+      pinnedGenerations: Set[Long] = Set.empty,
+      /** Columns whose per-part min/max enter the manifest at every
+        * commit — read from parquet FOOTERS on the driver (O(files)
+        * metadata, no scan), exactly the stats the files already
+        * carry. [[readPruned]] then skips whole parts a predicate
+        * conjunction cannot match BEFORE Spark ever lists them: at
+        * 100 TB this is the manifest-level skipping layer above
+        * row-group pruning — one small JSON read replaces a
+        * footer-listing pass over thousands of files per query. */
+      statsCols: Seq[String] = Nil,
+      /** Range-cluster merge output on `sortCols`
+        * (`repartitionByRange` instead of hash repartition): merged
+        * parts carry near-DISJOINT sort-key ranges — the LSM
+        * sort-key locality the reference gets from its
+        * (project_id, id) ordering (storage/src/table.rs:26-27) —
+        * which is what makes [[statsCols]] pruning selective after
+        * compaction instead of every part spanning the full key
+        * range. */
+      clusterByRange: Boolean = false)
 
-  final case class PartFile(name: String, level: Int, size: Long)
+  /** Per-part column statistics from the parquet footer.
+    * [[StatUnknown]] (unreadable/absent stats, non-ASCII string
+    * bounds, exotic physical types) never prunes; [[StatAllNull]]
+    * prunes every value predicate (comparisons and IN never match
+    * null); [[StatRange]] bounds are Long, Double or String. */
+  sealed trait ColStat
+  case object StatUnknown extends ColStat
+  case object StatAllNull extends ColStat
+  final case class StatRange(min: Any, max: Any) extends ColStat
+
+  /** Part-pruning predicates — the conjunction a [[readPruned]] call
+    * carries. Bounds are inclusive; values may be Scala/Java numerics,
+    * String, java.sql.Timestamp/Date, java.time.Instant/LocalDate
+    * (temporal values compare as epoch micros / days, matching the
+    * footer encoding of TIMESTAMP/DATE columns). */
+  sealed trait PartPred { def column: String }
+  final case class PartRange(column: String, lo: Option[Any] = None,
+      hi: Option[Any] = None) extends PartPred
+  final case class PartIn(column: String, values: Seq[Any]) extends PartPred
+  def partEq(column: String, v: Any): PartPred = PartIn(column, Seq(v))
+
+  final case class PartFile(name: String, level: Int, size: Long,
+      stats: Map[String, ColStat] = Map.empty)
   final case class State(version: Long, parts: Seq[PartFile])
   final case class MergePlan(fromLevel: Int, inputs: Seq[PartFile]) {
     def bytes: Long = inputs.map(_.size).sum
@@ -141,18 +184,195 @@ object Compact {
     lvl
   }
 
+  private def statValJson(v: Any): String = v match {
+    case l: Long   => l.toString
+    case d: Double => Json.JNum(d).render
+    case s: String => JStr(s).render
+    case other => throw new IllegalArgumentException(s"unencodable stat value $other")
+  }
+
+  private def statJson(s: ColStat): String = s match {
+    case StatUnknown => """{"unknown":true}"""
+    case StatAllNull => """{"allNull":true}"""
+    case StatRange(mn, mx) =>
+      s"""{"min":${statValJson(mn)},"max":${statValJson(mx)}}"""
+  }
+
+  private def parseStat(j: Json.JValue): ColStat =
+    if (j.asOpt("unknown").isDefined) StatUnknown
+    else if (j.asOpt("allNull").isDefined) StatAllNull
+    else StatRange((j / "min").scalar, (j / "max").scalar)
+
   private def stateJson(s: State): String = {
-    val parts = s.parts.map(p =>
-      s"""{"name":${JStr(p.name).render},"level":${p.level},"size":${p.size}}""")
-      .mkString("[", ",", "]")
+    val parts = s.parts.map { p =>
+      val statsField =
+        if (p.stats.isEmpty) ""
+        else p.stats.toSeq.sortBy(_._1)
+          .map { case (c, st) => s"${JStr(c).render}:${statJson(st)}" }
+          .mkString(""","stats":{""", ",", "}")
+      s"""{"name":${JStr(p.name).render},"level":${p.level},"size":${p.size}$statsField}"""
+    }.mkString("[", ",", "]")
     s"""{"version":${s.version},"parts":$parts}"""
   }
 
   private def parseState(s: String): State = {
     val j = Json.parse(s)
     State((j / "version").long,
-      (j / "parts").arr.map(p =>
-        PartFile((p / "name").str, (p / "level").long.toInt, (p / "size").long)))
+      (j / "parts").arr.map { p =>
+        val stats = p.asOpt("stats")
+          .map(_.obj.map { case (c, st) => c -> parseStat(st) }.toMap)
+          .getOrElse(Map.empty[String, ColStat])
+        PartFile((p / "name").str, (p / "level").long.toInt, (p / "size").long, stats)
+      })
+  }
+
+  /** Min/max per requested column from one part's parquet footer —
+    * driver-side metadata only. Conservative by construction: any
+    * chunk with unreadable or untrustworthy statistics marks the
+    * whole column [[StatUnknown]] for this part (kept by every
+    * pruning decision). String bounds are trusted only when pure
+    * ASCII, where parquet's unsigned-byte ordering coincides with
+    * Java string ordering. */
+  private[graft] def footerStats(fs: FileSystem, path: Path,
+                                 cols: Set[String]): Map[String, ColStat] = {
+    if (cols.isEmpty) return Map.empty
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, fs.getConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      def ascii(s: String): Boolean = s.forall(c => c >= ' ' && c < 127)
+      // one chunk → None = unknown, Some(None) = all-null,
+      // Some(Some((min, max))) = usable bounds
+      def chunkStat(ch: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+          : Option[Option[(Any, Any)]] = {
+        val st: org.apache.parquet.column.statistics.Statistics[_] = ch.getStatistics
+        if (st == null) None
+        else if (!st.hasNonNullValue) {
+          if (st.isNumNullsSet && st.getNumNulls == ch.getValueCount) Some(None)
+          else None
+        } else {
+          val pt = ch.getPrimitiveType
+          pt.getPrimitiveTypeName match {
+            case INT32 | INT64 =>
+              Some(Some((st.genericGetMin.asInstanceOf[Number].longValue,
+                st.genericGetMax.asInstanceOf[Number].longValue)))
+            case FLOAT | DOUBLE =>
+              val (mn, mx) = (st.genericGetMin.asInstanceOf[Number].doubleValue,
+                st.genericGetMax.asInstanceOf[Number].doubleValue)
+              if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite) None
+              else Some(Some((mn, mx)))
+            case BINARY
+                if pt.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              if (ascii(mn) && ascii(mx)) Some(Some((mn, mx))) else None
+            case _ => None
+          }
+        }
+      }
+      cols.map { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c)
+        val folded: ColStat =
+          if (chunks.isEmpty) StatUnknown
+          else {
+            val sts = chunks.map(chunkStat)
+            if (sts.contains(None)) StatUnknown
+            else {
+              val ranges = sts.flatten.flatten
+              if (ranges.isEmpty) StatAllNull
+              else StatRange(
+                ranges.map(_._1).reduce((a, b) => if (cmpStat(a, b).exists(_ <= 0)) a else b),
+                ranges.map(_._2).reduce((a, b) => if (cmpStat(a, b).exists(_ >= 0)) a else b))
+            }
+          }
+        c -> folded
+      }.toMap
+    } finally r.close()
+  }
+
+  /** Compare two stat/predicate values, None when the categories are
+    * incomparable (type confusion must KEEP a part, never skip it).
+    * Long/Long compares exactly; mixed numerics go through BigDecimal
+    * so a 2^60 id never suffers double rounding. */
+  private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+    case (x: Number, y: Number) =>
+      Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+    case _ => None
+  }
+
+  /** Predicate value → the footer value space: temporals to epoch
+    * micros/days (parquet's physical encoding for TIMESTAMP/DATE),
+    * integrals to Long, fractionals to Double. None = unprunable
+    * value type (the part is kept; the residual filter still
+    * applies). */
+  private def normalizePredValue(v: Any): Option[Any] = v match {
+    case null                   => None
+    case x: Long                => Some(x)
+    case x: Int                 => Some(x.toLong)
+    case x: Short               => Some(x.toLong)
+    case x: Byte                => Some(x.toLong)
+    case x: Double              => Some(x)
+    case x: Float               => Some(x.toDouble)
+    case x: String              => Some(x)
+    case t: java.sql.Timestamp  =>
+      val i = t.toInstant
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+    case i: java.time.Instant   =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+    case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _                      => None
+  }
+
+  /** Can `pred` possibly match a row of a part with `stats`? Missing
+    * or unknown stats keep the part; all-null prunes every value
+    * predicate; range overlap otherwise. */
+  private def partMatches(stats: Map[String, ColStat], pred: PartPred): Boolean =
+    stats.get(pred.column) match {
+      case None | Some(StatUnknown) => true
+      case Some(StatAllNull) => pred match {
+        case PartRange(_, None, None) => true // vacuous bound
+        case _                        => false
+      }
+      case Some(StatRange(mn, mx)) => pred match {
+        case PartRange(_, lo, hi) =>
+          val okLo = lo.forall(v => normalizePredValue(v)
+            .forall(nv => cmpStat(mx, nv).forall(_ >= 0)))
+          val okHi = hi.forall(v => normalizePredValue(v)
+            .forall(nv => cmpStat(mn, nv).forall(_ <= 0)))
+          okLo && okHi
+        case PartIn(_, vs) =>
+          vs.exists(v => normalizePredValue(v) match {
+            case None => true
+            case Some(nv) =>
+              cmpStat(nv, mn).forall(_ >= 0) && cmpStat(nv, mx).forall(_ <= 0)
+          })
+      }
+    }
+
+  /** The residual Spark filter equivalent to `pred` — ALWAYS applied
+    * on top of the pruned scan, so [[readPruned]] ≡
+    * `read(...).filter(preds)` by construction even if a footer stat
+    * were wrong in the conservative direction. */
+  private def predColumn(pred: PartPred): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    pred match {
+      case PartRange(c, lo, hi) =>
+        val conds = lo.map(v => col(c) >= lit(v)).toSeq ++
+          hi.map(v => col(c) <= lit(v)).toSeq
+        conds.reduceOption(_ && _).getOrElse(lit(true))
+      case PartIn(c, vs) =>
+        if (vs.isEmpty) lit(false) else col(c).isInCollection(vs)
+    }
   }
 
   private def manifestVersions(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
@@ -293,6 +513,23 @@ object Compact {
     var passes = 0
     var merges = 0
 
+    // backfill manifest stats for parts that predate statsCols (or
+    // were adopted as plain appends) — driver-side footer reads; if
+    // nothing merges below, a stats-only generation still commits so
+    // readPruned works from the manifest alone
+    var statsBackfilled = false
+    if (opts.statsCols.nonEmpty) {
+      val wanted = opts.statsCols.toSet
+      parts = parts.map { p =>
+        val missing = wanted.diff(p.stats.keySet)
+        if (missing.isEmpty) p
+        else {
+          statsBackfilled = true
+          p.copy(stats = p.stats ++ footerStats(fs, new Path(dir, p.name), missing))
+        }
+      }
+    }
+
     var planNow = plan(parts, opts)
     while (planNow.nonEmpty && passes < opts.maxPasses) {
       passes += 1
@@ -327,9 +564,13 @@ object Compact {
             (deduped.count(), deduped)
         }
         val sorted =
-          if (opts.sortCols.nonEmpty)
-            writeIn.repartition(numParts).sortWithinPartitions(opts.sortCols.map(col): _*)
-          else writeIn.repartition(numParts)
+          if (opts.sortCols.nonEmpty) {
+            val distributed =
+              if (opts.clusterByRange && numParts > 1)
+                writeIn.repartitionByRange(numParts, opts.sortCols.map(col): _*)
+              else writeIn.repartition(numParts)
+            distributed.sortWithinPartitions(opts.sortCols.map(col): _*)
+          } else writeIn.repartition(numParts)
         try sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         finally if (opts.replaceOn.nonEmpty) writeIn.unpersist()
         val outFiles = fs.listStatus(tmp).map(_.getPath)
@@ -345,7 +586,8 @@ object Compact {
           val dest = new Path(dir, name)
           if (!fs.rename(p, dest))
             throw new IllegalStateException(s"could not place merged part $dest")
-          PartFile(name, target, fs.getFileStatus(dest).getLen)
+          PartFile(name, target, fs.getFileStatus(dest).getLen,
+            footerStats(fs, dest, opts.statsCols.toSet))
         }.toSeq
         fs.delete(tmp, true)
 
@@ -381,9 +623,10 @@ object Compact {
       }
       planNow = plan(parts, opts)
     }
-    if (passes == 0 && state0.isEmpty && parts.nonEmpty) {
+    if (passes == 0 && parts.nonEmpty && (state0.isEmpty || statsBackfilled)) {
       // adopt a manifest even when nothing merges, so readers gain
-      // manifest isolation from the first run
+      // manifest isolation from the first run — and likewise commit a
+      // stats-only refresh generation when backfill changed parts
       version += 1
       commitState(fs, dir, State(version, parts))
     }
@@ -418,6 +661,101 @@ object Compact {
         case None    => union.dropDuplicates(keys)
       }
     }
+  }
+
+  /** Parts of the live state split by whether `preds` can match them
+    * ((kept, skipped)). Appends since the last [[run]] carry no stats
+    * and are always kept. On a REPLACING store only predicates over
+    * the replace key participate in pruning: a non-key predicate must
+    * not skip the file holding a key's newest row, or dedup-on-read
+    * would resurrect an older version — those predicates apply purely
+    * as residual filters after the replacement. */
+  def prunedParts(spark: SparkSession, storeDir: String, preds: Seq[PartPred],
+                  opts: Options = Options()): (Seq[PartFile], Seq[PartFile]) = {
+    val dir = new Path(storeDir)
+    val (_, parts, _) = loadState(fsFor(spark, dir), dir, opts)
+    val pruneOn =
+      if (opts.replaceOn.isEmpty) preds
+      else preds.filter(p => opts.replaceOn.contains(p.column))
+    parts.partition(p => pruneOn.forall(pr => partMatches(p.stats, pr)))
+  }
+
+  final case class PruneReport(keptFiles: Int, skippedFiles: Int,
+      keptBytes: Long, skippedBytes: Long)
+
+  /** Skipping effectiveness for `preds` without reading any data. */
+  def pruneReport(spark: SparkSession, storeDir: String, preds: Seq[PartPred],
+                  opts: Options = Options()): PruneReport = {
+    val (kept, skipped) = prunedParts(spark, storeDir, preds, opts)
+    PruneReport(kept.size, skipped.size, kept.map(_.size).sum, skipped.map(_.size).sum)
+  }
+
+  /** [[read]] restricted by manifest statistics: parts whose
+    * [[Options.statsCols]] bounds cannot satisfy `preds` are never
+    * even LISTED to Spark, and the equivalent Column filter is still
+    * applied on top, so the result is identical to
+    * `read(...).filter(preds)` with strictly less IO. The scan that
+    * survives keeps row-group pruning and pushed filters — this layer
+    * sits above both. */
+  def readPruned(spark: SparkSession, storeDir: String, preds: Seq[PartPred],
+                 opts: Options = Options()): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dir = new Path(storeDir)
+    val (kept, skipped) = prunedParts(spark, storeDir, preds, opts)
+    val union =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map(p => new Path(dir, p.name).toString): _*)
+      else if (skipped.nonEmpty)
+        // everything pruned: keep the schema, return no rows
+        spark.read.parquet(new Path(dir, skipped.head.name).toString)
+          .filter(lit(false))
+      else spark.read.parquet(storeDir) // surface the reader's own error shape
+    val served = opts.replaceOn match {
+      case Nil => union
+      case keys => opts.versionCol match {
+        case Some(v) => Store.compactGroupTable(union, keys, v)
+        case None    => union.dropDuplicates(keys)
+      }
+    }
+    preds.map(predColumn).foldLeft(served)(_ filter _)
+  }
+
+  /** [[readPruned]] over a directory-partitioned store: Catalyst's
+    * partition pruning handles the directory dimensions
+    * (project/date) through the residual filter, and each leaf's
+    * manifest stats skip parts within the surviving leaves — the two
+    * skipping layers the canonical events layout wants at 100 TB
+    * (tenant+day directories × per-part (user, ts) ranges). */
+  def readPartitionedPruned(spark: SparkSession, rootDir: String,
+                            preds: Seq[PartPred],
+                            opts: Options = Options()): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val root = new Path(rootDir)
+    val fs = fsFor(spark, root)
+    require(fs.exists(root), s"store directory $rootDir does not exist")
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith(".") ||
+          s.getPath.getName.startsWith("_"))
+      val dirs = st.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+    }
+    val pruneOn =
+      if (opts.replaceOn.isEmpty) preds
+      else preds.filter(p => opts.replaceOn.contains(p.column))
+    val keptFiles = leaves(root)
+      .filter(l => fs.listStatus(l)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .flatMap { l =>
+        val (_, parts, _) = loadState(fs, l, opts)
+        parts.filter(p => pruneOn.forall(pr => partMatches(p.stats, pr)))
+          .map(p => new Path(l, p.name).toString)
+      }
+    val union =
+      if (keptFiles.nonEmpty)
+        spark.read.option("basePath", rootDir).parquet(keptFiles: _*)
+      else spark.read.parquet(rootDir).filter(lit(false))
+    preds.map(predColumn).foldLeft(union)(_ filter _)
   }
 
   /** Manifest generations currently readable, oldest first. */

@@ -376,6 +376,118 @@ class CompactSpec extends SparkTestBase {
     assert(spark.read.parquet(root).count() == 3600)
   }
 
+  test("manifest stats prune parts; pruned read equals filtered read") {
+    val dir = s"${tmpDir()}/store"
+    val o = Compact.Options(l0MaxParts = 2, l1PartBytes = 24L << 10,
+      sortCols = Seq("id"), clusterByRange = true, statsCols = Seq("id", "s", "dead"))
+    // 8 appends covering ids 0..7999, each spanning the FULL range
+    // (worst case for skipping before compaction clusters them)
+    (0 until 8).foreach { i =>
+      val df = spark.range(0, 8000).filter(col("id") % 8 === i)
+        .select(col("id"), concat(lit("v"), lpad(col("id").cast("string"), 6, "0")).as("s"),
+          lit(null).cast("double").as("dead"))
+      Store.atomicAppend(df, dir, f"batch-$i%05d")
+    }
+    val r = Compact.run(spark, dir, o)
+    assert(r.merges >= 1)
+    // range-clustered merge output + footer stats → a narrow id range
+    // touches a strict subset of parts
+    val preds = Seq(Compact.PartRange("id", Some(1000L), Some(1200L)))
+    val rep = Compact.pruneReport(spark, dir, preds, o)
+    assert(rep.skippedFiles > 0,
+      s"clustered parts must let a narrow range skip files: $rep")
+    assert(rep.keptFiles > 0)
+    val pruned = Compact.readPruned(spark, dir, preds, o)
+    assert(pruned.count() == 201)
+    assert(pruned.agg(sum("id")).head.getLong(0) == (1000L to 1200L).sum)
+    // string stats prune too
+    val srep = Compact.pruneReport(spark, dir,
+      Seq(Compact.PartRange("s", Some("v007900"), None)), o)
+    assert(srep.skippedFiles > 0, s"string range must skip: $srep")
+    assert(Compact.readPruned(spark, dir,
+      Seq(Compact.PartRange("s", Some("v007900"), None)), o).count() == 100)
+    // an all-null column prunes every value predicate
+    val nrep = Compact.pruneReport(spark, dir,
+      Seq(Compact.PartRange("dead", Some(0.0), None)), o)
+    assert(nrep.keptFiles == 0, s"all-null column matches nothing: $nrep")
+    assert(Compact.readPruned(spark, dir,
+      Seq(Compact.PartRange("dead", Some(0.0), None)), o).count() == 0)
+    // IN pruning: two point ids touch at most two parts' ranges
+    val inRep = Compact.pruneReport(spark, dir,
+      Seq(Compact.PartIn("id", Seq(5L, 7995L))), o)
+    assert(inRep.skippedFiles > 0)
+    assert(Compact.readPruned(spark, dir,
+      Seq(Compact.PartIn("id", Seq(5L, 7995L))), o).count() == 2)
+    // stats survive the manifest round trip: a fresh run backfills
+    // nothing and pruning still works manifest-only
+    val r2 = Compact.run(spark, dir, o)
+    assert(r2.merges == 0)
+    assert(Compact.pruneReport(spark, dir, preds, o).skippedFiles == rep.skippedFiles)
+    // appends after the run carry no stats yet → never skipped, and
+    // the residual filter still applies
+    Store.atomicAppend(
+      spark.range(100000, 100010).select(col("id"),
+        lit("zzz").as("s"), lit(null).cast("double").as("dead")),
+      dir, "late-append")
+    val lateRep = Compact.pruneReport(spark, dir, preds, o)
+    assert(lateRep.keptFiles == rep.keptFiles + 1, "stats-less append is always kept")
+    assert(Compact.readPruned(spark, dir, preds, o).count() == 201)
+  }
+
+  test("replacing stores prune only on replace-key predicates") {
+    val dir = s"${tmpDir()}/store"
+    val o = Compact.Options(l0MaxParts = 1, sortCols = Seq("k"),
+      clusterByRange = true, statsCols = Seq("k", "ver"),
+      replaceOn = Seq("k"), versionCol = Some("ver"))
+    // two generations of the same keys: newest version wins on read
+    Store.atomicAppend(
+      spark.range(0, 100).select(col("id").as("k"), lit(1L).as("ver")),
+      dir, "gen1")
+    Store.atomicAppend(
+      spark.range(0, 100).select(col("id").as("k"), lit(2L).as("ver")),
+      dir, "gen2")
+    Compact.run(spark, dir, o)
+    // append a THIRD generation so versions split across files again
+    Store.atomicAppend(
+      spark.range(0, 50).select(col("id").as("k"), lit(3L).as("ver")),
+      dir, "gen3")
+    Compact.run(spark, dir, o)
+    // a ver predicate must NOT prune files: skipping the file holding
+    // a key's newest row would resurrect the older version
+    val got = Compact.readPruned(spark, dir,
+      Seq(Compact.PartRange("ver", Some(1L), Some(2L))), o)
+    // keys 0..49 are at ver 3 (fail the filter AFTER dedup); 50..99 at ver 2
+    assert(got.count() == 50, "residual filter applies after replacement")
+    assert(got.agg(min("ver"), max("ver")).head == org.apache.spark.sql.Row(2L, 2L))
+    // key predicates DO prune
+    val rep = Compact.pruneReport(spark, dir,
+      Seq(Compact.partEq("k", 10L)), o)
+    assert(Compact.readPruned(spark, dir,
+      Seq(Compact.partEq("k", 10L)), o).count() == 1)
+    assert(rep.keptFiles + rep.skippedFiles > 0)
+  }
+
+  test("partitioned pruned read: directory pruning plus per-leaf stats") {
+    val root = s"${tmpDir()}/table"
+    val o = Compact.Options(l0MaxParts = 2, l1PartBytes = 12L << 10,
+      sortCols = Seq("uid"), clusterByRange = true, statsCols = Seq("uid"))
+    (0 until 6).foreach { i =>
+      val df = spark.range(0, 3000).filter(col("id") % 6 === i)
+        .select(col("id").as("uid"))
+      (0 to 1).foreach { d =>
+        Store.atomicAppend(df.filter(col("uid") % 2 === d),
+          s"$root/day=$d", f"b-$i%03d")
+      }
+    }
+    Compact.runPartitioned(spark, root, o)
+    val got = Compact.readPartitionedPruned(spark, root,
+      Seq(Compact.PartRange("uid", Some(100L), Some(300L)),
+        Compact.partEq("day", 0)), o)
+    assert(got.count() == (100L to 300L).count(_ % 2 == 0))
+    assert(got.agg(sum("uid")).head.getLong(0) ==
+      (100L to 300L).filter(_ % 2 == 0).sum)
+  }
+
   test("footer row counts validate merges; a lying writer's output aborts") {
     import org.apache.hadoop.fs.Path
     val dir = s"${tmpDir()}/footers"
