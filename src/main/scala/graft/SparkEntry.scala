@@ -2001,6 +2001,21 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // pipeline: two-stage quantized retrieval — int8 candidate pass
+    // (the scale cancels in cosine, so the candidate score is exactly
+    // cosine(query, int8-pattern); the oracle replays the same floor
+    // arithmetic as q_quantize_int8) + exact float re-rank over only
+    // the shortlist.
+    "q_knn_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.quantizedRerankTopK(q, emb, "q_id", "q_vec",
+          "vec_id", "embedding", k = 3, shortlist = 10)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
     // pipeline: symmetric int8 embedding quantization — per-vector
     // integer codes summarized exactly (sum/min/max of ints, scale as
     // exact max|x|*1e9 micro-units); IEEE-only arithmetic, so the
@@ -4544,6 +4559,49 @@ object SparkEntry {
                AS "rank",
              round(cos_sim, 4) AS cos_sim_r
            FROM scored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
+
+    // quantized candidate pass (int8 pattern cosine, scale cancelled)
+    // + exact float re-rank over the rn<=10 shortlist — both stages
+    // replayed with the same deterministic tie-break
+    "q_knn_quantized" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+                    FROM embeddings WHERE vec_id < 5),
+         b AS (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+               FROM embeddings),
+         cq AS (SELECT vec_id,
+                 CASE WHEN m IS NULL OR m = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                      ELSE list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))
+                 END AS p
+               FROM b),
+         cand AS (
+           SELECT q.q_id, c.vec_id,
+             list_dot_product(q.q_vec, c.p) /
+               nullif(sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                      sqrt(list_dot_product(c.p, c.p)), 0) AS cos_a
+           FROM cq c, q WHERE c.vec_id <> q.q_id),
+         short AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_a DESC, vec_id) AS rn
+             FROM cand) WHERE rn <= 10),
+         rescored AS (
+           SELECT s.q_id, s.vec_id AS neighbor_id,
+             list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[])) /
+               nullif(sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                      sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[]))), 0) AS cos_sim
+           FROM short s JOIN q ON s.q_id = q.q_id
+           JOIN embeddings e ON e.vec_id = s.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM rescored)
          SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
 
     // int8 quantization: identical IEEE op sequence (float→double,

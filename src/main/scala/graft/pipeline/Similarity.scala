@@ -186,6 +186,56 @@ object Similarity {
     topKPerQuery(scored, qId, cId, k)
   }
 
+  /** Two-stage quantized retrieval: int8 candidate generation + exact
+    * float re-rank — the memory-bound ANN layout at 100 TB, where the
+    * candidate pass streams the 4×-smaller int8 corpus
+    * ([[withQuantizedInt8]]) and full-precision vectors are touched
+    * for only |queries| × `shortlist` rows (a semi-join reduction via
+    * the shortlist ids, not a second corpus pass over floats).
+    *
+    * Scoring is ASYMMETRIC (float query × int8 corpus), and symmetric
+    * per-vector quantization makes the scale CANCEL in cosine:
+    * cos(q, scale·p) = cos(q, p) for scale > 0, so the candidate
+    * score is exactly `cosine(query, int8-pattern-as-double)` — IEEE
+    * arithmetic a SQL oracle replays digit for digit from the same
+    * quantized arrays `q_quantize_int8` already verifies. An all-zero
+    * corpus vector quantizes to the zero pattern and scores 0 (the
+    * shared zero-denominator guard), same as its float cosine.
+    *
+    * Output and tie-break match [[bruteForceTopK]]; ranks differ only
+    * where int8 rounding reorders neighbors OUTSIDE the shortlist —
+    * recall vs brute is measurable the q_ann_recall way. `shortlist`
+    * ≥ k; larger shortlists trade rerank IO for recall. */
+  def quantizedRerankTopK(queries: DataFrame, corpus: DataFrame,
+                          qId: String, qVec: String, cId: String, cVec: String,
+                          k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cq = withQuantizedInt8(corpus.select(col(cId), col(cVec)), cVec)
+      .withColumn("__cqd", transform(col("q_vec"), x => x.cast("double")))
+      .withColumn("__cqn", norm(col("__cqd")))
+      .select(col(cId), col("__cqd"), col("__cqn"))
+    val qa = boundedBroadcast(
+      queries.select(col(qId), col(qVec)).withColumn("__qn", norm(col(qVec))),
+      qVec, "quantizedRerankTopK")
+    val candidates = cq.crossJoin(qa)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__cqd")),
+        col("__qn"), col("__cqn")))
+    val shortlisted =
+      topKPerQuery(candidates.select(col(qId), col(cId), col("cos_sim")),
+        qId, cId, shortlist)
+      .select(col(qId), col(cId))
+    val rescored = shortlisted
+      .join(qa.select(col(qId), col(qVec), col("__qn")), Seq(qId))
+      .join(corpus.select(col(cId), col(cVec).as("__cv")), Seq(cId))
+      // float norms AFTER the join: computed for |Q|·shortlist
+      // survivors, never once per corpus row
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__cv")),
+        col("__qn"), col("__cn")))
+    topKPerQuery(rescored.select(col(qId), col(cId), col("cos_sim")), qId, cId, k)
+  }
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
     * long — a fused native Expression (one pass over the vector,
     * codegen'd) instead of `planes` zip_with+aggregate passes.

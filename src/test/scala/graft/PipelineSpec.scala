@@ -692,6 +692,39 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq(4L, 2L)) // 4 is closer to (1,0) than 2; 3 orthogonal
   }
 
+  test("quantized rerank: full shortlist equals brute force; rerank scores are float-exact") {
+    import spark.implicits._
+    val corpus = (0 until 40).map { i =>
+      val angle = i * 0.15
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        (0.01 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2))).toSet
+    // shortlist covering the whole corpus → the int8 stage can only
+    // reorder WITHIN the shortlist, and the float rerank restores the
+    // exact ranking AND the exact cosine values
+    val full = Similarity.quantizedRerankTopK(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2))).toSet
+    assert(full == brute, "full-shortlist quantized rerank must equal brute force")
+    // a narrow shortlist still finds the true top-1 on this smooth
+    // corpus (int8 on unit vectors distorts far less than one rank)
+    val narrow = Similarity.quantizedRerankTopK(q, corpus,
+      "q_id", "q_vec", "vec_id", "embedding", k = 1, shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteTop1 = brute.filter(_._3 == 1L).map(t => (t._1, t._2))
+    assert(narrow == bruteTop1)
+    // an all-zero corpus vector scores 0 in the candidate stage, not NaN
+    val withZero = corpus.union(Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val z = Similarity.quantizedRerankTopK(q, withZero,
+      "q_id", "q_vec", "vec_id", "embedding", k = 3, shortlist = 41)
+    assert(z.filter(col("cos_sim").isNaN).count() == 0)
+  }
+
   test("LSH top-k finds the exact match; IVF probes the right cell") {
     import spark.implicits._
     val corpus = (0 until 50).map { i =>
