@@ -2940,6 +2940,39 @@ object SparkEntry {
         .orderBy(col("event"))
     }),
 
+    // Point lookup through the FULL canonical read path
+    // (Compact.readPartitionedPruned): date-partition directories are
+    // pruned by Catalyst from the residual event_date predicate,
+    // per-leaf manifest (user_id, ts) stats skip parts within the
+    // surviving days, and row-group stats finish the job — the
+    // three-layer skipping stack a single-user query wants at 100 TB
+    // (the reference's (project_id, user) sort-key story,
+    // storage/src/table.rs:26-27, re-expressed as layout + manifest).
+    "q_point_lookup" -> ((s, dir) => {
+      val o = graft.sources.Compact.Options(
+        l0MaxParts = 2, sortCols = Seq("user_id", "ts"),
+        clusterByRange = true, statsCols = Seq("user_id", "ts"))
+      val root = stagedOnce("pointstore-v1", dir) { f =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        // two ingest batches, each spanning the full user range
+        graft.sources.Store.appendEvents(ev.filter(col("event_id") % 2 === 0),
+          f.getAbsolutePath)
+        graft.sources.Store.appendEvents(ev.filter(col("event_id") % 2 === 1),
+          f.getAbsolutePath)
+        graft.sources.Compact.runPartitioned(s, f.getAbsolutePath, o): Unit
+      }
+      graft.sources.Compact.readPartitionedPruned(s, root.getAbsolutePath,
+          Seq(graft.sources.Compact.partEq("user_id", 7L),
+            graft.sources.Compact.PartRange("event_date",
+              Some(java.sql.Date.valueOf("2024-01-08")),
+              Some(java.sql.Date.valueOf("2024-01-21")))), o)
+        .groupBy(col("event_date").as("d"), col("event_type").as("event"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("d"), col("event"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -4886,6 +4919,16 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
          FROM events WHERE $SQL_RANGE AND (user_id % 2) + 1 = 2
          GROUP BY 1""",
+
+    "q_point_lookup" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type AS event,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         WHERE user_id = 7
+           AND CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-08'
+             AND DATE '2024-01-21'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_store_prune" ->
       """SELECT event_type AS event, count(*) AS n,
