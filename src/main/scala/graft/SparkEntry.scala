@@ -2940,6 +2940,32 @@ object SparkEntry {
         .orderBy(col("event"))
     }),
 
+    // Incremental materialized aggregate view
+    // (Compact.Options.sumOn + Store.atomicAppendOnce): each ingest
+    // batch appends ONE marker-idempotent partial aggregate, the
+    // summing compaction folds partials physically, and the view read
+    // serves O(groups) rows without ever rescanning raw events — a
+    // replayed batch (here b0 twice) changes nothing. The oracle
+    // recomputes the view from the raw table in one pass.
+    "q_agg_view" -> ((s, dir) => {
+      val o = graft.sources.Compact.Options(l0MaxParts = 2,
+        sumOn = Seq("d", "event"))
+      val root = stagedOnce("aggview-v1", dir) { f =>
+        val ev = Tables.events(s, dir)
+        def partial(slice: Int) = ev.filter(col("event_id") % 3 === slice)
+          .groupBy(day(col("ts")).as("d"), col("event_type").as("event"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        (0 until 3).foreach(i =>
+          graft.sources.Store.atomicAppendOnce(partial(i),
+            f.getAbsolutePath, s"b$i"): Unit)
+        graft.sources.Compact.run(s, f.getAbsolutePath, o)
+        // replayed batch: the marker survives the fold, so this is a no-op
+        graft.sources.Store.atomicAppendOnce(partial(0), f.getAbsolutePath, "b0"): Unit
+      }
+      graft.sources.Compact.read(s, root.getAbsolutePath, o)
+        .orderBy(col("d"), col("event"))
+    }),
+
     // Point lookup through the FULL canonical read path
     // (Compact.readPartitionedPruned): date-partition directories are
     // pruned by Catalyst from the residual event_date predicate,
@@ -4919,6 +4945,12 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
          FROM events WHERE $SQL_RANGE AND (user_id % 2) + 1 = 2
          GROUP BY 1""",
+
+    "q_agg_view" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type AS event,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_point_lookup" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type AS event,

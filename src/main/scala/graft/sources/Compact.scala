@@ -104,7 +104,18 @@ object Compact {
         * which is what makes [[statsCols]] pruning selective after
         * compaction instead of every part spanning the full key
         * range. */
-      clusterByRange: Boolean = false)
+      clusterByRange: Boolean = false,
+      /** Aggregating-store mode (the materialized-view counterpart of
+        * `replaceOn`, the summing-merge idea): rows are PARTIAL
+        * ADDITIVE AGGREGATES keyed by these columns and every other
+        * column must be summable — merges GROUP BY the keys and SUM
+        * the rest, and readers apply the same fold across
+        * still-unmerged levels. An incremental materialized view then
+        * costs one [[Store.atomicAppend]] of each ingest batch's
+        * partial aggregate (idempotent by deterministic batch name)
+        * plus an O(groups) read — the raw store is never rescanned.
+        * Mutually exclusive with `replaceOn`. */
+      sumOn: Seq[String] = Nil)
 
   /** Per-part column statistics from the parquet footer.
     * [[StatUnknown]] (unreadable/absent stats, non-ASCII string
@@ -359,6 +370,34 @@ object Compact {
       }
     }
 
+  /** The summing fold of an aggregating store: one row per `keys`
+    * group, every other column summed, original column order kept.
+    * Used identically by merges and readers, so a group's partials
+    * collapse the same way wherever they happen to sit. */
+  private def sumFold(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).toSeq
+    require(others.nonEmpty, "an aggregating store needs at least one value column")
+    import org.apache.spark.sql.functions.sum
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(others.head)).as(others.head),
+        others.tail.map(c => sum(col(c)).as(c)): _*)
+      .select(df.columns.toSeq.map(col): _*)
+  }
+
+  /** The read-side fold every reader applies between merges:
+    * replacement for `replaceOn` stores, summing for `sumOn` stores,
+    * identity otherwise. */
+  private def serveFold(union: DataFrame, opts: Options): DataFrame = {
+    require(opts.replaceOn.isEmpty || opts.sumOn.isEmpty,
+      "replaceOn and sumOn are mutually exclusive store modes")
+    if (opts.replaceOn.nonEmpty) opts.versionCol match {
+      case Some(v) => Store.compactGroupTable(union, opts.replaceOn, v)
+      case None    => union.dropDuplicates(opts.replaceOn)
+    }
+    else if (opts.sumOn.nonEmpty) sumFold(union, opts.sumOn)
+    else union
+  }
+
   /** The residual Spark filter equivalent to `pred` — ALWAYS applied
     * on top of the pruned scan, so [[readPruned]] ≡
     * `read(...).filter(preds)` by construction even if a footer stat
@@ -547,22 +586,20 @@ object Compact {
         // count proved, minus one Spark job per merge. Footers are
         // the read-path authority — a reader yields precisely the
         // rows the footers describe.
-        val (inCount, writeIn) = opts.replaceOn match {
-          case Nil =>
+        val (inCount, writeIn) =
+          if (opts.replaceOn.isEmpty && opts.sumOn.isEmpty)
             // pure merge conserves rows: the expected count is the
             // INPUT footer sum — no count job, no persist; the merge
             // is a single read→write pass
             (footerRowCount(fs, inputPaths.map(new Path(_))), raw)
-          case keys =>
-            // replacing merge: the expected count only exists after
-            // dedup, so materialize once (count + write share the
-            // cached plan instead of each running the shuffle)
-            val deduped = (opts.versionCol match {
-              case Some(v) => Store.compactGroupTable(raw, keys, v)
-              case None    => raw.dropDuplicates(keys)
-            }).persist()
-            (deduped.count(), deduped)
-        }
+          else {
+            // replacing/aggregating merge: the expected count only
+            // exists after the fold, so materialize once (count +
+            // write share the cached plan instead of each running
+            // the shuffle)
+            val folded = serveFold(raw, opts).persist()
+            (folded.count(), folded)
+          }
         val sorted =
           if (opts.sortCols.nonEmpty) {
             val distributed =
@@ -572,7 +609,7 @@ object Compact {
             distributed.sortWithinPartitions(opts.sortCols.map(col): _*)
           } else writeIn.repartition(numParts)
         try sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        finally if (opts.replaceOn.nonEmpty) writeIn.unpersist()
+        finally if (opts.replaceOn.nonEmpty || opts.sumOn.nonEmpty) writeIn.unpersist()
         val outFiles = fs.listStatus(tmp).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).toSeq
         val outCount = footerRowCount(fs, outFiles)
@@ -654,13 +691,7 @@ object Compact {
     val union =
       if (parts.isEmpty) spark.read.parquet(storeDir) // surface the reader's own error shape
       else spark.read.parquet(parts.map(p => new Path(dir, p.name).toString): _*)
-    opts.replaceOn match {
-      case Nil => union
-      case keys => opts.versionCol match {
-        case Some(v) => Store.compactGroupTable(union, keys, v)
-        case None    => union.dropDuplicates(keys)
-      }
-    }
+    serveFold(union, opts)
   }
 
   /** Parts of the live state split by whether `preds` can match them
@@ -675,8 +706,8 @@ object Compact {
     val dir = new Path(storeDir)
     val (_, parts, _) = loadState(fsFor(spark, dir), dir, opts)
     val pruneOn =
-      if (opts.replaceOn.isEmpty) preds
-      else preds.filter(p => opts.replaceOn.contains(p.column))
+      if (opts.replaceOn.isEmpty && opts.sumOn.isEmpty) preds
+      else preds.filter(p => (opts.replaceOn ++ opts.sumOn).contains(p.column))
     parts.partition(p => pruneOn.forall(pr => partMatches(p.stats, pr)))
   }
 
@@ -710,14 +741,7 @@ object Compact {
         spark.read.parquet(new Path(dir, skipped.head.name).toString)
           .filter(lit(false))
       else spark.read.parquet(storeDir) // surface the reader's own error shape
-    val served = opts.replaceOn match {
-      case Nil => union
-      case keys => opts.versionCol match {
-        case Some(v) => Store.compactGroupTable(union, keys, v)
-        case None    => union.dropDuplicates(keys)
-      }
-    }
-    preds.map(predColumn).foldLeft(served)(_ filter _)
+    preds.map(predColumn).foldLeft(serveFold(union, opts))(_ filter _)
   }
 
   /** [[readPruned]] over a directory-partitioned store: Catalyst's
@@ -741,8 +765,8 @@ object Compact {
       if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
     }
     val pruneOn =
-      if (opts.replaceOn.isEmpty) preds
-      else preds.filter(p => opts.replaceOn.contains(p.column))
+      if (opts.replaceOn.isEmpty && opts.sumOn.isEmpty) preds
+      else preds.filter(p => (opts.replaceOn ++ opts.sumOn).contains(p.column))
     val keptFiles = leaves(root)
       .filter(l => fs.listStatus(l)
         .exists(_.getPath.getName.endsWith(".parquet")))
@@ -788,13 +812,7 @@ object Compact {
         missing.map(_.name).mkString(", "))
     val union = spark.read.parquet(
       state.parts.map(p => new Path(dir, p.name).toString): _*)
-    opts.replaceOn match {
-      case Nil => union
-      case keys => opts.versionCol match {
-        case Some(v) => Store.compactGroupTable(union, keys, v)
-        case None    => union.dropDuplicates(keys)
-      }
-    }
+    serveFold(union, opts)
   }
 
   /** Compact every leaf partition directory of a
@@ -960,13 +978,7 @@ object Compact {
       state.parts.map(p => new Path(leaf, p.name).toString)
     }
     val union = spark.read.option("basePath", rootDir).parquet(files: _*)
-    opts.replaceOn match {
-      case Nil => union
-      case keys => opts.versionCol match {
-        case Some(v) => Store.compactGroupTable(union, keys, v)
-        case None    => union.dropDuplicates(keys)
-      }
-    }
+    serveFold(union, opts)
   }
 
   /** Level occupancy for observability (file count + bytes per

@@ -90,6 +90,33 @@ object Store {
     }
   }
 
+  /** [[atomicAppend]] whose idempotency SURVIVES compaction: a hidden
+    * `.batch-<name>.done` marker — committed strictly AFTER the data
+    * rename — records that the batch was applied even once a fold has
+    * consumed the file itself, so a replayed batch id is a no-op
+    * forever (the contract an AGGREGATING store needs:
+    * [[Compact.Options.sumOn]] partials are not collapsible
+    * duplicates, unlike a replacing store's rows). Returns whether
+    * THIS call applied the batch. The crash window (data renamed,
+    * marker missing) converges because the retry's [[atomicAppend]]
+    * finds the deterministic file name still present and skips before
+    * writing the marker; the one unrecoverable interleaving — a
+    * maintenance fold consuming the unmarked file before the retry —
+    * is excluded by the single-writer discipline the store already
+    * assumes (finish or retry in-flight batches before compacting). */
+  def atomicAppendOnce(df: DataFrame, dir: String, name: String): Boolean = {
+    val spark = df.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dirPath, s".batch-$name.done")
+    if (fs.exists(marker)) false
+    else {
+      atomicAppend(df, dir, name)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Replacing-table compaction: keep the latest version per id —
     * the LSM replace-on-merge of the reference's group tables
     * (cmd/src/lib.rs:270 is_replacing), as a periodic rewrite. */

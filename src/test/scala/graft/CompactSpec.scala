@@ -488,6 +488,49 @@ class CompactSpec extends SparkTestBase {
       (100L to 300L).filter(_ % 2 == 0).sum)
   }
 
+  test("aggregating store: merges and readers fold partials identically; replays are no-ops") {
+    val dir = s"${tmpDir()}/view"
+    val o = Compact.Options(l0MaxParts = 2, sumOn = Seq("k"))
+    def partial(lo: Int, hi: Int) =
+      spark.range(lo, hi)
+        .groupBy((col("id") % 7).as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+    // three ingest batches append their partial aggregates
+    assert(Store.atomicAppendOnce(partial(0, 500), dir, "b0"))
+    assert(Store.atomicAppendOnce(partial(500, 900), dir, "b1"))
+    assert(Store.atomicAppendOnce(partial(900, 1400), dir, "b2"))
+    def truth(n: Int) = spark.range(0, n)
+      .groupBy((col("id") % 7).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got() = Compact.read(spark, dir, o)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // fold-on-read BEFORE any compaction
+    assert(got() == truth(1400))
+    // compaction folds physically; the read is unchanged
+    val r = Compact.run(spark, dir, o)
+    assert(r.merges >= 1)
+    assert(Compact.read(spark, dir, o).count() == 7, "one physical row per group")
+    assert(got() == truth(1400))
+    // a REPLAYED batch (same deterministic name) is a no-op even
+    // though compaction already consumed its file — the marker, not
+    // the file, carries the idempotency
+    assert(!Store.atomicAppendOnce(partial(0, 500), dir, "b0"))
+    assert(got() == truth(1400))
+    // more appends after compaction: mixed folded+partial state reads exact
+    assert(Store.atomicAppendOnce(partial(1400, 2000), dir, "b3"))
+    assert(got() == truth(2000))
+    Compact.run(spark, dir, o)
+    assert(got() == truth(2000))
+    // key-column pruning stays sum-safe: a pruned group is absent,
+    // surviving groups keep their full sums
+    val o2 = o.copy(statsCols = Seq("k"))
+    Compact.run(spark, dir, o2)
+    val one = Compact.readPruned(spark, dir, Seq(Compact.partEq("k", 3L)), o2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == truth(2000).filter(_._1 == 3L))
+  }
+
   test("footer row counts validate merges; a lying writer's output aborts") {
     import org.apache.hadoop.fs.Path
     val dir = s"${tmpDir()}/footers"
