@@ -120,7 +120,8 @@ object SparkEntry {
     "q_registry_groups", "q_registry_renamed", "q_rename_reorder",
     "q_salted_agg", "q_segment_agg", "q_segment_count", "q_segment_each",
     "q_segment_had", "q_segment_has", "q_segment_relative", "q_sessionize",
-    "q_stream_kmv", "q_stream_track", "q_tenant_prune", "q_time_from", "q_time_last",
+    "q_stream_agg_view", "q_stream_kmv", "q_stream_track", "q_tenant_prune",
+    "q_time_from", "q_time_last",
     "q_unpivot")
 
   def queryScope(name: String): String = name match {
@@ -3124,6 +3125,44 @@ object SparkEntry {
         .orderBy(col("batch"), col("grp"))
     }),
 
+    // Streaming incremental materialized aggregate view
+    // (Streaming.streamingAggView over a sumOn store): each
+    // micro-batch of a BOUNDED event slice appends ONE idempotent
+    // partial aggregate; the per-batch view read folds partials to
+    // O(groups) rows without rescanning raw events. Emitted rows are
+    // the CUMULATIVE view after each batch; the oracle recomputes both
+    // prefixes from the raw table (batch 0 = ids < 500, batch 1 = all).
+    "q_stream_agg_view" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sagg-q").toString
+      val o = graft.sources.Compact.Options(sumOn = Seq("d", "event"))
+      val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, java.sql.Date, String, Long, Long)]
+      val q = graft.streaming.Streaming.streamingAggView(
+          input.toDF().toDF("event_id", "ts", "event_type", "value"),
+          s"$tmp/view",
+          Seq(day(col("ts")).as("d"), col("event_type").as("event")),
+          Seq(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents")),
+          o) { (view, bid) =>
+        acc ++= view.collect().map(r => (bid, r.getAs[java.sql.Date]("d"),
+          r.getAs[String]("event"), r.getAs[Long]("n"),
+          r.getAs[Long]("value_cents")))
+      }.option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        input.addData(ev.filter(_._1 < 500).toSeq); q.processAllAvailable()
+        input.addData(ev.filter(_._1 >= 500).toSeq); q.processAllAvailable()
+      } finally q.stop()
+      acc.toSeq.toDF("batch", "d", "event", "n", "value_cents")
+        .orderBy(col("batch"), col("d"), col("event"))
+    }),
+
     // KMV distinct sketch (Sketches): per-event-type k-minimum-values
     // sketches of distinct event_ids plus their MERGE into a global
     // "__all" sketch — the mergeable count-distinct a 100 TB pipeline
@@ -5125,6 +5164,18 @@ object SparkEntry {
 
     // running prefix sketches: batch b's estimate is the KMV of every
     // event fed up to and including batch b (merge invariant)
+    "q_stream_agg_view" ->
+      """WITH src AS (SELECT event_id, ts, event_type, value FROM events
+             WHERE event_id < 2000),
+         u AS (SELECT CAST(0 AS BIGINT) AS batch, ts, event_type, value
+             FROM src WHERE event_id < 500
+           UNION ALL
+           SELECT CAST(1 AS BIGINT) AS batch, ts, event_type, value FROM src)
+         SELECT batch, CAST(date_trunc('day', ts) AS DATE) AS d,
+           event_type AS event, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
     "q_stream_kmv" ->
       """WITH src AS (SELECT event_id, event_type AS grp FROM events
              WHERE event_id < 2000),

@@ -185,13 +185,12 @@ object Sketches {
             preHashed = true),
           groupCols, k)
         sink(merged, batchId)
-        val dirPath = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(dirPath, f".batch-$batchId%09d.done")
-        if (!fs.exists(marker)) {
-          graft.sources.Store.atomicAppend(bs, storeDir, f"batch-$batchId%09d")
-          fs.create(marker, true).close()
-        }
+        // marker-after-append replay guard, shared with the other
+        // streaming stores (see Store.atomicAppendOnce); a replayed
+        // batch duplicating rows is estimate-neutral anyway (KMV
+        // union is idempotent), the marker just keeps the store tidy
+        graft.sources.Store.atomicAppendOnce(
+          bs, storeDir, f"batch-$batchId%09d"): Unit
       } finally { bs.unpersist(); () }
     }
 

@@ -114,29 +114,20 @@ object StreamingDedup {
           .select(col("__id_new").as(idCol),
             col("__m.dup_of").as("dup_of"), col("__m.jaccard").as("jaccard"))
         sink(dups, batchId)
-        // the hidden .done marker — not the parquet file — is the
-        // replay guard: compaction legitimately deletes the parquet
-        // when it folds the batch into a merged part, and re-appending
-        // then would duplicate every signature row. Markers are
-        // invisible to Compact and to parquet readers. Marker-AFTER-
-        // append is deliberate: the inverse order would read a crash
-        // between marker and append as "already appended" and silently
-        // LOSE the batch's signatures. The one remaining window —
-        // crash after append but before the marker, AND a compaction
-        // folding the batch file before the stream restarts — re-
-        // appends one batch's rows; that duplication is provably
-        // output-neutral (candidate pairs are dropDuplicates'd per
-        // (new, dup_of) and jaccard is identical per duplicate row)
-        // and is physically collapsed by [[compactSignatures]], which
-        // is why replacing compaction is the REQUIRED maintenance
-        // path for this store, not an optional nicety.
-        val dirPath = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(dirPath, f".batch-$batchId%09d.done")
-        if (!fs.exists(marker)) {
-          graft.sources.Store.atomicAppend(sig, storeDir, f"batch-$batchId%09d")
-          fs.create(marker, true).close()
-        }
+        // marker-after-append replay guard (Store.atomicAppendOnce):
+        // the hidden .done marker — not the parquet file — records the
+        // batch, because compaction legitimately deletes the parquet
+        // when it folds the batch into a merged part. The one
+        // remaining window — crash after append but before the marker,
+        // AND a compaction folding the batch file before the stream
+        // restarts — re-appends one batch's rows; that duplication is
+        // provably output-neutral here (candidate pairs are
+        // dropDuplicates'd per (new, dup_of) and jaccard is identical
+        // per duplicate row) and is physically collapsed by
+        // [[compactSignatures]], which is why replacing compaction is
+        // the REQUIRED maintenance path for this store.
+        graft.sources.Store.atomicAppendOnce(
+          sig, storeDir, f"batch-$batchId%09d"): Unit
       } finally { sig.unpersist(); () }
     }
 

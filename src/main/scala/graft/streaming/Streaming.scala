@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -162,6 +162,31 @@ object Streaming {
           }
       }
   }
+
+  /** Streaming incremental materialized aggregate view — the
+    * continuous-ingest counterpart of
+    * [[graft.sources.Compact.Options.sumOn]]: each micro-batch appends
+    * ONE partial additive aggregate (`groupBy(keys).agg(aggs)` over
+    * just the batch) via [[graft.sources.Store.atomicAppendOnce]], so
+    * a foreachBatch restart replaying the last batch is exactly-once
+    * in the store even after compaction consumed the batch file. The
+    * view read folds partials to O(groups) rows without rescanning any
+    * raw event; `sink` receives it after each batch. Periodic
+    * [[graft.sources.Compact.run]] with the same `opts` bounds the
+    * partial count physically — reads are correct at any point in
+    * between, because merge and reader apply the identical fold.
+    * `opts.sumOn` must name the key columns as aliased in `keys`. */
+  def streamingAggView(rows: DataFrame, storeDir: String,
+                       keys: Seq[Column], aggs: Seq[Column],
+                       opts: graft.sources.Compact.Options)(
+                       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val partial = batch.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      graft.sources.Store.atomicAppendOnce(partial, storeDir,
+        f"batch-$batchId%09d"): Unit
+      sink(graft.sources.Compact.read(batch.sparkSession, storeDir, opts),
+        batchId)
+    }
 
   /** Streaming sink: append parquet partitioned by event date — the
     * write path that replaces the reference's WAL+memtable+compactor

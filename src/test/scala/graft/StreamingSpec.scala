@@ -250,4 +250,42 @@ class StreamingSpec extends SparkTestBase {
         "crash-before-marker replay overwrites, never appends")
     } finally q.stop()
   }
+
+  test("streaming aggregate view: cumulative folds exact across batches and mid-stream compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sagg").toString
+    val o = graft.sources.Compact.Options(l0MaxParts = 1, sumOn = Seq("k"))
+    val input = MemoryStream[(Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, (Long, Double)])]
+    val q = Streaming.streamingAggView(input.toDF().toDF("id", "v"), s"$dir/view",
+        Seq((col("id") % 5).as("k")),
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("v_sum")), o) { (view, bid) =>
+      got += ((bid, view.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap))
+    }.option("checkpointLocation", s"$dir/ckpt").start()
+    def truth(rows: Seq[(Long, Double)]) = rows.groupBy(_._1 % 5)
+      .map { case (k, g) => k -> ((g.size.toLong, g.map(_._2).sum)) }
+    val b0 = (0L until 300L).map(i => (i, i * 0.5))
+    val b1 = (300L until 700L).map(i => (i, i * 0.25))
+    val b2 = (700L until 1000L).map(i => (i, 1.0))
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      // compaction BETWEEN batches: the folded store + the next
+      // batch's partial must still read exact
+      val rep = graft.sources.Compact.run(spark, s"$dir/view", o)
+      assert(rep.merges >= 1, s"fold happened: $rep")
+      input.addData(b2); q.processAllAvailable()
+      assert(got.toSeq.map(_._1) == Seq(0L, 1L, 2L))
+      assert(got(0)._2 == truth(b0), s"batch 0: ${got(0)}")
+      assert(got(1)._2 == truth(b0 ++ b1), s"batch 1: ${got(1)}")
+      assert(got(2)._2 == truth(b0 ++ b1 ++ b2), s"batch 2: ${got(2)}")
+    } finally q.stop()
+    // the view store holds partials, never raw rows: after one more
+    // fold it is exactly one physical row per group
+    graft.sources.Compact.run(spark, s"$dir/view", o)
+    assert(graft.sources.Compact.read(spark, s"$dir/view", o).count() == 5)
+  }
 }
