@@ -3000,6 +3000,32 @@ object SparkEntry {
         .orderBy(col("d"), col("event"))
     }),
 
+    // Bloom-index point lookup (Compact.Options.bloomCols): the store
+    // is hash-clustered into four parts by user bucket, so every
+    // part's (min, max) user range covers the probe — RANGE stats
+    // skip nothing — while the per-part bloom admits exactly the one
+    // part that holds the user. The residual filter keeps the read
+    // ≡ read+filter even on a bloom false positive. The oracle is the
+    // raw-table point query.
+    "q_bloom_lookup" -> ((s, dir) => {
+      val o = graft.sources.Compact.Options(
+        l0MaxParts = 4, statsCols = Seq("user_id"),
+        bloomCols = Seq("user_id"))
+      val root = stagedOnce("bloomstore-v1", dir) { f =>
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        (0 until 4).foreach(i =>
+          graft.sources.Store.atomicAppend(ev.filter(col("user_id") % 4 === i),
+            f.getAbsolutePath, s"b$i"))
+        graft.sources.Compact.run(s, f.getAbsolutePath, o): Unit
+      }
+      graft.sources.Compact.readPruned(s, root.getAbsolutePath,
+          Seq(graft.sources.Compact.partEq("user_id", 7L)), o)
+        .groupBy(col("event_type").as("event"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("event"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -5000,6 +5026,12 @@ object SparkEntry {
            AND CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-08'
              AND DATE '2024-01-21'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_bloom_lookup" ->
+      """SELECT event_type AS event, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events WHERE user_id = 7
+         GROUP BY 1 ORDER BY 1""",
 
     "q_store_prune" ->
       """SELECT event_type AS event, count(*) AS n,

@@ -115,7 +115,31 @@ object Compact {
         * partial aggregate (idempotent by deterministic batch name)
         * plus an O(groups) read — the raw store is never rescanned.
         * Mutually exclusive with `replaceOn`. */
-      sumOn: Seq[String] = Nil)
+      sumOn: Seq[String] = Nil,
+      /** Columns to index with a per-part BLOOM FILTER in the
+        * manifest — the skipping layer min/max stats cannot provide:
+        * an equality probe on a high-cardinality column whose RANGE
+        * spans every part (a user point-lookup over ingest-time-
+        * ordered parts, where each user appears in few parts but
+        * min/max covers all of them). Blooms are built from the data
+        * (one Spark pass, amortized into compaction: merge outputs at
+        * merge time, stats-less appends backfilled at the next
+        * [[run]]) and probed driver-side by [[readPruned]] /
+        * [[readPartitionedPruned]] for Eq/In predicates. A false
+        * positive only costs IO; a missing bloom never skips; the
+        * residual filter still applies, so reads stay ≡ read+filter
+        * by construction. */
+      bloomCols: Seq[String] = Nil,
+      /** Bloom width in BITS per part per column (64..2^20). Size to
+        * ~10× the expected DISTINCT values per part for ~1% false
+        * positives; an undersized (saturated) filter keeps
+        * everything — it never lies in the skip direction. */
+      bloomBits: Int = 1 << 16,
+      /** Hash probes per value, 1..6 — six disjoint 20-bit slices of
+        * one md5 are available (the repo's portable hash space: the
+        * executor-side build and the driver-side probe share exact
+        * arithmetic, and an oracle can replay it). */
+      bloomHashes: Int = 4)
 
   /** Per-part column statistics from the parquet footer.
     * [[StatUnknown]] (unreadable/absent stats, non-ASCII string
@@ -138,8 +162,18 @@ object Compact {
   final case class PartIn(column: String, values: Seq[Any]) extends PartPred
   def partEq(column: String, v: Any): PartPred = PartIn(column, Seq(v))
 
+  /** One column's per-part bloom filter as stored in the manifest.
+    * Bit positions are `numHash` disjoint 20-bit slices of ONE md5 of
+    * the value's string form, each mod `numBits` — reproduced exactly
+    * by the driver-side probe in [[bloomPositions]]. */
+  final case class PartBloom(numHash: Int, numBits: Int, bits: Array[Long]) {
+    def mightContain(positions: Seq[Int]): Boolean =
+      positions.forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0L)
+  }
+
   final case class PartFile(name: String, level: Int, size: Long,
-      stats: Map[String, ColStat] = Map.empty)
+      stats: Map[String, ColStat] = Map.empty,
+      blooms: Map[String, PartBloom] = Map.empty)
   final case class State(version: Long, parts: Seq[PartFile])
   final case class MergePlan(fromLevel: Int, inputs: Seq[PartFile]) {
     def bytes: Long = inputs.map(_.size).sum
@@ -214,6 +248,21 @@ object Compact {
     else if (j.asOpt("allNull").isDefined) StatAllNull
     else StatRange((j / "min").scalar, (j / "max").scalar)
 
+  private def bloomJson(b: PartBloom): String = {
+    val bb = java.nio.ByteBuffer.allocate(b.bits.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.bits.foreach(bb.putLong(_): Unit)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bb.array)
+    s"""{"k":${b.numHash},"m":${b.numBits},"bits":${JStr(b64).render}}"""
+  }
+
+  private def parseBloom(j: Json.JValue): PartBloom = {
+    val bytes = java.util.Base64.getDecoder.decode((j / "bits").str)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    PartBloom((j / "k").long.toInt, (j / "m").long.toInt,
+      Array.fill(bytes.length / 8)(bb.getLong))
+  }
+
   private def stateJson(s: State): String = {
     val parts = s.parts.map { p =>
       val statsField =
@@ -221,7 +270,12 @@ object Compact {
         else p.stats.toSeq.sortBy(_._1)
           .map { case (c, st) => s"${JStr(c).render}:${statJson(st)}" }
           .mkString(""","stats":{""", ",", "}")
-      s"""{"name":${JStr(p.name).render},"level":${p.level},"size":${p.size}$statsField}"""
+      val bloomsField =
+        if (p.blooms.isEmpty) ""
+        else p.blooms.toSeq.sortBy(_._1)
+          .map { case (c, b) => s"${JStr(c).render}:${bloomJson(b)}" }
+          .mkString(""","blooms":{""", ",", "}")
+      s"""{"name":${JStr(p.name).render},"level":${p.level},"size":${p.size}$statsField$bloomsField}"""
     }.mkString("[", ",", "]")
     s"""{"version":${s.version},"parts":$parts}"""
   }
@@ -233,7 +287,11 @@ object Compact {
         val stats = p.asOpt("stats")
           .map(_.obj.map { case (c, st) => c -> parseStat(st) }.toMap)
           .getOrElse(Map.empty[String, ColStat])
-        PartFile((p / "name").str, (p / "level").long.toInt, (p / "size").long, stats)
+        val blooms = p.asOpt("blooms")
+          .map(_.obj.map { case (c, b) => c -> parseBloom(b) }.toMap)
+          .getOrElse(Map.empty[String, PartBloom])
+        PartFile((p / "name").str, (p / "level").long.toInt, (p / "size").long,
+          stats, blooms)
       })
   }
 
@@ -369,6 +427,112 @@ object Compact {
           })
       }
     }
+
+  /** The canonical string a bloom hashes. The BUILD side uses Spark's
+    * `cast(col AS STRING)`; this reproduces that cast for probe
+    * values — None marks a type whose string form is unstable or
+    * format-sensitive (doubles, timestamps), and such probes never
+    * skip. Integral widths collapse ("5" == "5" whether the column is
+    * int or long), so probes are width-insensitive by construction. */
+  private def bloomCanonical(v: Any): Option[String] = v match {
+    case null                    => None
+    case s: String               => Some(s)
+    case l: Long                 => Some(l.toString)
+    case i: Int                  => Some(i.toString)
+    case s: Short                => Some(s.toString)
+    case b: Byte                 => Some(b.toString)
+    case b: Boolean              => Some(b.toString)
+    case d: java.sql.Date        => Some(d.toString)
+    case d: java.time.LocalDate  => Some(d.toString)
+    case _                       => None
+  }
+
+  /** Driver-side bloom probe positions for one value: `numHash`
+    * disjoint 20-bit slices of md5(canonical string), each mod
+    * `numBits` — the exact arithmetic of the executor-side build in
+    * [[computeBlooms]] (`conv(substring(md5(cast(c AS STRING)),
+    * 1+5i, 5), 16, 10) % m`). None = unsupported type, never skip. */
+  private[graft] def bloomPositions(v: Any, numHash: Int,
+                                    numBits: Int): Option[Seq[Int]] =
+    bloomCanonical(v).map { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      (0 until numHash).map { i =>
+        (java.lang.Long.parseLong(hex.substring(5 * i, 5 * i + 5), 16)
+          % numBits).toInt
+      }
+    }
+
+  /** Can `pred` possibly match a part given its blooms? Only Eq/In
+    * probes a bloom; a missing bloom, an uncanonicalizable value, or
+    * a range predicate keeps the part. An EMPTY bloom (zero-row or
+    * all-null part) correctly skips every probe — equality never
+    * matches null. */
+  private def bloomKeeps(blooms: Map[String, PartBloom],
+                         pred: PartPred): Boolean = pred match {
+    case PartIn(c, vs) => blooms.get(c) match {
+      case None => true
+      case Some(b) => vs.exists(v =>
+        bloomPositions(v, b.numHash, b.numBits).forall(b.mightContain))
+    }
+    case _: PartRange => true
+  }
+
+  /** The full part-level skipping decision: range stats AND bloom
+    * must both admit the predicate for the part to be read. */
+  private def partKeeps(p: PartFile, pred: PartPred): Boolean =
+    partMatches(p.stats, pred) && bloomKeeps(p.blooms, pred)
+
+  /** Per-file blooms for `cols` over `paths` in ONE Spark pass: rows
+    * emit (file, col, bit) triples — `numHash` 20-bit md5 slices mod
+    * `numBits` — reduced to ≤ numBits SET BITS per (file, col) before
+    * anything reaches the driver, so collection traffic is
+    * bitmap-sized metadata, never data. Files contributing no rows
+    * for a column (zero-row part, all-null column, column absent from
+    * that file's schema) get an EMPTY bloom, which skips every probe:
+    * equality cannot match null/absent. */
+  private[graft] def computeBlooms(spark: SparkSession, paths: Seq[Path],
+      cols: Seq[String], numHash: Int,
+      numBits: Int): Map[String, Map[String, PartBloom]] = {
+    import org.apache.spark.sql.functions._
+    require(numHash >= 1 && numHash <= 6,
+      "bloomHashes must be 1..6 (one md5 yields six disjoint 20-bit slices)")
+    require(numBits >= 64 && numBits <= (1 << 20),
+      "bloomBits must be in [64, 2^20]")
+    if (paths.isEmpty) return Map.empty
+    val df = spark.read.parquet(paths.map(_.toString): _*)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val posStructs = present.flatMap { c =>
+      val hx = md5(col(c).cast("string"))
+      (0 until numHash).map { i =>
+        struct(lit(c).as("c"),
+          (conv(substring(hx, 1 + 5 * i, 5), 16, 10).cast("long") % numBits)
+            .cast("int").as("p"))
+      }
+    }
+    val setBits = df
+      .select(input_file_name().as("__f"), explode(array(posStructs: _*)).as("e"))
+      .filter(col("e.p").isNotNull)
+      .groupBy(col("__f"), col("e.c").as("c"))
+      .agg(collect_set(col("e.p")).as("ps"))
+      .collect()
+      .groupBy(r => new Path(r.getString(0)).getName)
+      .map { case (n, rs) =>
+        n -> rs.map { r =>
+          val bits = new Array[Long]((numBits + 63) / 64)
+          r.getSeq[Int](2).foreach(p => bits(p >> 6) |= (1L << (p & 63)))
+          r.getString(1) -> PartBloom(numHash, numBits, bits)
+        }.toMap
+      }
+    val empty = PartBloom(numHash, numBits, new Array[Long]((numBits + 63) / 64))
+    paths.map { p =>
+      val n = p.getName
+      val got = setBits.getOrElse(n, Map.empty)
+      n -> present.map(c => c -> got.getOrElse(c, empty)).toMap
+    }.toMap
+  }
 
   /** The summing fold of an aggregating store: one row per `keys`
     * group, every other column summed, original column order kept.
@@ -568,6 +732,20 @@ object Compact {
         }
       }
     }
+    // bloom backfill rides the same generation: ONE Spark pass over
+    // exactly the parts missing any bloom column (fresh appends),
+    // amortized into the compaction the store was already paying for
+    if (opts.bloomCols.nonEmpty) {
+      val wanted = opts.bloomCols.toSet
+      val missing = parts.filter(p => wanted.diff(p.blooms.keySet).nonEmpty)
+      if (missing.nonEmpty) {
+        statsBackfilled = true
+        val built = computeBlooms(spark, missing.map(p => new Path(dir, p.name)),
+          opts.bloomCols, opts.bloomHashes, opts.bloomBits)
+        parts = parts.map(p =>
+          built.get(p.name).fold(p)(bs => p.copy(blooms = p.blooms ++ bs)))
+      }
+    }
 
     var planNow = plan(parts, opts)
     while (planNow.nonEmpty && passes < opts.maxPasses) {
@@ -618,14 +796,25 @@ object Compact {
         // manifest only on commit below
         val written = fs.listStatus(tmp).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        val merged = written.zipWithIndex.map { case (p, i) =>
+        val placed = written.zipWithIndex.map { case (p, i) =>
           val name = s"$MergedPrefix$target-$version-$passes-$i-${p.getName.take(16)}.parquet"
           val dest = new Path(dir, name)
           if (!fs.rename(p, dest))
             throw new IllegalStateException(s"could not place merged part $dest")
-          PartFile(name, target, fs.getFileStatus(dest).getLen,
-            footerStats(fs, dest, opts.statsCols.toSet))
+          name -> dest
         }.toSeq
+        // merge outputs enter the manifest with blooms already built
+        // (one pass over the merged data), so the backfill above only
+        // ever touches fresh appends
+        val mergedBlooms =
+          if (opts.bloomCols.isEmpty) Map.empty[String, Map[String, PartBloom]]
+          else computeBlooms(spark, placed.map(_._2),
+            opts.bloomCols, opts.bloomHashes, opts.bloomBits)
+        val merged = placed.map { case (name, dest) =>
+          PartFile(name, target, fs.getFileStatus(dest).getLen,
+            footerStats(fs, dest, opts.statsCols.toSet),
+            mergedBlooms.getOrElse(name, Map.empty))
+        }
         fs.delete(tmp, true)
 
         val inputNames = m.inputs.map(_.name).toSet
@@ -708,7 +897,7 @@ object Compact {
     val pruneOn =
       if (opts.replaceOn.isEmpty && opts.sumOn.isEmpty) preds
       else preds.filter(p => (opts.replaceOn ++ opts.sumOn).contains(p.column))
-    parts.partition(p => pruneOn.forall(pr => partMatches(p.stats, pr)))
+    parts.partition(p => pruneOn.forall(pr => partKeeps(p, pr)))
   }
 
   final case class PruneReport(keptFiles: Int, skippedFiles: Int,
@@ -772,7 +961,7 @@ object Compact {
         .exists(_.getPath.getName.endsWith(".parquet")))
       .flatMap { l =>
         val (_, parts, _) = loadState(fs, l, opts)
-        parts.filter(p => pruneOn.forall(pr => partMatches(p.stats, pr)))
+        parts.filter(p => pruneOn.forall(pr => partKeeps(p, pr)))
           .map(p => new Path(l, p.name).toString)
       }
     val union =

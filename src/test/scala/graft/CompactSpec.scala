@@ -531,6 +531,76 @@ class CompactSpec extends SparkTestBase {
     assert(one == truth(2000).filter(_._1 == 3L))
   }
 
+  test("bloom skipping: equality probes skip parts min/max cannot") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/bloom"
+    val o = Compact.Options(l0MaxParts = 10, statsCols = Seq("u"),
+      bloomCols = Seq("u"), bloomBits = 1 << 14)
+    // ingest-time-ordered parts: sentinels 0 and 999 pin every part's
+    // (min, max) to the full domain, so RANGE stats can never skip —
+    // but each interior user lives in exactly one part
+    def slice(i: Int) = ((100 * i until 100 * (i + 1)).map(_.toLong) ++ Seq(0L, 999L))
+      .map(u => (u, i.toLong)).toDF("u", "t")
+    (0 until 3).foreach(i => Store.atomicAppend(slice(i), dir, s"s$i"))
+    Compact.run(spark, dir, o) // no merge (l0Max=10): bloom backfill only
+    def report(p: Compact.PartPred*) = Compact.pruneReport(spark, dir, p.toSeq, o)
+    def rows(p: Compact.PartPred*) = Compact.readPruned(spark, dir, p.toSeq, o)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // present interior user: ONLY its slice is read, result exact
+    val r150 = report(Compact.partEq("u", 150L))
+    assert(r150.keptFiles == 1 && r150.skippedFiles == 2, s"bloom skipped: $r150")
+    assert(rows(Compact.partEq("u", 150L)) == full.filter(_._1 == 150L))
+    // absent user: every part skipped, empty-but-correct result
+    val rAbs = report(Compact.partEq("u", 123456L))
+    assert(rAbs.keptFiles == 0 && rAbs.skippedFiles == 3, s"all skipped: $rAbs")
+    assert(rows(Compact.partEq("u", 123456L)).isEmpty)
+    // IN over two slices keeps exactly those two
+    assert(report(Compact.PartIn("u", Seq(150L, 250L))).keptFiles == 2)
+    // probes are integer-width-insensitive (Int vs Long hash alike)
+    assert(report(Compact.partEq("u", 150)).keptFiles == 1)
+    // a range predicate never consults the bloom
+    assert(report(Compact.PartRange("u", lo = Some(130L), hi = Some(170L)))
+      .keptFiles == 3)
+    // an unsupported probe type keeps everything and the residual
+    // filter still yields the exact result
+    assert(report(Compact.partEq("u", 150.0)).keptFiles == 3)
+    assert(rows(Compact.partEq("u", 150.0)) == full.filter(_._1 == 150L))
+    // sentinel user present in EVERY part: nothing skips, nothing lost
+    assert(report(Compact.partEq("u", 999L)).keptFiles == 3)
+    assert(rows(Compact.partEq("u", 999L)) == full.filter(_._1 == 999L))
+    // merge outputs carry blooms built at merge time
+    val o1 = o.copy(l0MaxParts = 1)
+    assert(Compact.run(spark, dir, o1).merges >= 1)
+    val rm = Compact.pruneReport(spark, dir, Seq(Compact.partEq("u", 123456L)), o1)
+    assert(rm.keptFiles == 0 && rm.skippedFiles >= 1,
+      s"merged part bloom skips the absent user: $rm")
+    assert(Compact.readPruned(spark, dir, Seq(Compact.partEq("u", 150L)), o1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      full.filter(_._1 == 150L))
+  }
+
+  test("bloom skipping: string keys, null-heavy and zero-match parts") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/bloomstr"
+    val o = Compact.Options(l0MaxParts = 10, bloomCols = Seq("name"))
+    Store.atomicAppend(Seq(("alice", 1L), ("bob", 2L)).toDF("name", "v"), dir, "a")
+    Store.atomicAppend(Seq(("carol", 3L), ("dave", 4L)).toDF("name", "v"), dir, "b")
+    // an ALL-NULL part: its empty bloom must skip every probe
+    Store.atomicAppend(Seq((Option.empty[String], 5L)).toDF("name", "v"), dir, "c")
+    Compact.run(spark, dir, o)
+    def kept(v: Any) =
+      Compact.pruneReport(spark, dir, Seq(Compact.partEq("name", v)), o).keptFiles
+    assert(kept("carol") == 1)
+    assert(kept("mallory") == 0)
+    assert(Compact.readPruned(spark, dir, Seq(Compact.partEq("name", "carol")), o)
+      .collect().map(_.getLong(1)).toSeq == Seq(3L))
+    // null probe: canonicalization refuses, every part kept, residual
+    // filter (equality to null) yields no rows — never a wrong skip
+    assert(kept(null) == 3)
+  }
+
   test("footer row counts validate merges; a lying writer's output aborts") {
     import org.apache.hadoop.fs.Path
     val dir = s"${tmpDir()}/footers"
