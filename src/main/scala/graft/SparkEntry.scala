@@ -3026,6 +3026,36 @@ object SparkEntry {
         .orderBy(col("event"))
     }),
 
+    // Z-order range query (Compact.Options.zorderCols): the store is
+    // compacted with (user_id, ts) bit-interleaved clustering, so
+    // manifest min/max stats prune parts for a predicate on EITHER
+    // dimension — single-key range clustering would leave every part
+    // spanning the full range of the second column. The oracle is the
+    // raw-table two-dimensional band query.
+    "q_zorder_range" -> ((s, dir) => {
+      val o = graft.sources.Compact.Options(
+        l0MaxParts = 1, l1PartBytes = 256L << 10,
+        statsCols = Seq("user_id", "ts"),
+        zorderCols = Seq("user_id", "ts"))
+      val root = stagedOnce("zorderstore-v1", dir) { f =>
+        val ev = Tables.events(s, dir)
+        (0 until 8).foreach(i =>
+          graft.sources.Store.atomicAppend(
+            ev.filter(col("event_id") % 8 === i)
+              .select(col("user_id"), col("ts"), col("event_type"), col("value")),
+            f.getAbsolutePath, s"b$i"))
+        graft.sources.Compact.run(s, f.getAbsolutePath, o): Unit
+      }
+      graft.sources.Compact.readPruned(s, root.getAbsolutePath,
+          Seq(graft.sources.Compact.PartRange("user_id", Some(3L), Some(7L)),
+            graft.sources.Compact.PartRange("ts",
+              Some(java.time.Instant.parse("2024-01-08T00:00:00Z")),
+              Some(java.time.Instant.parse("2024-01-21T23:59:59.999999Z")))), o)
+        .groupBy(col("event_type").as("event"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("event"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -5026,6 +5056,15 @@ object SparkEntry {
            AND CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-08'
              AND DATE '2024-01-21'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_zorder_range" ->
+      """SELECT event_type AS event, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         WHERE user_id BETWEEN 3 AND 7
+           AND ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+             AND TIMESTAMP '2024-01-21 23:59:59.999999'
+         GROUP BY 1 ORDER BY 1""",
 
     "q_bloom_lookup" ->
       """SELECT event_type AS event, count(*) AS n,

@@ -105,6 +105,21 @@ object Compact {
         * compaction instead of every part spanning the full key
         * range. */
       clusterByRange: Boolean = false,
+      /** Multi-dimensional clustering: merge output is range-
+        * partitioned and sorted by a Z-VALUE interleaving the bits of
+        * these (numeric/temporal) columns' equi-width bucket indexes,
+        * so merged parts are near-disjoint in EVERY listed dimension
+        * at once — [[statsCols]] min/max pruning then works for a
+        * predicate on ANY of them, where `clusterByRange` only serves
+        * the leading sort key. The z-value is a transient write-time
+        * column (never stored); bucket bounds come from one tiny
+        * min/max job per merge. Equi-width buckets assume roughly
+        * comparable density across the domain — a heavily skewed
+        * dimension degrades toward single-dim clustering for the
+        * others, never below it, and reads stay exact regardless
+        * (layout only). Takes precedence over `clusterByRange`;
+        * `sortCols` still orders rows WITHIN equal z-values. */
+      zorderCols: Seq[String] = Nil,
       /** Aggregating-store mode (the materialized-view counterpart of
         * `replaceOn`, the summing-merge idea): rows are PARTIAL
         * ADDITIVE AGGREGATES keyed by these columns and every other
@@ -534,6 +549,40 @@ object Compact {
     }.toMap
   }
 
+  /** The write-time z-value for [[Options.zorderCols]]: each column
+    * is cast to double, mapped to an equi-width bucket index in
+    * [0, 2^bitsPerDim) from the merge input's own (min, max) — one
+    * tiny agg job — and the buckets' bits are interleaved (bit i of
+    * dimension j lands at global position i·n + j). Nulls and
+    * constant dimensions take bucket 0. Pure column arithmetic:
+    * codegen'd, no UDF, no shuffle beyond the range partition that
+    * consumes it; the z-value is transient and never written. */
+  private def zValue(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val n = cols.size
+    require(n >= 2, "zorderCols needs at least two dimensions")
+    val bitsPerDim = math.min(16, 62 / n)
+    val buckets = 1L << bitsPerDim
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.map { case (c, j) =>
+      val (mn, mx) = (row.getAs[Any](s"__mn_$c"), row.getAs[Any](s"__mx_$c"))
+      val bucket =
+        if (mn == null || mx == null || mn == mx) lit(0L)
+        else coalesce(
+          least(greatest(
+            width_bucket(col(c).cast("double"),
+              lit(mn.asInstanceOf[Double]), lit(mx.asInstanceOf[Double]),
+              lit(buckets)) - 1, lit(0L)), lit(buckets - 1)),
+          lit(0L))
+      (0 until bitsPerDim).map(i =>
+        shiftleft(bucket.bitwiseAND(lit(1L << i)), i * (n - 1) + j))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** The summing fold of an aggregating store: one row per `keys`
     * group, every other column summed, original column order kept.
     * Used identically by merges and readers, so a group's partials
@@ -779,7 +828,17 @@ object Compact {
             (folded.count(), folded)
           }
         val sorted =
-          if (opts.sortCols.nonEmpty) {
+          if (opts.zorderCols.nonEmpty) {
+            val zc = "__graft_z"
+            val withZ = writeIn.withColumn(zc,
+              zValue(writeIn, opts.zorderCols))
+            val distributed =
+              if (numParts > 1) withZ.repartitionByRange(numParts, col(zc))
+              else withZ.repartition(1)
+            distributed
+              .sortWithinPartitions(col(zc) +: opts.sortCols.map(col): _*)
+              .drop(zc)
+          } else if (opts.sortCols.nonEmpty) {
             val distributed =
               if (opts.clusterByRange && numParts > 1)
                 writeIn.repartitionByRange(numParts, opts.sortCols.map(col): _*)

@@ -581,6 +581,56 @@ class CompactSpec extends SparkTestBase {
       full.filter(_._1 == 150L))
   }
 
+  test("z-order clustering: min/max pruning works on every listed dimension") {
+    import spark.implicits._
+    // two independent uniform dimensions over a 1000x1000 grid, with
+    // an incompressible payload so the merge splits into several
+    // output parts under the small part cap
+    def data(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") % 1000).as("u"),
+      ((col("id") * 7919) % 1000).as("t"),
+      md5(col("id").cast("string")).as("payload"))
+    val zDir = s"${tmpDir()}/zorder"
+    val sDir = s"${tmpDir()}/singlekey"
+    val zo = Compact.Options(l0MaxParts = 1, l1PartBytes = 128L << 10,
+      statsCols = Seq("u", "t"), zorderCols = Seq("u", "t"))
+    val so = zo.copy(zorderCols = Nil, sortCols = Seq("u"), clusterByRange = true)
+    Seq(zDir, sDir).foreach { d =>
+      // 16 small L0 appends (each well under the part cap)
+      (0 until 16).foreach(i =>
+        Store.atomicAppend(data(1250L * i, 1250L * (i + 1)), d, s"a$i"))
+    }
+    val zRep = Compact.run(spark, zDir, zo)
+    val sRep = Compact.run(spark, sDir, so)
+    assert(zRep.merges >= 1 && zRep.filesAfter >= 4, s"several z parts: $zRep")
+    assert(sRep.merges >= 1 && sRep.filesAfter >= 4, s"several s parts: $sRep")
+    val uBand = Compact.PartRange("u", lo = Some(0L), hi = Some(99L))
+    val tBand = Compact.PartRange("t", lo = Some(0L), hi = Some(99L))
+    def skipped(dir: String, o: Compact.Options, p: Compact.PartPred*) =
+      Compact.pruneReport(spark, dir, p.toSeq, o).skippedFiles
+    // the single-key store prunes its sort key but is blind on t
+    assert(skipped(sDir, so, uBand) >= 1)
+    assert(skipped(sDir, so, tBand) == 0,
+      "range clustering on u leaves every part spanning the full t range")
+    // the z-ordered store prunes on BOTH dimensions, and the
+    // conjunction at least as hard as either alone
+    val (zu, zt) = (skipped(zDir, zo, uBand), skipped(zDir, zo, tBand))
+    assert(zu >= 1, s"z prunes on u: $zu")
+    assert(zt >= 1, s"z prunes on t: $zt")
+    assert(skipped(zDir, zo, uBand, tBand) >= math.max(zu, zt))
+    // layout only: every pruned read stays exactly read+filter
+    def got(p: Compact.PartPred*) =
+      Compact.readPruned(spark, zDir, p.toSeq, zo)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val full = spark.read.parquet(zDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got(uBand) == full.filter(r => r._1 <= 99))
+    assert(got(tBand) == full.filter(r => r._2 <= 99))
+    assert(got(uBand, tBand) == full.filter(r => r._1 <= 99 && r._2 <= 99))
+    // row conservation across the z rewrite
+    assert(full.size == 20000)
+  }
+
   test("bloom skipping: string keys, null-heavy and zero-match parts") {
     import spark.implicits._
     val dir = s"${tmpDir()}/bloomstr"
