@@ -113,6 +113,7 @@ object SparkEntry {
     "q_ingest_identify", "q_ingest_identity", "q_ingest_ua", "q_json_es",
     "q_json_es_pivoted", "q_json_funnel", "q_json_group_dim",
     "q_json_group_search", "q_json_prop_values", "q_json_records",
+    "q_cm_freq",
     "q_json_report", "q_kmv_distinct", "q_kmv_overlap", "q_limit_groups", "q_merge_union",
     "q_partition_prune", "q_pivot", "q_prop_ops", "q_prop_values",
     "q_record_by_id", "q_retention",
@@ -3224,6 +3225,24 @@ object SparkEntry {
     // "__all" sketch — the mergeable count-distinct a 100 TB pipeline
     // runs instead of COUNT(DISTINCT). n_exact rides along (one
     // ROLLUP pass) so the oracle pins estimate AND truth per group.
+    // Count-min frequency estimation (Sketches.countMin/cmEstimate):
+    // per-event-type user frequencies answered from a depth×width
+    // cell sketch alone — bounded at depth×width rows per group no
+    // matter the user cardinality, mergeable by adding counts on
+    // (group, d, b). The oracle replays every cell and probe in the
+    // same 20-bit md5 slice space, so the ESTIMATES hash-match;
+    // the one-sided (never-under) property is pinned in SketchesSpec.
+    "q_cm_freq" -> ((s, dir) => {
+      import s.implicits._
+      val sk = Sketches.countMin(events(s, dir), Seq("event_type"),
+        col("user_id"), depth = 4, width = 1024)
+      val probes = (0L to 9L).toDF("u")
+      Sketches.cmEstimate(sk, Seq("event_type"), probes, col("u"),
+          depth = 4, width = 1024)
+        .select(col("event_type").as("event"), col("probe"), col("est"))
+        .orderBy(col("event"), col("probe"))
+    }),
+
     "q_kmv_distinct" -> ((s, dir) => {
       val k = 64
       val ev = events(s, dir).select(
@@ -5267,6 +5286,24 @@ object SparkEntry {
              ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)) AS BIGINT)
            END AS distinct_est
          FROM est ORDER BY batch, grp""",
+
+    // Count-min: identical 20-bit md5 slice space — cells and probes
+    // replayed cell-for-cell, the estimate is min over depths with
+    // absent cells reading 0.
+    "q_cm_freq" ->
+      """WITH ds AS (SELECT unnest(range(4)) AS d),
+         cells AS (SELECT event_type AS event, d,
+             CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1 + 5*d, 5) AS BIGINT) % 1024 AS INT) AS b,
+             count(*) AS cnt
+           FROM events CROSS JOIN ds GROUP BY 1, 2, 3),
+         probes AS (SELECT CAST(u AS VARCHAR) AS probe, d,
+             CAST(CAST('0x' || substring(md5(CAST(u AS VARCHAR)), 1 + 5*d, 5) AS BIGINT) % 1024 AS INT) AS b
+           FROM (SELECT unnest(range(10)) AS u) CROSS JOIN ds),
+         grid AS (SELECT DISTINCT event_type AS event FROM events)
+         SELECT g.event, p.probe, min(coalesce(c.cnt, 0)) AS est
+         FROM grid g CROSS JOIN probes p
+         LEFT JOIN cells c ON c.event = g.event AND c.d = p.d AND c.b = p.b
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // KMV: identical 60-bit md5 hash space (the md5Hash60 trick), the
     // same k-minima per group, the same union-then-re-top-k merge,

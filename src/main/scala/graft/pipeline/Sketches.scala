@@ -114,6 +114,56 @@ object Sketches {
             col("__b.cnt").cast("double")).cast("long")).as("est")): _*)
   }
 
+  /** Count-min sketch cells (Cormode & Muthukrishnan 2005) for
+    * `value` per group: rows (groupCols…, d, b, cnt) where (d, b)
+    * counts the values whose d-th hash bucket is b — `depth` disjoint
+    * 20-bit md5 slices mod `width`, the SAME portable hash space as
+    * the KMV sketch and the manifest bloom index, so DuckDB replays
+    * every cell bit-for-bit. The sketch is at most depth×width rows
+    * per group regardless of value cardinality (the 100 TB frequency
+    * table that fits in memory when the exact one cannot); map-side
+    * partial aggregation reduces before the exchange, and sketches
+    * MERGE by adding `cnt` on (group, d, b) — across parts, shards,
+    * or streaming batches. Null values contribute nothing. */
+  def countMin(df: DataFrame, groupCols: Seq[String], value: Column,
+               depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 6,
+      "depth must be 1..6 (one md5 yields six disjoint 20-bit slices)")
+    require(width >= 16 && width <= (1 << 20), "width must be in [16, 2^20]")
+    val hx = md5(value.cast("string"))
+    val buckets = (0 until depth).map(d =>
+      (conv(substring(hx, 1 + 5 * d, 5), 16, 10).cast("long") % width).cast("int"))
+    df.select(groupCols.map(col) :+
+        posexplode(array(buckets: _*)).as(Seq("d", "b")): _*)
+      .filter(col("b").isNotNull)
+      .groupBy((groupCols :+ "d" :+ "b").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point frequency estimates from a count-min sketch ALONE:
+    * est(v) = min over depths of the cell count at v's bucket, with
+    * an absent cell reading 0 — the classic ONE-SIDED estimate
+    * (never below the true count, above only on collisions in every
+    * row). `probes` is a small frame of candidate values (broadcast
+    * against the group grid); raw data is never rescanned. Returns
+    * (groupCols…, probe, est) with `probe` in canonical string
+    * form. */
+  def cmEstimate(sketch: DataFrame, groupCols: Seq[String],
+                 probes: DataFrame, probe: Column,
+                 depth: Int, width: Int): DataFrame = {
+    val hx = md5(probe.cast("string"))
+    val pb = probes.select(probe.cast("string").as("probe"),
+      posexplode(array((0 until depth).map(d =>
+        (conv(substring(hx, 1 + 5 * d, 5), 16, 10).cast("long") % width)
+          .cast("int")): _*)).as(Seq("d", "b")))
+    // groups × probes grid so absent cells read 0, not "missing row"
+    sketch.select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(pb))
+      .join(sketch, groupCols :+ "d" :+ "b", "left")
+      .groupBy((groupCols :+ "probe").map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Set operations on two sketches (Beyer et al. 2007): estimate
     * |A∪B| and |A∩B| from the k-minima alone — the audience-overlap
     * question ("how many users did BOTH X and Y") answered without

@@ -145,6 +145,36 @@ class SketchesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("count-min: bounded cells, merge additivity, one-sided estimates") {
+    import spark.implicits._
+    val (d, w) = (4, 256)
+    val xs = (1 to 2000).map(i => ("g", s"v${i % 37}")) ++
+      (1 to 500).map(_ => ("g", "hot"))
+    val df = xs.toDF("g", "v")
+    val sk = Sketches.countMin(df, Seq("g"), col("v"), d, w)
+    // bounded cell count; every depth row conserves the total count
+    assert(sk.count() <= d.toLong * w)
+    assert(sk.groupBy("d").agg(sum("cnt")).collect()
+      .map(_.getLong(1)).toSet == Set(xs.size.toLong))
+    // estimates are NEVER below truth (one-sided); the hot key stays
+    // near-exact at this load factor
+    val truth = xs.groupBy(_._2).map { case (k, g) => (k, g.size.toLong) }
+    val probes = (truth.keys.toSeq :+ "never-seen").toDF("v")
+    val est = Sketches.cmEstimate(sk, Seq("g"), probes, col("v"), d, w)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    truth.foreach { case (k, t) => assert(est(k) >= t, s"$k: ${est(k)} < $t") }
+    assert(est("hot") >= 500L && est("hot") <= 700L, s"hot: ${est("hot")}")
+    assert(est("never-seen") <= 200L, s"absent stays collision-bounded: $est")
+    // merge IS count addition on (g, d, b): split sketches re-summed
+    // equal the whole-input sketch cell-for-cell
+    val merged = Sketches.countMin(xs.take(1100).toDF("g", "v"), Seq("g"), col("v"), d, w)
+      .unionByName(Sketches.countMin(xs.drop(1100).toDF("g", "v"), Seq("g"), col("v"), d, w))
+      .groupBy("g", "d", "b").agg(sum("cnt").as("cnt"))
+    def cells(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(cells(sk) == cells(merged))
+  }
+
   test("per-group top-k prunes map-side (WindowGroupLimit partial)") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
