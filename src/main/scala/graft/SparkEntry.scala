@@ -79,6 +79,25 @@ object SparkEntry {
     root
   }
 
+  /** The user-hash-bucketed events store q_bloom_lookup and
+    * q_dynamic_prune share: four parts by user residue, so every
+    * part's (min, max) user range covers any probe — range stats
+    * skip nothing — while the per-part bloom admits exactly the parts
+    * holding the probed users. Staged once per corpus. */
+  private def userBucketStore(s: SparkSession, dir: String): (java.io.File, graft.sources.Compact.Options) = {
+    val o = graft.sources.Compact.Options(
+      l0MaxParts = 4, statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+    val root = stagedOnce("bloomstore-v1", dir) { f =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      (0 until 4).foreach(i =>
+        graft.sources.Store.atomicAppend(ev.filter(col("user_id") % 4 === i),
+          f.getAbsolutePath, s"b$i"))
+      graft.sources.Compact.run(s, f.getAbsolutePath, o): Unit
+    }
+    (root, o)
+  }
+
   /** Scope-generation tag per query for the baseline manifest
     * (BASELINE_QUERIES.json, written by [[graft.Bench]] on clean full
     * runs). The 2x self-audit compares a query's current time ONLY
@@ -3009,19 +3028,26 @@ object SparkEntry {
     // ≡ read+filter even on a bloom false positive. The oracle is the
     // raw-table point query.
     "q_bloom_lookup" -> ((s, dir) => {
-      val o = graft.sources.Compact.Options(
-        l0MaxParts = 4, statsCols = Seq("user_id"),
-        bloomCols = Seq("user_id"))
-      val root = stagedOnce("bloomstore-v1", dir) { f =>
-        val ev = Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-        (0 until 4).foreach(i =>
-          graft.sources.Store.atomicAppend(ev.filter(col("user_id") % 4 === i),
-            f.getAbsolutePath, s"b$i"))
-        graft.sources.Compact.run(s, f.getAbsolutePath, o): Unit
-      }
+      val (root, o) = userBucketStore(s, dir)
       graft.sources.Compact.readPruned(s, root.getAbsolutePath,
           Seq(graft.sources.Compact.partEq("user_id", 7L)), o)
+        .groupBy(col("event_type").as("event"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("event"))
+    }),
+
+    // Dynamic file skipping (Compact.partInFrom): the small dimension
+    // side's keys are collected (count-capped) into a PartIn that the
+    // stats+bloom layers push BEFORE Spark lists a file — the
+    // storage-layer analog of dynamic partition pruning. The residual
+    // filter doubles as the semantic IN, so the result is exactly the
+    // semi-join the oracle writes as WHERE user_id IN (subquery).
+    "q_dynamic_prune" -> ((s, dir) => {
+      val (root, o) = userBucketStore(s, dir)
+      val cohort = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 4 === 1)
+      val pred = graft.sources.Compact.partInFrom(cohort, "c_custkey", "user_id")
+      graft.sources.Compact.readPruned(s, root.getAbsolutePath, Seq(pred), o)
         .groupBy(col("event_type").as("event"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
         .orderBy(col("event"))
@@ -5075,6 +5101,14 @@ object SparkEntry {
            AND CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-08'
              AND DATE '2024-01-21'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_dynamic_prune" ->
+      """SELECT event_type AS event, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         WHERE user_id IN (SELECT c_custkey FROM customer
+           WHERE c_mktsegment = 'BUILDING' AND c_custkey % 4 = 1)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_zorder_range" ->
       """SELECT event_type AS event, count(*) AS n,

@@ -959,6 +959,25 @@ object Compact {
     parts.partition(p => pruneOn.forall(pr => partKeeps(p, pr)))
   }
 
+  /** Dynamic file skipping from a query-time key set — the
+    * storage-layer analog of dynamic partition pruning: materialize
+    * the SMALL side's distinct keys (count-capped: throws over
+    * `maxKeys` instead of silently degrading into a driver-side
+    * collect of a big frame) as a [[PartIn]] over `column`, which
+    * [[readPruned]]/[[readPartitionedPruned]] push through BOTH
+    * manifest stats and the bloom index before Spark lists a single
+    * file. The residual filter doubles as the semantic IN, so the
+    * pruned read EQUALS the semi-join on the collected keys. */
+  def partInFrom(keys: DataFrame, keyCol: String, column: String,
+                 maxKeys: Int = 100000): PartPred = {
+    val vals = keys.select(col(keyCol)).distinct().limit(maxKeys + 1)
+      .collect().map(_.get(0)).toSeq
+    require(vals.size <= maxKeys,
+      s"dynamic-prune key set for $column exceeds maxKeys=$maxKeys; " +
+        "use a join instead of part pruning at this cardinality")
+    PartIn(column, vals)
+  }
+
   final case class PruneReport(keptFiles: Int, skippedFiles: Int,
       keptBytes: Long, skippedBytes: Long)
 

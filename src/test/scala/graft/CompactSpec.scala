@@ -651,6 +651,30 @@ class CompactSpec extends SparkTestBase {
     assert(kept(null) == 3)
   }
 
+  test("dynamic file skipping: partInFrom prunes from a query-time key set") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/dynprune"
+    val o = Compact.Options(l0MaxParts = 10, bloomCols = Seq("u"))
+    // three user-residue buckets
+    (0 until 3).foreach(i => Store.atomicAppend(
+      (0L until 300L).filter(_ % 3 == i).map(u => (u, u * 2)).toDF("u", "v"),
+      dir, s"b$i"))
+    Compact.run(spark, dir, o)
+    // the "dim side": keys all ≡ 1 (mod 3) — one bucket holds them all
+    val dim = (1L until 300L by 3L).toDF("k")
+    val pred = Compact.partInFrom(dim, "k", "u")
+    val rep = Compact.pruneReport(spark, dir, Seq(pred), o)
+    assert(rep.keptFiles == 1 && rep.skippedFiles == 2, s"bloom-pruned: $rep")
+    // pruned read == semi-join on the collected keys
+    val got = Compact.readPruned(spark, dir, Seq(pred), o)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L until 300L by 3L).map(u => (u, u * 2)).toSet)
+    // the cap throws instead of collecting an unbounded key set
+    intercept[IllegalArgumentException] {
+      Compact.partInFrom(spark.range(0, 500).toDF("k"), "k", "u", maxKeys = 100)
+    }
+  }
+
   test("footer row counts validate merges; a lying writer's output aborts") {
     import org.apache.hadoop.fs.Path
     val dir = s"${tmpDir()}/footers"
