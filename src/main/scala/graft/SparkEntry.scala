@@ -3083,6 +3083,34 @@ object SparkEntry {
         .orderBy(col("event"))
     }),
 
+    // Schema evolution (Compact.Options.mergeSchema): a store whose
+    // later ingest batches ADDED a column serves the union schema —
+    // pre-evolution rows read null there — without rewriting history;
+    // compaction folds everything to the union schema physically. The
+    // oracle reproduces the two batch generations with an explicit
+    // NULL union.
+    "q_schema_evolve" -> ((s, dir) => {
+      val o = graft.sources.Compact.Options(
+        l0MaxParts = 1, mergeSchema = true)
+      val root = stagedOnce("evolvestore-v1", dir) { f =>
+        val ev = Tables.events(s, dir)
+        graft.sources.Store.atomicAppend(
+          ev.filter(col("event_id") % 2 === 0)
+            .select(col("user_id"), col("event_type"), col("value")),
+          f.getAbsolutePath, "pre")
+        graft.sources.Store.atomicAppend(
+          ev.filter(col("event_id") % 2 === 1)
+            .select(col("user_id"), col("event_type"), col("value"),
+              upper(col("event_type")).as("channel")),
+          f.getAbsolutePath, "post")
+        graft.sources.Compact.run(s, f.getAbsolutePath, o): Unit
+      }
+      graft.sources.Compact.read(s, root.getAbsolutePath, o)
+        .groupBy(coalesce(col("channel"), lit("(pre)")).as("channel"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("channel"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -5101,6 +5129,17 @@ object SparkEntry {
            AND CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-08'
              AND DATE '2024-01-21'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_schema_evolve" ->
+      """WITH u AS (
+           SELECT value, CAST(NULL AS VARCHAR) AS channel
+             FROM events WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT value, upper(event_type) AS channel
+             FROM events WHERE event_id % 2 = 1)
+         SELECT coalesce(channel, '(pre)') AS channel, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM u GROUP BY 1 ORDER BY 1""",
 
     "q_dynamic_prune" ->
       """SELECT event_type AS event, count(*) AS n,

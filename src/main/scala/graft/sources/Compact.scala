@@ -154,7 +154,20 @@ object Compact {
         * one md5 are available (the repo's portable hash space: the
         * executor-side build and the driver-side probe share exact
         * arithmetic, and an oracle can replay it). */
-      bloomHashes: Int = 4)
+      bloomHashes: Int = 4,
+      /** Schema evolution: when true, every reader and merge unions
+        * the parts' parquet schemas (a later append may ADD columns;
+        * parts written before it serve null there), so a long-lived
+        * store can grow columns without a rewrite. Merges then write
+        * the full union schema, physically back-filling nulls as the
+        * levels fold. Off by default: schema-uniform stores keep the
+        * cheaper sampled-schema read, and an accidental schema drift
+        * fails loudly instead of being silently absorbed. Skipping
+        * stays correct either way — a part lacking a column has no
+        * footer stats and no bloom values for it, which reads as
+        * "keep" for ranges and "only-null, skip equality" for
+        * blooms. */
+      mergeSchema: Boolean = false)
 
   /** Per-part column statistics from the parquet footer.
     * [[StatUnknown]] (unreadable/absent stats, non-ASCII string
@@ -199,6 +212,15 @@ object Compact {
       filesBefore: Int, filesAfter: Int,
       bytesBefore: Long, bytesAfter: Long,
       converged: Boolean = true)
+
+  /** Every state-serving parquet read goes through here so
+    * [[Options.mergeSchema]] applies uniformly to readers and
+    * merges. */
+  private def readParts(spark: SparkSession, opts: Options,
+                        basePath: Option[String], paths: Seq[String]): DataFrame = {
+    val r0 = spark.read.option("mergeSchema", opts.mergeSchema)
+    basePath.fold(r0)(bp => r0.option("basePath", bp)).parquet(paths: _*)
+  }
 
   private val ManifestPrefix = "_graft_parts-"
   private val MergedPrefix = "merged-L"
@@ -508,15 +530,16 @@ object Compact {
     * that file's schema) get an EMPTY bloom, which skips every probe:
     * equality cannot match null/absent. */
   private[graft] def computeBlooms(spark: SparkSession, paths: Seq[Path],
-      cols: Seq[String], numHash: Int,
-      numBits: Int): Map[String, Map[String, PartBloom]] = {
+      cols: Seq[String], numHash: Int, numBits: Int,
+      mergeSchema: Boolean = false): Map[String, Map[String, PartBloom]] = {
     import org.apache.spark.sql.functions._
     require(numHash >= 1 && numHash <= 6,
       "bloomHashes must be 1..6 (one md5 yields six disjoint 20-bit slices)")
     require(numBits >= 64 && numBits <= (1 << 20),
       "bloomBits must be in [64, 2^20]")
     if (paths.isEmpty) return Map.empty
-    val df = spark.read.parquet(paths.map(_.toString): _*)
+    val df = spark.read.option("mergeSchema", mergeSchema)
+      .parquet(paths.map(_.toString): _*)
     val present = cols.filter(df.columns.contains)
     if (present.isEmpty) return Map.empty
     val posStructs = present.flatMap { c =>
@@ -790,7 +813,7 @@ object Compact {
       if (missing.nonEmpty) {
         statsBackfilled = true
         val built = computeBlooms(spark, missing.map(p => new Path(dir, p.name)),
-          opts.bloomCols, opts.bloomHashes, opts.bloomBits)
+          opts.bloomCols, opts.bloomHashes, opts.bloomBits, opts.mergeSchema)
         parts = parts.map(p =>
           built.get(p.name).fold(p)(bs => p.copy(blooms = p.blooms ++ bs)))
       }
@@ -804,7 +827,7 @@ object Compact {
         val cap = partCap(target, opts)
         val numParts = math.max(1L, (m.bytes + cap - 1) / cap).toInt
         val inputPaths = m.inputs.map(p => new Path(dir, p.name).toString)
-        val raw = spark.read.parquet(inputPaths: _*)
+        val raw = readParts(spark, opts, None, inputPaths)
         val tmp = new Path(dir, s".compact-$version-$passes-L${m.fromLevel}")
         // Row-conservation is validated from parquet FOOTER counts on
         // the driver (O(files) metadata reads), not a second scan of
@@ -868,7 +891,8 @@ object Compact {
         val mergedBlooms =
           if (opts.bloomCols.isEmpty) Map.empty[String, Map[String, PartBloom]]
           else computeBlooms(spark, placed.map(_._2),
-            opts.bloomCols, opts.bloomHashes, opts.bloomBits)
+            opts.bloomCols, opts.bloomHashes, opts.bloomBits,
+            opts.mergeSchema)
         val merged = placed.map { case (name, dest) =>
           PartFile(name, target, fs.getFileStatus(dest).getLen,
             footerStats(fs, dest, opts.statsCols.toSet),
@@ -938,7 +962,7 @@ object Compact {
     val (_, parts, _) = loadState(fs, dir, opts)
     val union =
       if (parts.isEmpty) spark.read.parquet(storeDir) // surface the reader's own error shape
-      else spark.read.parquet(parts.map(p => new Path(dir, p.name).toString): _*)
+      else readParts(spark, opts, None, parts.map(p => new Path(dir, p.name).toString))
     serveFold(union, opts)
   }
 
@@ -1002,7 +1026,7 @@ object Compact {
     val (kept, skipped) = prunedParts(spark, storeDir, preds, opts)
     val union =
       if (kept.nonEmpty)
-        spark.read.parquet(kept.map(p => new Path(dir, p.name).toString): _*)
+        readParts(spark, opts, None, kept.map(p => new Path(dir, p.name).toString))
       else if (skipped.nonEmpty)
         // everything pruned: keep the schema, return no rows
         spark.read.parquet(new Path(dir, skipped.head.name).toString)
@@ -1044,7 +1068,7 @@ object Compact {
       }
     val union =
       if (keptFiles.nonEmpty)
-        spark.read.option("basePath", rootDir).parquet(keptFiles: _*)
+        readParts(spark, opts, Some(rootDir), keptFiles)
       else spark.read.parquet(rootDir).filter(lit(false))
     preds.map(predColumn).foldLeft(union)(_ filter _)
   }
@@ -1077,8 +1101,8 @@ object Compact {
     if (missing.nonEmpty) throw new IllegalStateException(
       s"snapshot $version of $storeDir is missing parts: " +
         missing.map(_.name).mkString(", "))
-    val union = spark.read.parquet(
-      state.parts.map(p => new Path(dir, p.name).toString): _*)
+    val union = readParts(spark, opts, None,
+      state.parts.map(p => new Path(dir, p.name).toString))
     serveFold(union, opts)
   }
 
@@ -1244,7 +1268,7 @@ object Compact {
           missing.map(_.name).mkString(", "))
       state.parts.map(p => new Path(leaf, p.name).toString)
     }
-    val union = spark.read.option("basePath", rootDir).parquet(files: _*)
+    val union = readParts(spark, opts, Some(rootDir), files)
     serveFold(union, opts)
   }
 

@@ -651,6 +651,37 @@ class CompactSpec extends SparkTestBase {
     assert(kept(null) == 3)
   }
 
+  test("schema evolution: mergeSchema stores grow columns without a rewrite") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/evolve"
+    val o = Compact.Options(l0MaxParts = 10, mergeSchema = true,
+      statsCols = Seq("a"), bloomCols = Seq("c"))
+    Store.atomicAppend(Seq((1L, "x"), (2L, "y")).toDF("a", "b"), dir, "old")
+    Store.atomicAppend(Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("a", "b", "c"),
+      dir, "new")
+    val exp = Set((1L, "x", None), (2L, "y", None),
+      (3L, "z", Some(30L)), (4L, "w", Some(40L)))
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("a"), r.getAs[String]("b"),
+        Option(r.getAs[Any]("c")).map(_.asInstanceOf[Long]))).toSet
+    // union schema on read BEFORE any compaction: old rows serve null c
+    assert(got(Compact.read(spark, dir, o)) == exp)
+    // bloom backfill under the union schema: the pre-evolution part
+    // has no c values, so a c-probe skips it outright
+    Compact.run(spark, dir, o) // no merge at l0Max=10: metadata only
+    val rep = Compact.pruneReport(spark, dir, Seq(Compact.partEq("c", 30L)), o)
+    assert(rep.skippedFiles == 1 && rep.keptFiles == 1, s"old part skipped: $rep")
+    assert(got(Compact.readPruned(spark, dir, Seq(Compact.partEq("c", 30L)), o))
+      == exp.filter(_._3.contains(30L)))
+    // compaction physically folds to the union schema (nulls written)
+    val o1 = o.copy(l0MaxParts = 1)
+    assert(Compact.run(spark, dir, o1).merges >= 1)
+    assert(got(Compact.read(spark, dir, o1)) == exp)
+    val merged = spark.read.parquet(dir)
+    assert(merged.columns.toSet == Set("a", "b", "c"),
+      s"merged parts carry the full union schema: ${merged.columns.toSeq}")
+  }
+
   test("dynamic file skipping: partInFrom prunes from a query-time key set") {
     import spark.implicits._
     val dir = s"${tmpDir()}/dynprune"
