@@ -3111,6 +3111,34 @@ object SparkEntry {
         .orderBy(col("channel"))
     }),
 
+    // Keyed erasure (Compact.deleteKeys / purge): cohort A is
+    // physically purged (rows rewritten out of every part, history
+    // collapsed), cohort B is tombstoned only (read-side anti-join,
+    // awaiting the next purge) — the read excludes both, which is the
+    // user-visible contract of "right to be forgotten" at each stage.
+    // The oracle excludes both cohorts from the raw table.
+    "q_erasure" -> ((s, dir) => {
+      val o = graft.sources.Compact.Options(l0MaxParts = 2)
+      val root = stagedOnce("erasurestore-v1", dir) { f =>
+        val ev = Tables.events(s, dir)
+        def slice(i: Int) = ev.filter(col("event_id") % 3 === i)
+          .select(col("user_id"), col("event_type"), col("value"))
+        (0 until 3).foreach(i =>
+          graft.sources.Store.atomicAppend(slice(i), f.getAbsolutePath, s"b$i"))
+        graft.sources.Compact.run(s, f.getAbsolutePath, o)
+        def cohort(r: Int) = ev.filter(col("user_id") % 10 === r)
+          .select(col("user_id")).distinct()
+        graft.sources.Compact.deleteKeys(s, f.getAbsolutePath, cohort(3), "gdpr-a")
+        graft.sources.Compact.purge(s, f.getAbsolutePath, o)
+        graft.sources.Compact.deleteKeys(s, f.getAbsolutePath, cohort(6), "gdpr-b")
+      }
+      graft.sources.Compact.read(s, root.getAbsolutePath, o)
+        .groupBy(col("event_type").as("event"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -5129,6 +5157,13 @@ object SparkEntry {
            AND CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-08'
              AND DATE '2024-01-21'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_erasure" ->
+      """SELECT event_type AS event, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+           count(DISTINCT user_id) AS users
+         FROM events WHERE user_id % 10 NOT IN (3, 6)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_schema_evolve" ->
       """WITH u AS (

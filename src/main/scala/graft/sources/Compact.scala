@@ -963,7 +963,7 @@ object Compact {
     val union =
       if (parts.isEmpty) spark.read.parquet(storeDir) // surface the reader's own error shape
       else readParts(spark, opts, None, parts.map(p => new Path(dir, p.name).toString))
-    serveFold(union, opts)
+    serveFold(minusTombstones(spark, dir, union), opts)
   }
 
   /** Parts of the live state split by whether `preds` can match them
@@ -1002,6 +1002,180 @@ object Compact {
     PartIn(column, vals)
   }
 
+  // ---- keyed deletes (tombstones) and physical purge ---------------
+
+  private val TombstoneDir = ".tombstones"
+
+  /** Logical keyed deletion — the "right to be forgotten" operation a
+    * long-lived store needs: record `keys` (a ONE-COLUMN frame whose
+    * column names the delete key) as a tombstone file, after which
+    * EVERY reader anti-joins live rows against the tombstone union —
+    * including time-travel and snapshot reads, deliberately: an
+    * erased key that stayed readable through an old manifest would
+    * not be erased. Deletion is immediate and O(keys); the bytes are
+    * reclaimed by the next [[purge]]. Deterministic `name` → retries
+    * are idempotent. Delete-then-reinsert is NOT supported (the
+    * tombstone has no ordering vs parts); reinsertions only become
+    * visible after a purge clears the tombstones. */
+  def deleteKeys(spark: SparkSession, storeDir: String, keys: DataFrame,
+                 name: String): Unit = {
+    require(keys.columns.length == 1,
+      "tombstone keys must be a single-column frame naming the delete key")
+    Store.atomicAppend(keys.distinct(),
+      new Path(storeDir, TombstoneDir).toString, s"del-$name")
+  }
+
+  /** The live tombstone set of a store, if any: (keyColumn, keys). */
+  private def tombstones(spark: SparkSession, dir: Path): Option[(String, DataFrame)] = {
+    val fs = fsFor(spark, dir)
+    val td = new Path(dir, TombstoneDir)
+    if (!fs.exists(td)) return None
+    val files = fs.listStatus(td).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    if (files.isEmpty) None
+    else {
+      val df = spark.read.parquet(files.map(_.toString): _*)
+      require(df.columns.length == 1,
+        s"mixed tombstone key columns in $td: ${df.columns.mkString(", ")}")
+      Some((df.columns.head, df))
+    }
+  }
+
+  /** Anti-join `rows` against the store's tombstones (no-op without
+    * any). Every reader applies this BEFORE replace/sum folds, so a
+    * deleted key loses every version at once. A row set lacking the
+    * key column keeps all rows (its rows cannot carry a deleted
+    * key). */
+  private def minusTombstones(spark: SparkSession, dir: Path,
+                              rows: DataFrame): DataFrame =
+    tombstones(spark, dir) match {
+      case Some((kc, keys)) if rows.columns.contains(kc) =>
+        rows.join(keys, Seq(kc), "left_anti")
+      case _ => rows
+    }
+
+  final case class PurgeReport(parts: Int, rowsBefore: Long, rowsAfter: Long,
+      tombstonedKeys: Long, generationsDropped: Int)
+
+  /** Physical erasure: rewrite every live part minus the tombstoned
+    * rows (one job per part — layout, levels and file granularity
+    * preserved), commit the purged manifest, then drop the tombstones
+    * AND every superseded generation, retention horizon and pins
+    * included — the one operation that deliberately collapses
+    * history, because a purge that left erased rows readable through
+    * time travel would not be an erasure. Row accounting is validated
+    * globally BEFORE the commit: rowsBefore − rowsAfter must equal
+    * the store's matched row count or the purge aborts with nothing
+    * changed. Crash-safe like a merge: rewrite output uses the
+    * merged-* name space (uncommitted output is swept as stale), the
+    * commit is one manifest rename, and old files are deleted only
+    * after it. */
+  def purge(spark: SparkSession, storeDir: String,
+            opts: Options = Options()): PurgeReport =
+    purgeImpl(spark, new Path(storeDir), opts, new Path(storeDir),
+      dropTombstones = true)
+
+  private def purgeImpl(spark: SparkSession, dir: Path, opts: Options,
+                        tombstoneRoot: Path,
+                        dropTombstones: Boolean): PurgeReport = {
+    val fs = fsFor(spark, dir)
+    require(fs.exists(dir), s"store directory $dir does not exist")
+    val (state0, parts, stale) = loadState(fs, dir, opts)
+    stale.foreach(p => fs.delete(p, false))
+    val pre = footerRowCount(fs, parts.map(p => new Path(dir, p.name)))
+    tombstones(spark, tombstoneRoot) match {
+      case None => PurgeReport(parts.size, pre, pre, 0L, 0)
+      case Some((kc, keys0)) =>
+        val keys = keys0.persist()
+        try {
+          val keyCount = keys.count()
+          val matched =
+            if (parts.isEmpty) 0L
+            else readParts(spark, opts, None,
+              parts.map(p => new Path(dir, p.name).toString))
+              .join(keys, Seq(kc), "left_semi").count()
+          val version = state0.map(_.version).getOrElse(0L) + 1
+          val rewritten = parts.zipWithIndex.flatMap { case (p, i) =>
+            val src = new Path(dir, p.name)
+            val df = spark.read.parquet(src.toString)
+            val kept =
+              if (df.columns.contains(kc)) df.join(keys, Seq(kc), "left_anti")
+              else df
+            val tmp = new Path(dir, s".purge-$version-$i")
+            kept.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            val out = fs.listStatus(tmp).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).toSeq
+            val rows = footerRowCount(fs, out)
+            val placed =
+              if (rows == 0L) None // a fully-erased part disappears
+              else {
+                val name = s"$MergedPrefix${p.level}-$version-purge-$i-${out.head.getName.take(16)}.parquet"
+                val dest = new Path(dir, name)
+                if (!fs.rename(out.head, dest))
+                  throw new IllegalStateException(s"could not place purged part $dest")
+                Some(PartFile(name, p.level, fs.getFileStatus(dest).getLen,
+                  footerStats(fs, dest, opts.statsCols.toSet)))
+              }
+            fs.delete(tmp, true)
+            placed
+          }
+          // blooms for the purged parts in one pass, as a merge would
+          val withBlooms =
+            if (opts.bloomCols.isEmpty || rewritten.isEmpty) rewritten
+            else {
+              val built = computeBlooms(spark,
+                rewritten.map(p => new Path(dir, p.name)),
+                opts.bloomCols, opts.bloomHashes, opts.bloomBits,
+                opts.mergeSchema)
+              rewritten.map(p =>
+                built.get(p.name).fold(p)(bs => p.copy(blooms = bs)))
+            }
+          val post = footerRowCount(fs, withBlooms.map(p => new Path(dir, p.name)))
+          require(pre - post == matched,
+            s"purge would mis-account rows ($pre - $post != $matched matched); aborting before commit")
+          commitState(fs, dir, State(version, withBlooms))
+          // committed: erase the past — old parts, every superseded
+          // manifest (horizon and pins included), and the tombstones
+          parts.foreach(p => fs.delete(new Path(dir, p.name), false))
+          val gens = manifestVersions(fs, dir)
+          val dropped = gens.dropRight(1)
+          dropped.foreach { case (_, mp) => fs.delete(mp, false) }
+          if (dropTombstones)
+            fs.delete(new Path(tombstoneRoot, TombstoneDir), true)
+          PurgeReport(parts.size, pre, post, keyCount, dropped.size)
+        } finally { keys.unpersist(); () }
+    }
+  }
+
+  /** [[purge]] over a directory-partitioned store: tombstones live at
+    * the ROOT (`deleteKeys(root, …)`), every leaf purges against
+    * them, and the tombstone set is dropped only after ALL leaves
+    * purged — a crash mid-way leaves remaining leaves still logically
+    * deleted and re-purgeable. */
+  def purgePartitioned(spark: SparkSession, rootDir: String,
+                       opts: Options = Options()): Map[String, PurgeReport] = {
+    val root = new Path(rootDir)
+    val fs = fsFor(spark, root)
+    require(fs.exists(root), s"store directory $rootDir does not exist")
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith(".") ||
+          s.getPath.getName.startsWith("_"))
+      val dirs = st.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+    }
+    val base = fs.makeQualified(root).toUri.getPath
+    val out = leaves(root)
+      .filter(l => fs.listStatus(l)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map { l =>
+        val rel = fs.makeQualified(l).toUri.getPath.stripPrefix(base).stripPrefix("/")
+        rel -> purgeImpl(spark, l, opts, root, dropTombstones = false)
+      }.toMap
+    fsFor(spark, root).delete(new Path(root, TombstoneDir), true)
+    out
+  }
+
   final case class PruneReport(keptFiles: Int, skippedFiles: Int,
       keptBytes: Long, skippedBytes: Long)
 
@@ -1032,7 +1206,8 @@ object Compact {
         spark.read.parquet(new Path(dir, skipped.head.name).toString)
           .filter(lit(false))
       else spark.read.parquet(storeDir) // surface the reader's own error shape
-    preds.map(predColumn).foldLeft(serveFold(union, opts))(_ filter _)
+    preds.map(predColumn)
+      .foldLeft(serveFold(minusTombstones(spark, dir, union), opts))(_ filter _)
   }
 
   /** [[readPruned]] over a directory-partitioned store: Catalyst's
@@ -1070,7 +1245,8 @@ object Compact {
       if (keptFiles.nonEmpty)
         readParts(spark, opts, Some(rootDir), keptFiles)
       else spark.read.parquet(rootDir).filter(lit(false))
-    preds.map(predColumn).foldLeft(union)(_ filter _)
+    preds.map(predColumn)
+      .foldLeft(minusTombstones(spark, root, union))(_ filter _)
   }
 
   /** Manifest generations currently readable, oldest first. */
@@ -1103,7 +1279,7 @@ object Compact {
         missing.map(_.name).mkString(", "))
     val union = readParts(spark, opts, None,
       state.parts.map(p => new Path(dir, p.name).toString))
-    serveFold(union, opts)
+    serveFold(minusTombstones(spark, dir, union), opts)
   }
 
   /** Compact every leaf partition directory of a
@@ -1269,7 +1445,7 @@ object Compact {
       state.parts.map(p => new Path(leaf, p.name).toString)
     }
     val union = readParts(spark, opts, Some(rootDir), files)
-    serveFold(union, opts)
+    serveFold(minusTombstones(spark, root, union), opts)
   }
 
   /** Level occupancy for observability (file count + bytes per

@@ -682,6 +682,49 @@ class CompactSpec extends SparkTestBase {
       s"merged parts carry the full union schema: ${merged.columns.toSeq}")
   }
 
+  test("keyed deletes: tombstones hide rows everywhere; purge erases physically") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/erasure"
+    val o = Compact.Options(l0MaxParts = 2, retainGenerations = 4,
+      statsCols = Seq("u"), bloomCols = Seq("u"))
+    (0 until 3).foreach(i => Store.atomicAppend(
+      (0L until 300L).filter(_ % 3 == i).map(u => (u, s"payload$u")).toDF("u", "p"),
+      dir, s"b$i"))
+    Compact.run(spark, dir, o)
+    val v1 = Compact.snapshotVersions(spark, dir).last
+    def users(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val all = (0L until 300L).toSet
+    assert(users(Compact.read(spark, dir, o)) == all)
+    // logical delete is immediate on every read path
+    val erased = (0L until 300L).filter(_ % 7 == 0)
+    Compact.deleteKeys(spark, dir, erased.toDF("u"), "gdpr-1")
+    val live = all -- erased
+    assert(users(Compact.read(spark, dir, o)) == live)
+    // time travel does NOT resurrect erased keys — deliberate
+    assert(users(Compact.readVersion(spark, dir, v1, o)) == live)
+    assert(users(Compact.readPruned(spark, dir,
+      Seq(Compact.partEq("u", 7L)), o)).isEmpty)
+    assert(users(Compact.readPruned(spark, dir,
+      Seq(Compact.partEq("u", 8L)), o)) == Set(8L))
+    // replayed tombstone write is a no-op
+    Compact.deleteKeys(spark, dir, erased.toDF("u"), "gdpr-1")
+    // physical purge: exact accounting, bytes gone, history collapsed
+    val rep = Compact.purge(spark, dir, o)
+    assert(rep.rowsBefore - rep.rowsAfter == erased.size.toLong, s"$rep")
+    assert(rep.tombstonedKeys == erased.size.toLong)
+    assert(users(Compact.read(spark, dir, o)) == live)
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).toSet == live,
+      "the raw parquet files no longer contain erased keys")
+    assert(Compact.snapshotVersions(spark, dir).size == 1, "history collapsed")
+    // purged parts carry fresh blooms: an erased-user probe skips all
+    val pr = Compact.pruneReport(spark, dir, Seq(Compact.partEq("u", 7L)), o)
+    assert(pr.keptFiles == 0, s"purged blooms skip erased keys: $pr")
+    // purge without tombstones is a counted no-op
+    val rep2 = Compact.purge(spark, dir, o)
+    assert(rep2.rowsBefore == rep2.rowsAfter && rep2.tombstonedKeys == 0L)
+  }
+
   test("dynamic file skipping: partInFrom prunes from a query-time key set") {
     import spark.implicits._
     val dir = s"${tmpDir()}/dynprune"
