@@ -3139,6 +3139,35 @@ object SparkEntry {
         .orderBy(col("event"))
     }),
 
+    // Ingest quality gates (Quality.appendChecked): each batch splits
+    // in one narrow pass into the clean store and a .quarantine
+    // dead-letter channel carrying the failed check names; both
+    // channels are marker-idempotent (the replayed b0 changes
+    // nothing). The oracle recomputes the same split with the same
+    // declaration-ordered reasons string.
+    "q_quarantine" -> ((s, dir) => {
+      val checks = Seq(
+        graft.ingest.Quality.Check("value_cap", col("value") <= 100),
+        graft.ingest.Quality.Check("not_error", col("event_type") =!= "error"))
+      val root = stagedOnce("qualstore-v1", dir) { f =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        def batch(i: Int) = ev.filter(col("event_id") % 2 === i).drop("event_id")
+        graft.ingest.Quality.appendChecked(batch(0), f.getAbsolutePath, "b0", checks)
+        graft.ingest.Quality.appendChecked(batch(1), f.getAbsolutePath, "b1", checks)
+        // replayed batch: both channels are no-ops
+        graft.ingest.Quality.appendChecked(batch(0), f.getAbsolutePath, "b0", checks): Unit
+      }
+      val good = s.read.parquet(root.getAbsolutePath)
+        .select(lit("good").as("bucket"), col("value"))
+      val bad = graft.ingest.Quality.quarantine(s, root.getAbsolutePath)
+        .select(concat(lit("q:"), col("reasons")).as("bucket"), col("value"))
+      good.unionByName(bad)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- temporal operators beyond the reference surface ----------
 
     // Point-in-time (as-of) join: every view event sees the user's
@@ -5157,6 +5186,17 @@ object SparkEntry {
            AND CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-08'
              AND DATE '2024-01-21'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_quarantine" ->
+      """WITH t AS (SELECT value,
+           concat_ws(',',
+             CASE WHEN NOT (value <= 100) THEN 'value_cap' END,
+             CASE WHEN NOT (event_type <> 'error') THEN 'not_error' END) AS r
+         FROM events)
+         SELECT CASE WHEN r = '' THEN 'good' ELSE 'q:' || r END AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM t GROUP BY 1 ORDER BY 1""",
 
     "q_erasure" ->
       """SELECT event_type AS event, count(*) AS n,

@@ -231,4 +231,29 @@ class IngestSpec extends SparkTestBase {
     assert(out.length == 1)
     assert(out(0).getLong(1) == 2L && out(0).getString(2) == "basic")
   }
+
+  test("quality gates: ordered reasons, null-fails, both channels idempotent") {
+    import spark.implicits._
+    import graft.ingest.Quality
+    val dir = java.nio.file.Files.createTempDirectory("graft-qual").toString
+    val checks = Seq(
+      Quality.Check("pos", col("v") > 0),
+      Quality.Check("small", col("v") < 100))
+    val rows = Seq(("a", Some(5L)), ("b", Some(-3L)), ("c", Some(500L)),
+      ("d", None), ("e", Some(50L))).toDF("k", "v")
+    val (good, bad) = Quality.split(rows, checks)
+    assert(good.collect().map(_.getString(0)).toSet == Set("a", "e"))
+    val reasons = bad.collect()
+      .map(r => r.getString(0) -> r.getAs[String]("reasons")).toMap
+    // declaration-ordered reasons; NULL fails every check it reaches
+    assert(reasons == Map("b" -> "pos", "c" -> "small", "d" -> "pos,small"),
+      s"got $reasons")
+    // gated append: replay is a no-op in BOTH channels
+    assert(Quality.appendChecked(rows, dir, "b0", checks) == ((true, true)))
+    assert(Quality.appendChecked(rows, dir, "b0", checks) == ((false, false)))
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(Quality.quarantine(spark, dir).count() == 3)
+    // the quarantine sibling is invisible to plain store readers
+    assert(spark.read.parquet(dir).columns.toSet == Set("k", "v"))
+  }
 }
