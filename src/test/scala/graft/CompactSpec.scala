@@ -725,6 +725,32 @@ class CompactSpec extends SparkTestBase {
     assert(rep2.rowsBefore == rep2.rowsAfter && rep2.tombstonedKeys == 0L)
   }
 
+  test("purgePartitioned: root tombstones erase every leaf, then clear") {
+    import spark.implicits._
+    val root = s"${tmpDir()}/perasure"
+    val o = Compact.Options(l0MaxParts = 2)
+    (0L until 400L).map(u => (u, s"d${u % 4}")).toDF("u", "part")
+      .write.partitionBy("part").parquet(root)
+    Compact.runPartitioned(spark, root, o)
+    val erased = (0L until 400L).filter(_ % 11 == 0)
+    Compact.deleteKeys(spark, root, erased.toDF("u"), "gdpr")
+    // logical deletion shows through the partitioned read path
+    def users() = Compact.readPartitionedPruned(spark, root, Nil, o)
+      .select("u").collect().map(_.getLong(0)).toSet
+    val live = (0L until 400L).toSet -- erased
+    assert(users() == live)
+    val reps = Compact.purgePartitioned(spark, root, o)
+    assert(reps.size == 4 && reps.values.map(r => r.rowsBefore - r.rowsAfter).sum
+      == erased.size.toLong, s"$reps")
+    assert(users() == live)
+    // tombstones cleared only after ALL leaves purged; raw files clean
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, ".tombstones")))
+    assert(spark.read.parquet(root).select("u").collect()
+      .map(_.getLong(0)).toSet == live)
+  }
+
   test("dynamic file skipping: partInFrom prunes from a query-time key set") {
     import spark.implicits._
     val dir = s"${tmpDir()}/dynprune"
