@@ -251,6 +251,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming gated ingest: clean and quarantine channels fill per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ingest.Quality
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sgate").toString
+    val checks = Seq(Quality.Check("pos", col("v") > 0))
+    val input = MemoryStream[(String, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Boolean)]
+    val q = Quality.streamGate(input.toDF().toDF("k", "v"), s"$dir/st", checks) {
+      (bid, g, qq) => seen += ((bid, g, qq))
+    }.option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(Seq(("a", 1L), ("b", -2L))); q.processAllAvailable()
+      input.addData(Seq(("c", 3L), ("d", -4L), ("e", 5L))); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.toSeq == Seq((0L, true, true), (1L, true, true)))
+    assert(spark.read.parquet(s"$dir/st").collect()
+      .map(_.getString(0)).toSet == Set("a", "c", "e"))
+    assert(Quality.quarantine(spark, s"$dir/st").collect()
+      .map(r => (r.getString(0), r.getAs[String]("reasons"))).toSet ==
+      Set(("b", "pos"), ("d", "pos")))
+  }
+
   test("streaming aggregate view: cumulative folds exact across batches and mid-stream compaction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
