@@ -127,6 +127,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             tolerance = tol)
           .queryExecution.logical
       }))
+
+    // Mergeable sketches on SQL — the same analysis-time splice, so
+    // the WindowGroupLimit partial top-k (KMV) and the map-side cell
+    // reduction (count-min) carry over unchanged:
+    //
+    // {{{
+    //   SELECT * FROM kmv_distinct('events_view', 'event_type', 'user_id', 64)
+    //   SELECT * FROM cm_freq('events_view', 'event_type', 'user_id', 4, 1024, '1,2,3')
+    // }}}
+    //
+    // cm_freq probes are a CSV of canonical string forms (the sketch
+    // hashes the value's string cast, so string probes are exact for
+    // integer and string keys alike).
+    ext.injectTableFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo("graft.pipeline.Sketches", "kmv_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "kmv_distinct(table, groupColsCsv, valueCol, k) takes four arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val groups = stringLit(args(1), "kmv_distinct groupColsCsv")
+          .split(",").map(_.trim).toSeq
+        val k = longLit(args(3), "kmv_distinct k").toInt
+        graft.pipeline.Sketches.kmvEstimate(
+            graft.pipeline.Sketches.kmvHashes(
+              spark.table(stringLit(args.head, "kmv_distinct table")), groups,
+              org.apache.spark.sql.functions.col(
+                stringLit(args(2), "kmv_distinct valueCol")), k),
+            groups, k)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("cm_freq"),
+      new ExpressionInfo("graft.pipeline.Sketches", "cm_freq"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "cm_freq(table, groupColsCsv, valueCol, depth, width, probesCsv) takes six arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val groups = stringLit(args(1), "cm_freq groupColsCsv")
+          .split(",").map(_.trim).toSeq
+        val (depth, width) = (longLit(args(3), "cm_freq depth").toInt,
+          longLit(args(4), "cm_freq width").toInt)
+        val probes = spark.createDataset(
+            stringLit(args(5), "cm_freq probesCsv").split(",").map(_.trim).toSeq)(
+            org.apache.spark.sql.Encoders.STRING).toDF("p")
+        graft.pipeline.Sketches.cmEstimate(
+            graft.pipeline.Sketches.countMin(
+              spark.table(stringLit(args.head, "cm_freq table")), groups,
+              org.apache.spark.sql.functions.col(
+                stringLit(args(2), "cm_freq valueCol")), depth, width),
+            groups, probes,
+            org.apache.spark.sql.functions.col("p"), depth, width)
+          .queryExecution.logical
+      }))
   }
 
   private def longLit(e: Expression, what: String): Long = e match {

@@ -127,6 +127,38 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("sketch TVFs equal the DataFrame sketches and stay exact below k") {
+    withExtSession { s =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      (1 to 500).map(i => (s"g${i % 2}", i.toLong % 40))
+        .toDF("g", "v").createOrReplaceTempView("t")
+      // kmv_distinct: exact below k, byte-equal to the DataFrame path
+      val viaSql = s.sql("SELECT * FROM kmv_distinct('t', 'g', 'v', 64)")
+      val viaDf = graft.pipeline.Sketches.kmvEstimate(
+        graft.pipeline.Sketches.kmvHashes(s.table("t"), Seq("g"), col("v"), 64),
+        Seq("g"), 64)
+      assert(viaSql.schema == viaDf.schema)
+      assert(viaSql.collect().map(_.toString).sorted.toSeq ==
+        viaDf.collect().map(_.toString).sorted.toSeq)
+      val ests = viaSql.collect()
+        .map(r => r.getAs[String]("g") -> r.getAs[Long]("distinct_est")).toMap
+      assert(ests == Map("g0" -> 20L, "g1" -> 20L), ests.toString)
+      // cm_freq: probe estimates never under truth; string probes hit
+      // integer keys (canonical string form)
+      val cm = s.sql(
+        "SELECT * FROM cm_freq('t', 'g', 'v', 4, 512, '1,3,9999')").collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[String]("probe")) -> r.getAs[Long]("est"))
+        .toMap
+      // parity split: odd v lives only in g1 with true count 12-13,
+      // so the one-sided estimate is >= 12 there; in g0 and for the
+      // absent probe the estimate is collision-bounded
+      assert(cm(("g1", "1")) >= 12L && cm(("g1", "3")) >= 12L, cm.toString)
+      assert(cm(("g0", "1")) <= 30L && cm(("g0", "9999")) <= 30L, cm.toString)
+      assert(cm.keySet.map(_._2) == Set("1", "3", "9999"))
+    }
+  }
+
   test("TVF arguments must be string literals and tables must resolve") {
     withExtSession { s =>
       eventsDf(s).createOrReplaceTempView("ev")
