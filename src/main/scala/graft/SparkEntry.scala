@@ -3345,8 +3345,12 @@ object SparkEntry {
     // the one-sided (never-under) property is pinned in SketchesSpec.
     "q_cm_freq" -> ((s, dir) => {
       import s.implicits._
+      // the estimate references the sketch twice (group grid + cell
+      // join) — stage the tiny cell table once instead of recomputing
+      // the events scan+aggregate for each use (q_kmv_distinct's
+      // hashes-checkpoint pattern)
       val sk = Sketches.countMin(events(s, dir), Seq("event_type"),
-        col("user_id"), depth = 4, width = 1024)
+        col("user_id"), depth = 4, width = 1024).localCheckpoint(false)
       val probes = (0L to 9L).toDF("u")
       Sketches.cmEstimate(sk, Seq("event_type"), probes, col("u"),
           depth = 4, width = 1024)

@@ -147,7 +147,9 @@ object Sketches {
     * row). `probes` is a small frame of candidate values (broadcast
     * against the group grid); raw data is never rescanned. Returns
     * (groupCols…, probe, est) with `probe` in canonical string
-    * form. */
+    * form. The sketch is referenced TWICE (group grid + cell join) —
+    * persist or localCheckpoint a scan-expensive sketch before
+    * probing, or its lineage recomputes per use. */
   def cmEstimate(sketch: DataFrame, groupCols: Seq[String],
                  probes: DataFrame, probe: Column,
                  depth: Int, width: Int): DataFrame = {
