@@ -1973,6 +1973,33 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // Leakage-free train/valid/test split: near-duplicate CLUSTER
+    // members share a split by construction — the eval-contamination
+    // guard a training pipeline needs (a test doc whose near-dup sits
+    // in train is a leak). Every doc's split gates on its cluster
+    // representative (its own id when unclustered) through the
+    // portable md5 bucket space, so the assignment is deterministic
+    // and the oracle replays it over the recursive-CTE clusters.
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashDupPairsPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+      val clusters = Dedup.dupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val bucket = (conv(substring(md5(
+          coalesce(col("cluster_id"), col("doc_id")).cast("string")), 1, 5),
+          16, 10).cast("long") % 100).cast("int")
+      docs.join(clusters, Seq("doc_id"), "left")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("split"))
+    }),
+
     // PRODUCTION variants of the two banded dedup pipelines: same
     // parameterization as their md5-portable oracle twins above, but
     // on the xxhash path a user actually runs (codegen'd 64-bit
@@ -4587,6 +4614,34 @@ object SparkEntry {
          SELECT cluster_id, count(*) AS n_members,
            CAST(sum(id) AS BIGINT) AS id_sum
          FROM comp GROUP BY 1 ORDER BY cluster_id""",
+
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE ${portableMinhashPairsCte(n = 3, numHashes = 16, bands = 4, threshold = 0.2)},
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b AS a, id_a AS b FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+         comp AS (
+           SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id),
+         lab AS (
+           SELECT d.doc_id, d.n_chars,
+             coalesce(c.cluster_id, d.doc_id) AS rep
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         sp AS (
+           SELECT doc_id, n_chars,
+             CAST(CAST('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 5) AS BIGINT) % 100 AS INT) AS b
+           FROM lab)
+         SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+             ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM sp GROUP BY 1 ORDER BY 1""",
 
     // Same chained-min construction as q_funnel_oracle — the JSON
     // request compiles to the identical funnel config.

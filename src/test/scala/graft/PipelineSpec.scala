@@ -1348,4 +1348,29 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("MapPartitions"), plan.take(2000))
     assert(out.count() == 6)
   }
+
+  test("leakage-free split: near-dup pair members never straddle splits") {
+    import spark.implicits._
+    val texts = (0 until 12).map(i =>
+      s"unique document number $i with plenty of distinct words ${i * 7} ${i * 13} tail$i")
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      texts.take(6).zipWithIndex.map { case (t, i) => (100L + i, t) })
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairsPortable(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+    assert(pairs.count() >= 6, "exact dups must pair")
+    val clusters = Dedup.dupClusters(pairs).withColumnRenamed("id", "doc_id")
+    val bucket = (conv(substring(md5(
+        coalesce(col("cluster_id"), col("doc_id")).cast("string")), 1, 5),
+        16, 10).cast("long") % 100).cast("int")
+    val assigned = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val straddling = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => assigned(a) != assigned(b) }
+    assert(straddling.isEmpty,
+      s"cluster members must share a split: ${straddling.mkString(", ")}")
+    assert(assigned.size == 18)
+  }
 }
