@@ -2000,6 +2000,31 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // Best-representative dedup collapse: per near-dup cluster keep
+    // ONE member — the longest text, ties to the smallest id (longer
+    // near-dups are usually supersets; dropping to one representative
+    // is how a corpus actually consumes the cluster output).
+    // Unclustered docs are their own representative and always
+    // survive.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashDupPairsPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+      val clusters = Dedup.dupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val labeled = docs.join(clusters, Seq("doc_id"), "left")
+        .withColumn("rep_key", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("rep_key"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      labeled.withColumn("__rn", row_number().over(w))
+        .withColumn("kept", col("__rn") === 1)
+        .groupBy(col("kept"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("kept"))
+    }),
+
     // PRODUCTION variants of the two banded dedup pipelines: same
     // parameterization as their md5-portable oracle twins above, but
     // on the xxhash path a user actually runs (codegen'd 64-bit
@@ -4614,6 +4639,34 @@ object SparkEntry {
          SELECT cluster_id, count(*) AS n_members,
            CAST(sum(id) AS BIGINT) AS id_sum
          FROM comp GROUP BY 1 ORDER BY cluster_id""",
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${portableMinhashPairsCte(n = 3, numHashes = 16, bands = 4, threshold = 0.2)},
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b AS a, id_a AS b FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+         comp AS (
+           SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id),
+         lab AS (
+           SELECT d.doc_id, d.n_chars,
+             coalesce(c.cluster_id, d.doc_id) AS rep_key
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         rk AS (
+           SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY rep_key
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM lab)
+         SELECT rn = 1 AS kept, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM rk GROUP BY 1 ORDER BY 1""",
 
     "q_split_leakfree" ->
       s"""WITH RECURSIVE ${portableMinhashPairsCte(n = 3, numHashes = 16, bands = 4, threshold = 0.2)},
