@@ -2793,6 +2793,28 @@ object SparkEntry {
       graft.pipeline.Multimodal.imageStats(media).orderBy("id")
     }),
 
+    // REAL video decode end-to-end (Multimodal.AviCodec +
+    // videoFrameStats): each row is a standards-shaped RIFF/AVI whose
+    // 00dc chunks carry lossless PNG frames of the synthetic pixel
+    // formula; the engine walks the container, samples every 1000 ms
+    // by header timing (2 fps -> every 2nd frame), ImageIO-decodes
+    // each sampled frame and sums its channels — all replayed
+    // analytically by the oracle.
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 12)
+        .select(col("doc_id").cast("long")).distinct()
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+        val frames = (0 until 6).map(f =>
+          graft.pipeline.Multimodal.SyntheticImages.encode(id * 10 + f, 8, 8, "png"))
+        graft.pipeline.Multimodal.MediaRow(id,
+          graft.pipeline.Multimodal.AviCodec.encode(frames, fps = 2, 8, 8),
+          graft.pipeline.Multimodal.MediaMeta("video", "avi", 8, 8, 3000L))
+      })
+      graft.pipeline.Multimodal.videoFrameStats(media, everyMs = 1000L)
+        .orderBy(col("id"), col("frame"))
+    }),
+
     // Storage: date-partitioned events store + partition-pruned read.
     // The sf events rewrite partitioned by event_date (the layout the
     // streaming sink emits and Compact.runPartitioned maintains), then
@@ -5212,6 +5234,20 @@ object SparkEntry {
            CAST(3*sum(v) AS BIGINT) AS channel_sum,
            CAST(3*sum(v) AS BIGINT) / (8*8*3*255.0) AS mean_pixel
          FROM px GROUP BY 1 ORDER BY id""",
+
+    // Video frames: the sampled source frames are 0, 2, 4 (2 fps,
+    // 1000 ms stride), each a lossless PNG of the synthetic pixel
+    // formula — the oracle recomputes every channel sum analytically.
+    "q_video_frames" ->
+      """WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 12),
+         fr AS (SELECT id, f.range AS src, CAST(f.range / 2 AS INT) AS frame
+             FROM ids CROSS JOIN range(0, 6, 2) f),
+         px AS (SELECT id, frame,
+             ((id*10 + src)*31 + x.range*7 + y.range*13) % 256 AS v
+           FROM fr CROSS JOIN range(8) x CROSS JOIN range(8) y)
+         SELECT id, frame, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(3*sum(v) AS BIGINT) AS channel_sum
+         FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Partition pruning can never change results: the oracle answers
     // the same window over the flat table.

@@ -1237,6 +1237,49 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.map(_.frameIdx).toSeq == (0 until 5))
   }
 
+  test("AviCodec: MJPEG round trip, header timing, stride, stub fallback") {
+    import Multimodal._
+    import spark.implicits._
+    // REAL JPEG frames (MJPEG proper): encode through ImageIO, wrap,
+    // walk back, and every extracted frame must decode to the right
+    // dimensions
+    val jpegs = (0 until 6).map { f =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x =>
+        img.setRGB(x, y, SyntheticImages.pixel(f.toLong, x, y) * 0x010101)))
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", o)
+      o.toByteArray
+    }
+    val avi = AviCodec.encode(jpegs, fps = 2, 8, 8)
+    val parsed = AviCodec.parse(avi).get
+    assert(parsed.usPerFrame == 500000 && parsed.width == 8 && parsed.height == 8)
+    assert(parsed.frames.length == 6)
+    assert(parsed.frames.zip(jpegs).forall { case (a, b) => a.sameElements(b) })
+    assert(parsed.frames.forall(f =>
+      ImageIoCodec.readImage(f).exists(i => i.getWidth == 8 && i.getHeight == 8)))
+    // sampling stride follows the header: 2 fps, 1000 ms -> frames 0,2,4
+    val media = Seq(MediaRow(9L, avi, MediaMeta("video", "avi", 8, 8, 3000L)))
+      .toDS()
+    val sampled = Multimodal.sampleVideoFrames(media, everyMs = 1000L).collect()
+    assert(sampled.map(_.frameIdx).toSeq == Seq(0, 1, 2))
+    assert(sampled.zip(Seq(0, 2, 4)).forall { case (s, src) =>
+      s.frameBytes.sameElements(jpegs(src)) })
+    // videoFrameStats decodes the REAL frames
+    val stats = Multimodal.videoFrameStats(media, everyMs = 1000L).collect()
+    assert(stats.length == 3 && stats.forall(r => r.getInt(2) == 8))
+    // a non-AVI payload still flows through the stub, never fails
+    val stub = Multimodal.sampleVideoFrames(
+      Seq(MediaRow(1L, Array[Byte](1, 2, 3),
+        MediaMeta("video", "bin", 0, 0, 2000L))).toDS(), everyMs = 1000L)
+      .collect()
+    assert(stub.length == 2)
+    // truncated AVI bytes reject cleanly
+    assert(AviCodec.parse(avi.take(40)).isEmpty)
+    assert(AviCodec.parse(Array[Byte]()).isEmpty)
+  }
+
   test("WavCodec: encode/parse round trip, chunk skipping, malformed rejection") {
     import Multimodal._
     val samples = Array.tabulate(300)(i => SyntheticAudio.sample(7L, i).toShort)
