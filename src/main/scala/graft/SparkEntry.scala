@@ -1973,6 +1973,29 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // Inverted term index as a store (TextAnalysis.indexPostings /
+    // termLookup): postings compact token-range-clustered, so the
+    // lookup lists only the parts whose token range can hold the
+    // probes — the store machinery doubling as a text secondary
+    // index. An absent probe yields no group on either side.
+    "q_term_index" -> ((s, dir) => {
+      val root = stagedOnce("termindex-v1", dir) { f =>
+        val post = TextAnalysis.indexPostings(Tables.documents(s, dir))
+        graft.sources.Store.atomicAppend(
+          post.filter(col("doc_id") % 2 === 0), f.getAbsolutePath, "p0")
+        graft.sources.Store.atomicAppend(
+          post.filter(col("doc_id") % 2 === 1), f.getAbsolutePath, "p1")
+        graft.sources.Compact.run(s, f.getAbsolutePath,
+          TextAnalysis.TermIndexOptions): Unit
+      }
+      TextAnalysis.termLookup(s, root.getAbsolutePath,
+          Seq("scan", "merge", "zzz-missing"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("token"))
+    }),
+
     // Leakage-free train/valid/test split: near-duplicate CLUSTER
     // members share a split by construction — the eval-contamination
     // guard a training pipeline needs (a test doc whose near-dup sits
@@ -4661,6 +4684,14 @@ object SparkEntry {
          SELECT cluster_id, count(*) AS n_members,
            CAST(sum(id) AS BIGINT) AS id_sum
          FROM comp GROUP BY 1 ORDER BY cluster_id""",
+
+    "q_term_index" ->
+      """WITH p AS (SELECT DISTINCT token, doc_id FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents))
+         SELECT token, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM p WHERE token IN ('scan', 'merge', 'zzz-missing')
+         GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE ${portableMinhashPairsCte(n = 3, numHashes = 16, bands = 4, threshold = 0.2)},

@@ -375,4 +375,35 @@ object TextAnalysis {
       (acc, t) => (acc * lit(1000003L) +
         conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
         .bitwiseAND(lit(0x7FFFFFFFL)))
+
+  /** Inverted term index AS A STORE: the compaction machinery doubles
+    * as a text secondary index. Postings are distinct (token, doc_id)
+    * rows; the store compacts token-range-CLUSTERED with manifest
+    * stats on the token, so a term lookup reads only the parts whose
+    * token range can hold it — at corpus scale, one term touches one
+    * slice of the postings, never the whole index. Ingest appends
+    * postings batches; compaction folds and re-clusters them exactly
+    * like any other store. */
+  val TermIndexOptions: graft.sources.Compact.Options =
+    graft.sources.Compact.Options(l0MaxParts = 1,
+      sortCols = Seq("token"), clusterByRange = true,
+      statsCols = Seq("token"), l1PartBytes = 1L << 20)
+
+  /** The postings of a document frame: distinct (token, doc_id),
+    * empty tokens dropped. Same single-space tokenization as every
+    * other text operator, so the oracle reproduces it. */
+  def indexPostings(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token"), col("doc_id"))
+      .distinct()
+
+  /** Posting lookup for `terms` through the pruned read path: parts
+    * outside every term's range are never listed. */
+  def termLookup(spark: org.apache.spark.sql.SparkSession,
+                 storeDir: String, terms: Seq[String]): DataFrame =
+    graft.sources.Compact.readPruned(spark, storeDir,
+      Seq(graft.sources.Compact.PartIn("token", terms)), TermIndexOptions)
 }

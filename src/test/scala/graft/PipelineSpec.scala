@@ -1392,6 +1392,36 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() == 6)
   }
 
+  test("term index store: range-clustered postings prune by token") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tix").toString
+    // vocabulary spread across the alphabet so range clustering yields
+    // token-disjoint parts; fat rows force several output parts
+    val words = Seq("alpha", "bravo", "hotel", "kilo", "quebec", "zulu")
+    val docs = (0L until 12000L).map { i =>
+      (i, (0 until 8).map(j => words(((i + j) % words.size).toInt) +
+        (i % 97)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val post = TextAnalysis.indexPostings(docs)
+    val o = TextAnalysis.TermIndexOptions.copy(l1PartBytes = 64L << 10)
+    // eight small L0 appends (each under the part cap)
+    (0 until 8).foreach(i => graft.sources.Store.atomicAppend(
+      post.filter(col("doc_id") % 8 === i), dir, s"p$i"))
+    val rep = graft.sources.Compact.run(spark, dir, o)
+    assert(rep.merges >= 1 && rep.filesAfter >= 3, s"clustered parts: $rep")
+    // a low-alphabet probe skips the high-range parts
+    val pr = graft.sources.Compact.pruneReport(spark, dir,
+      Seq(graft.sources.Compact.partEq("token", "alpha0")), o)
+    assert(pr.skippedFiles >= 1, s"token range pruning: $pr")
+    // lookup == filter over the raw postings
+    val got = graft.sources.Compact.readPruned(spark, dir,
+        Seq(graft.sources.Compact.PartIn("token", Seq("alpha0", "zzz"))), o)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = post.filter(col("token") === "alpha0")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("leakage-free split: near-dup pair members never straddle splits") {
     import spark.implicits._
     val texts = (0 until 12).map(i =>
