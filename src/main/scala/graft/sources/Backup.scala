@@ -43,8 +43,16 @@ object Backup {
   private val Version = 1L
 
   final case class Entry(path: String, size: Long)
-  final case class Manifest(version: Long, files: Seq[Entry]) {
+  /** `files` = what this archive physically carries; `state` (only in
+    * INCREMENTAL archives) = the complete store listing at backup
+    * time, so a chain restore knows exactly which files the final
+    * store must contain — including which base files were deleted by
+    * compaction or purge in between. */
+  final case class Manifest(version: Long, files: Seq[Entry],
+                            state: Seq[Entry] = Nil) {
     def totalBytes: Long = files.map(_.size).sum
+    def isIncremental: Boolean = state.nonEmpty
+    def effectiveState: Seq[Entry] = if (state.nonEmpty) state else files
   }
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
@@ -60,6 +68,12 @@ object Backup {
   private def keep(name: String): Boolean =
     name.startsWith("_graft_parts-") ||
       (name.startsWith(".batch-") && name.endsWith(".done")) ||
+      // pending tombstones and the quarantine dead-letter ARE store
+      // state: a restore that dropped .tombstones would RESURRECT
+      // erased keys (the one direction an erasure must never fail),
+      // and quarantined rows are data awaiting triage
+      name == ".tombstones" || name == ".quarantine" ||
+      name.startsWith("_graft_snapshot-") ||
       (!name.startsWith(".") && !name.startsWith("_"))
 
   /** Data + state files under `dir`, recursively, as store-relative
@@ -80,16 +94,22 @@ object Backup {
     walk(dir)
   }
 
-  private def manifestJson(m: Manifest): String = {
-    val files = m.files.map(e =>
+  private def entriesJson(es: Seq[Entry]): String =
+    es.map(e =>
       s"""{"path":${JStr(e.path).render},"size":${e.size}}""").mkString("[", ",", "]")
-    s"""{"version":${m.version},"files":$files}"""
+
+  private def manifestJson(m: Manifest): String = {
+    val stateField =
+      if (m.state.isEmpty) "" else s""","state":${entriesJson(m.state)}"""
+    s"""{"version":${m.version},"files":${entriesJson(m.files)}$stateField}"""
   }
 
   private def parseManifest(s: String): Manifest = {
     val j = Json.parse(s)
-    Manifest((j / "version").long,
-      (j / "files").arr.map(f => Entry((f / "path").str, (f / "size").long)))
+    def entries(v: Json.JValue) =
+      v.arr.map(f => Entry((f / "path").str, (f / "size").long))
+    Manifest((j / "version").long, entries(j / "files"),
+      j.asOpt("state").map(entries).getOrElse(Nil))
   }
 
   /** Archive the store at `storeDir` into `archiveFile` (overwrites).
@@ -98,8 +118,36 @@ object Backup {
     val src = new Path(storeDir)
     val srcFs = fsFor(spark, src)
     require(srcFs.exists(src), s"store directory $storeDir does not exist")
-    val manifest = Manifest(Version, listFiles(srcFs, src))
+    writeArchive(spark, srcFs, src, Manifest(Version, listFiles(srcFs, src)),
+      archiveFile)
+  }
 
+  /** Incremental backup against a prior archive (full or itself
+    * incremental): only files ABSENT from the base's effective state
+    * enter the archive — parquet parts are immutable, so path
+    * identity is change identity, and a same-path-different-size file
+    * is corruption and aborts. The delta manifest also records the
+    * COMPLETE current listing, so [[restoreChain]] reproduces exactly
+    * this state, including base files that compaction or purge
+    * deleted in between. */
+  def createIncremental(spark: SparkSession, storeDir: String,
+                        baseArchive: String, archiveFile: String): Manifest = {
+    val src = new Path(storeDir)
+    val srcFs = fsFor(spark, src)
+    require(srcFs.exists(src), s"store directory $storeDir does not exist")
+    val base = readManifest(spark, baseArchive).effectiveState
+      .map(e => e.path -> e.size).toMap
+    val current = listFiles(srcFs, src)
+    current.foreach(e => base.get(e.path).foreach(sz => require(sz == e.size,
+      s"${e.path} changed size since the base archive ($sz -> ${e.size}); " +
+        "store files are immutable — refusing an inconsistent delta")))
+    val delta = current.filterNot(e => base.contains(e.path))
+    writeArchive(spark, srcFs, src, Manifest(Version, delta, state = current),
+      archiveFile)
+  }
+
+  private def writeArchive(spark: SparkSession, srcFs: FileSystem, src: Path,
+                           manifest: Manifest, archiveFile: String): Manifest = {
     val dstPath = new Path(archiveFile)
     val dstFs = fsFor(spark, dstPath)
     val out = new DataOutputStream(new DeflaterOutputStream(
@@ -172,6 +220,68 @@ object Backup {
     val tmpName = s"${target.getName}.restoring-${System.nanoTime()}"
     val tmp = Option(target.getParent)
       .map(p => new Path(p, tmpName)).getOrElse(new Path(tmpName))
+    val manifest =
+      try {
+        val m = unpackArchive(spark, fs, archiveFile, tmp)
+        require(!m.isIncremental,
+          s"$archiveFile is an INCREMENTAL archive — restore it with " +
+            "restoreChain(base +: deltas) so deletions and prior files apply")
+        m
+      } catch { case t: Throwable => fs.delete(tmp, true); throw t }
+    swapInto(fs, tmp, target)
+    manifest
+  }
+
+  /** Restore a FULL archive plus its incremental chain, in order: each
+    * archive unpacks over the previous state, then the tree is pruned
+    * to EXACTLY the last archive's recorded state (files compaction or
+    * purge deleted between backups disappear again) and every state
+    * entry's size is validated before the same aside-swap as
+    * [[restore]]. */
+  def restoreChain(spark: SparkSession, archives: Seq[String],
+                   targetDir: String): Manifest = {
+    require(archives.nonEmpty, "restoreChain needs at least one archive")
+    val target = new Path(targetDir)
+    val fs = fsFor(spark, target)
+    val tmpName = s"${target.getName}.restoring-${System.nanoTime()}"
+    val tmp = Option(target.getParent)
+      .map(p => new Path(p, tmpName)).getOrElse(new Path(tmpName))
+    val last =
+      try {
+        val ms = archives.map(a => unpackArchive(spark, fs, a, tmp))
+        require(!ms.head.isIncremental,
+          s"${archives.head} must be a FULL archive to anchor the chain")
+        val want = ms.last.effectiveState
+        val wanted = want.map(e => e.path -> e.size).toMap
+        // prune: anything unpacked along the way that the final state
+        // no longer names was deleted between backups
+        def walk(p: Path): Seq[Path] =
+          fs.listStatus(p).toSeq.flatMap(st =>
+            if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+        val base = fs.makeQualified(tmp).toUri.getPath
+        walk(tmp).foreach { f =>
+          val rel = fs.makeQualified(f).toUri.getPath
+            .stripPrefix(base).stripPrefix("/")
+          if (!wanted.contains(rel)) fs.delete(f, false): Unit
+        }
+        // every file of the final state must be present at its size
+        want.foreach { e =>
+          val f = new Path(tmp, e.path)
+          require(fs.exists(f) && fs.getFileStatus(f).getLen == e.size,
+            s"chain is missing or mis-sized ${e.path} — archives out of " +
+              "order or from a different store lineage")
+        }
+        ms.last
+      } catch { case t: Throwable => fs.delete(tmp, true); throw t }
+    swapInto(fs, tmp, target)
+    last
+  }
+
+  /** Unpack one archive into `tmp` (overwriting same-path files from
+    * earlier archives), validating paths, sizes and the trailing
+    * magic. No cleanup on failure — the caller owns `tmp`. */
+  private def unpackArchive(spark: SparkSession, fs: FileSystem,
+                            archiveFile: String, tmp: Path): Manifest = {
     val p = new Path(archiveFile)
     val in = new DataInputStream(new InflaterInputStream(fsFor(spark, p).open(p)))
     val manifest =
@@ -214,15 +324,17 @@ object Backup {
           throw new IllegalStateException(
             "backup archive failed footer validation (corrupt or truncated)")
         m
-      } catch {
-        case t: Throwable => fs.delete(tmp, true); throw t
       } finally in.close()
-    // archive proven: swap. The live store is renamed ASIDE, never
-    // deleted first — a crash or rename failure (cross-filesystem
-    // tmp, quota) after a delete would leave NO live store. The aside
-    // copy is removed only after the new store is in place; a failed
-    // swap rolls the aside back and surfaces the validated tmp path
-    // so recovery is a single rename, not a re-restore.
+    manifest
+  }
+
+  /** Validated-tmp swap. The live store is renamed ASIDE, never
+    * deleted first — a crash or rename failure (cross-filesystem tmp,
+    * quota) after a delete would leave NO live store. The aside copy
+    * is removed only after the new store is in place; a failed swap
+    * rolls the aside back and surfaces the validated tmp path so
+    * recovery is a single rename, not a re-restore. */
+  private def swapInto(fs: FileSystem, tmp: Path, target: Path): Unit = {
     Option(target.getParent).foreach(fs.mkdirs)
     val hadOld = fs.exists(target)
     val aside = new Path(target.toString + ".replaced-" + System.currentTimeMillis())
@@ -231,12 +343,11 @@ object Backup {
         s"could not move current store aside to $aside; " +
           s"validated restore preserved at $tmp")
     if (!fs.rename(tmp, target)) {
-      if (hadOld) fs.rename(aside, target) // roll the live store back
+      if (hadOld) fs.rename(aside, target): Unit // roll the live store back
       throw new IllegalStateException(
-        s"could not move restored store into $targetDir; " +
+        s"could not move restored store into $target; " +
           s"validated restore preserved at $tmp")
     }
-    if (hadOld) fs.delete(aside, true)
-    manifest
+    if (hadOld) fs.delete(aside, true): Unit
   }
 }

@@ -169,6 +169,61 @@ class BackupSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(s"$root/victim.txt")))
   }
 
+  test("incremental chain: deltas apply, deletions disappear, erasure survives") {
+    import spark.implicits._
+    import graft.sources.{Compact, Store}
+    val root = tmpDir()
+    val store = s"$root/store"
+    val o = Compact.Options(l0MaxParts = 2)
+    (0 until 3).foreach(i => Store.atomicAppend(
+      (0L until 300L).filter(_ % 3 == i).map(u => (u, u * 3)).toDF("u", "v"),
+      store, s"b$i"))
+    Compact.run(spark, store, o)
+    val full = s"$root/full.bak"
+    Backup.create(spark, store, full)
+    // inc1: a pure append — the delta carries ONLY the new batch,
+    // base parts ride the base archive
+    Store.atomicAppend((300L until 400L).map(u => (u, u * 3)).toDF("u", "v"),
+      store, "b3")
+    val inc1 = s"$root/inc1.bak"
+    val m1 = Backup.createIncremental(spark, store, full, inc1)
+    assert(m1.isIncremental && m1.files.nonEmpty)
+    assert(m1.files.size < m1.state.size, "delta carries only new files")
+    // inc2: erase a cohort (purge rewrites parts and DELETES base
+    // files), append again, and leave one tombstone PENDING
+    Compact.deleteKeys(spark, store,
+      (0L until 400L).filter(_ % 7 == 0).toDF("u"), "gdpr")
+    Compact.purge(spark, store, o)
+    Store.atomicAppend((400L until 450L).map(u => (u, u * 3)).toDF("u", "v"),
+      store, "b4")
+    Compact.deleteKeys(spark, store, Seq(401L).toDF("u"), "gdpr2")
+    val inc2 = s"$root/inc2.bak"
+    val m2 = Backup.createIncremental(spark, store, inc1, inc2)
+    assert(m2.isIncremental)
+    assert(m2.state.exists(_.path.startsWith(".tombstones/")),
+      "the pending tombstone is part of the recorded state")
+    // plain restore refuses an incremental archive outright
+    intercept[IllegalArgumentException] {
+      Backup.restore(spark, inc1, s"$root/nope")
+    }
+    // the chain reproduces the CURRENT store exactly
+    val restored = s"$root/restored"
+    Backup.restoreChain(spark, Seq(full, inc1, inc2), restored)
+    def read(d: String) = Compact.read(spark, d, o).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(read(restored) == read(store))
+    // (b4 reinserts some ≡0 (mod 7) ids ABOVE 400 after the purge
+    // cleared the tombstones — legal; the erased range is < 400)
+    assert(!read(restored).exists(t => t._1 < 400 && t._1 % 7 == 0),
+      "purged keys stay gone")
+    assert(!read(restored).exists(_._1 == 401L),
+      "the pending tombstone still hides its key after restore")
+    // a chain not anchored by a full archive is rejected
+    intercept[IllegalArgumentException] {
+      Backup.restoreChain(spark, Seq(inc1, full), s"$root/nope2")
+    }
+  }
+
   test("garbage bytes are rejected at the header") {
     val root = tmpDir()
     val junk = s"$root/junk.graftbak"
