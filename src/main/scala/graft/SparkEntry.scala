@@ -2717,6 +2717,54 @@ object SparkEntry {
           min(col("n_name")).as("first_nation"))
     }),
 
+    // Partition-level TTL (Compact.dropPartitionsBefore): whole
+    // event_date directories below the cutoff are DELETED — expiry as
+    // a directory drop, never a scan-and-rewrite. The read after the
+    // drop serves exactly the surviving days; the oracle answers the
+    // same cutoff over the flat table.
+    "q_ttl_expire" -> ((s, dir) => {
+      val root = stagedOnce("ttlstore-v1", dir) { f =>
+        graft.sources.Store.appendEvents(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_type"), col("value")),
+          f.getAbsolutePath)
+        graft.sources.Compact.dropPartitionsBefore(s, f.getAbsolutePath,
+          "event_date", "2024-01-15"): Unit
+      }
+      s.read.parquet(root.getAbsolutePath)
+        .groupBy(col("event_date").as("d"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("d"))
+    }),
+
+    // Incremental backup chain (Backup.createIncremental /
+    // restoreChain): base = even orderkeys, delta = odd orderkeys
+    // appended after the full backup; the chain restore must
+    // reproduce the WHOLE table (the oracle never touches the
+    // archives), proving the delta carried exactly the new parts and
+    // the chain pruning dropped nothing it shouldn't.
+    "q_backup_incremental" -> ((s, dir) => {
+      val tmp = scratch("bakinc", dir).getAbsolutePath
+      val store = s"$tmp/store"
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.Store.atomicAppend(
+        orders.filter(col("o_orderkey") % 2 === 0), store, "base")
+      graft.sources.Backup.create(s, store, s"$tmp/full.graftbak")
+      graft.sources.Store.atomicAppend(
+        orders.filter(col("o_orderkey") % 2 === 1), store, "delta")
+      graft.sources.Backup.createIncremental(s, store,
+        s"$tmp/full.graftbak", s"$tmp/inc.graftbak")
+      graft.sources.Backup.restoreChain(s,
+        Seq(s"$tmp/full.graftbak", s"$tmp/inc.graftbak"), s"$tmp/restored")
+      s.read.parquet(s"$tmp/restored")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          sum(cents(col("o_totalprice"))).as("price_cents"))
+        .orderBy(col("status"))
+    }),
+
     // §2.1 compactor (reference storage/src/compaction.rs
     // determine_compaction + config.toml defaults): orders lands as
     // 12 small L0 parts (12 ingest batches' worth), Compact.run
@@ -3538,6 +3586,18 @@ object SparkEntry {
          CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
          min(n_name) AS first_nation
          FROM nation GROUP BY 1""",
+
+    "q_ttl_expire" ->
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_backup_incremental" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // Compaction round-trip: the oracle never touches the compacted
     // store — identical output proves the merge preserved every row.

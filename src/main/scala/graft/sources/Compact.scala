@@ -1147,6 +1147,40 @@ object Compact {
     }
   }
 
+  /** TTL at the partition layer: drop WHOLE leaf directories of a
+    * directory-partitioned store whose `column=value` is strictly
+    * below `cutoff` — at 100 TB, data expiry must be a directory
+    * delete, never a scan-and-rewrite. Values compare as their
+    * partition-encoded strings, which for ISO dates and zero-padded
+    * numerics is value order (document the padding if you TTL a
+    * numeric dimension). Directories of other columns are recursed,
+    * never touched. Returns the dropped directories' store-relative
+    * paths. A table snapshot pinning a dropped leaf will THROW on its
+    * next read — expiry deliberately beats snapshot reproducibility,
+    * the same precedence purge takes over time travel. */
+  def dropPartitionsBefore(spark: SparkSession, rootDir: String,
+                           column: String, cutoff: String): Seq[String] = {
+    val root = new Path(rootDir)
+    val fs = fsFor(spark, root)
+    require(fs.exists(root), s"store directory $rootDir does not exist")
+    val prefix = column + "="
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .filterNot(s => s.getPath.getName.startsWith(".") ||
+        s.getPath.getName.startsWith("_"))
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(prefix)) {
+          if (name.stripPrefix(prefix) < cutoff) Seq(st.getPath) else Nil
+        } else walk(st.getPath)
+      }
+    val base = fs.makeQualified(root).toUri.getPath
+    val doomed = walk(root)
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.map(p => fs.makeQualified(p).toUri.getPath
+      .stripPrefix(base).stripPrefix("/"))
+  }
+
   /** [[purge]] over a directory-partitioned store: tombstones live at
     * the ROOT (`deleteKeys(root, …)`), every leaf purges against
     * them, and the tombstone set is dropped only after ALL leaves

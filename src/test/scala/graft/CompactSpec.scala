@@ -725,6 +725,28 @@ class CompactSpec extends SparkTestBase {
     assert(rep2.rowsBefore == rep2.rowsAfter && rep2.tombstonedKeys == 0L)
   }
 
+  test("dropPartitionsBefore: TTL deletes whole leaves under every tenant") {
+    import spark.implicits._
+    val root = s"${tmpDir()}/ttl"
+    (0L until 600L).map(i => (i, i % 2 + 1, f"2024-01-${(i / 2) % 6 + 10}%02d"))
+      .toDF("v", "project_id", "event_date")
+      .write.partitionBy("project_id", "event_date").parquet(root)
+    val dropped = Compact.dropPartitionsBefore(spark, root,
+      "event_date", "2024-01-12")
+    // days 10 and 11 drop under BOTH tenants; nothing else is touched
+    assert(dropped.map(_.split("/").last).toSet ==
+      Set("event_date=2024-01-10", "event_date=2024-01-11"), dropped.toString)
+    assert(dropped.size == 4)
+    val left = spark.read.parquet(root)
+    assert(left.select(col("event_date").cast("string")).distinct().collect()
+      .map(_.getString(0)).toSet ==
+      Set("2024-01-12", "2024-01-13", "2024-01-14", "2024-01-15"))
+    assert(left.count() == (0L until 600L).count(i => (i / 2) % 6 + 10 >= 12))
+    // idempotent: nothing below the cutoff remains
+    assert(Compact.dropPartitionsBefore(spark, root,
+      "event_date", "2024-01-12").isEmpty)
+  }
+
   test("purgePartitioned: root tombstones erase every leaf, then clear") {
     import spark.implicits._
     val root = s"${tmpDir()}/perasure"
