@@ -2717,6 +2717,31 @@ object SparkEntry {
           min(col("n_name")).as("first_nation"))
     }),
 
+    // Erasure over the CANONICAL partitioned layout
+    // (Compact.purgePartitioned): root-level tombstones hide the
+    // cohort through readPartitionedPruned immediately; the
+    // partitioned purge then rewrites every leaf against them and
+    // clears the tombstone set only after ALL leaves purged. The
+    // oracle excludes the cohort from the flat table.
+    "q_erasure_partitioned" -> ((s, dir) => {
+      val o = graft.sources.Compact.Options()
+      val root = stagedOnce("perasurestore-v1", dir) { f =>
+        graft.sources.Store.appendEvents(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_type"), col("value")),
+          f.getAbsolutePath)
+        graft.sources.Compact.deleteKeys(s, f.getAbsolutePath,
+          Tables.events(s, dir).filter(col("user_id") % 9 === 2)
+            .select(col("user_id")).distinct(), "gdpr")
+        graft.sources.Compact.purgePartitioned(s, f.getAbsolutePath, o): Unit
+      }
+      graft.sources.Compact.readPartitionedPruned(s, root.getAbsolutePath, Nil, o)
+        .groupBy(col("event_type").as("event"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event"))
+    }),
+
     // Partition-level TTL (Compact.dropPartitionsBefore): whole
     // event_date directories below the cutoff are DELETED — expiry as
     // a directory drop, never a scan-and-rewrite. The read after the
@@ -3586,6 +3611,13 @@ object SparkEntry {
          CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
          min(n_name) AS first_nation
          FROM nation GROUP BY 1""",
+
+    "q_erasure_partitioned" ->
+      """SELECT event_type AS event, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+           count(DISTINCT user_id) AS users
+         FROM events WHERE user_id % 9 <> 2
+         GROUP BY 1 ORDER BY 1""",
 
     "q_ttl_expire" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS n,
