@@ -315,6 +315,10 @@ object Multimodal {
         var i = start
         while (i + 8 <= end) {
           val id = tag(i); val sz = rd32(i + 4); val body = i + 8
+          // a negative chunk size (corrupt or >2 GiB) would walk
+          // BACKWARD and loop forever — reject the container instead
+          if (sz < 0) throw new IllegalArgumentException(
+            s"negative RIFF chunk size $sz at offset $i")
           if (id == "LIST") walk(body + 4, body + sz)
           else if (id == "avih" && sz >= 40) {
             usPerFrame = rd32(body); w = rd32(body + 32); h = rd32(body + 36)

@@ -1278,6 +1278,12 @@ class PipelineSpec extends SparkTestBase {
     // truncated AVI bytes reject cleanly
     assert(AviCodec.parse(avi.take(40)).isEmpty)
     assert(AviCodec.parse(Array[Byte]()).isEmpty)
+    // a corrupt NEGATIVE chunk size must reject, not loop forever
+    val evil = avi.clone()
+    // movi LIST body: '00dc' at movi+4, its SIZE at movi+8
+    val moviAt = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+    (8 until 12).foreach(k => evil(moviAt + k) = -1)
+    assert(AviCodec.parse(evil).isEmpty)
   }
 
   test("WavCodec: encode/parse round trip, chunk skipping, malformed rejection") {
