@@ -26,14 +26,14 @@ object Temporal {
     * column that is not a key and not `rightTs`) plus the matched
     * right time as `asof_ts`; all null when no match.
     *
-    * Mechanics: tag both sides, union, and take a running
-    * `last(_, ignoreNulls)` per payload column over
-    * (keys | order by time, side, tieBreak). Right rows sort before
-    * left rows at equal time, so an update at exactly t is visible to
-    * an event at t. The per-column lasts all land on the same right
-    * row because left rows contribute only nulls and right payloads
-    * are required non-null (enforce upstream; `asof_ts` itself is the
-    * guard for the tolerance cut).
+    * Mechanics: tag both sides, union, and take ONE running
+    * `last(struct(asof_ts, payload…), ignoreNulls)` over
+    * (keys | order by time, side, tieBreak) — the struct is null
+    * exactly on left rows, so the whole match comes from a single
+    * right row and individual right payload values may legitimately
+    * be null (a per-column last would let a null value see through to
+    * an older right row). Right rows sort before left rows at equal
+    * time, so an update at exactly t is visible to an event at t.
     *
     * Determinism: when several right rows share (keys, time), the
     * winner is the greatest by `tieBreak` (required non-empty if such
@@ -85,18 +85,28 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val outCols = (rightTs +: payload).map(asofName(_, rightTs))
+    // ONE last() over a per-right-row struct (null on left rows), not
+    // one last() per column: per-column lasts let a legitimately-null
+    // right payload value 'see through' to an OLDER right row, mixing
+    // two right rows in one output row. The struct is null exactly on
+    // left rows (when-without-otherwise), so ignoreNulls picks the
+    // entire latest right row wholesale and null payload values are
+    // safe.
     val matched = l2.unionByName(r2)
-      .select(col("*") +: outCols.map(c => last(col(c), ignoreNulls = true).over(w).as("__m_" + c)): _*)
+      .withColumn("__m", last(
+        when(col("__side") === 0, struct(outCols.map(col): _*)),
+        ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
     // Tolerance cut: a match older than (leftTs - tolerance) is no match.
     val keep = tolerance match {
-      case Some(tol) => col("__m_asof_ts").isNotNull && col("__m_asof_ts") >= col("__t") - lit(tol)
-      case None      => col("__m_asof_ts").isNotNull
+      case Some(tol) => col("__m").isNotNull &&
+        col("__m").getField("asof_ts") >= col("__t") - lit(tol)
+      case None      => col("__m").isNotNull
     }
     matched.select(
       keys.map(col) ++ leftRest.map(col) ++
-        outCols.map(c => when(keep, col("__m_" + c)).as(c)): _*)
+        outCols.map(c => when(keep, col("__m").getField(c)).as(c)): _*)
   }
 
   private def asofName(c: String, rightTs: String): String =

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * failure reasons instead of silently dropped or silently admitted.
   *
   * One narrow pass tags each row with its failed check names; the
-  * split is two filters over the same tagged frame (no second source
-  * scan, no shuffle), and both channels append idempotently under the
+  * split is two filters over the same tagged frame ([[appendChecked]]
+  * persists the tagged frame so the source is scanned once and both
+  * channels see the same rows), and both channels append idempotently under the
   * same batch name (the marker discipline of
   * [[graft.sources.Store.atomicAppendOnce]]), so a replayed ingest
   * batch is exactly-once in BOTH channels. The reference ingester
@@ -51,11 +52,22 @@ object Quality {
     * quarantineApplied); (false, false) = full replay. */
   def appendChecked(df: DataFrame, dir: String, name: String,
                     checks: Seq[Check]): (Boolean, Boolean) = {
-    val (good, bad) = split(df, checks)
-    val g = graft.sources.Store.atomicAppendOnce(good, dir, name)
-    val q = graft.sources.Store.atomicAppendOnce(bad,
-      new org.apache.hadoop.fs.Path(dir, ".quarantine").toString, name)
-    (g, q)
+    // Materialize the tagged frame ONCE before splitting: the two
+    // channel filters are separate actions, so without this the
+    // source is scanned once per channel and a nondeterministic
+    // source or check could route a row into both or neither channel
+    // within one batch. MEMORY_AND_DISK spills rather than evicts,
+    // so both appends read the same tagged rows.
+    val t = tagged(df, checks).persist()
+    try {
+      val good = t.filter(size(col("__vio")) === 0).drop("__vio")
+      val bad = t.filter(size(col("__vio")) > 0)
+        .withColumn("reasons", concat_ws(",", col("__vio"))).drop("__vio")
+      val g = graft.sources.Store.atomicAppendOnce(good, dir, name)
+      val q = graft.sources.Store.atomicAppendOnce(bad,
+        new org.apache.hadoop.fs.Path(dir, ".quarantine").toString, name)
+      (g, q)
+    } finally t.unpersist()
   }
 
   /** The dead-letter channel of a gated store (throws if no batch

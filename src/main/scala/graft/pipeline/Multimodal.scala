@@ -319,6 +319,12 @@ object Multimodal {
           // BACKWARD and loop forever — reject the container instead
           if (sz < 0) throw new IllegalArgumentException(
             s"negative RIFF chunk size $sz at offset $i")
+          // a chunk body running past the buffer is a truncated
+          // container — copyOfRange would silently zero-pad the
+          // frame; reject instead (long arithmetic: body + sz can
+          // overflow Int near Int.MaxValue)
+          if (body.toLong + sz > b.length) throw new IllegalArgumentException(
+            s"truncated RIFF chunk $id at offset $i: body end ${body.toLong + sz} > ${b.length}")
           if (id == "LIST") walk(body + 4, body + sz)
           else if (id == "avih" && sz >= 40) {
             usPerFrame = rd32(body); w = rd32(body + 32); h = rd32(body + 36)

@@ -1279,8 +1279,30 @@ object Compact {
       if (keptFiles.nonEmpty)
         readParts(spark, opts, Some(rootDir), keptFiles)
       else spark.read.parquet(rootDir).filter(lit(false))
+    // serveFold BEFORE the residual filters, like readPruned: pruneOn
+    // already restricted manifest pruning to the fold-key columns so
+    // every version of a surviving key is in `union` — without the
+    // fold a replaceOn store would serve superseded versions and a
+    // sumOn store un-summed partials. The directory partition columns
+    // implicitly extend the fold key: the unit of compaction is the
+    // leaf (runPartitioned folds per leaf with these same opts), so
+    // the serve fold matches — each leaf serves its own newest
+    // versions / summed partials and read ≡ compact-then-read. (A
+    // global fold would also nonsensically SUM the partition columns
+    // of a sumOn store.)
+    val partCols: Seq[String] =
+      if (opts.replaceOn.isEmpty && opts.sumOn.isEmpty) Nil
+      else leaves(root).headOption.toSeq.flatMap { l =>
+        l.toString.stripPrefix(root.toString).split("/").toSeq
+          .filter(_.contains("=")).map(_.split("=", 2)(0))
+      }
+    val foldOpts = opts.copy(
+      replaceOn = if (opts.replaceOn.isEmpty) Nil
+                  else (partCols ++ opts.replaceOn).distinct,
+      sumOn = if (opts.sumOn.isEmpty) Nil
+              else (partCols ++ opts.sumOn).distinct)
     preds.map(predColumn)
-      .foldLeft(minusTombstones(spark, root, union))(_ filter _)
+      .foldLeft(serveFold(minusTombstones(spark, root, union), foldOpts))(_ filter _)
   }
 
   /** Manifest generations currently readable, oldest first. */

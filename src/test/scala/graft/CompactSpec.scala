@@ -488,6 +488,50 @@ class CompactSpec extends SparkTestBase {
       (100L to 300L).filter(_ % 2 == 0).sum)
   }
 
+  test("partitioned pruned read folds replaceOn versions and sumOn partials per leaf") {
+    // replaceOn: superseded versions within a leaf must not be
+    // served; each leaf folds independently (the unit of compaction
+    // is the leaf, so read ≡ compact-then-read)
+    val root = s"${tmpDir()}/pfold"
+    val o = Compact.Options(l0MaxParts = 2, statsCols = Seq("k", "ver"),
+      replaceOn = Seq("k"), versionCol = Some("ver"))
+    (0 to 1).foreach { d =>
+      Store.atomicAppend(
+        spark.range(0, 100).select(col("id").as("k"), lit(1L + d).as("ver")),
+        s"$root/day=$d", "gen")
+    }
+    Store.atomicAppend(
+      spark.range(0, 50).select(col("id").as("k"), lit(9L).as("ver")),
+      s"$root/day=0", "gen2")
+    val got = Compact.readPartitionedPruned(spark, root, Nil, o)
+    assert(got.count() == 200, "one served row per (leaf, key)")
+    assert(got.filter(col("k") < 50 && col("day") === 0).agg(min("ver"))
+      .head.getLong(0) == 9L, "within-leaf supersession folds")
+    assert(got.filter(col("ver") === 1L).count() == 50,
+      "day=0 keys 50..99 still serve ver 1; ver 1 for k<50 is superseded")
+    // residual predicates apply AFTER the fold, same as readPruned
+    assert(Compact.readPartitionedPruned(spark, root,
+      Seq(Compact.PartRange("ver", Some(9L), Some(9L))), o).count() == 50)
+    // read ≡ compact-then-read: physical per-leaf fold changes nothing
+    Compact.runPartitioned(spark, root, o)
+    assert(Compact.readPartitionedPruned(spark, root, Nil, o).count() == 200)
+
+    // sumOn: a reader over un-compacted partials folds them (and must
+    // NOT sum the directory partition column)
+    val sroot = s"${tmpDir()}/psum"
+    val so = Compact.Options(l0MaxParts = 10, sumOn = Seq("k"))
+    (0 to 1).foreach { b =>
+      Store.atomicAppend(
+        spark.range(0, 10).select(col("id").as("k"), lit(5L).as("n")),
+        s"$sroot/day=0", s"b$b")
+    }
+    val sgot = Compact.readPartitionedPruned(spark, sroot, Nil, so)
+    assert(sgot.count() == 10 && sgot.agg(min("n"), max("n")).head ==
+      org.apache.spark.sql.Row(10L, 10L), "partials fold on read")
+    assert(sgot.select(col("day").cast("string")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("0"), "partition column intact")
+  }
+
   test("aggregating store: merges and readers fold partials identically; replays are no-ops") {
     val dir = s"${tmpDir()}/view"
     val o = Compact.Options(l0MaxParts = 2, sumOn = Seq("k"))

@@ -1284,6 +1284,12 @@ class PipelineSpec extends SparkTestBase {
     val moviAt = avi.indexOfSlice("movi".getBytes("US-ASCII"))
     (8 until 12).foreach(k => evil(moviAt + k) = -1)
     assert(AviCodec.parse(evil).isEmpty)
+    // a container truncated MID-FRAME must reject, not silently
+    // zero-pad the last frame (copyOfRange pads past the buffer)
+    assert(AviCodec.parse(avi.dropRight(3)).isEmpty)
+    // ... even when the LAST frame's declared size runs past the
+    // buffer but its header is intact
+    assert(AviCodec.parse(avi.dropRight(jpegs.last.length / 2)).isEmpty)
   }
 
   test("WavCodec: encode/parse round trip, chunk skipping, malformed rejection") {

@@ -49,6 +49,23 @@ class TemporalSpec extends SparkTestBase {
       ("e1", None), ("e2", Some("a")), ("e3", Some("b")), ("e4", None)))
   }
 
+  test("asofJoin: a null right payload value does NOT see through to an older right row") {
+    import spark.implicits._
+    val l = Seq((1L, 400L, "e")).toDF("uid", "t", "tag")
+    // newest right row has name = NULL; an older one has name = 'old'.
+    // The whole match must come from the newest row: name null,
+    // amount 7 — not a per-column mix (name 'old' from rt=100).
+    val r = Seq((1L, 100L, Some("old"), 1L), (1L, 300L, None, 7L))
+      .toDF("uid", "rt", "name", "amount")
+    val out = Temporal.asofJoin(l, r, Seq("uid"), "t", "rt").collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[Long]("asof_ts") == 300L)
+    assert(row.getAs[String]("name") == null,
+      "null payload must not fall back to an older right row")
+    assert(row.getAs[Long]("amount") == 7L)
+  }
+
   test("asofJoin: equal-time right rows resolve by tieBreak, greatest wins") {
     import spark.implicits._
     val l = Seq((1L, 100L)).toDF("uid", "t")
