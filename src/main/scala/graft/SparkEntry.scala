@@ -3399,8 +3399,9 @@ object SparkEntry {
     "q_hist_quantiles" -> ((s, dir) => {
       val (lo, hi, n) = (0L, 51200L, 64)
       val ev = eventsC(s, dir).select(col("event_type").as("grp"), col("v100"))
-      val hist = Sketches.histogram(ev, Seq("grp"), col("v100"), lo, hi, n)
-        .localCheckpoint(false) // two quantile reads, one histogram build
+      val hist = engine.Staging.stage(
+        Sketches.histogram(ev, Seq("grp"), col("v100"), lo, hi, n),
+        eager = false) // two quantile reads, one histogram build
       Sketches.histQuantile(hist, Seq("grp"), lo, hi, n, 0.5)
         .unionByName(Sketches.histQuantile(hist, Seq("grp"), lo, hi, n, 0.9))
         .orderBy(col("grp"), col("q"))
@@ -3418,8 +3419,8 @@ object SparkEntry {
       // ONE scan + one sketch pass for all types; the pair frames are
       // relabelings of the staged per-type sketch rows (k per type) —
       // at 100 TB the corpus is read once, not once per cohort pair.
-      val skc = Sketches.kmvHashes(ud, Seq("event_type"), col("ud"), k)
-        .localCheckpoint(false)
+      val skc = engine.Staging.stage(
+        Sketches.kmvHashes(ud, Seq("event_type"), col("ud"), k), eager = false)
       def lab(t: String, label: String) = skc
         .filter(col("event_type") === t)
         .select(lit(label).as("grp"), col("kmv_hash"))
@@ -3519,8 +3520,9 @@ object SparkEntry {
       // join) — stage the tiny cell table once instead of recomputing
       // the events scan+aggregate for each use (q_kmv_distinct's
       // hashes-checkpoint pattern)
-      val sk = Sketches.countMin(events(s, dir), Seq("event_type"),
-        col("user_id"), depth = 4, width = 1024).localCheckpoint(false)
+      val sk = engine.Staging.stage(
+        Sketches.countMin(events(s, dir), Seq("event_type"),
+          col("user_id"), depth = 4, width = 1024), eager = false)
       val probes = (0L to 9L).toDF("u")
       Sketches.cmEstimate(sk, Seq("event_type"), probes, col("u"),
           depth = 4, width = 1024)
@@ -3535,8 +3537,8 @@ object SparkEntry {
       // Stage the per-type sketch rows once (≤ k per group): both the
       // per-type estimates and the merge read them, and without the
       // checkpoint each branch would re-run the full scan+top-k.
-      val hashes = Sketches.kmvHashes(ev, Seq("grp"), col("event_id"), k)
-        .localCheckpoint(false)
+      val hashes = engine.Staging.stage(
+        Sketches.kmvHashes(ev, Seq("grp"), col("event_id"), k), eager = false)
       val perType = Sketches.kmvEstimate(hashes, Seq("grp"), k)
       val merged = Sketches.kmvEstimate(
         Sketches.kmvHashes(hashes.withColumn("grp", lit("__all")),

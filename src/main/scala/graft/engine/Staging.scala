@@ -1,0 +1,103 @@
+package graft.engine
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cluster-safe staging for hot-path intermediates.
+  *
+  * The pipelines (dedup banding, sketch builds, ANN candidate caps,
+  * count-min probes) stage small derived frames that several
+  * downstream consumers read — without materialization each consumer
+  * re-runs the producing scan+shuffle (measured ~2x pipeline cost).
+  * On `local[*]` a `localCheckpoint` is the cheapest cut, but its
+  * blocks are UNREPLICATED executor state: on a real cluster one lost
+  * executor (preemption, dynamic allocation) kills the job with no
+  * lineage to recompute. The reference LSM never holds intermediate
+  * state in memory only — every level is a persisted part file
+  * (storage/src/db.rs:444-477) — and a 100 TB run on preemptible
+  * nodes wants the same property for its staging.
+  *
+  * `graft.staging.mode` (a runtime SQL conf — settable per session,
+  * no restart) picks the trade:
+  *
+  *   - `local` (default): `localCheckpoint` — fastest, executor-local
+  *     blocks, lineage cut; right for single-JVM and short jobs.
+  *   - `reliable`: `Dataset.checkpoint` into the session's checkpoint
+  *     dir (auto-set under `graft.staging.dir` if the session has
+  *     none) — blocks survive executor loss; right for long jobs on
+  *     preemptible clusters. Files are reclaimed per-frame only under
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
+  *     otherwise at application exit.
+  *   - `parquet`: write + read back a scratch parquet under
+  *     `graft.staging.dir` — durable, inspectable, and the only mode
+  *     whose intermediates survive a full driver restart; right for
+  *     checkpoint/restart orchestration. Scratch files are deleted on
+  *     JVM exit when the default tmp root is used.
+  *
+  * Every mode preserves VALUES exactly (the staged frame is the
+  * materialized result of the same plan); tests pin identical query
+  * hashes across all three. Row ORDER differs only as any shuffle
+  * boundary already allows.
+  */
+object Staging {
+  val ModeKey = "graft.staging.mode"
+  val DirKey = "graft.staging.dir"
+
+  private val counter = new AtomicLong(0)
+  @volatile private var cleanupRegistered = false
+
+  def mode(spark: SparkSession): String =
+    spark.conf.getOption(ModeKey).getOrElse("local") match {
+      case m @ ("local" | "reliable" | "parquet") => m
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be local|reliable|parquet, got '$other'")
+    }
+
+  /** Materialize an intermediate frame and cut its lineage under the
+    * session's staging mode. `eager` defers materialization to the
+    * first action in `local`/`reliable` mode (a frame that might not
+    * be consumed shouldn't pay up front); `parquet` is always eager
+    * by nature. */
+  def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    mode(spark) match {
+      case "local" => df.localCheckpoint(eager)
+      case "reliable" =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(scratchRoot(spark) + "/ckpt")
+        df.checkpoint(eager)
+      case "parquet" =>
+        val path = scratchRoot(spark) + "/stage-" + counter.incrementAndGet()
+        // an empty frame can have ZERO partitions (emptyDataFrame),
+        // whose parquet write emits no schema-bearing part file and
+        // whose read-back then fails — give it one empty partition
+        val toWrite = if (df.rdd.getNumPartitions == 0) df.repartition(1) else df
+        toWrite.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
+  }
+
+  /** Scratch root for `reliable`/`parquet` staging: `graft.staging.dir`
+    * when set (point it at durable shared storage on a cluster),
+    * otherwise a per-application tmp dir removed on JVM exit. */
+  private def scratchRoot(spark: SparkSession): String =
+    spark.conf.getOption(DirKey).getOrElse {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft-staging-" + spark.sparkContext.applicationId)
+      if (!cleanupRegistered) synchronized {
+        if (!cleanupRegistered) {
+          root.mkdirs()
+          sys.addShutdownHook(delete(root)): Unit
+          cleanupRegistered = true
+        }
+      }
+      root.getAbsolutePath
+    }
+
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(): Unit
+  }
+}

@@ -206,7 +206,7 @@ object Dedup {
     // profile. The checkpoint is reps-sized (one row per distinct
     // text), the same budget the pipelines' hash checkpoint already
     // accepts; lineage-cut caveats as in [[minhashDupPairs]].
-    val reps = if (materialize) reps0.localCheckpoint() else reps0
+    val reps = if (materialize) graft.engine.Staging.stage(reps0) else reps0
     val repDocs = reps.select(col(idCol), col(textCol))
     // star pairs join on (digest, id) ONLY — no text payload
     val starPairs = digested.select(col(idCol), col("__digest"))
@@ -285,8 +285,9 @@ object Dedup {
     // cut, so an executor loss mid-pipeline means rerunning the job;
     // for long-lived clusters point spark.checkpoint.dir at durable
     // scratch and swap to checkpoint() for fault-tolerant blocks.
-    val sh = withShingleHashes(reps.select(col(idCol), col(textCol)),
-      textCol, shingleN, "__sh").select(col(idCol), col("__sh")).localCheckpoint()
+    val sh = graft.engine.Staging.stage(
+      withShingleHashes(reps.select(col(idCol), col(textCol)),
+        textCol, shingleN, "__sh").select(col(idCol), col("__sh")))
     val cand = candidatePairs(lshBandsFromHashes(sh, idCol, "__sh", numHashes, bands),
       idCol, maxBucket)
     verifiedPairs(cand, sh, idCol, "__sh", threshold).unionAll(starPairs)
@@ -457,8 +458,8 @@ object Dedup {
     // Staged once for banding + verify (see minhashDupPairs) — the
     // md5-per-token typed pass is this pipeline's dominant cost, so
     // running it once instead of twice roughly halves the runtime.
-    val sh = portableShingleHashes(reps, idCol, textCol, shingleN, "__sh")
-      .localCheckpoint()
+    val sh = graft.engine.Staging.stage(
+      portableShingleHashes(reps, idCol, textCol, shingleN, "__sh"))
     val cand = candidatePairs(lshBandsPortableFromHashes(sh, idCol, "__sh", numHashes, bands),
       idCol, maxBucket)
     verifiedPairs(cand, sh, idCol, "__sh", threshold).unionAll(starPairs)
@@ -515,15 +516,16 @@ object Dedup {
     // banding subtrees are independent inputs of one job, so Spark
     // schedules their stages CONCURRENTLY instead of back to back.
     val (reps, starPairs) = collapseExact(df, idCol, textCol, materialize = true)
-    val stars = starPairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val stars = graft.engine.Staging.stage(
+      starPairs.select(col("id_a"), col("id_b")))
 
     // (id, __xx, __md): the xx pass is pure Catalyst, the md5 pass is
     // the typed O(len) walker — joined on id (reps-sized: one row per
     // distinct text) rather than re-tokenizing per consumer.
-    val sh2 = withShingleHashes(reps.select(col(idCol), col(textCol)),
+    val sh2 = graft.engine.Staging.stage(
+      withShingleHashes(reps.select(col(idCol), col(textCol)),
         textCol, shingleN, "__xx").select(col(idCol), col("__xx"))
-      .join(portableShingleHashes(reps, idCol, textCol, shingleN, "__md"), idCol)
-      .localCheckpoint()
+      .join(portableShingleHashes(reps, idCol, textCol, shingleN, "__md"), idCol))
 
     // per-family distinct skipped (dedup=false): the cross-family
     // groupBy below collapses band-duplicate pairs anyway, so the two
@@ -980,7 +982,7 @@ object Dedup {
     val sc = pairs.sparkSession.sparkContext
     def cutEager(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val pre = sc.getPersistentRDDs.keySet
-      val cp = df.localCheckpoint(true)
+      val cp = graft.engine.Staging.stage(df)
       val handles = sc.getPersistentRDDs
         .collect { case (id, r) if !pre.contains(id) => r }.toSeq
       (cp, handles)
@@ -1034,9 +1036,10 @@ object Dedup {
     // exit). The loop's final frame is released right here.
     val narrow = labels.select(col("id"), col("lbl").as("cluster_id"))
     val out =
-      if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      if (graft.engine.Staging.mode(labels.sparkSession) == "local" &&
+          labels.sparkSession.sparkContext.getCheckpointDir.isDefined)
         narrow.checkpoint(true)
-      else narrow.localCheckpoint(true)
+      else graft.engine.Staging.stage(narrow)
     curRdds.foreach(_.unpersist(false)); p.unpersist()
     out
   }

@@ -151,7 +151,8 @@ object Similarity {
     // queries' driver time), and on success the checkpoint itself is
     // what gets broadcast.
     val maxRowsFloor = math.min(Int.MaxValue - 2L, math.max(1L, budget / 64L))
-    val capped = queries.limit(maxRowsFloor.toInt + 1).localCheckpoint(false)
+    val capped = graft.engine.Staging.stage(
+      queries.limit(maxRowsFloor.toInt + 1), eager = false)
     val widths = capped
       .select(coalesce(size(col(qVec)).cast("long"), lit(0L)).as("__w"))
       .collect().map(_.getLong(0))

@@ -5,6 +5,61 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkTestBase {
 
+  test("staging modes local/reliable/parquet produce identical pipeline results") {
+    import spark.implicits._
+    import graft.engine.Staging
+    // a corpus with exact dups (star collapse), near-dups (banding +
+    // verify), and singletons — exercises every staged frame in the
+    // portable pipeline (reps, shingle hashes) plus the clustering
+    // loop's per-round cuts
+    val docs = (0 until 120).map { i =>
+      val fam = i % 10
+      val base = s"alpha beta gamma delta epsilon zeta eta theta fam$fam " +
+        s"iota kappa lambda mu nu xi omicron pi rho sigma"
+      val text =
+        if (i % 10 < 3) base // exact triplets per family
+        else if (i % 10 < 6) base + s" tail$i" // near-dups
+        else base.replace("alpha", s"uniq$i") + s" solo$i distinct$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def pairs(): Seq[(Long, Long)] =
+      Dedup.minhashDupPairsPortable(docs, "doc_id", "text", shingleN = 2)
+        .select(col("id_a"), col("id_b")).as[(Long, Long)]
+        .collect().toSeq.sorted
+    def clusters(): Seq[(Long, Long)] = {
+      val p = Dedup.minhashDupPairsPortable(docs, "doc_id", "text", shingleN = 2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupClusters(p, "id_a", "id_b")
+        .as[(Long, Long)].collect().toSeq.sorted
+    }
+    val prev = spark.conf.getOption(Staging.ModeKey)
+    try {
+      val got = Seq("local", "reliable", "parquet").map { m =>
+        spark.conf.set(Staging.ModeKey, m)
+        (m, pairs(), clusters())
+      }
+      val (_, p0, c0) = got.head
+      assert(p0.nonEmpty && c0.nonEmpty, "fixture must produce dups")
+      for ((m, p, c) <- got.tail) {
+        assert(p == p0, s"mode $m: pair set diverged from local")
+        assert(c == c0, s"mode $m: cluster set diverged from local")
+      }
+      // parquet staging actually wrote scratch files
+      spark.conf.set(Staging.ModeKey, "parquet")
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft-staging-" + spark.sparkContext.applicationId)
+      assert(root.isDirectory && root.listFiles().nonEmpty,
+        "parquet mode must stage through the scratch root")
+      // an unknown mode fails loudly, never silently degrades
+      spark.conf.set(Staging.ModeKey, "bogus")
+      intercept[IllegalArgumentException](pairs())
+    } finally prev match {
+      case Some(v) => spark.conf.set(Staging.ModeKey, v)
+      case None    => spark.conf.unset(Staging.ModeKey)
+    }
+  }
+
   test("redactPii scrubs emails, IPs, and phones in order") {
     import spark.implicits._
     val rows = Seq(
