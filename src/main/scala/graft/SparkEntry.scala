@@ -2232,6 +2232,30 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // pipeline: IVF past the DRIVER-CODEBOOK CEILING — a 4096-cell
+    // codebook lives only as a broadcast DataFrame (synthetic, every
+    // element md5-derived so the oracle regenerates it), corpus
+    // assignment is a broadcast cross join + ONE map-side argmax
+    // aggregate (Similarity.assignCellsByJoin — nothing driver-side
+    // scales with nCells, unlike loadCodebook/seedCentroids' literal
+    // inlining), and the search still scans ONLY probed `cell_id=N/`
+    // directories (the same PartitionFilters as q_knn_ivf_indexed,
+    // pinned in PipelineSpec). nProbe=32 keeps recall sane at 4096
+    // cells over this corpus.
+    "q_knn_ivf_joined" -> ((s, dir) => {
+      val idx = stagedOnce("ivfjoined-n4096", dir)(root =>
+        Similarity.buildIndexJoined(Tables.embeddings(s, dir),
+          "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 4096, dims = 64),
+          root.getAbsolutePath))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexedJoined(s, q, "q_id", "q_vec",
+        idx.getAbsolutePath, "vec_id", "embedding", k = 3, nProbe = 32)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
     // pipeline: IVF with nProbe=2 — the coarse-quantization recall
     // knob (q_ann_recall_multiprobe's LSH sibling): each query probes
     // its TWO nearest cells, recovering the classic cell-boundary
@@ -5054,6 +5078,45 @@ object SparkEntry {
     // query's cells over the final centroids and probes rn <= 2.
     "q_knn_ivf_indexed_mp" ->
       ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3, nProbe = 2),
+
+    // Join-assigned IVF: the synthetic 4096-cell codebook regenerates
+    // from the same md5-20-bit space ((h % 2001 - 1000)/1000 per
+    // dim), assignment replays the argmax (cos DESC, cell_id ties),
+    // probing keeps each query's 32 best cells, and the top-k tail is
+    // the standard one. A corpus vector lives in exactly one cell, so
+    // no (query, neighbor) pair can repeat across probed cells.
+    "q_knn_ivf_joined" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT cell_id, list_transform(range(64), j ->
+                  (CAST(concat('0x', substring(md5(concat('cb-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS cv
+                FROM range(4096) t(cell_id)),
+         cbn AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cb),
+         ac AS (SELECT e.vec_id, e.v, cbn.cell_id,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * cbn.cn = 0 THEN 0.0
+                         ELSE list_dot_product(e.v, cbn.cv) /
+                              (sqrt(list_dot_product(e.v, e.v)) * cbn.cn) END DESC,
+                    cbn.cell_id) AS rn
+                FROM e, cbn),
+         a AS (SELECT vec_id, v, cell_id FROM ac WHERE rn = 1),
+         qp AS (SELECT vec_id AS q_id, v AS qv, cell_id FROM ac
+                WHERE vec_id < 10 AND rn <= 32),
+         scored AS (
+           SELECT qp.q_id, a.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(qp.qv, qp.qv)) *
+                       sqrt(list_dot_product(a.v, a.v)) = 0 THEN 0.0
+                  ELSE list_dot_product(qp.qv, a.v) /
+                       (sqrt(list_dot_product(qp.qv, qp.qv)) *
+                        sqrt(list_dot_product(a.v, a.v))) END AS cos_sim
+           FROM a JOIN qp ON a.cell_id = qp.cell_id AND a.vec_id <> qp.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
 
     // IVF nProbe=2: the query side keeps its TWO nearest cells
     // (rn <= 2 over the same cos DESC, cent_id ordering); corpus

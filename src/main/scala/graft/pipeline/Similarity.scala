@@ -693,7 +693,18 @@ object Similarity {
     val qa = queries.select(col(qId), col(qVec))
       .withColumn("cell_id", explode(probeCellsCol(cents, col(qVec), nProbe)))
       .withColumn("__qn", norm(col(qVec)))
-    val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexed")
+    searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
+      "ivfTopKIndexed")
+  }
+
+  /** The shared index-search tail: gate + broadcast the probe-tagged
+    * query frame, collect the (bounded) probed cell set, scan ONLY
+    * those `cell_id=N/` directories, score, top-k. */
+  private def searchProbedCells(spark: org.apache.spark.sql.SparkSession,
+                                qa: DataFrame, qId: String, qVec: String,
+                                path: String, cId: String, cVec: String,
+                                k: Int, tag: String): DataFrame = {
+    val qb = boundedBroadcast(qa, qVec, tag)
     // the broadcast gate above already bounded the query side, so the
     // distinct probed-cell collect is ≤ min(|queries|·nProbe, nCells)
     // longs — driver-safe by construction
@@ -709,6 +720,90 @@ object Similarity {
       .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
         col("__qn"), col("__cn")))
     topKPerQuery(scored, qId, cId, k)
+  }
+
+  /** Deterministic synthetic codebook as a DATAFRAME — `(cell_id,
+    * centroid)` with every element derived from the portable
+    * md5-20-bit hash space (`(h('cb-<cell>-<dim>') % 2001 - 1000) /
+    * 1000.0` ∈ [-1, 1]), so a SQL oracle regenerates it bit for bit
+    * and NOTHING is ever collected to the driver. This is the
+    * codebook shape past [[loadCodebook]]'s driver ceiling (~64k
+    * cells of literal arrays): cells × dims live as rows/arrays in
+    * executors only. */
+  def syntheticCodebook(spark: org.apache.spark.sql.SparkSession,
+                        nCells: Int, dims: Int): DataFrame =
+    spark.range(0, nCells.toLong).select(col("id").as("cell_id"),
+      array((0 until dims).map { j =>
+        (conv(substring(md5(concat_ws("-", lit("cb"), col("id"), lit(j))),
+          1, 5), 16, 10).cast("long") % 2001 - 1000) / lit(1000.0)
+      }: _*).as("centroid"))
+
+  /** Nearest-cell assignment by BROADCAST JOIN + map-side argmax —
+    * the past-the-driver-ceiling assigner ([[ivfAssigner]]'s sibling
+    * for codebooks too large to inline as one expression): the
+    * codebook stays a DataFrame broadcast to executors, each vector
+    * meets every cell in the cross join, and ONE map-side-combinable
+    * `max(struct(cos, -cell_id))` aggregate keeps the argmax
+    * (cos DESC, lowest cell id on ties — [[assignerFromCents]]'s
+    * exact ordering; [[cosinePreNormed]]'s zero guard yields 0.0, so
+    * no null ordering cases). The shuffle is corpus-sized (partial
+    * aggregation collapses the nCells-wide cross product per mapper
+    * before the exchange). Flat assignment is O(rows × nCells) like
+    * every single-level IVF — at extreme nCells add a coarser first
+    * level — but the DRIVER no longer bounds nCells. Returns
+    * `(vId, vVec, cell_id)`. */
+  def assignCellsByJoin(vectors: DataFrame, vId: String, vVec: String,
+                        codebook: DataFrame): DataFrame =
+    vectors.select(col(vId), col(vVec))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(codebook))
+      .withColumn("__cos", cosinePreNormed(dot(col(vVec), col("centroid")),
+        norm(col(vVec)), norm(col("centroid"))))
+      .groupBy(col(vId))
+      .agg(first(col(vVec)).as(vVec),
+        max(struct(col("__cos").as("s"), (-col("cell_id")).as("nc"))).as("__m"))
+      .withColumn("cell_id", -col("__m").getField("nc"))
+      .drop("__m")
+
+  /** [[buildIndex]] with a CALLER-SUPPLIED codebook DataFrame and
+    * join-based assignment — the build path for codebooks past the
+    * driver ceiling (the codebook is persisted and assignment
+    * broadcast-joins it; nothing driver-side scales with nCells).
+    * The artifact layout is identical to [[buildIndex]]'s
+    * (codebook parquet + `cells/cell_id=N/`), so Compact maintenance
+    * and the partition-pruned search tail apply unchanged. */
+  def buildIndexJoined(corpus: DataFrame, cId: String, cVec: String,
+                       codebook: DataFrame, path: String): Unit = {
+    codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec, codebook)
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(s"$path/cells")
+  }
+
+  /** [[ivfTopKIndexed]] with JOIN-BASED probe ranking: the persisted
+    * codebook is read as a DataFrame and broadcast — never collected —
+    * so nProbe cell ranking works at any nCells; each query keeps its
+    * `nProbe` best cells by the same (cos DESC, cell_id ASC) order,
+    * then the shared partition-pruned search tail runs unchanged
+    * (`cell_id IN (...)` PartitionFilters over only the probed
+    * directories). */
+  def ivfTopKIndexedJoined(spark: org.apache.spark.sql.SparkSession,
+                           queries: DataFrame, qId: String, qVec: String,
+                           path: String, cId: String, cVec: String,
+                           k: Int, nProbe: Int = 1): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("__cos").desc, col("cell_id").asc)
+    val qa = queries.select(col(qId), col(qVec))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(cb))
+      .withColumn("__cos", cosinePreNormed(dot(col(qVec), col("centroid")),
+        norm(col(qVec)), norm(col("centroid"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select(col(qId), col(qVec), col("cell_id"))
+      .withColumn("__qn", norm(col(qVec)))
+    searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
+      "ivfTopKIndexedJoined")
   }
 
   /** Candidate-generation strategy for [[hardNegatives]] — the same

@@ -1062,6 +1062,76 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("join-assigned IVF at 4096 cells: broadcast codebook, argmax parity, probed-cell pruning") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfjoin").toFile
+    try {
+      val nCells = 4096
+      val cb = Similarity.syntheticCodebook(spark, nCells, dims = 2)
+      // the codebook regenerates deterministically from the md5 space —
+      // a hand model of cell 0 / dim 0 pins the generation scheme
+      def handVal(c: Long, j: Int): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cb-$c-$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(5)
+        (java.lang.Long.parseLong(md, 16) % 2001 - 1000) / 1000.0
+      }
+      val cents = cb.orderBy("cell_id").collect()
+        .map(r => (r.getAs[Long]("cell_id"), r.getSeq[Double](1).toArray))
+      assert(cents.length == nCells)
+      assert(cents(0)._2(0) == handVal(0, 0) && cents(17)._2(1) == handVal(17, 1))
+
+      // assignment: codebook rides a BROADCAST join (never a driver
+      // collect / literal), argmax matches a hand model exactly
+      val assigned = Similarity.assignCellsByJoin(corpus, "vec_id", "v", cb)
+      val aplan = assigned.queryExecution.executedPlan.toString
+      assert(aplan.contains("BroadcastNestedLoopJoin") ||
+        aplan.contains("BroadcastExchange"), aplan.take(2000))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map(p => p._1 * p._2).sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na * nb == 0) 0.0 else d / (na * nb)
+      }
+      val got = assigned.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
+      val vecs = corpus.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      for ((id, v) <- vecs) {
+        val want = cents.maxBy { case (cid, c) => (cos(v, c), -cid) }._1
+        assert(got(id) == want, s"vec $id: got ${got(id)}, want $want")
+      }
+
+      // build + search: probed-cell partition pruning unchanged
+      Similarity.buildIndexJoined(corpus, "vec_id", "v", cb, dir.getAbsolutePath)
+      val q = Seq((999L, Array(1.0f, 0.05f))).toDF("q_id", "q_vec")
+      val out = Similarity.ivfTopKIndexedJoined(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, nProbe = 64)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+        plan.take(2000))
+      assert(out.collect().nonEmpty)
+      // probing EVERY cell makes the candidate set the whole corpus:
+      // the result must equal brute-force top-k
+      val full = Similarity.ivfTopKIndexedJoined(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, nProbe = nCells)
+        .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
+      val brute = Similarity.bruteForceTopK(q, corpus, "q_id", "q_vec",
+        "vec_id", "v", k = 3)
+        .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
+      assert(full == brute, s"probe-all $full vs brute $brute")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("refineUntilConverged stops on centroid stability, eps=0 runs all iters") {
     import spark.implicits._
     // one tight cluster per seed: the first Lloyd step lands each
