@@ -2256,6 +2256,30 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // pipeline: TWO-LEVEL (coarse -> fine) IVF — the answer to flat
+    // assignment's O(rows x nCells): rank 64 coarse cells first, then
+    // only the fine cells under each vector's 2 best coarse cells
+    // (~64 + 2x64 comparisons instead of 4096). Both codebooks are
+    // synthetic/md5-derived so the oracle replays the full hierarchy:
+    // fine->coarse map, coarse probes, within-candidates argmax for
+    // the corpus, top-8 fine probes for queries, then the standard
+    // partition-pruned search tail over `cell_id=N/` directories.
+    "q_knn_ivf_two_level" -> ((s, dir) => {
+      val idx = stagedOnce("ivf2lvl-f4096c64", dir)(root =>
+        Similarity.buildIndexTwoLevel(Tables.embeddings(s, dir),
+          "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 4096, dims = 64),
+          Similarity.syntheticCodebook(s, nCells = 64, dims = 64, tag = "cc"),
+          coarseProbe = 2, root.getAbsolutePath))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexedTwoLevel(s, q, "q_id", "q_vec",
+        idx.getAbsolutePath, "vec_id", "embedding", k = 3,
+        coarseProbe = 2, nProbe = 8)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
     // pipeline: IVF with nProbe=2 — the coarse-quantization recall
     // knob (q_ann_recall_multiprobe's LSH sibling): each query probes
     // its TWO nearest cells, recovering the classic cell-boundary
@@ -5078,6 +5102,69 @@ object SparkEntry {
     // query's cells over the final centroids and probes rn <= 2.
     "q_knn_ivf_indexed_mp" ->
       ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3, nProbe = 2),
+
+    // Two-level IVF: both synthetic codebooks regenerate from the md5
+    // space ('cb' fine, 'cc' coarse); the hierarchy replays exactly —
+    // fine->coarse labels, per-vector coarse probes (rn <= 2), corpus
+    // argmax / query top-8 over the probed coarse cells' fine members,
+    // then the standard top-k tail.
+    "q_knn_ivf_two_level" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT cell_id, list_transform(range(64), j ->
+                  (CAST(concat('0x', substring(md5(concat('cb-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS cv
+                FROM range(4096) t(cell_id)),
+         cc AS (SELECT cell_id AS ccid, list_transform(range(64), j ->
+                  (CAST(concat('0x', substring(md5(concat('cc-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS ccv
+                FROM range(64) t(cell_id)),
+         f2c AS (SELECT cell_id, cv, ccid FROM (
+                   SELECT cb.cell_id, cb.cv, cc.ccid,
+                     row_number() OVER (PARTITION BY cb.cell_id ORDER BY
+                       CASE WHEN sqrt(list_dot_product(cb.cv, cb.cv)) *
+                                 sqrt(list_dot_product(cc.ccv, cc.ccv)) = 0 THEN 0.0
+                            ELSE list_dot_product(cb.cv, cc.ccv) /
+                                 (sqrt(list_dot_product(cb.cv, cb.cv)) *
+                                  sqrt(list_dot_product(cc.ccv, cc.ccv))) END DESC,
+                       cc.ccid) AS rn
+                   FROM cb, cc) WHERE rn = 1),
+         vcoarse AS (SELECT vec_id, v, ccid FROM (
+                   SELECT e.vec_id, e.v, cc.ccid,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       CASE WHEN sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(cc.ccv, cc.ccv)) = 0 THEN 0.0
+                            ELSE list_dot_product(e.v, cc.ccv) /
+                                 (sqrt(list_dot_product(e.v, e.v)) *
+                                  sqrt(list_dot_product(cc.ccv, cc.ccv))) END DESC,
+                       cc.ccid) AS rn
+                   FROM e, cc) WHERE rn <= 2),
+         fc AS (SELECT vc.vec_id, vc.v, f2c.cell_id,
+                  row_number() OVER (PARTITION BY vc.vec_id ORDER BY
+                    CASE WHEN sqrt(list_dot_product(vc.v, vc.v)) *
+                              sqrt(list_dot_product(f2c.cv, f2c.cv)) = 0 THEN 0.0
+                         ELSE list_dot_product(vc.v, f2c.cv) /
+                              (sqrt(list_dot_product(vc.v, vc.v)) *
+                               sqrt(list_dot_product(f2c.cv, f2c.cv))) END DESC,
+                    f2c.cell_id) AS rn
+                FROM vcoarse vc JOIN f2c ON vc.ccid = f2c.ccid),
+         a AS (SELECT vec_id, v, cell_id FROM fc WHERE rn = 1),
+         qp AS (SELECT vec_id AS q_id, v AS qv, cell_id FROM fc
+                WHERE vec_id < 10 AND rn <= 8),
+         scored AS (
+           SELECT qp.q_id, a.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(qp.qv, qp.qv)) *
+                       sqrt(list_dot_product(a.v, a.v)) = 0 THEN 0.0
+                  ELSE list_dot_product(qp.qv, a.v) /
+                       (sqrt(list_dot_product(qp.qv, qp.qv)) *
+                        sqrt(list_dot_product(a.v, a.v))) END AS cos_sim
+           FROM a JOIN qp ON a.cell_id = qp.cell_id AND a.vec_id <> qp.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
 
     // Join-assigned IVF: the synthetic 4096-cell codebook regenerates
     // from the same md5-20-bit space ((h % 2001 - 1000)/1000 per

@@ -731,10 +731,11 @@ object Similarity {
     * cells of literal arrays): cells × dims live as rows/arrays in
     * executors only. */
   def syntheticCodebook(spark: org.apache.spark.sql.SparkSession,
-                        nCells: Int, dims: Int): DataFrame =
+                        nCells: Int, dims: Int,
+                        tag: String = "cb"): DataFrame =
     spark.range(0, nCells.toLong).select(col("id").as("cell_id"),
       array((0 until dims).map { j =>
-        (conv(substring(md5(concat_ws("-", lit("cb"), col("id"), lit(j))),
+        (conv(substring(md5(concat_ws("-", lit(tag), col("id"), lit(j))),
           1, 5), 16, 10).cast("long") % 2001 - 1000) / lit(1000.0)
       }: _*).as("centroid"))
 
@@ -804,6 +805,88 @@ object Similarity {
       .withColumn("__qn", norm(col(qVec)))
     searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
       "ivfTopKIndexedJoined")
+  }
+
+  /** The fine→coarse cell map of a TWO-LEVEL quantizer: every fine
+    * centroid labeled with its nearest coarse cell (same argmax order
+    * as vector assignment). Tiny — nFine rows — and broadcast
+    * downstream. */
+  private def fineToCoarse(fine: DataFrame, coarse: DataFrame): DataFrame =
+    assignCellsByJoin(
+      fine.select(col("cell_id").as("__fine"), col("centroid").as("__fc")),
+      "__fine", "__fc",
+      coarse)
+      .select(col("__fine"), col("__fc"), col("cell_id").as("__cc"))
+
+  /** TWO-LEVEL (coarse → fine) top-`nProbe` fine-cell ranking: rank
+    * the small coarse codebook first (nCoarse comparisons), keep each
+    * vector's `coarseProbe` best coarse cells, then rank only the
+    * fine cells UNDER those coarse cells. Per-vector work falls from
+    * O(nFine) to O(nCoarse + coarseProbe·nFine/nCoarse) — the
+    * standard hierarchical-quantizer cut (√nFine-ish per level), and
+    * the answer to flat assignment's O(rows × nCells) at extreme
+    * nCells. Approximate by construction: a fine cell under an
+    * unprobed coarse cell is invisible (recall follows coarseProbe,
+    * measurable the q_ann_recall way). `nProbe = 1` IS two-level
+    * assignment. Returns one row per (vId, probed fine cell_id),
+    * ordering (cos DESC, cell_id ASC) at every level. */
+  def probeCellsTwoLevel(vectors: DataFrame, vId: String, vVec: String,
+                         fine: DataFrame, coarse: DataFrame,
+                         coarseProbe: Int, nProbe: Int): DataFrame = {
+    val wc = Window.partitionBy(col(vId))
+      .orderBy(col("__ccos").desc, col("__cc").asc)
+    val vcoarse = vectors.select(col(vId), col(vVec))
+      .crossJoin(broadcast(coarse.select(col("cell_id").as("__cc"),
+        col("centroid").as("__cv"))))
+      .withColumn("__ccos", cosinePreNormed(dot(col(vVec), col("__cv")),
+        norm(col(vVec)), norm(col("__cv"))))
+      .withColumn("__crn", row_number().over(wc))
+      .filter(col("__crn") <= coarseProbe)
+      .select(col(vId), col(vVec), col("__cc"))
+    val wf = Window.partitionBy(col(vId))
+      .orderBy(col("__cos").desc, col("__fine").asc)
+    vcoarse.join(broadcast(fineToCoarse(fine, coarse)), Seq("__cc"))
+      .withColumn("__cos", cosinePreNormed(dot(col(vVec), col("__fc")),
+        norm(col(vVec)), norm(col("__fc"))))
+      .withColumn("__rn", row_number().over(wf))
+      .filter(col("__rn") <= nProbe)
+      .select(col(vId), col(vVec), col("__fine").as("cell_id"))
+  }
+
+  /** [[buildIndexJoined]] with TWO-LEVEL assignment: the same
+    * `codebook` + `cells/cell_id=N/` artifact (fine cells key the
+    * layout; searches and Compact maintenance are unchanged), plus
+    * the coarse codebook persisted as `codebook_coarse` so searches
+    * replay the hierarchy. A vector's cell is its best fine cell
+    * among its `coarseProbe` best coarse cells' members. */
+  def buildIndexTwoLevel(corpus: DataFrame, cId: String, cVec: String,
+                         fine: DataFrame, coarse: DataFrame,
+                         coarseProbe: Int, path: String): Unit = {
+    fine.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    coarse.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebook_coarse")
+    probeCellsTwoLevel(corpus.select(col(cId), col(cVec)), cId, cVec,
+      fine, coarse, coarseProbe, nProbe = 1)
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(s"$path/cells")
+  }
+
+  /** Search through a [[buildIndexTwoLevel]] artifact: queries rank
+    * fine cells through the same coarse→fine hierarchy, then the
+    * shared partition-pruned tail scans only the probed fine-cell
+    * directories. */
+  def ivfTopKIndexedTwoLevel(spark: org.apache.spark.sql.SparkSession,
+                             queries: DataFrame, qId: String, qVec: String,
+                             path: String, cId: String, cVec: String,
+                             k: Int, coarseProbe: Int, nProbe: Int): DataFrame = {
+    val fine = spark.read.parquet(s"$path/codebook")
+    val coarse = spark.read.parquet(s"$path/codebook_coarse")
+    val qa = probeCellsTwoLevel(queries.select(col(qId), col(qVec)),
+      qId, qVec, fine, coarse, coarseProbe, nProbe)
+      .withColumn("__qn", norm(col(qVec)))
+    searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
+      "ivfTopKIndexedTwoLevel")
   }
 
   /** Candidate-generation strategy for [[hardNegatives]] — the same

@@ -1132,6 +1132,67 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("two-level IVF: probe-all-coarse equals flat assignment; hierarchy matches a hand model; pruned search") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    val fine = Similarity.syntheticCodebook(spark, 256, 2)
+    val coarse = Similarity.syntheticCodebook(spark, 16, 2, tag = "cc")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
+    // probing EVERY coarse cell sees every fine cell: two-level must
+    // reduce to the flat broadcast-join argmax exactly
+    val flat = asMap(Similarity.assignCellsByJoin(corpus, "vec_id", "v", fine))
+    val all = asMap(Similarity.probeCellsTwoLevel(corpus, "vec_id", "v",
+      fine, coarse, coarseProbe = 16, nProbe = 1))
+    assert(all == flat, "probe-all-coarse must equal flat assignment")
+    // coarseProbe=2: assignment equals the hand-computed hierarchy
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else d / (na * nb)
+    }
+    val fcents = fine.orderBy("cell_id").collect()
+      .map(r => (r.getAs[Long]("cell_id"), r.getSeq[Double](1).toArray))
+    val ccents = coarse.orderBy("cell_id").collect()
+      .map(r => (r.getAs[Long]("cell_id"), r.getSeq[Double](1).toArray))
+    val f2c = fcents.map { case (fid, fv) =>
+      fid -> ccents.maxBy { case (cid, cv) => (cos(fv, cv), -cid) }._1
+    }.toMap
+    val two = asMap(Similarity.probeCellsTwoLevel(corpus, "vec_id", "v",
+      fine, coarse, coarseProbe = 2, nProbe = 1))
+    val vecs = corpus.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    for ((id, v) <- vecs) {
+      val top2 = ccents.sortBy { case (cid, cv) => (-cos(v, cv), cid) }
+        .take(2).map(_._1).toSet
+      val want = fcents.filter(fc => top2.contains(f2c(fc._1)))
+        .maxBy { case (fid, fv) => (cos(v, fv), -fid) }._1
+      assert(two(id) == want, s"vec $id: got ${two(id)}, want $want")
+    }
+    // build + search keep the probed-cell partition pruning
+    val dir = java.nio.file.Files.createTempDirectory("ivf2l").toFile
+    try {
+      Similarity.buildIndexTwoLevel(corpus, "vec_id", "v", fine, coarse,
+        coarseProbe = 2, dir.getAbsolutePath)
+      val q = Seq((999L, Array(1.0f, 0.05f))).toDF("q_id", "q_vec")
+      val out = Similarity.ivfTopKIndexedTwoLevel(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, coarseProbe = 2, nProbe = 8)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+        plan.take(2000))
+      assert(out.collect().nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("refineUntilConverged stops on centroid stability, eps=0 runs all iters") {
     import spark.implicits._
     // one tight cluster per seed: the first Lloyd step lands each
