@@ -1996,6 +1996,20 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // BM25 retrieval scoring (TextAnalysis.bm25TopK): the standard
+    // lexical ranker over the same tokenization as the rest of the
+    // text stack. idf is micro-nat-quantized and every term's
+    // contribution floors to a long BEFORE summing, so the score is
+    // an exact integer on both engines (a raw double sum is
+    // partition-order-dependent). N/avgdl come from an in-engine
+    // 1-row aggregate on both sides — no driver-rounded literal.
+    "q_bm25_search" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("column", "scan", "window"), topK = 15)
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
     // Leakage-free train/valid/test split: near-duplicate CLUSTER
     // members share a split by construction — the eval-contamination
     // guard a training pipeline needs (a test doc whose near-dup sits
@@ -4834,6 +4848,35 @@ object SparkEntry {
          SELECT token, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM p WHERE token IN ('scan', 'merge', 'zzz-missing')
          GROUP BY 1 ORDER BY 1""",
+
+    // BM25: identical parenthesization to the Spark side — every
+    // sub-expression is the same IEEE op on the same doubles, the idf
+    // and each contribution floor to BIGINT, the sum is integer.
+    "q_bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
+         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+                  SELECT doc_id, dl, unnest(t) AS token FROM d)
+                WHERE token IN ('column', 'scan', 'window')
+                GROUP BY 1, 2, 3),
+         idf AS (SELECT token,
+                  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT)
+                    AS idf_micro
+                 FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1), stats),
+         scored AS (SELECT tf.doc_id,
+             CAST(floor(idf_micro * (tf * (1.2 + 1)) /
+               (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) /
+                 (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT) AS contrib
+           FROM tf JOIN idf USING (token), stats),
+         agg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro,
+                   count(*) AS terms_hit FROM scored GROUP BY 1),
+         ranked AS (SELECT doc_id, bm25_micro, terms_hit,
+             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS "rank"
+           FROM agg)
+         SELECT doc_id, bm25_micro, terms_hit, "rank"
+         FROM ranked WHERE "rank" <= 15""",
 
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE ${portableMinhashPairsCte(n = 3, numHashes = 16, bands = 4, threshold = 0.2)},

@@ -406,4 +406,70 @@ object TextAnalysis {
                  storeDir: String, terms: Seq[String]): DataFrame =
     graft.sources.Compact.readPruned(spark, storeDir,
       Seq(graft.sources.Compact.PartIn("token", terms)), TermIndexOptions)
+
+  /** BM25-scored retrieval (Okapi, Lucene idf variant): per matching
+    * document, `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * over the query terms it contains, with
+    * `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Engine-portable like [[withLmScore]]/[[topTfidfTerms]]: the idf
+    * is pre-quantized to micro-nat longs, each term's CONTRIBUTION is
+    * floored to a long before summing (a raw double sum is
+    * partition-order-dependent; long addition is associative, so
+    * `bm25_micro` is bit-stable across engines and partitionings),
+    * and N/avgdl come from an IN-ENGINE one-row aggregate on both
+    * sides — never a driver-rounded literal.
+    *
+    * Shape for scale: explode→filter-to-query-terms→tf is one
+    * map-side-combined shuffle of only the matching (doc, term) rows;
+    * the per-term df/idf table is |terms| rows (broadcast); the stats
+    * row is a crossJoined 1-row broadcast. At index scale, feed the
+    * candidate doc set from [[termLookup]] (token-range-pruned
+    * postings) and score only those documents.
+    *
+    * Returns (idCol, bm25_micro, terms_hit, rank) — rank 1-based by
+    * (bm25_micro DESC, id ASC), at most `topK` rows. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val toks = docs.select(col(idCol),
+        tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    // one-row corpus stats, computed in-engine on BOTH sides of the
+    // oracle: avgdl = sum(dl)/N as one double division of exact longs
+    val stats = toks.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val tf = toks
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(stats.select(col("__n"))))
+      .withColumn("idf_micro",
+        floor(log((col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)) * 1e6).cast("long"))
+      .select(col("token"), col("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25_micro").desc, col(idCol).asc)
+    tf.join(broadcast(idf), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__tot").cast("double") / col("__n").cast("double"))
+      // identical parenthesization to the oracle SQL: every
+      // sub-expression is the same IEEE op on the same doubles
+      .withColumn("__contrib", floor(
+        col("idf_micro").cast("double") *
+          (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              (lit(b) * col("__dl").cast("double")) / col("__avgdl")))
+      ).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("bm25_micro"),
+        count(lit(1)).as("terms_hit"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -1132,6 +1132,41 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("bm25TopK matches a hand model: idf, length norm, integer score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "scan scan scan filter"),          // high tf, short
+      (2L, "scan merge join filter sort window agg part value column"), // long, one hit each
+      (3L, "merge join sort"),                // no query terms
+      (4L, "column column scan")              // two terms
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("scan", "column"), topK = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bm25_micro"), r.getAs[Long]("terms_hit"),
+        r.getAs[Long]("rank"))).toList
+    // hand model with the exact same arithmetic
+    val lens = Map(1L -> 4L, 2L -> 10L, 3L -> 3L, 4L -> 3L)
+    val n = 4L; val avgdl = 20.0 / 4.0
+    def idf(df: Long): Long =
+      math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6).toLong
+    def contrib(dfq: Long, tf: Long, dl: Long): Long = math.floor(
+      idf(dfq).toDouble * (tf.toDouble * (1.2 + 1)) /
+        (tf.toDouble + 1.2 * (1.0 - 0.75 + (0.75 * dl.toDouble) / avgdl))).toLong
+    val want = Map(
+      1L -> contrib(3, 3, lens(1L)),
+      2L -> (contrib(3, 1, lens(2L)) + contrib(2, 1, lens(2L))),
+      4L -> (contrib(3, 1, lens(4L)) + contrib(2, 2, lens(4L))))
+    val got = out.map(r => r._1 -> r._2).toMap
+    assert(got == want, s"got $got want $want")
+    assert(!got.contains(3L), "doc without query terms must not score")
+    assert(out.map(_._4) == (1L to out.length).toList, "ranks contiguous")
+    assert(out.sortBy(r => (-r._2, r._1)).map(_._1) == out.map(_._1),
+      "ordering (score DESC, id ASC)")
+    val hits = out.map(r => r._1 -> r._3).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 2L, 4L -> 2L))
+  }
+
   test("two-level IVF: probe-all-coarse equals flat assignment; hierarchy matches a hand model; pruned search") {
     import spark.implicits._
     val corpus = (0 until 120).map { i =>
