@@ -2010,6 +2010,22 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // BM25 served ENTIRELY from the text index artifact
+    // (TextAnalysis.buildTextIndex / bm25IndexedTopK): scored postings
+    // in the token-range-clustered store (the lookup reads only the
+    // query terms' token ranges), corpus stats persisted beside them —
+    // the raw corpus is never scanned at query time. Same arithmetic
+    // as q_bm25_search, so the SAME oracle replays it.
+    "q_bm25_indexed" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      TextAnalysis.bm25IndexedTopK(s, idx.getAbsolutePath,
+        Seq("column", "scan", "window"), topK = 15)
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
     // Leakage-free train/valid/test split: near-duplicate CLUSTER
     // members share a split by construction — the eval-contamination
     // guard a training pipeline needs (a test doc whose near-dup sits
@@ -3620,6 +3636,35 @@ object SparkEntry {
   // ----------------------------------------------------------------
   // DuckDB oracle SQL — identical column names AND value computation.
   // ----------------------------------------------------------------
+  /** Shared by q_bm25_search and q_bm25_indexed — the index is a
+    * storage layout, not a semantic change, so one oracle replays
+    * both. */
+  private val Bm25Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
+         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+                  SELECT doc_id, dl, unnest(t) AS token FROM d)
+                WHERE token IN ('column', 'scan', 'window')
+                GROUP BY 1, 2, 3),
+         idf AS (SELECT token,
+                  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT)
+                    AS idf_micro
+                 FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1), stats),
+         scored AS (SELECT tf.doc_id,
+             CAST(floor(idf_micro * (tf * (1.2 + 1)) /
+               (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) /
+                 (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT) AS contrib
+           FROM tf JOIN idf USING (token), stats),
+         agg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro,
+                   count(*) AS terms_hit FROM scored GROUP BY 1),
+         ranked AS (SELECT doc_id, bm25_micro, terms_hit,
+             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS "rank"
+           FROM agg)
+         SELECT doc_id, bm25_micro, terms_hit, "rank"
+         FROM ranked WHERE "rank" <= 15"""
+
   def oracleSql: Map[String, String] = Map(
     "q_es_count" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS cnt
@@ -4852,31 +4897,14 @@ object SparkEntry {
     // BM25: identical parenthesization to the Spark side — every
     // sub-expression is the same IEEE op on the same doubles, the idf
     // and each contribution floor to BIGINT, the sum is integer.
-    "q_bm25_search" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-              FROM documents),
-         stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
-         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
-                  SELECT doc_id, dl, unnest(t) AS token FROM d)
-                WHERE token IN ('column', 'scan', 'window')
-                GROUP BY 1, 2, 3),
-         idf AS (SELECT token,
-                  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT)
-                    AS idf_micro
-                 FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1), stats),
-         scored AS (SELECT tf.doc_id,
-             CAST(floor(idf_micro * (tf * (1.2 + 1)) /
-               (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) /
-                 (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT) AS contrib
-           FROM tf JOIN idf USING (token), stats),
-         agg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro,
-                   count(*) AS terms_hit FROM scored GROUP BY 1),
-         ranked AS (SELECT doc_id, bm25_micro, terms_hit,
-             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS "rank"
-           FROM agg)
-         SELECT doc_id, bm25_micro, terms_hit, "rank"
-         FROM ranked WHERE "rank" <= 15""",
+    "q_bm25_search" -> Bm25Sql,
+
+    // identical math and data to q_bm25_search — the index is a
+    // storage layout, not a semantic change (the q_knn_ivf_indexed
+    // precedent)
+    "q_bm25_indexed" -> Bm25Sql,
+
+
 
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE ${portableMinhashPairsCte(n = 3, numHashes = 16, bands = 4, threshold = 0.2)},

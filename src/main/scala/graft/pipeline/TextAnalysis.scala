@@ -407,6 +407,80 @@ object TextAnalysis {
     graft.sources.Compact.readPruned(spark, storeDir,
       Seq(graft.sources.Compact.PartIn("token", terms)), TermIndexOptions)
 
+  /** SCORED postings for a retrieval index: one row per
+    * (token, doc_id) carrying the term frequency and the document
+    * length — everything BM25 needs, so queries never touch the raw
+    * corpus. Same tokenization as [[indexPostings]]. */
+  def indexPostingsScored(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Build a BM25-servable text index at `path`: scored postings as a
+    * token-range-clustered store (`path`/postings — the
+    * [[TermIndexOptions]] layout, so a term's lookup lists only the
+    * parts whose token range can hold it) plus the one-row corpus
+    * stats (`path`/stats: N, total token count) an index must carry —
+    * recomputing N/avgdl at query time would re-scan the corpus the
+    * index exists to avoid. */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Store.atomicAppend(
+      indexPostingsScored(docs, idCol, textCol), s"$path/postings", "p0")
+    graft.sources.Compact.run(spark, s"$path/postings", TermIndexOptions): Unit
+    docs.select(tokens(col(textCol)).as("__toks"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("__toks")).cast("long")).as("tot"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k SERVED ENTIRELY FROM a [[buildTextIndex]] artifact:
+    * the pruned postings lookup reads only the query terms' token
+    * ranges, df comes from the looked-up postings, N/avgdl from the
+    * persisted stats row — the raw corpus is never scanned. Identical
+    * arithmetic (and results) to [[bm25TopK]] over the indexed
+    * corpus. */
+  def bm25IndexedTopK(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queryTerms: Seq[String], topK: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
+      Seq(graft.sources.Compact.PartIn("token", queryTerms)),
+      TermIndexOptions)
+    val stats = spark.read.parquet(s"$path/stats")
+    val idf = post.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(stats.select(col("n").as("__n"))))
+      .withColumn("idf_micro",
+        floor(log((col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)) * 1e6).cast("long"))
+      .select(col("token"), col("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+    post.join(broadcast(idf), "token")
+      .crossJoin(broadcast(
+        stats.select(col("n").as("__n"), col("tot").as("__tot"))))
+      .withColumn("__avgdl",
+        col("__tot").cast("double") / col("__n").cast("double"))
+      .withColumn("__contrib", floor(
+        col("idf_micro").cast("double") *
+          (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              (lit(b) * col("dl").cast("double")) / col("__avgdl")))
+      ).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__contrib")).as("bm25_micro"),
+        count(lit(1)).as("terms_hit"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** BM25-scored retrieval (Okapi, Lucene idf variant): per matching
     * document, `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
     * over the query terms it contains, with

@@ -1167,6 +1167,41 @@ class PipelineSpec extends SparkTestBase {
     assert(hits == Map(1L -> 1L, 2L -> 2L, 4L -> 2L))
   }
 
+  test("indexed BM25 equals scan BM25; stats persisted; postings carry tf and dl") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "scan", "merge",
+      "column", "window", "sort", "filter")
+    val docs = (0 until 200).map { i =>
+      val toks = (0 until (3 + i % 7)).map(j => words((i * 7 + j * 3) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("textidx").toFile
+    try {
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", dir.getAbsolutePath)
+      // the index carries its corpus stats — no raw-corpus dependence
+      val st = spark.read.parquet(s"${dir.getAbsolutePath}/stats").head
+      assert(st.getAs[Long]("n") == 200L)
+      val terms = Seq("scan", "column")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "bm25_micro", "terms_hit", "rank")
+        .collect().map(_.toSeq).toSet
+      val scan = rows(TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 20))
+      val idx = rows(TextAnalysis.bm25IndexedTopK(spark,
+        dir.getAbsolutePath, terms, 20))
+      assert(scan.nonEmpty && idx == scan,
+        "index-served BM25 must equal the scan-based score exactly")
+      // postings rows carry tf and dl (index-only scoring inputs)
+      val p = TextAnalysis.indexPostingsScored(docs).filter(col("token") === "scan")
+      assert(p.columns.toSet == Set("token", "doc_id", "dl", "tf"))
+      assert(p.count() > 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("two-level IVF: probe-all-coarse equals flat assignment; hierarchy matches a hand model; pruned search") {
     import spark.implicits._
     val corpus = (0 until 120).map { i =>
