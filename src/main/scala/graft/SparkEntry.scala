@@ -2010,6 +2010,26 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // Hybrid retrieval (Retrieval.rrfFuse): reciprocal-rank fusion of
+    // the lexical BM25 top-20 and the semantic cosine top-20 (the
+    // embedded subset keys documents by id) — the standard RAG/search
+    // combination step. Only RANKS are consumed (scale-free), each
+    // contribution floors to a long, so the fused score is an exact
+    // integer both engines agree on.
+    "q_hybrid_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val sem = Similarity.bruteForceTopK(q, emb, "q_id", "q_vec",
+          "vec_id", "embedding", k = 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir),
+          "doc_id", "text", Seq("column", "scan", "window"), topK = 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), "id", "rank", topK = 10)
+        .select(col("id"), col("rrf_micro"), col("lists_hit"), col("rank"))
+    }),
+
     // BM25 served ENTIRELY from the text index artifact
     // (TextAnalysis.buildTextIndex / bm25IndexedTopK): scored postings
     // in the token-range-clustered store (the lookup reads only the
@@ -4903,6 +4923,55 @@ object SparkEntry {
     // storage layout, not a semantic change (the q_knn_ivf_indexed
     // precedent)
     "q_bm25_indexed" -> Bm25Sql,
+
+    // RRF hybrid: both rankings replayed (BM25 top-20, cosine top-20
+    // for query vec 0), then integer reciprocal-rank fusion.
+    "q_hybrid_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
+         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+                  SELECT doc_id, dl, unnest(t) AS token FROM d)
+                WHERE token IN ('column', 'scan', 'window')
+                GROUP BY 1, 2, 3),
+         idf AS (SELECT token,
+                  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT)
+                    AS idf_micro
+                 FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1), stats),
+         bscored AS (SELECT tf.doc_id,
+             CAST(floor(idf_micro * (tf * (1.2 + 1)) /
+               (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) /
+                 (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT) AS contrib
+           FROM tf JOIN idf USING (token), stats),
+         bagg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro
+                  FROM bscored GROUP BY 1),
+         lex AS (SELECT id, r FROM (
+                   SELECT doc_id AS id,
+                     row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS r
+                   FROM bagg) WHERE r <= 20),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         sc AS (SELECT e.vec_id,
+                  CASE WHEN sqrt(list_dot_product(qv.q, qv.q)) *
+                            sqrt(list_dot_product(e.v, e.v)) = 0 THEN 0.0
+                       ELSE list_dot_product(qv.q, e.v) /
+                            (sqrt(list_dot_product(qv.q, qv.q)) *
+                             sqrt(list_dot_product(e.v, e.v))) END AS cos_sim
+                FROM e, qv WHERE e.vec_id <> 0),
+         sem AS (SELECT id, r FROM (
+                   SELECT vec_id AS id,
+                     row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+                   FROM sc) WHERE r <= 20),
+         contrib AS (SELECT id, CAST(floor(1000000.0 / (60.0 + r)) AS BIGINT) AS c
+                     FROM (SELECT id, r FROM lex UNION ALL SELECT id, r FROM sem)),
+         fused AS (SELECT id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+                     count(*) AS lists_hit FROM contrib GROUP BY 1),
+         ranked AS (SELECT id, rrf_micro, lists_hit,
+             row_number() OVER (ORDER BY rrf_micro DESC, id) AS "rank"
+           FROM fused)
+         SELECT id, rrf_micro, lists_hit, "rank"
+         FROM ranked WHERE "rank" <= 10""",
 
 
 

@@ -1167,6 +1167,23 @@ class PipelineSpec extends SparkTestBase {
     assert(hits == Map(1L -> 1L, 2L -> 2L, 4L -> 2L))
   }
 
+  test("rrfFuse: overlap sums, singles rank by reciprocal rank, integer scores") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val sem = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, sem), "id", "rank", topK = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_micro"),
+        r.getAs[Long]("lists_hit"), r.getAs[Long]("rank"))).toList
+    def c(r: Long) = math.floor(1e6 / (60.0 + r)).toLong
+    // 20 appears on both lists: rank 2 lexically + rank 1 semantically
+    val want = List(
+      (20L, c(2) + c(1), 2L, 1L),
+      (10L, c(1), 1L, 2L),
+      (40L, c(2), 1L, 3L),
+      (30L, c(3), 1L, 4L))
+    assert(out == want, s"got $out want $want")
+  }
+
   test("indexed BM25 equals scan BM25; stats persisted; postings carry tf and dl") {
     import spark.implicits._
     val words = Seq("alpha", "beta", "gamma", "delta", "scan", "merge",
