@@ -781,6 +781,22 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** [[appendToIndex]] for a join-built index: the batch is assigned
+    * by broadcast-joining the PERSISTED codebook frame (never
+    * collected — the maintenance path keeps the same
+    * past-the-driver-ceiling property as the build), written into the
+    * same `cells/cell_id=N/` layout in Append mode. Small-file
+    * accumulation folds via [[compactIndexCells]] exactly like the
+    * literal-codebook index. */
+  def appendToIndexJoined(batch: DataFrame, cId: String, cVec: String,
+                          path: String): Unit = {
+    val cb = batch.sparkSession.read.parquet(s"$path/codebook")
+    assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb)
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("append")
+      .parquet(s"$path/cells")
+  }
+
   /** [[ivfTopKIndexed]] with JOIN-BASED probe ranking: the persisted
     * codebook is read as a DataFrame and broadcast — never collected —
     * so nProbe cell ranking works at any nCells; each query keeps its

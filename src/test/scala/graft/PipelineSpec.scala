@@ -1124,6 +1124,17 @@ class PipelineSpec extends SparkTestBase {
         "vec_id", "v", k = 3)
         .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
       assert(full == brute, s"probe-all $full vs brute $brute")
+      // maintenance stays joined: an appended near-identical vector is
+      // assigned by the PERSISTED codebook frame (no driver collect)
+      // and surfaces as top-1 through the unchanged search
+      Similarity.appendToIndexJoined(
+        Seq((500L, Array(1.0f, 0.05f))).toDF("vec_id", "v"),
+        "vec_id", "v", dir.getAbsolutePath)
+      val after = Similarity.ivfTopKIndexedJoined(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, nProbe = 64).collect()
+      assert(after.exists(r =>
+        r.getAs[Long]("vec_id") == 500L && r.getAs[Long]("rank") == 1L),
+        after.toSeq)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
