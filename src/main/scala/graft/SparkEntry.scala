@@ -2030,6 +2030,19 @@ object SparkEntry {
         .select(col("id"), col("rrf_micro"), col("lists_hit"), col("rank"))
     }),
 
+    // Conjunctive (AND) retrieval through the SAME text index: docs
+    // containing every query term, intersected as one aggregate over
+    // the token-range-pruned postings (never a per-term join chain).
+    "q_term_search_all" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      TextAnalysis.termLookupAll(s, idx.getAbsolutePath,
+          Seq("column", "scan", "window"))
+        .select(col("doc_id"), col("total_tf").cast("long").as("total_tf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 served ENTIRELY from the text index artifact
     // (TextAnalysis.buildTextIndex / bm25IndexedTopK): scored postings
     // in the token-range-clustered store (the lookup reads only the
@@ -4923,6 +4936,16 @@ object SparkEntry {
     // storage layout, not a semantic change (the q_knn_ivf_indexed
     // precedent)
     "q_bm25_indexed" -> Bm25Sql,
+
+    "q_term_search_all" ->
+      """WITH p AS (SELECT doc_id, token, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           WHERE token IN ('column', 'scan', 'window')
+           GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+         FROM p GROUP BY 1 HAVING count(DISTINCT token) = 3
+         ORDER BY doc_id""",
 
     // RRF hybrid: both rankings replayed (BM25 top-20, cosine top-20
     // for query vec 0), then integer reciprocal-rank fusion.

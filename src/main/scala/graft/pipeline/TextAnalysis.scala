@@ -439,6 +439,25 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Conjunctive (AND) retrieval through a [[buildTextIndex]]
+    * artifact: documents containing EVERY query term, with their
+    * summed term frequency — the boolean-retrieval primitive under
+    * phrase/filter search. Reads only the query terms' token ranges
+    * (pruned postings lookup); the intersection is one
+    * map-side-combined aggregate over those postings, never a
+    * per-term join chain. */
+  def termLookupAll(spark: org.apache.spark.sql.SparkSession,
+                    path: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    graft.sources.Compact.readPruned(spark, s"$path/postings",
+        Seq(graft.sources.Compact.PartIn("token", terms)), TermIndexOptions)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("__hits"),
+        sum(col("tf")).as("total_tf"))
+      .filter(col("__hits") === terms.distinct.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
   /** BM25 top-k SERVED ENTIRELY FROM a [[buildTextIndex]] artifact:
     * the pruned postings lookup reads only the query terms' token
     * ranges, df comes from the looked-up postings, N/avgdl from the
