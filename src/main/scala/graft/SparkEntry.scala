@@ -2319,6 +2319,27 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // pipeline: the MEMORY-BOUND index layout — int8 patterns stored
+    // BESIDE the float vectors in the joined index's cells, candidate
+    // scoring reads only the narrow q_vec column of the probed
+    // partitions, and floats load for the rn<=10 shortlist alone
+    // (q_knn_quantized's two-stage scoring composed with the
+    // partition-pruned index).
+    "q_knn_ivf_quantized" -> ((s, dir) => {
+      val idx = stagedOnce("ivfquant-n4096", dir)(root =>
+        Similarity.buildIndexQuantizedJoined(Tables.embeddings(s, dir),
+          "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 4096, dims = 64),
+          root.getAbsolutePath))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexedQuantized(s, q, "q_id", "q_vec",
+        idx.getAbsolutePath, "vec_id", "embedding", k = 3,
+        shortlist = 10, nProbe = 32)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
     // pipeline: TWO-LEVEL (coarse -> fine) IVF — the answer to flat
     // assignment's O(rows x nCells): rank 64 coarse cells first, then
     // only the fine cells under each vector's 2 best coarse cells
@@ -5265,6 +5286,67 @@ object SparkEntry {
     // query's cells over the final centroids and probes rn <= 2.
     "q_knn_ivf_indexed_mp" ->
       ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3, nProbe = 2),
+
+    // Quantized search through the joined index: assignment replayed
+    // as in q_knn_ivf_joined; candidates scored against the REPLAYED
+    // int8 patterns (bit-exact — the q_quantize_int8 proof), rn<=10
+    // shortlist, float re-rank, top-3.
+    "q_knn_ivf_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT cell_id, list_transform(range(64), j ->
+                  (CAST(concat('0x', substring(md5(concat('cb-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS cv
+                FROM range(4096) t(cell_id)),
+         cbn AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cb),
+         ac AS (SELECT e.vec_id, e.v, cbn.cell_id,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * cbn.cn = 0 THEN 0.0
+                         ELSE list_dot_product(e.v, cbn.cv) /
+                              (sqrt(list_dot_product(e.v, e.v)) * cbn.cn) END DESC,
+                    cbn.cell_id) AS rn
+                FROM e, cbn),
+         a AS (SELECT vec_id, v, cell_id FROM ac WHERE rn = 1),
+         qp AS (SELECT vec_id AS q_id, v AS qv, cell_id FROM ac
+                WHERE vec_id < 10 AND rn <= 32),
+         mx AS (SELECT vec_id,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+                FROM embeddings),
+         cq AS (SELECT mx.vec_id,
+                  CASE WHEN m IS NULL OR m = 0
+                       THEN list_transform(e.v, x -> CAST(0 AS DOUBLE))
+                       ELSE list_transform(e.v, x -> floor(x * 127.0 / m + 0.5))
+                  END AS p
+                FROM mx JOIN e ON e.vec_id = mx.vec_id),
+         cand AS (
+           SELECT qp.q_id, a.vec_id,
+             CASE WHEN sqrt(list_dot_product(qp.qv, qp.qv)) *
+                       sqrt(list_dot_product(cq.p, cq.p)) = 0 THEN 0.0
+                  ELSE list_dot_product(qp.qv, cq.p) /
+                       (sqrt(list_dot_product(qp.qv, qp.qv)) *
+                        sqrt(list_dot_product(cq.p, cq.p))) END AS cos_a
+           FROM a JOIN qp ON a.cell_id = qp.cell_id AND a.vec_id <> qp.q_id
+           JOIN cq ON cq.vec_id = a.vec_id),
+         short AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_a DESC, vec_id) AS rn
+             FROM cand) WHERE rn <= 10),
+         rescored AS (
+           SELECT s.q_id, s.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                       sqrt(list_dot_product(ev.v, ev.v)) = 0 THEN 0.0
+                  ELSE list_dot_product(q.qv, ev.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(ev.v, ev.v))) END AS cos_sim
+           FROM short s
+           JOIN (SELECT DISTINCT q_id, qv FROM qp) q ON s.q_id = q.q_id
+           JOIN e ev ON ev.vec_id = s.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM rescored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
 
     // Two-level IVF: both synthetic codebooks regenerate from the md5
     // space ('cb' fine, 'cc' coarse); the hierarchy replays exactly —

@@ -710,8 +710,12 @@ object Similarity {
     // longs — driver-safe by construction
     val probed = qb.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    // project the search columns only: a richer artifact (e.g. the
+    // quantized layout's q_vec/q_vec_scale) must not collide with the
+    // caller's query columns
     val ca = spark.read.parquet(s"$path/cells")
       .filter(col("cell_id").isin(probed: _*))
+      .select(col("cell_id"), col(cId), col(cVec))
     val scored = ca
       .withColumn("cell_id", col("cell_id").cast("long"))
       .withColumn("__cn", norm(col(cVec)))
@@ -804,23 +808,96 @@ object Similarity {
     * then the shared partition-pruned search tail runs unchanged
     * (`cell_id IN (...)` PartitionFilters over only the probed
     * directories). */
+  /** JOIN-BASED top-`nProbe` cell ranking against a codebook FRAME
+    * (broadcast, never collected): one row per (vId, probed cell),
+    * `__qn` staged. Shared by the joined search paths. */
+  private def rankProbesJoined(vectors: DataFrame, vId: String, vVec: String,
+                               cb: DataFrame, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col(vId))
+      .orderBy(col("__cos").desc, col("cell_id").asc)
+    vectors.select(col(vId), col(vVec))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(cb))
+      .withColumn("__cos", cosinePreNormed(dot(col(vVec), col("centroid")),
+        norm(col(vVec)), norm(col("centroid"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select(col(vId), col(vVec), col("cell_id"))
+      .withColumn("__qn", norm(col(vVec)))
+  }
+
   def ivfTopKIndexedJoined(spark: org.apache.spark.sql.SparkSession,
                            queries: DataFrame, qId: String, qVec: String,
                            path: String, cId: String, cVec: String,
                            k: Int, nProbe: Int = 1): DataFrame = {
     val cb = spark.read.parquet(s"$path/codebook")
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("__cos").desc, col("cell_id").asc)
-    val qa = queries.select(col(qId), col(qVec))
-      .crossJoin(org.apache.spark.sql.functions.broadcast(cb))
-      .withColumn("__cos", cosinePreNormed(dot(col(qVec), col("centroid")),
-        norm(col(qVec)), norm(col("centroid"))))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nProbe)
-      .select(col(qId), col(qVec), col("cell_id"))
-      .withColumn("__qn", norm(col(qVec)))
+    val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
       "ivfTopKIndexedJoined")
+  }
+
+  /** [[buildIndexJoined]] storing the int8 QUANTIZATION beside each
+    * vector: cells rows are `(cId, cVec, q_vec, q_vec_scale)` under
+    * `cell_id=N/`. Parquet is columnar, so a candidate pass that
+    * selects only `q_vec` reads a quarter of the vector bytes — the
+    * memory-bound ANN layout ([[quantizedRerankTopK]]) composed with
+    * the partition-pruned index. */
+  def buildIndexQuantizedJoined(corpus: DataFrame, cId: String, cVec: String,
+                                codebook: DataFrame, path: String): Unit = {
+    codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    withQuantizedInt8(
+      assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec,
+        codebook), cVec)
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(s"$path/cells")
+  }
+
+  /** Quantized-candidate search through a [[buildIndexQuantizedJoined]]
+    * artifact: probe cells via the broadcast codebook, score
+    * candidates against the STORED int8 patterns (the scan projects
+    * only `q_vec` — the narrow column), keep a per-query `shortlist`,
+    * then re-rank ONLY the shortlist against the float vectors
+    * (second pruned scan projecting `cVec`). Candidate and final
+    * orderings use the shared deterministic tie-break, so a SQL
+    * oracle replays both stages. */
+  def ivfTopKIndexedQuantized(spark: org.apache.spark.sql.SparkSession,
+                              queries: DataFrame, qId: String, qVec: String,
+                              path: String, cId: String, cVec: String,
+                              k: Int, shortlist: Int,
+                              nProbe: Int = 1): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
+    val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedQuantized")
+    val probed = qb.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell_id").isin(probed: _*))
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    // candidate pass: int8 pattern column only (renamed — the caller's
+    // query-vector column may legitimately be called q_vec too)
+    val cand = cells.select(col(cId), col("cell_id"),
+        col("q_vec").as("__cq"))
+      .withColumn("__cqd", transform(col("__cq"), x => x.cast("double")))
+      .withColumn("__cqn", norm(col("__cqd")))
+      .join(qb, Seq("cell_id"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__cqd")),
+        col("__qn"), col("__cqn")))
+    val shortlisted =
+      topKPerQuery(cand.select(col(qId), col(cId), col("cos_sim")),
+        qId, cId, shortlist)
+      .select(col(qId), col(cId))
+    // re-rank: float vectors of the shortlist only
+    val rescored = shortlisted
+      .join(qb.select(col(qId), col(qVec), col("__qn"))
+        .dropDuplicates(Seq(qId)), Seq(qId))
+      .join(cells.select(col(cId), col(cVec).as("__cv")), Seq(cId))
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__cv")),
+        col("__qn"), col("__cn")))
+    topKPerQuery(rescored.select(col(qId), col(cId), col("cos_sim")),
+      qId, cId, k)
   }
 
   /** The fine→coarse cell map of a TWO-LEVEL quantizer: every fine

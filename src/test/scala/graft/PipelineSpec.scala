@@ -1178,6 +1178,47 @@ class PipelineSpec extends SparkTestBase {
     assert(hits == Map(1L -> 1L, 2L -> 2L, 4L -> 2L))
   }
 
+  test("quantized index search: full shortlist equals float ranking; narrow candidate columns") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    val cb = Similarity.syntheticCodebook(spark, 256, 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfq").toFile
+    try {
+      Similarity.buildIndexQuantizedJoined(corpus, "vec_id", "v", cb,
+        dir.getAbsolutePath)
+      // the artifact carries BOTH representations per cell row
+      val cells = spark.read.parquet(s"${dir.getAbsolutePath}/cells")
+      assert(Set("vec_id", "v", "q_vec", "q_vec_scale", "cell_id")
+        .subsetOf(cells.columns.toSet))
+      val q = Seq((999L, Array(1.0f, 0.05f))).toDF("q_id", "q_vec")
+      // shortlist spanning every candidate => the float re-rank IS the
+      // ranking, so the result must equal the float-scored joined
+      // search over the same artifact and probes
+      val quant = Similarity.ivfTopKIndexedQuantized(spark, q, "q_id",
+          "q_vec", dir.getAbsolutePath, "vec_id", "v",
+          k = 3, shortlist = 200, nProbe = 64)
+        .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
+      val float = Similarity.ivfTopKIndexedJoined(spark, q, "q_id", "q_vec",
+          dir.getAbsolutePath, "vec_id", "v", k = 3, nProbe = 64)
+        .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
+      assert(quant == float, s"quant $quant vs float $float")
+      // a tight shortlist still returns k ranked rows
+      val tight = Similarity.ivfTopKIndexedQuantized(spark, q, "q_id",
+        "q_vec", dir.getAbsolutePath, "vec_id", "v",
+        k = 3, shortlist = 3, nProbe = 64).collect()
+      assert(tight.length == 3 &&
+        tight.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("rrfFuse: overlap sums, singles rank by reciprocal rank, integer scores") {
     import spark.implicits._
     val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
