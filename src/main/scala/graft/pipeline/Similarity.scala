@@ -713,8 +713,7 @@ object Similarity {
     // project the search columns only: a richer artifact (e.g. the
     // quantized layout's q_vec/q_vec_scale) must not collide with the
     // caller's query columns
-    val ca = spark.read.parquet(s"$path/cells")
-      .filter(col("cell_id").isin(probed: _*))
+    val ca = readProbedCells(spark, path, probed)
       .select(col("cell_id"), col(cId), col(cVec))
     val scored = ca
       .withColumn("cell_id", col("cell_id").cast("long"))
@@ -724,6 +723,30 @@ object Similarity {
       .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col(cVec)),
         col("__qn"), col("__cn")))
     topKPerQuery(scored, qId, cId, k)
+  }
+
+  /** The probed slice of a `cells/cell_id=N/` artifact, listing ONLY
+    * the probed directories: handing Spark the whole root makes it
+    * enumerate EVERY cell directory before partition pruning (at
+    * nCells=4096 that is a parallel-discovery job over thousands of
+    * dirs — measured as more wall time than the search itself), while
+    * explicit paths + basePath list just the |probed| dirs. The
+    * `cell_id` partition column survives via basePath and the isin
+    * residual keeps the pruning visible in the plan (and correct even
+    * if a caller ever passed a stale path list). Probed cells with no
+    * directory (empty cells) are skipped — an absent cell holds no
+    * vectors. */
+  private def readProbedCells(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              probed: Seq[Long]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = probed.map(c => new org.apache.hadoop.fs.Path(root, s"cell_id=$c"))
+      .filter(fs.exists).map(_.toString)
+    val base = spark.read.option("basePath", root.toString)
+    val df = if (dirs.nonEmpty) base.parquet(dirs: _*)
+             else spark.read.parquet(root.toString).filter(lit(false))
+    df.filter(col("cell_id").isin(probed: _*))
   }
 
   /** Deterministic synthetic codebook as a DATAFRAME — `(cell_id,
@@ -871,8 +894,7 @@ object Similarity {
     val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedQuantized")
     val probed = qb.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
-    val cells = spark.read.parquet(s"$path/cells")
-      .filter(col("cell_id").isin(probed: _*))
+    val cells = readProbedCells(spark, path, probed)
       .withColumn("cell_id", col("cell_id").cast("long"))
     // candidate pass: int8 pattern column only (renamed — the caller's
     // query-vector column may legitimately be called q_vec too)
