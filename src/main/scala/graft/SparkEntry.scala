@@ -2340,6 +2340,42 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // pipeline: RECALL of the two-level hierarchy vs brute truth —
+    // the q_ann_recall contract for the coarse->fine path: per query,
+    // how many of the true top-3 the coarseProbe=2 / nProbe=8 search
+    // returns. The hierarchy's miss mode (a true neighbor under an
+    // unprobed coarse cell) is MEASURED here instead of assumed.
+    // Expect LOW recall at test scale by construction: the synthetic
+    // 4096-cell codebook is not data-adapted and dwarfs the 500-2000
+    // vector corpora (≈0.1-0.5 vectors/cell), so 8 probed fine cells
+    // cover a sliver of the corpus — the regime that exercises the
+    // miss path. A production codebook is trained (cells << corpus,
+    // refineUntilConverged) and recall follows coarseProbe/nProbe.
+    "q_ann_recall_two_level" -> ((s, dir) => {
+      val idx = stagedOnce("ivf2lvl-f4096c64", dir)(root =>
+        Similarity.buildIndexTwoLevel(Tables.embeddings(s, dir),
+          "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 4096, dims = 64),
+          Similarity.syntheticCodebook(s, nCells = 64, dims = 64, tag = "cc"),
+          coarseProbe = 2, root.getAbsolutePath))
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val truth = Similarity.bruteForceTopK(q, emb, "q_id", "q_vec",
+          "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      val ann = Similarity.ivfTopKIndexedTwoLevel(s, q, "q_id", "q_vec",
+          idx.getAbsolutePath, "vec_id", "embedding", k = 3,
+          coarseProbe = 2, nProbe = 8)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          lit(1).as("__hit"))
+      truth.join(ann, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / 3.0, 6))
+        .orderBy(col("q_id"))
+    }),
+
     // pipeline: TWO-LEVEL (coarse -> fine) IVF — the answer to flat
     // assignment's O(rows x nCells): rank 64 coarse cells first, then
     // only the fine cells under each vector's 2 best coarse cells
@@ -5347,6 +5383,84 @@ object SparkEntry {
              round(cos_sim, 4) AS cos_sim_r
            FROM rescored)
          SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 3""",
+
+    // Recall of the two-level search vs brute truth: the SAME
+    // hierarchy CTEs as q_knn_ivf_two_level produce the ann pairs,
+    // joined against the brute top-3.
+    "q_ann_recall_two_level" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT cell_id, list_transform(range(64), j ->
+                  (CAST(concat('0x', substring(md5(concat('cb-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS cv
+                FROM range(4096) t(cell_id)),
+         cc AS (SELECT cell_id AS ccid, list_transform(range(64), j ->
+                  (CAST(concat('0x', substring(md5(concat('cc-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS ccv
+                FROM range(64) t(cell_id)),
+         f2c AS (SELECT cell_id, cv, ccid FROM (
+                   SELECT cb.cell_id, cb.cv, cc.ccid,
+                     row_number() OVER (PARTITION BY cb.cell_id ORDER BY
+                       CASE WHEN sqrt(list_dot_product(cb.cv, cb.cv)) *
+                                 sqrt(list_dot_product(cc.ccv, cc.ccv)) = 0 THEN 0.0
+                            ELSE list_dot_product(cb.cv, cc.ccv) /
+                                 (sqrt(list_dot_product(cb.cv, cb.cv)) *
+                                  sqrt(list_dot_product(cc.ccv, cc.ccv))) END DESC,
+                       cc.ccid) AS rn
+                   FROM cb, cc) WHERE rn = 1),
+         vcoarse AS (SELECT vec_id, v, ccid FROM (
+                   SELECT e.vec_id, e.v, cc.ccid,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       CASE WHEN sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(cc.ccv, cc.ccv)) = 0 THEN 0.0
+                            ELSE list_dot_product(e.v, cc.ccv) /
+                                 (sqrt(list_dot_product(e.v, e.v)) *
+                                  sqrt(list_dot_product(cc.ccv, cc.ccv))) END DESC,
+                       cc.ccid) AS rn
+                   FROM e, cc) WHERE rn <= 2),
+         fc AS (SELECT vc.vec_id, vc.v, f2c.cell_id,
+                  row_number() OVER (PARTITION BY vc.vec_id ORDER BY
+                    CASE WHEN sqrt(list_dot_product(vc.v, vc.v)) *
+                              sqrt(list_dot_product(f2c.cv, f2c.cv)) = 0 THEN 0.0
+                         ELSE list_dot_product(vc.v, f2c.cv) /
+                              (sqrt(list_dot_product(vc.v, vc.v)) *
+                               sqrt(list_dot_product(f2c.cv, f2c.cv))) END DESC,
+                    f2c.cell_id) AS rn
+                FROM vcoarse vc JOIN f2c ON vc.ccid = f2c.ccid),
+         a AS (SELECT vec_id, v, cell_id FROM fc WHERE rn = 1),
+         qp AS (SELECT vec_id AS q_id, v AS qv, cell_id FROM fc
+                WHERE vec_id < 10 AND rn <= 8),
+         scored AS (
+           SELECT qp.q_id, a.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(qp.qv, qp.qv)) *
+                       sqrt(list_dot_product(a.v, a.v)) = 0 THEN 0.0
+                  ELSE list_dot_product(qp.qv, a.v) /
+                       (sqrt(list_dot_product(qp.qv, qp.qv)) *
+                        sqrt(list_dot_product(a.v, a.v))) END AS cos_sim
+           FROM a JOIN qp ON a.cell_id = qp.cell_id AND a.vec_id <> qp.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+               AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored),
+         ann AS (SELECT q_id, neighbor_id FROM ranked WHERE "rank" <= 3),
+         tsc AS (SELECT qq.vec_id AS q_id, ee.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(qq.v, qq.v)) *
+                       sqrt(list_dot_product(ee.v, ee.v)) = 0 THEN 0.0
+                  ELSE list_dot_product(qq.v, ee.v) /
+                       (sqrt(list_dot_product(qq.v, qq.v)) *
+                        sqrt(list_dot_product(ee.v, ee.v))) END AS cos_sim
+           FROM e ee, (SELECT vec_id, v FROM e WHERE vec_id < 10) qq
+           WHERE ee.vec_id <> qq.vec_id),
+         truth AS (SELECT q_id, neighbor_id FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+             FROM tsc) WHERE rn <= 3)
+         SELECT t.q_id, count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 6) AS recall
+         FROM truth t LEFT JOIN ann a
+           ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
 
     // Two-level IVF: both synthetic codebooks regenerate from the md5
     // space ('cb' fine, 'cc' coarse); the hierarchy replays exactly —
