@@ -6052,9 +6052,11 @@ object SparkEntry {
          ORDER BY snap""",
 
     // as-of join replayed as the same union-window: right rows sort
-    // before left rows at equal time, last_value(... IGNORE NULLS)
-    // over the running frame is the at-or-before match, ties on
-    // (user, t) resolve by the same p_cents order.
+    // before left rows at equal time, and ONE struct-valued
+    // last_value(... IGNORE NULLS) — same whole-row semantics as the
+    // engine's last(struct(...)): the match is a single right row, so
+    // a null payload value never sees through to an older right row.
+    // Ties on (user, t) resolve by the same p_cents order.
     "q_asof_join" ->
       """WITH v AS (SELECT user_id, ts, epoch_us(ts) AS t, 1 AS side,
                CAST(NULL AS BIGINT) AS a_ts, CAST(NULL AS BIGINT) AS p_cents
@@ -6064,15 +6066,16 @@ object SparkEntry {
              FROM events WHERE event_type = 'purchase'),
          u AS (SELECT * FROM v UNION ALL SELECT * FROM p),
          m AS (SELECT user_id, ts, t, side,
-               last_value(a_ts IGNORE NULLS) OVER w AS m_ts,
-               last_value(p_cents IGNORE NULLS) OVER w AS m_cents
+               last_value(CASE WHEN side = 0
+                   THEN struct_pack(a_ts := a_ts, p_cents := p_cents) END
+                 IGNORE NULLS) OVER w AS mr
              FROM u
              WINDOW w AS (PARTITION BY user_id ORDER BY t, side, p_cents
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-           count(*) AS n_views, count(m_ts) AS n_matched,
-           CAST(sum(m_cents) AS BIGINT) AS sum_prior_cents,
-           max(t - m_ts) AS max_gap_us
+           count(*) AS n_views, count(mr.a_ts) AS n_matched,
+           CAST(sum(mr.p_cents) AS BIGINT) AS sum_prior_cents,
+           max(t - mr.a_ts) AS max_gap_us
          FROM m WHERE side = 1 GROUP BY 1 ORDER BY 1""",
 
     "q_attribution" ->
@@ -6086,13 +6089,14 @@ object SparkEntry {
              FROM events WHERE event_type IN ('view', 'click', 'signup')),
          u AS (SELECT * FROM c UNION ALL SELECT * FROM tc),
          m AS (SELECT user_id, t, side, rev_cents,
-               last_value(a_ts IGNORE NULLS) OVER w AS m_ts,
-               last_value(channel IGNORE NULLS) OVER w AS m_ch
+               last_value(CASE WHEN side = 0
+                   THEN struct_pack(a_ts := a_ts, channel := channel) END
+                 IGNORE NULLS) OVER w AS mr
              FROM u
              WINDOW w AS (PARTITION BY user_id ORDER BY t, side, channel
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT CASE WHEN m_ts IS NOT NULL AND m_ts >= t - 604800000000 THEN m_ch
-                ELSE '(none)' END AS channel,
+         SELECT CASE WHEN mr.a_ts IS NOT NULL AND mr.a_ts >= t - 604800000000
+                THEN mr.channel ELSE '(none)' END AS channel,
            count(*) AS n_conv, CAST(sum(rev_cents) AS BIGINT) AS rev_cents
          FROM m WHERE side = 1 GROUP BY 1 ORDER BY 1""",
 

@@ -64,8 +64,19 @@ object Staging {
     mode(spark) match {
       case "local" => df.localCheckpoint(eager)
       case "reliable" =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        if (spark.sparkContext.getCheckpointDir.isEmpty) {
+          // On a multi-node cluster a driver-local java.io.tmpdir is NOT
+          // shared storage: checkpoint blocks would land on per-node
+          // local disks and the executor-loss resilience this mode
+          // exists for would silently not hold. Refuse the fallback
+          // there — the caller must point graft.staging.dir (or the
+          // session's checkpoint dir) at durable shared storage.
+          require(spark.sparkContext.isLocal || spark.conf.getOption(DirKey).isDefined,
+            s"reliable staging on a non-local master needs $DirKey (or an " +
+              "already-set checkpoint dir) on SHARED storage; a local tmp " +
+              "fallback would not survive executor loss")
           spark.sparkContext.setCheckpointDir(scratchRoot(spark) + "/ckpt")
+        }
         df.checkpoint(eager)
       case "parquet" =>
         val path = scratchRoot(spark) + "/stage-" + counter.incrementAndGet()

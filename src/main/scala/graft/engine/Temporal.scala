@@ -39,8 +39,12 @@ object Temporal {
     * winner is the greatest by `tieBreak` (required non-empty if such
     * ties are possible — ordering among identical sort keys is
     * otherwise plan-dependent). The DuckDB oracle replays the same
-    * union-window with `last_value(... IGNORE NULLS)` and the same
-    * ORDER BY, so ties resolve identically.
+    * union-window with ONE struct-valued `last_value(CASE WHEN side=0
+    * THEN struct_pack(...) END IGNORE NULLS)` and the same ORDER BY —
+    * the same whole-row semantics as the engine's `last(struct(...))`,
+    * so ties AND null payload values resolve identically (a
+    * per-column oracle would let a null payload fall through to an
+    * older right row where the engine keeps it null).
     *
     * Scale: the plan is Exchange(hashpartitioning(keys)) + Sort +
     * Window + Filter — the minimum any co-grouped temporal join pays.

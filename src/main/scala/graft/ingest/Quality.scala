@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * One narrow pass tags each row with its failed check names; the
   * split is two filters over the same tagged frame ([[appendChecked]]
-  * persists the tagged frame so the source is scanned once and both
-  * channels see the same rows), and both channels append idempotently under the
+  * stages the tagged frame through a lineage cut so the source is
+  * scanned once and both channels provably see the same rows), and
+  * both channels append idempotently under the
   * same batch name (the marker discipline of
   * [[graft.sources.Store.atomicAppendOnce]]), so a replayed ingest
   * batch is exactly-once in BOTH channels. The reference ingester
@@ -56,18 +57,20 @@ object Quality {
     // channel filters are separate actions, so without this the
     // source is scanned once per channel and a nondeterministic
     // source or check could route a row into both or neither channel
-    // within one batch. MEMORY_AND_DISK spills rather than evicts,
-    // so both appends read the same tagged rows.
-    val t = tagged(df, checks).persist()
-    try {
-      val good = t.filter(size(col("__vio")) === 0).drop("__vio")
-      val bad = t.filter(size(col("__vio")) > 0)
-        .withColumn("reasons", concat_ws(",", col("__vio"))).drop("__vio")
-      val g = graft.sources.Store.atomicAppendOnce(good, dir, name)
-      val q = graft.sources.Store.atomicAppendOnce(bad,
-        new org.apache.hadoop.fs.Path(dir, ".quarantine").toString, name)
-      (g, q)
-    } finally t.unpersist()
+    // within one batch. Staging.stage CUTS LINEAGE (unlike a bare
+    // persist(), whose cached blocks are best-effort — an evicted or
+    // executor-lost block silently recomputes from the source): in
+    // `local` mode a lost block fails the batch loudly instead of
+    // re-routing a row, and in `reliable`/`parquet` modes the cut is
+    // durable and both appends provably read the same tagged rows.
+    val t = graft.engine.Staging.stage(tagged(df, checks))
+    val good = t.filter(size(col("__vio")) === 0).drop("__vio")
+    val bad = t.filter(size(col("__vio")) > 0)
+      .withColumn("reasons", concat_ws(",", col("__vio"))).drop("__vio")
+    val g = graft.sources.Store.atomicAppendOnce(good, dir, name)
+    val q = graft.sources.Store.atomicAppendOnce(bad,
+      new org.apache.hadoop.fs.Path(dir, ".quarantine").toString, name)
+    (g, q)
   }
 
   /** The dead-letter channel of a gated store (throws if no batch

@@ -643,11 +643,11 @@ object Similarity {
     * replacing on the vector id, so rows duplicated by the
     * crash-between-rename-and-marker replay window (see
     * [[appendToIndexAtomic]]) collapse back to one row per vector at
-    * the next fold. Run it as a MAINTENANCE WINDOW, not concurrently
-    * with searches: [[ivfTopKIndexed]] reads the cell directories
-    * plainly (exactly like the events store's readers), and a read
-    * racing a fold's commit could briefly see a merged part alongside
-    * its inputs. */
+    * the next fold. Safe to run CONCURRENTLY with searches: the
+    * search tail reads each probed cell through the cell's Compact
+    * manifest ([[readProbedCells]]), so a search racing a fold's
+    * commit sees the pre-fold inputs or the merged part — one
+    * committed generation, never a mix. */
   def compactIndexCells(spark: org.apache.spark.sql.SparkSession,
                         path: String, cId: String,
                         opts: graft.sources.Compact.Options =
@@ -661,9 +661,9 @@ object Similarity {
     * appended idempotently ([[appendToIndexAtomic]]: deterministic
     * batch filenames + a replay marker) — the ANN analog of the
     * streaming ingest→store path; fold accumulated batch files per
-    * cell with [[compactIndexCells]] off the hot path (required, see
-    * its scaladoc). The caller picks trigger/checkpoint and calls
-    * `.start()`. */
+    * cell with [[compactIndexCells]] (safe concurrently with
+    * searches — the search tail reads through the cells' manifests).
+    * The caller picks trigger/checkpoint and calls `.start()`. */
   def streamingIndexAppend(vectors: DataFrame, cId: String, cVec: String,
                            path: String) =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -735,16 +735,30 @@ object Similarity {
     * residual keeps the pruning visible in the plan (and correct even
     * if a caller ever passed a stale path list). Probed cells with no
     * directory (empty cells) are skipped — an absent cell holds no
-    * vectors. */
+    * vectors.
+    *
+    * Each probed cell's FILE list comes from the cell's Compact
+    * manifest (Compact.livePartPaths), not a raw directory listing:
+    * the manifest names one committed generation — latest parts plus
+    * adopted appends — so a search racing a [[compactIndexCells]]
+    * fold sees the pre-fold inputs OR the merged part, NEVER both
+    * (a raw listing double-counts every candidate in exactly that
+    * window, and unconditionally once `retainGenerations > 0` keeps
+    * superseded inputs on disk for time travel). Per-cell manifest
+    * reads are driver-side and tiny — the same cost class as the
+    * existence probe they extend. */
   private def readProbedCells(spark: org.apache.spark.sql.SparkSession,
                               path: String,
                               probed: Seq[Long]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$path/cells")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = probed.map(c => new org.apache.hadoop.fs.Path(root, s"cell_id=$c"))
-      .filter(fs.exists).map(_.toString)
+    val files = probed
+      .map(c => new org.apache.hadoop.fs.Path(root, s"cell_id=$c"))
+      .filter(fs.exists)
+      .flatMap(d => graft.sources.Compact.livePartPaths(spark, d))
+      .map(_.toString)
     val base = spark.read.option("basePath", root.toString)
-    val df = if (dirs.nonEmpty) base.parquet(dirs: _*)
+    val df = if (files.nonEmpty) base.parquet(files: _*)
              else spark.read.parquet(root.toString).filter(lit(false))
     df.filter(col("cell_id").isin(probed: _*))
   }

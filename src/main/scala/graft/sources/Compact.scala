@@ -955,6 +955,21 @@ object Compact {
     * READ — between merges a key updated since the last fold has rows
     * in two levels, and the LSM contract is that readers see only the
     * newest (the merge applies the same replacement physically). */
+  /** The SNAPSHOT-consistent live part files of one store directory —
+    * exactly what [[read]] would scan: the latest committed
+    * manifest's parts plus adopted appends, never a merged part
+    * alongside its superseded inputs and never an uncommitted
+    * `merged-*` orphan. The accessor other stores (the IVF cells
+    * index) route their reads through so a read racing a fold's
+    * commit sees one generation or the other, NEVER a mix — the same
+    * isolation the reference scan gets by snapshotting parts under
+    * lock (reference: src/storage/src/db.rs:620-699). */
+  private[graft] def livePartPaths(spark: SparkSession, dir: Path,
+                                   opts: Options = Options()): Seq[Path] = {
+    val (_, parts, _) = loadState(fsFor(spark, dir), dir, opts)
+    parts.map(p => new Path(dir, p.name))
+  }
+
   def read(spark: SparkSession, storeDir: String,
            opts: Options = Options()): DataFrame = {
     val dir = new Path(storeDir)
@@ -1267,7 +1282,11 @@ object Compact {
     val pruneOn =
       if (opts.replaceOn.isEmpty && opts.sumOn.isEmpty) preds
       else preds.filter(p => (opts.replaceOn ++ opts.sumOn).contains(p.column))
-    val keptFiles = leaves(root)
+    // ONE recursive listing serves both the kept-file scan and the
+    // fold-key derivation below — at 100k leaves a second walk would
+    // double the namenode round-trips for nothing.
+    val leafDirs = leaves(root)
+    val keptFiles = leafDirs
       .filter(l => fs.listStatus(l)
         .exists(_.getPath.getName.endsWith(".parquet")))
       .flatMap { l =>
@@ -1290,11 +1309,23 @@ object Compact {
     // versions / summed partials and read ≡ compact-then-read. (A
     // global fold would also nonsensically SUM the partition columns
     // of a sumOn store.)
+    // Every leaf must agree on the `col=` layout: a heterogeneous
+    // store (mixed leaf depths, or a first leaf whose path is
+    // unrepresentative) would silently hand the OTHER leaves a wrong
+    // fold key — folding replaceOn/sumOn rows across partitions or
+    // failing to. Fail loudly instead of serving folded-wrong rows.
     val partCols: Seq[String] =
       if (opts.replaceOn.isEmpty && opts.sumOn.isEmpty) Nil
-      else leaves(root).headOption.toSeq.flatMap { l =>
-        l.toString.stripPrefix(root.toString).split("/").toSeq
-          .filter(_.contains("=")).map(_.split("=", 2)(0))
+      else {
+        val perLeaf = leafDirs.map { l =>
+          l.toString.stripPrefix(root.toString).split("/").toSeq
+            .filter(_.contains("=")).map(_.split("=", 2)(0))
+        }.distinct
+        require(perLeaf.size <= 1,
+          s"heterogeneous partition layouts under $rootDir (" +
+            perLeaf.map(_.mkString("/")).mkString(" vs ") +
+            ") — the serve-fold key would be wrong for some leaves")
+        perLeaf.headOption.getOrElse(Nil)
       }
     val foldOpts = opts.copy(
       replaceOn = if (opts.replaceOn.isEmpty) Nil

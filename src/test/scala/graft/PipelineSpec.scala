@@ -1062,6 +1062,75 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("index search is snapshot-isolated from compaction: superseded inputs and uncommitted merge outputs are invisible") {
+    import spark.implicits._
+    val corpus = (0 until 60).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfsnap").toFile
+    try {
+      Similarity.buildIndex(corpus, "vec_id", "v", dir.getAbsolutePath,
+        nCells = 4, iters = 1)
+      // a few appends, then an ADOPTION pass: under the L0 trigger
+      // nothing merges, but a manifest generation commits naming the
+      // adopted files — the precondition for retention to protect
+      // them when a later fold supersedes them
+      for (i <- 500L to 502L)
+        Similarity.appendToIndex(
+          Seq((i, Array(1.0f, 0.04f + 0.001f * i))).toDF("vec_id", "v"),
+          "vec_id", "v", dir.getAbsolutePath)
+      Similarity.compactIndexCells(spark, dir.getAbsolutePath, "vec_id",
+        graft.sources.Compact.Options(retainGenerations = 1))
+      // more appends push the hot cell past the L0 trigger
+      for (i <- 503L to 508L)
+        Similarity.appendToIndex(
+          Seq((i, Array(1.0f, 0.04f + 0.001f * i))).toDF("vec_id", "v"),
+          "vec_id", "v", dir.getAbsolutePath)
+      val q = Seq((999L, Array(1.0f, 0.05f))).toDF("q_id", "q_vec")
+      def search(): Set[(Long, Long)] =
+        Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec",
+          dir.getAbsolutePath, "vec_id", "v", k = 5, nProbe = 2)
+          .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+          .toSet
+      val baseline = search()
+      // the fold supersedes the adoption generation's files; with a
+      // retained generation they STAY on disk (time-travel horizon).
+      // A raw directory read now sees the merged part beside retained
+      // superseded inputs and double-counts those candidates; the
+      // manifest-routed search must not.
+      val reports = Similarity.compactIndexCells(
+        spark, dir.getAbsolutePath, "vec_id",
+        graft.sources.Compact.Options(retainGenerations = 1))
+      assert(reports.values.exists(_.merges > 0), reports)
+      val mixedCell = new java.io.File(dir, "cells").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cell_id="))
+        .find { d =>
+          val names = d.listFiles().map(_.getName)
+          names.exists(_.startsWith("merged-")) &&
+            names.exists(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        }
+      assert(mixedCell.nonEmpty,
+        "expected a cell holding merged output beside retained superseded inputs")
+      assert(search() == baseline,
+        "search through a store holding merged part + retained inputs must fold to one generation")
+      // uncommitted merge output (a fold that crashed between renames
+      // and commit): a merged-* file no manifest names must be stale,
+      // not adopted — a raw listing would serve it alongside its inputs
+      val hot = mixedCell.get.listFiles()
+        .find(_.getName.startsWith("merged-")).get
+      val orphan = new java.io.File(hot.getParentFile, "merged-99999-orphan.parquet")
+      java.nio.file.Files.copy(hot.toPath, orphan.toPath)
+      assert(search() == baseline,
+        "an uncommitted merged-* orphan must be invisible to the search")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("join-assigned IVF at 4096 cells: broadcast codebook, argmax parity, probed-cell pruning") {
     import spark.implicits._
     val corpus = (0 until 120).map { i =>
