@@ -79,6 +79,19 @@ object SparkEntry {
     root
   }
 
+  /** The build+append text index q_bm25_incremental and
+    * q_phrase_search share: two thirds of the corpus at build, the
+    * rest as one incremental batch — staged once per corpus. */
+  private def incrementalTextIndex(s: SparkSession, dir: String): java.io.File =
+    stagedOnce("textindex-inc-v1", dir) { root =>
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.buildTextIndex(docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", root.getAbsolutePath)
+      TextAnalysis.appendToTextIndex(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", root.getAbsolutePath, "batch-000000001",
+        compact = true): Unit
+    }
+
   /** The user-hash-bucketed events store q_bloom_lookup and
     * q_dynamic_prune share: four parts by user residue, so every
     * part's (min, max) user range covers any probe — range stats
@@ -149,6 +162,11 @@ object SparkEntry {
       "parity-report-r10" // raw pair emission -> cross-family parity report
     case "q_semantic_dedup" =>
       "prenorm-r13" // pre-staged norms + float vectors changed the pair plan
+    case "q_bm25_indexed" | "q_term_search_all" =>
+      // r15: postings gained a positions column and stats became a
+      // sumOn store — the staged artifact's layout (and build cost,
+      // billed to pass 1) changed in one commit
+      "positional-index-r15"
     case n if eventsFamily(n) =>
       "tenant-partition-r13" // canonical layout for the whole events family
     case _ => "base"
@@ -2057,6 +2075,36 @@ object SparkEntry {
         Seq("column", "scan", "window"), topK = 15)
         .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
           col("rank"))
+    }),
+
+    // INCREMENTAL index maintenance (TextAnalysis.appendToTextIndex):
+    // the index is built from two thirds of the corpus and the rest
+    // arrives as an appended batch — postings through the
+    // marker-idempotent batch machinery, corpus stats as ONE additive
+    // partial row in a sumOn store folded on read, so N/avgdl reach
+    // full-corpus values with NO corpus rescan. BM25 served from the
+    // appended index equals the full-corpus scan score (the same
+    // oracle as q_bm25_search) — build+append == rebuild, verified.
+    "q_bm25_incremental" -> ((s, dir) => {
+      val idx = incrementalTextIndex(s, dir)
+      TextAnalysis.bm25IndexedTopK(s, idx.getAbsolutePath,
+        Seq("column", "scan", "window"), topK = 15)
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
+    // Quoted-phrase retrieval (TextAnalysis.phraseLookup): positional
+    // postings intersect per document — a start position survives iff
+    // term i sits at p+i for every i — one aggregate over the pruned
+    // phrase-term postings, never a positional self-join chain. Runs
+    // over the build+append index, so positions are also pinned to
+    // survive incremental maintenance; the oracle recomputes phrase
+    // hits from the RAW text with a list lambda (first principles).
+    "q_phrase_search" -> ((s, dir) => {
+      val idx = incrementalTextIndex(s, dir)
+      TextAnalysis.phraseLookup(s, idx.getAbsolutePath,
+          Seq("column", "scan"))
+        .orderBy(col("doc_id"))
     }),
 
     // Leakage-free train/valid/test split: near-duplicate CLUSTER
@@ -4988,6 +5036,22 @@ object SparkEntry {
     // sub-expression is the same IEEE op on the same doubles, the idf
     // and each contribution floor to BIGINT, the sum is integer.
     "q_bm25_search" -> Bm25Sql,
+
+    // identical math and data to q_bm25_search — build+append serves
+    // the same postings rows and the same folded N/avgdl as a full
+    // rebuild, so the full-corpus oracle replays the incremental index
+    "q_bm25_incremental" -> Bm25Sql,
+
+    // phrase hits recomputed from the RAW text: a 1-based start i
+    // survives iff a[i]='column' and a[i+1]='scan' — the engine's
+    // 0-based position-set intersection counts exactly these starts
+    "q_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         h AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(a)),
+               i -> a[i] = 'column' AND a[i+1] = 'scan')) AS BIGINT) AS n_hits
+           FROM d)
+         SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id""",
 
     // identical math and data to q_bm25_search — the index is a
     // storage layout, not a semantic change (the q_knn_ivf_indexed

@@ -408,36 +408,152 @@ object TextAnalysis {
       Seq(graft.sources.Compact.PartIn("token", terms)), TermIndexOptions)
 
   /** SCORED postings for a retrieval index: one row per
-    * (token, doc_id) carrying the term frequency and the document
-    * length — everything BM25 needs, so queries never touch the raw
-    * corpus. Same tokenization as [[indexPostings]]. */
+    * (token, doc_id) carrying the term frequency, the document
+    * length, AND the token's sorted 0-based POSITIONS in the
+    * document — everything BM25 needs plus the positional payload
+    * phrase/proximity search needs, so queries never touch the raw
+    * corpus. Positions index the raw token sequence (empty tokens
+    * hold their slot but post no row), so adjacency over positions
+    * equals adjacency in the original text. Parquet is columnar:
+    * a BM25 scan that never selects `positions` reads none of its
+    * bytes. Same tokenization as [[indexPostings]]. */
   def indexPostingsScored(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("token"))
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "token")))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Quoted-PHRASE retrieval through a [[buildTextIndex]] artifact:
+    * documents where `terms` appear consecutively, with the
+    * occurrence count. Reads only the phrase terms' token ranges
+    * (pruned postings); the adjacency check is a per-document
+    * position-set intersection — ONE aggregate collecting each term's
+    * position array, then a start position p survives iff term i sits
+    * at p+i for every i. No positional self-join chain: the join
+    * count is zero and the shuffle carries only the phrase terms'
+    * postings. Each term's positions stage as a real column before
+    * entering the lambda (the subtree-in-lambda re-evaluation trap).
+    * A single-term "phrase" degenerates to that term's tf. Returns
+    * (doc_id, n_hits). */
+  def phraseLookup(spark: org.apache.spark.sql.SparkSession,
+                   path: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one phrase term")
+    val distinct = terms.distinct
+    val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
+        Seq(graft.sources.Compact.PartIn("token", distinct)),
+        TermIndexOptions)
+      .select(col("doc_id"), col("token"), col("positions"))
+    val perDoc = post.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("token"), col("positions")))).as("__pm"))
+      .filter(size(col("__pm")) === distinct.size) // every term present
+    val staged = perDoc.select(col("doc_id") +:
+      distinct.zipWithIndex.map { case (t, i) =>
+        col("__pm").getItem(t).as(s"__p$i")
+      }: _*)
+    val slot = distinct.zipWithIndex.toMap
+    val starts = filter(col(s"__p${slot(terms.head)}"),
+      p => terms.zipWithIndex.drop(1)
+        .map { case (t, i) => array_contains(col(s"__p${slot(t)}"), p + lit(i)) }
+        .foldLeft(lit(true))(_ && _))
+    staged.withColumn("n_hits", size(starts).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"))
+  }
+
+  /** The corpus-stats store of a text index: a `sumOn` aggregating
+    * store over a constant key — N and the total token count are
+    * ADDITIVE, so every appended batch contributes one partial row
+    * and readers/merges fold partials to the true corpus totals.
+    * This is what makes index maintenance incremental: appending a
+    * day's documents appends one tiny stats row instead of
+    * re-scanning the whole corpus to refresh N/avgdl. */
+  val TextStatsOptions: graft.sources.Compact.Options =
+    graft.sources.Compact.Options(sumOn = Seq("k"))
+
+  /** One batch's partial corpus-stats row (k=0, n, tot). */
+  private def statsRow(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(tokens(col(textCol)).as("__toks"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("__toks")).cast("long")).as("tot"))
+      .select(lit(0L).as("k"), col("n"), col("tot"))
+
+  /** The folded corpus stats of a text index: one row (n, tot),
+    * summed across every appended batch on read. */
+  def readTextStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    graft.sources.Compact.read(spark, s"$path/stats", TextStatsOptions)
+      .select(col("n"), col("tot"))
 
   /** Build a BM25-servable text index at `path`: scored postings as a
     * token-range-clustered store (`path`/postings — the
     * [[TermIndexOptions]] layout, so a term's lookup lists only the
-    * parts whose token range can hold it) plus the one-row corpus
-    * stats (`path`/stats: N, total token count) an index must carry —
+    * parts whose token range can hold it) plus the corpus stats
+    * (`path`/stats: N, total token count) an index must carry —
     * recomputing N/avgdl at query time would re-scan the corpus the
-    * index exists to avoid. */
+    * index exists to avoid. A rebuild: both stores start empty, then
+    * the corpus lands as the first batch via [[appendToTextIndex]] —
+    * build and build+append produce the SAME folded index. */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String): Unit = {
     val spark = docs.sparkSession
-    graft.sources.Store.atomicAppend(
-      indexPostingsScored(docs, idCol, textCol), s"$path/postings", "p0")
-    graft.sources.Compact.run(spark, s"$path/postings", TermIndexOptions): Unit
-    docs.select(tokens(col(textCol)).as("__toks"))
-      .agg(count(lit(1)).as("n"),
-        sum(size(col("__toks")).cast("long")).as("tot"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "stats").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(root, d)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    appendToTextIndex(docs, idCol, textCol, path, "batch-000000000",
+      compact = true): Unit
   }
+
+  /** INCREMENTAL index maintenance: append one batch of documents to
+    * an existing [[buildTextIndex]] artifact. Postings append through
+    * the marker-idempotent batch machinery (a replayed batch is a
+    * no-op even after compaction folded its file), and the stats
+    * store gains one additive partial row, so N/avgdl fold to the
+    * full-corpus values on read — NO full-corpus rescan, ever. The
+    * appended index serves [[bm25IndexedTopK]]/[[termLookupAll]]
+    * identically to a full rebuild over the union corpus (postings
+    * rows and folded stats are equal by construction). `compact`
+    * folds both stores after the append (re-clustering postings by
+    * token range); leave it false on the ingest hot path and fold
+    * accumulated batches periodically, the L0 story of every store
+    * here. Returns (postingsApplied, statsApplied) — (false, false)
+    * is a full replay. */
+  def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, name: String,
+                        compact: Boolean = false): (Boolean, Boolean) = {
+    val spark = docs.sparkSession
+    val p = graft.sources.Store.atomicAppendOnce(
+      indexPostingsScored(docs, idCol, textCol), s"$path/postings", name)
+    val s = graft.sources.Store.atomicAppendOnce(
+      statsRow(docs, textCol), s"$path/stats", name)
+    if (compact) {
+      graft.sources.Compact.run(spark, s"$path/postings", TermIndexOptions): Unit
+      graft.sources.Compact.run(spark, s"$path/stats", TextStatsOptions): Unit
+    }
+    (p, s)
+  }
+
+  /** Started-able streaming index maintenance: every micro-batch of
+    * documents appends to the text index under a batchId-deterministic
+    * name, so a foreachBatch restart replaying the last batch is
+    * exactly-once in BOTH stores — the text twin of
+    * Similarity.streamingIndexAppend. The caller picks
+    * trigger/checkpoint and calls `.start()`; fold accumulated batches
+    * with Compact off the hot path. */
+  def streamingTextIndexAppend(docs: DataFrame, idCol: String,
+                               textCol: String, path: String) =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendToTextIndex(batch, idCol, textCol, path,
+        f"batch-$batchId%09d"): Unit
+    }
 
   /** Conjunctive (AND) retrieval through a [[buildTextIndex]]
     * artifact: documents containing EVERY query term, with their
@@ -471,7 +587,10 @@ object TextAnalysis {
     val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
       Seq(graft.sources.Compact.PartIn("token", queryTerms)),
       TermIndexOptions)
-    val stats = spark.read.parquet(s"$path/stats")
+    // stats fold across appended batches on read (sumOn store): the
+    // indexed score is computed against FULL-corpus N/avgdl no matter
+    // how many incremental appends the index has absorbed
+    val stats = readTextStats(spark, path)
     val idf = post.groupBy(col("token"))
       .agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(stats.select(col("n").as("__n"))))

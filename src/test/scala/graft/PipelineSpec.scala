@@ -1317,7 +1317,7 @@ class PipelineSpec extends SparkTestBase {
     try {
       TextAnalysis.buildTextIndex(docs, "doc_id", "text", dir.getAbsolutePath)
       // the index carries its corpus stats — no raw-corpus dependence
-      val st = spark.read.parquet(s"${dir.getAbsolutePath}/stats").head
+      val st = TextAnalysis.readTextStats(spark, dir.getAbsolutePath).head
       assert(st.getAs[Long]("n") == 200L)
       val terms = Seq("scan", "column")
       def rows(df: org.apache.spark.sql.DataFrame) = df
@@ -1328,10 +1328,110 @@ class PipelineSpec extends SparkTestBase {
         dir.getAbsolutePath, terms, 20))
       assert(scan.nonEmpty && idx == scan,
         "index-served BM25 must equal the scan-based score exactly")
-      // postings rows carry tf and dl (index-only scoring inputs)
+      // postings rows carry tf, dl and positions (scoring + phrase inputs)
       val p = TextAnalysis.indexPostingsScored(docs).filter(col("token") === "scan")
-      assert(p.columns.toSet == Set("token", "doc_id", "dl", "tf"))
+      assert(p.columns.toSet == Set("token", "doc_id", "dl", "tf", "positions"))
       assert(p.count() > 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("incremental text index: build+append equals full rebuild; stats fold; replay is a no-op") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "scan", "merge",
+      "column", "window", "sort", "filter")
+    val docs = (0 until 180).map { i =>
+      val toks = (0 until (3 + i % 7)).map(j => words((i * 5 + j * 3) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val first = docs.filter(col("doc_id") % 3 =!= 2)
+    val second = docs.filter(col("doc_id") % 3 === 2)
+    val incDir = java.nio.file.Files.createTempDirectory("textinc").toFile
+    val fullDir = java.nio.file.Files.createTempDirectory("textfull").toFile
+    try {
+      TextAnalysis.buildTextIndex(first, "doc_id", "text", incDir.getAbsolutePath)
+      val (p1, s1) = TextAnalysis.appendToTextIndex(second, "doc_id", "text",
+        incDir.getAbsolutePath, "batch-000000001", compact = true)
+      assert(p1 && s1)
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", fullDir.getAbsolutePath)
+      // folded stats equal the full-corpus aggregate
+      val si = TextAnalysis.readTextStats(spark, incDir.getAbsolutePath).head
+      val sf = TextAnalysis.readTextStats(spark, fullDir.getAbsolutePath).head
+      assert(si.getAs[Long]("n") == 180L && si == sf, s"$si vs $sf")
+      // postings content identical (the physical layout may differ)
+      def postings(d: java.io.File) =
+        graft.sources.Compact.read(spark, s"${d.getAbsolutePath}/postings",
+            TextAnalysis.TermIndexOptions)
+          .select("token", "doc_id", "dl", "tf", "positions")
+          .collect().map(_.toSeq).toSet
+      assert(postings(incDir) == postings(fullDir))
+      // BM25 through the appended index == through the rebuild == scan
+      val terms = Seq("scan", "column")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "bm25_micro", "terms_hit", "rank")
+        .collect().map(_.toSeq).toSet
+      val viaInc = rows(TextAnalysis.bm25IndexedTopK(spark,
+        incDir.getAbsolutePath, terms, 20))
+      val viaFull = rows(TextAnalysis.bm25IndexedTopK(spark,
+        fullDir.getAbsolutePath, terms, 20))
+      val viaScan = rows(TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 20))
+      assert(viaInc == viaFull && viaInc == viaScan)
+      // a replayed append is a no-op in both stores
+      val (p2, s2) = TextAnalysis.appendToTextIndex(second, "doc_id", "text",
+        incDir.getAbsolutePath, "batch-000000001")
+      assert(!p2 && !s2)
+      assert(TextAnalysis.readTextStats(spark,
+        incDir.getAbsolutePath).head.getAs[Long]("n") == 180L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(incDir); rm(fullDir)
+    }
+  }
+
+  test("phrase search: adjacency from positional postings matches a hand scan of the raw text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "full table scan is slow"),
+      (1L, "the column scan wins"),
+      (2L, "column scan column scan column scan"),
+      (3L, "scan column"),                  // reversed — no phrase hit
+      (4L, "column  scan"),                 // empty token between — no hit
+      (5L, "a column scan and another column scan here"),
+      (6L, "column alone and scan apart"),
+      (7L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("phrase").toFile
+    try {
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", dir.getAbsolutePath)
+      val got = TextAnalysis.phraseLookup(spark, dir.getAbsolutePath,
+          Seq("column", "scan"))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+        .toSet
+      // hand model: consecutive "column scan" occurrences per doc
+      assert(got == Set((1L, 1L), (2L, 3L), (5L, 2L)), got)
+      // single-term phrase degenerates to that term's tf
+      val single = TextAnalysis.phraseLookup(spark, dir.getAbsolutePath,
+          Seq("scan"))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+        .toMap
+      assert(single(2L) == 3L && single(3L) == 1L && !single.contains(7L))
+      // a three-term phrase spanning a repeated token ("column scan column")
+      val tri = TextAnalysis.phraseLookup(spark, dir.getAbsolutePath,
+          Seq("column", "scan", "column"))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+        .toSet
+      assert(tri == Set((2L, 2L)), tri)
+      // the postings scan must be token-range pruned, not a full read
+      val plan = TextAnalysis.phraseLookup(spark, dir.getAbsolutePath,
+        Seq("column", "scan")).queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("token"),
+        plan.take(1500))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
