@@ -167,6 +167,11 @@ object SparkEntry {
       // sumOn store — the staged artifact's layout (and build cost,
       // billed to pass 1) changed in one commit
       "positional-index-r15"
+    case "q_knn_ivf_indexed" | "q_knn_ivf_indexed_mp" =>
+      // r15: the literal-codebook family converged onto the joined
+      // path — build trains/assigns via codebook frames, search ranks
+      // probes by broadcast join instead of an inlined literal
+      "joined-family-r15"
     case n if eventsFamily(n) =>
       "tenant-partition-r13" // canonical layout for the whole events family
     case _ => "base"

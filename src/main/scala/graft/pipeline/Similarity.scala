@@ -549,21 +549,15 @@ object Similarity {
   def buildIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
                  nCells: Int = 16, iters: Int = 1, eps: Double = 0.0,
                  scale: Long = 1L << 20): Unit = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val (cents, _) = refineUntilConverged(corpus, cId, cVec,
-      seedCentroids(corpus, cId, cVec, nCells), iters, eps, scale)
-    cents.toSeq.toDF("cell_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    val assign = assignerFromCents(cents)
-    corpus.select(col(cId), col(cVec))
-      .withColumn("cell_id", assign(col(cVec)))
-      // one shuffle so each cell directory gets one file per cell,
-      // not one per upstream task (same rationale as the events
-      // mirror write)
-      .repartition(col("cell_id"))
-      .write.partitionBy("cell_id").mode("overwrite")
-      .parquet(s"$path/cells")
+    // ONE build path: seed + train as codebook FRAMES
+    // ([[seedCodebook]]/[[refineCodebookUntilConverged]] — bit-equal
+    // to the driver-literal Lloyd, nothing codebook-sized on the
+    // driver), then the joined build tail. The literal family is now
+    // a pure specialization of the joined one, so the driver ceiling
+    // is gone from every index path.
+    val (cb, _) = refineCodebookUntilConverged(corpus, cId, cVec,
+      seedCodebook(corpus, cId, cVec, nCells), iters, eps, scale)
+    buildIndexJoined(corpus, cId, cVec, cb, path)
   }
 
   /** Append new vectors to an EXISTING [[buildIndex]] artifact: each
@@ -577,15 +571,10 @@ object Similarity {
     * the events store, foldable by the Compact machinery (or an
     * occasional [[buildIndex]] rebuild, which also retrains). */
   def appendToIndex(batch: DataFrame, cId: String, cVec: String,
-                    path: String): Unit = {
-    val cents = loadCodebook(batch.sparkSession, path)
-    val assign = assignerFromCents(cents)
-    batch.select(col(cId), col(cVec))
-      .withColumn("cell_id", assign(col(cVec)))
-      .repartition(col("cell_id"))
-      .write.partitionBy("cell_id").mode("append")
-      .parquet(s"$path/cells")
-  }
+                    path: String): Unit =
+    // one maintenance path: the joined append (persisted codebook
+    // broadcast-joined, never collected) — identical assignment
+    appendToIndexJoined(batch, cId, cVec, path)
 
   /** [[appendToIndex]] with PER-BATCH IDEMPOTENCE, the form a
     * streaming writer needs: the assigned batch lands in a temp dir,
@@ -616,10 +605,8 @@ object Similarity {
     // the exact contract of StreamingDedup's signature store.
     val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
     if (fs.exists(marker)) return
-    val cents = loadCodebook(spark, path)
-    val assign = assignerFromCents(cents)
-    batch.select(col(cId), col(cVec))
-      .withColumn("cell_id", assign(col(cVec)))
+    val cb = spark.read.parquet(s"$path/codebook")
+    assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite")
       .parquet(tmp.toString)
@@ -678,24 +665,20 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
 
   /** ANN top-k THROUGH a [[buildIndex]] artifact, never touching the
-    * raw corpus: queries rank their `nProbe` nearest codebook cells
-    * (narrow, the codebook is driver-side and tiny), the probed cell
-    * SET — bounded by the broadcast-gated query count × nProbe — is
-    * collected once, and the cells store is scanned with a
-    * `cell_id IN (...)` PARTITION filter, so the listing touches only
-    * probed directories. Ranking semantics are identical to
+    * raw corpus: ONE search path — [[ivfTopKIndexedJoined]]'s. The
+    * persisted codebook is read as a frame and broadcast (never
+    * collected, so nProbe ranking works at any nCells), the probed
+    * cell set — bounded by the broadcast-gated query count × nProbe —
+    * collects once, and the cells store is scanned with a
+    * `cell_id IN (...)` PARTITION filter listing only probed
+    * directories. Ranking semantics are identical to
     * [[ivfTopKTrained]] with the same codebook. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                      queries: DataFrame, qId: String, qVec: String,
                      path: String, cId: String, cVec: String,
-                     k: Int, nProbe: Int = 1): DataFrame = {
-    val cents = loadCodebook(spark, path)
-    val qa = queries.select(col(qId), col(qVec))
-      .withColumn("cell_id", explode(probeCellsCol(cents, col(qVec), nProbe)))
-      .withColumn("__qn", norm(col(qVec)))
-    searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
-      "ivfTopKIndexed")
-  }
+                     k: Int, nProbe: Int = 1): DataFrame =
+    ivfTopKIndexedJoined(spark, queries, qId, qVec, path, cId, cVec,
+      k, nProbe)
 
   /** The shared index-search tail: gate + broadcast the probe-tagged
     * query frame, collect the (bounded) probed cell set, scan ONLY
@@ -761,6 +744,83 @@ object Similarity {
     val df = if (files.nonEmpty) base.parquet(files: _*)
              else spark.read.parquet(root.toString).filter(lit(false))
     df.filter(col("cell_id").isin(probed: _*))
+  }
+
+  /** The `nCells` lowest-id corpus vectors as a codebook FRAME —
+    * the seed shape of [[seedCentroids]] with NOTHING collected to
+    * the driver: `(cell_id, centroid)` rows live in executors only,
+    * so nCells is bounded by storage, not driver heap. */
+  def seedCodebook(corpus: DataFrame, cId: String, cVec: String,
+                   nCells: Int): DataFrame =
+    corpus.orderBy(col(cId).asc).limit(nCells)
+      .select(col(cId).cast("long").as("cell_id"),
+        col(cVec).cast("array<double>").as("centroid"))
+
+  /** One EXACT Lloyd step over codebook FRAMES — [[refineCentroids]]
+    * with the driver removed: assignment is the broadcast-join argmax
+    * ([[assignCellsByJoin]] — bit-identical cos/tie order to the
+    * literal assigner), the per-(cell, dim) sums stay
+    * integer-quantized longs (exact, order-independent), and the new
+    * centroid arrays are rebuilt IN the engine (per-cell dim→mean
+    * map; absent dims fill 0.0 and empty cells keep their previous
+    * centroid, both exactly as the driver form). The only thing that
+    * ever reaches the driver in a training loop is the convergence
+    * scalar. Same arithmetic — `(Σq/n)/scale` on the same doubles —
+    * so trained centroids are bit-equal to [[refineCentroids]]'. */
+  def refineCodebook(corpus: DataFrame, cId: String, cVec: String,
+                     cb: DataFrame, scale: Long = 1L << 20): DataFrame = {
+    val means = assignCellsByJoin(
+        corpus.select(col(cId), col(cVec).cast("array<double>").as(cVec)),
+        cId, cVec, cb)
+      .select(col("cell_id"),
+        posexplode(transform(col(cVec),
+          x => round(x * scale).cast("long"))).as(Seq("__dim", "__q")))
+      .groupBy("cell_id", "__dim")
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      .groupBy("cell_id")
+      .agg(map_from_entries(collect_list(struct(col("__dim"),
+        (col("__s").cast("double") / col("__n").cast("double")) /
+          lit(scale.toDouble)))).as("__mm"))
+    cb.select(col("cell_id"), col("centroid").as("__prev"))
+      .join(means, Seq("cell_id"), "left")
+      .select(col("cell_id"),
+        when(col("__mm").isNull, col("__prev")) // empty cell keeps centroid
+          .otherwise(transform(sequence(lit(0), size(col("__prev")) - 1),
+            d => coalesce(element_at(col("__mm"), d), lit(0.0))))
+          .as("centroid"))
+  }
+
+  /** [[refineUntilConverged]] over codebook FRAMES: up to `maxIters`
+    * [[refineCodebook]] steps, early-stopped when the largest
+    * per-dimension movement (L∞, computed in-engine) drops below
+    * `eps`. Each step's codebook is staged (lineage cut — an
+    * unstaged loop would stack one corpus-assignment subtree per
+    * step); the driver sees ONE double per step, never a codebook.
+    * `eps = 0` runs exactly `maxIters` steps with no movement job. */
+  def refineCodebookUntilConverged(corpus: DataFrame, cId: String,
+                                   cVec: String, cb0: DataFrame,
+                                   maxIters: Int, eps: Double,
+                                   scale: Long = 1L << 20)
+      : (DataFrame, Int) = {
+    var cb = graft.engine.Staging.stage(cb0)
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIters && (eps <= 0 || moved >= eps)) {
+      val next = graft.engine.Staging.stage(
+        refineCodebook(corpus, cId, cVec, cb, scale))
+      if (eps > 0) {
+        moved = next.select(col("cell_id"), col("centroid").as("__b"))
+          .join(cb.select(col("cell_id"), col("centroid").as("__a")),
+            Seq("cell_id"))
+          .select(aggregate(zip_with(col("__a"), col("__b"),
+            (x, y) => abs(x - y)), lit(0.0),
+            (acc, v) => greatest(acc, v)).as("__m"))
+          .agg(max(col("__m"))).head.getDouble(0)
+      }
+      cb = next
+      it += 1
+    }
+    (cb, it)
   }
 
   /** Deterministic synthetic codebook as a DATAFRAME — `(cell_id,

@@ -1520,6 +1520,32 @@ class PipelineSpec extends SparkTestBase {
     assert(cEps.map(_._2).toSeq == cAll.map(_._2).toSeq) // same fixpoint
   }
 
+  test("frame-based Lloyd equals the driver-literal Lloyd bit for bit") {
+    import spark.implicits._
+    val corpus = (0 until 90).map { i =>
+      val a = i * 0.07
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    // driver form: literal seed centroids + collected Lloyd steps
+    val cents0 = corpus.orderBy(col("vec_id")).limit(6)
+      .select(col("vec_id").cast("long"), col("v").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (cDrv, itD) = Similarity.refineUntilConverged(
+      corpus, "vec_id", "v", cents0, maxIters = 3, eps = 1e-9)
+    // frame form: nothing codebook-sized touches the driver
+    val (cbF, itF) = Similarity.refineCodebookUntilConverged(
+      corpus, "vec_id", "v",
+      Similarity.seedCodebook(corpus, "vec_id", "v", 6),
+      maxIters = 3, eps = 1e-9)
+    assert(itD == itF, s"driver ran $itD steps, frame ran $itF")
+    val frame = cbF.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(frame.size == cDrv.length)
+    cDrv.foreach { case (id, c) =>
+      assert(frame(id) == c, s"cell $id: ${frame(id)} vs $c")
+    }
+  }
+
   test("broadcast budget gate throws on an oversized query side") {
     import spark.implicits._
     val corpus = (0 until 20).map(i =>
