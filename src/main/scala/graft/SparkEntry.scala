@@ -2053,6 +2053,29 @@ object SparkEntry {
         .select(col("id"), col("rrf_micro"), col("lists_hit"), col("rank"))
     }),
 
+    // Retrieval through the JSON REQUEST layer (JsonApi.search +
+    // JsonDsl.search): the request parses to the SAME bm25TopK call
+    // the library path runs, so the full-corpus BM25 oracle replays
+    // the JSON route — every analysis reachable from the request
+    // layer, retrieval included.
+    "q_json_bm25" -> ((s, dir) => {
+      JsonApi.search(Tables.documents(s, dir),
+          """{"terms": ["column", "scan", "window"], "topK": 15}""")
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
+    // Hybrid retrieval through the JSON request layer: the semantic
+    // block fuses the embedding cosine top-20 with the lexical top-20
+    // by integer RRF — same operators, same oracle as q_hybrid_search.
+    "q_json_hybrid" -> ((s, dir) => {
+      JsonApi.search(Tables.documents(s, dir),
+          """{"terms": ["column", "scan", "window"], "topK": 20,
+              "semantic": {"queryId": 0, "k": 20}, "fuseTopK": 10}""",
+          embeddings = Some(Tables.embeddings(s, dir)))
+        .select(col("id"), col("rrf_micro"), col("lists_hit"), col("rank"))
+    }),
+
     // Conjunctive (AND) retrieval through the SAME text index: docs
     // containing every query term, intersected as one aggregate over
     // the token-range-pruned postings (never a per-term join chain).
@@ -6336,5 +6359,12 @@ object SparkEntry {
              GROUP BY ROLLUP(grp))
          SELECT e.grp, ex.n_exact, e.n_kept, e.kth_hash, e.distinct_est
          FROM est2 e JOIN ex ON e.grp = ex.grp ORDER BY e.grp"""
-  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
+  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim } match {
+    // the JSON request layer IS the library operator (JsonApi.search
+    // routes through bm25TopK / bruteForceTopK / rrfFuse), so the
+    // existing first-principles oracles replay the JSON routes too
+    case m => m ++ Map(
+      "q_json_bm25" -> m("q_bm25_search"),
+      "q_json_hybrid" -> m("q_hybrid_search"))
+  }
 }

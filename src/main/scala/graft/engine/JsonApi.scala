@@ -91,6 +91,41 @@ object JsonApi {
                          registry: Registry = Registry.open): DataFrame =
     Records.searchGroups(events, JsonDsl.groupRecordsSearch(json, registry))
 
+  /** JSON retrieval request → ranked result frame (beyond-reference
+    * surface — the reference ships no text retrieval, but this repo's
+    * rule is that every analysis is reachable from the request
+    * layer). A lexical-only request runs BM25 over `docs`
+    * (doc_id, bm25_micro, terms_hit, rank); a request carrying a
+    * `semantic` block also ranks the embedding cosine top-k and fuses
+    * the two lists by integer RRF (id, rrf_micro, lists_hit, rank).
+    * Both routes ARE the library operators
+    * (TextAnalysis.bm25TopK / Similarity.bruteForceTopK /
+    * Retrieval.rrfFuse), so results are bit-identical to the
+    * DataFrame path. */
+  def search(docs: DataFrame, json: String,
+             idCol: String = "doc_id", textCol: String = "text",
+             embeddings: Option[DataFrame] = None,
+             embId: String = "vec_id", embVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val req = JsonDsl.search(json)
+    val lex = graft.pipeline.TextAnalysis.bm25TopK(
+      docs, idCol, textCol, req.terms, req.topK, req.k1, req.b)
+    req.semantic match {
+      case None => lex
+      case Some(s) =>
+        val emb = embeddings.getOrElse(throw new IllegalArgumentException(
+          "a semantic search block needs an embeddings frame"))
+        val q = emb.filter(col(embId) === s.queryId)
+          .select(col(embId).as("__q_id"), col(embVec).as("__q_vec"))
+        val sem = graft.pipeline.Similarity.bruteForceTopK(
+            q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
+          .select(col(embId).as("id"), col("rank"))
+        graft.pipeline.Retrieval.rrfFuse(
+          Seq(lex.select(col(idCol).as("id"), col("rank")), sem),
+          "id", "rank", req.fuseTopK)
+    }
+  }
+
   /** Run a SAVED report (reference platform/src/reports.rs +
     * query dispatch on `Type`): the stored JSON body replays through
     * the matching entry point. Event-segmentation reports honor their

@@ -158,6 +158,28 @@ object JsonDsl {
       projectId = j.asOpt("projectId").map(_.long))
   }
 
+  /** Parse a retrieval search request (beyond-reference surface):
+    * {{{
+    *   {"terms": ["column", "scan"], "topK": 15,
+    *    "k1": 1.2, "b": 0.75,                      // optional BM25 knobs
+    *    "semantic": {"queryId": 0, "k": 20},       // optional hybrid half
+    *    "fuseTopK": 10}
+    * }}} */
+  def search(json: String): SearchRequest = {
+    val j = Json.parse(json)
+    val terms = (j / "terms").arr.map(_.str)
+    if (terms.isEmpty) throw JsonError("search request needs at least one term")
+    SearchRequest(
+      terms = terms,
+      topK = j.asOpt("topK").map(_.int).getOrElse(10),
+      k1 = j.asOpt("k1").map(_.num).getOrElse(1.2),
+      b = j.asOpt("b").map(_.num).getOrElse(0.75),
+      semantic = j.asOpt("semantic").map(s => SemanticSearch(
+        (s / "queryId").long, s.asOpt("k").map(_.int).getOrElse(20))),
+      fuseTopK = j.asOpt("fuseTopK").map(_.int).getOrElse(10),
+      projectId = j.asOpt("projectId").map(_.long))
+  }
+
   /** Parse a group-record search request
     * (platform/src/group_records.rs:215-221; sort is a
     * SortablePropertyRef — propertyType-tagged with a direction,

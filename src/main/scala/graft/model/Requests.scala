@@ -293,6 +293,25 @@ final case class GroupSearchRequest(
     limit: Int = 100,
     projectId: Option[Long] = None)
 
+/** Text / hybrid retrieval request — beyond the reference's surface
+  * (it ships no text retrieval; this keeps the repo's own rule that
+  * every analysis is reachable from the request layer). `terms` drive
+  * the lexical BM25 ranker; an optional `semantic` block adds the
+  * embedding cosine top-k list and the two fuse by integer RRF. */
+final case class SearchRequest(
+    terms: Seq[String],
+    topK: Int = 10,
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    semantic: Option[SemanticSearch] = None,
+    fuseTopK: Int = 10,
+    projectId: Option[Long] = None)
+
+/** The semantic half of a hybrid [[SearchRequest]]: the query vector
+  * is the embedding row with `queryId` (the embedded corpus keys
+  * documents by id), ranked to its cosine top-`k`. */
+final case class SemanticSearch(queryId: Long, k: Int = 20)
+
 final case class FunnelRequestModel(
     time: QueryTime,
     steps: Seq[FunnelStep],

@@ -182,6 +182,75 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.functions.col("p"), depth, width)
           .queryExecution.logical
       }))
+
+    // Retrieval on SQL — the same analysis-time splice, so the TVF is
+    // the DataFrame operator's logical plan byte for byte (pinned in
+    // SqlSurfaceSpec) and keeps its bounded top-k / pruned-postings
+    // shapes:
+    //
+    // {{{
+    //   SELECT * FROM bm25_search('docs_view', 'doc_id', 'text', 'column,scan', 15)
+    //   SELECT * FROM hybrid_search('docs_view', 'doc_id', 'text', 'column,scan',
+    //                               'emb_view', 'vec_id', 'embedding', 0, 10)
+    //   SELECT * FROM phrase_search('/path/to/text-index', 'column,scan')
+    // }}}
+    ext.injectTableFunction((
+      FunctionIdentifier("bm25_search"),
+      new ExpressionInfo("graft.pipeline.TextAnalysis", "bm25_search"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "bm25_search(table, idCol, textCol, termsCsv, topK) takes five arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.pipeline.TextAnalysis.bm25TopK(
+            spark.table(stringLit(args.head, "bm25_search table")),
+            stringLit(args(1), "bm25_search idCol"),
+            stringLit(args(2), "bm25_search textCol"),
+            stringLit(args(3), "bm25_search termsCsv").split(",").map(_.trim).toSeq,
+            longLit(args(4), "bm25_search topK").toInt)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("hybrid_search"),
+      new ExpressionInfo("graft.pipeline.Retrieval", "hybrid_search"),
+      (args: Seq[Expression]) => {
+        require(args.length == 9,
+          "hybrid_search(docsTable, idCol, textCol, termsCsv, embTable, " +
+            "embIdCol, embVecCol, queryId, fuseTopK) takes nine arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        val embId = stringLit(args(5), "hybrid_search embIdCol")
+        val embVec = stringLit(args(6), "hybrid_search embVecCol")
+        val emb = spark.table(stringLit(args(4), "hybrid_search embTable"))
+        val q = emb.filter(col(embId) === longLit(args(7), "hybrid_search queryId"))
+          .select(col(embId).as("__q_id"), col(embVec).as("__q_vec"))
+        val sem = graft.pipeline.Similarity.bruteForceTopK(
+            q, emb, "__q_id", "__q_vec", embId, embVec, k = 20)
+          .select(col(embId).as("id"), col("rank"))
+        val idCol = stringLit(args(1), "hybrid_search idCol")
+        val lex = graft.pipeline.TextAnalysis.bm25TopK(
+            spark.table(stringLit(args.head, "hybrid_search docsTable")),
+            idCol, stringLit(args(2), "hybrid_search textCol"),
+            stringLit(args(3), "hybrid_search termsCsv").split(",").map(_.trim).toSeq,
+            topK = 20)
+          .select(col(idCol).as("id"), col("rank"))
+        graft.pipeline.Retrieval.rrfFuse(Seq(lex, sem), "id", "rank",
+            longLit(args(8), "hybrid_search fuseTopK").toInt)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("phrase_search"),
+      new ExpressionInfo("graft.pipeline.TextAnalysis", "phrase_search"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "phrase_search(indexPath, termsCsv) takes two arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.pipeline.TextAnalysis.phraseLookup(spark,
+            stringLit(args.head, "phrase_search indexPath"),
+            stringLit(args(1), "phrase_search termsCsv").split(",").map(_.trim).toSeq)
+          .queryExecution.logical
+      }))
   }
 
   private def longLit(e: Expression, what: String): Long = e match {

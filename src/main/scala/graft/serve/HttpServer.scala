@@ -89,7 +89,13 @@ final class GraftHttpServer(
     /** Store directory the admin backup routes archive (reference
       * platform/src/http/backups.rs); the routes mount only when both
       * this and a settings provider are present. */
-    backupStore: Option[String] = None) {
+    backupStore: Option[String] = None,
+    /** Documents (and optional embeddings) frames behind the
+      * retrieval route `POST queries/search` — beyond-reference
+      * surface; the route mounts only when a documents frame is
+      * supplied. */
+    documents: Option[DataFrame] = None,
+    embeddings: Option[DataFrame] = None) {
 
   /** Backup-run records behind `/admin/backups` (reference
     * metadata/src/backups.rs). */
@@ -191,6 +197,16 @@ final class GraftHttpServer(
       }
     case ("POST", List("queries", "funnel")) =>
       200 -> JsonApi.funnelJson(spark, events, withProject(body, pid), reg)
+    // retrieval (beyond-reference): lexical BM25, or hybrid RRF when
+    // the request carries a semantic block — the JSON route IS the
+    // library operator (JsonApi.search)
+    case ("POST", List("queries", "search")) if documents.isDefined =>
+      200 -> Metrics.timed("search") {
+        val t = Response.collect(JsonApi.search(
+          documents.get, withProject(body, pid), embeddings = embeddings))
+        Metrics.recordRows("search", t.rowCount)
+        t.toJson
+      }
     case ("POST", List("event-records", "search")) =>
       200 -> Metrics.timed("event_records_search") {
         val t = Response.collect(JsonApi.eventRecordsSearch(

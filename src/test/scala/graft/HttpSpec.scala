@@ -83,6 +83,41 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("search route returns byte-identical JsonApi.search output; unmounted without docs") {
+    import spark.implicits._
+    val events = ev
+    val words = Seq("alpha", "scan", "column", "window", "beta")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until (3 + i % 4)).map(j =>
+        words((i * 3 + j) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val emb = (0 until 40).map { i =>
+      val a = i * 0.15
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val lexBody = """{"terms": ["scan", "column"], "topK": 10}"""
+    val hybBody = """{"terms": ["scan", "column"], "topK": 20,
+                      "semantic": {"queryId": 0, "k": 20}, "fuseTopK": 10}"""
+    withServer(new GraftHttpServer(spark, events,
+        documents = Some(docs), embeddings = Some(emb))) { srv =>
+      val (c1, got1) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", lexBody)
+      assert(c1 == 200)
+      assert(got1 == Response.collect(JsonApi.search(docs, lexBody)).toJson)
+      val (c2, got2) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", hybBody)
+      assert(c2 == 200)
+      assert(got2 == Response.collect(
+        JsonApi.search(docs, hybBody, embeddings = Some(emb))).toJson)
+    }
+    // without a documents frame the route does not mount
+    withServer(new GraftHttpServer(spark, events)) { srv =>
+      val (c3, _) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", lexBody)
+      assert(c3 == 404)
+    }
+  }
+
   test("GET /metrics serves prometheus text whose counters advance per query") {
     graft.engine.Metrics.reset()
     val events = ev

@@ -159,6 +159,68 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("retrieval TVFs and the JSON search route are byte-identical to the DataFrame path") {
+    withExtSession { s =>
+      import s.implicits._
+      val words = Seq("alpha", "beta", "scan", "column", "window", "sort")
+      val docs = (0 until 60).map { i =>
+        val toks = (0 until (3 + i % 5)).map(j => words((i * 7 + j * 3) % words.length))
+        (i.toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      val emb = (0 until 60).map { i =>
+        val a = i * 0.1
+        (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+      }.toDF("vec_id", "embedding")
+      docs.createOrReplaceTempView("docs_v")
+      emb.createOrReplaceTempView("emb_v")
+
+      // bm25_search TVF == library bm25TopK == JsonApi.search (lexical)
+      val viaSql = s.sql(
+        "SELECT * FROM bm25_search('docs_v', 'doc_id', 'text', 'scan,column', 10)")
+      val viaDf = graft.pipeline.TextAnalysis.bm25TopK(
+        docs, "doc_id", "text", Seq("scan", "column"), 10)
+      val viaJson = graft.engine.JsonApi.search(docs,
+        """{"terms": ["scan", "column"], "topK": 10}""")
+      assert(viaSql.schema == viaDf.schema)
+      val a = viaSql.collect().map(_.toString).toSeq.sorted
+      val b = viaDf.collect().map(_.toString).toSeq.sorted
+      val c = viaJson.collect().map(_.toString).toSeq.sorted
+      assert(a == b && b == c && a.nonEmpty, s"sql=$a df=$b json=$c")
+
+      // hybrid_search TVF == JsonApi.search with a semantic block
+      val hSql = s.sql(
+        "SELECT * FROM hybrid_search('docs_v', 'doc_id', 'text', 'scan,column', " +
+          "'emb_v', 'vec_id', 'embedding', 0, 10)")
+      val hJson = graft.engine.JsonApi.search(docs,
+        """{"terms": ["scan", "column"], "topK": 20,
+            "semantic": {"queryId": 0, "k": 20}, "fuseTopK": 10}""",
+        embeddings = Some(emb))
+      assert(hSql.schema == hJson.schema)
+      val ha = hSql.collect().map(_.toString).toSeq.sorted
+      val hb = hJson.collect().map(_.toString).toSeq.sorted
+      assert(ha == hb && ha.nonEmpty, s"sql=$ha json=$hb")
+
+      // phrase_search TVF == library phraseLookup over a real index
+      val dir = java.nio.file.Files.createTempDirectory("sqlphrase").toFile
+      try {
+        graft.pipeline.TextAnalysis.buildTextIndex(docs, "doc_id", "text",
+          dir.getAbsolutePath)
+        val pSql = s.sql(
+          s"SELECT * FROM phrase_search('${dir.getAbsolutePath}', 'scan,column')")
+        val pDf = graft.pipeline.TextAnalysis.phraseLookup(s,
+          dir.getAbsolutePath, Seq("scan", "column"))
+        assert(pSql.schema == pDf.schema)
+        assert(pSql.collect().map(_.toString).toSeq.sorted ==
+          pDf.collect().map(_.toString).toSeq.sorted)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(dir)
+      }
+    }
+  }
+
   test("TVF arguments must be string literals and tables must resolve") {
     withExtSession { s =>
       eventsDf(s).createOrReplaceTempView("ev")
