@@ -241,6 +241,87 @@ object SparkEntry {
          SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= $k"""
   }
 
+  /** DuckDB oracle for PQ ANN (Similarity.pqTopK): per-subspace seed
+    * sub-codebooks (the kCents lowest-id vectors' slices, cent_id by
+    * ascending seed id) → `iters` Lloyd steps per subspace under
+    * squared L2 (`x·x − 2·x·c + c·c`, ties to the lowest centroid;
+    * integer-quantized means exactly like ivfTrainedSql) → encode →
+    * decode (per-sub centroids concatenated in subspace order) →
+    * asymmetric cosine shortlist → float re-rank. The CTE chain IS
+    * the training loop, so the same builder replays any step count. */
+  private def pqSql(dims: Int, m: Int, kc: Int, iters: Int, qMax: Int,
+                    k: Int, shortlist: Int): String = {
+    val sub = dims / m
+    def assign(cbIn: String, out: String) =
+      s"""$out AS (SELECT sub, vec_id, sv, cent_id FROM (
+               SELECT s.sub, s.vec_id, s.sv, c.cent_id,
+                 row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY
+                   list_dot_product(s.sv, s.sv)
+                     - 2.0 * list_dot_product(s.sv, c.cv)
+                     + list_dot_product(c.cv, c.cv),
+                   c.cent_id) AS rn
+               FROM sv s JOIN $cbIn c ON c.sub = s.sub) WHERE rn = 1)"""
+    val steps = (0 until iters).map { i =>
+      s"""dim$i AS (
+             SELECT a.sub, a.cent_id, d.range AS dim,
+               sum(CAST(round(a.sv[CAST(d.range AS INT) + 1] * 1048576.0) AS BIGINT)) AS s,
+               count(*) AS n
+             FROM a$i a CROSS JOIN range($sub) d
+             GROUP BY 1, 2, 3),
+           c${i + 1}m AS (
+             SELECT sub, cent_id, list((s / n) / 1048576.0 ORDER BY dim) AS cv
+             FROM dim$i GROUP BY sub, cent_id),
+           c${i + 1} AS (SELECT s.sub, s.cent_id, coalesce(m.cv, s.cv) AS cv
+                  FROM c$i s LEFT JOIN c${i + 1}m m
+                    ON s.sub = m.sub AND s.cent_id = m.cent_id),
+           ${assign(s"c${i + 1}", s"a${i + 1}")}"""
+    }.mkString(",\n           ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sv AS (SELECT vec_id, CAST(j.range AS INT) AS sub,
+                  list_slice(v, CAST(j.range AS INT) * $sub + 1,
+                    CAST(j.range AS INT) * $sub + $sub) AS sv
+                FROM e CROSS JOIN range($m) j),
+         seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+                   FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $kc)),
+         c0 AS (SELECT s.sub, d.cent_id, s.sv AS cv
+                FROM sv s JOIN seeds d ON s.vec_id = d.vec_id),
+         ${assign("c0", "a0")},
+         $steps,
+         recon AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+                   FROM a$iters a JOIN c$iters c
+                     ON c.sub = a.sub AND c.cent_id = a.cent_id
+                   GROUP BY a.vec_id),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $qMax),
+         cand AS (SELECT q.q_id, r.vec_id,
+                    CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                              sqrt(list_dot_product(r.rv, r.rv)) = 0 THEN 0.0
+                         ELSE list_dot_product(q.qv, r.rv) /
+                              (sqrt(list_dot_product(q.qv, q.qv)) *
+                               sqrt(list_dot_product(r.rv, r.rv))) END AS c_sim
+                  FROM q, recon r WHERE r.vec_id <> q.q_id),
+         short AS (SELECT q_id, vec_id FROM (
+                    SELECT q_id, vec_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY c_sim DESC, vec_id) AS rn
+                    FROM cand) WHERE rn <= $shortlist),
+         rescored AS (SELECT s.q_id, s.vec_id AS neighbor_id,
+                        CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                                  sqrt(list_dot_product(e.v, e.v)) = 0 THEN 0.0
+                             ELSE list_dot_product(q.qv, e.v) /
+                                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                                   sqrt(list_dot_product(e.v, e.v))) END AS cos_sim
+                      FROM short s
+                      JOIN q ON q.q_id = s.q_id
+                      JOIN e ON e.vec_id = s.vec_id),
+         ranked AS (SELECT q_id, neighbor_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS "rank",
+                      round(cos_sim, 4) AS cos_sim_r
+                    FROM rescored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r
+         FROM ranked WHERE "rank" <= $k"""
+  }
+
   /** Deterministic ±1 hyperplanes (fixed seed) for the oracle-checked
     * LSH query — the SAME literal matrix is embedded in the DuckDB
     * oracle SQL, so both engines compute identical buckets. */
@@ -2247,6 +2328,23 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.quantizedRerankTopK(q, emb, "q_id", "q_vec",
           "vec_id", "embedding", k = 3, shortlist = 10)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // pipeline: PRODUCT QUANTIZATION — m per-subspace sub-codebooks
+    // trained with the deterministic quantized-Lloyd machinery under
+    // squared L2, corpus collapsed to m-code rows (dims·4 bytes →
+    // m bytes; 32x at dims=64, m=8), candidates scored asymmetrically
+    // against the decoded codes, float re-rank over the shortlist
+    // alone. The generated oracle replays training, encoding AND both
+    // ranking stages bit for bit (Similarity.pqTopK).
+    "q_knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.pqTopK(q, emb, "q_id", "q_vec", "vec_id", "embedding",
+          dims = 64, k = 3, shortlist = 10, m = 8, kCents = 16, iters = 1)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
@@ -5770,6 +5868,11 @@ object SparkEntry {
                 CAST(list_max(qv) AS INTEGER) AS q_max,
                 CAST(floor((COALESCE(m, 0) / 127.0) * 127.0 * 1e9) AS BIGINT) AS maxabs_nano
          FROM q ORDER BY vec_id""",
+
+    // the generated CTE chain replays PQ training, encoding and both
+    // ranking stages (see pqSql)
+    "q_knn_pq" -> pqSql(dims = 64, m = 8, kc = 16, iters = 1,
+      qMax = 10, k = 3, shortlist = 10),
 
     // Salt-invariance makes the plain one-phase GROUP BY the oracle.
     "q_salted_agg" ->

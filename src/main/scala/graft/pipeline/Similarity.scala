@@ -996,6 +996,162 @@ object Similarity {
       qId, cId, k)
   }
 
+  // ---- Product quantization (PQ) ---------------------------------
+  // The standard 100 TB ANN memory answer past symmetric int8 (4x):
+  // m sub-codebooks of kCents centroids each collapse a dims-float
+  // vector to m small codes — dims*4 bytes down to m code bytes
+  // (32x at dims=64, m=8), with asymmetric scoring (float query x
+  // decoded codes) and a float re-rank over the shortlist alone.
+
+  /** One row per (id, sub): the `sub`-th of `m` equal slices of the
+    * vector, as array<double>. Slicing is positional (1-based
+    * `slice`), so engines agree element for element. */
+  private def subvectors(df: DataFrame, id: String, vec: String,
+                         dims: Int, m: Int): DataFrame = {
+    require(dims % m == 0, s"dims $dims must divide into m $m subspaces")
+    val sub = dims / m
+    df.select(col(id), col(vec).cast("array<double>").as("__v"))
+      .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("__v"))
+      .withColumn("sv", slice(col("__v"), col("sub") * sub + 1, lit(sub)))
+      .drop("__v")
+  }
+
+  /** Nearest sub-centroid per (id, sub) under SQUARED L2 — the PQ
+    * metric: unlike the coarse quantizer's cosine, subvector
+    * MAGNITUDES must survive so decoded dot products approximate the
+    * true ones. d² expands to dot-products only (`x·x − 2·x·c + c·c`,
+    * the exact parse both engines share), ties to the lowest
+    * centroid. Keeps `sv` for the training step. */
+  private def pqAssign(sv: DataFrame, id: String, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("__d2", dot(col("sv"), col("sv")) -
+        lit(2.0) * dot(col("sv"), col("centroid")) +
+        dot(col("centroid"), col("centroid")))
+      .groupBy(col("sub"), col(id))
+      .agg(first(col("sv")).as("sv"),
+        min(struct(col("__d2").as("d"), col("cent_id").as("c"))).as("__m"))
+      .withColumn("cent_id", col("__m").getField("c"))
+      .drop("__m")
+
+  /** Train the m per-subspace PQ codebooks as ONE frame
+    * `(sub, cent_id, centroid)`: seeds are the `kCents` lowest-id
+    * corpus vectors' slices (cent_id 0..kCents−1 by ascending seed
+    * id), refined by `iters` exact Lloyd steps per subspace — L2
+    * assignment, the same integer-quantized long-sum means as
+    * [[refineCodebook]] (order-independent, bit-stable), empty cells
+    * keep their centroid. Nothing codebook-sized touches the driver;
+    * a generated SQL oracle replays the whole trajectory. */
+  def pqTrainCodebooks(corpus: DataFrame, cId: String, cVec: String,
+                       dims: Int, m: Int, kCents: Int, iters: Int,
+                       scale: Long = 1L << 20): DataFrame = {
+    val sv = graft.engine.Staging.stage(
+      subvectors(corpus.select(col(cId), col(cVec)), cId, cVec, dims, m))
+    val w = Window.orderBy(col(cId).asc)
+    // kCents rows: the single-partition window is trivially bounded
+    val seedBase = corpus.orderBy(col(cId).asc).limit(kCents)
+      .select(col(cId), col(cVec))
+    val seedCents = seedBase.select(col(cId))
+      .withColumn("__cent", row_number().over(w).cast("long") - 1)
+    val seeds = subvectors(seedBase, cId, cVec, dims, m)
+      .join(broadcast(seedCents), Seq(cId))
+      .select(col("sub"), col("__cent").as("cent_id"), col("sv").as("centroid"))
+    var cb = graft.engine.Staging.stage(seeds)
+    for (_ <- 0 until iters) {
+      val means = pqAssign(sv, cId, cb)
+        .select(col("sub"), col("cent_id"),
+          posexplode(transform(col("sv"),
+            x => round(x * scale).cast("long"))).as(Seq("__dim", "__q")))
+        .groupBy("sub", "cent_id", "__dim")
+        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy("sub", "cent_id")
+        .agg(map_from_entries(collect_list(struct(col("__dim"),
+          (col("__s").cast("double") / col("__n").cast("double")) /
+            lit(scale.toDouble)))).as("__mm"))
+      cb = graft.engine.Staging.stage(
+        cb.select(col("sub"), col("cent_id"), col("centroid").as("__prev"))
+          .join(means, Seq("sub", "cent_id"), "left")
+          .select(col("sub"), col("cent_id"),
+            when(col("__mm").isNull, col("__prev"))
+              .otherwise(transform(sequence(lit(0), size(col("__prev")) - 1),
+                d => coalesce(element_at(col("__mm"), d), lit(0.0))))
+              .as("centroid")))
+    }
+    cb
+  }
+
+  /** PQ codes: `(id, codes)` where `codes(j)` is the vector's nearest
+    * sub-centroid in subspace j — the m-byte form a 100 TB corpus
+    * stores and scans in place of dims floats. */
+  def pqEncode(corpus: DataFrame, cId: String, cVec: String,
+               dims: Int, m: Int, cb: DataFrame): DataFrame =
+    pqAssign(subvectors(corpus.select(col(cId), col(cVec)), cId, cVec, dims, m),
+        cId, cb)
+      .groupBy(col(cId))
+      .agg(transform(array_sort(collect_list(
+        struct(col("sub"), col("cent_id").cast("int").as("code")))),
+        e => e.getField("code")).as("codes"))
+
+  /** PQ decode: codes → the approximate vector (per-sub centroids
+    * concatenated in subspace order). Asymmetric scoring against a
+    * float query q is exactly `cos(q, decode(codes))` — the sum of
+    * per-subspace LUT dot products, since
+    * `q · concat(c_0..c_{m-1}) = Σ_j q_j · c_j` — so scoring decodes
+    * on the fly from the BROADCAST codebook while streaming only the
+    * m-code column, never the float corpus. */
+  def pqDecode(codes: DataFrame, cId: String, cb: DataFrame): DataFrame = {
+    val cbr = cb.select(col("sub").as("__cbsub"),
+      col("cent_id").as("__cbcent"), col("centroid").as("__cbv"))
+    codes.select(col(cId), posexplode(col("codes")).as(Seq("__sub", "__code")))
+      .join(broadcast(cbr), col("__sub") === col("__cbsub") &&
+        col("__code").cast("long") === col("__cbcent"))
+      .groupBy(col(cId))
+      .agg(flatten(transform(array_sort(collect_list(
+        struct(col("__sub"), col("__cbv").as("cv")))),
+        e => e.getField("cv"))).as("__rv"))
+  }
+
+  /** PQ ANN top-k: train sub-codebooks, encode the corpus to m-code
+    * rows, score candidates ASYMMETRICALLY (float query × decoded
+    * codes — cos over the reconstruction, whose dot IS the Σ_j LUT
+    * sum), keep a per-query `shortlist`, then re-rank only the
+    * shortlist against the true float vectors — the same two-stage
+    * tail as [[quantizedRerankTopK]] with 8× less candidate payload
+    * (m codes vs dims int8s). Deterministic end to end (L2 ties to
+    * the lowest centroid, quantized-integer Lloyd means, the shared
+    * (cos DESC, id ASC) rank), so a generated SQL oracle replays
+    * training, encoding AND search bit for bit. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             qId: String, qVec: String, cId: String, cVec: String,
+             dims: Int, k: Int, shortlist: Int,
+             m: Int = 8, kCents: Int = 16, iters: Int = 1,
+             scale: Long = 1L << 20): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cb = pqTrainCodebooks(corpus, cId, cVec, dims, m, kCents, iters, scale)
+    val codes = pqEncode(corpus, cId, cVec, dims, m, cb)
+    val recon = pqDecode(codes, cId, cb)
+      .withColumn("__rn", norm(col("__rv")))
+    val qa = boundedBroadcast(
+      queries.select(col(qId), col(qVec)).withColumn("__qn", norm(col(qVec))),
+      qVec, "pqTopK")
+    val cand = recon.crossJoin(qa)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__rv")),
+        col("__qn"), col("__rn")))
+    val shortlisted =
+      topKPerQuery(cand.select(col(qId), col(cId), col("cos_sim")),
+        qId, cId, shortlist)
+      .select(col(qId), col(cId))
+    val rescored = shortlisted
+      .join(qa.select(col(qId), col(qVec), col("__qn"))
+        .dropDuplicates(Seq(qId)), Seq(qId))
+      .join(corpus.select(col(cId), col(cVec).as("__cv")), Seq(cId))
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__cv")),
+        col("__qn"), col("__cn")))
+    topKPerQuery(rescored.select(col(qId), col(cId), col("cos_sim")),
+      qId, cId, k)
+  }
+
   /** The fine→coarse cell map of a TWO-LEVEL quantizer: every fine
     * centroid labeled with its nearest coarse cell (same argmax order
     * as vector assignment). Tiny — nFine rows — and broadcast

@@ -1520,6 +1520,48 @@ class PipelineSpec extends SparkTestBase {
     assert(cEps.map(_._2).toSeq == cAll.map(_._2).toSeq) // same fixpoint
   }
 
+  test("product quantization: seeds reconstruct exactly at iters=0; codes bounded; re-rank serves true cosines") {
+    import spark.implicits._
+    val corpus = (0 until 80).map { i =>
+      val a = i * 0.07
+      (i.toLong, Array.tabulate(16)(d => math.cos(a + d * 0.3).toFloat))
+    }.toDF("vec_id", "v")
+    val cb0 = Similarity.pqTrainCodebooks(corpus, "vec_id", "v",
+      dims = 16, m = 4, kCents = 8, iters = 0)
+    assert(cb0.count() == 4L * 8L)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "v", 16, 4, cb0)
+    val cArr = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(cArr.size == 80)
+    assert(cArr.values.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 8)))
+    // at iters=0 the codebooks ARE the 8 lowest-id vectors' slices, so
+    // a seed vector's own slices sit at d2=0 and it decodes to ITSELF
+    val rv = Similarity.pqDecode(codes, "vec_id", cb0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = corpus.select(col("vec_id"), col("v").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (id <- 0L until 8L) assert(rv(id) == orig(id), s"seed $id")
+    // pqTopK: k rows per query, and the served cos_sim is the TRUE
+    // float cosine (the re-rank stage, not the PQ approximation)
+    val q = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val out = Similarity.pqTopK(q, corpus, "q_id", "q_vec", "vec_id", "v",
+      dims = 16, k = 3, shortlist = 12, m = 4, kCents = 8, iters = 1)
+      .collect()
+    assert(out.length == 9, out.length)
+    def cosTrue(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d == 0) 0.0 else dot(a, b) / d
+    }
+    out.foreach { r =>
+      val got = r.getAs[Double]("cos_sim")
+      val want = cosTrue(orig(r.getAs[Long]("q_id")), orig(r.getAs[Long]("vec_id")))
+      assert(math.abs(got - want) < 1e-12, s"$got vs $want")
+    }
+  }
+
   test("frame-based Lloyd equals the driver-literal Lloyd bit for bit") {
     import spark.implicits._
     val corpus = (0 until 90).map { i =>
