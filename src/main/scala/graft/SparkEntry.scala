@@ -2216,6 +2216,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Proximity (NEAR) retrieval (TextAnalysis.proximityLookup): both
+    // terms within 3 token positions, minimum distance reported — the
+    // per-doc distance matrix is one lambda over the two position
+    // sets from the SAME positional postings; the oracle recomputes
+    // distances from the raw text.
+    "q_near_search" -> ((s, dir) => {
+      val idx = incrementalTextIndex(s, dir)
+      TextAnalysis.proximityLookup(s, idx.getAbsolutePath,
+          "column", "scan", window = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Leakage-free train/valid/test split: near-duplicate CLUSTER
     // members share a split by construction — the eval-contamination
     // guard a training pipeline needs (a test doc whose near-dup sits
@@ -5178,6 +5190,21 @@ object SparkEntry {
                i -> a[i] = 'column' AND a[i+1] = 'scan')) AS BIGINT) AS n_hits
            FROM d)
          SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id""",
+
+    // NEAR distances recomputed from the raw text: 1-based positions
+    // shift both terms equally, so |x−y| equals the engine's 0-based
+    // distances element for element
+    "q_near_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         p AS (SELECT doc_id,
+             list_filter(range(1, len(a) + 1), i -> a[i] = 'column') AS pa,
+             list_filter(range(1, len(a) + 1), i -> a[i] = 'scan') AS pb
+           FROM d),
+         m AS (SELECT doc_id,
+             CAST(list_min(flatten(list_transform(pa,
+               x -> list_transform(pb, y -> abs(x - y))))) AS BIGINT) AS min_dist
+           FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+         SELECT doc_id, min_dist FROM m WHERE min_dist <= 3 ORDER BY doc_id""",
 
     // identical math and data to q_bm25_search — the index is a
     // storage layout, not a semantic change (the q_knn_ivf_indexed

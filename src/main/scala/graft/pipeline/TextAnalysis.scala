@@ -428,6 +428,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** Proximity (NEAR) retrieval through a [[buildTextIndex]]
+    * artifact: documents where `termA` and `termB` occur within
+    * `window` token positions of each other, with the minimum
+    * observed distance — the second positional primitive after
+    * quoted phrases. One aggregate over the two terms' token-range-
+    * pruned postings; the distance matrix is a per-document
+    * tf_A × tf_B lambda over the STAGED position arrays (attribute
+    * references, so nothing re-evaluates per element), never a
+    * positional self-join. Returns (doc_id, min_dist),
+    * min_dist ≤ window. */
+  def proximityLookup(spark: org.apache.spark.sql.SparkSession,
+                      path: String, termA: String, termB: String,
+                      window: Int): DataFrame = {
+    require(termA != termB, "NEAR needs two distinct terms")
+    require(window >= 1, "window must be >= 1")
+    val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
+        Seq(graft.sources.Compact.PartIn("token", Seq(termA, termB))),
+        TermIndexOptions)
+      .select(col("doc_id"), col("token"), col("positions"))
+    post.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("token"), col("positions")))).as("__pm"))
+      .filter(size(col("__pm")) === 2)
+      .select(col("doc_id"),
+        col("__pm").getItem(termA).as("__pa"),
+        col("__pm").getItem(termB).as("__pb"))
+      .withColumn("min_dist",
+        array_min(flatten(transform(col("__pa"),
+          x => transform(col("__pb"), y => abs(x - y))))).cast("long"))
+      .filter(col("min_dist") <= window)
+      .select(col("doc_id"), col("min_dist"))
+  }
+
   /** Quoted-PHRASE retrieval through a [[buildTextIndex]] artifact:
     * documents where `terms` appear consecutively, with the
     * occurrence count. Reads only the phrase terms' token ranges

@@ -1432,6 +1432,20 @@ class PipelineSpec extends SparkTestBase {
         Seq("column", "scan")).queryExecution.executedPlan.toString
       assert(plan.contains("PushedFilters") && plan.contains("token"),
         plan.take(1500))
+      // proximity: order-insensitive min token distance, window-cut.
+      // doc 3 is "scan column" (reversed — NEAR hits where the phrase
+      // missed), doc 4 has an empty token between (distance 2), doc 6
+      // sits at distance 3 exactly
+      val near2 = TextAnalysis.proximityLookup(spark, dir.getAbsolutePath,
+          "column", "scan", window = 2)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("min_dist")))
+        .toSet
+      assert(near2 == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 1L)),
+        near2)
+      val near3 = TextAnalysis.proximityLookup(spark, dir.getAbsolutePath,
+          "column", "scan", window = 3)
+        .collect().map(r => r.getAs[Long]("doc_id")).toSet
+      assert(near3 == near2.map(_._1) + 6L, near3)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
