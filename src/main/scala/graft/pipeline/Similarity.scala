@@ -1125,14 +1125,53 @@ object Similarity {
              dims: Int, k: Int, shortlist: Int,
              m: Int = 8, kCents: Int = 16, iters: Int = 1,
              scale: Long = 1L << 20): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val cb = pqTrainCodebooks(corpus, cId, cVec, dims, m, kCents, iters, scale)
     val codes = pqEncode(corpus, cId, cVec, dims, m, cb)
+    pqSearch(queries, qId, qVec, cb, codes, corpus, cId, cVec, k, shortlist)
+  }
+
+  /** Persist a PQ index at `path`: the m sub-codebooks
+    * (`pq_codebook/` — m·kCents tiny rows) and the corpus CODES
+    * (`codes/` — m small ints per vector, the 32×-at-dims-64 form a
+    * 100 TB deployment scans instead of floats). Training is paid
+    * ONCE at build; searches load both artifacts and touch the float
+    * corpus only for their shortlists. */
+  def buildPqIndex(corpus: DataFrame, cId: String, cVec: String,
+                   dims: Int, m: Int, kCents: Int, iters: Int,
+                   path: String, scale: Long = 1L << 20): Unit = {
+    val cb = pqTrainCodebooks(corpus, cId, cVec, dims, m, kCents, iters, scale)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
+    pqEncode(corpus, cId, cVec, dims, m, cb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** PQ search THROUGH a [[buildPqIndex]] artifact: candidates score
+    * against the stored codes (decoded on the fly from the broadcast
+    * codebook), the float `corpus` is joined for the shortlist
+    * re-rank alone. Identical results to [[pqTopK]] with the same
+    * build knobs — the artifact is a storage layout, not a semantic
+    * change. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    queries: DataFrame, qId: String, qVec: String,
+                    path: String, corpus: DataFrame, cId: String,
+                    cVec: String, k: Int, shortlist: Int): DataFrame =
+    pqSearch(queries, qId, qVec,
+      spark.read.parquet(s"$path/pq_codebook"),
+      spark.read.parquet(s"$path/codes"),
+      corpus, cId, cVec, k, shortlist)
+
+  /** The shared PQ search tail: asymmetric cosine over decoded codes,
+    * bounded shortlist, float re-rank. */
+  private def pqSearch(queries: DataFrame, qId: String, qVec: String,
+                       cb: DataFrame, codes: DataFrame,
+                       corpus: DataFrame, cId: String, cVec: String,
+                       k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val recon = pqDecode(codes, cId, cb)
       .withColumn("__rn", norm(col("__rv")))
     val qa = boundedBroadcast(
       queries.select(col(qId), col(qVec)).withColumn("__qn", norm(col(qVec))),
-      qVec, "pqTopK")
+      qVec, "pqSearch")
     val cand = recon.crossJoin(qa)
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__rv")),

@@ -1574,6 +1574,22 @@ class PipelineSpec extends SparkTestBase {
       val want = cosTrue(orig(r.getAs[Long]("q_id")), orig(r.getAs[Long]("vec_id")))
       assert(math.abs(got - want) < 1e-12, s"$got vs $want")
     }
+    // the persisted index serves IDENTICAL results — the artifact is
+    // a storage layout, not a semantic change
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toFile
+    try {
+      Similarity.buildPqIndex(corpus, "vec_id", "v", dims = 16, m = 4,
+        kCents = 8, iters = 1, dir.getAbsolutePath)
+      val viaIdx = Similarity.pqTopKIndexed(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, corpus, "vec_id", "v", k = 3, shortlist = 12)
+        .collect().map(_.toSeq).toSet
+      assert(viaIdx == out.map(_.toSeq).toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
   }
 
   test("frame-based Lloyd equals the driver-literal Lloyd bit for bit") {
