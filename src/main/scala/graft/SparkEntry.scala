@@ -322,6 +322,104 @@ object SparkEntry {
          FROM ranked WHERE "rank" <= $k"""
   }
 
+  /** DuckDB oracle for the COMPOSED IVF×PQ index
+    * (Similarity.buildIndexPqJoined / ivfTopKIndexedPq): the
+    * md5-synthetic coarse codebook + cos-argmax cell assignment of
+    * the joined-IVF oracle, the per-subspace L2 Lloyd + encode +
+    * decode of [[pqSql]], candidates restricted to each query's
+    * `nProbe` probed cells and scored against reconstructions, float
+    * re-rank over the shortlist. */
+  private def ivfPqSql(nCells: Int, nProbe: Int, dims: Int, m: Int,
+                       kc: Int, iters: Int, qMax: Int, k: Int,
+                       shortlist: Int): String = {
+    val sub = dims / m
+    def passign(cbIn: String, out: String) =
+      s"""$out AS (SELECT sub, vec_id, sv, cent_id FROM (
+               SELECT s.sub, s.vec_id, s.sv, c.cent_id,
+                 row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY
+                   list_dot_product(s.sv, s.sv)
+                     - 2.0 * list_dot_product(s.sv, c.cv)
+                     + list_dot_product(c.cv, c.cv),
+                   c.cent_id) AS rn
+               FROM sv s JOIN $cbIn c ON c.sub = s.sub) WHERE rn = 1)"""
+    val steps = (0 until iters).map { i =>
+      s"""dim$i AS (
+             SELECT a.sub, a.cent_id, d.range AS dim,
+               sum(CAST(round(a.sv[CAST(d.range AS INT) + 1] * 1048576.0) AS BIGINT)) AS s,
+               count(*) AS n
+             FROM pa$i a CROSS JOIN range($sub) d
+             GROUP BY 1, 2, 3),
+           pc${i + 1}m AS (
+             SELECT sub, cent_id, list((s / n) / 1048576.0 ORDER BY dim) AS cv
+             FROM dim$i GROUP BY sub, cent_id),
+           pc${i + 1} AS (SELECT s.sub, s.cent_id, coalesce(m.cv, s.cv) AS cv
+                  FROM pc$i s LEFT JOIN pc${i + 1}m m
+                    ON s.sub = m.sub AND s.cent_id = m.cent_id),
+           ${passign(s"pc${i + 1}", s"pa${i + 1}")}"""
+    }.mkString(",\n           ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT cell_id, list_transform(range($dims), j ->
+                  (CAST(concat('0x', substring(md5(concat('cb-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS cv
+                FROM range($nCells) t(cell_id)),
+         cbn AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cb),
+         ac AS (SELECT e.vec_id, e.v, cbn.cell_id,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * cbn.cn = 0 THEN 0.0
+                         ELSE list_dot_product(e.v, cbn.cv) /
+                              (sqrt(list_dot_product(e.v, e.v)) * cbn.cn) END DESC,
+                    cbn.cell_id) AS rn
+                FROM e, cbn),
+         ca AS (SELECT vec_id, cell_id FROM ac WHERE rn = 1),
+         qp AS (SELECT vec_id AS q_id, v AS qv, cell_id FROM ac
+                WHERE vec_id < $qMax AND rn <= $nProbe),
+         sv AS (SELECT vec_id, CAST(j.range AS INT) AS sub,
+                  list_slice(v, CAST(j.range AS INT) * $sub + 1,
+                    CAST(j.range AS INT) * $sub + $sub) AS sv
+                FROM e CROSS JOIN range($m) j),
+         seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+                   FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $kc)),
+         pc0 AS (SELECT s.sub, d.cent_id, s.sv AS cv
+                FROM sv s JOIN seeds d ON s.vec_id = d.vec_id),
+         ${passign("pc0", "pa0")},
+         $steps,
+         recon AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+                   FROM pa$iters a JOIN pc$iters c
+                     ON c.sub = a.sub AND c.cent_id = a.cent_id
+                   GROUP BY a.vec_id),
+         cand AS (SELECT qp.q_id, ca.vec_id,
+                    CASE WHEN sqrt(list_dot_product(qp.qv, qp.qv)) *
+                              sqrt(list_dot_product(r.rv, r.rv)) = 0 THEN 0.0
+                         ELSE list_dot_product(qp.qv, r.rv) /
+                              (sqrt(list_dot_product(qp.qv, qp.qv)) *
+                               sqrt(list_dot_product(r.rv, r.rv))) END AS c_sim
+                  FROM ca
+                  JOIN qp ON ca.cell_id = qp.cell_id AND ca.vec_id <> qp.q_id
+                  JOIN recon r ON r.vec_id = ca.vec_id),
+         short AS (SELECT q_id, vec_id FROM (
+                    SELECT q_id, vec_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY c_sim DESC, vec_id) AS rn
+                    FROM cand) WHERE rn <= $shortlist),
+         q1 AS (SELECT DISTINCT q_id, qv FROM qp),
+         rescored AS (SELECT s.q_id, s.vec_id AS neighbor_id,
+                        CASE WHEN sqrt(list_dot_product(q1.qv, q1.qv)) *
+                                  sqrt(list_dot_product(e.v, e.v)) = 0 THEN 0.0
+                             ELSE list_dot_product(q1.qv, e.v) /
+                                  (sqrt(list_dot_product(q1.qv, q1.qv)) *
+                                   sqrt(list_dot_product(e.v, e.v))) END AS cos_sim
+                      FROM short s
+                      JOIN q1 ON q1.q_id = s.q_id
+                      JOIN e ON e.vec_id = s.vec_id),
+         ranked AS (SELECT q_id, neighbor_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS "rank",
+                      round(cos_sim, 4) AS cos_sim_r
+                    FROM rescored)
+         SELECT q_id, neighbor_id, "rank", cos_sim_r
+         FROM ranked WHERE "rank" <= $k"""
+  }
+
   /** Deterministic ±1 hyperplanes (fixed seed) for the oracle-checked
     * LSH query — the SAME literal matrix is embedded in the DuckDB
     * oracle SQL, so both engines compute identical buckets. */
@@ -2363,6 +2461,28 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.pqTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
           emb, "vec_id", "embedding", k = 3, shortlist = 10)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // pipeline: the COMPOSED IVF×PQ index — probed-cell partition
+    // pruning AND 32x code compression in one artifact: candidates
+    // within each query's 8 probed cells (of 64) score against
+    // decoded PQ codes (the scan projects the m-code column, never
+    // floats), the shortlist re-ranks on true floats. The generated
+    // oracle replays coarse codebook, assignment, PQ training,
+    // encoding and both rankings (Similarity.ivfTopKIndexedPq).
+    "q_knn_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = stagedOnce("ivfpq-n64m8k16i1", dir)(root =>
+        Similarity.buildIndexPqJoined(emb, "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 64, dims = 64),
+          dims = 64, m = 8, kCents = 16, iters = 1, root.getAbsolutePath))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexedPq(s, q, "q_id", "q_vec",
+          idx.getAbsolutePath, "vec_id", "embedding",
+          k = 3, shortlist = 10, nProbe = 8)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
@@ -5906,6 +6026,11 @@ object SparkEntry {
     // ranking stages (see pqSql)
     "q_knn_pq" -> pqSql(dims = 64, m = 8, kc = 16, iters = 1,
       qMax = 10, k = 3, shortlist = 10),
+
+    // coarse codebook + assignment + PQ + both rankings in one
+    // generated chain (see ivfPqSql)
+    "q_knn_ivf_pq" -> ivfPqSql(nCells = 64, nProbe = 8, dims = 64,
+      m = 8, kc = 16, iters = 1, qMax = 10, k = 3, shortlist = 10),
 
     // Salt-invariance makes the plain one-phase GROUP BY the oracle.
     "q_salted_agg" ->

