@@ -1218,6 +1218,26 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** [[appendToIndexJoined]] for a composed IVF×PQ index: the batch
+    * is cell-assigned by the persisted coarse codebook AND encoded by
+    * the persisted PQ codebooks (neither retrained — cells and code
+    * meanings stay stable, the standard maintenance contract), then
+    * appended into the same `cells/cell_id=N/(cId, cVec, codes)`
+    * layout. Small-file accumulation folds via [[compactIndexCells]]
+    * unchanged. */
+  def appendToIndexPqJoined(batch: DataFrame, cId: String, cVec: String,
+                            dims: Int, m: Int, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cb = spark.read.parquet(s"$path/codebook")
+    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val codes = pqEncode(batch, cId, cVec, dims, m, pqcb)
+    assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb)
+      .join(codes, Seq(cId))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("append")
+      .parquet(s"$path/cells")
+  }
+
   /** Search a [[buildIndexPqJoined]] artifact: probe cells via the
     * broadcast coarse codebook, score candidates against the DECODED
     * PQ codes of the probed cells only (the scan projects `codes`,

@@ -541,7 +541,11 @@ object TextAnalysis {
       val p = new org.apache.hadoop.fs.Path(root, d)
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
-    appendToTextIndex(docs, idCol, textCol, path, "batch-000000000",
+    // the build batch lives in its OWN name space: a streaming
+    // appender's batchId 0 must never collide with the build's
+    // idempotence marker (it would silently skip the first
+    // micro-batch)
+    appendToTextIndex(docs, idCol, textCol, path, "build-000000000",
       compact = true): Unit
   }
 
@@ -584,8 +588,10 @@ object TextAnalysis {
   def streamingTextIndexAppend(docs: DataFrame, idCol: String,
                                textCol: String, path: String) =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // "stream-" prefix: a distinct name space from the build batch
+      // and from any manually named append
       appendToTextIndex(batch, idCol, textCol, path,
-        f"batch-$batchId%09d"): Unit
+        f"stream-$batchId%09d"): Unit
     }
 
   /** Conjunctive (AND) retrieval through a [[buildTextIndex]]

@@ -1627,6 +1627,20 @@ class PipelineSpec extends SparkTestBase {
         .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
           r.getAs[Long]("rank"))).toSet
       assert(all == brute, s"$all vs $brute")
+      // incremental maintenance: a batch appended with the EXISTING
+      // codebooks (cell-assigned + PQ-encoded, no retrain) surfaces
+      // through the unchanged search path
+      val probe = corpus.filter(col("vec_id") === 42L)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+      val twin = corpus.filter(col("vec_id") === 42L)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("v"))
+      Similarity.appendToIndexPqJoined(twin, "vec_id", "v",
+        dims = 16, m = 4, dir.getAbsolutePath)
+      val after = Similarity.ivfTopKIndexedPq(spark, probe, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 1, shortlist = 5, nProbe = 2)
+        .collect()
+      assert(after.head.getAs[Long]("vec_id") == 1042L,
+        s"the appended identical twin must rank first: ${after.toSeq}")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit

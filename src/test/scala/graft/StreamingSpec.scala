@@ -251,6 +251,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming text-index append: micro-batches keep BM25 equal to a full scan") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stext").toString
+    val words = Seq("alpha", "beta", "scan", "column", "window", "sort")
+    def doc(i: Int): (Long, String) =
+      (i.toLong, (0 until (3 + i % 5)).map(j =>
+        words((i * 7 + j * 3) % words.length)).mkString(" "))
+    val seed = (0 until 40).map(doc).toDF("doc_id", "text")
+    TextAnalysis.buildTextIndex(seed, "doc_id", "text", dir)
+    val input = MemoryStream[(Long, String)]
+    val q = TextAnalysis.streamingTextIndexAppend(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(doc(40), doc(41))
+      q.processAllAvailable()
+      input.addData(doc(42), doc(43), doc(44))
+      q.processAllAvailable()
+      // the streamed index serves BM25 identical to a full scan over
+      // the union corpus: postings rows and folded N/avgdl are equal
+      // by construction, however the documents arrived
+      val union = (0 until 45).map(doc).toDF("doc_id", "text")
+      val viaIdx = TextAnalysis.bm25IndexedTopK(spark, dir,
+          Seq("scan", "column"), 15)
+        .collect().map(_.toSeq).toSet
+      val viaScan = TextAnalysis.bm25TopK(union, "doc_id", "text",
+          Seq("scan", "column"), 15)
+        .collect().map(_.toSeq).toSet
+      assert(viaIdx == viaScan && viaIdx.nonEmpty)
+      assert(TextAnalysis.readTextStats(spark, dir)
+        .head.getAs[Long]("n") == 45L)
+    } finally q.stop()
+  }
+
   test("streaming gated ingest: clean and quarantine channels fill per batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
