@@ -189,7 +189,13 @@ object SparkEntry {
     * ivfTopKMultiProbe query side); corpus assignment stays rn = 1,
     * so no candidate pair repeats. */
   private def ivfTrainedSql(nCells: Int, iters: Int, qMax: Int, k: Int,
-                            nProbe: Int = 1): String = {
+                            nProbe: Int = 1,
+                            corpusPred: String = ""): String = {
+    // corpusPred restricts the CANDIDATE side only (the erasure
+    // oracle: an index trained on the full corpus whose deleted
+    // vectors stop matching searches — centroids keep their
+    // pre-delete meaning, exactly what the engine's delete set does)
+    val candPred = if (corpusPred.isEmpty) "" else s" AND ($corpusPred)"
     def assign(cIn: String, aOut: String) =
       s"""$aOut AS (SELECT vec_id, v, cent_id FROM (
                  SELECT e.vec_id, e.v, c.cent_id,
@@ -231,7 +237,7 @@ object SparkEntry {
              list_dot_product(q.qv, a.v) /
              nullif(sqrt(list_dot_product(q.qv, q.qv)) *
                     sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
-           FROM a$iters a JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
+           FROM a$iters a JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id$candPred),
          ranked AS (
            SELECT q_id, neighbor_id,
              row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
@@ -2300,6 +2306,33 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ERASURE from the text index (TextAnalysis.deleteFromTextIndex /
+    // purgeTextIndex): cohort A is physically purged (postings and
+    // doclens rewritten, ids reinsertable), cohort B tombstoned only —
+    // q_erasure's two-stage contract extended to the retrieval
+    // artifact. Each delete subtracts the cohort's EXACT stats
+    // contribution (one negative sumOn row from the doclens table),
+    // so the served BM25 — N, avgdl, df and all — equals a REBUILD
+    // over the filtered corpus, which is what the oracle computes.
+    "q_erasure_text" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-del-v1", dir) { root =>
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.buildTextIndex(docs, "doc_id", "text",
+          root.getAbsolutePath)
+        def cohort(r: Int) = docs.filter(col("doc_id") % 7 === r)
+          .select(col("doc_id"))
+        TextAnalysis.deleteFromTextIndex(s, root.getAbsolutePath,
+          cohort(3), "gdpr-a")
+        TextAnalysis.purgeTextIndex(s, root.getAbsolutePath)
+        TextAnalysis.deleteFromTextIndex(s, root.getAbsolutePath,
+          cohort(5), "gdpr-b")
+      }
+      TextAnalysis.bm25IndexedTopK(s, idx.getAbsolutePath,
+        Seq("column", "scan", "window"), topK = 15)
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
     // Quoted-phrase retrieval (TextAnalysis.phraseLookup): positional
     // postings intersect per document — a start position survives iff
     // term i sits at p+i for every i — one aggregate over the pruned
@@ -2603,6 +2636,36 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
         "vec_id", "embedding", k = 3, nProbe = 2)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // ERASURE from the ANN index (Similarity.deleteFromIndex /
+    // purgeIndexDeletes): cohort A is physically purged — every
+    // affected cell_id=N/ store rewritten minus its rows through the
+    // per-cell tombstone+purge machinery, delete set cleared — and
+    // cohort B is delete-set only (every search tail anti-joins it at
+    // the shared cells read). Centroids are NOT retrained: cells keep
+    // their pre-delete meaning, so the oracle trains on the FULL
+    // corpus and filters only the candidate side. Neither cohort can
+    // surface as a neighbor; deleted ids remain valid as QUERIES.
+    "q_erasure_ann" -> ((s, dir) => {
+      val idx = stagedOnce("ivfdel-n8i1", dir) { root =>
+        val emb = Tables.embeddings(s, dir)
+        Similarity.buildIndex(emb, "vec_id", "embedding",
+          root.getAbsolutePath, nCells = 8, iters = 1)
+        def cohort(r: Int) = emb.filter(col("vec_id") % 10 === r)
+          .select(col("vec_id"))
+        Similarity.deleteFromIndex(s, root.getAbsolutePath,
+          cohort(3), "gdpr-a")
+        Similarity.purgeIndexDeletes(s, root.getAbsolutePath, "gdpr-a"): Unit
+        Similarity.deleteFromIndex(s, root.getAbsolutePath,
+          cohort(6), "gdpr-b")
+      }
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
+        "vec_id", "embedding", k = 3, nProbe = 1)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
@@ -4040,11 +4103,12 @@ object SparkEntry {
   // ----------------------------------------------------------------
   /** Shared by q_bm25_search and q_bm25_indexed — the index is a
     * storage layout, not a semantic change, so one oracle replays
-    * both. */
-  private val Bm25Sql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+    * both. `docsWhere` restricts the corpus (the erasure oracle:
+    * BM25 over a deleted index == BM25 over the filtered corpus). */
+  private def bm25Sql(docsWhere: String = ""): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-              FROM documents),
+              FROM documents $docsWhere),
          stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
          tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
                   SELECT doc_id, dl, unnest(t) AS token FROM d)
@@ -5299,12 +5363,12 @@ object SparkEntry {
     // BM25: identical parenthesization to the Spark side — every
     // sub-expression is the same IEEE op on the same doubles, the idf
     // and each contribution floor to BIGINT, the sum is integer.
-    "q_bm25_search" -> Bm25Sql,
+    "q_bm25_search" -> bm25Sql(),
 
     // identical math and data to q_bm25_search — build+append serves
     // the same postings rows and the same folded N/avgdl as a full
     // rebuild, so the full-corpus oracle replays the incremental index
-    "q_bm25_incremental" -> Bm25Sql,
+    "q_bm25_incremental" -> bm25Sql(),
 
     // phrase hits recomputed from the RAW text: a 1-based start i
     // survives iff a[i]='column' and a[i+1]='scan' — the engine's
@@ -5335,7 +5399,12 @@ object SparkEntry {
     // identical math and data to q_bm25_search — the index is a
     // storage layout, not a semantic change (the q_knn_ivf_indexed
     // precedent)
-    "q_bm25_indexed" -> Bm25Sql,
+    "q_bm25_indexed" -> bm25Sql(),
+
+    // Erasure from the text index: BM25 over the deleted (purged +
+    // tombstoned) index equals a rebuild over the filtered corpus —
+    // N, avgdl and df all reflect only surviving documents.
+    "q_erasure_text" -> bm25Sql("WHERE doc_id % 7 NOT IN (3, 5)"),
 
     "q_term_search_all" ->
       """WITH p AS (SELECT doc_id, token, count(*) AS tf FROM (
@@ -5665,6 +5734,14 @@ object SparkEntry {
     // query's cells over the final centroids and probes rn <= 2.
     "q_knn_ivf_indexed_mp" ->
       ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3, nProbe = 2),
+
+    // Erasure through the index: training ran on the FULL corpus
+    // (centroids keep their pre-delete meaning — the engine does not
+    // retrain on delete), both deleted cohorts vanish from the
+    // CANDIDATE side only (deleted ids still query).
+    "q_erasure_ann" ->
+      ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3,
+        corpusPred = "a.vec_id % 10 NOT IN (3, 6)"),
 
     // Quantized search through the joined index: assignment replayed
     // as in q_knn_ivf_joined; candidates scored against the REPLAYED

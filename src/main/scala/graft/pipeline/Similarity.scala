@@ -657,6 +657,97 @@ object Similarity {
       appendToIndexAtomic(batch, cId, cVec, path, batchId)
     }
 
+  // ---- index deletion (right-to-be-forgotten for ANN artifacts) ---
+
+  /** LOGICAL deletion from a persisted index: record `keys` — a
+    * one-column frame whose column NAMES the indexed id column — as a
+    * delete-set batch under `path`/deletes, after which every search
+    * path anti-joins candidates against the set before scoring
+    * ([[readProbedCells]] for the cell layouts, the codes read for
+    * the PQ-only layout), so a deleted vector can never surface as a
+    * neighbor again — including through retained pre-delete cell
+    * generations, deliberately: erasure beats time travel here
+    * exactly as it does in the events store
+    * ([[graft.sources.Compact.deleteKeys]], whose contract this
+    * mirrors). O(keys) and immediate; bytes are reclaimed by
+    * [[purgeIndexDeletes]]. Deterministic `name` → retries are
+    * idempotent. Delete-then-reinsert is NOT supported until a purge
+    * clears the delete set (the set has no ordering vs appends). */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, keys: DataFrame, name: String): Unit = {
+    require(keys.columns.length == 1,
+      "index delete keys must be a single-column frame naming the id column")
+    graft.sources.Store.atomicAppend(keys.distinct(),
+      s"$path/deletes", s"del-$name")
+  }
+
+  /** The live delete set of an index, if any: (keyColumn, keys). */
+  private def indexDeletes(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Option[(String, DataFrame)] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    if (files.isEmpty) None
+    else {
+      val df = spark.read.parquet(files.map(_.toString): _*)
+      require(df.columns.length == 1,
+        s"mixed delete-key columns in $dir: ${df.columns.mkString(", ")}")
+      Some((df.columns.head, df))
+    }
+  }
+
+  /** Anti-join `rows` against the index's delete set (no-op without
+    * one, or when `rows` lacks the key column). Erasure sets are
+    * request-sized, so the anti-join broadcasts in practice; no hint
+    * is forced, matching the events store's tombstone reader. */
+  private def minusIndexDeletes(spark: org.apache.spark.sql.SparkSession,
+                                path: String, rows: DataFrame): DataFrame =
+    indexDeletes(spark, path) match {
+      case Some((kc, keys)) if rows.columns.contains(kc) =>
+        rows.join(keys, Seq(kc), "left_anti")
+      case _ => rows
+    }
+
+  /** PHYSICAL erasure for a cell-partitioned index: rewrite every
+    * affected `cell_id=N/` store minus the deleted ids — per cell,
+    * the events store's crash-safe tombstone+purge machinery
+    * (manifest committed per cell, row accounting validated before
+    * each commit) — then drop the root delete set, at which point the
+    * ids are reinsertable again. Affected cells are discovered with
+    * ONE column-pruned scan (a raw root read: superseded generations
+    * can only OVER-list cells, and purging an unaffected cell is a
+    * validated no-op). Per-cell purges run as driver-sequenced jobs —
+    * this is the maintenance window's batch erasure pass, not a query
+    * path. Idempotent under the same `name`: a crash mid-loop re-runs
+    * remaining cells and re-purging a done cell matches zero rows.
+    * Returns (affectedCells, rowsErased). */
+  def purgeIndexDeletes(spark: org.apache.spark.sql.SparkSession,
+                        path: String, name: String): (Int, Long) =
+    indexDeletes(spark, path) match {
+      case None => (0, 0L)
+      case Some((kc, keys0)) =>
+        val root = s"$path/cells"
+        val keys = keys0.distinct()
+        val affected = spark.read.parquet(root)
+          .join(keys, Seq(kc), "left_semi")
+          .select(col("cell_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        var erased = 0L
+        affected.foreach { c =>
+          val cellDir = s"$root/cell_id=$c"
+          graft.sources.Compact.deleteKeys(spark, cellDir, keys,
+            s"$name-c$c")
+          val rep = graft.sources.Compact.purge(spark, cellDir)
+          erased += rep.rowsBefore - rep.rowsAfter
+        }
+        val dir = new org.apache.hadoop.fs.Path(s"$path/deletes")
+        dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(dir, true): Unit
+        (affected.length, erased)
+    }
+
   /** The persisted codebook, sorted by cell id (tiny: nCells rows). */
   def loadCodebook(spark: org.apache.spark.sql.SparkSession,
                    path: String): Array[(Long, Seq[Double])] =
@@ -743,7 +834,9 @@ object Similarity {
     val base = spark.read.option("basePath", root.toString)
     val df = if (files.nonEmpty) base.parquet(files: _*)
              else spark.read.parquet(root.toString).filter(lit(false))
-    df.filter(col("cell_id").isin(probed: _*))
+    // erasure: every cell-layout search tail reads through here, so
+    // one anti-join hides deleted ids from ALL of them at once
+    minusIndexDeletes(spark, path, df.filter(col("cell_id").isin(probed: _*)))
   }
 
   /** The `nCells` lowest-id corpus vectors as a codebook FRAME —
@@ -1157,7 +1250,9 @@ object Similarity {
                     cVec: String, k: Int, shortlist: Int): DataFrame =
     pqSearch(queries, qId, qVec,
       spark.read.parquet(s"$path/pq_codebook"),
-      spark.read.parquet(s"$path/codes"),
+      // the PQ-only layout's delete choke point (cell layouts take
+      // theirs in readProbedCells)
+      minusIndexDeletes(spark, path, spark.read.parquet(s"$path/codes")),
       corpus, cId, cVec, k, shortlist)
 
   /** The shared PQ search tail: asymmetric cosine over decoded codes,

@@ -509,6 +509,20 @@ object TextAnalysis {
   val TextStatsOptions: graft.sources.Compact.Options =
     graft.sources.Compact.Options(sumOn = Seq("k"))
 
+  /** One row per document: (doc_id, dl) — the per-doc token count
+    * the index needs INDEPENDENTLY of postings, because a document
+    * whose tokens are all empty posts no postings row yet still
+    * counts in N/avgdl (statsRow counts every doc). Deletion reads
+    * this table to subtract a doc's exact stats contribution; it is
+    * also the norms-table shape a scorer needing per-doc priors would
+    * extend. Tombstone-aware on read like every Compact store, so a
+    * second delete of the same doc finds no row and is
+    * stats-neutral. */
+  private def docLens(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+
   /** One batch's partial corpus-stats row (k=0, n, tot). */
   private def statsRow(docs: DataFrame, textCol: String): DataFrame =
     docs.select(tokens(col(textCol)).as("__toks"))
@@ -537,7 +551,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("postings", "stats").foreach { d =>
+    Seq("postings", "stats", "doclens").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(root, d)
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
@@ -571,11 +585,68 @@ object TextAnalysis {
       indexPostingsScored(docs, idCol, textCol), s"$path/postings", name)
     val s = graft.sources.Store.atomicAppendOnce(
       statsRow(docs, textCol), s"$path/stats", name)
+    // the per-doc length table rides the same marker discipline; its
+    // replay no-op is silent (the returned pair keeps its shape)
+    graft.sources.Store.atomicAppendOnce(
+      docLens(docs, idCol, textCol), s"$path/doclens", name): Unit
     if (compact) {
       graft.sources.Compact.run(spark, s"$path/postings", TermIndexOptions): Unit
       graft.sources.Compact.run(spark, s"$path/stats", TextStatsOptions): Unit
+      graft.sources.Compact.run(spark, s"$path/doclens"): Unit
     }
     (p, s)
+  }
+
+  /** DELETION from a text index — the erasure path the events store
+    * has, extended to the retrieval artifact: `ids` (one column,
+    * any name, coerced to doc_id) stop matching every lookup
+    * immediately and the corpus stats fold back to the surviving
+    * corpus's exact N/avgdl, so BM25 over the deleted index equals a
+    * REBUILD over the filtered corpus (pinned in tests and oracled).
+    *
+    * Mechanics: one NEGATIVE stats row (−n, −tot from the doclens
+    * table — exact even for docs that posted no postings row) lands
+    * marker-idempotently FIRST, then postings and doclens gain
+    * tombstones ([[graft.sources.Compact.deleteKeys]]) that every
+    * read path already anti-joins ([[termLookup]]/[[termLookupAll]]/
+    * [[phraseLookup]]/[[proximityLookup]]/[[bm25IndexedTopK]] all go
+    * through the tombstone-aware pruned reader). Ordering makes the
+    * crash windows converge: a replay skips the stats delta on its
+    * marker and re-appends tombstones idempotently; deleting an
+    * already-deleted (or absent) doc contributes a zero delta because
+    * the doclens read is itself tombstone-aware. O(ids) + one doclens
+    * scan; bytes are reclaimed by the stores' purge. Reinsertion of a
+    * deleted doc_id needs a purge first, as in every tombstoned
+    * store. */
+  def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, ids: DataFrame,
+                          name: String): Unit = {
+    require(ids.columns.length == 1,
+      "text-index delete ids must be a single-column frame")
+    val keys = ids.distinct().toDF("doc_id")
+    val delta = graft.sources.Compact.read(spark, s"$path/doclens")
+      .join(keys, Seq("doc_id"))
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tot"))
+      .select(lit(0L).as("k"), (-col("__n")).cast("long").as("n"),
+        (-coalesce(col("__tot"), lit(0L))).cast("long").as("tot"))
+    graft.sources.Store.atomicAppendOnce(delta, s"$path/stats",
+      s"del-$name"): Unit
+    graft.sources.Compact.deleteKeys(spark, s"$path/postings", keys, name)
+    graft.sources.Compact.deleteKeys(spark, s"$path/doclens", keys, name)
+  }
+
+  /** PHYSICAL erasure for a text index: rewrite postings and doclens
+    * minus their tombstoned docs (each store's crash-safe purge —
+    * row accounting validated before every commit), after which the
+    * deleted doc_ids are reinsertable. The stats store is deliberately
+    * untouched: its negative delta rows ARE the durable record of the
+    * deletion — an additive store erases by subtraction, not
+    * rewrite — so folded N/avgdl stay exact across any
+    * delete/purge/append interleaving. */
+  def purgeTextIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    graft.sources.Compact.purge(spark, s"$path/postings", TermIndexOptions): Unit
+    graft.sources.Compact.purge(spark, s"$path/doclens"): Unit
   }
 
   /** Started-able streaming index maintenance: every micro-batch of

@@ -1131,6 +1131,86 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("ANN-index erasure: delete set hides vectors from every tail, purge rewrites affected cells and clears it") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "v")
+    val deleted = (i: Long) => i % 4 == 1
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toFile
+    val refDir = java.nio.file.Files.createTempDirectory("ivfref").toFile
+    try {
+      Similarity.buildIndex(corpus, "vec_id", "v", dir.getAbsolutePath,
+        nCells = 6, iters = 1)
+      Similarity.deleteFromIndex(spark, dir.getAbsolutePath,
+        corpus.filter(col("vec_id") % 4 === 1).select("vec_id"), "gdpr-1")
+      // the reference: the SAME codebook over the filtered corpus
+      // (deletion must not retrain — cells keep their meaning)
+      val cb = spark.read.parquet(s"${dir.getAbsolutePath}/codebook")
+      Similarity.buildIndexJoined(corpus.filter(col("vec_id") % 4 =!= 1),
+        "vec_id", "v", cb, refDir.getAbsolutePath)
+      val q = Seq((999L, Array(1.0f, 0.05f)),
+        (998L, Array(0.2f, 0.9f))).toDF("q_id", "q_vec")
+      def search(path: String) =
+        Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec", path,
+          "vec_id", "v", k = 5, nProbe = 3)
+          .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
+      val got = search(dir.getAbsolutePath)
+      assert(got == search(refDir.getAbsolutePath))
+      assert(!got.exists(r => deleted(r(1).asInstanceOf[Long])))
+      // the quantized/PQ cell tails read through the same choke point;
+      // the PQ-only layout takes its own delete set at the codes read
+      val pqDir = java.nio.file.Files.createTempDirectory("pqdel").toFile
+      try {
+        val wide = (0 until 64).map { i =>
+          (i.toLong, Array.tabulate(16)(j =>
+            math.cos(i * 0.11 + j).toFloat))
+        }.toDF("vec_id", "v")
+        Similarity.buildPqIndex(wide, "vec_id", "v", dims = 16, m = 4,
+          kCents = 4, iters = 1, pqDir.getAbsolutePath)
+        Similarity.deleteFromIndex(spark, pqDir.getAbsolutePath,
+          wide.filter(col("vec_id") % 4 === 1).select("vec_id"), "gdpr-1")
+        val qw = Seq((999L, Array.tabulate(16)(j => math.cos(j).toFloat)))
+          .toDF("q_id", "q_vec")
+        val pqGot = Similarity.pqTopKIndexed(spark, qw, "q_id", "q_vec",
+          pqDir.getAbsolutePath, wide, "vec_id", "v", k = 5, shortlist = 10)
+          .collect().map(_.getAs[Long]("vec_id"))
+        assert(pqGot.nonEmpty && !pqGot.exists(deleted), pqGot.toSeq)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(pqDir)
+      }
+      // physical purge: affected cells rewritten (raw bytes no longer
+      // hold the cohort), the delete set cleared, results unchanged
+      val (cellsTouched, erased) =
+        Similarity.purgeIndexDeletes(spark, dir.getAbsolutePath, "gdpr-1")
+      assert(cellsTouched > 0 && erased == 30L, s"$cellsTouched, $erased")
+      assert(!new java.io.File(dir, "deletes").exists())
+      val raw = spark.read.parquet(s"${dir.getAbsolutePath}/cells")
+      assert(raw.filter(col("vec_id") % 4 === 1).count() == 0L)
+      assert(search(dir.getAbsolutePath) == got)
+      // purge is idempotent when nothing is pending
+      assert(Similarity.purgeIndexDeletes(spark, dir.getAbsolutePath,
+        "gdpr-1") == ((0, 0L)))
+      // post-purge, the cohort is reinsertable: an append surfaces it
+      val back = Seq((1L, Array(1.0f, 0.05f))).toDF("vec_id", "v")
+      Similarity.appendToIndex(back, "vec_id", "v", dir.getAbsolutePath)
+      val after = Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 5, nProbe = 3)
+        .filter(col("q_id") === 999L).collect()
+      assert(after.exists(r => r.getAs[Long]("vec_id") == 1L &&
+        r.getAs[Long]("rank") == 1L), after.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir); rm(refDir)
+    }
+  }
+
   test("join-assigned IVF at 4096 cells: broadcast codebook, argmax parity, probed-cell pruning") {
     import spark.implicits._
     val corpus = (0 until 120).map { i =>
@@ -1391,6 +1471,64 @@ class PipelineSpec extends SparkTestBase {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(incDir); rm(fullDir)
+    }
+  }
+
+  test("text-index erasure: delete equals rebuild, purge reclaims bytes, double delete is stats-neutral") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "scan", "merge",
+      "column", "window", "sort", "filter")
+    val docs = (0 until 150).map { i =>
+      val toks = (0 until (3 + i % 7)).map(j => words((i * 7 + j * 3) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val keep = docs.filter(col("doc_id") % 5 =!= 2)
+    val delDir = java.nio.file.Files.createTempDirectory("textdel").toFile
+    val refDir = java.nio.file.Files.createTempDirectory("textref").toFile
+    try {
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", delDir.getAbsolutePath)
+      TextAnalysis.deleteFromTextIndex(spark, delDir.getAbsolutePath,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"), "gdpr-1")
+      TextAnalysis.buildTextIndex(keep, "doc_id", "text", refDir.getAbsolutePath)
+      // folded stats equal the filtered-corpus rebuild exactly (the
+      // negative delta came from the doclens table, not postings)
+      def stats(d: java.io.File) =
+        TextAnalysis.readTextStats(spark, d.getAbsolutePath).head
+      assert(stats(delDir) == stats(refDir), s"${stats(delDir)} vs ${stats(refDir)}")
+      // every lookup path hides the deleted docs: BM25, AND, phrase
+      val terms = Seq("scan", "column")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(TextAnalysis.bm25IndexedTopK(spark, delDir.getAbsolutePath,
+          terms, 20)) ==
+        rows(TextAnalysis.bm25IndexedTopK(spark, refDir.getAbsolutePath,
+          terms, 20)))
+      assert(rows(TextAnalysis.termLookupAll(spark, delDir.getAbsolutePath,
+          terms)) ==
+        rows(TextAnalysis.termLookupAll(spark, refDir.getAbsolutePath, terms)))
+      assert(rows(TextAnalysis.phraseLookup(spark, delDir.getAbsolutePath,
+          terms)) ==
+        rows(TextAnalysis.phraseLookup(spark, refDir.getAbsolutePath, terms)))
+      // deleting the same cohort again is stats-neutral (the doclens
+      // read is tombstone-aware, so the second delta is zero)
+      TextAnalysis.deleteFromTextIndex(spark, delDir.getAbsolutePath,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"), "gdpr-2")
+      assert(stats(delDir) == stats(refDir))
+      // physical purge: the deleted ids leave the BYTES — a raw read
+      // of the postings parts finds none of them — and results hold
+      TextAnalysis.purgeTextIndex(spark, delDir.getAbsolutePath)
+      val raw = spark.read.parquet(s"${delDir.getAbsolutePath}/postings")
+      assert(raw.filter(col("doc_id") % 5 === 2).count() == 0L)
+      assert(rows(TextAnalysis.bm25IndexedTopK(spark, delDir.getAbsolutePath,
+          terms, 20)) ==
+        rows(TextAnalysis.bm25IndexedTopK(spark, refDir.getAbsolutePath,
+          terms, 20)))
+      assert(stats(delDir) == stats(refDir))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(delDir); rm(refDir)
     }
   }
 
