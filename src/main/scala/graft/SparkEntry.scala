@@ -337,8 +337,33 @@ object SparkEntry {
     * re-rank over the shortlist. */
   private def ivfPqSql(nCells: Int, nProbe: Int, dims: Int, m: Int,
                        kc: Int, iters: Int, qMax: Int, k: Int,
-                       shortlist: Int): String = {
+                       shortlist: Int, residual: Boolean = false): String = {
     val sub = dims / m
+    // residual mode (IVFADC): PQ trains on/encodes r = x − c(cell);
+    // the reconstruction adds the candidate's own cell centroid back
+    val resCte =
+      if (!residual) ""
+      else s"""res AS (SELECT ca.vec_id,
+                  list_transform(range($dims), j ->
+                    e.v[CAST(j AS INT) + 1] - cb.cv[CAST(j AS INT) + 1]) AS v
+                FROM ca JOIN e USING (vec_id) JOIN cb USING (cell_id)),
+         """
+    val svSource = if (residual) "res" else "e"
+    val reconCte =
+      if (!residual)
+        s"""recon AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+                   FROM pa$iters a JOIN pc$iters c
+                     ON c.sub = a.sub AND c.cent_id = a.cent_id
+                   GROUP BY a.vec_id)"""
+      else
+        s"""recon0 AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rq
+                   FROM pa$iters a JOIN pc$iters c
+                     ON c.sub = a.sub AND c.cent_id = a.cent_id
+                   GROUP BY a.vec_id),
+         recon AS (SELECT r.vec_id,
+                     list_transform(range($dims), j ->
+                       r.rq[CAST(j AS INT) + 1] + cb.cv[CAST(j AS INT) + 1]) AS rv
+                   FROM recon0 r JOIN ca USING (vec_id) JOIN cb USING (cell_id))"""
     def passign(cbIn: String, out: String) =
       s"""$out AS (SELECT sub, vec_id, sv, cent_id FROM (
                SELECT s.sub, s.vec_id, s.sv, c.cent_id,
@@ -379,20 +404,17 @@ object SparkEntry {
          ca AS (SELECT vec_id, cell_id FROM ac WHERE rn = 1),
          qp AS (SELECT vec_id AS q_id, v AS qv, cell_id FROM ac
                 WHERE vec_id < $qMax AND rn <= $nProbe),
-         sv AS (SELECT vec_id, CAST(j.range AS INT) AS sub,
+         ${resCte}sv AS (SELECT vec_id, CAST(j.range AS INT) AS sub,
                   list_slice(v, CAST(j.range AS INT) * $sub + 1,
                     CAST(j.range AS INT) * $sub + $sub) AS sv
-                FROM e CROSS JOIN range($m) j),
+                FROM $svSource CROSS JOIN range($m) j),
          seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
                    FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $kc)),
          pc0 AS (SELECT s.sub, d.cent_id, s.sv AS cv
                 FROM sv s JOIN seeds d ON s.vec_id = d.vec_id),
          ${passign("pc0", "pa0")},
          $steps,
-         recon AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
-                   FROM pa$iters a JOIN pc$iters c
-                     ON c.sub = a.sub AND c.cent_id = a.cent_id
-                   GROUP BY a.vec_id),
+         $reconCte,
          cand AS (SELECT qp.q_id, ca.vec_id,
                     CASE WHEN sqrt(list_dot_product(qp.qv, qp.qv)) *
                               sqrt(list_dot_product(r.rv, r.rv)) = 0 THEN 0.0
@@ -2514,6 +2536,29 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopKIndexedPq(s, q, "q_id", "q_vec",
+          idx.getAbsolutePath, "vec_id", "embedding",
+          k = 3, shortlist = 10, nProbe = 8)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // pipeline: RESIDUAL IVF×PQ (IVFADC) — the same composed artifact
+    // with PQ trained on r = x − c(cell) instead of raw vectors: the
+    // code budget spends itself on within-cell structure, the search
+    // adds each candidate's centroid back after decode (one broadcast
+    // join on the tiny codebook) before asymmetric scoring. Same
+    // probed-cell pruning and codes-only candidate scan; the
+    // generated oracle replays residualization, training, encoding,
+    // reconstruction and both rankings.
+    "q_knn_ivf_pq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = stagedOnce("ivfpqres-n64m8k16i1", dir)(root =>
+        Similarity.buildIndexPqResidual(emb, "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 64, dims = 64),
+          dims = 64, m = 8, kCents = 16, iters = 1, root.getAbsolutePath))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexedPqResidual(s, q, "q_id", "q_vec",
           idx.getAbsolutePath, "vec_id", "embedding",
           k = 3, shortlist = 10, nProbe = 8)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
@@ -6108,6 +6153,12 @@ object SparkEntry {
     // generated chain (see ivfPqSql)
     "q_knn_ivf_pq" -> ivfPqSql(nCells = 64, nProbe = 8, dims = 64,
       m = 8, kc = 16, iters = 1, qMax = 10, k = 3, shortlist = 10),
+
+    // residual (IVFADC) variant: the chain residualizes against the
+    // assigned centroid before PQ and adds it back at reconstruction
+    "q_knn_ivf_pq_residual" -> ivfPqSql(nCells = 64, nProbe = 8, dims = 64,
+      m = 8, kc = 16, iters = 1, qMax = 10, k = 3, shortlist = 10,
+      residual = true),
 
     // Salt-invariance makes the plain one-phase GROUP BY the oracle.
     "q_salted_agg" ->

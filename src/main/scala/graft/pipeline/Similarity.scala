@@ -1378,6 +1378,121 @@ object Similarity {
       qId, cId, k)
   }
 
+  // ---- Residual IVF×PQ (IVFADC) ----------------------------------
+  // PQ over RESIDUALS r = x − c(cell) instead of raw vectors: within
+  // a cell, residuals center near zero, so the same m×kCents code
+  // budget spends itself on local structure instead of re-encoding
+  // the cell mean — the standard composition (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", the IVFADC layout)
+  // and the accuracy answer when coarse cells are real clusters.
+
+  /** `assigned` (…, cell_id, cVec) with the residual against the
+    * assigned coarse centroid as `__res` (array<double>). Double
+    * IEEE subtraction of exactly the doubles both engines derive, so
+    * the generated oracle replays it bit for bit. */
+  private def withResiduals(assigned: DataFrame, cVec: String,
+                            codebook: DataFrame): DataFrame =
+    assigned.join(broadcast(codebook), Seq("cell_id"))
+      .withColumn("__res", zip_with(col(cVec).cast("array<double>"),
+        col("centroid"), (x, c) => x - c))
+      .drop("centroid")
+
+  /** [[buildIndexPqJoined]] with RESIDUAL encoding: PQ codebooks are
+    * trained on (and codes encode) r = x − c(cell), not x. Layout is
+    * identical (`codebook` + `pq_codebook` + `cells/cell_id=N/(cId,
+    * cVec, codes)`); the search adds the centroid back after decode,
+    * so the artifact pairs with [[ivfTopKIndexedPqResidual]]. The
+    * cell assignment is STAGED once — training, encoding and the
+    * cells write all reuse it instead of re-running the broadcast
+    * argmax per consumer. */
+  def buildIndexPqResidual(corpus: DataFrame, cId: String, cVec: String,
+                           codebook: DataFrame, dims: Int, m: Int,
+                           kCents: Int, iters: Int, path: String,
+                           scale: Long = 1L << 20): Unit = {
+    codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val assigned = graft.engine.Staging.stage(
+      assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec,
+        codebook))
+    val res = graft.engine.Staging.stage(
+      withResiduals(assigned, cVec, codebook).select(col(cId), col("__res")))
+    val pqcb = pqTrainCodebooks(res, cId, "__res", dims, m, kCents, iters,
+      scale)
+    pqcb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
+    val codes = pqEncode(res, cId, "__res", dims, m, pqcb)
+    assigned.join(codes, Seq(cId))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(s"$path/cells")
+  }
+
+  /** [[appendToIndexPqJoined]] for a residual index: the batch is
+    * cell-assigned by the persisted coarse codebook, RESIDUALIZED
+    * against it, and encoded by the persisted (residual-trained) PQ
+    * codebooks — nothing retrains, cells and code meanings stay
+    * stable. */
+  def appendToIndexPqResidual(batch: DataFrame, cId: String, cVec: String,
+                              dims: Int, m: Int, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cb = spark.read.parquet(s"$path/codebook")
+    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val assigned = graft.engine.Staging.stage(
+      assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb))
+    val res = withResiduals(assigned, cVec, cb).select(col(cId), col("__res"))
+    val codes = pqEncode(res, cId, "__res", dims, m, pqcb)
+    assigned.join(codes, Seq(cId))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("append")
+      .parquet(s"$path/cells")
+  }
+
+  /** Search a [[buildIndexPqResidual]] artifact: identical shape to
+    * [[ivfTopKIndexedPq]] — probed-cell pruning, codes-only candidate
+    * scan, float re-rank — except the reconstruction is
+    * x̂ = c(cell) + r̂: decode the residual codes, add the candidate's
+    * OWN cell centroid back (a broadcast join on the tiny codebook),
+    * then score asymmetrically. Deterministic end to end, so the
+    * generated oracle replays the full chain. */
+  def ivfTopKIndexedPqResidual(spark: org.apache.spark.sql.SparkSession,
+                               queries: DataFrame, qId: String, qVec: String,
+                               path: String, cId: String, cVec: String,
+                               k: Int, shortlist: Int,
+                               nProbe: Int = 1): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
+    val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedPqResidual")
+    val probed = qb.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val cells = readProbedCells(spark, path, probed)
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    // candidate pass: decode residual codes, add the centroid back
+    val recon = pqDecode(cells.select(col(cId), col("codes")), cId, pqcb)
+      .join(cells.select(col(cId), col("cell_id")), Seq(cId))
+      .join(broadcast(cb.select(col("cell_id"),
+        col("centroid").as("__cc"))), Seq("cell_id"))
+      .withColumn("__rv", zip_with(col("__rv"), col("__cc"), (r, c) => r + c))
+      .drop("__cc")
+      .withColumn("__rn", norm(col("__rv")))
+    val cand = recon.join(qb, Seq("cell_id"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__rv")),
+        col("__qn"), col("__rn")))
+    val shortlisted =
+      topKPerQuery(cand.select(col(qId), col(cId), col("cos_sim")),
+        qId, cId, shortlist)
+      .select(col(qId), col(cId))
+    val rescored = shortlisted
+      .join(qb.select(col(qId), col(qVec), col("__qn"))
+        .dropDuplicates(Seq(qId)), Seq(qId))
+      .join(cells.select(col(cId), col(cVec).as("__cv")), Seq(cId))
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("cos_sim", cosinePreNormed(dot(col(qVec), col("__cv")),
+        col("__qn"), col("__cn")))
+    topKPerQuery(rescored.select(col(qId), col(cId), col("cos_sim")),
+      qId, cId, k)
+  }
+
   /** The fine→coarse cell map of a TWO-LEVEL quantizer: every fine
     * centroid labeled with its nearest coarse cell (same argmax order
     * as vector assignment). Tiny — nFine rows — and broadcast

@@ -1787,6 +1787,101 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("residual IVF x PQ (IVFADC): tighter reconstruction than raw PQ on clustered data; probe-all+full-shortlist equals brute") {
+    import spark.implicits._
+    // four tight clusters: residuals against TRAINED cell centroids
+    // are near zero, so the same m x kCents budget must beat raw PQ
+    val corpus = (0 until 120).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.cos(c * 1.7 + d) + 0.05 * math.sin(i * 0.37 + d)).toFloat))
+    }.toDF("vec_id", "v")
+    // ids 0..3 seed one centroid per cluster; Lloyd converges tightly
+    val (coarse, _) = Similarity.refineCodebookUntilConverged(corpus,
+      "vec_id", "v", Similarity.seedCodebook(corpus, "vec_id", "v", 4),
+      maxIters = 5, eps = 1e-9)
+    val coarseS = graft.engine.Staging.stage(coarse)
+    def mse(recon: org.apache.spark.sql.DataFrame): Double = corpus
+      .select(col("vec_id"), col("v").cast("array<double>").as("__x"))
+      .join(recon, Seq("vec_id"))
+      .select(aggregate(zip_with(col("__x"), col("__rv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("se"))
+      .agg(avg(col("se"))).head.getDouble(0)
+    // raw PQ reconstruction error
+    val rawCb = Similarity.pqTrainCodebooks(corpus, "vec_id", "v",
+      dims = 16, m = 4, kCents = 8, iters = 2)
+    val rawMse = mse(Similarity.pqDecode(
+      Similarity.pqEncode(corpus, "vec_id", "v", dims = 16, m = 4, rawCb),
+      "vec_id", rawCb))
+    // residual PQ reconstruction error (same budget): r = x - c(cell),
+    // reconstruct as c(cell) + decode(code(r))
+    val assigned = graft.engine.Staging.stage(
+      Similarity.assignCellsByJoin(corpus, "vec_id", "v", coarseS))
+    val res = graft.engine.Staging.stage(assigned
+      .join(broadcast(coarseS), Seq("cell_id"))
+      .select(col("vec_id"), zip_with(col("v").cast("array<double>"),
+        col("centroid"), (x, c) => x - c).as("__res")))
+    val resCb = Similarity.pqTrainCodebooks(res, "vec_id", "__res",
+      dims = 16, m = 4, kCents = 8, iters = 2)
+    val resRecon = Similarity.pqDecode(
+      Similarity.pqEncode(res, "vec_id", "__res", dims = 16, m = 4, resCb),
+        "vec_id", resCb)
+      .join(assigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+      .join(broadcast(coarseS), Seq("cell_id"))
+      .select(col("vec_id"),
+        zip_with(col("__rv"), col("centroid"), (r, c) => r + c).as("__rv"))
+    val resMse = mse(resRecon)
+    assert(resMse < rawMse,
+      s"residual PQ must reconstruct tighter: $resMse vs raw $rawMse")
+    // the composed artifact: pruning + codes-only candidate scan, and
+    // probe-all with a corpus-sized shortlist re-ranks to brute truth
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqres").toFile
+    try {
+      Similarity.buildIndexPqResidual(corpus, "vec_id", "v", coarseS,
+        dims = 16, m = 4, kCents = 8, iters = 1, dir.getAbsolutePath)
+      val q = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+      val out = Similarity.ivfTopKIndexedPqResidual(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, shortlist = 12, nProbe = 2)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+        plan.take(1500))
+      assert(plan.contains("codes:array<int>"), plan.take(2000))
+      assert(out.collect().length == 9)
+      val all = Similarity.ivfTopKIndexedPqResidual(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 3, shortlist = 120, nProbe = 4)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      val brute = Similarity.bruteForceTopK(q, corpus, "q_id", "q_vec",
+        "vec_id", "v", k = 3)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      assert(all == brute, s"$all vs $brute")
+      // append with the persisted codebooks (assign + residualize +
+      // encode, no retrain): an identical twin surfaces as top-1
+      val probe = corpus.filter(col("vec_id") === 42L)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+      val twin = corpus.filter(col("vec_id") === 42L)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("v"))
+      Similarity.appendToIndexPqResidual(twin, "vec_id", "v",
+        dims = 16, m = 4, dir.getAbsolutePath)
+      // shortlist must clear the cluster population: the cluster's
+      // residual reconstructions are near-identical (that is the
+      // point of residual coding), so the candidate stage ties and
+      // only the float re-rank separates the exact twin
+      val after = Similarity.ivfTopKIndexedPqResidual(spark, probe,
+        "q_id", "q_vec", dir.getAbsolutePath, "vec_id", "v",
+        k = 1, shortlist = 40, nProbe = 2).collect()
+      assert(after.head.getAs[Long]("vec_id") == 1042L,
+        s"the appended identical twin must rank first: ${after.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("frame-based Lloyd equals the driver-literal Lloyd bit for bit") {
     import spark.implicits._
     val corpus = (0 until 90).map { i =>
