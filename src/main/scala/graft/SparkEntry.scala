@@ -2328,6 +2328,23 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // SPARSE (weighted-term) retrieval (TextAnalysis.weightedTermTopK):
+    // the learned-sparse serving primitive — score = Σ w(t)·tf(t,d)
+    // with caller-quantized integer micro-weights (one negative:
+    // a soft demotion, not a filter), ONE aggregate over the pruned
+    // postings of a shared staged index; the raw corpus is never
+    // scanned.
+    "q_sparse_search" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      TextAnalysis.weightedTermTopK(s, idx.getAbsolutePath,
+        Seq("column" -> 2500000L, "scan" -> 1200000L,
+          "window" -> -400000L, "merge" -> 800000L), topK = 15)
+        .select(col("doc_id"), col("score_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
     // ERASURE from the text index (TextAnalysis.deleteFromTextIndex /
     // purgeTextIndex): cohort A is physically purged (postings and
     // doclens rewritten, ids reinsertable), cohort B tombstoned only —
@@ -2681,6 +2698,27 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
         "vec_id", "embedding", k = 3, nProbe = 2)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // FILTERED vector search (Similarity.ivfTopKIndexedWhere): the
+    // index carries the label payload IN its cells rows, so
+    // "neighbors WHERE label IN (2,5)" pushes the predicate into the
+    // probed-cell parquet scan (PushedFilters) and scores only
+    // matching rows — never a post-filter that returns short or
+    // over-scans. The oracle restricts the trained chain's candidate
+    // side with the same membership predicate.
+    "q_knn_ivf_filtered" -> ((s, dir) => {
+      val idx = stagedOnce("ivffilt-n8i1", dir)(root =>
+        Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+          root.getAbsolutePath, nCells = 8, iters = 1,
+          payload = Seq("label")))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexedWhere(s, q, "q_id", "q_vec",
+        idx.getAbsolutePath, "vec_id", "embedding", k = 3, nProbe = 2,
+        where = col("label").isin(2, 5))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
@@ -5451,6 +5489,28 @@ object SparkEntry {
     // N, avgdl and df all reflect only surviving documents.
     "q_erasure_text" -> bm25Sql("WHERE doc_id % 7 NOT IN (3, 5)"),
 
+    // Sparse retrieval: integer-weighted tf sums replayed exactly
+    // (long addition on both sides).
+    "q_sparse_search" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents)
+             WHERE token IN ('column', 'scan', 'window', 'merge')
+             GROUP BY 1, 2),
+         sc AS (SELECT doc_id,
+                  CAST(sum(tf * CASE token WHEN 'column' THEN 2500000
+                                           WHEN 'scan' THEN 1200000
+                                           WHEN 'window' THEN -400000
+                                           ELSE 800000 END) AS BIGINT)
+                    AS score_micro,
+                  count(*) AS terms_hit
+                FROM tf GROUP BY 1),
+         ranked AS (SELECT doc_id, score_micro, terms_hit,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS "rank"
+           FROM sc)
+         SELECT doc_id, score_micro, terms_hit, "rank"
+         FROM ranked WHERE "rank" <= 15""",
+
     "q_term_search_all" ->
       """WITH p AS (SELECT doc_id, token, count(*) AS tf FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -5787,6 +5847,13 @@ object SparkEntry {
     "q_erasure_ann" ->
       ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3,
         corpusPred = "a.vec_id % 10 NOT IN (3, 6)"),
+
+    // Filtered search: candidates restricted to the label set; the
+    // trained chain (and the queries) are otherwise identical.
+    "q_knn_ivf_filtered" ->
+      ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3, nProbe = 2,
+        corpusPred =
+          "a.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))"),
 
     // Quantized search through the joined index: assignment replayed
     // as in q_knn_ivf_joined; candidates scored against the REPLAYED

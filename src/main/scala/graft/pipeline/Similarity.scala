@@ -548,7 +548,8 @@ object Similarity {
     * through the index bit for bit. */
   def buildIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
                  nCells: Int = 16, iters: Int = 1, eps: Double = 0.0,
-                 scale: Long = 1L << 20): Unit = {
+                 scale: Long = 1L << 20,
+                 payload: Seq[String] = Nil): Unit = {
     // ONE build path: seed + train as codebook FRAMES
     // ([[seedCodebook]]/[[refineCodebookUntilConverged]] — bit-equal
     // to the driver-literal Lloyd, nothing codebook-sized on the
@@ -557,7 +558,7 @@ object Similarity {
     // is gone from every index path.
     val (cb, _) = refineCodebookUntilConverged(corpus, cId, cVec,
       seedCodebook(corpus, cId, cVec, nCells), iters, eps, scale)
-    buildIndexJoined(corpus, cId, cVec, cb, path)
+    buildIndexJoined(corpus, cId, cVec, cb, path, payload)
   }
 
   /** Append new vectors to an EXISTING [[buildIndex]] artifact: each
@@ -571,10 +572,10 @@ object Similarity {
     * the events store, foldable by the Compact machinery (or an
     * occasional [[buildIndex]] rebuild, which also retrains). */
   def appendToIndex(batch: DataFrame, cId: String, cVec: String,
-                    path: String): Unit =
+                    path: String, payload: Seq[String] = Nil): Unit =
     // one maintenance path: the joined append (persisted codebook
     // broadcast-joined, never collected) — identical assignment
-    appendToIndexJoined(batch, cId, cVec, path)
+    appendToIndexJoined(batch, cId, cVec, path, payload)
 
   /** [[appendToIndex]] with PER-BATCH IDEMPOTENCE, the form a
     * streaming writer needs: the assigned batch lands in a temp dir,
@@ -777,7 +778,8 @@ object Similarity {
   private def searchProbedCells(spark: org.apache.spark.sql.SparkSession,
                                 qa: DataFrame, qId: String, qVec: String,
                                 path: String, cId: String, cVec: String,
-                                k: Int, tag: String): DataFrame = {
+                                k: Int, tag: String,
+                                where: Option[Column] = None): DataFrame = {
     val qb = boundedBroadcast(qa, qVec, tag)
     // the broadcast gate above already bounded the query side, so the
     // distinct probed-cell collect is ≤ min(|queries|·nProbe, nCells)
@@ -786,8 +788,11 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
     // project the search columns only: a richer artifact (e.g. the
     // quantized layout's q_vec/q_vec_scale) must not collide with the
-    // caller's query columns
-    val ca = readProbedCells(spark, path, probed)
+    // caller's query columns. A metadata predicate (filtered vector
+    // search) applies BEFORE the projection so it sees the payload
+    // columns — and lands on the parquet scan as a pushed filter.
+    val caw = readProbedCells(spark, path, probed)
+    val ca = where.map(caw.filter).getOrElse(caw)
       .select(col("cell_id"), col(cId), col(cVec))
     val scored = ca
       .withColumn("cell_id", col("cell_id").cast("long"))
@@ -948,14 +953,19 @@ object Similarity {
     * level — but the DRIVER no longer bounds nCells. Returns
     * `(vId, vVec, cell_id)`. */
   def assignCellsByJoin(vectors: DataFrame, vId: String, vVec: String,
-                        codebook: DataFrame): DataFrame =
-    vectors.select(col(vId), col(vVec))
+                        codebook: DataFrame,
+                        payload: Seq[String] = Nil): DataFrame =
+    vectors.select(col(vId) +: col(vVec) +: payload.map(col): _*)
       .crossJoin(org.apache.spark.sql.functions.broadcast(codebook))
       .withColumn("__cos", cosinePreNormed(dot(col(vVec), col("centroid")),
         norm(col(vVec)), norm(col("centroid"))))
       .groupBy(col(vId))
+      // payload columns ride the same aggregate (constant per vId —
+      // first() is exact), so carrying metadata costs no extra join
       .agg(first(col(vVec)).as(vVec),
-        max(struct(col("__cos").as("s"), (-col("cell_id")).as("nc"))).as("__m"))
+        payload.map(p => first(col(p)).as(p)) :+
+          max(struct(col("__cos").as("s"), (-col("cell_id")).as("nc")))
+            .as("__m"): _*)
       .withColumn("cell_id", -col("__m").getField("nc"))
       .drop("__m")
 
@@ -967,9 +977,13 @@ object Similarity {
     * (codebook parquet + `cells/cell_id=N/`), so Compact maintenance
     * and the partition-pruned search tail apply unchanged. */
   def buildIndexJoined(corpus: DataFrame, cId: String, cVec: String,
-                       codebook: DataFrame, path: String): Unit = {
+                       codebook: DataFrame, path: String,
+                       payload: Seq[String] = Nil): Unit = {
     codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec, codebook)
+    // payload columns (FILTERED vector search's metadata: labels,
+    // tenants, timestamps) land IN the cells rows, so a search
+    // predicate over them pushes into the probed-cell parquet scan
+    assignCellsByJoin(corpus, cId, cVec, codebook, payload)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite")
       .parquet(s"$path/cells")
@@ -983,9 +997,9 @@ object Similarity {
     * accumulation folds via [[compactIndexCells]] exactly like the
     * literal-codebook index. */
   def appendToIndexJoined(batch: DataFrame, cId: String, cVec: String,
-                          path: String): Unit = {
+                          path: String, payload: Seq[String] = Nil): Unit = {
     val cb = batch.sparkSession.read.parquet(s"$path/codebook")
-    assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb)
+    assignCellsByJoin(batch, cId, cVec, cb, payload)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(s"$path/cells")
@@ -1023,6 +1037,30 @@ object Similarity {
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
       "ivfTopKIndexedJoined")
+  }
+
+  /** FILTERED vector search — top-k among only the index rows
+    * matching `where`, a predicate over the payload columns the index
+    * was built with ([[buildIndexJoined]]'s `payload`): the classic
+    * "nearest neighbors WHERE tenant = X / label IN (…)" primitive.
+    * The predicate applies before scoring INSIDE the probed-cell
+    * scan — for simple comparisons it reaches parquet as a pushed
+    * filter, so non-matching rows never decode their vector bytes —
+    * and composes with the delete set and snapshot isolation
+    * unchanged. Post-filtering a plain top-k would instead RETURN
+    * FEWER than k (or scan k≫ deep); pushing the predicate into the
+    * candidate pass is the correct-by-construction form. Filtered
+    * selectivity eats recall like any IVF restriction: matching rows
+    * live only in probed cells, so raise `nProbe` as filters
+    * sharpen. */
+  def ivfTopKIndexedWhere(spark: org.apache.spark.sql.SparkSession,
+                          queries: DataFrame, qId: String, qVec: String,
+                          path: String, cId: String, cVec: String,
+                          k: Int, nProbe: Int, where: Column): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
+    searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
+      "ivfTopKIndexedWhere", Some(where))
   }
 
   /** [[buildIndexJoined]] storing the int8 QUANTIZATION beside each

@@ -684,6 +684,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("total_tf"))
   }
 
+  /** WEIGHTED-term retrieval through a [[buildTextIndex]] artifact —
+    * the sparse-vector serving primitive (a learned-sparse or
+    * query-expansion model emits per-term weights; SPLADE-class
+    * scoring is exactly `score(d) = Σ_t w(t)·tf(t,d)`): one
+    * map-side-combined aggregate over the query terms' token-range-
+    * pruned postings, never a per-term join chain and never the raw
+    * corpus. Weights are CALLER-QUANTIZED integer micro-units, so the
+    * score is long addition — associative, partition-order-free, and
+    * replayable by a SQL oracle digit for digit. Duplicate terms in
+    * `weights` are rejected rather than silently summed. Returns
+    * (doc_id, score_micro, terms_hit, rank), rank 1-based by
+    * (score DESC, doc_id ASC), at most `topK` rows; documents whose
+    * matched weights cancel to ≤ 0 still rank (a negative-weight
+    * term is a soft demotion, not a filter). */
+  def weightedTermTopK(spark: org.apache.spark.sql.SparkSession,
+                       path: String, weights: Seq[(String, Long)],
+                       topK: Int): DataFrame = {
+    require(weights.nonEmpty && topK > 0, "need weighted terms and topK > 0")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate terms in the weight list")
+    val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
+      Seq(graft.sources.Compact.PartIn("token", weights.map(_._1))),
+      TermIndexOptions)
+    val wcol = weights.tail.foldLeft(
+      when(col("token") === weights.head._1, lit(weights.head._2))) {
+      case (acc, (t, w)) => acc.when(col("token") === t, lit(w))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    post.withColumn("__w", wcol)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("__w")).as("score_micro"),
+        count(lit(1)).as("terms_hit"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** BM25 top-k SERVED ENTIRELY FROM a [[buildTextIndex]] artifact:
     * the pruned postings lookup reads only the query terms' token
     * ranges, df comes from the looked-up postings, N/avgdl from the

@@ -1474,6 +1474,38 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("weighted-term (sparse) retrieval: integer weight sums match a hand model; negative weights demote, not filter") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "column scan column"),          // 2*5 + 1*3 = 13
+      (1L, "scan scan scan"),               // 3*3 = 9
+      (2L, "column window"),                // 5 - 4 = 1
+      (3L, "window window window window"),  // -16: still ranked
+      (4L, "nothing here")                  // no match: absent
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sparse").toFile
+    try {
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", dir.getAbsolutePath)
+      val got = TextAnalysis.weightedTermTopK(spark, dir.getAbsolutePath,
+        Seq("column" -> 5L, "scan" -> 3L, "window" -> -4L), topK = 10)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("score_micro"), r.getAs[Long]("terms_hit"),
+          r.getAs[Long]("rank")))
+      assert(got.toList == List((0L, 13L, 2L, 1L), (1L, 9L, 1L, 2L),
+        (2L, 1L, 2L, 3L), (3L, -16L, 1L, 4L)), got.toList)
+      // duplicate weight terms are rejected, not silently summed
+      intercept[IllegalArgumentException] {
+        TextAnalysis.weightedTermTopK(spark, dir.getAbsolutePath,
+          Seq("scan" -> 1L, "scan" -> 2L), topK = 5)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("text-index erasure: delete equals rebuild, purge reclaims bytes, double delete is stats-neutral") {
     import spark.implicits._
     val words = Seq("alpha", "beta", "gamma", "delta", "scan", "merge",
@@ -1779,6 +1811,59 @@ class PipelineSpec extends SparkTestBase {
         .collect()
       assert(after.head.getAs[Long]("vec_id") == 1042L,
         s"the appended identical twin must rank first: ${after.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("filtered vector search: predicate pushes into the probed-cell scan; probe-all equals brute over the filtered corpus") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat), i % 3)
+    }.toDF("vec_id", "v", "label")
+    val dir = java.nio.file.Files.createTempDirectory("ivffilt").toFile
+    try {
+      Similarity.buildIndex(corpus, "vec_id", "v", dir.getAbsolutePath,
+        nCells = 4, iters = 1, payload = Seq("label"))
+      val q = Seq((999L, Array(1.0f, 0.05f)),
+        (998L, Array(0.0f, 1.0f))).toDF("q_id", "q_vec")
+      val out = Similarity.ivfTopKIndexedWhere(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 4, nProbe = 2,
+        where = col("label") === 1)
+      // the label predicate reaches the parquet scan of the probed
+      // cells — matching is decided before any vector byte scores
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("label"),
+        plan.take(2000))
+      val got = out.collect()
+      assert(got.length == 8)
+      assert(got.forall(r => r.getAs[Long]("vec_id") % 3 == 1), got.toSeq)
+      // probe-all reduces the filter to exact semantics: top-k over
+      // the label-filtered corpus
+      val all = Similarity.ivfTopKIndexedWhere(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 4, nProbe = 4,
+        where = col("label") === 1)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      val brute = Similarity.bruteForceTopK(q,
+        corpus.filter(col("label") === 1), "q_id", "q_vec",
+        "vec_id", "v", k = 4)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      assert(all == brute, s"$all vs $brute")
+      // payload rides appends through the same aggregate
+      Similarity.appendToIndex(
+        Seq((2000L, Array(1.0f, 0.05f), 1)).toDF("vec_id", "v", "label"),
+        "vec_id", "v", dir.getAbsolutePath, payload = Seq("label"))
+      val after = Similarity.ivfTopKIndexedWhere(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 1, nProbe = 4,
+        where = col("label") === 1)
+        .filter(col("q_id") === 999L).collect()
+      assert(after.head.getAs[Long]("vec_id") == 2000L, after.toSeq)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
