@@ -2328,6 +2328,38 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // PASSAGE retrieval (the RAG pattern): documents chunk into
+    // 32-token windows with stride 16 (TextAnalysis.chunkDocuments —
+    // join/split round-trips tokens exactly, empties included), BM25
+    // scores the CHUNK corpus (chunk-level N/avgdl/df — a long doc
+    // can no longer drown a locally-relevant passage), the top-100
+    // passages pool max-per-document (ties to the lowest chunk), and
+    // documents rank by their best passage. Composite pid =
+    // doc_id·1e6 + chunk_idx keeps the passage tie-break equal to
+    // (doc_id, chunk_idx) on both engines with exact integer math.
+    "q_passage_search" -> ((s, dir) => {
+      TextAnalysis.passageTopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("column", "scan", "window"), windowTokens = 32,
+        strideTokens = 16, passageK = 100, topK = 10)
+    }),
+
+    // Passage retrieval through the JSON request layer — the same
+    // operator behind a {"passage": {...}} block; same oracle.
+    "q_json_passage" -> ((s, dir) => {
+      JsonApi.search(Tables.documents(s, dir),
+        """{"terms": ["column", "scan", "window"], "topK": 10,
+            "passage": {"window": 32, "stride": 16, "passageK": 100}}""")
+    }),
+
+    // Sparse retrieval through the JSON request layer: the weight map
+    // IS the query ({"weights": {term: micro-weight}}), served by the
+    // scan twin of the indexed operator — one oracle covers both.
+    "q_json_sparse" -> ((s, dir) => {
+      JsonApi.search(Tables.documents(s, dir),
+        """{"weights": {"column": 2500000, "scan": 1200000,
+            "window": -400000, "merge": 800000}, "topK": 15}""")
+    }),
+
     // SPARSE (weighted-term) retrieval (TextAnalysis.weightedTermTopK):
     // the learned-sparse serving primitive — score = Σ w(t)·tf(t,d)
     // with caller-quantized integer micro-weights (one negative:
@@ -5489,6 +5521,51 @@ object SparkEntry {
     // N, avgdl and df all reflect only surviving documents.
     "q_erasure_text" -> bm25Sql("WHERE doc_id % 7 NOT IN (3, 5)"),
 
+    // Passage retrieval: the q_chunk_docs chunking replayed into a
+    // chunk corpus, BM25 over chunks, top-100 passage cut, max-pool
+    // per document, doc rank by best passage.
+    "q_passage_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         starts AS (SELECT doc_id, w,
+             unnest(range(1, ((greatest(0, len(w) - 32) + 15) // 16) * 16 + 2, 16)) AS i
+           FROM t),
+         d AS (SELECT doc_id * 1000000 + (i - 1) // 16 AS pid,
+                 list_slice(w, i, i + 31) AS cw,
+                 CAST(len(list_slice(w, i, i + 31)) AS BIGINT) AS dl
+               FROM starts),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
+         tf AS (SELECT pid, dl, token, count(*) AS tf FROM (
+                  SELECT pid, dl, unnest(cw) AS token FROM d)
+                WHERE token IN ('column', 'scan', 'window')
+                GROUP BY 1, 2, 3),
+         idf AS (SELECT token,
+                  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT)
+                    AS idf_micro
+                 FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1), stats),
+         scored AS (SELECT tf.pid,
+             CAST(floor(idf_micro * (tf * (1.2 + 1)) /
+               (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) /
+                 (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT) AS contrib
+           FROM tf JOIN idf USING (token), stats),
+         agg AS (SELECT pid, CAST(sum(contrib) AS BIGINT) AS bm25_micro
+                 FROM scored GROUP BY 1),
+         pcut AS (SELECT pid, bm25_micro FROM (
+             SELECT pid, bm25_micro,
+               row_number() OVER (ORDER BY bm25_micro DESC, pid) AS rn
+             FROM agg) WHERE rn <= 100),
+         best AS (SELECT doc_id, chunk_idx AS best_chunk_idx,
+                    bm25_micro AS best_micro FROM (
+             SELECT pid // 1000000 AS doc_id, pid % 1000000 AS chunk_idx,
+               bm25_micro,
+               row_number() OVER (PARTITION BY pid // 1000000
+                 ORDER BY bm25_micro DESC, pid % 1000000) AS rn
+             FROM pcut) WHERE rn = 1),
+         ranked AS (SELECT doc_id, best_chunk_idx, best_micro,
+             row_number() OVER (ORDER BY best_micro DESC, doc_id) AS "rank"
+           FROM best)
+         SELECT doc_id, best_chunk_idx, best_micro, "rank"
+         FROM ranked WHERE "rank" <= 10""",
+
     // Sparse retrieval: integer-weighted tf sums replayed exactly
     // (long addition on both sides).
     "q_sparse_search" ->
@@ -6821,6 +6898,8 @@ object SparkEntry {
     // existing first-principles oracles replay the JSON routes too
     case m => m ++ Map(
       "q_json_bm25" -> m("q_bm25_search"),
-      "q_json_hybrid" -> m("q_hybrid_search"))
+      "q_json_hybrid" -> m("q_hybrid_search"),
+      "q_json_sparse" -> m("q_sparse_search"),
+      "q_json_passage" -> m("q_passage_search"))
   }
 }

@@ -108,21 +108,33 @@ object JsonApi {
              embId: String = "vec_id", embVec: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.functions.col
     val req = JsonDsl.search(json)
-    val lex = graft.pipeline.TextAnalysis.bm25TopK(
-      docs, idCol, textCol, req.terms, req.topK, req.k1, req.b)
-    req.semantic match {
-      case None => lex
-      case Some(s) =>
-        val emb = embeddings.getOrElse(throw new IllegalArgumentException(
-          "a semantic search block needs an embeddings frame"))
-        val q = emb.filter(col(embId) === s.queryId)
-          .select(col(embId).as("__q_id"), col(embVec).as("__q_vec"))
-        val sem = graft.pipeline.Similarity.bruteForceTopK(
-            q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
-          .select(col(embId).as("id"), col("rank"))
-        graft.pipeline.Retrieval.rrfFuse(
-          Seq(lex.select(col(idCol).as("id"), col("rank")), sem),
-          "id", "rank", req.fuseTopK)
+    if (req.weights.nonEmpty)
+      // sparse mode: integer-weighted term sums, no BM25 stats at all
+      graft.pipeline.TextAnalysis.weightedTermTopKScan(
+        docs, idCol, textCol, req.weights, req.topK)
+    else req.passage match {
+      // passage mode: chunk-corpus BM25 pooled max-per-document
+      case Some(p) =>
+        graft.pipeline.TextAnalysis.passageTopK(
+          docs, idCol, textCol, req.terms, p.window, p.stride, p.passageK,
+          req.topK, req.k1, req.b)
+      case None =>
+        val lex = graft.pipeline.TextAnalysis.bm25TopK(
+          docs, idCol, textCol, req.terms, req.topK, req.k1, req.b)
+        req.semantic match {
+          case None => lex
+          case Some(s) =>
+            val emb = embeddings.getOrElse(throw new IllegalArgumentException(
+              "a semantic search block needs an embeddings frame"))
+            val q = emb.filter(col(embId) === s.queryId)
+              .select(col(embId).as("__q_id"), col(embVec).as("__q_vec"))
+            val sem = graft.pipeline.Similarity.bruteForceTopK(
+                q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
+              .select(col(embId).as("id"), col("rank"))
+            graft.pipeline.Retrieval.rrfFuse(
+              Seq(lex.select(col(idCol).as("id"), col("rank")), sem),
+              "id", "rank", req.fuseTopK)
+        }
     }
   }
 

@@ -167,8 +167,23 @@ object JsonDsl {
     * }}} */
   def search(json: String): SearchRequest = {
     val j = Json.parse(json)
-    val terms = (j / "terms").arr.map(_.str)
-    if (terms.isEmpty) throw JsonError("search request needs at least one term")
+    // sparse mode: {"weights": {"column": 2500000, ...}} — integer
+    // micro-weights; terms may be absent (the weight keys ARE the
+    // query). passage mode: {"passage": {"window": 32, "stride": 16,
+    // "passageK": 100}} over the usual terms.
+    val weights = j.asOpt("weights")
+      .map(_.obj.map { case (t, v) => (t, v.long) }).getOrElse(Nil)
+    val terms = j.asOpt("terms").map(_.arr.map(_.str)).getOrElse(Nil)
+    if (terms.isEmpty && weights.isEmpty)
+      throw JsonError("search request needs terms or weights")
+    val passage = j.asOpt("passage").map(p => PassageSearch(
+      window = p.asOpt("window").map(_.int).getOrElse(32),
+      stride = p.asOpt("stride").map(_.int).getOrElse(16),
+      passageK = p.asOpt("passageK").map(_.int).getOrElse(100)))
+    if (passage.nonEmpty && terms.isEmpty)
+      throw JsonError("passage search needs terms")
+    if (weights.nonEmpty && (passage.nonEmpty || j.asOpt("semantic").nonEmpty))
+      throw JsonError("weights do not combine with passage/semantic blocks")
     SearchRequest(
       terms = terms,
       topK = j.asOpt("topK").map(_.int).getOrElse(10),
@@ -177,6 +192,8 @@ object JsonDsl {
       semantic = j.asOpt("semantic").map(s => SemanticSearch(
         (s / "queryId").long, s.asOpt("k").map(_.int).getOrElse(20))),
       fuseTopK = j.asOpt("fuseTopK").map(_.int).getOrElse(10),
+      weights = weights,
+      passage = passage,
       projectId = j.asOpt("projectId").map(_.long))
   }
 

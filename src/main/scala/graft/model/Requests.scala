@@ -305,12 +305,20 @@ final case class SearchRequest(
     b: Double = 0.75,
     semantic: Option[SemanticSearch] = None,
     fuseTopK: Int = 10,
+    weights: Seq[(String, Long)] = Nil,
+    passage: Option[PassageSearch] = None,
     projectId: Option[Long] = None)
 
 /** The semantic half of a hybrid [[SearchRequest]]: the query vector
   * is the embedding row with `queryId` (the embedded corpus keys
   * documents by id), ranked to its cosine top-`k`. */
 final case class SemanticSearch(queryId: Long, k: Int = 20)
+
+/** The passage mode of a [[SearchRequest]]: chunk the corpus into
+  * `window`-token spans with `stride` overlap, BM25 the chunk corpus,
+  * pool the best `passageK` passages max-per-document. */
+final case class PassageSearch(window: Int = 32, stride: Int = 16,
+                               passageK: Int = 100)
 
 final case class FunnelRequestModel(
     time: QueryTime,

@@ -702,22 +702,90 @@ object TextAnalysis {
                        path: String, weights: Seq[(String, Long)],
                        topK: Int): DataFrame = {
     require(weights.nonEmpty && topK > 0, "need weighted terms and topK > 0")
+    weightedScore(graft.sources.Compact.readPruned(spark, s"$path/postings",
+      Seq(graft.sources.Compact.PartIn("token", weights.map(_._1))),
+      TermIndexOptions), weights, topK)
+  }
+
+  /** [[weightedTermTopK]] over the RAW corpus — the index-free twin
+    * (bm25TopK's relationship to bm25IndexedTopK): one explode →
+    * filter-to-weighted-terms → map-side-combined tf shuffle, then
+    * the identical integer scoring, so the two forms share one
+    * oracle. The request layer serves this form when no index
+    * artifact is staged. */
+  def weightedTermTopKScan(docs: DataFrame, idCol: String, textCol: String,
+                           weights: Seq[(String, Long)],
+                           topK: Int): DataFrame = {
+    require(weights.nonEmpty && topK > 0, "need weighted terms and topK > 0")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(weights.map(_._1): _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    weightedScore(tf, weights, topK)
+  }
+
+  /** The shared weighted-scoring tail over a (doc_id, token, tf)
+    * frame: integer micro-weight sums (long addition — associative,
+    * partition-order-free), rank by (score DESC, doc_id ASC). */
+  private def weightedScore(tf: DataFrame, weights: Seq[(String, Long)],
+                            topK: Int): DataFrame = {
     require(weights.map(_._1).distinct.size == weights.size,
       "duplicate terms in the weight list")
-    val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
-      Seq(graft.sources.Compact.PartIn("token", weights.map(_._1))),
-      TermIndexOptions)
     val wcol = weights.tail.foldLeft(
       when(col("token") === weights.head._1, lit(weights.head._2))) {
       case (acc, (t, w)) => acc.when(col("token") === t, lit(w))
     }
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_micro").desc, col("doc_id").asc)
-    post.withColumn("__w", wcol)
+    tf.withColumn("__w", wcol)
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("__w")).as("score_micro"),
         count(lit(1)).as("terms_hit"))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** PASSAGE retrieval — the RAG pattern: documents chunk into
+    * `windowTokens` windows with `strideTokens` overlap
+    * ([[chunkDocuments]] — join/split round-trips tokens exactly),
+    * BM25 scores the CHUNK corpus (chunk-level N/avgdl/df, so a long
+    * document cannot drown a locally-relevant passage), the top
+    * `passageK` passages pool max-per-document (ties to the lowest
+    * chunk), and documents rank by their best passage. The composite
+    * pid = id·1e6 + chunk_idx keeps every tie-break exact integer
+    * math on both engines, which requires a NUMERIC `idCol` (< ~9e12)
+    * and fewer than 1e6 chunks per document. Returns (idCol,
+    * best_chunk_idx, best_micro, rank), rank 1-based, ≤ `topK`
+    * rows. */
+  def passageTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], windowTokens: Int = 32,
+                  strideTokens: Int = 16, passageK: Int = 100,
+                  topK: Int = 10, k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    val chunks = chunkDocuments(
+        docs.select(col(idCol), col(textCol)), textCol,
+        windowTokens, strideTokens)
+      .select((col(idCol) * 1000000L + col("chunk_idx")).as("pid"),
+        col("chunk_text"))
+    val passages = bm25TopK(chunks, "pid", "chunk_text", queryTerms,
+      passageK, k1, b)
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("bm25_micro").desc, col("chunk_idx").asc)
+    val docRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("best_micro").desc, col(idCol).asc)
+    passages
+      .withColumn("chunk_idx", col("pid") % 1000000L)
+      // pid minus its chunk is an exact multiple of 1e6: the double
+      // division is exact, no boundary rounding
+      .withColumn(idCol,
+        ((col("pid") - col("chunk_idx")) / lit(1000000L)).cast("long"))
+      .withColumn("__rn", row_number().over(perDoc))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("chunk_idx").as("best_chunk_idx"),
+        col("bm25_micro").as("best_micro"))
+      .withColumn("rank", row_number().over(docRank).cast("long"))
       .filter(col("rank") <= topK)
   }
 

@@ -109,6 +109,19 @@ class HttpSpec extends SparkTestBase {
       assert(c2 == 200)
       assert(got2 == Response.collect(
         JsonApi.search(docs, hybBody, embeddings = Some(emb))).toJson)
+      // sparse and passage modes ride the same route and dispatch on
+      // the request shape alone
+      val spBody = """{"weights": {"scan": 300, "column": -100}, "topK": 5}"""
+      val (c4, got4) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", spBody)
+      assert(c4 == 200)
+      assert(got4 == Response.collect(JsonApi.search(docs, spBody)).toJson)
+      val paBody = """{"terms": ["scan", "column"], "topK": 5,
+                       "passage": {"window": 4, "stride": 2}}"""
+      val (c5, got5) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", paBody)
+      assert(c5 == 200)
+      assert(got5 == Response.collect(JsonApi.search(docs, paBody)).toJson)
     }
     // without a documents frame the route does not mount
     withServer(new GraftHttpServer(spark, events)) { srv =>

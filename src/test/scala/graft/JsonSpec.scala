@@ -211,6 +211,31 @@ class JsonSpec extends SparkTestBase {
 
   // ---------------- record-search / property-values / group-search DTOs ----------------
 
+  test("retrieval search request: sparse weights and passage blocks parse; invalid combinations reject") {
+    val sp = graft.model.JsonDsl.search(
+      """{"weights": {"scan": 300, "column": -100}, "topK": 5}""")
+    assert(sp.weights == Seq("scan" -> 300L, "column" -> -100L))
+    assert(sp.terms.isEmpty && sp.topK == 5)
+    val pa = graft.model.JsonDsl.search(
+      """{"terms": ["a", "b"], "passage": {"window": 8, "stride": 4}}""")
+    assert(pa.passage.contains(graft.model.PassageSearch(8, 4, 100)))
+    // neither terms nor weights
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search("""{"topK": 5}""")
+    }
+    // a passage block needs terms
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"weights": {"a": 1}, "passage": {"window": 8}}""")
+    }
+    // weights combine with neither passage nor semantic
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"terms": ["a"], "weights": {"a": 1},
+            "semantic": {"queryId": 0}}""")
+    }
+  }
+
   test("event-record search request decodes the reference DTO and runs") {
     val req = JsonDsl.eventRecordsSearch("""{
       "time": {"type": "between", "from": "1970-01-01T00:00:00Z", "to": "1970-01-02T00:00:00Z"},

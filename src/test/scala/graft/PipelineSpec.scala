@@ -1474,6 +1474,39 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("passage retrieval: chunk-level BM25 pools max-per-document and finds the hot passage inside a long doc") {
+    import spark.implicits._
+    // doc 0: the query terms live ONLY in the second chunk (positions
+    // 33-34 of a 34-token doc; window 32 / stride 16 -> chunks start
+    // at 1 and 17); doc 1 is a one-token match
+    val docs = Seq(
+      (0L, (Seq.fill(32)("x") ++ Seq("column", "scan")).mkString(" ")),
+      (1L, "column")
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, "text",
+        windowTokens = 32, strideTokens = 16)
+      .select((col("doc_id") * 1000000L + col("chunk_idx")).as("pid"),
+        col("chunk_text"))
+    val passages = TextAnalysis.bm25TopK(chunks, "pid", "chunk_text",
+      Seq("column", "scan"), topK = 100)
+      .withColumn("chunk_idx", col("pid") % 1000000L)
+      .withColumn("doc_id",
+        ((col("pid") - col("chunk_idx")) / lit(1000000L)).cast("long"))
+    val best = passages
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("bm25_micro").desc, col("chunk_idx").asc)))
+      .filter(col("__rn") === 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx"), r.getAs[Long]("bm25_micro")))
+      .sortBy(_._1)
+    // doc 0's best passage is chunk 1 (the only one holding the
+    // terms), and its two-term passage outscores doc 1's single term
+    assert(best.map(b => (b._1, b._2)).toList == List((0L, 1L), (1L, 0L)),
+      best.toList)
+    assert(best(0)._3 > best(1)._3, best.toList)
+  }
+
   test("weighted-term (sparse) retrieval: integer weight sums match a hand model; negative weights demote, not filter") {
     import spark.implicits._
     val docs = Seq(
