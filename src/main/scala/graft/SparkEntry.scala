@@ -2328,6 +2328,34 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // SNIPPET extraction (TextAnalysis.snippetWindow): per matching
+    // doc, the best 8-token window — most distinct query terms, then
+    // most occurrences, then earliest start. Candidates are exactly
+    // the terms' indexed positions (an optimal window starts at an
+    // occurrence), so work is occurrence-bounded and the raw corpus
+    // is never read.
+    "q_snippet" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      TextAnalysis.snippetWindow(s, idx.getAbsolutePath,
+          Seq("column", "scan", "window"), width = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Boolean AND-NOT retrieval (TextAnalysis.termLookupAllNot):
+    // every must term, none of the excluded — the exclusion is one
+    // anti-join against the NOT terms' matched doc set, both sides
+    // token-range-pruned.
+    "q_term_search_not" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      TextAnalysis.termLookupAllNot(s, idx.getAbsolutePath,
+          must = Seq("column", "scan"), mustNot = Seq("window"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PASSAGE retrieval (the RAG pattern): documents chunk into
     // 32-token windows with stride 16 (TextAnalysis.chunkDocuments —
     // join/split round-trips tokens exactly, empties included), BM25
@@ -5596,6 +5624,49 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
          FROM p GROUP BY 1 HAVING count(DISTINCT token) = 3
+         ORDER BY doc_id""",
+
+    // AND-NOT: the conjunctive set minus any doc holding an excluded
+    // term.
+    "q_term_search_not" ->
+      """WITH p AS (SELECT doc_id, token, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           WHERE token IN ('column', 'scan')
+           GROUP BY 1, 2),
+         hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+           FROM p GROUP BY 1 HAVING count(DISTINCT token) = 2),
+         ex AS (SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           WHERE token = 'window')
+         SELECT h.doc_id, h.total_tf FROM hits h
+         WHERE h.doc_id NOT IN (SELECT doc_id FROM ex)
+         ORDER BY h.doc_id""",
+
+    // Snippet window: candidate starts are the query terms' 0-based
+    // positions in the RAW token sequence (parallel unnest zips token
+    // and position, empties hold their slot like the index), best =
+    // (distinct terms DESC, occurrences DESC, start ASC).
+    "q_snippet" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         occ AS (SELECT doc_id, token, pos FROM (
+             SELECT doc_id, unnest(w) AS token,
+                    unnest(range(len(w))) AS pos
+             FROM d)
+           WHERE token IN ('column', 'scan', 'window')),
+         starts AS (SELECT DISTINCT doc_id, pos AS p FROM occ),
+         win AS (SELECT s.doc_id, s.p,
+                   count(DISTINCT o.token) AS terms_in_window,
+                   count(*) AS occs_in_window
+                 FROM starts s JOIN occ o ON o.doc_id = s.doc_id
+                   AND o.pos >= s.p AND o.pos < s.p + 8
+                 GROUP BY 1, 2)
+         SELECT doc_id, CAST(p AS BIGINT) AS snippet_start,
+                terms_in_window, occs_in_window FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY terms_in_window DESC, occs_in_window DESC, p) AS rn
+           FROM win) WHERE rn = 1
          ORDER BY doc_id""",
 
     // RRF hybrid: both rankings replayed (BM25 top-20, cosine top-20

@@ -684,6 +684,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("total_tf"))
   }
 
+  /** SNIPPET extraction through a [[buildTextIndex]] artifact: per
+    * matching document, the best `width`-token window for the query —
+    * most DISTINCT query terms inside, then most total occurrences,
+    * then the earliest start — the highlight/passage-locator pass of
+    * a search result page (and of extraction pipelines that need the
+    * span, not the score). An optimal window starts AT some query-term
+    * occurrence, so candidates are exactly the terms' positions: one
+    * equi-join on doc_id over the pruned postings' exploded positions
+    * with the range check as a residual — work is bounded by
+    * query-term OCCURRENCES (never document length), and the raw
+    * corpus is untouched. Positions index the raw token sequence
+    * (empties hold their slot), so `snippet_start` addresses the
+    * original text. Returns (doc_id, snippet_start, terms_in_window,
+    * occs_in_window). */
+  def snippetWindow(spark: org.apache.spark.sql.SparkSession,
+                    path: String, terms: Seq[String],
+                    width: Int): DataFrame = {
+    require(terms.nonEmpty && width >= 1, "need terms and width >= 1")
+    val occ = graft.sources.Compact.readPruned(spark, s"$path/postings",
+        Seq(graft.sources.Compact.PartIn("token", terms.distinct)),
+        TermIndexOptions)
+      .select(col("doc_id"), col("token"),
+        explode(col("positions")).as("pos"))
+    val starts = occ.select(col("doc_id"), col("pos").as("p")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("terms_in_window").desc, col("occs_in_window").desc,
+        col("p").asc)
+    starts.join(occ,
+        starts("doc_id") === occ("doc_id") &&
+          occ("pos") >= starts("p") && occ("pos") < starts("p") + width)
+      .select(starts("doc_id"), col("p"), col("token"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(countDistinct(col("token")).as("terms_in_window"),
+        count(lit(1)).as("occs_in_window"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("p").cast("long").as("snippet_start"),
+        col("terms_in_window"), col("occs_in_window"))
+  }
+
+  /** Conjunctive retrieval WITH EXCLUSIONS through a
+    * [[buildTextIndex]] artifact: documents containing every `must`
+    * term and none of the `mustNot` terms — the AND-NOT boolean
+    * primitive. Both sides read only their terms' token-range-pruned
+    * postings; the exclusion is one anti-join against the NOT terms'
+    * matched doc set (a document with no NOT posting never ships a
+    * row, so the anti-join is exclusion-sized, not corpus-sized). */
+  def termLookupAllNot(spark: org.apache.spark.sql.SparkSession,
+                       path: String, must: Seq[String],
+                       mustNot: Seq[String]): DataFrame = {
+    require(mustNot.nonEmpty, "use termLookupAll without exclusions")
+    termLookupAll(spark, path, must)
+      .join(termLookup(spark, s"$path/postings", mustNot.distinct)
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** WEIGHTED-term retrieval through a [[buildTextIndex]] artifact —
     * the sparse-vector serving primitive (a learned-sparse or
     * query-expansion model emits per-term weights; SPLADE-class

@@ -1507,6 +1507,40 @@ class PipelineSpec extends SparkTestBase {
     assert(best(0)._3 > best(1)._3, best.toList)
   }
 
+  test("snippet window and AND-NOT retrieval match hand models over positional postings") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "scan x x x x x x column"),      // both in [0,8): start 0
+      (1L, "x scan x x x x x x column"),    // both only in [1,9): start 1
+      (2L, "column x x x x x x x scan"),    // 9 apart: 1-term window, start 0
+      (3L, "scan scan column"),             // 2 terms, 3 occs at start 0
+      (4L, "nothing here"),                 // no match: absent
+      (5L, "scan scan")                     // the AND-NOT survivor
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("snip").toFile
+    try {
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", dir.getAbsolutePath)
+      val got = TextAnalysis.snippetWindow(spark, dir.getAbsolutePath,
+          Seq("scan", "column"), width = 8)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("snippet_start"), r.getAs[Long]("terms_in_window"),
+          r.getAs[Long]("occs_in_window"))).sortBy(_._1).toList
+      assert(got == List((0L, 0L, 2L, 2L), (1L, 1L, 2L, 2L),
+        (2L, 0L, 1L, 1L), (3L, 0L, 2L, 3L), (5L, 0L, 1L, 2L)), got)
+      // AND-NOT: docs with 'scan' but never 'column'
+      val not = TextAnalysis.termLookupAllNot(spark, dir.getAbsolutePath,
+          must = Seq("scan"), mustNot = Seq("column"))
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("total_tf"))).sortBy(_._1).toList
+      assert(not == List((5L, 2L)), not)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("weighted-term (sparse) retrieval: integer weight sums match a hand model; negative weights demote, not filter") {
     import spark.implicits._
     val docs = Seq(
