@@ -2328,6 +2328,38 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // FACETED search (Retrieval.facetCounts): the search-page sidebar
+    // — per metadata column, matched-doc counts per value, as ONE
+    // melted aggregate for all facets (adding a facet adds no
+    // shuffle). The matched set is the conjunctive lookup; metadata
+    // joins from the documents table.
+    "q_facet_search" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      graft.pipeline.Retrieval.facetCounts(
+          TextAnalysis.termLookupAll(s, idx.getAbsolutePath,
+            Seq("column", "scan")),
+          Tables.documents(s, dir), "doc_id", Seq("lang", "source"))
+        .orderBy(col("facet"), col("value"))
+    }),
+
+    // BATCHED BM25 (TextAnalysis.bm25IndexedTopKBatch): two queries
+    // served in ONE pass — union-pruned postings, broadcast
+    // (query, term) fan-out, shared idf/stats, per-query rank window
+    // (WindowGroupLimit). Each query's scores are identical to its
+    // solo run; the oracle unions two solo replays.
+    "q_bm25_batch" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      TextAnalysis.bm25IndexedTopKBatch(s, idx.getAbsolutePath,
+        Seq(1L -> Seq("column", "scan", "window"),
+          2L -> Seq("merge", "filter")), topK = 10)
+        .select(col("query_id"), col("doc_id"), col("bm25_micro"),
+          col("terms_hit"), col("rank"))
+    }),
+
     // SNIPPET extraction (TextAnalysis.snippetWindow): per matching
     // doc, the best 8-token window — most distinct query terms, then
     // most occurrences, then earliest start. Candidates are exactly
@@ -4248,14 +4280,19 @@ object SparkEntry {
     * storage layout, not a semantic change, so one oracle replays
     * both. `docsWhere` restricts the corpus (the erasure oracle:
     * BM25 over a deleted index == BM25 over the filtered corpus). */
-  private def bm25Sql(docsWhere: String = ""): String =
+  private def bm25Sql(docsWhere: String = "",
+                      terms: Seq[String] = Seq("column", "scan", "window"),
+                      topK: Int = 15,
+                      queryId: Option[Long] = None): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val qidCol = queryId.fold("")(q => s"CAST($q AS BIGINT) AS query_id, ")
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
               FROM documents $docsWhere),
          stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
          tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
                   SELECT doc_id, dl, unnest(t) AS token FROM d)
-                WHERE token IN ('column', 'scan', 'window')
+                WHERE token IN ($inList)
                 GROUP BY 1, 2, 3),
          idf AS (SELECT token,
                   CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT)
@@ -4271,8 +4308,9 @@ object SparkEntry {
          ranked AS (SELECT doc_id, bm25_micro, terms_hit,
              row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS "rank"
            FROM agg)
-         SELECT doc_id, bm25_micro, terms_hit, "rank"
-         FROM ranked WHERE "rank" <= 15"""
+         SELECT ${qidCol}doc_id, bm25_micro, terms_hit, "rank"
+         FROM ranked WHERE "rank" <= $topK"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_es_count" ->
@@ -5625,6 +5663,33 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
          FROM p GROUP BY 1 HAVING count(DISTINCT token) = 3
          ORDER BY doc_id""",
+
+    // Faceted search: conjunctive match set joined to metadata, one
+    // count per (facet, value).
+    "q_facet_search" ->
+      """WITH p AS (SELECT doc_id, token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           WHERE token IN ('column', 'scan')),
+         m AS (SELECT doc_id FROM p GROUP BY 1
+               HAVING count(DISTINCT token) = 2),
+         j AS (SELECT m.doc_id, d.lang, d.source
+               FROM m JOIN documents d USING (doc_id)),
+         f AS (SELECT 'lang' AS facet,
+                 coalesce(CAST(lang AS VARCHAR), '(none)') AS value,
+                 count(*) AS n_docs FROM j GROUP BY 2
+               UNION ALL
+               SELECT 'source', coalesce(CAST(source AS VARCHAR), '(none)'),
+                 count(*) FROM j GROUP BY 2)
+         SELECT facet, value, n_docs FROM f ORDER BY facet, value""",
+
+    // Batched BM25: the union of two solo replays — batching is an
+    // execution strategy, not a semantic change.
+    "q_bm25_batch" ->
+      s"""SELECT * FROM (${bm25Sql(queryId = Some(1L), topK = 10)}) q1
+         UNION ALL
+         SELECT * FROM (${bm25Sql(terms = Seq("merge", "filter"),
+           topK = 10, queryId = Some(2L))}) q2""",
 
     // AND-NOT: the conjunctive set minus any doc holding an excluded
     // term.

@@ -46,4 +46,27 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** FACET counts over a matched doc set — the search-page sidebar:
+    * per metadata column, how many matched documents carry each
+    * value. `matched` is any retrieval output with `idCol` (a
+    * termLookup/BM25/fused list); `meta` supplies the facet columns
+    * keyed by the same id. One semi-join then ONE melted aggregate
+    * for ALL facets (explode of an nFacets-literal struct array —
+    * never a groupBy per facet, so adding facets adds no shuffles).
+    * Values count as their string form; a null facet value counts
+    * under "(none)" so the sidebar buckets are exhaustive. Returns
+    * (facet, value, n_docs). */
+  def facetCounts(matched: DataFrame, meta: DataFrame, idCol: String,
+                  facets: Seq[String]): DataFrame = {
+    require(facets.nonEmpty, "need at least one facet column")
+    val joined = matched.select(col(idCol)).distinct()
+      .join(meta.select(col(idCol) +: facets.map(col): _*), Seq(idCol))
+    joined.select(col(idCol), explode(array(facets.map(f =>
+        struct(lit(f).as("facet"),
+          coalesce(col(f).cast("string"), lit("(none)")).as("value"))): _*))
+        .as("__fv"))
+      .groupBy(col("__fv.facet").as("facet"), col("__fv.value").as("value"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

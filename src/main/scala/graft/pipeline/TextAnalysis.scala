@@ -891,6 +891,62 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
   }
 
+  /** BATCHED BM25 — many queries served in ONE pass over the index,
+    * the bulk-serving shape (eval sets, hard-negative mining,
+    * training-data retrieval run thousands of queries; per-query
+    * round trips would re-read shared postings): the postings read
+    * prunes to the UNION of all query terms once, the tiny
+    * (query, term) table broadcasts and fans each posting out to the
+    * queries containing its term, idf/stats compute once (df is
+    * per-token, query-independent, so each query's scores are
+    * IDENTICAL to its solo [[bm25IndexedTopK]] run — pinned by the
+    * oracle), and the per-query top-k is a rank window PARTITIONED by
+    * query (WindowGroupLimit, never a global sort). Returns
+    * (query_id, doc_id, bm25_micro, terms_hit, rank ≤ topK). */
+  def bm25IndexedTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queries: Seq[(Long, Seq[String])],
+                           topK: Int, k1: Double = 1.2,
+                           b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && topK > 0, "need queries and topK > 0")
+    require(queries.forall(_._2.nonEmpty), "every query needs terms")
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
+      Seq(graft.sources.Compact.PartIn("token", allTerms)), TermIndexOptions)
+    val stats = readTextStats(spark, path)
+    val qt = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t))
+    }.toDF("query_id", "token")
+    val idf = post.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(stats.select(col("n").as("__n"))))
+      .withColumn("idf_micro",
+        floor(log((col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)) * 1e6).cast("long"))
+      .select(col("token"), col("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+    post.join(broadcast(qt), Seq("token"))
+      .join(broadcast(idf), Seq("token"))
+      .crossJoin(broadcast(
+        stats.select(col("n").as("__n"), col("tot").as("__tot"))))
+      .withColumn("__avgdl",
+        col("__tot").cast("double") / col("__n").cast("double"))
+      .withColumn("__contrib", floor(
+        col("idf_micro").cast("double") *
+          (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              (lit(b) * col("dl").cast("double")) / col("__avgdl")))
+      ).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__contrib")).as("bm25_micro"),
+        count(lit(1)).as("terms_hit"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** BM25-scored retrieval (Okapi, Lucene idf variant): per matching
     * document, `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
     * over the query terms it contains, with

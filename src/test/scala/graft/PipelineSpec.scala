@@ -1507,6 +1507,50 @@ class PipelineSpec extends SparkTestBase {
     assert(best(0)._3 > best(1)._3, best.toList)
   }
 
+  test("batched BM25 equals per-query solo runs; facet counts bucket nulls") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "scan", "merge", "column", "window",
+      "sort", "filter")
+    val docs = (0 until 150).map { i =>
+      val toks = (0 until (3 + i % 6)).map(j => words((i * 5 + j * 3) % words.length))
+      (i.toLong, toks.mkString(" "),
+        if (i % 7 == 0) null else s"l${i % 3}")
+    }.toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("batch").toFile
+    try {
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", dir.getAbsolutePath)
+      val qs = Seq(7L -> Seq("scan", "column"), 9L -> Seq("merge", "filter"))
+      val batch = TextAnalysis.bm25IndexedTopKBatch(spark,
+          dir.getAbsolutePath, qs, topK = 12)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_micro"),
+          r.getAs[Long]("terms_hit"), r.getAs[Long]("rank"))).toSet
+      val solo = qs.flatMap { case (qid, ts) =>
+        TextAnalysis.bm25IndexedTopK(spark, dir.getAbsolutePath, ts, 12)
+          .collect().map(r => (qid, r.getAs[Long]("doc_id"),
+            r.getAs[Long]("bm25_micro"), r.getAs[Long]("terms_hit"),
+            r.getAs[Long]("rank")))
+      }.toSet
+      assert(batch == solo, "batched scores/ranks must equal solo runs")
+      // facet counts: null metadata buckets under "(none)", totals
+      // cover every matched doc exactly once per facet
+      val matched = TextAnalysis.termLookupAll(spark, dir.getAbsolutePath,
+        Seq("scan"))
+      val n = matched.count()
+      val fc = graft.pipeline.Retrieval.facetCounts(matched, docs,
+          "doc_id", Seq("lang"))
+        .collect().map(r => (r.getAs[String]("value"),
+          r.getAs[Long]("n_docs"))).toMap
+      assert(fc.values.sum == n, s"$fc must cover all $n matched docs")
+      assert(fc.contains("(none)"), fc)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("snippet window and AND-NOT retrieval match hand models over positional postings") {
     import spark.implicits._
     val docs = Seq(
