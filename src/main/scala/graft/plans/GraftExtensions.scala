@@ -251,6 +251,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             stringLit(args(1), "phrase_search termsCsv").split(",").map(_.trim).toSeq)
           .queryExecution.logical
       }))
+
+    // SELECT * FROM sparse_search('docs_view', 'doc_id', 'text',
+    //                             'column:2500000,window:-400000', 15)
+    ext.injectTableFunction((
+      FunctionIdentifier("sparse_search"),
+      new ExpressionInfo("graft.pipeline.TextAnalysis", "sparse_search"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "sparse_search(table, idCol, textCol, weightsCsv, topK) takes five arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val weights = stringLit(args(3), "sparse_search weightsCsv")
+          .split(",").map(_.trim).toSeq.map { kv =>
+            kv.split(":") match {
+              case Array(t, w) => (t.trim, w.trim.toLong)
+              case _ => throw new IllegalArgumentException(
+                s"sparse_search weight entry '$kv' is not term:microWeight")
+            }
+          }
+        graft.pipeline.TextAnalysis.weightedTermTopKScan(
+            spark.table(stringLit(args.head, "sparse_search table")),
+            stringLit(args(1), "sparse_search idCol"),
+            stringLit(args(2), "sparse_search textCol"),
+            weights, longLit(args(4), "sparse_search topK").toInt)
+          .queryExecution.logical
+      }))
+
+    // SELECT * FROM passage_search('docs_view', 'doc_id', 'text',
+    //                              'column,scan', 32, 16, 100, 10)
+    ext.injectTableFunction((
+      FunctionIdentifier("passage_search"),
+      new ExpressionInfo("graft.pipeline.TextAnalysis", "passage_search"),
+      (args: Seq[Expression]) => {
+        require(args.length == 8,
+          "passage_search(table, idCol, textCol, termsCsv, window, stride, " +
+            "passageK, topK) takes eight arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.pipeline.TextAnalysis.passageTopK(
+            spark.table(stringLit(args.head, "passage_search table")),
+            stringLit(args(1), "passage_search idCol"),
+            stringLit(args(2), "passage_search textCol"),
+            stringLit(args(3), "passage_search termsCsv").split(",").map(_.trim).toSeq,
+            longLit(args(4), "passage_search window").toInt,
+            longLit(args(5), "passage_search stride").toInt,
+            longLit(args(6), "passage_search passageK").toInt,
+            longLit(args(7), "passage_search topK").toInt)
+          .queryExecution.logical
+      }))
+
+    // SELECT * FROM snippet_search('/path/to/text-index', 'column,scan', 8)
+    ext.injectTableFunction((
+      FunctionIdentifier("snippet_search"),
+      new ExpressionInfo("graft.pipeline.TextAnalysis", "snippet_search"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "snippet_search(indexPath, termsCsv, width) takes three arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.pipeline.TextAnalysis.snippetWindow(spark,
+            stringLit(args.head, "snippet_search indexPath"),
+            stringLit(args(1), "snippet_search termsCsv").split(",").map(_.trim).toSeq,
+            longLit(args(2), "snippet_search width").toInt)
+          .queryExecution.logical
+      }))
   }
 
   private def longLit(e: Expression, what: String): Long = e match {

@@ -200,7 +200,32 @@ class SqlSurfaceSpec extends SparkTestBase {
       val hb = hJson.collect().map(_.toString).toSeq.sorted
       assert(ha == hb && ha.nonEmpty, s"sql=$ha json=$hb")
 
-      // phrase_search TVF == library phraseLookup over a real index
+      // sparse_search TVF == JsonApi.search with a weight map ==
+      // the scan operator
+      val spSql = s.sql(
+        "SELECT * FROM sparse_search('docs_v', 'doc_id', 'text', " +
+          "'scan:300,column:-100', 10)")
+      val spJson = graft.engine.JsonApi.search(docs,
+        """{"weights": {"scan": 300, "column": -100}, "topK": 10}""")
+      assert(spSql.schema == spJson.schema)
+      assert(spSql.collect().map(_.toString).toSeq.sorted ==
+        spJson.collect().map(_.toString).toSeq.sorted)
+      assert(spSql.count() > 0)
+
+      // passage_search TVF == JsonApi.search with a passage block
+      val paSql = s.sql(
+        "SELECT * FROM passage_search('docs_v', 'doc_id', 'text', " +
+          "'scan,column', 4, 2, 100, 10)")
+      val paJson = graft.engine.JsonApi.search(docs,
+        """{"terms": ["scan", "column"], "topK": 10,
+            "passage": {"window": 4, "stride": 2, "passageK": 100}}""")
+      assert(paSql.schema == paJson.schema)
+      assert(paSql.collect().map(_.toString).toSeq.sorted ==
+        paJson.collect().map(_.toString).toSeq.sorted)
+      assert(paSql.count() > 0)
+
+      // phrase_search / snippet_search TVFs == library operators over
+      // a real index
       val dir = java.nio.file.Files.createTempDirectory("sqlphrase").toFile
       try {
         graft.pipeline.TextAnalysis.buildTextIndex(docs, "doc_id", "text",
@@ -212,6 +237,14 @@ class SqlSurfaceSpec extends SparkTestBase {
         assert(pSql.schema == pDf.schema)
         assert(pSql.collect().map(_.toString).toSeq.sorted ==
           pDf.collect().map(_.toString).toSeq.sorted)
+        val snSql = s.sql(
+          s"SELECT * FROM snippet_search('${dir.getAbsolutePath}', 'scan,column', 6)")
+        val snDf = graft.pipeline.TextAnalysis.snippetWindow(s,
+          dir.getAbsolutePath, Seq("scan", "column"), width = 6)
+        assert(snSql.schema == snDf.schema)
+        assert(snSql.collect().map(_.toString).toSeq.sorted ==
+          snDf.collect().map(_.toString).toSeq.sorted)
+        assert(snSql.count() > 0)
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
