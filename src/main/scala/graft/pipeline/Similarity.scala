@@ -1585,13 +1585,20 @@ object Similarity {
     * among its `coarseProbe` best coarse cells' members. */
   def buildIndexTwoLevel(corpus: DataFrame, cId: String, cVec: String,
                          fine: DataFrame, coarse: DataFrame,
-                         coarseProbe: Int, path: String): Unit = {
+                         coarseProbe: Int, path: String,
+                         payload: Seq[String] = Nil): Unit = {
     fine.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     coarse.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/codebook_coarse")
-    probeCellsTwoLevel(corpus.select(col(cId), col(cVec)), cId, cVec,
-      fine, coarse, coarseProbe, nProbe = 1)
-      .repartition(col("cell_id"))
+    val assigned = probeCellsTwoLevel(corpus.select(col(cId), col(cVec)),
+      cId, cVec, fine, coarse, coarseProbe, nProbe = 1)
+    // payload columns for filtered search join back once at build
+    // time (the hierarchy assigner stays vector-only)
+    val rows =
+      if (payload.isEmpty) assigned
+      else assigned.join(
+        corpus.select(col(cId) +: payload.map(col): _*), Seq(cId))
+    rows.repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite")
       .parquet(s"$path/cells")
   }
@@ -1603,14 +1610,17 @@ object Similarity {
   def ivfTopKIndexedTwoLevel(spark: org.apache.spark.sql.SparkSession,
                              queries: DataFrame, qId: String, qVec: String,
                              path: String, cId: String, cVec: String,
-                             k: Int, coarseProbe: Int, nProbe: Int): DataFrame = {
+                             k: Int, coarseProbe: Int, nProbe: Int,
+                             where: Option[Column] = None): DataFrame = {
     val fine = spark.read.parquet(s"$path/codebook")
     val coarse = spark.read.parquet(s"$path/codebook_coarse")
     val qa = probeCellsTwoLevel(queries.select(col(qId), col(qVec)),
       qId, qVec, fine, coarse, coarseProbe, nProbe)
       .withColumn("__qn", norm(col(qVec)))
+    // `where` = the filtered-search predicate over payload columns,
+    // applied inside the probed-cell scan like ivfTopKIndexedWhere
     searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
-      "ivfTopKIndexedTwoLevel")
+      "ivfTopKIndexedTwoLevel", where)
   }
 
   /** Candidate-generation strategy for [[hardNegatives]] — the same
