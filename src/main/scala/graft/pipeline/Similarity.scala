@@ -607,8 +607,23 @@ object Similarity {
     val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
     if (fs.exists(marker)) return
     val cb = spark.read.parquet(s"$path/codebook")
-    assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb)
-      .repartition(col("cell_id"))
+    atomicCellsWrite(spark,
+      assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb),
+      path, batchId)
+  }
+
+  /** The shared idempotent cells write: `rows` (carrying `cell_id`)
+    * land as one deterministic `batch-<id>.parquet` per cell via the
+    * tmp→rename→marker dance of [[appendToIndexAtomic]]. Assumes the
+    * caller already checked the marker (skip-before-compute). */
+  private def atomicCellsWrite(spark: org.apache.spark.sql.SparkSession,
+                               rows: DataFrame, path: String,
+                               batchId: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.tmp-batch-$batchId")
+    val fs = tmp.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
+    rows.repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite")
       .parquet(tmp.toString)
     for (cellDir <- fs.listStatus(tmp).filter(s =>
@@ -626,6 +641,43 @@ object Similarity {
     fs.delete(tmp, true)
     fs.create(marker, true).close()
   }
+
+  /** [[appendToIndexAtomic]] for the IVF×PQ families: the batch is
+    * cell-assigned and PQ-encoded by the PERSISTED codebooks
+    * (residualized first when `residual` — pair with the matching
+    * build), then lands through the same deterministic-name replay
+    * guard, so a foreachBatch restart is exactly-once. */
+  def appendToIndexPqAtomic(batch: DataFrame, cId: String, cVec: String,
+                            dims: Int, m: Int, path: String, batchId: Long,
+                            residual: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
+    if (fs.exists(marker)) return
+    val cb = spark.read.parquet(s"$path/codebook")
+    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val assigned = graft.engine.Staging.stage(
+      assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb))
+    val enc =
+      if (residual)
+        pqEncode(withResiduals(assigned, cVec, cb)
+          .select(col(cId), col("__res")), cId, "__res", dims, m, pqcb)
+      else pqEncode(batch.select(col(cId), col(cVec)), cId, cVec, dims, m, pqcb)
+    atomicCellsWrite(spark, assigned.join(enc, Seq(cId)), path, batchId)
+  }
+
+  /** Started-able streaming maintenance for an IVF×PQ (or residual)
+    * index — [[streamingIndexAppend]]'s twin: every micro-batch
+    * assigns, encodes and lands exactly-once under a
+    * batchId-deterministic name; fold accumulated batch files with
+    * [[compactIndexCells]] off the hot path. */
+  def streamingIndexAppendPq(vectors: DataFrame, cId: String, cVec: String,
+                             dims: Int, m: Int, path: String,
+                             residual: Boolean = false) =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendToIndexPqAtomic(batch, cId, cVec, dims, m, path, batchId, residual)
+    }
 
   /** The index cells store's REQUIRED compaction entry point:
     * replacing on the vector id, so rows duplicated by the
@@ -730,6 +782,12 @@ object Similarity {
       case None => (0, 0L)
       case Some((kc, keys0)) =>
         val root = s"$path/cells"
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        require(rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(rootP),
+          s"physical purge needs the cell-partitioned layout ($root missing)" +
+            " — a PQ-only artifact purges by rebuild; its delete set" +
+            " already hides ids from every search")
         val keys = keys0.distinct()
         val affected = spark.read.parquet(root)
           .join(keys, Seq(kc), "left_semi")

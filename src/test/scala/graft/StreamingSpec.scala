@@ -251,6 +251,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming IVF x PQ (residual) append: batches assign+encode with persisted codebooks, exactly-once") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-spq").toString
+    val corpus = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 0.11 + d).toFloat))
+    }.toDF("vec_id", "v")
+    Similarity.buildIndexPqResidual(corpus, "vec_id", "v",
+      Similarity.syntheticCodebook(spark, nCells = 8, dims = 16),
+      dims = 16, m = 4, kCents = 4, iters = 1, dir)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.streamingIndexAppendPq(
+      input.toDF().toDF("vec_id", "v"), "vec_id", "v",
+      dims = 16, m = 4, dir, residual = true)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // stream a NOVEL vector (the i=1000 pattern is outside the
+      // corpus): probing exactly it, the streamed row must win the
+      // float re-rank strictly (cos 1 vs < 1 for every corpus vector)
+      val twinVec = Array.tabulate(16)(d => math.cos(1000 * 0.11 + d).toFloat)
+      input.addData((1042L, twinVec))
+      q.processAllAvailable()
+      val probe = Seq((999L, twinVec)).toDF("q_id", "q_vec")
+      val top = Similarity.ivfTopKIndexedPqResidual(spark, probe,
+        "q_id", "q_vec", dir, "vec_id", "v", k = 1, shortlist = 70,
+        nProbe = 8).collect()
+      assert(top.head.getAs[Long]("vec_id") == 1042L, top.toSeq)
+      // streamed rows carry CODES from the persisted (residual)
+      // codebooks — the artifact stays searchable code-only
+      val streamed = spark.read.parquet(s"$dir/cells")
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 1042L)
+        .collect()
+      assert(streamed.length == 1 &&
+        streamed.head.getAs[scala.collection.Seq[Int]]("codes").length == 4,
+        streamed.toSeq)
+      // replay guard: the same batch id is a no-op
+      val before = spark.read.parquet(s"$dir/cells").count()
+      Similarity.appendToIndexPqAtomic(
+        Seq((1042L, twinVec)).toDF("vec_id", "v"), "vec_id", "v",
+        dims = 16, m = 4, dir, batchId = 0L, residual = true)
+      assert(spark.read.parquet(s"$dir/cells").count() == before,
+        "replayed batch must not append duplicate rows")
+    } finally q.stop()
+  }
+
   test("streaming text-index append: micro-batches keep BM25 equal to a full scan") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
