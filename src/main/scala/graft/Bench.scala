@@ -499,15 +499,20 @@ object Bench {
     // adjudicated in-artifact. Long flags (>2s) are left alone — at
     // that scale the 2x gate is trustworthy and 3 extra runs are not
     // free.
+    // None on a throwing probe: a fast failure must not feed
+    // cur = min(cur, t) and masquerade as an adjudicated clear — the
+    // failure is recorded in `failed` (surfaced in the artifact) and
+    // the re-probe loop stops, leaving the flag to stand on the
+    // samples that actually ran.
     def onceTimed(name: String,
-                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       spark.sparkContext.getPersistentRDDs
         .valuesIterator.foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(): Unit }
-      catch { case _: Throwable => failed += name }
-      (System.nanoTime() - t0) / 1e9
+      catch { case _: Throwable => failed += name; return None }
+      Some((System.nanoTime() - t0) / 1e9)
     }
     val reprobeTrail = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val firstFlags = flaggedUnion(auditsOf(medianCpuOf()))
@@ -524,11 +529,17 @@ object Bench {
         }
         var trail = Vector.empty[Double]
         var cur = timings(a.name)
+        var broke = false
         def stillFlagged = { val r = cur / a.best; r > 2 || r / hostFactor > 2 }
-        while (trail.size < 3 && stillFlagged) {
-          val t = onceTimed(a.name, fn)
-          trail :+= t
-          cur = math.min(cur, t)
+        while (trail.size < 3 && stillFlagged && !broke) {
+          onceTimed(a.name, fn) match {
+            case Some(t) => trail :+= t; cur = math.min(cur, t)
+            case None =>
+              System.err.println(
+                s"[bench] re-probe of ${a.name} THREW — flag stands on " +
+                  "prior samples; failure recorded in failed[]")
+              broke = true
+          }
         }
         timings(a.name) = cur
         reprobeTrail(a.name) = trail

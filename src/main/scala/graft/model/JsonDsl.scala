@@ -184,6 +184,12 @@ object JsonDsl {
       throw JsonError("passage search needs terms")
     if (weights.nonEmpty && (passage.nonEmpty || j.asOpt("semantic").nonEmpty))
       throw JsonError("weights do not combine with passage/semantic blocks")
+    // terms+weights is ambiguous (which set is the query?) — reject
+    // loudly like the other invalid combinations rather than letting
+    // sparse mode silently win over the ignored terms
+    if (weights.nonEmpty && terms.nonEmpty)
+      throw JsonError("supply terms (lexical) or weights (sparse), not both" +
+        " — sparse queries carry their terms as the weight keys")
     SearchRequest(
       terms = terms,
       topK = j.asOpt("topK").map(_.int).getOrElse(10),

@@ -730,6 +730,24 @@ object Similarity {
                       path: String, keys: DataFrame, name: String): Unit = {
     require(keys.columns.length == 1,
       "index delete keys must be a single-column frame naming the id column")
+    // Validate the key NAME against the index's actual schema at
+    // delete time: a misnamed key column would make minusIndexDeletes
+    // a silent no-op (the anti-join is skipped when the candidate
+    // frame lacks the column), so a right-to-be-forgotten request
+    // would hide nothing from searches and only a later purge would
+    // fail. Schema-only read — no data scan.
+    val kc = keys.columns.head
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = Seq(s"$path/cells", s"$path/codes")
+      .find(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no index artifact at $path (neither cells/ nor codes/)"))
+    val idxCols = spark.read.parquet(dataDir).columns.toSet
+    require(idxCols.contains(kc),
+      s"delete key column '$kc' is not a column of the index at " +
+        s"$dataDir (has: ${idxCols.toSeq.sorted.mkString(", ")}) — " +
+        "name the indexed id column, e.g. keys.toDF(\"vec_id\")")
     graft.sources.Store.atomicAppend(keys.distinct(),
       s"$path/deletes", s"del-$name")
   }

@@ -811,10 +811,12 @@ object TextAnalysis {
     * `passageK` passages pool max-per-document (ties to the lowest
     * chunk), and documents rank by their best passage. The composite
     * pid = id·1e6 + chunk_idx keeps every tie-break exact integer
-    * math on both engines, which requires a NUMERIC `idCol` (< ~9e12)
-    * and fewer than 1e6 chunks per document. Returns (idCol,
-    * best_chunk_idx, best_micro, rank), rank 1-based, ≤ `topK`
-    * rows. */
+    * math on both engines, which requires a NUMERIC `idCol` with
+    * |id| < ~9e12 and fewer than 1e6 chunks per document; negative
+    * ids are supported — recovery uses pmod, so chunk_idx stays in
+    * [0, 1e6) and the floor-division recovers the signed doc id
+    * exactly. Returns (idCol, best_chunk_idx, best_micro, rank),
+    * rank 1-based, ≤ `topK` rows. */
   def passageTopK(docs: DataFrame, idCol: String, textCol: String,
                   queryTerms: Seq[String], windowTokens: Int = 32,
                   strideTokens: Int = 16, passageK: Int = 100,
@@ -833,7 +835,10 @@ object TextAnalysis {
     val docRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("best_micro").desc, col(idCol).asc)
     passages
-      .withColumn("chunk_idx", col("pid") % 1000000L)
+      // pmod, not %: a negative doc id makes pid negative, and a
+      // negative remainder would corrupt BOTH the recovered chunk_idx
+      // and the doc id below. pmod keeps chunk in [0, 1e6) always.
+      .withColumn("chunk_idx", pmod(col("pid"), lit(1000000L)))
       // pid minus its chunk is an exact multiple of 1e6: the double
       // division is exact, no boundary rounding
       .withColumn(idCol,

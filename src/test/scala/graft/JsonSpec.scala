@@ -234,6 +234,11 @@ class JsonSpec extends SparkTestBase {
         """{"terms": ["a"], "weights": {"a": 1},
             "semantic": {"queryId": 0}}""")
     }
+    // terms + weights alone is ambiguous too: rejected loudly, never
+    // "sparse silently wins and terms are dropped"
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search("""{"terms": ["a"], "weights": {"b": 1}}""")
+    }
   }
 
   test("event-record search request decodes the reference DTO and runs") {

@@ -1143,6 +1143,13 @@ class PipelineSpec extends SparkTestBase {
     try {
       Similarity.buildIndex(corpus, "vec_id", "v", dir.getAbsolutePath,
         nCells = 6, iters = 1)
+      // a MISNAMED key column must fail loudly at delete time, not
+      // silently hide nothing from searches
+      intercept[IllegalArgumentException] {
+        Similarity.deleteFromIndex(spark, dir.getAbsolutePath,
+          corpus.filter(col("vec_id") % 4 === 1)
+            .select(col("vec_id").as("id")), "gdpr-bad")
+      }
       Similarity.deleteFromIndex(spark, dir.getAbsolutePath,
         corpus.filter(col("vec_id") % 4 === 1).select("vec_id"), "gdpr-1")
       // the reference: the SAME codebook over the filtered corpus
@@ -1505,6 +1512,16 @@ class PipelineSpec extends SparkTestBase {
     assert(best.map(b => (b._1, b._2)).toList == List((0L, 1L), (1L, 0L)),
       best.toList)
     assert(best(0)._3 > best(1)._3, best.toList)
+    // NEGATIVE doc ids round-trip the pid composite exactly: pmod
+    // keeps the recovered chunk_idx in [0, 1e6) so the signed doc id
+    // comes back intact (a plain % would corrupt both)
+    val neg = TextAnalysis.passageTopK(
+      docs.withColumn("doc_id", col("doc_id") - 5L), "doc_id", "text",
+      Seq("column", "scan"), windowTokens = 32, strideTokens = 16,
+      passageK = 100, topK = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("best_chunk_idx"))).sortBy(_._1)
+    assert(neg.toList == List((-5L, 1L), (-4L, 0L)), neg.toList)
   }
 
   test("batched BM25 equals per-query solo runs; facet counts bucket nulls") {
