@@ -448,6 +448,94 @@ object SparkEntry {
          FROM ranked WHERE "rank" <= $k"""
   }
 
+  /** DuckDB oracle for late-interaction retrieval
+    * (Similarity.maxSimTopK / maxSimTopKIndexed): md5-derived token
+    * vectors, per-(query, doc, q-token) cosine maxes floored to
+    * micro-longs, associative long sums, (score DESC, doc ASC) rank.
+    * `indexed` prepends the candidate chain — synthetic 64-cell
+    * codebook, instance argmax assignment, per-q-token probe ranking
+    * (rn ≤ nProbe) and candidate top-candTok — and restricts scoring
+    * to the candidate (query, doc) pairs, exactly the engine's
+    * pre-ranking restriction. */
+  private def maxsimSql(indexed: Boolean, k: Int = 10, nProbe: Int = 8,
+                        candTok: Int = 20,
+                        queries: Seq[(Long, Long, String)] = MaxsimQueries,
+                        withQId: Boolean = true): String = {
+    def vecExpr(tokenExpr: String) =
+      s"""list_transform(range($MaxsimDims), j ->
+           (CAST(concat('0x', substring(md5(concat('tv-', $tokenExpr, '-', j)), 1, 5)) AS BIGINT)
+            % 2001 - 1000) / 1000.0)"""
+    val qValues = queries
+      .map { case (q, p, t) => s"($q, $p, '$t')" }.mkString(", ")
+    val outCols = (if (withQId) "q_id, " else "") +
+      "doc_id, maxsim_micro, qtokens_hit, \"rank\""
+    val candCtes = if (!indexed) "" else s""",
+         cb AS (SELECT cell_id, list_transform(range($MaxsimDims), j ->
+                  (CAST(concat('0x', substring(md5(concat('cb-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS cv
+                FROM range(64) t(cell_id)),
+         cbn AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cb),
+         inst AS (SELECT doc_id, token,
+                    doc_id * 1000000 + row_number()
+                      OVER (PARTITION BY doc_id ORDER BY token) AS tok_id
+                  FROM dt),
+         instv AS (SELECT i.tok_id, i.doc_id, tv.v,
+                     sqrt(list_dot_product(tv.v, tv.v)) AS dn
+                   FROM inst i JOIN tv USING (token)),
+         ia AS (SELECT tok_id, doc_id, v, dn, cell_id FROM (
+                  SELECT iv.*, c.cell_id, row_number() OVER (PARTITION BY iv.tok_id
+                    ORDER BY CASE WHEN iv.dn * c.cn = 0 THEN 0.0
+                      ELSE list_dot_product(iv.v, c.cv) / (iv.dn * c.cn) END DESC,
+                      c.cell_id) AS rn
+                  FROM instv iv, cbn c) WHERE rn = 1),
+         qp AS (SELECT q_id, q_pos, qv, qn, cell_id FROM (
+                  SELECT q.q_id, q.q_pos, q.qv, q.qn, c.cell_id,
+                    row_number() OVER (PARTITION BY q.q_id, q.q_pos
+                      ORDER BY CASE WHEN q.qn * c.cn = 0 THEN 0.0
+                        ELSE list_dot_product(q.qv, c.cv) / (q.qn * c.cn) END DESC,
+                        c.cell_id) AS rn
+                  FROM qtn q, cbn c) WHERE rn <= $nProbe),
+         cand0 AS (SELECT qp.q_id, qp.q_pos, ia.tok_id, ia.doc_id,
+                     CASE WHEN qp.qn * ia.dn = 0 THEN 0.0
+                       ELSE list_dot_product(qp.qv, ia.v) / (qp.qn * ia.dn) END AS cs
+                   FROM ia JOIN qp ON ia.cell_id = qp.cell_id),
+         cand AS (SELECT DISTINCT q_id, doc_id FROM (
+                    SELECT q_id, q_pos, doc_id, row_number()
+                      OVER (PARTITION BY q_id, q_pos ORDER BY cs DESC, tok_id) AS rn
+                    FROM cand0) WHERE rn <= $candTok)"""
+    val perFrom =
+      if (indexed)
+        "FROM qtn q JOIN cand c ON c.q_id = q.q_id JOIN dtv d ON d.doc_id = c.doc_id"
+      else "FROM qtn q, dtv d"
+    s"""WITH dt0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id < 1500),
+         dt AS (SELECT DISTINCT doc_id, token FROM dt0 WHERE len(token) > 0),
+         tv AS (SELECT token, ${vecExpr("token")} AS v
+                FROM (SELECT DISTINCT token FROM dt)),
+         dtv AS (SELECT d.doc_id, tv.v, sqrt(list_dot_product(tv.v, tv.v)) AS dn
+                 FROM dt d JOIN tv USING (token)),
+         qt AS (SELECT CAST(q_id AS BIGINT) AS q_id, CAST(q_pos AS BIGINT) AS q_pos, token
+                FROM (VALUES $qValues) t(q_id, q_pos, token)),
+         qtn AS (SELECT q_id, q_pos, ${vecExpr("token")} AS qv,
+                   sqrt(list_dot_product(${vecExpr("token")}, ${vecExpr("token")})) AS qn
+                 FROM qt)$candCtes,
+         per AS (SELECT q.q_id, d.doc_id, q.q_pos,
+                   max(CASE WHEN q.qn * d.dn = 0 THEN 0.0
+                     ELSE list_dot_product(q.qv, d.v) / (q.qn * d.dn) END) AS mx
+                 $perFrom
+                 GROUP BY 1, 2, 3),
+         agg AS (SELECT q_id, doc_id,
+                   CAST(sum(CAST(floor(mx * 1e6) AS BIGINT)) AS BIGINT) AS maxsim_micro,
+                   count(*) AS qtokens_hit
+                 FROM per GROUP BY 1, 2),
+         ranked AS (SELECT q_id, doc_id, maxsim_micro, qtokens_hit,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY maxsim_micro DESC, doc_id) AS "rank"
+                    FROM agg)
+         SELECT $outCols
+         FROM ranked WHERE "rank" <= $k"""
+  }
+
   /** Deterministic ±1 hyperplanes (fixed seed) for the oracle-checked
     * LSH query — the SAME literal matrix is embedded in the DuckDB
     * oracle SQL, so both engines compute identical buckets. */
@@ -490,6 +578,47 @@ object SparkEntry {
         when(graft.pipeline.Similarity.dot(col("v"), array(w.map(lit): _*)) > 0,
           1 << p).otherwise(0)
       }.reduce(_ + _))
+
+  // ---- Late-interaction (maxsim) fixtures --------------------------
+  // Multi-vector retrieval needs per-token vectors; the test corpus
+  // derives them deterministically from the md5-20-bit hash space
+  // (Similarity.tokenVector), standing in for a real token-embedding
+  // table — so the DuckDB oracle regenerates every vector bit for
+  // bit. Two fixed queries; the doc side is DISTINCT (doc, token)
+  // pairs (maxsim's max over a token multiset equals the max over its
+  // set), bounded by doc_id < 1500 so the oracle's brute replay stays
+  // cheap at every SF.
+
+  private val MaxsimDims = 16
+  private val MaxsimQueries: Seq[(Long, Long, String)] = Seq(
+    (0L, 0L, "column"), (0L, 1L, "scan"),
+    (1L, 0L, "merge"), (1L, 1L, "filter"), (1L, 2L, "window"))
+
+  private def maxsimQueryTokens(s: SparkSession): DataFrame = {
+    import s.implicits._
+    MaxsimQueries.toDF("q_id", "q_pos", "token")
+      .withColumn("q_vec",
+        graft.pipeline.Similarity.tokenVector(col("token"), MaxsimDims))
+  }
+
+  private def maxsimDocTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") < 1500)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .withColumn("d_vec",
+        graft.pipeline.Similarity.tokenVector(col("token"), MaxsimDims))
+
+  /** Token INSTANCES with a deterministic id for the maxsim token
+    * index: doc_id·1e6 + the token's rank within its document
+    * (lexical, row_number — replayable by the oracle without
+    * positions). */
+  private def maxsimDocTokenInstances(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("token"))
+    maxsimDocTokens(s, dir)
+      .withColumn("tok_id",
+        col("doc_id") * 1000000L + row_number().over(w))
+  }
 
   /** DuckDB oracle for the full md5-portable MinHash-LSH pipeline
     * (Dedup.minhashDupPairsPortable): exact pre-collapse to star
@@ -2272,6 +2401,19 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // Late-interaction retrieval through the JSON request layer: the
+    // maxsim block routes the request's terms into Similarity
+    // .maxSimTopK over md5-derived token vectors — the same operator
+    // (and vectors) as q_maxsim_search, replayed by a single-query
+    // maxsim oracle.
+    "q_json_maxsim" -> ((s, dir) => {
+      JsonApi.search(Tables.documents(s, dir).filter(col("doc_id") < 1500),
+          """{"terms": ["column", "scan"], "topK": 10,
+              "maxsim": {"dims": 16}}""")
+        .select(col("doc_id"), col("maxsim_micro"), col("qtokens_hit"),
+          col("rank"))
+    }),
+
     // Hybrid retrieval through the JSON request layer: the semantic
     // block fuses the embedding cosine top-20 with the lexical top-20
     // by integer RRF — same operators, same oracle as q_hybrid_search.
@@ -2324,6 +2466,29 @@ object SparkEntry {
       val idx = incrementalTextIndex(s, dir)
       TextAnalysis.bm25IndexedTopK(s, idx.getAbsolutePath,
         Seq("column", "scan", "window"), topK = 15)
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
+    // ANALYZED retrieval (TextAnalysis.Analyzer): the corpus is made
+    // mixed-case (every even doc uppercased), the index is built with
+    // lowercase + {the, a} stopwords — the config persists WITH the
+    // index — and the mixed-case query terms normalize through the
+    // SAME persisted analyzer at lookup, so case can never mismatch
+    // between build and query. Stopword removal changes dl (and so
+    // every BM25 denominator), which the oracle replays with
+    // lower() + list_filter over the same case-mangled corpus.
+    "q_bm25_analyzed" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-analyzed-v1", dir) { root =>
+        val mixed = Tables.documents(s, dir).withColumn("text",
+          when(col("doc_id") % 2 === 0, upper(col("text")))
+            .otherwise(col("text")))
+        TextAnalysis.buildTextIndex(mixed, "doc_id", "text",
+          root.getAbsolutePath,
+          TextAnalysis.Analyzer(lowercase = true, stopwords = Seq("the", "a")))
+      }
+      TextAnalysis.bm25IndexedTopK(s, idx.getAbsolutePath,
+        Seq("Column", "SCAN", "window"), topK = 15)
         .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
           col("rank"))
     }),
@@ -2384,7 +2549,7 @@ object SparkEntry {
         TextAnalysis.buildTextIndex(Tables.documents(s, dir),
           "doc_id", "text", root.getAbsolutePath))
       TextAnalysis.termLookupAllNot(s, idx.getAbsolutePath,
-          must = Seq("column", "scan"), mustNot = Seq("window"))
+          must = Seq("column", "scan"), mustNot0 = Seq("window"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2674,6 +2839,43 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // LATE-INTERACTION (maxsim) retrieval — the ColBERT-style quality
+    // step between lexical/bi-encoder retrieval and a cross-encoder:
+    // documents are BAGS of per-token vectors, score(q, d) =
+    // Σ_{q tokens} max_{d tokens} cos. Per-(q,d,qtoken) maxes floor
+    // to micro-longs before the per-(q,d) sum (associative — the BM25
+    // contribution trick), so the oracle replays the whole surface:
+    // md5-derived token vectors, per-qtoken maxes, long sums, rank.
+    "q_maxsim_search" -> ((s, dir) => {
+      Similarity.maxSimTopK(maxsimQueryTokens(s), maxsimDocTokens(s, dir),
+          "q_id", "q_pos", "q_vec", "doc_id", "d_vec", k = 10)
+        .select(col("q_id"), col("doc_id"), col("maxsim_micro"),
+          col("qtokens_hit"), col("rank"))
+    }),
+
+    // maxsim with IVF-INDEXED candidate generation
+    // (Similarity.maxSimTopKIndexed) — the scale form: doc TOKENS live
+    // in a joined-IVF index (payload: doc_id), each query token pulls
+    // its 20 nearest token instances through the probed-cell tail
+    // (8 of 64 cells listed, PartitionFilters), the union of their
+    // docs is the candidate set, and the exact maxsim re-scores only
+    // those docs' tokens — restriction BEFORE ranking, contiguous
+    // ranks. The oracle replays codebook, instance assignment, probe
+    // ranking, per-qtoken candidate top-20, and the restricted maxsim.
+    "q_maxsim_indexed" -> ((s, dir) => {
+      val idx = stagedOnce("maxsim-idx-n64", dir)(root =>
+        Similarity.buildIndexJoined(maxsimDocTokenInstances(s, dir),
+          "tok_id", "d_vec",
+          Similarity.syntheticCodebook(s, nCells = 64, dims = MaxsimDims),
+          root.getAbsolutePath, payload = Seq("doc_id")))
+      Similarity.maxSimTopKIndexed(s, maxsimQueryTokens(s),
+          "q_id", "q_pos", "q_vec", idx.getAbsolutePath, "tok_id", "d_vec",
+          maxsimDocTokenInstances(s, dir), "doc_id", "d_vec",
+          k = 10, nProbe = 8, candTok = 20)
+        .select(col("q_id"), col("doc_id"), col("maxsim_micro"),
+          col("qtokens_hit"), col("rank"))
+    }),
+
     // pipeline: symmetric int8 embedding quantization — per-vector
     // integer codes summarized exactly (sum/min/max of ints, scale as
     // exact max|x|*1e9 micro-units); IEEE-only arithmetic, so the
@@ -2767,6 +2969,30 @@ object SparkEntry {
       val idx = stagedOnce("ivfindex-n8i1", dir)(root =>
         Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
           root.getAbsolutePath, nCells = 8, iters = 1))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
+        "vec_id", "embedding", k = 3, nProbe = 1)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // ATOMIC RETRAIN (Similarity.retrainIndex + IndexGen): the index
+    // is built UNTRAINED (iters=0: the seed codebook), then retrained
+    // in place — live cells re-read through their manifests, one
+    // Lloyd step from the persisted codebook, and the refreshed
+    // artifact committed as generation gen=0 by a single marker
+    // create. Search resolves the committed generation; results equal
+    // a one-shot iters=1 build, so the SAME trained oracle replays
+    // build→retrain→search end to end. Crash/concurrency semantics
+    // are pinned in IndexGenSpec (old XOR new, never a mix).
+    "q_index_retrain" -> ((s, dir) => {
+      val idx = stagedOnce("ivfretrain-n8", dir) { root =>
+        Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+          root.getAbsolutePath, nCells = 8, iters = 0)
+        Similarity.retrainIndex(s, root.getAbsolutePath,
+          "vec_id", "embedding", maxIters = 1): Unit
+      }
       val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopKIndexed(s, q, "q_id", "q_vec", idx.getAbsolutePath,
@@ -4283,11 +4509,12 @@ object SparkEntry {
   private def bm25Sql(docsWhere: String = "",
                       terms: Seq[String] = Seq("column", "scan", "window"),
                       topK: Int = 15,
-                      queryId: Option[Long] = None): String = {
+                      queryId: Option[Long] = None,
+                      tokensExpr: String = "string_split(text, ' ')"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val qidCol = queryId.fold("")(q => s"CAST($q AS BIGINT) AS query_id, ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    s"""WITH d AS (SELECT doc_id, $tokensExpr AS t,
+                CAST(len($tokensExpr) AS BIGINT) AS dl
               FROM documents $docsWhere),
          stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
          tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
@@ -5546,6 +5773,17 @@ object SparkEntry {
     // and each contribution floor to BIGINT, the sum is integer.
     "q_bm25_search" -> bm25Sql(),
 
+    // Analyzed BM25: the oracle re-derives the mixed-case corpus and
+    // replays the analyzer as lower() + stopword list_filter — dl is
+    // the ANALYZED token count, so every denominator shifts with it.
+    // Query terms arrive pre-normalized ('column','scan','window'):
+    // the engine's persisted-analyzer term normalization is exactly
+    // lowercase, which the literal list already is.
+    "q_bm25_analyzed" -> bm25Sql(tokensExpr =
+      "list_filter(string_split(lower(CASE WHEN doc_id % 2 = 0 " +
+        "THEN upper(text) ELSE text END), ' '), " +
+        "tok -> tok <> 'the' AND tok <> 'a')"),
+
     // identical math and data to q_bm25_search — build+append serves
     // the same postings rows and the same folded N/avgdl as a full
     // rebuild, so the full-corpus oracle replays the incremental index
@@ -6048,6 +6286,12 @@ object SparkEntry {
     // a semantic change, so the same generated oracle replays it.
     "q_knn_ivf_indexed" -> ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3),
 
+    // retrain(build(iters=0), one Lloyd step) == build(iters=1): the
+    // trained oracle replays the whole build→retrain→search chain
+    // (the retrain's corpus is the index's own live cells — the full
+    // corpus — and its seed codebook is the persisted iters=0 one).
+    "q_index_retrain" -> ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3),
+
     // Multi-probe through the index: the generated oracle ranks each
     // query's cells over the final centroids and probes rn <= 2.
     "q_knn_ivf_indexed_mp" ->
@@ -6431,6 +6675,11 @@ object SparkEntry {
 
     // coarse codebook + assignment + PQ + both rankings in one
     // generated chain (see ivfPqSql)
+    "q_maxsim_search" -> maxsimSql(indexed = false),
+    "q_maxsim_indexed" -> maxsimSql(indexed = true),
+    "q_json_maxsim" -> maxsimSql(indexed = false,
+      queries = Seq((0L, 0L, "column"), (0L, 1L, "scan")), withQId = false),
+
     "q_knn_ivf_pq" -> ivfPqSql(nCells = 64, nProbe = 8, dims = 64,
       m = 8, kc = 16, iters = 1, qMax = 10, k = 3, shortlist = 10),
 

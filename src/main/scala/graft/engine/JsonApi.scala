@@ -108,7 +108,29 @@ object JsonApi {
              embId: String = "vec_id", embVec: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.functions.col
     val req = JsonDsl.search(json)
-    if (req.weights.nonEmpty)
+    if (req.maxsim.nonEmpty) {
+      // late-interaction mode: the request's terms become per-token
+      // query vectors and docs score by Σ max cos — the SAME operator
+      // (and md5 token-vector space) as the maxsim_search TVF
+      import org.apache.spark.sql.functions._
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val dims = req.maxsim.get.dims
+      val qt = req.terms.zipWithIndex.map { case (t, i) => (0L, i.toLong, t) }
+        .toDF("__q_id", "__q_pos", "__tok")
+        .withColumn("__q_vec",
+          graft.pipeline.Similarity.tokenVector(col("__tok"), dims))
+      val dt = docs
+        .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+        .filter(length(col("__tok")) > 0)
+        .distinct()
+        .withColumn("__d_vec",
+          graft.pipeline.Similarity.tokenVector(col("__tok"), dims))
+      graft.pipeline.Similarity.maxSimTopK(qt, dt,
+          "__q_id", "__q_pos", "__q_vec", idCol, "__d_vec", req.topK)
+        .select(col(idCol), col("maxsim_micro"), col("qtokens_hit"),
+          col("rank"))
+    } else if (req.weights.nonEmpty)
       // sparse mode: integer-weighted term sums, no BM25 stats at all
       graft.pipeline.TextAnalysis.weightedTermTopKScan(
         docs, idCol, textCol, req.weights, req.topK)

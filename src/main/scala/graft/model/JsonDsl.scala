@@ -182,6 +182,15 @@ object JsonDsl {
       passageK = p.asOpt("passageK").map(_.int).getOrElse(100)))
     if (passage.nonEmpty && terms.isEmpty)
       throw JsonError("passage search needs terms")
+    // maxsim mode: {"maxsim": {"dims": 16}} over the usual terms —
+    // late-interaction scoring, exclusive with every other mode
+    val maxsim = j.asOpt("maxsim").map(m => MaxsimSearch(
+      dims = m.asOpt("dims").map(_.int).getOrElse(16)))
+    if (maxsim.nonEmpty && terms.isEmpty)
+      throw JsonError("maxsim search needs terms")
+    if (maxsim.nonEmpty && (weights.nonEmpty || passage.nonEmpty ||
+        j.asOpt("semantic").nonEmpty))
+      throw JsonError("maxsim does not combine with weights/passage/semantic")
     if (weights.nonEmpty && (passage.nonEmpty || j.asOpt("semantic").nonEmpty))
       throw JsonError("weights do not combine with passage/semantic blocks")
     // terms+weights is ambiguous (which set is the query?) — reject
@@ -200,6 +209,7 @@ object JsonDsl {
       fuseTopK = j.asOpt("fuseTopK").map(_.int).getOrElse(10),
       weights = weights,
       passage = passage,
+      maxsim = maxsim,
       projectId = j.asOpt("projectId").map(_.long))
   }
 

@@ -307,7 +307,14 @@ final case class SearchRequest(
     fuseTopK: Int = 10,
     weights: Seq[(String, Long)] = Nil,
     passage: Option[PassageSearch] = None,
+    maxsim: Option[MaxsimSearch] = None,
     projectId: Option[Long] = None)
+
+/** The late-interaction mode of a [[SearchRequest]]: `terms` become
+  * per-token query vectors (deterministic md5 space — a stand-in for
+  * a real token-embedding table) and documents score by
+  * Σ_{query tokens} max_{doc tokens} cos. */
+final case class MaxsimSearch(dims: Int = 16)
 
 /** The semantic half of a hybrid [[SearchRequest]]: the query vector
   * is the embedding row with `queryId` (the embedded corpus keys

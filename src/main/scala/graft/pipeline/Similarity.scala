@@ -587,8 +587,11 @@ object Similarity {
     * a duplicate (id, vec) row would otherwise surface as a duplicate
     * neighbor in every later top-k. */
   def appendToIndexAtomic(batch: DataFrame, cId: String, cVec: String,
-                          path: String, batchId: Long): Unit = {
+                          path0: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // maintenance lands in the COMMITTED generation (resolved once;
+    // flat artifacts resolve to themselves)
+    val path = IndexGen.resolveRoot(spark, path0)
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.tmp-batch-$batchId")
     val fs = tmp.getFileSystem(hconf)
@@ -648,9 +651,10 @@ object Similarity {
     * build), then lands through the same deterministic-name replay
     * guard, so a foreachBatch restart is exactly-once. */
   def appendToIndexPqAtomic(batch: DataFrame, cId: String, cVec: String,
-                            dims: Int, m: Int, path: String, batchId: Long,
+                            dims: Int, m: Int, path0: String, batchId: Long,
                             residual: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    val path = IndexGen.resolveRoot(spark, path0)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
@@ -693,7 +697,8 @@ object Similarity {
                         opts: graft.sources.Compact.Options =
                           graft.sources.Compact.Options())
       : Map[String, graft.sources.Compact.Report] =
-    graft.sources.Compact.runPartitioned(spark, s"$path/cells",
+    graft.sources.Compact.runPartitioned(spark,
+      s"${IndexGen.resolveRoot(spark, path)}/cells",
       opts.copy(replaceOn = Seq(cId), versionCol = None))
 
   /** Started-able streaming index maintenance: each micro-batch of
@@ -727,7 +732,8 @@ object Similarity {
     * idempotent. Delete-then-reinsert is NOT supported until a purge
     * clears the delete set (the set has no ordering vs appends). */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String, keys: DataFrame, name: String): Unit = {
+                      path0: String, keys: DataFrame, name: String): Unit = {
+    val path = IndexGen.resolveRoot(spark, path0)
     require(keys.columns.length == 1,
       "index delete keys must be a single-column frame naming the id column")
     // Validate the key NAME against the index's actual schema at
@@ -795,7 +801,8 @@ object Similarity {
     * remaining cells and re-purging a done cell matches zero rows.
     * Returns (affectedCells, rowsErased). */
   def purgeIndexDeletes(spark: org.apache.spark.sql.SparkSession,
-                        path: String, name: String): (Int, Long) =
+                        path0: String, name: String): (Int, Long) = {
+    val path = IndexGen.resolveRoot(spark, path0)
     indexDeletes(spark, path) match {
       case None => (0, 0L)
       case Some((kc, keys0)) =>
@@ -824,13 +831,105 @@ object Similarity {
           .delete(dir, true): Unit
         (affected.length, erased)
     }
+  }
 
   /** The persisted codebook, sorted by cell id (tiny: nCells rows). */
   def loadCodebook(spark: org.apache.spark.sql.SparkSession,
                    path: String): Array[(Long, Seq[Double])] =
-    spark.read.parquet(s"$path/codebook")
+    spark.read.parquet(s"${IndexGen.resolveRoot(spark, path)}/codebook")
       .select(col("cell_id").cast("long"), col("centroid").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+
+  // ---- atomic RETRAIN (versioned generations) ----------------------
+
+  /** Every live row of a cells store under `root` (a RESOLVED
+    * generation root): all cell directories read through their
+    * Compact manifests and the delete set — the exact corpus a
+    * retrain must rebuild from (erased ids drop out physically in the
+    * new generation). */
+  private def readLiveCells(spark: org.apache.spark.sql.SparkSession,
+                            root: String): DataFrame = {
+    val cellsDir = new org.apache.hadoop.fs.Path(s"$root/cells")
+    val fs = cellsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cellsDir), s"no cells store at $root")
+    val ids = fs.listStatus(cellsDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell_id="))
+      .map(_.getPath.getName.stripPrefix("cell_id=").toLong)
+      .sorted.toIndexedSeq
+    readProbedCells(spark, root, ids)
+  }
+
+  /** RETRAIN a [[buildIndexJoined]]-family index IN PLACE, atomically:
+    * the committed generation's live rows (manifest-snapshot reads,
+    * deletes dropped — erasure carries forward physically) are the
+    * training corpus, the current codebook seeds
+    * [[refineCodebookUntilConverged]], and the refreshed artifact
+    * lands as a NEW generation under `path/gen=N/` committed by one
+    * marker create ([[IndexGen.commitNewGeneration]]). Searches
+    * concurrent with the retrain resolve one committed generation end
+    * to end — old until the marker lands, new after, never a mix —
+    * and a crash mid-retrain leaves the old generation serving. This
+    * closes the append contract's "rebuild when drift warrants it"
+    * loop (see [[appendToIndex]]). The new generation starts with NO
+    * delete set: erased ids are already gone from its rows and become
+    * reinsertable, like a purge. Returns (generation, Lloyd steps
+    * run). */
+  def retrainIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   cId: String, cVec: String, maxIters: Int,
+                   eps: Double = 0.0, scale: Long = 1L << 20): (Long, Int) = {
+    val cur = IndexGen.resolveRoot(spark, path)
+    val live = graft.engine.Staging.stage(readLiveCells(spark, cur))
+    require(!live.columns.contains("codes"),
+      s"$path holds a composed IVF×PQ layout — use retrainIndexPq")
+    // q_vec/q_vec_scale are DERIVED columns (the quantized layout);
+    // everything else beside the id/vector/cell is caller payload and
+    // must survive the rebuild
+    val payloadCols = live.columns.toSeq
+      .filterNot(Set(cId, cVec, "cell_id", "q_vec", "q_vec_scale"))
+    val corpus = live.select((cId +: cVec +: payloadCols).map(col): _*)
+    val cb0 = spark.read.parquet(s"$cur/codebook")
+    val (cb, steps) =
+      refineCodebookUntilConverged(corpus, cId, cVec, cb0, maxIters, eps, scale)
+    // the quantized layout re-derives its int8 patterns at rebuild
+    // (q_vec is storage, not payload)
+    val quantized = live.columns.contains("q_vec")
+    val gen = IndexGen.commitNewGeneration(spark, path) { dir =>
+      if (quantized)
+        buildIndexQuantizedJoined(corpus.select(col(cId), col(cVec)),
+          cId, cVec, cb, dir)
+      else buildIndexJoined(corpus, cId, cVec, cb, dir, payloadCols)
+    }
+    (gen, steps)
+  }
+
+  /** [[retrainIndex]] for the composed IVF×PQ families: refine the
+    * coarse codebook from the live rows, retrain the PQ sub-codebooks
+    * (`pqIters` Lloyd steps; on residuals when `residual` — pair with
+    * how the index was built), re-encode, and commit the whole
+    * artifact as one new generation. */
+  def retrainIndexPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                     cId: String, cVec: String, dims: Int, m: Int,
+                     kCents: Int, pqIters: Int, coarseIters: Int,
+                     eps: Double = 0.0, scale: Long = 1L << 20,
+                     residual: Boolean = false): (Long, Int) = {
+    val cur = IndexGen.resolveRoot(spark, path)
+    val live = graft.engine.Staging.stage(readLiveCells(spark, cur))
+    require(live.columns.contains("codes"),
+      s"$path is not a composed IVF×PQ layout — use retrainIndex")
+    val corpus = live.select(col(cId), col(cVec))
+    val cb0 = spark.read.parquet(s"$cur/codebook")
+    val (cb, steps) = refineCodebookUntilConverged(corpus, cId, cVec, cb0,
+      coarseIters, eps, scale)
+    val gen = IndexGen.commitNewGeneration(spark, path) { dir =>
+      if (residual)
+        buildIndexPqResidual(corpus, cId, cVec, cb, dims, m, kCents,
+          pqIters, dir, scale)
+      else
+        buildIndexPqJoined(corpus, cId, cVec, cb, dims, m, kCents,
+          pqIters, dir, scale)
+    }
+    (gen, steps)
+  }
 
   /** ANN top-k THROUGH a [[buildIndex]] artifact, never touching the
     * raw corpus: ONE search path — [[ivfTopKIndexedJoined]]'s. The
@@ -907,11 +1006,30 @@ object Similarity {
                               probed: Seq[Long]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$path/cells")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = probed
-      .map(c => new org.apache.hadoop.fs.Path(root, s"cell_id=$c"))
-      .filter(fs.exists)
-      .flatMap(d => graft.sources.Compact.livePartPaths(spark, d))
-      .map(_.toString)
+    // per-cell existence probe + manifest read, BOUND-PARALLELIZED:
+    // each is one-or-two driver→store round trips, and running them
+    // sequentially serializes nProbe round trips — at nProbe in the
+    // hundreds over an object store that dominates the search's
+    // driver time (the same class as the probed-directory listing
+    // fix, smaller constant). A fixed pool of ≤16 threads bounds the
+    // store's concurrent request load; results join in probe order,
+    // so the file list stays deterministic.
+    val files = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, probed.size)))
+      try probed
+        .map { c =>
+          val d = new org.apache.hadoop.fs.Path(root, s"cell_id=$c")
+          pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+            def call(): Seq[String] =
+              if (!fs.exists(d)) Nil
+              else graft.sources.Compact.livePartPaths(spark, d)
+                .map(_.toString)
+          })
+        }
+        .flatMap(_.get())
+      finally pool.shutdown()
+    }
     val base = spark.read.option("basePath", root.toString)
     val df = if (files.nonEmpty) base.parquet(files: _*)
              else spark.read.parquet(root.toString).filter(lit(false))
@@ -1036,14 +1154,20 @@ object Similarity {
       .withColumn("__cos", cosinePreNormed(dot(col(vVec), col("centroid")),
         norm(col(vVec)), norm(col("centroid"))))
       .groupBy(col(vId))
-      // payload columns ride the same aggregate (constant per vId —
-      // first() is exact), so carrying metadata costs no extra join
-      .agg(first(col(vVec)).as(vVec),
-        payload.map(p => first(col(p)).as(p)) :+
-          max(struct(col("__cos").as("s"), (-col("cell_id")).as("nc")))
-            .as("__m"): _*)
-      .withColumn("cell_id", -col("__m").getField("nc"))
-      .drop("__m")
+      // ONE argmax buffer: the vector and payload columns (constant
+      // per vId) ride INSIDE the max struct behind the deciding
+      // (cos, -cell_id) prefix — nc is distinct per cell, so the
+      // trailing fields never participate in the ordering and the
+      // winner's own row is exactly what first() carried, without a
+      // separate aggregation buffer per carried column (the buffers
+      // are what the assignment shuffle ships; a post-join instead
+      // would re-shuffle the corpus by vId, strictly more bytes).
+      .agg(max(struct(col("__cos").as("s"), (-col("cell_id")).as("nc"),
+        struct(col(vVec) +: payload.map(col): _*).as("row"))).as("__m"))
+      .select(col(vId) +:
+        col("__m").getField("row").getField(vVec).as(vVec) +:
+        payload.map(p => col("__m").getField("row").getField(p).as(p)) :+
+        (-col("__m").getField("nc")).as("cell_id"): _*)
 
   /** [[buildIndex]] with a CALLER-SUPPLIED codebook DataFrame and
     * join-based assignment — the build path for codebooks past the
@@ -1073,7 +1197,8 @@ object Similarity {
     * accumulation folds via [[compactIndexCells]] exactly like the
     * literal-codebook index. */
   def appendToIndexJoined(batch: DataFrame, cId: String, cVec: String,
-                          path: String, payload: Seq[String] = Nil): Unit = {
+                          path0: String, payload: Seq[String] = Nil): Unit = {
+    val path = IndexGen.resolveRoot(batch.sparkSession, path0)
     val cb = batch.sparkSession.read.parquet(s"$path/codebook")
     assignCellsByJoin(batch, cId, cVec, cb, payload)
       .repartition(col("cell_id"))
@@ -1107,8 +1232,11 @@ object Similarity {
 
   def ivfTopKIndexedJoined(spark: org.apache.spark.sql.SparkSession,
                            queries: DataFrame, qId: String, qVec: String,
-                           path: String, cId: String, cVec: String,
+                           path0: String, cId: String, cVec: String,
                            k: Int, nProbe: Int = 1): DataFrame = {
+    // ONE resolution for codebook + cells + deletes: a search racing
+    // a rebuild reads a single committed generation end to end
+    val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
@@ -1131,8 +1259,9 @@ object Similarity {
     * sharpen. */
   def ivfTopKIndexedWhere(spark: org.apache.spark.sql.SparkSession,
                           queries: DataFrame, qId: String, qVec: String,
-                          path: String, cId: String, cVec: String,
+                          path0: String, cId: String, cVec: String,
                           k: Int, nProbe: Int, where: Column): DataFrame = {
+    val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
@@ -1166,10 +1295,11 @@ object Similarity {
     * oracle replays both stages. */
   def ivfTopKIndexedQuantized(spark: org.apache.spark.sql.SparkSession,
                               queries: DataFrame, qId: String, qVec: String,
-                              path: String, cId: String, cVec: String,
+                              path0: String, cId: String, cVec: String,
                               k: Int, shortlist: Int,
                               nProbe: Int = 1): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedQuantized")
@@ -1304,17 +1434,25 @@ object Similarity {
     * per-subspace LUT dot products, since
     * `q · concat(c_0..c_{m-1}) = Σ_j q_j · c_j` — so scoring decodes
     * on the fly from the BROADCAST codebook while streaming only the
-    * m-code column, never the float corpus. */
-  def pqDecode(codes: DataFrame, cId: String, cb: DataFrame): DataFrame = {
+    * m-code column, never the float corpus.
+    *
+    * `carry` names extra input columns that are CONSTANT per id
+    * (e.g. the composed index's `cell_id`) to ride the decode
+    * aggregate instead of re-joining the decoded rows back to their
+    * source just to recover them — one exchange saved per search. */
+  def pqDecode(codes: DataFrame, cId: String, cb: DataFrame,
+               carry: Seq[String] = Nil): DataFrame = {
     val cbr = cb.select(col("sub").as("__cbsub"),
       col("cent_id").as("__cbcent"), col("centroid").as("__cbv"))
-    codes.select(col(cId), posexplode(col("codes")).as(Seq("__sub", "__code")))
+    codes.select(col(cId) +: carry.map(col) :+
+        posexplode(col("codes")).as(Seq("__sub", "__code")): _*)
       .join(broadcast(cbr), col("__sub") === col("__cbsub") &&
         col("__code").cast("long") === col("__cbcent"))
       .groupBy(col(cId))
       .agg(flatten(transform(array_sort(collect_list(
         struct(col("__sub"), col("__cbv").as("cv")))),
-        e => e.getField("cv"))).as("__rv"))
+        e => e.getField("cv"))).as("__rv"),
+        carry.map(c => first(col(c)).as(c)): _*)
   }
 
   /** PQ ANN top-k: train sub-codebooks, encode the corpus to m-code
@@ -1360,14 +1498,16 @@ object Similarity {
     * change. */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     queries: DataFrame, qId: String, qVec: String,
-                    path: String, corpus: DataFrame, cId: String,
-                    cVec: String, k: Int, shortlist: Int): DataFrame =
+                    path0: String, corpus: DataFrame, cId: String,
+                    cVec: String, k: Int, shortlist: Int): DataFrame = {
+    val path = IndexGen.resolveRoot(spark, path0)
     pqSearch(queries, qId, qVec,
       spark.read.parquet(s"$path/pq_codebook"),
       // the PQ-only layout's delete choke point (cell layouts take
       // theirs in readProbedCells)
       minusIndexDeletes(spark, path, spark.read.parquet(s"$path/codes")),
       corpus, cId, cVec, k, shortlist)
+  }
 
   /** The shared PQ search tail: asymmetric cosine over decoded codes,
     * bounded shortlist, float re-rank. */
@@ -1435,8 +1575,9 @@ object Similarity {
     * layout. Small-file accumulation folds via [[compactIndexCells]]
     * unchanged. */
   def appendToIndexPqJoined(batch: DataFrame, cId: String, cVec: String,
-                            dims: Int, m: Int, path: String): Unit = {
+                            dims: Int, m: Int, path0: String): Unit = {
     val spark = batch.sparkSession
+    val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
     val pqcb = spark.read.parquet(s"$path/pq_codebook")
     val codes = pqEncode(batch, cId, cVec, dims, m, pqcb)
@@ -1457,9 +1598,10 @@ object Similarity {
     * rankings. */
   def ivfTopKIndexedPq(spark: org.apache.spark.sql.SparkSession,
                        queries: DataFrame, qId: String, qVec: String,
-                       path: String, cId: String, cVec: String,
+                       path0: String, cId: String, cVec: String,
                        k: Int, shortlist: Int, nProbe: Int = 1): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
     val pqcb = spark.read.parquet(s"$path/pq_codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
@@ -1468,10 +1610,11 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
     val cells = readProbedCells(spark, path, probed)
       .withColumn("cell_id", col("cell_id").cast("long"))
-    // candidate pass: decode the probed cells' CODES (narrow column),
-    // re-attach the cell for the probe join
-    val recon = pqDecode(cells.select(col(cId), col("codes")), cId, pqcb)
-      .join(cells.select(col(cId), col("cell_id")), Seq(cId))
+    // candidate pass: decode the probed cells' CODES (narrow column);
+    // cell_id rides the decode aggregate (constant per id), so the
+    // probe join needs no re-join back to the cells scan
+    val recon = pqDecode(cells.select(col(cId), col("cell_id"), col("codes")),
+        cId, pqcb, carry = Seq("cell_id"))
       .withColumn("__rn", norm(col("__rv")))
     val cand = recon.join(qb, Seq("cell_id"))
       .filter(col(qId) =!= col(cId))
@@ -1545,8 +1688,9 @@ object Similarity {
     * codebooks — nothing retrains, cells and code meanings stay
     * stable. */
   def appendToIndexPqResidual(batch: DataFrame, cId: String, cVec: String,
-                              dims: Int, m: Int, path: String): Unit = {
+                              dims: Int, m: Int, path0: String): Unit = {
     val spark = batch.sparkSession
+    val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
     val pqcb = spark.read.parquet(s"$path/pq_codebook")
     val assigned = graft.engine.Staging.stage(
@@ -1568,10 +1712,11 @@ object Similarity {
     * generated oracle replays the full chain. */
   def ivfTopKIndexedPqResidual(spark: org.apache.spark.sql.SparkSession,
                                queries: DataFrame, qId: String, qVec: String,
-                               path: String, cId: String, cVec: String,
+                               path0: String, cId: String, cVec: String,
                                k: Int, shortlist: Int,
                                nProbe: Int = 1): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
     val pqcb = spark.read.parquet(s"$path/pq_codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
@@ -1580,9 +1725,10 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
     val cells = readProbedCells(spark, path, probed)
       .withColumn("cell_id", col("cell_id").cast("long"))
-    // candidate pass: decode residual codes, add the centroid back
-    val recon = pqDecode(cells.select(col(cId), col("codes")), cId, pqcb)
-      .join(cells.select(col(cId), col("cell_id")), Seq(cId))
+    // candidate pass: decode residual codes (cell_id rides the decode
+    // aggregate — no re-join to the cells scan), add the centroid back
+    val recon = pqDecode(cells.select(col(cId), col("cell_id"), col("codes")),
+        cId, pqcb, carry = Seq("cell_id"))
       .join(broadcast(cb.select(col("cell_id"),
         col("centroid").as("__cc"))), Seq("cell_id"))
       .withColumn("__rv", zip_with(col("__rv"), col("__cc"), (r, c) => r + c))
@@ -1685,9 +1831,10 @@ object Similarity {
     * directories. */
   def ivfTopKIndexedTwoLevel(spark: org.apache.spark.sql.SparkSession,
                              queries: DataFrame, qId: String, qVec: String,
-                             path: String, cId: String, cVec: String,
+                             path0: String, cId: String, cVec: String,
                              k: Int, coarseProbe: Int, nProbe: Int,
                              where: Option[Column] = None): DataFrame = {
+    val path = IndexGen.resolveRoot(spark, path0)
     val fine = spark.read.parquet(s"$path/codebook")
     val coarse = spark.read.parquet(s"$path/codebook_coarse")
     val qa = probeCellsTwoLevel(queries.select(col(qId), col(qVec)),
@@ -1699,9 +1846,129 @@ object Similarity {
       "ivfTopKIndexedTwoLevel", where)
   }
 
-  /** Candidate-generation strategy for [[hardNegatives]] — the same
-    * three sources the ANN top-k family exposes, plus a pre-bucketed
-    * escape hatch for oracle-replayable bucketings. */
+  // ---- Late-interaction (maxsim / multi-vector) retrieval ----------
+  // The quality step between BM25/bi-encoder retrieval and a
+  // cross-encoder in training-data mining: documents and queries are
+  // BAGS of per-token vectors, and score(q, d) =
+  // Σ_{query tokens} max_{doc tokens} cos(qt, dt) — ColBERT's maxsim.
+  // One join + two aggregates; no new operator machinery.
+
+  /** Deterministic per-token pseudo-embedding — the md5-20-bit hash
+    * space of [[syntheticCodebook]] applied to a TOKEN string, so a
+    * SQL oracle regenerates every vector bit for bit. Stands in for a
+    * real token-embedding lookup table (same shape: token → dims
+    * floats); swap in a broadcast-joined embedding table in
+    * production. */
+  def tokenVector(token: Column, dims: Int, tag: String = "tv"): Column =
+    array((0 until dims).map { j =>
+      (conv(substring(md5(concat_ws("-", lit(tag), token, lit(j))),
+        1, 5), 16, 10).cast("long") % 2001 - 1000) / lit(1000.0)
+    }: _*)
+
+  /** MaxSim (late-interaction) top-k over multi-vector frames:
+    * `queryTokens` (qId, qPos, qVec) × `docTokens` (dId, dVec) →
+    * per (query, doc, query-token) the best doc-token cosine, floored
+    * to micro units, then summed per (query, doc) as LONGS — the
+    * per-token maxes are exact doubles and the long sum is
+    * associative, so `maxsim_micro` is bit-stable across engines and
+    * partitionings (the BM25 contribution trick). Ranking
+    * (maxsim_micro DESC, dId ASC), ≤ k rows per query.
+    *
+    * Shape: the query side broadcasts through the measured gate, doc
+    * tokens are never shuffled before the first aggregate, and BOTH
+    * aggregates are map-side combinable. Work is
+    * |doc tokens| × |query tokens| cosines — the exact/brute path;
+    * [[maxSimTopKIndexed]] is the candidate-pruned form. */
+  def maxSimTopK(queryTokens: DataFrame, docTokens: DataFrame,
+                 qId: String, qPos: String, qVec: String,
+                 dId: String, dVec: String, k: Int): DataFrame = {
+    val qa = boundedBroadcast(
+      queryTokens.select(col(qId), col(qPos), col(qVec))
+        .withColumn("__qn", norm(col(qVec))), qVec, "maxSimTopK")
+    maxSimRank(
+      maxSimScore(qa, docTokens.select(col(dId), col(dVec)),
+        qId, qPos, qVec, dId, dVec),
+      qId, dId, k)
+  }
+
+  /** The shared maxsim scoring: broadcast query-token frame (carrying
+    * __qn) × (dId, dVec) doc tokens → one row per (query, doc) with
+    * the long maxsim score. Both aggregates map-side combine. */
+  private def maxSimScore(qa: DataFrame, docTokens: DataFrame,
+                          qId: String, qPos: String, qVec: String,
+                          dId: String, dVec: String): DataFrame =
+    docTokens
+      .withColumn("__dn", norm(col(dVec)))
+      .crossJoin(qa)
+      .withColumn("__cos", cosinePreNormed(dot(col(qVec), col(dVec)),
+        col("__qn"), col("__dn")))
+      .groupBy(col(qId), col(dId), col(qPos))
+      .agg(max(col("__cos")).as("__mx"))
+      .groupBy(col(qId), col(dId))
+      .agg(sum(floor(col("__mx") * 1e6).cast("long")).as("maxsim_micro"),
+        count(lit(1)).as("qtokens_hit"))
+
+  /** Per-query ranking of a maxsim-scored frame:
+    * (maxsim_micro DESC, dId ASC), ≤ k rows per query. */
+  private def maxSimRank(scored: DataFrame, qId: String, dId: String,
+                         k: Int): DataFrame = {
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("maxsim_micro").desc, col(dId).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[maxSimTopK]] with IVF-INDEXED candidate generation — the scale
+    * form: doc TOKENS live in a [[buildIndexJoined]] artifact keyed by
+    * a token-instance id with the doc id as payload; each query token
+    * retrieves its `candTok` nearest token instances through the
+    * probed-cell index (partition-pruned, snapshot-isolated, erasure-
+    * aware — the standard tail), the UNION of their doc ids is the
+    * candidate set, and the EXACT maxsim re-scores only those docs'
+    * tokens — the candidate restriction applies BEFORE ranking, so
+    * ranks stay contiguous. Recall follows (nProbe, candTok) like
+    * every IVF restriction and is measurable the q_ann_recall way;
+    * scores of surviving (query, doc) pairs are IDENTICAL to the
+    * brute form's.
+    *
+    * `docTokens` must carry (tokId, dId, dVec) — the same rows the
+    * index was built from (tokVec names the index's vector column,
+    * dVec this frame's). Query ids must be non-negative with
+    * qPos < 1e6 (the composite probe id is qId·1e6 + qPos + 1e12,
+    * the passageTopK convention plus an offset), and token-instance
+    * ids must stay below 1e12. */
+  def maxSimTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        queryTokens: DataFrame, qId: String, qPos: String,
+                        qVec: String, path: String, tokId: String,
+                        tokVec: String, docTokens: DataFrame,
+                        dId: String, dVec: String,
+                        k: Int, nProbe: Int, candTok: Int): DataFrame = {
+    // composite probe id offset above any token-instance id (< 1e12),
+    // so the index tail's query≠candidate self-exclusion (meant for
+    // corpus-queries) can never collide with a real instance
+    val qt = queryTokens.select(
+      (col(qId).cast("long") * 1000000L + col(qPos) +
+        lit(1000000000000L)).as("__qt"), col(qVec))
+    val hits = ivfTopKIndexedJoined(spark, qt, "__qt", qVec, path,
+      tokId, tokVec, k = candTok, nProbe = nProbe)
+    val cand = hits
+      .join(docTokens.select(col(tokId), col(dId)), Seq(tokId))
+      .withColumn("__q0", col("__qt") - lit(1000000000000L))
+      .select(((col("__q0") - pmod(col("__q0"), lit(1000000L))) /
+        lit(1000000L)).cast("long").as(qId), col(dId))
+      .distinct()
+    val qa = boundedBroadcast(
+      queryTokens.select(col(qId), col(qPos), col(qVec))
+        .withColumn("__qn", norm(col(qVec))), qVec, "maxSimTopKIndexed")
+    // doc tokens restricted to candidate docs before scoring, scored
+    // pairs restricted to candidate PAIRS before ranking
+    val dt = docTokens.select(col(dId), col(dVec))
+      .join(cand.select(col(dId)).distinct(), Seq(dId), "left_semi")
+    maxSimRank(
+      maxSimScore(qa, dt, qId, qPos, qVec, dId, dVec)
+        .join(cand, Seq(qId, dId), "left_semi"),
+      qId, dId, k)
+  }
   sealed trait CandidateSource
   /** Exact: broadcast cross join (queries must be small). */
   case object Brute extends CandidateSource

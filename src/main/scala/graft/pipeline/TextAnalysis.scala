@@ -16,6 +16,73 @@ object TextAnalysis {
     * the identical token stream. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Token-stream ANALYZER — the normalization a real retrieval
+    * corpus needs (a case-mismatched query against a raw index
+    * silently returns nothing), applied IDENTICALLY at index build,
+    * incremental append and every query path: the configuration is
+    * persisted WITH the index ([[buildTextIndex]] writes it,
+    * [[readAnalyzer]] reads it), so a query can never be analyzed
+    * differently from the postings it probes. v1 is lowercase +
+    * stopword removal — both exactly replayable by a SQL oracle
+    * (`lower()` + `list_filter`); a stemmer slots in as another
+    * engine-portable stage. The identity analyzer produces the exact
+    * [[tokens]] stream, so every pre-analyzer index and oracle is
+    * unchanged.
+    *
+    * With a stopword list, token POSITIONS index the ANALYZED
+    * sequence (stopwords removed before positions are assigned):
+    * phrase/NEAR adjacency means "adjacent ignoring stopwords",
+    * standard analyzer behavior. */
+  final case class Analyzer(lowercase: Boolean = false,
+                            stopwords: Seq[String] = Nil) {
+    def isIdentity: Boolean = !lowercase && stopwords.isEmpty
+
+    /** The analyzed token sequence of a text column. */
+    def tokensOf(text: Column): Column = {
+      val base = tokens(if (lowercase) lower(text) else text)
+      if (stopwords.isEmpty) base
+      else filter(base, t => !t.isin(stopwords: _*))
+    }
+
+    /** Query-side twin: normalize literal query terms the way the
+      * index normalized its tokens (stopword terms drop). */
+    def apply(ts: Seq[String]): Seq[String] = {
+      val lc = if (lowercase) ts.map(_.toLowerCase(java.util.Locale.ROOT))
+               else ts
+      val stop = stopwords.toSet
+      lc.filterNot(stop)
+    }
+  }
+
+  object Analyzer {
+    val identity: Analyzer = Analyzer()
+  }
+
+  /** The analyzer persisted with a text index (identity when the
+    * index predates analyzers or was built with the identity). `root`
+    * must be a RESOLVED generation root. */
+  def readAnalyzer(spark: org.apache.spark.sql.SparkSession,
+                   root: String): Analyzer = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/analyzer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Analyzer.identity
+    else {
+      val r = spark.read.parquet(p.toString)
+        .select(col("lowercase"), col("stopwords")).head()
+      Analyzer(r.getBoolean(0), r.getSeq[String](1))
+    }
+  }
+
+  /** One committed-generation resolution per index operation (see
+    * [[graft.pipeline.IndexGen]]) plus the analyzer that generation
+    * was built with — every query path starts here so postings,
+    * stats, doclens AND term normalization come from ONE generation. */
+  private def resolvedIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (String, Analyzer) = {
+    val root = IndexGen.resolveRoot(spark, path)
+    (root, readAnalyzer(spark, root))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** A BPE-ish subword count estimate: words plus punctuation marks
@@ -418,8 +485,10 @@ object TextAnalysis {
     * a BM25 scan that never selects `positions` reads none of its
     * bytes. Same tokenization as [[indexPostings]]. */
   def indexPostingsScored(docs: DataFrame, idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+                          textCol: String = "text",
+                          analyzer: Analyzer = Analyzer.identity): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        analyzer.tokensOf(col(textCol)).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("long"))
       .select(col("doc_id"), col("dl"),
         posexplode(col("__toks")).as(Seq("pos", "token")))
@@ -439,8 +508,14 @@ object TextAnalysis {
     * positional self-join. Returns (doc_id, min_dist),
     * min_dist ≤ window. */
   def proximityLookup(spark: org.apache.spark.sql.SparkSession,
-                      path: String, termA: String, termB: String,
+                      path0: String, termA0: String, termB0: String,
                       window: Int): DataFrame = {
+    val (path, an) = resolvedIndex(spark, path0)
+    val (termA, termB) = (an(Seq(termA0)), an(Seq(termB0))) match {
+      case (Seq(a), Seq(b)) => (a, b)
+      case _ => throw new IllegalArgumentException(
+        "NEAR terms must survive the index analyzer (not stopwords)")
+    }
     require(termA != termB, "NEAR needs two distinct terms")
     require(window >= 1, "window must be >= 1")
     val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
@@ -474,8 +549,12 @@ object TextAnalysis {
     * A single-term "phrase" degenerates to that term's tf. Returns
     * (doc_id, n_hits). */
   def phraseLookup(spark: org.apache.spark.sql.SparkSession,
-                   path: String, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "need at least one phrase term")
+                   path0: String, terms0: Seq[String]): DataFrame = {
+    val (path, an) = resolvedIndex(spark, path0)
+    // stopwords drop from the phrase (positions index the analyzed
+    // sequence, so the surviving terms' adjacency stays exact)
+    val terms = an(terms0)
+    require(terms.nonEmpty, "need at least one (non-stopword) phrase term")
     val distinct = terms.distinct
     val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
         Seq(graft.sources.Compact.PartIn("token", distinct)),
@@ -518,14 +597,15 @@ object TextAnalysis {
     * extend. Tombstone-aware on read like every Compact store, so a
     * second delete of the same doc finds no row and is
     * stats-neutral. */
-  private def docLens(docs: DataFrame, idCol: String,
-                      textCol: String): DataFrame =
+  private def docLens(docs: DataFrame, idCol: String, textCol: String,
+                      analyzer: Analyzer = Analyzer.identity): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      size(tokens(col(textCol))).cast("long").as("dl"))
+      size(analyzer.tokensOf(col(textCol))).cast("long").as("dl"))
 
   /** One batch's partial corpus-stats row (k=0, n, tot). */
-  private def statsRow(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(tokens(col(textCol)).as("__toks"))
+  private def statsRow(docs: DataFrame, textCol: String,
+                       analyzer: Analyzer = Analyzer.identity): DataFrame =
+    docs.select(analyzer.tokensOf(col(textCol)).as("__toks"))
       .agg(count(lit(1)).as("n"),
         sum(size(col("__toks")).cast("long")).as("tot"))
       .select(lit(0L).as("k"), col("n"), col("tot"))
@@ -534,7 +614,8 @@ object TextAnalysis {
     * summed across every appended batch on read. */
   def readTextStats(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame =
-    graft.sources.Compact.read(spark, s"$path/stats", TextStatsOptions)
+    graft.sources.Compact.read(spark,
+        s"${IndexGen.resolveRoot(spark, path)}/stats", TextStatsOptions)
       .select(col("n"), col("tot"))
 
   /** Build a BM25-servable text index at `path`: scored postings as a
@@ -547,13 +628,24 @@ object TextAnalysis {
     * the corpus lands as the first batch via [[appendToTextIndex]] —
     * build and build+append produce the SAME folded index. */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
-                     path: String): Unit = {
+                     path: String,
+                     analyzer: Analyzer = Analyzer.identity): Unit = {
     val spark = docs.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("postings", "stats", "doclens").foreach { d =>
+    Seq("postings", "stats", "doclens", "analyzer").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(root, d)
       if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    // the analyzer config lands FIRST (appends and queries read it
+    // from the index, so build/append/query can never disagree);
+    // identity writes nothing — pre-analyzer artifacts stay
+    // byte-identical
+    if (!analyzer.isIdentity) {
+      import spark.implicits._
+      Seq((analyzer.lowercase, analyzer.stopwords))
+        .toDF("lowercase", "stopwords")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/analyzer")
     }
     // the build batch lives in its OWN name space: a streaming
     // appender's batchId 0 must never collide with the build's
@@ -562,6 +654,19 @@ object TextAnalysis {
     appendToTextIndex(docs, idCol, textCol, path, "build-000000000",
       compact = true): Unit
   }
+
+  /** [[buildTextIndex]] as an ATOMIC REBUILD of an existing index:
+    * the fresh artifact lands as a new generation under `path/gen=N/`
+    * and becomes visible through one marker create
+    * ([[IndexGen.commitNewGeneration]]) — searches concurrent with
+    * the rebuild read old XOR new, a crash mid-rebuild leaves the old
+    * generation serving. The text twin of
+    * [[Similarity.retrainIndex]]. Returns the committed generation. */
+  def rebuildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                       path: String,
+                       analyzer: Analyzer = Analyzer.identity): Long =
+    IndexGen.commitNewGeneration(docs.sparkSession, path)(dir =>
+      buildTextIndex(docs, idCol, textCol, dir, analyzer))
 
   /** INCREMENTAL index maintenance: append one batch of documents to
     * an existing [[buildTextIndex]] artifact. Postings append through
@@ -578,17 +683,20 @@ object TextAnalysis {
     * here. Returns (postingsApplied, statsApplied) — (false, false)
     * is a full replay. */
   def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
-                        path: String, name: String,
+                        path0: String, name: String,
                         compact: Boolean = false): (Boolean, Boolean) = {
     val spark = docs.sparkSession
+    // maintenance lands in the committed generation, analyzed exactly
+    // as that generation's build was
+    val (path, an) = resolvedIndex(spark, path0)
     val p = graft.sources.Store.atomicAppendOnce(
-      indexPostingsScored(docs, idCol, textCol), s"$path/postings", name)
+      indexPostingsScored(docs, idCol, textCol, an), s"$path/postings", name)
     val s = graft.sources.Store.atomicAppendOnce(
-      statsRow(docs, textCol), s"$path/stats", name)
+      statsRow(docs, textCol, an), s"$path/stats", name)
     // the per-doc length table rides the same marker discipline; its
     // replay no-op is silent (the returned pair keeps its shape)
     graft.sources.Store.atomicAppendOnce(
-      docLens(docs, idCol, textCol), s"$path/doclens", name): Unit
+      docLens(docs, idCol, textCol, an), s"$path/doclens", name): Unit
     if (compact) {
       graft.sources.Compact.run(spark, s"$path/postings", TermIndexOptions): Unit
       graft.sources.Compact.run(spark, s"$path/stats", TextStatsOptions): Unit
@@ -619,8 +727,9 @@ object TextAnalysis {
     * deleted doc_id needs a purge first, as in every tombstoned
     * store. */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String, ids: DataFrame,
+                          path0: String, ids: DataFrame,
                           name: String): Unit = {
+    val path = IndexGen.resolveRoot(spark, path0)
     require(ids.columns.length == 1,
       "text-index delete ids must be a single-column frame")
     val keys = ids.distinct().toDF("doc_id")
@@ -644,7 +753,8 @@ object TextAnalysis {
     * rewrite — so folded N/avgdl stay exact across any
     * delete/purge/append interleaving. */
   def purgeTextIndex(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Unit = {
+                     path0: String): Unit = {
+    val path = IndexGen.resolveRoot(spark, path0)
     graft.sources.Compact.purge(spark, s"$path/postings", TermIndexOptions): Unit
     graft.sources.Compact.purge(spark, s"$path/doclens"): Unit
   }
@@ -673,8 +783,10 @@ object TextAnalysis {
     * map-side-combined aggregate over those postings, never a
     * per-term join chain. */
   def termLookupAll(spark: org.apache.spark.sql.SparkSession,
-                    path: String, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "need at least one term")
+                    path0: String, terms0: Seq[String]): DataFrame = {
+    val (path, an) = resolvedIndex(spark, path0)
+    val terms = an(terms0)
+    require(terms.nonEmpty, "need at least one (non-stopword) term")
     graft.sources.Compact.readPruned(spark, s"$path/postings",
         Seq(graft.sources.Compact.PartIn("token", terms)), TermIndexOptions)
       .groupBy(col("doc_id"))
@@ -699,9 +811,12 @@ object TextAnalysis {
     * original text. Returns (doc_id, snippet_start, terms_in_window,
     * occs_in_window). */
   def snippetWindow(spark: org.apache.spark.sql.SparkSession,
-                    path: String, terms: Seq[String],
+                    path0: String, terms0: Seq[String],
                     width: Int): DataFrame = {
-    require(terms.nonEmpty && width >= 1, "need terms and width >= 1")
+    val (path, an) = resolvedIndex(spark, path0)
+    val terms = an(terms0)
+    require(terms.nonEmpty && width >= 1,
+      "need (non-stopword) terms and width >= 1")
     val occ = graft.sources.Compact.readPruned(spark, s"$path/postings",
         Seq(graft.sources.Compact.PartIn("token", terms.distinct)),
         TermIndexOptions)
@@ -733,9 +848,12 @@ object TextAnalysis {
     * matched doc set (a document with no NOT posting never ships a
     * row, so the anti-join is exclusion-sized, not corpus-sized). */
   def termLookupAllNot(spark: org.apache.spark.sql.SparkSession,
-                       path: String, must: Seq[String],
-                       mustNot: Seq[String]): DataFrame = {
-    require(mustNot.nonEmpty, "use termLookupAll without exclusions")
+                       path0: String, must: Seq[String],
+                       mustNot0: Seq[String]): DataFrame = {
+    val (path, an) = resolvedIndex(spark, path0)
+    val mustNot = an(mustNot0)
+    require(mustNot.nonEmpty,
+      "use termLookupAll without (non-stopword) exclusions")
     termLookupAll(spark, path, must)
       .join(termLookup(spark, s"$path/postings", mustNot.distinct)
         .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
@@ -756,9 +874,15 @@ object TextAnalysis {
     * matched weights cancel to ≤ 0 still rank (a negative-weight
     * term is a soft demotion, not a filter). */
   def weightedTermTopK(spark: org.apache.spark.sql.SparkSession,
-                       path: String, weights: Seq[(String, Long)],
+                       path0: String, weights0: Seq[(String, Long)],
                        topK: Int): DataFrame = {
-    require(weights.nonEmpty && topK > 0, "need weighted terms and topK > 0")
+    val (path, an) = resolvedIndex(spark, path0)
+    // term analysis keyed per weight (stopword terms drop with their
+    // weight); duplicates created by case-folding fail loudly in
+    // weightedScore rather than silently double-counting
+    val weights = weights0.flatMap { case (t, w) => an(Seq(t)).map(_ -> w) }
+    require(weights.nonEmpty && topK > 0,
+      "need (non-stopword) weighted terms and topK > 0")
     weightedScore(graft.sources.Compact.readPruned(spark, s"$path/postings",
       Seq(graft.sources.Compact.PartIn("token", weights.map(_._1))),
       TermIndexOptions), weights, topK)
@@ -858,9 +982,12 @@ object TextAnalysis {
     * arithmetic (and results) to [[bm25TopK]] over the indexed
     * corpus. */
   def bm25IndexedTopK(spark: org.apache.spark.sql.SparkSession,
-                      path: String, queryTerms: Seq[String], topK: Int,
+                      path0: String, queryTerms0: Seq[String], topK: Int,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val (path, an) = resolvedIndex(spark, path0)
+    val queryTerms = an(queryTerms0)
+    require(queryTerms.nonEmpty && topK > 0,
+      "need (non-stopword) query terms and topK > 0")
     val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
       Seq(graft.sources.Compact.PartIn("token", queryTerms)),
       TermIndexOptions)
@@ -909,11 +1036,14 @@ object TextAnalysis {
     * query (WindowGroupLimit, never a global sort). Returns
     * (query_id, doc_id, bm25_micro, terms_hit, rank ≤ topK). */
   def bm25IndexedTopKBatch(spark: org.apache.spark.sql.SparkSession,
-                           path: String, queries: Seq[(Long, Seq[String])],
+                           path0: String, queries0: Seq[(Long, Seq[String])],
                            topK: Int, k1: Double = 1.2,
                            b: Double = 0.75): DataFrame = {
+    val (path, an) = resolvedIndex(spark, path0)
+    val queries = queries0.map { case (qid, ts) => (qid, an(ts)) }
     require(queries.nonEmpty && topK > 0, "need queries and topK > 0")
-    require(queries.forall(_._2.nonEmpty), "every query needs terms")
+    require(queries.forall(_._2.nonEmpty),
+      "every query needs (non-stopword) terms")
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val post = graft.sources.Compact.readPruned(spark, s"$path/postings",
@@ -975,11 +1105,14 @@ object TextAnalysis {
     * Returns (idCol, bm25_micro, terms_hit, rank) — rank 1-based by
     * (bm25_micro DESC, id ASC), at most `topK` rows. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queryTerms: Seq[String], topK: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty && topK > 0, "need query terms and topK > 0")
+               queryTerms0: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               analyzer: Analyzer = Analyzer.identity): DataFrame = {
+    val queryTerms = analyzer(queryTerms0)
+    require(queryTerms.nonEmpty && topK > 0,
+      "need (non-stopword) query terms and topK > 0")
     val toks = docs.select(col(idCol),
-        tokens(col(textCol)).as("__toks"))
+        analyzer.tokensOf(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
     // one-row corpus stats, computed in-engine on BOTH sides of the
     // oracle: avgdl = sum(dl)/N as one double division of exact longs

@@ -299,6 +299,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    // Late-interaction (maxsim) retrieval on SQL: per-token vectors
+    // derive from the deterministic md5 space (Similarity.tokenVector
+    // — swap a real embedding table in production), score =
+    // Σ_{query tokens} max_{doc tokens} cos as exact micro-longs.
+    // SELECT * FROM maxsim_search('docs_view', 'doc_id', 'text',
+    //                             'column,scan', 16, 10)
+    ext.injectTableFunction((
+      FunctionIdentifier("maxsim_search"),
+      new ExpressionInfo("graft.pipeline.Similarity", "maxsim_search"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "maxsim_search(table, idCol, textCol, queryCsv, dims, topK) " +
+            "takes six arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val idCol = stringLit(args(1), "maxsim_search idCol")
+        val textCol = stringLit(args(2), "maxsim_search textCol")
+        val dims = longLit(args(4), "maxsim_search dims").toInt
+        val qTerms = stringLit(args(3), "maxsim_search queryCsv")
+          .split(",").map(_.trim).toSeq
+        val qt = qTerms.zipWithIndex.map { case (t, i) => (0L, i.toLong, t) }
+          .toDF("__q_id", "__q_pos", "__tok")
+          .withColumn("__q_vec",
+            graft.pipeline.Similarity.tokenVector(col("__tok"), dims))
+        val dt = spark.table(stringLit(args.head, "maxsim_search table"))
+          .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+          .filter(length(col("__tok")) > 0)
+          .distinct()
+          .withColumn("__d_vec",
+            graft.pipeline.Similarity.tokenVector(col("__tok"), dims))
+        graft.pipeline.Similarity.maxSimTopK(qt, dt,
+            "__q_id", "__q_pos", "__q_vec", idCol, "__d_vec",
+            longLit(args(5), "maxsim_search topK").toInt)
+          .select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col("maxsim_micro"),
+            org.apache.spark.sql.functions.col("qtokens_hit"),
+            org.apache.spark.sql.functions.col("rank"))
+          .queryExecution.logical
+      }))
+
     // SELECT * FROM snippet_search('/path/to/text-index', 'column,scan', 8)
     ext.injectTableFunction((
       FunctionIdentifier("snippet_search"),

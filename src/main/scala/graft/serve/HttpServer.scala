@@ -95,7 +95,12 @@ final class GraftHttpServer(
       * surface; the route mounts only when a documents frame is
       * supplied. */
     documents: Option[DataFrame] = None,
-    embeddings: Option[DataFrame] = None) {
+    embeddings: Option[DataFrame] = None,
+    /** id → artifact path registry behind the `/admin/indexes`
+      * maintenance routes (GDPR delete/purge, atomic retrain) —
+      * beyond-reference surface mirroring backupStore's shape; the
+      * routes mount only when non-empty. */
+    indexes: Map[String, String] = Map.empty) {
 
   /** Backup-run records behind `/admin/backups` (reference
     * metadata/src/backups.rs). */
@@ -873,6 +878,78 @@ final class GraftHttpServer(
           }
         }
 
+      // admin index maintenance — the erasure/retrain operations the
+      // retrieval artifacts expose library-side (Similarity
+      // .deleteFromIndex/purgeIndexDeletes/retrainIndex, TextAnalysis
+      // .deleteFromTextIndex/purgeTextIndex), reachable over the
+      // request layer like backups: a GDPR deletion request should
+      // not require a spark-shell. Same admin gate; the id→path
+      // registry is constructor-supplied; the artifact kind is
+      // detected from its committed generation's layout.
+      case ("GET", List("admin", "indexes")) =>
+        if (indexes.isEmpty) return 404 -> err("not found")
+        adminGate(ex).getOrElse(
+          200 -> indexes.keys.toSeq.sorted.map(indexJson)
+            .mkString("[", ",", "]"))
+      case ("GET", List("admin", "indexes", id)) =>
+        if (indexes.isEmpty) return 404 -> err("not found")
+        adminGate(ex).getOrElse(
+          indexes.get(id).map(_ => 200 -> indexJson(id))
+            .getOrElse(404 -> err(s"index $id not found")))
+      case ("POST", List("admin", "indexes", id, "delete")) =>
+        if (indexes.isEmpty) return 404 -> err("not found")
+        val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse {
+          val ids = (j / "ids").arr.map(_.long)
+          val name = (j / "name").str
+          require(ids.nonEmpty, "delete needs ids")
+          import spark.implicits._
+          indexKind(path) match {
+            case "text" =>
+              graft.pipeline.TextAnalysis.deleteFromTextIndex(spark, path,
+                ids.toDF("doc_id"), name)
+            case "vector" =>
+              val kc = j.asOpt("keyColumn").map(_.str).getOrElse("vec_id")
+              graft.pipeline.Similarity.deleteFromIndex(spark, path,
+                ids.toDF(kc), name)
+            case other =>
+              return 400 -> err(s"index $id has no recognizable artifact ($other)")
+          }
+          200 -> s"""{"deleted":${ids.size}}"""
+        }
+      case ("POST", List("admin", "indexes", id, "purge")) =>
+        if (indexes.isEmpty) return 404 -> err("not found")
+        val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse {
+          indexKind(path) match {
+            case "text" =>
+              graft.pipeline.TextAnalysis.purgeTextIndex(spark, path)
+              200 -> """{"purged":true}"""
+            case "vector" =>
+              val name = j.asOpt("name").map(_.str)
+                .getOrElse(s"http-purge-${clock()}")
+              val (cells, rows) =
+                graft.pipeline.Similarity.purgeIndexDeletes(spark, path, name)
+              200 -> s"""{"purged":true,"cells":$cells,"rows":$rows}"""
+            case other =>
+              return 400 -> err(s"index $id has no recognizable artifact ($other)")
+          }
+        }
+      case ("POST", List("admin", "indexes", id, "retrain")) =>
+        if (indexes.isEmpty) return 404 -> err("not found")
+        val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse {
+          if (indexKind(path) != "vector")
+            return 400 -> err("retrain applies to vector indexes; rebuild a " +
+              "text index from its corpus via TextAnalysis.rebuildTextIndex")
+          val (gen, steps) = graft.pipeline.Similarity.retrainIndex(spark, path,
+            j.asOpt("idCol").map(_.str).getOrElse("vec_id"),
+            j.asOpt("vecCol").map(_.str).getOrElse("embedding"),
+            maxIters = j.asOpt("maxIters").map(_.int).getOrElse(1),
+            eps = j.asOpt("eps").map(_.num).getOrElse(0.0))
+          200 -> s"""{"generation":$gen,"steps":$steps}"""
+        }
+
       // admin account CRUD (reference platform/src/http/accounts.rs:
       // 62-63 — create/list, get/update/delete by id, all behind the
       // global-admin gate). PUT accepts name and role ("admin" sets,
@@ -978,6 +1055,28 @@ final class GraftHttpServer(
             else Some(403 -> err(s"account ${claims.accountId} is not an admin"))
         }
     }
+
+  /** Artifact kind behind an /admin/indexes id: resolved through the
+    * committed generation (one IndexGen resolution, like every
+    * library read path), then layout-sniffed — postings/ is the text
+    * index, cells/ or codes/ the vector families. */
+  private def indexKind(path: String): String = {
+    val root = graft.pipeline.IndexGen.resolveRoot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(d: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$root/$d"))
+    if (has("postings")) "text"
+    else if (has("cells") || has("codes")) "vector"
+    else "unknown"
+  }
+
+  private def indexJson(id: String): String = {
+    val path = indexes(id)
+    val gen = graft.pipeline.IndexGen.currentGen(spark, path)
+      .map(_.toString).getOrElse("null")
+    s"""{"id":${JStr(id).render},"path":${JStr(path).render},""" +
+      s""""kind":${JStr(indexKind(path)).render},"generation":$gen}"""
+  }
 
   private def backupJson(b: graft.model.BackupRecord): String = {
     val err0 = b.error.map(e => JStr(e).render).getOrElse("null")

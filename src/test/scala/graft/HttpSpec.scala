@@ -1008,4 +1008,83 @@ class HttpSpec extends SparkTestBase {
       assert(req(srv.port, "POST", "/api/v1/projects/1/reports/99/run")._1 == 404)
     }
   }
+
+  test("admin indexes: delete/purge/retrain routes are the library calls, gated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    val root = java.nio.file.Files.createTempDirectory("graft-http-idx").toString
+    val emb = (0 until 60).map { i =>
+      (i.toLong,
+        (0 until 8).map(j => (((i * 37 + j * 11) % 2001) - 1000) / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding",
+      s"$root/vec", nCells = 4, iters = 1)
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "beta gamma")).toDF("doc_id", "text")
+    graft.pipeline.TextAnalysis.buildTextIndex(docs, "doc_id", "text", s"$root/txt")
+    def neighbors(): Set[Long] = {
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.pipeline.Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec",
+          s"$root/vec", "vec_id", "embedding", k = 3, nProbe = 2)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    withServer(new GraftHttpServer(spark, ev, tenancy = Some(tenancy),
+        auth = Some(auth),
+        indexes = Map("vec" -> s"$root/vec", "txt" -> s"$root/txt"))) { srv =>
+      val (_, s1) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "a@x.com", "password": "Str0ng!pass"}""")
+      val tok = (graft.model.Json.parse(s1) / "accessToken").str
+      // non-admin 403, anonymous 401 — the backup gate exactly
+      assert(req(srv.port, "GET", "/api/v1/admin/indexes", bearer = tok)._1 == 403)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/vec/delete")._1 == 401)
+      tenancy.setAccountRole(1L, Some("admin"), 0L)
+      val (_, listed) = req(srv.port, "GET", "/api/v1/admin/indexes", bearer = tok)
+      assert(listed.contains("\"kind\":\"vector\"") &&
+        listed.contains("\"kind\":\"text\""))
+      // route delete == library deleteFromIndex: the id stops
+      // surfacing from every search tail immediately
+      val before = neighbors()
+      val victim = before.max
+      val (dc, dbody) = req(srv.port, "POST", "/api/v1/admin/indexes/vec/delete",
+        s"""{"ids": [$victim], "name": "gdpr-1"}""", bearer = tok)
+      assert(dc == 200 && dbody == """{"deleted":1}""")
+      assert(!neighbors().contains(victim))
+      // purge reclaims bytes and keeps the id hidden
+      val (pc, pbody) = req(srv.port, "POST", "/api/v1/admin/indexes/vec/purge",
+        """{"name": "gdpr-1"}""", bearer = tok)
+      assert(pc == 200 && pbody.contains("\"purged\":true"))
+      assert(!neighbors().contains(victim))
+      // retrain commits generation 0 atomically; the listing reflects
+      // it and the erasure survives the physical rebuild
+      val (rc, rbody) = req(srv.port, "POST", "/api/v1/admin/indexes/vec/retrain",
+        """{"idCol": "vec_id", "vecCol": "embedding", "maxIters": 1}""",
+        bearer = tok)
+      assert(rc == 200 && rbody.contains("\"generation\":0"))
+      val (_, got) = req(srv.port, "GET", "/api/v1/admin/indexes/vec", bearer = tok)
+      assert(got.contains("\"generation\":0"))
+      assert(!neighbors().contains(victim))
+      // text index: route delete == deleteFromTextIndex (doc 2 stops
+      // matching and stats fold down), purge reclaims, retrain is a
+      // loud 400 (text rebuilds from its corpus)
+      val (tc, _) = req(srv.port, "POST", "/api/v1/admin/indexes/txt/delete",
+        """{"ids": [2], "name": "gdpr-t"}""", bearer = tok)
+      assert(tc == 200)
+      val hits = graft.pipeline.TextAnalysis.termLookupAll(spark,
+          s"$root/txt", Seq("alpha"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(hits == Set(1L))
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/txt/purge", "{}",
+        bearer = tok)._1 == 200)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/txt/retrain", "{}",
+        bearer = tok)._1 == 400)
+      assert(req(srv.port, "GET", "/api/v1/admin/indexes/zzz", bearer = tok)._1 == 404)
+    }
+    // without a registry the surface is unmounted
+    withServer(new GraftHttpServer(spark, ev)) { srv =>
+      assert(req(srv.port, "GET", "/api/v1/admin/indexes")._1 == 404)
+    }
+  }
 }

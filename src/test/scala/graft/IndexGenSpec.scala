@@ -1,0 +1,260 @@
+package graft
+
+import graft.pipeline.{IndexGen, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Versioned index generations: atomic rebuild/retrain, search
+  * isolation (old XOR new, never a mix), crash-mid-rebuild safety,
+  * and the flat-artifact compatibility contract. */
+class IndexGenSpec extends SparkTestBase {
+
+  private def tmpDir(tag: String): String = {
+    val f = java.io.File.createTempFile(tag, "")
+    f.delete(); f.getAbsolutePath
+  }
+
+  /** Deterministic corpus: vec(i)[j] from a hash, ids 0..n-1. The tag
+    * scrambles the ROW multiplier (not just an additive shift, which
+    * would leave cosine orderings intact). */
+  private def corpus(n: Int, dims: Int, tag: String = "v"): DataFrame = {
+    import spark.implicits._
+    val mult = 31 + 137 * (tag.hashCode.abs % 11)
+    (0 until n).map { i =>
+      val v = (0 until dims).map { j =>
+        (((i * mult + j * 7 + tag.hashCode).abs % 2001) - 1000) / 1000.0f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def queriesOf(c: DataFrame, n: Int = 5): DataFrame =
+    c.filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  private def searchRows(path: String, q: DataFrame): Seq[(Long, Long, Long)] =
+    Similarity.ivfTopKIndexed(spark, q, "q_id", "q_vec", path,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+  test("flat artifacts resolve to themselves; first commit flips resolution") {
+    val path = tmpDir("gen-flat")
+    val c = corpus(80, 8)
+    Similarity.buildIndex(c, "vec_id", "embedding", path, nCells = 4, iters = 1)
+    assert(IndexGen.currentGen(spark, path).isEmpty)
+    assert(IndexGen.resolveRoot(spark, path) == path)
+    val flat = searchRows(path, queriesOf(c))
+    assert(flat.nonEmpty)
+    val gen = IndexGen.commitNewGeneration(spark, path)(dir =>
+      Similarity.buildIndex(c, "vec_id", "embedding", dir, nCells = 4, iters = 1))
+    assert(gen == 0L)
+    assert(IndexGen.resolveRoot(spark, path) == s"$path/gen=0")
+    // same corpus, same training → identical search through the generation
+    assert(searchRows(path, queriesOf(c)) == flat)
+  }
+
+  test("crash mid-rebuild leaves the old generation serving") {
+    val path = tmpDir("gen-crash")
+    val c = corpus(80, 8)
+    Similarity.buildIndex(c, "vec_id", "embedding", path, nCells = 4, iters = 1)
+    val before = searchRows(path, queriesOf(c))
+    intercept[RuntimeException] {
+      IndexGen.commitNewGeneration(spark, path) { dir =>
+        // write a PARTIAL artifact (codebook only, no cells), then die
+        spark.read.parquet(s"$path/codebook")
+          .write.mode("overwrite").parquet(s"$dir/codebook")
+        throw new RuntimeException("simulated crash mid-rebuild")
+      }
+    }
+    // no marker → the half-written gen dir is invisible garbage
+    assert(IndexGen.currentGen(spark, path).isEmpty)
+    assert(searchRows(path, queriesOf(c)) == before)
+    // and a LATER retrain reuses/replaces the dead dir cleanly
+    val (gen, steps) = Similarity.retrainIndex(spark, path,
+      "vec_id", "embedding", maxIters = 1)
+    assert(gen == 0L && steps == 1)
+    assert(searchRows(path, queriesOf(c)).nonEmpty)
+  }
+
+  test("retrain(build(iters=0), 1 step) == build(iters=1); deletes purge physically") {
+    val c = corpus(100, 8)
+    val q = queriesOf(c)
+    // reference: one-shot trained build
+    val ref = tmpDir("gen-ref")
+    Similarity.buildIndex(c, "vec_id", "embedding", ref, nCells = 4, iters = 1)
+    val expected = searchRows(ref, q)
+    // seed build + atomic retrain
+    val path = tmpDir("gen-retrain")
+    Similarity.buildIndex(c, "vec_id", "embedding", path, nCells = 4, iters = 0)
+    val (gen, steps) = Similarity.retrainIndex(spark, path,
+      "vec_id", "embedding", maxIters = 1)
+    assert(gen == 0L && steps == 1)
+    assert(searchRows(path, q) == expected)
+    // erasure carries forward physically: delete a cohort, retrain,
+    // and the new generation holds no trace (no delete set, rows gone)
+    import spark.implicits._
+    Similarity.deleteFromIndex(spark, path,
+      Seq(7L, 11L).toDF("vec_id"), "gdpr")
+    val hidden = searchRows(path, q)
+    assert(!hidden.exists(r => r._2 == 7L || r._2 == 11L))
+    val (gen2, _) = Similarity.retrainIndex(spark, path,
+      "vec_id", "embedding", maxIters = 1)
+    assert(gen2 == 1L)
+    val root2 = IndexGen.resolveRoot(spark, path)
+    assert(root2.endsWith("gen=1"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root2/deletes")))
+    val live = spark.read.parquet(s"$root2/cells")
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(!live.contains(7L) && !live.contains(11L) && live.size == 98)
+    // the deleted ids stay invisible after the physical rebuild too
+    // (centroids moved a step, so ranks may differ from `hidden` —
+    // the erasure property is what must hold)
+    assert(!searchRows(path, q).exists(r => r._2 == 7L || r._2 == 11L))
+  }
+
+  test("searches concurrent with a rebuild see old XOR new, never a mix") {
+    val path = tmpDir("gen-conc")
+    val cOld = corpus(80, 8)
+    val cNew = corpus(80, 8, tag = "w") // different vectors, same ids
+    val q = queriesOf(cOld)
+    Similarity.buildIndex(cOld, "vec_id", "embedding", path,
+      nCells = 4, iters = 1)
+    val oldRows = searchRows(path, q)
+    // the new generation's expected result, computed via a throwaway
+    // index built the same way
+    val refNew = tmpDir("gen-conc-ref")
+    Similarity.buildIndex(cNew, "vec_id", "embedding", refNew,
+      nCells = 4, iters = 1)
+    val newRows = searchRows(refNew, q)
+    assert(oldRows != newRows, "fixture must distinguish generations")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Long, Long)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val searcher = new Thread(() => {
+      try while (!stop.get()) seen.add(searchRows(path, q))
+      catch { case t: Throwable => err.set(t) }
+    })
+    searcher.start()
+    try IndexGen.commitNewGeneration(spark, path)(dir =>
+      Similarity.buildIndex(cNew, "vec_id", "embedding", dir,
+        nCells = 4, iters = 1))
+    finally { stop.set(true); searcher.join(60000) }
+    assert(err.get() == null, s"concurrent search failed: ${err.get()}")
+    // one more search after the commit must serve the new generation
+    assert(searchRows(path, q) == newRows)
+    val outcomes = seen.toArray(Array.empty[Seq[(Long, Long, Long)]]).toSeq
+    assert(outcomes.nonEmpty)
+    val bad = outcomes.filterNot(r => r == oldRows || r == newRows)
+    assert(bad.isEmpty, s"mixed-generation read observed: ${bad.headOption}")
+  }
+
+  test("gcGenerations reclaims superseded generations, keeps the serving one") {
+    val path = tmpDir("gen-gc")
+    val c = corpus(60, 8)
+    Similarity.buildIndex(c, "vec_id", "embedding", path, nCells = 4, iters = 0)
+    Similarity.retrainIndex(spark, path, "vec_id", "embedding", maxIters = 1)
+    Similarity.retrainIndex(spark, path, "vec_id", "embedding", maxIters = 1)
+    assert(IndexGen.currentGen(spark, path).contains(1L))
+    val q = queriesOf(c)
+    val served = searchRows(path, q)
+    val dropped = IndexGen.gcGenerations(spark, path, keep = 1,
+      dropFlat = true, flatSubdirs = Seq("codebook", "cells"))
+    assert(dropped == Seq(0L))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")))
+    assert(searchRows(path, q) == served)
+  }
+
+  test("composed IVF×PQ retrain commits one generation; search follows") {
+    val path = tmpDir("gen-pq")
+    val c = corpus(100, 8)
+    Similarity.buildIndexPqJoined(c, "vec_id", "embedding",
+      Similarity.syntheticCodebook(spark, nCells = 4, dims = 8),
+      dims = 8, m = 2, kCents = 4, iters = 1, path)
+    val q = queriesOf(c)
+    def pqRows() = Similarity.ivfTopKIndexedPq(spark, q, "q_id", "q_vec",
+        path, "vec_id", "embedding", k = 3, shortlist = 6, nProbe = 2)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val flat = pqRows()
+    val (gen, _) = Similarity.retrainIndexPq(spark, path,
+      "vec_id", "embedding", dims = 8, m = 2, kCents = 4,
+      pqIters = 1, coarseIters = 1)
+    assert(gen == 0L)
+    assert(IndexGen.resolveRoot(spark, path) == s"$path/gen=0")
+    val retrained = pqRows()
+    assert(retrained.nonEmpty)
+    assert(flat.nonEmpty)
+    // appends now land in the committed generation
+    Similarity.appendToIndexPqJoined(
+      corpus(110, 8).filter(col("vec_id") >= 100), "vec_id", "embedding",
+      dims = 8, m = 2, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genCells = spark.read.parquet(s"$path/gen=0/cells")
+    import spark.implicits._
+    assert(genCells.select(col("vec_id").cast("long")).as[Long]
+      .collect().toSet.contains(105L))
+  }
+
+  test("text index: atomic rebuild + analyzer resolves through the generation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The Quick Brown Fox"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "a SLOW red fox")).toDF("doc_id", "text")
+    val path = tmpDir("gen-text")
+    val an = TextAnalysis.Analyzer(lowercase = true, stopwords = Seq("the", "a"))
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", path, an)
+    // mixed-case query matches through the persisted analyzer
+    def hits(terms: Seq[String]) =
+      TextAnalysis.termLookupAll(spark, path, terms)
+        .select(col("doc_id")).as[Long].collect().toSet
+    assert(hits(Seq("Quick", "FOX")) == Set(1L, 2L))
+    // stopword-only queries fail loudly
+    intercept[IllegalArgumentException](hits(Seq("THE")))
+    // analyzed dl: "The Quick Brown Fox" → 3 analyzed tokens
+    val stats = TextAnalysis.readTextStats(spark, path).head()
+    assert(stats.getLong(0) == 3L && stats.getLong(1) == 3 + 4 + 3)
+    // atomic rebuild on a GROWN corpus — committed as gen=0
+    val docs2 = docs.union(Seq((4L, "ANOTHER quick fox")).toDF("doc_id", "text"))
+    val gen = TextAnalysis.rebuildTextIndex(docs2, "doc_id", "text", path, an)
+    assert(gen == 0L)
+    assert(hits(Seq("quick")) == Set(1L, 2L, 4L))
+    // BM25 through the generation (resolved stats + postings + analyzer)
+    val bm = TextAnalysis.bm25IndexedTopK(spark, path, Seq("QUICK"), topK = 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(bm == Set(1L, 2L, 4L))
+    // phrase search over analyzed positions: stopwords removed before
+    // positions, so "the quick brown" matches as quick→brown adjacency
+    val ph = TextAnalysis.phraseLookup(spark, path,
+        Seq("the", "Quick", "Brown"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ph == Set(1L, 2L))
+  }
+
+  test("analyzer identity: analyzed build == plain build, byte for byte") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta tok$i gamma")).toDF("doc_id", "text")
+    val p1 = tmpDir("gen-an1"); val p2 = tmpDir("gen-an2")
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", p1)
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", p2,
+      TextAnalysis.Analyzer.identity)
+    val fs = new org.apache.hadoop.fs.Path(p2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/analyzer")))
+    val a = TextAnalysis.bm25IndexedTopK(spark, p1, Seq("alpha", "tok3"), 5)
+      .collect().toSeq
+    val b = TextAnalysis.bm25IndexedTopK(spark, p2, Seq("alpha", "tok3"), 5)
+      .collect().toSeq
+    assert(a == b)
+  }
+}

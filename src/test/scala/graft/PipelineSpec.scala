@@ -1590,7 +1590,7 @@ class PipelineSpec extends SparkTestBase {
         (2L, 0L, 1L, 1L), (3L, 0L, 2L, 3L), (5L, 0L, 1L, 2L)), got)
       // AND-NOT: docs with 'scan' but never 'column'
       val not = TextAnalysis.termLookupAllNot(spark, dir.getAbsolutePath,
-          must = Seq("scan"), mustNot = Seq("column"))
+          must = Seq("scan"), mustNot0 = Seq("column"))
         .collect().map(r => (r.getAs[Long]("doc_id"),
           r.getAs[Long]("total_tf"))).sortBy(_._1).toList
       assert(not == List((5L, 2L)), not)
