@@ -2553,4 +2553,62 @@ class PipelineSpec extends SparkTestBase {
       s"cluster members must share a split: ${straddling.mkString(", ")}")
     assert(assigned.size == 18)
   }
+
+  test("residual IVFxPQ recall >= raw at matched budget on trained clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // clustered corpus with noise HIGH enough that PQ distortion costs
+    // raw recall (the sf fixtures' tight clusters sit at the 1.0
+    // ceiling where the comparison is vacuous); tight budget: m=4
+    // sub-codebooks, shortlist=5 over ~50-member cells
+    val nClusters = 8; val dims = 16; val n = 400
+    val corpus = (0 until n).map { i =>
+      val c = i % nClusters
+      val v = (0 until dims).map { j =>
+        val center = (((c * 131 + j * 17) % 2001) - 1000) / 1000.0
+        val noise = (((i * 37 + j * 11) % 2001) - 1000) / 1000.0
+        center + noise * 0.45
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val (cb, _) = graft.pipeline.Similarity.refineCodebookUntilConverged(
+      corpus, "vec_id", "embedding",
+      graft.pipeline.Similarity.seedCodebook(corpus, "vec_id", "embedding",
+        nClusters), maxIters = 3, eps = 0.0)
+    val cbS = graft.engine.Staging.stage(cb)
+    val q = corpus.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = graft.pipeline.Similarity.bruteForceTopK(q, corpus,
+        "q_id", "q_vec", "vec_id", "embedding", k = 3)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    def recallOf(residual: Boolean): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("recall").toString
+      if (residual)
+        graft.pipeline.Similarity.buildIndexPqResidual(corpus, "vec_id",
+          "embedding", cbS, dims, m = 4, kCents = 8, iters = 1, dir)
+      else
+        graft.pipeline.Similarity.buildIndexPqJoined(corpus, "vec_id",
+          "embedding", cbS, dims, m = 4, kCents = 8, iters = 1, dir)
+      val ann = (if (residual)
+        graft.pipeline.Similarity.ivfTopKIndexedPqResidual(spark, q,
+          "q_id", "q_vec", dir, "vec_id", "embedding",
+          k = 3, shortlist = 5, nProbe = 2)
+      else
+        graft.pipeline.Similarity.ivfTopKIndexedPq(spark, q,
+          "q_id", "q_vec", dir, "vec_id", "embedding",
+          k = 3, shortlist = 5, nProbe = 2))
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+      (ann intersect truth).size.toDouble / truth.size
+    }
+    val raw = recallOf(residual = false)
+    val res = recallOf(residual = true)
+    info(s"recall@3: raw=$raw residual=$res")
+    // deterministic fixture: measured raw=0.1667, residual=0.3056 -
+    // residual STRICTLY beats raw at matched budget (the 0.45-noise
+    // regime where PQ distortion actually costs recall; the sf
+    // corpora's tight clusters sit at the 1.0 ceiling, q_ann_recall_
+    // ivf_pq*)
+    assert(res > raw, s"residual recall $res !> raw $raw at matched budget")
+    assert(res >= 0.3, s"residual recall $res below the measured floor")
+  }
 }
