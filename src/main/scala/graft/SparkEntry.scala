@@ -3233,6 +3233,41 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // INDEX DRIFT report (Similarity.indexDriftReport) — the
+    // measurement behind "rebuild when drift warrants it" and the
+    // trigger for retrainIndex: per cell, live rows and the mean
+    // angular distance to the stored centroid as exact micro-longs
+    // (per-row floor before the sum, one division, one floor — the
+    // BM25 integer trick, so the oracle replays it digit for digit
+    // from the same trained-assignment chain).
+    "q_index_drift" -> ((s, dir) => {
+      val idx = stagedOnce("ivfindex-n8i1", dir)(root =>
+        Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+          root.getAbsolutePath, nCells = 8, iters = 1))
+      Similarity.indexDriftReport(s, idx.getAbsolutePath,
+        "vec_id", "embedding")
+    }),
+
+    // Hybrid LEXICAL × LATE-INTERACTION fusion (Retrieval.rrfFuse
+    // over bm25TopK + maxSimTopK): the standard two-stage quality
+    // recipe where the second list is token-level semantic instead of
+    // a single-vector cosine — both lists are rank-only inputs, the
+    // fused score is exact long RRF, and the oracle replays BM25,
+    // maxsim AND the fusion arithmetic first-principles.
+    "q_hybrid_maxsim" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1500)
+      val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          Seq("column", "scan"), topK = 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      val li = Similarity.maxSimTopK(
+          maxsimQueryTokens(s).filter(col("q_id") === 0),
+          maxsimDocTokens(s, dir),
+          "q_id", "q_pos", "q_vec", "doc_id", "d_vec", k = 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, li), "id", "rank", topK = 10)
+        .select(col("id"), col("rrf_micro"), col("lists_hit"), col("rank"))
+    }),
+
     // ATOMIC RETRAIN (Similarity.retrainIndex + IndexGen): the index
     // is built UNTRAINED (iters=0: the seed codebook), then retrained
     // in place — live cells re-read through their manifests, one
@@ -6938,6 +6973,120 @@ object SparkEntry {
     "q_maxsim_indexed" -> maxsimSql(indexed = true),
     "q_json_maxsim" -> maxsimSql(indexed = false,
       queries = Seq((0L, 0L, "column"), (0L, 1L, "scan")), withQId = false),
+
+    // Index drift: the trained-assignment chain (nCells=8, iters=1 —
+    // the q_knn_ivf_indexed artifact) re-derived first-principles,
+    // then per cell the exact integer mean of (1 − cos) micro-units
+    // to the stored centroid.
+    "q_index_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         a0 AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT e.vec_id, e.v, c.cell_id,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_dot_product(e.v, c.cv) /
+                      nullif(sqrt(list_dot_product(e.v, e.v)) *
+                             sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                      c.cell_id) AS rn
+                  FROM e, c0 c) WHERE rn = 1),
+         dimsum0 AS (SELECT a.cell_id, d.range AS dim,
+             sum(CAST(round(a.v[CAST(d.range AS INT) + 1] * 1048576.0) AS BIGINT)) AS s,
+             count(*) AS n
+           FROM a0 a CROSS JOIN range(64) d GROUP BY 1, 2),
+         c1m AS (SELECT cell_id, list((s / n) / 1048576.0 ORDER BY dim) AS cv
+                 FROM dimsum0 GROUP BY cell_id),
+         c1 AS (SELECT s.cell_id, coalesce(m.cv, s.cv) AS cv
+                FROM c0 s LEFT JOIN c1m m ON s.cell_id = m.cell_id),
+         a1 AS (SELECT vec_id, v, cell_id FROM (
+                  SELECT e.vec_id, e.v, c.cell_id,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_dot_product(e.v, c.cv) /
+                      nullif(sqrt(list_dot_product(e.v, e.v)) *
+                             sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                      c.cell_id) AS rn
+                  FROM e, c1 c) WHERE rn = 1),
+         per AS (SELECT a.cell_id,
+             CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN 0.0
+                  ELSE list_dot_product(a.v, c.cv) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(c.cv, c.cv))) END AS cs
+           FROM a1 a JOIN c1 c ON a.cell_id = c.cell_id)
+         SELECT cell_id, count(*) AS n_rows,
+           CAST(floor(CAST(sum(CAST(floor((1.0 - cs) * 1e6) AS BIGINT)) AS DOUBLE)
+             / count(*)) AS BIGINT) AS drift_micro
+         FROM per GROUP BY 1 ORDER BY 1""",
+
+    // Hybrid lexical × maxsim: BM25 top-20 and late-interaction
+    // top-20 over the same bounded corpus, fused by exact long RRF.
+    "q_hybrid_maxsim" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents WHERE doc_id < 1500),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
+         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+                  SELECT doc_id, dl, unnest(t) AS token FROM d)
+                WHERE token IN ('column', 'scan')
+                GROUP BY 1, 2, 3),
+         idf AS (SELECT token,
+                  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT)
+                    AS idf_micro
+                 FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1), stats),
+         bscored AS (SELECT tf.doc_id,
+             CAST(floor(idf_micro * (tf * (1.2 + 1)) /
+               (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) /
+                 (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT) AS contrib
+           FROM tf JOIN idf USING (token), stats),
+         bagg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro
+                  FROM bscored GROUP BY 1),
+         lex AS (SELECT id, r FROM (
+                   SELECT doc_id AS id,
+                     row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS r
+                   FROM bagg) WHERE r <= 20),
+         dt AS (SELECT DISTINCT doc_id, token FROM (
+                  SELECT doc_id, unnest(t) AS token FROM d)
+                WHERE len(token) > 0),
+         tv AS (SELECT token, list_transform(range(16), j ->
+                  (CAST(concat('0x', substring(md5(concat('tv-', token, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS v
+                FROM (SELECT DISTINCT token FROM dt)),
+         dtv AS (SELECT d2.doc_id, tv.v,
+                   sqrt(list_dot_product(tv.v, tv.v)) AS dn
+                 FROM dt d2 JOIN tv USING (token)),
+         qt AS (SELECT CAST(q_id AS BIGINT) AS q_id, CAST(q_pos AS BIGINT) AS q_pos, token
+                FROM (VALUES (0, 0, 'column'), (0, 1, 'scan')) t(q_id, q_pos, token)),
+         qtn AS (SELECT q_id, q_pos,
+                   list_transform(range(16), j ->
+                     (CAST(concat('0x', substring(md5(concat('tv-', token, '-', j)), 1, 5)) AS BIGINT)
+                      % 2001 - 1000) / 1000.0) AS qv,
+                   sqrt(list_dot_product(
+                     list_transform(range(16), j ->
+                       (CAST(concat('0x', substring(md5(concat('tv-', token, '-', j)), 1, 5)) AS BIGINT)
+                        % 2001 - 1000) / 1000.0),
+                     list_transform(range(16), j ->
+                       (CAST(concat('0x', substring(md5(concat('tv-', token, '-', j)), 1, 5)) AS BIGINT)
+                        % 2001 - 1000) / 1000.0))) AS qn
+                 FROM qt),
+         per AS (SELECT q.q_id, d3.doc_id, q.q_pos,
+                   max(CASE WHEN q.qn * d3.dn = 0 THEN 0.0
+                     ELSE list_dot_product(q.qv, d3.v) / (q.qn * d3.dn) END) AS mx
+                 FROM qtn q, dtv d3 GROUP BY 1, 2, 3),
+         magg AS (SELECT doc_id,
+                   CAST(sum(CAST(floor(mx * 1e6) AS BIGINT)) AS BIGINT) AS ms
+                  FROM per GROUP BY 1),
+         li AS (SELECT id, r FROM (
+                  SELECT doc_id AS id,
+                    row_number() OVER (ORDER BY ms DESC, doc_id) AS r
+                  FROM magg) WHERE r <= 20),
+         contrib AS (SELECT id, CAST(floor(1000000.0 / (60.0 + r)) AS BIGINT) AS c
+                     FROM (SELECT id, r FROM lex UNION ALL SELECT id, r FROM li)),
+         fused AS (SELECT id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+                     count(*) AS lists_hit FROM contrib GROUP BY 1),
+         ranked AS (SELECT id, rrf_micro, lists_hit,
+             row_number() OVER (ORDER BY rrf_micro DESC, id) AS "rank"
+           FROM fused)
+         SELECT id, rrf_micro, lists_hit, "rank"
+         FROM ranked WHERE "rank" <= 10""",
 
     "q_knn_ivf_pq" -> ivfPqSql(nCells = 64, nProbe = 8, dims = 64,
       m = 8, kc = 16, iters = 1, qMax = 10, k = 3, shortlist = 10),

@@ -931,6 +931,39 @@ object Similarity {
     (gen, steps)
   }
 
+  /** DRIFT report of a persisted IVF index — the measurement behind
+    * the append contract's "rebuild when drift warrants it"
+    * ([[appendToIndex]]) and the trigger for [[retrainIndex]]: per
+    * cell, the live row count and the average angular distance of
+    * members to their OWN stored centroid, as exact micro-longs
+    * (each row's (1 − cos) floors to a long before the sum; the
+    * per-cell mean is one double division then a floor — associative
+    * and bit-stable, so a SQL oracle replays it). A healthy index has
+    * low, balanced drift; appended batches assigned to stale
+    * centroids push it up, and a fat-tailed `n_rows` distribution
+    * flags skewed cells. Reads the committed generation through the
+    * cell manifests and the delete set, like every other consumer.
+    * Returns (cell_id, n_rows, drift_micro) sorted by cell. */
+  def indexDriftReport(spark: org.apache.spark.sql.SparkSession,
+                       path: String, cId: String, cVec: String): DataFrame = {
+    val root = IndexGen.resolveRoot(spark, path)
+    val cb = spark.read.parquet(s"$root/codebook")
+    readLiveCells(spark, root)
+      .select(col("cell_id").cast("long").as("cell_id"), col(cVec))
+      .join(broadcast(cb), Seq("cell_id"))
+      .withColumn("__cos", cosinePreNormed(dot(col(cVec), col("centroid")),
+        norm(col(cVec)), norm(col("centroid"))))
+      .withColumn("__dmicro",
+        floor((lit(1.0) - col("__cos")) * 1e6).cast("long"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__dmicro")).as("__s"))
+      .withColumn("drift_micro",
+        floor(col("__s").cast("double") / col("n_rows").cast("double"))
+          .cast("long"))
+      .select(col("cell_id"), col("n_rows"), col("drift_micro"))
+      .orderBy(col("cell_id"))
+  }
+
   /** ANN top-k THROUGH a [[buildIndex]] artifact, never touching the
     * raw corpus: ONE search path — [[ivfTopKIndexedJoined]]'s. The
     * persisted codebook is read as a frame and broadcast (never

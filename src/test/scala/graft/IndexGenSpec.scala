@@ -257,4 +257,25 @@ class IndexGenSpec extends SparkTestBase {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("generation pinning: a gen=N path serves that generation forever") {
+    // time travel / rollback: gen directories are themselves valid
+    // artifact roots (no markers inside -> they resolve to
+    // themselves), so passing `path/gen=N` to any search pins that
+    // committed generation regardless of later retrains
+    val path = tmpDir("gen-pin")
+    val c = corpus(80, 8)
+    Similarity.buildIndex(c, "vec_id", "embedding", path, nCells = 4, iters = 0)
+    val q = queriesOf(c)
+    val (g0, _) = Similarity.retrainIndex(spark, path, "vec_id", "embedding",
+      maxIters = 1)
+    val atG0 = searchRows(path, q)
+    val (g1, _) = Similarity.retrainIndex(spark, path, "vec_id", "embedding",
+      maxIters = 1)
+    assert(g0 == 0L && g1 == 1L)
+    // the live root serves gen=1; the pinned path still serves gen=0
+    assert(IndexGen.resolveRoot(spark, path) == s"$path/gen=1")
+    assert(searchRows(s"$path/gen=0", q) == atG0)
+    assert(searchRows(path, q) == searchRows(s"$path/gen=1", q))
+  }
 }
