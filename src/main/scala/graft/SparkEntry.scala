@@ -2598,6 +2598,23 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // Analyzed retrieval through the JSON request layer: the
+    // analyzer block routes into bm25TopK's analyzer exactly like the
+    // persisted-index config — same mixed-case corpus, mixed-case
+    // query and stopword list as q_bm25_analyzed, so the SAME oracle
+    // replays the route (the scan and indexed forms share one oracle
+    // by construction).
+    "q_json_bm25_analyzed" -> ((s, dir) => {
+      val mixed = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 2 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      JsonApi.search(mixed,
+          """{"terms": ["Column", "SCAN", "window"], "topK": 15,
+              "analyzer": {"lowercase": true, "stopwords": ["the", "a"]}}""")
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
     // Hybrid retrieval through the JSON request layer: the semantic
     // block fuses the embedding cosine top-20 with the lexical top-20
     // by integer RRF — same operators, same oracle as q_hybrid_search.
@@ -7693,6 +7710,9 @@ object SparkEntry {
       "q_json_bm25" -> m("q_bm25_search"),
       "q_json_hybrid" -> m("q_hybrid_search"),
       "q_json_sparse" -> m("q_sparse_search"),
-      "q_json_passage" -> m("q_passage_search"))
+      "q_json_passage" -> m("q_passage_search"),
+      // the request-scoped analyzer IS bm25TopK's analyzer, and the
+      // scan/indexed forms share one oracle by construction
+      "q_json_bm25_analyzed" -> m("q_bm25_analyzed"))
   }
 }

@@ -141,8 +141,13 @@ object JsonApi {
           docs, idCol, textCol, req.terms, p.window, p.stride, p.passageK,
           req.topK, req.k1, req.b)
       case None =>
+        // an analyzer block normalizes corpus tokens AND query terms
+        // identically (the persisted-analyzer contract, request-scoped)
+        val an = req.analyzer
+          .map(a => graft.pipeline.TextAnalysis.Analyzer(a.lowercase, a.stopwords))
+          .getOrElse(graft.pipeline.TextAnalysis.Analyzer.identity)
         val lex = graft.pipeline.TextAnalysis.bm25TopK(
-          docs, idCol, textCol, req.terms, req.topK, req.k1, req.b)
+          docs, idCol, textCol, req.terms, req.topK, req.k1, req.b, an)
         req.semantic match {
           case None => lex
           case Some(s) =>

@@ -193,6 +193,17 @@ object JsonDsl {
       throw JsonError("maxsim does not combine with weights/passage/semantic")
     if (weights.nonEmpty && (passage.nonEmpty || j.asOpt("semantic").nonEmpty))
       throw JsonError("weights do not combine with passage/semantic blocks")
+    // analyzer: {"lowercase": true, "stopwords": [...]} — lexical
+    // (BM25) mode only in v1: the other modes' operators define their
+    // own tokenization contracts
+    val analyzer = j.asOpt("analyzer").map(a => AnalyzerSpec(
+      lowercase = a.asOpt("lowercase").exists(_.bool),
+      stopwords = a.asOpt("stopwords").map(_.arr.map(_.str)).getOrElse(Nil)))
+    if (analyzer.nonEmpty && (weights.nonEmpty || passage.nonEmpty ||
+        maxsim.nonEmpty || j.asOpt("semantic").nonEmpty))
+      throw JsonError("analyzer applies to plain lexical search only")
+    if (analyzer.nonEmpty && terms.isEmpty)
+      throw JsonError("analyzed search needs terms")
     // terms+weights is ambiguous (which set is the query?) — reject
     // loudly like the other invalid combinations rather than letting
     // sparse mode silently win over the ignored terms
@@ -210,6 +221,7 @@ object JsonDsl {
       weights = weights,
       passage = passage,
       maxsim = maxsim,
+      analyzer = analyzer,
       projectId = j.asOpt("projectId").map(_.long))
   }
 

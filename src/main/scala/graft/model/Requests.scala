@@ -308,6 +308,7 @@ final case class SearchRequest(
     weights: Seq[(String, Long)] = Nil,
     passage: Option[PassageSearch] = None,
     maxsim: Option[MaxsimSearch] = None,
+    analyzer: Option[AnalyzerSpec] = None,
     projectId: Option[Long] = None)
 
 /** The late-interaction mode of a [[SearchRequest]]: `terms` become
@@ -315,6 +316,13 @@ final case class SearchRequest(
   * a real token-embedding table) and documents score by
   * Σ_{query tokens} max_{doc tokens} cos. */
 final case class MaxsimSearch(dims: Int = 16)
+
+/** Optional text analysis of a lexical [[SearchRequest]] — the JSON
+  * shape of [[graft.pipeline.TextAnalysis.Analyzer]]: lowercase both
+  * corpus tokens and query terms, drop stopwords (which also changes
+  * dl, i.e. every BM25 denominator). */
+final case class AnalyzerSpec(lowercase: Boolean = false,
+                              stopwords: Seq[String] = Nil)
 
 /** The semantic half of a hybrid [[SearchRequest]]: the query vector
   * is the embedding row with `queryId` (the embedded corpus keys
