@@ -878,6 +878,14 @@ object Similarity {
                    cId: String, cVec: String, maxIters: Int,
                    eps: Double = 0.0, scale: Long = 1L << 20): (Long, Int) = {
     val cur = IndexGen.resolveRoot(spark, path)
+    // a TWO-LEVEL artifact must not silently degrade to a flat
+    // rebuild (the hierarchy is the point of its layout): rebuild it
+    // with buildIndexTwoLevel under IndexGen.commitNewGeneration
+    val fsC = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fsC.exists(new org.apache.hadoop.fs.Path(s"$cur/codebook_coarse")),
+      s"$path is a two-level artifact — rebuild via buildIndexTwoLevel " +
+        "inside IndexGen.commitNewGeneration instead of a flat retrain")
     val live = graft.engine.Staging.stage(readLiveCells(spark, cur))
     require(!live.columns.contains("codes"),
       s"$path holds a composed IVF×PQ layout — use retrainIndexPq")

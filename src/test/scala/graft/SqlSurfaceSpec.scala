@@ -224,6 +224,27 @@ class SqlSurfaceSpec extends SparkTestBase {
         paJson.collect().map(_.toString).toSeq.sorted)
       assert(paSql.count() > 0)
 
+      // maxsim_search TVF == JsonApi.search with a maxsim block ==
+      // the library operator over the same md5 token vectors
+      val mxSql = s.sql(
+        "SELECT * FROM maxsim_search('docs_v', 'doc_id', 'text', " +
+          "'scan,column', 8, 10)")
+      val mxJson = graft.engine.JsonApi.search(docs,
+        """{"terms": ["scan", "column"], "topK": 10, "maxsim": {"dims": 8}}""")
+      assert(mxSql.schema == mxJson.schema)
+      assert(mxSql.collect().map(_.toString).toSeq.sorted ==
+        mxJson.collect().map(_.toString).toSeq.sorted)
+      assert(mxSql.count() > 0)
+
+      // analyzer block routes into bm25TopK's analyzer: mixed-case
+      // query over a lowercase analyzer equals the lowercase query
+      // without one on an already-lowercase corpus
+      val anJson = graft.engine.JsonApi.search(docs,
+        """{"terms": ["SCAN", "Column"], "topK": 10,
+            "analyzer": {"lowercase": true}}""")
+      assert(anJson.collect().map(_.toString).toSeq.sorted ==
+        viaDf.collect().map(_.toString).toSeq.sorted)
+
       // phrase_search / snippet_search TVFs == library operators over
       // a real index
       val dir = java.nio.file.Files.createTempDirectory("sqlphrase").toFile
