@@ -2671,6 +2671,27 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ATOMIC text-index REBUILD (TextAnalysis.rebuildTextIndex +
+    // IndexGen): a stale index (built from two thirds of the corpus)
+    // is rebuilt over the FULL corpus as one committed generation —
+    // searches resolve the committed generation, so they serve the
+    // stale index until the marker lands and the rebuilt one after,
+    // never a mix. BM25 through the rebuilt generation equals the
+    // full-corpus scan, so the q_bm25_search oracle replays it.
+    "q_text_rebuild" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-rebuild-v1", dir) { root =>
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.buildTextIndex(docs.filter(col("doc_id") % 3 =!= 2),
+          "doc_id", "text", root.getAbsolutePath)
+        TextAnalysis.rebuildTextIndex(docs, "doc_id", "text",
+          root.getAbsolutePath): Unit
+      }
+      TextAnalysis.bm25IndexedTopK(s, idx.getAbsolutePath,
+        Seq("column", "scan", "window"), topK = 15)
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
     // ANALYZED retrieval (TextAnalysis.Analyzer): the corpus is made
     // mixed-case (every even doc uppercased), the index is built with
     // lowercase + {the, a} stopwords — the config persists WITH the
@@ -2767,6 +2788,21 @@ object SparkEntry {
       TextAnalysis.passageTopK(Tables.documents(s, dir), "doc_id", "text",
         Seq("column", "scan", "window"), windowTokens = 32,
         strideTokens = 16, passageK = 100, topK = 10)
+    }),
+
+    // Passage retrieval FROM a persisted chunk-level index
+    // (TextAnalysis.buildPassageIndex / passageTopKIndexed): chunking
+    // and chunk-corpus stats are paid once at build; the query reads
+    // only its terms' token ranges and pools max-per-document — the
+    // pruned serving shape the scan form (q_passage_search) lacks by
+    // design. Identical semantics, so the SAME oracle replays it.
+    "q_passage_indexed" -> ((s, dir) => {
+      val idx = stagedOnce("passageindex-w32s16", dir)(root =>
+        TextAnalysis.buildPassageIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath,
+          windowTokens = 32, strideTokens = 16))
+      TextAnalysis.passageTopKIndexed(s, idx.getAbsolutePath, "doc_id",
+        Seq("column", "scan", "window"), passageK = 100, topK = 10)
     }),
 
     // Passage retrieval through the JSON request layer — the same
@@ -6092,6 +6128,9 @@ object SparkEntry {
         "THEN upper(text) ELSE text END), ' '), " +
         "tok -> tok <> 'the' AND tok <> 'a')"),
 
+    // the atomic rebuild serves the full corpus — one oracle again
+    "q_text_rebuild" -> bm25Sql(),
+
     // identical math and data to q_bm25_search — build+append serves
     // the same postings rows and the same folded N/avgdl as a full
     // rebuild, so the full-corpus oracle replays the incremental index
@@ -7713,6 +7752,9 @@ object SparkEntry {
       "q_json_passage" -> m("q_passage_search"),
       // the request-scoped analyzer IS bm25TopK's analyzer, and the
       // scan/indexed forms share one oracle by construction
-      "q_json_bm25_analyzed" -> m("q_bm25_analyzed"))
+      "q_json_bm25_analyzed" -> m("q_bm25_analyzed"),
+      // the chunk-level index is a storage layout, not a semantic
+      // change: passage scan and indexed forms share one oracle
+      "q_passage_indexed" -> m("q_passage_search"))
   }
 }

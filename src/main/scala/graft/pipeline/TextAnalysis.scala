@@ -953,6 +953,15 @@ object TextAnalysis {
         col("chunk_text"))
     val passages = bm25TopK(chunks, "pid", "chunk_text", queryTerms,
       passageK, k1, b)
+    poolPassages(passages, idCol, topK)
+  }
+
+  /** The shared passage-pooling tail over BM25-scored chunk rows
+    * (`pid`, bm25_micro): recover (doc, chunk) from the composite
+    * pid, max-pool per document (ties to the lowest chunk), rank
+    * documents by best passage. */
+  private def poolPassages(passages: DataFrame, idCol: String,
+                           topK: Int): DataFrame = {
     val perDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("bm25_micro").desc, col("chunk_idx").asc)
@@ -974,6 +983,43 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(docRank).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Build a PERSISTED passage index: the corpus chunked
+    * ([[chunkDocuments]], composite pid = id·1e6 + chunk_idx) and
+    * indexed as a [[buildTextIndex]] artifact over the CHUNK corpus —
+    * chunk-level postings and stats, so [[passageTopKIndexed]] serves
+    * the exact [[passageTopK]] semantics from token-range-pruned
+    * postings without ever rescanning (or re-chunking) the raw
+    * corpus. Same numeric-id bounds as passageTopK. */
+  def buildPassageIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, windowTokens: Int = 32,
+                        strideTokens: Int = 16,
+                        analyzer: Analyzer = Analyzer.identity): Unit = {
+    val chunks = chunkDocuments(
+        docs.select(col(idCol), col(textCol)), textCol,
+        windowTokens, strideTokens)
+      .select((col(idCol) * 1000000L + col("chunk_idx")).as("pid"),
+        col("chunk_text"))
+    buildTextIndex(chunks, "pid", "chunk_text", path, analyzer)
+  }
+
+  /** [[passageTopK]] served FROM a [[buildPassageIndex]] artifact:
+    * chunk-level BM25 through the pruned postings (only the query
+    * terms' token ranges are read; stats fold across appends), then
+    * the shared max-pool-per-document tail — identical results to the
+    * scan form over the same chunking, so the two share one oracle
+    * (bm25TopK : bm25IndexedTopK :: passageTopK : this). Chunking is
+    * paid ONCE at build; at 100 TB the raw corpus is never touched at
+    * query time. */
+  def passageTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                         path: String, idCol: String,
+                         queryTerms: Seq[String], passageK: Int = 100,
+                         topK: Int = 10, k1: Double = 1.2,
+                         b: Double = 0.75): DataFrame =
+    poolPassages(
+      bm25IndexedTopK(spark, path, queryTerms, passageK, k1, b)
+        .withColumnRenamed("doc_id", "pid"),
+      idCol, topK)
 
   /** BM25 top-k SERVED ENTIRELY FROM a [[buildTextIndex]] artifact:
     * the pruned postings lookup reads only the query terms' token
