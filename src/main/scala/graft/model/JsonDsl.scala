@@ -184,8 +184,14 @@ object JsonDsl {
       throw JsonError("passage search needs terms")
     // maxsim mode: {"maxsim": {"dims": 16}} over the usual terms —
     // late-interaction scoring, exclusive with every other mode
-    val maxsim = j.asOpt("maxsim").map(m => MaxsimSearch(
-      dims = m.asOpt("dims").map(_.int).getOrElse(16)))
+    val maxsim = j.asOpt("maxsim").map { m =>
+      val dims = m.asOpt("dims").map(_.int).getOrElse(16)
+      // dims 0 would silently score every pair 0.0 (empty vectors);
+      // an absurd width is a typo'd request, not a corpus property
+      if (dims < 1 || dims > 4096)
+        throw JsonError(s"maxsim dims must be in [1, 4096], got $dims")
+      MaxsimSearch(dims = dims)
+    }
     if (maxsim.nonEmpty && terms.isEmpty)
       throw JsonError("maxsim search needs terms")
     if (maxsim.nonEmpty && (weights.nonEmpty || passage.nonEmpty ||

@@ -80,6 +80,13 @@ object IndexGen {
     * directory is garbage, not state, and [[gcGenerations]] reclaims
     * it. Returns the committed generation number.
     *
+    * SINGLE REBUILDER at a time, caller-serialized — the standard
+    * maintenance-job contract (the events compactor's too): two
+    * concurrent rebuilds would race on the same gen number (each
+    * clears the other's in-progress directory; whichever marker lands
+    * commits whatever bytes are there). Readers are never at risk —
+    * the race is between the writers.
+    *
     * The first commit over a FLAT artifact leaves the flat files in
     * place (still resolvable by any reader that raced the commit);
     * [[gcGenerations]] can reclaim them once the swap is settled. */

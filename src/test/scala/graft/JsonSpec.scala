@@ -239,6 +239,29 @@ class JsonSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.model.JsonDsl.search("""{"terms": ["a"], "weights": {"b": 1}}""")
     }
+    // maxsim: exclusive with other modes, needs terms, sane dims
+    val mx = graft.model.JsonDsl.search(
+      """{"terms": ["a"], "maxsim": {"dims": 8}}""")
+    assert(mx.maxsim.contains(graft.model.MaxsimSearch(8)))
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search("""{"maxsim": {"dims": 8}}""")
+    }
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"terms": ["a"], "maxsim": {"dims": 0}}""")
+    }
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"terms": ["a"], "maxsim": {}, "weights": {"b": 1}}""")
+    }
+    // analyzer: lexical mode only, needs terms
+    val an = graft.model.JsonDsl.search(
+      """{"terms": ["A"], "analyzer": {"lowercase": true, "stopwords": ["x"]}}""")
+    assert(an.analyzer.contains(graft.model.AnalyzerSpec(true, Seq("x"))))
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"weights": {"a": 1}, "analyzer": {"lowercase": true}}""")
+    }
   }
 
   test("event-record search request decodes the reference DTO and runs") {

@@ -140,4 +140,113 @@ class RetrievalPropertySpec extends SparkTestBase {
       } finally rm(dir)
     }
   }
+
+  test("randomized corpora: probe-all indexed maxsim equals the brute form") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(4000 + trial)
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(40))
+        .toDF("doc_id", "text")
+      val dims = 8
+      val dt = corpus
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .distinct()
+        .withColumn("d_vec", Similarity.tokenVector(col("token"), dims))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("token"))
+      val inst = dt.withColumn("tok_id",
+        col("doc_id") * 1000000L + row_number().over(w))
+      val qTerms = rnd.shuffle(vocab).take(2 + rnd.nextInt(3))
+      val qt = qTerms.zipWithIndex
+        .map { case (t, i) => (0L, i.toLong, t) }
+        .toDF("q_id", "q_pos", "token")
+        .withColumn("q_vec", Similarity.tokenVector(col("token"), dims))
+      val k = 1 + rnd.nextInt(8)
+      val brute = Similarity.maxSimTopK(qt, dt, "q_id", "q_pos", "q_vec",
+          "doc_id", "d_vec", k)
+        .collect().map(_.toString).toSeq.sorted
+      val dir = java.nio.file.Files.createTempDirectory("maxsimprop").toFile
+      try {
+        val nCells = 4
+        Similarity.buildIndexJoined(inst, "tok_id", "d_vec",
+          Similarity.syntheticCodebook(spark, nCells, dims),
+          dir.getAbsolutePath, payload = Seq("doc_id"))
+        // probe EVERY cell with a shortlist covering every instance:
+        // the candidate restriction is vacuous, so indexed == brute
+        val nInst = inst.count().toInt
+        val got = Similarity.maxSimTopKIndexed(spark, qt, "q_id", "q_pos",
+            "q_vec", dir.getAbsolutePath, "tok_id", "d_vec",
+            inst, "doc_id", "d_vec", k, nProbe = nCells, candTok = nInst + 1)
+          .collect().map(_.toString).toSeq.sorted
+        assert(got == brute, s"trial $trial: indexed(probe-all) != brute")
+        assert(brute.nonEmpty)
+      } finally rm(dir)
+    }
+  }
+
+  test("randomized corpora: analyzed BM25 equals plain BM25 over the pre-analyzed corpus") {
+    import spark.implicits._
+    val an = TextAnalysis.Analyzer(lowercase = true,
+      stopwords = Seq("alpha", "join"))
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(5000 + trial)
+      // mixed-case corpus; the pre-analyzed twin applies the SAME
+      // normalization by hand (lowercase + stopword removal, empty
+      // slots preserved by the space join)
+      // drop docs whose EVERY token is a stopword: their analyzed
+      // token list is empty, which a space-join round trip cannot
+      // represent (mkString -> "" -> split -> [""], dl 1 vs 0) - the
+      // hand model's limitation, not the analyzer's
+      val raw = randomCorpus(rnd, 50 + rnd.nextInt(30))
+        .filterNot { case (_, t) =>
+          t.split(" ", -1).forall(x => Set("alpha", "join").contains(x.toLowerCase))
+        }
+        .map { case (id, t) =>
+          (id, if (id % 2 == 0) t.toUpperCase else t)
+        }
+      val normed = raw.map { case (id, t) =>
+        (id, t.split(" ", -1).map(_.toLowerCase)
+          .filterNot(Set("alpha", "join")).mkString(" "))
+      }
+      val terms = Seq("Scan", "COLUMN", "window")
+      val topK = 5 + rnd.nextInt(10)
+      val dirA = java.nio.file.Files.createTempDirectory("anprop").toFile
+      val dirB = java.nio.file.Files.createTempDirectory("plainprop").toFile
+      try {
+        TextAnalysis.buildTextIndex(raw.toDF("doc_id", "text"),
+          "doc_id", "text", dirA.getAbsolutePath, an)
+        TextAnalysis.buildTextIndex(normed.toDF("doc_id", "text"),
+          "doc_id", "text", dirB.getAbsolutePath)
+        val a = TextAnalysis.bm25IndexedTopK(spark, dirA.getAbsolutePath,
+          terms, topK).collect().map(_.toString).toSeq.sorted
+        val b = TextAnalysis.bm25IndexedTopK(spark, dirB.getAbsolutePath,
+          terms.map(_.toLowerCase), topK).collect().map(_.toString).toSeq.sorted
+        assert(a == b, s"trial $trial: analyzed != pre-analyzed plain")
+      } finally { rm(dirA); rm(dirB) }
+    }
+  }
+
+  test("index drift report: counts cover the corpus; self-centroid cells drift 0") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        (((i % 4) * 311 + j * 17 + 100) % 997) / 997.0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("driftprop").toFile
+    try {
+      Similarity.buildIndex(corpus, "vec_id", "embedding",
+        dir.getAbsolutePath, nCells = 4, iters = 2)
+      val rep = Similarity.indexDriftReport(spark, dir.getAbsolutePath,
+        "vec_id", "embedding").collect()
+      assert(rep.map(_.getAs[Long]("n_rows")).sum == 40L)
+      // 4 distinct vectors, one per cell after training: each cell's
+      // members all EQUAL its centroid (the mean of identical
+      // vectors), so cos = 1 up to quantization and drift ~ 0
+      assert(rep.forall(_.getAs[Long]("drift_micro") <= 1L),
+        rep.mkString(", "))
+    } finally rm(dir)
+  }
 }
