@@ -935,6 +935,15 @@ final class GraftHttpServer(
               return 400 -> err(s"index $id has no recognizable artifact ($other)")
           }
         }
+      case ("POST", List("admin", "indexes", id, "gc")) =>
+        if (indexes.isEmpty) return 404 -> err("not found")
+        val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse {
+          val keep = j.asOpt("keep").map(_.int).getOrElse(1)
+          val dropped = graft.pipeline.IndexGen.gcGenerations(spark, path,
+            keep = keep)
+          200 -> s"""{"dropped":[${dropped.mkString(",")}]}"""
+        }
       case ("POST", List("admin", "indexes", id, "retrain")) =>
         if (indexes.isEmpty) return 404 -> err("not found")
         val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))

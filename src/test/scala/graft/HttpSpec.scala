@@ -1066,6 +1066,17 @@ class HttpSpec extends SparkTestBase {
       val (_, got) = req(srv.port, "GET", "/api/v1/admin/indexes/vec", bearer = tok)
       assert(got.contains("\"generation\":0"))
       assert(!neighbors().contains(victim))
+      // a second retrain then gc: the superseded generation is
+      // reclaimed over the route and the serving one keeps answering
+      val (rc2, rbody2) = req(srv.port, "POST", "/api/v1/admin/indexes/vec/retrain",
+        """{"idCol": "vec_id", "vecCol": "embedding", "maxIters": 1}""",
+        bearer = tok)
+      assert(rc2 == 200 && rbody2.contains("\"generation\":1"))
+      val (gc, gbody) = req(srv.port, "POST", "/api/v1/admin/indexes/vec/gc",
+        """{"keep": 1}""", bearer = tok)
+      assert(gc == 200 && gbody == """{"dropped":[0]}""")
+      assert(!new java.io.File(s"$root/vec/gen=0").exists)
+      assert(!neighbors().contains(victim))
       // text index: route delete == deleteFromTextIndex (doc 2 stops
       // matching and stats fold down), purge reclaims, retrain is a
       // loud 400 (text rebuilds from its corpus)
