@@ -337,7 +337,8 @@ object SparkEntry {
     * re-rank over the shortlist. */
   private def ivfPqSql(nCells: Int, nProbe: Int, dims: Int, m: Int,
                        kc: Int, iters: Int, qMax: Int, k: Int,
-                       shortlist: Int, residual: Boolean = false): String = {
+                       shortlist: Int, residual: Boolean = false,
+                       corpusPred: String = ""): String = {
     val sub = dims / m
     // residual mode (IVFADC): PQ trains on/encodes r = x − c(cell);
     // the reconstruction adds the candidate's own cell centroid back
@@ -423,7 +424,9 @@ object SparkEntry {
                                sqrt(list_dot_product(r.rv, r.rv))) END AS c_sim
                   FROM ca
                   JOIN qp ON ca.cell_id = qp.cell_id AND ca.vec_id <> qp.q_id
-                  JOIN recon r ON r.vec_id = ca.vec_id),
+                  JOIN recon r ON r.vec_id = ca.vec_id${
+        if (corpusPred.isEmpty) ""
+        else s"\n                  WHERE $corpusPred"}),
          short AS (SELECT q_id, vec_id FROM (
                     SELECT q_id, vec_id,
                       row_number() OVER (PARTITION BY q_id
@@ -3072,6 +3075,32 @@ object SparkEntry {
       Similarity.ivfTopKIndexedPqResidual(s, q, "q_id", "q_vec",
           idx.getAbsolutePath, "vec_id", "embedding",
           k = 3, shortlist = 10, nProbe = 8)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+
+    // FILTERED vector search on the COMPOSED IVF×PQ layout — the
+    // 100 TB serving form of "nearest neighbors WHERE tenant/label":
+    // the index carries the label payload in its cells rows
+    // (buildIndexPqJoined payload), the predicate applies inside the
+    // probed-cell scan BEFORE any code decodes (PushedFilters on the
+    // codes scan — non-matching rows never ship their m-code column),
+    // and the shortlist/re-rank run over the matching set only, so
+    // ranks stay contiguous. The oracle restricts the replayed PQ
+    // chain's candidate side with the same membership predicate.
+    "q_knn_ivf_pq_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = stagedOnce("ivfpqfilt-n64m8k16i1", dir)(root =>
+        Similarity.buildIndexPqJoined(emb, "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 64, dims = 64),
+          dims = 64, m = 8, kCents = 16, iters = 1, root.getAbsolutePath,
+          payload = Seq("label")))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopKIndexedPq(s, q, "q_id", "q_vec",
+          idx.getAbsolutePath, "vec_id", "embedding",
+          k = 3, shortlist = 10, nProbe = 8,
+          where = Some(col("label").isin(2, 5)))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
@@ -7152,6 +7181,14 @@ object SparkEntry {
     "q_knn_ivf_pq_residual" -> ivfPqSql(nCells = 64, nProbe = 8, dims = 64,
       m = 8, kc = 16, iters = 1, qMax = 10, k = 3, shortlist = 10,
       residual = true),
+
+    // filtered search on the composed layout: candidates restricted
+    // to the label membership set; codebooks, encoding and both
+    // rankings are otherwise the identical replayed chain
+    "q_knn_ivf_pq_filtered" -> ivfPqSql(nCells = 64, nProbe = 8, dims = 64,
+      m = 8, kc = 16, iters = 1, qMax = 10, k = 3, shortlist = 10,
+      corpusPred =
+        "ca.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))"),
 
     // Salt-invariance makes the plain one-phase GROUP BY the oracle.
     "q_salted_agg" ->

@@ -912,29 +912,35 @@ object Similarity {
 
   /** [[retrainIndex]] for the composed IVF×PQ families: refine the
     * coarse codebook from the live rows, retrain the PQ sub-codebooks
-    * (`pqIters` Lloyd steps; on residuals when `residual` — pair with
-    * how the index was built), re-encode, and commit the whole
-    * artifact as one new generation. */
+    * (`pqIters` Lloyd steps; on residuals when the artifact was built
+    * residual — the persisted `pq_meta` flag decides, an explicit
+    * `residual` only overrides pre-meta artifacts), re-encode, and
+    * commit the whole artifact as one new generation. Payload columns
+    * (everything beside id/vector/cell/codes) survive the rebuild, so
+    * filtered search keeps working across retrains. */
   def retrainIndexPq(spark: org.apache.spark.sql.SparkSession, path: String,
                      cId: String, cVec: String, dims: Int, m: Int,
                      kCents: Int, pqIters: Int, coarseIters: Int,
                      eps: Double = 0.0, scale: Long = 1L << 20,
-                     residual: Boolean = false): (Long, Int) = {
+                     residual: Option[Boolean] = None): (Long, Int) = {
     val cur = IndexGen.resolveRoot(spark, path)
     val live = graft.engine.Staging.stage(readLiveCells(spark, cur))
     require(live.columns.contains("codes"),
       s"$path is not a composed IVF×PQ layout — use retrainIndex")
-    val corpus = live.select(col(cId), col(cVec))
+    val res = readPqMeta(spark, cur).orElse(residual).getOrElse(false)
+    val payloadCols = live.columns.toSeq
+      .filterNot(Set(cId, cVec, "cell_id", "codes"))
+    val corpus = live.select((cId +: cVec +: payloadCols).map(col): _*)
     val cb0 = spark.read.parquet(s"$cur/codebook")
     val (cb, steps) = refineCodebookUntilConverged(corpus, cId, cVec, cb0,
       coarseIters, eps, scale)
     val gen = IndexGen.commitNewGeneration(spark, path) { dir =>
-      if (residual)
+      if (res)
         buildIndexPqResidual(corpus, cId, cVec, cb, dims, m, kCents,
-          pqIters, dir, scale)
+          pqIters, dir, scale, payloadCols)
       else
         buildIndexPqJoined(corpus, cId, cVec, cb, dims, m, kCents,
-          pqIters, dir, scale)
+          pqIters, dir, scale, payloadCols)
     }
     (gen, steps)
   }
@@ -1596,16 +1602,50 @@ object Similarity {
   def buildIndexPqJoined(corpus: DataFrame, cId: String, cVec: String,
                          codebook: DataFrame, dims: Int, m: Int,
                          kCents: Int, iters: Int, path: String,
-                         scale: Long = 1L << 20): Unit = {
+                         scale: Long = 1L << 20,
+                         payload: Seq[String] = Nil): Unit = {
     codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    writePqMeta(corpus.sparkSession, path, residual = false)
     val pqcb = pqTrainCodebooks(corpus, cId, cVec, dims, m, kCents, iters, scale)
     pqcb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
     val codes = pqEncode(corpus, cId, cVec, dims, m, pqcb)
-    assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec, codebook)
-      .join(codes, Seq(cId))
+    withPqPayload(
+      assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec, codebook)
+        .join(codes, Seq(cId)), corpus, cId, payload)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite")
       .parquet(s"$path/cells")
+  }
+
+  /** `payload` columns (for filtered search — [[buildIndexJoined]]'s
+    * contract extended to the composed layouts) join back ONCE at
+    * build/append time, exactly like [[buildIndexTwoLevel]]'s. */
+  private def withPqPayload(rows: DataFrame, corpus: DataFrame,
+                            cId: String, payload: Seq[String]): DataFrame =
+    if (payload.isEmpty) rows
+    else rows.join(corpus.select(col(cId) +: payload.map(col): _*), Seq(cId))
+
+  /** Build-time metadata of a composed IVF×PQ artifact — one tiny
+    * parquet row recording whether codes encode residuals, so
+    * maintenance paths (HTTP retrain dispatch, [[retrainIndexPq]])
+    * can pair the rebuild with how the index was built instead of
+    * trusting a caller flag. Written at the UNRESOLVED build dir
+    * (each generation carries its own copy). */
+  private def writePqMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String, residual: Boolean): Unit = {
+    import spark.implicits._
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_meta")
+  }
+
+  /** The persisted residual flag of a composed artifact (None for a
+    * pre-meta index). `root` must be a RESOLVED generation root. */
+  def readPqMeta(spark: org.apache.spark.sql.SparkSession,
+                 root: String): Option[Boolean] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/pq_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).head().getBoolean(0))
   }
 
   /** [[appendToIndexJoined]] for a composed IVF×PQ index: the batch
@@ -1616,14 +1656,16 @@ object Similarity {
     * layout. Small-file accumulation folds via [[compactIndexCells]]
     * unchanged. */
   def appendToIndexPqJoined(batch: DataFrame, cId: String, cVec: String,
-                            dims: Int, m: Int, path0: String): Unit = {
+                            dims: Int, m: Int, path0: String,
+                            payload: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
     val pqcb = spark.read.parquet(s"$path/pq_codebook")
     val codes = pqEncode(batch, cId, cVec, dims, m, pqcb)
-    assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb)
-      .join(codes, Seq(cId))
+    withPqPayload(
+      assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb)
+        .join(codes, Seq(cId)), batch, cId, payload)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(s"$path/cells")
@@ -1636,11 +1678,21 @@ object Similarity {
     * the shortlist against the float vectors from the same pruned
     * cells. Deterministic tie-breaks at every stage, so a generated
     * SQL oracle replays codebooks, assignment, encoding and both
-    * rankings. */
+    * rankings.
+    *
+    * `where` = the FILTERED-search predicate over payload columns the
+    * index was built with ([[ivfTopKIndexedWhere]]'s contract on the
+    * compressed layout): it applies inside the probed-cell scan
+    * BEFORE any code decodes — for simple comparisons it reaches
+    * parquet as a pushed filter, so non-matching rows never ship
+    * their m-code column, and ranks stay contiguous over the
+    * matching set. Filtered selectivity eats recall like any IVF
+    * restriction: raise `nProbe` as filters sharpen. */
   def ivfTopKIndexedPq(spark: org.apache.spark.sql.SparkSession,
                        queries: DataFrame, qId: String, qVec: String,
                        path0: String, cId: String, cVec: String,
-                       k: Int, shortlist: Int, nProbe: Int = 1): DataFrame = {
+                       k: Int, shortlist: Int, nProbe: Int = 1,
+                       where: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
@@ -1649,8 +1701,12 @@ object Similarity {
     val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedPq")
     val probed = qb.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
-    val cells = readProbedCells(spark, path, probed)
+    val cellsAll = readProbedCells(spark, path, probed)
       .withColumn("cell_id", col("cell_id").cast("long"))
+    // the metadata predicate lands on the SHARED cells frame: the
+    // candidate pass decodes only matching rows' codes, and the
+    // re-rank float scan inherits the same pushed filter
+    val cells = where.map(cellsAll.filter).getOrElse(cellsAll)
     // candidate pass: decode the probed cells' CODES (narrow column);
     // cell_id rides the decode aggregate (constant per id), so the
     // probe join needs no re-join back to the cells scan
@@ -1706,8 +1762,10 @@ object Similarity {
   def buildIndexPqResidual(corpus: DataFrame, cId: String, cVec: String,
                            codebook: DataFrame, dims: Int, m: Int,
                            kCents: Int, iters: Int, path: String,
-                           scale: Long = 1L << 20): Unit = {
+                           scale: Long = 1L << 20,
+                           payload: Seq[String] = Nil): Unit = {
     codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    writePqMeta(corpus.sparkSession, path, residual = true)
     val assigned = graft.engine.Staging.stage(
       assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec,
         codebook))
@@ -1717,7 +1775,7 @@ object Similarity {
       scale)
     pqcb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
     val codes = pqEncode(res, cId, "__res", dims, m, pqcb)
-    assigned.join(codes, Seq(cId))
+    withPqPayload(assigned.join(codes, Seq(cId)), corpus, cId, payload)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite")
       .parquet(s"$path/cells")
@@ -1729,7 +1787,8 @@ object Similarity {
     * codebooks — nothing retrains, cells and code meanings stay
     * stable. */
   def appendToIndexPqResidual(batch: DataFrame, cId: String, cVec: String,
-                              dims: Int, m: Int, path0: String): Unit = {
+                              dims: Int, m: Int, path0: String,
+                              payload: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
@@ -1738,7 +1797,7 @@ object Similarity {
       assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb))
     val res = withResiduals(assigned, cVec, cb).select(col(cId), col("__res"))
     val codes = pqEncode(res, cId, "__res", dims, m, pqcb)
-    assigned.join(codes, Seq(cId))
+    withPqPayload(assigned.join(codes, Seq(cId)), batch, cId, payload)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(s"$path/cells")
@@ -1750,12 +1809,15 @@ object Similarity {
     * x̂ = c(cell) + r̂: decode the residual codes, add the candidate's
     * OWN cell centroid back (a broadcast join on the tiny codebook),
     * then score asymmetrically. Deterministic end to end, so the
-    * generated oracle replays the full chain. */
+    * generated oracle replays the full chain. `where` filters on the
+    * payload columns inside the probed-cell scan before any decode,
+    * exactly as in [[ivfTopKIndexedPq]]. */
   def ivfTopKIndexedPqResidual(spark: org.apache.spark.sql.SparkSession,
                                queries: DataFrame, qId: String, qVec: String,
                                path0: String, cId: String, cVec: String,
                                k: Int, shortlist: Int,
-                               nProbe: Int = 1): DataFrame = {
+                               nProbe: Int = 1,
+                               where: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val path = IndexGen.resolveRoot(spark, path0)
     val cb = spark.read.parquet(s"$path/codebook")
@@ -1764,8 +1826,9 @@ object Similarity {
     val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedPqResidual")
     val probed = qb.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
-    val cells = readProbedCells(spark, path, probed)
+    val cellsAll = readProbedCells(spark, path, probed)
       .withColumn("cell_id", col("cell_id").cast("long"))
+    val cells = where.map(cellsAll.filter).getOrElse(cellsAll)
     // candidate pass: decode residual codes (cell_id rides the decode
     // aggregate — no re-join to the cells scan), add the centroid back
     val recon = pqDecode(cells.select(col(cId), col("cell_id"), col("codes")),

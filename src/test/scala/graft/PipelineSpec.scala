@@ -1947,6 +1947,104 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("filtered composed IVF×PQ search: predicate inside the probed-cell codes scan; payload rides append and retrain") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array.tabulate(16)(d => math.cos(a + d * 0.4).toFloat), i % 3)
+    }.toDF("vec_id", "v", "label")
+    val cb = Similarity.syntheticCodebook(spark, nCells = 8, dims = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqfilt").toFile
+    try {
+      Similarity.buildIndexPqJoined(corpus, "vec_id", "v", cb,
+        dims = 16, m = 4, kCents = 8, iters = 1, dir.getAbsolutePath,
+        payload = Seq("label"))
+      assert(Similarity.readPqMeta(spark, dir.getAbsolutePath).contains(false))
+      val q = Seq((999L, Array.tabulate(16)(d => math.cos(d * 0.4).toFloat)),
+        (998L, Array.tabulate(16)(d => math.cos(2.0 + d * 0.4).toFloat)))
+        .toDF("q_id", "q_vec")
+      val out = Similarity.ivfTopKIndexedPq(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 4, shortlist = 12, nProbe = 2,
+        where = Some(col("label") === 1))
+      // the label predicate reaches the probed-cell parquet scan: rows
+      // are dropped before their m-code column decodes
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("label"),
+        plan.take(2000))
+      val got = out.collect()
+      assert(got.nonEmpty)
+      assert(got.forall(r => r.getAs[Long]("vec_id") % 3 == 1), got.toSeq)
+      // probe-all + corpus-sized shortlist reduces to exact top-k over
+      // the label-filtered corpus
+      def filteredAll() = Similarity.ivfTopKIndexedPq(spark, q, "q_id",
+        "q_vec", dir.getAbsolutePath, "vec_id", "v", k = 4,
+        shortlist = 120, nProbe = 8, where = Some(col("label") === 1))
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      val brute = Similarity.bruteForceTopK(q,
+        corpus.filter(col("label") === 1), "q_id", "q_vec",
+        "vec_id", "v", k = 4)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      assert(filteredAll() == brute, s"${filteredAll()} vs $brute")
+      // payload rides appends: an appended exact match under the
+      // filter label ranks first
+      Similarity.appendToIndexPqJoined(
+        Seq((2000L, Array.tabulate(16)(d => math.cos(d * 0.4).toFloat), 1))
+          .toDF("vec_id", "v", "label"),
+        "vec_id", "v", dims = 16, m = 4, dir.getAbsolutePath,
+        payload = Seq("label"))
+      val after = Similarity.ivfTopKIndexedPq(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 1, shortlist = 12,
+        nProbe = 8, where = Some(col("label") === 1))
+        .filter(col("q_id") === 999L).collect()
+      assert(after.head.getAs[Long]("vec_id") == 2000L, after.toSeq)
+      // payload survives a retrain: the new generation still serves
+      // filtered search (and keeps the persisted non-residual flag)
+      val (gen, _) = Similarity.retrainIndexPq(spark, dir.getAbsolutePath,
+        "vec_id", "v", dims = 16, m = 4, kCents = 8,
+        pqIters = 1, coarseIters = 1)
+      assert(gen == 0L)
+      assert(Similarity.readPqMeta(spark,
+        graft.pipeline.IndexGen.resolveRoot(spark, dir.getAbsolutePath))
+        .contains(false))
+      val retrained = Similarity.ivfTopKIndexedPq(spark, q, "q_id", "q_vec",
+        dir.getAbsolutePath, "vec_id", "v", k = 4, shortlist = 121,
+        nProbe = 8, where = Some(col("label") === 1))
+        .collect()
+      assert(retrained.nonEmpty)
+      assert(retrained.forall(r => r.getAs[Long]("vec_id") % 3 == 1
+        || r.getAs[Long]("vec_id") == 2000L), retrained.toSeq)
+      // residual twin: the same where contract through the IVFADC
+      // layout; probe-all + full shortlist == brute over the filtered
+      // corpus (the persisted meta records residual encoding)
+      val dirR = java.nio.file.Files.createTempDirectory("ivfpqfiltr").toFile
+      try {
+        Similarity.buildIndexPqResidual(corpus, "vec_id", "v", cb,
+          dims = 16, m = 4, kCents = 8, iters = 1, dirR.getAbsolutePath,
+          payload = Seq("label"))
+        assert(Similarity.readPqMeta(spark, dirR.getAbsolutePath)
+          .contains(true))
+        val allR = Similarity.ivfTopKIndexedPqResidual(spark, q, "q_id",
+          "q_vec", dirR.getAbsolutePath, "vec_id", "v", k = 4,
+          shortlist = 120, nProbe = 8, where = Some(col("label") === 1))
+          .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+            r.getAs[Long]("rank"))).toSet
+        assert(allR == brute, s"$allR vs $brute")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(dirR)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("filtered vector search: predicate pushes into the probed-cell scan; probe-all equals brute over the filtered corpus") {
     import spark.implicits._
     val corpus = (0 until 120).map { i =>
