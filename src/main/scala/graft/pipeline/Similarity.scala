@@ -884,8 +884,7 @@ object Similarity {
     val fsC = new org.apache.hadoop.fs.Path(cur)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fsC.exists(new org.apache.hadoop.fs.Path(s"$cur/codebook_coarse")),
-      s"$path is a two-level artifact — rebuild via buildIndexTwoLevel " +
-        "inside IndexGen.commitNewGeneration instead of a flat retrain")
+      s"$path is a two-level artifact — use retrainIndexTwoLevel")
     val live = graft.engine.Staging.stage(readLiveCells(spark, cur))
     require(!live.columns.contains("codes"),
       s"$path holds a composed IVF×PQ layout — use retrainIndexPq")
@@ -943,6 +942,141 @@ object Similarity {
           pqIters, dir, scale, payloadCols)
     }
     (gen, steps)
+  }
+
+  /** [[retrainIndex]] for a TWO-LEVEL artifact: BOTH codebooks refine
+    * from the live rows (exact Lloyd, seeded by the persisted
+    * centroids — `fineIters`/`coarseIters` steps respectively), then
+    * the whole artifact rebuilds with [[buildIndexTwoLevel]] under the
+    * SAME persisted `coarseProbe` (the build-time hierarchy knob
+    * rides `twolevel_meta`; an explicit `coarseProbe` only covers
+    * pre-meta artifacts) and commits as one new generation. Payload
+    * columns survive the rebuild. Returns (generation, coarse + fine
+    * Lloyd steps run). */
+  def retrainIndexTwoLevel(spark: org.apache.spark.sql.SparkSession,
+                           path: String, cId: String, cVec: String,
+                           fineIters: Int, coarseIters: Int,
+                           eps: Double = 0.0, scale: Long = 1L << 20,
+                           coarseProbe: Option[Int] = None): (Long, Int) = {
+    val cur = IndexGen.resolveRoot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$cur/codebook_coarse")),
+      s"$path is not a two-level artifact — use retrainIndex/retrainIndexPq")
+    val cp = readTwoLevelMeta(spark, cur).orElse(coarseProbe).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path predates twolevel_meta — pass coarseProbe explicitly"))
+    val live = graft.engine.Staging.stage(readLiveCells(spark, cur))
+    val payloadCols = live.columns.toSeq
+      .filterNot(Set(cId, cVec, "cell_id"))
+    val corpus = live.select((cId +: cVec +: payloadCols).map(col): _*)
+    val (coarse, stepsC) = refineCodebookUntilConverged(corpus, cId, cVec,
+      spark.read.parquet(s"$cur/codebook_coarse"), coarseIters, eps, scale)
+    val (fine, stepsF) = refineCodebookUntilConverged(corpus, cId, cVec,
+      spark.read.parquet(s"$cur/codebook"), fineIters, eps, scale)
+    val gen = IndexGen.commitNewGeneration(spark, path) { dir =>
+      buildIndexTwoLevel(corpus, cId, cVec, fine, coarse, cp, dir,
+        payloadCols)
+    }
+    (gen, stepsC + stepsF)
+  }
+
+  /** The persisted `coarseProbe` of a two-level artifact (None for a
+    * pre-meta index). `root` must be a RESOLVED generation root. */
+  def readTwoLevelMeta(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/twolevel_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).head().getInt(0))
+  }
+
+  /** The layout family of a cells-layout vector artifact at its
+    * RESOLVED root — the dispatch key for kind-agnostic maintenance
+    * (HTTP retrain, [[maybeRetrain]]): `two_level` (hierarchical
+    * codebooks), `pq` (composed IVF×PQ — cells rows carry codes), or
+    * `flat` (float / quantized joined layouts). Detection reads
+    * directory existence plus one parquet FOOTER (the cells schema),
+    * never data rows. */
+  def indexLayout(spark: org.apache.spark.sql.SparkSession,
+                  root: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(d: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$root/$d"))
+    if (has("codebook_coarse")) "two_level"
+    else if (has("cells") &&
+      spark.read.parquet(s"$root/cells").columns.contains("codes")) "pq"
+    else "flat"
+  }
+
+  /** Retrain ANY cells-layout artifact by its DETECTED kind — the one
+    * entry point a maintenance plane (HTTP retrain, a scheduled
+    * drift job) needs: two-level artifacts rebuild hierarchically
+    * ([[retrainIndexTwoLevel]]), composed IVF×PQ retrains coarse + PQ
+    * codebooks with dims/m/kCents INFERRED from the persisted
+    * `pq_codebook` and the residual flag from `pq_meta`
+    * ([[retrainIndexPq]]), and flat float/quantized layouts take the
+    * plain Lloyd retrain ([[retrainIndex]]). Returns (generation,
+    * Lloyd steps run). */
+  def retrainDispatch(spark: org.apache.spark.sql.SparkSession,
+                      path: String, cId: String, cVec: String,
+                      maxIters: Int, eps: Double = 0.0,
+                      pqIters: Int = 1,
+                      scale: Long = 1L << 20): (Long, Int) = {
+    val cur = IndexGen.resolveRoot(spark, path)
+    indexLayout(spark, cur) match {
+      case "two_level" =>
+        retrainIndexTwoLevel(spark, path, cId, cVec,
+          fineIters = maxIters, coarseIters = maxIters, eps = eps,
+          scale = scale)
+      case "pq" =>
+        // geometry from the persisted sub-codebooks: m subspaces ×
+        // kCents centroids of dims/m elements each — a tiny frame
+        val pqcb = spark.read.parquet(s"$cur/pq_codebook")
+        val g = pqcb.agg(max(col("sub")).cast("long"),
+          max(col("cent_id")).cast("long"),
+          max(size(col("centroid")))).head()
+        val m = g.getLong(0).toInt + 1
+        val kCents = g.getLong(1).toInt + 1
+        val dims = m * g.getInt(2)
+        retrainIndexPq(spark, path, cId, cVec, dims = dims, m = m,
+          kCents = kCents, pqIters = pqIters, coarseIters = maxIters,
+          eps = eps, scale = scale)
+      case _ =>
+        retrainIndex(spark, path, cId, cVec, maxIters, eps, scale)
+    }
+  }
+
+  /** DRIFT-TRIGGERED retrain policy — the building block of a
+    * scheduled maintenance job (and the decision loop behind the
+    * append contract's "rebuild when drift warrants it"): read ONE
+    * [[indexDriftReport]], retrain ([[retrainDispatch]]) iff the
+    * worst per-cell drift exceeds `maxDriftMicro` OR the fattest cell
+    * holds more than `maxCellSkew`× the mean cell population, and
+    * return the decision WITH its evidence either way. The report
+    * collect is nCells-bounded (one row per cell). */
+  final case class RetrainDecision(retrained: Boolean, maxDriftMicro: Long,
+                                   cellSkew: Double,
+                                   generation: Option[Long], steps: Int)
+
+  def maybeRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
+                   cId: String, cVec: String, maxDriftMicro: Long,
+                   maxCellSkew: Double, maxIters: Int = 1,
+                   eps: Double = 0.0, pqIters: Int = 1): RetrainDecision = {
+    val rows = indexDriftReport(spark, path, cId, cVec)
+      .select(col("n_rows"), col("drift_micro")).collect()
+    val drift = if (rows.isEmpty) 0L else rows.map(_.getLong(1)).max
+    val skew =
+      if (rows.isEmpty) 0.0
+      else rows.map(_.getLong(0)).max.toDouble *
+        rows.length / rows.map(_.getLong(0)).sum.toDouble
+    if (drift <= maxDriftMicro && skew <= maxCellSkew)
+      RetrainDecision(retrained = false, drift, skew, None, 0)
+    else {
+      val (gen, steps) = retrainDispatch(spark, path, cId, cVec,
+        maxIters = maxIters, eps = eps, pqIters = pqIters)
+      RetrainDecision(retrained = true, drift, skew, Some(gen), steps)
+    }
   }
 
   /** DRIFT report of a persisted IVF index — the measurement behind
@@ -1916,6 +2050,14 @@ object Similarity {
     fine.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     coarse.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/codebook_coarse")
+    // build-time hierarchy knob persisted with the artifact, so a
+    // retrain replays assignment with the SAME coarseProbe the build
+    // used instead of trusting a caller flag
+    locally {
+      import corpus.sparkSession.implicits._
+      Seq(coarseProbe).toDF("coarse_probe")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/twolevel_meta")
+    }
     val assigned = probeCellsTwoLevel(corpus.select(col(cId), col(cVec)),
       cId, cVec, fine, coarse, coarseProbe, nProbe = 1)
     // payload columns for filtered search join back once at build

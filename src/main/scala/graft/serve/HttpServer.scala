@@ -99,12 +99,39 @@ final class GraftHttpServer(
     /** id → artifact path registry behind the `/admin/indexes`
       * maintenance routes (GDPR delete/purge, atomic retrain) —
       * beyond-reference surface mirroring backupStore's shape; the
-      * routes mount only when non-empty. */
-    indexes: Map[String, String] = Map.empty) {
+      * routes mount only when non-empty (or when an [[indexRoot]]
+      * makes the registry writable). */
+    indexes: Map[String, String] = Map.empty,
+    /** Root directory registrations over `POST /admin/indexes/:id`
+      * must live under — the path validation that keeps the route
+      * from aiming index maintenance at arbitrary filesystem paths.
+      * None (default) leaves the registry read-only: exactly the
+      * pre-CRUD static-map surface. */
+    indexRoot: Option[String] = None) {
 
   /** Backup-run records behind `/admin/backups` (reference
     * metadata/src/backups.rs). */
   private val backups = new graft.model.Backups
+
+  /** Live index registry: the constructor map seeds it; CRUD routes
+    * mutate it (volatile snapshot swap, the registry-read pattern of
+    * `reg`). Registration never touches disk — it names an existing
+    * artifact; deletion unregisters, never deletes bytes. */
+  @volatile private var indexReg: Map[String, String] = indexes
+  /** The index surface mounts when there is anything to serve OR a
+    * root makes the registry writable. */
+  private def indexesMounted: Boolean = indexReg.nonEmpty || indexRoot.isDefined
+  /** Per-index monitors serializing mutating maintenance
+    * (delete/purge/retrain/gc): commitNewGeneration's single-rebuilder
+    * contract must hold even if the JDK server is given a concurrent
+    * executor — two racing retrains on one index would collide on the
+    * same gen number and commit torn bytes. Different indexes proceed
+    * in parallel; a long retrain never blocks reads (they take no
+    * lock). */
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def indexLocked[A](id: String)(body: => A): A =
+    indexLocks.computeIfAbsent(id, _ => new Object).synchronized(body)
 
   /** Live schema state behind the CRUD routes: the constructor's
     * registry/customEvents seed copy-on-write snapshots (reference
@@ -887,19 +914,74 @@ final class GraftHttpServer(
       // registry is constructor-supplied; the artifact kind is
       // detected from its committed generation's layout.
       case ("GET", List("admin", "indexes")) =>
-        if (indexes.isEmpty) return 404 -> err("not found")
+        if (!indexesMounted) return 404 -> err("not found")
         adminGate(ex).getOrElse(
-          200 -> indexes.keys.toSeq.sorted.map(indexJson)
+          200 -> indexReg.keys.toSeq.sorted.map(indexJson)
             .mkString("[", ",", "]"))
       case ("GET", List("admin", "indexes", id)) =>
-        if (indexes.isEmpty) return 404 -> err("not found")
+        if (!indexesMounted) return 404 -> err("not found")
         adminGate(ex).getOrElse(
-          indexes.get(id).map(_ => 200 -> indexJson(id))
+          indexReg.get(id).map(_ => 200 -> indexJson(id))
             .getOrElse(404 -> err(s"index $id not found")))
-      case ("POST", List("admin", "indexes", id, "delete")) =>
-        if (indexes.isEmpty) return 404 -> err("not found")
-        val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))
+      // registry CRUD: register names an EXISTING artifact under the
+      // configured root (path-validated — the route must not aim
+      // maintenance at arbitrary filesystem paths); unregister drops
+      // the name, never bytes. Writes serialize on the registry like
+      // the schema CRUD's snapshot swap.
+      case ("POST", List("admin", "indexes", id)) =>
+        if (!indexesMounted) return 404 -> err("not found")
         adminGate(ex).getOrElse {
+          val root = indexRoot.getOrElse(
+            return 403 -> err("index registration needs a configured indexRoot"))
+          require(id.matches("[A-Za-z0-9_-]+"), s"invalid index id: $id")
+          val raw = (j / "path").str
+          // normalize BEFORE the containment check: a `..` segment
+          // must not escape the root
+          val norm = java.nio.file.Paths.get(raw).normalize()
+          val rootP = java.nio.file.Paths.get(root).normalize()
+          if (!norm.startsWith(rootP))
+            return 403 -> err(s"index path must live under $root")
+          indexLocked(id) {
+            if (indexReg.contains(id)) 400 -> err(s"index $id already registered")
+            else {
+              indexReg = indexReg + (id -> norm.toString)
+              200 -> indexJson(id)
+            }
+          }
+        }
+      case ("DELETE", List("admin", "indexes", id)) =>
+        if (!indexesMounted) return 404 -> err("not found")
+        adminGate(ex).getOrElse(indexLocked(id) {
+          if (!indexReg.contains(id)) 404 -> err(s"index $id not found")
+          else { indexReg = indexReg - id; 200 -> "{}" }
+        })
+      // drift report — the measurement side of the drift→retrain loop
+      // (Similarity.indexDriftReport): per cell, live rows and mean
+      // angular distance to the stored centroid, plus the summary the
+      // retrain policy thresholds on. Cell count is codebook-bounded,
+      // so the collect is driver-safe.
+      case ("GET", List("admin", "indexes", id, "drift")) =>
+        if (!indexesMounted) return 404 -> err("not found")
+        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse {
+          if (indexKind(path) != "vector")
+            return 400 -> err("drift applies to vector indexes")
+          val rows = graft.pipeline.Similarity.indexDriftReport(spark, path,
+              idColOf(body), vecColOf(body)).collect()
+          val cells = rows.map(r =>
+            s"""{"cellId":${r.getLong(0)},"nRows":${r.getLong(1)},""" +
+              s""""driftMicro":${r.getLong(2)}}""").mkString("[", ",", "]")
+          val maxDrift = if (rows.isEmpty) 0L else rows.map(_.getLong(2)).max
+          val skew =
+            if (rows.isEmpty) 0.0
+            else rows.map(_.getLong(1)).max.toDouble *
+              rows.length / rows.map(_.getLong(1)).sum.toDouble
+          200 -> s"""{"maxDriftMicro":$maxDrift,"cellSkew":$skew,"cells":$cells}"""
+        }
+      case ("POST", List("admin", "indexes", id, "delete")) =>
+        if (!indexesMounted) return 404 -> err("not found")
+        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse(indexLocked(id) {
           val ids = (j / "ids").arr.map(_.long)
           val name = (j / "name").str
           require(ids.nonEmpty, "delete needs ids")
@@ -916,11 +998,11 @@ final class GraftHttpServer(
               return 400 -> err(s"index $id has no recognizable artifact ($other)")
           }
           200 -> s"""{"deleted":${ids.size}}"""
-        }
+        })
       case ("POST", List("admin", "indexes", id, "purge")) =>
-        if (indexes.isEmpty) return 404 -> err("not found")
-        val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))
-        adminGate(ex).getOrElse {
+        if (!indexesMounted) return 404 -> err("not found")
+        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse(indexLocked(id) {
           indexKind(path) match {
             case "text" =>
               graft.pipeline.TextAnalysis.purgeTextIndex(spark, path)
@@ -934,30 +1016,45 @@ final class GraftHttpServer(
             case other =>
               return 400 -> err(s"index $id has no recognizable artifact ($other)")
           }
-        }
+        })
       case ("POST", List("admin", "indexes", id, "gc")) =>
-        if (indexes.isEmpty) return 404 -> err("not found")
-        val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))
-        adminGate(ex).getOrElse {
+        if (!indexesMounted) return 404 -> err("not found")
+        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse(indexLocked(id) {
           val keep = j.asOpt("keep").map(_.int).getOrElse(1)
           val dropped = graft.pipeline.IndexGen.gcGenerations(spark, path,
             keep = keep)
           200 -> s"""{"dropped":[${dropped.mkString(",")}]}"""
-        }
+        })
+      // retrain DISPATCHES on the artifact's detected layout
+      // (Similarity.retrainDispatch): two-level artifacts rebuild
+      // hierarchically under their persisted coarseProbe, composed
+      // IVF×PQ retrains coarse + sub-codebooks with geometry inferred
+      // from the persisted pq_codebook and the residual flag from
+      // pq_meta, flat layouts take the plain Lloyd retrain — so the
+      // families most likely deployed at scale are drivable over the
+      // request layer, not just a spark-shell.
       case ("POST", List("admin", "indexes", id, "retrain")) =>
-        if (indexes.isEmpty) return 404 -> err("not found")
-        val path = indexes.getOrElse(id, return 404 -> err(s"index $id not found"))
-        adminGate(ex).getOrElse {
+        if (!indexesMounted) return 404 -> err("not found")
+        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse(indexLocked(id) {
           if (indexKind(path) != "vector")
             return 400 -> err("retrain applies to vector indexes; rebuild a " +
               "text index from its corpus via TextAnalysis.rebuildTextIndex")
-          val (gen, steps) = graft.pipeline.Similarity.retrainIndex(spark, path,
-            j.asOpt("idCol").map(_.str).getOrElse("vec_id"),
-            j.asOpt("vecCol").map(_.str).getOrElse("embedding"),
+          val cur = graft.pipeline.IndexGen.resolveRoot(spark, path)
+          val fs = new org.apache.hadoop.fs.Path(cur)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$cur/cells")))
+            return 400 -> err("retrain needs a cells-layout artifact; a " +
+              "codes-only PQ index has no coarse quantizer — rebuild it " +
+              "from its corpus via Similarity.buildPqIndex")
+          val (gen, steps) = graft.pipeline.Similarity.retrainDispatch(
+            spark, path, idColOf(body), vecColOf(body),
             maxIters = j.asOpt("maxIters").map(_.int).getOrElse(1),
-            eps = j.asOpt("eps").map(_.num).getOrElse(0.0))
+            eps = j.asOpt("eps").map(_.num).getOrElse(0.0),
+            pqIters = j.asOpt("pqIters").map(_.int).getOrElse(1))
           200 -> s"""{"generation":$gen,"steps":$steps}"""
-        }
+        })
 
       // admin account CRUD (reference platform/src/http/accounts.rs:
       // 62-63 — create/list, get/update/delete by id, all behind the
@@ -1079,8 +1176,18 @@ final class GraftHttpServer(
     else "unknown"
   }
 
+  /** id/vector column names of an index-maintenance request — the
+    * body is OPTIONAL (a bare GET drift has none), so parse failures
+    * fold to the registry defaults instead of a 400. */
+  private def idColOf(body: String): String =
+    try Json.parse(body).asOpt("idCol").map(_.str).getOrElse("vec_id")
+    catch { case _: Json.JsonError => "vec_id" }
+  private def vecColOf(body: String): String =
+    try Json.parse(body).asOpt("vecCol").map(_.str).getOrElse("embedding")
+    catch { case _: Json.JsonError => "embedding" }
+
   private def indexJson(id: String): String = {
-    val path = indexes(id)
+    val path = indexReg(id)
     val gen = graft.pipeline.IndexGen.currentGen(spark, path)
       .map(_.toString).getOrElse("null")
     s"""{"id":${JStr(id).render},"path":${JStr(path).render},""" +

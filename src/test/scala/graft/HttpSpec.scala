@@ -1098,4 +1098,116 @@ class HttpSpec extends SparkTestBase {
       assert(req(srv.port, "GET", "/api/v1/admin/indexes")._1 == 404)
     }
   }
+
+  test("admin indexes: drift report, layout-dispatched retrain, registry CRUD") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tenancy = new graft.model.Tenancy
+    val auth = new graft.model.Auth(tenancy, "k".getBytes, clock = () => 1000L)
+    val root = java.nio.file.Files.createTempDirectory("graft-http-idx2").toString
+    // clustered corpus: retrains move centroids measurably
+    val emb = (0 until 100).map { i =>
+      val cl = i % 4
+      (i.toLong, (0 until 8).map(j =>
+        (((cl * 997 + j * 131) % 2001) - 1000) / 1000.0f +
+          (((i * 31 + j * 7) % 201) - 100) / 2000.0f))
+    }.toDF("vec_id", "embedding")
+    graft.pipeline.Similarity.buildIndexPqJoined(emb, "vec_id", "embedding",
+      graft.pipeline.Similarity.seedCodebook(emb, "vec_id", "embedding", 4),
+      dims = 8, m = 2, kCents = 4, iters = 1, s"$root/pq")
+    graft.pipeline.Similarity.buildIndexTwoLevel(emb, "vec_id", "embedding",
+      fine = graft.pipeline.Similarity.seedCodebook(emb, "vec_id", "embedding", 8),
+      coarse = graft.pipeline.Similarity.seedCodebook(emb, "vec_id", "embedding", 2),
+      coarseProbe = 2, path = s"$root/2l")
+    withServer(new GraftHttpServer(spark, ev, tenancy = Some(tenancy),
+        auth = Some(auth),
+        indexes = Map("pq" -> s"$root/pq", "2l" -> s"$root/2l"),
+        indexRoot = Some(root))) { srv =>
+      val (_, s1) = req(srv.port, "POST", "/api/v1/auth/signup",
+        """{"email": "a@x.com", "password": "Str0ng!pass"}""")
+      val tok = (graft.model.Json.parse(s1) / "accessToken").str
+      tenancy.setAccountRole(1L, Some("admin"), 0L)
+      // drift over HTTP == the library report, cell for cell
+      val (dc, dbody) = req(srv.port, "GET", "/api/v1/admin/indexes/pq/drift",
+        bearer = tok)
+      assert(dc == 200, dbody)
+      val lib = graft.pipeline.Similarity.indexDriftReport(spark, s"$root/pq",
+        "vec_id", "embedding").collect()
+      lib.foreach { r =>
+        assert(dbody.contains(
+          s"""{"cellId":${r.getLong(0)},"nRows":${r.getLong(1)},"driftMicro":${r.getLong(2)}}"""),
+          s"missing cell ${r.getLong(0)} in $dbody")
+      }
+      assert(dbody.contains(
+        s""""maxDriftMicro":${lib.map(_.getLong(2)).max}"""))
+      // composed retrain dispatches to retrainIndexPq: commits gen 0,
+      // the searches keep answering through the new generation
+      val (rc, rbody) = req(srv.port, "POST", "/api/v1/admin/indexes/pq/retrain",
+        """{"maxIters": 1}""", bearer = tok)
+      assert(rc == 200 && rbody.contains("\"generation\":0"), rbody)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      assert(graft.pipeline.Similarity.ivfTopKIndexedPq(spark, q,
+        "q_id", "q_vec", s"$root/pq", "vec_id", "embedding",
+        k = 3, shortlist = 6, nProbe = 2).collect().nonEmpty)
+      // two-level retrain dispatches to retrainIndexTwoLevel under
+      // the persisted coarseProbe; byte parity with the library call
+      // on a twin artifact built+retrained the same way
+      val twin = s"$root/2l-twin"
+      graft.pipeline.Similarity.buildIndexTwoLevel(emb, "vec_id", "embedding",
+        fine = graft.pipeline.Similarity.seedCodebook(emb, "vec_id", "embedding", 8),
+        coarse = graft.pipeline.Similarity.seedCodebook(emb, "vec_id", "embedding", 2),
+        coarseProbe = 2, path = twin)
+      graft.pipeline.Similarity.retrainIndexTwoLevel(spark, twin,
+        "vec_id", "embedding", fineIters = 1, coarseIters = 1)
+      val (rc2, rbody2) = req(srv.port, "POST", "/api/v1/admin/indexes/2l/retrain",
+        """{"maxIters": 1}""", bearer = tok)
+      assert(rc2 == 200 && rbody2.contains("\"generation\":0") &&
+        rbody2.contains("\"steps\":2"), rbody2)
+      def rows2l(path: String) = graft.pipeline.Similarity
+        .ivfTopKIndexedTwoLevel(spark, q, "q_id", "q_vec", path,
+          "vec_id", "embedding", k = 3, coarseProbe = 2, nProbe = 4)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(rows2l(s"$root/2l") == rows2l(twin),
+        "HTTP retrain must equal the library retrain")
+      // registry CRUD lifecycle: register → get → maintenance → delete → 404
+      val extra = s"$root/extra"
+      graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding",
+        extra, nCells = 4, iters = 1)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/extra",
+        s"""{"path": "$extra"}""", bearer = tok)._1 == 200)
+      val (gc2, gbody2) = req(srv.port, "GET", "/api/v1/admin/indexes/extra",
+        bearer = tok)
+      assert(gc2 == 200 && gbody2.contains("\"kind\":\"vector\""), gbody2)
+      assert(req(srv.port, "GET", "/api/v1/admin/indexes/extra/drift",
+        bearer = tok)._1 == 200)
+      // duplicate id rejected; traversal and out-of-root paths rejected
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/extra",
+        s"""{"path": "$extra"}""", bearer = tok)._1 == 400)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/evil",
+        s"""{"path": "$root/../../etc"}""", bearer = tok)._1 == 403)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/evil",
+        """{"path": "/etc/passwd"}""", bearer = tok)._1 == 403)
+      assert(req(srv.port, "DELETE", "/api/v1/admin/indexes/extra",
+        bearer = tok)._1 == 200)
+      assert(req(srv.port, "GET", "/api/v1/admin/indexes/extra",
+        bearer = tok)._1 == 404)
+      assert(req(srv.port, "DELETE", "/api/v1/admin/indexes/extra",
+        bearer = tok)._1 == 404)
+      // unregistering never deletes bytes
+      assert(new java.io.File(s"$extra/cells").exists)
+    }
+    // a writable-but-empty registry still mounts the surface; without
+    // a root, registration is refused (the static-map contract)
+    withServer(new GraftHttpServer(spark, ev, indexRoot = Some(root))) { srv =>
+      assert(req(srv.port, "GET", "/api/v1/admin/indexes")._2 == "[]")
+    }
+    withServer(new GraftHttpServer(spark, ev,
+        indexes = Map("pq" -> s"$root/pq"))) { srv =>
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/x",
+        s"""{"path": "$root/pq"}""")._1 == 403)
+    }
+  }
 }

@@ -204,6 +204,77 @@ class IndexGenSpec extends SparkTestBase {
       .collect().toSet.contains(105L))
   }
 
+  test("two-level retrain commits a generation under the persisted coarseProbe; retrainDispatch picks the layout; maybeRetrain trips on thresholds") {
+    import spark.implicits._
+    // clustered corpus: 4 real clusters so Lloyd steps measurably
+    // lower drift from the seed centroids
+    val c = (0 until 120).map { i =>
+      val cl = i % 4
+      val v = (0 until 8).map { j =>
+        (((cl * 997 + j * 131).abs % 2001) - 1000) / 1000.0f +
+          (((i * 31 + j * 7) % 201) - 100) / 2000.0f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    // --- two-level artifact ---
+    val path2l = tmpDir("gen-2l")
+    Similarity.buildIndexTwoLevel(c, "vec_id", "embedding",
+      fine = Similarity.seedCodebook(c, "vec_id", "embedding", 8),
+      coarse = Similarity.seedCodebook(c, "vec_id", "embedding", 2),
+      coarseProbe = 2, path = path2l)
+    assert(Similarity.readTwoLevelMeta(spark, path2l).contains(2))
+    // a flat retrain refuses the hierarchy; the dispatcher routes it
+    intercept[IllegalArgumentException](
+      Similarity.retrainIndex(spark, path2l, "vec_id", "embedding", 1))
+    assert(Similarity.indexLayout(spark, path2l) == "two_level")
+    val (gen2l, steps2l) = Similarity.retrainDispatch(spark, path2l,
+      "vec_id", "embedding", maxIters = 1)
+    assert(gen2l == 0L && steps2l == 2) // one coarse + one fine step
+    val root2l = IndexGen.resolveRoot(spark, path2l)
+    assert(root2l.endsWith("gen=0"))
+    // the rebuilt generation is a complete two-level artifact with
+    // the same persisted knob, and still serves searches
+    assert(Similarity.readTwoLevelMeta(spark, root2l).contains(2))
+    val q = queriesOf(c)
+    val served = Similarity.ivfTopKIndexedTwoLevel(spark, q, "q_id", "q_vec",
+      path2l, "vec_id", "embedding", k = 3, coarseProbe = 2, nProbe = 4)
+      .collect()
+    assert(served.nonEmpty)
+    // --- composed PQ artifact through the dispatcher (geometry
+    // inferred from the persisted sub-codebooks, meta says raw) ---
+    val pathPq = tmpDir("gen-dpq")
+    Similarity.buildIndexPqJoined(c, "vec_id", "embedding",
+      Similarity.seedCodebook(c, "vec_id", "embedding", 4),
+      dims = 8, m = 2, kCents = 4, iters = 1, pathPq)
+    assert(Similarity.indexLayout(spark, pathPq) == "pq")
+    val (genPq, _) = Similarity.retrainDispatch(spark, pathPq,
+      "vec_id", "embedding", maxIters = 1)
+    assert(genPq == 0L)
+    assert(Similarity.ivfTopKIndexedPq(spark, q, "q_id", "q_vec", pathPq,
+      "vec_id", "embedding", k = 3, shortlist = 6, nProbe = 2)
+      .collect().nonEmpty)
+    // --- drift-triggered policy on a flat artifact: no-op below
+    // thresholds, retrain above, drift strictly lower after ---
+    val pathF = tmpDir("gen-policy")
+    Similarity.buildIndex(c, "vec_id", "embedding", pathF,
+      nCells = 4, iters = 0) // seed centroids: high drift by design
+    assert(Similarity.indexLayout(spark, pathF) == "flat")
+    def maxDrift(): Long = Similarity.indexDriftReport(spark, pathF,
+      "vec_id", "embedding")
+      .agg(max(col("drift_micro"))).head().getLong(0)
+    val before = maxDrift()
+    val noop = Similarity.maybeRetrain(spark, pathF, "vec_id", "embedding",
+      maxDriftMicro = before + 1, maxCellSkew = 1e9)
+    assert(!noop.retrained && noop.generation.isEmpty)
+    assert(noop.maxDriftMicro == before)
+    assert(IndexGen.currentGen(spark, pathF).isEmpty) // truly a no-op
+    val hit = Similarity.maybeRetrain(spark, pathF, "vec_id", "embedding",
+      maxDriftMicro = before - 1, maxCellSkew = 1e9, maxIters = 3)
+    assert(hit.retrained && hit.generation.contains(0L) && hit.steps == 3)
+    assert(maxDrift() < before,
+      s"retrain must lower the worst per-cell drift: $before -> ${maxDrift()}")
+  }
+
   test("text index: atomic rebuild + analyzer resolves through the generation") {
     import spark.implicits._
     val docs = Seq(
