@@ -2718,6 +2718,27 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // STEMMED retrieval (Analyzer stemmer = the S-stemmer class):
+    // the index is built lowercase + stemmed — every corpus token's
+    // plural suffix strips under the three guarded rules — and the
+    // PLURAL mixed-case query terms ("Columns", "SCANS", "windows")
+    // normalize through the SAME persisted analyzer to the singular
+    // stems, so morphology can never mismatch between build and
+    // query. Stemming also merges plural corpus tokens into the
+    // singular postings rows (tf/df shift), which the oracle replays
+    // with the identical regexp CASE over lowered tokens.
+    "q_bm25_stemmed" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-stemmed-v1", dir) { root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir), "doc_id",
+          "text", root.getAbsolutePath,
+          TextAnalysis.Analyzer(lowercase = true, stemmer = true))
+      }
+      TextAnalysis.bm25IndexedTopK(s, idx.getAbsolutePath,
+        Seq("Columns", "SCANS", "windows"), topK = 15)
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
     // FACETED search (Retrieval.facetCounts): the search-page sidebar
     // — per metadata column, matched-doc counts per value, as ONE
     // melted aggregate for all facets (adding a facet adds no
@@ -6156,6 +6177,21 @@ object SparkEntry {
       "list_filter(string_split(lower(CASE WHEN doc_id % 2 = 0 " +
         "THEN upper(text) ELSE text END), ' '), " +
         "tok -> tok <> 'the' AND tok <> 'a')"),
+
+    // Stemmed BM25: the oracle replays the S-stemmer as the SAME
+    // three guarded regexp rules over lowered tokens (RE2 and Java
+    // regex agree on these character-class patterns); query terms
+    // arrive POST-analysis ('column','scan','window' — the stems of
+    // the engine's plural query), exactly as q_bm25_analyzed's
+    // lowercase contract.
+    "q_bm25_stemmed" -> bm25Sql(tokensExpr =
+      "list_transform(string_split(lower(text), ' '), t -> " +
+        "CASE WHEN regexp_matches(t, '[^ea]ies$') " +
+        "THEN regexp_replace(t, 'ies$', 'y') " +
+        "WHEN regexp_matches(t, '[^aeo]es$') " +
+        "THEN regexp_replace(t, 'es$', 'e') " +
+        "WHEN regexp_matches(t, '[^us]s$') " +
+        "THEN regexp_replace(t, 's$', '') ELSE t END)"),
 
     // the atomic rebuild serves the full corpus — one oracle again
     "q_text_rebuild" -> bm25Sql(),

@@ -144,7 +144,8 @@ object JsonApi {
         // an analyzer block normalizes corpus tokens AND query terms
         // identically (the persisted-analyzer contract, request-scoped)
         val an = req.analyzer
-          .map(a => graft.pipeline.TextAnalysis.Analyzer(a.lowercase, a.stopwords))
+          .map(a => graft.pipeline.TextAnalysis.Analyzer(a.lowercase,
+            a.stopwords, a.stemmer))
           .getOrElse(graft.pipeline.TextAnalysis.Analyzer.identity)
         val lex = graft.pipeline.TextAnalysis.bm25TopK(
           docs, idCol, textCol, req.terms, req.topK, req.k1, req.b, an)

@@ -199,12 +199,13 @@ object JsonDsl {
       throw JsonError("maxsim does not combine with weights/passage/semantic")
     if (weights.nonEmpty && (passage.nonEmpty || j.asOpt("semantic").nonEmpty))
       throw JsonError("weights do not combine with passage/semantic blocks")
-    // analyzer: {"lowercase": true, "stopwords": [...]} — lexical
-    // (BM25) mode only in v1: the other modes' operators define their
-    // own tokenization contracts
+    // analyzer: {"lowercase": true, "stopwords": [...], "stemmer":
+    // true} — lexical (BM25) mode only in v1: the other modes'
+    // operators define their own tokenization contracts
     val analyzer = j.asOpt("analyzer").map(a => AnalyzerSpec(
       lowercase = a.asOpt("lowercase").exists(_.bool),
-      stopwords = a.asOpt("stopwords").map(_.arr.map(_.str)).getOrElse(Nil)))
+      stopwords = a.asOpt("stopwords").map(_.arr.map(_.str)).getOrElse(Nil),
+      stemmer = a.asOpt("stemmer").exists(_.bool)))
     if (analyzer.nonEmpty && (weights.nonEmpty || passage.nonEmpty ||
         maxsim.nonEmpty || j.asOpt("semantic").nonEmpty))
       throw JsonError("analyzer applies to plain lexical search only")

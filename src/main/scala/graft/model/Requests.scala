@@ -320,9 +320,10 @@ final case class MaxsimSearch(dims: Int = 16)
 /** Optional text analysis of a lexical [[SearchRequest]] — the JSON
   * shape of [[graft.pipeline.TextAnalysis.Analyzer]]: lowercase both
   * corpus tokens and query terms, drop stopwords (which also changes
-  * dl, i.e. every BM25 denominator). */
+  * dl, i.e. every BM25 denominator), S-stem plurals. */
 final case class AnalyzerSpec(lowercase: Boolean = false,
-                              stopwords: Seq[String] = Nil)
+                              stopwords: Seq[String] = Nil,
+                              stemmer: Boolean = false)
 
 /** The semantic half of a hybrid [[SearchRequest]]: the query vector
   * is the embedding row with `queryId` (the embedded corpus keys

@@ -22,40 +22,82 @@ object TextAnalysis {
     * incremental append and every query path: the configuration is
     * persisted WITH the index ([[buildTextIndex]] writes it,
     * [[readAnalyzer]] reads it), so a query can never be analyzed
-    * differently from the postings it probes. v1 is lowercase +
-    * stopword removal — both exactly replayable by a SQL oracle
-    * (`lower()` + `list_filter`); a stemmer slots in as another
-    * engine-portable stage. The identity analyzer produces the exact
-    * [[tokens]] stream, so every pre-analyzer index and oracle is
-    * unchanged.
+    * differently from the postings it probes. The stages are
+    * lowercase → stopword removal → S-stemming, each exactly
+    * replayable by a SQL oracle (`lower()`, `list_filter`, and a
+    * nested `regexp_replace` CASE). The identity analyzer produces
+    * the exact [[tokens]] stream, so every pre-analyzer index and
+    * oracle is unchanged.
     *
     * With a stopword list, token POSITIONS index the ANALYZED
     * sequence (stopwords removed before positions are assigned):
     * phrase/NEAR adjacency means "adjacent ignoring stopwords",
-    * standard analyzer behavior. */
+    * standard analyzer behavior. The stemmer maps tokens 1:1 (never
+    * drops one), so it shifts no position — phrase/NEAR semantics
+    * hold over stemmed token streams unchanged.
+    *
+    * `stemmer` is the S-stemmer class (Harman's "How Effective Is
+    * Suffixing?" family) — the plural-stripping subset that closes
+    * most English morphology misses ("index" vs "indexes") while
+    * staying engine-portable: three ordered suffix rules with guard
+    * characters, no dictionary. First matching rule wins:
+    * `-ies → -y` unless preceded by e/a (entries→entry);
+    * `-es → -e` unless preceded by a/e/o (indexes→indexe, the
+    * family's standard behavior — query "indexes" meets corpus
+    * "indexe(s)" at the same stem);
+    * `-s → ∅` unless preceded by u/s (columns→column; bus, class
+    * unchanged). */
   final case class Analyzer(lowercase: Boolean = false,
-                            stopwords: Seq[String] = Nil) {
-    def isIdentity: Boolean = !lowercase && stopwords.isEmpty
+                            stopwords: Seq[String] = Nil,
+                            stemmer: Boolean = false) {
+    def isIdentity: Boolean = !lowercase && stopwords.isEmpty && !stemmer
 
     /** The analyzed token sequence of a text column. */
     def tokensOf(text: Column): Column = {
       val base = tokens(if (lowercase) lower(text) else text)
-      if (stopwords.isEmpty) base
-      else filter(base, t => !t.isin(stopwords: _*))
+      val stopped =
+        if (stopwords.isEmpty) base
+        else filter(base, t => !t.isin(stopwords: _*))
+      if (!stemmer) stopped
+      else transform(stopped, t => Analyzer.stemToken(t))
     }
 
     /** Query-side twin: normalize literal query terms the way the
-      * index normalized its tokens (stopword terms drop). */
+      * index normalized its tokens (stopword terms drop, plurals
+      * stem). */
     def apply(ts: Seq[String]): Seq[String] = {
       val lc = if (lowercase) ts.map(_.toLowerCase(java.util.Locale.ROOT))
                else ts
       val stop = stopwords.toSet
-      lc.filterNot(stop)
+      val stopped = lc.filterNot(stop)
+      if (!stemmer) stopped else stopped.map(Analyzer.stemTerm)
     }
   }
 
   object Analyzer {
     val identity: Analyzer = Analyzer()
+
+    /** One token through the S-stemmer, as a Catalyst expression —
+      * rlike/regexp_replace with character classes only, valid and
+      * identical under Java regex and RE2, so the DuckDB oracle
+      * replays it with regexp_matches/regexp_replace byte for
+      * byte. */
+    def stemToken(t: Column): Column =
+      when(t.rlike("[^ea]ies$"), regexp_replace(t, "ies$", "y"))
+        .when(t.rlike("[^aeo]es$"), regexp_replace(t, "es$", "e"))
+        .when(t.rlike("[^us]s$"), regexp_replace(t, "s$", ""))
+        .otherwise(t)
+
+    /** The driver-side twin of [[stemToken]] for literal query
+      * terms — same three rules, same guards, same order. */
+    def stemTerm(t: String): String =
+      if (t.length >= 4 && t.endsWith("ies") &&
+        !"ea".contains(t.charAt(t.length - 4))) t.dropRight(3) + "y"
+      else if (t.length >= 3 && t.endsWith("es") &&
+        !"aeo".contains(t.charAt(t.length - 3))) t.dropRight(1)
+      else if (t.length >= 2 && t.endsWith("s") &&
+        !"us".contains(t.charAt(t.length - 2))) t.dropRight(1)
+      else t
   }
 
   /** The analyzer persisted with a text index (identity when the
@@ -67,9 +109,13 @@ object TextAnalysis {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Analyzer.identity
     else {
-      val r = spark.read.parquet(p.toString)
-        .select(col("lowercase"), col("stopwords")).head()
-      Analyzer(r.getBoolean(0), r.getSeq[String](1))
+      val df = spark.read.parquet(p.toString)
+      // pre-stemmer artifacts carry no stemmer column: absent = false,
+      // so every existing index reads back byte-identically
+      val r = df.select(col("lowercase"), col("stopwords"),
+        (if (df.columns.contains("stemmer")) col("stemmer")
+         else lit(false)).as("stemmer")).head()
+      Analyzer(r.getBoolean(0), r.getSeq[String](1), r.getBoolean(2))
     }
   }
 
@@ -643,8 +689,8 @@ object TextAnalysis {
     // byte-identical
     if (!analyzer.isIdentity) {
       import spark.implicits._
-      Seq((analyzer.lowercase, analyzer.stopwords))
-        .toDF("lowercase", "stopwords")
+      Seq((analyzer.lowercase, analyzer.stopwords, analyzer.stemmer))
+        .toDF("lowercase", "stopwords", "stemmer")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/analyzer")
     }
     // the build batch lives in its OWN name space: a streaming

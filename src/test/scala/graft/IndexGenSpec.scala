@@ -204,6 +204,48 @@ class IndexGenSpec extends SparkTestBase {
       .collect().toSet.contains(105L))
   }
 
+  test("analyzer stemmer: plural queries match singular corpus through the persisted analyzer; phrase adjacency holds over stemmed tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast columns scan quickly"),
+      (2L, "one column scans slowly"),
+      (3L, "entries buses classes files")).toDF("doc_id", "text")
+    val path = tmpDir("gen-stem")
+    val an = TextAnalysis.Analyzer(lowercase = true, stemmer = true)
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", path, an)
+    // the persisted analyzer reads back with its stemmer flag
+    assert(TextAnalysis.readAnalyzer(spark, path) == an)
+    def hits(terms: Seq[String]) =
+      TextAnalysis.termLookupAll(spark, path, terms)
+        .select(col("doc_id")).as[Long].collect().toSet
+    // plural mixed-case query meets singular corpus (and vice versa:
+    // doc 1's "columns" merged into the same stem postings)
+    assert(hits(Seq("Columns")) == Set(1L, 2L))
+    assert(hits(Seq("column", "SCANS")) == Set(1L, 2L))
+    // guarded rules: -ies→y, -es→e, -s→∅ with u/s guards — the
+    // driver-side twin must agree with the column expression token
+    // for token
+    val viaCol = Seq("entries", "buses", "classes", "files", "bus",
+        "class", "ties", "goes", "windows").toDF("t")
+      .select(TextAnalysis.Analyzer.stemToken(col("t")).as("s"))
+      .as[String].collect().toSeq
+    val viaTerm = Seq("entries", "buses", "classes", "files", "bus",
+      "class", "ties", "goes", "windows")
+      .map(TextAnalysis.Analyzer.stemTerm)
+    assert(viaCol == viaTerm, s"$viaCol vs $viaTerm")
+    assert(TextAnalysis.Analyzer.stemTerm("entries") == "entry")
+    assert(TextAnalysis.Analyzer.stemTerm("windows") == "window")
+    assert(TextAnalysis.Analyzer.stemTerm("bus") == "bus")
+    assert(TextAnalysis.Analyzer.stemTerm("class") == "class")
+    // the stemmer maps tokens 1:1, so phrase adjacency carries over
+    // stemmed streams: "columns scan" and "column scans" both hit
+    // the stemmed phrase ["column", "scan"]
+    val phrase = TextAnalysis.phraseLookup(spark, path,
+        Seq("Columns", "Scans"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(phrase == Set(1L, 2L))
+  }
+
   test("two-level retrain commits a generation under the persisted coarseProbe; retrainDispatch picks the layout; maybeRetrain trips on thresholds") {
     import spark.implicits._
     // clustered corpus: 4 real clusters so Lloyd steps measurably
