@@ -707,6 +707,107 @@ object SparkEntry {
          FROM ranked WHERE "rank" <= $k"""
   }
 
+  /** DuckDB oracle for q_ann_recall_maxsim: the brute maxsim truth
+    * (maxsimSql's un-restricted chain) and one FULL indexed chain per
+    * (nProbe, candTok) operating point over the shared token/index
+    * CTEs, then recall@k per (point, query) — the q_ann_recall tail.
+    * One statement, so the driver's single-query compare covers every
+    * point. */
+  private def maxsimRecallSql(k: Int = 10): String = {
+    def vecExpr(tokenExpr: String) =
+      s"""list_transform(range($MaxsimDims), j ->
+           (CAST(concat('0x', substring(md5(concat('tv-', $tokenExpr, '-', j)), 1, 5)) AS BIGINT)
+            % 2001 - 1000) / 1000.0)"""
+    val qValues = MaxsimQueries
+      .map { case (q, p, t) => s"($q, $p, '$t')" }.mkString(", ")
+    val opChains = MaxsimRecallOps.map { case (np, ct) =>
+      val sfx = s"${np}_$ct"
+      s"""qp_$sfx AS (SELECT q_id, q_pos, qv, qn, cell_id FROM (
+                  SELECT q.q_id, q.q_pos, q.qv, q.qn, c.cell_id,
+                    row_number() OVER (PARTITION BY q.q_id, q.q_pos
+                      ORDER BY CASE WHEN q.qn * c.cn = 0 THEN 0.0
+                        ELSE list_dot_product(q.qv, c.cv) / (q.qn * c.cn) END DESC,
+                        c.cell_id) AS rn
+                  FROM qtn q, cbn c) WHERE rn <= $np),
+         cand0_$sfx AS (SELECT qp.q_id, qp.q_pos, ia.tok_id, ia.doc_id,
+                     CASE WHEN qp.qn * ia.dn = 0 THEN 0.0
+                       ELSE list_dot_product(qp.qv, ia.v) / (qp.qn * ia.dn) END AS cs
+                   FROM ia JOIN qp_$sfx qp ON ia.cell_id = qp.cell_id),
+         cand_$sfx AS (SELECT DISTINCT q_id, doc_id FROM (
+                    SELECT q_id, q_pos, doc_id, row_number()
+                      OVER (PARTITION BY q_id, q_pos ORDER BY cs DESC, tok_id) AS rn
+                    FROM cand0_$sfx) WHERE rn <= $ct),
+         per_$sfx AS (SELECT q.q_id, d.doc_id, q.q_pos,
+                   max(CASE WHEN q.qn * d.dn = 0 THEN 0.0
+                     ELSE list_dot_product(q.qv, d.v) / (q.qn * d.dn) END) AS mx
+                 FROM qtn q JOIN cand_$sfx c ON c.q_id = q.q_id
+                 JOIN dtv d ON d.doc_id = c.doc_id
+                 GROUP BY 1, 2, 3),
+         agg_$sfx AS (SELECT q_id, doc_id,
+                   CAST(sum(CAST(floor(mx * 1e6) AS BIGINT)) AS BIGINT) AS maxsim_micro
+                 FROM per_$sfx GROUP BY 1, 2),
+         ranked_$sfx AS (SELECT q_id, doc_id FROM (
+                    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+                        ORDER BY maxsim_micro DESC, doc_id) AS rn
+                    FROM agg_$sfx) WHERE rn <= $k)"""
+    }.mkString(",\n         ")
+    val unions = MaxsimRecallOps.map { case (np, ct) =>
+      val sfx = s"${np}_$ct"
+      s"""SELECT $np AS n_probe, $ct AS cand_tok, t.q_id,
+            count(a.doc_id) AS n_hits
+          FROM rankedb t LEFT JOIN ranked_$sfx a
+            ON t.q_id = a.q_id AND t.doc_id = a.doc_id
+          GROUP BY 1, 2, 3"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH dt0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id < 1500),
+         dt AS (SELECT DISTINCT doc_id, token FROM dt0 WHERE len(token) > 0),
+         tv AS (SELECT token, ${vecExpr("token")} AS v
+                FROM (SELECT DISTINCT token FROM dt)),
+         dtv AS (SELECT d.doc_id, tv.v, sqrt(list_dot_product(tv.v, tv.v)) AS dn
+                 FROM dt d JOIN tv USING (token)),
+         qt AS (SELECT CAST(q_id AS BIGINT) AS q_id, CAST(q_pos AS BIGINT) AS q_pos, token
+                FROM (VALUES $qValues) t(q_id, q_pos, token)),
+         qtn AS (SELECT q_id, q_pos, ${vecExpr("token")} AS qv,
+                   sqrt(list_dot_product(${vecExpr("token")}, ${vecExpr("token")})) AS qn
+                 FROM qt),
+         cb AS (SELECT cell_id, list_transform(range($MaxsimDims), j ->
+                  (CAST(concat('0x', substring(md5(concat('cb-', cell_id, '-', j)), 1, 5)) AS BIGINT)
+                   % 2001 - 1000) / 1000.0) AS cv
+                FROM range(64) t(cell_id)),
+         cbn AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cb),
+         inst AS (SELECT doc_id, token,
+                    doc_id * 1000000 + row_number()
+                      OVER (PARTITION BY doc_id ORDER BY token) AS tok_id
+                  FROM dt),
+         instv AS (SELECT i.tok_id, i.doc_id, tv.v,
+                     sqrt(list_dot_product(tv.v, tv.v)) AS dn
+                   FROM inst i JOIN tv USING (token)),
+         ia AS (SELECT tok_id, doc_id, v, dn, cell_id FROM (
+                  SELECT iv.*, c.cell_id, row_number() OVER (PARTITION BY iv.tok_id
+                    ORDER BY CASE WHEN iv.dn * c.cn = 0 THEN 0.0
+                      ELSE list_dot_product(iv.v, c.cv) / (iv.dn * c.cn) END DESC,
+                      c.cell_id) AS rn
+                  FROM instv iv, cbn c) WHERE rn = 1),
+         perb AS (SELECT q.q_id, d.doc_id, q.q_pos,
+                   max(CASE WHEN q.qn * d.dn = 0 THEN 0.0
+                     ELSE list_dot_product(q.qv, d.v) / (q.qn * d.dn) END) AS mx
+                 FROM qtn q, dtv d
+                 GROUP BY 1, 2, 3),
+         aggb AS (SELECT q_id, doc_id,
+                   CAST(sum(CAST(floor(mx * 1e6) AS BIGINT)) AS BIGINT) AS maxsim_micro
+                 FROM perb GROUP BY 1, 2),
+         rankedb AS (SELECT q_id, doc_id FROM (
+                    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+                        ORDER BY maxsim_micro DESC, doc_id) AS rn
+                    FROM aggb) WHERE rn <= $k),
+         $opChains
+         SELECT n_probe, cand_tok, q_id, n_hits,
+           round(n_hits / $k.0, 6) AS recall
+         FROM ($unions)
+         ORDER BY 1, 2, 3"""
+  }
+
   /** Deterministic ±1 hyperplanes (fixed seed) for the oracle-checked
     * LSH query — the SAME literal matrix is embedded in the DuckDB
     * oracle SQL, so both engines compute identical buckets. */
@@ -780,6 +881,12 @@ object SparkEntry {
   private val MaxsimQueries: Seq[(Long, Long, String)] = Seq(
     (0L, 0L, "column"), (0L, 1L, "scan"),
     (1L, 0L, "merge"), (1L, 1L, "filter"), (1L, 2L, "window"))
+
+  /** (nProbe, candTok) operating points of the indexed-maxsim recall
+    * measurement — restrictive → serving-shaped. Shared between the
+    * q_ann_recall_maxsim query and its generated oracle so a point
+    * change moves both engines. */
+  private val MaxsimRecallOps: Seq[(Int, Int)] = Seq((2, 4), (4, 8), (8, 20))
 
   private def maxsimQueryTokens(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -3233,6 +3340,47 @@ object SparkEntry {
           k = 10, nProbe = 8, candTok = 20)
         .select(col("q_id"), col("doc_id"), col("maxsim_micro"),
           col("qtokens_hit"), col("rank"))
+    }),
+
+    // RECALL of indexed maxsim vs the brute truth ACROSS OPERATING
+    // POINTS — the q_ann_recall contract for late interaction: the
+    // candidate-union miss mode (a relevant doc none of whose tokens
+    // make any query token's top-candTok through the probed cells) is
+    // exactly what restrictive (nProbe, candTok) settings exercise,
+    // and it is the mode that governs real deployments. Three points
+    // from restrictive to the serving configuration; recall@10 per
+    // (point, query). The oracle replays the full chain per point —
+    // probe ranking, per-qtoken candidate top-candTok, restricted
+    // maxsim, both rankings AND the recall arithmetic. Measured
+    // values live in BENCHMARKS.md.
+    "q_ann_recall_maxsim" -> ((s, dir) => {
+      val idx = stagedOnce("maxsim-idx-n64", dir)(root =>
+        Similarity.buildIndexJoined(maxsimDocTokenInstances(s, dir),
+          "tok_id", "d_vec",
+          Similarity.syntheticCodebook(s, nCells = 64, dims = MaxsimDims),
+          root.getAbsolutePath, payload = Seq("doc_id")))
+      val truth = Similarity.maxSimTopK(maxsimQueryTokens(s),
+          maxsimDocTokens(s, dir), "q_id", "q_pos", "q_vec",
+          "doc_id", "d_vec", k = 10)
+        .select(col("q_id"), col("doc_id"))
+      val anns = MaxsimRecallOps.map { case (np, ct) =>
+        Similarity.maxSimTopKIndexed(s, maxsimQueryTokens(s),
+            "q_id", "q_pos", "q_vec", idx.getAbsolutePath, "tok_id",
+            "d_vec", maxsimDocTokenInstances(s, dir), "doc_id", "d_vec",
+            k = 10, nProbe = np, candTok = ct)
+          .select(lit(np).as("n_probe"), lit(ct).as("cand_tok"),
+            col("q_id"), col("doc_id"), lit(1).as("__hit"))
+      }.reduce(_ union _)
+      val ops = {
+        import s.implicits._
+        MaxsimRecallOps.toDF("n_probe", "cand_tok")
+      }
+      truth.crossJoin(broadcast(ops))
+        .join(anns, Seq("n_probe", "cand_tok", "q_id", "doc_id"), "left")
+        .groupBy(col("n_probe"), col("cand_tok"), col("q_id"))
+        .agg(count(col("__hit")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / 10.0, 6))
+        .orderBy(col("n_probe"), col("cand_tok"), col("q_id"))
     }),
 
     // pipeline: symmetric int8 embedding quantization — per-vector
@@ -7092,6 +7240,7 @@ object SparkEntry {
 
     "q_maxsim_search" -> maxsimSql(indexed = false),
     "q_maxsim_indexed" -> maxsimSql(indexed = true),
+    "q_ann_recall_maxsim" -> maxsimRecallSql(),
     "q_json_maxsim" -> maxsimSql(indexed = false,
       queries = Seq((0L, 0L, "column"), (0L, 1L, "scan")), withQId = false),
 
