@@ -609,7 +609,7 @@ object Similarity {
     // the exact contract of StreamingDedup's signature store.
     val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
     if (fs.exists(marker)) return
-    val cb = spark.read.parquet(s"$path/codebook")
+    val cb = readArtifact(spark, path, "codebook")
     atomicCellsWrite(spark,
       assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb),
       path, batchId)
@@ -659,8 +659,8 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
     if (fs.exists(marker)) return
-    val cb = spark.read.parquet(s"$path/codebook")
-    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val cb = readArtifact(spark, path, "codebook")
+    val pqcb = readArtifact(spark, path, "pq_codebook")
     val assigned = graft.engine.Staging.stage(
       assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb))
     val enc =
@@ -894,7 +894,7 @@ object Similarity {
     val payloadCols = live.columns.toSeq
       .filterNot(Set(cId, cVec, "cell_id", "q_vec", "q_vec_scale"))
     val corpus = live.select((cId +: cVec +: payloadCols).map(col): _*)
-    val cb0 = spark.read.parquet(s"$cur/codebook")
+    val cb0 = readArtifact(spark, cur, "codebook")
     val (cb, steps) =
       refineCodebookUntilConverged(corpus, cId, cVec, cb0, maxIters, eps, scale)
     // the quantized layout re-derives its int8 patterns at rebuild
@@ -930,7 +930,7 @@ object Similarity {
     val payloadCols = live.columns.toSeq
       .filterNot(Set(cId, cVec, "cell_id", "codes"))
     val corpus = live.select((cId +: cVec +: payloadCols).map(col): _*)
-    val cb0 = spark.read.parquet(s"$cur/codebook")
+    val cb0 = readArtifact(spark, cur, "codebook")
     val (cb, steps) = refineCodebookUntilConverged(corpus, cId, cVec, cb0,
       coarseIters, eps, scale)
     val gen = IndexGen.commitNewGeneration(spark, path) { dir =>
@@ -971,9 +971,9 @@ object Similarity {
       .filterNot(Set(cId, cVec, "cell_id"))
     val corpus = live.select((cId +: cVec +: payloadCols).map(col): _*)
     val (coarse, stepsC) = refineCodebookUntilConverged(corpus, cId, cVec,
-      spark.read.parquet(s"$cur/codebook_coarse"), coarseIters, eps, scale)
+      readArtifact(spark, cur, "codebook_coarse"), coarseIters, eps, scale)
     val (fine, stepsF) = refineCodebookUntilConverged(corpus, cId, cVec,
-      spark.read.parquet(s"$cur/codebook"), fineIters, eps, scale)
+      readArtifact(spark, cur, "codebook"), fineIters, eps, scale)
     val gen = IndexGen.commitNewGeneration(spark, path) { dir =>
       buildIndexTwoLevel(corpus, cId, cVec, fine, coarse, cp, dir,
         payloadCols)
@@ -1032,7 +1032,7 @@ object Similarity {
       case "pq" =>
         // geometry from the persisted sub-codebooks: m subspaces ×
         // kCents centroids of dims/m elements each — a tiny frame
-        val pqcb = spark.read.parquet(s"$cur/pq_codebook")
+        val pqcb = readArtifact(spark, cur, "pq_codebook")
         val g = pqcb.agg(max(col("sub")).cast("long"),
           max(col("cent_id")).cast("long"),
           max(size(col("centroid")))).head()
@@ -1095,7 +1095,7 @@ object Similarity {
   def indexDriftReport(spark: org.apache.spark.sql.SparkSession,
                        path: String, cId: String, cVec: String): DataFrame = {
     val root = IndexGen.resolveRoot(spark, path)
-    val cb = spark.read.parquet(s"$root/codebook")
+    val cb = readArtifact(spark, root, "codebook")
     readLiveCells(spark, root)
       .select(col("cell_id").cast("long").as("cell_id"), col(cVec))
       .join(broadcast(cb), Seq("cell_id"))
@@ -1182,6 +1182,30 @@ object Similarity {
     * superseded inputs on disk for time travel). Per-cell manifest
     * reads are driver-side and tiny — the same cost class as the
     * existence probe they extend. */
+  /** A codebook-family frame (`codebook` / `pq_codebook` /
+    * `codebook_coarse`) of a RESOLVED artifact root, memoized per
+    * generation ([[GenCache]]): the parquet open/footer round trip is
+    * paid once per generation instead of once per search operation.
+    * Committed generations are immutable, so the cached plan can
+    * never go stale; flat roots read through every call. */
+  private def readArtifact(spark: org.apache.spark.sql.SparkSession,
+                           root: String, name: String): DataFrame =
+    GenCache.memo(spark, root, name)(spark.read.parquet(s"$root/$name"))
+
+  /** Shared bounded pool behind [[readProbedCells]]'s manifest
+    * round trips: daemon threads (they must never pin a JVM exit),
+    * lazily created once, sized to the store-concurrency bound. */
+  private lazy val manifestPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-manifest-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   private def readProbedCells(spark: org.apache.spark.sql.SparkSession,
                               path: String,
                               probed: Seq[Long]): DataFrame = {
@@ -1192,25 +1216,29 @@ object Similarity {
     // sequentially serializes nProbe round trips — at nProbe in the
     // hundreds over an object store that dominates the search's
     // driver time (the same class as the probed-directory listing
-    // fix, smaller constant). A fixed pool of ≤16 threads bounds the
-    // store's concurrent request load; results join in probe order,
-    // so the file list stays deterministic.
-    val files = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(16, probed.size)))
-      try probed
-        .map { c =>
-          val d = new org.apache.hadoop.fs.Path(root, s"cell_id=$c")
-          pool.submit(new java.util.concurrent.Callable[Seq[String]] {
-            def call(): Seq[String] =
-              if (!fs.exists(d)) Nil
-              else graft.sources.Compact.livePartPaths(spark, d)
-                .map(_.toString)
-          })
+    // fix, smaller constant). The SHARED 16-thread pool bounds the
+    // store's concurrent request load across every concurrent search
+    // (creating/tearing down a pool per call wasted ~16 threads per
+    // search); results join in probe order, so the file list stays
+    // deterministic, and a failed manifest read rethrows its ORIGINAL
+    // cause, not the ExecutionException wrapper.
+    val files = probed
+      .map { c =>
+        val d = new org.apache.hadoop.fs.Path(root, s"cell_id=$c")
+        manifestPool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] =
+            if (!fs.exists(d)) Nil
+            else graft.sources.Compact.livePartPaths(spark, d)
+              .map(_.toString)
+        })
+      }
+      .flatMap { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
         }
-        .flatMap(_.get())
-      finally pool.shutdown()
-    }
+      }
     val base = spark.read.option("basePath", root.toString)
     val df = if (files.nonEmpty) base.parquet(files: _*)
              else spark.read.parquet(root.toString).filter(lit(false))
@@ -1418,7 +1446,7 @@ object Similarity {
     // ONE resolution for codebook + cells + deletes: a search racing
     // a rebuild reads a single committed generation end to end
     val path = IndexGen.resolveRoot(spark, path0)
-    val cb = spark.read.parquet(s"$path/codebook")
+    val cb = readArtifact(spark, path, "codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
       "ivfTopKIndexedJoined")
@@ -1443,7 +1471,7 @@ object Similarity {
                           path0: String, cId: String, cVec: String,
                           k: Int, nProbe: Int, where: Column): DataFrame = {
     val path = IndexGen.resolveRoot(spark, path0)
-    val cb = spark.read.parquet(s"$path/codebook")
+    val cb = readArtifact(spark, path, "codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     searchProbedCells(spark, qa, qId, qVec, path, cId, cVec, k,
       "ivfTopKIndexedWhere", Some(where))
@@ -1481,7 +1509,7 @@ object Similarity {
                               nProbe: Int = 1): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val path = IndexGen.resolveRoot(spark, path0)
-    val cb = spark.read.parquet(s"$path/codebook")
+    val cb = readArtifact(spark, path, "codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedQuantized")
     val probed = qb.select(col("cell_id")).distinct()
@@ -1683,7 +1711,7 @@ object Similarity {
                     cVec: String, k: Int, shortlist: Int): DataFrame = {
     val path = IndexGen.resolveRoot(spark, path0)
     pqSearch(queries, qId, qVec,
-      spark.read.parquet(s"$path/pq_codebook"),
+      readArtifact(spark, path, "pq_codebook"),
       // the PQ-only layout's delete choke point (cell layouts take
       // theirs in readProbedCells)
       minusIndexDeletes(spark, path, spark.read.parquet(s"$path/codes")),
@@ -1794,8 +1822,8 @@ object Similarity {
                             payload: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
-    val cb = spark.read.parquet(s"$path/codebook")
-    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val cb = readArtifact(spark, path, "codebook")
+    val pqcb = readArtifact(spark, path, "pq_codebook")
     val codes = pqEncode(batch, cId, cVec, dims, m, pqcb)
     withPqPayload(
       assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb)
@@ -1829,8 +1857,8 @@ object Similarity {
                        where: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val path = IndexGen.resolveRoot(spark, path0)
-    val cb = spark.read.parquet(s"$path/codebook")
-    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val cb = readArtifact(spark, path, "codebook")
+    val pqcb = readArtifact(spark, path, "pq_codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedPq")
     val probed = qb.select(col("cell_id")).distinct()
@@ -1925,8 +1953,8 @@ object Similarity {
                               payload: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
-    val cb = spark.read.parquet(s"$path/codebook")
-    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val cb = readArtifact(spark, path, "codebook")
+    val pqcb = readArtifact(spark, path, "pq_codebook")
     val assigned = graft.engine.Staging.stage(
       assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb))
     val res = withResiduals(assigned, cVec, cb).select(col(cId), col("__res"))
@@ -1954,8 +1982,8 @@ object Similarity {
                                where: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val path = IndexGen.resolveRoot(spark, path0)
-    val cb = spark.read.parquet(s"$path/codebook")
-    val pqcb = spark.read.parquet(s"$path/pq_codebook")
+    val cb = readArtifact(spark, path, "codebook")
+    val pqcb = readArtifact(spark, path, "pq_codebook")
     val qa = rankProbesJoined(queries, qId, qVec, cb, nProbe)
     val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedPqResidual")
     val probed = qb.select(col("cell_id")).distinct()
@@ -2081,8 +2109,8 @@ object Similarity {
                              k: Int, coarseProbe: Int, nProbe: Int,
                              where: Option[Column] = None): DataFrame = {
     val path = IndexGen.resolveRoot(spark, path0)
-    val fine = spark.read.parquet(s"$path/codebook")
-    val coarse = spark.read.parquet(s"$path/codebook_coarse")
+    val fine = readArtifact(spark, path, "codebook")
+    val coarse = readArtifact(spark, path, "codebook_coarse")
     val qa = probeCellsTwoLevel(queries.select(col(qId), col(qVec)),
       qId, qVec, fine, coarse, coarseProbe, nProbe)
       .withColumn("__qn", norm(col(qVec)))
@@ -2189,6 +2217,24 @@ object Similarity {
                         tokVec: String, docTokens: DataFrame,
                         dId: String, dVec: String,
                         k: Int, nProbe: Int, candTok: Int): DataFrame = {
+    // the composite-id preconditions are ENFORCED, not just
+    // documented — a violating caller would otherwise get silently
+    // wrong candidate sets (probe-id collisions with real instances)
+    // or misattributed query ids (qPos overflow), never an error.
+    // The query frame is broadcast-gated small, so its aggregate is
+    // one tiny job; the token-id bound is one columnar max over the
+    // id column of a frame this operator scans anyway.
+    val qg = queryTokens
+      .agg(min(col(qId).cast("long")), max(col(qPos).cast("long"))).head()
+    if (!qg.isNullAt(0)) {
+      require(qg.getLong(0) >= 0,
+        s"maxSimTopKIndexed needs non-negative query ids ($qId)")
+      require(qg.getLong(1) < 1000000L,
+        s"maxSimTopKIndexed needs $qPos < 1e6 (composite probe-id scheme)")
+    }
+    val tg = docTokens.agg(max(col(tokId).cast("long"))).head()
+    require(tg.isNullAt(0) || tg.getLong(0) < 1000000000000L,
+      s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId)")
     // composite probe id offset above any token-instance id (< 1e12),
     // so the index tail's query≠candidate self-exclusion (meant for
     // corpus-queries) can never collide with a real instance

@@ -102,9 +102,15 @@ object TextAnalysis {
 
   /** The analyzer persisted with a text index (identity when the
     * index predates analyzers or was built with the identity). `root`
-    * must be a RESOLVED generation root. */
+    * must be a RESOLVED generation root. Memoized per generation
+    * ([[GenCache]]) — one parquet head per generation instead of per
+    * query operation; flat roots read through every call. */
   def readAnalyzer(spark: org.apache.spark.sql.SparkSession,
-                   root: String): Analyzer = {
+                   root: String): Analyzer =
+    GenCache.memo(spark, root, "analyzer")(readAnalyzerUncached(spark, root))
+
+  private def readAnalyzerUncached(spark: org.apache.spark.sql.SparkSession,
+                                   root: String): Analyzer = {
     val p = new org.apache.hadoop.fs.Path(s"$root/analyzer")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Analyzer.identity

@@ -34,19 +34,35 @@ object SoakCorpus {
     def replicate(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(r => if (r == 0) df else per(df, r)).reduce(_ unionAll _)
 
-    // documents: id offset keeps the passage composite-pid headroom
-    // (5e6 · 1e6 ≪ 9e12); the per-replica tail token makes replicas
-    // near-dups with slightly longer dl
-    replicate(spark.read.parquet(s"$src/documents.parquet")) { (d, r) =>
-      d.withColumn("doc_id", col("doc_id") + lit(r * 1000000L))
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val embs0 = spark.read.parquet(s"$src/embeddings.parquet")
+    // ONE replica id stride shared by BOTH tables, derived from the
+    // observed ids: replicated doc_id and vec_id shift identically,
+    // so soaked queries that join documents to embeddings by id
+    // (hybrid search) stay aligned, and ids can never collide across
+    // replicas at any corpus size. (Fixed 1e6/1e7 offsets collide
+    // silently past 1e6 source documents and de-align the tables.)
+    val stride = math.max(
+      docs0.agg(max(col("doc_id"))).head().getLong(0),
+      embs0.agg(max(col("vec_id"))).head().getLong(0)) + 1L
+    // passage/maxsim composite ids are doc_id·1e6 + pos: keep the
+    // replicated id space inside the documented 5e6 headroom
+    require(stride * n <= 5000000L,
+      s"replica id space ${stride * n} exceeds the composite-id " +
+        "headroom (doc_id <= 5e6) — shrink n or the corpus")
+
+    // documents: the per-replica tail token makes replicas near-dups
+    // with slightly longer dl
+    replicate(docs0) { (d, r) =>
+      d.withColumn("doc_id", col("doc_id") + lit(r * stride))
         .withColumn("text", concat(col("text"), lit(s" rep$r")))
         .withColumn("n_chars", col("n_chars") + lit(s" rep$r".length.toLong))
     }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     // embeddings: deterministic per-(replica, dim) perturbation —
     // replicas are near neighbors of their originals, never duplicates
-    replicate(spark.read.parquet(s"$src/embeddings.parquet")) { (e, r) =>
-      e.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+    replicate(embs0) { (e, r) =>
+      e.withColumn("vec_id", col("vec_id") + lit(r * stride))
         .withColumn("embedding",
           zip_with(col("embedding"),
             sequence(lit(0), size(col("embedding")) - 1),

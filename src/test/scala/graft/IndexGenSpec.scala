@@ -204,6 +204,36 @@ class IndexGenSpec extends SparkTestBase {
       .collect().toSet.contains(105L))
   }
 
+  test("GenCache: analyzer reads memoize per committed generation; flat roots read through; a new generation is a new key") {
+    import spark.implicits._
+    import graft.pipeline.GenCache
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("gen-cache")
+    val an = TextAnalysis.Analyzer(lowercase = true)
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", path, an)
+    GenCache.clear()
+    // flat artifact: mutable in place, so never cached
+    assert(TextAnalysis.readAnalyzer(spark, path) == an)
+    assert(GenCache.size == 0)
+    // committed generation: one head per generation, not per read
+    TextAnalysis.rebuildTextIndex(docs, "doc_id", "text", path, an)
+    val root0 = IndexGen.resolveRoot(spark, path)
+    assert(root0.endsWith("gen=0"))
+    assert(TextAnalysis.readAnalyzer(spark, root0) == an)
+    val after1 = GenCache.size
+    assert(after1 >= 1)
+    assert(TextAnalysis.readAnalyzer(spark, root0) == an)
+    assert(GenCache.size == after1, "a repeat read must hit the cache")
+    // a rebuild with a DIFFERENT analyzer commits gen=1 — a new key,
+    // so the stale gen=0 entry can never serve the new generation
+    val an2 = TextAnalysis.Analyzer(lowercase = true, stemmer = true)
+    TextAnalysis.rebuildTextIndex(docs, "doc_id", "text", path, an2)
+    assert(TextAnalysis.readAnalyzer(spark,
+      IndexGen.resolveRoot(spark, path)) == an2)
+    assert(GenCache.size > after1)
+  }
+
   test("analyzer stemmer: plural queries match singular corpus through the persisted analyzer; phrase adjacency holds over stemmed tokens") {
     import spark.implicits._
     val docs = Seq(
