@@ -172,6 +172,11 @@ object SparkEntry {
       // path — build trains/assigns via codebook frames, search ranks
       // probes by broadcast join instead of an inlined literal
       "joined-family-r15"
+    case "q_maxsim_indexed" =>
+      // r17: the search body gained the composite-id guard
+      // aggregates (query-frame bounds + token-id max) — added
+      // verification inside the timed body
+      "id-guards-r17"
     case n if eventsFamily(n) =>
       "tenant-partition-r13" // canonical layout for the whole events family
     case _ => "base"
