@@ -2730,6 +2730,19 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // Stemmed retrieval through the JSON request layer: the analyzer
+    // block's stemmer routes into bm25TopK exactly like the persisted
+    // q_bm25_stemmed index config — plural mixed-case query terms
+    // over the plain corpus, so the SAME oracle replays the route
+    // (scan and indexed forms share one oracle by construction).
+    "q_json_bm25_stemmed" -> ((s, dir) => {
+      JsonApi.search(Tables.documents(s, dir),
+          """{"terms": ["Columns", "SCANS", "windows"], "topK": 15,
+              "analyzer": {"lowercase": true, "stemmer": true}}""")
+        .select(col("doc_id"), col("bm25_micro"), col("terms_hit"),
+          col("rank"))
+    }),
+
     // Hybrid retrieval through the JSON request layer: the semantic
     // block fuses the embedding cosine top-20 with the lexical top-20
     // by integer RRF — same operators, same oracle as q_hybrid_search.
@@ -7980,6 +7993,7 @@ object SparkEntry {
       // the request-scoped analyzer IS bm25TopK's analyzer, and the
       // scan/indexed forms share one oracle by construction
       "q_json_bm25_analyzed" -> m("q_bm25_analyzed"),
+      "q_json_bm25_stemmed" -> m("q_bm25_stemmed"),
       // the chunk-level index is a storage layout, not a semantic
       // change: passage scan and indexed forms share one oracle
       "q_passage_indexed" -> m("q_passage_search"))

@@ -898,12 +898,12 @@ object Similarity {
     val (cb, steps) =
       refineCodebookUntilConverged(corpus, cId, cVec, cb0, maxIters, eps, scale)
     // the quantized layout re-derives its int8 patterns at rebuild
-    // (q_vec is storage, not payload)
+    // (q_vec is storage, not payload); payload columns survive either
+    // branch
     val quantized = live.columns.contains("q_vec")
     val gen = IndexGen.commitNewGeneration(spark, path) { dir =>
       if (quantized)
-        buildIndexQuantizedJoined(corpus.select(col(cId), col(cVec)),
-          cId, cVec, cb, dir)
+        buildIndexQuantizedJoined(corpus, cId, cVec, cb, dir, payloadCols)
       else buildIndexJoined(corpus, cId, cVec, cb, dir, payloadCols)
     }
     (gen, steps)
@@ -1484,11 +1484,13 @@ object Similarity {
     * memory-bound ANN layout ([[quantizedRerankTopK]]) composed with
     * the partition-pruned index. */
   def buildIndexQuantizedJoined(corpus: DataFrame, cId: String, cVec: String,
-                                codebook: DataFrame, path: String): Unit = {
+                                codebook: DataFrame, path: String,
+                                payload: Seq[String] = Nil): Unit = {
     codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    withQuantizedInt8(
-      assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec,
-        codebook), cVec)
+    withPqPayload(
+      withQuantizedInt8(
+        assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec,
+          codebook), cVec), corpus, cId, payload)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite")
       .parquet(s"$path/cells")
@@ -1501,12 +1503,15 @@ object Similarity {
     * then re-rank ONLY the shortlist against the float vectors
     * (second pruned scan projecting `cVec`). Candidate and final
     * orderings use the shared deterministic tie-break, so a SQL
-    * oracle replays both stages. */
+    * oracle replays both stages. `where` filters on the payload
+    * columns inside the probed-cell scan before any int8 pattern is
+    * scored, [[ivfTopKIndexedPq]]'s contract on this layout. */
   def ivfTopKIndexedQuantized(spark: org.apache.spark.sql.SparkSession,
                               queries: DataFrame, qId: String, qVec: String,
                               path0: String, cId: String, cVec: String,
                               k: Int, shortlist: Int,
-                              nProbe: Int = 1): DataFrame = {
+                              nProbe: Int = 1,
+                              where: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val path = IndexGen.resolveRoot(spark, path0)
     val cb = readArtifact(spark, path, "codebook")
@@ -1514,8 +1519,9 @@ object Similarity {
     val qb = boundedBroadcast(qa, qVec, "ivfTopKIndexedQuantized")
     val probed = qb.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
-    val cells = readProbedCells(spark, path, probed)
+    val cellsAll = readProbedCells(spark, path, probed)
       .withColumn("cell_id", col("cell_id").cast("long"))
+    val cells = where.map(cellsAll.filter).getOrElse(cellsAll)
     // candidate pass: int8 pattern column only (renamed — the caller's
     // query-vector column may legitimately be called q_vec too)
     val cand = cells.select(col(cId), col("cell_id"),

@@ -115,9 +115,46 @@ final class GraftHttpServer(
 
   /** Live index registry: the constructor map seeds it; CRUD routes
     * mutate it (volatile snapshot swap, the registry-read pattern of
-    * `reg`). Registration never touches disk — it names an existing
-    * artifact; deletion unregisters, never deletes bytes. */
-  @volatile private var indexReg: Map[String, String] = indexes
+    * `reg`). Registration never touches index bytes — it names an
+    * existing artifact; deletion unregisters, never deletes bytes.
+    * With an [[indexRoot]], the registry PERSISTS to
+    * `<root>/_graft_indexes.json` (atomic tmp+move write, loaded at
+    * construction under the constructor map), so registrations
+    * survive a server restart — the last gap between CRUD routes and
+    * an operable control plane. */
+  private val registryFile: Option[java.io.File] =
+    indexRoot.map(r => new java.io.File(r, "_graft_indexes.json"))
+  /** API-registered entries — the persisted OVERLAY. The file holds
+    * exactly these (never constructor wiring), so what an operator
+    * registered over the route survives a restart, while the
+    * constructor map stays the code's responsibility (and outranks
+    * the overlay on id conflict). */
+  @volatile private var apiRegistered: Map[String, String] =
+    registryFile.filter(_.exists).map { f =>
+      Json.parse(java.nio.file.Files.readString(f.toPath)) match {
+        case JObj(fields) => fields.map { case (k, v) => k -> v.str }.toMap
+        case _ =>
+          throw new IllegalArgumentException(
+            s"corrupt index registry file: ${f.getPath}")
+      }
+    }.getOrElse(Map.empty)
+  @volatile private var indexReg: Map[String, String] =
+    apiRegistered ++ indexes
+  /** Serializes registry read-modify-write + file rewrite (the
+    * per-index monitors serialize maintenance per id; two REGISTRY
+    * writes on different ids still race the shared file without
+    * this). */
+  private val registryLock = new Object
+  private def persistRegistry(): Unit = registryFile.foreach { f =>
+    val body = apiRegistered.toSeq.sorted.map { case (k, v) =>
+      s"${JStr(k).render}:${JStr(v).render}"
+    }.mkString("{", ",", "}")
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, body)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
   /** The index surface mounts when there is anything to serve OR a
     * root makes the registry writable. */
   private def indexesMounted: Boolean = indexReg.nonEmpty || indexRoot.isDefined
@@ -941,19 +978,26 @@ final class GraftHttpServer(
           val rootP = java.nio.file.Paths.get(root).normalize()
           if (!norm.startsWith(rootP))
             return 403 -> err(s"index path must live under $root")
-          indexLocked(id) {
+          registryLock.synchronized {
             if (indexReg.contains(id)) 400 -> err(s"index $id already registered")
             else {
+              apiRegistered = apiRegistered + (id -> norm.toString)
               indexReg = indexReg + (id -> norm.toString)
+              persistRegistry()
               200 -> indexJson(id)
             }
           }
         }
       case ("DELETE", List("admin", "indexes", id)) =>
         if (!indexesMounted) return 404 -> err("not found")
-        adminGate(ex).getOrElse(indexLocked(id) {
+        adminGate(ex).getOrElse(registryLock.synchronized {
           if (!indexReg.contains(id)) 404 -> err(s"index $id not found")
-          else { indexReg = indexReg - id; 200 -> "{}" }
+          else {
+            apiRegistered = apiRegistered - id
+            indexReg = indexReg - id
+            persistRegistry()
+            200 -> "{}"
+          }
         })
       // drift report — the measurement side of the drift→retrain loop
       // (Similarity.indexDriftReport): per cell, live rows and mean
@@ -1054,6 +1098,30 @@ final class GraftHttpServer(
             eps = j.asOpt("eps").map(_.num).getOrElse(0.0),
             pqIters = j.asOpt("pqIters").map(_.int).getOrElse(1))
           200 -> s"""{"generation":$gen,"steps":$steps}"""
+        })
+      // the complete drift→retrain decision as ONE request
+      // (Similarity.maybeRetrain): read the drift report, retrain iff
+      // a threshold trips, answer with the decision AND its evidence
+      // either way — the endpoint a scheduled maintenance job curls.
+      case ("POST", List("admin", "indexes", id, "maybe-retrain")) =>
+        if (!indexesMounted) return 404 -> err("not found")
+        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
+        adminGate(ex).getOrElse(indexLocked(id) {
+          if (indexKind(path) != "vector")
+            return 400 -> err("maybe-retrain applies to vector indexes")
+          val d = graft.pipeline.Similarity.maybeRetrain(spark, path,
+            idColOf(body), vecColOf(body),
+            maxDriftMicro = (j / "maxDriftMicro").long,
+            maxCellSkew = j.asOpt("maxCellSkew").map(_.num)
+              .getOrElse(Double.MaxValue),
+            maxIters = j.asOpt("maxIters").map(_.int).getOrElse(1),
+            eps = j.asOpt("eps").map(_.num).getOrElse(0.0),
+            pqIters = j.asOpt("pqIters").map(_.int).getOrElse(1))
+          val gen = d.generation.map(_.toString).getOrElse("null")
+          200 -> (s"""{"retrained":${d.retrained},""" +
+            s""""maxDriftMicro":${d.maxDriftMicro},""" +
+            s""""cellSkew":${d.cellSkew},"generation":$gen,""" +
+            s""""steps":${d.steps}}""")
         })
 
       // admin account CRUD (reference platform/src/http/accounts.rs:

@@ -1210,4 +1210,62 @@ class HttpSpec extends SparkTestBase {
         s"""{"path": "$root/pq"}""")._1 == 403)
     }
   }
+
+  test("admin indexes: maybe-retrain decision over HTTP; registrations persist across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-http-mr").toString
+    val emb = (0 until 100).map { i =>
+      val cl = i % 4
+      (i.toLong, (0 until 8).map(j =>
+        (((cl * 997 + j * 131) % 2001) - 1000) / 1000.0f +
+          (((i * 31 + j * 7) % 201) - 100) / 2000.0f))
+    }.toDF("vec_id", "embedding")
+    // seed centroids (iters=0): high drift by design, so the policy
+    // has something real to trip on
+    graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding",
+      s"$root/mr", nCells = 4, iters = 0)
+    // auth-less servers keep the open pre-auth surface — this test is
+    // about the policy/persistence mechanics, gates are covered above
+    withServer(new GraftHttpServer(spark, ev, indexRoot = Some(root))) { srv =>
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/mr",
+        s"""{"path": "$root/mr"}""")._1 == 200)
+      // below thresholds: decision + evidence, NO generation committed
+      val (nc, nbody) = req(srv.port, "POST",
+        "/api/v1/admin/indexes/mr/maybe-retrain",
+        """{"maxDriftMicro": 99999999999}""")
+      assert(nc == 200 && nbody.contains("\"retrained\":false") &&
+        nbody.contains("\"generation\":null"), nbody)
+      assert(graft.pipeline.IndexGen.currentGen(spark, s"$root/mr").isEmpty)
+      // above thresholds: retrain fires through the dispatcher and
+      // commits a generation; the evidence rides the response
+      val (yc, ybody) = req(srv.port, "POST",
+        "/api/v1/admin/indexes/mr/maybe-retrain",
+        """{"maxDriftMicro": 0, "maxIters": 2}""")
+      assert(yc == 200 && ybody.contains("\"retrained\":true") &&
+        ybody.contains("\"generation\":0") &&
+        ybody.contains("\"steps\":2"), ybody)
+      assert(graft.pipeline.IndexGen.currentGen(spark, s"$root/mr")
+        .contains(0L))
+    }
+    // a NEW server over the same root sees the persisted registration
+    withServer(new GraftHttpServer(spark, ev, indexRoot = Some(root))) { srv =>
+      val (gc, gbody) = req(srv.port, "GET", "/api/v1/admin/indexes/mr")
+      assert(gc == 200 && gbody.contains("\"kind\":\"vector\""), gbody)
+      assert(req(srv.port, "DELETE", "/api/v1/admin/indexes/mr")._1 == 200)
+    }
+    // the unregistration persisted too
+    withServer(new GraftHttpServer(spark, ev, indexRoot = Some(root))) { srv =>
+      assert(req(srv.port, "GET", "/api/v1/admin/indexes/mr")._1 == 404)
+    }
+    // constructor entries outrank a persisted registration on conflict
+    val f = new java.io.File(root, "_graft_indexes.json")
+    java.nio.file.Files.writeString(f.toPath,
+      s"""{"mr":"$root/stale"}""")
+    withServer(new GraftHttpServer(spark, ev, indexRoot = Some(root),
+        indexes = Map("mr" -> s"$root/mr"))) { srv =>
+      val (_, body) = req(srv.port, "GET", "/api/v1/admin/indexes/mr")
+      assert(body.contains(s"$root/mr") && !body.contains("stale"), body)
+    }
+  }
 }

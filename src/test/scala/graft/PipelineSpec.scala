@@ -2098,6 +2098,50 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("filtered quantized search: predicate inside the probed-cell int8 scan; probe-all equals brute over the filtered corpus; payload survives retrain") {
+    import spark.implicits._
+    val corpus = (0 until 120).map { i =>
+      val a = i * 0.05
+      (i.toLong, Array.tabulate(16)(d => math.cos(a + d * 0.4).toFloat), i % 3)
+    }.toDF("vec_id", "v", "label")
+    val cb = Similarity.syntheticCodebook(spark, nCells = 8, dims = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfqfilt").toFile
+    try {
+      Similarity.buildIndexQuantizedJoined(corpus, "vec_id", "v", cb,
+        dir.getAbsolutePath, payload = Seq("label"))
+      val q = Seq((999L, Array.tabulate(16)(d => math.cos(d * 0.4).toFloat)))
+        .toDF("q_id", "q_vec")
+      def filteredAll() = Similarity.ivfTopKIndexedQuantized(spark, q,
+        "q_id", "q_vec", dir.getAbsolutePath, "vec_id", "v", k = 4,
+        shortlist = 120, nProbe = 8, where = Some(col("label") === 1))
+      val plan = filteredAll().queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("label"),
+        plan.take(2000))
+      val brute = Similarity.bruteForceTopK(q,
+        corpus.filter(col("label") === 1), "q_id", "q_vec",
+        "vec_id", "v", k = 4)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      def got() = filteredAll()
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+      assert(got() == brute, s"${got()} vs $brute")
+      // the quantized retrain branch re-derives q_vec AND keeps the
+      // label payload, so filtered search survives the rebuild
+      val (gen, _) = Similarity.retrainIndex(spark, dir.getAbsolutePath,
+        "vec_id", "v", maxIters = 1)
+      assert(gen == 0L)
+      val after = got()
+      assert(after.nonEmpty)
+      assert(after.forall(_._2 % 3 == 1), after)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("residual IVF x PQ (IVFADC): tighter reconstruction than raw PQ on clustered data; probe-all+full-shortlist equals brute") {
     import spark.implicits._
     // four tight clusters: residuals against TRAINED cell centroids
