@@ -887,6 +887,18 @@ object SparkEntry {
     (0L, 0L, "column"), (0L, 1L, "scan"),
     (1L, 0L, "merge"), (1L, 1L, "filter"), (1L, 2L, "window"))
 
+  /** DuckDB twin of [[graft.pipeline.TextAnalysis.Analyzer]]'s
+    * lowercase + S-stemmer token stream — the three guarded suffix
+    * rules as a regexp CASE, shared by every stemmed oracle. */
+  private val stemmedTokensSql: String =
+    "list_transform(string_split(lower(text), ' '), t -> " +
+      "CASE WHEN regexp_matches(t, '[^ea]ies$') " +
+      "THEN regexp_replace(t, 'ies$', 'y') " +
+      "WHEN regexp_matches(t, '[^aeo]es$') " +
+      "THEN regexp_replace(t, 'es$', 'e') " +
+      "WHEN regexp_matches(t, '[^us]s$') " +
+      "THEN regexp_replace(t, 's$', '') ELSE t END)"
+
   /** (nProbe, candTok) operating points of the indexed-maxsim recall
     * measurement — restrictive → serving-shaped. Shared between the
     * q_ann_recall_maxsim query and its generated oracle so a point
@@ -2864,6 +2876,22 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // STEMMED phrase search: positions index the stemmed token
+    // sequence (the stemmer maps tokens 1:1 — nothing shifts), so the
+    // plural phrase normalizes to ['column','scan'] and adjacency is
+    // decided over the stemmed stream — pinning stemmer × positional
+    // postings end to end in the oracle.
+    "q_phrase_stemmed" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-stemmed-v1", dir) { root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir), "doc_id",
+          "text", root.getAbsolutePath,
+          TextAnalysis.Analyzer(lowercase = true, stemmer = true))
+      }
+      TextAnalysis.phraseLookup(s, idx.getAbsolutePath,
+          Seq("Columns", "Scans"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FACETED search (Retrieval.facetCounts): the search-page sidebar
     // — per metadata column, matched-doc counts per value, as ONE
     // melted aggregate for all facets (adding a facet adds no
@@ -3377,14 +3405,19 @@ object SparkEntry {
           "tok_id", "d_vec",
           Similarity.syntheticCodebook(s, nCells = 64, dims = MaxsimDims),
           root.getAbsolutePath, payload = Seq("doc_id")))
+      // the md5 token-vector derivation is the dominant expression
+      // cost here — stage the instance frame ONCE and share it across
+      // the brute truth and all three indexed chains (values exact,
+      // Staging contract) instead of re-deriving it four times
+      val inst = graft.engine.Staging.stage(maxsimDocTokenInstances(s, dir))
       val truth = Similarity.maxSimTopK(maxsimQueryTokens(s),
-          maxsimDocTokens(s, dir), "q_id", "q_pos", "q_vec",
-          "doc_id", "d_vec", k = 10)
+          inst.select(col("doc_id"), col("d_vec")),
+          "q_id", "q_pos", "q_vec", "doc_id", "d_vec", k = 10)
         .select(col("q_id"), col("doc_id"))
       val anns = MaxsimRecallOps.map { case (np, ct) =>
         Similarity.maxSimTopKIndexed(s, maxsimQueryTokens(s),
             "q_id", "q_pos", "q_vec", idx.getAbsolutePath, "tok_id",
-            "d_vec", maxsimDocTokenInstances(s, dir), "doc_id", "d_vec",
+            "d_vec", inst, "doc_id", "d_vec",
             k = 10, nProbe = np, candTok = ct)
           .select(lit(np).as("n_probe"), lit(ct).as("cand_tok"),
             col("q_id"), col("doc_id"), lit(1).as("__hit"))
@@ -6350,14 +6383,20 @@ object SparkEntry {
     // arrive POST-analysis ('column','scan','window' — the stems of
     // the engine's plural query), exactly as q_bm25_analyzed's
     // lowercase contract.
-    "q_bm25_stemmed" -> bm25Sql(tokensExpr =
-      "list_transform(string_split(lower(text), ' '), t -> " +
-        "CASE WHEN regexp_matches(t, '[^ea]ies$') " +
-        "THEN regexp_replace(t, 'ies$', 'y') " +
-        "WHEN regexp_matches(t, '[^aeo]es$') " +
-        "THEN regexp_replace(t, 'es$', 'e') " +
-        "WHEN regexp_matches(t, '[^us]s$') " +
-        "THEN regexp_replace(t, 's$', '') ELSE t END)"),
+    "q_bm25_stemmed" -> bm25Sql(tokensExpr = stemmedTokensSql),
+
+    // Stemmed PHRASE: the stemmer maps tokens 1:1 (positions
+    // unshifted), so the plural phrase ["Columns","Scans"] hits
+    // exactly where the stemmed array runs 'column','scan' — the
+    // oracle recomputes starts from the stemmed raw text, pinning
+    // stemmer × positional postings in the ORACLE, not just specs.
+    "q_phrase_stemmed" ->
+      s"""WITH d AS (SELECT doc_id, $stemmedTokensSql AS a FROM documents),
+         h AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(a)),
+               i -> a[i] = 'column' AND a[i+1] = 'scan')) AS BIGINT) AS n_hits
+           FROM d)
+         SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id""",
 
     // the atomic rebuild serves the full corpus — one oracle again
     "q_text_rebuild" -> bm25Sql(),
