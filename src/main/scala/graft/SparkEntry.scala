@@ -252,6 +252,95 @@ object SparkEntry {
          SELECT q_id, neighbor_id, "rank", cos_sim_r FROM ranked WHERE "rank" <= $k"""
   }
 
+  /** DuckDB oracle for q_ann_recall_filtered: the trained-IVF chain
+    * (ivfTrainedSql's exact CTEs) searched once per nProbe operating
+    * point with the membership predicate on the candidate side, vs
+    * the brute truth over the FILTERED corpus — recall@k per
+    * (nProbe, query). Measures how filtered selectivity eats IVF
+    * recall (matching rows live only in probed cells), the operating
+    * knob ivfTopKIndexedWhere's scaladoc names. */
+  private def ivfFilteredRecallSql(nCells: Int, iters: Int, qMax: Int,
+                                   k: Int, probes: Seq[Int],
+                                   memberSql: String): String = {
+    def assign(cIn: String, aOut: String) =
+      s"""$aOut AS (SELECT vec_id, v, cent_id FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                     c.cent_id) AS rn
+                 FROM e, $cIn c) WHERE rn = 1)"""
+    val steps = (0 until iters).map { i =>
+      s"""dimsum$i AS (
+           SELECT a.cent_id, d.range AS dim,
+             sum(CAST(round(a.v[CAST(d.range AS INT) + 1] * 1048576.0) AS BIGINT)) AS s,
+             count(*) AS n
+           FROM a$i a CROSS JOIN range(64) d
+           GROUP BY 1, 2),
+         c${i + 1}m AS (
+           SELECT cent_id, list((s / n) / 1048576.0 ORDER BY dim) AS cv
+           FROM dimsum$i GROUP BY cent_id),
+         c${i + 1} AS (SELECT s.cent_id, coalesce(m.cv, s.cv) AS cv
+                FROM c$i s LEFT JOIN c${i + 1}m m ON s.cent_id = m.cent_id),
+         ${assign(s"c${i + 1}", s"a${i + 1}")}"""
+    }.mkString(",\n         ")
+    val perProbe = probes.map { np =>
+      s"""q_$np AS (SELECT vec_id AS q_id, qv, cent_id FROM (
+                 SELECT e.vec_id, e.v AS qv, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, c.cv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cv, c.cv)), 0) DESC,
+                     c.cent_id) AS rn
+                 FROM e, c$iters c WHERE e.vec_id < $qMax)
+               WHERE rn <= $np),
+         scored_$np AS (
+           SELECT q.q_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.v) /
+             nullif(sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(a.v, a.v)), 0) AS cos_sim
+           FROM a$iters a JOIN q_$np q
+             ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id
+           WHERE a.vec_id IN ($memberSql)),
+         ann_$np AS (SELECT q_id, neighbor_id FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+             FROM scored_$np) WHERE rn <= $k)"""
+    }.mkString(",\n         ")
+    val unions = probes.map { np =>
+      s"""SELECT $np AS n_probe, t.q_id, count(a.neighbor_id) AS n_hits
+          FROM truth t LEFT JOIN ann_$np a
+            ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+          GROUP BY 1, 2"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT $nCells),
+         ${assign("c0", "a0")},
+         $steps,
+         tsc AS (SELECT qq.vec_id AS q_id, ee.vec_id AS neighbor_id,
+             list_dot_product(qq.v, ee.v) /
+             nullif(sqrt(list_dot_product(qq.v, qq.v)) *
+                    sqrt(list_dot_product(ee.v, ee.v)), 0) AS cos_sim
+           FROM e ee, (SELECT vec_id, v FROM e WHERE vec_id < $qMax) qq
+           WHERE ee.vec_id <> qq.vec_id AND ee.vec_id IN ($memberSql)),
+         truth AS (SELECT q_id, neighbor_id FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+             FROM tsc) WHERE rn <= $k),
+         $perProbe
+         SELECT n_probe, q_id, n_hits,
+           round(n_hits / $k.0, 6) AS recall
+         FROM ($unions)
+         ORDER BY 1, 2"""
+  }
+
+  /** nProbe operating points of the filtered-search recall
+    * measurement, shared between query and oracle. */
+  private val FilteredRecallProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
   /** DuckDB oracle for PQ ANN (Similarity.pqTopK): per-subspace seed
     * sub-codebooks (the kCents lowest-id vectors' slices, cent_id by
     * ascending seed id) → `iters` Lloyd steps per subspace under
@@ -3634,6 +3723,46 @@ object SparkEntry {
           round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
 
+    // RECALL of FILTERED vector search vs the brute truth over the
+    // filtered corpus, across nProbe — the measured answer to
+    // ivfTopKIndexedWhere's "filtered selectivity eats recall"
+    // caveat: matching rows live only in probed cells, so a sharp
+    // filter starves restrictive probes and recall climbs with
+    // nProbe. Same fixture as q_knn_ivf_filtered; the oracle replays
+    // training, per-point probe ranking, the membership-restricted
+    // candidate side, the filtered brute truth AND the recall
+    // arithmetic. Measured table in BENCHMARKS.md.
+    "q_ann_recall_filtered" -> ((s, dir) => {
+      val idx = stagedOnce("ivffilt-n8i1", dir)(root =>
+        Similarity.buildIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+          root.getAbsolutePath, nCells = 8, iters = 1,
+          payload = Seq("label")))
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val truth = Similarity.bruteForceTopK(q,
+          emb.filter(col("label").isin(2, 5)), "q_id", "q_vec",
+          "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      val anns = FilteredRecallProbes.map { np =>
+        Similarity.ivfTopKIndexedWhere(s, q, "q_id", "q_vec",
+            idx.getAbsolutePath, "vec_id", "embedding", k = 3,
+            nProbe = np, where = col("label").isin(2, 5))
+          .select(lit(np).as("n_probe"), col("q_id"),
+            col("vec_id").as("neighbor_id"), lit(1).as("__hit"))
+      }.reduce(_ union _)
+      val probes = {
+        import s.implicits._
+        FilteredRecallProbes.toDF("n_probe")
+      }
+      truth.crossJoin(broadcast(probes))
+        .join(anns, Seq("n_probe", "q_id", "neighbor_id"), "left")
+        .groupBy(col("n_probe"), col("q_id"))
+        .agg(count(col("__hit")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / 3.0, 6))
+        .orderBy(col("n_probe"), col("q_id"))
+    }),
+
     // ERASURE from the ANN index (Similarity.deleteFromIndex /
     // purgeIndexDeletes): cohort A is physically purged — every
     // affected cell_id=N/ store rewritten minus its rows through the
@@ -6928,6 +7057,13 @@ object SparkEntry {
       ivfTrainedSql(nCells = 8, iters = 1, qMax = 10, k = 3, nProbe = 2,
         corpusPred =
           "a.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))"),
+
+    // Filtered-search recall vs the filtered brute truth across
+    // nProbe — one statement, one full search chain per point.
+    "q_ann_recall_filtered" ->
+      ivfFilteredRecallSql(nCells = 8, iters = 1, qMax = 10, k = 3,
+        probes = FilteredRecallProbes,
+        memberSql = "SELECT vec_id FROM embeddings WHERE label IN (2, 5)"),
 
     // Quantized search through the joined index: assignment replayed
     // as in q_knn_ivf_joined; candidates scored against the REPLAYED
