@@ -10,35 +10,61 @@ import org.apache.spark.sql.SparkSession
   * does: at one store round trip per operation the driver becomes the
   * serving bottleneck long before the executors do.
   *
-  * Only GENERATION roots (`…/gen=N`, [[IndexGen]]) are cacheable: a
-  * committed generation is immutable, so invalidation is free — a
-  * rebuild commits a NEW generation, which is a NEW key. Flat
+  * Only GENERATION roots — a last path segment of exactly `gen=N`,
+  * the shape [[IndexGen.resolveRoot]] produces — are cacheable: a
+  * committed generation is immutable, so invalidation is free (a
+  * rebuild commits a NEW generation, which is a NEW key). Flat
   * (pre-generation) artifacts mutate in place (a rebuild overwrites
   * the same directories), so they always read through — correctness
   * never depends on this cache, only the per-operation round-trip
-  * count does. Keys carry the session identity so a restarted session
-  * can never serve another session's plan objects.
+  * count does. A user directory that merely CONTAINS "gen=" in some
+  * other segment is flat, not cacheable — the check is on the final
+  * segment, digits only.
+  *
+  * Entries pin their owning session by IDENTITY through a weak
+  * reference: a hit must come from the very session that computed it
+  * (identity hash codes alone are reusable after GC, so a restarted
+  * session could otherwise collide into a stopped session's plan
+  * objects — the weak reference makes that a recompute, never a
+  * stale hit), and a collected session's entries become dead weight
+  * reclaimed by the size sweep rather than live hazards.
   *
   * Bounded: the map clears wholesale past [[MaxEntries]] (generations
   * retire monotonically, so a rare full re-read beats LRU machinery). */
 object GenCache {
 
   private val MaxEntries = 256
+
+  private final case class Entry(
+      session: java.lang.ref.WeakReference[SparkSession], value: AnyRef)
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  private def cacheable(root: String): Boolean = root.contains("/gen=")
+  private val GenSegment = ".*/gen=\\d+/?".r
 
-  /** `f` memoized under (session, generation root, kind); computed
-    * every call for non-generation roots. */
+  private def cacheable(root: String): Boolean =
+    GenSegment.matches(root)
+
+  /** `f` memoized under (session identity, generation root, kind);
+    * computed every call for non-generation roots. */
   def memo[T <: AnyRef](spark: SparkSession, root: String, kind: String)(
       f: => T): T =
     if (!cacheable(root)) f
     else {
       if (cache.size > MaxEntries) cache.clear()
-      cache.computeIfAbsent(
-        s"${System.identityHashCode(spark)}#$root#$kind",
-        _ => f).asInstanceOf[T]
+      val key = s"${System.identityHashCode(spark)}#$root#$kind"
+      cache.get(key) match {
+        case e: Entry if e.session.get() eq spark =>
+          e.value.asInstanceOf[T]
+        case _ =>
+          // miss, stale hash-collision, or collected session: compute
+          // and replace (racing computes are benign — same value)
+          val v = f
+          cache.put(key,
+            Entry(new java.lang.ref.WeakReference(spark), v)): Unit
+          v
+      }
     }
 
   /** Test hook: entry count. */

@@ -659,6 +659,10 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
     if (fs.exists(marker)) return
+    // streaming appends carry no payload columns (yet): refuse a
+    // payload-built index loudly rather than writing rows filtered
+    // search would silently never return
+    requirePayloadMatch(spark, path, Nil)
     val cb = readArtifact(spark, path, "codebook")
     val pqcb = readArtifact(spark, path, "pq_codebook")
     val assigned = graft.engine.Staging.stage(
@@ -1022,13 +1026,16 @@ object Similarity {
                       path: String, cId: String, cVec: String,
                       maxIters: Int, eps: Double = 0.0,
                       pqIters: Int = 1,
-                      scale: Long = 1L << 20): (Long, Int) = {
+                      scale: Long = 1L << 20,
+                      /** pre-twolevel_meta artifacts only: the build's
+                        * coarseProbe, since the artifact cannot say. */
+                      coarseProbe: Option[Int] = None): (Long, Int) = {
     val cur = IndexGen.resolveRoot(spark, path)
     indexLayout(spark, cur) match {
       case "two_level" =>
         retrainIndexTwoLevel(spark, path, cId, cVec,
           fineIters = maxIters, coarseIters = maxIters, eps = eps,
-          scale = scale)
+          scale = scale, coarseProbe = coarseProbe)
       case "pq" =>
         // geometry from the persisted sub-codebooks: m subspaces ×
         // kCents centroids of dims/m elements each — a tiny frame
@@ -1059,22 +1066,33 @@ object Similarity {
                                    cellSkew: Double,
                                    generation: Option[Long], steps: Int)
 
+  /** The summary the retrain policy (and the HTTP drift route)
+    * thresholds on, from ONE driftReport collect: worst per-cell mean
+    * drift and the fattest cell's population relative to the mean —
+    * ONE definition, so the served evidence can never diverge from
+    * the decision arithmetic. Input rows are (cell_id, n_rows,
+    * drift_micro). */
+  def driftSummary(rows: Seq[org.apache.spark.sql.Row]): (Long, Double) =
+    if (rows.isEmpty) (0L, 0.0)
+    else {
+      val ns = rows.map(_.getLong(1))
+      (rows.map(_.getLong(2)).max,
+        ns.max.toDouble * ns.length / ns.sum.toDouble)
+    }
+
   def maybeRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
                    cId: String, cVec: String, maxDriftMicro: Long,
                    maxCellSkew: Double, maxIters: Int = 1,
-                   eps: Double = 0.0, pqIters: Int = 1): RetrainDecision = {
-    val rows = indexDriftReport(spark, path, cId, cVec)
-      .select(col("n_rows"), col("drift_micro")).collect()
-    val drift = if (rows.isEmpty) 0L else rows.map(_.getLong(1)).max
-    val skew =
-      if (rows.isEmpty) 0.0
-      else rows.map(_.getLong(0)).max.toDouble *
-        rows.length / rows.map(_.getLong(0)).sum.toDouble
+                   eps: Double = 0.0, pqIters: Int = 1,
+                   coarseProbe: Option[Int] = None): RetrainDecision = {
+    val rows = indexDriftReport(spark, path, cId, cVec).collect()
+    val (drift, skew) = driftSummary(rows.toSeq)
     if (drift <= maxDriftMicro && skew <= maxCellSkew)
       RetrainDecision(retrained = false, drift, skew, None, 0)
     else {
       val (gen, steps) = retrainDispatch(spark, path, cId, cVec,
-        maxIters = maxIters, eps = eps, pqIters = pqIters)
+        maxIters = maxIters, eps = eps, pqIters = pqIters,
+        coarseProbe = coarseProbe)
       RetrainDecision(retrained = true, drift, skew, Some(gen), steps)
     }
   }
@@ -1316,7 +1334,7 @@ object Similarity {
           .select(aggregate(zip_with(col("__a"), col("__b"),
             (x, y) => abs(x - y)), lit(0.0),
             (acc, v) => greatest(acc, v)).as("__m"))
-          .agg(max(col("__m"))).head.getDouble(0)
+          .agg(max(col("__m"))).head().getDouble(0)
       }
       cb = next
       it += 1
@@ -1773,7 +1791,7 @@ object Similarity {
                          scale: Long = 1L << 20,
                          payload: Seq[String] = Nil): Unit = {
     codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    writePqMeta(corpus.sparkSession, path, residual = false)
+    writePqMeta(corpus.sparkSession, path, residual = false, payload)
     val pqcb = pqTrainCodebooks(corpus, cId, cVec, dims, m, kCents, iters, scale)
     pqcb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
     val codes = pqEncode(corpus, cId, cVec, dims, m, pqcb)
@@ -1794,15 +1812,19 @@ object Similarity {
     else rows.join(corpus.select(col(cId) +: payload.map(col): _*), Seq(cId))
 
   /** Build-time metadata of a composed IVF×PQ artifact — one tiny
-    * parquet row recording whether codes encode residuals, so
-    * maintenance paths (HTTP retrain dispatch, [[retrainIndexPq]])
-    * can pair the rebuild with how the index was built instead of
-    * trusting a caller flag. Written at the UNRESOLVED build dir
-    * (each generation carries its own copy). */
+    * parquet row recording whether codes encode residuals AND which
+    * payload columns the cells rows carry, so maintenance paths (HTTP
+    * retrain dispatch, [[retrainIndexPq]]) can pair the rebuild with
+    * how the index was built instead of trusting a caller flag, and
+    * appends can REFUSE a payload-mismatched batch instead of
+    * silently writing rows whose missing payload reads back null (and
+    * so never matches a filtered search). Written at the UNRESOLVED
+    * build dir (each generation carries its own copy). */
   private def writePqMeta(spark: org.apache.spark.sql.SparkSession,
-                          path: String, residual: Boolean): Unit = {
+                          path: String, residual: Boolean,
+                          payload: Seq[String] = Nil): Unit = {
     import spark.implicits._
-    Seq(residual).toDF("residual")
+    Seq((residual, payload)).toDF("residual", "payload")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_meta")
   }
 
@@ -1813,8 +1835,37 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$root/pq_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).head().getBoolean(0))
+    else Some(spark.read.parquet(p.toString)
+      .select(col("residual")).head().getBoolean(0))
   }
+
+  /** The persisted payload column names of a composed artifact (None
+    * for a pre-meta or pre-payload-meta index). */
+  def readPqPayloadMeta(spark: org.apache.spark.sql.SparkSession,
+                        root: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/pq_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val df = spark.read.parquet(p.toString)
+      if (!df.columns.contains("payload")) None
+      else Some(df.select(col("payload")).head().getSeq[String](0))
+    }
+  }
+
+  /** Append-side payload validation: an index built WITH payload must
+    * be appended WITH the same columns — a payload-less append writes
+    * rows whose payload reads back null, and a filtered search would
+    * silently never return them. Pre-meta artifacts (no recorded
+    * payload) skip the check. */
+  private def requirePayloadMatch(spark: org.apache.spark.sql.SparkSession,
+                                  root: String,
+                                  payload: Seq[String]): Unit =
+    readPqPayloadMeta(spark, root).foreach { built =>
+      require(payload.sorted == built.sorted,
+        s"index at $root was built with payload columns ${built.mkString("[", ",", "]")} — " +
+          s"appends must carry the same (got ${payload.mkString("[", ",", "]")})")
+    }
 
   /** [[appendToIndexJoined]] for a composed IVF×PQ index: the batch
     * is cell-assigned by the persisted coarse codebook AND encoded by
@@ -1828,6 +1879,7 @@ object Similarity {
                             payload: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
+    requirePayloadMatch(spark, path, payload)
     val cb = readArtifact(spark, path, "codebook")
     val pqcb = readArtifact(spark, path, "pq_codebook")
     val codes = pqEncode(batch, cId, cVec, dims, m, pqcb)
@@ -1933,7 +1985,7 @@ object Similarity {
                            scale: Long = 1L << 20,
                            payload: Seq[String] = Nil): Unit = {
     codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    writePqMeta(corpus.sparkSession, path, residual = true)
+    writePqMeta(corpus.sparkSession, path, residual = true, payload)
     val assigned = graft.engine.Staging.stage(
       assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec,
         codebook))
@@ -1959,6 +2011,7 @@ object Similarity {
                               payload: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
+    requirePayloadMatch(spark, path, payload)
     val cb = readArtifact(spark, path, "codebook")
     val pqcb = readArtifact(spark, path, "pq_codebook")
     val assigned = graft.engine.Staging.stage(
@@ -2216,31 +2269,48 @@ object Similarity {
     * dVec this frame's). Query ids must be non-negative with
     * qPos < 1e6 (the composite probe id is qId·1e6 + qPos + 1e12,
     * the passageTopK convention plus an offset), and token-instance
-    * ids must stay below 1e12. */
+    * ids must stay below 1e12.
+    *
+    * `validateTokenIds` (default true) runs the token-id bound as one
+    * columnar max over `docTokens` per search — exact and loud, the
+    * right default. A 100 TB deployment whose token ids are validated
+    * ONCE at index build (the ids never change after that) passes
+    * false to keep the corpus-column scan out of the serving path;
+    * the query-side guards are frame-bounded and always run. */
   def maxSimTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                         queryTokens: DataFrame, qId: String, qPos: String,
                         qVec: String, path: String, tokId: String,
                         tokVec: String, docTokens: DataFrame,
                         dId: String, dVec: String,
-                        k: Int, nProbe: Int, candTok: Int): DataFrame = {
+                        k: Int, nProbe: Int, candTok: Int,
+                        validateTokenIds: Boolean = true): DataFrame = {
     // the composite-id preconditions are ENFORCED, not just
     // documented — a violating caller would otherwise get silently
     // wrong candidate sets (probe-id collisions with real instances)
-    // or misattributed query ids (qPos overflow), never an error.
-    // The query frame is broadcast-gated small, so its aggregate is
-    // one tiny job; the token-id bound is one columnar max over the
-    // id column of a frame this operator scans anyway.
-    val qg = queryTokens
-      .agg(min(col(qId).cast("long")), max(col(qPos).cast("long"))).head()
+    // or misattributed query ids (qPos under/overflow), never an
+    // error. The query frame is broadcast-gated small, so its
+    // aggregate is one tiny job. ALL FOUR bounds matter: a negative
+    // qPos would floor-divide into the WRONG query id (and at qId=0
+    // underflow below the 1e12 offset into token-id space), and a
+    // huge qId would overflow the Long composite.
+    val qg = queryTokens.agg(
+      min(col(qId).cast("long")), max(col(qId).cast("long")),
+      min(col(qPos).cast("long")), max(col(qPos).cast("long"))).head()
     if (!qg.isNullAt(0)) {
       require(qg.getLong(0) >= 0,
         s"maxSimTopKIndexed needs non-negative query ids ($qId)")
-      require(qg.getLong(1) < 1000000L,
+      require(qg.getLong(1) < 9000000000000L,
+        s"maxSimTopKIndexed needs $qId < 9e12 (composite Long headroom)")
+      require(qg.getLong(2) >= 0,
+        s"maxSimTopKIndexed needs non-negative $qPos (composite probe-id scheme)")
+      require(qg.getLong(3) < 1000000L,
         s"maxSimTopKIndexed needs $qPos < 1e6 (composite probe-id scheme)")
     }
-    val tg = docTokens.agg(max(col(tokId).cast("long"))).head()
-    require(tg.isNullAt(0) || tg.getLong(0) < 1000000000000L,
-      s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId)")
+    if (validateTokenIds) {
+      val tg = docTokens.agg(max(col(tokId).cast("long"))).head()
+      require(tg.isNullAt(0) || tg.getLong(0) < 1000000000000L,
+        s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId)")
+    }
     // composite probe id offset above any token-instance id (< 1e12),
     // so the index tail's query≠candidate self-exclusion (meant for
     // corpus-queries) can never collide with a real instance

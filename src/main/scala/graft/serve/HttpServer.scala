@@ -131,11 +131,23 @@ final class GraftHttpServer(
     * the overlay on id conflict). */
   @volatile private var apiRegistered: Map[String, String] =
     registryFile.filter(_.exists).map { f =>
-      Json.parse(java.nio.file.Files.readString(f.toPath)) match {
+      // an unreadable overlay must degrade, not refuse to boot: the
+      // registry is an optional convenience over the constructor map,
+      // and the whole serving plane must not hinge on one file
+      // surviving a crash. Corrupt bytes are set aside (inspectable)
+      // and the overlay starts empty.
+      try Json.parse(java.nio.file.Files.readString(f.toPath)) match {
         case JObj(fields) => fields.map { case (k, v) => k -> v.str }.toMap
-        case _ =>
-          throw new IllegalArgumentException(
-            s"corrupt index registry file: ${f.getPath}")
+        case _            => throw Json.JsonError("not an object")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val aside = new java.io.File(f.getParentFile,
+            s"${f.getName}.corrupt-${clock()}")
+          java.nio.file.Files.move(f.toPath, aside.toPath): Unit
+          System.err.println(s"[graft-http] corrupt index registry " +
+            s"${f.getPath} (${e.getMessage}) — moved to ${aside.getPath}, " +
+            "starting with an empty overlay")
+          Map.empty[String, String]
       }
     }.getOrElse(Map.empty)
   @volatile private var indexReg: Map[String, String] =
@@ -150,7 +162,14 @@ final class GraftHttpServer(
       s"${JStr(k).render}:${JStr(v).render}"
     }.mkString("{", ",", "}")
     val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, body)
+    // SYNC: the tmp file's bytes must reach disk BEFORE the rename —
+    // without it a crash can publish a truncated file under the final
+    // name (rename-before-data on ext4-class filesystems)
+    java.nio.file.Files.writeString(tmp.toPath, body,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
@@ -972,10 +991,16 @@ final class GraftHttpServer(
             return 403 -> err("index registration needs a configured indexRoot"))
           require(id.matches("[A-Za-z0-9_-]+"), s"invalid index id: $id")
           val raw = (j / "path").str
-          // normalize BEFORE the containment check: a `..` segment
-          // must not escape the root
-          val norm = java.nio.file.Paths.get(raw).normalize()
-          val rootP = java.nio.file.Paths.get(root).normalize()
+          // containment is checked on REAL paths (symlinks resolved),
+          // not lexically: a symlink under the root pointing outside
+          // it must not let maintenance aim at arbitrary paths. Real
+          // resolution needs existence — registering a missing
+          // artifact is rejected anyway (nothing to maintain).
+          val rawP = java.nio.file.Paths.get(raw).normalize()
+          if (!java.nio.file.Files.exists(rawP))
+            return 400 -> err(s"index path does not exist: $raw")
+          val norm = rawP.toRealPath()
+          val rootP = java.nio.file.Paths.get(root).toRealPath()
           if (!norm.startsWith(rootP))
             return 403 -> err(s"index path must live under $root")
           registryLock.synchronized {
@@ -1006,8 +1031,9 @@ final class GraftHttpServer(
       // so the collect is driver-safe.
       case ("GET", List("admin", "indexes", id, "drift")) =>
         if (!indexesMounted) return 404 -> err("not found")
-        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
         adminGate(ex).getOrElse {
+          val path = indexReg.getOrElse(id,
+            return 404 -> err(s"index $id not found"))
           if (indexKind(path) != "vector")
             return 400 -> err("drift applies to vector indexes")
           val rows = graft.pipeline.Similarity.indexDriftReport(spark, path,
@@ -1015,17 +1041,18 @@ final class GraftHttpServer(
           val cells = rows.map(r =>
             s"""{"cellId":${r.getLong(0)},"nRows":${r.getLong(1)},""" +
               s""""driftMicro":${r.getLong(2)}}""").mkString("[", ",", "]")
-          val maxDrift = if (rows.isEmpty) 0L else rows.map(_.getLong(2)).max
-          val skew =
-            if (rows.isEmpty) 0.0
-            else rows.map(_.getLong(1)).max.toDouble *
-              rows.length / rows.map(_.getLong(1)).sum.toDouble
+          // ONE summary definition shared with the retrain policy
+          // (Similarity.driftSummary) — the served evidence can never
+          // diverge from what maybe-retrain thresholds on
+          val (maxDrift, skew) =
+            graft.pipeline.Similarity.driftSummary(rows.toSeq)
           200 -> s"""{"maxDriftMicro":$maxDrift,"cellSkew":$skew,"cells":$cells}"""
         }
       case ("POST", List("admin", "indexes", id, "delete")) =>
         if (!indexesMounted) return 404 -> err("not found")
-        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
         adminGate(ex).getOrElse(indexLocked(id) {
+          val path = indexReg.getOrElse(id,
+            return 404 -> err(s"index $id not found"))
           val ids = (j / "ids").arr.map(_.long)
           val name = (j / "name").str
           require(ids.nonEmpty, "delete needs ids")
@@ -1045,8 +1072,9 @@ final class GraftHttpServer(
         })
       case ("POST", List("admin", "indexes", id, "purge")) =>
         if (!indexesMounted) return 404 -> err("not found")
-        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
         adminGate(ex).getOrElse(indexLocked(id) {
+          val path = indexReg.getOrElse(id,
+            return 404 -> err(s"index $id not found"))
           indexKind(path) match {
             case "text" =>
               graft.pipeline.TextAnalysis.purgeTextIndex(spark, path)
@@ -1063,8 +1091,9 @@ final class GraftHttpServer(
         })
       case ("POST", List("admin", "indexes", id, "gc")) =>
         if (!indexesMounted) return 404 -> err("not found")
-        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
         adminGate(ex).getOrElse(indexLocked(id) {
+          val path = indexReg.getOrElse(id,
+            return 404 -> err(s"index $id not found"))
           val keep = j.asOpt("keep").map(_.int).getOrElse(1)
           val dropped = graft.pipeline.IndexGen.gcGenerations(spark, path,
             keep = keep)
@@ -1080,8 +1109,9 @@ final class GraftHttpServer(
       // request layer, not just a spark-shell.
       case ("POST", List("admin", "indexes", id, "retrain")) =>
         if (!indexesMounted) return 404 -> err("not found")
-        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
         adminGate(ex).getOrElse(indexLocked(id) {
+          val path = indexReg.getOrElse(id,
+            return 404 -> err(s"index $id not found"))
           if (indexKind(path) != "vector")
             return 400 -> err("retrain applies to vector indexes; rebuild a " +
               "text index from its corpus via TextAnalysis.rebuildTextIndex")
@@ -1096,7 +1126,8 @@ final class GraftHttpServer(
             spark, path, idColOf(body), vecColOf(body),
             maxIters = j.asOpt("maxIters").map(_.int).getOrElse(1),
             eps = j.asOpt("eps").map(_.num).getOrElse(0.0),
-            pqIters = j.asOpt("pqIters").map(_.int).getOrElse(1))
+            pqIters = j.asOpt("pqIters").map(_.int).getOrElse(1),
+            coarseProbe = j.asOpt("coarseProbe").map(_.int))
           200 -> s"""{"generation":$gen,"steps":$steps}"""
         })
       // the complete drift→retrain decision as ONE request
@@ -1105,8 +1136,9 @@ final class GraftHttpServer(
       // either way — the endpoint a scheduled maintenance job curls.
       case ("POST", List("admin", "indexes", id, "maybe-retrain")) =>
         if (!indexesMounted) return 404 -> err("not found")
-        val path = indexReg.getOrElse(id, return 404 -> err(s"index $id not found"))
         adminGate(ex).getOrElse(indexLocked(id) {
+          val path = indexReg.getOrElse(id,
+            return 404 -> err(s"index $id not found"))
           if (indexKind(path) != "vector")
             return 400 -> err("maybe-retrain applies to vector indexes")
           val d = graft.pipeline.Similarity.maybeRetrain(spark, path,
@@ -1116,7 +1148,8 @@ final class GraftHttpServer(
               .getOrElse(Double.MaxValue),
             maxIters = j.asOpt("maxIters").map(_.int).getOrElse(1),
             eps = j.asOpt("eps").map(_.num).getOrElse(0.0),
-            pqIters = j.asOpt("pqIters").map(_.int).getOrElse(1))
+            pqIters = j.asOpt("pqIters").map(_.int).getOrElse(1),
+            coarseProbe = j.asOpt("coarseProbe").map(_.int))
           val gen = d.generation.map(_.toString).getOrElse("null")
           200 -> (s"""{"retrained":${d.retrained},""" +
             s""""maxDriftMicro":${d.maxDriftMicro},""" +

@@ -1183,13 +1183,29 @@ class HttpSpec extends SparkTestBase {
       assert(gc2 == 200 && gbody2.contains("\"kind\":\"vector\""), gbody2)
       assert(req(srv.port, "GET", "/api/v1/admin/indexes/extra/drift",
         bearer = tok)._1 == 200)
-      // duplicate id rejected; traversal and out-of-root paths rejected
+      // duplicate id rejected; traversal, out-of-root, symlink-escape
+      // and missing paths rejected
       assert(req(srv.port, "POST", "/api/v1/admin/indexes/extra",
         s"""{"path": "$extra"}""", bearer = tok)._1 == 400)
       assert(req(srv.port, "POST", "/api/v1/admin/indexes/evil",
         s"""{"path": "$root/../../etc"}""", bearer = tok)._1 == 403)
       assert(req(srv.port, "POST", "/api/v1/admin/indexes/evil",
         """{"path": "/etc/passwd"}""", bearer = tok)._1 == 403)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/evil",
+        s"""{"path": "$root/does-not-exist"}""", bearer = tok)._1 == 400)
+      // a symlink UNDER the root pointing outside it must not pass
+      // the containment check (real paths, not lexical)
+      val outside = java.nio.file.Files.createTempDirectory("graft-outside")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(root, "sneaky"), outside)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/evil",
+        s"""{"path": "$root/sneaky"}""", bearer = tok)._1 == 403)
+      // unauthenticated probes cannot enumerate the registry: a
+      // registered id answers exactly like an unknown one (401)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/pq/retrain",
+        "{}")._1 == 401)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/zzz/retrain",
+        "{}")._1 == 401)
       assert(req(srv.port, "DELETE", "/api/v1/admin/indexes/extra",
         bearer = tok)._1 == 200)
       assert(req(srv.port, "GET", "/api/v1/admin/indexes/extra",

@@ -1999,6 +1999,15 @@ class PipelineSpec extends SparkTestBase {
         nProbe = 8, where = Some(col("label") === 1))
         .filter(col("q_id") === 999L).collect()
       assert(after.head.getAs[Long]("vec_id") == 2000L, after.toSeq)
+      // a payload-LESS append against the payload-built index must
+      // refuse loudly (its rows would read back null labels and be
+      // invisible to every filtered search)
+      intercept[IllegalArgumentException] {
+        Similarity.appendToIndexPqJoined(
+          Seq((3000L, Array.tabulate(16)(d => math.cos(d * 0.4).toFloat)))
+            .toDF("vec_id", "v"),
+          "vec_id", "v", dims = 16, m = 4, dir.getAbsolutePath)
+      }
       // payload survives a retrain: the new generation still serves
       // filtered search (and keeps the persisted non-residual flag)
       val (gen, _) = Similarity.retrainIndexPq(spark, dir.getAbsolutePath,
