@@ -21,25 +21,40 @@ import org.apache.spark.sql.SparkSession
   * other segment is flat, not cacheable — the check is on the final
   * segment, digits only.
   *
-  * Entries pin their owning session by IDENTITY through a weak
-  * reference: a hit must come from the very session that computed it
-  * (identity hash codes alone are reusable after GC, so a restarted
-  * session could otherwise collide into a stopped session's plan
-  * objects — the weak reference makes that a recompute, never a
-  * stale hit), and a collected session's entries become dead weight
-  * reclaimed by the size sweep rather than live hazards.
+  * Entries pin their owning session by IDENTITY: a hit must come
+  * from the very session that computed it (identity hash codes alone
+  * are reusable after GC, so a restarted session could otherwise
+  * collide into a stopped session's plan objects). The session
+  * reference is STRONG on purpose — a cached DataFrame's plan holds
+  * its session strongly anyway, so a weak reference could never
+  * clear and would only hide the pinning; instead, eviction keys on
+  * session LIFECYCLE: every miss-path write first sweeps entries
+  * whose owning session has been STOPPED (their plans can never be
+  * executed again), so a retired session's entries leave promptly
+  * without ever evicting a live session's hot entries.
   *
-  * Bounded: the map clears wholesale past [[MaxEntries]] (generations
-  * retire monotonically, so a rare full re-read beats LRU machinery). */
+  * Bounded: if LIVE entries alone exceed [[MaxEntries]] after the
+  * stopped-session sweep, the map clears wholesale (generations
+  * retire monotonically, so a rare full re-read beats LRU
+  * machinery). */
 object GenCache {
 
   private val MaxEntries = 256
 
-  private final case class Entry(
-      session: java.lang.ref.WeakReference[SparkSession], value: AnyRef)
+  private final case class Entry(session: SparkSession, value: AnyRef)
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** Drop every entry whose owning session is stopped — their plan
+    * objects are dead weight that a weak reference could never
+    * reclaim (the cached value pins the session strongly). Runs on
+    * every miss-path write; O(entries) over a ≤[[MaxEntries]] map. */
+  private def sweepStopped(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.session.sparkContext.isStopped) it.remove()
+  }
 
   private val GenSegment = ".*/gen=\\d+/?".r
 
@@ -52,17 +67,21 @@ object GenCache {
       f: => T): T =
     if (!cacheable(root)) f
     else {
-      if (cache.size > MaxEntries) cache.clear()
       val key = s"${System.identityHashCode(spark)}#$root#$kind"
       cache.get(key) match {
-        case e: Entry if e.session.get() eq spark =>
+        case e: Entry if (e.session eq spark) &&
+            !spark.sparkContext.isStopped =>
           e.value.asInstanceOf[T]
         case _ =>
-          // miss, stale hash-collision, or collected session: compute
-          // and replace (racing computes are benign — same value)
+          // miss or stale hash-collision: compute and replace (racing
+          // computes are benign — same value). Stopped sessions'
+          // entries sweep out here, on the write path, so the
+          // wholesale clear below only fires when LIVE entries alone
+          // exceed the cap.
           val v = f
-          cache.put(key,
-            Entry(new java.lang.ref.WeakReference(spark), v)): Unit
+          sweepStopped()
+          if (cache.size > MaxEntries) cache.clear()
+          cache.put(key, Entry(spark, v)): Unit
           v
       }
     }

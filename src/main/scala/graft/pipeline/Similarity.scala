@@ -646,45 +646,58 @@ object Similarity {
   }
 
   /** [[appendToIndexAtomic]] for the IVF×PQ families: the batch is
-    * cell-assigned and PQ-encoded by the PERSISTED codebooks
-    * (residualized first when `residual` — pair with the matching
-    * build), then lands through the same deterministic-name replay
-    * guard, so a foreachBatch restart is exactly-once. */
+    * cell-assigned and PQ-encoded by the PERSISTED codebooks, then
+    * lands through the same deterministic-name replay guard, so a
+    * foreachBatch restart is exactly-once. The ENCODING comes from
+    * the artifact's own `pq_meta` — a residual-built index gets
+    * residual encoding no matter what the caller passed, so a
+    * mis-flagged append can never write plain codes that the residual
+    * search would decode as residuals (silently wrong rankings). The
+    * `residual` flag covers only pre-meta artifacts, which cannot
+    * say. `payload` columns of the batch ride into the cells rows
+    * exactly as in [[appendToIndexPqJoined]] — a filtered
+    * (payload-built) index is streaming-maintainable like every other
+    * layout; a payload-MISMATCHED batch is still refused loudly. */
   def appendToIndexPqAtomic(batch: DataFrame, cId: String, cVec: String,
                             dims: Int, m: Int, path0: String, batchId: Long,
-                            residual: Boolean = false): Unit = {
+                            residual: Boolean = false,
+                            payload: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
     if (fs.exists(marker)) return
-    // streaming appends carry no payload columns (yet): refuse a
-    // payload-built index loudly rather than writing rows filtered
-    // search would silently never return
-    requirePayloadMatch(spark, path, Nil)
+    requirePayloadMatch(spark, path, payload)
+    val res = readPqMeta(spark, path).getOrElse(residual)
     val cb = readArtifact(spark, path, "codebook")
     val pqcb = readArtifact(spark, path, "pq_codebook")
     val assigned = graft.engine.Staging.stage(
       assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb))
     val enc =
-      if (residual)
+      if (res)
         pqEncode(withResiduals(assigned, cVec, cb)
           .select(col(cId), col("__res")), cId, "__res", dims, m, pqcb)
       else pqEncode(batch.select(col(cId), col(cVec)), cId, cVec, dims, m, pqcb)
-    atomicCellsWrite(spark, assigned.join(enc, Seq(cId)), path, batchId)
+    atomicCellsWrite(spark,
+      withPqPayload(assigned.join(enc, Seq(cId)), batch, cId, payload),
+      path, batchId)
   }
 
   /** Started-able streaming maintenance for an IVF×PQ (or residual)
     * index — [[streamingIndexAppend]]'s twin: every micro-batch
-    * assigns, encodes and lands exactly-once under a
-    * batchId-deterministic name; fold accumulated batch files with
-    * [[compactIndexCells]] off the hot path. */
+    * assigns, encodes (residual-or-plain per the artifact's own
+    * pq_meta) and lands exactly-once under a batchId-deterministic
+    * name, payload columns riding for filtered search; fold
+    * accumulated batch files with [[compactIndexCells]] off the hot
+    * path. */
   def streamingIndexAppendPq(vectors: DataFrame, cId: String, cVec: String,
                              dims: Int, m: Int, path: String,
-                             residual: Boolean = false) =
+                             residual: Boolean = false,
+                             payload: Seq[String] = Nil) =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      appendToIndexPqAtomic(batch, cId, cVec, dims, m, path, batchId, residual)
+      appendToIndexPqAtomic(batch, cId, cVec, dims, m, path, batchId,
+        residual, payload)
     }
 
   /** The index cells store's REQUIRED compaction entry point:
@@ -992,26 +1005,112 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$root/twolevel_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).head().getInt(0))
+    else Some(spark.read.parquet(p.toString)
+      .select(col("coarse_probe")).head().getInt(0))
   }
+
+  /** The persisted payload column names of a two-level artifact (None
+    * for a pre-meta or pre-payload-meta index) — [[readPqPayloadMeta]]
+    * for the hierarchical layout. */
+  def readTwoLevelPayloadMeta(spark: org.apache.spark.sql.SparkSession,
+                              root: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/twolevel_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val df = spark.read.parquet(p.toString)
+      if (!df.columns.contains("payload")) None
+      else Some(df.select(col("payload")).head().getSeq[String](0))
+    }
+  }
+
+  /** Marker-idempotent APPEND for a TWO-LEVEL artifact — the path
+    * that makes hierarchical indexes maintainable without the full
+    * [[retrainIndexTwoLevel]] rebuild: the batch assigns through the
+    * persisted coarse→fine hierarchy at FIXED codebooks (the
+    * artifact's own `coarseProbe` from twolevel_meta — never a caller
+    * flag), payload columns ride for filtered search (mismatches
+    * refused loudly, pq_meta's contract), and rows land in the fine
+    * `cell_id=N/` layout through the deterministic-name replay guard
+    * of [[atomicCellsWrite]] — a foreachBatch restart is
+    * exactly-once. Search/Compact/erasure machinery is unchanged:
+    * appended rows are ordinary cells rows. Like every fixed-codebook
+    * append, accumulated drift is the retrain trigger
+    * ([[maybeRetrain]]), not this path's concern. */
+  def appendToIndexTwoLevel(batch: DataFrame, cId: String, cVec: String,
+                            path0: String, batchId: Long,
+                            payload: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val path = IndexGen.resolveRoot(spark, path0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
+    if (fs.exists(marker)) return
+    readTwoLevelPayloadMeta(spark, path).foreach { built =>
+      require(payload.sorted == built.sorted,
+        s"two-level index at $path was built with payload columns " +
+          s"${built.mkString("[", ",", "]")} — appends must carry the " +
+          s"same (got ${payload.mkString("[", ",", "]")})")
+    }
+    val cp = readTwoLevelMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path predates twolevel_meta — rebuild via retrainIndexTwoLevel " +
+          "before appending (the artifact cannot say its coarseProbe)"))
+    val fine = readArtifact(spark, path, "codebook")
+    val coarse = readArtifact(spark, path, "codebook_coarse")
+    val assigned = probeCellsTwoLevel(batch.select(col(cId), col(cVec)),
+      cId, cVec, fine, coarse, cp, nProbe = 1)
+    val rows =
+      if (payload.isEmpty) assigned
+      else assigned.join(
+        batch.select(col(cId) +: payload.map(col): _*), Seq(cId))
+    atomicCellsWrite(spark, rows, path, batchId)
+  }
+
+  /** Started-able streaming maintenance for a two-level index —
+    * [[streamingIndexAppendPq]]'s hierarchical twin. */
+  def streamingIndexAppendTwoLevel(vectors: DataFrame, cId: String,
+                                   cVec: String, path: String,
+                                   payload: Seq[String] = Nil) =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendToIndexTwoLevel(batch, cId, cVec, path, batchId, payload)
+    }
 
   /** The layout family of a cells-layout vector artifact at its
     * RESOLVED root — the dispatch key for kind-agnostic maintenance
     * (HTTP retrain, [[maybeRetrain]]): `two_level` (hierarchical
-    * codebooks), `pq` (composed IVF×PQ — cells rows carry codes), or
-    * `flat` (float / quantized joined layouts). Detection reads
-    * directory existence plus one parquet FOOTER (the cells schema),
-    * never data rows. */
+    * codebooks), `pq` (composed IVF×PQ — cells rows carry codes),
+    * `pq_codes` (a [[buildPqIndex]] codes-only artifact — no floats
+    * stored, so UNRETRAINABLE by design; maintenance planes report
+    * that instead of attempting a rebuild), or `flat` (float /
+    * quantized joined layouts). Detection is directory-existence only
+    * for every artifact this repo builds — `pq_meta`/`pq_codebook`
+    * are written at build time, so the PQ probe never lists the
+    * (large, partitioned) cells directory; the cells-SCHEMA sniff
+    * survives only as the fallback for composed artifacts that
+    * predate pq_meta, and it is the one branch that pays a directory
+    * listing. */
   def indexLayout(spark: org.apache.spark.sql.SparkSession,
                   root: String): String = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def has(d: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$root/$d"))
     if (has("codebook_coarse")) "two_level"
+    else if (!has("cells") && has("codes")) "pq_codes"
+    else if (has("pq_meta") || has("pq_codebook")) "pq"
     else if (has("cells") &&
       spark.read.parquet(s"$root/cells").columns.contains("codes")) "pq"
     else "flat"
   }
+
+  /** The RETRAINABILITY contract of a layout: every cells-bearing
+    * layout retrains through [[retrainDispatch]]; a codes-only PQ
+    * artifact stores no float vectors to re-encode from, so it is
+    * unretrainable BY DESIGN — the operator must keep the source
+    * corpus and rebuild via [[buildPqIndex]]. Recorded here (one
+    * definition) so the registry listing, the maybe-retrain report
+    * and the dispatcher can never disagree. */
+  def layoutRetrainable(layout: String): Boolean = layout != "pq_codes"
 
   /** Retrain ANY cells-layout artifact by its DETECTED kind — the one
     * entry point a maintenance plane (HTTP retrain, a scheduled
@@ -1032,6 +1131,11 @@ object Similarity {
                       coarseProbe: Option[Int] = None): (Long, Int) = {
     val cur = IndexGen.resolveRoot(spark, path)
     indexLayout(spark, cur) match {
+      case "pq_codes" =>
+        throw new IllegalArgumentException(
+          s"$path is a codes-only PQ artifact — no float vectors are " +
+            "stored, so it cannot retrain; keep the source corpus and " +
+            "rebuild via Similarity.buildPqIndex")
       case "two_level" =>
         retrainIndexTwoLevel(spark, path, cId, cVec,
           fineIters = maxIters, coarseIters = maxIters, eps = eps,
@@ -1223,6 +1327,74 @@ object Similarity {
           t
         }
       })
+
+  /** Upper bound of a LONG column across every LIVE data file of a
+    * cells store, from parquet FOOTER statistics alone — metadata
+    * round trips (per-cell manifest list + per-file footer, both
+    * through the shared pool), never a data scan. This is what makes
+    * cheap-and-loud precondition guards possible on the serving path:
+    * the [[maxSimTopKIndexed]] token-id bound reads footers instead
+    * of aggregating a corpus column per search. Returns None when the
+    * store is empty or any file lacks usable stats for the column
+    * (schema drift, all-null chunk) — callers fall back to their
+    * exact check rather than trusting a partial bound. Deletes are
+    * ignored deliberately: a deleted id only makes the bound more
+    * conservative, never less safe. */
+  private[graft] def footerMaxLong(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   column: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val cellDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell_id="))
+      .map(_.getPath).toSeq
+    // one pool task per cell: manifest list + that cell's footers —
+    // the same bound-parallel shape (and pool) as readProbedCells
+    val perCell = cellDirs.map { d =>
+      manifestPool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          val files = graft.sources.Compact.livePartPaths(spark, d)
+          val maxes = files.map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+            try {
+              val chunks = scala.jdk.CollectionConverters
+                .ListHasAsScala(r.getFooter.getBlocks).asScala
+                .flatMap(b => scala.jdk.CollectionConverters
+                  .ListHasAsScala(b.getColumns).asScala)
+                .filter(_.getPath.toDotString == column)
+              if (chunks.isEmpty) None // column absent from this file
+              else {
+                val ms = chunks.map { c =>
+                  val st = c.getStatistics
+                  if (st == null || !st.hasNonNullValue) None
+                  else st.genericGetMax match {
+                    case l: java.lang.Long => Some(l.longValue)
+                    case i: java.lang.Integer => Some(i.longValue)
+                    case _ => None // not an integral column
+                  }
+                }
+                if (ms.exists(_.isEmpty)) None else Some(ms.flatten.max)
+              }
+            } finally r.close()
+          }
+          if (maxes.isEmpty) Some(Long.MinValue) // empty cell: no rows
+          else if (maxes.exists(_.isEmpty)) None
+          else Some(maxes.flatten.max)
+        }
+      })
+    }.map { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    }
+    if (perCell.isEmpty || perCell.exists(_.isEmpty)) None
+    else Some(perCell.flatten.max).filter(_ != Long.MinValue)
+  }
 
   private def readProbedCells(spark: org.apache.spark.sql.SparkSession,
                               path: String,
@@ -1867,6 +2039,24 @@ object Similarity {
           s"appends must carry the same (got ${payload.mkString("[", ",", "]")})")
     }
 
+  /** Append-side ENCODING validation — [[requirePayloadMatch]]'s twin
+    * for the residual flag: appending plain-encoded codes to a
+    * residual-built index (or vice versa) corrupts nothing physically
+    * but makes the paired search decode them under the WRONG scheme —
+    * silently wrong rankings, never an error. The named append
+    * functions each assert the artifact's persisted flag matches the
+    * scheme they encode; pre-meta artifacts (no recorded flag) skip
+    * the check, exactly like the payload guard. */
+  private def requireEncodingMatch(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, residual: Boolean,
+                                   other: String): Unit =
+    readPqMeta(spark, root).foreach { built =>
+      require(built == residual,
+        s"index at $root was built with residual=$built — use $other " +
+          "(or appendToIndexPqAtomic, which derives the encoding from " +
+          "pq_meta)")
+    }
+
   /** [[appendToIndexJoined]] for a composed IVF×PQ index: the batch
     * is cell-assigned by the persisted coarse codebook AND encoded by
     * the persisted PQ codebooks (neither retrained — cells and code
@@ -1880,6 +2070,8 @@ object Similarity {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
     requirePayloadMatch(spark, path, payload)
+    requireEncodingMatch(spark, path, residual = false,
+      "appendToIndexPqResidual")
     val cb = readArtifact(spark, path, "codebook")
     val pqcb = readArtifact(spark, path, "pq_codebook")
     val codes = pqEncode(batch, cId, cVec, dims, m, pqcb)
@@ -2012,6 +2204,8 @@ object Similarity {
     val spark = batch.sparkSession
     val path = IndexGen.resolveRoot(spark, path0)
     requirePayloadMatch(spark, path, payload)
+    requireEncodingMatch(spark, path, residual = true,
+      "appendToIndexPqJoined")
     val cb = readArtifact(spark, path, "codebook")
     val pqcb = readArtifact(spark, path, "pq_codebook")
     val assigned = graft.engine.Staging.stage(
@@ -2137,12 +2331,13 @@ object Similarity {
     fine.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     coarse.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/codebook_coarse")
-    // build-time hierarchy knob persisted with the artifact, so a
-    // retrain replays assignment with the SAME coarseProbe the build
-    // used instead of trusting a caller flag
+    // build-time hierarchy knob AND payload columns persisted with
+    // the artifact, so a retrain replays assignment with the SAME
+    // coarseProbe the build used and appends can refuse a
+    // payload-mismatched batch (pq_meta's contract)
     locally {
       import corpus.sparkSession.implicits._
-      Seq(coarseProbe).toDF("coarse_probe")
+      Seq((coarseProbe, payload)).toDF("coarse_probe", "payload")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/twolevel_meta")
     }
     val assigned = probeCellsTwoLevel(corpus.select(col(cId), col(cVec)),
@@ -2271,12 +2466,15 @@ object Similarity {
     * the passageTopK convention plus an offset), and token-instance
     * ids must stay below 1e12.
     *
-    * `validateTokenIds` (default true) runs the token-id bound as one
-    * columnar max over `docTokens` per search — exact and loud, the
-    * right default. A 100 TB deployment whose token ids are validated
-    * ONCE at index build (the ids never change after that) passes
-    * false to keep the corpus-column scan out of the serving path;
-    * the query-side guards are frame-bounded and always run. */
+    * `validateTokenIds` (default true) bounds the INDEX's token ids
+    * from its parquet FOOTER statistics ([[footerMaxLong]] — metadata
+    * round trips, no data scan, and the index is where a colliding id
+    * would actually corrupt the candidate tail), so the default is
+    * both loud and serving-cheap; only when stats are unusable does
+    * it fall back to one exact columnar max over `docTokens`. A 100 TB
+    * deployment whose ids are validated ONCE at build passes false to
+    * skip even the footer sweep; the query-side guards are
+    * frame-bounded and always run. */
   def maxSimTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                         queryTokens: DataFrame, qId: String, qPos: String,
                         qVec: String, path: String, tokId: String,
@@ -2307,9 +2505,20 @@ object Similarity {
         s"maxSimTopKIndexed needs $qPos < 1e6 (composite probe-id scheme)")
     }
     if (validateTokenIds) {
-      val tg = docTokens.agg(max(col(tokId).cast("long"))).head()
-      require(tg.isNullAt(0) || tg.getLong(0) < 1000000000000L,
-        s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId)")
+      // bound the ids IN THE INDEX (where a collision with the
+      // composite probe-id space would corrupt the candidate tail)
+      // from footer stats; exact docTokens aggregate only as the
+      // stats-unusable fallback
+      footerMaxLong(spark, IndexGen.resolveRoot(spark, path), tokId) match {
+        case Some(mx) =>
+          require(mx < 1000000000000L,
+            s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId): " +
+              s"index at $path holds $mx")
+        case None =>
+          val tg = docTokens.agg(max(col(tokId).cast("long"))).head()
+          require(tg.isNullAt(0) || tg.getLong(0) < 1000000000000L,
+            s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId)")
+      }
     }
     // composite probe id offset above any token-instance id (< 1e12),
     // so the index tail's query≠candidate self-exclusion (meant for

@@ -347,6 +347,174 @@ class IndexGenSpec extends SparkTestBase {
       s"retrain must lower the worst per-cell drift: $before -> ${maxDrift()}")
   }
 
+  test("two-level append: fixed-codebook append == rebuild; exactly-once replay; payload rides; mismatch refused") {
+    import spark.implicits._
+    val dims = 8
+    val all = corpus(120, dims).withColumn("label", col("vec_id") % 3)
+    val base = all.filter(col("vec_id") < 100)
+    val batch = all.filter(col("vec_id") >= 100)
+    val fine = Similarity.seedCodebook(base, "vec_id", "embedding", 8)
+    val coarse = Similarity.seedCodebook(base, "vec_id", "embedding", 2)
+    val appended = tmpDir("gen-2la")
+    Similarity.buildIndexTwoLevel(base, "vec_id", "embedding", fine, coarse,
+      coarseProbe = 2, appended, payload = Seq("label"))
+    Similarity.appendToIndexTwoLevel(batch, "vec_id", "embedding", appended,
+      batchId = 0L, payload = Seq("label"))
+    // the reference: ONE build over the union at the SAME codebooks
+    val rebuilt = tmpDir("gen-2lr")
+    Similarity.buildIndexTwoLevel(all, "vec_id", "embedding", fine, coarse,
+      coarseProbe = 2, rebuilt, payload = Seq("label"))
+    def results(path: String, where: Option[org.apache.spark.sql.Column]) =
+      Similarity.ivfTopKIndexedTwoLevel(spark, queriesOf(all), "q_id",
+          "q_vec", path, "vec_id", "embedding", k = 3, coarseProbe = 2,
+          nProbe = 4, where = where)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    assert(results(appended, None) == results(rebuilt, None),
+      "append+search must equal rebuild+search at fixed codebooks")
+    // payload rode the append: FILTERED search agrees too, and an
+    // appended row is reachable through its payload value
+    val f = Some(col("label") === 1)
+    assert(results(appended, f) == results(rebuilt, f))
+    val hit = Similarity.ivfTopKIndexedTwoLevel(spark,
+        all.filter(col("vec_id") === 101)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "q_id", "q_vec", appended, "vec_id", "embedding", k = 120,
+        coarseProbe = 2, nProbe = 8)
+      .filter(col("vec_id") >= 100).collect()
+    assert(hit.nonEmpty, "appended rows must be searchable")
+    // exactly-once: marker replay AND crash-before-marker replay
+    val before = spark.read.parquet(s"$appended/cells").count()
+    Similarity.appendToIndexTwoLevel(batch, "vec_id", "embedding", appended,
+      batchId = 0L, payload = Seq("label"))
+    assert(spark.read.parquet(s"$appended/cells").count() == before)
+    val fs = new org.apache.hadoop.fs.Path(appended)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(appended,
+      f".batch-${0L}%09d.done"), false)
+    Similarity.appendToIndexTwoLevel(batch, "vec_id", "embedding", appended,
+      batchId = 0L, payload = Seq("label"))
+    assert(spark.read.parquet(s"$appended/cells").count() == before,
+      "crash-before-marker replay overwrites, never appends")
+    // a payload-built hierarchy refuses a payload-less batch
+    intercept[IllegalArgumentException](Similarity.appendToIndexTwoLevel(
+      batch, "vec_id", "embedding", appended, batchId = 1L))
+  }
+
+  test("PQ appends validate encoding against pq_meta; the atomic path derives it outright") {
+    import spark.implicits._
+    val c = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 0.11 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.syntheticCodebook(spark, nCells = 8, dims = 16)
+    val batch = Seq((200L, Array.tabulate(16)(d =>
+      math.cos(2000 * 0.11 + d).toFloat))).toDF("vec_id", "embedding")
+    // plain-built index refuses the residual append function...
+    val plain = tmpDir("gen-encp")
+    Similarity.buildIndexPqJoined(c, "vec_id", "embedding", cb,
+      dims = 16, m = 4, kCents = 4, iters = 1, plain)
+    intercept[IllegalArgumentException](Similarity.appendToIndexPqResidual(
+      batch, "vec_id", "embedding", dims = 16, m = 4, plain))
+    // ...and a residual-built one refuses the plain append function
+    val res = tmpDir("gen-encr")
+    Similarity.buildIndexPqResidual(c, "vec_id", "embedding", cb,
+      dims = 16, m = 4, kCents = 4, iters = 1, res)
+    intercept[IllegalArgumentException](Similarity.appendToIndexPqJoined(
+      batch, "vec_id", "embedding", dims = 16, m = 4, res))
+    // the atomic path IGNORES a wrong caller flag: residual=false on a
+    // residual artifact still writes residual-encoded codes — probing
+    // for the appended vector must rank it first (a plain-encoded row
+    // would decode as garbage residuals and lose the re-rank)
+    Similarity.appendToIndexPqAtomic(batch, "vec_id", "embedding",
+      dims = 16, m = 4, res, batchId = 0L, residual = false)
+    // q_id 999 ≠ 200: the tail's query≠candidate self-exclusion must
+    // not hide the appended row we probe for
+    val probe = batch.select(lit(999L).as("q_id"),
+      col("embedding").as("q_vec"))
+    val top = Similarity.ivfTopKIndexedPqResidual(spark, probe, "q_id",
+        "q_vec", res, "vec_id", "embedding", k = 1, shortlist = 70,
+        nProbe = 8).collect()
+    assert(top.head.getAs[Long]("vec_id") == 200L, top.toSeq)
+  }
+
+  test("doc-level erasure of a token index: payload-keyed delete hides every instance; purge counts ROWS") {
+    import spark.implicits._
+    val dims = 8
+    // 6 docs × 4 distinct tokens each = 24 instances; doc ids keyed as
+    // payload, instance ids composite
+    val inst = (0 until 6).flatMap { d =>
+      (0 until 4).map(t => (d * 1000000L + t + 1, d.toLong, s"tok${(d + t) % 7}"))
+    }.toDF("tok_id", "doc_id", "token")
+      .withColumn("d_vec", Similarity.tokenVector(col("token"), dims))
+      .select("tok_id", "doc_id", "d_vec")
+    val dir = tmpDir("gen-docdel")
+    Similarity.buildIndexJoined(inst, "tok_id", "d_vec",
+      Similarity.syntheticCodebook(spark, nCells = 4, dims = dims),
+      dir, payload = Seq("doc_id"))
+    // delete TWO docs by payload key: 8 instance rows behind 2 keys
+    Similarity.deleteFromIndex(spark, dir,
+      Seq(1L, 4L).toDF("doc_id"), "gdpr-docs")
+    val (cells, rows) = Similarity.purgeIndexDeletes(spark, dir, "gdpr-docs")
+    assert(rows == 8L,
+      s"purge must count matched ROWS (8 instances), not keys (2): got $rows")
+    assert(cells >= 1)
+    val left = spark.read.parquet(s"$dir/cells")
+    assert(left.filter(col("doc_id").isin(1L, 4L)).count() == 0)
+    assert(left.count() == 16)
+    // the purged docs are invisible to indexed maxsim (probe-all):
+    // equal to brute over the surviving instances
+    val qt = Seq((0L, 0L, "tok2"), (0L, 1L, "tok5"))
+      .toDF("q_id", "q_pos", "token")
+      .withColumn("q_vec", Similarity.tokenVector(col("token"), dims))
+    val got = Similarity.maxSimTopKIndexed(spark, qt, "q_id", "q_pos",
+        "q_vec", dir, "tok_id", "d_vec", inst, "doc_id", "d_vec",
+        k = 10, nProbe = 4, candTok = 100)
+      .collect().map(_.toString).toSeq.sorted
+    val want = Similarity.maxSimTopK(qt,
+        inst.filter(!col("doc_id").isin(1L, 4L))
+          .select(col("doc_id"), col("d_vec")),
+        "q_id", "q_pos", "q_vec", "doc_id", "d_vec", k = 10)
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == want, "indexed maxsim after doc purge != brute over filtered corpus")
+    assert(got.nonEmpty)
+  }
+
+  test("maxsim token-id guard reads footer stats: violating INDEX ids fire, compliant pass, bound is exact") {
+    import spark.implicits._
+    val dims = 8
+    def inst(offset: Long) = (0 until 30).map { i =>
+      (offset + i, (i % 6).toLong, s"tok$i")
+    }.toDF("tok_id", "doc_id", "token")
+      .withColumn("d_vec", Similarity.tokenVector(col("token"), dims))
+      .select("tok_id", "doc_id", "d_vec")
+    val qt = Seq((0L, 0L, "tok3"), (0L, 1L, "tok7"))
+      .toDF("q_id", "q_pos", "token")
+      .withColumn("q_vec", Similarity.tokenVector(col("token"), dims))
+    val cb = Similarity.syntheticCodebook(spark, nCells = 4, dims = dims)
+    // compliant index: the footer bound is the exact max id, and the
+    // guarded search runs
+    val ok = tmpDir("gen-fmax")
+    val okInst = inst(5000L)
+    Similarity.buildIndexJoined(okInst, "tok_id", "d_vec", cb, ok,
+      payload = Seq("doc_id"))
+    assert(Similarity.footerMaxLong(spark, ok, "tok_id").contains(5029L))
+    assert(Similarity.footerMaxLong(spark, ok, "no_such_col").isEmpty)
+    assert(Similarity.maxSimTopKIndexed(spark, qt, "q_id", "q_pos", "q_vec",
+      ok, "tok_id", "d_vec", okInst, "doc_id", "d_vec",
+      k = 3, nProbe = 4, candTok = 40).collect().nonEmpty)
+    // violating index (ids >= 1e12 collide with the composite probe-id
+    // space): the guard fires FROM THE FOOTERS — the docTokens frame
+    // passed alongside is compliant, so only the index bound can trip
+    val bad = tmpDir("gen-fbad")
+    Similarity.buildIndexJoined(inst(1000000000000L), "tok_id", "d_vec",
+      cb, bad, payload = Seq("doc_id"))
+    val e = intercept[IllegalArgumentException](Similarity.maxSimTopKIndexed(
+      spark, qt, "q_id", "q_pos", "q_vec", bad, "tok_id", "d_vec",
+      okInst, "doc_id", "d_vec", k = 3, nProbe = 4, candTok = 40))
+    assert(e.getMessage.contains("index at"), e.getMessage)
+  }
+
   test("text index: atomic rebuild + analyzer resolves through the generation") {
     import spark.implicits._
     val docs = Seq(

@@ -251,6 +251,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PQ append carries payload: streamed rows reach where-filtered search; mismatched batches refused") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-spqp").toString
+    val corpus = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 0.11 + d).toFloat),
+        (i % 3).toLong)
+    }.toDF("vec_id", "v", "label")
+    Similarity.buildIndexPqJoined(corpus, "vec_id", "v",
+      Similarity.syntheticCodebook(spark, nCells = 8, dims = 16),
+      dims = 16, m = 4, kCents = 4, iters = 1, dir,
+      payload = Seq("label"))
+    val input = MemoryStream[(Long, Array[Float], Long)]
+    val q = Similarity.streamingIndexAppendPq(
+      input.toDF().toDF("vec_id", "v", "label"), "vec_id", "v",
+      dims = 16, m = 4, dir, payload = Seq("label"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // a novel vector with a payload value NO corpus row has: the
+      // only way a label=7 filtered search can return anything is the
+      // streamed row's payload riding into the cells store
+      val twinVec = Array.tabulate(16)(d => math.cos(1000 * 0.11 + d).toFloat)
+      input.addData((1042L, twinVec, 7L))
+      q.processAllAvailable()
+      val probe = Seq((999L, twinVec)).toDF("q_id", "q_vec")
+      val top = Similarity.ivfTopKIndexedPq(spark, probe, "q_id", "q_vec",
+        dir, "vec_id", "v", k = 3, shortlist = 70, nProbe = 8,
+        where = Some(org.apache.spark.sql.functions.col("label") === 7L))
+        .collect()
+      assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(1042L), top.toSeq)
+      // replay stays a no-op with payload in flight
+      val before = spark.read.parquet(s"$dir/cells").count()
+      Similarity.appendToIndexPqAtomic(
+        Seq((1042L, twinVec, 7L)).toDF("vec_id", "v", "label"),
+        "vec_id", "v", dims = 16, m = 4, dir, batchId = 0L,
+        payload = Seq("label"))
+      assert(spark.read.parquet(s"$dir/cells").count() == before,
+        "replayed batch must not append duplicate rows")
+      // the refusal survives exactly for MISMATCHED batches: a
+      // payload-less append to this payload-built index still throws
+      intercept[IllegalArgumentException](Similarity.appendToIndexPqAtomic(
+        Seq((1043L, twinVec)).toDF("vec_id", "v"), "vec_id", "v",
+        dims = 16, m = 4, dir, batchId = 9L))
+    } finally q.stop()
+  }
+
   test("streaming IVF x PQ (residual) append: batches assign+encode with persisted codebooks, exactly-once") {
     import spark.implicits._
     import graft.pipeline.Similarity
