@@ -91,6 +91,33 @@ object JsonApi {
                          registry: Registry = Registry.open): DataFrame =
     Records.searchGroups(events, JsonDsl.groupRecordsSearch(json, registry))
 
+  /** The canonical token-INSTANCE derivation shared by maxsim index
+    * builds and the indexed request route: DISTINCT (doc, token)
+    * pairs (maxsim's max over a multiset equals the max over its
+    * set), md5 token vectors, and the deterministic instance id
+    * `doc·1e6 + rank-of-token-within-doc` — the composite that keeps
+    * every id < 1e12 for corpora with < 1e6 distinct tokens per doc
+    * and ids < ~9e5 million. An index named by a maxsim request MUST
+    * have been built over exactly this frame
+    * (`Similarity.buildIndexJoined(tokenInstances(...), "tok_id",
+    * "d_vec", …, payload = Seq(idCol))`) — one definition here, so
+    * build and serving can never drift. */
+  def maxsimTokenInstances(docs: DataFrame, idCol: String, textCol: String,
+                           dims: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__tok"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .distinct()
+      .withColumn("d_vec",
+        graft.pipeline.Similarity.tokenVector(col("__tok"), dims))
+      .withColumn("tok_id",
+        col(idCol) * 1000000L + row_number().over(w))
+      .select(col("tok_id"), col(idCol), col("d_vec"))
+  }
+
   /** JSON retrieval request → ranked result frame (beyond-reference
     * surface — the reference ships no text retrieval, but this repo's
     * rule is that every analysis is reachable from the request
@@ -101,54 +128,111 @@ object JsonApi {
     * Both routes ARE the library operators
     * (TextAnalysis.bm25TopK / Similarity.bruteForceTopK /
     * Retrieval.rrfFuse), so results are bit-identical to the
-    * DataFrame path. */
+    * DataFrame path.
+    *
+    * `resolveIndex` is the PERSISTED-INDEX hook: a request naming an
+    * `index` (or `semantic.index`) resolves it to an artifact path —
+    * the HTTP layer passes its admin registry (ids only, so a request
+    * can never aim a search at an arbitrary filesystem path), library
+    * callers default to treating the name as a path. With an index,
+    * every text mode dispatches to its INDEXED operator — bm25 /
+    * sparse / passage / maxsim served from postings or probed cells,
+    * the raw corpus never rescanned; the persisted analyzer travels
+    * with the artifact (request analyzer blocks are rejected at
+    * parse). The semantic half dispatches to the probed-cell ANN
+    * tail when its block names an index. */
   def search(docs: DataFrame, json: String,
              idCol: String = "doc_id", textCol: String = "text",
              embeddings: Option[DataFrame] = None,
-             embId: String = "vec_id", embVec: String = "embedding"): DataFrame = {
+             embId: String = "vec_id", embVec: String = "embedding",
+             resolveIndex: Option[String => String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val req = JsonDsl.search(json)
+    val spark = docs.sparkSession
+    def resolved(name: String): String =
+      resolveIndex.map(_(name)).getOrElse(name)
+    val idx = req.index.map(resolved)
     if (req.maxsim.nonEmpty) {
       // late-interaction mode: the request's terms become per-token
       // query vectors and docs score by Σ max cos — the SAME operator
       // (and md5 token-vector space) as the maxsim_search TVF
       import org.apache.spark.sql.functions._
-      val spark = docs.sparkSession
       import spark.implicits._
-      val dims = req.maxsim.get.dims
+      val ms = req.maxsim.get
       val qt = req.terms.zipWithIndex.map { case (t, i) => (0L, i.toLong, t) }
         .toDF("__q_id", "__q_pos", "__tok")
         .withColumn("__q_vec",
-          graft.pipeline.Similarity.tokenVector(col("__tok"), dims))
-      val dt = docs
-        .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-        .filter(length(col("__tok")) > 0)
-        .distinct()
-        .withColumn("__d_vec",
-          graft.pipeline.Similarity.tokenVector(col("__tok"), dims))
-      graft.pipeline.Similarity.maxSimTopK(qt, dt,
-          "__q_id", "__q_pos", "__q_vec", idCol, "__d_vec", req.topK)
-        .select(col(idCol), col("maxsim_micro"), col("qtokens_hit"),
-          col("rank"))
+          graft.pipeline.Similarity.tokenVector(col("__tok"), ms.dims))
+      idx match {
+        case Some(path) =>
+          // indexed late interaction: candidates through the probed
+          // token-instance cells, exact maxsim over candidate docs
+          // only (maxSimTopKIndexed's contract)
+          val dt = maxsimTokenInstances(docs, idCol, textCol, ms.dims)
+          graft.pipeline.Similarity.maxSimTopKIndexed(spark, qt,
+              "__q_id", "__q_pos", "__q_vec", path, "tok_id", "d_vec",
+              dt, idCol, "d_vec", req.topK, ms.nProbe, ms.candTok)
+            .select(col(idCol), col("maxsim_micro"), col("qtokens_hit"),
+              col("rank"))
+        case None =>
+          val dt = docs
+            .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+            .filter(length(col("__tok")) > 0)
+            .distinct()
+            .withColumn("__d_vec",
+              graft.pipeline.Similarity.tokenVector(col("__tok"), ms.dims))
+          graft.pipeline.Similarity.maxSimTopK(qt, dt,
+              "__q_id", "__q_pos", "__q_vec", idCol, "__d_vec", req.topK)
+            .select(col(idCol), col("maxsim_micro"), col("qtokens_hit"),
+              col("rank"))
+      }
     } else if (req.weights.nonEmpty)
-      // sparse mode: integer-weighted term sums, no BM25 stats at all
-      graft.pipeline.TextAnalysis.weightedTermTopKScan(
-        docs, idCol, textCol, req.weights, req.topK)
+      idx match {
+        // sparse mode: integer-weighted term sums, no BM25 stats at
+        // all — postings-pruned when an index is named
+        case Some(path) =>
+          graft.pipeline.TextAnalysis.weightedTermTopK(
+              spark, path, req.weights, req.topK)
+            .withColumnRenamed("doc_id", idCol)
+        case None =>
+          graft.pipeline.TextAnalysis.weightedTermTopKScan(
+            docs, idCol, textCol, req.weights, req.topK)
+      }
     else req.passage match {
-      // passage mode: chunk-corpus BM25 pooled max-per-document
+      // passage mode: chunk-corpus BM25 pooled max-per-document; a
+      // named index must be a buildPassageIndex artifact with the
+      // SAME chunking knobs (they are build-time properties — the
+      // request's window/stride describe the artifact, not a rechunk)
       case Some(p) =>
-        graft.pipeline.TextAnalysis.passageTopK(
-          docs, idCol, textCol, req.terms, p.window, p.stride, p.passageK,
-          req.topK, req.k1, req.b)
+        idx match {
+          case Some(path) =>
+            graft.pipeline.TextAnalysis.passageTopKIndexed(
+              spark, path, idCol, req.terms, p.passageK, req.topK,
+              req.k1, req.b)
+          case None =>
+            graft.pipeline.TextAnalysis.passageTopK(
+              docs, idCol, textCol, req.terms, p.window, p.stride,
+              p.passageK, req.topK, req.k1, req.b)
+        }
       case None =>
         // an analyzer block normalizes corpus tokens AND query terms
-        // identically (the persisted-analyzer contract, request-scoped)
-        val an = req.analyzer
-          .map(a => graft.pipeline.TextAnalysis.Analyzer(a.lowercase,
-            a.stopwords, a.stemmer))
-          .getOrElse(graft.pipeline.TextAnalysis.Analyzer.identity)
-        val lex = graft.pipeline.TextAnalysis.bm25TopK(
-          docs, idCol, textCol, req.terms, req.topK, req.k1, req.b, an)
+        // identically (the persisted-analyzer contract, request-
+        // scoped); an INDEXED request instead reads the analyzer
+        // persisted with the artifact (resolvedIndex inside
+        // bm25IndexedTopK — the build-time contract)
+        val lex = idx match {
+          case Some(path) =>
+            graft.pipeline.TextAnalysis.bm25IndexedTopK(
+                spark, path, req.terms, req.topK, req.k1, req.b)
+              .withColumnRenamed("doc_id", idCol)
+          case None =>
+            val an = req.analyzer
+              .map(a => graft.pipeline.TextAnalysis.Analyzer(a.lowercase,
+                a.stopwords, a.stemmer))
+              .getOrElse(graft.pipeline.TextAnalysis.Analyzer.identity)
+            graft.pipeline.TextAnalysis.bm25TopK(
+              docs, idCol, textCol, req.terms, req.topK, req.k1, req.b, an)
+        }
         req.semantic match {
           case None => lex
           case Some(s) =>
@@ -156,9 +240,18 @@ object JsonApi {
               "a semantic search block needs an embeddings frame"))
             val q = emb.filter(col(embId) === s.queryId)
               .select(col(embId).as("__q_id"), col(embVec).as("__q_vec"))
-            val sem = graft.pipeline.Similarity.bruteForceTopK(
-                q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
-              .select(col(embId).as("id"), col("rank"))
+            val sem = (s.index.map(resolved) match {
+              case Some(path) =>
+                // ANN half: probed-cell search through the persisted
+                // IVF artifact — the serving form; recall follows
+                // nProbe (measured the q_ann_recall way)
+                graft.pipeline.Similarity.ivfTopKIndexedJoined(spark,
+                  q, "__q_id", "__q_vec", path, embId, embVec,
+                  k = s.k, nProbe = s.nProbe)
+              case None =>
+                graft.pipeline.Similarity.bruteForceTopK(
+                  q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
+            }).select(col(embId).as("id"), col("rank"))
             graft.pipeline.Retrieval.rrfFuse(
               Seq(lex.select(col(idCol).as("id"), col("rank")), sem),
               "id", "rank", req.fuseTopK)

@@ -183,14 +183,20 @@ object JsonDsl {
     if (passage.nonEmpty && terms.isEmpty)
       throw JsonError("passage search needs terms")
     // maxsim mode: {"maxsim": {"dims": 16}} over the usual terms —
-    // late-interaction scoring, exclusive with every other mode
+    // late-interaction scoring, exclusive with every other mode.
+    // nProbe/candTok bound the candidate stage of the INDEXED form
+    // (ignored by the scan form, like every index-only knob).
     val maxsim = j.asOpt("maxsim").map { m =>
       val dims = m.asOpt("dims").map(_.int).getOrElse(16)
       // dims 0 would silently score every pair 0.0 (empty vectors);
       // an absurd width is a typo'd request, not a corpus property
       if (dims < 1 || dims > 4096)
         throw JsonError(s"maxsim dims must be in [1, 4096], got $dims")
-      MaxsimSearch(dims = dims)
+      val nProbe = m.asOpt("nProbe").map(_.int).getOrElse(8)
+      val candTok = m.asOpt("candTok").map(_.int).getOrElse(20)
+      if (nProbe < 1 || candTok < 1)
+        throw JsonError("maxsim nProbe and candTok must be >= 1")
+      MaxsimSearch(dims = dims, nProbe = nProbe, candTok = candTok)
     }
     if (maxsim.nonEmpty && terms.isEmpty)
       throw JsonError("maxsim search needs terms")
@@ -217,18 +223,33 @@ object JsonDsl {
     if (weights.nonEmpty && terms.nonEmpty)
       throw JsonError("supply terms (lexical) or weights (sparse), not both" +
         " — sparse queries carry their terms as the weight keys")
+    // a persisted index serves the request's text mode: {"index":
+    // "docs-idx"}. A named index carries its own PERSISTED analyzer
+    // (the build-time contract), so a request-scoped analyzer block
+    // alongside it could silently disagree with how the postings were
+    // tokenized — rejected, the persisted one wins.
+    val index = j.asOpt("index").map(_.str)
+    if (index.nonEmpty && analyzer.nonEmpty)
+      throw JsonError("a named index carries its own persisted analyzer — " +
+        "drop the analyzer block")
+    if (index.nonEmpty && maxsim.isEmpty && terms.isEmpty && weights.isEmpty)
+      throw JsonError("an index serves lexical/sparse/passage/maxsim " +
+        "requests — supply terms or weights")
     SearchRequest(
       terms = terms,
       topK = j.asOpt("topK").map(_.int).getOrElse(10),
       k1 = j.asOpt("k1").map(_.num).getOrElse(1.2),
       b = j.asOpt("b").map(_.num).getOrElse(0.75),
       semantic = j.asOpt("semantic").map(s => SemanticSearch(
-        (s / "queryId").long, s.asOpt("k").map(_.int).getOrElse(20))),
+        (s / "queryId").long, s.asOpt("k").map(_.int).getOrElse(20),
+        index = s.asOpt("index").map(_.str),
+        nProbe = s.asOpt("nProbe").map(_.int).getOrElse(1))),
       fuseTopK = j.asOpt("fuseTopK").map(_.int).getOrElse(10),
       weights = weights,
       passage = passage,
       maxsim = maxsim,
       analyzer = analyzer,
+      index = index,
       projectId = j.asOpt("projectId").map(_.long))
   }
 

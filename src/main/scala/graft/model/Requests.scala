@@ -309,13 +309,23 @@ final case class SearchRequest(
     passage: Option[PassageSearch] = None,
     maxsim: Option[MaxsimSearch] = None,
     analyzer: Option[AnalyzerSpec] = None,
+    /** A PERSISTED index serving this request's text mode (lexical /
+      * sparse / passage / maxsim): a registered id when the serving
+      * layer supplies a resolver (the HTTP registry), a direct
+      * artifact path otherwise. Absent → the scan forms, the
+      * index-free twins. A named index carries its own persisted
+      * analyzer, so `analyzer` does not combine with it. */
+    index: Option[String] = None,
     projectId: Option[Long] = None)
 
 /** The late-interaction mode of a [[SearchRequest]]: `terms` become
   * per-token query vectors (deterministic md5 space — a stand-in for
   * a real token-embedding table) and documents score by
-  * Σ_{query tokens} max_{doc tokens} cos. */
-final case class MaxsimSearch(dims: Int = 16)
+  * Σ_{query tokens} max_{doc tokens} cos. With a request-level
+  * `index` (a token-instance IVF artifact), `nProbe`/`candTok` bound
+  * the candidate stage of the indexed form. */
+final case class MaxsimSearch(dims: Int = 16, nProbe: Int = 8,
+                              candTok: Int = 20)
 
 /** Optional text analysis of a lexical [[SearchRequest]] — the JSON
   * shape of [[graft.pipeline.TextAnalysis.Analyzer]]: lowercase both
@@ -327,8 +337,13 @@ final case class AnalyzerSpec(lowercase: Boolean = false,
 
 /** The semantic half of a hybrid [[SearchRequest]]: the query vector
   * is the embedding row with `queryId` (the embedded corpus keys
-  * documents by id), ranked to its cosine top-`k`. */
-final case class SemanticSearch(queryId: Long, k: Int = 20)
+  * documents by id), ranked to its cosine top-`k`. `index` names a
+  * persisted IVF artifact over the embedding corpus (id or path,
+  * resolved like the request-level index) — the ANN serving form,
+  * probing `nProbe` cells — instead of the brute scan. */
+final case class SemanticSearch(queryId: Long, k: Int = 20,
+                                index: Option[String] = None,
+                                nProbe: Int = 1)
 
 /** The passage mode of a [[SearchRequest]]: chunk the corpus into
   * `window`-token spans with `stride` overlap, BM25 the chunk corpus,

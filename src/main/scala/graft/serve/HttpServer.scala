@@ -290,8 +290,14 @@ final class GraftHttpServer(
     // library operator (JsonApi.search)
     case ("POST", List("queries", "search")) if documents.isDefined =>
       200 -> Metrics.timed("search") {
+        // persisted-index serving: a request naming an index resolves
+        // it through the SAME admin registry as /admin/indexes —
+        // registered ids only, never raw request-supplied paths (404
+        // on unknown, like every registry lookup)
         val t = Response.collect(JsonApi.search(
-          documents.get, withProject(body, pid), embeddings = embeddings))
+          documents.get, withProject(body, pid), embeddings = embeddings,
+          resolveIndex = Some(id => indexReg.getOrElse(id,
+            throw new RuntimeException(s"index $id not found")))))
         Metrics.recordRows("search", t.rowCount)
         t.toJson
       }
@@ -1017,6 +1023,16 @@ final class GraftHttpServer(
         if (!indexesMounted) return 404 -> err("not found")
         adminGate(ex).getOrElse(registryLock.synchronized {
           if (!indexReg.contains(id)) 404 -> err(s"index $id not found")
+          // constructor-wired ids are the CODE's registrations: the
+          // overlay file never records them, so a DELETE here would
+          // silently revert at the next restart (the constructor map
+          // re-seeds the registry). Refuse loudly — live state and
+          // post-restart state must agree — instead of persisting a
+          // tombstone that would make the file outrank the code.
+          else if (indexes.contains(id))
+            400 -> err(s"index $id is constructor-wired — a registry " +
+              "DELETE cannot survive a restart; remove it from the " +
+              "server constructor instead")
           else {
             apiRegistered = apiRegistered - id
             indexReg = indexReg - id
@@ -1036,8 +1052,13 @@ final class GraftHttpServer(
             return 404 -> err(s"index $id not found"))
           if (indexKind(path) != "vector")
             return 400 -> err("drift applies to vector indexes")
+          // column names as QUERY PARAMETERS first: many HTTP clients
+          // and intermediaries drop GET bodies, and a silently-dropped
+          // body would fall back to the wrong columns. The body stays
+          // as a fallback for callers that already send one.
           val rows = graft.pipeline.Similarity.indexDriftReport(spark, path,
-              idColOf(body), vecColOf(body)).collect()
+              queryParam(ex, "idCol").getOrElse(idColOf(body)),
+              queryParam(ex, "vecCol").getOrElse(vecColOf(body))).collect()
           val cells = rows.map(r =>
             s"""{"cellId":${r.getLong(0)},"nRows":${r.getLong(1)},""" +
               s""""driftMicro":${r.getLong(2)}}""").mkString("[", ",", "]")
@@ -1141,6 +1162,17 @@ final class GraftHttpServer(
             return 404 -> err(s"index $id not found"))
           if (indexKind(path) != "vector")
             return 400 -> err("maybe-retrain applies to vector indexes")
+          // an unretrainable artifact is a REPORTED state, not a
+          // request error: a scheduled maintenance job polling this
+          // route should learn the contract ("keep the corpus"), not
+          // retry a 400 forever
+          val cur0 = graft.pipeline.IndexGen.resolveRoot(spark, path)
+          if (!graft.pipeline.Similarity.layoutRetrainable(
+              graft.pipeline.Similarity.indexLayout(spark, cur0)))
+            return 200 -> ("""{"retrained":false,"retrainable":false,""" +
+              """"reason":"codes-only PQ artifact stores no float """ +
+              """vectors — keep the source corpus and rebuild via """ +
+              """Similarity.buildPqIndex"}""")
           val d = graft.pipeline.Similarity.maybeRetrain(spark, path,
             idColOf(body), vecColOf(body),
             maxDriftMicro = (j / "maxDriftMicro").long,
@@ -1277,6 +1309,17 @@ final class GraftHttpServer(
     else "unknown"
   }
 
+  /** One decoded query-string parameter, if present — GET routes
+    * whose options must survive body-dropping clients read these
+    * first (the drift route). */
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap {
+      _.split("&").iterator.map(_.split("=", 2)).collectFirst {
+        case Array(k, v) if k == name =>
+          java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }
+    }
+
   /** id/vector column names of an index-maintenance request — the
     * body is OPTIONAL (a bare GET drift has none), so parse failures
     * fold to the registry defaults instead of a 400. */
@@ -1291,8 +1334,20 @@ final class GraftHttpServer(
     val path = indexReg(id)
     val gen = graft.pipeline.IndexGen.currentGen(spark, path)
       .map(_.toString).getOrElse("null")
+    val kind = indexKind(path)
+    // the retrainability CONTRACT surfaces in the listing, so an
+    // operator learns "keep the corpus" at registration time, not at
+    // maintenance time: vector layouts answer Similarity's one shared
+    // definition (codes-only PQ = false); text indexes rebuild from
+    // their corpus via rebuildTextIndex, so the vector-retrain
+    // contract reads false for them too.
+    val retrainable = kind == "vector" &&
+      graft.pipeline.Similarity.layoutRetrainable(
+        graft.pipeline.Similarity.indexLayout(spark,
+          graft.pipeline.IndexGen.resolveRoot(spark, path)))
     s"""{"id":${JStr(id).render},"path":${JStr(path).render},""" +
-      s""""kind":${JStr(indexKind(path)).render},"generation":$gen}"""
+      s""""kind":${JStr(kind).render},"generation":$gen,""" +
+      s""""retrainable":$retrainable}"""
   }
 
   private def backupJson(b: graft.model.BackupRecord): String = {

@@ -1282,6 +1282,131 @@ class HttpSpec extends SparkTestBase {
         indexes = Map("mr" -> s"$root/mr"))) { srv =>
       val (_, body) = req(srv.port, "GET", "/api/v1/admin/indexes/mr")
       assert(body.contains(s"$root/mr") && !body.contains("stale"), body)
+      // a constructor-wired id refuses registry DELETE: the overlay
+      // file never records constructor wiring, so the deletion would
+      // silently revert at the next restart — live and post-restart
+      // state must agree
+      val (dc, dbody) = req(srv.port, "DELETE", "/api/v1/admin/indexes/mr")
+      assert(dc == 400 && dbody.contains("constructor-wired"), dbody)
+      assert(req(srv.port, "GET", "/api/v1/admin/indexes/mr")._1 == 200)
+    }
+  }
+
+  test("search serves persisted indexes via the registry: byte-identity, 404 unknown, analyzer rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = Seq("alpha", "scan", "column", "window", "beta")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until (3 + i % 4)).map(j =>
+        words((i * 3 + j) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-http-srv").toString
+    graft.pipeline.TextAnalysis.buildTextIndex(docs, "doc_id", "text",
+      s"$root/text")
+    graft.pipeline.Similarity.buildIndexJoined(
+      graft.engine.JsonApi.maxsimTokenInstances(docs, "doc_id", "text", 8),
+      "tok_id", "d_vec",
+      graft.pipeline.Similarity.syntheticCodebook(spark, nCells = 4, dims = 8),
+      s"$root/tok", payload = Seq("doc_id"))
+    val registry = Map("docs-idx" -> s"$root/text", "tok-idx" -> s"$root/tok")
+    val resolver: Option[String => String] = Some(id => registry(id))
+    withServer(new GraftHttpServer(spark, ev, documents = Some(docs),
+        indexes = registry)) { srv =>
+      // lexical through the persisted postings: the HTTP bytes ARE the
+      // library's indexed result — the route resolves the id through
+      // the SAME registry as /admin/indexes
+      val lexBody =
+        """{"terms": ["scan", "column"], "topK": 10, "index": "docs-idx"}"""
+      val (c1, got1) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", lexBody)
+      assert(c1 == 200)
+      assert(got1 == Response.collect(
+        JsonApi.search(docs, lexBody, resolveIndex = resolver)).toJson)
+      // and the indexed result matches the scan twin's numbers (one
+      // oracle by construction)
+      assert(got1 == Response.collect(JsonApi.search(docs,
+        """{"terms": ["scan", "column"], "topK": 10}""")).toJson)
+      // indexed late interaction through the token-instance artifact
+      val msBody =
+        """{"terms": ["scan", "column"], "topK": 5, "index": "tok-idx",
+            "maxsim": {"dims": 8, "nProbe": 4, "candTok": 500}}"""
+      val (c2, got2) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", msBody)
+      assert(c2 == 200)
+      assert(got2 == Response.collect(
+        JsonApi.search(docs, msBody, resolveIndex = resolver)).toJson)
+      // probe-all + vacuous candTok: indexed maxsim == scan maxsim
+      assert(got2 == Response.collect(JsonApi.search(docs,
+        """{"terms": ["scan", "column"], "topK": 5,
+            "maxsim": {"dims": 8}}""")).toJson)
+      // sparse through the same postings artifact
+      val spBody = """{"weights": {"scan": 300, "column": -100},
+                       "topK": 5, "index": "docs-idx"}"""
+      val (c3, got3) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", spBody)
+      assert(c3 == 200)
+      assert(got3 == Response.collect(
+        JsonApi.search(docs, spBody, resolveIndex = resolver)).toJson)
+      // an id outside the registry can never aim a search at a path
+      val (c4, b4) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search",
+        s"""{"terms": ["scan"], "topK": 5, "index": "$root/text"}""")
+      assert(c4 == 404 && b4.contains("not found"), b4)
+      // a request analyzer cannot override the persisted one
+      val (c5, b5) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search",
+        """{"terms": ["scan"], "topK": 5, "index": "docs-idx",
+            "analyzer": {"lowercase": true}}""")
+      assert(c5 == 400 && b5.contains("persisted analyzer"), b5)
+      // the registry listing surfaces the retrainability contract:
+      // a cells-layout vector artifact retrains, a text index does not
+      // (it rebuilds from its corpus)
+      val (_, tokJson) = req(srv.port, "GET", "/api/v1/admin/indexes/tok-idx")
+      assert(tokJson.contains("\"retrainable\":true"), tokJson)
+      val (_, txtJson) = req(srv.port, "GET", "/api/v1/admin/indexes/docs-idx")
+      assert(txtJson.contains("\"retrainable\":false"), txtJson)
+    }
+  }
+
+  test("codes-only PQ: retrainable:false surfaced; maybe-retrain reports instead of erroring; drift takes query params") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-http-ret").toString
+    val emb = (0 until 64).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        (((i * 31 + j * 7) % 2001) - 1000) / 1000.0f))
+    }.toDF("vid", "emb")
+    graft.pipeline.Similarity.buildPqIndex(emb, "vid", "emb",
+      dims = 8, m = 2, kCents = 4, iters = 1, s"$root/codes")
+    graft.pipeline.Similarity.buildIndex(emb, "vid", "emb",
+      s"$root/ivf", nCells = 4, iters = 1)
+    withServer(new GraftHttpServer(spark, ev,
+        indexes = Map("codes" -> s"$root/codes", "ivf" -> s"$root/ivf"))) { srv =>
+      // the codes-only artifact reads as an unretrainable vector index
+      val (gc, gbody) = req(srv.port, "GET", "/api/v1/admin/indexes/codes")
+      assert(gc == 200 && gbody.contains("\"kind\":\"vector\"") &&
+        gbody.contains("\"retrainable\":false"), gbody)
+      // maybe-retrain REPORTS the contract (200 + reason), so a
+      // scheduled job learns "keep the corpus" instead of retrying 400s
+      val (mc, mbody) = req(srv.port, "POST",
+        "/api/v1/admin/indexes/codes/maybe-retrain",
+        """{"maxDriftMicro": 0}""")
+      assert(mc == 200 && mbody.contains("\"retrainable\":false") &&
+        mbody.contains("\"retrained\":false") &&
+        mbody.contains("buildPqIndex"), mbody)
+      // retrainDispatch refuses it with the same pointer library-side
+      val e = intercept[IllegalArgumentException](
+        graft.pipeline.Similarity.retrainDispatch(spark, s"$root/codes",
+          "vid", "emb", maxIters = 1))
+      assert(e.getMessage.contains("buildPqIndex"))
+      // drift on NON-default columns: query parameters survive clients
+      // that drop GET bodies (the body-only form silently fell back to
+      // vec_id/embedding and failed)
+      val (dc, dbody) = req(srv.port, "GET",
+        "/api/v1/admin/indexes/ivf/drift?idCol=vid&vecCol=emb")
+      assert(dc == 200 && dbody.contains("\"maxDriftMicro\""), dbody)
+      val (dc2, _) = req(srv.port, "GET", "/api/v1/admin/indexes/ivf/drift")
+      assert(dc2 != 200, "default columns must not silently fit this index")
     }
   }
 }
