@@ -2956,6 +2956,29 @@ object SparkEntry {
         .select(col("id"), col("rrf_micro"), col("lists_hit"), col("rank"))
     }),
 
+    // PURE ANN through the JSON request layer: a semantic block with
+    // no lexical half returns the ranked neighbor list itself —
+    // brute (scan) or through a named IVF artifact. Probe-ALL of the
+    // 8-cell artifact makes the indexed list exactly the brute list
+    // (candidates appear once per own cell, identical scoring and
+    // tie-breaks), so both routes share ONE brute cosine oracle.
+    "q_json_semantic" -> ((s, dir) => {
+      JsonApi.search(Tables.documents(s, dir),
+        """{"semantic": {"queryId": 0, "k": 20}}""",
+        embeddings = Some(Tables.embeddings(s, dir)))
+    }),
+    "q_json_semantic_indexed" -> ((s, dir) => {
+      val idx = stagedOnce("ivfjoined-hybrid-n8", dir)(root =>
+        Similarity.buildIndexJoined(Tables.embeddings(s, dir),
+          "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 8, dims = 64),
+          root.getAbsolutePath))
+      JsonApi.search(Tables.documents(s, dir),
+        s"""{"semantic": {"queryId": 0, "k": 20, "nProbe": 8,
+             "index": "${idx.getAbsolutePath}"}}""",
+        embeddings = Some(Tables.embeddings(s, dir)))
+    }),
+
     // Conjunctive (AND) retrieval through the SAME text index: docs
     // containing every query term, intersected as one aggregate over
     // the token-range-pruned postings (never a per-term join chain).
@@ -7582,6 +7605,27 @@ object SparkEntry {
     "q_json_maxsim_indexed" -> maxsimSql(indexed = true,
       queries = Seq((0L, 0L, "column"), (0L, 1L, "scan")), withQId = false),
 
+    // PURE ANN over JSON: brute cosine top-20 from vec 0 (self
+    // excluded) — the probe-all indexed route shares it (a corpus
+    // vector lives in exactly one cell, so probing every cell is the
+    // brute candidate set with identical scoring and tie-breaks)
+    "q_json_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id AS id,
+             CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                       sqrt(list_dot_product(e.v, e.v)) = 0 THEN 0.0
+                  ELSE list_dot_product(q.qv, e.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e.v, e.v))) END AS cos_sim
+           FROM e, q WHERE e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS "rank",
+             round(cos_sim, 4) AS cos_sim_r
+           FROM scored)
+         SELECT id, "rank", cos_sim_r FROM ranked WHERE "rank" <= 20""",
+
     // Index drift: the trained-assignment chain (nCells=8, iters=1 —
     // the q_knn_ivf_indexed artifact) re-derived first-principles,
     // then per cell the exact integer mean of (1 − cos) micro-units
@@ -8323,6 +8367,7 @@ object SparkEntry {
       "q_json_bm25_indexed" -> m("q_bm25_search"),
       "q_json_sparse_indexed" -> m("q_sparse_search"),
       "q_json_passage_indexed" -> m("q_passage_search"),
-      "q_json_hybrid_indexed" -> m("q_hybrid_search"))
+      "q_json_hybrid_indexed" -> m("q_hybrid_search"),
+      "q_json_semantic_indexed" -> m("q_json_semantic"))
   }
 }

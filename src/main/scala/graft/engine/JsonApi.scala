@@ -214,6 +214,26 @@ object JsonApi {
               docs, idCol, textCol, req.terms, p.window, p.stride,
               p.passageK, req.topK, req.k1, req.b)
         }
+      case None if req.terms.isEmpty && req.semantic.nonEmpty =>
+        // PURE ANN mode — a semantic block with no lexical half: the
+        // ranked neighbor list itself is the result (id, rank,
+        // cos_sim_r), served brute or through the named IVF artifact
+        import org.apache.spark.sql.functions.round
+        val s = req.semantic.get
+        val emb = embeddings.getOrElse(throw new IllegalArgumentException(
+          "a semantic search block needs an embeddings frame"))
+        val q = emb.filter(col(embId) === s.queryId)
+          .select(col(embId).as("__q_id"), col(embVec).as("__q_vec"))
+        (s.index.map(resolved) match {
+          case Some(path) =>
+            graft.pipeline.Similarity.ivfTopKIndexedJoined(spark,
+              q, "__q_id", "__q_vec", path, embId, embVec,
+              k = s.k, nProbe = s.nProbe)
+          case None =>
+            graft.pipeline.Similarity.bruteForceTopK(
+              q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
+        }).select(col(embId).as("id"), col("rank"),
+          round(col("cos_sim"), 4).as("cos_sim_r"))
       case None =>
         // an analyzer block normalizes corpus tokens AND query terms
         // identically (the persisted-analyzer contract, request-

@@ -174,8 +174,10 @@ object JsonDsl {
     val weights = j.asOpt("weights")
       .map(_.obj.map { case (t, v) => (t, v.long) }).getOrElse(Nil)
     val terms = j.asOpt("terms").map(_.arr.map(_.str)).getOrElse(Nil)
-    if (terms.isEmpty && weights.isEmpty)
-      throw JsonError("search request needs terms or weights")
+    // a semantic block alone is a PURE ANN request (no lexical half to
+    // fuse) — every other mode needs query terms or weights
+    if (terms.isEmpty && weights.isEmpty && j.asOpt("semantic").isEmpty)
+      throw JsonError("search request needs terms, weights, or a semantic block")
     val passage = j.asOpt("passage").map(p => PassageSearch(
       window = p.asOpt("window").map(_.int).getOrElse(32),
       stride = p.asOpt("stride").map(_.int).getOrElse(16),

@@ -1677,6 +1677,13 @@ object Similarity {
                                 codebook: DataFrame, path: String,
                                 payload: Seq[String] = Nil): Unit = {
     codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // payload columns recorded with the artifact (pq_meta's contract
+    // on this layout), so appends can refuse a mismatched batch
+    locally {
+      import corpus.sparkSession.implicits._
+      Seq(Tuple1(payload)).toDF("payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/quantized_meta")
+    }
     withPqPayload(
       withQuantizedInt8(
         assignCellsByJoin(corpus.select(col(cId), col(cVec)), cId, cVec,
@@ -1685,6 +1692,57 @@ object Similarity {
       .write.partitionBy("cell_id").mode("overwrite")
       .parquet(s"$path/cells")
   }
+
+  /** The persisted payload column names of a quantized artifact (None
+    * for a pre-meta index). */
+  def readQuantizedPayloadMeta(spark: org.apache.spark.sql.SparkSession,
+                               root: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/quantized_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString)
+      .select(col("payload")).head().getSeq[String](0))
+  }
+
+  /** Marker-idempotent APPEND for a QUANTIZED artifact — the last
+    * cells layout without one: the batch assigns by the persisted
+    * codebook, derives its int8 patterns ([[withQuantizedInt8]] —
+    * q_vec is storage, re-derived here exactly as a retrain would),
+    * payload columns ride (mismatches refused against
+    * `quantized_meta`), and rows land through [[atomicCellsWrite]]'s
+    * replay guard — exactly-once under foreachBatch restarts. */
+  def appendToIndexQuantized(batch: DataFrame, cId: String, cVec: String,
+                             path0: String, batchId: Long,
+                             payload: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val path = IndexGen.resolveRoot(spark, path0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
+    if (fs.exists(marker)) return
+    readQuantizedPayloadMeta(spark, path).foreach { built =>
+      require(payload.sorted == built.sorted,
+        s"quantized index at $path was built with payload columns " +
+          s"${built.mkString("[", ",", "]")} — appends must carry the " +
+          s"same (got ${payload.mkString("[", ",", "]")})")
+    }
+    val cb = readArtifact(spark, path, "codebook")
+    atomicCellsWrite(spark,
+      withPqPayload(
+        withQuantizedInt8(
+          assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec,
+            cb), cVec), batch, cId, payload),
+      path, batchId)
+  }
+
+  /** Started-able streaming maintenance for a quantized index —
+    * [[streamingIndexAppendPq]]'s int8 twin. */
+  def streamingIndexAppendQuantized(vectors: DataFrame, cId: String,
+                                    cVec: String, path: String,
+                                    payload: Seq[String] = Nil) =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendToIndexQuantized(batch, cId, cVec, path, batchId, payload)
+    }
 
   /** Quantized-candidate search through a [[buildIndexQuantizedJoined]]
     * artifact: probe cells via the broadcast codebook, score

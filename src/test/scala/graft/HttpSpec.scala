@@ -1368,6 +1368,57 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("one registry, full lifecycle: register -> indexed search -> HTTP retrain -> search follows the new generation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-http-life").toString
+    val docs = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+    val emb = (0 until 60).map { i =>
+      val cl = i % 3
+      (i.toLong, (0 until 8).map(j =>
+        (((cl * 997 + j * 131) % 2001) - 1000) / 1000.0f +
+          (((i * 31 + j * 7) % 201) - 100) / 2000.0f))
+    }.toDF("vec_id", "embedding")
+    graft.pipeline.Similarity.buildIndexJoined(emb, "vec_id", "embedding",
+      graft.pipeline.Similarity.seedCodebook(emb, "vec_id", "embedding", 3),
+      s"$root/vec")
+    val semBody = s"""{"semantic": {"queryId": 0, "k": 5, "nProbe": 2,
+                       "index": "vec"}}"""
+    withServer(new GraftHttpServer(spark, ev, documents = Some(docs),
+        embeddings = Some(emb), indexRoot = Some(root))) { srv =>
+      // an unregistered id 404s; registering it over the route makes
+      // the SAME request serve
+      assert(req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", semBody)._1 == 404)
+      assert(req(srv.port, "POST", "/api/v1/admin/indexes/vec",
+        s"""{"path": "$root/vec"}""")._1 == 200)
+      val (c1, got1) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", semBody)
+      assert(c1 == 200)
+      assert(got1 == Response.collect(JsonApi.search(docs, semBody,
+        embeddings = Some(emb),
+        resolveIndex = Some(_ => s"$root/vec"))).toJson)
+      // retrain over the SAME registry: a new generation commits and
+      // the very next search request serves it, no re-registration
+      val (rc, rbody) = req(srv.port, "POST",
+        "/api/v1/admin/indexes/vec/retrain",
+        """{"idCol": "vec_id", "vecCol": "embedding", "maxIters": 2}""")
+      assert(rc == 200 && rbody.contains("\"generation\":0"), rbody)
+      val (c2, got2) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", semBody)
+      assert(c2 == 200)
+      assert(got2 == Response.collect(JsonApi.search(docs, semBody,
+        embeddings = Some(emb),
+        resolveIndex = Some(_ => s"$root/vec"))).toJson)
+      // the retrained (Lloyd-refined) generation really is what
+      // serves: its results differ from the seed-codebook artifact
+      // pinned at gen-less resolution only if centroids moved — pin
+      // instead that the served generation is gen=0 (resolution moved)
+      assert(graft.pipeline.IndexGen.currentGen(spark, s"$root/vec")
+        .contains(0L))
+    }
+  }
+
   test("codes-only PQ: retrainable:false surfaced; maybe-retrain reports instead of erroring; drift takes query params") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

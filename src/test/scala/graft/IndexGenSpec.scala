@@ -402,6 +402,45 @@ class IndexGenSpec extends SparkTestBase {
       batch, "vec_id", "embedding", appended, batchId = 1L))
   }
 
+  test("quantized append: int8 patterns re-derived at fixed codebook; append == rebuild; payload rides; replay no-op") {
+    import spark.implicits._
+    val all = corpus(120, 8).withColumn("label", col("vec_id") % 3)
+    val base = all.filter(col("vec_id") < 100)
+    val batch = all.filter(col("vec_id") >= 100)
+    val cb = Similarity.seedCodebook(base, "vec_id", "embedding", 4)
+    val appended = tmpDir("gen-qa")
+    Similarity.buildIndexQuantizedJoined(base, "vec_id", "embedding", cb,
+      appended, payload = Seq("label"))
+    Similarity.appendToIndexQuantized(batch, "vec_id", "embedding",
+      appended, batchId = 0L, payload = Seq("label"))
+    val rebuilt = tmpDir("gen-qr")
+    Similarity.buildIndexQuantizedJoined(all, "vec_id", "embedding", cb,
+      rebuilt, payload = Seq("label"))
+    def results(path: String, where: Option[org.apache.spark.sql.Column]) =
+      Similarity.ivfTopKIndexedQuantized(spark, queriesOf(all), "q_id",
+          "q_vec", path, "vec_id", "embedding", k = 3, shortlist = 12,
+          nProbe = 2, where = where)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    assert(results(appended, None) == results(rebuilt, None),
+      "quantized append+search must equal rebuild+search at a fixed codebook")
+    val f = Some(col("label") === 2)
+    assert(results(appended, f) == results(rebuilt, f))
+    // appended rows carry DERIVED int8 patterns, not nulls
+    val streamed = spark.read.parquet(s"$appended/cells")
+      .filter(col("vec_id") >= 100)
+    assert(streamed.count() == 20 &&
+      streamed.filter(col("q_vec").isNull).count() == 0)
+    // replay no-op + payload mismatch refused
+    val before = spark.read.parquet(s"$appended/cells").count()
+    Similarity.appendToIndexQuantized(batch, "vec_id", "embedding",
+      appended, batchId = 0L, payload = Seq("label"))
+    assert(spark.read.parquet(s"$appended/cells").count() == before)
+    intercept[IllegalArgumentException](Similarity.appendToIndexQuantized(
+      batch, "vec_id", "embedding", appended, batchId = 1L))
+  }
+
   test("PQ appends validate encoding against pq_meta; the atomic path derives it outright") {
     import spark.implicits._
     val c = (0 until 64).map { i =>
