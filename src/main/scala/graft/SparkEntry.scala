@@ -177,6 +177,11 @@ object SparkEntry {
       // max to a footer-stats bound — the timed body dropped one
       // columnar aggregate per indexed search
       "footer-guard-r18"
+    case "q_json_maxsim_indexed" =>
+      // r18 (post-first-record): the JSON route became self-contained
+      // (doc tokens read from the artifact, no per-request corpus
+      // re-derivation) — a different timed body than the first record
+      "self-serving-r18"
     case n if eventsFamily(n) =>
       "tenant-partition-r13" // canonical layout for the whole events family
     case _ => "base"
@@ -3279,6 +3284,26 @@ object SparkEntry {
       val idx = incrementalTextIndex(s, dir)
       TextAnalysis.proximityLookup(s, idx.getAbsolutePath,
           "column", "scan", window = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quoted-phrase and proximity retrieval through the JSON request
+    // layer: positional-postings modes, index REQUIRED at parse (no
+    // scan twin exists) — the routes ARE phraseLookup/proximityLookup
+    // over the same build+append artifact, so the first-principles
+    // raw-text oracles replay them unchanged.
+    "q_json_phrase" -> ((s, dir) => {
+      val idx = incrementalTextIndex(s, dir)
+      JsonApi.search(Tables.documents(s, dir),
+          s"""{"phrase": ["column", "scan"],
+               "index": "${idx.getAbsolutePath}"}""")
+        .orderBy(col("doc_id"))
+    }),
+    "q_json_near" -> ((s, dir) => {
+      val idx = incrementalTextIndex(s, dir)
+      JsonApi.search(Tables.documents(s, dir),
+          s"""{"near": {"a": "column", "b": "scan", "window": 3},
+               "index": "${idx.getAbsolutePath}"}""")
         .orderBy(col("doc_id"))
     }),
 
@@ -8368,6 +8393,9 @@ object SparkEntry {
       "q_json_sparse_indexed" -> m("q_sparse_search"),
       "q_json_passage_indexed" -> m("q_passage_search"),
       "q_json_hybrid_indexed" -> m("q_hybrid_search"),
-      "q_json_semantic_indexed" -> m("q_json_semantic"))
+      "q_json_semantic_indexed" -> m("q_json_semantic"),
+      // phrase/near JSON routes ARE the positional-postings lookups
+      "q_json_phrase" -> m("q_phrase_search"),
+      "q_json_near" -> m("q_near_search"))
   }
 }

@@ -152,7 +152,20 @@ object JsonApi {
     def resolved(name: String): String =
       resolveIndex.map(_(name)).getOrElse(name)
     val idx = req.index.map(resolved)
-    if (req.maxsim.nonEmpty) {
+    if (req.phrase.nonEmpty)
+      // quoted phrase: consecutive terms through the positional
+      // postings (index required at parse) — (doc_id, n_hits)
+      graft.pipeline.TextAnalysis.phraseLookup(spark, idx.get, req.phrase)
+        .withColumnRenamed("doc_id", idCol)
+    else if (req.near.nonEmpty) {
+      // proximity: both terms within `window` positions — the same
+      // positional postings, (doc_id, min_dist)
+      val n = req.near.get
+      graft.pipeline.TextAnalysis.proximityLookup(spark, idx.get,
+          n.a, n.b, n.window)
+        .withColumnRenamed("doc_id", idCol)
+    }
+    else if (req.maxsim.nonEmpty) {
       // late-interaction mode: the request's terms become per-token
       // query vectors and docs score by Σ max cos — the SAME operator
       // (and md5 token-vector space) as the maxsim_search TVF
@@ -165,13 +178,15 @@ object JsonApi {
           graft.pipeline.Similarity.tokenVector(col("__tok"), ms.dims))
       idx match {
         case Some(path) =>
-          // indexed late interaction: candidates through the probed
-          // token-instance cells, exact maxsim over candidate docs
-          // only (maxSimTopKIndexed's contract)
-          val dt = maxsimTokenInstances(docs, idCol, textCol, ms.dims)
-          graft.pipeline.Similarity.maxSimTopKIndexed(spark, qt,
+          // indexed late interaction, SELF-CONTAINED: candidates
+          // through the probed token-instance cells, exact maxsim
+          // over candidate docs whose tokens are read from the SAME
+          // artifact — the serving path never touches the raw corpus
+          // (the per-request instance re-derivation was a
+          // corpus-sized explode+window at scale)
+          graft.pipeline.Similarity.maxSimTopKIndexedSelf(spark, qt,
               "__q_id", "__q_pos", "__q_vec", path, "tok_id", "d_vec",
-              dt, idCol, "d_vec", req.topK, ms.nProbe, ms.candTok)
+              idCol, req.topK, ms.nProbe, ms.candTok)
             .select(col(idCol), col("maxsim_micro"), col("qtokens_hit"),
               col("rank"))
         case None =>
@@ -206,12 +221,30 @@ object JsonApi {
       case Some(p) =>
         idx match {
           case Some(path) =>
+            // supplied chunking knobs must DESCRIBE the artifact —
+            // chunking happened at build, so a mismatched window/
+            // stride in the request is a wrong belief about what is
+            // being searched, not a parameter (absent knobs just
+            // serve; pre-meta artifacts skip the check)
+            val root = graft.pipeline.IndexGen.resolveRoot(spark, path)
+            graft.pipeline.TextAnalysis.readPassageMeta(spark, root)
+              .foreach { case (w, s) =>
+                p.window.filter(_ != w).foreach(v =>
+                  throw new IllegalArgumentException(
+                    s"passage index was built with window=$w tokens, " +
+                      s"the request says $v"))
+                p.stride.filter(_ != s).foreach(v =>
+                  throw new IllegalArgumentException(
+                    s"passage index was built with stride=$s tokens, " +
+                      s"the request says $v"))
+              }
             graft.pipeline.TextAnalysis.passageTopKIndexed(
               spark, path, idCol, req.terms, p.passageK, req.topK,
               req.k1, req.b)
           case None =>
             graft.pipeline.TextAnalysis.passageTopK(
-              docs, idCol, textCol, req.terms, p.window, p.stride,
+              docs, idCol, textCol, req.terms,
+              p.window.getOrElse(32), p.stride.getOrElse(16),
               p.passageK, req.topK, req.k1, req.b)
         }
       case None if req.terms.isEmpty && req.semantic.nonEmpty =>

@@ -175,12 +175,18 @@ object JsonDsl {
       .map(_.obj.map { case (t, v) => (t, v.long) }).getOrElse(Nil)
     val terms = j.asOpt("terms").map(_.arr.map(_.str)).getOrElse(Nil)
     // a semantic block alone is a PURE ANN request (no lexical half to
-    // fuse) — every other mode needs query terms or weights
-    if (terms.isEmpty && weights.isEmpty && j.asOpt("semantic").isEmpty)
-      throw JsonError("search request needs terms, weights, or a semantic block")
+    // fuse), and phrase/near carry their query inside their own block —
+    // every other mode needs query terms or weights
+    if (terms.isEmpty && weights.isEmpty && j.asOpt("semantic").isEmpty &&
+        j.asOpt("phrase").isEmpty && j.asOpt("near").isEmpty)
+      throw JsonError("search request needs terms, weights, or a " +
+        "semantic/phrase/near block")
+    // window/stride stay OPTIONAL in the DTO: the scan form defaults
+    // them (32, 16), the indexed form validates supplied values
+    // against the artifact's persisted chunking
     val passage = j.asOpt("passage").map(p => PassageSearch(
-      window = p.asOpt("window").map(_.int).getOrElse(32),
-      stride = p.asOpt("stride").map(_.int).getOrElse(16),
+      window = p.asOpt("window").map(_.int),
+      stride = p.asOpt("stride").map(_.int),
       passageK = p.asOpt("passageK").map(_.int).getOrElse(100)))
     if (passage.nonEmpty && terms.isEmpty)
       throw JsonError("passage search needs terms")
@@ -225,6 +231,26 @@ object JsonDsl {
     if (weights.nonEmpty && terms.nonEmpty)
       throw JsonError("supply terms (lexical) or weights (sparse), not both" +
         " — sparse queries carry their terms as the weight keys")
+    // positional modes: {"phrase": ["a","b"]} (consecutive terms) and
+    // {"near": {"a": ..., "b": ..., "window": 3}} — both serve from
+    // positional postings, so they REQUIRE an index and combine with
+    // nothing else (their result shapes are their own)
+    val phrase = j.asOpt("phrase").map(_.arr.map(_.str)).getOrElse(Nil)
+    val near = j.asOpt("near").map { n =>
+      val w = n.asOpt("window").map(_.int).getOrElse(3)
+      if (w < 1) throw JsonError("near window must be >= 1")
+      NearSearch((n / "a").str, (n / "b").str, w)
+    }
+    if (phrase.nonEmpty && near.nonEmpty)
+      throw JsonError("phrase and near are distinct modes — pick one")
+    if ((phrase.nonEmpty || near.nonEmpty) &&
+        (terms.nonEmpty || weights.nonEmpty || passage.nonEmpty ||
+          maxsim.nonEmpty || analyzer.nonEmpty ||
+          j.asOpt("semantic").nonEmpty))
+      throw JsonError("phrase/near do not combine with other modes")
+    if ((phrase.nonEmpty || near.nonEmpty) && j.asOpt("index").isEmpty)
+      throw JsonError("phrase/near serve from positional postings — " +
+        "name an index (they have no scan form)")
     // a persisted index serves the request's text mode: {"index":
     // "docs-idx"}. A named index carries its own PERSISTED analyzer
     // (the build-time contract), so a request-scoped analyzer block
@@ -234,9 +260,10 @@ object JsonDsl {
     if (index.nonEmpty && analyzer.nonEmpty)
       throw JsonError("a named index carries its own persisted analyzer — " +
         "drop the analyzer block")
-    if (index.nonEmpty && maxsim.isEmpty && terms.isEmpty && weights.isEmpty)
-      throw JsonError("an index serves lexical/sparse/passage/maxsim " +
-        "requests — supply terms or weights")
+    if (index.nonEmpty && maxsim.isEmpty && terms.isEmpty &&
+        weights.isEmpty && phrase.isEmpty && near.isEmpty)
+      throw JsonError("an index serves lexical/sparse/passage/maxsim/" +
+        "phrase/near requests — supply a query")
     SearchRequest(
       terms = terms,
       topK = j.asOpt("topK").map(_.int).getOrElse(10),
@@ -251,6 +278,8 @@ object JsonDsl {
       passage = passage,
       maxsim = maxsim,
       analyzer = analyzer,
+      phrase = phrase,
+      near = near,
       index = index,
       projectId = j.asOpt("projectId").map(_.long))
   }

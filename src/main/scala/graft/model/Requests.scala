@@ -309,14 +309,26 @@ final case class SearchRequest(
     passage: Option[PassageSearch] = None,
     maxsim: Option[MaxsimSearch] = None,
     analyzer: Option[AnalyzerSpec] = None,
+    /** Quoted-phrase mode: documents where these terms appear
+      * CONSECUTIVELY, with occurrence counts — positional-postings
+      * only, so an `index` is REQUIRED (there is no scan twin). */
+    phrase: Seq[String] = Nil,
+    /** Proximity (NEAR) mode: both terms within `window` positions —
+      * positional-postings only, `index` required like phrase. */
+    near: Option[NearSearch] = None,
     /** A PERSISTED index serving this request's text mode (lexical /
-      * sparse / passage / maxsim): a registered id when the serving
-      * layer supplies a resolver (the HTTP registry), a direct
-      * artifact path otherwise. Absent → the scan forms, the
-      * index-free twins. A named index carries its own persisted
-      * analyzer, so `analyzer` does not combine with it. */
+      * sparse / passage / maxsim / phrase / near): a registered id
+      * when the serving layer supplies a resolver (the HTTP
+      * registry), a direct artifact path otherwise. Absent → the scan
+      * forms, the index-free twins (phrase/near have none). A named
+      * index carries its own persisted analyzer, so `analyzer` does
+      * not combine with it. */
     index: Option[String] = None,
     projectId: Option[Long] = None)
+
+/** The proximity mode of a [[SearchRequest]]: two distinct terms
+  * within `window` token positions, minimum distance reported. */
+final case class NearSearch(a: String, b: String, window: Int = 3)
 
 /** The late-interaction mode of a [[SearchRequest]]: `terms` become
   * per-token query vectors (deterministic md5 space — a stand-in for
@@ -347,8 +359,13 @@ final case class SemanticSearch(queryId: Long, k: Int = 20,
 
 /** The passage mode of a [[SearchRequest]]: chunk the corpus into
   * `window`-token spans with `stride` overlap, BM25 the chunk corpus,
-  * pool the best `passageK` passages max-per-document. */
-final case class PassageSearch(window: Int = 32, stride: Int = 16,
+  * pool the best `passageK` passages max-per-document. In the scan
+  * form absent knobs default to (32, 16); with a NAMED passage index,
+  * chunking happened at build — supplied knobs are VALIDATED against
+  * the artifact's persisted `passage_meta` (a silent mismatch would
+  * mis-describe what the request searched), absent knobs just serve. */
+final case class PassageSearch(window: Option[Int] = None,
+                               stride: Option[Int] = None,
                                passageK: Int = 100)
 
 final case class FunnelRequestModel(

@@ -2604,6 +2604,31 @@ object Similarity {
         .join(cand, Seq(qId, dId), "left_semi"),
       qId, dId, k)
   }
+  /** [[maxSimTopKIndexed]] with the doc-token frame read FROM THE
+    * ARTIFACT ITSELF — the self-contained serving form: the cells
+    * rows ARE the (tokId, dId payload, tokVec) instances the index
+    * was built from, so a serving layer needs no corpus access at
+    * all — no per-request explode/dedup/window re-derivation of
+    * token instances (a corpus-sized sort at scale), and erasure
+    * applies via the live-cells read (delete sets included) instead
+    * of trusting the caller to filter their frame. Results are
+    * identical to the explicit-frame form over the same build. The
+    * artifact must carry `dId` as a payload column ([[maxSimTopKIndexed]]'s
+    * build contract). */
+  def maxSimTopKIndexedSelf(spark: org.apache.spark.sql.SparkSession,
+                            queryTokens: DataFrame, qId: String,
+                            qPos: String, qVec: String, path0: String,
+                            tokId: String, tokVec: String, dId: String,
+                            k: Int, nProbe: Int, candTok: Int,
+                            validateTokenIds: Boolean = true): DataFrame = {
+    val path = IndexGen.resolveRoot(spark, path0)
+    val docTokens = readLiveCells(spark, path)
+      .select(col(tokId), col(dId), col(tokVec))
+    maxSimTopKIndexed(spark, queryTokens, qId, qPos, qVec, path0,
+      tokId, tokVec, docTokens, dId, tokVec, k, nProbe, candTok,
+      validateTokenIds)
+  }
+
   sealed trait CandidateSource
   /** Exact: broadcast cross join (queries must be small). */
   case object Brute extends CandidateSource

@@ -1053,6 +1053,30 @@ object TextAnalysis {
       .select((col(idCol) * 1000000L + col("chunk_idx")).as("pid"),
         col("chunk_text"))
     buildTextIndex(chunks, "pid", "chunk_text", path, analyzer)
+    // chunking knobs persisted with the artifact (pq_meta's contract):
+    // they are BUILD-time properties, so a serving layer can validate
+    // a request's description of the index instead of trusting it —
+    // and can tell a passage artifact from a plain text index at all
+    locally {
+      import docs.sparkSession.implicits._
+      Seq((windowTokens, strideTokens)).toDF("window", "stride")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/passage_meta")
+    }
+  }
+
+  /** The persisted chunking knobs (window, stride) of a passage
+    * artifact — None for a plain text index or a pre-meta passage
+    * build. `root` must be a RESOLVED generation root. */
+  def readPassageMeta(spark: org.apache.spark.sql.SparkSession,
+                      root: String): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/passage_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString)
+        .select(col("window"), col("stride")).head()
+      Some((r.getInt(0), r.getInt(1)))
+    }
   }
 
   /** [[passageTopK]] served FROM a [[buildPassageIndex]] artifact:

@@ -1341,13 +1341,15 @@ final class GraftHttpServer(
     // definition (codes-only PQ = false); text indexes rebuild from
     // their corpus via rebuildTextIndex, so the vector-retrain
     // contract reads false for them too.
+    val layout =
+      if (kind != "vector") kind
+      else graft.pipeline.Similarity.indexLayout(spark,
+        graft.pipeline.IndexGen.resolveRoot(spark, path))
     val retrainable = kind == "vector" &&
-      graft.pipeline.Similarity.layoutRetrainable(
-        graft.pipeline.Similarity.indexLayout(spark,
-          graft.pipeline.IndexGen.resolveRoot(spark, path)))
+      graft.pipeline.Similarity.layoutRetrainable(layout)
     s"""{"id":${JStr(id).render},"path":${JStr(path).render},""" +
-      s""""kind":${JStr(kind).render},"generation":$gen,""" +
-      s""""retrainable":$retrainable}"""
+      s""""kind":${JStr(kind).render},"layout":${JStr(layout).render},""" +
+      s""""generation":$gen,"retrainable":$retrainable}"""
   }
 
   private def backupJson(b: graft.model.BackupRecord): String = {

@@ -1358,13 +1358,49 @@ class HttpSpec extends SparkTestBase {
         """{"terms": ["scan"], "topK": 5, "index": "docs-idx",
             "analyzer": {"lowercase": true}}""")
       assert(c5 == 400 && b5.contains("persisted analyzer"), b5)
-      // the registry listing surfaces the retrainability contract:
-      // a cells-layout vector artifact retrains, a text index does not
-      // (it rebuilds from its corpus)
+      // the registry listing surfaces the retrainability contract AND
+      // the detected layout: a cells-layout vector artifact retrains,
+      // a text index does not (it rebuilds from its corpus)
       val (_, tokJson) = req(srv.port, "GET", "/api/v1/admin/indexes/tok-idx")
-      assert(tokJson.contains("\"retrainable\":true"), tokJson)
+      assert(tokJson.contains("\"retrainable\":true") &&
+        tokJson.contains("\"layout\":\"flat\""), tokJson)
       val (_, txtJson) = req(srv.port, "GET", "/api/v1/admin/indexes/docs-idx")
-      assert(txtJson.contains("\"retrainable\":false"), txtJson)
+      assert(txtJson.contains("\"retrainable\":false") &&
+        txtJson.contains("\"layout\":\"text\""), txtJson)
+    }
+  }
+
+  test("indexed passage requests validate the persisted chunking; self-contained maxsim over HTTP") {
+    import spark.implicits._
+    val words = Seq("alpha", "scan", "column", "window", "beta", "merge")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until (6 + i % 4)).map(j =>
+        words((i * 3 + j) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-http-pm").toString
+    graft.pipeline.TextAnalysis.buildPassageIndex(docs, "doc_id", "text",
+      s"$root/pass", windowTokens = 4, strideTokens = 2)
+    val registry = Map("pass-idx" -> s"$root/pass")
+    withServer(new GraftHttpServer(spark, ev, documents = Some(docs),
+        indexes = registry)) { srv =>
+      // knob-less request serves from the persisted chunking
+      val okBody = """{"terms": ["scan", "column"], "topK": 5,
+                      "passage": {"passageK": 50}, "index": "pass-idx"}"""
+      val (c1, got1) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", okBody)
+      assert(c1 == 200)
+      assert(got1 == Response.collect(JsonApi.search(docs, okBody,
+        resolveIndex = Some(_ => s"$root/pass"))).toJson)
+      // matching explicit knobs serve; a MISMATCHED window is a wrong
+      // belief about the artifact — 400, never silently wrong results
+      assert(req(srv.port, "POST", "/api/v1/projects/1/queries/search",
+        """{"terms": ["scan"], "topK": 5, "index": "pass-idx",
+            "passage": {"window": 4, "stride": 2}}""")._1 == 200)
+      val (cBad, bBad) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search",
+        """{"terms": ["scan"], "topK": 5, "index": "pass-idx",
+            "passage": {"window": 32}}""")
+      assert(cBad == 400 && bBad.contains("window=4"), bBad)
     }
   }
 

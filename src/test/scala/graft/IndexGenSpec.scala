@@ -552,6 +552,19 @@ class IndexGenSpec extends SparkTestBase {
       spark, qt, "q_id", "q_pos", "q_vec", bad, "tok_id", "d_vec",
       okInst, "doc_id", "d_vec", k = 3, nProbe = 4, candTok = 40))
     assert(e.getMessage.contains("index at"), e.getMessage)
+    // the SELF-CONTAINED form (doc tokens read from the artifact
+    // itself — no corpus frame) returns exactly the explicit-frame
+    // results over the same build
+    val explicit = Similarity.maxSimTopKIndexed(spark, qt, "q_id",
+        "q_pos", "q_vec", ok, "tok_id", "d_vec", okInst, "doc_id",
+        "d_vec", k = 3, nProbe = 4, candTok = 40)
+      .collect().map(_.toString).toSeq.sorted
+    val self = Similarity.maxSimTopKIndexedSelf(spark, qt, "q_id",
+        "q_pos", "q_vec", ok, "tok_id", "d_vec", "doc_id",
+        k = 3, nProbe = 4, candTok = 40)
+      .collect().map(_.toString).toSeq.sorted
+    assert(self == explicit && self.nonEmpty,
+      "self-contained indexed maxsim must equal the explicit-frame form")
   }
 
   test("text index: atomic rebuild + analyzer resolves through the generation") {

@@ -218,7 +218,8 @@ class JsonSpec extends SparkTestBase {
     assert(sp.terms.isEmpty && sp.topK == 5)
     val pa = graft.model.JsonDsl.search(
       """{"terms": ["a", "b"], "passage": {"window": 8, "stride": 4}}""")
-    assert(pa.passage.contains(graft.model.PassageSearch(8, 4, 100)))
+    assert(pa.passage.contains(
+      graft.model.PassageSearch(Some(8), Some(4), 100)))
     // neither terms nor weights
     intercept[IllegalArgumentException] {
       graft.model.JsonDsl.search("""{"topK": 5}""")
