@@ -236,6 +236,8 @@ object JsonDsl {
     // positional postings, so they REQUIRE an index and combine with
     // nothing else (their result shapes are their own)
     val phrase = j.asOpt("phrase").map(_.arr.map(_.str)).getOrElse(Nil)
+    if (j.asOpt("phrase").nonEmpty && phrase.isEmpty)
+      throw JsonError("phrase needs at least one term")
     val near = j.asOpt("near").map { n =>
       val w = n.asOpt("window").map(_.int).getOrElse(3)
       if (w < 1) throw JsonError("near window must be >= 1")

@@ -224,6 +224,28 @@ class JsonSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.model.JsonDsl.search("""{"topK": 5}""")
     }
+    // positional modes: index required, no combinations, non-empty
+    val ph = graft.model.JsonDsl.search(
+      """{"phrase": ["a", "b"], "index": "i"}""")
+    assert(ph.phrase == Seq("a", "b") && ph.index.contains("i"))
+    val nr = graft.model.JsonDsl.search(
+      """{"near": {"a": "x", "b": "y", "window": 2}, "index": "i"}""")
+    assert(nr.near.contains(graft.model.NearSearch("x", "y", 2)))
+    intercept[IllegalArgumentException] { // no index
+      graft.model.JsonDsl.search("""{"phrase": ["a"]}""")
+    }
+    intercept[IllegalArgumentException] { // empty phrase
+      graft.model.JsonDsl.search("""{"phrase": [], "index": "i"}""")
+    }
+    intercept[IllegalArgumentException] { // combines with nothing
+      graft.model.JsonDsl.search(
+        """{"phrase": ["a"], "terms": ["b"], "index": "i"}""")
+    }
+    // an analyzer block cannot override a named index's persisted one
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"terms": ["a"], "index": "i", "analyzer": {"lowercase": true}}""")
+    }
     // a passage block needs terms
     intercept[IllegalArgumentException] {
       graft.model.JsonDsl.search(
