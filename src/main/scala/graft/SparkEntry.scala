@@ -92,6 +92,23 @@ object SparkEntry {
         compact = true): Unit
     }
 
+  /** The shared token-instance IVF artifact (payload doc_id) behind
+    * q_maxsim_indexed / q_ann_recall_maxsim / q_json_maxsim_indexed —
+    * built over the serving layer's own instance derivation and
+    * folded ONCE with the stats-recording maintenance options
+    * (per-part tokId/doc_id min-max + doc_id bloom, tokId-range-
+    * clustered merges), so the self-contained serving scans can
+    * file-skip through the cells manifests. */
+  private def maxsimIndexPath(s: SparkSession, dir: String): java.io.File =
+    stagedOnce("maxsim-idx-n64", dir) { root =>
+      Similarity.buildIndexJoined(maxsimDocTokenInstances(s, dir),
+        "tok_id", "d_vec",
+        Similarity.syntheticCodebook(s, nCells = 64, dims = MaxsimDims),
+        root.getAbsolutePath, payload = Seq("doc_id"))
+      Similarity.compactIndexCells(s, root.getAbsolutePath, "tok_id",
+        Similarity.maxsimIndexMaintenanceOptions("tok_id", "doc_id")): Unit
+    }
+
   /** The user-hash-bucketed events store q_bloom_lookup and
     * q_dynamic_prune share: four parts by user residue, so every
     * part's (min, max) user range covers any probe — range stats
@@ -173,15 +190,16 @@ object SparkEntry {
       // probes by broadcast join instead of an inlined literal
       "joined-family-r15"
     case "q_maxsim_indexed" | "q_ann_recall_maxsim" =>
-      // r18: the token-id guard moved from a per-search corpus-column
-      // max to a footer-stats bound — the timed body dropped one
-      // columnar aggregate per indexed search
-      "footer-guard-r18"
+      // r19: the shared artifact build gained a stats-recording
+      // compaction fold (maxsimIndexMaintenanceOptions) and the
+      // footer guard memoized per generation — build cost and the
+      // guard's driver IO both changed
+      "stats-fold-r19"
     case "q_json_maxsim_indexed" =>
-      // r18 (post-first-record): the JSON route became self-contained
-      // (doc tokens read from the artifact, no per-request corpus
-      // re-derivation) — a different timed body than the first record
-      "self-serving-r18"
+      // r19: the self-contained route's two artifact scans became
+      // manifest-pruned (hit-instance / candidate-doc file skipping)
+      // over the stats-folded artifact
+      "pruned-self-r19"
     case n if eventsFamily(n) =>
       "tenant-partition-r13" // canonical layout for the whole events family
     case _ => "base"
@@ -1022,15 +1040,17 @@ object SparkEntry {
         graft.pipeline.Similarity.tokenVector(col("token"), MaxsimDims))
 
   /** Token INSTANCES with a deterministic id for the maxsim token
-    * index: doc_id·1e6 + the token's rank within its document
-    * (lexical, row_number — replayable by the oracle without
-    * positions). */
-  private def maxsimDocTokenInstances(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("token"))
-    maxsimDocTokens(s, dir)
-      .withColumn("tok_id",
-        col("doc_id") * 1000000L + row_number().over(w))
-  }
+    * index — THE shared derivation (JsonApi.maxsimTokenInstances:
+    * doc_id·1e6 + the token's lexical rank within its document),
+    * restricted to the bench corpus slice. Building the bench
+    * artifacts through the serving layer's own definition is what
+    * ENFORCES the no-drift contract between index builds and the
+    * indexed JSON route, instead of relying on two parallel
+    * constructions agreeing. */
+  private def maxsimDocTokenInstances(s: SparkSession, dir: String): DataFrame =
+    graft.engine.JsonApi.maxsimTokenInstances(
+      Tables.documents(s, dir).filter(col("doc_id") < 1500),
+      "doc_id", "text", MaxsimDims)
 
   /** DuckDB oracle for the full md5-portable MinHash-LSH pipeline
     * (Dedup.minhashDupPairsPortable): exact pre-collapse to star
@@ -2894,11 +2914,7 @@ object SparkEntry {
     // replays codebook, assignment, probe ranking, candidate top-20
     // and the restricted maxsim for the JSON route's single query.
     "q_json_maxsim_indexed" -> ((s, dir) => {
-      val idx = stagedOnce("maxsim-idx-n64", dir)(root =>
-        Similarity.buildIndexJoined(maxsimDocTokenInstances(s, dir),
-          "tok_id", "d_vec",
-          Similarity.syntheticCodebook(s, nCells = 64, dims = MaxsimDims),
-          root.getAbsolutePath, payload = Seq("doc_id")))
+      val idx = maxsimIndexPath(s, dir)
       JsonApi.search(Tables.documents(s, dir).filter(col("doc_id") < 1500),
           s"""{"terms": ["column", "scan"], "topK": 10,
               "maxsim": {"dims": $MaxsimDims, "nProbe": 8, "candTok": 20},
@@ -2982,6 +2998,110 @@ object SparkEntry {
         s"""{"semantic": {"queryId": 0, "k": 20, "nProbe": 8,
              "index": "${idx.getAbsolutePath}"}}""",
         embeddings = Some(Tables.embeddings(s, dir)))
+    }),
+
+    // LAYOUT-DISPATCHED semantic serving: the same JSON shape against
+    // a COMPOSED IVF×PQ artifact routes (JsonApi.semanticIndexed, the
+    // query plane's retrainDispatch) to ivfTopKIndexedPq — the
+    // codes-only candidate scan + bounded float re-rank, i.e. the
+    // artifact answers in its STORED form, never a float rescan of
+    // probed cells. Restrictive nProbe=8/64; the generated oracle
+    // replays codebooks, PQ training/encode, probe ranking and both
+    // ranking stages for the route's single query.
+    "q_json_semantic_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = stagedOnce("ivfpq-n64m8k16i1", dir)(root =>
+        Similarity.buildIndexPqJoined(emb, "vec_id", "embedding",
+          Similarity.syntheticCodebook(s, nCells = 64, dims = 64),
+          dims = 64, m = 8, kCents = 16, iters = 1, root.getAbsolutePath))
+      JsonApi.search(Tables.documents(s, dir),
+        s"""{"semantic": {"queryId": 0, "k": 20, "nProbe": 8,
+             "shortlist": 80, "index": "${idx.getAbsolutePath}"}}""",
+        embeddings = Some(emb))
+    }),
+
+    // FILTERED ("nearest WHERE") vector search over the JSON request
+    // layer: the semantic block's `where` compiles payload-column
+    // predicates INSIDE the probed-cell scan (ivfTopKIndexedWhere —
+    // PushedFilters before scoring, contiguous ranks over the
+    // matching set), closing the last serving gap of the library's
+    // flagship primitive. Same artifact/predicate/operating point as
+    // q_knn_ivf_filtered, restricted to the route's single query.
+    "q_json_semantic_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = stagedOnce("ivffilt-n8i1", dir)(root =>
+        Similarity.buildIndex(emb, "vec_id", "embedding",
+          root.getAbsolutePath, nCells = 8, iters = 1,
+          payload = Seq("label")))
+      JsonApi.search(Tables.documents(s, dir),
+        s"""{"semantic": {"queryId": 0, "k": 3, "nProbe": 2,
+             "where": [{"column": "label", "op": "eq", "values": [2, 5]}],
+             "index": "${idx.getAbsolutePath}"}}""",
+        embeddings = Some(emb))
+    }),
+
+    // Lexical × MAXSIM hybrid over the JSON request layer — the
+    // standard two-stage quality recipe (BM25 recall, late-
+    // interaction precision) as ONE request: {"maxsim": {..., "fuse":
+    // true}} ranks both lists from the same terms and fuses by
+    // integer RRF. Scan twin == q_hybrid_maxsim operator for
+    // operator, so its oracle replays the route.
+    "q_json_hybrid_maxsim" -> ((s, dir) => {
+      JsonApi.search(Tables.documents(s, dir).filter(col("doc_id") < 1500),
+          """{"terms": ["column", "scan"], "topK": 20, "fuseTopK": 10,
+              "maxsim": {"dims": 16, "fuse": true}}""")
+        .select(col("id"), col("rrf_micro"), col("lists_hit"), col("rank"))
+    }),
+
+    // The INDEXED twin: TWO persisted artifacts serve one hybrid
+    // request — the request-level index (a text index over the same
+    // bounded corpus) serves the BM25 list from postings, the maxsim
+    // block's own index the late-interaction list from probed
+    // token-instance cells (restrictive nProbe=8/64, candTok=20).
+    // The generated oracle replays BM25, the full indexed-maxsim
+    // candidate chain and the RRF fold in one statement.
+    "q_json_hybrid_maxsim_indexed" -> ((s, dir) => {
+      val lexIdx = stagedOnce("textindex-lt1500", dir)(root =>
+        TextAnalysis.buildTextIndex(
+          Tables.documents(s, dir).filter(col("doc_id") < 1500),
+          "doc_id", "text", root.getAbsolutePath))
+      val msIdx = maxsimIndexPath(s, dir)
+      JsonApi.search(Tables.documents(s, dir).filter(col("doc_id") < 1500),
+          s"""{"terms": ["column", "scan"], "topK": 20, "fuseTopK": 10,
+              "index": "${lexIdx.getAbsolutePath}",
+              "maxsim": {"dims": 16, "fuse": true, "nProbe": 8,
+                         "candTok": 20,
+                         "index": "${msIdx.getAbsolutePath}"}}""")
+        .select(col("id"), col("rrf_micro"), col("lists_hit"), col("rank"))
+    }),
+
+    // FACET counts over the JSON request layer — the sidebar
+    // aggregate beside a lexical search: the same termLookupAll
+    // matched set and one melted facetCounts aggregate as
+    // q_facet_search, so its oracle replays the route.
+    "q_json_facets" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      JsonApi.searchFacets(Tables.documents(s, dir),
+          s"""{"terms": ["column", "scan"],
+              "facets": ["lang", "source"],
+              "index": "${idx.getAbsolutePath}"}""")
+        .orderBy(col("facet"), col("value"))
+    }),
+
+    // Best-window SNIPPETS over the JSON request layer: per matching
+    // doc, the 8-token window from the positional postings — the
+    // q_snippet operator behind a SearchRequest block, one oracle.
+    "q_json_snippet" -> ((s, dir) => {
+      val idx = stagedOnce("textindex-v1", dir)(root =>
+        TextAnalysis.buildTextIndex(Tables.documents(s, dir),
+          "doc_id", "text", root.getAbsolutePath))
+      JsonApi.searchSnippets(s,
+          s"""{"terms": ["column", "scan", "window"],
+              "snippet": {"width": 8},
+              "index": "${idx.getAbsolutePath}"}""")
+        .orderBy(col("doc_id"))
     }),
 
     // Conjunctive (AND) retrieval through the SAME text index: docs
@@ -3613,11 +3733,7 @@ object SparkEntry {
     // ranks. The oracle replays codebook, instance assignment, probe
     // ranking, per-qtoken candidate top-20, and the restricted maxsim.
     "q_maxsim_indexed" -> ((s, dir) => {
-      val idx = stagedOnce("maxsim-idx-n64", dir)(root =>
-        Similarity.buildIndexJoined(maxsimDocTokenInstances(s, dir),
-          "tok_id", "d_vec",
-          Similarity.syntheticCodebook(s, nCells = 64, dims = MaxsimDims),
-          root.getAbsolutePath, payload = Seq("doc_id")))
+      val idx = maxsimIndexPath(s, dir)
       Similarity.maxSimTopKIndexed(s, maxsimQueryTokens(s),
           "q_id", "q_pos", "q_vec", idx.getAbsolutePath, "tok_id", "d_vec",
           maxsimDocTokenInstances(s, dir), "doc_id", "d_vec",
@@ -3638,11 +3754,7 @@ object SparkEntry {
     // maxsim, both rankings AND the recall arithmetic. Measured
     // values live in BENCHMARKS.md.
     "q_ann_recall_maxsim" -> ((s, dir) => {
-      val idx = stagedOnce("maxsim-idx-n64", dir)(root =>
-        Similarity.buildIndexJoined(maxsimDocTokenInstances(s, dir),
-          "tok_id", "d_vec",
-          Similarity.syntheticCodebook(s, nCells = 64, dims = MaxsimDims),
-          root.getAbsolutePath, payload = Seq("doc_id")))
+      val idx = maxsimIndexPath(s, dir)
       // the md5 token-vector derivation is the dominant expression
       // cost here — stage the instance frame ONCE and share it across
       // the brute truth and all three indexed chains (values exact,
@@ -7241,6 +7353,15 @@ object SparkEntry {
         corpusPred =
           "a.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))"),
 
+    // Filtered semantic search over the JSON route: the SAME replayed
+    // chain as q_knn_ivf_filtered, restricted to the route's single
+    // query and reshaped to the pure-ANN response columns.
+    "q_json_semantic_filtered" ->
+      s"""SELECT neighbor_id AS id, "rank", cos_sim_r FROM (
+          ${ivfTrainedSql(nCells = 8, iters = 1, qMax = 1, k = 3, nProbe = 2,
+            corpusPred = "a.vec_id IN (SELECT vec_id FROM embeddings " +
+              "WHERE label IN (2, 5))")})""",
+
     // Filtered-search recall vs the filtered brute truth across
     // nProbe — one statement, one full search chain per point.
     "q_ann_recall_filtered" ->
@@ -7765,8 +7886,60 @@ object SparkEntry {
          SELECT id, rrf_micro, lists_hit, "rank"
          FROM ranked WHERE "rank" <= 10""",
 
+    // Indexed lexical × indexed maxsim hybrid over the JSON route:
+    // BM25 replayed over the bounded corpus (the text index is a
+    // layout, not a semantic change), the FULL indexed-maxsim
+    // candidate chain (via maxsimSql) for the single route query,
+    // and the exact long-RRF fold — one statement.
+    "q_json_hybrid_maxsim_indexed" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents WHERE doc_id < 1500),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
+         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+                  SELECT doc_id, dl, unnest(t) AS token FROM d)
+                WHERE token IN ('column', 'scan')
+                GROUP BY 1, 2, 3),
+         idf AS (SELECT token,
+                  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT)
+                    AS idf_micro
+                 FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1), stats),
+         bscored AS (SELECT tf.doc_id,
+             CAST(floor(idf_micro * (tf * (1.2 + 1)) /
+               (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) /
+                 (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT) AS contrib
+           FROM tf JOIN idf USING (token), stats),
+         bagg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro
+                  FROM bscored GROUP BY 1),
+         lex AS (SELECT id, r FROM (
+                   SELECT doc_id AS id,
+                     row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS r
+                   FROM bagg) WHERE r <= 20),
+         li AS (SELECT doc_id AS id, "rank" AS r FROM (
+                  ${maxsimSql(indexed = true, k = 20, nProbe = 8,
+                    candTok = 20,
+                    queries = Seq((0L, 0L, "column"), (0L, 1L, "scan")),
+                    withQId = false)}) mxi),
+         contrib AS (SELECT id, CAST(floor(1000000.0 / (60.0 + r)) AS BIGINT) AS c
+                     FROM (SELECT id, r FROM lex UNION ALL SELECT id, r FROM li)),
+         fused AS (SELECT id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+                     count(*) AS lists_hit FROM contrib GROUP BY 1),
+         ranked AS (SELECT id, rrf_micro, lists_hit,
+             row_number() OVER (ORDER BY rrf_micro DESC, id) AS "rank"
+           FROM fused)
+         SELECT id, rrf_micro, lists_hit, "rank"
+         FROM ranked WHERE "rank" <= 10""",
+
     "q_knn_ivf_pq" -> ivfPqSql(nCells = 64, nProbe = 8, dims = 64,
       m = 8, kc = 16, iters = 1, qMax = 10, k = 3, shortlist = 10),
+
+    // Layout-dispatched PQ serving over the JSON route: the SAME
+    // replayed composed chain at the route's operating point
+    // (single query, k=20, shortlist=80), pure-ANN response columns.
+    "q_json_semantic_pq" ->
+      s"""SELECT neighbor_id AS id, "rank", cos_sim_r FROM (
+          ${ivfPqSql(nCells = 64, nProbe = 8, dims = 64, m = 8, kc = 16,
+            iters = 1, qMax = 1, k = 20, shortlist = 80)})""",
 
     // residual (IVFADC) variant: the chain residualizes against the
     // assigned centroid before PQ and adds it back at reconstruction
@@ -8396,6 +8569,12 @@ object SparkEntry {
       "q_json_semantic_indexed" -> m("q_json_semantic"),
       // phrase/near JSON routes ARE the positional-postings lookups
       "q_json_phrase" -> m("q_phrase_search"),
-      "q_json_near" -> m("q_near_search"))
+      "q_json_near" -> m("q_near_search"),
+      // the fused maxsim JSON route's scan twin IS q_hybrid_maxsim
+      // operator for operator
+      "q_json_hybrid_maxsim" -> m("q_hybrid_maxsim"),
+      // facet/snippet request blocks ARE the library operators
+      "q_json_facets" -> m("q_facet_search"),
+      "q_json_snippet" -> m("q_snippet"))
   }
 }

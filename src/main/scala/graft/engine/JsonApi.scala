@@ -176,8 +176,25 @@ object JsonApi {
         .toDF("__q_id", "__q_pos", "__tok")
         .withColumn("__q_vec",
           graft.pipeline.Similarity.tokenVector(col("__tok"), ms.dims))
-      idx match {
+      // the block's own index serves the maxsim list; a lone maxsim
+      // request may still name it at request level (the pre-fuse
+      // shape) — when FUSING, the request-level index is the LEXICAL
+      // side's text index and never aims the token-instance search
+      val msIdx = ms.index.map(resolved)
+        .orElse(if (ms.fuse) None else idx)
+      def maxsimRanked(k: Int): DataFrame = msIdx match {
         case Some(path) =>
+          // the request's dims must DESCRIBE the artifact (the
+          // passage_meta contract on this mode): query token vectors
+          // built at a different width would score TRUNCATED dot
+          // products against the stored instances (VectorDotProduct
+          // truncates to min length) — silently wrong rankings,
+          // never an error — so mismatches throw loudly here
+          val aDims = graft.pipeline.Similarity.indexVectorDims(spark, path)
+          if (ms.dims != aDims)
+            throw new IllegalArgumentException(
+              s"maxsim index was built with dims=$aDims token vectors, " +
+                s"the request says ${ms.dims}")
           // indexed late interaction, SELF-CONTAINED: candidates
           // through the probed token-instance cells, exact maxsim
           // over candidate docs whose tokens are read from the SAME
@@ -185,10 +202,8 @@ object JsonApi {
           // (the per-request instance re-derivation was a
           // corpus-sized explode+window at scale)
           graft.pipeline.Similarity.maxSimTopKIndexedSelf(spark, qt,
-              "__q_id", "__q_pos", "__q_vec", path, "tok_id", "d_vec",
-              idCol, req.topK, ms.nProbe, ms.candTok)
-            .select(col(idCol), col("maxsim_micro"), col("qtokens_hit"),
-              col("rank"))
+            "__q_id", "__q_pos", "__q_vec", path, "tok_id", "d_vec",
+            idCol, k, ms.nProbe, ms.candTok)
         case None =>
           val dt = docs
             .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
@@ -197,9 +212,34 @@ object JsonApi {
             .withColumn("__d_vec",
               graft.pipeline.Similarity.tokenVector(col("__tok"), ms.dims))
           graft.pipeline.Similarity.maxSimTopK(qt, dt,
-              "__q_id", "__q_pos", "__q_vec", idCol, "__d_vec", req.topK)
-            .select(col(idCol), col("maxsim_micro"), col("qtokens_hit"),
-              col("rank"))
+            "__q_id", "__q_pos", "__q_vec", idCol, "__d_vec", k)
+      }
+      if (!ms.fuse)
+        maxsimRanked(req.topK)
+          .select(col(idCol), col("maxsim_micro"), col("qtokens_hit"),
+            col("rank"))
+      else {
+        // BM25 ⊕ maxsim — the standard two-stage quality recipe over
+        // JSON: the SAME terms rank a lexical list (request index →
+        // postings, else the scan) and the late-interaction list,
+        // fused by integer RRF like the semantic hybrid
+        val lex = (idx match {
+          case Some(path) =>
+            graft.pipeline.TextAnalysis.bm25IndexedTopK(
+                spark, path, req.terms, req.topK, req.k1, req.b)
+              .withColumnRenamed("doc_id", idCol)
+          case None =>
+            val an = req.analyzer
+              .map(a => graft.pipeline.TextAnalysis.Analyzer(a.lowercase,
+                a.stopwords, a.stemmer))
+              .getOrElse(graft.pipeline.TextAnalysis.Analyzer.identity)
+            graft.pipeline.TextAnalysis.bm25TopK(
+              docs, idCol, textCol, req.terms, req.topK, req.k1, req.b, an)
+        }).select(col(idCol).as("id"), col("rank"))
+        val li = maxsimRanked(req.topK)
+          .select(col(idCol).as("id"), col("rank"))
+        graft.pipeline.Retrieval.rrfFuse(Seq(lex, li), "id", "rank",
+          req.fuseTopK)
       }
     } else if (req.weights.nonEmpty)
       idx match {
@@ -251,6 +291,7 @@ object JsonApi {
         // PURE ANN mode — a semantic block with no lexical half: the
         // ranked neighbor list itself is the result (id, rank,
         // cos_sim_r), served brute or through the named IVF artifact
+        // in the ARTIFACT'S OWN layout (semanticIndexed)
         import org.apache.spark.sql.functions.round
         val s = req.semantic.get
         val emb = embeddings.getOrElse(throw new IllegalArgumentException(
@@ -259,9 +300,7 @@ object JsonApi {
           .select(col(embId).as("__q_id"), col(embVec).as("__q_vec"))
         (s.index.map(resolved) match {
           case Some(path) =>
-            graft.pipeline.Similarity.ivfTopKIndexedJoined(spark,
-              q, "__q_id", "__q_vec", path, embId, embVec,
-              k = s.k, nProbe = s.nProbe)
+            semanticIndexed(spark, q, path, emb, embId, embVec, s)
           case None =>
             graft.pipeline.Similarity.bruteForceTopK(
               q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
@@ -296,11 +335,10 @@ object JsonApi {
             val sem = (s.index.map(resolved) match {
               case Some(path) =>
                 // ANN half: probed-cell search through the persisted
-                // IVF artifact — the serving form; recall follows
-                // nProbe (measured the q_ann_recall way)
-                graft.pipeline.Similarity.ivfTopKIndexedJoined(spark,
-                  q, "__q_id", "__q_vec", path, embId, embVec,
-                  k = s.k, nProbe = s.nProbe)
+                // IVF artifact in its OWN layout (semanticIndexed) —
+                // the serving form; recall follows nProbe (measured
+                // the q_ann_recall way)
+                semanticIndexed(spark, q, path, emb, embId, embVec, s)
               case None =>
                 graft.pipeline.Similarity.bruteForceTopK(
                   q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
@@ -308,6 +346,113 @@ object JsonApi {
             graft.pipeline.Retrieval.rrfFuse(
               Seq(lex.select(col(idCol).as("id"), col("rank")), sem),
               "id", "rank", req.fuseTopK)
+        }
+    }
+  }
+
+  /** FACET counts beside a lexical search — the sidebar aggregate of
+    * a search page, over the request layer: the request's terms
+    * intersect through the named index's postings
+    * ([[graft.pipeline.TextAnalysis.termLookupAll]] — counts cover
+    * the FULL matched set, because a sidebar describes everything
+    * that matched, not the current page) and the facet columns count
+    * in ONE melted aggregate
+    * ([[graft.pipeline.Retrieval.facetCounts]] — adding facets adds
+    * no shuffles). Returns (facet, value, n_docs). The request must
+    * name an index and list `facets`; `docs` supplies the facet
+    * metadata columns. */
+  def searchFacets(docs: DataFrame, json: String,
+                   idCol: String = "doc_id",
+                   resolveIndex: Option[String => String] = None): DataFrame = {
+    val req = JsonDsl.search(json)
+    require(req.facets.nonEmpty, "request carries no facets block")
+    val path = resolveIndex.map(_(req.index.get)).getOrElse(req.index.get)
+    val matched = graft.pipeline.TextAnalysis.termLookupAll(
+        docs.sparkSession, path, req.terms)
+      .withColumnRenamed("doc_id", idCol)
+    graft.pipeline.Retrieval.facetCounts(matched, docs, idCol, req.facets)
+  }
+
+  /** Best-window SNIPPETS for a lexical search's matching documents,
+    * over the request layer: per document, the `width`-token window
+    * covering the most distinct query terms (ties: most occurrences,
+    * earliest start), computed entirely FROM the index's positional
+    * postings ([[graft.pipeline.TextAnalysis.snippetWindow]] — work
+    * is occurrence-bounded, the raw corpus is never read). Returns
+    * (doc_id, snippet_start, terms_in_window, occs_in_window). */
+  def searchSnippets(spark: SparkSession, json: String,
+                     resolveIndex: Option[String => String] = None): DataFrame = {
+    val req = JsonDsl.search(json)
+    require(req.snippet.nonEmpty, "request carries no snippet block")
+    val path = resolveIndex.map(_(req.index.get)).getOrElse(req.index.get)
+    graft.pipeline.TextAnalysis.snippetWindow(spark, path, req.terms,
+      req.snippet.get)
+  }
+
+  /** LAYOUT-DISPATCHED ANN serving for a semantic block naming an
+    * index — the query plane's twin of the maintenance plane's
+    * `Similarity.retrainDispatch`: the ARTIFACT'S detected layout
+    * picks the serving form, so every artifact answers in its STORED
+    * form. A composed IVF×PQ / residual artifact serves by its
+    * codes-only candidate scan (the memory/IO advantage those layouts
+    * exist for — never a float rescan), quantized by the int8
+    * candidate pass, two-level through its coarse hierarchy
+    * (coarseProbe from the artifact's own `twolevel_meta`; the
+    * request knob covers only pre-meta artifacts), codes-only PQ by
+    * the asymmetric decode with the embeddings frame re-ranking
+    * floats, and flat by the probed joined tail.
+    *
+    * `where` (payload-column predicates) compiles once and applies
+    * INSIDE the probed-cell scan on every cells layout — parquet
+    * PushedFilters before any vector/code bytes decode, ranks
+    * contiguous over the matching set. */
+  private def semanticIndexed(spark: SparkSession, q: DataFrame,
+                              path: String, emb: DataFrame,
+                              embId: String, embVec: String,
+                              s: graft.model.SemanticSearch): DataFrame = {
+    import graft.pipeline.{IndexGen, Similarity}
+    val root = IndexGen.resolveRoot(spark, path)
+    val where =
+      if (s.where.isEmpty) None
+      else Some(Exprs.and(s.where.map(Exprs.propPredicate)))
+    val sl = s.shortlist.getOrElse(4 * s.k)
+    Similarity.indexLayout(spark, root) match {
+      case "pq" =>
+        if (Similarity.readPqMeta(spark, root).getOrElse(false))
+          Similarity.ivfTopKIndexedPqResidual(spark, q, "__q_id", "__q_vec",
+            path, embId, embVec, k = s.k, shortlist = sl,
+            nProbe = s.nProbe, where = where)
+        else
+          Similarity.ivfTopKIndexedPq(spark, q, "__q_id", "__q_vec",
+            path, embId, embVec, k = s.k, shortlist = sl,
+            nProbe = s.nProbe, where = where)
+      case "quantized" =>
+        Similarity.ivfTopKIndexedQuantized(spark, q, "__q_id", "__q_vec",
+          path, embId, embVec, k = s.k, shortlist = sl,
+          nProbe = s.nProbe, where = where)
+      case "two_level" =>
+        val cp = Similarity.readTwoLevelMeta(spark, root)
+          .orElse(s.coarseProbe)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path predates twolevel_meta — supply semantic.coarseProbe"))
+        Similarity.ivfTopKIndexedTwoLevel(spark, q, "__q_id", "__q_vec",
+          path, embId, embVec, k = s.k, coarseProbe = cp,
+          nProbe = s.nProbe, where = where)
+      case "pq_codes" =>
+        if (where.nonEmpty)
+          throw new IllegalArgumentException(
+            "a codes-only PQ artifact stores no payload columns — " +
+              "filtered search needs a cells layout")
+        Similarity.pqTopKIndexed(spark, q, "__q_id", "__q_vec",
+          path, emb, embId, embVec, k = s.k, shortlist = sl)
+      case _ =>
+        where match {
+          case Some(w) =>
+            Similarity.ivfTopKIndexedWhere(spark, q, "__q_id", "__q_vec",
+              path, embId, embVec, k = s.k, nProbe = s.nProbe, where = w)
+          case None =>
+            Similarity.ivfTopKIndexedJoined(spark, q, "__q_id", "__q_vec",
+              path, embId, embVec, k = s.k, nProbe = s.nProbe)
         }
     }
   }

@@ -204,7 +204,9 @@ object JsonDsl {
       val candTok = m.asOpt("candTok").map(_.int).getOrElse(20)
       if (nProbe < 1 || candTok < 1)
         throw JsonError("maxsim nProbe and candTok must be >= 1")
-      MaxsimSearch(dims = dims, nProbe = nProbe, candTok = candTok)
+      MaxsimSearch(dims = dims, nProbe = nProbe, candTok = candTok,
+        fuse = m.asOpt("fuse").map(_.bool).getOrElse(false),
+        index = m.asOpt("index").map(_.str))
     }
     if (maxsim.nonEmpty && terms.isEmpty)
       throw JsonError("maxsim search needs terms")
@@ -262,6 +264,27 @@ object JsonDsl {
     if (index.nonEmpty && analyzer.nonEmpty)
       throw JsonError("a named index carries its own persisted analyzer — " +
         "drop the analyzer block")
+    // facet counts and best-window snippets — the two search-UI
+    // companions of the ranked list: both are postings-derived, so
+    // they need a named index and a lexical (terms) query
+    val facets = j.asOpt("facets").map(_.arr.map(_.str)).getOrElse(Nil)
+    if (j.asOpt("facets").nonEmpty && facets.isEmpty)
+      throw JsonError("facets needs at least one column")
+    val snippet = j.asOpt("snippet").map { sn =>
+      val w = (sn / "width").int
+      if (w < 1) throw JsonError("snippet width must be >= 1")
+      w
+    }
+    if (facets.nonEmpty || snippet.nonEmpty) {
+      if (terms.isEmpty)
+        throw JsonError("facets/snippet describe a lexical (terms) search")
+      if (index.isEmpty)
+        throw JsonError("facets/snippet serve from a persisted index " +
+          "(postings intersection / positional windows) — name one")
+      if (weights.nonEmpty || passage.nonEmpty || maxsim.nonEmpty ||
+          j.asOpt("semantic").nonEmpty)
+        throw JsonError("facets/snippet combine with the lexical mode only")
+    }
     if (index.nonEmpty && maxsim.isEmpty && terms.isEmpty &&
         weights.isEmpty && phrase.isEmpty && near.isEmpty)
       throw JsonError("an index serves lexical/sparse/passage/maxsim/" +
@@ -271,10 +294,35 @@ object JsonDsl {
       topK = j.asOpt("topK").map(_.int).getOrElse(10),
       k1 = j.asOpt("k1").map(_.num).getOrElse(1.2),
       b = j.asOpt("b").map(_.num).getOrElse(0.75),
-      semantic = j.asOpt("semantic").map(s => SemanticSearch(
-        (s / "queryId").long, s.asOpt("k").map(_.int).getOrElse(20),
-        index = s.asOpt("index").map(_.str),
-        nProbe = s.asOpt("nProbe").map(_.int).getOrElse(1))),
+      semantic = j.asOpt("semantic").map { s =>
+        // knob validation at PARSE, matching the maxsim block's: a
+        // nProbe <= 0 would otherwise only fail deep inside the cell
+        // ranking with a less actionable message
+        val nProbe = s.asOpt("nProbe").map(_.int).getOrElse(1)
+        if (nProbe < 1) throw JsonError("semantic nProbe must be >= 1")
+        val shortlist = s.asOpt("shortlist").map(_.int)
+        if (shortlist.exists(_ < 1))
+          throw JsonError("semantic shortlist must be >= 1")
+        val coarseProbe = s.asOpt("coarseProbe").map(_.int)
+        if (coarseProbe.exists(_ < 1))
+          throw JsonError("semantic coarseProbe must be >= 1")
+        // the filtered-search predicate: payload COLUMNS of the named
+        // index (index-local physical names, deliberately NOT
+        // registry-resolved properties), each {"column", "op",
+        // "values"} — one PropFilter per entry, AND-composed
+        val where = s.asOpt("where").map(_.arr.map { f =>
+          PropFilter((f / "column").str, propOp(f / "op"),
+            f.asOpt("values").map(_.arr.map(_.scalar)).getOrElse(Nil))
+        }).getOrElse(Nil)
+        if (where.nonEmpty && s.asOpt("index").isEmpty)
+          throw JsonError("semantic where filters payload columns of a " +
+            "NAMED index — name one (the brute scan filters its own frame)")
+        SemanticSearch(
+          (s / "queryId").long, s.asOpt("k").map(_.int).getOrElse(20),
+          index = s.asOpt("index").map(_.str),
+          nProbe = nProbe, where = where, shortlist = shortlist,
+          coarseProbe = coarseProbe)
+      },
       fuseTopK = j.asOpt("fuseTopK").map(_.int).getOrElse(10),
       weights = weights,
       passage = passage,
@@ -283,6 +331,8 @@ object JsonDsl {
       phrase = phrase,
       near = near,
       index = index,
+      facets = facets,
+      snippet = snippet,
       projectId = j.asOpt("projectId").map(_.long))
   }
 

@@ -324,6 +324,19 @@ final case class SearchRequest(
       * index carries its own persisted analyzer, so `analyzer` does
       * not combine with it. */
     index: Option[String] = None,
+    /** Facet columns (doc metadata) to count BESIDE the ranked list —
+      * the search-sidebar aggregate: counts cover the FULL
+      * conjunctive matched set (a sidebar describes everything that
+      * matched, not the page), one melted aggregate per request.
+      * Lexical mode with a named index only (the matched set is a
+      * postings intersection). */
+    facets: Seq[String] = Nil,
+    /** Best-window snippet width (tokens): per matching document, the
+      * window covering the most distinct query terms (ties: most
+      * occurrences, earliest start), computed FROM the positional
+      * postings — the raw corpus is never read. Index required like
+      * phrase. */
+    snippet: Option[Int] = None,
     projectId: Option[Long] = None)
 
 /** The proximity mode of a [[SearchRequest]]: two distinct terms
@@ -333,11 +346,23 @@ final case class NearSearch(a: String, b: String, window: Int = 3)
 /** The late-interaction mode of a [[SearchRequest]]: `terms` become
   * per-token query vectors (deterministic md5 space — a stand-in for
   * a real token-embedding table) and documents score by
-  * Σ_{query tokens} max_{doc tokens} cos. With a request-level
-  * `index` (a token-instance IVF artifact), `nProbe`/`candTok` bound
-  * the candidate stage of the indexed form. */
+  * Σ_{query tokens} max_{doc tokens} cos. `index` names the
+  * TOKEN-INSTANCE IVF artifact serving this block (falling back to
+  * the request-level `index` when the block is the request's only
+  * mode); `nProbe`/`candTok` bound the indexed form's candidate
+  * stage.
+  *
+  * `fuse` turns the request into the standard two-stage quality
+  * recipe — BM25 ⊕ maxsim: the SAME terms rank both a lexical list
+  * (request-level `index` → postings, else the scan) and this
+  * block's late-interaction list (each `topK` deep), fused by
+  * integer RRF to `fuseTopK`. The two lists may then serve from TWO
+  * different artifacts: the request `index` is the text index, the
+  * block's `index` the token-instance one. */
 final case class MaxsimSearch(dims: Int = 16, nProbe: Int = 8,
-                              candTok: Int = 20)
+                              candTok: Int = 20,
+                              fuse: Boolean = false,
+                              index: Option[String] = None)
 
 /** Optional text analysis of a lexical [[SearchRequest]] — the JSON
   * shape of [[graft.pipeline.TextAnalysis.Analyzer]]: lowercase both
@@ -352,10 +377,27 @@ final case class AnalyzerSpec(lowercase: Boolean = false,
   * documents by id), ranked to its cosine top-`k`. `index` names a
   * persisted IVF artifact over the embedding corpus (id or path,
   * resolved like the request-level index) — the ANN serving form,
-  * probing `nProbe` cells — instead of the brute scan. */
+  * probing `nProbe` cells — instead of the brute scan. The serving
+  * layer dispatches on the ARTIFACT'S detected layout (flat /
+  * quantized / composed PQ / residual / two-level), so each artifact
+  * answers in its stored form — a PQ artifact by its codes-only
+  * candidate scan, never a float rescan.
+  *
+  * `where` is the FILTERED ("nearest WHERE tenant/label …") form:
+  * predicates over the payload columns the index was built with,
+  * applied INSIDE the probed-cell scan before scoring on every
+  * layout (never a post-filter, which returns short or over-scans).
+  * Filtered selectivity eats recall like any IVF restriction — raise
+  * `nProbe` as filters sharpen. `shortlist` bounds the re-rank
+  * candidate set of the compressed layouts (PQ/residual/quantized
+  * and the codes-only artifact; default 4·k); `coarseProbe` covers
+  * only pre-twolevel_meta artifacts, which cannot say their own. */
 final case class SemanticSearch(queryId: Long, k: Int = 20,
                                 index: Option[String] = None,
-                                nProbe: Int = 1)
+                                nProbe: Int = 1,
+                                where: Seq[PropFilter] = Nil,
+                                shortlist: Option[Int] = None,
+                                coarseProbe: Option[Int] = None)
 
 /** The passage mode of a [[SearchRequest]]: chunk the corpus into
   * `window`-token spans with `stride` overlap, BM25 the chunk corpus,

@@ -86,6 +86,20 @@ object GenCache {
       }
     }
 
+  /** Drop every session's entries for (`root`, kinds starting with
+    * `kindPrefix`) — the hook for the ONE way a committed generation
+    * legitimately mutates: appends land new cell files inside it
+    * (maintenance writes into the resolved root), which can RAISE a
+    * memoized footer-stats bound. Codebook-family entries stay (an
+    * append never rewrites codebooks); only the append path calls
+    * this, so the per-search cost of the memoized reads is
+    * unchanged. */
+  def invalidate(root: String, kindPrefix: String): Unit = {
+    val needle = s"#$root#$kindPrefix"
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().contains(needle)) it.remove()
+  }
+
   /** Test hook: entry count. */
   def size: Int = cache.size
 

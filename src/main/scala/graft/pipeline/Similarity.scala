@@ -609,11 +609,28 @@ object Similarity {
     // the exact contract of StreamingDedup's signature store.
     val marker = new org.apache.hadoop.fs.Path(path, f".batch-$batchId%09d.done")
     if (fs.exists(marker)) return
+    requireNotQuantizedLayout(spark, path, "appendToIndexAtomic")
     val cb = readArtifact(spark, path, "codebook")
     atomicCellsWrite(spark,
       assignCellsByJoin(batch.select(col(cId), col(cVec)), cId, cVec, cb),
       path, batchId)
   }
+
+  /** Flat-append guard for the QUANTIZED layout — the
+    * [[requireEncodingMatch]] class of failure on a different column:
+    * a flat append aimed at a [[buildIndexQuantizedJoined]] artifact
+    * would write rows lacking `q_vec`/`q_vec_scale`, which the
+    * quantized candidate pass reads as null scores and silently never
+    * returns. Detection is the artifact's own `quantized_meta`
+    * (pre-meta quantized artifacts cannot say, exactly like the PQ
+    * guards). */
+  private def requireNotQuantizedLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, caller: String): Unit =
+    require(readQuantizedPayloadMeta(spark, root).isEmpty,
+      s"index at $root is a QUANTIZED layout (quantized_meta present) — " +
+        s"$caller would write rows without q_vec/q_vec_scale that " +
+        "quantized search silently never returns; use appendToIndexQuantized")
 
   /** The shared idempotent cells write: `rows` (carrying `cell_id`)
     * land as one deterministic `batch-<id>.parquet` per cell via the
@@ -643,6 +660,9 @@ object Similarity {
     }
     fs.delete(tmp, true)
     fs.create(marker, true).close()
+    // the one legitimate mutation of a committed generation: new cell
+    // files can RAISE the memoized footer-stats bound
+    GenCache.invalidate(path, "footerMax:")
   }
 
   /** [[appendToIndexAtomic]] for the IVF×PQ families: the batch is
@@ -876,6 +896,50 @@ object Similarity {
     readProbedCells(spark, root, ids)
   }
 
+  /** [[readLiveCells]] with MANIFEST-LEVEL file skipping: every cell
+    * directory's live parts are checked against `preds` (per-part
+    * min/max stats + blooms, recorded by a [[compactIndexCells]] fold
+    * with stats options) and only parts that CAN match are listed —
+    * the events store's `readPruned` idea applied to an index cells
+    * store. Parts without recorded stats (appends since the last
+    * fold, pre-stats artifacts) are always kept, so the read is exact
+    * by construction: `preds` are an IO bound, the caller's joins
+    * remain the semantic filter. Per-cell manifest loads run through
+    * the shared bounded pool like [[readProbedCells]]; the file list
+    * stays in cell order, so plans are deterministic. */
+  private def readLiveCellsPruned(spark: org.apache.spark.sql.SparkSession,
+                                  root: String,
+                                  preds: Seq[graft.sources.Compact.PartPred])
+      : DataFrame = {
+    val cellsDir = new org.apache.hadoop.fs.Path(s"$root/cells")
+    val fs = cellsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cellsDir), s"no cells store at $root")
+    val dirs = fs.listStatus(cellsDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell_id="))
+      .map(_.getPath).sortBy(_.getName).toIndexedSeq
+    val files = dirs
+      .map { d =>
+        manifestPool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = {
+            val (kept, _) = graft.sources.Compact.prunedParts(
+              spark, d.toString, preds)
+            kept.map(p => new org.apache.hadoop.fs.Path(d, p.name).toString)
+          }
+        })
+      }
+      .flatMap { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    val base = spark.read.option("basePath", cellsDir.toString)
+    val df = if (files.nonEmpty) base.parquet(files: _*)
+             else spark.read.parquet(cellsDir.toString).filter(lit(false))
+    minusIndexDeletes(spark, root, df)
+  }
+
   /** RETRAIN a [[buildIndexJoined]]-family index IN PLACE, atomically:
     * the committed generation's live rows (manifest-snapshot reads,
     * deletes dropped — erasure carries forward physically) are the
@@ -1078,18 +1142,20 @@ object Similarity {
 
   /** The layout family of a cells-layout vector artifact at its
     * RESOLVED root — the dispatch key for kind-agnostic maintenance
-    * (HTTP retrain, [[maybeRetrain]]): `two_level` (hierarchical
+    * (HTTP retrain, [[maybeRetrain]]) AND for layout-dispatched
+    * serving (the JSON semantic route): `two_level` (hierarchical
     * codebooks), `pq` (composed IVF×PQ — cells rows carry codes),
     * `pq_codes` (a [[buildPqIndex]] codes-only artifact — no floats
     * stored, so UNRETRAINABLE by design; maintenance planes report
-    * that instead of attempting a rebuild), or `flat` (float /
-    * quantized joined layouts). Detection is directory-existence only
-    * for every artifact this repo builds — `pq_meta`/`pq_codebook`
-    * are written at build time, so the PQ probe never lists the
-    * (large, partitioned) cells directory; the cells-SCHEMA sniff
-    * survives only as the fallback for composed artifacts that
-    * predate pq_meta, and it is the one branch that pays a directory
-    * listing. */
+    * that instead of attempting a rebuild), `quantized`
+    * ([[buildIndexQuantizedJoined]] — int8 patterns beside the
+    * floats), or `flat` (plain float joined layout). Detection is
+    * directory-existence only for every artifact this repo builds —
+    * `pq_meta`/`pq_codebook`/`quantized_meta` are written at build
+    * time, so the probes never list the (large, partitioned) cells
+    * directory; the cells-SCHEMA sniff survives only as the fallback
+    * for composed/quantized artifacts that predate their meta, and
+    * it is the one branch that pays a directory listing. */
   def indexLayout(spark: org.apache.spark.sql.SparkSession,
                   root: String): String = {
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -1098,9 +1164,31 @@ object Similarity {
     if (has("codebook_coarse")) "two_level"
     else if (!has("cells") && has("codes")) "pq_codes"
     else if (has("pq_meta") || has("pq_codebook")) "pq"
-    else if (has("cells") &&
-      spark.read.parquet(s"$root/cells").columns.contains("codes")) "pq"
+    else if (has("quantized_meta")) "quantized"
+    else if (has("cells")) {
+      val cols = spark.read.parquet(s"$root/cells").columns
+      if (cols.contains("codes")) "pq"
+      else if (cols.contains("q_vec")) "quantized"
+      else "flat"
+    }
     else "flat"
+  }
+
+  /** The vector WIDTH an artifact was built with, read from its own
+    * codebook (every layout persists one; centroid length = dims).
+    * One tiny head() per committed generation ([[GenCache]] memoizes
+    * the boxed Int like the codebook frames) — what request-layer
+    * dims validation needs: a request whose query vectors are built
+    * at a different width would score truncated dot products
+    * (VectorDotProduct truncates to min length) and silently mis-rank,
+    * so the serving layer throws on mismatch instead. */
+  def indexVectorDims(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int = {
+    val root = IndexGen.resolveRoot(spark, path)
+    GenCache.memo(spark, root, "vecdims")(
+      java.lang.Integer.valueOf(
+        readArtifact(spark, root, "codebook")
+          .select(size(col("centroid"))).head().getInt(0))).intValue
   }
 
   /** The RETRAINABILITY contract of a layout: every cells-bearing
@@ -1340,9 +1428,28 @@ object Similarity {
     * exact check rather than trusting a partial bound. Deletes are
     * ignored deliberately: a deleted id only makes the bound more
     * conservative, never less safe. */
+  /** [[footerMaxLong]] memoized per committed generation under
+    * `footerMax:<column>` ([[GenCache]] — flat roots read through).
+    * Every cells-append path invalidates the key
+    * ([[GenCache.invalidate]]), so a batch landing violating ids is
+    * still caught by the next search; deletes/purges/compactions can
+    * only LOWER the true max, so a stale bound stays safe in the
+    * guard direction. */
+  private[graft] def cachedFooterMaxLong(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, column: String): Option[Long] =
+    GenCache.memo(spark, root, s"footerMax:$column")(
+      footerMaxLong(spark, root, column))
+
+  /** Test hook: number of physical footer sweeps actually run (cache
+    * hits don't count). */
+  private[graft] val footerSweeps =
+    new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def footerMaxLong(spark: org.apache.spark.sql.SparkSession,
                                    path: String,
                                    column: String): Option[Long] = {
+    footerSweeps.incrementAndGet(): Unit
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(s"$path/cells")
     val fs = root.getFileSystem(conf)
@@ -1598,11 +1705,13 @@ object Similarity {
   def appendToIndexJoined(batch: DataFrame, cId: String, cVec: String,
                           path0: String, payload: Seq[String] = Nil): Unit = {
     val path = IndexGen.resolveRoot(batch.sparkSession, path0)
+    requireNotQuantizedLayout(batch.sparkSession, path, "appendToIndexJoined")
     val cb = batch.sparkSession.read.parquet(s"$path/codebook")
     assignCellsByJoin(batch, cId, cVec, cb, payload)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(s"$path/cells")
+    GenCache.invalidate(path, "footerMax:")
   }
 
   /** [[ivfTopKIndexed]] with JOIN-BASED probe ranking: the persisted
@@ -2139,6 +2248,7 @@ object Similarity {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(s"$path/cells")
+    GenCache.invalidate(path, "footerMax:")
   }
 
   /** Search a [[buildIndexPqJoined]] artifact: probe cells via the
@@ -2274,6 +2384,7 @@ object Similarity {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(s"$path/cells")
+    GenCache.invalidate(path, "footerMax:")
   }
 
   /** Search a [[buildIndexPqResidual]] artifact: identical shape to
@@ -2533,22 +2644,17 @@ object Similarity {
     * deployment whose ids are validated ONCE at build passes false to
     * skip even the footer sweep; the query-side guards are
     * frame-bounded and always run. */
-  def maxSimTopKIndexed(spark: org.apache.spark.sql.SparkSession,
-                        queryTokens: DataFrame, qId: String, qPos: String,
-                        qVec: String, path: String, tokId: String,
-                        tokVec: String, docTokens: DataFrame,
-                        dId: String, dVec: String,
-                        k: Int, nProbe: Int, candTok: Int,
-                        validateTokenIds: Boolean = true): DataFrame = {
-    // the composite-id preconditions are ENFORCED, not just
-    // documented — a violating caller would otherwise get silently
-    // wrong candidate sets (probe-id collisions with real instances)
-    // or misattributed query ids (qPos under/overflow), never an
-    // error. The query frame is broadcast-gated small, so its
-    // aggregate is one tiny job. ALL FOUR bounds matter: a negative
-    // qPos would floor-divide into the WRONG query id (and at qId=0
-    // underflow below the 1e12 offset into token-id space), and a
-    // huge qId would overflow the Long composite.
+  /** The composite-id preconditions of the indexed maxsim forms,
+    * ENFORCED (not just documented): a violating caller would
+    * otherwise get silently wrong candidate sets (probe-id collisions
+    * with real instances) or misattributed query ids (qPos under/
+    * overflow), never an error. The query frame is broadcast-gated
+    * small, so this aggregate is one tiny job. ALL FOUR bounds
+    * matter: a negative qPos would floor-divide into the WRONG query
+    * id (and at qId=0 underflow below the 1e12 offset into token-id
+    * space), and a huge qId would overflow the Long composite. */
+  private def maxsimRequireQueryBounds(queryTokens: DataFrame,
+                                       qId: String, qPos: String): Unit = {
     val qg = queryTokens.agg(
       min(col(qId).cast("long")), max(col(qId).cast("long")),
       min(col(qPos).cast("long")), max(col(qPos).cast("long"))).head()
@@ -2562,12 +2668,27 @@ object Similarity {
       require(qg.getLong(3) < 1000000L,
         s"maxSimTopKIndexed needs $qPos < 1e6 (composite probe-id scheme)")
     }
+  }
+
+  def maxSimTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        queryTokens: DataFrame, qId: String, qPos: String,
+                        qVec: String, path: String, tokId: String,
+                        tokVec: String, docTokens: DataFrame,
+                        dId: String, dVec: String,
+                        k: Int, nProbe: Int, candTok: Int,
+                        validateTokenIds: Boolean = true): DataFrame = {
+    maxsimRequireQueryBounds(queryTokens, qId, qPos)
     if (validateTokenIds) {
       // bound the ids IN THE INDEX (where a collision with the
       // composite probe-id space would corrupt the candidate tail)
       // from footer stats; exact docTokens aggregate only as the
-      // stats-unusable fallback
-      footerMaxLong(spark, IndexGen.resolveRoot(spark, path), tokId) match {
+      // stats-unusable fallback. MEMOIZED per committed generation
+      // (the answer is immutable until an append lands, and the
+      // append paths invalidate the key) — without this every search
+      // re-opened every live file's footer for a constant: thousands
+      // of driver↔store round trips per request at real nCells.
+      cachedFooterMaxLong(spark, IndexGen.resolveRoot(spark, path),
+          tokId) match {
         case Some(mx) =>
           require(mx < 1000000000000L,
             s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId): " +
@@ -2610,11 +2731,22 @@ object Similarity {
     * was built from, so a serving layer needs no corpus access at
     * all — no per-request explode/dedup/window re-derivation of
     * token instances (a corpus-sized sort at scale), and erasure
-    * applies via the live-cells read (delete sets included) instead
+    * applies via the live-cells reads (delete sets included) instead
     * of trusting the caller to filter their frame. Results are
     * identical to the explicit-frame form over the same build. The
-    * artifact must carry `dId` as a payload column ([[maxSimTopKIndexed]]'s
-    * build contract). */
+    * artifact must carry `dId` as a payload column
+    * ([[maxSimTopKIndexed]]'s build contract).
+    *
+    * Unlike the explicit-frame form (whose docTokens the caller may
+    * share across calls), BOTH artifact scans here are file-skipped
+    * through the cells manifests ([[readLiveCellsPruned]]): the
+    * candidate→doc map lists only files that can hold a HIT instance
+    * id, and the re-score lists only files that can hold a CANDIDATE
+    * doc — both driver sets bounded by |query tokens| · candTok. Per
+    * request the scan cost is then proportional to the candidate
+    * set, not the corpus, once the store has folded with
+    * [[maxsimIndexMaintenanceOptions]] (without recorded stats every
+    * part is kept and this degrades to exactly the unpruned read). */
   def maxSimTopKIndexedSelf(spark: org.apache.spark.sql.SparkSession,
                             queryTokens: DataFrame, qId: String,
                             qPos: String, qVec: String, path0: String,
@@ -2622,12 +2754,74 @@ object Similarity {
                             k: Int, nProbe: Int, candTok: Int,
                             validateTokenIds: Boolean = true): DataFrame = {
     val path = IndexGen.resolveRoot(spark, path0)
-    val docTokens = readLiveCells(spark, path)
-      .select(col(tokId), col(dId), col(tokVec))
-    maxSimTopKIndexed(spark, queryTokens, qId, qPos, qVec, path0,
-      tokId, tokVec, docTokens, dId, tokVec, k, nProbe, candTok,
-      validateTokenIds)
+    maxsimRequireQueryBounds(queryTokens, qId, qPos)
+    if (validateTokenIds)
+      cachedFooterMaxLong(spark, path, tokId) match {
+        case Some(mx) =>
+          require(mx < 1000000000000L,
+            s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId): " +
+              s"index at $path holds $mx")
+        case None =>
+          // stats-unusable fallback: ONE narrow-column aggregate over
+          // the artifact itself (this form has no caller frame)
+          val tg = readLiveCells(spark, path)
+            .agg(max(col(tokId).cast("long"))).head()
+          require(tg.isNullAt(0) || tg.getLong(0) < 1000000000000L,
+            s"maxSimTopKIndexed needs token-instance ids < 1e12 ($tokId)")
+      }
+    val qt = queryTokens.select(
+      (col(qId).cast("long") * 1000000L + col(qPos) +
+        lit(1000000000000L)).as("__qt"), col(qVec))
+    // candidate stage: probed-cell INSET scan, ≤ |qTokens|·candTok
+    // rows — staged because three consumers read it (id collect,
+    // doc-map join, query-id recovery)
+    val hits = graft.engine.Staging.stage(
+      ivfTopKIndexedJoined(spark, qt, "__qt", qVec, path0,
+        tokId, tokVec, k = candTok, nProbe = nProbe))
+    val hitIds = hits.select(col(tokId)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    // candidate→doc map: only files whose manifest stats/blooms admit
+    // a hit instance id are listed
+    val docMap = readLiveCellsPruned(spark, path,
+        Seq(graft.sources.Compact.PartIn(tokId, hitIds)))
+      .select(col(tokId), col(dId))
+    val cand = graft.engine.Staging.stage(hits
+      .join(docMap, Seq(tokId))
+      .withColumn("__q0", col("__qt") - lit(1000000000000L))
+      .select(((col("__q0") - pmod(col("__q0"), lit(1000000L))) /
+        lit(1000000L)).cast("long").as(qId), col(dId))
+      .distinct())
+    val candDocs = cand.select(col(dId)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    // re-score: only files that can hold a candidate doc; the
+    // semi-join below stays the exact semantic restriction
+    val dt = readLiveCellsPruned(spark, path,
+        Seq(graft.sources.Compact.PartIn(dId, candDocs)))
+      .select(col(dId), col(tokVec))
+      .join(cand.select(col(dId)).distinct(), Seq(dId), "left_semi")
+    val qa = boundedBroadcast(
+      queryTokens.select(col(qId), col(qPos), col(qVec))
+        .withColumn("__qn", norm(col(qVec))), qVec, "maxSimTopKIndexedSelf")
+    maxSimRank(
+      maxSimScore(qa, dt, qId, qPos, qVec, dId, tokVec)
+        .join(cand, Seq(qId, dId), "left_semi"),
+      qId, dId, k)
   }
+
+  /** The maintenance options a TOKEN-INSTANCE (maxsim) cells store
+    * should fold with ([[compactIndexCells]]'s `opts`): per-part
+    * min/max stats for (tokId, dId), a bloom on dId, and
+    * range-clustered merges on tokId. Because the build contract's
+    * composite id (tokId = dId·1e6 + rank) makes tokId order imply
+    * dId order, one clustering serves BOTH pruned scans of
+    * [[maxSimTopKIndexedSelf]]: near-disjoint per-file tokId ranges
+    * for the candidate→doc map, near-disjoint dId ranges (plus the
+    * bloom) for the re-score. */
+  def maxsimIndexMaintenanceOptions(tokId: String, dId: String)
+      : graft.sources.Compact.Options =
+    graft.sources.Compact.Options(
+      statsCols = Seq(tokId, dId), bloomCols = Seq(dId),
+      clusterByRange = true, sortCols = Seq(tokId))
 
   sealed trait CandidateSource
   /** Exact: broadcast cross join (queries must be small). */

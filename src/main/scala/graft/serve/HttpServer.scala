@@ -294,12 +294,28 @@ final class GraftHttpServer(
         // it through the SAME admin registry as /admin/indexes —
         // registered ids only, never raw request-supplied paths (404
         // on unknown, like every registry lookup)
+        val resolver = Some((id: String) => indexReg.getOrElse(id,
+          throw new RuntimeException(s"index $id not found")))
+        val reqBody = withProject(body, pid)
         val t = Response.collect(JsonApi.search(
-          documents.get, withProject(body, pid), embeddings = embeddings,
-          resolveIndex = Some(id => indexReg.getOrElse(id,
-            throw new RuntimeException(s"index $id not found")))))
+          documents.get, reqBody, embeddings = embeddings,
+          resolveIndex = resolver))
         Metrics.recordRows("search", t.rowCount)
-        t.toJson
+        // a request carrying facets/snippet blocks gets the search-UI
+        // companion sections BESIDE the ranked list, each the exact
+        // columnar serialization of its library operator
+        val req = graft.model.JsonDsl.search(reqBody)
+        if (req.facets.isEmpty && req.snippet.isEmpty) t.toJson
+        else {
+          val parts = Seq(s""""results":${t.toJson}""") ++
+            (if (req.facets.isEmpty) Nil
+             else Seq(s""""facets":${Response.collect(JsonApi.searchFacets(
+               documents.get, reqBody, resolveIndex = resolver)).toJson}""")) ++
+            (if (req.snippet.isEmpty) Nil
+             else Seq(s""""snippets":${Response.collect(JsonApi.searchSnippets(
+               spark, reqBody, resolveIndex = resolver)).toJson}"""))
+          s"{${parts.mkString(",")}}"
+        }
       }
     case ("POST", List("event-records", "search")) =>
       200 -> Metrics.timed("event_records_search") {

@@ -1370,6 +1370,91 @@ class HttpSpec extends SparkTestBase {
     }
   }
 
+  test("search companions + layout dispatch over HTTP: facet/snippet sections, filtered semantic, fused maxsim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = Seq("alpha", "scan", "column", "window", "beta")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until (3 + i % 4)).map(j =>
+        words((i * 3 + j) % words.length)).mkString(" "),
+        if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val emb = (0 until 40).map { i =>
+      val a = i * 0.15
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat),
+        (i % 3).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft-http-cs").toString
+    graft.pipeline.TextAnalysis.buildTextIndex(docs, "doc_id", "text",
+      s"$root/text")
+    graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding",
+      s"$root/vec", nCells = 4, iters = 1, payload = Seq("label"))
+    graft.pipeline.Similarity.buildIndexJoined(
+      graft.engine.JsonApi.maxsimTokenInstances(docs, "doc_id", "text", 8),
+      "tok_id", "d_vec",
+      graft.pipeline.Similarity.syntheticCodebook(spark, nCells = 4, dims = 8),
+      s"$root/tok", payload = Seq("doc_id"))
+    val registry = Map("docs-idx" -> s"$root/text", "vec-idx" -> s"$root/vec",
+      "tok-idx" -> s"$root/tok")
+    val resolver: Option[String => String] = Some(id => registry(id))
+    withServer(new GraftHttpServer(spark, ev, documents = Some(docs),
+        embeddings = Some(emb), indexes = registry)) { srv =>
+      // facet + snippet sections ride BESIDE the ranked list, each
+      // section the exact columnar bytes of its library operator
+      val fBody = """{"terms": ["scan", "column"], "topK": 5,
+                      "index": "docs-idx", "facets": ["lang"],
+                      "snippet": {"width": 4}}"""
+      val (c1, got1) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", fBody)
+      assert(c1 == 200)
+      val expected = "{" +
+        s""""results":${Response.collect(JsonApi.search(docs, fBody,
+          resolveIndex = resolver)).toJson},""" +
+        s""""facets":${Response.collect(JsonApi.searchFacets(docs, fBody,
+          resolveIndex = resolver)).toJson},""" +
+        s""""snippets":${Response.collect(JsonApi.searchSnippets(spark, fBody,
+          resolveIndex = resolver)).toJson}""" + "}"
+      assert(got1 == expected)
+      assert(got1.contains("\"facets\"") && got1.contains("\"snippets\""))
+      // a facets/snippet request without an index is a 400 at parse
+      assert(req(srv.port, "POST", "/api/v1/projects/1/queries/search",
+        """{"terms": ["scan"], "facets": ["lang"]}""")._1 == 400)
+      // FILTERED semantic search: the where block compiles INSIDE the
+      // probed-cell scan — byte-identity with the library, and every
+      // neighbor satisfies the predicate
+      val fsBody = """{"semantic": {"queryId": 0, "k": 3, "nProbe": 4,
+                       "index": "vec-idx",
+                       "where": [{"column": "label", "op": "eq",
+                                  "values": [1]}]}}"""
+      val (c2, got2) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", fsBody)
+      assert(c2 == 200)
+      assert(got2 == Response.collect(JsonApi.search(docs, fsBody,
+        embeddings = Some(emb), resolveIndex = resolver)).toJson)
+      val okIds = emb.filter(col("label") === 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val served = JsonApi.search(docs, fsBody, embeddings = Some(emb),
+          resolveIndex = resolver)
+        .select("id").collect().map(_.getLong(0))
+      assert(served.nonEmpty && served.forall(okIds))
+      // FUSED lexical × maxsim: two persisted artifacts serve one
+      // request; probe-all + vacuous candTok makes the indexed route
+      // equal the scan twin
+      val fmBody = """{"terms": ["scan", "column"], "topK": 10,
+                      "fuseTopK": 5, "index": "docs-idx",
+                      "maxsim": {"dims": 8, "fuse": true, "nProbe": 4,
+                                 "candTok": 500, "index": "tok-idx"}}"""
+      val (c3, got3) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", fmBody)
+      assert(c3 == 200)
+      assert(got3 == Response.collect(JsonApi.search(docs, fmBody,
+        resolveIndex = resolver)).toJson)
+      assert(got3 == Response.collect(JsonApi.search(docs,
+        """{"terms": ["scan", "column"], "topK": 10, "fuseTopK": 5,
+            "maxsim": {"dims": 8, "fuse": true}}""")).toJson)
+    }
+  }
+
   test("indexed passage requests validate the persisted chunking; self-contained maxsim over HTTP") {
     import spark.implicits._
     val words = Seq("alpha", "scan", "column", "window", "beta", "merge")

@@ -439,6 +439,112 @@ class IndexGenSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$appended/cells").count() == before)
     intercept[IllegalArgumentException](Similarity.appendToIndexQuantized(
       batch, "vec_id", "embedding", appended, batchId = 1L))
+    // FLAT appends refuse the quantized layout outright: they would
+    // write rows without q_vec/q_vec_scale that the quantized
+    // candidate pass silently never returns (null scores)
+    intercept[IllegalArgumentException](Similarity.appendToIndexJoined(
+      batch, "vec_id", "embedding", appended, payload = Seq("label")))
+    intercept[IllegalArgumentException](Similarity.appendToIndexAtomic(
+      batch, "vec_id", "embedding", appended, batchId = 7L))
+  }
+
+  test("maxsim token-id guard memoizes per committed generation; appends invalidate; violating ids still refused") {
+    import spark.implicits._
+    val path = tmpDir("gen-footer")
+    val dims = 8
+    val inst = (0L until 60L).map { i =>
+      val doc = i / 10
+      (doc * 1000000L + (i % 10) + 1, doc,
+        (0 until dims).map(j => (((i * 31 + j * 7) % 2001) - 1000) / 1000.0))
+    }.toDF("tok_id", "doc_id", "d_vec")
+    IndexGen.commitNewGeneration(spark, path)(dir =>
+      Similarity.buildIndexJoined(inst, "tok_id", "d_vec",
+        Similarity.syntheticCodebook(spark, 4, dims), dir,
+        payload = Seq("doc_id"))): Unit
+    val qt = Seq((0L, 0L, "alpha"), (0L, 1L, "beta"))
+      .toDF("q_id", "q_pos", "tok")
+      .withColumn("q_vec", Similarity.tokenVector(col("tok"), dims))
+      .select(col("q_id"), col("q_pos"), col("q_vec"))
+    graft.pipeline.GenCache.clear()
+    def run() = Similarity.maxSimTopKIndexedSelf(spark, qt, "q_id", "q_pos",
+      "q_vec", path, "tok_id", "d_vec", "doc_id",
+      k = 3, nProbe = 4, candTok = 100).count()
+    val s0 = Similarity.footerSweeps.get()
+    assert(run() > 0)
+    val s1 = Similarity.footerSweeps.get()
+    assert(s1 == s0 + 1, "first search runs exactly one footer sweep")
+    run(): Unit
+    assert(Similarity.footerSweeps.get() == s1,
+      "second search on the same committed generation does NO footer IO")
+    // an append can RAISE the bound: the memo key invalidates, the
+    // next search re-sweeps, and the guard still fires loudly on
+    // violating ids instead of trusting the stale cached bound
+    val bad = Seq((2000000000000L, 99L,
+        (0 until dims).map(_ => 0.5))).toDF("tok_id", "doc_id", "d_vec")
+    Similarity.appendToIndexJoined(bad, "tok_id", "d_vec", path,
+      payload = Seq("doc_id"))
+    val e = intercept[IllegalArgumentException](run())
+    assert(e.getMessage.contains("1e12"))
+    assert(Similarity.footerSweeps.get() == s1 + 1,
+      "the post-append search re-swept footers (memo invalidated)")
+  }
+
+  test("self-contained maxsim file-skips through the stats fold; results equal the explicit-frame form") {
+    import spark.implicits._
+    val path = tmpDir("gen-msprune")
+    val dims = 8
+    def instancesFor(docs: Range): DataFrame =
+      docs.flatMap { doc =>
+        (0 until 20).map { t =>
+          (doc * 1000000L + t + 1, doc.toLong,
+            (0 until dims).map(j =>
+              (((doc * 397 + t * 37 + j * 11) % 2001) - 1000) / 1000.0))
+        }
+      }.toDF("tok_id", "doc_id", "d_vec")
+    val base = instancesFor(0 until 20)
+    Similarity.buildIndexJoined(base, "tok_id", "d_vec",
+      Similarity.syntheticCodebook(spark, 4, dims), path,
+      payload = Seq("doc_id"))
+    val extra = instancesFor(20 until 24)
+    Similarity.appendToIndexJoined(extra, "tok_id", "d_vec", path,
+      payload = Seq("doc_id"))
+    Similarity.compactIndexCells(spark, path, "tok_id",
+      Similarity.maxsimIndexMaintenanceOptions("tok_id", "doc_id")): Unit
+    // the fold recorded skipping metadata: a doc id no part can hold
+    // skips EVERY live part of every cell (stats range + bloom)
+    val cellDirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).toSeq
+    assert(cellDirs.nonEmpty)
+    val ghost = Seq(graft.sources.Compact.PartIn("doc_id", Seq(9999L)))
+    assert(cellDirs.forall { d =>
+      val (kept, skipped) = graft.sources.Compact.prunedParts(
+        spark, d.getAbsolutePath, ghost)
+      kept.isEmpty && skipped.nonEmpty
+    }, "stats fold must record per-part doc_id skipping metadata")
+    // and a REAL doc keeps at least the parts holding it
+    val real = Seq(graft.sources.Compact.PartIn("doc_id", Seq(0L)))
+    assert(cellDirs.exists { d =>
+      graft.sources.Compact.prunedParts(
+        spark, d.getAbsolutePath, real)._1.nonEmpty
+    })
+    // pruned self-contained serving == explicit-frame serving at a
+    // RESTRICTIVE operating point (pruning active, candidates partial)
+    val all = instancesFor(0 until 24)
+    val qt = Seq((0L, 0L, "alpha"), (0L, 1L, "beta"), (1L, 0L, "gamma"))
+      .toDF("q_id", "q_pos", "tok")
+      .withColumn("q_vec", Similarity.tokenVector(col("tok"), dims))
+      .select(col("q_id"), col("q_pos"), col("q_vec"))
+    def rows(df: DataFrame) = df
+      .select(col("q_id"), col("doc_id"), col("maxsim_micro"), col("rank"))
+      .collect().map(_.toString).toSeq.sorted
+    val self = rows(Similarity.maxSimTopKIndexedSelf(spark, qt,
+      "q_id", "q_pos", "q_vec", path, "tok_id", "d_vec", "doc_id",
+      k = 5, nProbe = 2, candTok = 10))
+    val explicit = rows(Similarity.maxSimTopKIndexed(spark, qt,
+      "q_id", "q_pos", "q_vec", path, "tok_id", "d_vec",
+      all, "doc_id", "d_vec", k = 5, nProbe = 2, candTok = 10))
+    assert(self.nonEmpty && self == explicit,
+      "file-skipped self-contained maxsim must equal the explicit form")
   }
 
   test("PQ appends validate encoding against pq_meta; the atomic path derives it outright") {

@@ -277,6 +277,41 @@ class JsonSpec extends SparkTestBase {
       graft.model.JsonDsl.search(
         """{"terms": ["a"], "maxsim": {}, "weights": {"b": 1}}""")
     }
+    // semantic knobs validate at PARSE like the maxsim ones: a
+    // nProbe <= 0 must not survive to fail deep inside cell ranking
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"terms": ["a"], "semantic": {"queryId": 0, "nProbe": 0}}""")
+    }
+    // filtered semantic: where parses to PropFilters and REQUIRES a
+    // named index (payload columns live in the artifact)
+    val fs = graft.model.JsonDsl.search(
+      """{"terms": ["a"], "semantic": {"queryId": 0, "index": "i",
+          "where": [{"column": "label", "op": "eq", "values": [2, 5]}]}}""")
+    assert(fs.semantic.get.where ==
+      Seq(graft.model.PropFilter("label", graft.model.PropOp.Eq, Seq(2L, 5L))))
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"terms": ["a"], "semantic": {"queryId": 0,
+            "where": [{"column": "label", "op": "eq", "values": [1]}]}}""")
+    }
+    // facets/snippet: lexical mode with a named index only
+    val fc = graft.model.JsonDsl.search(
+      """{"terms": ["a"], "index": "i", "facets": ["lang"],
+          "snippet": {"width": 4}}""")
+    assert(fc.facets == Seq("lang") && fc.snippet.contains(4))
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search("""{"terms": ["a"], "facets": ["lang"]}""")
+    }
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"terms": ["a"], "index": "i", "snippet": {"width": 0}}""")
+    }
+    // fused maxsim parses its own index + fuse flag
+    val fm = graft.model.JsonDsl.search(
+      """{"terms": ["a"], "maxsim": {"dims": 8, "fuse": true,
+          "index": "tok"}}""")
+    assert(fm.maxsim.get.fuse && fm.maxsim.get.index.contains("tok"))
     // analyzer: lexical mode only, needs terms
     val an = graft.model.JsonDsl.search(
       """{"terms": ["A"], "analyzer": {"lowercase": true, "stopwords": ["x"]}}""")

@@ -186,6 +186,33 @@ class RetrievalPropertySpec extends SparkTestBase {
     }
   }
 
+  test("indexed maxsim JSON route validates request dims against the artifact") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "beta delta"),
+      (2L, "alpha delta epsilon")).toDF("doc_id", "text")
+    val dims = 8
+    val inst = graft.engine.JsonApi.maxsimTokenInstances(
+      docs, "doc_id", "text", dims)
+    val dir = java.nio.file.Files.createTempDirectory("maxsimdims").toFile
+    try {
+      Similarity.buildIndexJoined(inst, "tok_id", "d_vec",
+        Similarity.syntheticCodebook(spark, 4, dims),
+        dir.getAbsolutePath, payload = Seq("doc_id"))
+      def req(d: Int) =
+        s"""{"terms": ["alpha", "beta"], "topK": 5,
+            "maxsim": {"dims": $d, "nProbe": 4, "candTok": 50},
+            "index": "${dir.getAbsolutePath}"}"""
+      // a mismatched width would score TRUNCATED dot products
+      // (VectorDotProduct truncates to min length) — silently wrong
+      // rankings — so the route throws loudly instead
+      val e = intercept[IllegalArgumentException](
+        graft.engine.JsonApi.search(docs, req(16)).collect())
+      assert(e.getMessage.contains("built with dims=8"))
+      assert(graft.engine.JsonApi.search(docs, req(dims)).count() > 0)
+    } finally rm(dir)
+  }
+
   test("randomized corpora: analyzed BM25 equals plain BM25 over the pre-analyzed corpus") {
     import spark.implicits._
     val an = TextAnalysis.Analyzer(lowercase = true,
