@@ -373,20 +373,29 @@ object JsonApi {
     graft.pipeline.Retrieval.facetCounts(matched, docs, idCol, req.facets)
   }
 
-  /** Best-window SNIPPETS for a lexical search's matching documents,
-    * over the request layer: per document, the `width`-token window
-    * covering the most distinct query terms (ties: most occurrences,
-    * earliest start), computed entirely FROM the index's positional
-    * postings ([[graft.pipeline.TextAnalysis.snippetWindow]] — work
-    * is occurrence-bounded, the raw corpus is never read). Returns
-    * (doc_id, snippet_start, terms_in_window, occs_in_window). */
+  /** Best-window SNIPPETS for a lexical search's result PAGE, over
+    * the request layer: the request's ranked topK (the page the user
+    * sees, from the same index's postings) picks the documents, and
+    * per hit the `width`-token window covering the most distinct
+    * query terms (ties: most occurrences, earliest start) computes
+    * entirely FROM the positional postings
+    * ([[graft.pipeline.TextAnalysis.snippetWindow]] restricted to the
+    * hits — the raw corpus is never read). Page-restriction is the
+    * serving contract: snippets decorate results, so their cost must
+    * be bounded by the PAGE, not by corpus occurrences (the
+    * unrestricted form is the extraction-pipeline operator,
+    * q_snippet). Returns (doc_id, snippet_start, terms_in_window,
+    * occs_in_window) for the topK hits. */
   def searchSnippets(spark: SparkSession, json: String,
                      resolveIndex: Option[String => String] = None): DataFrame = {
     val req = JsonDsl.search(json)
     require(req.snippet.nonEmpty, "request carries no snippet block")
     val path = resolveIndex.map(_(req.index.get)).getOrElse(req.index.get)
+    import org.apache.spark.sql.functions.col
+    val hits = graft.pipeline.TextAnalysis.bm25IndexedTopK(
+      spark, path, req.terms, req.topK, req.k1, req.b).select(col("doc_id"))
     graft.pipeline.TextAnalysis.snippetWindow(spark, path, req.terms,
-      req.snippet.get)
+      req.snippet.get, restrictTo = Some(hits))
   }
 
   /** LAYOUT-DISPATCHED ANN serving for a semantic block naming an

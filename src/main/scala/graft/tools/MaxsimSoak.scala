@@ -53,9 +53,13 @@ object MaxsimSoak {
         graft.pipeline.Similarity.syntheticCodebook(spark, nCells = 64,
           dims = dims),
         idxPath, payload = Seq("doc_id"))
-      graft.pipeline.Similarity.compactIndexCells(spark, idxPath, "tok_id",
-        graft.pipeline.Similarity.maxsimIndexMaintenanceOptions(
-          "tok_id", "doc_id")): Unit
+      // SOAK_NO_FOLD=1 measures the CONTROL: without the stats fold
+      // no part carries skipping metadata, so the pruned reads keep
+      // every file — exactly the r18 (unpruned) serving cost
+      if (!sys.env.get("SOAK_NO_FOLD").contains("1"))
+        graft.pipeline.Similarity.compactIndexCells(spark, idxPath, "tok_id",
+          graft.pipeline.Similarity.maxsimIndexMaintenanceOptions(
+            "tok_id", "doc_id")): Unit
       marker.createNewFile(): Unit
     }
     val buildSec = (System.nanoTime() - t0) / 1e9
