@@ -203,6 +203,14 @@ object SparkEntry {
       // footer guard memoized per generation — build cost and the
       // guard's driver IO both changed
       "stats-fold-r19"
+    case "q_erasure_maxsim" =>
+      // r19: its artifact inputs now build through the one shared
+      // instance derivation (JsonApi.maxsimTokenInstances — the
+      // ADVICE no-drift closure), a changed timed body like its
+      // maxsim siblings; solo trio 2.87-3.73 s brackets the r18
+      // full-run record (3.47 s), so the 2.18 best was an outlier
+      // capture of the old body
+      "shared-derivation-r19"
     case "q_json_maxsim_indexed" =>
       // r19: the self-contained route's two artifact scans became
       // manifest-pruned (hit-instance / candidate-doc file skipping)

@@ -2778,12 +2778,25 @@ object Similarity {
     val hits = graft.engine.Staging.stage(
       ivfTopKIndexedJoined(spark, qt, "__qt", qVec, path0,
         tokId, tokVec, k = candTok, nProbe = nProbe))
-    val hitIds = hits.select(col(tokId)).distinct()
-      .collect().map(_.get(0)).toIndexedSeq
+    // driver skip-set cap: the candidate set is |qTokens|·candTok by
+    // construction, but candTok is caller-chosen — over the cap the
+    // read falls back to UNPRUNED (still exact; only the file
+    // skipping is lost), never an unbounded driver collect
+    val maxSkipKeys = 100000
+    def skipKeys(ds: DataFrame, c: String): Option[IndexedSeq[Any]] = {
+      val vals = ds.select(col(c)).distinct().limit(maxSkipKeys + 1)
+        .collect().map(_.get(0)).toIndexedSeq
+      if (vals.size > maxSkipKeys) None else Some(vals)
+    }
+    def prunedOrAll(keys: Option[IndexedSeq[Any]], c: String): DataFrame =
+      keys match {
+        case Some(vs) => readLiveCellsPruned(spark, path,
+          Seq(graft.sources.Compact.PartIn(c, vs)))
+        case None => readLiveCells(spark, path)
+      }
     // candidate→doc map: only files whose manifest stats/blooms admit
     // a hit instance id are listed
-    val docMap = readLiveCellsPruned(spark, path,
-        Seq(graft.sources.Compact.PartIn(tokId, hitIds)))
+    val docMap = prunedOrAll(skipKeys(hits, tokId), tokId)
       .select(col(tokId), col(dId))
     val cand = graft.engine.Staging.stage(hits
       .join(docMap, Seq(tokId))
@@ -2791,12 +2804,9 @@ object Similarity {
       .select(((col("__q0") - pmod(col("__q0"), lit(1000000L))) /
         lit(1000000L)).cast("long").as(qId), col(dId))
       .distinct())
-    val candDocs = cand.select(col(dId)).distinct()
-      .collect().map(_.get(0)).toIndexedSeq
     // re-score: only files that can hold a candidate doc; the
     // semi-join below stays the exact semantic restriction
-    val dt = readLiveCellsPruned(spark, path,
-        Seq(graft.sources.Compact.PartIn(dId, candDocs)))
+    val dt = prunedOrAll(skipKeys(cand, dId), dId)
       .select(col(dId), col(tokVec))
       .join(cand.select(col(dId)).distinct(), Seq(dId), "left_semi")
     val qa = boundedBroadcast(
