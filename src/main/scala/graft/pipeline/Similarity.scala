@@ -1065,13 +1065,16 @@ object Similarity {
   /** The persisted `coarseProbe` of a two-level artifact (None for a
     * pre-meta index). `root` must be a RESOLVED generation root. */
   def readTwoLevelMeta(spark: org.apache.spark.sql.SparkSession,
-                       root: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/twolevel_meta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString)
-      .select(col("coarse_probe")).head().getInt(0))
-  }
+                       root: String): Option[Int] =
+    // build-time constant — memoized per committed generation (the
+    // serving dispatch resolves coarseProbe from it per request)
+    GenCache.memo(spark, root, "twolevel_coarse_probe") {
+      val p = new org.apache.hadoop.fs.Path(s"$root/twolevel_meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(p.toString)
+        .select(col("coarse_probe")).head().getInt(0))
+    }
 
   /** The persisted payload column names of a two-level artifact (None
     * for a pre-meta or pre-payload-meta index) — [[readPqPayloadMeta]]
@@ -1157,7 +1160,16 @@ object Similarity {
     * for composed/quantized artifacts that predate their meta, and
     * it is the one branch that pays a directory listing. */
   def indexLayout(spark: org.apache.spark.sql.SparkSession,
-                  root: String): String = {
+                  root: String): String =
+    // the layout of a COMMITTED generation is immutable (appends keep
+    // the layout by contract — the mismatch guards refuse the rest),
+    // so the serving dispatch pays the existence probes once per
+    // generation, not per request ([[GenCache]]; flat roots read
+    // through, exactly the codebook-read contract)
+    GenCache.memo(spark, root, "layout")(detectIndexLayout(spark, root))
+
+  private def detectIndexLayout(spark: org.apache.spark.sql.SparkSession,
+                                root: String): String = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def has(d: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$root/$d"))
@@ -2170,13 +2182,17 @@ object Similarity {
   /** The persisted residual flag of a composed artifact (None for a
     * pre-meta index). `root` must be a RESOLVED generation root. */
   def readPqMeta(spark: org.apache.spark.sql.SparkSession,
-                 root: String): Option[Boolean] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/pq_meta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString)
-      .select(col("residual")).head().getBoolean(0))
-  }
+                 root: String): Option[Boolean] =
+    // build-time constant of the artifact — memoized per committed
+    // generation like the codebooks (the serving dispatch reads it
+    // per request)
+    GenCache.memo(spark, root, "pq_meta_residual") {
+      val p = new org.apache.hadoop.fs.Path(s"$root/pq_meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(p.toString)
+        .select(col("residual")).head().getBoolean(0))
+    }
 
   /** The persisted payload column names of a composed artifact (None
     * for a pre-meta or pre-payload-meta index). */
