@@ -276,14 +276,22 @@ object JsonDsl {
       w
     }
     if (facets.nonEmpty || snippet.nonEmpty) {
+      // both derive from the request's LEXICAL half (terms over the
+      // named index's postings) — so they ride any mode that HAS one,
+      // including the semantic and fused-maxsim hybrids; weights/
+      // passage redefine what "matched" means and are rejected
       if (terms.isEmpty)
-        throw JsonError("facets/snippet describe a lexical (terms) search")
+        throw JsonError("facets/snippet describe the lexical (terms) half " +
+          "of a search")
       if (index.isEmpty)
         throw JsonError("facets/snippet serve from a persisted index " +
           "(postings intersection / positional windows) — name one")
-      if (weights.nonEmpty || passage.nonEmpty || maxsim.nonEmpty ||
-          j.asOpt("semantic").nonEmpty)
-        throw JsonError("facets/snippet combine with the lexical mode only")
+      if (weights.nonEmpty || passage.nonEmpty)
+        throw JsonError("facets/snippet combine with term-based modes only")
+      if (maxsim.exists(!_.fuse))
+        throw JsonError("a lone maxsim request's index is the " +
+          "token-instance artifact — facets/snippet need the lexical text " +
+          "index (set maxsim.fuse, whose request-level index is lexical)")
     }
     if (index.nonEmpty && maxsim.isEmpty && terms.isEmpty &&
         weights.isEmpty && phrase.isEmpty && near.isEmpty)

@@ -328,14 +328,16 @@ final case class SearchRequest(
       * the search-sidebar aggregate: counts cover the FULL
       * conjunctive matched set (a sidebar describes everything that
       * matched, not the page), one melted aggregate per request.
-      * Lexical mode with a named index only (the matched set is a
-      * postings intersection). */
+      * Derived from the request's LEXICAL half (terms over the named
+      * text index's postings), so they ride plain lexical, the
+      * semantic hybrid and the fused-maxsim hybrid alike. */
     facets: Seq[String] = Nil,
-    /** Best-window snippet width (tokens): per matching document, the
+    /** Best-window snippet width (tokens): per ranked topK hit, the
       * window covering the most distinct query terms (ties: most
       * occurrences, earliest start), computed FROM the positional
-      * postings — the raw corpus is never read. Index required like
-      * phrase. */
+      * postings — the raw corpus is never read, and the window work
+      * is PAGE-bounded (the unrestricted all-matches form is the
+      * library operator). Text index required like phrase. */
     snippet: Option[Int] = None,
     projectId: Option[Long] = None)
 

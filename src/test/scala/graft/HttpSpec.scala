@@ -1437,6 +1437,20 @@ class HttpSpec extends SparkTestBase {
           resolveIndex = resolver)
         .select("id").collect().map(_.getLong(0))
       assert(served.nonEmpty && served.forall(okIds))
+      // companions ride the SEMANTIC HYBRID too: its lexical half
+      // carries the facet section beside the fused list
+      val hfBody = """{"terms": ["scan", "column"], "topK": 10,
+                       "index": "docs-idx", "facets": ["lang"],
+                       "semantic": {"queryId": 0, "k": 5}, "fuseTopK": 5}"""
+      val (cH, gotH) = req(srv.port, "POST",
+        "/api/v1/projects/1/queries/search", hfBody)
+      assert(cH == 200)
+      val expH = "{" +
+        s""""results":${Response.collect(JsonApi.search(docs, hfBody,
+          embeddings = Some(emb), resolveIndex = resolver)).toJson},""" +
+        s""""facets":${Response.collect(JsonApi.searchFacets(docs, hfBody,
+          resolveIndex = resolver)).toJson}""" + "}"
+      assert(gotH == expH)
       // FUSED lexical × maxsim: two persisted artifacts serve one
       // request; probe-all + vacuous candTok makes the indexed route
       // equal the scan twin

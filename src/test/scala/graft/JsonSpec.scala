@@ -303,6 +303,22 @@ class JsonSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.model.JsonDsl.search("""{"terms": ["a"], "facets": ["lang"]}""")
     }
+    // companions ride the HYBRIDS (their lexical half carries them)…
+    val hf = graft.model.JsonDsl.search(
+      """{"terms": ["a"], "index": "i", "facets": ["lang"],
+          "semantic": {"queryId": 0}}""")
+    assert(hf.facets == Seq("lang") && hf.semantic.nonEmpty)
+    val mf = graft.model.JsonDsl.search(
+      """{"terms": ["a"], "index": "i", "facets": ["lang"],
+          "maxsim": {"dims": 8, "fuse": true, "index": "tok"}}""")
+    assert(mf.facets == Seq("lang") && mf.maxsim.get.fuse)
+    // …but NOT a lone maxsim request, whose request-level index is
+    // the token-instance artifact, not a text index
+    intercept[IllegalArgumentException] {
+      graft.model.JsonDsl.search(
+        """{"terms": ["a"], "index": "tok", "facets": ["lang"],
+            "maxsim": {"dims": 8}}""")
+    }
     intercept[IllegalArgumentException] {
       graft.model.JsonDsl.search(
         """{"terms": ["a"], "index": "i", "snippet": {"width": 0}}""")
