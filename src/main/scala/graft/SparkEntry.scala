@@ -197,25 +197,28 @@ object SparkEntry {
       // structurally jittery ~0.45 s Expand+HashAggregate(distinct)
       // body. Scope-keyed rebase per the r18 verdict's protocol.
       "jitter-rebase-r19"
-    case "q_maxsim_indexed" | "q_ann_recall_maxsim" =>
+    case "q_ann_recall_maxsim" =>
       // r19: the shared artifact build gained a stats-recording
       // compaction fold (maxsimIndexMaintenanceOptions) and the
       // footer guard memoized per generation — build cost and the
       // guard's driver IO both changed
       "stats-fold-r19"
-    case "q_erasure_maxsim" =>
-      // r19: its artifact inputs now build through the one shared
-      // instance derivation (JsonApi.maxsimTokenInstances — the
-      // ADVICE no-drift closure), a changed timed body like its
-      // maxsim siblings; solo trio 2.87-3.73 s brackets the r18
-      // full-run record (3.47 s), so the 2.18 best was an outlier
-      // capture of the old body
-      "shared-derivation-r19"
-    case "q_json_maxsim_indexed" =>
+    case "q_maxsim_indexed" | "q_erasure_maxsim" =>
+      // r19 optimization round: the explicit doc-token frame is now
+      // STAGED once per call instead of re-derived by both of
+      // maxSimTopKIndexed's consumers (StageProfile measured two
+      // ~34 812-row md5-derivation stages per pass) — a changed
+      // timed body on top of the earlier stats-fold/-shared-
+      // derivation scopes
+      "staged-inst-r19opt"
+    case "q_json_maxsim_indexed" | "q_json_hybrid_maxsim_indexed" =>
       // r19: the self-contained route's two artifact scans became
       // manifest-pruned (hit-instance / candidate-doc file skipping)
-      // over the stats-folded artifact
-      "pruned-self-r19"
+      // over the stats-folded artifact; r19 optimization round: the
+      // route's two staging checkpoints turned LAZY so each fuses
+      // with its skip-key collect into one job (2 fewer driver round
+      // trips per request)
+      "lazy-stage-r19opt"
     case n if eventsFamily(n) =>
       "tenant-partition-r13" // canonical layout for the whole events family
     case _ => "base"
@@ -3755,9 +3758,16 @@ object SparkEntry {
     // ranking, per-qtoken candidate top-20, and the restricted maxsim.
     "q_maxsim_indexed" -> ((s, dir) => {
       val idx = maxsimIndexPath(s, dir)
+      // r19-opt: the explicit-frame form reads docTokens TWICE (the
+      // candidate→doc map join and the re-score scan), and the md5
+      // token-vector derivation dominates the frame's cost — stage it
+      // once (values exact, Staging contract) like q_ann_recall_maxsim
+      // already does, instead of re-deriving per consumer (StageProfile:
+      // two ~3.5 s-run 34 812-row derivation stages per pass).
+      val inst = graft.engine.Staging.stage(maxsimDocTokenInstances(s, dir))
       Similarity.maxSimTopKIndexed(s, maxsimQueryTokens(s),
           "q_id", "q_pos", "q_vec", idx.getAbsolutePath, "tok_id", "d_vec",
-          maxsimDocTokenInstances(s, dir), "doc_id", "d_vec",
+          inst, "doc_id", "d_vec",
           k = 10, nProbe = 8, candTok = 20)
         .select(col("q_id"), col("doc_id"), col("maxsim_micro"),
           col("qtokens_hit"), col("rank"))
@@ -3831,9 +3841,12 @@ object SparkEntry {
         Similarity.deleteFromIndex(s, root.getAbsolutePath,
           cohort(5), "gdpr-b")
       }
+      // r19-opt: same one-staging-per-call as q_maxsim_indexed — the
+      // explicit frame is consumed twice inside maxSimTopKIndexed
       Similarity.maxSimTopKIndexed(s, maxsimQueryTokens(s),
           "q_id", "q_pos", "q_vec", idx.getAbsolutePath, "tok_id", "d_vec",
-          maxsimDocTokenInstances(s, dir), "doc_id", "d_vec",
+          graft.engine.Staging.stage(maxsimDocTokenInstances(s, dir)),
+          "doc_id", "d_vec",
           k = 10, nProbe = 8, candTok = 20)
         .select(col("q_id"), col("doc_id"), col("maxsim_micro"),
           col("qtokens_hit"), col("rank"))

@@ -2790,10 +2790,14 @@ object Similarity {
         lit(1000000000000L)).as("__qt"), col(qVec))
     // candidate stage: probed-cell INSET scan, ≤ |qTokens|·candTok
     // rows — staged because three consumers read it (id collect,
-    // doc-map join, query-id recovery)
+    // doc-map join, query-id recovery). LAZY: the skip-key collect
+    // right below is the first action, so materializing the
+    // checkpoint and collecting the keys share ONE job (the
+    // boundedBroadcast probe-fusion pattern) instead of spending a
+    // separate eager-checkpoint job per request.
     val hits = graft.engine.Staging.stage(
       ivfTopKIndexedJoined(spark, qt, "__qt", qVec, path0,
-        tokId, tokVec, k = candTok, nProbe = nProbe))
+        tokId, tokVec, k = candTok, nProbe = nProbe), eager = false)
     // driver skip-set cap: the candidate set is |qTokens|·candTok by
     // construction, but candTok is caller-chosen — over the cap the
     // read falls back to UNPRUNED (still exact; only the file
@@ -2814,12 +2818,14 @@ object Similarity {
     // a hit instance id are listed
     val docMap = prunedOrAll(skipKeys(hits, tokId), tokId)
       .select(col(tokId), col(dId))
+    // LAZY for the same job-fusion reason: the dId skip-key collect
+    // below materializes the checkpoint in the same job.
     val cand = graft.engine.Staging.stage(hits
       .join(docMap, Seq(tokId))
       .withColumn("__q0", col("__qt") - lit(1000000000000L))
       .select(((col("__q0") - pmod(col("__q0"), lit(1000000L))) /
         lit(1000000L)).cast("long").as(qId), col(dId))
-      .distinct())
+      .distinct(), eager = false)
     // re-score: only files that can hold a candidate doc; the
     // semi-join below stays the exact semantic restriction
     val dt = prunedOrAll(skipKeys(cand, dId), dId)
