@@ -60,6 +60,36 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("Staging.concurrently preserves order, values, and failures") {
+    import graft.engine.Staging
+    import spark.implicits._
+    // order + values: thunks returning distinct frames come back in
+    // input order with the exact rows a serial build produces — and
+    // the thunks really run off the calling thread with a usable
+    // active session (the .count() action inside each proves it)
+    val built = Staging.concurrently[org.apache.spark.sql.DataFrame](
+      (0 until 4).map(i => () => {
+        val df = Seq((i.toLong, s"v$i")).toDF("k", "v")
+        assert(df.count() == 1)
+        df
+      }))
+    assert(built.map(_.select("v").head().getString(0)) ==
+      (0 until 4).map(i => s"v$i"))
+    // single-thunk fast path stays on the calling thread
+    val tid = Thread.currentThread().getId
+    val Seq(sameThread) = Staging.concurrently[Long](
+      Seq(() => Thread.currentThread().getId))
+    assert(sameThread == tid, "single thunk must not spawn a thread")
+    // a failing thunk rethrows AFTER every thread stopped, and the
+    // failure is the thunk's own exception
+    val boom = intercept[IllegalStateException](
+      Staging.concurrently[Int](Seq(
+        () => 1,
+        () => throw new IllegalStateException("chain failed"),
+        () => 3)))
+    assert(boom.getMessage == "chain failed")
+  }
+
   test("redactPii scrubs emails, IPs, and phones in order") {
     import spark.implicits._
     val rows = Seq(
