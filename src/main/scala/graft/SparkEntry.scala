@@ -216,6 +216,12 @@ object SparkEntry {
       // timed body on top of the earlier stats-fold/-shared-
       // derivation scopes
       "staged-inst-r19opt"
+    case "q_json_hybrid" | "q_json_hybrid_indexed" | "q_json_hybrid_maxsim" =>
+      // r19 optimization round: the JSON hybrid routes' two fusion
+      // legs now CONSTRUCT concurrently in JsonApi.search (guide
+      // §2.6) — identical plans, overlapped driver sequencing, a
+      // changed timed body
+      "concurrent-legs-r19opt"
     case "q_json_maxsim_indexed" | "q_json_hybrid_maxsim_indexed" =>
       // r19: the self-contained route's two artifact scans became
       // manifest-pruned (hit-instance / candidate-doc file skipping)

@@ -222,22 +222,27 @@ object JsonApi {
         // BM25 ⊕ maxsim — the standard two-stage quality recipe over
         // JSON: the SAME terms rank a lexical list (request index →
         // postings, else the scan) and the late-interaction list,
-        // fused by integer RRF like the semantic hybrid
-        val lex = (idx match {
-          case Some(path) =>
-            graft.pipeline.TextAnalysis.bm25IndexedTopK(
-                spark, path, req.terms, req.topK, req.k1, req.b)
-              .withColumnRenamed("doc_id", idCol)
-          case None =>
-            val an = req.analyzer
-              .map(a => graft.pipeline.TextAnalysis.Analyzer(a.lowercase,
-                a.stopwords, a.stemmer))
-              .getOrElse(graft.pipeline.TextAnalysis.Analyzer.identity)
-            graft.pipeline.TextAnalysis.bm25TopK(
-              docs, idCol, textCol, req.terms, req.topK, req.k1, req.b, an)
-        }).select(col(idCol).as("id"), col("rank"))
-        val li = maxsimRanked(req.topK)
-          .select(col(idCol).as("id"), col("rank"))
+        // fused by integer RRF like the semantic hybrid. The two legs
+        // are independent and the maxsim leg sequences several staged
+        // driver jobs, so they CONSTRUCT concurrently (guide §2.6 —
+        // values unchanged, Staging.concurrently contract).
+        val Seq(lex, li) = graft.engine.Staging
+          .concurrently[DataFrame](Seq(
+            () => (idx match {
+              case Some(path) =>
+                graft.pipeline.TextAnalysis.bm25IndexedTopK(
+                    spark, path, req.terms, req.topK, req.k1, req.b)
+                  .withColumnRenamed("doc_id", idCol)
+              case None =>
+                val an = req.analyzer
+                  .map(a => graft.pipeline.TextAnalysis.Analyzer(a.lowercase,
+                    a.stopwords, a.stemmer))
+                  .getOrElse(graft.pipeline.TextAnalysis.Analyzer.identity)
+                graft.pipeline.TextAnalysis.bm25TopK(
+                  docs, idCol, textCol, req.terms, req.topK, req.k1, req.b, an)
+            }).select(col(idCol).as("id"), col("rank")),
+            () => maxsimRanked(req.topK)
+              .select(col(idCol).as("id"), col("rank"))))
         graft.pipeline.Retrieval.rrfFuse(Seq(lex, li), "id", "rank",
           req.fuseTopK)
       }
@@ -312,7 +317,7 @@ object JsonApi {
         // scoped); an INDEXED request instead reads the analyzer
         // persisted with the artifact (resolvedIndex inside
         // bm25IndexedTopK — the build-time contract)
-        val lex = idx match {
+        def lex() = idx match {
           case Some(path) =>
             graft.pipeline.TextAnalysis.bm25IndexedTopK(
                 spark, path, req.terms, req.topK, req.k1, req.b)
@@ -326,26 +331,31 @@ object JsonApi {
               docs, idCol, textCol, req.terms, req.topK, req.k1, req.b, an)
         }
         req.semantic match {
-          case None => lex
+          case None => lex()
           case Some(s) =>
             val emb = embeddings.getOrElse(throw new IllegalArgumentException(
               "a semantic search block needs an embeddings frame"))
             val q = emb.filter(col(embId) === s.queryId)
               .select(col(embId).as("__q_id"), col(embVec).as("__q_vec"))
-            val sem = (s.index.map(resolved) match {
-              case Some(path) =>
-                // ANN half: probed-cell search through the persisted
-                // IVF artifact in its OWN layout (semanticIndexed) —
-                // the serving form; recall follows nProbe (measured
-                // the q_ann_recall way)
-                semanticIndexed(spark, q, path, emb, embId, embVec, s)
-              case None =>
-                graft.pipeline.Similarity.bruteForceTopK(
-                  q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
-            }).select(col(embId).as("id"), col("rank"))
+            // the two legs construct concurrently (guide §2.6 — the
+            // indexed ANN half sequences staged driver jobs); values
+            // unchanged per the Staging.concurrently contract
+            val Seq(lexList, sem) = graft.engine.Staging
+              .concurrently[DataFrame](Seq(
+                () => lex().select(col(idCol).as("id"), col("rank")),
+                () => (s.index.map(resolved) match {
+                  case Some(path) =>
+                    // ANN half: probed-cell search through the
+                    // persisted IVF artifact in its OWN layout
+                    // (semanticIndexed) — the serving form; recall
+                    // follows nProbe (measured the q_ann_recall way)
+                    semanticIndexed(spark, q, path, emb, embId, embVec, s)
+                  case None =>
+                    graft.pipeline.Similarity.bruteForceTopK(
+                      q, emb, "__q_id", "__q_vec", embId, embVec, s.k)
+                }).select(col(embId).as("id"), col("rank"))))
             graft.pipeline.Retrieval.rrfFuse(
-              Seq(lex.select(col(idCol).as("id"), col("rank")), sem),
-              "id", "rank", req.fuseTopK)
+              Seq(lexList, sem), "id", "rank", req.fuseTopK)
         }
     }
   }
