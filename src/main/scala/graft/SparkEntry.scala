@@ -216,6 +216,11 @@ object SparkEntry {
       // timed body on top of the earlier stats-fold/-shared-
       // derivation scopes
       "staged-inst-r19opt"
+    case "q_table_snapshot" =>
+      // r19 optimization round: Compact.runPartitioned now compacts
+      // leaves concurrently (bounded), and this body times two
+      // partitioned compaction sweeps — a changed timed body
+      "parallel-leaves-r19opt"
     case "q_json_hybrid" | "q_json_hybrid_indexed" | "q_json_hybrid_maxsim" =>
       // r19 optimization round: the JSON hybrid routes' two fusion
       // legs now CONSTRUCT concurrently in JsonApi.search (guide

@@ -110,21 +110,31 @@ object Staging {
     * thread-locals (active session, job group) propagate. The first
     * thunk failure rethrows after every thread has stopped — no
     * half-built chain leaks a running thread. */
-  def concurrently[A](thunks: Seq[() => A]): Seq[A] =
+  def concurrently[A](thunks: Seq[() => A],
+                      maxParallel: Int = Int.MaxValue): Seq[A] =
     if (thunks.sizeIs <= 1) thunks.map(_())
     else {
+      require(maxParallel >= 1, s"maxParallel must be >= 1, got $maxParallel")
       val results = new Array[Any](thunks.size)
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
-      val threads = thunks.zipWithIndex.map { case (t, i) =>
-        val th = new Thread(() => {
-          try results(i) = t()
-          catch { case e: Throwable => failure.compareAndSet(null, e) }
-        }, s"graft-plan-${counter.incrementAndGet()}-$i")
-        th.setDaemon(true)
-        th.start()
-        th
+      // bounded fan-out in WAVES of maxParallel (a per-leaf compactor
+      // over thousands of partitions must not spawn thousands of
+      // threads); a failed wave still joins its own threads before
+      // rethrowing, and later waves never start
+      thunks.zipWithIndex.grouped(maxParallel).foreach { wave =>
+        if (failure.get() == null) {
+          val threads = wave.map { case (t, i) =>
+            val th = new Thread(() => {
+              try results(i) = t()
+              catch { case e: Throwable => failure.compareAndSet(null, e) }
+            }, s"graft-plan-${counter.incrementAndGet()}-$i")
+            th.setDaemon(true)
+            th.start()
+            th
+          }
+          threads.foreach(_.join())
+        }
       }
-      threads.foreach(_.join())
       if (failure.get() != null) throw failure.get()
       results.toSeq.map(_.asInstanceOf[A])
     }

@@ -1402,14 +1402,25 @@ object Compact {
     val pins: Map[String, Set[Long]] = snapshotStates(fs, root)
       .flatMap { case (_, ls) => ls }
       .groupBy(_._1).map { case (rel, vs) => rel -> vs.map(_._2).toSet }
-    leaves(root)
+    // r19-opt: leaves compact CONCURRENTLY (bounded) — each leaf's
+    // run() is a self-contained listing+manifest+merge cycle over a
+    // DISJOINT directory, and a sequential sweep pays
+    // sum-of-(driver round trips + small merge jobs) across leaves;
+    // at real partition counts (a tenant×date store has thousands of
+    // leaves, a cells store one per cell_id) the sweep wall was
+    // leaf-count-proportional for work that is embarrassingly
+    // parallel. Reports and on-disk results are identical — only the
+    // sweep order is nondeterministic, and leaves are independent by
+    // layout.
+    val targets = leaves(root)
       .filter(l => fs.listStatus(l)
         .exists(_.getPath.getName.endsWith(".parquet")))
-      .map { l =>
+    graft.engine.Staging.concurrently[(String, Report)](
+      targets.map { l => () =>
         val rel = fs.makeQualified(l).toUri.getPath.stripPrefix(base).stripPrefix("/")
         rel -> run(spark, l.toString, opts.copy(pinnedGenerations =
           opts.pinnedGenerations ++ pins.getOrElse(rel, Set.empty)))
-      }.toMap
+      }, maxParallel = 8).toMap
   }
 
   // ---- table-level snapshots over a partitioned store --------------
