@@ -3711,7 +3711,7 @@ object SparkEntry {
             k = 3, shortlist = 30, nProbe = 2)
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
             lit(1).as("__hit"))))
-      truth.join(ann, Seq("q_id", "neighbor_id"), "left")
+      truth.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("__hit")).as("n_hits"))
         .withColumn("recall", round(col("n_hits") / 3.0, 6))
@@ -3749,7 +3749,7 @@ object SparkEntry {
             k = 3, shortlist = 30, nProbe = 2)
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
             lit(1).as("__hit"))))
-      truth.join(ann, Seq("q_id", "neighbor_id"), "left")
+      truth.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("__hit")).as("n_hits"))
         .withColumn("recall", round(col("n_hits") / 3.0, 6))
@@ -3840,7 +3840,7 @@ object SparkEntry {
         MaxsimRecallOps.toDF("n_probe", "cand_tok")
       }
       truth.crossJoin(broadcast(ops))
-        .join(anns, Seq("n_probe", "cand_tok", "q_id", "doc_id"), "left")
+        .join(broadcast(anns), Seq("n_probe", "cand_tok", "q_id", "doc_id"), "left")
         .groupBy(col("n_probe"), col("cand_tok"), col("q_id"))
         .agg(count(col("__hit")).as("n_hits"))
         .withColumn("recall", round(col("n_hits") / 10.0, 6))
@@ -4125,7 +4125,7 @@ object SparkEntry {
         FilteredRecallProbes.toDF("n_probe")
       }
       truth.crossJoin(broadcast(probes))
-        .join(anns, Seq("n_probe", "q_id", "neighbor_id"), "left")
+        .join(broadcast(anns), Seq("n_probe", "q_id", "neighbor_id"), "left")
         .groupBy(col("n_probe"), col("q_id"))
         .agg(count(col("__hit")).as("n_hits"))
         .withColumn("recall", round(col("n_hits") / 3.0, 6))
@@ -4239,7 +4239,7 @@ object SparkEntry {
             coarseProbe = 2, nProbe = 8)
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
             lit(1).as("__hit"))))
-      truth.join(ann, Seq("q_id", "neighbor_id"), "left")
+      truth.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("__hit")).as("n_hits"))
         .withColumn("recall", round(col("n_hits") / 3.0, 6))
@@ -4370,7 +4370,7 @@ object SparkEntry {
       val ann = Similarity.topKPerQuery(
           annScored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 3)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), lit(1).as("__hit"))
-      truth.join(ann, Seq("q_id", "neighbor_id"), "left")
+      truth.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("__hit")).as("n_hits"))
         .withColumn("recall", round(col("n_hits") / 3.0, 6))
@@ -4403,7 +4403,7 @@ object SparkEntry {
       val ann = Similarity.topKPerQuery(
           annScored.select(col("q_id"), col("vec_id"), col("cos_sim")), "q_id", "vec_id", 3)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), lit(1).as("__hit"))
-      truth.join(ann, Seq("q_id", "neighbor_id"), "left")
+      truth.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("__hit")).as("n_hits"))
         .withColumn("recall", round(col("n_hits") / 3.0, 6))
@@ -4454,7 +4454,7 @@ object SparkEntry {
           "q_id", "q_vec", "q_label", "vec_id", "v", "label",
           k = 3, Similarity.PreBucketed)
         .select(col("q_id"), col("negative_id"), lit(1).as("__hit"))
-      truth.join(ann, Seq("q_id", "negative_id"), "left")
+      truth.join(broadcast(ann), Seq("q_id", "negative_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("__hit")).as("n_hits"))
         .withColumn("recall", round(col("n_hits") / 3.0, 6))

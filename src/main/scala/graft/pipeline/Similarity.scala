@@ -2815,28 +2815,40 @@ object Similarity {
         case None => readLiveCells(spark, path)
       }
     // candidate→doc map: only files whose manifest stats/blooms admit
-    // a hit instance id are listed
-    val docMap = prunedOrAll(skipKeys(hits, tokId), tokId)
+    // a hit instance id are listed. The skip-key collect doubles as
+    // SIZE EVIDENCE (guide §3.1 — post-aggregation estimates are
+    // unknown, so the planner would pick a sort-merge join that
+    // shuffles the ARTIFACT side): with ≤ maxSkipKeys distinct ids in
+    // hand, the hits/cand frames are measured-small and broadcast, so
+    // the artifact scans are never shuffled; over the cap the hint is
+    // withheld along with the file skipping.
+    val hitKeys = skipKeys(hits, tokId)
+    def hinted(df: DataFrame, evidence: Option[IndexedSeq[Any]]): DataFrame =
+      if (evidence.isDefined) broadcast(df) else df
+    val docMap = prunedOrAll(hitKeys, tokId)
       .select(col(tokId), col(dId))
     // LAZY for the same job-fusion reason: the dId skip-key collect
     // below materializes the checkpoint in the same job.
-    val cand = graft.engine.Staging.stage(hits
+    val cand = graft.engine.Staging.stage(hinted(hits, hitKeys)
       .join(docMap, Seq(tokId))
       .withColumn("__q0", col("__qt") - lit(1000000000000L))
       .select(((col("__q0") - pmod(col("__q0"), lit(1000000L))) /
         lit(1000000L)).cast("long").as(qId), col(dId))
       .distinct(), eager = false)
     // re-score: only files that can hold a candidate doc; the
-    // semi-join below stays the exact semantic restriction
-    val dt = prunedOrAll(skipKeys(cand, dId), dId)
+    // semi-join below stays the exact semantic restriction (and the
+    // candidate side broadcasts on the same measured evidence)
+    val candKeys = skipKeys(cand, dId)
+    val dt = prunedOrAll(candKeys, dId)
       .select(col(dId), col(tokVec))
-      .join(cand.select(col(dId)).distinct(), Seq(dId), "left_semi")
+      .join(hinted(cand.select(col(dId)).distinct(), candKeys),
+        Seq(dId), "left_semi")
     val qa = boundedBroadcast(
       queryTokens.select(col(qId), col(qPos), col(qVec))
         .withColumn("__qn", norm(col(qVec))), qVec, "maxSimTopKIndexedSelf")
     maxSimRank(
       maxSimScore(qa, dt, qId, qPos, qVec, dId, tokVec)
-        .join(cand, Seq(qId, dId), "left_semi"),
+        .join(hinted(cand, candKeys), Seq(qId, dId), "left_semi"),
       qId, dId, k)
   }
 
