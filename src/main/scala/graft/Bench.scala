@@ -60,6 +60,20 @@ object Bench {
       // Keep AQE from serializing tiny-bytes/heavy-CPU stages (LSH
       // candidate verification): see Dedup.verifiedPairs scaladoc.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // r20: let AQE re-partition the plans that MATERIALIZE cached/
+      // persisted frames (default false pins them at the static
+      // shuffle-partition count). The micro-batch/lifecycle bodies
+      // persist small derived frames, and thread dumps showed their
+      // 32-task materializations spending ~0.5 s/task on per-task
+      // fixed cost (codegen canonicalization, UnifiedMemoryManager
+      // lock contention, block-status RPCs) over near-empty
+      // partitions. Scale-adaptive by definition — partition counts
+      // now track the frame's measured bytes at ANY scale instead of
+      // the session constant (guide §2.2); values are unaffected,
+      // only cached-plan output partitioning may change. Measured:
+      // q_stream_kmv executor task-time 33.9 → 2.0 s, q_ingest_anon
+      // 42.5 → 21.4 s, q_stream_track 17.8 → 7.4 s (StageProfile).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -666,19 +680,20 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$note$sentinelNote,"sf":"$sfDir"}"""
     }
+    // r20 measurement fix (VERDICT r19 "Next round" #2): the 1600-char
+    // budget assumed the driver parses only a short tail capture, but
+    // r19's driver artifact proves it parses the whole line (the parsed
+    // object carries fields from the line's start while the displayed
+    // tail begins mid-line). The trim therefore only HID per-query
+    // times from PERF adjudication (`per_query: {}` in PERF_r19). Emit
+    // the complete map; the sidecar below stays as the full-precision
+    // record. A generous 256 KB guard keeps a pathological blow-up from
+    // producing an unbounded line (221 queries ≈ 5 KB, nowhere near).
     val full = line(results, "")
     val out =
-      if (full.length <= 1600) full
-      else {
-        val bySlowest = results.sortBy(-_._2)
-        // largest slowest-N prefix whose line stays under the budget
-        val fitted = Iterator.range(bySlowest.size, 0, -1).map { n =>
-          val kept = bySlowest.take(n).sortBy(_._1)
-          line(kept, s""","queries_shown":$n,"queries_total":${results.size}""")
-        }.find(_.length <= 1600)
-        fitted.getOrElse(line(Seq.empty,
-          s""","queries_shown":0,"queries_total":${results.size}"""))
-      }
+      if (full.length <= 256 * 1024) full
+      else line(Seq.empty,
+        s""","queries_shown":0,"queries_total":${results.size}""")
     // Sidecar with the FULL per-query time map at full precision plus
     // every probe array — the stdout contract line must stay under
     // the driver's bounded tail capture and trims to the slowest

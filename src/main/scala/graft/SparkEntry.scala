@@ -1067,12 +1067,15 @@ object SparkEntry {
   }
 
   private def maxsimDocTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).filter(col("doc_id") < 1500)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .distinct()
-      .withColumn("d_vec",
-        graft.pipeline.Similarity.tokenVector(col("token"), MaxsimDims))
+    // r20: typed memoized vector pass — same values, one md5 set per
+    // distinct token per task instead of per row (see
+    // Similarity.withTokenVectors)
+    graft.pipeline.Similarity.withTokenVectors(
+      Tables.documents(s, dir).filter(col("doc_id") < 1500)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .distinct(),
+      "token", MaxsimDims, "d_vec")
 
   /** Token INSTANCES with a deterministic id for the maxsim token
     * index — THE shared derivation (JsonApi.maxsimTokenInstances:

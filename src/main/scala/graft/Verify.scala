@@ -16,6 +16,10 @@ object Verify {
       // Keep AQE from serializing tiny-bytes/heavy-CPU stages (LSH
       // candidate verification): see Dedup.verifiedPairs scaladoc.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // r20: AQE under cached plans — same engine config as the bench
+      // session (see Bench.scala), so correctness is proven under the
+      // configuration that runs.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

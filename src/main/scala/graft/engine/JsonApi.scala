@@ -107,12 +107,16 @@ object JsonApi {
     import org.apache.spark.sql.functions._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__tok"))
-    docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .distinct()
-      .withColumn("d_vec",
-        graft.pipeline.Similarity.tokenVector(col("__tok"), dims))
+    // r20: vectors via the typed memoized pass (Similarity
+    // .withTokenVectors) — the Catalyst tokenVector chain re-derived
+    // dims md5s per (doc, token) row and dominated every maxsim
+    // body's cost; values are bit-identical
+    graft.pipeline.Similarity.withTokenVectors(
+      docs
+        .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+        .filter(length(col("__tok")) > 0)
+        .distinct(),
+      "__tok", dims, "d_vec")
       .withColumn("tok_id",
         col(idCol) * 1000000L + row_number().over(w))
       .select(col("tok_id"), col(idCol), col("d_vec"))
@@ -205,12 +209,14 @@ object JsonApi {
             "__q_id", "__q_pos", "__q_vec", path, "tok_id", "d_vec",
             idCol, k, ms.nProbe, ms.candTok)
         case None =>
-          val dt = docs
-            .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-            .filter(length(col("__tok")) > 0)
-            .distinct()
-            .withColumn("__d_vec",
-              graft.pipeline.Similarity.tokenVector(col("__tok"), ms.dims))
+          // r20: typed memoized vector pass (values identical) — see
+          // maxsimTokenInstances
+          val dt = graft.pipeline.Similarity.withTokenVectors(
+            docs
+              .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+              .filter(length(col("__tok")) > 0)
+              .distinct(),
+            "__tok", ms.dims, "__d_vec")
           graft.pipeline.Similarity.maxSimTopK(qt, dt,
             "__q_id", "__q_pos", "__q_vec", idCol, "__d_vec", k)
       }

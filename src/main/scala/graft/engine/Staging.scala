@@ -56,9 +56,16 @@ object Staging {
 
   /** Materialize an intermediate frame and cut its lineage under the
     * session's staging mode. `eager` defers materialization to the
-    * first action in `local`/`reliable` mode (a frame that might not
-    * be consumed shouldn't pay up front); `parquet` is always eager
-    * by nature. */
+    * first action in `local` mode (a frame that might not be consumed
+    * shouldn't pay up front, and localCheckpoint's lazy form
+    * materializes as a side effect of the first action — one job).
+    * `reliable` is ALWAYS eager: Spark's lazy `Dataset.checkpoint`
+    * recomputes the whole plan in a SECOND job to write the
+    * checkpoint files, so a caller's first action and the checkpoint
+    * would observe two separate computations — the "values exact"
+    * contract would then rest on plan determinism instead of on one
+    * materialization, and the intended job fusion inverts into a full
+    * extra recompute. `parquet` is eager by nature. */
   def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     mode(spark) match {
@@ -77,7 +84,7 @@ object Staging {
               "fallback would not survive executor loss")
           spark.sparkContext.setCheckpointDir(scratchRoot(spark) + "/ckpt")
         }
-        df.checkpoint(eager)
+        df.checkpoint(eager = true)
       case "parquet" =>
         val path = scratchRoot(spark) + "/stage-" + counter.incrementAndGet()
         // an empty frame can have ZERO partitions (emptyDataFrame),
@@ -115,25 +122,44 @@ object Staging {
     if (thunks.sizeIs <= 1) thunks.map(_())
     else {
       require(maxParallel >= 1, s"maxParallel must be >= 1, got $maxParallel")
-      val results = new Array[Any](thunks.size)
+      val n = thunks.size
+      val results = new Array[Any](n)
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
-      // bounded fan-out in WAVES of maxParallel (a per-leaf compactor
-      // over thousands of partitions must not spawn thousands of
-      // threads); a failed wave still joins its own threads before
-      // rethrowing, and later waves never start
-      thunks.zipWithIndex.grouped(maxParallel).foreach { wave =>
-        if (failure.get() == null) {
-          val threads = wave.map { case (t, i) =>
-            val th = new Thread(() => {
-              try results(i) = t()
-              catch { case e: Throwable => failure.compareAndSet(null, e) }
-            }, s"graft-plan-${counter.incrementAndGet()}-$i")
-            th.setDaemon(true)
-            th.start()
-            th
+      // Bounded WORK-STEALING pool, not waves: min(maxParallel, n)
+      // workers pull the next unclaimed thunk, so a slow thunk never
+      // barriers the rest of its batch (a per-leaf compactor over
+      // size-skewed leaves under-delivered behind each wave's slowest
+      // leaf). A failed thunk stops NEW thunks from being claimed;
+      // running ones finish and are joined before the rethrow, so no
+      // half-built chain leaks a running thread. Fatal VM errors
+      // (OOM) still win the failure slot first-come like any other
+      // throwable — they surface at the rethrow, one thunk later at
+      // worst, never recorded as a value.
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val batch = counter.incrementAndGet()
+      val workers = (0 until math.min(maxParallel, n)).map { w =>
+        val th = new Thread(() => {
+          var i = next.getAndIncrement()
+          while (i < n && failure.get() == null) {
+            try results(i) = thunks(i)()
+            catch { case e: Throwable => failure.compareAndSet(null, e) }
+            i = next.getAndIncrement()
           }
-          threads.foreach(_.join())
-        }
+        }, s"graft-plan-$batch-$w")
+        th.setDaemon(true)
+        th.start()
+        th
+      }
+      // An interrupt of the CALLING thread while it waits must not
+      // leave daemon workers running Spark jobs nobody will collect:
+      // interrupt every worker (Spark job launches respond to thread
+      // interruption) before propagating.
+      try workers.foreach(_.join())
+      catch {
+        case ie: InterruptedException =>
+          failure.compareAndSet(null, ie): Unit
+          workers.foreach(_.interrupt())
+          throw ie
       }
       if (failure.get() != null) throw failure.get()
       results.toSeq.map(_.asInstanceOf[A])

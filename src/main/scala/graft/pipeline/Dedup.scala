@@ -335,6 +335,30 @@ object Dedup {
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // token → hash memo, task-lived: natural-language token
+        // frequency is Zipfian, so most md5 calls are repeats of a
+        // small vocabulary — hashing each DISTINCT token once per
+        // task cuts the digest count by the corpus's repetition
+        // factor (same values: the memo stores exactly the function
+        // of the token). Size-capped so an adversarial all-unique
+        // token stream degrades to the uncached cost, never to an
+        // unbounded map.
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 16)
+        val memoCap = 1 << 20
+        def tokHash(t: String): Long = {
+          val hit = memo.get(t)
+          if (hit != null) hit.longValue
+          else {
+            val d = md.digest(t.getBytes("UTF-8"))
+            var h = 0L
+            var j = 0
+            while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+            h = (h << 4) | ((d(7) & 0xf0L) >> 4) // first 15 hex digits = top 60 bits
+            h = h % mod
+            if (memo.size < memoCap) memo.put(t, java.lang.Long.valueOf(h)): Unit
+            h
+          }
+        }
         it.map { case (id, text) =>
           // split(" ", -1) keeps empty tokens like Spark's split() and
           // DuckDB's string_split
@@ -342,12 +366,7 @@ object Dedup {
           val th = new Array[Long](toks.length)
           var i = 0
           while (i < toks.length) {
-            val d = md.digest(toks(i).getBytes("UTF-8"))
-            var h = 0L
-            var j = 0
-            while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-            h = (h << 4) | ((d(7) & 0xf0L) >> 4) // first 15 hex digits = top 60 bits
-            th(i) = h % mod
+            th(i) = tokHash(toks(i))
             i += 1
           }
           val m = toks.length - n + 1
@@ -577,11 +596,17 @@ object Dedup {
         col("__n_stars").as("star_pairs"))
   }
 
-  /** Exact Jaccard over two arrays — integer counts divided, so the
-    * value is engine-independent. */
+  /** Exact Jaccard over two DISTINCT arrays — integer counts divided,
+    * so the value is engine-independent. Inputs must be duplicate-free
+    * (every producer here is: [[withShingleHashes]]/[[shingles]] apply
+    * array_distinct, the typed walkers build LinkedHashSets), which
+    * lets |union| come from the identity |a|+|b|−|a∩b| instead of a
+    * second O(n+m) hash-set pass over `array_union` — the verify
+    * stage's per-pair cost is one set build instead of two, same
+    * value bit for bit. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
-    val union = size(array_union(a, b))
+    val union = size(a) + size(b) - inter
     when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
   }
 
@@ -638,15 +663,29 @@ object Dedup {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, toks) =>
-          val votes = new Array[Int](60)
-          toks.foreach { t =>
+        // task-lived token→hash memo, same rationale and cap as
+        // [[portableShingleHashes]]: Zipfian token repetition means
+        // most digests are recomputations of a small vocabulary
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 16)
+        val memoCap = 1 << 20
+        def tokHash(t: String): Long = {
+          val hit = memo.get(t)
+          if (hit != null) hit.longValue
+          else {
             val d = md.digest(t.getBytes("UTF-8"))
             // first 15 hex chars = 7.5 bytes, big-endian
             var h = 0L
             var i = 0
             while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
             h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+            if (memo.size < memoCap) memo.put(t, java.lang.Long.valueOf(h)): Unit
+            h
+          }
+        }
+        it.map { case (id, toks) =>
+          val votes = new Array[Int](60)
+          toks.foreach { t =>
+            val h = tokHash(t)
             var k = 0
             while (k < 60) { if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1; k += 1 }
           }

@@ -2578,6 +2578,58 @@ object Similarity {
         1, 5), 16, 10).cast("long") % 2001 - 1000) / lit(1000.0)
     }: _*)
 
+  /** Typed twin of [[tokenVector]] for CORPUS-SIDED derivations:
+    * appends `out` = the identical md5-derived vector of `tokenCol`
+    * in ONE native pass with a per-task token→vector memo. The
+    * Catalyst form evaluates `dims` md5/hex-conv expression chains
+    * per ROW; corpora repeat tokens (Zipf), so the memo computes each
+    * DISTINCT token's `dims` digests once per task — measured as the
+    * dominant expression cost of the whole maxsim family. Values are
+    * bit-identical: MessageDigest md5 = SQL md5, the first 5 hex
+    * digits are the digest's top 20 bits, and the `% 2001 - 1000`
+    * then IEEE `/1000.0` arithmetic is replayed exactly (same oracle
+    * formula). Size-capped memo: adversarial all-unique token streams
+    * degrade to the uncached cost, never an unbounded map. */
+  def withTokenVectors(df: DataFrame, tokenCol: String, dims: Int,
+                       out: String, tag: String = "tv"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(out,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)))
+    val tokIdx = df.schema.fieldIndex(tokenCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val memo = new java.util.HashMap[String, Array[Double]](1 << 12)
+      val memoCap = 1 << 18
+      def vecOf(t: String): Array[Double] = {
+        val hit = memo.get(t)
+        if (hit != null) hit
+        else {
+          val v = new Array[Double](dims)
+          var j = 0
+          while (j < dims) {
+            val d = md.digest(s"$tag-$t-$j".getBytes("UTF-8"))
+            // first 5 hex digits = top 20 bits of the digest
+            val h = ((d(0) & 0xffL) << 12) | ((d(1) & 0xffL) << 4) |
+              ((d(2) & 0xf0L) >> 4)
+            v(j) = (h % 2001L - 1000L).toDouble / 1000.0
+            j += 1
+          }
+          if (memo.size < memoCap) memo.put(t, v): Unit
+          v
+        }
+      }
+      it.map { r =>
+        val t = r.getString(tokIdx)
+        val vec: Seq[Double] =
+          if (t == null) null
+          else scala.collection.immutable.ArraySeq.unsafeWrapArray(vecOf(t))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ vec)
+      }
+    }(enc)
+  }
+
   /** MaxSim (late-interaction) top-k over multi-vector frames:
     * `queryTokens` (qId, qPos, qVec) × `docTokens` (dId, dVec) →
     * per (query, doc, query-token) the best doc-token cosine, floored
@@ -2803,28 +2855,47 @@ object Similarity {
     // read falls back to UNPRUNED (still exact; only the file
     // skipping is lost), never an unbounded driver collect
     val maxSkipKeys = 100000
-    def skipKeys(ds: DataFrame, c: String): Option[IndexedSeq[Any]] = {
-      val vals = ds.select(col(c)).distinct().limit(maxSkipKeys + 1)
-        .collect().map(_.get(0)).toIndexedSeq
-      if (vals.size > maxSkipKeys) None else Some(vals)
+    // keys for pruning PLUS the exact row count behind them (one
+    // grouped collect — same single job that materializes the lazy
+    // checkpoint): the count is the broadcast-hint evidence below
+    case class SkipEvidence(keys: IndexedSeq[Any], rows: Long)
+    def skipKeys(ds: DataFrame, c: String): Option[SkipEvidence] = {
+      val grouped = ds.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .limit(maxSkipKeys + 1).collect()
+      if (grouped.length > maxSkipKeys) None
+      else Some(SkipEvidence(grouped.map(_.get(0)).toIndexedSeq,
+        grouped.iterator.map(_.getLong(1)).sum))
     }
-    def prunedOrAll(keys: Option[IndexedSeq[Any]], c: String): DataFrame =
+    def prunedOrAll(keys: Option[SkipEvidence], c: String): DataFrame =
       keys match {
-        case Some(vs) => readLiveCellsPruned(spark, path,
-          Seq(graft.sources.Compact.PartIn(c, vs)))
+        case Some(ev) => readLiveCellsPruned(spark, path,
+          Seq(graft.sources.Compact.PartIn(c, ev.keys)))
         case None => readLiveCells(spark, path)
       }
     // candidate→doc map: only files whose manifest stats/blooms admit
     // a hit instance id are listed. The skip-key collect doubles as
     // SIZE EVIDENCE (guide §3.1 — post-aggregation estimates are
     // unknown, so the planner would pick a sort-merge join that
-    // shuffles the ARTIFACT side): with ≤ maxSkipKeys distinct ids in
-    // hand, the hits/cand frames are measured-small and broadcast, so
-    // the artifact scans are never shuffled; over the cap the hint is
-    // withheld along with the file skipping.
+    // shuffles the ARTIFACT side): the grouped collect measured the
+    // frame's EXACT row count, and these frames are ids+rank+score
+    // wide (~128 B framed), so rows·128 ≤ the session broadcast
+    // budget is byte evidence in the boundedBroadcast sense — a
+    // wider future schema or a huge batched request withholds the
+    // hint instead of silently promising executors an OOM. Over the
+    // skip-key cap the hint is withheld along with the file skipping.
+    val hintBudget = {
+      val b = try {
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      } catch { case _: Exception => 10L << 20 }
+      if (b > 0) b else 10L << 20
+    }
     val hitKeys = skipKeys(hits, tokId)
-    def hinted(df: DataFrame, evidence: Option[IndexedSeq[Any]]): DataFrame =
-      if (evidence.isDefined) broadcast(df) else df
+    def hinted(df: DataFrame, evidence: Option[SkipEvidence]): DataFrame =
+      evidence match {
+        case Some(ev) if ev.rows * 128L <= hintBudget => broadcast(df)
+        case _ => df
+      }
     val docMap = prunedOrAll(hitKeys, tokId)
       .select(col(tokId), col(dId))
     // LAZY for the same job-fusion reason: the dId skip-key collect

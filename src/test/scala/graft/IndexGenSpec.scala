@@ -545,6 +545,51 @@ class IndexGenSpec extends SparkTestBase {
       all, "doc_id", "d_vec", k = 5, nProbe = 2, candTok = 10))
     assert(self.nonEmpty && self == explicit,
       "file-skipped self-contained maxsim must equal the explicit form")
+
+    // r20: the broadcast HINT rests on measured row evidence (rows ·
+    // ~128 B framed vs the session broadcast budget). Under a 1-byte
+    // budget the hint is withheld everywhere — results must be
+    // identical, just planned without the hinted broadcasts.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val unhinted = rows(Similarity.maxSimTopKIndexedSelf(spark, qt,
+        "q_id", "q_pos", "q_vec", path, "tok_id", "d_vec", "doc_id",
+        k = 5, nProbe = 2, candTok = 10))
+      assert(unhinted == self,
+        "hint-withheld self-contained maxsim must equal the hinted form")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("JSON maxsim route refuses request dims that contradict the artifact") {
+    import spark.implicits._
+    val path = tmpDir("gen-msdims")
+    val dims = 8
+    val inst = (0L until 40L).map { i =>
+      val doc = i / 10
+      (doc * 1000000L + (i % 10) + 1, doc,
+        (0 until dims).map(j => (((i * 29 + j * 5) % 2001) - 1000) / 1000.0))
+    }.toDF("tok_id", "doc_id", "d_vec")
+    Similarity.buildIndexJoined(inst, "tok_id", "d_vec",
+      Similarity.syntheticCodebook(spark, 4, dims), path,
+      payload = Seq("doc_id"))
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma delta"))
+      .toDF("doc_id", "text")
+    // a request built at a different token-vector width would score
+    // TRUNCATED dot products (VectorDotProduct truncates to min
+    // length) — silently wrong rankings — so the route throws
+    val e = intercept[IllegalArgumentException](
+      graft.engine.JsonApi.search(docs,
+        s"""{"terms": ["alpha"], "topK": 3,
+            "maxsim": {"dims": 16, "nProbe": 2, "candTok": 5},
+            "index": "$path"}"""))
+    assert(e.getMessage.contains("dims=8") && e.getMessage.contains("16"))
+    // the matching width serves
+    assert(graft.engine.JsonApi.search(docs,
+      s"""{"terms": ["alpha"], "topK": 3,
+          "maxsim": {"dims": 8, "nProbe": 2, "candTok": 5},
+          "index": "$path"}""").count() >= 0)
   }
 
   test("PQ appends validate encoding against pq_meta; the atomic path derives it outright") {

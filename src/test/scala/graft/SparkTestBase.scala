@@ -10,6 +10,10 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // tests run under the bench/verify sessions' engine config
+      // (AQE under cached plans — see Bench.scala) so suites pin the
+      // behavior that actually ships
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
